@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the execution posture of the reference collection runtime
+  * (dask-cudf's distributed scheduler + per-partition kernels — see
+  * SURVEY.md §4.2) with Spark's: AQE re-plans joins/skew at runtime,
+  * shuffle partitions are sized to the local core count rather than the
+  * 200 default (SURVEY §6: the default dominates runtime at test scale;
+  * on a 1000-executor cluster this would instead be set ~2-3× total
+  * cores or left to AQE coalescing).
+  */
+object Engine {
+  /** Default parallelism: driver contract runs local[32]. */
+  def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(
+      appName: String = "graft",
+      cores: String = defaultCores,
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // Small dims (region/nation/supplier) should always broadcast;
+      // 16 MB threshold keeps that true at sf0.1 without risking OOM on
+      // the fact tables at cluster scale.
+      .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply engine configs to an externally created session (Verify/Bench
+    * create their own via the driver contract). Idempotent.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

@@ -1,0 +1,628 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational core — SURVEY.md §2.2 (projections/filters/row ops),
+  * §2.3 (joins), §2.4 (aggregations), §2.6 (sorts/distinct/set ops).
+  *
+  * Reference surface: dask-cudf `merge` [dask/dataframe/multi.py ::
+  * merge / hash_join], `groupby(...).agg` [python/dask_cudf/dask_cudf/
+  * groupby.py :: groupby_agg], `sort_values` [python/dask_cudf/
+  * dask_cudf/sorting.py :: sort_values] — all re-expressed as
+  * declarative DataFrame plans so Catalyst picks broadcast/shuffle
+  * strategies and pushes filters/projections into the parquet scan.
+  */
+object RelationalQueries extends QueryGroup {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  override def queries: Map[String, Q] = Map(
+    // ---- flagship: TPC-H Q1-shaped partial+final aggregation --------
+    "q01_agg_tpch1" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- §2.2 projection + filter (pushed into the parquet scan) ----
+    "q02_filter_project" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_quantity").between(5, 10) &&
+          col("l_returnflag").isin("A", "R") && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- §2.2 binary/unary math (elementwise, codegen'd) ------------
+    "q03_arith_funcs" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_orderkey") % 997 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("disc_price"),
+          floor(col("l_quantity") / 7).as("floordiv7"),
+          pmod(col("l_linenumber"), lit(3)).as("mod3"),
+          round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(exp(col("l_discount")), 6).as("exp_disc"),
+          round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+          ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+          abs(col("l_quantity") * -1).as("abs_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- §2.2 fillna/dropna/isna analog (nulls via NULLIF) ----------
+    "q04_null_ops" -> ((s, d) => {
+      val withNulls = li(s, d).withColumn("nz_disc", nullif(col("l_discount"), lit(0.0)))
+      withNulls
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("nz_disc")).as("n_nonzero_disc"),
+          sum(when(col("nz_disc").isNull, 1).otherwise(0)).as("n_null_disc"),
+          round(sum(coalesce(col("nz_disc"), lit(0.01))), 2).as("filled_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- §2.2 where/mask + clip -------------------------------------
+    "q05_when_clip" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_orderkey") % 503 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") > 25, "hi").when(col("l_quantity") > 10, "mid").otherwise("lo").as("bucket"),
+          round(least(greatest(col("l_extendedprice"), lit(1000.0)), lit(50000.0)), 2).as("clipped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- §2.2 astype/cast grid --------------------------------------
+    "q06_casts" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_orderkey") % 1499 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_orderkey").cast("string").as("key_str"),
+          date_format(col("l_shipdate").cast("date"), "yyyy-MM-dd").as("ship_date"),
+          col("l_linenumber").cast("double").as("ln_dbl"),
+          (col("l_quantity") > 20).cast("int").as("gt20"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- §2.3 joins ---------------------------------------------------
+    "q10_join_inner" -> ((s, d) => {
+      li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q11_join_left" -> ((s, d) => {
+      val rich = cust(s, d).filter(col("c_acctbal") > 5000)
+      ord(s, d).join(rich, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), count(col("c_custkey")).as("matched"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q12_join_right" -> ((s, d) => {
+      val rich = cust(s, d).filter(col("c_acctbal") > 5000)
+      rich.join(ord(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), count(col("c_custkey")).as("matched"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q13_join_full" -> ((s, d) => {
+      val a = ord(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k")).distinct()
+      val b = li(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k2")).distinct()
+      a.join(b, col("k") === col("k2"), "full")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_left"),
+          count(col("k2")).as("n_right"))
+        .orderBy(col("n"))
+    }),
+
+    "q14_join_semi" -> ((s, d) => {
+      val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      cust(s, d).join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q15_join_anti" -> ((s, d) => {
+      val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      cust(s, d).join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q16_join_cross" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // broadcast the dim chain explicitly (nation/region are tiny at
+    // every sf — SURVEY §6); AQE would also pick this at runtime.
+    "q17_join_broadcast" -> ((s, d) => {
+      cust(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    "q18_join_multikey" -> ((s, d) => {
+      val a = li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val b = li(s, d).select(
+        col("l_orderkey").as("r_orderkey"),
+        col("l_linenumber").as("r_linenumber"),
+        col("l_extendedprice").as("r_price"))
+      a.join(b,
+          col("l_orderkey") === col("r_orderkey") &&
+            col("r_linenumber") === col("l_linenumber") + 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") + col("r_price"), 2).as("pair_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // non-equi join — not in the reference surface (SURVEY §2.3: libcudf
+    // conditional_join unexposed); free in Spark via nested-loop join.
+    "q19_join_nonequi" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("k1"), col("n_name").as("name1"), col("n_regionkey").as("rk1"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+      n1.join(n2, col("k2") > col("k1") && col("rk1") === col("rk2"))
+        .groupBy(col("name1")).agg(count(lit(1)).as("n_larger"))
+        .orderBy(col("name1"))
+    }),
+
+    // ---- §2.4 aggregations -------------------------------------------
+    "q20_agg_stats" -> ((s, d) => {
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(stddev_samp(col("l_discount")), 6).as("std_disc"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q21_agg_countdistinct" -> ((s, d) => {
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_partkey")).as("nd_part"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // approx distinct (HLL++) — epsilon-compared, no hash oracle (SURVEY §7.4)
+    "q21b_agg_approx_distinct" -> ((s, d) => {
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q22_agg_collect" -> ((s, d) => {
+      ord(s, d).groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q23_agg_quantile" -> ((s, d) => {
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q24_agg_argminmax" -> ((s, d) => {
+      ord(s, d).groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+          min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q25_value_counts" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    }),
+
+    "q26_agg_global" -> ((s, d) => {
+      li(s, d).agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_orderkey")).as("nd_orders"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+    }),
+
+    "q27_pivot" -> ((s, d) => {
+      li(s, d).groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // rollup/cube — bonus beyond reference surface (SURVEY §2.4)
+    "q28_rollup" -> ((s, d) => {
+      li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    "q29_cube" -> ((s, d) => {
+      ord(s, d).cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"))
+        .orderBy(col("st"), col("pri"))
+    }),
+
+    // melt / unpivot (SURVEY §2.4 reshape)
+    "q30_melt" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_orderkey") % 1499 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .withColumn("val", round(col("val"), 2))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
+    // ---- §2.6 sorts / limits / distinct / set ops ----------------------
+    "q31_sort_multi" -> ((s, d) => {
+      li(s, d)
+        .withColumn("nz_disc", nullif(col("l_discount"), lit(0.0)))
+        .select(col("nz_disc"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("nz_disc").asc_nulls_first, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(500)
+    }),
+
+    "q32_topk" -> ((s, d) => {
+      ord(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    "q33_distinct" -> ((s, d) => {
+      cust(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    }),
+
+    "q34_dedup_keep_first" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q35_union" -> ((s, d) => {
+      val a = li(s, d).filter(col("l_returnflag") === "A").select(col("l_orderkey"), col("l_linenumber"))
+      val b = li(s, d).filter(col("l_linestatus") === "F").select(col("l_orderkey"), col("l_linenumber"))
+      a.union(b).distinct().orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q36_intersect" -> ((s, d) => {
+      val a = ord(s, d).filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val b = ord(s, d).filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    }),
+
+    "q37_except" -> ((s, d) => {
+      val a = ord(s, d).filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val b = ord(s, d).filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+      a.except(b).orderBy(col("o_custkey"))
+    }),
+
+    "q38_limit_offset" -> ((s, d) => {
+      ord(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+        .offset(100).limit(50)
+    }),
+
+    // random sample — engine-specific RNG, rows-only check (no oracle)
+    "q39_sample" -> ((s, d) => {
+      li(s, d).sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q01_agg_tpch1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 5 AND 10
+        |  AND l_returnflag IN ('A','R') AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_arith_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price,
+        |  CAST(FLOOR(l_quantity / 7) AS BIGINT) AS floordiv7,
+        |  ((l_linenumber % 3) + 3) % 3 AS mod3,
+        |  ROUND(SQRT(l_extendedprice), 4) AS sqrt_price,
+        |  ROUND(LN(l_extendedprice), 6) AS ln_price,
+        |  ROUND(EXP(l_discount), 6) AS exp_disc,
+        |  ROUND(POW(l_quantity, 2), 2) AS qty_sq,
+        |  CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  ABS(l_quantity * -1) AS abs_qty
+        |FROM lineitem WHERE l_orderkey % 997 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q04_null_ops" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(NULLIF(l_discount, 0.0)) AS n_nonzero_disc,
+        |  SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_null_disc,
+        |  ROUND(SUM(COALESCE(NULLIF(l_discount, 0.0), 0.01)), 2) AS filled_sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q05_when_clip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 25 THEN 'hi' WHEN l_quantity > 10 THEN 'mid' ELSE 'lo' END AS bucket,
+        |  ROUND(LEAST(GREATEST(l_extendedprice, 1000.0), 50000.0), 2) AS clipped
+        |FROM lineitem WHERE l_orderkey % 503 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q06_casts" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int,
+        |  CAST(l_orderkey AS VARCHAR) AS key_str,
+        |  STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+        |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+        |  CAST(l_quantity > 20 AS INTEGER) AS gt20
+        |FROM lineitem WHERE l_orderkey % 1499 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q10_join_inner" ->
+      """SELECT o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q11_join_left" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, COUNT(c.c_custkey) AS matched
+        |FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q12_join_right" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, COUNT(c.c_custkey) AS matched
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  RIGHT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q13_join_full" ->
+      """SELECT COUNT(*) AS n, COUNT(a.k) AS n_left, COUNT(b.k2) AS n_right
+        |FROM (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F') a
+        |FULL OUTER JOIN (SELECT DISTINCT l_orderkey AS k2 FROM lineitem WHERE l_returnflag = 'R') b
+        |  ON a.k = b.k2
+        |ORDER BY n""".stripMargin,
+
+    "q14_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q16_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q17_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q18_join_multikey" ->
+      """SELECT a.l_orderkey, a.l_linenumber,
+        |  ROUND(a.l_extendedprice + b.l_extendedprice, 2) AS pair_price
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+        |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin,
+
+    "q19_join_nonequi" ->
+      """SELECT n1.n_name AS name1, COUNT(*) AS n_larger
+        |FROM nation n1 JOIN nation n2
+        |  ON n2.n_nationkey > n1.n_nationkey AND n1.n_regionkey = n2.n_regionkey
+        |GROUP BY n1.n_name ORDER BY name1""".stripMargin,
+
+    "q20_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+        |  ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+        |  ROUND(STDDEV_SAMP(l_discount), 6) AS std_disc,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q21_agg_countdistinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_agg_collect" ->
+      """SELECT o_orderpriority,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q23_agg_quantile" ->
+      """SELECT l_returnflag,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS q25,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS q50,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS q75,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_agg_argminmax" ->
+      """SELECT o_orderpriority,
+        |  MAX_BY(o_custkey, o_orderkey) AS last_cust,
+        |  MIN_BY(o_custkey, o_orderkey) AS first_cust,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q25_value_counts" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    "q26_agg_global" ->
+      """SELECT COUNT(*) AS n,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  MIN(l_shipdate) AS min_ship,
+        |  MAX(l_shipdate) AS max_ship,
+        |  COUNT(DISTINCT l_orderkey) AS nd_orders,
+        |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem""".stripMargin,
+
+    "q27_pivot" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q29_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+
+    "q30_melt" ->
+      """SELECT l_orderkey, l_linenumber, metric, ROUND(val, 2) AS val
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        |    FROM lineitem WHERE l_orderkey % 1499 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |    FROM lineitem WHERE l_orderkey % 1499 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |    FROM lineitem WHERE l_orderkey % 1499 = 0
+        |)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q31_sort_multi" ->
+      """SELECT NULLIF(l_discount, 0.0) AS nz_disc, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY nz_disc ASC NULLS FIRST, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 500""".stripMargin,
+
+    "q32_topk" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q33_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "q34_dedup_keep_first" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q35_union" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'A'
+        |UNION
+        |SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q36_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q37_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q38_limit_offset" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin
+  )
+}
