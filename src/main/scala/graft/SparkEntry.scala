@@ -12,7 +12,10 @@ import graft.queries._
 object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    StringQueries,
+    DatetimeQueries,
+    NestedQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Datetime surface — SURVEY.md §2.8 (`Series.dt.*`): component extract,
+  * trunc/round, strftime/to_datetime, arithmetic. Reference anchors:
+  * [python/cudf/cudf/core/series.py :: class DatetimeProperties],
+  * kernels [cpp/src/datetime/datetime_ops.cu].
+  *
+  * Dialect notes (verified vs DuckDB 1.0):
+  *  - Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday → +1.
+  *  - Spark unix_timestamp truncates to seconds; DuckDB epoch() keeps the
+  *    fraction → FLOOR + cast on the oracle side.
+  *  - date_trunc returns TIMESTAMP in Spark but DATE in DuckDB for
+  *    day-and-coarser → compare as formatted strings.
+  *  - strftime dialect: '%Y-%m-%d %H:%M:%S' ↔ 'yyyy-MM-dd HH:mm:ss'.
+  */
+object DatetimeQueries extends QueryGroup {
+
+  override def queries: Map[String, Q] = Map(
+    // component extraction on a date-grained column
+    "q50_dt_extract_date" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // component extraction on sub-second event time
+    "q51_dt_extract_time" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") % 101 === 0)
+        .select(
+          col("event_id"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"),
+          (unix_micros(col("ts")) % 1000000).as("micros"))
+        .orderBy(col("event_id"))
+    }),
+
+    // trunc + format (strftime dialect translation)
+    "q52_dt_trunc_format" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") % 101 === 0)
+        .select(
+          col("event_id"),
+          date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month_start"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week_start"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day_start"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("fmt_full"))
+        .orderBy(col("event_id"))
+    }),
+
+    // arithmetic: datediff / interval add / add_months / last_day / epoch
+    "q53_dt_arith" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .select(
+          col("o_orderkey"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
+          date_format(col("o_orderdate") + expr("INTERVAL 3 DAY"), "yyyy-MM-dd HH:mm:ss").as("plus3d"),
+          date_format(add_months(col("o_orderdate").cast("date"), 2), "yyyy-MM-dd").as("plus2mo"),
+          date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("eom"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // to_datetime: parse from string and round-trip
+    "q54_dt_parse" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .withColumn("date_str", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .select(
+          col("o_orderkey"),
+          col("date_str"),
+          date_format(to_timestamp(col("date_str"), "yyyy-MM-dd"), "yyyy-MM-dd HH:mm:ss").as("parsed"),
+          year(to_date(col("date_str"), "yyyy-MM-dd")).as("parsed_year"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // epoch-aligned time bucketing (the batch analog of a tumbling
+    // window — reused by the streaming surface, SURVEY §2.11)
+    "q55_dt_bucket" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("(unix_timestamp(ts) div 300) * 300").as("bucket_s"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .orderBy(col("bucket_s"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q50_dt_extract_date" ->
+      """SELECT o_orderkey,
+        |  YEAR(o_orderdate) AS y,
+        |  MONTH(o_orderdate) AS m,
+        |  DAYOFMONTH(o_orderdate) AS dom,
+        |  QUARTER(o_orderdate) AS q,
+        |  DAYOFWEEK(o_orderdate) + 1 AS dow,
+        |  DAYOFYEAR(o_orderdate) AS doy,
+        |  WEEKOFYEAR(o_orderdate) AS woy
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q51_dt_extract_time" ->
+      """SELECT event_id,
+        |  HOUR(ts) AS h,
+        |  MINUTE(ts) AS mi,
+        |  SECOND(ts) AS sec,
+        |  EPOCH_US(CAST(ts AS TIMESTAMP)) % 1000000 AS micros
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
+
+    "q52_dt_trunc_format" ->
+      """SELECT event_id,
+        |  STRFTIME(DATE_TRUNC('month', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS month_start,
+        |  STRFTIME(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week_start,
+        |  STRFTIME(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day_start,
+        |  STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS fmt_full
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
+
+    "q53_dt_arith" ->
+      """SELECT o_orderkey,
+        |  DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        |  STRFTIME(o_orderdate + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS plus3d,
+        |  STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo,
+        |  STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |  EPOCH_US(o_orderdate) // 1000000 AS epoch_s,
+        |  EPOCH_MS(o_orderdate) AS epoch_ms
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q54_dt_parse" ->
+      """SELECT o_orderkey,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS date_str,
+        |  STRFTIME(STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S') AS parsed,
+        |  YEAR(STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS parsed_year
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q55_dt_bucket" ->
+      """SELECT (EPOCH_US(CAST(ts AS TIMESTAMP)) // 1000000 // 300) * 300 AS bucket_s,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
+        |FROM events GROUP BY bucket_s ORDER BY bucket_s""".stripMargin
+  )
+}

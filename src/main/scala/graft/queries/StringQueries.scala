@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** String function surface — SURVEY.md §2.7 (`Series.str.*` families:
+  * case/shape, measure, predicate, find, extract, replace, slice, split,
+  * strip/pad, combine, convert) plus the JSON accessors (§2.7 json row:
+  * `get_json_object` / `from_json` over events.props).
+  *
+  * Reference anchors: [python/cudf/cudf/core/column/string.py :: class
+  * StringMethods], kernels [cpp/src/strings/]. Elementwise ⇒ embarrassingly
+  * parallel; everything here stays inside WholeStageCodegen (no UDFs).
+  *
+  * Dialect notes (verified against DuckDB 1.0 this session):
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    replace-all; its backrefs are \1 vs Spark's $1.
+  *  - DuckDB has no initcap — emulated with upper(substr(..,1,1))||...
+  *  - locate/instr and strpos are both 1-based (SURVEY §2.7 flagged the
+  *    off-by-one; it applies to cudf's 0-based find, not DuckDB).
+  */
+object StringQueries extends QueryGroup {
+
+  override def queries: Map[String, Q] = Map(
+    // case/shape + measure + strip/pad + combine families
+    "q40_str_case_pad" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_custkey") % 37 === 0)
+        .select(
+          col("c_custkey"),
+          lower(col("c_name")).as("lo_name"),
+          upper(col("c_mktsegment")).as("up_seg"),
+          initcap(lower(col("c_mktsegment"))).as("cap_seg"),
+          length(col("c_name")).as("name_len"),
+          octet_length(col("c_name")).as("name_bytes"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          lpad(col("c_nationkey").cast("string"), 4, "0").as("nk_pad"),
+          rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+          trim(lit("  pad  ")).as("trimmed"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          repeat(lit("ab"), 3).as("rep"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // predicate family: contains/startswith/endswith/is-classes
+    "q41_str_predicates" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 13 === 0)
+        .select(
+          col("p_partkey"),
+          col("p_name").contains("ring").cast("int").as("has_ring"),
+          col("p_name").startsWith("small").cast("int").as("starts_small"),
+          col("p_name").endsWith("bolt").cast("int").as("ends_bolt"),
+          col("p_name").rlike("^[a-z ]+$").cast("int").as("is_alpha_space"),
+          col("p_brand").rlike("[0-9]").cast("int").as("brand_has_digit"),
+          col("p_name").like("%red%").cast("int").as("like_red"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // find + slice + split families
+    "q42_str_find_slice" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 13 === 0)
+        .select(
+          col("p_partkey"),
+          instr(col("p_name"), " ").as("sp_pos"),
+          substring(col("p_name"), 1, 4).as("head4"),
+          expr("substring(p_name, -3, 3)").as("tail3"),
+          substring_index(col("p_name"), " ", 1).as("first_word"),
+          substring_index(col("p_name"), " ", -1).as("last_word"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // replace family: regexp_replace (global), literal replace, translate
+    "q43_str_replace" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 13 === 0)
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_masked"),
+          expr("replace(p_name, ' ', '_')").as("snake_name"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          regexp_replace(col("p_name"), "(\\w+) (\\w+)", "$2 $1").as("swapped"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // extract family: regexp_extract groups + findall count
+    "q44_str_extract" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_custkey") % 37 === 0)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("id_str"),
+          regexp_extract(col("c_name"), "(\\d+)", 1).cast("long").as("id_num"),
+          size(regexp_extract_all(col("c_name"), lit("[0-9]"), lit(0))).as("n_digits"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // split family + token array ops on documents
+    "q45_str_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          element_at(split(col("text"), " "), 1).as("first_tok"),
+          element_at(split(col("text"), " "), -1).as("last_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // convert family: string<->number, hex, conv
+    "q46_str_convert" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 13 === 0)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+          hex(col("p_partkey")).as("key_hex"),
+          conv(hex(col("p_partkey")), 16, 10).cast("long").as("key_roundtrip"),
+          ascii(substring(col("p_name"), 1, 1)).as("first_cp"),
+          expr("chr(97)").as("chr_a"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // edit distance (nvtext family; Spark built-in levenshtein)
+    "q47_str_levenshtein" -> ((s, d) => {
+      val a = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("head_a"))
+      val b = Tables.documents(s, d)
+        .select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, 20).as("head_b"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id"), levenshtein(col("head_a"), col("head_b")).as("edit_dist"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSON accessors over events.props
+    "q48_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") % 101 === 0)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_struct"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q40_str_case_pad" ->
+      """SELECT c_custkey,
+        |  LOWER(c_name) AS lo_name,
+        |  UPPER(c_mktsegment) AS up_seg,
+        |  UPPER(SUBSTR(LOWER(c_mktsegment),1,1)) || SUBSTR(LOWER(c_mktsegment),2) AS cap_seg,
+        |  LENGTH(c_name) AS name_len,
+        |  STRLEN(c_name) AS name_bytes,
+        |  REVERSE(c_mktsegment) AS rev_seg,
+        |  LPAD(CAST(c_nationkey AS VARCHAR), 4, '0') AS nk_pad,
+        |  RPAD(c_mktsegment, 12, '.') AS seg_rpad,
+        |  TRIM('  pad  ') AS trimmed,
+        |  CONCAT_WS('|', c_mktsegment, c_name) AS joined,
+        |  REPEAT('ab', 3) AS rep
+        |FROM customer WHERE c_custkey % 37 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "q41_str_predicates" ->
+      """SELECT p_partkey,
+        |  CAST(CONTAINS(p_name, 'ring') AS INTEGER) AS has_ring,
+        |  CAST(STARTS_WITH(p_name, 'small') AS INTEGER) AS starts_small,
+        |  CAST(p_name LIKE '%bolt' AS INTEGER) AS ends_bolt,
+        |  CAST(REGEXP_MATCHES(p_name, '^[a-z ]+$') AS INTEGER) AS is_alpha_space,
+        |  CAST(REGEXP_MATCHES(p_brand, '[0-9]') AS INTEGER) AS brand_has_digit,
+        |  CAST(p_name LIKE '%red%' AS INTEGER) AS like_red
+        |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "q42_str_find_slice" ->
+      """SELECT p_partkey,
+        |  STRPOS(p_name, ' ') AS sp_pos,
+        |  SUBSTR(p_name, 1, 4) AS head4,
+        |  SUBSTR(p_name, LENGTH(p_name) - 2, 3) AS tail3,
+        |  SPLIT_PART(p_name, ' ', 1) AS first_word,
+        |  SPLIT_PART(p_name, ' ', LEN(STRING_SPLIT(p_name, ' '))) AS last_word
+        |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "q43_str_replace" ->
+      """SELECT p_partkey,
+        |  REGEXP_REPLACE(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+        |  REPLACE(p_name, ' ', '_') AS snake_name,
+        |  TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+        |  REGEXP_REPLACE(p_name, '(\w+) (\w+)', '\2 \1', 'g') AS swapped
+        |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "q44_str_extract" ->
+      """SELECT c_custkey,
+        |  REGEXP_EXTRACT(c_name, 'Customer#(\d+)', 1) AS id_str,
+        |  CAST(REGEXP_EXTRACT(c_name, '(\d+)', 1) AS BIGINT) AS id_num,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(c_name, '[0-9]')) AS INTEGER) AS n_digits
+        |FROM customer WHERE c_custkey % 37 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "q45_str_split" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+        |  STRING_SPLIT(text, ' ')[1] AS first_tok,
+        |  STRING_SPLIT(text, ' ')[-1] AS last_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46_str_convert" ->
+      """SELECT p_partkey,
+        |  CAST(REGEXP_EXTRACT(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+        |  UPPER(TO_HEX(p_partkey)) AS key_hex,
+        |  CAST(p_partkey AS BIGINT) AS key_roundtrip,
+        |  ASCII(SUBSTR(p_name, 1, 1)) AS first_cp,
+        |  CHR(97) AS chr_a
+        |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "q47_str_levenshtein" ->
+      """SELECT a.doc_id, LEVENSHTEIN(SUBSTR(a.text,1,20), SUBSTR(b.text,1,20)) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q48_json" ->
+      """SELECT event_id,
+        |  JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_struct
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin
+  )
+}
