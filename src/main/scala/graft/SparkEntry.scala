@@ -15,7 +15,9 @@ object SparkEntry {
     RelationalQueries,
     StringQueries,
     DatetimeQueries,
-    NestedQueries
+    NestedQueries,
+    WindowQueries,
+    UdfQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -16,7 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - float aggregates are rounded to fixed decimals on BOTH sides;
   *  - column names are aliased identically on BOTH sides;
   *  - no raw DATE outputs (pandas date-vs-datetime repr diverges between
-  *    the two readers) — format dates to ISO strings on both sides.
+  *    the two readers) — format dates to ISO strings on both sides;
+  *  - never construct values that land exactly on a .xx5 rounding
+  *    boundary (e.g. dividing 2-decimal data by 2) — DuckDB's double
+  *    ROUND is direction-inconsistent there.
   */
 trait QueryGroup {
   type Q = (SparkSession, String) => DataFrame

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window surface — SURVEY.md §2.5: rolling (row-count + time-range),
+  * cumulative, shift/diff, rank. Reference anchors: dask
+  * [dask/dataframe/rolling.py :: Rolling, map_overlap] (halo exchange),
+  * cudf kernel [cpp/src/rolling/rolling.cu], rank [cpp/src/sort/rank.cu].
+  *
+  * The reference implements rolling via map_overlap (each partition gets
+  * window-1 halo rows from its neighbor); Spark's Window operator handles
+  * the partition-boundary problem internally via range repartitioning —
+  * at 100 TB the equivalent plan is a single Exchange(hash user_id) +
+  * in-partition sort, no halo plumbing.
+  */
+object WindowQueries extends QueryGroup {
+
+  override def queries: Map[String, Q] = Map(
+    // ranking family: rank/dense_rank allow ties; row_number needs a
+    // total order to stay deterministic
+    "q70_window_rank" -> ((s, d) => {
+      val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val total = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          rank().over(byQty).as("rnk"),
+          dense_rank().over(byQty).as("drnk"),
+          round(percent_rank().over(byQty), 6).as("prnk"),
+          row_number().over(total).as("rn"),
+          ntile(4).over(total).as("quartile"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
+    // fixed row-count rolling window (reference rolling(window=3))
+    "q71_window_rolling" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w), 4).as("roll_avg"),
+          round(sum(col("value")).over(w), 2).as("roll_sum"),
+          round(min(col("value")).over(w), 2).as("roll_min"),
+          round(max(col("value")).over(w), 2).as("roll_max"),
+          count(lit(1)).over(w).as("roll_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // cumulative scans (reference cumsum/cummax/cumcount)
+    "q72_window_cumulative" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("cum_sum"),
+          round(max(col("value")).over(w), 2).as("cum_max"),
+          count(lit(1)).over(w).as("cum_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // shift/diff (reference shift(n)/diff(n) with halo exchange)
+    "q73_window_shift_diff" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          round(lag(col("value"), 1).over(w), 2).as("prev_val"),
+          round(lead(col("value"), 1).over(w), 2).as("next_val"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("diff1"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // time-range rolling (reference rolling("10min") on a time index):
+    // RANGE frame over epoch seconds
+    "q74_window_range_time" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-600, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_10min"),
+          round(sum(col("value")).over(w), 2).as("sum_10min"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // per-group shift on a different grouping (groupby-shift, §2.5)
+    "q75_window_group_shift" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") % 17 === 0)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(lag(col("l_quantity"), 1).over(w), 2).as("prev_qty"),
+          round(col("l_quantity") - lag(col("l_quantity"), 1).over(w), 2).as("qty_diff"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // first/last/nth value with explicit frames
+    "q76_window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q70_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS INTEGER) AS rnk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS INTEGER) AS drnk,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS prnk,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS INTEGER) AS rn,
+        |  CAST(NTILE(4) OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS INTEGER) AS quartile
+        |FROM lineitem WHERE l_orderkey % 331 = 0
+        |ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q71_window_rolling" ->
+      """SELECT user_id, event_id,
+        |  ROUND(AVG(value) OVER w, 4) AS roll_avg,
+        |  ROUND(SUM(value) OVER w, 2) AS roll_sum,
+        |  ROUND(MIN(value) OVER w, 2) AS roll_min,
+        |  ROUND(MAX(value) OVER w, 2) AS roll_max,
+        |  COUNT(*) OVER w AS roll_n
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q72_window_cumulative" ->
+      """SELECT user_id, event_id,
+        |  ROUND(SUM(value) OVER w, 2) AS cum_sum,
+        |  ROUND(MAX(value) OVER w, 2) AS cum_max,
+        |  COUNT(*) OVER w AS cum_n
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q73_window_shift_diff" ->
+      """SELECT user_id, event_id,
+        |  ROUND(LAG(value, 1) OVER w, 2) AS prev_val,
+        |  ROUND(LEAD(value, 1) OVER w, 2) AS next_val,
+        |  ROUND(value - LAG(value, 1) OVER w, 2) AS diff1
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q74_window_range_time" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_10min,
+        |  ROUND(SUM(value) OVER w, 2) AS sum_10min
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(CAST(ts AS TIMESTAMP)) // 1000000
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q75_window_group_shift" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROUND(LAG(l_quantity, 1) OVER w, 2) AS prev_qty,
+        |  ROUND(l_quantity - LAG(l_quantity, 1) OVER w, 2) AS qty_diff
+        |FROM lineitem WHERE l_suppkey % 17 = 0
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q76_window_first_last" ->
+      """SELECT user_id, event_id,
+        |  FIRST_VALUE(event_type) OVER w AS first_type,
+        |  LAST_VALUE(event_type) OVER w AS last_type,
+        |  NTH_VALUE(event_type, 2) OVER w AS second_type
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin
+  )
+}
