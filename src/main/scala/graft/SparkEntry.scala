@@ -17,7 +17,8 @@ object SparkEntry {
     DatetimeQueries,
     NestedQueries,
     WindowQueries,
-    UdfQueries
+    UdfQueries,
+    LlmQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.TextHashes._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * The reference exposes the kernels (nvtext minhash / jaccard,
+  * [cpp/src/text/minhash.cu], [python/cudf/cudf/core/column/string.py
+  * (nvtext section)]) but leaves pipeline assembly to the user; here the
+  * full pipelines are first-class operators.
+  *
+  * 100 TB posture — every pipeline is pure shuffle-based dataflow:
+  *  - no driver-side collection anywhere; candidate generation is an
+  *    equi-join on fingerprint / band-key / n-gram / bucket columns, so
+  *    Catalyst plans ordinary shuffled hash joins that AQE can re-split
+  *    on skew;
+  *  - signatures are computed by codegen'd expressions (one pass over
+  *    the text, SURVEY §7.3) before the shuffle, so shuffled rows carry
+  *    only (id, small signature), never the document body;
+  *  - banding (minhash) and blocking (jaccard/simhash) bound the join
+  *    fan-out; a pathological hot band (e.g. billions of empty docs)
+  *    surfaces as a skewed key — cap it upstream by filtering
+  *    `bucketSize > threshold` buckets into a quarantine pass.
+  */
+object Dedup {
+
+  /** Whitespace-collapse + trim + lowercase — the canonical text
+    * normalization shared by every fingerprint here and the DuckDB
+    * oracles.
+    */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Exact dedup: md5 over normalized text (SURVEY §7.2 M6a).
+    * Returns one row per duplicate group: fingerprint, member count,
+    * canonical (min) id.
+    */
+  def exactDuplicateGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(md5(normText(col(text))).as("fp"), col(id))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_members"), min(col(id)).as("keep_id"))
+
+  /** MinHash signatures: id → array<long> length n over k-char shingles. */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+      k: Int = 5, n: Int = 16): DataFrame =
+    df.select(col(id), minhash_sig(normText(col(text)), k, n).as("sig"))
+
+  /** MinHash + LSH banding candidate pairs (SURVEY §7.2 M6b).
+    * n/bands rows per band; docs sharing any band key become a candidate
+    * pair; est_jaccard = fraction of equal signature positions.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    */
+  def minhashCandidatePairs(df: DataFrame, id: String, text: String,
+      k: Int = 5, n: Int = 16, bands: Int = 4): DataFrame = {
+    require(n % bands == 0, s"bands=$bands must divide n=$n")
+    val rows = n / bands
+    val sigs = minhashSignatures(df, id, text, k, n)
+
+    // band keys: bands × (rows sig values joined) — stays an array op,
+    // exploded to (id, band_idx, band_key) rows for the shuffle join
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("-", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+    }: _*)
+    val banded = sigs
+      .select(col(id), posexplode(bandKeys).as(Seq("band", "bkey")))
+
+    val a = banded.select(col(id).as("id_a"), col("band"), col("bkey"))
+    val b = banded.select(col(id).as("id_b"), col("band"), col("bkey"))
+    val pairs = a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sa = sigs.select(col(id).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(id).as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / n).as("est_jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs within a blocking column: pairs whose
+    * 32-bit simhash differs in ≤ maxHamming bits. Blocking bounds the
+    * O(N²) inside each block; at scale block on a cheap partition key
+    * (source/shard/date) or on simhash byte-prefixes.
+    */
+  def simhashNearPairs(df: DataFrame, id: String, text: String,
+      block: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(id), col(block), simhash32(normText(col(text))).as("sh"))
+    val a = sigs.select(col(id).as("id_a"), col(block).as("blk"), col("sh").as("sh_a"))
+    val b = sigs.select(col(id).as("id_b"), col(block).as("blk"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Token n-gram Jaccard pairs within a blocking column (SURVEY §2.7
+    * ngrams + jaccard_index rows). Distinct n-grams explode to rows; the
+    * intersection is a shuffle join on (block, gram); |A∪B| recovers via
+    * inclusion–exclusion — no per-pair set materialization.
+    */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+      block: String, ngram: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val toks = split(normText(col(text)), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(0), size(toks) - ngram),
+      i => concat_ws(" ", (0 until ngram).map(o => element_at(toks, i + o + 1)): _*)))
+    val g = df.select(col(id), col(block), explode(grams).as("gram"))
+    val sizes = g.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+
+    val a = g.select(col(id).as("id_a"), col(block).as("blk"), col("gram"))
+    val b = g.select(col(id).as("id_b"), col(block).as("blk"), col("gram"))
+    val inter = a.join(b, Seq("blk", "gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicate pairs. `blockBits > 0` routes
+    * through signed-random-projection buckets (the scale path — only
+    * same-bucket pairs are compared; recall trades against bucket
+    * count); `blockBits = 0` is the exact O(N²) pair scan for small N /
+    * verification. Embeddings are compared by dot product — pass
+    * normalized vectors (the fixtures are unit-norm) or normalize first.
+    */
+  def embeddingNearPairs(df: DataFrame, id: String, vec: String,
+      minCosine: Double, blockBits: Int = 0): DataFrame = {
+    val withBucket =
+      if (blockBits > 0) df.select(col(id), col(vec), rp_bits(col(vec), blockBits).as("bkt"))
+      else df.select(col(id), col(vec), lit(0L).as("bkt"))
+    val a = withBucket.select(col(id).as("id_a"), col(vec).as("v_a"), col("bkt"))
+    val b = withBucket.select(col(id).as("id_b"), col(vec).as("v_b"), col("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot_f(col("v_a"), col("v_b")))
+      .filter(col("cos") > minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (M6): media as opaque binary columns with
+  * typed metadata, batched per-partition feature extraction.
+  *
+  * The Spark-side machinery is real — binary schema, partition-parallel
+  * extraction via mapPartitions (the Scala analog of mapInPandas batch
+  * processing), typed output schema — while the actual media decode is
+  * STUBBED: this container has no image/audio codecs, so
+  * [[FakeDecoder.decode]] derives deterministic pseudo-features from the
+  * bytes. Swapping in a real decoder (JavaCV, TwelveMonkeys, ffmpeg
+  * subprocess) changes only that one function; the distributed shape
+  * (one decoder instance per partition, streaming iterator, no
+  * whole-partition materialization) is what this module demonstrates.
+  */
+object Multimodal {
+
+  /** Typed features extracted per media blob. */
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      format: String,
+      width: Int,
+      height: Int,
+      brightness: Double)
+
+  /** STUB decoder — deterministic pseudo-decode from raw bytes. A real
+    * implementation would parse the container/codec here. Marked fake on
+    * purpose; do not ship.
+    */
+  object FakeDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+      val n = bytes.length
+      val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
+      // pseudo dims/brightness derived from content so tests are stable
+      val sum = {
+        var s = 0L; var i = 0
+        while (i < n) { s += (bytes(i) & 0xff); i += 1 }
+        s
+      }
+      MediaFeatures(docId, n, fmt, 64 + (n % 577).toInt, 64 + ((n * 7) % 409).toInt,
+        if (n == 0) 0.0 else sum.toDouble / n / 255.0)
+    }
+  }
+
+  /** Attach an opaque binary media column (here synthesized from text —
+    * the fixtures ship no real blobs; a production source reads bytes
+    * from the lake).
+    */
+  def withMediaColumn(df: DataFrame, text: String): DataFrame =
+    df.withColumn("media", to_binary(col(text), lit("utf-8")))
+
+  /** Partition-parallel feature extraction over the binary column.
+    * One decoder per partition, streaming — constant memory per task
+    * regardless of partition row count.
+    */
+  def extractFeatures(spark: SparkSession, df: DataFrame,
+      id: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (codec contexts etc.)
+        it.map { case (docId, bytes) => FakeDecoder.decode(docId, bytes) }
+      }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.TextHashes._
+
+/** Similarity search over an embedding column (M6c; the reference
+  * delegates this to cuml/raft out-of-repo — here it's a first-class
+  * operator set).
+  *
+  * Three tiers, all shuffle-based:
+  *  1. [[bruteForceTopK]] — exact: broadcast the (small) query set
+  *     against the corpus, codegen'd dot product, per-query top-k via
+  *     TakeOrdered-style window. Scales linearly in corpus size: the
+  *     corpus is never shuffled, only scanned.
+  *  2. [[lshTopK]] — approximate: join queries to corpus on a signed
+  *     random-projection bucket (RandomProjectionBits expression), then
+  *     top-k within bucket. At 100 TB the bucket column is also the
+  *     natural parquet partition/bucketing key, turning ANN into a
+  *     partition-pruned scan.
+  *  3. [[ivfTopK]] — approximate: coarse quantizer = per-cluster
+  *     centroids (tiny, broadcast); queries probe their nearest
+  *     `nProbe` clusters and search only those corpus slices.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by dot product (cosine for unit vectors).
+    * `queries` must be broadcast-small (the usual ANN asymmetry).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+    val scored = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot_f(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Bucket assignment for the LSH tier (exposed for audits/bench). */
+  def withBucket(df: DataFrame, vec: String, nBits: Int = 8): DataFrame =
+    df.withColumn("bucket", rp_bits(col(vec), nBits))
+
+  /** Approximate top-k: candidates restricted to the query's RP bucket.
+    * Recall is tunable via nBits (fewer bits → bigger buckets → higher
+    * recall, more compute).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nBits: Int = 8): DataFrame = {
+    val c = withBucket(corpus, vec, nBits)
+      .select(col(id).as("n_id"), col(vec).as("n_vec"), col("bucket"))
+    val q = withBucket(queries, vec, nBits)
+      .select(col(id).as("q_id"), col(vec).as("q_vec"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot_f(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-style search with a provided coarse partition (cluster column):
+    * centroids = per-cluster mean vector (computed distributed, result is
+    * broadcast-small); each query probes its nProbe nearest centroids and
+    * searches only those clusters.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      cluster: String, k: Int, nProbe: Int = 2): DataFrame = {
+    // centroids: explode to (cluster, pos, v), average, re-assemble —
+    // all shuffle-side; the result is #clusters × dim, tiny
+    val centroids = corpus
+      .select(col(cluster).as("cl"), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cl"), transform(col("pm"), p => p.getField("m").cast("float")).as("c_vec"))
+
+    val qc = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .join(broadcast(centroids))
+      .withColumn("c_dist", dot_f(col("q_vec"), col("c_vec")))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_dist").desc, col("cl").asc)
+    val probes = qc.withColumn("p", row_number().over(wProbe)).filter(col("p") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cl"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    corpus.select(col(id).as("n_id"), col(vec).as("n_vec"), col(cluster).as("cl"))
+      .join(broadcast(probes), Seq("cl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot_f(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.TextHashes._
+
+/** Text analysis for training-data pipelines (M6d): tokenization,
+  * quality scoring, language-ID heuristic, fingerprinting.
+  * Reference kernels: nvtext tokenize/token_count/ngrams
+  * [cpp/src/text/], exposed via [python/cudf/cudf/core/column/
+  * string.py (nvtext section)].
+  *
+  * All columns are built-in-function expressions (whole-stage codegen;
+  * no UDFs) except the fingerprint, which is the codegen'd PolyHash
+  * expression — a pipeline over these scans 100 TB in one pass with
+  * nothing but a parquet scan + project in the plan.
+  */
+object TextAnalysis {
+
+  def norm(c: Column): Column = Dedup.normText(c)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(split(norm(c), " "))
+
+  /** BPE-ish regex token count: letter runs, digit runs, single other. */
+  def regexTokenCount(c: Column): Column =
+    size(regexp_extract_all(norm(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Distinct-token / token ratio (lexical diversity). */
+  def typeTokenRatio(c: Column): Column = {
+    val toks = split(norm(c), " ")
+    round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+  }
+
+  /** Mean token length. */
+  def avgTokenLen(c: Column): Column = {
+    val toks = split(norm(c), " ")
+    round(aggregate(transform(toks, t => length(t).cast("double")),
+      lit(0.0), (a, x) => a + x) / size(toks), 4)
+  }
+
+  /** Marker tokens per language for the language-ID heuristic. The
+    * fixture corpus shares one vocabulary across langs, so this is a
+    * semantics demonstration (deterministic scoring + argmax), not a
+    * fitted model; swap the marker lists for real stopword tables in
+    * production.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "query", "sort"),
+    "de" -> Seq("agg", "hash", "vector"),
+    "fr" -> Seq("window", "line", "big"),
+    "zh" -> Seq("merge", "join", "batch"))
+
+  /** Per-language marker hit count (number of tokens in the marker set). */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val toks = split(norm(c), " ")
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+  }
+
+  /** argmax over language scores, ties broken by list order. */
+  def langIdCol(c: Column): Column = {
+    val scored = langMarkers.map { case (lang, m) => (lang, langScore(c, m)) }
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Quality facets: length, token stats, stopword ratio, digit ratio. */
+  def qualityColumns(df: DataFrame, text: String): DataFrame = {
+    val c = col(text)
+    val toks = split(norm(c), " ")
+    df.withColumn("n_chars_m", length(norm(c)))
+      .withColumn("n_tokens", tokenCount(c))
+      .withColumn("ttr", typeTokenRatio(c))
+      .withColumn("avg_tok_len", avgTokenLen(c))
+      .withColumn("stop_ratio",
+        round(size(filter(toks, t => t.isin("the", "a", "of", "and", "to")))
+          .cast("double") / size(toks), 4))
+      .withColumn("digit_ratio",
+        round((length(norm(c)) - length(regexp_replace(norm(c), "[0-9]", "")))
+          .cast("double") / length(norm(c)), 4))
+  }
+
+  /** Document fingerprint: polynomial rolling hash of normalized text
+    * (PolyHash expression — SURVEY §2.7 fingerprinting row).
+    */
+  def fingerprint(c: Column): Column = poly_hash(norm(c))
+
+  /** Distinct token n-grams as an array column. */
+  def tokenNgrams(c: Column, n: Int): Column = {
+    val toks = split(norm(c), " ")
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+  }
+}

@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expressions.TextHashes._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operators (SURVEY §7.2 M6 — the north star):
+  * dedup (exact / minhash+LSH / simhash / n-gram jaccard / embedding
+  * cosine), similarity search (brute-force + RP-LSH), text analysis
+  * (langid / quality / tokens / fingerprint), multimodal plumbing.
+  *
+  * Every oracle replays the custom hash kernels in pure DuckDB SQL
+  * (list_reduce/list_transform over the same integer arithmetic as
+  * graft.expressions.HashSpec), generated programmatically below — the
+  * differential gate covers the custom Catalyst expressions bit-for-bit.
+  */
+object LlmQueries extends QueryGroup {
+
+  private val P = "1000000007"
+
+  /** DuckDB: polynomial rolling hash of a string expression (HashSpec.polyHash). */
+  private def sqlPoly(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, x) -> (a * 31 + x) % $P)"
+
+  /** DuckDB: normalized text (Dedup.normText). */
+  private val sqlNorm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+
+  /** DuckDB CTEs: documents → minhash signature list (HashSpec.minHash). */
+  private def sqlMinhashCtes(n: Int = 16, k: Int = 5): String = {
+    val sigEntries = (0 until n).map { i =>
+      val a = 2 * i + 3
+      val b = 1217 * i + 17
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString(",\n    ")
+    s"""t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN LEN(s) < $k THEN [s]
+       |       ELSE list_distinct([substr(s, CAST(i AS INTEGER), $k) for i in range(1, LEN(s) - ${k - 2})])
+       |  END AS shingles FROM t),
+       |hh AS (SELECT doc_id, list_transform(shingles, sg -> ${sqlPoly("sg")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, [
+       |    $sigEntries
+       |  ] AS sig FROM hh)""".stripMargin
+  }
+
+  /** DuckDB: 32-bit simhash from a list column `hs` of mixed token hashes. */
+  private def sqlSimhashFromHs: String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB: RP-LSH bucket over `embedding` (HashSpec.rpBits), dim=64. */
+  private def sqlRpBucket(tbl: String, nBits: Int): String = {
+    val bits = (0 until nBits).map { j =>
+      val s = s"list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST($tbl.embedding[i] AS DOUBLE) * (((1103515245 * ($j * 64 + (i - 1)) + 12345) % 2001) - 1000)))"
+      s"(CASE WHEN $s > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  /** DuckDB: index-order dot product of two embedding columns. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+
+  override def queries: Map[String, Q] = Map(
+    // ---- dedup: exact (M6a) -----------------------------------------
+    "q90_dedup_exact" -> ((s, d) => {
+      Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("fp")).limit(100)
+    }),
+
+    // minhash signatures (nvtext minhash parity)
+    "q91_minhash_sig" -> ((s, d) => {
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("doc_id") % 11 === 0)
+        .select(
+          col("doc_id"),
+          element_at(col("sig"), 1).as("mh0"),
+          element_at(col("sig"), 8).as("mh7"),
+          element_at(col("sig"), 16).as("mh15"),
+          array_join(transform(col("sig"), x => x.cast("string")), ",").as("sig_str"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // minhash + LSH banding near-dup pairs (M6b)
+    "q92_dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // simhash signatures + near pairs
+    "q93_simhash_sig" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), simhash32(Dedup.normText(col("text"))).as("sh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q94_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashNearPairs(
+          Tables.documents(s, d).withColumn("blk", lit(0)),
+          "doc_id", "text", "blk", maxHamming = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // token n-gram jaccard near-dup pairs
+    "q95_dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).withColumn("blk", lit(0)),
+          "doc_id", "text", "blk", ngram = 3, minJaccard = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // embedding cosine near-dup pairs (exact tier)
+    "q96_dedup_embedding" -> ((s, d) => {
+      Dedup.embeddingNearPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          minCosine = 0.4, blockBits = 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search (M6c) ------------------------------------
+    "q97_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q98_ann_lsh_buckets" -> ((s, d) => {
+      Similarity.withBucket(Tables.embeddings(s, d), "embedding", nBits = 4)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q99_ann_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 3, nBits = 4)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ---- text analysis (M6d) ----------------------------------------
+    "q100_text_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdCol(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q101_text_quality" -> ((s, d) => {
+      TextAnalysis.qualityColumns(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("ttr"),
+          col("avg_tok_len"), col("stop_ratio"), col("digit_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q102_text_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_re_tokens"),
+          size(TextAnalysis.tokenNgrams(col("text"), 2)).as("n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q103_text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          md5(Dedup.normText(col("text"))).as("md5_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal plumbing (M6; decode is a marked stub) ----------
+    "q105_multimodal_features" -> ((s, d) => {
+      val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "text")
+      Multimodal.extractFeatures(s, withMedia, "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("format"), col("width"),
+          col("height"), round(col("brightness"), 6).as("brightness"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = {
+    val minhashCtes = sqlMinhashCtes()
+    Map(
+      "q90_dedup_exact" ->
+        s"""SELECT md5($sqlNorm) AS fp, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
+           |FROM documents GROUP BY fp ORDER BY fp LIMIT 100""".stripMargin,
+
+      "q91_minhash_sig" ->
+        s"""WITH $minhashCtes
+           |SELECT doc_id, sig[1] AS mh0, sig[8] AS mh7, sig[16] AS mh15,
+           |  array_to_string(sig, ',') AS sig_str
+           |FROM sig WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin,
+
+      "q92_dedup_minhash_lsh" -> {
+        val bandSelects = (0 until 4).map { b =>
+          val key = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+          s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $minhashCtes,
+           |banded AS (
+           |  $bandSelects
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |)
+           |SELECT p.id_a, p.id_b,
+           |  ROUND(list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard
+           |FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+           |WHERE list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q93_simhash_sig" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |th AS (SELECT doc_id,
+           |  list_transform(string_split(s, ' '), tk -> (${sqlPoly("tk")} * 2654435761) % 4294967296) AS hs
+           |  FROM t)
+           |SELECT doc_id, CAST($sqlSimhashFromHs AS BIGINT) AS sh
+           |FROM th WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin,
+
+      "q94_dedup_simhash" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |th AS (SELECT doc_id,
+           |  list_transform(string_split(s, ' '), tk -> (${sqlPoly("tk")} * 2654435761) % 4294967296) AS hs
+           |  FROM t),
+           |sh AS (SELECT doc_id, CAST($sqlSimhashFromHs AS BIGINT) AS sh FROM th)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 4
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q95_dedup_ngram_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |toks AS (SELECT doc_id, string_split(s, ' ') AS tk FROM t),
+           |g AS (SELECT doc_id, unnest(list_distinct(
+           |  [array_to_string(tk[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') for i in range(1, LEN(tk) - 1)])) AS gram
+           |  FROM toks),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT id_a, id_b,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q96_dedup_embedding" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${sqlDot("a", "b")}, 4) AS cos
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${sqlDot("a", "b")} > 0.4
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q97_ann_bruteforce" ->
+        s"""SELECT q_id, rnk, n_id, ROUND(cos, 6) AS cos FROM (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, ${sqlDot("q", "n")} AS cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${sqlDot("q", "n")} DESC, n.vec_id ASC) AS INTEGER) AS rnk
+           |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+           |  WHERE q.vec_id < 3
+           |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "q98_ann_lsh_buckets" ->
+        s"""SELECT ${sqlRpBucket("embeddings", 4)} AS bucket, COUNT(*) AS n
+           |FROM embeddings GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      "q99_ann_lsh_topk" ->
+        s"""WITH bk AS (SELECT vec_id, embedding, ${sqlRpBucket("embeddings", 4)} AS bucket FROM embeddings)
+           |SELECT q_id, rnk, n_id, ROUND(cos, 6) AS cos FROM (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, ${sqlDot("q", "n")} AS cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${sqlDot("q", "n")} DESC, n.vec_id ASC) AS INTEGER) AS rnk
+           |  FROM bk q JOIN bk n ON n.bucket = q.bucket AND n.vec_id != q.vec_id
+           |  WHERE q.vec_id < 3
+           |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+      "q100_text_langid" -> {
+        val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+          val lst = m.map(w => s"'$w'").mkString(", ")
+          s"LEN(list_filter(string_split(s, ' '), t -> list_contains([$lst], t))) AS s_$lang"
+        }.mkString(",\n  ")
+        s"""WITH t AS (SELECT doc_id, lang, $sqlNorm AS s FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |  $scores
+           |FROM t)
+           |SELECT doc_id, lang,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |       WHEN s_fr >= s_zh THEN 'fr'
+           |       ELSE 'zh' END AS pred_lang
+           |FROM sc ORDER BY doc_id""".stripMargin
+      },
+
+      "q101_text_quality" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |tok AS (SELECT doc_id, s, string_split(s, ' ') AS tk FROM t)
+           |SELECT doc_id,
+           |  CAST(LENGTH(s) AS INTEGER) AS n_chars_m,
+           |  CAST(LEN(tk) AS INTEGER) AS n_tokens,
+           |  ROUND(CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk), 4) AS ttr,
+           |  ROUND(list_sum(list_transform(tk, x -> CAST(LENGTH(x) AS DOUBLE))) / LEN(tk), 4) AS avg_tok_len,
+           |  ROUND(CAST(LEN(list_filter(tk, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / LEN(tk), 4) AS stop_ratio,
+           |  ROUND(CAST(LENGTH(s) - LENGTH(REGEXP_REPLACE(s, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(s), 4) AS digit_ratio
+           |FROM tok ORDER BY doc_id""".stripMargin,
+
+      "q102_text_tokens" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |tok AS (SELECT doc_id, s, string_split(s, ' ') AS tk FROM t)
+           |SELECT doc_id,
+           |  CAST(LEN(tk) AS INTEGER) AS n_ws_tokens,
+           |  CAST(LEN(REGEXP_EXTRACT_ALL(s, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_re_tokens,
+           |  CAST(LEN(list_distinct(
+           |    [array_to_string(tk[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ') for i in range(1, LEN(tk))])) AS INTEGER) AS n_bigrams
+           |FROM tok ORDER BY doc_id""".stripMargin,
+
+      "q103_text_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents)
+           |SELECT doc_id, ${sqlPoly("s")} AS fp, md5(s) AS md5_fp
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q105_multimodal_features" ->
+        s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+           |  list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))) AS bsum
+           |FROM documents)
+           |SELECT doc_id,
+           |  CAST(n AS INTEGER) AS n_bytes,
+           |  CASE WHEN n % 3 = 0 THEN 'png' WHEN n % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           |  CAST(64 + n % 577 AS INTEGER) AS width,
+           |  CAST(64 + (n * 7) % 409 AS INTEGER) AS height,
+           |  ROUND(CAST(bsum AS DOUBLE) / n / 255.0, 6) AS brightness
+           |FROM t ORDER BY doc_id""".stripMargin
+    )
+  }
+}

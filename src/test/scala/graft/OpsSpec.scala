@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Ops not covered by the DuckDB gate: IVF search, LSH recall vs brute
+  * force, multimodal extraction plumbing.
+  */
+class OpsSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfSmall).cache()
+  private lazy val docs = Tables.documents(spark, sfSmall)
+
+  test("ivfTopK returns k neighbors per query and respects probes") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label", k = 4, nProbe = 2)
+      .collect()
+    assert(res.length == 12) // 3 queries × 4 neighbors
+    assert(res.forall(r => r.getAs[Long]("n_id") != r.getAs[Long]("q_id")))
+  }
+
+  test("lshTopK neighbors are a subset of candidates sharing the bucket") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val res = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, nBits = 4)
+    val buckets = Similarity.withBucket(emb, "embedding", nBits = 4)
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.collect().foreach { r =>
+      assert(buckets(r.getAs[Long]("q_id")) == buckets(r.getAs[Long]("n_id")))
+    }
+  }
+
+  test("brute-force top-1 at least matches LSH top-1 cosine") {
+    val queries = emb.filter(col("vec_id") === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .collect().head.getAs[Double]("cos")
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 1, nBits = 4)
+      .collect().headOption.map(_.getAs[Double]("cos"))
+    lsh.foreach(l => assert(bf >= l)) // exact ≥ approximate
+  }
+
+  test("minhash LSH finds the planted near-duplicates with high estimate") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.9).collect()
+    assert(pairs.nonEmpty, "expected planted near-duplicate docs")
+  }
+
+  test("multimodal extraction is deterministic and schema-typed") {
+    val withMedia = Multimodal.withMediaColumn(docs.limit(10), "text")
+    val feats = Multimodal.extractFeatures(spark, withMedia, "doc_id").collect()
+    assert(feats.length == 10)
+    assert(feats.forall(f => f.width >= 64 && f.height >= 64))
+    assert(feats.forall(f => f.brightness > 0 && f.brightness < 1))
+    val again = Multimodal.extractFeatures(spark, withMedia, "doc_id").collect()
+    assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+}

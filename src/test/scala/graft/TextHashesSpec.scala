@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.expressions.{HashSpec, TextHashes}
+
+/** Golden tests for the deterministic hash kernels — expected values
+  * computed independently (reference Python implementation of the same
+  * spec), so Scala, codegen, and DuckDB-oracle paths all agree.
+  */
+class TextHashesSpec extends SparkSpec {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("polyHash golden values") {
+    assert(HashSpec.polyHash(u("abc")) == 304891L)
+    assert(HashSpec.polyHash(u("key agg row")) == 293698969L)
+    assert(HashSpec.polyHash(u("")) == 7L)
+  }
+
+  test("minHash golden signature") {
+    val sig = HashSpec.minHash(u("the quick brown fox jumps"), 5, 16).toLongArray()
+    assert(sig.toSeq == Seq(698968100L, 164948032L, 60912750L, 96907903L,
+      238578213L, 8576328L, 416243676L, 5076404L, 426807584L, 182741867L,
+      50063287L, 360407330L, 46727851L, 11154542L, 126905521L, 544848L))
+  }
+
+  test("minHash short string uses whole string as single shingle") {
+    val sig = HashSpec.minHash(u("abc"), 5, 3).toLongArray()
+    assert(sig.toSeq == Seq(914690L, 1525689L, 2136688L))
+  }
+
+  test("simHash32 golden value") {
+    assert(HashSpec.simHash32(u("key agg row scan slow")) == 1708188488L)
+  }
+
+  test("dotF accumulates in index order") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = new GenericArrayData(Array(1.0f, 2.0f, 3.0f))
+    val b = new GenericArrayData(Array(4.0f, 5.0f, 6.0f))
+    assert(HashSpec.dotF(a, b) == 32.0)
+  }
+
+  test("expressions run inside a Spark plan (codegen path)") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps", "key agg row scan slow").toDF("t")
+    val row = df.select(
+      TextHashes.poly_hash(col("t")).as("ph"),
+      TextHashes.minhash_sig(col("t")).as("mh"),
+      TextHashes.simhash32(col("t")).as("sh"),
+      TextHashes.dot_f(
+        array(lit(1.0f), lit(2.0f)), array(lit(3.0f), lit(4.0f))).as("dot"))
+      .collect()
+    assert(row(0).getAs[Seq[Long]]("mh").head == 698968100L)
+    assert(row(1).getAs[Long]("sh") == 1708188488L)
+    assert(row(0).getAs[Double]("dot") == 11.0)
+  }
+}
