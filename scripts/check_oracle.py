@@ -1,65 +1,78 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's correctness gate (NOT part of the Scala
-engine; dev tooling only). Runs graft.Verify output against DuckDB.
+"""Local pre-check of the driver's t2 gate: compare Verify output parquet
+against DuckDB running SparkEntry.oracleSql on the same sf dir.
 
-Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
-
-For each <out_dir>/<name> parquet dir with an entry in oracle_sql.json:
-run the SQL in DuckDB over the sf tables, compare as (column-name-sorted,
-row-sorted) frames, print PASS/FAIL per query.
+Usage: python3 scripts/check_oracle.py /tmp/verify_sf001 /root/testdata/sf0.01
+Mirrors the driver: sort columns by name, sort rows, hash values
+(floats rounded to 6 sig places to absorb fp noise).
 """
-import json
-import sys
-
+import sys, os, json, glob, hashlib
 import duckdb
 import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+outdir, sfdir = sys.argv[1], sys.argv[2]
+with open(os.path.join(outdir, "oracle_sql.json")) as f:
+    oracles = json.load(f)
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes that differ in representation only
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.reset_index(drop=True)
+    rows = []
+    for row in df.itertuples(index=False):
+        cells = []
+        for v in row:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                cells.append("NULL")
+            elif isinstance(v, float):
+                cells.append(f"{v:.6g}")
+            elif hasattr(v, "tolist"):  # numpy arrays / lists
+                cells.append(json.dumps([f"{x:.6g}" if isinstance(x, float) else str(x) for x in v.tolist()]))
+            else:
+                cells.append(str(v))
+        rows.append("|".join(cells))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
-def main(out_dir: str, sf_dir: str) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    with open(f"{out_dir}/oracle_sql.json") as f:
-        oracle = json.load(f)
-    failed = []
-    for name, sql in sorted(oracle.items()):
-        try:
-            got = pd.read_parquet(f"{out_dir}/{name}")
-            want = con.execute(sql).df()
-            g, w = norm(got), norm(want)
-            if list(g.columns) != list(w.columns):
-                raise AssertionError(f"columns {list(g.columns)} != {list(w.columns)}")
-            if len(g) != len(w):
-                raise AssertionError(f"rows {len(g)} != {len(w)}")
-            sort_cols = list(g.columns)
-            g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-            w = w.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"PASS {name} ({len(g)} rows)")
-        except Exception as e:  # noqa: BLE001
-            failed.append(name)
-            msg = str(e).replace("\n", " | ")[:400]
-            print(f"FAIL {name}: {msg}")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} passed")
-    if failed:
-        print("failed:", " ".join(failed))
-    return 1 if failed else 0
+ok, bad, skipped = [], [], []
+for name in sorted(oracles):
+    qdir = os.path.join(outdir, name)
+    if not os.path.isdir(qdir):
+        bad.append((name, "NO SPARK OUTPUT"))
+        continue
+    try:
+        spark_df = pd.concat(
+            [pd.read_parquet(f) for f in glob.glob(os.path.join(qdir, "*.parquet"))],
+            ignore_index=True)
+    except Exception as e:
+        bad.append((name, f"spark read: {e}"))
+        continue
+    try:
+        duck_df = con.execute(oracles[name]).df()
+    except Exception as e:
+        bad.append((name, f"duckdb: {e}"))
+        continue
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        bad.append((name, f"schema: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"))
+        continue
+    if len(spark_df) != len(duck_df):
+        bad.append((name, f"rows: spark={len(spark_df)} duck={len(duck_df)}"))
+        continue
+    if canon(spark_df) != canon(duck_df):
+        bad.append((name, "HASH MISMATCH"))
+        continue
+    ok.append(name)
 
-
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+no_oracle = [os.path.basename(d) for d in glob.glob(os.path.join(outdir, "q*"))
+             if os.path.isdir(d) and os.path.basename(d) not in oracles]
+print(f"OK: {len(ok)}  BAD: {len(bad)}  rows-only (no oracle): {len(no_oracle)}")
+for n, why in bad:
+    print(f"  FAIL {n}: {why}")
+if no_oracle:
+    print("  rows-only:", " ".join(sorted(no_oracle)))
+sys.exit(1 if bad else 0)

@@ -18,7 +18,9 @@ object SparkEntry {
     NestedQueries,
     WindowQueries,
     UdfQueries,
-    LlmQueries
+    LlmQueries,
+    StreamingQueries,
+    SourceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.sources.Formats
+
+/** Source/sink round-trips — SURVEY.md §2.1 as gated queries. Each query
+  * writes a fixture table through a non-parquet format (or a hive
+  * layout) into a scratch dir, reads it back, and computes an aggregate
+  * the DuckDB oracle computes from the ORIGINAL parquet — so the gate
+  * proves the round-trip is lossless, not just that the write ran.
+  */
+object SourceQueries extends QueryGroup {
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-src/$name"
+
+  override def queries: Map[String, Q] = Map(
+    // CSV write → schema-pinned read (read_csv dtype= analog)
+    "q120_src_csv_roundtrip" -> ((s, d) => {
+      val out = scratch("csv_supplier")
+      Formats.writeCsv(Tables.supplier(s, d), out)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+      Formats.readCsv(s, out, schema)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // JSON-lines write → schema-pinned read (read_json lines=True analog)
+    "q121_src_json_roundtrip" -> ((s, d) => {
+      val out = scratch("json_orders")
+      Formats.writeJson(
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date")), out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("o_date", StringType)))
+      Formats.readJson(s, out, schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("o_date")).as("first_date"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ORC write → read (read_orc/to_orc analog)
+    "q122_src_orc_roundtrip" -> ((s, d) => {
+      val out = scratch("orc_lineitem")
+      Formats.writeOrc(
+        Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_quantity"), out)
+      Formats.readOrc(s, out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // raw text write → read_text analog (line-delimited)
+    "q123_src_text_roundtrip" -> ((s, d) => {
+      val out = scratch("text_nation")
+      Tables.nation(s, d).select(concat_ws("|",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(out)
+      Formats.readText(s, out)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(element_at(col("f"), 1).cast("int").as("n_nationkey"),
+          element_at(col("f"), 2).as("n_name"),
+          element_at(col("f"), 3).cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // hive-partitioned parquet round-trip (to_parquet partition_on=)
+    "q124_src_partitioned_parquet" -> ((s, d) => {
+      val out = scratch("parquet_part")
+      Formats.roundTripPartitioned(s,
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag"),
+          out, "l_returnflag")
+        // partition-pruned read: only one hive partition is scanned
+        .filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q120_src_csv_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q121_src_json_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+        |  MIN(STRFTIME(o_orderdate, '%Y-%m-%d')) AS first_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q122_src_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q123_src_text_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q124_src_partitioned_parquet" ->
+      """SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+  )
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import graft.streaming.Streams
+
+/** Streaming surface — SURVEY.md §2.11 / M5, replayed deterministically.
+  *
+  * Each query drains the events file-stream to completion through the
+  * memory sink (Streams.runToBatch) and returns the emitted rows as a
+  * batch DataFrame, so the driver's DuckDB gate can hash-compare them.
+  * The oracles restate append-mode emission in SQL: a window/session is
+  * in the final output iff its end <= final watermark = max(ts) - delay.
+  *
+  * custreamz (the reference) cannot express any of this — it has
+  * processing-time windows only and no late-data story [python/custreamz/
+  * custreamz/kafka.py]; SURVEY §2.11 marks Structured Streaming as a
+  * strict superset.
+  */
+object StreamingQueries extends QueryGroup {
+
+  /** DuckDB: `ts` cast to µs timestamp; watermark = max(ts) - 600 s. */
+  private val ctes =
+    """e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |mx AS (SELECT MAX(ts) AS m FROM e)""".stripMargin
+
+  override def queries: Map[String, Q] = Map(
+    // tumbling 5-min window count/sum with 10-min watermark (append)
+    "q110_stream_tumbling" -> ((s, d) => {
+      Streams.runToBatch(s, Streams.tumblingAgg(Streams.eventsStream(s, d)),
+          "q110_tumbling")
+        .orderBy(col("w_start"))
+    }),
+
+    // sliding 10-min/5-min window per event_type
+    "q111_stream_sliding" -> ((s, d) => {
+      Streams.runToBatch(s, Streams.slidingAgg(Streams.eventsStream(s, d)),
+          "q111_sliding")
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // per-user session windows, 5-min gap
+    "q112_stream_session" -> ((s, d) => {
+      Streams.runToBatch(s, Streams.sessionAgg(Streams.eventsStream(s, d)),
+          "q112_session")
+        .orderBy(col("user_id"), col("s_start"))
+    }),
+
+    // streaming dedup to a distinct key set (exact, unbounded state —
+    // the state-bounded dropDuplicatesWithinWatermark variant is
+    // exercised in StreamingSpec where single-batch replay keeps it
+    // deterministic)
+    "q113_stream_dedup" -> ((s, d) => {
+      val stream = Streams.eventsStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      Streams.runToBatch(s, stream, "q113_dedup")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // custom state machine: per-user event count + running max via
+    // mapGroupsWithState (the groupby-apply-with-state analog the
+    // reference lacks entirely). Deterministic values; no SQL-equivalent
+    // emission rule → driver records the rows-only check.
+    "q114_stream_stateful" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val stream = Streams.eventsStream(s, d)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Double)], st: GroupState[(Long, Double)]) =>
+            val (n0, mx0) = st.getOption.getOrElse((0L, Double.MinValue))
+            var n = n0; var mx = mx0
+            rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+            st.update((n, mx))
+            (uid, n, math.round(mx * 100) / 100.0)
+        }
+        .toDF("user_id", "n_events", "max_value")
+      Streams.runToBatch(s, stream, "q114_stateful", outputMode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q110_stream_tumbling" ->
+      s"""WITH $ctes,
+         |w AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000) AS ws,
+         |             value FROM e)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
+         |FROM w, mx
+         |WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND
+         |GROUP BY ws ORDER BY w_start""".stripMargin,
+
+    "q111_stream_sliding" ->
+      s"""WITH $ctes,
+         |b AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000) AS bkt,
+         |             event_type FROM e),
+         |w AS (SELECT bkt AS ws, event_type FROM b
+         |      UNION ALL
+         |      SELECT bkt - INTERVAL 300 SECOND AS ws, event_type FROM b)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
+         |FROM w, mx
+         |WHERE ws + INTERVAL 600 SECOND <= m - INTERVAL 600 SECOND
+         |GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
+
+    "q112_stream_session" ->
+      s"""WITH $ctes,
+         |o AS (SELECT user_id, ts, value,
+         |        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 300 SECOND
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |g AS (SELECT user_id, ts, value,
+         |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM o),
+         |sess AS (SELECT user_id,
+         |           MIN(ts) AS s_start_t, MAX(ts) + INTERVAL 300 SECOND AS s_end_t,
+         |           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
+         |         FROM g GROUP BY user_id, sid)
+         |SELECT user_id, STRFTIME(s_start_t, '%Y-%m-%d %H:%M:%S') AS s_start,
+         |  STRFTIME(s_end_t, '%Y-%m-%d %H:%M:%S') AS s_end, n, sum_val
+         |FROM sess, mx
+         |WHERE s_end_t <= m - INTERVAL 600 SECOND
+         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q113_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface — SURVEY.md §2.11 / §7.2 M5.
+  *
+  * The reference's streaming story is custreamz: streamz pipelines over
+  * cudf batches plus an accelerated Kafka reader
+  * [python/custreamz/custreamz/kafka.py :: Consumer.read_gdf], with
+  * processing-time windows only and no late-data handling. Structured
+  * Streaming strictly supersedes it: event-time windows + watermarks
+  * give deterministic results under replay, which is exactly what the
+  * differential gate needs.
+  *
+  * Tests replay `events.parquet` through the file-stream source; in
+  * production the same plans run unchanged on `readStream.format("kafka")`.
+  * At 100 TB/day the state store is the scaling concern: every query here
+  * keys state by (window, key) with a watermark bounding state size —
+  * nothing accumulates unboundedly.
+  *
+  * Determinism contract used by the DuckDB oracles: with the file source
+  * drained via `processAllAvailable()` (no-data micro-batches enabled,
+  * the default), the final watermark is max(ts) - delay, and append mode
+  * has emitted exactly the windows/sessions whose end <= that watermark.
+  * The oracles re-state that emission rule in SQL.
+  */
+object Streams {
+
+  /** File-stream source over the events fixture. Streaming requires an
+    * explicit schema, so we snapshot it from a batch read; `ts` arrives
+    * as raw nanos (legacy ns conf, see Tables.events) and is truncated
+    * to µs TimestampType exactly like the batch path.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(stageDir(path))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** FileStreamSource requires a directory; the fixtures are single
+    * files. Stage a per-source temp dir holding a symlink to the file
+    * (read-only view — the fixture itself is never touched).
+    */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageDir(file: String): String =
+    staged.computeIfAbsent(file, { f =>
+      import java.nio.file.{Files, Paths}
+      val d = Files.createTempDirectory("graft-stream-")
+      Files.createSymbolicLink(d.resolve(Paths.get(f).getFileName), Paths.get(f))
+      d.toString
+    })
+
+  /** Tumbling event-time window aggregate with watermark (append mode). */
+  def tumblingAgg(events: DataFrame, size: String = "5 minutes",
+                  delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n"), col("sum_val"))
+
+  /** Sliding window: each event lands in size/slide overlapping windows. */
+  def slidingAgg(events: DataFrame, size: String = "10 minutes",
+                 slide: String = "5 minutes", delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+
+  /** Per-user session windows (gap-merged), watermarked. Session end =
+    * last event + gap; emitted once the watermark passes it.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "5 minutes",
+                 delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+        col("n"), col("sum_val"))
+
+  /** Streaming dedup on a derived key with bounded state
+    * (dropDuplicatesWithinWatermark). Projects the key columns only, so
+    * the result is the deterministic distinct key set regardless of
+    * which physical row was kept first.
+    */
+  def dedupKeys(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  /** Drain a streaming DataFrame through the memory sink and return the
+    * collected result as a batch DataFrame. `processAllAvailable` blocks
+    * until the source is exhausted AND the trailing no-data micro-batch
+    * has advanced the watermark and flushed final windows.
+    */
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  def runToBatch(spark: SparkSession, stream: DataFrame, name: String,
+                 outputMode: String = "append"): DataFrame = {
+    val sinkName = s"${name}_${runCounter.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(outputMode)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sinkName)
+  }
+}

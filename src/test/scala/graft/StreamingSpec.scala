@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** M5 streaming specs (SURVEY §2.11): batch-vs-stream equivalence on
+  * replayed events, plus the state-bounded dedup variant that has no SQL
+  * oracle (single-batch replay keeps it deterministic here).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling window equals batch query on emitted windows") {
+    val streamed = Streams.runToBatch(
+      spark, Streams.tumblingAgg(Streams.eventsStream(spark, sfTiny)), "spec_tumbling")
+
+    val ev = Tables.events(spark, sfTiny)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+      .filter(col("window.end") <= lit(maxTs) - expr("INTERVAL 10 MINUTE"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n"), col("sum_val"))
+
+    val s = streamed.orderBy("w_start").collect().map(_.toSeq).toSeq
+    val b = batch.orderBy("w_start").collect().map(_.toSeq).toSeq
+    assert(s.nonEmpty && s == b)
+  }
+
+  test("session windows merge events within the gap and emit finalized sessions") {
+    val sessions = Streams.runToBatch(
+      spark, Streams.sessionAgg(Streams.eventsStream(spark, sfTiny)), "spec_session")
+    val rows = sessions.collect()
+    assert(rows.nonEmpty)
+    // every session spans at least the gap (end = last event + 5 min)
+    val spans = sessions
+      .select(unix_timestamp(to_timestamp(col("s_end"))) -
+        unix_timestamp(to_timestamp(col("s_start")))).collect().map(_.getLong(0))
+    assert(spans.forall(_ >= 300))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the delay on one batch") {
+    val stream = Streams.dedupKeys(Streams.eventsStream(spark, sfTiny))
+    val deduped = Streams.runToBatch(spark, stream, "spec_ddww")
+    val n = deduped.count()
+    val exact = Tables.events(spark, sfTiny)
+      .select("user_id", "event_type").distinct().count()
+    // single-batch replay: state never expires mid-batch → exact distinct
+    assert(n == exact)
+  }
+
+  test("streaming dedup (unbounded state) yields the exact distinct key set") {
+    val q = graft.queries.StreamingQueries.queries("q113_stream_dedup")
+    val res = q(spark, sfTiny)
+    val exact = Tables.events(spark, sfTiny)
+      .select("user_id", "event_type").distinct().count()
+    assert(res.count() == exact)
+  }
+}
