@@ -119,22 +119,11 @@ object Dedup {
     * can be dropped exactly only when the threshold math tolerates it,
     * so the default keeps all grams).
     */
-  /** Distinct token n-grams, first-occurrence order. A Scala UDF, not a
-    * transform()/element_at() HOF chain: feeding a nested-lambda HOF
-    * array into explode() re-evaluates the lambda per generated row
-    * (measured 11× slower than this UDF at sf0.1) — the one place where
-    * "functions, not UDFs" loses.
-    */
-  private val ngramsUdf = udf { (toks: Seq[String], n: Int) =>
-    if (toks == null) Seq.empty[String]
-    else toks.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq.distinct
-  }
-
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
       block: String, ngram: Int = 3, minJaccard: Double = 0.2): DataFrame = {
     val g = df
       .select(col(id), col(block).as("blk"),
-        ngramsUdf(split(normText(col(text)), " "), lit(ngram)).as("gs"))
+        TextAnalysis.ngramsUdf(split(normText(col(text)), " "), lit(ngram)).as("gs"))
       .withColumn("sz", size(col("gs")))
       .select(col(id), col("blk"), col("sz"), explode(col("gs")).as("gram"))
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.RelationalQueries
+
+/** Physical-plan assertions: the 100 TB posture checked mechanically
+  * (SURVEY §6 perf levers). A query that passes its oracle but plans a
+  * cartesian product or skips a broadcast would regress silently
+  * without these.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfTiny).queryExecution.executedPlan.toString
+
+  test("dim joins broadcast the small side (nation/region/supplier)") {
+    assert(plan("q10_join_inner").contains("BroadcastHashJoin"))
+    assert(plan("q17_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    assert(plan("q14_join_semi").contains("LeftSemi"))
+    assert(plan("q15_join_anti").contains("LeftAnti"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("q32_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q01_agg_tpch1")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("aggregation is partial+final (map-side combine before shuffle)") {
+    val p = plan("q01_agg_tpch1")
+    // two HashAggregate operators around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("whole-stage codegen covers the relational hot path") {
+    // codegen'd operators print with a *(stageId) prefix; AQE only
+    // renders the final (codegen-annotated) plan after execution
+    val df = SparkEntry.queries("q01_agg_tpch1")(spark, sfTiny)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("no accidental cartesian products anywhere in the gated catalog") {
+    val exempt = Set("q16_join_cross") // the intentional cross join
+    val offenders = SparkEntry.queries.keys.filterNot(exempt).filter { q =>
+      try {
+        val p = SparkEntry.queries(q)(spark, sfTiny).queryExecution.executedPlan.toString
+        p.contains("CartesianProduct")
+      } catch { case _: Throwable => false } // streaming plans throw on executedPlan
+    }
+    assert(offenders.isEmpty, s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("set_index analog: range repartition + within-partition sort is sorted per partition") {
+    val df = Tables.lineitem(spark, sfTiny)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    val ok = df.select(col("l_orderkey")).mapPartitions { it =>
+      val v = it.map(_.getLong(0)).toSeq
+      Iterator.single(v == v.sorted)
+    }(org.apache.spark.sql.Encoders.scalaBoolean).collect()
+    assert(ok.forall(identity))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"))
+  }
+}
