@@ -23,8 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb session/codegen warmup outside the timed loop
+    // absorb session/codegen/parquet-reader warmup outside the timed loop
     spark.range(1000000).selectExpr("sum(id)").queryExecution.toRdd.foreach(_ => ())
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.foreach(_ => ())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }

@@ -111,4 +111,30 @@ object TextAnalysis {
 
   def tokenNgrams(c: Column, n: Int): Column =
     ngramsUdf(split(norm(c), " "), lit(n))
+
+  /** Distinct character n-grams (nvtext character_ngrams parity). */
+  private val charNgramsUdf = udf { (s: String, n: Int) =>
+    if (s == null || s.length < n) Seq.empty[String]
+    else s.sliding(n).toSeq.distinct
+  }
+
+  def charNgrams(c: Column, n: Int): Column = charNgramsUdf(norm(c), lit(n))
+
+  /** Unicode code points of the string (nvtext code_points parity). */
+  private val codePointsUdf = udf { (s: String) =>
+    if (s == null) Seq.empty[Int]
+    else s.codePoints.toArray.toSeq
+  }
+
+  def codePoints(c: Column): Column = codePointsUdf(c)
+
+  /** Porter stemmer (nvtext porter_stemmer parity — [cpp/src/text/
+    * stemmer.cu]). Classic Porter (1980), steps 1a–5b; golden-value
+    * spec in TextAnalysisSpec.
+    */
+  def porterStem(c: Column): Column = porterUdf(lower(c))
+
+  private val porterUdf = udf { (w: String) =>
+    if (w == null) null else Porter.stem(w)
+  }
 }

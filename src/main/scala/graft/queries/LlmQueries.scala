@@ -177,6 +177,38 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // nvtext character_ngrams parity
+    "q106_char_ngrams" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"),
+          size(TextAnalysis.charNgrams(col("text"), 3)).as("n3"),
+          size(TextAnalysis.charNgrams(col("text"), 5)).as("n5"),
+          array_join(slice(array_sort(TextAnalysis.charNgrams(col("text"), 3)), 1, 3), "|").as("first3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // nvtext code_points parity
+    "q107_code_points" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id"),
+          array_join(TextAnalysis.codePoints(substring(col("text"), 1, 40)), ",").as("cps"),
+          size(TextAnalysis.codePoints(col("text"))).as("n_cp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // nvtext porter_stemmer parity — no DuckDB-side stemmer offline
+    // (fts extension can't install), so the driver records rows-only;
+    // golden-value coverage lives in TextAnalysisSpec
+    "q108_porter_stem" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(graft.ops.Dedup.normText(col("text")), " ")).as("tok"))
+        .select(TextAnalysis.porterStem(col("tok")).as("stem"))
+        .groupBy(col("stem")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("stem")).limit(50)
+    }),
+
     // ---- multimodal plumbing (M6; decode is a marked stub) ----------
     "q105_multimodal_features" -> ((s, d) => {
       val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "text")
@@ -332,6 +364,22 @@ object LlmQueries extends QueryGroup {
         s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents)
            |SELECT doc_id, ${sqlPoly("s")} AS fp, md5(s) AS md5_fp
            |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q106_char_ngrams" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents WHERE doc_id % 17 = 0),
+           |g AS (SELECT doc_id,
+           |  list_distinct([substr(s, CAST(i AS INTEGER), 3) for i in range(1, LEN(s) - 1)]) AS g3,
+           |  list_distinct([substr(s, CAST(i AS INTEGER), 5) for i in range(1, LEN(s) - 3)]) AS g5
+           |FROM t)
+           |SELECT doc_id, CAST(LEN(g3) AS INTEGER) AS n3, CAST(LEN(g5) AS INTEGER) AS n5,
+           |  array_to_string(list_sort(g3)[1:3], '|') AS first3
+           |FROM g ORDER BY doc_id""".stripMargin,
+
+      "q107_code_points" ->
+        """SELECT doc_id,
+          |  array_to_string(list_transform(string_split(substr(text, 1, 40), ''), c -> unicode(c)), ',') AS cps,
+          |  CAST(LENGTH(text) AS INTEGER) AS n_cp
+          |FROM documents WHERE doc_id % 29 = 0 ORDER BY doc_id""".stripMargin,
 
       "q105_multimodal_features" ->
         s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,

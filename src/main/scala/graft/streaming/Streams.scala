@@ -111,11 +111,19 @@ object Streams {
   def runToBatch(spark: SparkSession, stream: DataFrame, name: String,
                  outputMode: String = "append"): DataFrame = {
     val sinkName = s"${name}_${runCounter.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(outputMode)
-      .start()
+    // State-store task count is frozen from shuffle.partitions at query
+    // start; micro-batch overhead scales with it, so size it to the
+    // replayed fixture rather than the batch-engine setting (a real
+    // deployment sizes it to state volume instead).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try stream.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(outputMode)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try {
       q.processAllAvailable()
     } finally q.stop()
