@@ -278,6 +278,18 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
+    // one-hot encoding (get_dummies — SURVEY §2.4, [dask/dataframe/
+    // reshape.py :: get_dummies], tested [tests/test_onehot.py])
+    "q27b_onehot" -> ((s, d) => {
+      ord(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("st_f"),
+          when(col("o_orderstatus") === "O", 1).otherwise(0).as("st_o"),
+          when(col("o_orderstatus") === "P", 1).otherwise(0).as("st_p"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // rollup/cube — bonus beyond reference surface (SURVEY §2.4)
     "q28_rollup" -> ((s, d) => {
       li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
@@ -547,6 +559,13 @@ object RelationalQueries extends QueryGroup {
         |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc
         |FROM lineitem""".stripMargin,
+
+    "q27b_onehot" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS st_f,
+        |  CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS st_o,
+        |  CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS st_p
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q27_pivot" ->
       """SELECT l_returnflag,

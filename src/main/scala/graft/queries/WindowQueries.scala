@@ -52,6 +52,19 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling with min_periods (SURVEY §2.5: `min_periods` → gate the
+    // agg on the window count)
+    "q71b_rolling_min_periods" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          when(count(lit(1)).over(w) >= 3, round(avg(col("value")).over(w), 4)).as("roll_avg_mp3"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // cumulative scans (reference cumsum/cummax/cumcount)
     "q72_window_cumulative" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -142,6 +155,13 @@ object WindowQueries extends QueryGroup {
         |  COUNT(*) OVER w AS roll_n
         |FROM events WHERE user_id % 9 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q71b_rolling_min_periods" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN COUNT(*) OVER w >= 3 THEN ROUND(AVG(value) OVER w, 4) END AS roll_avg_mp3
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q72_window_cumulative" ->
