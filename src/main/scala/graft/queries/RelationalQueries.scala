@@ -278,6 +278,41 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
+    // describe() facets as explicit aggs (SURVEY §2.4 describe →
+    // df.summary(); summary() emits strings, so the gated form computes
+    // the same facets typed)
+    "q26b_describe" -> ((s, d) => {
+      li(s, d).agg(
+        count(col("l_quantity")).as("cnt"),
+        round(avg(col("l_quantity")), 4).as("mean"),
+        round(stddev_samp(col("l_quantity")), 4).as("std"),
+        round(min(col("l_quantity")), 2).as("min_v"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(max(col("l_quantity")), 2).as("max_v"))
+    }),
+
+    // salted two-phase aggregation (hot-key mitigation — Skew.saltedAgg;
+    // oracle is the plain GROUP BY, proving salt-invariance)
+    "q26c_salted_agg" -> ((s, d) => {
+      graft.ops.Skew.saltedAgg(li(s, d), Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"), col("n"),
+          round(col("sum_v"), 2).as("sum_v"), round(col("min_v"), 2).as("min_v"),
+          round(col("max_v"), 2).as("max_v"), round(col("avg_v"), 4).as("avg_v"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // salted join (skewed-left mitigation — Skew.saltedJoin; oracle is
+    // the plain join aggregate)
+    "q18b_salted_join" -> ((s, d) => {
+      val right = ord(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(li(s, d).select("l_orderkey", "l_quantity"), right, "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // one-hot encoding (get_dummies — SURVEY §2.4, [dask/dataframe/
     // reshape.py :: get_dummies], tested [tests/test_onehot.py])
     "q27b_onehot" -> ((s, d) => {
@@ -559,6 +594,30 @@ object RelationalQueries extends QueryGroup {
         |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc
         |FROM lineitem""".stripMargin,
+
+    "q26b_describe" ->
+      """SELECT COUNT(l_quantity) AS cnt,
+        |  ROUND(AVG(l_quantity), 4) AS mean,
+        |  ROUND(STDDEV_SAMP(l_quantity), 4) AS std,
+        |  ROUND(MIN(l_quantity), 2) AS min_v,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  ROUND(MAX(l_quantity), 2) AS max_v
+        |FROM lineitem""".stripMargin,
+
+    "q26c_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_v,
+        |  ROUND(MIN(l_quantity), 2) AS min_v,
+        |  ROUND(MAX(l_quantity), 2) AS max_v,
+        |  ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_v
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q18b_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q27b_onehot" ->
       """SELECT o_orderkey,
