@@ -33,6 +33,10 @@ object Engine {
       // 16 MB threshold keeps that true at sf0.1 without risking OOM on
       // the fact tables at cluster scale.
       .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
+      // keep catalog state (bucketed saveAsTable) + derby metastore out
+      // of the source tree when running from the repo root
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

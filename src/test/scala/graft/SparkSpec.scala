@@ -13,5 +13,10 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val spark: SparkSession = Engine.session(appName = "graft-test", cores = "4", shufflePartitions = 4)
+  lazy val spark: SparkSession = {
+    // derby metastore files go to tmp, not the source tree
+    System.setProperty("derby.system.home",
+      s"${System.getProperty("java.io.tmpdir")}/graft-derby")
+    Engine.session(appName = "graft-test", cores = "4", shufflePartitions = 4)
+  }
 }
