@@ -86,6 +86,45 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / n).as("est_jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs (SURVEY §7.2 M6b:
+    * minhash → LSH banding → connected components): assigns every doc
+    * the minimum id reachable through the pair graph, so each duplicate
+    * cluster gets one canonical representative to keep.
+    *
+    * Iterative min-label propagation: labels(v) ← min(labels(v),
+    * min labels(neighbors)) until fixpoint — converges in
+    * graph-diameter rounds (near-dup clusters are near-cliques, so 2–3).
+    * Each round is one shuffle join + one aggregation; the driver only
+    * checks a changed-count per round (no data collected). At 100 TB
+    * this is the standard large/small-star regime; cap `maxIter` and
+    * persist between rounds exactly as done here.
+    *
+    * @param pairs (id_a, id_b) candidate edges, id_a < id_b
+    * @return (id, cluster) — cluster = min id in the component;
+    *         singletons (ids absent from pairs) are not emitted
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.select(col("id"), col("lbl")).union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
   /** SimHash near-duplicate pairs within a blocking column: pairs whose
     * 32-bit simhash differs in ≤ maxHamming bits. Blocking bounds the
     * O(N²) inside each block; at scale block on a cheap partition key

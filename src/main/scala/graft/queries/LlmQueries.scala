@@ -95,6 +95,14 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // near-dup clusters: LSH pairs → connected components (M6b tail)
+    "q92b_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.9)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    }),
+
     // simhash signatures + near pairs
     "q93_simhash_sig" -> ((s, d) => {
       Tables.documents(s, d)
@@ -266,6 +274,37 @@ object LlmQueries extends QueryGroup {
            |WHERE list_sum(list_transform(range(1, 17),
            |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q92b_dedup_clusters" -> {
+        val bandSelects = (0 until 4).map { b =>
+          val key = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+          s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE $minhashCtes,
+           |banded AS (
+           |  $bandSelects
+           |),
+           |cpairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |),
+           |near AS (
+           |  SELECT id_a, id_b FROM cpairs p
+           |  JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+           |  WHERE list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
+           |),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM near
+           |  UNION ALL SELECT id_b, id_a FROM near
+           |),
+           |reach(id, lbl) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+           |)
+           |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
       },
 
       "q93_simhash_sig" ->

@@ -36,6 +36,16 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("connectedComponents labels a chain and separate cliques correctly") {
+    // chain 1-2-3-4 (diameter 3, needs >1 iteration), clique 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("salted agg spreads a hot key across reducers in phase 1") {
     val df = skewed.toDF("k", "v").repartition(7)
     val salts = df.withColumn("__salt",
