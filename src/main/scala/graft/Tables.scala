@@ -42,7 +42,13 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every fixture table as a temp view (SQL entry point). */
+  /** Register every fixture table as a temp view (SQL entry point).
+    * events must go through its ns→µs reader (see above) — a plain load
+    * throws PARQUET_TYPE_ILLEGAL at scan time.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

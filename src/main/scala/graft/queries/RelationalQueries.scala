@@ -39,6 +39,33 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // the same query through the SQL entry point the reference never
+    // had (SURVEY §3.1 / §7.5: Spark SQL replaces the absent SQL layer)
+    "q01b_sql_entry" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          ROUND(SUM(l_quantity), 2) AS sum_qty,
+          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // SQL join + correlated EXISTS subquery (decorrelation is free in
+    // Catalyst — SURVEY §4.1 row "subquery decorrelation")
+    "q10b_sql_join" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT n.n_name, COUNT(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        GROUP BY n.n_name
+        ORDER BY n.n_name""")
+    }),
+
     // ---- §2.2 projection + filter (pushed into the parquet scan) ----
     "q02_filter_project" -> ((s, d) => {
       li(s, d)
@@ -421,6 +448,23 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q01b_sql_entry" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10b_sql_join" ->
+      """SELECT n.n_name, COUNT(*) AS n_suppliers
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
     "q01_agg_tpch1" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
