@@ -48,6 +48,21 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // calendar predicates (is_leap_year / days_in_month /
+    // is_month_start / is_quarter_end — SURVEY §2.8 "rest via expr combos")
+    "q50b_dt_calendar" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .select(
+          col("o_orderkey"),
+          (dayofyear(make_date(year(col("o_orderdate")), lit(12), lit(31))) === 366).as("is_leap"),
+          dayofmonth(last_day(col("o_orderdate").cast("date"))).as("days_in_month"),
+          (dayofmonth(col("o_orderdate")) === 1).as("is_month_start"),
+          (col("o_orderdate").cast("date") === last_day(col("o_orderdate").cast("date"))).as("is_month_end"),
+          (quarter(col("o_orderdate")) =!= quarter(col("o_orderdate") + expr("INTERVAL 1 DAY"))).as("is_quarter_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // trunc + format (strftime dialect translation)
     "q52_dt_trunc_format" -> ((s, d) => {
       Tables.events(s, d)
@@ -119,6 +134,15 @@ object DatetimeQueries extends QueryGroup {
         |  SECOND(ts) AS sec,
         |  EPOCH_US(CAST(ts AS TIMESTAMP)) % 1000000 AS micros
         |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
+
+    "q50b_dt_calendar" ->
+      """SELECT o_orderkey,
+        |  DAYOFYEAR(MAKE_DATE(YEAR(o_orderdate), 12, 31)) = 366 AS is_leap,
+        |  DAYOFMONTH(LAST_DAY(CAST(o_orderdate AS DATE))) AS days_in_month,
+        |  DAYOFMONTH(o_orderdate) = 1 AS is_month_start,
+        |  CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE)) AS is_month_end,
+        |  QUARTER(o_orderdate) != QUARTER(o_orderdate + INTERVAL 1 DAY) AS is_quarter_end
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q52_dt_trunc_format" ->
       """SELECT event_id,

@@ -107,6 +107,17 @@ object RelationalQueries extends QueryGroup {
     }),
 
     // ---- §2.2 where/mask + clip -------------------------------------
+    // value replacement (reference replace(a,b) / na.replace —
+    // [cpp/src/replace/]); expressed as the na.replace API over strings
+    "q04b_value_replace" -> ((s, d) => {
+      ord(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .na.replace("o_orderpriority",
+          Map("1-URGENT" -> "P1", "2-HIGH" -> "P2", "3-MEDIUM" -> "P3"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q05_when_clip" -> ((s, d) => {
       li(s, d)
         .filter(col("l_orderkey") % 503 === 0)
@@ -638,6 +649,12 @@ object RelationalQueries extends QueryGroup {
         |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc
         |FROM lineitem""".stripMargin,
+
+    "q04b_value_replace" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 'P1' WHEN '2-HIGH' THEN 'P2'
+        |       WHEN '3-MEDIUM' THEN 'P3' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q26b_describe" ->
       """SELECT COUNT(l_quantity) AS cnt,

@@ -72,6 +72,17 @@ object StringQueries extends QueryGroup {
     }),
 
     // replace family: regexp_replace (global), literal replace, translate
+    // slice_replace (str.slice_replace — overwrite a character range)
+    "q42b_overlay" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 13 === 0)
+        .select(
+          col("p_partkey"),
+          overlay(col("p_name"), lit("XX"), lit(2), lit(3)).as("mid_replaced"),
+          overlay(col("p_name"), lit("> "), lit(1), lit(0)).as("prefixed"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q43_str_replace" -> ((s, d) => {
       Tables.part(s, d)
         .filter(col("p_partkey") % 13 === 0)
@@ -179,6 +190,12 @@ object StringQueries extends QueryGroup {
         |  SUBSTR(p_name, LENGTH(p_name) - 2, 3) AS tail3,
         |  SPLIT_PART(p_name, ' ', 1) AS first_word,
         |  SPLIT_PART(p_name, ' ', LEN(STRING_SPLIT(p_name, ' '))) AS last_word
+        |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "q42b_overlay" ->
+      """SELECT p_partkey,
+        |  substr(p_name, 1, 1) || 'XX' || substr(p_name, 5) AS mid_replaced,
+        |  '> ' || p_name AS prefixed
         |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin,
 
     "q43_str_replace" ->
