@@ -60,6 +60,17 @@ for name in sorted(oracles):
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         bad.append((name, f"schema: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"))
         continue
+    # int-vs-float dtype skew: the driver's hasher stringifies 956 vs
+    # 956.0 differently (bit us in r1 q04: DuckDB SUM(int)→HUGEINT→
+    # float64). %.6g below masks it, so flag dtype class mismatch here.
+    skew = [c for c in spark_df.columns
+            if (pd.api.types.is_integer_dtype(spark_df[c].dtype)
+                != pd.api.types.is_integer_dtype(duck_df[c].dtype))
+            and (pd.api.types.is_numeric_dtype(spark_df[c].dtype)
+                 and pd.api.types.is_numeric_dtype(duck_df[c].dtype))]
+    if skew:
+        bad.append((name, f"int/float dtype skew: {[(c, str(spark_df[c].dtype), str(duck_df[c].dtype)) for c in skew]}"))
+        continue
     if len(spark_df) != len(duck_df):
         bad.append((name, f"rows: spark={len(spark_df)} duck={len(duck_df)}"))
         continue

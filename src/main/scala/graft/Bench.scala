@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * Materialization is `toRdd.foreach`, not `count()`: count() lets
   * Catalyst prune projected columns, which would skip the expensive
   * expressions (minhash/simhash/dot products) a query exists to measure.
+  *
+  * The final JSON line MUST stay under ~1900 chars: the driver parses it
+  * from the last 2000 chars of stdout (sbt appends ~65 chars of
+  * "[success] ..." after us), and round 1's 4 KB line was truncated →
+  * BENCH_r01 "parsed": null. So the queries map uses the short unique
+  * query prefix (q01, q92b — COVERAGE.md maps prefixes to operators)
+  * with millisecond precision; full names go to per-line stdout and
+  * BENCH_FULL.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,12 +39,25 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[bench] $name%-28s ${sec}%9.3f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(short: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + f"$v%.3f"
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // full-name copy for humans/judge; short-key line for the driver tail
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line(short = false) + "\n")
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    val out = if (shortKeys.distinct.size == shortKeys.size) line(short = true)
+              else line(short = false)
+    println(out)
     spark.stop()
   }
 }

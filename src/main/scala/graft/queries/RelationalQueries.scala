@@ -516,7 +516,7 @@ object RelationalQueries extends QueryGroup {
       """SELECT l_returnflag,
         |  COUNT(*) AS n,
         |  COUNT(NULLIF(l_discount, 0.0)) AS n_nonzero_disc,
-        |  SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_null_disc,
+        |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_disc,
         |  ROUND(SUM(COALESCE(NULLIF(l_discount, 0.0), 0.01)), 2) AS filled_sum
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
