@@ -68,22 +68,23 @@ object Dedup {
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("-", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
     }: _*)
+    // carry the n×8B sig through the Generate + shuffle: ~200B/row beats
+    // recomputing the signature on both sides of a pair⋈sigs join (the
+    // previous shape evaluated minhash_sig 3× — bands + each join side)
     val banded = sigs
-      .select(col(id), posexplode(bandKeys).as(Seq("band", "bkey")))
+      .select(col(id), col("sig"), posexplode(bandKeys).as(Seq("band", "bkey")))
 
-    val a = banded.select(col(id).as("id_a"), col("band"), col("bkey"))
-    val b = banded.select(col(id).as("id_b"), col("band"), col("bkey"))
-    val pairs = a.join(b, Seq("band", "bkey"))
+    val a = banded.select(col(id).as("id_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
+    val b = banded.select(col(id).as("id_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-
-    val sa = sigs.select(col(id).as("id_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col(id).as("id_b"), col("sig").as("sig_b"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / n).as("est_jaccard"))
+      // est_jaccard is deterministic per pair, so distinct-after-compute
+      // collapses multi-band collisions exactly like distinct-on-ids did
+      .distinct()
   }
 
   /** Connected components over near-duplicate pairs (SURVEY §7.2 M6b:
@@ -111,20 +112,27 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+      .withColumn("lbl", col("id")).persist()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // self rows carry the previous label in `old` (typed-null on
+      // neighbor rows), so convergence falls out of the same aggregation
+      // — no second labels join per round. Every dst is also a src
+      // (edges are symmetric), so max(old) is never null after grouping.
       val viaNeighbor = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.select(col("id"), col("lbl")).union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("id"), col("lbl"),
+          when(lit(false), col("lbl")).as("old"))
+      val next = labels
+        .select(col("id"), col("lbl"), col("lbl").as("old")).union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
+      changed = next.filter(col("lbl") =!= col("old")).count()
       labels.unpersist()
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] iter=$iter changed=$changed t=${System.nanoTime() / 1e9}")
     }
     // final labels are cached+materialized by the changed-count action,
     // so the edge cache (and its upstream) can be released lazily

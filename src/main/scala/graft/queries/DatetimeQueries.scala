@@ -112,6 +112,21 @@ object DatetimeQueries extends QueryGroup {
         .groupBy(expr("(unix_timestamp(ts) div 300) * 300").as("bucket_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
         .orderBy(col("bucket_s"))
+    }),
+
+    // calendar boundaries (reference dt ceil/floor to month/week,
+    // cudf datetime add_calendrical_months): next weekday, month end,
+    // clamped month add, ISO week start, month-boundary distance
+    "q56_dt_boundaries" -> ((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") % 149 === 0)
+        .select(col("o_orderkey"),
+          date_format(next_day(col("o_orderdate"), "Mon"), "yyyy-MM-dd").as("next_mon"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2m"),
+          date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start"),
+          ((year(col("o_orderdate")) - lit(1995)) * 12 + month(col("o_orderdate")) - 1)
+            .as("months_since_95"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -173,6 +188,18 @@ object DatetimeQueries extends QueryGroup {
     "q55_dt_bucket" ->
       """SELECT (EPOCH_US(CAST(ts AS TIMESTAMP)) // 1000000 // 300) * 300 AS bucket_s,
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
-        |FROM events GROUP BY bucket_s ORDER BY bucket_s""".stripMargin
+        |FROM events GROUP BY bucket_s ORDER BY bucket_s""".stripMargin,
+
+    // DuckDB has no next_day: date + ((7 - isodow) % 7) + 1 lands on the
+    // strictly-next Monday. add_months ≡ + INTERVAL (both clamp to
+    // month end); date_trunc('week') starts Monday in both engines.
+    "q56_dt_boundaries" ->
+      """SELECT o_orderkey,
+        |  STRFTIME(CAST(o_orderdate AS DATE) + CAST(((7 - ISODOW(o_orderdate)) % 7) + 1 AS INTEGER), '%Y-%m-%d') AS next_mon,
+        |  STRFTIME(LAST_DAY(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  STRFTIME(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+        |  STRFTIME(DATE_TRUNC('week', o_orderdate), '%Y-%m-%d') AS week_start,
+        |  CAST((YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS INTEGER) AS months_since_95
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin
   )
 }

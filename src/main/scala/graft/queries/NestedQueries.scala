@@ -86,6 +86,52 @@ object NestedQueries extends QueryGroup {
           round(aggregate(zip_with(col("ea"), col("eb"),
             (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x), 6).as("dot"))
         .orderBy(col("vec_id"))
+    }),
+
+    // array set algebra (reference lists union/intersect/difference
+    // kernels [cpp/src/lists/set_operations.cu]); results are sorted +
+    // joined so element order never enters the comparison
+    "q66_array_setops" -> ((s, d) => {
+      val t = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          slice(split(col("text"), " "), 1, 6).as("a1"),
+          slice(split(col("text"), " "), 4, 6).as("a2"))
+      t.select(col("doc_id"),
+          array_join(array_sort(array_intersect(col("a1"), col("a2"))), ",").as("inter"),
+          array_join(array_sort(array_union(col("a1"), col("a2"))), ",").as("uni"),
+          array_join(array_sort(array_except(col("a1"), col("a2"))), ",").as("dif"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sequence generation / repeat / flatten (reference sequences +
+    // interleave/tile [cpp/src/lists/sequences.cu, reshape/])
+    "q67_sequence_ops" -> ((s, d) => {
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 1499 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_join(transform(sequence(lit(1), col("l_linenumber")),
+            x => x.cast("string")), ",").as("seq_1_n"),
+          array_join(array_repeat(col("l_returnflag"), 3), "").as("rf3"),
+          array_join(transform(
+            flatten(array(sequence(lit(1), lit(3)), sequence(lit(4), lit(6)))),
+            x => x.cast("string")), ",").as("flat16"),
+          size(sequence(lit(0), col("l_linenumber"), lit(2))).as("n_step2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // map column ops (reference struct/map dtypes): build, size, lookup,
+    // keys, value-fold — entries sorted before join so map iteration
+    // order never enters the comparison
+    "q68_map_ops" -> ((s, d) => {
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 1499 === 0)
+        .withColumn("m", map_from_arrays(
+          array(lit("qty"), lit("disc"), lit("tax")),
+          array(col("l_quantity"), col("l_discount"), col("l_tax"))))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(col("m")).as("m_size"),
+          round(element_at(col("m"), "qty"), 2).as("m_qty"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+          round(aggregate(map_values(col("m")), lit(0.0), (a, x) => a + x), 2).as("vals_sum"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -133,6 +179,37 @@ object NestedQueries extends QueryGroup {
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS dot
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 50 AND b.vec_id < 50
-        |ORDER BY a.vec_id""".stripMargin
+        |ORDER BY a.vec_id""".stripMargin,
+
+    // DuckDB has no list_union/list_except — emulate with concat+distinct
+    // and a membership filter; LIST_SLICE end is inclusive (Spark slice
+    // takes a length), hence (1,6) and (4,9)
+    "q66_array_setops" ->
+      """SELECT doc_id,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+        |    LIST_INTERSECT(LIST_SLICE(STRING_SPLIT(text,' '),1,6), LIST_SLICE(STRING_SPLIT(text,' '),4,9)))), ',') AS inter,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+        |    LIST_CONCAT(LIST_SLICE(STRING_SPLIT(text,' '),1,6), LIST_SLICE(STRING_SPLIT(text,' '),4,9)))), ',') AS uni,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(LIST_SLICE(STRING_SPLIT(text,' '),1,6)),
+        |    x -> NOT LIST_CONTAINS(LIST_SLICE(STRING_SPLIT(text,' '),4,9), x))), ',') AS dif
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q67_sequence_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(range(1, l_linenumber + 1), x -> CAST(x AS VARCHAR)), ',') AS seq_1_n,
+        |  REPEAT(l_returnflag, 3) AS rf3,
+        |  '1,2,3,4,5,6' AS flat16,
+        |  CAST(LEN(range(0, l_linenumber + 1, 2)) AS INTEGER) AS n_step2
+        |FROM lineitem WHERE l_orderkey % 1499 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q68_map_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  3 AS m_size,
+        |  ROUND(l_quantity, 2) AS m_qty,
+        |  'disc,qty,tax' AS keys_sorted,
+        |  ROUND(l_quantity + l_discount + l_tax, 2) AS vals_sum
+        |FROM lineitem WHERE l_orderkey % 1499 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

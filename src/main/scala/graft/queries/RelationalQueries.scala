@@ -455,6 +455,67 @@ object RelationalQueries extends QueryGroup {
     "q39_sample" -> ((s, d) => {
       li(s, d).sample(withReplacement = false, fraction = 0.1, seed = 42)
         .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // population stats + higher moments (reference Series.skew/kurt,
+    // std(ddof=0) — SURVEY §2.4). Spark's skewness/kurtosis are the
+    // population (g1/g2-excess) definitions.
+    "q20b_pop_stats" -> ((s, d) => {
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_pop(col("l_quantity")), 4).as("std_pop_qty"),
+          round(var_pop(col("l_quantity")), 4).as("var_pop_qty"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("cov_pop"),
+          round(skewness(col("l_quantity")), 4).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // mode with a deterministic tiebreak (reference Series.mode):
+    // argmax count, ties broken by min value — plain count+window, no
+    // nondeterministic built-in
+    "q24b_mode" -> ((s, d) => {
+      val counts = ord(s, d).groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cnt").desc, col("o_orderstatus").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"), col("cnt"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // fixed-width binning (reference cudf.cut with explicit bounds);
+    // bin id is pure arithmetic so it runs inside the scan's codegen
+    // stage — no bucketizer state, no shuffle beyond the count agg
+    "q25b_binning" -> ((s, d) => {
+      li(s, d)
+        .withColumn("bin", floor(col("l_extendedprice") / 10000).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 2).as("avg_price"))
+        .orderBy(col("bin"))
+    }),
+
+    // two-way frequency table (reference cudf.crosstab / DataFrame
+    // .stat.crosstab) — zero-filled counts per category pair
+    "q27c_crosstab" -> ((s, d) => {
+      li(s, d).stat.crosstab("l_returnflag", "l_linestatus")
+        .select(col("l_returnflag_l_linestatus").as("rf"),
+          col("F").as("n_f"), col("O").as("n_o"))
+        .orderBy(col("rf"))
+    }),
+
+    // factorize / categorical codes (reference Series.factorize,
+    // cudf Categorical): codes from the distinct dimension, broadcast
+    // back — the global sort touches only the tiny distinct set, never
+    // the fact table, so the shape holds at 100 TB
+    "q33b_factorize" -> ((s, d) => {
+      val codes = ord(s, d).select(col("o_orderpriority")).distinct()
+        .withColumn("pri_code",
+          row_number().over(Window.orderBy(col("o_orderpriority"))) - 1)
+      ord(s, d).filter(col("o_orderkey") % 149 === 0)
+        .join(broadcast(codes), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("pri_code"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -762,6 +823,45 @@ object RelationalQueries extends QueryGroup {
 
     "q38_limit_offset" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
-        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+
+    // DuckDB skewness is the sample G1; Spark's is population g1 =
+    // G1 * (n-2) / sqrt(n*(n-1)). kurtosis_pop matches Spark directly.
+    "q20b_pop_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(STDDEV_POP(l_quantity), 4) AS std_pop_qty,
+        |  ROUND(VAR_POP(l_quantity), 4) AS var_pop_qty,
+        |  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cov_pop,
+        |  ROUND(SKEWNESS(l_quantity) * (COUNT(*) - 2) / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 4) AS skew_qty,
+        |  ROUND(KURTOSIS_POP(l_quantity), 4) AS kurt_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24b_mode" ->
+      """SELECT o_orderpriority, o_orderstatus AS mode_status, cnt FROM (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY COUNT(*) DESC, o_orderstatus ASC) AS rn
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |) WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q25b_binning" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 10000) AS INTEGER) AS bin,
+        |  COUNT(*) AS n, ROUND(AVG(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q27c_crosstab" ->
+      """SELECT l_returnflag AS rf,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+
+    "q33b_factorize" ->
+      """SELECT o.o_orderkey, o.o_orderpriority, c.pri_code
+        |FROM orders o JOIN (
+        |  SELECT o_orderpriority,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS pri_code
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        |) c USING (o_orderpriority)
+        |WHERE o.o_orderkey % 149 = 0 ORDER BY o.o_orderkey""".stripMargin
   )
 }

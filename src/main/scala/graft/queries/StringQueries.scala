@@ -154,6 +154,19 @@ object StringQueries extends QueryGroup {
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").as("k_struct"))
         .orderBy(col("event_id"))
+    }),
+
+    // title-case + delimited-field accessors (reference str.title /
+    // str.istitle and nvtext detokenize-adjacent slicing). Whitespace is
+    // normalized first so both engines tokenize identically.
+    "q49_str_title" -> ((s, d) => {
+      val norm = regexp_replace(col("text"), "\\s+", " ")
+      Tables.documents(s, d).filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          initcap(lower(substring(norm, 1, 40))).as("title40"),
+          substring_index(norm, " ", 3).as("first3"),
+          split_part(norm, lit(" "), lit(2)).as("word2"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -239,6 +252,17 @@ object StringQueries extends QueryGroup {
         |  JSON_EXTRACT_STRING(props, '$.k') AS k_str,
         |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_int,
         |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_struct
-        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
+
+    // DuckDB has no initcap/substring_index: title-case via per-word
+    // transform, first-N-fields via slice+join
+    "q49_str_title" ->
+      """SELECT doc_id,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(
+        |    STRING_SPLIT(LOWER(SUBSTR(REGEXP_REPLACE(text, '\s+', ' ', 'g'), 1, 40)), ' '),
+        |    w -> UPPER(w[1:1]) || w[2:]), ' ') AS title40,
+        |  ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(REGEXP_REPLACE(text, '\s+', ' ', 'g'), ' '), 1, 3), ' ') AS first3,
+        |  SPLIT_PART(REGEXP_REPLACE(text, '\s+', ' ', 'g'), ' ', 2) AS word2
+        |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin
   )
 }

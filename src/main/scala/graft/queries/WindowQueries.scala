@@ -132,6 +132,55 @@ object WindowQueries extends QueryGroup {
           last(col("event_type")).over(w).as("last_type"),
           nth_value(col("event_type"), 2).over(w).as("second_type"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ffill/bfill (reference fillna(method='ffill'/'bfill')): last/first
+    // non-null over one-sided unbounded frames — one Exchange(user_id) +
+    // sort, same cost profile as any keyed window at scale. Nulls are
+    // synthesized deterministically so both engines see identical gaps.
+    "q77_ffill_bfill" -> ((s, d) => {
+      val order = Seq(col("ts"), col("event_id"))
+      val wf = Window.partitionBy(col("user_id")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wb = Window.partitionBy(col("user_id")).orderBy(order: _*)
+        .rowsBetween(0, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .withColumn("gappy",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(round(col("value"), 2)))
+        .select(col("user_id"), col("event_id"), col("gappy"),
+          last(col("gappy"), ignoreNulls = true).over(wf).as("ffill"),
+          first(col("gappy"), ignoreNulls = true).over(wb).as("bfill"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // pct_change (reference Series.pct_change): lag-based, zero-base
+    // guarded by NULLIF on both engines
+    "q78_pct_change" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(col("user_id"), col("event_id"),
+          round((col("value") - lag(col("value"), 1).over(w)) /
+            nullif(lag(col("value"), 1).over(w), lit(0.0)), 6).as("pct_chg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // rolling product (reference rolling.prod / cumprod): Spark has no
+    // product aggregate, so exp∘sum∘ln over the frame (values are
+    // 1+discount ≥ 1 > 0); the DuckDB oracle uses its native product()
+    // window, so the identity is cross-checked, not assumed
+    "q79_rolling_product" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture — add
+      // l_extendedprice to make the frame order total in both engines
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .rowsBetween(-2, 0)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(exp(sum(log(lit(1.0) + col("l_discount"))).over(w)), 6).as("roll_prod"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -206,6 +255,33 @@ object WindowQueries extends QueryGroup {
         |  NTH_VALUE(event_type, 2) OVER w AS second_type
         |FROM events WHERE user_id % 9 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q77_ffill_bfill" ->
+      """SELECT user_id, event_id, gappy,
+        |  LAST_VALUE(gappy IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+        |  FIRST_VALUE(gappy IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE ROUND(value, 2) END AS gappy
+        |  FROM events WHERE user_id % 9 = 0
+        |) ORDER BY user_id, event_id""".stripMargin,
+
+    "q78_pct_change" ->
+      """SELECT user_id, event_id,
+        |  ROUND((value - LAG(value, 1) OVER w) / NULLIF(LAG(value, 1) OVER w, 0.0), 6) AS pct_chg
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q79_rolling_product" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(PRODUCT(1.0 + l_discount) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_prod
+        |FROM lineitem WHERE l_orderkey % 331 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edge semantics for the round-2 frame operators (q77–q79, q24b, q25b,
+  * q33b, q66) that the sf0.01 fixture may not hit: leading/trailing
+  * nulls under ffill/bfill, mode ties, bin boundaries, factorize code
+  * stability, set-op dedup.
+  */
+class FrameOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ffill leaves leading nulls; bfill leaves trailing nulls") {
+    val df = Seq(
+      (1, 1, None: Option[Double]), (1, 2, Some(10.0)), (1, 3, None),
+      (1, 4, Some(20.0)), (1, 5, None)
+    ).toDF("g", "i", "v")
+    val wf = Window.partitionBy($"g").orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wb = Window.partitionBy($"g").orderBy($"i")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val out = df.select($"i",
+        last($"v", ignoreNulls = true).over(wf).as("ff"),
+        first($"v", ignoreNulls = true).over(wb).as("bf"))
+      .orderBy($"i")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      (1, None, Some(10.0)), (2, Some(10.0), Some(10.0)), (3, Some(10.0), Some(20.0)),
+      (4, Some(20.0), Some(20.0)), (5, Some(20.0), None)))
+  }
+
+  test("mode tiebreak picks the smallest value among max-count ties") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("grp", "v")
+    val counts = df.groupBy($"grp", $"v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"grp").orderBy($"cnt".desc, $"v".asc)
+    val m = counts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"v").as[String].collect()
+    assert(m.toSeq == Seq("a")) // a and b both count 2; min wins
+  }
+
+  test("fixed-width binning maps boundary values to the upper bin") {
+    val df = Seq(0.0, 9999.99, 10000.0, 19999.0, 20000.0).toDF("x")
+    val bins = df.select(floor($"x" / 10000).cast("int").as("bin"))
+      .as[Int].collect()
+    assert(bins.toSeq == Seq(0, 0, 1, 1, 2))
+  }
+
+  test("factorize codes are dense, zero-based, and order-stable") {
+    val df = Seq("m", "z", "a", "m", "z").toDF("v")
+    val codes = df.select($"v").distinct()
+      .withColumn("code", row_number().over(Window.orderBy($"v")) - 1)
+    val got = df.join(broadcast(codes), "v").select($"v", $"code")
+      .distinct().orderBy($"code").as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("a", 0), ("m", 1), ("z", 2)))
+  }
+
+  test("array set ops dedup and ignore element order") {
+    val df = Seq((Seq("b", "a", "b"), Seq("a", "c"))).toDF("x", "y")
+    val r = df.select(
+        array_join(array_sort(array_intersect($"x", $"y")), ",").as("i"),
+        array_join(array_sort(array_union($"x", $"y")), ",").as("u"),
+        array_join(array_sort(array_except($"x", $"y")), ",").as("d"))
+      .as[(String, String, String)].head()
+    assert(r == (("a", "a,b,c", "b")))
+  }
+
+  test("rolling product via exp-sum-log matches direct multiplication") {
+    val df = Seq((1, 1.05), (2, 1.10), (3, 1.02), (4, 1.00)).toDF("i", "f")
+    val w = Window.orderBy($"i").rowsBetween(-2, 0)
+    val got = df.select(round(exp(sum(log($"f")).over(w)), 6).as("p"))
+      .orderBy($"i").as[Double].collect()
+    assert(got.toSeq == Seq(1.05, 1.155, 1.1781, 1.122))
+  }
+}
