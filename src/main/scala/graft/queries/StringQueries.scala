@@ -167,6 +167,19 @@ object StringQueries extends QueryGroup {
           substring_index(norm, " ", 3).as("first3"),
           split_part(norm, lit(" "), lit(2)).as("word2"))
         .orderBy(col("doc_id"))
+    }),
+
+    // str.slice with step≠1 (reference slice(start, stop, step) —
+    // SURVEY §7.3 long-tail row): every-kth-char via backreference
+    // regex, so it stays a codegen'd built-in instead of a UDF
+    "q42c_slice_step" -> ((s, d) => {
+      val win = substring(col("text"), 3, 20)
+      Tables.documents(s, d).filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          win.as("base"),
+          regexp_replace(win, "(.).", "$1").as("step2"),
+          regexp_replace(win, "(.)..", "$1").as("step3"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -263,6 +276,13 @@ object StringQueries extends QueryGroup {
         |    w -> UPPER(w[1:1]) || w[2:]), ' ') AS title40,
         |  ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(REGEXP_REPLACE(text, '\s+', ' ', 'g'), ' '), 1, 3), ' ') AS first3,
         |  SPLIT_PART(REGEXP_REPLACE(text, '\s+', ' ', 'g'), ' ', 2) AS word2
+        |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q42c_slice_step" ->
+      """SELECT doc_id,
+        |  SUBSTR(text, 3, 20) AS base,
+        |  REGEXP_REPLACE(SUBSTR(text, 3, 20), '(.).', '\1', 'g') AS step2,
+        |  REGEXP_REPLACE(SUBSTR(text, 3, 20), '(.)..', '\1', 'g') AS step3
         |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin
   )
 }

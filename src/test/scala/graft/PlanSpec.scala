@@ -58,6 +58,25 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test("factorize broadcasts the code dimension, never shuffles the fact side") {
+    val p = plan("q33b_factorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("binning aggregates partial+final on the computed bin key") {
+    val p = plan("q25b_binning")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // bin arithmetic must not block column pruning: only price is read
+    assert(p.contains("ReadSchema: struct<l_extendedprice"), p)
+  }
+
+  test("ffill/bfill is a single exchange on the partition key") {
+    val p = plan("q77_ffill_bfill")
+    // one hash exchange for the window, one range exchange for the
+    // final orderBy — no per-frame re-shuffle
+    assert("hashpartitioning".r.findAllIn(p.toLowerCase).size == 1, p)
+  }
+
   test("set_index analog: range repartition + within-partition sort is sorted per partition") {
     val df = Tables.lineitem(spark, sfTiny)
       .repartitionByRange(8, col("l_orderkey"))
