@@ -42,6 +42,29 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Conditionally hash-spread rows across all cores before per-row
+    * heavy work (minhash, n-grams). Parquet cannot split inside a row
+    * group, so a single-row-group file scans as ONE task and UDF work
+    * runs single-threaded — but the fan-out shuffle only pays for
+    * itself when there is real work per core. Measured at sf0.1 (warm,
+    * 3 reps): unconditional spread was 0.5–1.1 s SLOWER per query than
+    * the single-task scan — the "single-core bottleneck" seen cold was
+    * JIT warmup, not compute. So spread engages only when the input is
+    * both under-partitioned (fewer splits than cores) and large enough
+    * (> minBytesPerCore per core, from optimizer stats — no job runs).
+    * The explicit partition count matters: a bare `repartition(col)`
+    * gets coalesced back to one partition by AQE's advisory size.
+    */
+  def spread(df: DataFrame, key: String,
+      minBytesPerCore: Long = 4L << 20): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = df.rdd.getNumPartitions
+    if (parts < cores && bytes > BigInt(cores) * minBytesPerCore)
+      df.repartition(cores, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   /** Register every fixture table as a temp view (SQL entry point).
     * events must go through its ns→µs reader (see above) — a plain load
     * throws PARQUET_TYPE_ILLEGAL at scan time.

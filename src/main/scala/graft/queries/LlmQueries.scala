@@ -168,21 +168,21 @@ object LlmQueries extends QueryGroup {
 
     // ---- text analysis (M6d) ----------------------------------------
     "q100_text_langid" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langIdCol(col("text")).as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
 
     "q101_text_quality" -> ((s, d) => {
-      TextAnalysis.qualityColumns(Tables.documents(s, d), "text")
+      TextAnalysis.qualityColumns(Tables.spread(Tables.documents(s, d), "doc_id"), "text")
         .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("ttr"),
           col("avg_tok_len"), col("stop_ratio"), col("digit_ratio"))
         .orderBy(col("doc_id"))
     }),
 
     "q102_text_tokens" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
           TextAnalysis.regexTokenCount(col("text")).as("n_re_tokens"),
@@ -191,7 +191,7 @@ object LlmQueries extends QueryGroup {
     }),
 
     "q103_text_fingerprint" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"),
           md5(Dedup.normText(col("text"))).as("md5_fp"))

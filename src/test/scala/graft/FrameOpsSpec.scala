@@ -66,6 +66,14 @@ class FrameOpsSpec extends SparkSpec {
     assert(r == (("a", "a,b,c", "b")))
   }
 
+  test("spread is a no-op on small inputs, fans out on large under-partitioned ones") {
+    val docs = Tables.documents(spark, sfTiny)
+    assert(Tables.spread(docs, "doc_id").rdd.getNumPartitions ==
+      docs.rdd.getNumPartitions) // too small: passthrough, no shuffle
+    assert(Tables.spread(docs, "doc_id", minBytesPerCore = 1)
+      .rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
+
   test("rolling product via exp-sum-log matches direct multiplication") {
     val df = Seq((1, 1.05), (2, 1.10), (3, 1.02), (4, 1.00)).toDF("i", "f")
     val w = Window.orderBy($"i").rowsBetween(-2, 0)
