@@ -183,15 +183,17 @@ object NestedQueries extends QueryGroup {
 
     // DuckDB has no list_union/list_except — emulate with concat+distinct
     // and a membership filter; LIST_SLICE end is inclusive (Spark slice
-    // takes a length), hence (1,6) and (4,9)
+    // takes a length), hence (1,6) and (4,9). COALESCE because DuckDB's
+    // ARRAY_TO_STRING([]) is NULL where Spark's array_join([]) is ''
+    // (found at sf0.1: a doc whose first-6 tokens ⊆ tokens 4–9).
     "q66_array_setops" ->
       """SELECT doc_id,
-        |  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
-        |    LIST_INTERSECT(LIST_SLICE(STRING_SPLIT(text,' '),1,6), LIST_SLICE(STRING_SPLIT(text,' '),4,9)))), ',') AS inter,
-        |  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
-        |    LIST_CONCAT(LIST_SLICE(STRING_SPLIT(text,' '),1,6), LIST_SLICE(STRING_SPLIT(text,' '),4,9)))), ',') AS uni,
-        |  ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(LIST_SLICE(STRING_SPLIT(text,' '),1,6)),
-        |    x -> NOT LIST_CONTAINS(LIST_SLICE(STRING_SPLIT(text,' '),4,9), x))), ',') AS dif
+        |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+        |    LIST_INTERSECT(LIST_SLICE(STRING_SPLIT(text,' '),1,6), LIST_SLICE(STRING_SPLIT(text,' '),4,9)))), ','), '') AS inter,
+        |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+        |    LIST_CONCAT(LIST_SLICE(STRING_SPLIT(text,' '),1,6), LIST_SLICE(STRING_SPLIT(text,' '),4,9)))), ','), '') AS uni,
+        |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(LIST_SLICE(STRING_SPLIT(text,' '),1,6)),
+        |    x -> NOT LIST_CONTAINS(LIST_SLICE(STRING_SPLIT(text,' '),4,9), x))), ','), '') AS dif
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
 
     "q67_sequence_ops" ->

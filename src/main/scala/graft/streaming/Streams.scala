@@ -114,9 +114,11 @@ object Streams {
     // State-store task count is frozen from shuffle.partitions at query
     // start; micro-batch overhead scales with it, so size it to the
     // replayed fixture rather than the batch-engine setting (a real
-    // deployment sizes it to state volume instead).
+    // deployment sizes it to state volume instead). Measured warm at
+    // sf0.1: 8 partitions ≈ 3.4 s, 2 ≈ 2.2 s per query — per-partition
+    // state-store open/commit dominates at replay size.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     val q =
       try stream.writeStream
         .format("memory")
