@@ -504,6 +504,43 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("rf"))
     }),
 
+    // dropna variants (reference dropna(how='any'/'all', thresh)) over
+    // deterministically synthesized nulls
+    "q04c_dropna_thresh" -> ((s, d) => {
+      val g = li(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_discount"), lit(0.0)).as("a"),
+          nullif(col("l_tax"), lit(0.0)).as("b"),
+          nullif(col("l_quantity") % 5, lit(0.0)).as("c"))
+      val nNulls = (0 to 2).map(i => when(col(Seq("a", "b", "c")(i)).isNull, 1).otherwise(0))
+        .reduce(_ + _)
+      g.withColumn("n_nulls", nNulls)
+        .filter(col("n_nulls") <= 1) // thresh: keep rows with ≥2 non-null
+        .select(col("l_orderkey"), col("l_linenumber"), col("a"), col("b"), col("c"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("a"), col("b"), col("c"))
+    }),
+
+    // interleave_columns + tile (reference cudf.core.reshape
+    // [cpp/src/reshape/interleave_columns.cu, tile.cu]): row-major
+    // round-robin of columns, and whole-frame repetition — both are
+    // explode over a built array, so they stay narrow transforms
+    "q30b_interleave_tile" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_orderkey") % 1499 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(array(round(col("l_quantity"), 2), round(col("l_discount"), 2),
+            round(col("l_tax"), 2))).as(Seq("src", "v")))
+        .unionAll(
+          li(s, d).filter(col("l_orderkey") % 1499 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              posexplode(array_repeat(round(col("l_quantity"), 2), 2))
+                .as(Seq("rep", "vv")))
+            .select(col("l_orderkey"), col("l_linenumber"),
+              (col("rep") + 10).as("src"), col("vv").as("v")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("src"))
+    }),
+
     // factorize / categorical codes (reference Series.factorize,
     // cudf Categorical): codes from the distinct dimension, broadcast
     // back — the global sort touches only the tiny distinct set, never
@@ -854,6 +891,31 @@ object RelationalQueries extends QueryGroup {
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+
+    "q04c_dropna_thresh" ->
+      """SELECT l_orderkey, l_linenumber, a, b, c FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    NULLIF(l_discount, 0.0) AS a, NULLIF(l_tax, 0.0) AS b,
+        |    NULLIF(l_quantity % 5, 0.0) AS c
+        |  FROM lineitem WHERE l_orderkey % 331 = 0)
+        |WHERE (CASE WHEN a IS NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN b IS NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN c IS NULL THEN 1 ELSE 0 END) <= 1
+        |ORDER BY l_orderkey, l_linenumber, a, b, c""".stripMargin,
+
+    "q30b_interleave_tile" ->
+      """SELECT l_orderkey, l_linenumber, src, v FROM (
+        |  SELECT l_orderkey, l_linenumber, 0 AS src, ROUND(l_quantity, 2) AS v
+        |    FROM lineitem WHERE l_orderkey % 1499 = 0
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 1, ROUND(l_discount, 2)
+        |    FROM lineitem WHERE l_orderkey % 1499 = 0
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 2, ROUND(l_tax, 2)
+        |    FROM lineitem WHERE l_orderkey % 1499 = 0
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 10, ROUND(l_quantity, 2)
+        |    FROM lineitem WHERE l_orderkey % 1499 = 0
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 11, ROUND(l_quantity, 2)
+        |    FROM lineitem WHERE l_orderkey % 1499 = 0
+        |) ORDER BY l_orderkey, l_linenumber, src""".stripMargin,
 
     "q33b_factorize" ->
       """SELECT o.o_orderkey, o.o_orderpriority, c.pri_code
