@@ -25,7 +25,9 @@ object AsofJoin {
     * @param by        equality keys present on both sides
     * @param rightCols right payload columns to attach
     * @param direction "backward" (latest right with rt <= lt, pandas
-    *                  default) or "forward" (earliest right with rt >= lt)
+    *                  default), "forward" (earliest right with rt >= lt)
+    *                  or "nearest" (closer of the two; ties take the
+    *                  backward match, like pandas)
     * @param tolerance max |lt - rt| as a Column (e.g. expr("INTERVAL 10
     *                  MINUTE") or a numeric delta); matches farther away
     *                  are nulled. No tolerance when null.
@@ -33,14 +35,14 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, leftOn: String,
       rightOn: String, by: Seq[String], rightCols: Seq[String],
       direction: String = "backward", tolerance: Column = null): DataFrame = {
-    require(Seq("backward", "forward").contains(direction),
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
-    val backward = direction == "backward"
 
     // right rows must sort before left rows at equal time for backward
-    // (so rt == lt is matchable), after them for forward
-    val rightRank = if (backward) 0 else 2
+    // and nearest (so rt == lt is matchable at distance 0, where the
+    // backward candidate always wins), after them for forward
+    val rightRank = if (direction == "forward") 2 else 0
     val l = left
       .withColumn("__t", col(leftOn))
       .withColumn("__src", lit(1))
@@ -58,24 +60,36 @@ object AsofJoin {
       else lit(null).cast(f.dataType).as(f.name)): _*)
 
     val w0 = Window.partitionBy(by.map(col): _*).orderBy(col("__t"), col("__src"))
-    val filled =
-      if (backward)
-        lAligned.unionByName(rAligned)
-          .withColumn("__m", last(col("__payload"), ignoreNulls = true)
-            .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      else
-        lAligned.unionByName(rAligned)
-          .withColumn("__m", first(col("__payload"), ignoreNulls = true)
-            .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val mBack = last(col("__payload"), ignoreNulls = true)
+      .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val mFwd = first(col("__payload"), ignoreNulls = true)
+      .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    // tolerance gates each candidate; for nearest it must apply BEFORE
+    // choosing, or an out-of-tolerance nearer match would shadow an
+    // in-tolerance farther one
+    def tol(m: Column): Column =
+      if (tolerance == null) m
+      else when(abs(col("__t").cast("double") - m.getField("__rt").cast("double")) <=
+        tolerance.cast("double"), m)
 
-    val withinTol =
-      if (tolerance == null) col("__m")
-      else when(abs(col("__t").cast("double") - col("__m.__rt").cast("double")) <=
-        tolerance.cast("double"), col("__m"))
+    val unioned = lAligned.unionByName(rAligned)
+    val filled = direction match {
+      case "backward" => unioned.withColumn("__m", tol(mBack))
+      case "forward"  => unioned.withColumn("__m", tol(mFwd))
+      case "nearest" =>
+        // both fills ride the SAME window spec — still one shuffle+sort
+        val u = unioned.withColumn("__b", tol(mBack)).withColumn("__f", tol(mFwd))
+        val dB = abs(col("__t").cast("double") - col("__b.__rt").cast("double"))
+        val dF = abs(col("__f.__rt").cast("double") - col("__t").cast("double"))
+        u.withColumn("__m",
+          when(col("__b").isNull, col("__f"))
+            .when(col("__f").isNull, col("__b"))
+            .when(dF < dB, col("__f"))
+            .otherwise(col("__b"))) // tie → backward, matching pandas
+    }
 
     filled
       .filter(col("__src") === 1)
-      .withColumn("__m", withinTol)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 

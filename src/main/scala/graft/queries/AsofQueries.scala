@@ -38,6 +38,18 @@ object AsofQueries extends QueryGroup {
           direction = "forward", tolerance = lit(3600))
         .select(col("event_id"), col("user_id"), col("err_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // nearest as-of: closer of the preceding/following view, ties
+    // backward (pandas direction='nearest')
+    "q132_asof_nearest" -> ((s, d) => {
+      val views = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsofJoin.asofJoin(purchases(s, d), views, "ts", "ts",
+          by = Seq("user_id"), rightCols = Seq("view_id"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -60,6 +72,26 @@ object AsofQueries extends QueryGroup {
         |SELECT p.event_id, p.user_id,
         |  CASE WHEN EPOCH(e.ts) - EPOCH(p.ts) <= 3600 THEN e.err_id END AS err_id
         |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts >= p.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // two native ASOF joins (backward inclusive, forward strict — a
+    // distance-0 match is always claimed by the backward side), closer
+    // wins, ties backward
+    "q132_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'view'),
+        |b AS (SELECT p.event_id, p.user_id, p.ts, v.view_id AS b_id, v.ts AS b_ts
+        |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
+        |f AS (SELECT p.event_id, v.view_id AS f_id, v.ts AS f_ts
+        |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts > p.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b_id IS NULL THEN f_id
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN ABS(EPOCH(f_ts) - EPOCH(b.ts)) < ABS(EPOCH(b.ts) - EPOCH(b_ts)) THEN f_id
+        |       ELSE b_id END AS view_id
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY b.event_id""".stripMargin
   )
 }
