@@ -67,4 +67,36 @@ object Multimodal {
         it.map { case (docId, bytes) => FakeDecoder.decode(docId, bytes) }
       }
   }
+
+  /** Scale-to-fit resize plan over extracted dimensions: the geometry
+    * (aspect-preserving min-scale, floor to integer pixels) is the real
+    * logic a resize kernel needs; only the pixel transform itself is
+    * absent (stubbed decode). Pure column arithmetic — codegen'd,
+    * no UDF.
+    */
+  def resizePlan(features: DataFrame, box: Int = 128): DataFrame = {
+    val sc = least(lit(box.toDouble) / col("width"), lit(box.toDouble) / col("height"))
+    features.select(col("doc_id"), col("width"), col("height"),
+      floor(col("width") * sc).cast("int").as("new_w"),
+      floor(col("height") * sc).cast("int").as("new_h"),
+      round(sc, 6).as("scale"))
+  }
+
+  /** Frame sampling stub: treat the blob as fixed-size frames and keep
+    * every `step`-th. The distributed shape is the real part — explode
+    * the frame INDEX sequence first, then slice one frame per output
+    * row; building an array of frame payloads and exploding that would
+    * re-evaluate the slice per generated row and carry every frame on
+    * every row (the PLANS.md Generate trap).
+    */
+  def sampleFrames(df: DataFrame, id: String, text: String,
+      frameChars: Int = 256, step: Int = 3): DataFrame =
+    df.select(col(id), col(text).as("__txt"))
+      .select(col(id),
+        explode(sequence(lit(0),
+          (ceil(length(col("__txt")) / frameChars.toDouble) - 1).cast("int"),
+          lit(step))).as("frame_idx"),
+        col("__txt"))
+      .select(col(id), col("frame_idx"),
+        expr(s"substring(__txt, frame_idx * $frameChars + 1, $frameChars)").as("frame"))
 }

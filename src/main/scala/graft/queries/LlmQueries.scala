@@ -238,6 +238,23 @@ object LlmQueries extends QueryGroup {
         .select(col("doc_id"), col("n_bytes"), col("format"), col("width"),
           col("height"), round(col("brightness"), 6).as("brightness"))
         .orderBy(col("doc_id"))
+    }),
+
+    // aspect-preserving resize plan over the stub-decoded dimensions
+    "q105b_multimodal_resize" -> ((s, d) => {
+      val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "text")
+      Multimodal.resizePlan(Multimodal.extractFeatures(s, withMedia, "doc_id").toDF())
+        .orderBy(col("doc_id"))
+    }),
+
+    // frame sampling: every 3rd 256-char frame of the blob
+    "q105c_multimodal_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(
+          Tables.documents(s, d).filter(col("doc_id") % 11 === 0), "doc_id", "text")
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("frame_chars"),
+          substring(col("frame"), 1, 12).as("head12"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 
@@ -443,7 +460,27 @@ object LlmQueries extends QueryGroup {
            |  CAST(64 + n % 577 AS INTEGER) AS width,
            |  CAST(64 + (n * 7) % 409 AS INTEGER) AS height,
            |  ROUND(CAST(bsum AS DOUBLE) / n / 255.0, 6) AS brightness
-           |FROM t ORDER BY doc_id""".stripMargin
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q105b_multimodal_resize" ->
+        s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+           |d AS (SELECT doc_id, 64 + n % 577 AS w, 64 + (n * 7) % 409 AS h FROM t),
+           |s AS (SELECT doc_id, w, h, LEAST(128.0 / w, 128.0 / h) AS sc FROM d)
+           |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  CAST(FLOOR(w * sc) AS INTEGER) AS new_w,
+           |  CAST(FLOOR(h * sc) AS INTEGER) AS new_h,
+           |  ROUND(sc, 6) AS scale
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "q105c_multimodal_frames" ->
+        s"""WITH t AS (SELECT doc_id, text,
+           |  CAST(CEIL(LENGTH(text) / 256.0) AS INTEGER) AS nf
+           |  FROM documents WHERE doc_id % 11 = 0)
+           |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           |  CAST(LENGTH(SUBSTR(text, i * 256 + 1, 256)) AS INTEGER) AS frame_chars,
+           |  SUBSTR(text, i * 256 + 1, 12) AS head12
+           |FROM t, UNNEST(range(0, nf, 3)) AS u(i)
+           |ORDER BY doc_id, frame_idx""".stripMargin
     )
   }
 }
