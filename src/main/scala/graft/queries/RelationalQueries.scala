@@ -413,6 +413,20 @@ object RelationalQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // grouped top-k (reference groupby.apply(nlargest) — the per-group
+    // variant of q32): rank inside each group, keep k. One hash
+    // exchange + in-partition sort; no per-group driver loop.
+    "q32b_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      li(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
     "q33_distinct" -> ((s, d) => {
       cust(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()
         .orderBy(col("c_mktsegment"), col("c_nationkey"))
@@ -891,6 +905,15 @@ object RelationalQueries extends QueryGroup {
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+
+    "q32b_topk_per_group" ->
+      """SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, l_orderkey, l_linenumber, price FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    ROUND(l_extendedprice, 2) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem
+        |) WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
 
     "q04c_dropna_thresh" ->
       """SELECT l_orderkey, l_linenumber, a, b, c FROM (
