@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{AsofJoin, Dedup, Skew}
+
+/** Property-based cross-checks (the layer SURVEY §5 promises and the
+  * reference mostly lacks): the hand-built distributed operators are
+  * compared against tiny brute-force reference implementations on
+  * randomly generated inputs. Sample counts are kept small because each
+  * evaluation runs real Spark jobs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  // ---- as-of join vs brute force -----------------------------------
+
+  private val genTrades: Gen[List[(Long, String, Long)]] =
+    Gen.listOfN(8, for {
+      sym <- Gen.oneOf("A", "B")
+      t <- Gen.choose(0L, 40L)
+    } yield (sym, t)).map(_.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) })
+
+  // quotes deduped on (sym, t): equal-time right rows have no defined
+  // order in either the operator or pandas
+  private val genQuotes: Gen[List[(String, Long, Double)]] =
+    Gen.listOfN(8, for {
+      sym <- Gen.oneOf("A", "B")
+      t <- Gen.choose(0L, 40L)
+      px <- Gen.choose(1, 99)
+    } yield (sym, t, px.toDouble))
+      .map(_.groupBy(q => (q._1, q._2)).values.map(_.head).toList)
+
+  private def bruteAsof(trades: List[(Long, String, Long)],
+      quotes: List[(String, Long, Double)], direction: String,
+      tol: Option[Long]): Map[Long, Option[Double]] =
+    trades.map { case (id, sym, t) =>
+      val cands = quotes.filter(_._1 == sym)
+      val back = cands.filter(q => q._2 <= t && tol.forall(t - q._2 <= _))
+        .sortBy(_._2).lastOption
+      val fwd = cands.filter(q => q._2 >= t && tol.forall(_ >= q._2 - t))
+        .sortBy(_._2).headOption
+      val m = direction match {
+        case "backward" => back
+        case "forward" => fwd
+        case "nearest" => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (math.abs(f._2 - t) < math.abs(t - b._2)) Some(f) else Some(b)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      id -> m.map(_._3)
+    }.toMap
+
+  for (dir <- Seq("backward", "forward", "nearest");
+       tol <- Seq(None, Some(5L))) {
+    test(s"asofJoin $dir tol=$tol matches brute force on random frames") {
+      val prop = Prop.forAll(genTrades, genQuotes) { (ts, qs) =>
+        val trades = ts.toDF("trade_id", "sym", "t")
+        val quotes = qs.toDF("sym", "t", "px")
+        val got = AsofJoin.asofJoin(trades, quotes, "t", "t",
+            by = Seq("sym"), rightCols = Seq("px"), direction = dir,
+            tolerance = tol.map(v => lit(v)).orNull)
+          .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+        got == bruteAsof(ts, qs, dir, tol)
+      }
+      check(s"asof-$dir-$tol", prop, minTests = 6)
+    }
+  }
+
+  // ---- connected components vs union-find --------------------------
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(12, for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+      .suchThat(_.nonEmpty)
+
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id root for every vertex that appears in an edge
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val prop = Prop.forAll(genEdges) { es =>
+      val pairs = es.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(es)
+    }
+    check("cc-union-find", prop, minTests = 5)
+  }
+
+  // ---- salted aggregation invariance -------------------------------
+
+  private val genRows: Gen[List[(String, Double)]] =
+    Gen.listOfN(60, for {
+      k <- Gen.frequency((8, Gen.const("hot")), (2, Gen.oneOf("a", "b", "c")))
+      v <- Gen.choose(-100, 100)
+    } yield (k, v.toDouble)).suchThat(_.nonEmpty)
+
+  test("saltedAgg equals the plain groupBy aggregate on skewed random data") {
+    val prop = Prop.forAll(genRows) { rows =>
+      val df = rows.toDF("k", "v")
+      val salted = Skew.saltedAgg(df, Seq("k"), "v")
+        .select(col("k"), col("n"), round(col("sum_v"), 6).as("s"),
+          col("min_v"), col("max_v"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      val plain = df.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("s"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      salted == plain
+    }
+    check("salted-agg", prop, minTests = 6)
+  }
+
+  // ---- hash expression determinism ---------------------------------
+
+  test("minhash/simhash are deterministic across evaluations and fixed-width") {
+    val strs = (1 to 50).map(i => s"doc $i " + ("lorem ipsum " * (i % 7 + 1))).toDF("s")
+    def sigs = strs.select(
+        graft.expressions.TextHashes.minhash_sig(col("s"), 5, 16).as("mh"),
+        graft.expressions.TextHashes.simhash32(col("s")).as("sh"))
+      .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+    val a = sigs; val b = sigs
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    assert(a.forall(_._1.size == 16))
+  }
+}
