@@ -77,6 +77,13 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p.toLowerCase).size == 1, p)
   }
 
+  test("nearest as-of computes both fills in ONE window pass, one exchange") {
+    val p = plan("q132_asof_nearest")
+    assert("hashpartitioning".r.findAllIn(p.toLowerCase).size == 1, p)
+    assert("Window".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("set_index analog: range repartition + within-partition sort is sorted per partition") {
     val df = Tables.lineitem(spark, sfTiny)
       .repartitionByRange(8, col("l_orderkey"))
