@@ -140,6 +140,36 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** End-to-end corpus dedup: the one call a training-data pipeline
+    * makes. Exact pass FIRST — md5 groups collapse to their min-id
+    * representative — then minhash→LSH→connected components over the
+    * representatives only, then verdicts fan back out to every original
+    * row. Ordering matters at scale: exact duplicates are the common
+    * case in crawled corpora, and collapsing them first bounds the
+    * quadratic near-dup candidate growth that identical texts would
+    * otherwise inject into every shared band bucket (measured in the
+    * PLANS.md 10× stress: replicated docs drove ~100× candidate pairs).
+    *
+    * @return (id, canonical_id, keep) for EVERY input row: canonical_id
+    *         is the min id reachable through exact + fuzzy duplication,
+    *         keep=1 iff this row is its own canonical representative.
+    */
+  def dedupCorpus(df: DataFrame, id: String, text: String,
+      k: Int = 5, n: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.9): DataFrame = {
+    val fp = df.select(col(id), md5(normText(col(text))).as("fp"))
+    val groups = fp.groupBy(col("fp")).agg(min(col(id)).as("rep"))
+    val withRep = fp.join(groups, "fp").select(col(id), col("rep"))
+    val repDocs = df.join(
+      withRep.filter(col(id) === col("rep")).select(col(id)), Seq(id), "left_semi")
+    val pairs = minhashCandidatePairs(repDocs, id, text, k, n, bands)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val clusters = connectedComponents(pairs).withColumnRenamed("id", "rep")
+    withRep.join(clusters, Seq("rep"), "left")
+      .select(col(id), coalesce(col("cluster"), col("rep")).as("canonical_id"))
+      .withColumn("keep", (col(id) === col("canonical_id")).cast("int"))
+  }
+
   /** SimHash near-duplicate pairs within a blocking column: pairs whose
     * 32-bit simhash differs in ≤ maxHamming bits. Blocking bounds the
     * O(N²) inside each block; at scale block on a cheap partition key

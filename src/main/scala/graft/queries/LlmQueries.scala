@@ -28,14 +28,17 @@ object LlmQueries extends QueryGroup {
   /** DuckDB: normalized text (Dedup.normText). */
   private val sqlNorm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
 
-  /** DuckDB CTEs: documents → minhash signature list (HashSpec.minHash). */
-  private def sqlMinhashCtes(n: Int = 16, k: Int = 5): String = {
+  /** DuckDB CTEs: documents → minhash signature list (HashSpec.minHash).
+    * `from` lets callers restrict the corpus (e.g. to exact-dedup reps).
+    */
+  private def sqlMinhashCtes(n: Int = 16, k: Int = 5,
+      from: String = "documents"): String = {
     val sigEntries = (0 until n).map { i =>
       val a = 2 * i + 3
       val b = 1217 * i + 17
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
     }.mkString(",\n    ")
-    s"""t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+    s"""t AS (SELECT doc_id, $sqlNorm AS s FROM $from),
        |sh AS (SELECT doc_id,
        |  CASE WHEN LEN(s) < $k THEN [s]
        |       ELSE list_distinct([substr(s, CAST(i AS INTEGER), $k) for i in range(1, LEN(s) - ${k - 2})])
@@ -101,6 +104,13 @@ object LlmQueries extends QueryGroup {
         .filter(col("est_jaccard") >= 0.9)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
+    }),
+
+    // the composed pipeline: exact dedup → minhash LSH on reps → CC →
+    // per-row keep/drop verdicts (what a corpus-dedup user actually runs)
+    "q92c_dedup_pipeline" -> ((s, d) => {
+      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // simhash signatures + near pairs
@@ -322,6 +332,48 @@ object LlmQueries extends QueryGroup {
            |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
            |)
            |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+      },
+
+      "q92c_dedup_pipeline" -> {
+        val bandSelects = (0 until 4).map { b =>
+          val key = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+          s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val repCtes = sqlMinhashCtes(from =
+          "(SELECT d.* FROM documents d JOIN grp g ON d.doc_id = g.rep)")
+        s"""WITH RECURSIVE
+           |t0 AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |alldocs AS (SELECT doc_id, md5(s) AS fp FROM t0),
+           |grp AS (SELECT fp, MIN(doc_id) AS rep FROM alldocs GROUP BY fp),
+           |withrep AS (SELECT a.doc_id, g.rep FROM alldocs a JOIN grp g USING (fp)),
+           |$repCtes,
+           |banded AS (
+           |  $bandSelects
+           |),
+           |cpairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |),
+           |near AS (
+           |  SELECT id_a, id_b FROM cpairs p
+           |  JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+           |  WHERE list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
+           |),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM near
+           |  UNION ALL SELECT id_b, id_a FROM near
+           |),
+           |reach(id, lbl) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+           |),
+           |cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+           |SELECT w.doc_id, COALESCE(cl.cluster, w.rep) AS canonical_id,
+           |  CAST(CASE WHEN w.doc_id = COALESCE(cl.cluster, w.rep) THEN 1 ELSE 0 END AS INTEGER) AS keep
+           |FROM withrep w LEFT JOIN cl ON cl.id = w.rep
+           |ORDER BY w.doc_id""".stripMargin
       },
 
       "q93_simhash_sig" ->
