@@ -58,19 +58,30 @@ object Bench {
       name -> sec
     }
     val total = results.map(_._2).sum
-    def line(short: Boolean): String = {
-      val qs = results.map { case (k, v) =>
+    def line(rs: Seq[(String, Double)], short: Boolean, dec: Int): String = {
+      val qs = rs.map { case (k, v) =>
         val key = if (short) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + f"$v%.3f"
+        "\"" + key + "\":" + s"%.${dec}f".format(v)
       }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     // full-name copy for humans/judge; short-key line for the driver tail
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line(short = false) + "\n")
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
-    val out = if (shortKeys.distinct.size == shortKeys.size) line(short = true)
-              else line(short = false)
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      line(results, short = false, dec = 3) + "\n")
+    val shortOk = { val ks = results.map(_._1.takeWhile(_ != '_')); ks.distinct.size == ks.size }
+    // degrade gracefully toward the 1900-char budget: 3 → 2 decimals,
+    // then keep only the slowest queries that fit — the total always
+    // stays; a too-long line is parsed as NOTHING by the driver
+    val budget = 1900
+    val out = Seq(line(results, shortOk, 3), line(results, shortOk, 2))
+      .find(_.length <= budget)
+      .getOrElse {
+        var kept = results.sortBy(-_._2)
+        while (line(kept.sortBy(_._1), shortOk, 2).length > budget && kept.nonEmpty)
+          kept = kept.dropRight(1)
+        line(kept.sortBy(_._1), shortOk, 2)
+      }
     println(out)
     spark.stop()
   }
