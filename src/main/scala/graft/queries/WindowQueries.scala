@@ -134,6 +134,33 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // groupby.transform: group aggregate broadcast back to every row —
+    // an unordered window (no sort), so the plan is exchange + in-place
+    // aggregation, no per-group driver loop
+    "q75b_group_transform" -> ((s, d) => {
+      val g = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(avg(col("l_quantity")).over(g), 4).as("grp_mean"),
+          round(col("l_quantity") - avg(col("l_quantity")).over(g), 4).as("demeaned"),
+          count(lit(1)).over(g).as("grp_n"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("demeaned"))
+    }),
+
+    // rank(method='average') — the pandas DEFAULT rank, absent from
+    // Spark's rank family: avg of the positions a tie block occupies =
+    // rank + (ties-1)/2, from two windows over one partitioning
+    "q70b_rank_average" -> ((s, d) => {
+      val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val ties = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          (rank().over(byQty) + (count(lit(1)).over(ties) - 1) / 2.0).as("avg_rank"))
+        .orderBy(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ffill/bfill (reference fillna(method='ffill'/'bfill')): last/first
     // non-null over one-sided unbounded frames — one Exchange(user_id) +
     // sort, same cost profile as any keyed window at scale. Nulls are
@@ -256,6 +283,22 @@ object WindowQueries extends QueryGroup {
         |FROM events WHERE user_id % 9 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q75b_group_transform" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  ROUND(AVG(l_quantity) OVER g, 4) AS grp_mean,
+        |  ROUND(l_quantity - AVG(l_quantity) OVER g, 4) AS demeaned,
+        |  COUNT(*) OVER g AS grp_n
+        |FROM lineitem WHERE l_orderkey % 331 = 0
+        |WINDOW g AS (PARTITION BY l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, demeaned""".stripMargin,
+
+    "q70b_rank_average" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |    + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS avg_rank
+        |FROM lineitem WHERE l_orderkey % 331 = 0
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin,
 
     "q77_ffill_bfill" ->
       """SELECT user_id, event_id, gappy,
