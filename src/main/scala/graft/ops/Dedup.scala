@@ -188,6 +188,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** Sorted posting list → (id_a, sz_a, id_b, sz_b) combinations with
+    * the size-ratio prune. Long ids (cast upstream); input structs are
+    * (i: long, s: int).
+    */
+  private val pairGenUdf = udf { (lst: Seq[org.apache.spark.sql.Row], minJ: Double) =>
+    val n = lst.size
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Int)]
+    var a = 0
+    while (a < n) {
+      val ia = lst(a).getLong(0); val sa = lst(a).getInt(1)
+      var b = a + 1
+      while (b < n) {
+        val ib = lst(b).getLong(0); val sb = lst(b).getInt(1)
+        if (math.min(sa, sb).toDouble / math.max(sa, sb) >= minJ)
+          out += ((ia, sa, ib, sb))
+        b += 1
+      }
+      a += 1
+    }
+    out.toSeq
+  }
+
   /** Token n-gram Jaccard pairs within a blocking column (SURVEY §2.7
     * ngrams + jaccard_index rows). One linear pipeline, no self-joins:
     * explode distinct grams → group by (block, gram) collecting the
@@ -218,15 +240,20 @@ object Dedup {
 
     // posting list per gram, sorted by id so generated pairs have id_a < id_b
     val postings = g.groupBy(col("blk"), col("gram"))
-      .agg(array_sort(collect_list(struct(col(id).as("i"), col("sz").as("s")))).as("lst"))
+      .agg(array_sort(collect_list(struct(col(id).cast("long").as("i"),
+        col("sz").as("s")))).as("lst"))
       .filter(size(col("lst")) > 1)
 
-    // in-list combinations: (lst[i], lst[j]) for i < j
-    val pairs = postings.select(explode(flatten(transform(col("lst"), (x, i) =>
-      transform(slice(col("lst"), i + 2, size(col("lst"))), y =>
-        struct(x.getField("i").as("id_a"), x.getField("s").as("sz_a"),
-          y.getField("i").as("id_b"), y.getField("s").as("sz_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.sz_a"), col("p.id_b"), col("p.sz_b"))
+    // in-list combinations via a compiled single-pass UDF: the nested
+    // transform∘transform∘flatten formulation re-ran interpreted
+    // lambdas per element (the PLANS.md HOF trap). The UDF also applies
+    // the EXACT size-ratio bound inline — |A∩B| ≤ min(|A|,|B|) gives
+    // J ≤ min/max, so min/max < threshold pairs can never qualify and
+    // are never emitted into the shuffle.
+    val pairs = postings
+      .select(explode(pairGenUdf(col("lst"), lit(minJaccard))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("sz_a"),
+        col("p._3").as("id_b"), col("p._4").as("sz_b"))
 
     pairs.groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
