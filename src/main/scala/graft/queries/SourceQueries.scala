@@ -81,6 +81,18 @@ object SourceQueries extends QueryGroup {
         // partition-pruned read: only one hive partition is scanned
         .filter(col("l_returnflag") === "R")
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // from_map / from_delayed analog (SURVEY §2.1): build a collection
+    // from an arbitrary per-partition generator — the dask escape hatch
+    // for custom sources. 8 generator partitions, fixture-independent.
+    "q125_src_from_map" -> ((s, d) => {
+      import s.implicits._
+      s.range(0, 1000, 1, 8)
+        .mapPartitions(it => it.map(i => (i, i * i, s"row_$i")))
+        .toDF("i", "sq", "tag")
+        .filter(col("i") % 97 === 0)
+        .orderBy(col("i"))
     })
   )
 
@@ -104,6 +116,10 @@ object SourceQueries extends QueryGroup {
 
     "q124_src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
-        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "q125_src_from_map" ->
+      """SELECT i, i * i AS sq, 'row_' || i AS tag
+        |FROM range(0, 1000) t(i) WHERE i % 97 = 0 ORDER BY i""".stripMargin
   )
 }
