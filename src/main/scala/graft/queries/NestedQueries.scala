@@ -62,6 +62,17 @@ object NestedQueries extends QueryGroup {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // explode_outer: pandas explode keeps a null row for an empty list
+    // (plain explode silently drops the parent row)
+    "q63b_explode_outer" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => length(t) > 9).as("longtoks"))
+        .select(col("doc_id"), explode_outer(col("longtoks")).as("tok"))
+        .orderBy(col("doc_id"), col("tok"))
+    }),
+
     // struct build / field access / struct-in-array
     "q64_struct" -> ((s, d) => {
       Tables.customer(s, d)
@@ -167,6 +178,17 @@ object NestedQueries extends QueryGroup {
         |    UNNEST(embedding) AS val
         |  FROM embeddings WHERE vec_id < 5
         |) ORDER BY vec_id, pos""".stripMargin,
+
+    // UNNEST drops empty-list parents, so the null rows come from an
+    // explicit UNION ALL branch
+    "q63b_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 9) AS l
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, tok FROM (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS tok FROM t WHERE LEN(l) = 0
+        |  UNION ALL SELECT doc_id, UNNEST(l) AS tok FROM t WHERE LEN(l) > 0
+        |) ORDER BY doc_id, tok""".stripMargin,
 
     "q64_struct" ->
       """SELECT c_custkey, c_mktsegment AS seg, ROUND(c_acctbal, 2) AS bal,
