@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's JSON from the tail of stdout. sbt's default
+// LoggedOutput strategy prefixes every forked-run line with "[info] ",
+// which broke that parse two rounds running (BENCH_r01/r02 parsed:null).
+// StdoutOutput pipes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

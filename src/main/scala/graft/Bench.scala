@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
   * BENCH_r01 "parsed": null. So the queries map uses the short unique
   * query prefix (q01, q92b — COVERAGE.md maps prefixes to operators)
   * with millisecond precision; full names go to per-line stdout and
-  * BENCH_FULL.json.
+  * BENCH_FULL.json. Round 2 failed on FRAMING instead: sbt's LoggedOutput
+  * prefixed the line with "[info] " — build.sbt now forces StdoutOutput,
+  * and we re-print the line after spark.stop() so it is the very last
+  * thing on stdout even if Spark shutdown chatter intervenes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -84,5 +87,7 @@ object Bench {
       }
     println(out)
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }
