@@ -219,30 +219,54 @@ object Dedup {
     * on the pair rows. Every doc's gram set is computed exactly once
     * (the join-based alternative re-evaluates the gram expression per
     * reference), and the only shuffles are the two keyed aggregations —
-    * both scale by adding executors. At 100 TB the posting-list explode
-    * is the skew risk ("of the and" appears everywhere); cap it with a
-    * stop-gram cutoff via maxDf if the corpus needs it (df > maxDf grams
-    * can be dropped exactly only when the threshold math tolerates it,
-    * so the default keeps all grams).
+    * both scale by adding executors.
+    *
+    * `maxDf > 0` engages the stop-gram cap — the 100 TB skew guard: a
+    * gram in every doc ("of the and") makes its posting list the whole
+    * corpus and the in-list pair explode quadratic. The cap drops grams
+    * with df > maxDf from CANDIDATE GENERATION only, and stays EXACT:
+    *  - a pair with J ≥ t shares I ≥ t/(1+t)·(szA+szB) grams, so if doc
+    *    A's hot-gram count satisfies hA·(1+t) ≤ t·szA ("safe"), then
+    *    hA < I and any qualifying pair touching A shares a cold gram —
+    *    dropping A's hot postings cannot lose the pair;
+    *  - docs violating that bound (hot-heavy boilerplate) are "unsafe"
+    *    and keep their hot postings, so unsafe–unsafe pairs still meet;
+    *  - candidates are then verified on the FULL gram sets (hot grams
+    *    included), so emitted jaccard values are the true ones.
+    * DedupCapSpec property-checks capped ≡ uncapped; q95b hash-gates it
+    * on the corpus fixture against the exact DuckDB oracle.
+    *
+    * The capped path caches the per-doc gram arrays (computed by a UDF —
+    * the expensive pass) because candidate generation and verification
+    * both consume them; the cache is released by Spark's ContextCleaner
+    * when the returned plan is dropped.
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-      block: String, ngram: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+      block: String, ngram: Int = 3, minJaccard: Double = 0.2,
+      maxDf: Int = 0): DataFrame = {
+    // long ids ride the posting-list structs; a non-integral id would
+    // silently cast to null and NPE inside pairGenUdf (ADVICE r2)
+    locally {
+      import org.apache.spark.sql.types._
+      val ok = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+      require(ok(df.schema(id).dataType),
+        s"ngramJaccardPairs needs an integral id column; '$id' is ${df.schema(id).dataType.simpleString}")
+    }
+    require(maxDf <= 0 || minJaccard > 0,
+      "maxDf cap requires minJaccard > 0 (the exactness bound divides by it)")
+
     // spread gram computation across cores before the UDF: the fixtures
     // (and many real corpora) arrive as single-row-group files, which
     // the parquet reader cannot split — without this the gram UDF runs
     // on ONE core (measured 4.2 s of q95's 5.2 s at sf0.1)
-    val g = graft.Tables
+    val docGrams = graft.Tables
       .spread(df.select(col(id), col(block).as("blk"), col(text)), id)
       .select(col(id), col("blk"),
         TextAnalysis.ngramsUdf(split(normText(col(text)), " "), lit(ngram)).as("gs"))
       .withColumn("sz", size(col("gs")))
-      .select(col(id), col("blk"), col("sz"), explode(col("gs")).as("gram"))
 
-    // posting list per gram, sorted by id so generated pairs have id_a < id_b
-    val postings = g.groupBy(col("blk"), col("gram"))
-      .agg(array_sort(collect_list(struct(col(id).cast("long").as("i"),
-        col("sz").as("s")))).as("lst"))
-      .filter(size(col("lst")) > 1)
+    def explodeGrams(dg: DataFrame): DataFrame =
+      dg.select(col(id), col("blk"), col("sz"), explode(col("gs")).as("gram"))
 
     // in-list combinations via a compiled single-pass UDF: the nested
     // transform∘transform∘flatten formulation re-ran interpreted
@@ -250,17 +274,60 @@ object Dedup {
     // the EXACT size-ratio bound inline — |A∩B| ≤ min(|A|,|B|) gives
     // J ≤ min/max, so min/max < threshold pairs can never qualify and
     // are never emitted into the shuffle.
-    val pairs = postings
+    def postingPairs(grams: DataFrame) = grams
+      .groupBy(col("blk"), col("gram"))
+      .agg(array_sort(collect_list(struct(col(id).cast("long").as("i"),
+        col("sz").as("s")))).as("lst"))
+      .filter(size(col("lst")) > 1)
       .select(explode(pairGenUdf(col("lst"), lit(minJaccard))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("sz_a"),
         col("p._3").as("id_b"), col("p._4").as("sz_b"))
 
-    pairs.groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    if (maxDf <= 0) {
+      val pairs = postingPairs(explodeGrams(docGrams))
+      pairs.groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    } else {
+      val dg = docGrams.persist()
+      val g = explodeGrams(dg)
+      // stop grams: tiny by construction (only grams in >maxDf docs),
+      // so every join against it below is a broadcast — g is never
+      // shuffled for the cap bookkeeping
+      val hot = g.groupBy(col("blk"), col("gram"))
+        .agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") > maxDf)
+        .select(col("blk"), col("gram"))
+      // unsafe docs: hot-gram count too large for the exactness bound —
+      // they keep hot postings (hot-heavy boilerplate; rare by design)
+      val unsafe = g.join(hot, Seq("blk", "gram"), "left_semi")
+        .groupBy(col(id)).agg(count(lit(1)).as("h"))
+        .join(dg.select(col(id), col("sz")), Seq(id))
+        .filter(col("h") * (1 + minJaccard) > lit(minJaccard) * col("sz"))
+        .select(col(id))
+      // using-column joins move the join keys to the front of the output,
+      // and union is positional — re-select a fixed column order
+      val cols = Seq(col(id), col("blk"), col("sz"), col("gram"))
+      val kept = g.join(hot, Seq("blk", "gram"), "left_anti").select(cols: _*)
+        .union(g.join(hot, Seq("blk", "gram"), "left_semi")
+          .join(unsafe, Seq(id), "left_semi").select(cols: _*))
+      val cands = postingPairs(kept)
+        .select(col("id_a"), col("id_b")).distinct()
+      // exact verification on full gram sets — hot grams count again here
+      val da = dg.select(col(id).cast("long").as("id_a"),
+        col("gs").as("gs_a"), col("sz").as("sz_a"))
+      val db = dg.select(col(id).cast("long").as("id_b"),
+        col("gs").as("gs_b"), col("sz").as("sz_b"))
+      cands.join(da, "id_a").join(db, "id_b")
+        .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
   }
 
   /** Embedding cosine near-duplicate pairs. `blockBits > 0` routes

@@ -92,6 +92,11 @@ object Multimodal {
   def sampleFrames(df: DataFrame, id: String, text: String,
       frameChars: Int = 256, step: Int = 3): DataFrame =
     df.select(col(id), col(text).as("__txt"))
+      // empty/null blobs have zero frames: without this filter the upper
+      // bound is ceil(0/f)-1 = -1 and sequence(0,-1,step) throws at
+      // runtime (crawled corpora hit empty docs routinely); the oracle's
+      // range(0, 0, step) likewise emits no rows
+      .filter(length(col("__txt")) > 0)
       .select(col(id),
         explode(sequence(lit(0),
           (ceil(length(col("__txt")) / frameChars.toDouble) - 1).cast("int"),

@@ -65,6 +65,34 @@ object LlmQueries extends QueryGroup {
     s"CAST($bits AS BIGINT)"
   }
 
+  /** Canonical Porter-1980 examples (same table as TextAnalysisSpec):
+    * the q108 inputs AND its oracle — expected stems are the gate.
+    */
+  private val porterGolden: Seq[(String, String)] = Seq(
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "caress" -> "caress", "cats" -> "cat",
+    "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+    "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+    "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+    "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+    "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+    "filing" -> "file", "happy" -> "happi", "sky" -> "sky",
+    "relational" -> "relat", "conditional" -> "condit",
+    "rational" -> "ration", "valenci" -> "valenc", "digitizer" -> "digit",
+    "operator" -> "oper", "feudalism" -> "feudal",
+    "decisiveness" -> "decis", "hopefulness" -> "hope",
+    "formaliti" -> "formal", "formative" -> "form", "formalize" -> "formal",
+    "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
+    "goodness" -> "good", "revival" -> "reviv", "allowance" -> "allow",
+    "inference" -> "infer", "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+    "adjustable" -> "adjust", "defensible" -> "defens", "irritant" -> "irrit",
+    "replacement" -> "replac", "adjustment" -> "adjust", "dependent" -> "depend",
+    "adoption" -> "adopt", "homologou" -> "homolog", "communism" -> "commun",
+    "activate" -> "activ", "angulariti" -> "angular", "homologous" -> "homolog",
+    "effective" -> "effect", "bowdlerize" -> "bowdler",
+    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+    "controll" -> "control", "roll" -> "roll")
+
   /** DuckDB: index-order dot product of two embedding columns. */
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> " +
@@ -133,6 +161,17 @@ object LlmQueries extends QueryGroup {
       Dedup.ngramJaccardPairs(
           Tables.documents(s, d).withColumn("blk", lit(0)),
           "doc_id", "text", "blk", ngram = 3, minJaccard = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // same pairs through the stop-gram-capped path (maxDf quarantines
+    // hot posting lists — the 100 TB skew guard): the oracle is the SAME
+    // exact full-jaccard SQL as q95, so the gate proves the cap changes
+    // the plan, never the result
+    "q95b_ngram_jaccard_capped" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).withColumn("blk", lit(0)),
+          "doc_id", "text", "blk", ngram = 3, minJaccard = 0.3, maxDf = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -229,15 +268,15 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
-    // nvtext porter_stemmer parity — no DuckDB-side stemmer offline
-    // (fts extension can't install), so the driver records rows-only;
-    // golden-value coverage lives in TextAnalysisSpec
+    // nvtext porter_stemmer parity — no DuckDB-side stemmer offline (fts
+    // extension can't install), so the gate stems the canonical Porter
+    // 1980 golden words through the engine and the oracle IS the golden
+    // table (VALUES list): any stemmer regression now hash-mismatches.
     "q108_porter_stem" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(explode(split(graft.ops.Dedup.normText(col("text")), " ")).as("tok"))
-        .select(TextAnalysis.porterStem(col("tok")).as("stem"))
-        .groupBy(col("stem")).agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("stem")).limit(50)
+      import s.implicits._
+      porterGolden.map(_._1).toDF("tok")
+        .select(col("tok"), TextAnalysis.porterStem(col("tok")).as("stem"))
+        .orderBy(col("tok"))
     }),
 
     // ---- multimodal plumbing (M6; decode is a marked stub) ----------
@@ -414,6 +453,24 @@ object LlmQueries extends QueryGroup {
            |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
 
+      "q95b_ngram_jaccard_capped" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |toks AS (SELECT doc_id, string_split(s, ' ') AS tk FROM t),
+           |g AS (SELECT doc_id, unnest(list_distinct(
+           |  [array_to_string(tk[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') for i in range(1, LEN(tk) - 1)])) AS gram
+           |  FROM toks),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT id_a, id_b,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+
       "q96_dedup_embedding" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${sqlDot("a", "b")}, 4) AS cos
            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -501,6 +558,12 @@ object LlmQueries extends QueryGroup {
           |  array_to_string(list_transform(string_split(substr(text, 1, 40), ''), c -> unicode(c)), ',') AS cps,
           |  CAST(LENGTH(text) AS INTEGER) AS n_cp
           |FROM documents WHERE doc_id % 29 = 0 ORDER BY doc_id""".stripMargin,
+
+      "q108_porter_stem" -> {
+        val values = porterGolden.map { case (w, st) => s"('$w', '$st')" }.mkString(", ")
+        s"""SELECT tok, stem FROM (VALUES $values) AS g(tok, stem)
+           |ORDER BY tok""".stripMargin
+      },
 
       "q105_multimodal_features" ->
         s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,

@@ -142,6 +142,39 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ---- §1.3 decimal32/64/128 arithmetic + aggregation --------------
+    // The fixtures are double-based, so the decimal surface is exercised
+    // by casting to exact DECIMAL first (2 decimal places are exact for
+    // the price columns), then doing scale-growing arithmetic and SUM/AVG
+    // entirely in decimal. Result columns are cast to explicit
+    // precision/scale on BOTH sides: Spark and DuckDB grow intermediate
+    // precision by different rules ((p1+p2+1, s1+s2) vs (p1+p2, s1+s2)),
+    // and the driver's schema compare sees that difference.
+    // AVG is deliberately fixed-point (exact integer millionths): decimal
+    // division TYPING diverges across engines (DuckDB AVG(DECIMAL) →
+    // DOUBLE; Spark → exact decimal scale+4), and true averages land
+    // exactly on rounding half-boundaries whenever the group count
+    // divides the scale factor — so a rounded cross-engine AVG is a coin
+    // flip, while integer floor-division is bit-exact everywhere.
+    "q07_decimal" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          // final decimals are emitted as canonical strings: the compare
+          // harness reads both sides into pandas, where parquet decimals
+          // arrive as Decimal objects but DuckDB decimals as float64 —
+          // scale-pinned string rendering keeps the gate exact instead
+          sum(price).cast("decimal(38,2)").cast("string").as("sum_price"),
+          sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(38,4)").cast("string").as("sum_disc_price"),
+          expr("CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) * 10000 DIV count(1) AS BIGINT)").as("avg_qty_u6"),
+          min(price).cast("string").as("min_price"),
+          max(price).cast("string").as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- §2.3 joins ---------------------------------------------------
     "q10_join_inner" -> ((s, d) => {
       li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"), "inner")
@@ -259,9 +292,17 @@ object RelationalQueries extends QueryGroup {
     }),
 
     // approx distinct (HLL++) — epsilon-compared, no hash oracle (SURVEY §7.4)
+    // approx_count_distinct gated as a BOUNDED check: the HLL++ estimate
+    // is engine-specific, so the query emits the exact count plus an
+    // ok flag asserting relative error ≤ 5% — the oracle expects ok=1,
+    // so estimator drift now hash-mismatches instead of passing rows-only
     "q21b_agg_approx_distinct" -> ((s, d) => {
       li(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx") - col("exact_nd")).cast("double") / col("exact_nd")
+            <= 0.05).cast("int").as("ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -649,6 +690,17 @@ object RelationalQueries extends QueryGroup {
         |FROM lineitem WHERE l_orderkey % 1499 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "q07_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS avg_qty_u6,
+        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS min_price,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q10_join_inner" ->
       """SELECT o_orderpriority,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -724,6 +776,14 @@ object RelationalQueries extends QueryGroup {
         |  COUNT(DISTINCT l_suppkey) AS nd_supp,
         |  COUNT(DISTINCT l_partkey) AS nd_part,
         |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the estimate itself is engine-specific; the gated columns are the
+    // exact count and the ≤5%-relative-error flag (expected always 1)
+    "q21b_agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_nd,
+        |  CAST(1 AS INTEGER) AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_agg_collect" ->

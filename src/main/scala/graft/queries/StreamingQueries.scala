@@ -60,8 +60,9 @@ object StreamingQueries extends QueryGroup {
 
     // custom state machine: per-user event count + running max via
     // mapGroupsWithState (the groupby-apply-with-state analog the
-    // reference lacks entirely). Deterministic values; no SQL-equivalent
-    // emission rule → driver records the rows-only check.
+    // reference lacks entirely). Update-mode emissions are collapsed to
+    // the FINAL state per user (max of the monotone count / running max),
+    // which IS SQL-expressible: total count + rounded max per user.
     "q114_stream_stateful" -> ((s, d) => {
       val spark = s
       import spark.implicits._
@@ -130,6 +131,14 @@ object StreamingQueries extends QueryGroup {
 
     "q113_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // final state per user: n = total events (the running count's last
+    // emission), max_value = running max rounded exactly like the Scala
+    // side's math.round(x*100)/100 = floor(x*100 + 0.5)/100
+    "q114_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  FLOOR(MAX(value) * 100 + 0.5) / 100.0 AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Dedup
+
+/** Exactness of the maxDf stop-gram cap in ngramJaccardPairs: dropping
+  * hot posting lists from candidate generation (the 100 TB skew guard)
+  * must change the plan, never the result. The bound: a qualifying pair
+  * (J ≥ t) shares I ≥ t/(1+t)·(szA+szB) grams, so a doc with hot-gram
+  * count h ≤ t/(1+t)·sz always contributes a cold shared gram to any
+  * qualifying pair; hot-heavy docs are quarantined and keep their hot
+  * postings. Verified here capped ≡ uncapped on adversarial fixtures
+  * (boilerplate grams everywhere, docs made ENTIRELY of boilerplate)
+  * and on random corpora; q95b hash-gates the same claim vs DuckDB.
+  */
+class DedupCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(docs: Seq[(Long, String)], minJ: Double, maxDf: Int) =
+    Dedup.ngramJaccardPairs(
+        docs.toDF("doc_id", "text").withColumn("blk", lit(0)),
+        "doc_id", "text", "blk", ngram = 3, minJaccard = minJ, maxDf = maxDf)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("capped equals uncapped when a boilerplate gram is in every doc") {
+    // every doc ends with the same boilerplate sentence → its trigrams
+    // have df = N and the uncapped posting explode would be quadratic
+    val boiler = "all rights reserved contact us today"
+    val docs = (0L until 10L).map { i =>
+      val body = if (i % 2 == 0) s"alpha beta gamma delta epsilon zeta doc$i"
+                 else s"alpha beta gamma delta omega psi doc$i"
+      i -> s"$body $boiler"
+    }
+    val un = pairs(docs, 0.3, 0)
+    val cp = pairs(docs, 0.3, 3)
+    assert(cp == un, s"capped=$cp uncapped=$un")
+    assert(un.nonEmpty) // the fixture actually produces near-dup pairs
+  }
+
+  test("hot-heavy docs sharing ONLY hot grams are still found (quarantine)") {
+    // docs 100/101 are pure boilerplate: every gram is hot once the
+    // 8 copies push df over maxDf, so they are "unsafe" and keep hot
+    // postings — dropping them naively would lose a jaccard=1.0 pair
+    val boiler = "one two three four five six seven eight"
+    val docs = (0L until 8L).map(i => i -> s"filler$i pad$i more$i stuff$i $boiler") ++
+      Seq(100L -> boiler, 101L -> boiler)
+    val un = pairs(docs, 0.5, 0)
+    val cp = pairs(docs, 0.5, 4)
+    assert(cp == un, s"capped=$cp uncapped=$un")
+    assert(cp.contains((100L, 101L, 1.0)), s"quarantined pair lost: $cp")
+  }
+
+  test("capped equals uncapped on random corpora (property)") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val genDocs: Gen[List[(Long, String)]] =
+      Gen.listOfN(9, Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" ")))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = Prop.forAll(genDocs, Gen.oneOf(1, 2, 3)) { (docs, cap) =>
+      pairs(docs, 0.3, cap) == pairs(docs, 0.3, 0)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, s"cap-exactness: ${res.status}")
+  }
+
+  test("non-integral id is rejected with a clear message") {
+    val df = Seq(("x", "a b c d")).toDF("doc_id", "text").withColumn("blk", lit(0))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", "blk")
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+}
