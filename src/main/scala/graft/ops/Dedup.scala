@@ -134,10 +134,88 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] iter=$iter changed=$changed t=${System.nanoTime() / 1e9}")
     }
-    // final labels are cached+materialized by the changed-count action,
-    // so the edge cache (and its upstream) can be released lazily
+    // cut lineage + release the loop caches before returning: the final
+    // labels are re-materialized via localCheckpoint (small frame, one
+    // extra pass over the already-cached result), so repeated calls
+    // don't accumulate loop-iteration caches in executor storage — the
+    // checkpoint blocks themselves are GC'd by the ContextCleaner once
+    // the returned frame is dropped (ADVICE r2)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    labels.select(col("id"), col("lbl").as("cluster"))
+    out.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Connected components via alternating large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the high-diameter complement to
+    * [[connectedComponents]]: label propagation needs diameter rounds
+    * (fine for near-clique dup clusters, fatal for chain-shaped graphs);
+    * star rewriting contracts the graph toward component-minimum stars
+    * in O(log n) rounds regardless of diameter.
+    *
+    * Each round is two rewrites, each one aggregation + one broadcast-or-
+    * shuffle join on a shrinking edge list; the driver sees only a
+    * per-round convergence count. Same contract as connectedComponents:
+    * (id, cluster=min id in component), singletons not emitted.
+    *
+    *  - large-star(u): link every neighbor v > u to m = min(Γ(u) ∪ u)
+    *  - small-star(u): over edges kept as (big, small): link every
+    *    smaller neighbor (and u itself) to m
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical (u > v) distinct edges, self-loops dropped
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // localCheckpoint (not persist) per round: each round's plan nests
+    // the previous round's, so without lineage truncation Catalyst
+    // analysis cost grows exponentially in the round count — the exact
+    // failure mode this O(log n) variant exists to serve (many rounds)
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    // node set comes from the checkpointed edge list so the (possibly
+    // expensive) upstream runs exactly once; self-pairs are ignored
+    val nodes = sym(edges).select(col("u").as("id")).distinct()
+    var iter = 0
+    var changed = 1L
+    var prevCnt = -1L
+    while (changed > 0 && iter < maxIter) {
+      // large-star over the symmetric view: m = min(neighbors ∪ self)
+      val lsMin = sym(edges).groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = canon(sym(edges).join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star on canonical (u > v) edges: m = min of the smaller
+      // neighbors (all v < u here, so min(v) IS m); relink v's and u
+      val ssMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // eager checkpoint doubles as the round's materialization barrier;
+      // the previous round's blocks are freed by the ContextCleaner
+      val next = canon(
+        large.join(ssMin, "u").select(col("v").as("u"), col("m").as("v"))
+          .union(ssMin.select(col("u"), col("m").as("v")))).localCheckpoint(true)
+      // convergence = edge-set fixpoint: no new edges (anti-join empty)
+      // AND same cardinality (a strict subset is still a change)
+      val newCnt = next.count()
+      val antiCnt = next.join(edges, Seq("u", "v"), "left_anti").count()
+      changed = antiCnt + math.abs(newCnt - prevCnt)
+      prevCnt = newCnt
+      edges = next
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-star] iter=$iter changed=$changed")
+    }
+    // fixpoint: edges are stars (u → component min v); roots map to
+    // themselves, nodes that contracted away rejoin via the node set
+    val starLbl = edges.select(col("u").as("id"), col("v").as("cluster"))
+    nodes.join(starLbl, Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(coalesce(min(col("cluster")), first(col("id"))).as("cluster"))
   }
 
   /** End-to-end corpus dedup: the one call a training-data pipeline

@@ -134,6 +134,16 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("id"))
     }),
 
+    // same clusters via large-star/small-star edge rewriting — the
+    // high-diameter-safe CC (O(log n) rounds vs label propagation's
+    // O(diameter)); hash-gated against the same recursive-CTE oracle
+    "q92d_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.9)
+      Dedup.connectedComponentsStar(pairs)
+        .orderBy(col("id"))
+    }),
+
     // the composed pipeline: exact dedup → minhash LSH on reps → CC →
     // per-row keep/drop verdicts (what a corpus-dedup user actually runs)
     "q92c_dedup_pipeline" -> ((s, d) => {
@@ -309,6 +319,38 @@ object LlmQueries extends QueryGroup {
 
   override def oracle: Map[String, String] = {
     val minhashCtes = sqlMinhashCtes()
+    // LSH pairs → min-id components via recursive CTE; shared verbatim
+    // by q92b and q92d, whose two CC algorithms must agree exactly
+    val clustersOracleSql = {
+      val bandSelects = (0 until 4).map { b =>
+        val key = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE $minhashCtes,
+         |banded AS (
+         |  $bandSelects
+         |),
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |),
+         |near AS (
+         |  SELECT id_a, id_b FROM cpairs p
+         |  JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+         |  WHERE list_sum(list_transform(range(1, 17),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM near
+         |  UNION ALL SELECT id_b, id_a FROM near
+         |),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+    }
     Map(
       "q90_dedup_exact" ->
         s"""SELECT md5($sqlNorm) AS fp, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
@@ -342,36 +384,10 @@ object LlmQueries extends QueryGroup {
            |ORDER BY id_a, id_b""".stripMargin
       },
 
-      "q92b_dedup_clusters" -> {
-        val bandSelects = (0 until 4).map { b =>
-          val key = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
-          s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH RECURSIVE $minhashCtes,
-           |banded AS (
-           |  $bandSelects
-           |),
-           |cpairs AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-           |),
-           |near AS (
-           |  SELECT id_a, id_b FROM cpairs p
-           |  JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
-           |  WHERE list_sum(list_transform(range(1, 17),
-           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
-           |),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM near
-           |  UNION ALL SELECT id_b, id_a FROM near
-           |),
-           |reach(id, lbl) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-           |)
-           |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
-      },
+      // shared by q92b (label propagation) and q92d (star rewriting):
+      // both must produce identical min-id clusters
+      "q92b_dedup_clusters" -> clustersOracleSql,
+      "q92d_clusters_star" -> clustersOracleSql,
 
       "q92c_dedup_pipeline" -> {
         val bandSelects = (0 until 4).map { b =>

@@ -106,6 +106,32 @@ class PropertySpec extends SparkSpec {
     check("cc-union-find", prop, minTests = 5)
   }
 
+  test("connectedComponentsStar matches union-find on random graphs") {
+    val prop = Prop.forAll(genEdges) { es =>
+      val pairs = es.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(es)
+    }
+    check("cc-star-union-find", prop, minTests = 5)
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a chain") {
+    // a 64-node path has diameter 63: label propagation would need 63
+    // rounds, so maxIter=10 proves the star rewrite contracts
+    // logarithmically (and still yields the exact min-label components)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toList
+    val got = Dedup.connectedComponentsStar(chain.toDF("id_a", "id_b"), maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+    // two disjoint chains keep distinct min labels
+    val two = ((0L until 15L).map(i => (i, i + 1)) ++
+      (100L until 115L).map(i => (i, i + 1))).toList
+    val got2 = Dedup.connectedComponentsStar(two.toDF("id_a", "id_b"), maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == ((0L to 15L).map(_ -> 0L) ++ (100L to 115L).map(_ -> 100L)).toMap)
+  }
+
   // ---- salted aggregation invariance -------------------------------
 
   private val genRows: Gen[List[(String, Double)]] =
