@@ -64,6 +64,66 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-cluster mean vectors (float), computed distributed: explode to
+    * (cluster, pos, v), average, re-assemble. Result is #clusters × dim —
+    * broadcast-small by construction.
+    */
+  private def centroidMeans(assigned: DataFrame, vec: String): DataFrame =
+    assigned
+      .select(col("cl"), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cl"), transform(col("pm"), p => p.getField("m").cast("float")).as("c_vec"))
+
+  /** Nearest-centroid assignment: broadcast the tiny centroid set against
+    * the corpus, argmax dot product (ties → lowest cluster id).
+    * Returns (id, vec, cl).
+    */
+  def kmeansAssign(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cl").asc)
+    df.select(col(id), col(vec))
+      .join(broadcast(centroids))
+      .withColumn("score", dot_f(col(vec), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(id), col(vec), col("cl"))
+  }
+
+  /** Learned coarse quantizer: deterministic shuffle-based k-means.
+    * Seeds = the k lowest-id vectors (no RNG — reproducible across runs
+    * and engines); a FIXED iteration count, each round one broadcast
+    * join (assign) + one aggregation (recompute means) — no driver-side
+    * data, no convergence collect. Centroids are localCheckpoint'ed per
+    * round so the iteration does not nest Catalyst plans. At 100 TB the
+    * corpus is scanned once per round; k and dim stay driver-trivial.
+    */
+  def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    val wSeed = Window.orderBy(col(id))
+    var cents = corpus.orderBy(col(id)).limit(k)
+      .select((row_number().over(wSeed) - 1).cast("long").as("cl"), col(vec).as("c_vec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      cents = centroidMeans(kmeansAssign(corpus, id, vec, cents), vec)
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF with a LEARNED coarse quantizer: k-means centroids → assign the
+    * corpus → probe-and-search via [[ivfTopK]]. The end-to-end ANN a
+    * user calls when no partition column exists.
+    */
+  def ivfTopKLearned(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nClusters: Int, nProbe: Int = 2,
+      iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, id, vec, nClusters, iters)
+    ivfTopK(kmeansAssign(corpus, id, vec, cents), queries, id, vec, "cl", k, nProbe)
+  }
+
   /** IVF-style search with a provided coarse partition (cluster column):
     * centroids = per-cluster mean vector (computed distributed, result is
     * broadcast-small); each query probes its nProbe nearest centroids and

@@ -212,16 +212,15 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // IVF ANN: RP-bucket coarse quantizer → per-cluster centroids →
-    // probe nProbe nearest clusters only. Rows-only gate (centroid
-    // float-cast makes a bit-exact DuckDB replay fragile); recall-vs-
-    // brute-force and probe behavior are asserted in OpsSpec.
+    // IVF ANN with a LEARNED coarse quantizer: deterministic k-means
+    // (lowest-id seeds, fixed rounds) → nearest-centroid assignment →
+    // probe nProbe clusters only. Rows-only gate (float centroid means
+    // make a bit-exact DuckDB replay fragile); recall-vs-brute-force and
+    // probe behavior are asserted in OpsSpec.
     "q99b_ann_ivf" -> ((s, d) => {
-      import graft.expressions.TextHashes.rp_bits
       val emb = Tables.embeddings(s, d)
-        .withColumn("cl", rp_bits(col("embedding"), 3))
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-          cluster = "cl", k = 3, nProbe = 2)
+      Similarity.ivfTopKLearned(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 3, nClusters = 8, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
 

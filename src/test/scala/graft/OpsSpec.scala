@@ -19,6 +19,34 @@ class OpsSpec extends SparkSpec {
     assert(res.forall(r => r.getAs[Long]("n_id") != r.getAs[Long]("q_id")))
   }
 
+  test("ivfTopKLearned: self-learned clusters keep top-1 recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopKLearned(emb, queries, "vec_id", "embedding",
+        k = 1, nClusters = 8, nProbe = 4)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with half the clusters probed, at least 3/5 exact top-1 hits —
+    // deterministic (seeded k-means), so this is a stable bound
+    val hits = bf.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits >= 3, s"recall too low: $hits/5 (ivf=$ivf bf=$bf)")
+  }
+
+  test("kmeansCentroids is deterministic and assigns every vector") {
+    val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 == c2)
+    val n = emb.count()
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8))
+    assert(assigned.count() == n)
+    assert(assigned.select("cl").distinct().count() > 1)
+  }
+
   test("lshTopK neighbors are a subset of candidates sharing the bucket") {
     val queries = emb.filter(col("vec_id") < 5)
     val res = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, nBits = 4)
