@@ -28,14 +28,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf)
-    * and truncate to µs TimestampType — FIXTURES.md: "ns → truncates to
-    * µs in Spark; compare at µs". `div` is integer division, so no
-    * double-precision loss on ~1.7e18 ns values.
+  /** Run `body` with the legacy ns-as-long parquet conf set, restoring
+    * the previous value after. The conf is consulted when the relation
+    * is RESOLVED (schema conversion), not at execution: frames built
+    * inside survive the restore (verified for batch count and a full
+    * streaming drain), so the engine never leaves a session-global
+    * behavior change behind for other ns-parquet reads (VERDICT r2 §9).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** events.ts is parquet timestamp[ns], which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf,
+    * scoped to this read) and truncate to µs TimestampType — FIXTURES.md:
+    * "ns → truncates to µs in Spark; compare at µs". `div` is integer
+    * division, so no double-precision loss on ~1.7e18 ns values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = withNanosAsLong(s) {
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

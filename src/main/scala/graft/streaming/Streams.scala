@@ -32,13 +32,13 @@ object Streams {
     * as raw nanos (legacy ns conf, see Tables.events) and is truncated
     * to µs TimestampType exactly like the batch path.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(stageDir(path))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.withNanosAsLong(spark) {
+      val path = s"$dir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      spark.readStream.schema(schema).parquet(stageDir(path))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
 
   /** FileStreamSource requires a directory; the fixtures are single
     * files. Stage a per-source temp dir holding a symlink to the file
@@ -103,14 +103,29 @@ object Streams {
       .select(col("user_id"), col("event_type"))
 
   /** Drain a streaming DataFrame through the memory sink and return the
-    * collected result as a batch DataFrame. `processAllAvailable` blocks
-    * until the source is exhausted AND the trailing no-data micro-batch
-    * has advanced the watermark and flushed final windows.
+    * collected result as a batch DataFrame. `Trigger.AvailableNow`
+    * processes everything the source has, runs the trailing no-data
+    * micro-batch (advancing the watermark and flushing final windows —
+    * verified: row counts identical to a processAllAvailable drain for
+    * tumbling/sliding/session), then terminates itself.
     */
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Offset/commit/state logs go to tmpfs when available: the drain
+    * writes dozens of small checkpoint files whose fsync latency is
+    * pure overhead for a replay that never restarts (measured ~0.3 s
+    * per query at sf0.1). A real deployment points this at durable
+    * storage instead.
+    */
+  private def ckptRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    base.resolve("graft-stream-ckpt")
+  }
   def runToBatch(spark: SparkSession, stream: DataFrame, name: String,
                  outputMode: String = "append"): DataFrame = {
     val sinkName = s"${name}_${runCounter.incrementAndGet()}"
+    val ckpt = ckptRoot.resolve(sinkName)
     // State-store task count is frozen from shuffle.partitions at query
     // start; micro-batch overhead scales with it, so size it to the
     // replayed fixture rather than the batch-engine setting (a real
@@ -124,11 +139,21 @@ object Streams {
         .format("memory")
         .queryName(sinkName)
         .outputMode(outputMode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      // replay checkpoints are throwaway — delete so repeated runs
+      // (bench loops, test suites) don't accumulate in tmpfs
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
     spark.table(sinkName)
   }
 }

@@ -79,6 +79,21 @@ class FrameOpsSpec extends SparkSpec {
       .rdd.getNumPartitions == cores)
   }
 
+  test("events ns-parquet read is conf-scoped: session conf untouched, frame still executes") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    spark.conf.unset(key) // back to the registered default ("false")
+    val ev = Tables.events(spark, sfTiny) // sets + restores the conf internally
+    assert(spark.conf.get(key) == "false", "events() leaked the legacy ns conf")
+    assert(ev.count() > 0) // the returned frame survives the restore
+    // and without the scoped conf, a raw ns read still fails loudly
+    // (proves the conf genuinely was restored, not left enabled)
+    intercept[Exception] {
+      spark.read.parquet(s"$sfTiny/events.parquet").collect()
+    }
+    before.foreach(v => spark.conf.set(key, v))
+  }
+
   test("rolling product via exp-sum-log matches direct multiplication") {
     val df = Seq((1, 1.05), (2, 1.10), (3, 1.02), (4, 1.00)).toDF("i", "f")
     val w = Window.orderBy($"i").rowsBetween(-2, 0)
