@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable pandas-parity frame operators (SURVEY §2.2/§2.4/§2.5/§2.6).
+  *
+  * These are the library form of semantics the gated queries exercise —
+  * the q-numbered definitions in `graft.queries` delegate here, so every
+  * operator body below is hash-gated against the DuckDB oracle, not just
+  * spec-tested. All of them are single-window or single-aggregation
+  * plans: one hash Exchange on the grouping keys (plus a sort for the
+  * ordered ones), no driver-side loops, no UDFs — the same cost profile
+  * at 100 TB as any keyed window/aggregation.
+  *
+  * Reference surface: fillna(method=) [python/cudf/cudf/core/dataframe.py
+  * :: DataFrame.fillna], Series.pct_change, Series.rank(method='average'),
+  * groupby head/nlargest, Series.value_counts, Series.mode,
+  * cudf.factorize.
+  */
+object FrameOps {
+
+  private def w(partitionBy: Seq[String], orderBy: Seq[String]) =
+    Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy.map(col): _*)
+
+  /** pandas `ffill`: latest non-null of `valueCol` at or before the
+    * current row (per partition, in `orderBy` order), as column `as`.
+    * Leading nulls stay null.
+    */
+  def ffill(df: DataFrame, valueCol: String, partitionBy: Seq[String],
+      orderBy: Seq[String], as: String): DataFrame =
+    df.withColumn(as, last(col(valueCol), ignoreNulls = true)
+      .over(w(partitionBy, orderBy).rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** pandas `bfill`: earliest non-null at or after the current row.
+    * Trailing nulls stay null.
+    */
+  def bfill(df: DataFrame, valueCol: String, partitionBy: Seq[String],
+      orderBy: Seq[String], as: String): DataFrame =
+    df.withColumn(as, first(col(valueCol), ignoreNulls = true)
+      .over(w(partitionBy, orderBy).rowsBetween(0, Window.unboundedFollowing)))
+
+  /** pandas `pct_change`: (v - lag(v)) / lag(v), null on the first row
+    * of each partition and on a zero base (NULLIF guard).
+    */
+  def pctChange(df: DataFrame, valueCol: String, partitionBy: Seq[String],
+      orderBy: Seq[String], as: String): DataFrame = {
+    val prev = lag(col(valueCol), 1).over(w(partitionBy, orderBy))
+    df.withColumn(as, (col(valueCol) - prev) / nullif(prev, lit(0.0)))
+  }
+
+  /** pandas default `rank(method='average')` — absent from Spark's rank
+    * family: the average of the positions a tie block occupies, i.e.
+    * rank + (ties - 1) / 2, from two windows over ONE partitioning (a
+    * single Exchange + sort in the plan).
+    */
+  def rankAverage(df: DataFrame, valueCol: String, partitionBy: Seq[String],
+      as: String): DataFrame = {
+    val byVal = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(valueCol))
+    val ties = Window.partitionBy((partitionBy :+ valueCol).map(col): _*)
+    df.withColumn(as, rank().over(byVal) + (count(lit(1)).over(ties) - 1) / 2.0)
+  }
+
+  /** Per-group top-k (reference groupby.nlargest / head-after-sort):
+    * row_number over (groupCols, orderBy) kept while <= k, exposed as
+    * `rankCol`. Scales as one Exchange + per-partition TopK sort — never
+    * a global sort.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+      k: Int, rankCol: String = "rn"): DataFrame =
+    df.withColumn(rankCol, row_number()
+        .over(Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)))
+      .filter(col(rankCol) <= k)
+
+  /** pandas `value_counts`: distinct values of `cols` with descending
+    * counts (count ties broken by the value columns, ascending, to keep
+    * the order total and engine-independent).
+    */
+  def valueCounts(df: DataFrame, cols: Seq[String], as: String = "n"): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as(as))
+      .orderBy(col(as).desc +: cols.map(col(_).asc): _*)
+
+  /** pandas `mode` per group (first mode under value ordering): the
+    * max-count value, ties broken by the smallest value.
+    */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      as: String = "mode", countCol: String = "cnt"): DataFrame = {
+    val counts = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as(countCol))
+    val wm = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(countCol).desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(wm)).filter(col("__rn") === 1)
+      .select((groupCols.map(col) :+ col(valueCol).as(as)) :+ col(countCol): _*)
+  }
+
+  /** pandas/cudf `factorize`: dense zero-based codes in value sort
+    * order, attached via a broadcast join of the (small) code table.
+    * The code table is a distinct + windowed row_number — fine while
+    * the cardinality is broadcast-small, which is the factorize use
+    * case (categoricals); high-cardinality ids should hash instead.
+    */
+  def factorize(df: DataFrame, valueCol: String, codeCol: String): DataFrame = {
+    val codes = df.select(col(valueCol)).distinct()
+      .withColumn(codeCol, row_number().over(Window.orderBy(col(valueCol))) - 1)
+    df.join(broadcast(codes), valueCol)
+  }
+
+  /** pandas `melt` (reference cudf.melt): wide → long. Thin wrapper over
+    * Spark's native unpivot, which keeps the plan a single Expand (no
+    * join, no shuffle).
+    */
+  def melt(df: DataFrame, idVars: Seq[String], valueVars: Seq[String],
+      varName: String = "variable", valueName: String = "value"): DataFrame =
+    df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray, varName, valueName)
+}

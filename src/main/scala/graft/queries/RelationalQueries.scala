@@ -333,9 +333,7 @@ object RelationalQueries extends QueryGroup {
     }),
 
     "q25_value_counts" -> ((s, d) => {
-      Tables.events(s, d).groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("event_type"))
+      graft.ops.FrameOps.valueCounts(Tables.events(s, d), Seq("event_type"))
     }),
 
     "q26_agg_global" -> ((s, d) => {
@@ -458,11 +456,8 @@ object RelationalQueries extends QueryGroup {
     // variant of q32): rank inside each group, keep k. One hash
     // exchange + in-partition sort; no per-group driver loop.
     "q32b_topk_per_group" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-      li(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      graft.ops.FrameOps.topKPerGroup(li(s, d), Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc), 3)
         .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice"), 2).as("price"))
         .orderBy(col("l_returnflag"), col("rn"))
@@ -530,12 +525,8 @@ object RelationalQueries extends QueryGroup {
     // argmax count, ties broken by min value — plain count+window, no
     // nondeterministic built-in
     "q24b_mode" -> ((s, d) => {
-      val counts = ord(s, d).groupBy(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("cnt").desc, col("o_orderstatus").asc)
-      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"), col("cnt"))
+      graft.ops.FrameOps.modePerGroup(ord(s, d), Seq("o_orderpriority"),
+          "o_orderstatus", as = "mode_status")
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -601,11 +592,8 @@ object RelationalQueries extends QueryGroup {
     // back — the global sort touches only the tiny distinct set, never
     // the fact table, so the shape holds at 100 TB
     "q33b_factorize" -> ((s, d) => {
-      val codes = ord(s, d).select(col("o_orderpriority")).distinct()
-        .withColumn("pri_code",
-          row_number().over(Window.orderBy(col("o_orderpriority"))) - 1)
-      ord(s, d).filter(col("o_orderkey") % 149 === 0)
-        .join(broadcast(codes), "o_orderpriority")
+      graft.ops.FrameOps.factorize(
+          ord(s, d).filter(col("o_orderkey") % 149 === 0), "o_orderpriority", "pri_code")
         .select(col("o_orderkey"), col("o_orderpriority"), col("pri_code"))
         .orderBy(col("o_orderkey"))
     })

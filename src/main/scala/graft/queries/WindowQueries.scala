@@ -152,12 +152,11 @@ object WindowQueries extends QueryGroup {
     // Spark's rank family: avg of the positions a tie block occupies =
     // rank + (ties-1)/2, from two windows over one partitioning
     "q70b_rank_average" -> ((s, d) => {
-      val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-      val ties = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
-      Tables.lineitem(s, d)
-        .filter(col("l_orderkey") % 331 === 0)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
-          (rank().over(byQty) + (count(lit(1)).over(ties) - 1) / 2.0).as("avg_rank"))
+      graft.ops.FrameOps.rankAverage(
+          Tables.lineitem(s, d).filter(col("l_orderkey") % 331 === 0),
+          "l_quantity", Seq("l_returnflag"), "avg_rank")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("avg_rank"))
         .orderBy(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -166,30 +165,25 @@ object WindowQueries extends QueryGroup {
     // sort, same cost profile as any keyed window at scale. Nulls are
     // synthesized deterministically so both engines see identical gaps.
     "q77_ffill_bfill" -> ((s, d) => {
-      val order = Seq(col("ts"), col("event_id"))
-      val wf = Window.partitionBy(col("user_id")).orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wb = Window.partitionBy(col("user_id")).orderBy(order: _*)
-        .rowsBetween(0, Window.unboundedFollowing)
-      Tables.events(s, d)
+      val gappy = Tables.events(s, d)
         .filter(col("user_id") % 9 === 0)
         .withColumn("gappy",
           when(col("event_id") % 7 === 0, lit(null)).otherwise(round(col("value"), 2)))
-        .select(col("user_id"), col("event_id"), col("gappy"),
-          last(col("gappy"), ignoreNulls = true).over(wf).as("ffill"),
-          first(col("gappy"), ignoreNulls = true).over(wb).as("bfill"))
+      val part = Seq("user_id"); val order = Seq("ts", "event_id")
+      graft.ops.FrameOps.bfill(
+          graft.ops.FrameOps.ffill(gappy, "gappy", part, order, "ffill"),
+          "gappy", part, order, "bfill")
+        .select(col("user_id"), col("event_id"), col("gappy"), col("ffill"), col("bfill"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 
     // pct_change (reference Series.pct_change): lag-based, zero-base
     // guarded by NULLIF on both engines
     "q78_pct_change" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .filter(col("user_id") % 9 === 0)
-        .select(col("user_id"), col("event_id"),
-          round((col("value") - lag(col("value"), 1).over(w)) /
-            nullif(lag(col("value"), 1).over(w), lit(0.0)), 6).as("pct_chg"))
+      graft.ops.FrameOps.pctChange(
+          Tables.events(s, d).filter(col("user_id") % 9 === 0),
+          "value", Seq("user_id"), Seq("ts", "event_id"), "pct_chg")
+        .select(col("user_id"), col("event_id"), round(col("pct_chg"), 6).as("pct_chg"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 

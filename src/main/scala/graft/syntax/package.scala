@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.ops._
+
+/** Fluent method syntax for every graft operator — the surface a
+  * reference (dask-cudf) user programs against after switching:
+  *
+  * {{{
+  * import graft.syntax._
+  * docs.dedupCorpus("doc_id", "text")            // keep/drop verdicts
+  * docs.ngramJaccardPairs("doc_id", "text", "blk")
+  * corpus.annTopK(queries, "id", "vec", k = 10)
+  * trades.asofJoin(quotes, "t", "t", Seq("sym"), Seq("bid"))
+  * events.ffill("value", Seq("user_id"), Seq("ts"), "filled")
+  * }}}
+  *
+  * Everything delegates to the `graft.ops` objects (one import instead
+  * of six); the implementations — and their oracle gates — live there.
+  */
+package object syntax {
+
+  implicit class GraftFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- frame ops (FrameOps) ---------------------------------------
+    def ffill(valueCol: String, partitionBy: Seq[String], orderBy: Seq[String],
+        as: String): DataFrame = FrameOps.ffill(df, valueCol, partitionBy, orderBy, as)
+    def bfill(valueCol: String, partitionBy: Seq[String], orderBy: Seq[String],
+        as: String): DataFrame = FrameOps.bfill(df, valueCol, partitionBy, orderBy, as)
+    def pctChange(valueCol: String, partitionBy: Seq[String], orderBy: Seq[String],
+        as: String): DataFrame = FrameOps.pctChange(df, valueCol, partitionBy, orderBy, as)
+    def rankAverage(valueCol: String, partitionBy: Seq[String],
+        as: String): DataFrame = FrameOps.rankAverage(df, valueCol, partitionBy, as)
+    def topKPerGroup(groupCols: Seq[String], orderBy: Seq[Column], k: Int,
+        rankCol: String = "rn"): DataFrame =
+      FrameOps.topKPerGroup(df, groupCols, orderBy, k, rankCol)
+    def valueCounts(cols: Seq[String], as: String = "n"): DataFrame =
+      FrameOps.valueCounts(df, cols, as)
+    def modePerGroup(groupCols: Seq[String], valueCol: String): DataFrame =
+      FrameOps.modePerGroup(df, groupCols, valueCol)
+    def factorize(valueCol: String, codeCol: String): DataFrame =
+      FrameOps.factorize(df, valueCol, codeCol)
+    def melt(idVars: Seq[String], valueVars: Seq[String],
+        varName: String = "variable", valueName: String = "value"): DataFrame =
+      FrameOps.melt(df, idVars, valueVars, varName, valueName)
+
+    // ---- joins (AsofJoin, Skew) -------------------------------------
+    def asofJoin(right: DataFrame, leftOn: String, rightOn: String,
+        by: Seq[String], rightCols: Seq[String], direction: String = "backward",
+        tolerance: Column = null): DataFrame =
+      AsofJoin.asofJoin(df, right, leftOn, rightOn, by, rightCols, direction, tolerance)
+    def saltedJoin(right: DataFrame, key: String, salts: Int = 8): DataFrame =
+      Skew.saltedJoin(df, right, key, salts)
+    def saltedAgg(key: Seq[String], valueCol: String, salts: Int = 16): DataFrame =
+      Skew.saltedAgg(df, key, valueCol, salts)
+
+    // ---- dedup (Dedup) ----------------------------------------------
+    def exactDuplicateGroups(id: String, text: String): DataFrame =
+      Dedup.exactDuplicateGroups(df, id, text)
+    def minhashSignatures(id: String, text: String, k: Int = 5, n: Int = 16): DataFrame =
+      Dedup.minhashSignatures(df, id, text, k, n)
+    def minhashCandidatePairs(id: String, text: String, k: Int = 5, n: Int = 16,
+        bands: Int = 4): DataFrame = Dedup.minhashCandidatePairs(df, id, text, k, n, bands)
+    def dedupCorpus(id: String, text: String, k: Int = 5, n: Int = 16,
+        bands: Int = 4, minEstJaccard: Double = 0.9): DataFrame =
+      Dedup.dedupCorpus(df, id, text, k, n, bands, minEstJaccard)
+    def simhashNearPairs(id: String, text: String, block: String,
+        maxHamming: Int = 3): DataFrame =
+      Dedup.simhashNearPairs(df, id, text, block, maxHamming)
+    def ngramJaccardPairs(id: String, text: String, block: String, ngram: Int = 3,
+        minJaccard: Double = 0.2, maxDf: Int = 0): DataFrame =
+      Dedup.ngramJaccardPairs(df, id, text, block, ngram, minJaccard, maxDf)
+    def embeddingNearPairs(id: String, vec: String, minCosine: Double,
+        blockBits: Int = 0): DataFrame =
+      Dedup.embeddingNearPairs(df, id, vec, minCosine, blockBits)
+    /** On a (id_a, id_b) pair frame: cluster ids by connectivity. */
+    def connectedComponents(maxIter: Int = 10): DataFrame =
+      Dedup.connectedComponents(df, maxIter)
+    def connectedComponentsStar(maxIter: Int = 25): DataFrame =
+      Dedup.connectedComponentsStar(df, maxIter)
+
+    // ---- similarity search (Similarity); `df` is the corpus ---------
+    def annTopK(queries: DataFrame, id: String, vec: String, k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, queries, id, vec, k)
+    def annTopKLsh(queries: DataFrame, id: String, vec: String, k: Int,
+        nBits: Int = 8): DataFrame = Similarity.lshTopK(df, queries, id, vec, k, nBits)
+    def annTopKIvf(queries: DataFrame, id: String, vec: String, cluster: String,
+        k: Int, nProbe: Int = 2): DataFrame =
+      Similarity.ivfTopK(df, queries, id, vec, cluster, k, nProbe)
+    def annTopKIvfLearned(queries: DataFrame, id: String, vec: String, k: Int,
+        nClusters: Int, nProbe: Int = 2, iters: Int = 3): DataFrame =
+      Similarity.ivfTopKLearned(df, queries, id, vec, k, nClusters, nProbe, iters)
+
+    // ---- text analysis (TextAnalysis) -------------------------------
+    def withTextQuality(text: String): DataFrame = TextAnalysis.qualityColumns(df, text)
+
+    // ---- multimodal (Multimodal) ------------------------------------
+    def withMediaColumn(text: String): DataFrame = Multimodal.withMediaColumn(df, text)
+    def sampleFrames(id: String, text: String, frameChars: Int = 256,
+        step: Int = 3): DataFrame = Multimodal.sampleFrames(df, id, text, frameChars, step)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.syntax._
+
+/** The fluent surface (graft.syntax) — every method delegates to a
+  * graft.ops object, so these are wiring tests: the method resolves
+  * implicitly, returns the delegate's frame, and the handful of
+  * semantics spot-checks below catch argument-order mistakes in the
+  * delegation (the op bodies themselves are oracle-gated via the
+  * q-numbered queries).
+  */
+class SyntaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val series = Seq(
+    (1, 1, Some(10.0)), (1, 2, None: Option[Double]), (1, 3, Some(30.0)),
+    (1, 4, Some(45.0)),
+    (2, 1, None: Option[Double]), (2, 2, Some(5.0))
+  ).toDF("g", "i", "v")
+
+  test("ffill/bfill/pctChange delegate with the right column roles") {
+    val out = series
+      .ffill("v", Seq("g"), Seq("i"), "ff")
+      .bfill("v", Seq("g"), Seq("i"), "bf")
+      .pctChange("v", Seq("g"), Seq("i"), "pc")
+      .orderBy($"g", $"i")
+      .select($"ff", $"bf", $"pc")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+    assert(out(1) == ((Some(10.0), Some(30.0), None)))     // (1,2): ff carries, bf looks ahead
+    assert(out(2) == ((Some(30.0), Some(30.0), None)))     // (1,3): null gap -> null pct (q78 rule)
+    assert(out(3) == ((Some(45.0), Some(45.0), Some(0.5))))// (1,4): 45/30 - 1
+    assert(out(4) == ((None, Some(5.0), None)))            // (2,1): leading null stays
+  }
+
+  test("rankAverage averages tie positions like pandas rank(method='average')") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0)).toDF("g", "x")
+    val got = df.rankAverage("x", Seq("g"), "r").orderBy($"x").select($"r")
+      .as[Double].collect()
+    assert(got.toSeq == Seq(1.5, 1.5, 3.0))
+  }
+
+  test("topKPerGroup keeps k rows per group in order") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "x")
+    val got = df.topKPerGroup(Seq("g"), Seq($"x".desc), 2)
+      .orderBy($"g", $"rn").select($"g", $"x").as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("a", 3), ("a", 2), ("b", 9)))
+  }
+
+  test("valueCounts / modePerGroup / factorize / melt wire through") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")).toDF("g", "v")
+    assert(df.valueCounts(Seq("g")).head.getLong(1) == 3)
+    val m = df.modePerGroup(Seq("g"), "v").orderBy($"g").collect()
+    assert(m.map(_.getString(1)).toSeq == Seq("x", "z"))
+    val f = df.factorize("v", "code").select($"v", $"code").distinct()
+      .orderBy($"code").as[(String, Int)].collect()
+    assert(f.toSeq == Seq(("x", 0), ("y", 1), ("z", 2)))
+    val melted = Seq((1, 2.0, 3.0)).toDF("id", "p", "q").melt(Seq("id"), Seq("p", "q"))
+    assert(melted.columns.toSeq == Seq("id", "variable", "value") && melted.count() == 2)
+  }
+
+  test("asofJoin and salted helpers delegate") {
+    val trades = Seq(("s", 10L, 1.0), ("s", 20L, 2.0)).toDF("sym", "t", "px")
+    val quotes = Seq(("s", 9L, 0.9), ("s", 19L, 1.9)).toDF("sym", "t", "bid")
+    val a = trades.asofJoin(quotes, "t", "t", Seq("sym"), Seq("bid"))
+      .orderBy($"t").select($"bid").as[Double].collect()
+    assert(a.toSeq == Seq(0.9, 1.9))
+    val l = Seq((1, "a"), (1, "b")).toDF("k", "x")
+    val r = Seq((1, "R")).toDF("k", "y")
+    assert(l.saltedJoin(r, "k").count() == 2)
+    assert(l.saltedAgg(Seq("k"), "x" /* count/min/max only for strings */).count() == 1)
+  }
+
+  test("dedup + similarity + text + multimodal methods resolve and run") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again"),
+        (3L, "an entirely different sentence about spark execution plans"))
+      .toDF("doc_id", "text").withColumn("blk", lit(0))
+    assert(docs.exactDuplicateGroups("doc_id", "text").count() == 2)
+    assert(docs.dedupCorpus("doc_id", "text").filter($"keep" === 1).count() == 2)
+    assert(docs.minhashCandidatePairs("doc_id", "text")
+      .filter($"id_a" === 1 && $"id_b" === 2).head.getDouble(2) == 1.0)
+    assert(docs.simhashNearPairs("doc_id", "text", "blk", maxHamming = 0).count() >= 1)
+    assert(docs.ngramJaccardPairs("doc_id", "text", "blk", minJaccard = 0.9).count() == 1)
+    assert(docs.ngramJaccardPairs("doc_id", "text", "blk", minJaccard = 0.9, maxDf = 1).count() == 1)
+    assert(Seq((1L, 2L)).toDF("id_a", "id_b").connectedComponents().count() == 2)
+    assert(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b").connectedComponentsStar()
+      .agg(countDistinct($"cluster")).head.getLong(0) == 1)
+
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    assert(emb.annTopK(emb.filter($"id" === 1), "id", "vec", 1).head.getLong(2) == 2L)
+    assert(emb.embeddingNearPairs("id", "vec", minCosine = 0.8).count() == 1)
+    assert(emb.annTopKIvfLearned(emb.filter($"id" === 1), "id", "vec",
+      k = 1, nClusters = 2).count() >= 1)
+
+    assert(docs.withTextQuality("text").columns.contains("n_tokens"))
+    assert(docs.withMediaColumn("text").schema("media").dataType.typeName == "binary")
+    assert(docs.sampleFrames("doc_id", "text", frameChars = 10, step = 2).count() > 0)
+  }
+}
