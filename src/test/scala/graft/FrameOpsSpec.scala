@@ -94,6 +94,24 @@ class FrameOpsSpec extends SparkSpec {
     before.foreach(v => spark.conf.set(key, v))
   }
 
+  test("unsigned parquet ints widen to the next signed type (SURVEY §1.3 policy)") {
+    // fixture written with parquet UINT_8/16/32/64 logical types; the
+    // reference stores unsigned columns natively, Spark has no unsigned
+    // types — the documented policy is widen-to-next-signed (u64 lands
+    // in decimal(20,0), the only lossless container)
+    val df = spark.read.parquet(getClass.getResource("/unsigned.parquet").getPath)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("u8") == "smallint" || types("u8") == "int")
+    assert(types("u16") == "int")
+    assert(types("u32") == "bigint")
+    assert(types("u64") == "decimal(20,0)")
+    // max values survive the widening unchanged
+    val r = df.orderBy($"u16".desc).head
+    assert(r.getAs[Number]("u16").intValue == 65535)
+    assert(r.getAs[Number]("u32").longValue == 4294967295L)
+    assert(r.getAs[java.math.BigDecimal]("u64").toString == "18446744073709551615")
+  }
+
   test("rolling product via exp-sum-log matches direct multiplication") {
     val df = Seq((1, 1.05), (2, 1.10), (3, 1.02), (4, 1.00)).toDF("i", "f")
     val w = Window.orderBy($"i").rowsBetween(-2, 0)

@@ -56,4 +56,20 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_type").distinct().count()
     assert(res.count() == exact)
   }
+
+  test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
+    // the production path is fully constructed (options, payload decode,
+    // projection); this environment has no spark-sql-kafka artifact, so
+    // the one acceptable failure is DataSource provider resolution —
+    // anything else (analysis of our projection, option typos) would
+    // surface as a different error class/message
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val e = intercept[Exception] {
+      Streams.kafkaStream(spark, "broker:9092", "events", schema).isStreaming
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"expected provider-lookup failure, got: ${e.getMessage.take(200)}")
+  }
 }
