@@ -13,8 +13,17 @@ import graft.sources.Formats
   */
 object SourceQueries extends QueryGroup {
 
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-src/$name"
+  /** Round-trip scratch space — tmpfs when available: the queries gate
+    * FORMAT fidelity (write → read → aggregate vs the original), so
+    * paying disk fsync latency for throwaway files only blurs the
+    * measurement. A real to_csv/to_orc points at durable storage.
+    */
+  private def scratch(name: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isWritable(shm)) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    s"$base/graft-src/$name"
+  }
 
   override def queries: Map[String, Q] = Map(
     // CSV write → schema-pinned read (read_csv dtype= analog)
