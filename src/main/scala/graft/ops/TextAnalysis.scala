@@ -112,6 +112,40 @@ object TextAnalysis {
   def tokenNgrams(c: Column, n: Int): Column =
     ngramsUdf(split(norm(c), " "), lit(n))
 
+  /** ALL token n-grams (non-distinct — repetition analysis needs the
+    * multiplicities that [[ngramsUdf]] deliberately drops).
+    */
+  private[ops] val allNgramsUdf = udf { (toks: Seq[String], n: Int) =>
+    if (toks == null) Seq.empty[String]
+    else toks.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
+  }
+
+  /** Gopher-style repetition filters per document (Rae et al. 2021 §A1.1
+    * — the "repetitious text" quality signals an LLM-corpus pipeline
+    * thresholds on): total n-gram count, fraction taken by the single
+    * most frequent n-gram, and the duplicate-gram fraction
+    * (1 − distinct/total). Documents with fewer than n tokens emit no
+    * row (no grams → nothing to measure), matching the oracle.
+    *
+    * Plan: one explode + two keyed aggregations — map-side combine keeps
+    * the first shuffle at O(distinct grams per doc); nothing is ever
+    * collected per-corpus, so the op scales by adding executors.
+    */
+  def repetitionStats(df: DataFrame, id: String, text: String,
+      n: Int = 2): DataFrame = {
+    val g = graft.Tables.spread(df.select(col(id), col(text)), id)
+      .select(col(id),
+        explode(allNgramsUdf(split(norm(col(text)), " "), lit(n))).as("gram"))
+    g.groupBy(col(id), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("total"), max(col("c")).as("top1"),
+        count(lit(1)).as("nd"))
+      .select(col(id),
+        col("total").cast("int").as("n_grams"),
+        round(col("top1") / col("total"), 4).as("top_gram_frac"),
+        round(lit(1.0) - col("nd") / col("total"), 4).as("dup_gram_frac"))
+  }
+
   /** Distinct character n-grams (nvtext character_ngrams parity). */
   private val charNgramsUdf = udf { (s: String, n: Int) =>
     if (s == null || s.length < n) Seq.empty[String]

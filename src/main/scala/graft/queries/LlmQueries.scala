@@ -248,6 +248,13 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition quality filters (top-gram / dup-gram
+    // fractions over non-distinct bigrams)
+    "q104_text_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     "q103_text_fingerprint" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"),
@@ -552,6 +559,20 @@ object LlmQueries extends QueryGroup {
            |  CAST(LEN(list_distinct(
            |    [array_to_string(tk[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ') for i in range(1, LEN(tk))])) AS INTEGER) AS n_bigrams
            |FROM tok ORDER BY doc_id""".stripMargin,
+
+      "q104_text_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |toks AS (SELECT doc_id, string_split(s, ' ') AS tk FROM t),
+           |g AS (SELECT doc_id, unnest(
+           |  [array_to_string(tk[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ') for i in range(1, LEN(tk))]) AS gram
+           |  FROM toks),
+           |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+           |st AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top1, COUNT(*) AS nd
+           |       FROM c GROUP BY doc_id)
+           |SELECT doc_id, CAST(total AS INTEGER) AS n_grams,
+           |  ROUND(top1 / total, 4) AS top_gram_frac,
+           |  ROUND(1 - nd / total, 4) AS dup_gram_frac
+           |FROM st ORDER BY doc_id""".stripMargin,
 
       "q103_text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents)

@@ -93,6 +93,8 @@ package object syntax {
 
     // ---- text analysis (TextAnalysis) -------------------------------
     def withTextQuality(text: String): DataFrame = TextAnalysis.qualityColumns(df, text)
+    def repetitionStats(id: String, text: String, n: Int = 2): DataFrame =
+      TextAnalysis.repetitionStats(df, id, text, n)
 
     // ---- multimodal (Multimodal) ------------------------------------
     def withMediaColumn(text: String): DataFrame = Multimodal.withMediaColumn(df, text)

@@ -95,6 +95,11 @@ class SyntaxSpec extends SparkSpec {
       k = 1, nClusters = 2).count() >= 1)
 
     assert(docs.withTextQuality("text").columns.contains("n_tokens"))
+    // "a b a b a": bigrams = [a b, b a, a b, b a] -> top 2/4, dup 1 - 2/4
+    val rep = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+      .repetitionStats("doc_id", "text")
+      .select($"n_grams", $"top_gram_frac", $"dup_gram_frac").head
+    assert(rep.getInt(0) == 4 && rep.getDouble(1) == 0.5 && rep.getDouble(2) == 0.5)
     assert(docs.withMediaColumn("text").schema("media").dataType.typeName == "binary")
     assert(docs.sampleFrames("doc_id", "text", frameChars = 10, step = 2).count() > 0)
   }
