@@ -323,6 +323,27 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
+    // approx quantile (the reference's t-digest tier; Spark's GK sketch
+    // via percentile_approx). Like q21b the estimate itself is
+    // engine-specific, so the gated columns are the exact quantiles plus
+    // an ok flag asserting ≤2% relative error of the sketch
+    "q23b_approx_quantile" -> ((s, d) => {
+      val relErr = (a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =>
+        abs(a.cast("double") - e) / e <= 0.02
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"),
+          expr("percentile(l_quantity, 0.5)").as("e50"),
+          expr("percentile(l_extendedprice, 0.9)").as("e90"))
+        .select(col("l_returnflag"),
+          round(col("e50"), 4).as("exact_q50"),
+          round(col("e90"), 4).as("exact_p90"),
+          (relErr(col("a50"), col("e50")) && relErr(col("a90"), col("e90")))
+            .cast("int").as("ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q24_agg_argminmax" -> ((s, d) => {
       ord(s, d).groupBy(col("o_orderpriority"))
         .agg(
@@ -786,6 +807,15 @@ object RelationalQueries extends QueryGroup {
         |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS q50,
         |  ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS q75,
         |  ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // sketch estimates are engine-specific; gated columns are the exact
+    // quantiles and the ≤2%-relative-error flag (expected always 1)
+    "q23b_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS exact_q50,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS exact_p90,
+        |  CAST(1 AS INTEGER) AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q24_agg_argminmax" ->

@@ -58,6 +58,17 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // stream-stream interval join (view→click attribution) — two
+    // watermarked sources, time-range join condition bounding state;
+    // inner join + full drain = the complete batch join, so the oracle
+    // is plain SQL (custreamz cannot express stream-stream joins)
+    "q115_stream_stream_join" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.viewClickJoin(Streams.eventsStream(s, d), Streams.eventsStream(s, d)),
+          "q115_ssjoin")
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }),
+
     // custom state machine: per-user event count + running max via
     // mapGroupsWithState (the groupby-apply-with-state analog the
     // reference lacks entirely). Update-mode emissions are collapsed to
@@ -132,6 +143,15 @@ object StreamingQueries extends QueryGroup {
     "q113_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q115_stream_stream_join" ->
+      s"""WITH $ctes
+         |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+         |  CAST(EPOCH_US(c.ts - v.ts) AS BIGINT) AS gap_us
+         |FROM e v JOIN e c ON v.user_id = c.user_id
+         |  AND v.event_type = 'view' AND c.event_type = 'click'
+         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 3600 SECOND
+         |ORDER BY v.user_id, view_id, click_id""".stripMargin,
 
     // final state per user: n = total events (the running count's last
     // emission), max_value = running max rounded exactly like the Scala

@@ -112,6 +112,33 @@ object Streams {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
         col("n"), col("sum_val"))
 
+  /** Stream-stream interval join (view → click attribution): for every
+    * view, the same user's clicks within `gap` after it. Both sides are
+    * watermarked and the join condition is a time RANGE on the two
+    * event-time columns — exactly what lets Spark expire join state
+    * (a view older than watermark − gap can never match again), so
+    * state stays bounded on an infinite stream. custreamz has no
+    * stream-stream join at all. Inner join + full drain ⇒ the emitted
+    * set is the complete batch join (watermarks only bound state, they
+    * drop nothing on replay), which is what the DuckDB oracle computes.
+    */
+  def viewClickJoin(left: DataFrame, right: DataFrame,
+                    gap: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val views = left.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", delay)
+    val clicks = right.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", delay)
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr(s"INTERVAL $gap"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Streaming dedup on a derived key with bounded state
     * (dropDuplicatesWithinWatermark). Projects the key columns only, so
     * the result is the deterministic distinct key set regardless of
