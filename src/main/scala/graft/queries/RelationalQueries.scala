@@ -269,6 +269,60 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("name1"))
     }),
 
+    // ---- headline multi-join pipelines (TPC-H Q3/Q5/Q18 shapes) ------
+    // These exercise the join-planning story end to end: dim filters
+    // reach the scans, customer⋈orders⋈lineitem is a chain of hash
+    // shuffles on the natural keys, nation/region broadcast, and the
+    // final agg is partial→final. The shapes Catalyst picks here are
+    // exactly the plans a 100 TB run needs (PLANS.md).
+    "q08_join_tpch3" -> ((s, d) => {
+      val cut = lit("1996-06-01").cast("timestamp")
+      cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(ord(s, d).filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(li(s, d).filter(col("l_shipdate") > cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q09_join_tpch5" -> ((s, d) => {
+      // local-supplier revenue per nation: the 6-way star join. The
+      // supplier join carries the s_nationkey = c_nationkey co-location
+      // predicate, so it is a multi-key equi-join, not a filter-after.
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q09b_join_tpch18" -> ((s, d) => {
+      // large-volume customers: HAVING over the fact table feeds a
+      // semi-join back into the 3-way join — the aggregate is computed
+      // once and broadcast (a few hundred keys), not recomputed per row.
+      val big = li(s, d).groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      ord(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // ---- §2.4 aggregations -------------------------------------------
     "q20_agg_stats" -> ((s, d) => {
       li(s, d).groupBy(col("l_returnflag"))
@@ -769,6 +823,46 @@ object RelationalQueries extends QueryGroup {
         |FROM nation n1 JOIN nation n2
         |  ON n2.n_nationkey > n1.n_nationkey AND n1.n_regionkey = n2.n_regionkey
         |GROUP BY n1.n_name ORDER BY name1""".stripMargin,
+
+    "q08_join_tpch3" ->
+      """SELECT l_orderkey,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q09_join_tpch5" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q09b_join_tpch18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING ROUND(SUM(l_quantity), 2) > 250) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q20_agg_stats" ->
       """SELECT l_returnflag,
