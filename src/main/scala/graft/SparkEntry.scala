@@ -19,6 +19,7 @@ object SparkEntry {
     WindowQueries,
     UdfQueries,
     LlmQueries,
+    CorpusQueries,
     StreamingQueries,
     SourceQueries,
     AsofQueries

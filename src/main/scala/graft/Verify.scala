@@ -18,9 +18,11 @@ object Verify {
     // local-iteration filter: GRAFT_ONLY=q08,q09 runs the named queries
     // (prefix match) instead of the full 140-query sweep; unset for the
     // driver's full run
-    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
+      only.forall(_.exists(p => name.startsWith(p)))
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -41,7 +43,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // restrict the oracle dump to the selected queries so a GRAFT_ONLY
+    // run doesn't report every unselected query as missing Spark output
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.TextHashes._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs on top of dedup/similarity/quality (SURVEY §7.2 M6; the
+  * reference delegates this whole layer to out-of-repo NeMo-Curator-
+  * style tooling — here it is first-class and oracle-gated):
+  *
+  *  - [[decontaminate]] — benchmark n-gram overlap flagging (the
+  *    GPT-3-appendix-C / PaLM-style decontamination pass: drop training
+  *    documents sharing token n-grams with an evaluation set).
+  *  - [[redactPii]] — regex PII scrubbing (emails / IPv4 / phone),
+  *    single-pass, codegen'd `regexp_replace` chain.
+  *  - [[packSequences]] — sequence packing: concatenate documents in id
+  *    order and slice into fixed token-budget windows; emits each doc's
+  *    global token offset, window id, and whether it straddles a window
+  *    boundary. Two-phase distributed prefix sum — no global single-
+  *    partition window over the data.
+  *  - [[sampleByHash]] — deterministic per-stratum sampling by integer
+  *    hash of the id (Knuth multiplicative). Reproducible across runs
+  *    AND engines, unlike RNG `df.sample` (q39), so it is hash-gated.
+  *  - [[tfidf]] — corpus TF-IDF: per-doc top-k terms by tf·ln(N/df).
+  *
+  * Scale notes (100 TB): every operator is shuffle-bounded by
+  * O(tokens) with map-side combine; the only broadcast sides are the
+  * benchmark gram set (an eval suite — MBs), the chunk-offset table
+  * (#docs / chunkSize rows), and nothing is ever collected to the
+  * driver.
+  */
+object Corpus {
+
+  private def toks(c: Column): Column = split(Dedup.normText(c), " ")
+
+  /** Distinct token n-grams of `text` exploded to one row per gram.
+    * Shares [[TextAnalysis.ngramsUdf]] — same kernel the jaccard dedup
+    * uses, so decontamination and dedup agree on gram identity.
+    */
+  private def explodedGrams(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    df.select(col(id), explode(
+      TextAnalysis.ngramsUdf(toks(col(text)), lit(n))).as("gram"))
+
+  /** Flag corpus documents sharing at least one token `n`-gram with the
+    * benchmark set. Returns (id, n_grams, n_overlap, overlap_frac) for
+    * contaminated documents only.
+    *
+    * Plan shape: benchmark grams are distinct-ed then BROADCAST (an eval
+    * set is small by definition); the corpus side is one explode +
+    * map-side-combined groupBy — the corpus text itself is never
+    * shuffled, only (id, gram-hash) pairs that survive the broadcast
+    * semi-join. Real pipelines use n=8..13; the synthetic fixture's
+    * shared vocabulary needs n=3 to produce overlap.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, n: Int): DataFrame = {
+    val benchGrams = explodedGrams(benchmark, id, text, n)
+      .select(col("gram")).distinct()
+    val corpusGrams = explodedGrams(corpus, id, text, n)
+    val totals = corpusGrams.groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams")) // grams are distinct per doc
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_overlap"))
+    hits.join(totals, id)
+      .select(col(id), col("n_grams").cast("int").as("n_grams"),
+        col("n_overlap").cast("int").as("n_overlap"),
+        round(col("n_overlap") / col("n_grams"), 4).as("overlap_frac"))
+  }
+
+  /** PII patterns shared by the Spark op and the DuckDB oracle: plain
+    * RE2-safe syntax (no lookarounds), identical semantics in Java
+    * regex. Order matters — emails are redacted before IPs so the
+    * dotted host part can't be half-eaten by the IP rule.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails / IPv4 addresses / phone-shaped numbers from `text`.
+    * Returns the input columns plus `redacted` and per-category match
+    * counts. Pure `regexp_replace`/`regexp_extract_all` — whole-stage
+    * codegen, single scan, trivially partition-parallel.
+    */
+  def redactPii(df: DataFrame, text: String): DataFrame = {
+    val c = col(text)
+    df.withColumn("n_emails", size(regexp_extract_all(c, lit(emailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(c, lit(ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(c, lit(phoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>"))
+  }
+
+  /** Sequence packing: documents are concatenated in `id` order and the
+    * token stream is sliced into windows of `budget` tokens (the
+    * standard pretraining packing layout — docs may straddle windows).
+    * Emits (id, n_tokens, start_off, window_id, spans_boundary).
+    *
+    * The global prefix sum is TWO-PHASE, not one giant Window: docs are
+    * grouped into chunks of `chunkSize` ids; phase 1 computes per-chunk
+    * token sums (map-side combined), phase 2 prefix-sums the tiny chunk
+    * table and broadcasts it back, phase 3 does a within-chunk window
+    * cumsum. The only unpartitioned window runs over #docs/chunkSize
+    * rows — pick chunkSize ≈ √N (or nest another level) so no stage
+    * sees unbounded data. A naive `Window.orderBy(id)` over the corpus
+    * would funnel 100 TB through one task.
+    */
+  def packSequences(df: DataFrame, id: String, nTokens: Column,
+      budget: Long, chunkSize: Long = 64): DataFrame = {
+    val base = df.select(col(id), nTokens.cast("long").as("n_tokens"),
+      expr(s"cast($id as bigint) div $chunkSize").as("chunk"))
+    val chunkSums = base.groupBy(col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_toks"))
+    val wChunks = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffs = chunkSums
+      .withColumn("chunk_off", coalesce(sum(col("chunk_toks")).over(wChunks), lit(0L)))
+      .select(col("chunk"), col("chunk_off"))
+    val wInChunk = Window.partitionBy(col("chunk")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(chunkOffs), "chunk")
+      .withColumn("start_off",
+        col("chunk_off") + coalesce(sum(col("n_tokens")).over(wInChunk), lit(0L)))
+      .withColumn("window_id", (col("start_off") / budget).cast("long"))
+      .withColumn("spans_boundary",
+        ((col("start_off") + col("n_tokens") - 1) / budget).cast("long") =!= col("window_id"))
+      .select(col(id), col("n_tokens").cast("int").as("n_tokens"),
+        col("start_off"), col("window_id"), col("spans_boundary"))
+  }
+
+  /** Deterministic per-stratum sampling: keep a row iff the Knuth
+    * multiplicative hash of its id lands below the stratum's rate.
+    * Engine-independent (pure integer arithmetic on the id — no RNG
+    * stream), so downstream runs, retries, and the DuckDB oracle all
+    * select the SAME rows; `df.sample` (q39) can only be rows-only
+    * gated. This is how a 100 TB pipeline samples: no seed
+    * coordination across executors, filter pushes to the scan.
+    */
+  def sampleByHash(df: DataFrame, id: String, strata: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strata) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < (rate * lit(4294967296L)).cast("long"))
+  }
+
+  /** Per-document top-`k` terms by TF-IDF (tf · ln(N/df), N = number of
+    * documents with at least one token). Rank on the ROUNDED score then
+    * term so cross-engine last-ulp `ln` differences cannot flip the
+    * ordering. Two keyed shuffles (doc-term counts, term df) + one
+    * broadcast scalar; never materializes a dense vocabulary.
+    */
+  def tfidf(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val terms = df.select(col(id), explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col(id)).as("n_docs"))
+    val w = Window.partitionBy(col(id)).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(id), col("rnk").cast("int").as("rnk"), col("term"),
+        col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
+        col("score"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster
+    * the embeddings (learned, deterministic — [[Similarity.kmeansCentroids]]),
+    * then emit within-cluster pairs above the cosine threshold. All-pairs
+    * work is confined to single clusters (corpus/k rows each); the
+    * cross-cluster recall loss is the documented SemDeDup trade-off.
+    * Returns (a, b, cos) with a < b.
+    */
+  def semanticDupPairs(df: DataFrame, id: String, vec: String,
+      nClusters: Int, threshold: Double, iters: Int = 3): DataFrame = {
+    val cents = Similarity.kmeansCentroids(df, id, vec, nClusters, iters)
+    val assigned = Similarity.kmeansAssign(df, id, vec, cents)
+    val l = assigned.select(col("cl"), col(id).as("a"), col(vec).as("va"))
+    val r = assigned.select(col("cl"), col(id).as("b"), col(vec).as("vb"))
+    l.join(r, Seq("cl")).filter(col("a") < col("b"))
+      .withColumn("cos", round(dot_f(col("va"), col("vb")), 6))
+      .filter(col("cos") > threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+}

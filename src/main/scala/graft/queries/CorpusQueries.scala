@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Corpus, Similarity}
+
+/** Corpus-preparation operators (graft.ops.Corpus): benchmark
+  * decontamination, PII redaction, sequence packing, deterministic
+  * hash sampling, TF-IDF, semantic (embedding-cluster) dedup.
+  *
+  * Every oracle replays the Spark kernel in DuckDB SQL — including a
+  * full unrolled replay of the deterministic k-means used by
+  * semanticDupPairs — so all six are hash-gated, not rows-only.
+  */
+object CorpusQueries extends QueryGroup {
+
+  /** DuckDB: normalized text (Dedup.normText). */
+  private val sqlNorm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+
+  /** DuckDB: index-order dot product of two 64-dim float-list columns. */
+  private def sqlDot(a: String, ac: String, b: String, bc: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST($a.$ac[i] AS DOUBLE) * CAST($b.$bc[i] AS DOUBLE)))"
+
+  /** DuckDB CTEs replaying Similarity.kmeansCentroids exactly: seeds =
+    * the k lowest-id vectors; each round assigns by argmax dot (ties →
+    * lowest cluster id) then recomputes per-position means cast to
+    * FLOAT (the float cast is what makes the fixpoint engine-portable:
+    * it absorbs last-ulp double-summation-order noise on both sides).
+    */
+  private def sqlKmeansCtes(k: Int, iters: Int): String = {
+    val seed =
+      s"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         |  embedding AS c_vec FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      s"""a$it AS (SELECT vec_id, embedding, cl FROM (
+         |  SELECT e.vec_id, e.embedding, c.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS rn
+         |  FROM embeddings e, c${it - 1} c) s WHERE rn = 1),
+         |m$it AS (SELECT cl, i, CAST(AVG(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS m
+         |  FROM a$it, range(1, 65) t(i) GROUP BY cl, i),
+         |c$it AS (SELECT cl, list(m ORDER BY i) AS c_vec FROM m$it GROUP BY cl)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // benchmark decontamination: flag corpus docs sharing a token
+    // 3-gram with the eval set (docs with doc_id % 97 == 0)
+    "q140_decontaminate" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val bench = corpus.filter(pmod(col("doc_id"), lit(97)) === 0)
+      Corpus.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+        // gate on the integer pair; the ratio is derived — floor to
+        // basis points (identical IEEE doubles → identical floor) so
+        // no round-half boundary can diverge between engines
+        .withColumn("overlap_bp",
+          floor(col("n_overlap") * lit(10000.0) / col("n_grams")).cast("long"))
+        .select(col("doc_id"), col("n_grams"), col("n_overlap"), col("overlap_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: emails / IPv4 / phone-shaped numbers, with match
+    // counts. PII is injected deterministically from doc_id on BOTH
+    // sides (the synthetic corpus has none).
+    "q141_redact_pii" -> ((s, d) => {
+      val df = Tables.documents(s, d).select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.org via 10.0."),
+          pmod(col("doc_id"), lit(250)), lit(".7 tel 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+      Corpus.redactPii(df, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sequence packing: global token offsets + 512-token window ids via
+    // the two-phase distributed prefix sum (no whole-corpus Window)
+    "q142_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import graft.ops.Dedup
+      Corpus.packSequences(docs, "doc_id",
+          size(split(Dedup.normText(col("text")), " ")), budget = 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified sampling by multiplicative hash of the id
+    // — reproducible across runs AND engines (unlike RNG sample, q39)
+    "q143_sample_by_hash" -> ((s, d) => {
+      Corpus.sampleByHash(Tables.documents(s, d), "doc_id", "lang",
+          rates = Map("es" -> 0.5, "zh" -> 0.05), defaultRate = 0.2)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-document top-3 TF-IDF terms
+    "q144_tfidf" -> ((s, d) => {
+      Corpus.tfidf(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // SemDeDup-style semantic dedup: learned k-means clusters, within-
+    // cluster cosine pairs above threshold
+    "q145_semantic_dedup" -> ((s, d) => {
+      Corpus.semanticDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          nClusters = 8, threshold = 0.4, iters = 2)
+        .orderBy(col("a"), col("b"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q140_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+         |tk AS (SELECT doc_id, string_split(s, ' ') AS toks FROM t),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |    [concat_ws(' ', toks[i], toks[i+1], toks[i+2]) for i in range(1, len(toks) - 1)])) AS gram
+         |  FROM tk),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+         |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+         |hits AS (SELECT g.doc_id, COUNT(*) AS n_overlap FROM grams g JOIN bench b USING (gram) GROUP BY 1)
+         |SELECT h.doc_id, CAST(t.n_grams AS INTEGER) AS n_grams,
+         |  CAST(h.n_overlap AS INTEGER) AS n_overlap,
+         |  CAST(FLOOR(h.n_overlap * 10000.0 / t.n_grams) AS BIGINT) AS overlap_bp
+         |FROM hits h JOIN totals t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q141_redact_pii" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  substr(text, 1, 40) || ' contact user' || doc_id || '@mail.example.org via 10.0.'
+         |    || (doc_id % 250) || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.emailRe}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.ipv4Re}')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.phoneRe}')) AS INTEGER) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Corpus.emailRe}', '<EMAIL>', 'g'),
+         |    '${Corpus.ipv4Re}', '<IP>', 'g'),
+         |    '${Corpus.phoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q142_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len(string_split($sqlNorm, ' ')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, start_off,
+         |  CAST(start_off // 512 AS BIGINT) AS window_id,
+         |  ((start_off + n_tokens - 1) // 512) <> (start_off // 512) AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q143_sample_by_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 < CAST(FLOOR(
+        |  (CASE WHEN lang = 'zh' THEN 0.05 WHEN lang = 'es' THEN 0.5 ELSE 0.2 END) * 4294967296) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q144_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(s, ' ')) AS term FROM t),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |  ROUND(tf.tf * LN(n.n_docs * 1.0 / dfq.df), 4) AS score
+         |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n)
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rnk,
+         |  term, CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df, score
+         |FROM sc QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q145_semantic_dedup" ->
+      s"""WITH ${sqlKmeansCtes(k = 8, iters = 2)},
+         |af AS (SELECT vec_id, embedding, cl FROM (
+         |  SELECT e.vec_id, e.embedding, c.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS rn
+         |  FROM embeddings e, c2 c) s WHERE rn = 1)
+         |SELECT l.vec_id AS a, r.vec_id AS b,
+         |  ROUND(${sqlDot("l", "embedding", "r", "embedding")}, 6) AS cos
+         |FROM af l JOIN af r ON l.cl = r.cl AND l.vec_id < r.vec_id
+         |WHERE ROUND(${sqlDot("l", "embedding", "r", "embedding")}, 6) > 0.4
+         |ORDER BY a, b""".stripMargin
+  )
+}

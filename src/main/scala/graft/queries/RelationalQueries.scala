@@ -282,10 +282,14 @@ object RelationalQueries extends QueryGroup {
           col("c_custkey") === col("o_custkey"))
         .join(li(s, d).filter(col("l_shipdate") > cut),
           col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          col("o_orderpriority"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // group on the RAW timestamp (matching the oracle) and format in a
+        // post-agg projection: formatting inside groupBy would merge
+        // intra-day timestamps on this side but not in DuckDB
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -311,7 +315,8 @@ object RelationalQueries extends QueryGroup {
     "q09b_join_tpch18" -> ((s, d) => {
       // large-volume customers: HAVING over the fact table feeds a
       // semi-join back into the 3-way join — the aggregate is computed
-      // once and broadcast (a few hundred keys), not recomputed per row.
+      // once, not per row; whether it is broadcast or shuffled is AQE's
+      // runtime call (its size grows with SF, so no broadcast hint here).
       val big = li(s, d).groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
         .filter(col("total_qty") > 250)

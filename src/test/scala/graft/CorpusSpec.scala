@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Corpus
+
+/** Unit-level invariants for the corpus-preparation operators; the
+  * end-to-end values are hash-gated by q140–q145's DuckDB oracles.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfTiny).cache()
+
+  test("decontaminate flags every benchmark member at 100% overlap") {
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val res = Corpus.decontaminate(docs, bench, "doc_id", "text", n = 3)
+    val self = res.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select("doc_id", "n_grams", "n_overlap").collect()
+    assert(self.nonEmpty)
+    // a benchmark doc shares all of its own grams
+    assert(self.forall(r => r.getInt(1) == r.getInt(2)))
+  }
+
+  test("redactPii leaves no raw email/ip/phone behind and counts match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.co and 10.1.2.3 call 555-1234"),
+      (2L, "clean text, no pii here"),
+      (3L, "two mails x@y.org z@w.net one ip 192.168.0.1")
+    ).toDF("doc_id", "text")
+    val r = Corpus.redactPii(df, "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("redacted") == "mail <EMAIL> and <IP> call <PHONE>")
+    assert(r(0).getAs[Int]("n_emails") == 1 && r(0).getAs[Int]("n_ips") == 1
+      && r(0).getAs[Int]("n_phones") == 1)
+    assert(r(1).getAs[String]("redacted") == "clean text, no pii here")
+    assert(r(2).getAs[Int]("n_emails") == 2 && r(2).getAs[Int]("n_ips") == 1)
+    assert(!r.exists(_.getAs[String]("redacted").contains("@")))
+  }
+
+  test("packSequences offsets are a prefix sum regardless of chunk size") {
+    val n = size(split(graft.ops.Dedup.normText(col("text")), " "))
+    val a = Corpus.packSequences(docs, "doc_id", n, budget = 512, chunkSize = 7)
+      .orderBy("doc_id").collect()
+    val b = Corpus.packSequences(docs, "doc_id", n, budget = 512, chunkSize = 64)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq) // chunking is an implementation detail
+    // start_off is the running sum of preceding n_tokens
+    var run = 0L
+    a.foreach { r =>
+      assert(r.getAs[Long]("start_off") == run, s"doc ${r.get(0)}")
+      run += r.getAs[Int]("n_tokens")
+    }
+    // window ids are non-decreasing and match the offset arithmetic
+    assert(a.forall(r => r.getAs[Long]("window_id") == r.getAs[Long]("start_off") / 512))
+  }
+
+  test("sampleByHash is deterministic and rate-ordered by stratum") {
+    val rates = Map("es" -> 0.5, "zh" -> 0.05)
+    val s1 = Corpus.sampleByHash(docs, "doc_id", "lang", rates, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.sampleByHash(docs, "doc_id", "lang", rates, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // no RNG: identical across runs
+    val kept = Corpus.sampleByHash(docs, "doc_id", "lang", rates, 0.2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def frac(l: String) = kept.getOrElse(l, 0L).toDouble / total(l)
+    // loose bounds: multiplicative hashing is uniform enough at sf0.001
+    assert(frac("es") > 0.3 && frac("es") < 0.7)
+    assert(frac("zh") < 0.2)
+  }
+
+  test("tfidf emits exactly k ranked terms per doc with positive scores") {
+    val r = Corpus.tfidf(docs, "doc_id", "text", k = 3)
+    val byDoc = r.groupBy("doc_id").agg(count(lit(1)).as("n"),
+        min("rnk").as("lo"), max("rnk").as("hi")).collect()
+    assert(byDoc.forall(x => x.getAs[Long]("n") <= 3 && x.getAs[Int]("lo") == 1))
+    assert(r.filter(col("score") < 0).count() == 0) // ln(N/df) >= 0
+  }
+
+  test("semanticDupPairs returns ordered pairs above the threshold") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val pairs = Corpus.semanticDupPairs(emb, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.4, iters = 2).collect()
+    assert(pairs.forall(p => p.getLong(0) < p.getLong(1)))
+    assert(pairs.forall(p => p.getDouble(2) > 0.4))
+  }
+}
