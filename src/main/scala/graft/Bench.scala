@@ -52,7 +52,13 @@ object Bench {
           graft.expressions.TextHashes.simhash32(col("text")))
         .queryExecution.toRdd.foreach(_ => ())
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter, same contract as Verify's; driver runs unset
+    val only = sys.env.get("GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
       catch { case _: Throwable => () }

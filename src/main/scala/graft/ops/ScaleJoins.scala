@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join strategies for shapes that defeat Spark's built-in planner at
+  * 100 TB (SURVEY §7.4 "skew/shuffle" risks; the reference handles none
+  * of these — dask-cudf plans every merge as a plain hash shuffle):
+  *
+  *  - [[bloomSemiJoin]] — membership prefilter for fact⋈small-ish dim
+  *    semi-joins where the dim is too big to broadcast as a hash table
+  *    but its BLOOM SKETCH (a few MB at 1% fpp) is not. The fact side is
+  *    filtered BEFORE its shuffle; the exact semi-join afterwards only
+  *    sees survivors, so results stay exact while shuffle volume drops
+  *    to matches + fpp·misses.
+  *  - [[rangeJoinBinned]] — point-in-interval equi-binned join. Spark
+  *    plans `p BETWEEN lo AND hi` as BroadcastNestedLoopJoin (O(N·M));
+  *    binning turns it into an equi-shuffle join on the bin id with the
+  *    interval replicated only to bins it overlaps.
+  *  - [[sessionize]] — gap-based batch sessionization (the batch twin of
+  *    q112's streaming session windows): one keyed window, no joins.
+  */
+object ScaleJoins {
+
+  /** Exact left-semi join with a broadcast Bloom prefilter on the fact
+    * side. `expectedItems`/`fpp` size the sketch (1M keys at 1% ≈ 1.2 MB
+    * — broadcastable when the dim's hash table is not). The trailing
+    * semi-join removes the false positives, so output = plain semi-join.
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "leftsemi")
+  }
+
+  /** Point-in-interval join: rows of `points` matched to every interval
+    * `[lo, hi]` of `intervals` that contains `point`. Both sides are
+    * bucketed into fixed-width bins of `binWidth`; an interval is
+    * replicated to each bin it overlaps, a point lands in exactly one
+    * bin, so each qualifying pair meets exactly once (no dedup needed)
+    * and the join is a plain equi-shuffle on the bin id + residual
+    * predicate. Replication factor = avg interval span / binWidth —
+    * pick binWidth ≈ the typical span.
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pBin = floor(col(pointCol) / binWidth).cast("long")
+    val iv = intervals.withColumn("bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    points.withColumn("bin", pBin)
+      .join(iv, Seq("bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("bin")
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the user's previous event exceeds `gapSec`. Emits the input plus
+    * `session_idx` (1-based per user). One hash shuffle on the user key;
+    * state per partition is a single lag — the batch counterpart of
+    * Structured Streaming's `session_window` (q112).
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val gapUs = lit(gapSec * 1000000L)
+    df.withColumn("prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(w))
+      .drop("prev_us", "new_sess")
+  }
+
+  /** Per-session rollup over [[sessionize]] output: event count, span
+    * seconds, total `valueCol`. Same single shuffle (session_idx is a
+    * function of the user partition), map-side combined.
+    */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String,
+      gapSec: Long, valueCol: String): DataFrame =
+    sessionize(df, userCol, tsCol, gapSec)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol)))) / 1000000L)
+          .cast("long").as("span_sec"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+}
