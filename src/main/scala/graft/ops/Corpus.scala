@@ -195,4 +195,114 @@ object Corpus {
       .filter(col("cos") > threshold)
       .select(col("a"), col("b"), col("cos"))
   }
+
+  /** Approximate-then-exact heavy hitters: the global top-`k` tokens by
+    * frequency, found with a distributed Misra–Gries sketch.
+    *
+    * Phase 1 runs a capacity-`capacity` Misra–Gries summary inside each
+    * partition (`mapPartitions`, O(capacity) state, no shuffle) and
+    * unions the surviving candidate terms. The union keeps the MG
+    * guarantee by an averaging argument: any term with global count
+    * > N/capacity must exceed its local N_p/capacity in at least one
+    * partition, so it survives somewhere. Phase 2 exact-counts ONLY the
+    * candidates (map-side-combined groupBy semi-joined against the
+    * broadcast candidate set) and takes the top k.
+    *
+    * This is the 100 TB shape for "top terms over an unbounded
+    * vocabulary": the full-vocabulary shuffle is replaced by a
+    * bounded-state scan plus a count over ≤ partitions×capacity terms.
+    * Each output row carries `ok` = (cnt·capacity > n_tokens), the
+    * proof obligation that rank k could not have been displaced by a
+    * non-candidate (whose count is ≤ N/capacity); the oracle asserts
+    * it, making the result provably exact, not just plausibly so.
+    */
+  def heavyHitters(df: DataFrame, id: String, text: String,
+      k: Int, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tokens = df.select(explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+    val candidates = tokens.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(v) => m.update(t, v + 1)
+          case None if m.size < capacity => m.update(t, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            m.keysIterator.foreach { kk =>
+              val v = m(kk) - 1
+              if (v == 0L) dead += kk else m.update(kk, v)
+            }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.distinct().toDF("term")
+    val counts = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = tokens.agg(count(lit(1)).as("n_tokens"))
+    // candidates ≤ partitions×capacity rows; the rank window runs over
+    // that bounded set, never the vocabulary
+    counts.join(broadcast(candidates), Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("int").as("rnk"), col("term"), col("cnt"),
+        (col("cnt") * capacity > col("n_tokens")).cast("int").as("ok"))
+  }
+
+  /** CCNet-style boilerplate stripping at `w`-token chunk granularity:
+    * a chunk occurring in ≥ `minDocs` DISTINCT documents is boilerplate
+    * (headers, nav bars, license blocks) and is removed from every
+    * document; survivors are reassembled in order. (The fixture text
+    * has no newlines, so the dedup unit is a fixed-width token chunk
+    * rather than a physical line — the algorithm is identical.)
+    *
+    * Plan: one explode to (id, cidx, chunk), a map-side-combined
+    * distinct-doc count per chunk (at scale: group on a 64-bit chunk
+    * hash, not the string), an aggregate keep-list join back, and an
+    * ordered re-concatenation via sort_array(collect_list(struct)) —
+    * no windows, two shuffles total.
+    */
+  def boilerplateStrip(df: DataFrame, id: String, text: String,
+      w: Int, minDocs: Long): DataFrame = {
+    val t = toks(col(text))
+    val nChunks = ceil(size(t).cast("double") / w).cast("int")
+    val chunks = df.select(col(id),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(t, i * w + 1, lit(w)), " "))).as(Seq("cidx", "chunk")))
+    val docFreq = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col(id)).as("nd"))
+    val flagged = chunks.join(docFreq, "chunk")
+      .withColumn("boiler", col("nd") >= minDocs)
+    flagged.groupBy(col(id)).agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(col("boiler").cast("int")).cast("int").as("n_boiler"),
+        // collect_list drops the nulls `when` leaves for boiler chunks;
+        // sort_array orders the structs by cidx (first field) so the
+        // reassembly is deterministic regardless of shuffle order
+        array_join(transform(
+          sort_array(collect_list(when(!col("boiler"),
+            struct(col("cidx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
+  /** Consistent bottom-`n` sampling per stratum: keep the `n` rows with
+    * the smallest multiplicative hash of `id` in each stratum. Unlike a
+    * rate (`sampleByHash`), this yields an EXACT per-stratum count, and
+    * because the hash is fixed, samples drawn from different
+    * snapshots/shards of the same corpus are consistent (a row's
+    * membership never flips as unrelated rows arrive — the bottom-k
+    * union-merge property stream systems rely on).
+    */
+  def bottomKPerStratum(df: DataFrame, strata: String, id: String,
+      n: Int): DataFrame = {
+    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val wS = Window.partitionBy(col(strata)).orderBy(col("bucket"), col(id))
+    df.withColumn("bucket", bucket)
+      .withColumn("rnk", row_number().over(wS))
+      .filter(col("rnk") <= n)
+      .withColumn("rnk", col("rnk").cast("int"))
+  }
 }

@@ -114,4 +114,25 @@ object FrameOps {
   def melt(df: DataFrame, idVars: Seq[String], valueVars: Seq[String],
       varName: String = "variable", valueName: String = "value"): DataFrame =
     df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray, varName, valueName)
+
+  /** pandas/dask `df.resample(freq).agg(...)` (reference
+    * [python/cudf/cudf/core/resample.py :: _Resampler]): bucket rows by
+    * `date_trunc(unit, ts)`, aggregate with the pre-aliased `aggs`, and
+    * LEFT-join onto a dense calendar spanning [min, max] at `step`
+    * (e.g. "1 hour") so empty buckets surface as rows — pandas resample
+    * semantics, where silence is data. Aggregation is a plain map-side-
+    * combined groupBy; the calendar is generated from the two-row
+    * min/max aggregate via `sequence`, so its size is (range/step),
+    * independent of input rows — nothing here funnels the corpus
+    * through one task.
+    */
+  def resample(df: DataFrame, ts: String, unit: String, step: String,
+      aggs: Seq[Column]): DataFrame = {
+    val b = df.groupBy(date_trunc(unit, col(ts)).as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    val cal = b.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr(s"interval $step"))).as("bucket"))
+    cal.join(b, Seq("bucket"), "left")
+  }
 }

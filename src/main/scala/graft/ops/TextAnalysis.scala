@@ -171,4 +171,26 @@ object TextAnalysis {
   private val porterUdf = udf { (w: String) =>
     if (w == null) null else Porter.stem(w)
   }
+
+  /** URL decomposition for corpus filtering (domain blocklists, path
+    * heuristics — the CommonCrawl-prep pass). Pure `regexp_extract`
+    * chains, RE2-safe and lookaround-free so the same patterns run
+    * verbatim in the DuckDB oracle; whole-stage codegen, no UDF.
+    * Emits scheme/host/port/path/query/tld/registrable-ish domain
+    * (last two labels — a public-suffix list plugs in here at
+    * production) and path depth.
+    */
+  def urlParts(u: Column): Column = {
+    val host = regexp_extract(u, "^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([a-z0-9.-]+)", 1)
+    val path = regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    struct(
+      regexp_extract(u, "^([a-z][a-z0-9+.-]*)://", 1).as("scheme"),
+      host.as("host"),
+      regexp_extract(u, "^[a-z][a-z0-9+.-]*://[a-z0-9.-]*:([0-9]+)", 1).as("port"),
+      path.as("path"),
+      regexp_extract(u, "\\?([^#]*)", 1).as("query"),
+      regexp_extract(host, "\\.([a-z0-9-]+)$", 1).as("tld"),
+      regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1).as("domain"),
+      size(filter(split(path, "/"), p => p =!= "")).as("path_depth"))
+  }
 }

@@ -107,6 +107,30 @@ object CorpusQueries extends QueryGroup {
       Corpus.semanticDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           nClusters = 8, threshold = 0.4, iters = 2)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // distributed Misra–Gries heavy hitters: top-20 tokens, provably
+    // exact (each row's ok flag is the displacement-bound proof)
+    "q146_heavy_hitters" -> ((s, d) => {
+      Corpus.heavyHitters(Tables.documents(s, d), "doc_id", "text",
+          k = 20, capacity = 1024)
+        .orderBy(col("rnk"))
+    }),
+
+    // CCNet-style boilerplate chunk removal: 8-token chunks occurring in
+    // ≥3 distinct docs are stripped, survivors reassembled in order
+    "q148_boilerplate_strip" -> ((s, d) => {
+      Corpus.boilerplateStrip(Tables.documents(s, d), "doc_id", "text",
+          w = 8, minDocs = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // consistent bottom-5-per-language sample (exact count per stratum,
+    // membership stable under corpus growth — unlike a rate filter)
+    "q147_bottomk_sample" -> ((s, d) => {
+      Corpus.bottomKPerStratum(Tables.documents(s, d), "lang", "doc_id", n = 5)
+        .select(col("lang"), col("doc_id"), col("bucket"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))
     })
   )
 
@@ -181,6 +205,37 @@ object CorpusQueries extends QueryGroup {
          |  ROUND(${sqlDot("l", "embedding", "r", "embedding")}, 6) AS cos
          |FROM af l JOIN af r ON l.cl = r.cl AND l.vec_id < r.vec_id
          |WHERE ROUND(${sqlDot("l", "embedding", "r", "embedding")}, 6) > 0.4
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY a, b""".stripMargin,
+
+    // exact top-20 by full count; ok=1 restates the MG displacement
+    // bound the Spark side must prove (cnt·capacity > n_tokens)
+    "q146_heavy_hitters" ->
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+         |tok AS (SELECT unnest(string_split(s, ' ')) AS term FROM t),
+         |f AS (SELECT term, COUNT(*) AS cnt FROM tok WHERE len(term) > 0 GROUP BY 1)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER) AS rnk,
+         |  term, cnt, CAST(1 AS INTEGER) AS ok
+         |FROM f QUALIFY rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "q148_boilerplate_strip" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS ord FROM t),
+         |chunks AS (SELECT doc_id, CAST((ord - 1) // 8 AS INTEGER) AS cidx,
+         |    string_agg(tok, ' ' ORDER BY ord) AS chunk
+         |  FROM tokpos GROUP BY doc_id, (ord - 1) // 8),
+         |dfq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1),
+         |fl AS (SELECT c.doc_id, c.cidx, c.chunk, d.nd >= 3 AS boiler
+         |  FROM chunks c JOIN dfq d USING (chunk))
+         |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks,
+         |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
+         |  COALESCE(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY cidx), '') AS clean_text
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q147_bottomk_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  (doc_id * 2654435761) % 4294967296 AS bucket FROM documents)
+        |SELECT lang, doc_id, bucket,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS INTEGER) AS rnk
+        |FROM h QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin
   )
 }

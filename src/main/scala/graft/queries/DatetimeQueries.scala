@@ -127,6 +127,26 @@ object DatetimeQueries extends QueryGroup {
           ((year(col("o_orderdate")) - lit(1995)) * 12 + month(col("o_orderdate")) - 1)
             .as("months_since_95"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // pandas resample('1h').agg(...) with gap surfacing: hourly buckets
+    // over a sparse stream (purchase events leave ~47 of 720 hours
+    // empty at sf0.01), dense calendar join, count 0 / avg null on
+    // gaps, plus a forward-filled avg (resample().ffill() composition)
+    "q57_dt_resample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val r = graft.ops.FrameOps.resample(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        ts = "ts", unit = "hour", step = "1 hour",
+        aggs = Seq(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value")))
+      // the ffill window is over the bounded calendar (range/step rows),
+      // not the event stream — safe unpartitioned at any corpus size
+      val wFill = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      r.select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          coalesce(col("n"), lit(0L)).as("n"), col("avg_value"),
+          last(col("avg_value"), ignoreNulls = true).over(wFill).as("avg_filled"))
+        .orderBy(col("h"))
     })
   )
 
@@ -200,6 +220,19 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
         |  STRFTIME(DATE_TRUNC('week', o_orderdate), '%Y-%m-%d') AS week_start,
         |  CAST((YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS INTEGER) AS months_since_95
-        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    // ns-parquet ts: cast the trunc to µs TIMESTAMP so generate_series
+    // and the join key agree on type
+    "q57_dt_resample" ->
+      """WITH e AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, COUNT(*) AS n,
+        |    ROUND(AVG(value), 4) AS avg_value FROM e GROUP BY 1),
+        |cal AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+        |    (SELECT max(bucket) FROM b), INTERVAL 1 HOUR)) AS bucket)
+        |SELECT STRFTIME(cal.bucket, '%Y-%m-%d %H:%M:%S') AS h, COALESCE(b.n, 0) AS n, b.avg_value,
+        |  last_value(b.avg_value IGNORE NULLS) OVER (ORDER BY cal.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
+        |FROM cal LEFT JOIN b USING (bucket) ORDER BY h""".stripMargin
   )
 }

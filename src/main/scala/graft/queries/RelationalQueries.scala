@@ -365,6 +365,27 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
+    // mergeable HLL sketches (Apache DataSketches, built into Spark):
+    // per-group sketches estimate group NDV, and hll_union_agg merges
+    // them into the global NDV WITHOUT rescanning — the 100 TB pattern
+    // (sketch per partition/day, union at read time). Gated like q21b:
+    // exact NDV both sides + an ok flag bounding the estimate's error;
+    // the union row proves merge correctness, not just per-group math.
+    "q21c_agg_hll_sketch" -> ((s, d) => {
+      val sk = li(s, d).groupBy(col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+      val per = sk.select(col("l_linestatus").as("grp"), col("exact_nd"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_nd")).cast("double")
+          / col("exact_nd") <= 0.05).cast("int").as("ok"))
+      val all = sk.agg(hll_union_agg(col("sk")).as("sku"))
+        .crossJoin(li(s, d).agg(countDistinct(col("l_partkey")).as("exact_nd")))
+        .select(lit("ALL").as("grp"), col("exact_nd"),
+          (abs(hll_sketch_estimate(col("sku")) - col("exact_nd")).cast("double")
+            / col("exact_nd") <= 0.05).cast("int").as("ok"))
+      per.unionByName(all).orderBy(col("grp"))
+    }),
+
     "q22_agg_collect" -> ((s, d) => {
       ord(s, d).groupBy(col("o_orderpriority"))
         .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
@@ -893,6 +914,13 @@ object RelationalQueries extends QueryGroup {
         |  COUNT(DISTINCT l_partkey) AS exact_nd,
         |  CAST(1 AS INTEGER) AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q21c_agg_hll_sketch" ->
+      """SELECT grp, exact_nd, CAST(1 AS INTEGER) AS ok FROM (
+        |  SELECT l_linestatus AS grp, COUNT(DISTINCT l_partkey) AS exact_nd FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', COUNT(DISTINCT l_partkey) FROM lineitem)
+        |ORDER BY grp""".stripMargin,
 
     "q22_agg_collect" ->
       """SELECT o_orderpriority,

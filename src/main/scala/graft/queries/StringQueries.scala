@@ -180,8 +180,43 @@ object StringQueries extends QueryGroup {
           regexp_replace(win, "(.).", "$1").as("step2"),
           regexp_replace(win, "(.)..", "$1").as("step3"))
         .orderBy(col("doc_id"))
+    }),
+
+    // URL decomposition + domain blocklist (corpus filtering pass) —
+    // TextAnalysis.urlParts, pure codegen'd regexp chains
+    "q149_url_parse" -> ((s, d) => {
+      import s.implicits._
+      val p = graft.ops.TextAnalysis.urlParts(col("url"))
+      urlFixture.toDF("uid", "url")
+        .select(col("uid"), col("url"), p.as("p"))
+        .select(col("uid"), col("url"),
+          col("p.scheme").as("scheme"), col("p.host").as("host"),
+          col("p.port").as("port"), col("p.path").as("path"),
+          col("p.query").as("query"), col("p.tld").as("tld"),
+          col("p.domain").as("domain"),
+          col("p.path_depth").cast("int").as("path_depth"),
+          col("p.domain").isin(urlBlocklist: _*).cast("int").as("blocked"))
+        .orderBy(col("uid"))
     })
   )
+
+  /** URL fixture shared by q149 and its oracle (VALUES on both sides,
+    * like q108): each engine parses independently with the SAME
+    * RE2-safe patterns, so any divergence in the regex kernels gates.
+    */
+  private val urlFixture: Seq[(Int, String)] = Seq(
+    1 -> "https://www.example.com/a/b/c?x=1&y=2",
+    2 -> "http://spam.bad-site.org/landing",
+    3 -> "https://sub.shop.example.co/products/",
+    4 -> "ftp://files.archive.net:2121/pub/data.bin",
+    5 -> "https://example.com",
+    6 -> "http://ads.tracker.io/p?id=9#frag",
+    7 -> "https://docs.example.com:8443/kb/how-to",
+    8 -> "http://bad-site.org/",
+    9 -> "https://en.wiki.example.org/wiki/Main_Page",
+    10 -> "http://example.net/x//y/")
+
+  private val urlBlocklist = Seq("bad-site.org", "tracker.io")
 
   override def oracle: Map[String, String] = Map(
     "q40_str_case_pad" ->
@@ -283,6 +318,24 @@ object StringQueries extends QueryGroup {
         |  SUBSTR(text, 3, 20) AS base,
         |  REGEXP_REPLACE(SUBSTR(text, 3, 20), '(.).', '\1', 'g') AS step2,
         |  REGEXP_REPLACE(SUBSTR(text, 3, 20), '(.)..', '\1', 'g') AS step3
-        |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q149_url_parse" -> {
+      val vals = urlFixture.map { case (i, u) => s"($i, '$u')" }.mkString(", ")
+      val block = urlBlocklist.map(dm => s"'$dm'").mkString(", ")
+      s"""WITH u AS (SELECT * FROM (VALUES $vals) AS v(uid, url)),
+         |p AS (SELECT uid, url,
+         |  regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([a-z0-9.-]+)', 1) AS host,
+         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://[a-z0-9.-]*:([0-9]+)', 1) AS port,
+         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u)
+         |SELECT uid, url, scheme, host, port, path, query,
+         |  regexp_extract(host, '\\.([a-z0-9-]+)$$', 1) AS tld,
+         |  regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain,
+         |  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INTEGER) AS path_depth,
+         |  CAST(regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) IN ($block) AS INTEGER) AS blocked
+         |FROM p ORDER BY uid""".stripMargin
+    }
   )
 }

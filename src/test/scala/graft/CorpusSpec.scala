@@ -86,4 +86,71 @@ class CorpusSpec extends SparkSpec {
     assert(pairs.forall(p => p.getLong(0) < p.getLong(1)))
     assert(pairs.forall(p => p.getDouble(2) > 0.4))
   }
+
+  test("heavyHitters equals the exact full-count top-k and proves it") {
+    import graft.ops.Dedup
+    val hh = Corpus.heavyHitters(docs, "doc_id", "text", k = 10, capacity = 512)
+      .orderBy("rnk").collect()
+    val exact = docs
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").count()
+      .orderBy(col("count").desc, col("term").asc)
+      .limit(10).collect()
+    assert(hh.length == 10)
+    assert(hh.map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"))).toSeq ==
+      exact.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(hh.forall(_.getAs[Int]("ok") == 1)) // displacement bound held
+  }
+
+  test("heavyHitters survives a capacity squeeze only when provable") {
+    // tiny capacity: results may still be right, but if the bound fails
+    // the op must SAY so via ok=0 rather than silently claim exactness
+    import graft.ops.Dedup
+    val hh = Corpus.heavyHitters(docs, "doc_id", "text", k = 10, capacity = 8)
+      .collect()
+    val total = docs
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(hh.forall(r =>
+      (r.getAs[Int]("ok") == 1) == (r.getAs[Long]("cnt") * 8 > total)))
+  }
+
+  test("boilerplateStrip removes exactly the chunks shared by >=minDocs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common header block here unique tail one two three"),
+      (2L, "common header block here different body words go here"),
+      (3L, "common header block here third doc tail tokens end"),
+      (4L, "totally unrelated content with no shared chunk at all")
+    ).toDF("doc_id", "text")
+    val r = Corpus.boilerplateStrip(df, "doc_id", "text", w = 4, minDocs = 3)
+      .orderBy("doc_id").collect()
+    // the first 4-token chunk "common header block here" appears in 3 docs
+    assert(r(0).getAs[Int]("n_boiler") == 1)
+    assert(!r(0).getAs[String]("clean_text").contains("common header"))
+    assert(r(0).getAs[String]("clean_text").startsWith("unique tail"))
+    assert(r(3).getAs[Int]("n_boiler") == 0)
+    assert(r(3).getAs[String]("clean_text") ==
+      "totally unrelated content with no shared chunk at all")
+  }
+
+  test("bottomKPerStratum: exact n per stratum, membership is stable") {
+    val s1 = Corpus.bottomKPerStratum(docs, "lang", "doc_id", n = 4)
+    val counts = s1.groupBy("lang").count().collect()
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { r =>
+      assert(r.getLong(1) == math.min(4L, langSizes(r.getString(0))))
+    }
+    // consistency: sampling a SUBSET never invents new members for the
+    // strata the subset covers (bottom-k union-merge property)
+    val sub = Corpus.bottomKPerStratum(
+      docs.filter(col("doc_id") < 250), "lang", "doc_id", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    // members of the full sample that are < 250 must appear in the
+    // subset sample (smaller pool can only keep or promote them)
+    assert(full.filter(_ < 250).subsetOf(sub))
+  }
 }

@@ -119,4 +119,38 @@ class FrameOpsSpec extends SparkSpec {
       .orderBy($"i").as[Double].collect()
     assert(got.toSeq == Seq(1.05, 1.155, 1.1781, 1.122))
   }
+
+  test("resample surfaces empty buckets with null aggs (pandas parity)") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 10.0),
+      (Timestamp.valueOf("2024-01-01 00:40:00"), 20.0),
+      // 01:00 hour empty
+      (Timestamp.valueOf("2024-01-01 02:05:00"), 30.0)
+    ).toDF("ts", "v")
+    val r = graft.ops.FrameOps.resample(df, "ts", "hour", "1 hour",
+        Seq(count(lit(1)).as("n"), avg($"v").as("m")))
+      .orderBy($"bucket").collect()
+    assert(r.length == 3)
+    assert(r(1).isNullAt(r(1).fieldIndex("n")) || r(1).getAs[Long]("n") == 0L
+      || r(1).get(r(1).fieldIndex("n")) == null)
+    assert(r(1).isNullAt(r(1).fieldIndex("m")))
+    assert(r(0).getAs[Long]("n") == 2 && r(0).getAs[Double]("m") == 15.0)
+    assert(r(2).getAs[Double]("m") == 30.0)
+  }
+
+  test("urlParts decomposes scheme/host/port/path/query/domain") {
+    val df = Seq(
+      "https://docs.example.com:8443/kb/how-to?q=1#x",
+      "http://bad-site.org/").toDF("url")
+    val r = df.select(graft.ops.TextAnalysis.urlParts($"url").as("p"))
+      .select($"p.scheme", $"p.host", $"p.port", $"p.path", $"p.query",
+        $"p.tld", $"p.domain", $"p.path_depth")
+      .orderBy($"p.scheme")
+      .collect()
+    assert(r(1).toSeq == Seq("https", "docs.example.com", "8443",
+      "/kb/how-to", "q=1", "com", "example.com", 2))
+    assert(r(0).toSeq == Seq("http", "bad-site.org", "", "/", "", "org",
+      "bad-site.org", 0))
+  }
 }
