@@ -288,6 +288,126 @@ object Corpus {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** CCNet-style statistical-LM quality score without the external LM:
+    * train an add-one-smoothed bigram model ON the corpus itself and
+    * score every document by its mean bigram log-probability,
+    * ln((c(w1,w2)+1)/(c(w1)+V)). Low scores mark statistically atypical
+    * documents (the perplexity-filter signal). Three map-side-combined
+    * count aggregations (bigram, unigram, vocab) + one broadcast of the
+    * two scalars; the bigram join shuffles on w1 — the LM "training" is
+    * just counting, exactly how it distributes.
+    */
+  def bigramLmScore(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = toks(col(text))
+    val toksPos = df.select(col(id), explode(t).as("w"))
+      .filter(length(col("w")) > 0)
+    // adjacent pairs scan-side via zip of the two shifted slices — no
+    // positional self-join (which would shuffle the token stream twice)
+    val bigrams = df.select(col(id),
+        explode(arrays_zip(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1))).as("bg"))
+      .select(col(id), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = toksPos.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = toksPos.agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg(col("lp")), 4).as("avg_logprob"))
+  }
+
+  /** Inverted index build: per term, document frequency, total term
+    * frequency, and the first `maxPostings` doc ids of the sorted
+    * posting list. One shuffle on term with map-side combine; posting
+    * lists are truncated BEFORE stringification so no unbounded array
+    * crosses the wire (at 100 TB you shard this by term range and keep
+    * full lists — the plan shape is the same).
+    */
+  def invertedIndex(df: DataFrame, id: String, text: String,
+      maxPostings: Int): DataFrame = {
+    val terms = df.select(col(id), explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+    terms.groupBy(col("term"), col(id)).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("int").as("df"),
+        sum(col("tf")).as("tf_total"),
+        array_join(slice(sort_array(collect_list(col(id))), 1, maxPostings), ",")
+          .as("postings"))
+  }
+
+  /** Pointwise mutual information between terms at document granularity,
+    * restricted to the `topN` highest-df terms (the PMI matrix of the
+    * core vocabulary — unbounded-vocabulary PMI is noise). n_a/n_b/n_ab
+    * are document frequencies; pmi = ln(n_ab·N / (n_a·n_b)). The
+    * candidate vocabulary is broadcast, the pair join runs per document
+    * (distinct top-terms per doc is ≤ topN, so the per-doc pair fanout
+    * is bounded by topN²/2).
+    */
+  def pmiPairs(df: DataFrame, id: String, text: String, topN: Int,
+      minPairDf: Long = 2): DataFrame = {
+    val docTerms = df.select(col(id), explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    val top = docTerms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(topN)
+    val dt = docTerms.join(broadcast(top), Seq("term"))
+    val nDocs = df.agg(countDistinct(col(id)).as("n_docs"))
+    dt.as("x").join(dt.as("y"),
+        col(s"x.$id") === col(s"y.$id") && col("x.term") < col("y.term"))
+      .groupBy(col("x.term").as("term_a"), col("y.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        first(col("x.n")).as("n_a"), first(col("y.n")).as("n_b"))
+      .filter(col("n_ab") >= minPairDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_docs")
+          / (col("n_a") * col("n_b"))), 4).as("pmi"))
+  }
+
+  /** Exact duplicate-substring spans (the Lee et al. 2022 "Deduplicating
+    * Training Data" signal at fixed granularity): every sliding `l`-token
+    * window shared VERBATIM with another document is a duplicated
+    * position; per document this reports how many window positions are
+    * duplicated and the longest consecutive duplicated run (the span a
+    * substring-dedup pass would cut). Window identity goes through the
+    * exploded string itself here; at 100 TB the group key is a 128-bit
+    * hash of the window and everything else is unchanged.
+    *
+    * The run-length computation is the gaps-and-islands trick
+    * (p − row_number over duplicated positions is constant within a
+    * run), windowed PER DOCUMENT — no global window.
+    */
+  def dupSpans(df: DataFrame, id: String, text: String, l: Int): DataFrame = {
+    val t = toks(col(text))
+    val nWin = greatest(size(t) - l + 1, lit(0))
+    // sequence(1, 0) would count DOWN ([1,0]) — guard short docs to an
+    // empty window list instead (posexplode then emits no rows; the
+    // final left join restores them with zero counts)
+    val winIdx = when(nWin >= 1, sequence(lit(1), nWin))
+      .otherwise(array().cast("array<int>"))
+    val wins = df.select(col(id),
+        posexplode(transform(winIdx,
+          i => array_join(slice(t, i, lit(l)), " "))).as(Seq("p", "win")))
+    val winDocs = wins.groupBy(col("win"))
+      .agg(countDistinct(col(id)).as("ndocs"))
+      .filter(col("ndocs") > 1)
+    val dup = wins.join(winDocs, Seq("win"), "left_semi")
+    val wRun = Window.partitionBy(col(id)).orderBy(col("p"))
+    val runs = dup
+      .withColumn("isl", col("p") - row_number().over(wRun))
+      .groupBy(col(id), col("isl")).agg(count(lit(1)).as("run"))
+      .groupBy(col(id)).agg(sum(col("run")).cast("int").as("n_dup"),
+        max(col("run")).cast("int").as("max_run"))
+    val totals = df.select(col(id), nWin.cast("int").as("n_windows"))
+    totals.join(runs, Seq(id), "left")
+      .select(col(id), col("n_windows"),
+        coalesce(col("n_dup"), lit(0)).as("n_dup"),
+        coalesce(col("max_run"), lit(0)).as("max_run"))
+  }
+
   /** Consistent bottom-`n` sampling per stratum: keep the `n` rows with
     * the smallest multiplicative hash of `id` in each stratum. Unlike a
     * rate (`sampleByHash`), this yields an EXACT per-stratum count, and

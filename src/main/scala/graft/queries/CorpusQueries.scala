@@ -131,6 +131,35 @@ object CorpusQueries extends QueryGroup {
       Corpus.bottomKPerStratum(Tables.documents(s, d), "lang", "doc_id", n = 5)
         .select(col("lang"), col("doc_id"), col("bucket"), col("rnk"))
         .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // corpus-trained bigram LM score (the CCNet perplexity-filter
+    // signal, self-contained: the model IS the corpus counts)
+    "q151_bigram_lm" -> ((s, d) => {
+      Corpus.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // inverted index: df / total tf / first-10 posting list per term
+    "q152_inverted_index" -> ((s, d) => {
+      Corpus.invertedIndex(Tables.documents(s, d), "doc_id", "text",
+          maxPostings = 10)
+        .orderBy(col("term"))
+    }),
+
+    // document-level PMI over the 30-term core vocabulary
+    "q153_pmi" -> ((s, d) => {
+      Corpus.pmiPairs(Tables.documents(s, d), "doc_id", "text",
+          topN = 30, minPairDf = 5)
+        .orderBy(col("term_a"), col("term_b"))
+    }),
+
+    // exact duplicate-substring spans at 5-token window granularity
+    // (Lee et al. 2022 substring-dedup signal: position counts + the
+    // longest duplicated run per doc)
+    "q154_dup_spans" -> ((s, d) => {
+      Corpus.dupSpans(Tables.documents(s, d), "doc_id", "text", l = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -236,6 +265,54 @@ object CorpusQueries extends QueryGroup {
         |  (doc_id * 2654435761) % 4294967296 AS bucket FROM documents)
         |SELECT lang, doc_id, bucket,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS INTEGER) AS rnk
-        |FROM h QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin
+        |FROM h QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "q151_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS p FROM t),
+         |c1 AS (SELECT w, COUNT(*) AS c1 FROM tokpos WHERE len(w) > 0 GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT w) AS v FROM tokpos WHERE len(w) > 0),
+         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM tokpos a
+         |  JOIN tokpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         |sc AS (SELECT bg.doc_id, LN((c2.c12 + 1.0) / (c1.c1 + v.v)) AS lp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w CROSS JOIN v)
+         |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         |  ROUND(AVG(lp), 4) AS avg_logprob
+         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q152_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t WHERE len(term) > 0 GROUP BY 1, 2)
+         |SELECT term, CAST(COUNT(*) AS INTEGER) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+         |  array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS postings
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+
+    "q153_pmi" ->
+      s"""WITH dt0 AS (SELECT DISTINCT doc_id, term FROM
+         |  (SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS term FROM documents) WHERE len(term) > 0),
+         |top AS (SELECT term, COUNT(*) AS n FROM dt0 GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 30),
+         |dt AS (SELECT dt0.doc_id, dt0.term, top.n FROM dt0 JOIN top USING (term)),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |pr AS (SELECT x.term AS term_a, y.term AS term_b, COUNT(*) AS n_ab,
+         |    ANY_VALUE(x.n) AS n_a, ANY_VALUE(y.n) AS n_b
+         |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2)
+         |SELECT term_a, term_b, n_ab, ROUND(LN(n_ab * 1.0 * nd.n_docs / (n_a * n_b)), 4) AS pmi
+         |FROM pr, nd WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
+
+    "q154_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |w0 AS (SELECT doc_id, [array_to_string(tk[i:i+4], ' ')
+         |    for i in range(1, greatest(len(tk) - 4, 0) + 1)] AS wins FROM t),
+         |w AS (SELECT doc_id, unnest(wins) AS win, generate_subscripts(wins, 1) AS p FROM w0),
+         |wd AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1),
+         |dup AS (SELECT w.doc_id, w.p FROM w JOIN wd USING (win)),
+         |runs AS (SELECT doc_id, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM dup),
+         |agg AS (SELECT doc_id, isl, COUNT(*) AS run FROM runs GROUP BY 1, 2),
+         |per AS (SELECT doc_id, CAST(SUM(run) AS INTEGER) AS n_dup,
+         |  CAST(MAX(run) AS INTEGER) AS max_run FROM agg GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(GREATEST(len(tk) - 4, 0) AS INTEGER) AS n_windows FROM t)
+         |SELECT tot.doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, COALESCE(max_run, 0) AS max_run
+         |FROM tot LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

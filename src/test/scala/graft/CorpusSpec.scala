@@ -135,6 +135,65 @@ class CorpusSpec extends SparkSpec {
       "totally unrelated content with no shared chunk at all")
   }
 
+  test("bigramLmScore computes add-one-smoothed mean bigram logprob") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = Corpus.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // corpus: c1(a)=3 c1(b)=3 c1(c)=1, V=3; c2(a,b)=3 (b,a)=1 (b,c)=1
+    // doc1 bigrams (a,b)(b,a)(a,b): avg(ln(4/6), ln(2/6), ln(4/6))
+    val exp1 = (2 * math.log(4.0 / 6) + math.log(2.0 / 6)) / 3
+    assert(r(0).getAs[Int]("n_bigrams") == 3)
+    assert(math.abs(r(0).getAs[Double]("avg_logprob") -
+      math.rint(exp1 * 10000) / 10000) < 1e-9)
+    assert(r(1).getAs[Int]("n_bigrams") == 2)
+  }
+
+  test("invertedIndex truncates postings but keeps full df/tf") {
+    import spark.implicits._
+    val df = (1L to 15L).map(i => (i, "common word" + (i % 3)))
+      .toDF("doc_id", "text")
+    val r = Corpus.invertedIndex(df, "doc_id", "text", maxPostings = 4)
+      .orderBy("term").collect()
+    val common = r.find(_.getString(0) == "common").get
+    assert(common.getAs[Int]("df") == 15)
+    assert(common.getAs[Long]("tf_total") == 15L)
+    assert(common.getAs[String]("postings") == "1,2,3,4") // truncated, sorted
+  }
+
+  test("pmiPairs: co-occurring pair positive, exclusive pair filtered") {
+    import spark.implicits._
+    // x and y always together; y and z never together
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "z w"),
+      (5L, "z w"), (6L, "z w")).toDF("doc_id", "text")
+    val r = Corpus.pmiPairs(df, "doc_id", "text", topN = 4, minPairDf = 2)
+      .collect()
+    val xy = r.find(p => p.getString(0) == "x" && p.getString(1) == "y").get
+    assert(xy.getAs[Long]("n_ab") == 3)
+    // pmi = ln(3*6/(3*3)) = ln 2
+    assert(math.abs(xy.getAs[Double]("pmi") - 0.6931) < 1e-9)
+    assert(!r.exists(p => p.getString(0) == "w" && p.getString(1) == "x"))
+  }
+
+  test("dupSpans finds shared windows and the longest run; short docs are zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 u1 u2"),
+      (2L, "z0 x1 x2 x3 x4 x5 x6 w9"),
+      (3L, "totally different words only here"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val r = Corpus.dupSpans(df, "doc_id", "text", l = 5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_windows") == 4)
+    assert(r(0).getAs[Int]("n_dup") == 2)   // x1..x5, x2..x6
+    assert(r(0).getAs[Int]("max_run") == 2) // consecutive positions
+    assert(r(1).getAs[Int]("n_dup") == 2)
+    assert(r(2).getAs[Int]("n_dup") == 0)
+    assert(r(3).getAs[Int]("n_windows") == 0) // shorter than l: guarded
+    assert(r(3).getAs[Int]("n_dup") == 0)
+  }
+
   test("bottomKPerStratum: exact n per stratum, membership is stable") {
     val s1 = Corpus.bottomKPerStratum(docs, "lang", "doc_id", n = 4)
     val counts = s1.groupBy("lang").count().collect()
