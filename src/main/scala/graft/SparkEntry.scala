@@ -20,6 +20,7 @@ object SparkEntry {
     UdfQueries,
     LlmQueries,
     CorpusQueries,
+    ScaleJoinQueries,
     StreamingQueries,
     SourceQueries,
     AsofQueries

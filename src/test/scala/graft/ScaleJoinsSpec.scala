@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleJoins
+
+/** ScaleJoins rewrites must be result-invariant vs the naive plan they
+  * replace, and the range rewrite must actually eliminate the
+  * nested-loop join it exists to avoid.
+  */
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomSemiJoin equals plain left-semi join") {
+    val fact = Tables.lineitem(spark, sfTiny)
+    val dim = Tables.orders(spark, sfTiny).filter($"o_totalprice" > 300000)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum($"l_quantity"), sum($"l_orderkey"))
+        .collect()(0).toSeq
+    val got = sig(ScaleJoins.bloomSemiJoin(fact, dim,
+      "l_orderkey", "o_orderkey", expectedItems = 10000))
+    val want = sig(fact.join(dim, $"l_orderkey" === $"o_orderkey", "leftsemi"))
+    assert(got == want)
+  }
+
+  test("rangeJoinBinned equals naive cross-filter, each pair exactly once") {
+    // spans chosen to hit bin boundaries, multi-bin intervals, and a
+    // point landing exactly on lo/hi
+    val points = Seq((1, 5.0), (2, 10.0), (3, 25.0), (4, 41.0), (5, 100.0))
+      .toDF("id", "p")
+    val ivs = Seq(("a", 0.0, 10.0), ("b", 8.0, 30.0), ("c", 40.0, 42.0),
+      ("d", 25.0, 25.0)).toDF("band", "lo", "hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"band").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val got = pairs(ScaleJoins.rangeJoinBinned(points, ivs, "p", "lo", "hi", 10.0))
+    val want = pairs(points.crossJoin(ivs).filter($"p" >= $"lo" && $"p" <= $"hi"))
+    assert(got == want && got.nonEmpty)
+    // multiset equality above already proves no duplicate pair emission
+    val plan = ScaleJoins.rangeJoinBinned(points, ivs, "p", "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin"), plan)
+  }
+
+  test("sessionize splits on gap and indexes per user") {
+    val rows = Seq(
+      (1L, "u1", 0L), (2L, "u1", 100L), (3L, "u1", 4000L), (4L, "u1", 4100L),
+      (5L, "u2", 50L))
+    val df = rows.toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = ScaleJoins.sessionize(df, "user_id", "ts", gapSec = 1800)
+      .select($"event_id", $"session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionStats aggregates count, span, and value per session") {
+    val rows = Seq(
+      (1L, "u1", 0L, 1.5), (2L, "u1", 100L, 2.5),
+      (3L, "u1", 4000L, 4.0), (5L, "u2", 50L, 9.0))
+    val df = rows.toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = ScaleJoins.sessionStats(df, "user_id", "ts", 1800, "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("u1", 1L) -> ((2L, 100L, 4.0)),
+      ("u1", 2L) -> ((1L, 0L, 4.0)),
+      ("u2", 1L) -> ((1L, 0L, 9.0))))
+  }
+}
