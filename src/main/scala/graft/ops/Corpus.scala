@@ -408,6 +408,101 @@ object Corpus {
         coalesce(col("max_run"), lit(0)).as("max_run"))
   }
 
+  /** Hashed-feature linear quality classifier — the INFERENCE shape of a
+    * fastText-style filter (Joulin et al. 2016; the CCNet/GPT-3 quality
+    * gate) with deterministic pseudo-weights standing in for trained
+    * ones (no model artifacts ship in this sandbox; swap [[featureWeight]]
+    * for a broadcast weight table to serve a real model). Each token is
+    * hashed ([[graft.expressions.TextHashes.poly_hash]], codegen'd), the
+    * hash indexes a weight, the document logit is bias + scale·mean(w).
+    *
+    * Shape: transform+aggregate over the in-row token array — ZERO
+    * shuffles, no explode; 100 TB runs as a pure map stage. The logit
+    * (not a sigmoid) is emitted so the gate stays in exact-IEEE
+    * territory: same token order, same doubles, both engines.
+    */
+  def qualityClassifierScore(df: DataFrame, id: String, text: String,
+      scale: Double = 4.0, bias: Double = 0.0): DataFrame = {
+    val t = filter(toks(col(text)), x => length(x) > 0)
+    val wSum = aggregate(t, lit(0.0d),
+      (acc, x) => acc + featureWeight(x))
+    df.select(col(id), size(t).as("n_tokens"),
+        (lit(bias) + lit(scale) * wSum / size(t)).as("logit"))
+      .select(col(id), col("n_tokens"),
+        round(col("logit"), 6).as("score"),
+        (col("logit") > 0).as("keep"))
+  }
+
+  /** Pseudo-weight in [-0.5, 0.5) for a token: multiplicative remix of
+    * its polynomial hash. Deterministic, uniform, SQL-replayable.
+    */
+  private def featureWeight(tok: Column): Column =
+    pmod(graft.expressions.TextHashes.poly_hash(tok) * lit(2654435761L),
+      lit(1000000007L)).cast("double") / lit(1000000007.0d) - lit(0.5d)
+
+  /** Resample the corpus toward a target domain mixture: given target
+    * weights per stratum and a total row `budget`, compute the keep-rate
+    * budget·target/n per stratum (capped at 1 — can't upsample with a
+    * filter) and apply the deterministic hash filter of [[sampleByHash]].
+    * This is the mixture-balancing step of every pretraining pipeline
+    * (e.g. up/down-weighting domains): counts aggregate is tiny and
+    * broadcast back; the filter itself is a map-stage predicate.
+    */
+  def mixtureResample(df: DataFrame, id: String, strata: String,
+      targets: Map[String, Double], budget: Long,
+      defaultTarget: Double = 0.0): DataFrame = {
+    val target = targets.foldLeft(lit(defaultTarget)) { case (acc, (k, w)) =>
+      when(col(strata) === k, lit(w)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(strata))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("rate", least(lit(1.0d), lit(budget.toDouble) * target / col("n_stratum")))
+    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    df.join(broadcast(rates), strata)
+      .filter(bucket < (col("rate") * lit(4294967296L)).cast("long"))
+  }
+
+  /** Corpus vocabulary statistics: the frequency-of-frequencies spectrum
+    * (how many distinct terms occur exactly f times, f = 1..`maxFreq`,
+    * plus one overflow bucket) with each bucket's share of total token
+    * mass. The hapax row (f=1) and the spectrum shape are the standard
+    * corpus-health signals (Zipf fit, OOV-rate estimation à la
+    * Good–Turing). One term-count shuffle, then an aggregation over
+    * vocabulary-sized data — never row-sized.
+    */
+  def vocabStats(df: DataFrame, text: String, maxFreq: Int): DataFrame = {
+    val terms = df.select(explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val total = terms.agg(count(lit(1)).as("n_tokens"))
+    counts
+      .withColumn("bucket",
+        when(col("f") <= maxFreq, col("f")).otherwise(lit(maxFreq + 1)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_terms"), col("n_occurrences"),
+        round(col("n_occurrences") / col("n_tokens"), 6).as("mass_frac"))
+  }
+
+  /** Deterministic shard assignment for training-data layout: shard =
+    * multiplicative-hash(id) mod `nShards` — stable across runs and
+    * engines, no RNG, no coordination. Returns the per-shard manifest
+    * (doc count, token sum, id range) a writer would use to emit one
+    * file per shard; balance across shards is the hash's uniformity.
+    * Pure map-side bucketing + one tiny aggregation, the exact shape of
+    * `df.write.partitionBy(shard)` at 100 TB.
+    */
+  def shardManifest(df: DataFrame, id: String, text: String,
+      nShards: Int): DataFrame = {
+    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    df.select(col(id), pmod(bucket, lit(nShards.toLong)).as("shard"),
+        size(filter(toks(col(text)), x => length(x) > 0)).as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col(id)).as("min_id"), max(col(id)).as("max_id"))
+  }
+
   /** Consistent bottom-`n` sampling per stratum: keep the `n` rows with
     * the smallest multiplicative hash of `id` in each stratum. Unlike a
     * rate (`sampleByHash`), this yields an EXACT per-stratum count, and

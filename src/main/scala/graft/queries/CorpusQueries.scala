@@ -154,6 +154,40 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("term_a"), col("term_b"))
     }),
 
+    // hashed-feature linear quality classifier: zero-shuffle map-stage
+    // inference; the logit is exact-IEEE on both engines (no sigmoid)
+    "q155_quality_classifier" -> ((s, d) => {
+      Corpus.qualityClassifierScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // domain-mixture resampling: per-language keep-rates toward a
+    // 300-doc en/es/zh mixture (es hits the rate cap), hash-filtered
+    "q156_mixture_resample" -> ((s, d) => {
+      Corpus.mixtureResample(Tables.documents(s, d), "doc_id", "lang",
+          targets = Map("en" -> 0.5, "es" -> 0.3, "zh" -> 0.2), budget = 300)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(round(col("rate"), 6)).as("rate"),
+          max(col("n_stratum")).as("n_stratum"))
+        .orderBy(col("lang"))
+    }),
+
+    // vocabulary frequency-of-frequencies spectrum (hapax count, Zipf
+    // tail mass) — the corpus-health dashboard row
+    "q157_vocab_stats" -> ((s, d) => {
+      Corpus.vocabStats(Tables.documents(s, d), "text", maxFreq = 10)
+        .orderBy(col("bucket"))
+    }),
+
+    // deterministic shard manifest: stable hash sharding + per-shard
+    // doc/token totals (the training-data writer layout step)
+    "q158_shard_manifest" -> ((s, d) => {
+      Corpus.shardManifest(Tables.documents(s, d), "doc_id", "text",
+          nShards = 8)
+        .orderBy(col("shard"))
+    }),
+
     // exact duplicate-substring spans at 5-token window granularity
     // (Lee et al. 2022 substring-dedup signal: position counts + the
     // longest duplicated run per doc)
@@ -299,6 +333,61 @@ object CorpusQueries extends QueryGroup {
          |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2)
          |SELECT term_a, term_b, n_ab, ROUND(LN(n_ab * 1.0 * nd.n_docs / (n_a * n_b)), 4) AS pmi
          |FROM pr, nd WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
+
+    // replay of Corpus.qualityClassifierScore: same polynomial token
+    // hash (HashSpec.polyHash via list_reduce), same weight remix, and
+    // an in-order fold for the sum so the IEEE result is bit-identical
+    "q155_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split($sqlNorm, ' '), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |s AS (SELECT doc_id, len(tk) AS n_tokens,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(tk, x ->
+         |      ((list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |          list_transform(string_split(x, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |          (a, y) -> (a * 31 + y) % 1000000007)
+         |        * 2654435761) % 1000000007) / 1000000007.0 - 0.5)),
+         |      (a, w) -> a + w) AS ws
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  ROUND(4.0 * ws / n_tokens, 6) AS score,
+         |  (4.0 * ws / n_tokens) > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q156_mixture_resample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+        |r AS (SELECT lang, n_stratum, LEAST(1.0,
+        |    300.0 * (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3
+        |             WHEN 'zh' THEN 0.2 ELSE 0.0 END) / n_stratum) AS rate
+        |  FROM c),
+        |k AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+        |  WHERE (d.doc_id * 2654435761) % 4294967296
+        |    < CAST(FLOOR(r.rate * 4294967296) AS BIGINT))
+        |SELECT k.lang, COUNT(*) AS n_kept,
+        |  ROUND(ANY_VALUE(r.rate), 6) AS rate,
+        |  CAST(ANY_VALUE(r.n_stratum) AS BIGINT) AS n_stratum
+        |FROM k JOIN r USING (lang) GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+
+    "q157_vocab_stats" ->
+      s"""WITH tok AS (SELECT unnest(string_split($sqlNorm, ' ')) AS term FROM documents),
+         |f AS (SELECT term, COUNT(*) AS f FROM tok WHERE len(term) > 0 GROUP BY term),
+         |tot AS (SELECT COUNT(*) AS n_tokens FROM tok WHERE len(term) > 0),
+         |b AS (SELECT CAST(CASE WHEN f <= 10 THEN f ELSE 11 END AS INTEGER) AS bucket,
+         |    COUNT(*) AS n_terms, CAST(SUM(f) AS BIGINT) AS n_occurrences
+         |  FROM f GROUP BY 1)
+         |SELECT bucket, n_terms, n_occurrences,
+         |  ROUND(n_occurrences * 1.0 / n_tokens, 6) AS mass_frac
+         |FROM b, tot ORDER BY bucket""".stripMargin,
+
+    "q158_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    ((doc_id * 2654435761) % 4294967296) % 8 AS shard,
+         |    len(list_filter(string_split($sqlNorm, ' '), x -> len(x) > 0)) AS n_tokens
+         |  FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q154_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
