@@ -24,6 +24,9 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // engine-specific optimizer rules (plans package): range-join
+      // binning fires on RangeBinJoin.rangeCond conditions
+      .withExtensions(_.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -53,6 +56,7 @@ object Engine {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.plans.RangeBinJoin.install(spark)
     spark
   }
 }

@@ -45,6 +45,25 @@ object ScaleJoinQueries extends QueryGroup {
         .orderBy(col("band"))
     }),
 
+    // Same range join written the DECLARATIVE way: the user writes the
+    // plain theta join (via RangeBinJoin.rangeCond) and the custom
+    // Catalyst rule rewrites it to the binned equi-join inside the
+    // optimizer — the option-(c) tier of SURVEY §2.3. Identical result
+    // to q19b by construction; PlanSpec asserts the rewrite fires.
+    "q19c_range_join_rule" -> ((s, d) => {
+      graft.plans.RangeBinJoin.install(s)
+      val bands = Tables.region(s, d).select(col("r_name").as("band"),
+        (col("r_regionkey") * lit(40000.0)).as("lo"),
+        (col("r_regionkey") * lit(40000.0) + lit(59999.0)).as("hi"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .join(bands, graft.plans.RangeBinJoin.rangeCond(
+          col("o_totalprice"), col("lo"), col("hi"), binWidth = 40000.0))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("band"))
+    }),
+
     // Gap-based batch sessionization (6 h gap ≈ the fixture's median
     // inter-event gap, so sessions have a few events each). µs-integer
     // gap arithmetic on both sides — no float second boundaries.
@@ -73,6 +92,15 @@ object ScaleJoinQueries extends QueryGroup {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q19b_range_join_binned" ->
+      """WITH bands AS (SELECT r_name AS band,
+        |    r_regionkey * 40000.0 AS lo,
+        |    r_regionkey * 40000.0 + 59999.0 AS hi
+        |  FROM region)
+        |SELECT band, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q19c_range_join_rule" ->
       """WITH bands AS (SELECT r_name AS band,
         |    r_regionkey * 40000.0 AS lo,
         |    r_regionkey * 40000.0 + 59999.0 AS hi

@@ -41,6 +41,58 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"), plan)
   }
 
+  test("RangeBinJoinRule rewrites the theta join to a binned equi-join") {
+    import graft.plans.RangeBinJoin
+    val points = Seq((1, 5.0), (2, 10.0), (3, 25.0), (4, 41.0), (5, 100.0))
+      .toDF("id", "p")
+    val ivs = Seq(("a", 0.0, 10.0), ("b", 8.0, 30.0), ("c", 40.0, 42.0))
+      .toDF("band", "lo", "hi")
+    val joined = points.join(ivs,
+      RangeBinJoin.rangeCond($"p", $"lo", $"hi", binWidth = 10.0))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    val got = joined.select($"id", $"band").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val want = points.crossJoin(ivs).filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select($"id", $"band").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("install() registers the rewrite on a session without the extension") {
+    import graft.plans.RangeBinJoin
+    val s2 = spark.newSession() // fresh sessionState: no injected rule
+    RangeBinJoin.install(s2)
+    RangeBinJoin.install(s2) // idempotent
+    assert(s2.experimental.extraOptimizations
+      .count(_ == graft.plans.RangeBinJoinRule) == 1)
+    import s2.implicits._
+    val points = Seq((1, 5.0), (2, 25.0)).toDF("id", "p")
+    val ivs = Seq(("a", 0.0, 10.0), ("b", 20.0, 30.0)).toDF("band", "lo", "hi")
+    val joined = points.join(ivs,
+      RangeBinJoin.rangeCond($"p", $"lo", $"hi", binWidth = 10.0))
+    assert(!joined.queryExecution.executedPlan.toString.contains("NestedLoopJoin"))
+    assert(joined.select($"id", $"band").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("RangeBinHint evaluates as the plain range predicate when the rule cannot fire") {
+    import graft.plans.RangeBinJoin
+    // in a Filter (not a join condition) the rule never matches, so the
+    // hint expression itself is executed: nulls → false, bounds inclusive
+    val df = Seq((1, 5.0, 0.0, 10.0), (2, 10.0, 0.0, 10.0),
+        (3, 11.0, 0.0, 10.0))
+      .toDF("id", "p", "lo", "hi")
+      .union(Seq((4, 5.0)).toDF("id", "p")
+        .withColumn("lo", lit(null).cast("double"))
+        .withColumn("hi", lit(10.0)))
+    val kept = df.filter(RangeBinJoin.rangeCond($"p", $"lo", $"hi", 10.0))
+      .select($"id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(kept == Seq(1, 2))
+  }
+
   test("sessionize splits on gap and indexes per user") {
     val rows = Seq(
       (1L, "u1", 0L), (2L, "u1", 100L), (3L, "u1", 4000L), (4L, "u1", 4100L),
