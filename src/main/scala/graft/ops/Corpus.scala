@@ -268,10 +268,11 @@ object Corpus {
   def boilerplateStrip(df: DataFrame, id: String, text: String,
       w: Int, minDocs: Long): DataFrame = {
     val t = toks(col(text))
-    val nChunks = ceil(size(t).cast("double") / w).cast("int")
+    // compiled chunker, not transform(sequence(...)): an HOF-built array
+    // fed into posexplode re-evaluates the slice+join lambda per OUTPUT
+    // row — O(chunks²) per doc (PLANS.md perf trap; measured 9.6→1.8 s)
     val chunks = df.select(col(id),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(t, i * w + 1, lit(w)), " "))).as(Seq("cidx", "chunk")))
+        posexplode(TextAnalysis.tokenChunksUdf(t, lit(w))).as(Seq("cidx", "chunk")))
     val docFreq = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col(id)).as("nd"))
     val flagged = chunks.join(docFreq, "chunk")
@@ -383,14 +384,15 @@ object Corpus {
   def dupSpans(df: DataFrame, id: String, text: String, l: Int): DataFrame = {
     val t = toks(col(text))
     val nWin = greatest(size(t) - l + 1, lit(0))
-    // sequence(1, 0) would count DOWN ([1,0]) — guard short docs to an
-    // empty window list instead (posexplode then emits no rows; the
-    // final left join restores them with zero counts)
-    val winIdx = when(nWin >= 1, sequence(lit(1), nWin))
-      .otherwise(array().cast("array<int>"))
+    // compiled sliding-window UDF (allNgramsUdf — an l-token window IS
+    // an l-gram with multiplicity): the transform(sequence(...)) form
+    // re-evaluated the slice+join lambda per OUTPUT row, O(windows²)
+    // per doc — the dominant cost of the whole bench (22 s → ~2 s at
+    // sf0.1, PLANS.md perf trap). posexplode's 0-based pos becomes the
+    // oracle's 1-based window position
     val wins = df.select(col(id),
-        posexplode(transform(winIdx,
-          i => array_join(slice(t, i, lit(l)), " "))).as(Seq("p", "win")))
+        posexplode(TextAnalysis.allNgramsUdf(t, lit(l))).as(Seq("p0", "win")))
+      .select(col(id), (col("p0") + 1).as("p"), col("win"))
     val winDocs = wins.groupBy(col("win"))
       .agg(countDistinct(col(id)).as("ndocs"))
       .filter(col("ndocs") > 1)

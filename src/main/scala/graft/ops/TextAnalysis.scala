@@ -120,6 +120,17 @@ object TextAnalysis {
     else toks.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
   }
 
+  /** Fixed-width token chunks (last chunk may be partial) — the chunk
+    * unit of boilerplate stripping. Same UDF-over-HOF rationale as
+    * [[ngramsUdf]]: a transform()-built array fed into posexplode
+    * re-evaluates the lambda per OUTPUT row (measured 9.6 s → 1.8 s for
+    * q148 at sf0.1).
+    */
+  private[ops] val tokenChunksUdf = udf { (toks: Seq[String], w: Int) =>
+    if (toks == null) Seq.empty[String]
+    else toks.grouped(w).map(_.mkString(" ")).toSeq
+  }
+
   /** Gopher-style repetition filters per document (Rae et al. 2021 §A1.1
     * — the "repetitious text" quality signals an LLM-corpus pipeline
     * thresholds on): total n-gram count, fraction taken by the single
