@@ -69,6 +69,26 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }),
 
+    // streaming corpus ingest: documents stream through the quality
+    // gate (min token count) and stateful content dedup — the
+    // 100 TB/day pipeline front door. Dedup keys on (lang, fingerprint)
+    // so the emitted SET is order-independent: whichever duplicate
+    // arrives first, the surviving (lang, fp, n_tokens) triple is the
+    // same (fp determines normText determines n_tokens).
+    "q116_stream_corpus_ingest" -> ((s, d) => {
+      import graft.ops.Dedup
+      import graft.expressions.TextHashes
+      val stream = Streams.documentsStream(s, d)
+        .withColumn("n_tokens",
+          size(split(Dedup.normText(col("text")), " ")))
+        .filter(col("n_tokens") >= 20)
+        .withColumn("fp", TextHashes.poly_hash(Dedup.normText(col("text"))))
+        .select(col("lang"), col("fp"), col("n_tokens"))
+        .dropDuplicates("lang", "fp")
+      Streams.runToBatch(s, stream, "q116_ingest")
+        .orderBy(col("lang"), col("fp"))
+    }),
+
     // custom state machine: per-user event count + running max via
     // mapGroupsWithState (the groupby-apply-with-state analog the
     // reference lacks entirely). Update-mode emissions are collapsed to
@@ -98,6 +118,21 @@ object StreamingQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // full drain of a stateful dedup emits exactly the distinct key
+    // set; fp replays HashSpec.polyHash over normalized text
+    "q116_stream_corpus_ingest" ->
+      """WITH t AS (SELECT lang,
+        |    LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS s
+        |  FROM documents),
+        |q AS (SELECT lang, s, len(string_split(s, ' ')) AS n_tokens
+        |  FROM t WHERE len(string_split(s, ' ')) >= 20)
+        |SELECT DISTINCT lang,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS fp,
+        |  CAST(n_tokens AS INTEGER) AS n_tokens
+        |FROM q ORDER BY lang, fp""".stripMargin,
+
     "q110_stream_tumbling" ->
       s"""WITH $ctes,
          |w AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000) AS ws,

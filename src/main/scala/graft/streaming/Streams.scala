@@ -53,6 +53,16 @@ object Streams {
       d.toString
     })
 
+  /** File-stream source over the documents fixture — the corpus-ingest
+    * replay (documents arrive as files land; at 100 TB/day the same
+    * plan runs on a cloud-storage file source or Kafka).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(stageDir(path))
+  }
+
   /** Kafka source — the production entry the reference's custreamz
     * Consumer.read_gdf analog maps to. Builds the standard
     * spark-sql-kafka reader: value is the payload (cast to string for
