@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for the 100 TB write path.
+  *
+  * Parquet data skipping is min/max-stat based: a scan prunes a file or
+  * row group when the predicate falls outside its stats. A single-column
+  * sort gives perfect stats on one dimension and useless stats on every
+  * other; Z-ORDERING (interleaving the bits of two sort keys) gives each
+  * file a small rectangle of the 2-d key space, so selective predicates
+  * on EITHER (or both) dimensions touch few files. This is the layout
+  * trick behind Delta/Iceberg `OPTIMIZE ZORDER BY` — here as a plain
+  * column expression + repartitionByRange, nothing engine-private.
+  *
+  * All arithmetic is integer bit-twiddling (the classic parallel
+  * bit-spread), so the DuckDB oracle replays it exactly.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `x` into the even bit positions of a
+    * 32-bit word (0b1111 → 0b01010101).
+    */
+  private def spread(x: Column): Column = {
+    val v0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton/Z value of two 16-bit keys: bits of `a` at even positions,
+    * bits of `b` at odd ones. Keys wider than 16 bits should be
+    * quantized (rank-bucketed) first; values ≤ 65535 pass through.
+    */
+  def zValue(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Write-side helper: cluster `df` into `nFiles` range partitions of
+    * the Z value of (`a`, `b`), sorted within each, so every output
+    * file covers a compact rectangle of the 2-d key space and parquet
+    * min/max stats prune on both dimensions. One range shuffle — the
+    * same cost as any global sort-before-write.
+    */
+  def zOrderBy(df: DataFrame, a: Column, b: Column, nFiles: Int): DataFrame = {
+    val z = zValue(a, b)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

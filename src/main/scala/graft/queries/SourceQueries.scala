@@ -102,6 +102,28 @@ object SourceQueries extends QueryGroup {
         .toDF("i", "sq", "tag")
         .filter(col("i") % 97 === 0)
         .orderBy(col("i"))
+    }),
+
+    // Z-ordered write → box-predicate read-back: the 2-d data-skipping
+    // layout (Layout.zOrderBy). The aggregate (count/sum + min/max z of
+    // the survivors) gates BOTH the Morton arithmetic and round-trip
+    // losslessness; LayoutSpec proves the pruning benefit (fewer files
+    // touched than a single-column sort for the same box)
+    "q126_src_zorder_layout" -> ((s, d) => {
+      import graft.ops.Layout
+      val out = scratch("zorder_lineitem")
+      Layout.zOrderBy(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+          col("l_partkey"), col("l_suppkey"), nFiles = 8)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(100, 140) &&
+          col("l_suppkey").between(10, 20))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(Layout.zValue(col("l_partkey"), col("l_suppkey"))).as("min_z"),
+          max(Layout.zValue(col("l_partkey"), col("l_suppkey"))).as("max_z"))
     })
   )
 
@@ -129,6 +151,25 @@ object SourceQueries extends QueryGroup {
 
     "q125_src_from_map" ->
       """SELECT i, i * i AS sq, 'row_' || i AS tag
-        |FROM range(0, 1000) t(i) WHERE i % 97 = 0 ORDER BY i""".stripMargin
+        |FROM range(0, 1000) t(i) WHERE i % 97 = 0 ORDER BY i""".stripMargin,
+
+    // replay of Layout.zValue: the parallel bit-spread of each 16-bit
+    // key (masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555),
+    // interleaved even/odd
+    "q126_src_zorder_layout" ->
+      """WITH t AS (SELECT l_partkey % 65536 AS xa, l_suppkey % 65536 AS xb,
+        |    l_quantity FROM lineitem
+        |  WHERE l_partkey BETWEEN 100 AND 140 AND l_suppkey BETWEEN 10 AND 20),
+        |s1 AS (SELECT *, ((xa | (xa << 8)) & 16711935) AS a1,
+        |              ((xb | (xb << 8)) & 16711935) AS b1 FROM t),
+        |s2 AS (SELECT *, ((a1 | (a1 << 4)) & 252645135) AS a2,
+        |              ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+        |s3 AS (SELECT *, ((a2 | (a2 << 2)) & 858993459) AS a3,
+        |              ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+        |s4 AS (SELECT *, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+        |              ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3)
+        |SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  MIN(a4 | (b4 << 1)) AS min_z, MAX(a4 | (b4 << 1)) AS max_z
+        |FROM s4""".stripMargin
   )
 }
