@@ -505,6 +505,27 @@ object Corpus {
         min(col(id)).as("min_id"), max(col(id)).as("max_id"))
   }
 
+  /** Deterministic WEIGHTED sampling per stratum (Efraimidis–Spirakis
+    * A-ES): key = −ln(u)/w with u a fixed hash-derived uniform in (0,1];
+    * the bottom-`n` keys per stratum are a weighted sample without
+    * replacement — heavier rows proportionally likelier. RNG-free like
+    * [[sampleByHash]] (same hash → same sample on every run, engine,
+    * shard), which is what makes quality-weighted corpus sampling
+    * reproducible AND oracle-gateable. One window per stratum, rank on
+    * the raw key with the id as tiebreak.
+    */
+  def weightedSample(df: DataFrame, id: String, strata: String,
+      weight: Column, n: Int): DataFrame = {
+    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val u = (bucket + lit(1L)).cast("double") / lit(4294967297.0d)
+    val wS = Window.partitionBy(col(strata)).orderBy(col("es_key"), col(id))
+    df.withColumn("es_key", -log(u) / weight)
+      .withColumn("rnk", row_number().over(wS))
+      .filter(col("rnk") <= n)
+      .withColumn("rnk", col("rnk").cast("int"))
+      .withColumn("es_key", round(col("es_key"), 6))
+  }
+
   /** Consistent bottom-`n` sampling per stratum: keep the `n` rows with
     * the smallest multiplicative hash of `id` in each stratum. Unlike a
     * rate (`sampleByHash`), this yields an EXACT per-stratum count, and

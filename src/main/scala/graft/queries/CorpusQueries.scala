@@ -188,6 +188,17 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("shard"))
     }),
 
+    // weighted sampling: per-language bottom-3 Efraimidis–Spirakis keys
+    // weighted by token count — longer docs proportionally likelier,
+    // fully deterministic (hash-derived uniforms, no RNG)
+    "q159_weighted_sample" -> ((s, d) => {
+      import graft.ops.Dedup
+      Corpus.weightedSample(Tables.documents(s, d), "doc_id", "lang",
+          size(split(Dedup.normText(col("text")), " ")).cast("double"), n = 3)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("es_key"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // exact duplicate-substring spans at 5-token window granularity
     // (Lee et al. 2022 substring-dedup signal: position counts + the
     // longest duplicated run per doc)
@@ -333,6 +344,20 @@ object CorpusQueries extends QueryGroup {
          |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2)
          |SELECT term_a, term_b, n_ab, ROUND(LN(n_ab * 1.0 * nd.n_docs / (n_a * n_b)), 4) AS pmi
          |FROM pr, nd WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
+
+    "q159_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    len(string_split($sqlNorm, ' ')) AS w FROM documents),
+         |k AS (SELECT doc_id, lang,
+         |    -LN((((doc_id * 2654435761) % 4294967296) + 1) / 4294967297.0)
+         |      / w AS es_key
+         |  FROM t),
+         |r AS (SELECT lang, doc_id, es_key,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY es_key, doc_id) AS INTEGER) AS rnk
+         |  FROM k)
+         |SELECT lang, rnk, doc_id, ROUND(es_key, 6) AS es_key
+         |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
 
     // replay of Corpus.qualityClassifierScore: same polynomial token
     // hash (HashSpec.polyHash via list_reduce), same weight remix, and

@@ -100,5 +100,62 @@ package object syntax {
     def withMediaColumn(text: String): DataFrame = Multimodal.withMediaColumn(df, text)
     def sampleFrames(id: String, text: String, frameChars: Int = 256,
         step: Int = 3): DataFrame = Multimodal.sampleFrames(df, id, text, frameChars, step)
+
+    // ---- corpus preparation (Corpus); `df` is the corpus ------------
+    def decontaminate(benchmark: DataFrame, id: String, text: String,
+        n: Int): DataFrame = Corpus.decontaminate(df, benchmark, id, text, n)
+    def redactPii(text: String): DataFrame = Corpus.redactPii(df, text)
+    def packSequences(id: String, nTokens: Column, budget: Long,
+        chunkSize: Long = 64): DataFrame =
+      Corpus.packSequences(df, id, nTokens, budget, chunkSize)
+    def sampleByHash(id: String, strata: String, rates: Map[String, Double],
+        defaultRate: Double): DataFrame =
+      Corpus.sampleByHash(df, id, strata, rates, defaultRate)
+    def tfidfTopK(id: String, text: String, k: Int): DataFrame =
+      Corpus.tfidf(df, id, text, k)
+    def semanticDupPairs(id: String, vec: String, nClusters: Int,
+        threshold: Double, iters: Int = 3): DataFrame =
+      Corpus.semanticDupPairs(df, id, vec, nClusters, threshold, iters)
+    def heavyHitters(id: String, text: String, k: Int,
+        capacity: Int): DataFrame = Corpus.heavyHitters(df, id, text, k, capacity)
+    def boilerplateStrip(id: String, text: String, w: Int,
+        minDocs: Long): DataFrame = Corpus.boilerplateStrip(df, id, text, w, minDocs)
+    def bottomKPerStratum(strata: String, id: String, n: Int): DataFrame =
+      Corpus.bottomKPerStratum(df, strata, id, n)
+    def bigramLmScore(id: String, text: String): DataFrame =
+      Corpus.bigramLmScore(df, id, text)
+    def invertedIndex(id: String, text: String, maxPostings: Int): DataFrame =
+      Corpus.invertedIndex(df, id, text, maxPostings)
+    def pmiPairs(id: String, text: String, topN: Int,
+        minPairDf: Long = 2): DataFrame = Corpus.pmiPairs(df, id, text, topN, minPairDf)
+    def dupSpans(id: String, text: String, l: Int): DataFrame =
+      Corpus.dupSpans(df, id, text, l)
+    def qualityClassifierScore(id: String, text: String, scale: Double = 4.0,
+        bias: Double = 0.0): DataFrame =
+      Corpus.qualityClassifierScore(df, id, text, scale, bias)
+    def mixtureResample(id: String, strata: String, targets: Map[String, Double],
+        budget: Long, defaultTarget: Double = 0.0): DataFrame =
+      Corpus.mixtureResample(df, id, strata, targets, budget, defaultTarget)
+    def vocabStats(text: String, maxFreq: Int): DataFrame =
+      Corpus.vocabStats(df, text, maxFreq)
+    def weightedSample(id: String, strata: String, weight: Column,
+        n: Int): DataFrame = Corpus.weightedSample(df, id, strata, weight, n)
+    def shardManifest(id: String, text: String, nShards: Int): DataFrame =
+      Corpus.shardManifest(df, id, text, nShards)
+
+    // ---- scale joins / layout (ScaleJoins, Layout) ------------------
+    def bloomSemiJoin(dim: DataFrame, factKey: String, dimKey: String,
+        expectedItems: Long, fpp: Double = 0.01): DataFrame =
+      ScaleJoins.bloomSemiJoin(df, dim, factKey, dimKey, expectedItems, fpp)
+    def rangeJoinBinned(intervals: DataFrame, pointCol: String, loCol: String,
+        hiCol: String, binWidth: Double): DataFrame =
+      ScaleJoins.rangeJoinBinned(df, intervals, pointCol, loCol, hiCol, binWidth)
+    def sessionize(userCol: String, tsCol: String, gapSec: Long): DataFrame =
+      ScaleJoins.sessionize(df, userCol, tsCol, gapSec)
+    def sessionStats(userCol: String, tsCol: String, gapSec: Long,
+        valueCol: String): DataFrame =
+      ScaleJoins.sessionStats(df, userCol, tsCol, gapSec, valueCol)
+    def zOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
+      Layout.zOrderBy(df, a, b, nFiles)
   }
 }

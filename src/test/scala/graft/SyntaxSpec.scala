@@ -103,4 +103,53 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.withMediaColumn("text").schema("media").dataType.typeName == "binary")
     assert(docs.sampleFrames("doc_id", "text", frameChars = 10, step = 2).count() > 0)
   }
+
+  test("corpus, scale-join, and layout methods resolve and run") {
+    val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon", "en"),
+        (2L, "alpha beta gamma delta epsilon", "en"),
+        (3L, "zeta eta theta iota kappa", "es"))
+      .toDF("doc_id", "text", "lang")
+    assert(docs.decontaminate(docs.filter($"doc_id" === 3), "doc_id", "text", 2)
+      .count() == 1)
+    assert(docs.redactPii("text").columns.contains("redacted"))
+    assert(docs.packSequences("doc_id", lit(5L), budget = 8).count() == 3)
+    assert(docs.sampleByHash("doc_id", "lang", Map("en" -> 1.0), 1.0).count() == 3)
+    assert(docs.tfidfTopK("doc_id", "text", 1).count() == 3)
+    assert(docs.heavyHitters("doc_id", "text", k = 2, capacity = 64).count() == 2)
+    assert(docs.boilerplateStrip("doc_id", "text", w = 5, minDocs = 2)
+      .filter($"doc_id" === 1).head.getAs[Int]("n_boiler") == 1)
+    assert(docs.bottomKPerStratum("lang", "doc_id", 1).count() == 2)
+    assert(docs.bigramLmScore("doc_id", "text").count() == 3)
+    assert(docs.invertedIndex("doc_id", "text", 5)
+      .filter($"term" === "alpha").head.getAs[Int]("df") == 2)
+    assert(docs.pmiPairs("doc_id", "text", topN = 10, minPairDf = 2).count() > 0)
+    assert(docs.dupSpans("doc_id", "text", 5)
+      .filter($"doc_id" === 1).head.getAs[Int]("n_dup") == 1)
+    assert(docs.qualityClassifierScore("doc_id", "text").count() == 3)
+    assert(docs.mixtureResample("doc_id", "lang", Map("en" -> 1.0), budget = 10)
+      .count() == 2)
+    assert(docs.vocabStats("text", maxFreq = 3).count() == 2)
+    assert(docs.weightedSample("doc_id", "lang", lit(1.0), n = 1).count() == 2)
+    assert(docs.shardManifest("doc_id", "text", nShards = 2)
+      .agg(sum($"n_docs")).head.getLong(0) == 3)
+
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(emb.semanticDupPairs("vec_id", "embedding", nClusters = 1,
+      threshold = 0.5, iters = 1).count() == 1)
+
+    val fact = Seq((1L, 10.0), (2L, 25.0)).toDF("k", "p")
+    val dim = Seq((1L, "x")).toDF("dk", "v")
+    assert(fact.bloomSemiJoin(dim, "k", "dk", expectedItems = 10).count() == 1)
+    val ivs = Seq(("a", 0.0, 15.0)).toDF("band", "lo", "hi")
+    assert(fact.rangeJoinBinned(ivs, "p", "lo", "hi", 10.0).count() == 1)
+    val ev = Seq((1L, "u", 0L, 1.0), (2L, "u", 10000L, 2.0))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    assert(ev.sessionize("user_id", "ts", 1800).agg(max($"session_idx"))
+      .head.getLong(0) == 2L)
+    assert(ev.sessionStats("user_id", "ts", 1800, "value").count() == 2)
+    assert(fact.zOrderBy($"k", $"p", nFiles = 1).count() == 2)
+  }
 }
