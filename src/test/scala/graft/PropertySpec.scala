@@ -156,6 +156,67 @@ class PropertySpec extends SparkSpec {
     check("salted-agg", prop, minTests = 6)
   }
 
+  // ---- range join (helper + optimizer rule) vs cross-filter ---------
+
+  private val genRange: Gen[(List[(Int, Double)], List[(Int, Double, Double)], Double)] =
+    for {
+      pts <- Gen.listOfN(10, Gen.choose(0, 400))
+      ivs <- Gen.listOfN(6, for {
+        lo <- Gen.choose(0, 380); span <- Gen.choose(0, 60)
+      } yield (lo, span))
+      width <- Gen.oneOf(7.0, 10.0, 25.0)
+    } yield (
+      pts.zipWithIndex.map { case (p, i) => (i, p.toDouble) },
+      ivs.zipWithIndex.map { case ((lo, sp), i) => (i, lo.toDouble, (lo + sp).toDouble) },
+      width)
+
+  test("rangeJoinBinned and RangeBinJoinRule equal the naive cross-filter") {
+    val prop = Prop.forAll(genRange) { case (pts, ivs, width) =>
+      val points = pts.toDF("pid", "p")
+      val intervals = ivs.toDF("iid", "lo", "hi")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("pid"), col("iid")).as[(Int, Int)].collect().sorted.toSeq
+      val naive = pairs(points.crossJoin(intervals)
+        .filter(col("p") >= col("lo") && col("p") <= col("hi")))
+      val binned = pairs(graft.ops.ScaleJoins.rangeJoinBinned(
+        points, intervals, "p", "lo", "hi", width))
+      val ruled = pairs(points.join(intervals,
+        graft.plans.RangeBinJoin.rangeCond(col("p"), col("lo"), col("hi"), width)))
+      binned == naive && ruled == naive
+    }
+    check("range-join", prop, minTests = 6)
+  }
+
+  // ---- sessionize vs per-user brute-force fold ----------------------
+
+  private val genEvents: Gen[List[(Long, String, Long)]] =
+    Gen.listOfN(12, for {
+      u <- Gen.oneOf("u1", "u2", "u3")
+      t <- Gen.choose(0L, 10000L)
+    } yield (u, t)).map(_.distinct.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) })
+
+  test("sessionize matches a sequential per-user fold") {
+    val gap = 600L
+    val prop = Prop.forAll(genEvents) { rows =>
+      val df = rows.toDF("event_id", "user_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      val got = graft.ops.ScaleJoins.sessionize(df, "user_id", "ts", gap)
+        .select(col("event_id"), col("session_idx"))
+        .as[(Long, Long)].collect().toMap
+      val want = rows.groupBy(_._2).values.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._3, e._1))
+        var idx = 0L; var prev = Long.MinValue
+        sorted.map { case (id, _, t) =>
+          if (prev == Long.MinValue || t - prev > gap) idx += 1
+          prev = t
+          id -> idx
+        }
+      }.toMap
+      got == want
+    }
+    check("sessionize", prop, minTests = 6)
+  }
+
   // ---- hash expression determinism ---------------------------------
 
   test("minhash/simhash are deterministic across evaluations and fixed-width") {
