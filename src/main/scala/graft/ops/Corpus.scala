@@ -505,6 +505,35 @@ object Corpus {
         min(col(id)).as("min_id"), max(col(id)).as("max_id"))
   }
 
+  /** Overlapping-token chunker for RAG / pretraining-context prep:
+    * chunks of `size` tokens starting every `size − overlap` tokens;
+    * the LAST chunk is the first whose window reaches the end (truncated
+    * there), so every token is covered and no degenerate tail chunk is
+    * emitted. Compiled UDF (the Generate-vs-HOF trap again), exploded to
+    * (id, chunk_idx, n_chunk_tokens, chunk). Pure map + explode — no
+    * shuffle; at 100 TB this is a scan-shaped stage like tokenization.
+    */
+  def chunkDocuments(df: DataFrame, id: String, text: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    df.select(col(id),
+        posexplode(docChunksUdf(toks(col(text)), lit(size),
+          lit(size - overlap))).as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_chunk_tokens", org.apache.spark.sql.functions.size(
+        split(col("chunk"), " ")))
+      .select(col(id), col("chunk_idx"), col("n_chunk_tokens"), col("chunk"))
+  }
+
+  private val docChunksUdf = udf { (toksIn: Seq[String], size: Int, step: Int) =>
+    if (toksIn == null || toksIn.isEmpty) Seq.empty[String]
+    else {
+      val n = toksIn.length
+      val nChunks = 1 + math.ceil(math.max(0, n - size).toDouble / step).toInt
+      (0 until nChunks).map(i =>
+        toksIn.slice(i * step, math.min(i * step + size, n)).mkString(" "))
+    }
+  }
+
   /** Deterministic WEIGHTED sampling per stratum (Efraimidis–Spirakis
     * A-ES): key = −ln(u)/w with u a fixed hash-derived uniform in (0,1];
     * the bottom-`n` keys per stratum are a weighted sample without

@@ -188,6 +188,13 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("shard"))
     }),
 
+    // RAG/pretraining chunking: 64-token chunks, 16-token overlap
+    "q160_chunk_documents" -> ((s, d) => {
+      Corpus.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          size = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // weighted sampling: per-language bottom-3 Efraimidis–Spirakis keys
     // weighted by token count — longer docs proportionally likelier,
     // fully deterministic (hash-derived uniforms, no RNG)
@@ -344,6 +351,22 @@ object CorpusQueries extends QueryGroup {
          |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2)
          |SELECT term_a, term_b, n_ab, ROUND(LN(n_ab * 1.0 * nd.n_docs / (n_a * n_b)), 4) AS pmi
          |FROM pr, nd WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
+
+    // chunk i covers tokens [i*48+1, min(i*48+64, n)] 1-based; count =
+    // 1 + ceil(max(n-64,0)/48) — the last chunk reaches the end
+    "q160_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, len(tk) AS n,
+         |    1 + CAST(CEIL(GREATEST(len(tk) - 64, 0) * 1.0 / 48) AS INTEGER) AS n_chunks
+         |  FROM t),
+         |ix AS (SELECT doc_id, tk, n,
+         |    unnest([i for i in range(0, n_chunks)]) AS i FROM c),
+         |x AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |    array_to_string(tk[i * 48 + 1 : LEAST(i * 48 + 64, n)], ' ') AS chunk
+         |  FROM ix)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_chunk_tokens, chunk
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q159_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, lang,

@@ -140,6 +140,8 @@ package object syntax {
       Corpus.vocabStats(df, text, maxFreq)
     def weightedSample(id: String, strata: String, weight: Column,
         n: Int): DataFrame = Corpus.weightedSample(df, id, strata, weight, n)
+    def chunkDocuments(id: String, text: String, size: Int,
+        overlap: Int): DataFrame = Corpus.chunkDocuments(df, id, text, size, overlap)
     def shardManifest(id: String, text: String, nShards: Int): DataFrame =
       Corpus.shardManifest(df, id, text, nShards)
 

@@ -131,6 +131,9 @@ class SyntaxSpec extends SparkSpec {
       .count() == 2)
     assert(docs.vocabStats("text", maxFreq = 3).count() == 2)
     assert(docs.weightedSample("doc_id", "lang", lit(1.0), n = 1).count() == 2)
+    // 5 tokens, size 3, step 2 -> chunks at 0,2: [t1 t2 t3], [t3 t4 t5]
+    assert(docs.chunkDocuments("doc_id", "text", size = 3, overlap = 1)
+      .filter($"doc_id" === 1).count() == 2)
     assert(docs.shardManifest("doc_id", "text", nShards = 2)
       .agg(sum($"n_docs")).head.getLong(0) == 3)
 
