@@ -41,6 +41,21 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_members"), min(col(id)).as("keep_id"))
 
+  /** Incremental exact dedup: rows of `fresh` whose normalized-content
+    * fingerprint does not already exist in `ingested` — the shape of
+    * every snapshot-over-snapshot corpus refresh (dedupe the new crawl
+    * against the existing corpus WITHOUT re-clustering the whole
+    * corpus). Left-anti join on the fingerprint; at 100 TB the ingested
+    * side is a persisted fingerprint table (bucketed by fp), so the new
+    * shard's shuffle is its own size only.
+    */
+  def dedupAgainst(fresh: DataFrame, ingested: DataFrame, id: String,
+      text: String): DataFrame = {
+    val fp = md5(normText(col(text)))
+    fresh.withColumn("fp", fp)
+      .join(ingested.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+  }
+
   /** MinHash signatures: id → array<long> length n over k-char shingles.
     * The pre-repartition spreads signature computation (n hash passes
     * per character) across cores even when the scan yields few

@@ -105,6 +105,19 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("fp")).limit(100)
     }),
 
+    // incremental dedup: the "new crawl" (doc_id % 3 != 0) against the
+    // already-ingested snapshot (doc_id % 3 == 0) — only content NOT
+    // already in the corpus survives
+    "q90b_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainst(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // minhash signatures (nvtext minhash parity)
     "q91_minhash_sig" -> ((s, d) => {
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
@@ -361,6 +374,13 @@ object LlmQueries extends QueryGroup {
       "q90_dedup_exact" ->
         s"""SELECT md5($sqlNorm) AS fp, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
            |FROM documents GROUP BY fp ORDER BY fp LIMIT 100""".stripMargin,
+
+      "q90b_dedup_incremental" ->
+        s"""SELECT doc_id, lang, md5($sqlNorm) AS fp
+           |FROM documents
+           |WHERE doc_id % 3 <> 0 AND md5($sqlNorm) NOT IN
+           |  (SELECT md5($sqlNorm) FROM documents WHERE doc_id % 3 = 0)
+           |ORDER BY doc_id""".stripMargin,
 
       "q91_minhash_sig" ->
         s"""WITH $minhashCtes

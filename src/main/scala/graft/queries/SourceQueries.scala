@@ -104,6 +104,26 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("i"))
     }),
 
+    // schema evolution: two parquet batches with different column sets
+    // read back through mergeSchema (the heterogeneous-snapshot shape
+    // of any long-lived data lake) — counts prove the union schema
+    // carries each column exactly where its batch wrote it
+    "q127_src_merge_schema" -> ((s, d) => {
+      val out = scratch("merge_schema")
+      val o = Tables.orders(s, d)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_price"),
+          count(col("o_orderstatus")).as("n_status"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // Z-ordered write → box-predicate read-back: the 2-d data-skipping
     // layout (Layout.zOrderBy). The aggregate (count/sum + min/max z of
     // the survivors) gates BOTH the Morton arithmetic and round-trip
@@ -152,6 +172,14 @@ object SourceQueries extends QueryGroup {
     "q125_src_from_map" ->
       """SELECT i, i * i AS sq, 'row_' || i AS tag
         |FROM range(0, 1000) t(i) WHERE i % 97 = 0 ORDER BY i""".stripMargin,
+
+    "q127_src_merge_schema" ->
+      """SELECT COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_price,
+        |  COUNT(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END) AS n_status,
+        |  ROUND(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END), 2)
+        |    AS sum_price
+        |FROM orders""".stripMargin,
 
     // replay of Layout.zValue: the parallel bit-spread of each 16-bit
     // key (masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555),

@@ -57,6 +57,8 @@ package object syntax {
     // ---- dedup (Dedup) ----------------------------------------------
     def exactDuplicateGroups(id: String, text: String): DataFrame =
       Dedup.exactDuplicateGroups(df, id, text)
+    def dedupAgainst(ingested: DataFrame, id: String, text: String): DataFrame =
+      Dedup.dedupAgainst(df, ingested, id, text)
     def minhashSignatures(id: String, text: String, k: Int = 5, n: Int = 16): DataFrame =
       Dedup.minhashSignatures(df, id, text, k, n)
     def minhashCandidatePairs(id: String, text: String, k: Int = 5, n: Int = 16,
