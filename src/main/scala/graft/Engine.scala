@@ -24,9 +24,13 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-      // engine-specific optimizer rules (plans package): range-join
-      // binning fires on RangeBinJoin.rangeCond conditions
-      .withExtensions(_.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule))
+      // engine-specific Catalyst extensions (plans package): range-join
+      // binning fires on RangeBinJoin.rangeCond conditions; the asof
+      // merge strategy plans AsofMergeJoinPlan nodes
+      .withExtensions { e =>
+        e.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+        e.injectPlannerStrategy(_ => graft.plans.AsofMergeJoinStrategy)
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -57,6 +61,7 @@ object Engine {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     graft.plans.RangeBinJoin.install(spark)
+    graft.plans.AsofMergeJoin.install(spark)
     spark
   }
 }

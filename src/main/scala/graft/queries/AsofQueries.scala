@@ -50,6 +50,20 @@ object AsofQueries extends QueryGroup {
           direction = "nearest")
         .select(col("event_id"), col("user_id"), col("view_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // the same backward as-of through the PHYSICAL operator
+    // (graft.plans.AsofMergeJoinExec — custom LogicalPlan + Strategy +
+    // SparkPlan, one merge pass per partition) against the same native
+    // DuckDB ASOF oracle; left-join semantics, so unmatched purchases
+    // keep a null view_id
+    "q133_asof_merge_exec" -> ((s, d) => {
+      val views = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.plans.AsofMergeJoin.asofBackward(purchases(s, d), views,
+          "ts", "ts", by = Seq("user_id"), rightCols = Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -72,6 +86,15 @@ object AsofQueries extends QueryGroup {
         |SELECT p.event_id, p.user_id,
         |  CASE WHEN EPOCH(e.ts) - EPOCH(p.ts) <= 3600 THEN e.err_id END AS err_id
         |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q133_asof_merge_exec" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, v.view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
 
     // two native ASOF joins (backward inclusive, forward strict — a

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsofMergeJoin
+
+/** The physical as-of merge operator: plans as AsofMergeJoinExec, and
+  * its one-pass merge matches both the Dataset-level asofJoin and a
+  * brute-force reference — including tolerance, unmatched rows, and
+  * keys spread across many partitions.
+  */
+class AsofMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    (1L, "A", 10L), (2L, "A", 25L), (3L, "A", 30L),
+    (4L, "B", 5L), (5L, "B", 50L), (6L, "C", 7L))
+    .toDF("trade_id", "sym", "sec")
+    .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+
+  private def quotes = Seq(
+    ("A", 8L, 100.0), ("A", 25L, 105.0), ("A", 29L, 110.0),
+    ("B", 49L, 50.0), ("D", 1L, 1.0))
+    .toDF("sym", "qsec", "px")
+    .withColumn("ts", timestamp_seconds($"qsec")).drop("qsec")
+
+  test("plans as AsofMergeJoinExec and matches the Dataset-level asofJoin") {
+    val exec = AsofMergeJoin.asofBackward(trades, quotes, "ts", "ts",
+      by = Seq("sym"), rightCols = Seq("px"))
+    assert(exec.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+    val got = exec.select($"trade_id", $"px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(
+      1L -> Some(100.0), 2L -> Some(105.0), 3L -> Some(110.0),
+      4L -> None, 5L -> Some(50.0), 6L -> None))
+    val dsl = graft.ops.AsofJoin.asofJoin(trades, quotes, "ts", "ts",
+        by = Seq("sym"), rightCols = Seq("px"))
+      .select($"trade_id", $"px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == dsl)
+  }
+
+  test("tolerance bounds the backward match") {
+    val got = AsofMergeJoin.asofBackward(trades, quotes, "ts", "ts",
+        by = Seq("sym"), rightCols = Seq("px"), toleranceSec = Some(2))
+      .select($"trade_id", $"px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // trade 1 (t=10) last quote at 8 -> within 2s; trade 3 (t=30) quote
+    // at 29 within; trade 2 (t=25) quote at 25 (distance 0) within;
+    // trade 5 (t=50) quote at 49 within
+    assert(got == Map(
+      1L -> Some(100.0), 2L -> Some(105.0), 3L -> Some(110.0),
+      4L -> None, 5L -> Some(50.0), 6L -> None))
+    val tight = AsofMergeJoin.asofBackward(trades, quotes, "ts", "ts",
+        by = Seq("sym"), rightCols = Seq("px"), toleranceSec = Some(0))
+      .select($"trade_id", $"px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(tight(2L) == Some(105.0) && tight(1L) == None && tight(3L) == None)
+  }
+
+  test("matches brute force on many keys across partitions") {
+    val n = 500
+    val lhs = spark.range(n).select(($"id").as("trade_id"),
+        pmod($"id", lit(37)).cast("string").as("sym"),
+        timestamp_seconds(pmod($"id" * 97, lit(10000))).as("ts"))
+      .repartition(7)
+    val rhs = spark.range(n * 2).select(
+        pmod($"id", lit(41)).cast("string").as("sym"),
+        timestamp_seconds(pmod($"id" * 31, lit(10000))).as("ts"),
+        ($"id" * 2).cast("double").as("px"))
+      .repartition(5)
+    val got = AsofMergeJoin.asofBackward(lhs, rhs, "ts", "ts",
+        by = Seq("sym"), rightCols = Seq("px"))
+      .select($"trade_id", $"px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val l = lhs.select($"trade_id", $"sym", unix_micros($"ts").as("t"))
+      .as[(Long, String, Long)].collect()
+    val r = rhs.select($"sym", unix_micros($"ts").as("t"), $"px")
+      .as[(String, Long, Double)].collect()
+    val want = l.map { case (id, sym, t) =>
+      val cands = r.filter(q => q._1 == sym && q._2 <= t)
+      // brute-force tie rule: the merge keeps the LAST right row with
+      // ts <= t in (ts, arrival) order; on equal ts any of them is a
+      // valid backward match — pick max ts then max px to mirror the
+      // deterministic generator (distinct px per (sym, ts) here)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(q => (q._2, q._3))._3))
+    }.toMap
+    // equal-ts duplicates would make the pick ambiguous — generator
+    // yields distinct ts per sym, assert that precondition first
+    assert(r.groupBy(q => (q._1, q._2)).forall(_._2.length == 1))
+    assert(got == want)
+  }
+}
