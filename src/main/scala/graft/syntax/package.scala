@@ -49,6 +49,11 @@ package object syntax {
         by: Seq[String], rightCols: Seq[String], direction: String = "backward",
         tolerance: Column = null): DataFrame =
       AsofJoin.asofJoin(df, right, leftOn, rightOn, by, rightCols, direction, tolerance)
+    def asofJoinMerge(right: DataFrame, leftOn: String, rightOn: String,
+        by: Seq[String], rightCols: Seq[String],
+        toleranceSec: Option[Long] = None): DataFrame =
+      graft.plans.AsofMergeJoin.asofBackward(df, right, leftOn, rightOn,
+        by, rightCols, toleranceSec)
     def saltedJoin(right: DataFrame, key: String, salts: Int = 8): DataFrame =
       Skew.saltedJoin(df, right, key, salts)
     def saltedAgg(key: Seq[String], valueCol: String, salts: Int = 16): DataFrame =

@@ -154,5 +154,12 @@ class SyntaxSpec extends SparkSpec {
       .head.getLong(0) == 2L)
     assert(ev.sessionStats("user_id", "ts", 1800, "value").count() == 2)
     assert(fact.zOrderBy($"k", $"p", nFiles = 1).count() == 2)
+
+    val trades = Seq((1L, "A", 10L)).toDF("tid", "sym", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val quotes = Seq(("A", 8L, 99.0)).toDF("sym", "sec", "px")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    assert(trades.asofJoinMerge(quotes, "ts", "ts", Seq("sym"), Seq("px"))
+      .head.getAs[Double]("px") == 99.0)
   }
 }
