@@ -40,7 +40,21 @@ object AsofMergeJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, leftOn: String,
       rightOn: String, by: Seq[String], rightCols: Seq[String],
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None): DataFrame =
+    asofMerge(left, right, leftOn, rightOn, by, rightCols, "backward",
+      toleranceSec)
+
+  /** As-of merge with pandas direction semantics: "backward" (latest
+    * right ≤ t), "forward" (earliest right ≥ t), "nearest" (closer of
+    * the two, distance ties to backward). One merge pass either way:
+    * backward folds passed rows into a single candidate, forward peeks
+    * the next unconsumed row — both O(1) state per partition.
+    */
+  def asofMerge(left: DataFrame, right: DataFrame, leftOn: String,
+      rightOn: String, by: Seq[String], rightCols: Seq[String],
+      direction: String, toleranceSec: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown direction $direction")
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -57,7 +71,7 @@ object AsofMergeJoin {
     val node = AsofMergeJoinPlan(lPlan, rPlan,
       attr(lPlan, leftOn), attr(rPlan, rightOn),
       by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
-      rightCols.map(attr(rPlan, _)),
+      rightCols.map(attr(rPlan, _)), direction,
       toleranceSec.map(_ * 1000000L))
     ColumnBridge.ofRows(spark, node)
   }
@@ -71,7 +85,7 @@ object AsofMergeJoin {
 case class AsofMergeJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftOn: Attribute, rightOn: Attribute,
     leftBy: Seq[Attribute], rightBy: Seq[Attribute],
-    rightCols: Seq[Attribute], toleranceUs: Option[Long])
+    rightCols: Seq[Attribute], direction: String, toleranceUs: Option[Long])
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightCols.map(_.withNullability(true))
@@ -84,7 +98,7 @@ object AsofMergeJoinStrategy extends SparkStrategy {
     case p: AsofMergeJoinPlan =>
       AsofMergeJoinExec(planLater(p.left), planLater(p.right),
         p.leftOn, p.rightOn, p.leftBy, p.rightBy, p.rightCols,
-        p.toleranceUs) :: Nil
+        p.direction, p.toleranceUs) :: Nil
     case _ => Nil
   }
 }
@@ -97,7 +111,7 @@ object AsofMergeJoinStrategy extends SparkStrategy {
 case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
     leftOn: Attribute, rightOn: Attribute,
     leftBy: Seq[Attribute], rightBy: Seq[Attribute],
-    rightCols: Seq[Attribute], toleranceUs: Option[Long])
+    rightCols: Seq[Attribute], direction: String, toleranceUs: Option[Long])
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -116,6 +130,9 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftBy.map(_.dataType)
     val tolOpt = toleranceUs
+    val dir = direction match {
+      case "backward" => 0; case "forward" => 1; case _ => 2
+    }
     val numRightCols = rightCols.length
     val leftOutput = left.output
     val rightOutput = right.output
@@ -179,9 +196,33 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
             } else advance = false
           }
         }
-        val matched = t != null && prevVals != null &&
+        // backward candidate: the folded prev; forward candidate: an
+        // exact-ts row lands in prev (inclusive), otherwise the peeked
+        // head (first unconsumed row of this key, ts > t)
+        val bwdOk = t != null && prevVals != null &&
           tolOpt.forall(t.longValue() - prevTs <= _)
-        joiner(joined(lRow, if (matched) prevVals else nullRow))
+        def fwdCandidate(): (InternalRow, Long) = {
+          if (t == null) null
+          else if (prevVals != null && prevTs == t.longValue()) (prevVals, prevTs)
+          else if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), k) == 0) {
+            val ht = tsOf(rTs, rBuf.head)
+            if (ht != null && tolOpt.forall(ht.longValue() - t.longValue() <= _))
+              (rVals(rBuf.head), ht.longValue())
+            else null
+          } else null
+        }
+        val chosen: InternalRow = dir match {
+          case 0 => if (bwdOk) prevVals else nullRow // backward
+          case 1 => Option(fwdCandidate()).map(_._1).getOrElse(nullRow)
+          case _ => // nearest: closer wins, ties backward
+            val f = fwdCandidate()
+            if (bwdOk && f != null) {
+              if (f._2 - t.longValue() < t.longValue() - prevTs) f._1 else prevVals
+            } else if (bwdOk) prevVals
+            else if (f != null) f._1
+            else nullRow
+        }
+        joiner(joined(lRow, chosen))
       }
     }
   }

@@ -64,6 +64,30 @@ object AsofQueries extends QueryGroup {
           "ts", "ts", by = Seq("user_id"), rightCols = Seq("view_id"))
         .select(col("event_id"), col("user_id"), col("view_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // forward through the physical operator (earliest view at/after the
+    // purchase), natively replayed by DuckDB ASOF with >=
+    "q133b_asof_merge_forward" -> ((s, d) => {
+      val views = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.plans.AsofMergeJoin.asofMerge(purchases(s, d), views,
+          "ts", "ts", by = Seq("user_id"), rightCols = Seq("view_id"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // nearest through the physical operator (ties backward) — same
+    // two-ASOF oracle construction as the Dataset-level q132
+    "q133c_asof_merge_nearest" -> ((s, d) => {
+      val views = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.plans.AsofMergeJoin.asofMerge(purchases(s, d), views,
+          "ts", "ts", by = Seq("user_id"), rightCols = Seq("view_id"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -96,6 +120,32 @@ object AsofQueries extends QueryGroup {
         |SELECT p.event_id, p.user_id, v.view_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q133b_asof_merge_forward" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, v.view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q133c_asof_merge_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'view'),
+        |b AS (SELECT p.event_id, p.user_id, p.ts, v.view_id AS b_id, v.ts AS b_ts
+        |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
+        |f AS (SELECT p.event_id, v.view_id AS f_id, v.ts AS f_ts
+        |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts > p.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b_id IS NULL THEN f_id
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN ABS(EPOCH(f_ts) - EPOCH(b.ts)) < ABS(EPOCH(b.ts) - EPOCH(b_ts)) THEN f_id
+        |       ELSE b_id END AS view_id
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY b.event_id""".stripMargin,
 
     // two native ASOF joins (backward inclusive, forward strict — a
     // distance-0 match is always claimed by the backward side), closer

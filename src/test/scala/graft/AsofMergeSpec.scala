@@ -57,6 +57,27 @@ class AsofMergeSpec extends SparkSpec {
     assert(tight(2L) == Some(105.0) && tight(1L) == None && tight(3L) == None)
   }
 
+  test("forward and nearest directions match the Dataset-level asofJoin") {
+    for (d <- Seq("forward", "nearest")) {
+      val exec = AsofMergeJoin.asofMerge(trades, quotes, "ts", "ts",
+          by = Seq("sym"), rightCols = Seq("px"), direction = d)
+        .select($"trade_id", $"px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val dsl = graft.ops.AsofJoin.asofJoin(trades, quotes, "ts", "ts",
+          by = Seq("sym"), rightCols = Seq("px"), direction = d)
+        .select($"trade_id", $"px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(exec == dsl, s"direction=$d exec=$exec dsl=$dsl")
+    }
+    // forward is inclusive at distance 0: trade 2 (t=25) has a quote at
+    // exactly 25
+    val fwd = AsofMergeJoin.asofMerge(trades, quotes, "ts", "ts",
+        by = Seq("sym"), rightCols = Seq("px"), direction = "forward")
+      .select($"trade_id", $"px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fwd(2L) == Some(105.0) && fwd(1L) == Some(105.0) && fwd(5L) == None)
+  }
+
   test("matches brute force on many keys across partitions") {
     val n = 500
     val lhs = spark.range(n).select(($"id").as("trade_id"),
