@@ -119,6 +119,44 @@ object StringQueries extends QueryGroup {
     }),
 
     // convert family: string<->number, hex, conv
+    // ip2int / int2ip (reference convert family): dotted-quad strings
+    // synthesized deterministically from the key, packed to the 32-bit
+    // int and unpacked back via shifts+masks
+    "q46b_ip_convert" -> ((s, d) => {
+      val df = Tables.part(s, d).filter(pmod(col("p_partkey"), lit(7)) === 0)
+        .withColumn("ip", concat_ws(".", lit(10),
+          pmod(col("p_partkey"), lit(250)),
+          pmod(col("p_partkey"), lit(100)),
+          pmod(col("p_partkey"), lit(256))))
+      val p = split(col("ip"), "\\.")
+      df.select(col("p_partkey"), col("ip"),
+          (element_at(p, 1).cast("long") * 16777216L +
+            element_at(p, 2).cast("long") * 65536L +
+            element_at(p, 3).cast("long") * 256L +
+            element_at(p, 4).cast("long")).as("ip_int"))
+        .withColumn("ip_roundtrip", concat_ws(".",
+          shiftright(col("ip_int"), 24).bitwiseAND(lit(255L)),
+          shiftright(col("ip_int"), 16).bitwiseAND(lit(255L)),
+          shiftright(col("ip_int"), 8).bitwiseAND(lit(255L)),
+          col("ip_int").bitwiseAND(lit(255L))))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // normalize_characters analog: accent-fold via codepoint translate
+    // (accents injected deterministically first — the fixture is ASCII)
+    "q107b_normalize_chars" -> ((s, d) => {
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
+        .withColumn("accented",
+          translate(col("s"), "aeiouAEIOU", "àéîöüÀÉÎÖÜ"))
+        .withColumn("normalized",
+          lower(translate(col("accented"),
+            "àéîöüÀÉÎÖÜ", "aeiouAEIOU")))
+        .withColumn("norm_ok",
+          (col("normalized") === lower(col("s"))).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q46_str_convert" -> ((s, d) => {
       Tables.part(s, d)
         .filter(col("p_partkey") % 13 === 0)
@@ -280,6 +318,33 @@ object StringQueries extends QueryGroup {
         |  STRING_SPLIT(text, ' ')[1] AS first_tok,
         |  STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46b_ip_convert" ->
+      """WITH t AS (SELECT p_partkey,
+        |    '10.' || (p_partkey % 250) || '.' || (p_partkey % 100) || '.'
+        |      || (p_partkey % 256) AS ip
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |i AS (SELECT p_partkey, ip,
+        |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+        |      + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+        |      + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+        |      + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_int
+        |  FROM t)
+        |SELECT p_partkey, ip, ip_int,
+        |  ((ip_int >> 24) & 255) || '.' || ((ip_int >> 16) & 255) || '.'
+        |    || ((ip_int >> 8) & 255) || '.' || (ip_int & 255) AS ip_roundtrip
+        |FROM i ORDER BY p_partkey""".stripMargin,
+
+    "q107b_normalize_chars" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 30) AS s FROM documents
+        |  WHERE doc_id % 17 = 0),
+        |a AS (SELECT doc_id, s,
+        |    translate(s, 'aeiouAEIOU', 'àéîöüÀÉÎÖÜ') AS accented FROM t)
+        |SELECT doc_id, s, accented,
+        |  LOWER(translate(accented, 'àéîöüÀÉÎÖÜ', 'aeiouAEIOU')) AS normalized,
+        |  CAST(LOWER(translate(accented, 'àéîöüÀÉÎÖÜ', 'aeiouAEIOU'))
+        |    = LOWER(s) AS INTEGER) AS norm_ok
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q46_str_convert" ->
       """SELECT p_partkey,
