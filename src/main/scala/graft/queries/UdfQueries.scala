@@ -42,6 +42,32 @@ object UdfQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
+    // rolling.apply analog: the SAME custom Aggregator evaluated over a
+    // sliding window frame — pandas rolling(5).apply(weighted_mean),
+    // which the reference cannot push into its groupby machinery at all.
+    // Inputs are small INTEGERS (quantity weighted by linenumber%3+1):
+    // the frame sums are then exact in double on both engines and the
+    // ratio's denominator ≤ 15 can never produce a 4-decimal round-half
+    // boundary (QueryGroup conventions — price-valued frames hit one)
+    "q85_udaf_over_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wm = udaf(Udfs.weightedMean)
+      // (orderkey, linenumber) is NOT unique in the synthetic lineitem
+      // (14k dup pairs) — the 5-col key is, making frame order total
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+        .rowsBetween(-4, 0)
+      Tables.lineitem(s, d).filter(pmod(col("l_orderkey"), lit(50)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"),
+          round(wm(col("l_quantity"),
+            (pmod(col("l_linenumber"), lit(3)) + 1).cast("double")).over(w), 4)
+            .as("roll_wmean"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("roll_wmean"))
+    }),
+
     // groupby-apply analog: group → sorted top-2 rows (UDTF-shaped)
     "q82_flatmapgroups" -> ((s, d) => {
       import s.implicits._
@@ -91,6 +117,17 @@ object UdfQueries extends QueryGroup {
       """SELECT l_returnflag,
         |  ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wmean_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q85_udaf_over_window" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+        |  ROUND(SUM(l_quantity * (l_linenumber % 3 + 1)) OVER w
+        |    / SUM(CAST(l_linenumber % 3 + 1 AS DOUBLE)) OVER w, 4) AS roll_wmean
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    l_extendedprice ROWS 4 PRECEDING)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey,
+        |  l_suppkey, roll_wmean""".stripMargin,
 
     "q82_flatmapgroups" ->
       """SELECT user_id, event_id, value FROM (
