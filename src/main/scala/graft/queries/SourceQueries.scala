@@ -18,17 +18,20 @@ object SourceQueries extends QueryGroup {
     * paying disk fsync latency for throwaway files only blurs the
     * measurement. A real to_csv/to_orc points at durable storage.
     */
-  private def scratch(name: String): String = {
+  private def scratch(name: String, sfDir: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base = if (java.nio.file.Files.isWritable(shm)) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    s"$base/graft-src/$name"
+    // keyed by sf dir: a Verify and a Bench running concurrently on
+    // different scale factors must not clobber each other's round-trips
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    s"$base/graft-src/$sf/$name"
   }
 
   override def queries: Map[String, Q] = Map(
     // CSV write → schema-pinned read (read_csv dtype= analog)
     "q120_src_csv_roundtrip" -> ((s, d) => {
-      val out = scratch("csv_supplier")
+      val out = scratch("csv_supplier", d)
       Formats.writeCsv(Tables.supplier(s, d), out)
       val schema = StructType(Seq(
         StructField("s_suppkey", LongType), StructField("s_name", StringType),
@@ -41,7 +44,7 @@ object SourceQueries extends QueryGroup {
 
     // JSON-lines write → schema-pinned read (read_json lines=True analog)
     "q121_src_json_roundtrip" -> ((s, d) => {
-      val out = scratch("json_orders")
+      val out = scratch("json_orders", d)
       Formats.writeJson(
         Tables.orders(s, d).select(
           col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
@@ -58,7 +61,7 @@ object SourceQueries extends QueryGroup {
 
     // ORC write → read (read_orc/to_orc analog)
     "q122_src_orc_roundtrip" -> ((s, d) => {
-      val out = scratch("orc_lineitem")
+      val out = scratch("orc_lineitem", d)
       Formats.writeOrc(
         Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_quantity"), out)
       Formats.readOrc(s, out)
@@ -69,7 +72,7 @@ object SourceQueries extends QueryGroup {
 
     // raw text write → read_text analog (line-delimited)
     "q123_src_text_roundtrip" -> ((s, d) => {
-      val out = scratch("text_nation")
+      val out = scratch("text_nation", d)
       Tables.nation(s, d).select(concat_ws("|",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
         .write.mode("overwrite").text(out)
@@ -83,7 +86,7 @@ object SourceQueries extends QueryGroup {
 
     // hive-partitioned parquet round-trip (to_parquet partition_on=)
     "q124_src_partitioned_parquet" -> ((s, d) => {
-      val out = scratch("parquet_part")
+      val out = scratch("parquet_part", d)
       Formats.roundTripPartitioned(s,
           Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag"),
           out, "l_returnflag")
@@ -109,7 +112,7 @@ object SourceQueries extends QueryGroup {
     // of any long-lived data lake) — counts prove the union schema
     // carries each column exactly where its batch wrote it
     "q127_src_merge_schema" -> ((s, d) => {
-      val out = scratch("merge_schema")
+      val out = scratch("merge_schema", d)
       val o = Tables.orders(s, d)
       o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -131,7 +134,7 @@ object SourceQueries extends QueryGroup {
     // touched than a single-column sort for the same box)
     "q126_src_zorder_layout" -> ((s, d) => {
       import graft.ops.Layout
-      val out = scratch("zorder_lineitem")
+      val out = scratch("zorder_lineitem", d)
       Layout.zOrderBy(
           Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey"), col("l_quantity")),
