@@ -59,6 +59,28 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // PERMISSIVE-mode JSON ingestion over a file with deterministically
+    // corrupt lines (every 5th nation row): good rows parse, bad rows
+    // land in _corrupt_record — the real-world ingest posture where a
+    // FAILFAST job would die on one malformed line in a billion
+    "q121b_src_json_corrupt" -> ((s, d) => {
+      val out = scratch("json_corrupt", d)
+      Tables.nation(s, d).select(
+          when(pmod(col("n_nationkey"), lit(5)) === 0,
+            concat(lit("{bad json line "), col("n_nationkey")))
+          .otherwise(to_json(struct(col("n_nationkey"), col("n_name"))))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record").json(out)
+        .agg(count(lit(1)).as("n"),
+          count(col("n_nationkey")).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"))
+    }),
+
     // ORC write → read (read_orc/to_orc analog)
     "q122_src_orc_roundtrip" -> ((s, d) => {
       val out = scratch("orc_lineitem", d)
@@ -159,6 +181,12 @@ object SourceQueries extends QueryGroup {
       """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
         |  MIN(STRFTIME(o_orderdate, '%Y-%m-%d')) AS first_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q121b_src_json_corrupt" ->
+      """SELECT COUNT(*) AS n,
+        |  COUNT(CASE WHEN n_nationkey % 5 <> 0 THEN 1 END) AS n_good,
+        |  COUNT(CASE WHEN n_nationkey % 5 = 0 THEN 1 END) AS n_corrupt
+        |FROM nation""".stripMargin,
 
     "q122_src_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
