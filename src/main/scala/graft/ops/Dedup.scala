@@ -427,7 +427,13 @@ object Dedup {
         .filter(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     } else {
-      val dg = docGrams.persist()
+      // localCheckpoint, not persist(): the returned frame is lazy, so a
+      // persist here could never be unpersisted and every call leaked a
+      // cache-manager entry into the shared session (suite-wide memory
+      // pressure). An eager local checkpoint materializes the gram
+      // arrays once for the four consumers below and is reclaimed by
+      // the ContextCleaner when unreferenced.
+      val dg = docGrams.localCheckpoint(true)
       val g = explodeGrams(dg)
       // stop grams: tiny by construction (only grams in >maxDf docs),
       // so every join against it below is a broadcast — g is never
