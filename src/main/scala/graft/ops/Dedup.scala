@@ -72,34 +72,64 @@ object Dedup {
     * pair; est_jaccard = fraction of equal signature positions.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     */
-  def minhashCandidatePairs(df: DataFrame, id: String, text: String,
-      k: Int = 5, n: Int = 16, bands: Int = 4): DataFrame = {
+  /** (id, sig, band, bkey) rows: minhash signatures exploded to one row
+    * per LSH band. The n×8B sig rides the Generate + shuffle (~200B/row)
+    * — cheaper than recomputing the signature on both sides of a
+    * pair⋈sigs join (the previous shape evaluated minhash_sig 3×).
+    */
+  private def bandedSigs(df: DataFrame, id: String, text: String,
+      k: Int, n: Int, bands: Int): DataFrame = {
     require(n % bands == 0, s"bands=$bands must divide n=$n")
     val rows = n / bands
-    val sigs = minhashSignatures(df, id, text, k, n)
-
-    // band keys: bands × (rows sig values joined) — stays an array op,
-    // exploded to (id, band_idx, band_key) rows for the shuffle join
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("-", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
     }: _*)
-    // carry the n×8B sig through the Generate + shuffle: ~200B/row beats
-    // recomputing the signature on both sides of a pair⋈sigs join (the
-    // previous shape evaluated minhash_sig 3× — bands + each join side)
-    val banded = sigs
+    minhashSignatures(df, id, text, k, n)
       .select(col(id), col("sig"), posexplode(bandKeys).as(Seq("band", "bkey")))
+  }
+
+  /** Estimated Jaccard from two signature array columns. */
+  private def estJaccard(a: Column, b: Column, n: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / n
+
+  def minhashCandidatePairs(df: DataFrame, id: String, text: String,
+      k: Int = 5, n: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = bandedSigs(df, id, text, k, n, bands)
 
     val a = banded.select(col(id).as("id_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
     val b = banded.select(col(id).as("id_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / n).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), n).as("est_jaccard"))
       // est_jaccard is deterministic per pair, so distinct-after-compute
       // collapses multi-band collisions exactly like distinct-on-ids did
       .distinct()
+  }
+
+  /** Incremental NEAR-dedup: fresh-shard documents whose minhash
+    * signature LSH-collides with an already-ingested document and whose
+    * estimated Jaccard clears the threshold — the fuzzy companion of
+    * [[dedupAgainst]]. At 100 TB the ingested side is a persisted
+    * banded-signature table (append-only, bucketed by band key), so
+    * each refresh shuffles only the NEW shard's bands against it;
+    * nothing of the old corpus is rescanned or re-hashed.
+    */
+  def nearDupAgainst(fresh: DataFrame, ingested: DataFrame, id: String,
+      text: String, k: Int = 5, n: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val f = bandedSigs(fresh, id, text, k, n, bands)
+      .select(col(id).as("fresh_id"), col("sig").as("sig_f"),
+        col("band"), col("bkey"))
+    val g = bandedSigs(ingested, id, text, k, n, bands)
+      .select(col(id).as("ingested_id"), col("sig").as("sig_i"),
+        col("band"), col("bkey"))
+    f.join(g, Seq("band", "bkey"))
+      .select(col("fresh_id"), col("ingested_id"),
+        estJaccard(col("sig_f"), col("sig_i"), n).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
   }
 
   /** Connected components over near-duplicate pairs (SURVEY §7.2 M6b:

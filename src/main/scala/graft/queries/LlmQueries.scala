@@ -105,6 +105,20 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("fp")).limit(100)
     }),
 
+    // incremental NEAR-dedup: the new crawl's minhash bands joined
+    // against the ingested snapshot's — the fuzzy companion of q90b
+    // (same corpus split), round-4 estimated Jaccard at 0.9
+    "q92e_neardup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupAgainst(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", minEstJaccard = 0.9)
+        .select(col("fresh_id"), col("ingested_id"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("fresh_id"), col("ingested_id"))
+    }),
+
     // incremental dedup: the "new crawl" (doc_id % 3 != 0) against the
     // already-ingested snapshot (doc_id % 3 == 0) — only content NOT
     // already in the corpus survives
@@ -408,6 +422,30 @@ object LlmQueries extends QueryGroup {
            |WHERE list_sum(list_transform(range(1, 17),
            |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q92e_neardup_incremental" -> {
+        val bandSelects = (0 until 4).map { b =>
+          val key = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+          s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $minhashCtes,
+           |banded AS (
+           |  $bandSelects
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT f.doc_id AS fresh_id, g.doc_id AS ingested_id
+           |  FROM banded f JOIN banded g ON f.band = g.band AND f.bkey = g.bkey
+           |  WHERE f.doc_id % 3 <> 0 AND g.doc_id % 3 = 0
+           |)
+           |SELECT p.fresh_id, p.ingested_id,
+           |  ROUND(list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard
+           |FROM pairs p JOIN sig sa ON sa.doc_id = p.fresh_id
+           |  JOIN sig sb ON sb.doc_id = p.ingested_id
+           |WHERE list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
+           |ORDER BY fresh_id, ingested_id""".stripMargin
       },
 
       // shared by q92b (label propagation) and q92d (star rewriting):

@@ -64,6 +64,10 @@ package object syntax {
       Dedup.exactDuplicateGroups(df, id, text)
     def dedupAgainst(ingested: DataFrame, id: String, text: String): DataFrame =
       Dedup.dedupAgainst(df, ingested, id, text)
+    def nearDupAgainst(ingested: DataFrame, id: String, text: String,
+        k: Int = 5, n: Int = 16, bands: Int = 4,
+        minEstJaccard: Double = 0.5): DataFrame =
+      Dedup.nearDupAgainst(df, ingested, id, text, k, n, bands, minEstJaccard)
     def minhashSignatures(id: String, text: String, k: Int = 5, n: Int = 16): DataFrame =
       Dedup.minhashSignatures(df, id, text, k, n)
     def minhashCandidatePairs(id: String, text: String, k: Int = 5, n: Int = 16,
