@@ -78,6 +78,27 @@ class AsofMergeSpec extends SparkSpec {
     assert(fwd(2L) == Some(105.0) && fwd(1L) == Some(105.0) && fwd(5L) == None)
   }
 
+  test("declared requirements plan one exchange+sort per side, never stacked") {
+    // a malformed requiredChildDistribution/Ordering would make
+    // EnsureRequirements stack a SECOND exchange/sort on top of inputs
+    // that already satisfy it (4 apiece below) — exactly the SMJ prep,
+    // once per side, is the contract that lets bucketed layouts elide it
+    def counts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      ("Exchange hashpartitioning".r.findAllIn(p).length,
+        "\\bSort \\[".r.findAllIn(p).length)
+    }
+    val plain = AsofMergeJoin.asofBackward(trades, quotes, "ts", "ts",
+      by = Seq("sym"), rightCols = Seq("px"))
+    assert(counts(plain) == ((2, 2)), plain.queryExecution.executedPlan.toString)
+    val prepared = AsofMergeJoin.asofBackward(
+      trades.repartition(4, $"sym").sortWithinPartitions($"sym", $"ts"),
+      quotes.repartition(4, $"sym").sortWithinPartitions($"sym", $"ts"),
+      "ts", "ts", by = Seq("sym"), rightCols = Seq("px"))
+    assert(counts(prepared) == ((2, 2)), prepared.queryExecution.executedPlan.toString)
+    assert(prepared.count() == 6)
+  }
+
   test("matches brute force on many keys across partitions") {
     val n = 500
     val lhs = spark.range(n).select(($"id").as("trade_id"),
