@@ -53,9 +53,14 @@ object ScaleJoins {
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val pBin = floor(col(pointCol) / binWidth).cast("long")
+    // guard inverted intervals (lo > hi): sequence(start > stop) throws
+    // at runtime — one malformed row must yield zero matches (the
+    // cross-filter semantics), not kill the job
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
     val iv = intervals.withColumn("bin",
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      explode(when(col(loCol) <= col(hiCol), sequence(loBin, hiBin))
+        .otherwise(array().cast("array<long>"))))
     points.withColumn("bin", pBin)
       .join(iv, Seq("bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))

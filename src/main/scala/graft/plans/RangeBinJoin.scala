@@ -113,9 +113,14 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
       // null lo/hi → null sequence → explode emits nothing: same rows
       // the inner join would have dropped via the null-rejecting hint
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
-      // reports unresolved and fails post-analysis plan validation
-      val seq = new Sequence(bin(lo, w), bin(hi, w), Literal(1L))
-        .withTimeZone(conf.sessionLocalTimeZone)
+      // reports unresolved and fails post-analysis plan validation.
+      // Inverted intervals (lo > hi) must emit no bins, not throw —
+      // sequence(start > stop, step 1) is a runtime error
+      val seq = If(LessThanOrEqual(lo, hi),
+        new Sequence(bin(lo, w), bin(hi, w), Literal(1L))
+          .withTimeZone(conf.sessionLocalTimeZone),
+        Literal.create(Array.empty[Long],
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
       val gen = Generate(
         Explode(seq),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,

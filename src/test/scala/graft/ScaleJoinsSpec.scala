@@ -93,6 +93,19 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(kept == Seq(1, 2))
   }
 
+  test("inverted intervals yield zero matches instead of a runtime error") {
+    import graft.plans.RangeBinJoin
+    val points = Seq((1, 5.0)).toDF("id", "p")
+    val ivs = Seq(("ok", 0.0, 10.0), ("bad", 9.0, 2.0)).toDF("band", "lo", "hi")
+    val viaHelper = ScaleJoins.rangeJoinBinned(points, ivs, "p", "lo", "hi", 10.0)
+      .select($"band").collect().map(_.getString(0)).toSeq
+    assert(viaHelper == Seq("ok"))
+    val viaRule = points.join(ivs,
+        RangeBinJoin.rangeCond($"p", $"lo", $"hi", 10.0))
+      .select($"band").collect().map(_.getString(0)).toSeq
+    assert(viaRule == Seq("ok"))
+  }
+
   test("sessionize splits on gap and indexes per user") {
     val rows = Seq(
       (1L, "u1", 0L), (2L, "u1", 100L), (3L, "u1", 4000L), (4L, "u1", 4100L),
