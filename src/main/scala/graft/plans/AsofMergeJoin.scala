@@ -37,6 +37,11 @@ object AsofMergeJoin {
     * the same `by` group with rightOn <= leftOn (within `toleranceSec`
     * if given). Emits left.* plus `rightCols` (null when no match).
     * Time columns must be TimestampType (µs) or integral.
+    *
+    * Null semantics: a null time never matches (left gets nulls, right
+    * is skipped). Null BY keys group together and match each other —
+    * unlike pandas, where NaN keys never match; filter them out first
+    * if pandas semantics are required.
     */
   def asofBackward(left: DataFrame, right: DataFrame, leftOn: String,
       rightOn: String, by: Seq[String], rightCols: Seq[String],

@@ -578,6 +578,19 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // pandas duplicated(keep='first'): flag every occurrence after the
+    // first of each (user_id, event_type) in event order — the
+    // row-marking sibling of q34's drop
+    "q34b_duplicated_flag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("duplicated", (row_number().over(w) > 1).cast("int"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("duplicated")).as("n_dup"))
+        .orderBy(col("user_id"))
+    }),
+
     "q35_union" -> ((s, d) => {
       val a = li(s, d).filter(col("l_returnflag") === "A").select(col("l_orderkey"), col("l_linenumber"))
       val b = li(s, d).filter(col("l_linestatus") === "F").select(col("l_orderkey"), col("l_linenumber"))
@@ -1058,6 +1071,16 @@ object RelationalQueries extends QueryGroup {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q34b_duplicated_flag" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |FROM (
+        |  SELECT user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q35_union" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'A'
