@@ -82,6 +82,31 @@ object Multimodal {
       round(sc, 6).as("scale"))
   }
 
+  /** Audio resample + windowing plan over typed metadata (the audio
+    * sibling of [[resizePlan]]): given per-clip sample rate and length,
+    * compute the resampled length at `outRate` (ceil — resamplers emit
+    * the trailing partial frame), the clip duration in ms, and how many
+    * fixed `windowSamples` training windows the resampled clip yields.
+    * The metadata is synthesized deterministically from the id (no
+    * audio ships in this container — same honesty contract as
+    * [[FakeDecoder]]); the plan arithmetic is the real kernel-feeding
+    * logic and is pure codegen'd column math.
+    */
+  def audioResamplePlan(df: DataFrame, id: String, outRate: Int = 16000,
+      windowSamples: Int = 4000): DataFrame = {
+    val inRate = element_at(array(lit(8000), lit(16000), lit(22050), lit(44100)),
+      (pmod(col(id), lit(4)) + 1).cast("int"))
+    val nSamples = (pmod(col(id) * lit(2654435761L), lit(480000L)) + lit(8000L))
+    df.select(col(id), inRate.as("in_rate"), nSamples.as("n_samples"))
+      .withColumn("duration_ms",
+        (col("n_samples") * lit(1000L)).cast("double") / col("in_rate"))
+      .withColumn("out_samples",
+        ceil(col("n_samples").cast("double") * outRate / col("in_rate")).cast("long"))
+      .withColumn("n_windows",
+        ceil(col("out_samples").cast("double") / windowSamples).cast("long"))
+      .withColumn("duration_ms", round(col("duration_ms"), 4))
+  }
+
   /** Frame sampling stub: treat the blob as fixed-size frames and keep
     * every `step`-th. The distributed shape is the real part — explode
     * the frame INDEX sequence first, then slice one frame per output

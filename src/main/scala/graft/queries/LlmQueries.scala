@@ -347,6 +347,13 @@ object LlmQueries extends QueryGroup {
           length(col("frame")).as("frame_chars"),
           substring(col("frame"), 1, 12).as("head12"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // audio resample + training-window plan (metadata synthesized — no
+    // codecs in this container; the plan arithmetic is the real logic)
+    "q105d_audio_resample" -> ((s, d) => {
+      Multimodal.audioResamplePlan(Tables.documents(s, d), "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -680,6 +687,17 @@ object LlmQueries extends QueryGroup {
            |  CAST(FLOOR(h * sc) AS INTEGER) AS new_h,
            |  ROUND(sc, 6) AS scale
            |FROM s ORDER BY doc_id""".stripMargin,
+
+      "q105d_audio_resample" ->
+        """WITH t AS (SELECT doc_id,
+          |    ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1] AS in_rate,
+          |    (doc_id * 2654435761) % 480000 + 8000 AS n_samples
+          |  FROM documents)
+          |SELECT doc_id, CAST(in_rate AS INTEGER) AS in_rate, n_samples,
+          |  ROUND(n_samples * 1000.0 / in_rate, 4) AS duration_ms,
+          |  CAST(CEIL(n_samples * 16000.0 / in_rate) AS BIGINT) AS out_samples,
+          |  CAST(CEIL(CEIL(n_samples * 16000.0 / in_rate) / 4000.0) AS BIGINT) AS n_windows
+          |FROM t ORDER BY doc_id""".stripMargin,
 
       "q105c_multimodal_frames" ->
         s"""WITH t AS (SELECT doc_id, text,
