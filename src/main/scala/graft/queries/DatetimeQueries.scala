@@ -147,10 +147,72 @@ object DatetimeQueries extends QueryGroup {
           coalesce(col("n"), lit(0L)).as("n"), col("avg_value"),
           last(col("avg_value"), ignoreNulls = true).over(wFill).as("avg_filled"))
         .orderBy(col("h"))
+    }),
+
+    // funnel analysis: per user, first view → first purchase strictly
+    // after it (event-sequence matching, the analytics staple pandas
+    // users hand-roll); one grouped aggregation via conditional mins
+    "q59_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          count(lit(1)).as("n_events"))
+        .join(e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("t_p")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_view"), col("n_events"))
+        .agg(min(when(col("t_p") > col("t_view"), col("t_p"))).as("t_conv"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_viewed"),
+          count(col("t_conv")).as("n_converted"),
+          round(count(col("t_conv")).cast("double") / count(col("t_view")), 4)
+            .as("view_to_purchase_rate"))
+    }),
+
+    // retention cohorts: users grouped by first-seen week, counted in
+    // each subsequent active week — the (cohort, weeks_since) matrix
+    "q59b_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), weekofyear(col("ts")).as("w"))
+      // fixture spans one month of one year, so the week number alone
+      // identifies the period (documented; a real pipeline keys on
+      // year*53+week)
+      val firstWeek = e.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+      e.select(col("user_id"), col("w")).distinct()
+        .join(firstWeek, "user_id")
+        .groupBy(col("cohort"), (col("w") - col("cohort")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("weeks_since"))
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    "q59_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |u AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    COUNT(*) AS n_events
+        |  FROM e GROUP BY user_id),
+        |c AS (SELECT u.user_id, u.t_view,
+        |    MIN(CASE WHEN p.ts > u.t_view THEN p.ts END) AS t_conv
+        |  FROM u LEFT JOIN e p
+        |    ON p.user_id = u.user_id AND p.event_type = 'purchase'
+        |  GROUP BY u.user_id, u.t_view)
+        |SELECT COUNT(*) AS n_users, COUNT(t_view) AS n_viewed,
+        |  COUNT(t_conv) AS n_converted,
+        |  ROUND(COUNT(t_conv) * 1.0 / COUNT(t_view), 4) AS view_to_purchase_rate
+        |FROM c""".stripMargin,
+
+    "q59b_retention" ->
+      """WITH e AS (SELECT user_id, WEEK(CAST(ts AS TIMESTAMP)) AS w FROM events),
+        |f AS (SELECT user_id, MIN(w) AS cohort FROM e GROUP BY user_id),
+        |d2 AS (SELECT DISTINCT user_id, w FROM e)
+        |SELECT cohort, w - cohort AS weeks_since,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM d2 JOIN f USING (user_id)
+        |GROUP BY cohort, w - cohort ORDER BY cohort, weeks_since""".stripMargin,
+
     "q50_dt_extract_date" ->
       """SELECT o_orderkey,
         |  YEAR(o_orderdate) AS y,
