@@ -494,6 +494,24 @@ object Corpus {
         round(col("n_occurrences") / col("n_tokens"), 6).as("mass_frac"))
   }
 
+  /** Zipf fit: slope of ln(frequency) ~ ln(rank) over the `topK` most
+    * frequent terms (regr_slope — the built-in least-squares aggregate).
+    * Healthy natural-language corpora sit near −1; a flat slope flags
+    * templated/boilerplate-heavy text, a steep one a degenerate
+    * vocabulary. The global rank window runs AFTER a top-k truncation,
+    * so it orders `topK` rows, never the vocabulary.
+    */
+  def zipfSlope(df: DataFrame, text: String, topK: Int): DataFrame = {
+    val counts = df.select(explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term").asc).limit(topK)
+    val w = Window.orderBy(col("f").desc, col("term").asc)
+    counts.withColumn("r", row_number().over(w))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(regr_slope(log(col("f")), log(col("r"))), 4).as("zipf_slope"))
+  }
+
   /** Deterministic shard assignment for training-data layout: shard =
     * multiplicative-hash(id) mod `nShards` — stable across runs and
     * engines, no RNG, no coordination. Returns the per-shard manifest

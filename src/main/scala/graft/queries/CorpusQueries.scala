@@ -180,6 +180,11 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("bucket"))
     }),
 
+    // Zipf slope of the top-200 terms (corpus-health regression)
+    "q157b_zipf_slope" -> ((s, d) => {
+      Corpus.zipfSlope(Tables.documents(s, d), "text", topK = 200)
+    }),
+
     // deterministic shard manifest: stable hash sharding + per-shard
     // doc/token totals (the training-data writer layout step)
     "q158_shard_manifest" -> ((s, d) => {
@@ -426,6 +431,15 @@ object CorpusQueries extends QueryGroup {
          |SELECT bucket, n_terms, n_occurrences,
          |  ROUND(n_occurrences * 1.0 / n_tokens, 6) AS mass_frac
          |FROM b, tot ORDER BY bucket""".stripMargin,
+
+    "q157b_zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest(string_split($sqlNorm, ' ')) AS term FROM documents),
+         |f AS (SELECT term, COUNT(*) AS f FROM tok WHERE len(term) > 0 GROUP BY term),
+         |top AS (SELECT term, f FROM f ORDER BY f DESC, term ASC LIMIT 200),
+         |r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS r FROM top)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  ROUND(REGR_SLOPE(LN(f), LN(r)), 4) AS zipf_slope
+         |FROM r""".stripMargin,
 
     "q158_shard_manifest" ->
       s"""WITH t AS (SELECT doc_id,
