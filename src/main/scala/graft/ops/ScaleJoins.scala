@@ -67,6 +67,34 @@ object ScaleJoins {
       .drop("bin")
   }
 
+  /** Interval×interval OVERLAP join: pairs (a, b) with
+    * a.lo <= b.hi AND b.lo <= a.hi. Both sides replicate to the fixed
+    * bins they span; a qualifying pair shares at least one bin, and the
+    * duplicate-emission problem (pairs sharing MANY bins) is solved
+    * without a distinct: emit only in the pair's FIRST common bin,
+    * max(floor(a.lo/w), floor(b.lo/w)) — each qualifying pair meets
+    * exactly once. One equi-shuffle on the bin id; replication factor =
+    * avg span / binWidth per side.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String, tag: String): DataFrame = {
+      val loBin = floor(col(lo) / binWidth).cast("long")
+      val hiBin = floor(col(hi) / binWidth).cast("long")
+      df.withColumn(s"__lobin_$tag", loBin)
+        .withColumn("__bin",
+          explode(when(col(lo) <= col(hi), sequence(loBin, hiBin))
+            .otherwise(array().cast("array<long>"))))
+    }
+    binned(left, lLo, lHi, "l")
+      .join(binned(right, rLo, rHi, "r"), Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === greatest(col("__lobin_l"), col("__lobin_r")))
+      .drop("__bin", "__lobin_l", "__lobin_r")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the user's previous event exceeds `gapSec`. Emits the input plus
     * `session_idx` (1-based per user). One hash shuffle on the user key;

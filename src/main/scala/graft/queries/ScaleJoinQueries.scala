@@ -45,6 +45,22 @@ object ScaleJoinQueries extends QueryGroup {
         .orderBy(col("band"))
     }),
 
+    // Interval×interval overlap join: region price bands vs narrower
+    // nation bands — each qualifying pair emitted exactly once via the
+    // first-common-bin rule (no dedup pass)
+    "q19d_interval_overlap_join" -> ((s, d) => {
+      val a = Tables.region(s, d).select(col("r_name").as("a_name"),
+        (col("r_regionkey") * lit(40000.0)).as("a_lo"),
+        (col("r_regionkey") * lit(40000.0) + lit(59999.0)).as("a_hi"))
+      val b = Tables.nation(s, d).select(col("n_name").as("b_name"),
+        (col("n_nationkey") * lit(15000.0)).as("b_lo"),
+        (col("n_nationkey") * lit(15000.0) + lit(25000.0)).as("b_hi"))
+      ScaleJoins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+          binWidth = 40000.0)
+        .select(col("a_name"), col("b_name"))
+        .orderBy(col("a_name"), col("b_name"))
+    }),
+
     // Same range join written the DECLARATIVE way: the user writes the
     // plain theta join (via RangeBinJoin.rangeCond) and the custom
     // Catalyst rule rewrites it to the binned equi-join inside the
@@ -99,6 +115,17 @@ object ScaleJoinQueries extends QueryGroup {
         |SELECT band, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
         |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q19d_interval_overlap_join" ->
+      """WITH a AS (SELECT r_name AS a_name,
+        |    r_regionkey * 40000.0 AS a_lo,
+        |    r_regionkey * 40000.0 + 59999.0 AS a_hi FROM region),
+        |b AS (SELECT n_name AS b_name,
+        |    n_nationkey * 15000.0 AS b_lo,
+        |    n_nationkey * 15000.0 + 25000.0 AS b_hi FROM nation)
+        |SELECT a_name, b_name FROM a JOIN b
+        |  ON a_lo <= b_hi AND b_lo <= a_hi
+        |ORDER BY a_name, b_name""".stripMargin,
 
     "q19c_range_join_rule" ->
       """WITH bands AS (SELECT r_name AS band,

@@ -41,6 +41,22 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"), plan)
   }
 
+  test("intervalOverlapJoin equals naive overlap filter, each pair exactly once") {
+    val a = Seq(("a1", 0.0, 10.0), ("a2", 5.0, 35.0), ("a3", 40.0, 41.0),
+      ("bad", 9.0, 2.0)).toDF("an", "alo", "ahi")
+    val b = Seq(("b1", 8.0, 12.0), ("b2", 30.0, 50.0), ("b3", 100.0, 101.0))
+      .toDF("bn", "blo", "bhi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"an", $"bn").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val got = pairs(ScaleJoins.intervalOverlapJoin(a, b,
+      "alo", "ahi", "blo", "bhi", binWidth = 10.0))
+    // naive excludes the inverted interval explicitly (lo <= hi guard)
+    val want = pairs(a.filter($"alo" <= $"ahi").crossJoin(b)
+      .filter($"alo" <= $"bhi" && $"blo" <= $"ahi"))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("RangeBinJoinRule rewrites the theta join to a binned equi-join") {
     import graft.plans.RangeBinJoin
     val points = Seq((1, 5.0), (2, 10.0), (3, 25.0), (4, 41.0), (5, 100.0))
