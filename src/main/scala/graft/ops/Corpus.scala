@@ -530,6 +530,58 @@ object Corpus {
         min(col(id)).as("min_id"), max(col(id)).as("max_id"))
   }
 
+  /** One-call corpus preparation — the composed pipeline a reference
+    * user switches to: minimum-quality gate → benchmark decontamination
+    * → exact dedup (min-id representative) → deterministic mixture
+    * sampling toward target domain weights. Emits EVERY input row with
+    * a keep flag and the first failing stage as `reason`
+    * (low_quality | contaminated | duplicate | sampled_out | kept), so
+    * the drop accounting is auditable. Stage order matters and is the
+    * scale order: cheap row-local gates first, the gram broadcast
+    * semi-join second, the fingerprint shuffle third, and the mixture
+    * rates are computed over the SURVIVORS of the first three gates
+    * (sampling from an uncleaned corpus would skew the mixture).
+    * Fuzzy near-dedup is deliberately separate ([[Dedup.dedupCorpus]]):
+    * its LSH fan-out costs real money at 100 TB and pipelines schedule
+    * it independently.
+    */
+  def prepareCorpus(df: DataFrame, id: String, text: String,
+      strata: String, targets: Map[String, Double], budget: Long,
+      benchmark: DataFrame, n: Int = 3, minTokens: Int = 20): DataFrame = {
+    val t = filter(toks(col(text)), x => length(x) > 0)
+    val base = df.withColumn("n_tokens", size(t))
+      .withColumn("fp", md5(Dedup.normText(col(text))))
+    val contaminated = decontaminate(df, benchmark, id, text, n)
+      .select(col(id), lit(1).as("is_cont"))
+    val reps = base.groupBy(col("fp")).agg(min(col(id)).as("keep_id"))
+    // no broadcast hint: the contaminated set is data-dependent (could
+    // be corpus-sized under heavy contamination) — AQE picks the side
+    val staged = base
+      .join(contaminated, Seq(id), "left")
+      .join(reps, "fp")
+      .withColumn("fail",
+        when(col("n_tokens") < minTokens, "low_quality")
+          .when(col("is_cont") === 1, "contaminated")
+          .when(col(id) =!= col("keep_id"), "duplicate"))
+    val surv = staged.filter(col("fail").isNull)
+    val target = targets.foldLeft(lit(0.0d)) { case (acc, (k, w)) =>
+      when(col(strata) === k, lit(w)).otherwise(acc)
+    }
+    val rates = surv.groupBy(col(strata))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("rate",
+        least(lit(1.0d), lit(budget.toDouble) * target / col("n_stratum")))
+      .select(col(strata), col("rate"))
+    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    staged.join(broadcast(rates), Seq(strata), "left")
+      .withColumn("reason",
+        coalesce(col("fail"),
+          when(bucket < (coalesce(col("rate"), lit(0.0d)) * lit(4294967296L))
+            .cast("long"), "kept").otherwise("sampled_out")))
+      .select(col(id), col(strata), col("n_tokens"),
+        (col("reason") === "kept").cast("int").as("keep"), col("reason"))
+  }
+
   /** Overlapping-token chunker for RAG / pretraining-context prep:
     * chunks of `size` tokens starting every `size − overlap` tokens;
     * the LAST chunk is the first whose window reaches the end (truncated

@@ -193,6 +193,19 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("shard"))
     }),
 
+    // the one-call pipeline: quality → decontaminate (bench = doc_id%97
+    // docs) → exact dedup → en/es/zh mixture sampling; every row comes
+    // back with its keep flag and first failing stage
+    "q161_prepare_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.prepareCorpus(docs, "doc_id", "text", "lang",
+          targets = Map("en" -> 0.5, "es" -> 0.3, "zh" -> 0.2),
+          budget = 250,
+          benchmark = docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          n = 3, minTokens = 40)
+        .orderBy(col("doc_id"))
+    }),
+
     // RAG/pretraining chunking: 64-token chunks, 16-token overlap
     "q160_chunk_documents" -> ((s, d) => {
       Corpus.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
@@ -356,6 +369,37 @@ object CorpusQueries extends QueryGroup {
          |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2)
          |SELECT term_a, term_b, n_ab, ROUND(LN(n_ab * 1.0 * nd.n_docs / (n_a * n_b)), 4) AS pmi
          |FROM pr, nd WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
+
+    "q161_prepare_corpus" ->
+      s"""WITH t AS (SELECT doc_id, lang, $sqlNorm AS s FROM documents),
+         |base AS (SELECT doc_id, lang,
+         |    len(string_split(s, ' ')) AS n_tokens, md5(s) AS fp FROM t),
+         |tk AS (SELECT doc_id, string_split(s, ' ') AS toks FROM t),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |    [concat_ws(' ', toks[i], toks[i+1], toks[i+2]) for i in range(1, len(toks) - 1)])) AS gram
+         |  FROM tk),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+         |cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)),
+         |reps AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp),
+         |staged AS (SELECT b.doc_id, b.lang, b.n_tokens,
+         |    CASE WHEN b.n_tokens < 40 THEN 'low_quality'
+         |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |         WHEN b.doc_id <> r.keep_id THEN 'duplicate' END AS fail
+         |  FROM base b LEFT JOIN cont c ON b.doc_id = c.doc_id
+         |  JOIN reps r USING (fp)),
+         |rates AS (SELECT lang, LEAST(1.0, 250.0 *
+         |    (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3
+         |     WHEN 'zh' THEN 0.2 ELSE 0.0 END) / COUNT(*)) AS rate
+         |  FROM staged WHERE fail IS NULL GROUP BY lang),
+         |fin AS (SELECT s.doc_id, s.lang, s.n_tokens,
+         |    COALESCE(s.fail, CASE WHEN (s.doc_id * 2654435761) % 4294967296
+         |        < CAST(FLOOR(COALESCE(r.rate, 0.0) * 4294967296) AS BIGINT)
+         |      THEN 'kept' ELSE 'sampled_out' END) AS reason
+         |  FROM staged s LEFT JOIN rates r USING (lang))
+         |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS INTEGER) AS keep,
+         |  reason
+         |FROM fin ORDER BY doc_id""".stripMargin,
 
     // chunk i covers tokens [i*48+1, min(i*48+64, n)] 1-based; count =
     // 1 + ceil(max(n-64,0)/48) — the last chunk reaches the end

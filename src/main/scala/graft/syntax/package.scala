@@ -153,6 +153,11 @@ package object syntax {
         n: Int): DataFrame = Corpus.weightedSample(df, id, strata, weight, n)
     def chunkDocuments(id: String, text: String, size: Int,
         overlap: Int): DataFrame = Corpus.chunkDocuments(df, id, text, size, overlap)
+    def prepareCorpus(id: String, text: String, strata: String,
+        targets: Map[String, Double], budget: Long, benchmark: DataFrame,
+        n: Int = 3, minTokens: Int = 20): DataFrame =
+      Corpus.prepareCorpus(df, id, text, strata, targets, budget,
+        benchmark, n, minTokens)
     def shardManifest(id: String, text: String, nShards: Int): DataFrame =
       Corpus.shardManifest(df, id, text, nShards)
 

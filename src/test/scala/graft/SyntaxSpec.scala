@@ -134,6 +134,14 @@ class SyntaxSpec extends SparkSpec {
     // 5 tokens, size 3, step 2 -> chunks at 0,2: [t1 t2 t3], [t3 t4 t5]
     assert(docs.chunkDocuments("doc_id", "text", size = 3, overlap = 1)
       .filter($"doc_id" === 1).count() == 2)
+    // doc 2 duplicates doc 1 -> exactly one 'duplicate' verdict; doc 3
+    // shares no 2-grams with the doc-1 benchmark -> never contaminated
+    val prep = docs.prepareCorpus("doc_id", "text", "lang",
+        Map("en" -> 1.0, "es" -> 1.0), budget = 10,
+        benchmark = docs.filter($"doc_id" === 1), n = 2, minTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(prep(1L) == "contaminated" && prep(2L) == "contaminated" &&
+      prep(3L) == "kept", prep.toString)
     assert(docs.shardManifest("doc_id", "text", nShards = 2)
       .agg(sum($"n_docs")).head.getLong(0) == 3)
 
