@@ -655,6 +655,19 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("bin"))
     }),
 
+    // pandas qcut: quantile binning via ntile over a TOTAL order (the
+    // orderkey tiebreak makes boundary assignment engine-deterministic)
+    "q25c_qcut" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord(s, d).withColumn("tile", ntile(4).over(w))
+        .groupBy(col("o_orderpriority"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("o_orderpriority"), col("tile"))
+    }),
+
     // two-way frequency table (reference cudf.crosstab / DataFrame
     // .stat.crosstab) — zero-filled counts per category pair
     "q27c_crosstab" -> ((s, d) => {
@@ -1127,6 +1140,17 @@ object RelationalQueries extends QueryGroup {
       """SELECT CAST(FLOOR(l_extendedprice / 10000) AS INTEGER) AS bin,
         |  COUNT(*) AS n, ROUND(AVG(l_extendedprice), 2) AS avg_price
         |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q25c_qcut" ->
+      """SELECT o_orderpriority, tile, COUNT(*) AS n,
+        |  ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS tile
+        |  FROM orders
+        |) GROUP BY o_orderpriority, tile
+        |ORDER BY o_orderpriority, tile""".stripMargin,
 
     "q27c_crosstab" ->
       """SELECT l_returnflag AS rf,
