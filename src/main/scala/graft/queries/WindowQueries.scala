@@ -36,6 +36,19 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("l_returnflag"), col("rn"))
     }),
 
+    // cumulative distribution (pandas rank(pct=True)-adjacent): ties
+    // share the peer-inclusive value, so the output is deterministic
+    "q70c_cume_dist" -> ((s, d) => {
+      val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          round(cume_dist().over(byQty), 6).as("cd"))
+        .orderBy(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // fixed row-count rolling window (reference rolling(window=3))
     "q71_window_rolling" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -286,6 +299,13 @@ object WindowQueries extends QueryGroup {
         |FROM lineitem WHERE l_orderkey % 331 = 0
         |WINDOW g AS (PARTITION BY l_returnflag)
         |ORDER BY l_orderkey, l_linenumber, demeaned""".stripMargin,
+
+    "q70c_cume_dist" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity), 6) AS cd
+        |FROM lineitem WHERE l_orderkey % 331 = 0
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin,
 
     "q70b_rank_average" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

@@ -187,6 +187,24 @@ class PropertySpec extends SparkSpec {
     check("range-join", prop, minTests = 6)
   }
 
+  test("intervalOverlapJoin equals the naive overlap cross-filter") {
+    val gen = for {
+      as <- Gen.listOfN(6, for { lo <- Gen.choose(0, 300); sp <- Gen.choose(0, 80) } yield (lo, sp))
+      bs <- Gen.listOfN(6, for { lo <- Gen.choose(0, 300); sp <- Gen.choose(0, 40) } yield (lo, sp))
+      w <- Gen.oneOf(10.0, 33.0, 100.0)
+    } yield (as.zipWithIndex.map { case ((l, s), i) => (i, l.toDouble, (l + s).toDouble) },
+      bs.zipWithIndex.map { case ((l, s), i) => (i, l.toDouble, (l + s).toDouble) }, w)
+    val prop = Prop.forAll(gen) { case (as, bs, w) =>
+      val a = as.toDF("ai", "alo", "ahi")
+      val b = bs.toDF("bi", "blo", "bhi")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("ai"), col("bi")).as[(Int, Int)].collect().sorted.toSeq
+      pairs(graft.ops.ScaleJoins.intervalOverlapJoin(a, b, "alo", "ahi", "blo", "bhi", w)) ==
+        pairs(a.crossJoin(b).filter(col("alo") <= col("bhi") && col("blo") <= col("ahi")))
+    }
+    check("interval-overlap", prop, minTests = 6)
+  }
+
   // ---- sessionize vs per-user brute-force fold ----------------------
 
   private val genEvents: Gen[List[(Long, String, Long)]] =
