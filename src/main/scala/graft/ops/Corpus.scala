@@ -138,6 +138,24 @@ object Corpus {
         col("start_off"), col("window_id"), col("spans_boundary"))
   }
 
+  /** Knuth multiplicative-hash bucket of a row id, uniform in
+    * [0, 2^32). Shared by every deterministic sampling/sharding op here
+    * (sampleByHash, mixtureResample, prepareCorpus, shardManifest,
+    * weightedSample, bottomKPerStratum) and replayed verbatim in their
+    * DuckDB oracles.
+    *
+    * PRECONDITION — numeric ids below ~2^31: a non-numeric id casts to
+    * null (the row then fails every bucket comparison and is silently
+    * dropped), and an id above ~2^31 overflows the Long product, where
+    * Spark wraps but DuckDB promotes to HUGEINT — so oracle parity and
+    * hash uniformity both require small numeric ids. For string or
+    * wide ids, hash first (e.g. [[graft.expressions.TextHashes.poly_hash]],
+    * whose arithmetic stays inside the overflow-free range by reducing
+    * mod 1e9+7 each step) and feed the result in as the id.
+    */
+  private def hashBucket(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
   /** Deterministic per-stratum sampling: keep a row iff the Knuth
     * multiplicative hash of its id lands below the stratum's rate.
     * Engine-independent (pure integer arithmetic on the id — no RNG
@@ -148,7 +166,7 @@ object Corpus {
     */
   def sampleByHash(df: DataFrame, id: String, strata: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val bucket = hashBucket(col(id))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(col(strata) === k, lit(r)).otherwise(acc)
     }
@@ -435,11 +453,16 @@ object Corpus {
     val t = filter(toks(col(text)), x => length(x) > 0)
     val wSum = aggregate(t, lit(0.0d),
       (acc, x) => acc + featureWeight(x))
-    df.select(col(id), size(t).as("n_tokens"),
-        (lit(bias) + lit(scale) * wSum / size(t)).as("logit"))
+    // empty / whitespace-only documents (n_tokens = 0) are rejected
+    // DETERMINISTICALLY (score 0.0, keep false) instead of riding on
+    // divide-by-zero semantics, which differ between engines (Spark
+    // null vs IEEE NaN) and would otherwise emit an un-gated row
+    val logit = when(size(t) > 0,
+      lit(bias) + lit(scale) * wSum / size(t))
+    df.select(col(id), size(t).as("n_tokens"), logit.as("logit"))
       .select(col(id), col("n_tokens"),
-        round(col("logit"), 6).as("score"),
-        (col("logit") > 0).as("keep"))
+        coalesce(round(col("logit"), 6), lit(0.0d)).as("score"),
+        coalesce(col("logit") > 0, lit(false)).as("keep"))
   }
 
   /** Pseudo-weight in [-0.5, 0.5) for a token: multiplicative remix of
@@ -466,7 +489,7 @@ object Corpus {
     val rates = df.groupBy(col(strata))
       .agg(count(lit(1)).as("n_stratum"))
       .withColumn("rate", least(lit(1.0d), lit(budget.toDouble) * target / col("n_stratum")))
-    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val bucket = hashBucket(col(id))
     df.join(broadcast(rates), strata)
       .filter(bucket < (col("rate") * lit(4294967296L)).cast("long"))
   }
@@ -483,7 +506,10 @@ object Corpus {
     val terms = df.select(explode(toks(col(text))).as("term"))
       .filter(length(col("term")) > 0)
     val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("f"))
-    val total = terms.agg(count(lit(1)).as("n_tokens"))
+    // total token mass = Σf over the vocabulary-sized counts frame —
+    // NOT a second scan of the exploded terms (the double-scan pattern
+    // tfidf/decontaminate already eliminated)
+    val total = counts.agg(sum(col("f")).as("n_tokens"))
     counts
       .withColumn("bucket",
         when(col("f") <= maxFreq, col("f")).otherwise(lit(maxFreq + 1)).cast("int"))
@@ -522,7 +548,7 @@ object Corpus {
     */
   def shardManifest(df: DataFrame, id: String, text: String,
       nShards: Int): DataFrame = {
-    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val bucket = hashBucket(col(id))
     df.select(col(id), pmod(bucket, lit(nShards.toLong)).as("shard"),
         size(filter(toks(col(text)), x => length(x) > 0)).as("n_tokens"))
       .groupBy(col("shard"))
@@ -572,7 +598,7 @@ object Corpus {
       .withColumn("rate",
         least(lit(1.0d), lit(budget.toDouble) * target / col("n_stratum")))
       .select(col(strata), col("rate"))
-    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val bucket = hashBucket(col(id))
     staged.join(broadcast(rates), Seq(strata), "left")
       .withColumn("reason",
         coalesce(col("fail"),
@@ -619,13 +645,19 @@ object Corpus {
     * shard), which is what makes quality-weighted corpus sampling
     * reproducible AND oracle-gateable. One window per stratum, rank on
     * the raw key with the id as tiebreak.
+    *
+    * Weights must be strictly positive: w <= 0 would give an infinite
+    * or sign-flipped key and a null weight a null key, silently
+    * corrupting the per-stratum order — such rows are excluded from
+    * the sample up front (the filter also drops null weights).
     */
   def weightedSample(df: DataFrame, id: String, strata: String,
       weight: Column, n: Int): DataFrame = {
-    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val bucket = hashBucket(col(id))
     val u = (bucket + lit(1L)).cast("double") / lit(4294967297.0d)
     val wS = Window.partitionBy(col(strata)).orderBy(col("es_key"), col(id))
-    df.withColumn("es_key", -log(u) / weight)
+    df.filter(weight > lit(0.0d))
+      .withColumn("es_key", -log(u) / weight)
       .withColumn("rnk", row_number().over(wS))
       .filter(col("rnk") <= n)
       .withColumn("rnk", col("rnk").cast("int"))
@@ -642,7 +674,7 @@ object Corpus {
     */
   def bottomKPerStratum(df: DataFrame, strata: String, id: String,
       n: Int): DataFrame = {
-    val bucket = pmod(col(id).cast("long") * lit(2654435761L), lit(4294967296L))
+    val bucket = hashBucket(col(id))
     val wS = Window.partitionBy(col(strata)).orderBy(col("bucket"), col(id))
     df.withColumn("bucket", bucket)
       .withColumn("rnk", row_number().over(wS))

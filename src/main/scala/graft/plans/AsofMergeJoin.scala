@@ -42,6 +42,14 @@ object AsofMergeJoin {
     * is skipped). Null BY keys group together and match each other —
     * unlike pandas, where NaN keys never match; filter them out first
     * if pandas semantics are required.
+    *
+    * Duplicate (by, on) pairs on the right are resolved
+    * deterministically: the physical ordering tie-breaks on the
+    * projected right columns, so backward returns the greatest payload
+    * tuple among the tied rows, and forward the least among
+    * strictly-later ties (an exact-timestamp tie group folds like
+    * backward, to its greatest). Pandas keeps the positionally-last
+    * duplicate, which has no distributed analogue.
     */
   def asofBackward(left: DataFrame, right: DataFrame, leftOn: String,
       rightOn: String, by: Seq[String], rightCols: Seq[String],
@@ -124,9 +132,18 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftBy) :: ClusteredDistribution(rightBy) :: Nil
+  // The right-side payload columns join the sort AFTER (by, on): when the
+  // right side holds duplicate (by, on) pairs, the merge folds ties in
+  // sort order and keeps the last, so without this the winning duplicate
+  // would be whatever tie order the shuffle sort happened to produce.
+  // With it, backward deterministically resolves to the MAX orderable
+  // payload tuple and forward to the MIN — same answer every run, every
+  // partitioning. Non-orderable payloads (maps) stay un-tiebroken.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, Ascending),
-    rightBy.map(SortOrder(_, Ascending)) :+ SortOrder(rightOn, Ascending))
+    (rightBy.map(SortOrder(_, Ascending)) :+ SortOrder(rightOn, Ascending)) ++
+      rightCols.filter(c => RowOrdering.isOrderable(c.dataType))
+        .map(SortOrder(_, Ascending)))
   override def outputOrdering: Seq[SortOrder] =
     leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, Ascending)
   override protected def withNewChildrenInternal(l: SparkPlan,

@@ -423,7 +423,7 @@ object CorpusQueries extends QueryGroup {
          |k AS (SELECT doc_id, lang,
          |    -LN((((doc_id * 2654435761) % 4294967296) + 1) / 4294967297.0)
          |      / w AS es_key
-         |  FROM t),
+         |  FROM t WHERE w > 0),
          |r AS (SELECT lang, doc_id, es_key,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
          |      ORDER BY es_key, doc_id) AS INTEGER) AS rnk
@@ -447,8 +447,10 @@ object CorpusQueries extends QueryGroup {
          |      (a, w) -> a + w) AS ws
          |  FROM t)
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-         |  ROUND(4.0 * ws / n_tokens, 6) AS score,
-         |  (4.0 * ws / n_tokens) > 0 AS keep
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE ROUND(4.0 * ws / n_tokens, 6) END AS score,
+         |  CASE WHEN n_tokens = 0 THEN FALSE
+         |       ELSE (4.0 * ws / n_tokens) > 0 END AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q156_mixture_resample" ->

@@ -93,7 +93,10 @@ class AsofMergeSpec extends SparkSpec {
     assert(counts(plain) == ((2, 2)), plain.queryExecution.executedPlan.toString)
     val prepared = AsofMergeJoin.asofBackward(
       trades.repartition(4, $"sym").sortWithinPartitions($"sym", $"ts"),
-      quotes.repartition(4, $"sym").sortWithinPartitions($"sym", $"ts"),
+      // the right side's required ordering includes the payload
+      // tiebreak (sym, ts, px) — a bucketed layout must sort by it too
+      // for the sort to elide
+      quotes.repartition(4, $"sym").sortWithinPartitions($"sym", $"ts", $"px"),
       "ts", "ts", by = Seq("sym"), rightCols = Seq("px"))
     assert(counts(prepared) == ((2, 2)), prepared.queryExecution.executedPlan.toString)
     assert(prepared.count() == 6)
@@ -120,16 +123,42 @@ class AsofMergeSpec extends SparkSpec {
       .as[(String, Long, Double)].collect()
     val want = l.map { case (id, sym, t) =>
       val cands = r.filter(q => q._1 == sym && q._2 <= t)
-      // brute-force tie rule: the merge keeps the LAST right row with
-      // ts <= t in (ts, arrival) order; on equal ts any of them is a
-      // valid backward match — pick max ts then max px to mirror the
-      // deterministic generator (distinct px per (sym, ts) here)
+      // brute-force tie rule mirrors the exec's payload tiebreak:
+      // backward keeps the max (ts, px) tuple among candidates
       id -> (if (cands.isEmpty) None
              else Some(cands.maxBy(q => (q._2, q._3))._3))
     }.toMap
-    // equal-ts duplicates would make the pick ambiguous — generator
-    // yields distinct ts per sym, assert that precondition first
-    assert(r.groupBy(q => (q._1, q._2)).forall(_._2.length == 1))
     assert(got == want)
+  }
+
+  test("duplicate (by, on) right rows resolve deterministically") {
+    // three quotes at the SAME (sym, ts): without the payload tiebreak
+    // in requiredChildOrdering the winner would be whatever tie order
+    // the shuffle sort produced; with it, backward always folds to the
+    // max payload and forward peeks the min among strictly-later ties
+    val dupQuotes = Seq(
+      ("A", 10L, 101.0), ("A", 10L, 99.0), ("A", 10L, 105.0),
+      ("A", 20L, 50.0), ("A", 20L, 60.0),
+      ("B", 5L, 1.0), ("B", 5L, 2.0))
+      .toDF("sym", "qsec", "px")
+      .withColumn("ts", timestamp_seconds($"qsec")).drop("qsec")
+    val lhs = Seq((1L, "A", 15L), (2L, "A", 25L), (3L, "B", 5L))
+      .toDF("trade_id", "sym", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    for (i <- 1 to 3) { // vary input partitioning: answer must not
+      val got = AsofMergeJoin.asofBackward(
+          lhs.repartition(i * 2), dupQuotes.repartition(8 - i),
+          "ts", "ts", by = Seq("sym"), rightCols = Seq("px"))
+        .select($"trade_id", $"px").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 105.0, 2L -> 60.0, 3L -> 2.0), s"round $i")
+    }
+    val fwd = AsofMergeJoin.asofMerge(
+        Seq((1L, "A", 5L)).toDF("trade_id", "sym", "sec")
+          .withColumn("ts", timestamp_seconds($"sec")).drop("sec"),
+        dupQuotes, "ts", "ts", by = Seq("sym"), rightCols = Seq("px"),
+        direction = "forward")
+      .select($"px").collect().head.getDouble(0)
+    assert(fwd == 99.0)
   }
 }

@@ -212,4 +212,28 @@ class CorpusSpec extends SparkSpec {
     // subset sample (smaller pool can only keep or promote them)
     assert(full.filter(_ < 250).subsetOf(sub))
   }
+
+  test("qualityClassifierScore rejects empty docs deterministically") {
+    import spark.implicits._
+    val df = Seq((1L, "real text with several honest tokens here"),
+      (2L, ""), (3L, "   \t ")).toDF("doc_id", "text")
+    val r = Corpus.qualityClassifierScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    for (i <- Seq(1, 2)) { // empty and whitespace-only: no null leaks
+      assert(r(i).getAs[Int]("n_tokens") == 0)
+      assert(r(i).getAs[Double]("score") == 0.0)
+      assert(!r(i).getAs[Boolean]("keep"))
+    }
+    assert(r(0).getAs[Int]("n_tokens") == 7 && !r(0).isNullAt(2))
+  }
+
+  test("weightedSample excludes null and non-positive weights") {
+    import spark.implicits._
+    val df = Seq((1L, "en", Some(5.0)), (2L, "en", Some(0.0)),
+        (3L, "en", Some(-2.0)), (4L, "en", Some(3.0)), (5L, "en", None))
+      .toDF("doc_id", "lang", "w")
+    val kept = Corpus.weightedSample(df, "doc_id", "lang", col("w"), n = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // w<=0 / null rows never corrupt ranks
+  }
 }
