@@ -183,6 +183,89 @@ object TextAnalysis {
     if (w == null) null else Porter.stem(w)
   }
 
+  /** WordPiece vocabulary for [[wordpieceTokenize]] (nvtext
+    * subword_tokenize parity — [cpp/src/text/subword_tokenize.cu] runs
+    * greedy longest-match-first against a hashed vocab file). Token id =
+    * index in this list. No model artifacts ship in this sandbox, so
+    * the vocab is an embedded constant chosen to exercise every greedy
+    * path on the fixture corpus (full words, multi-piece splits, shared
+    * continuations like ##ow, longest-vs-prefix races like fa/fast, and
+    * [UNK] fallback); at production scale it is a broadcast Map loaded
+    * from the tokenizer's vocab.txt — the operator shape is identical.
+    */
+  val wordpieceVocab: Seq[String] =
+    Seq("[UNK]") ++
+      ('a' to 'z').map(_.toString) ++
+      ('a' to 'z').map("##" + _) ++
+      Seq("the", "data", "join", "sort", "key", "row", "dup", "agg",
+        "fast", "big", "part", "fa", "sl", "sp", "ba", "ha",
+        "wind", "cust", "str", "fil", "que", "gro", "sca",
+        "smal", "tab", "mer", "ord", "val", "lin", "vec", "col",
+        "##ow", "##omer", "##eam", "##ter", "##ry", "##up", "##ark",
+        "##tch", "##sh", "##er", "##ge", "##le", "##ue", "##umn", "##tor")
+
+  private val wpIndex: Map[String, Int] = wordpieceVocab.zipWithIndex.toMap
+  // longest piece length net of the ## marker — bounds the inner scan
+  private val wpMaxCore: Int = wordpieceVocab.filterNot(_ == "[UNK]")
+    .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+
+  /** Greedy longest-match-first WordPiece of one word (HuggingFace
+    * semantics): repeatedly take the longest vocab piece matching at the
+    * cursor ("##"-prefixed after the first); if no piece matches at any
+    * position the ENTIRE word collapses to [UNK] (id 0) — partial
+    * prefixes are discarded, not emitted.
+    */
+  private[graft] def wordpieceWord(w: String): List[Int] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Int]
+    var pos = 0
+    while (pos < w.length) {
+      var len = math.min(w.length - pos, wpMaxCore)
+      var found = -1
+      while (len > 0 && found < 0) {
+        val core = w.substring(pos, pos + len)
+        val cand = if (pos == 0) core else "##" + core
+        // a raw word starting with "##" may not claim a continuation
+        // piece at position 0 (mirrors the oracle's NOT LIKE '##%')
+        if (pos > 0 || !core.startsWith("##")) {
+          wpIndex.get(cand) match {
+            case Some(i) if i != 0 => found = i
+            case _ =>
+          }
+        }
+        if (found < 0) len -= 1
+      }
+      if (found < 0) return List(0)
+      out += found
+      pos += len
+    }
+    out.toList
+  }
+
+  private case class WpDoc(n_words: Int, n_tokens: Int, n_unk: Int,
+      token_ids: String)
+
+  private val wordpieceUdf = udf { (words: Seq[String]) =>
+    val ids = if (words == null) Seq.empty[Int]
+      else words.flatMap(wordpieceWord)
+    WpDoc(if (words == null) 0 else words.length, ids.length,
+      ids.count(_ == 0), ids.mkString(" "))
+  }
+
+  /** Vocab-driven subword tokenization over a document column: the
+    * whole doc tokenizes inside ONE compiled UDF call (words →
+    * flatMapped greedy WordPiece), so the plan is a pure map stage —
+    * zero shuffles, no explode, no per-token row blowup; token counts
+    * for packing/mixture budgets come out of the same pass. Gated q109
+    * against a DuckDB recursive-CTE replay of the same greedy matching.
+    */
+  def wordpieceTokenize(df: DataFrame, id: String, text: String): DataFrame = {
+    val words = filter(split(norm(col(text)), " "), x => length(x) > 0)
+    df.select(col(id), wordpieceUdf(words).as("wp"))
+      .select(col(id), col("wp.n_words").as("n_words"),
+        col("wp.n_tokens").as("n_tokens"), col("wp.n_unk").as("n_unk"),
+        col("wp.token_ids").as("token_ids"))
+  }
+
   /** URL decomposition for corpus filtering (domain blocklists, path
     * heuristics — the CommonCrawl-prep pass). Pure `regexp_extract`
     * chains, RE2-safe and lookaround-free so the same patterns run

@@ -18,7 +18,7 @@ object CorpusQueries extends QueryGroup {
   private val sqlNorm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
 
   /** DuckDB: index-order dot product of two 64-dim float-list columns. */
-  private def sqlDot(a: String, ac: String, b: String, bc: String): String =
+  private[queries] def sqlDot(a: String, ac: String, b: String, bc: String): String =
     s"list_sum(list_transform(range(1, 65), i -> " +
       s"CAST($a.$ac[i] AS DOUBLE) * CAST($b.$bc[i] AS DOUBLE)))"
 
@@ -28,7 +28,7 @@ object CorpusQueries extends QueryGroup {
     * FLOAT (the float cast is what makes the fixpoint engine-portable:
     * it absorbs last-ulp double-summation-order noise on both sides).
     */
-  private def sqlKmeansCtes(k: Int, iters: Int): String = {
+  private[queries] def sqlKmeansCtes(k: Int, iters: Int): String = {
     val seed =
       s"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
          |  embedding AS c_vec FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
@@ -83,6 +83,16 @@ object CorpusQueries extends QueryGroup {
       import graft.ops.Dedup
       Corpus.packSequences(docs, "doc_id",
           size(split(Dedup.normText(col("text")), " ")), budget = 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // packing budgets over REAL tokenizer counts: wordpiece subword
+    // tokenization (q109's kernel, one map stage) feeds the two-phase
+    // prefix-sum packer — the actual pretraining layout computation
+    "q142b_pack_by_subword" -> ((s, d) => {
+      val counted = graft.ops.TextAnalysis.wordpieceTokenize(
+        Tables.documents(s, d), "doc_id", "text")
+      Corpus.packSequences(counted, "doc_id", col("n_tokens"), budget = 512)
         .orderBy(col("doc_id"))
     }),
 
@@ -268,6 +278,21 @@ object CorpusQueries extends QueryGroup {
          |c AS (SELECT doc_id, n_tokens,
          |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
          |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, start_off,
+         |  CAST(start_off // 512 AS BIGINT) AS window_id,
+         |  ((start_off + n_tokens - 1) // 512) <> (start_off // 512) AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q142b_pack_by_subword" ->
+      s"""WITH RECURSIVE
+         |${LlmQueries.sqlWordpieceCtes},
+         |n AS (SELECT t.doc_id,
+         |    CAST(coalesce(len(f.ids), 0) AS BIGINT) AS n_tokens
+         |  FROM t LEFT JOIN flat f USING (doc_id)),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM n)
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, start_off,
          |  CAST(start_off // 512 AS BIGINT) AS window_id,
          |  ((start_off + n_tokens - 1) // 512) <> (start_off // 512) AS spans_boundary

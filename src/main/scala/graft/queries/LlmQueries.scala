@@ -28,6 +28,62 @@ object LlmQueries extends QueryGroup {
   /** DuckDB: normalized text (Dedup.normText). */
   private val sqlNorm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
 
+  /** DuckDB CTE chain replaying [[graft.ops.TextAnalysis.wordpieceTokenize]]:
+    * greedy longest-match-first per DISTINCT word as a recursive CTE —
+    * each step takes the longest vocab piece matching at the cursor
+    * (continuations ##-prefixed); a word with NO match at some cursor
+    * collapses to a single [UNK] (id 0) via the bool_or. The vocab
+    * literal comes from the SAME Seq the Spark UDF indexes. The walk is
+    * deliberately NOT a list_reduce fold: DuckDB 1.0 corrupts struct
+    * accumulators under vectorized folds (verified in-session).
+    * Yields `t(doc_id, wl)` and `flat(doc_id, ids)`; callers join them
+    * (shared with the q142b packing oracle in CorpusQueries).
+    * Callers must open with WITH RECURSIVE.
+    */
+  private[queries] lazy val sqlWordpieceCtes: String = {
+    val vlit = TextAnalysis.wordpieceVocab
+      .map(v => s"'$v'").mkString("[", ", ", "]")
+    s"""v AS (SELECT $vlit AS vb),
+       |t AS (SELECT doc_id,
+       |    list_filter(string_split($sqlNorm, ' '), x -> len(x) > 0) AS wl
+       |  FROM documents),
+       |w AS (SELECT doc_id, unnest(wl) AS word,
+       |    generate_subscripts(wl, 1) AS widx FROM t),
+       |uw AS (SELECT DISTINCT word FROM w),
+       |rec AS (
+       |  SELECT word, 0 AS pos, CAST(NULL AS VARCHAR) AS piece,
+       |    0 AS step, false AS bad FROM uw
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN best = '' THEN len(word)
+       |         WHEN best LIKE '##%' THEN pos + len(best) - 2
+       |         ELSE pos + len(best) END AS pos,
+       |    CASE WHEN best = '' THEN '[UNK]' ELSE best END AS piece,
+       |    step + 1 AS step,
+       |    (best = '') AS bad
+       |  FROM (
+       |    SELECT word, pos, step,
+       |      coalesce(list_filter(cands, p -> len(p) =
+       |        list_aggregate(list_transform(cands, q -> len(q)), 'max'))[1], '') AS best
+       |    FROM (
+       |      SELECT r.word, r.pos, r.step,
+       |        list_filter(v.vb, p -> CASE WHEN r.pos = 0
+       |          THEN p NOT LIKE '##%' AND p != '[UNK]'
+       |            AND substr(r.word, 1, len(p)) = p
+       |          ELSE p LIKE '##%' AND len(p) > 2
+       |            AND substr(r.word, r.pos + 1, len(p) - 2) = substr(p, 3)
+       |          END) AS cands
+       |      FROM rec r, v
+       |      WHERE NOT r.bad AND r.pos < len(r.word)))),
+       |wt AS (SELECT word,
+       |    CASE WHEN bool_or(bad) THEN [CAST(0 AS INTEGER)]
+       |         ELSE list(CAST(list_position((SELECT vb FROM v), piece) - 1
+       |           AS INTEGER) ORDER BY step) END AS ids
+       |  FROM rec WHERE piece IS NOT NULL GROUP BY word),
+       |flat AS (SELECT w.doc_id, flatten(list(wt.ids ORDER BY w.widx)) AS ids
+       |  FROM w JOIN wt USING (word) GROUP BY w.doc_id)""".stripMargin
+  }
+
   /** DuckDB CTEs: documents → minhash signature list (HashSpec.minHash).
     * `from` lets callers restrict the corpus (e.g. to exact-dedup reps).
     */
@@ -241,9 +297,10 @@ object LlmQueries extends QueryGroup {
 
     // IVF ANN with a LEARNED coarse quantizer: deterministic k-means
     // (lowest-id seeds, fixed rounds) → nearest-centroid assignment →
-    // probe nProbe clusters only. Rows-only gate (float centroid means
-    // make a bit-exact DuckDB replay fragile); recall-vs-brute-force and
-    // probe behavior are asserted in OpsSpec.
+    // probe nProbe clusters only. Fully hash-gated: the oracle unrolls
+    // the same k-means in DuckDB CTEs (float-cast means absorb last-ulp
+    // noise, as in q145) and replays probe + top-k; recall-vs-brute-
+    // force stays asserted in OpsSpec.
     "q99b_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopKLearned(emb, emb.filter(col("vec_id") < 3),
@@ -320,6 +377,15 @@ object LlmQueries extends QueryGroup {
       porterGolden.map(_._1).toDF("tok")
         .select(col("tok"), TextAnalysis.porterStem(col("tok")).as("stem"))
         .orderBy(col("tok"))
+    }),
+
+    // nvtext subword_tokenize parity: greedy longest-match-first
+    // WordPiece against the embedded vocab, one compiled-UDF map stage;
+    // oracle replays the SAME greedy walk as a DuckDB recursive CTE
+    // over the distinct-word set
+    "q109_subword_tokenize" -> ((s, d) => {
+      TextAnalysis.wordpieceTokenize(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // ---- multimodal plumbing (M6; decode is a marked stub) ----------
@@ -585,6 +651,33 @@ object LlmQueries extends QueryGroup {
            |  WHERE q.vec_id < 3
            |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
+      // full IVF oracle: the q145-style k-means unroll (same seeds, 3
+      // rounds, float-cast means) → nearest-centroid assignment → the
+      // PROBE centroids ivfTopK recomputes from the assignment → probe
+      // the 2 best clusters → exact top-3 within the probed slices
+      "q99b_ann_ivf" ->
+        s"""WITH ${CorpusQueries.sqlKmeansCtes(k = 8, iters = 3)},
+           |af AS (SELECT vec_id, embedding, cl FROM (
+           |  SELECT e.vec_id, e.embedding, c.cl,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${CorpusQueries.sqlDot("e", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS rn
+           |  FROM embeddings e, c3 c) s WHERE rn = 1),
+           |cm AS (SELECT cl, i, CAST(AVG(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS m
+           |  FROM af, range(1, 65) t(i) GROUP BY cl, i),
+           |cc AS (SELECT cl, list(m ORDER BY i) AS c_vec FROM cm GROUP BY cl),
+           |pr AS (SELECT q_id, q_vec, cl FROM (
+           |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cl,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${CorpusQueries.sqlDot("q", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS p
+           |  FROM embeddings q, cc c WHERE q.vec_id < 3) s WHERE p <= 2),
+           |cand AS (SELECT pr.q_id, e.vec_id AS n_id,
+           |    ${CorpusQueries.sqlDot("pr", "q_vec", "e", "embedding")} AS cos
+           |  FROM pr JOIN af e USING (cl) WHERE e.vec_id != pr.q_id)
+           |SELECT q_id, rnk, n_id, ROUND(cos, 6) AS cos FROM (
+           |  SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rnk FROM cand)
+           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
       "q100_text_langid" -> {
         val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
           val lst = m.map(w => s"'$w'").mkString(", ")
@@ -665,6 +758,15 @@ object LlmQueries extends QueryGroup {
         s"""SELECT tok, stem FROM (VALUES $values) AS g(tok, stem)
            |ORDER BY tok""".stripMargin
       },
+
+      "q109_subword_tokenize" ->
+        s"""WITH RECURSIVE
+           |$sqlWordpieceCtes
+           |SELECT t.doc_id, CAST(len(t.wl) AS INTEGER) AS n_words,
+           |  CAST(coalesce(len(f.ids), 0) AS INTEGER) AS n_tokens,
+           |  CAST(coalesce(len(list_filter(f.ids, x -> x = 0)), 0) AS INTEGER) AS n_unk,
+           |  coalesce(array_to_string(f.ids, ' '), '') AS token_ids
+           |FROM t LEFT JOIN flat f USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       "q105_multimodal_features" ->
         s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,

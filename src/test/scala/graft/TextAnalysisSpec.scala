@@ -56,4 +56,37 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.codePoints(col("t"))).as[Seq[Int]].head()
     assert(res == Seq(65, 98, 32, 122))
   }
+
+  test("wordpiece greedy longest-match-first: golden splits") {
+    val v = TextAnalysis.wordpieceVocab
+    def pieces(w: String): List[String] =
+      TextAnalysis.wordpieceWord(w).map(v)
+    assert(pieces("the") == List("the"))            // full-word hit
+    assert(pieces("fast") == List("fast"))          // beats prefix 'fa'
+    assert(pieces("faster") == List("fast", "##er"))
+    assert(pieces("slow") == List("sl", "##ow"))    // beats single 's'
+    assert(pieces("window") == List("wind", "##ow"))
+    assert(pieces("customer") == List("cust", "##omer"))
+    assert(pieces("scan") == List("sca", "##n"))    // single-char cont
+    assert(pieces("a") == List("a"))
+    assert(pieces("x9z") == List("[UNK]"))          // digit kills WHOLE word
+    assert(pieces("zzz") == List("z", "##z", "##z"))
+    assert(pieces("##ow") == List("[UNK]"))         // no cont piece at pos 0
+  }
+
+  test("wordpieceTokenize emits per-doc counts and the id stream") {
+    val df = Seq((1L, "The  FAST window"), (2L, ""), (3L, "x9z scan"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.wordpieceTokenize(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val v = TextAnalysis.wordpieceVocab
+    val ids = Seq(v.indexOf("the"), v.indexOf("fast"),
+      v.indexOf("wind"), v.indexOf("##ow")).mkString(" ")
+    assert(r(0).getAs[Int]("n_words") == 3 &&
+      r(0).getAs[String]("token_ids") == ids)
+    assert(r(1).getAs[Int]("n_tokens") == 0 &&
+      r(1).getAs[String]("token_ids") == "")
+    assert(r(2).getAs[Int]("n_unk") == 1) // x9z -> [UNK], scan -> 2 ids
+    assert(r(2).getAs[Int]("n_tokens") == 3)
+  }
 }
