@@ -135,4 +135,32 @@ object FrameOps {
         expr(s"interval $step"))).as("bucket"))
     cal.join(b, Seq("bucket"), "left")
   }
+
+  /** Full pairwise correlation/covariance matrix (pandas/dask
+    * `df.corr()` / `df.cov()` — [dask/dataframe/core.py :: corr] computes
+    * every pair): ALL n·(n+1)/2 upper-triangle pairs (diagonal included)
+    * in ONE aggregation pass — the co-moment buffers for every pair ride
+    * the same partial→final aggregate, so the input is scanned once and
+    * nothing is joined. At 100 TB this is a map-side-combined global
+    * agg with an O(n²) (columns, not rows) result row, then a constant-
+    * size Expand to long form (col_a, col_b, corr, cov) — the layout a
+    * downstream heatmap/feature-selection join actually wants.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i <= j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) => Seq(
+      corr(col(a), col(b)).as(s"corr__${a}__$b"),
+      covar_samp(col(a), col(b)).as(s"cov__${a}__$b")) }
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"corr__${a}__$b").as("corr"),
+        col(s"cov__${a}__$b").as("cov")) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
+        col("e.corr").as("corr"), col("e.cov").as("cov"))
+  }
 }

@@ -635,6 +635,20 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
+    // full pairwise corr/cov matrix (reference DataFrame.corr/cov — all
+    // pairs): 10 upper-triangle pairs of 4 lineitem measures in ONE
+    // single-pass aggregation (no self-join), exploded to long form
+    "q20c_corr_matrix" -> ((s, d) => {
+      graft.ops.FrameOps.corrMatrix(li(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        // + 0.0 collapses IEEE −0.0 (a tiny negative covariance rounds
+        // to −0.0 in DuckDB but 0.0 in Spark — hash-relevant)
+        .select(col("col_a"), col("col_b"),
+          (round(col("corr"), 6) + lit(0.0)).as("corr"),
+          (round(col("cov"), 4) + lit(0.0)).as("cov"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // mode with a deterministic tiebreak (reference Series.mode):
     // argmax count, ties broken by min value — plain count+window, no
     // nondeterministic built-in
@@ -992,6 +1006,17 @@ object RelationalQueries extends QueryGroup {
         |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc
         |FROM lineitem""".stripMargin,
+
+    "q20c_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rows = for { i <- cs.indices; j <- cs.indices if i <= j } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          s"ROUND(CORR($a, $b), 6) + 0.0 AS corr, " +
+          s"ROUND(COVAR_SAMP($a, $b), 4) + 0.0 AS cov FROM lineitem"
+      }
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
 
     "q04b_value_replace" ->
       """SELECT o_orderkey,

@@ -153,4 +153,20 @@ class FrameOpsSpec extends SparkSpec {
     assert(r(0).toSeq == Seq("http", "bad-site.org", "", "/", "", "org",
       "bad-site.org", 0))
   }
+
+  test("corrMatrix: all pairs in one aggregation pass, no self-join") {
+    val df = Seq((1.0, 2.0, 10.0), (2.0, 4.0, 9.0), (3.0, 6.0, 8.0),
+      (4.0, 8.0, 7.0)).toDF("x", "y", "z")
+    val m = graft.ops.FrameOps.corrMatrix(df, Seq("x", "y", "z"))
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // single pass, not a self-join
+    val r = m.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getDouble(2), r.getDouble(3))).toMap
+    assert(r.size == 6) // upper triangle of 3x3 incl. diagonal
+    assert(math.abs(r(("x", "y"))._1 - 1.0) < 1e-12)  // y = 2x
+    assert(math.abs(r(("x", "z"))._1 + 1.0) < 1e-12)  // z = 10 - x
+    assert(math.abs(r(("x", "x"))._1 - 1.0) < 1e-12)
+    // cov(x,y) = 2·var(x); var(x) of 1..4 (sample) = 5/3
+    assert(math.abs(r(("x", "y"))._2 - 10.0 / 3) < 1e-9)
+  }
 }
