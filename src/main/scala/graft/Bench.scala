@@ -56,7 +56,13 @@ object Bench {
     val only = sys.env.get("GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // GRAFT_BENCH_REVERSE=1 runs the catalog in reverse name order — an
+    // A/B diagnostic for shared-session position effects (JIT/GC drift):
+    // a query whose time moves with its POSITION is not a regression
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = if (sys.env.get("GRAFT_BENCH_REVERSE").contains("1"))
+      ordered0.reverse else ordered0
+    val results = ordered
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
