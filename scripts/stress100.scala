@@ -63,7 +63,7 @@ for (q <- Seq("q92c_dedup_pipeline", "q95b_ngram_jaccard_capped", "q145_semantic
   run("100x", q, out)
 }
 // the quadratic knob: SemDeDup's within-cluster pair count is bounded
-// by cluster SIZE, so production scales nClusters with N — show the
+// by cluster SIZE, so production scales nClusters with N -- show the
 // same operator with sqrt(N)-ish clusters at 100x
 locally {
   val t0 = System.nanoTime()

@@ -208,6 +208,14 @@ object Corpus {
     * work is confined to single clusters (corpus/k rows each); the
     * cross-cluster recall loss is the documented SemDeDup trade-off.
     * Returns (a, b, cos) with a < b.
+    *
+    * SCALE the cluster count with the corpus: within-cluster pair work
+    * is Σ sizeᵢ², so a FIXED nClusters makes the op quadratic in N —
+    * measured 322× wall at 100× rows with nClusters=8, cut 37× by
+    * nClusters=64 (PLANS.md round-6 stress). Set
+    * nClusters ≈ N / targetClusterSize (SemDeDup's own recipe; the
+    * paper uses ~11k clusters for ~100M embeddings), keeping cluster
+    * size — and therefore per-cluster pair work — constant as N grows.
     */
   def semanticDupPairs(df: DataFrame, id: String, vec: String,
       nClusters: Int, threshold: Double, iters: Int = 3): DataFrame = {
@@ -492,6 +500,29 @@ object Corpus {
     val bucket = hashBucket(col(id))
     df.join(broadcast(rates), strata)
       .filter(bucket < (col("rate") * lit(4294967296L)).cast("long"))
+  }
+
+  /** Mixture resampling toward a TOKEN budget (the unit training
+    * pipelines actually plan in): like [[mixtureResample]], but the
+    * per-stratum keep-rate is budgetTokens·target / (stratum token sum),
+    * so the EXPECTED kept token mass per stratum hits the target share
+    * of the budget (the hash filter is uniform over docs, independent of
+    * their length). Pair with a real tokenizer's counts — q156b feeds it
+    * [[TextAnalysis.wordpieceTokenize]] output. Same plan shape as the
+    * doc-count variant: tiny aggregate broadcast back, map-stage filter.
+    */
+  def mixtureResampleTokens(df: DataFrame, id: String, strata: String,
+      nTokens: Column, targets: Map[String, Double], budgetTokens: Long,
+      defaultTarget: Double = 0.0): DataFrame = {
+    val target = targets.foldLeft(lit(defaultTarget)) { case (acc, (k, w)) =>
+      when(col(strata) === k, lit(w)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(strata))
+      .agg(sum(nTokens).as("tok_stratum"))
+      .withColumn("rate",
+        least(lit(1.0d), lit(budgetTokens.toDouble) * target / col("tok_stratum")))
+    df.join(broadcast(rates), strata)
+      .filter(hashBucket(col(id)) < (col("rate") * lit(4294967296L)).cast("long"))
   }
 
   /** Corpus vocabulary statistics: the frequency-of-frequencies spectrum

@@ -183,6 +183,26 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("lang"))
     }),
 
+    // mixture resampling toward a TOKEN budget — the unit pretraining
+    // actually plans in: real wordpiece counts (q109's kernel) drive
+    // per-language keep-rates of budget·target/token-mass
+    "q156b_mixture_by_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counted = graft.ops.TextAnalysis
+        .wordpieceTokenize(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      Corpus.mixtureResampleTokens(counted, "doc_id", "lang",
+          col("n_tokens"),
+          targets = Map("en" -> 0.5, "es" -> 0.3, "zh" -> 0.2),
+          budgetTokens = 25000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          max(round(col("rate"), 6)).as("rate"),
+          max(col("tok_stratum")).as("tok_stratum"))
+        .orderBy(col("lang"))
+    }),
+
     // vocabulary frequency-of-frequencies spectrum (hapax count, Zipf
     // tail mass) — the corpus-health dashboard row
     "q157_vocab_stats" -> ((s, d) => {
@@ -491,6 +511,28 @@ object CorpusQueries extends QueryGroup {
         |  ROUND(ANY_VALUE(r.rate), 6) AS rate,
         |  CAST(ANY_VALUE(r.n_stratum) AS BIGINT) AS n_stratum
         |FROM k JOIN r USING (lang) GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+
+    "q156b_mixture_by_tokens" ->
+      s"""WITH RECURSIVE
+         |${LlmQueries.sqlWordpieceCtes},
+         |n AS (SELECT t.doc_id,
+         |    CAST(coalesce(len(f.ids), 0) AS INTEGER) AS n_tokens
+         |  FROM t LEFT JOIN flat f USING (doc_id)),
+         |dl AS (SELECT n.doc_id, d.lang, n.n_tokens
+         |  FROM n JOIN documents d USING (doc_id)),
+         |r AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok_stratum,
+         |    LEAST(1.0, 25000.0 * (CASE lang WHEN 'en' THEN 0.5
+         |      WHEN 'es' THEN 0.3 WHEN 'zh' THEN 0.2 ELSE 0.0 END)
+         |      / SUM(n_tokens)) AS rate
+         |  FROM dl GROUP BY lang),
+         |k AS (SELECT dl.lang, dl.n_tokens FROM dl JOIN r USING (lang)
+         |  WHERE (dl.doc_id * 2654435761) % 4294967296
+         |    < CAST(FLOOR(r.rate * 4294967296) AS BIGINT))
+         |SELECT k.lang, COUNT(*) AS n_kept,
+         |  CAST(SUM(k.n_tokens) AS BIGINT) AS kept_tokens,
+         |  ROUND(ANY_VALUE(r.rate), 6) AS rate,
+         |  ANY_VALUE(r.tok_stratum) AS tok_stratum
+         |FROM k JOIN r USING (lang) GROUP BY k.lang ORDER BY k.lang""".stripMargin,
 
     "q157_vocab_stats" ->
       s"""WITH tok AS (SELECT unnest(string_split($sqlNorm, ' ')) AS term FROM documents),
