@@ -247,4 +247,35 @@ class PropertySpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => x == y })
     assert(a.forall(_._1.size == 16))
   }
+
+  // ---- wordpiece greedy tokenizer invariants -----------------------
+
+  test("wordpiece pieces reconstruct any [a-z] word; others collapse to [UNK]") {
+    import graft.ops.TextAnalysis
+    val vocab = TextAnalysis.wordpieceVocab
+    val vset = vocab.toSet
+    val genAlpha = Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val reconstructs = Prop.forAll(genAlpha) { w =>
+      val ids = TextAnalysis.wordpieceWord(w)
+      val pieces = ids.map(vocab)
+      // singles a-z + ##a-z cover every alpha word: never [UNK], every
+      // piece is a vocab member, only the first is un-##-prefixed, and
+      // stripping the markers reconstructs the word exactly
+      ids.nonEmpty && !ids.contains(0) &&
+        pieces.forall(vset) &&
+        !pieces.head.startsWith("##") &&
+        pieces.tail.forall(_.startsWith("##")) &&
+        (pieces.head :: pieces.tail.map(_.drop(2))).mkString == w
+    }
+    check("wordpiece-reconstruct", reconstructs, minTests = 200)
+    val genDirty = for {
+      pre <- genAlpha; bad <- Gen.oneOf('0', '9', '#', '!', 'é')
+      post <- genAlpha
+    } yield pre + bad + post
+    val unk = Prop.forAll(genDirty) { w =>
+      TextAnalysis.wordpieceWord(w) == List(0) // WHOLE word, not a tail
+    }
+    check("wordpiece-unk-collapse", unk, minTests = 100)
+  }
 }
