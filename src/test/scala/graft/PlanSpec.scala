@@ -84,6 +84,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("wordpiece tokenization is a pure map stage — zero exchanges") {
+    // the 100 TB contract of q109: tokenize scales as a scan, so the
+    // plan may not contain any shuffle (and no Generate row blowup)
+    val p = graft.ops.TextAnalysis
+      .wordpieceTokenize(Tables.documents(spark, sfTiny), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("token-budget mixture broadcasts the rate table, never the corpus") {
+    val counted = graft.ops.TextAnalysis
+      .wordpieceTokenize(Tables.documents(spark, sfTiny), "doc_id", "text")
+      .join(Tables.documents(spark, sfTiny).select(col("doc_id"), col("lang")), "doc_id")
+    val p = graft.ops.Corpus.mixtureResampleTokens(counted, "doc_id", "lang",
+        col("n_tokens"), Map("en" -> 0.5, "es" -> 0.3, "zh" -> 0.2), 25000)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // corpus side never shuffles for the rates
+  }
+
   test("set_index analog: range repartition + within-partition sort is sorted per partition") {
     val df = Tables.lineitem(spark, sfTiny)
       .repartitionByRange(8, col("l_orderkey"))
