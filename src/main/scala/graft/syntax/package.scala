@@ -147,6 +147,15 @@ package object syntax {
     def mixtureResample(id: String, strata: String, targets: Map[String, Double],
         budget: Long, defaultTarget: Double = 0.0): DataFrame =
       Corpus.mixtureResample(df, id, strata, targets, budget, defaultTarget)
+    def mixtureResampleTokens(id: String, strata: String, nTokens: Column,
+        targets: Map[String, Double], budgetTokens: Long,
+        defaultTarget: Double = 0.0): DataFrame =
+      Corpus.mixtureResampleTokens(df, id, strata, nTokens, targets,
+        budgetTokens, defaultTarget)
+    def wordpieceTokenize(id: String, text: String): DataFrame =
+      graft.ops.TextAnalysis.wordpieceTokenize(df, id, text)
+    def corrMatrix(cols: Seq[String]): DataFrame =
+      graft.ops.FrameOps.corrMatrix(df, cols)
     def vocabStats(text: String, maxFreq: Int): DataFrame =
       Corpus.vocabStats(df, text, maxFreq)
     def weightedSample(id: String, strata: String, weight: Column,

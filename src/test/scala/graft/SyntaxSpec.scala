@@ -169,5 +169,17 @@ class SyntaxSpec extends SparkSpec {
       .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
     assert(trades.asofJoinMerge(quotes, "ts", "ts", Seq("sym"), Seq("px"))
       .head.getAs[Double]("px") == 99.0)
+
+    val corpus = Seq((1L, "en", "the fast window"), (2L, "en", "slow scan"))
+      .toDF("doc_id", "lang", "text")
+    val wp = corpus.wordpieceTokenize("doc_id", "text")
+    assert(wp.columns.toSeq ==
+      Seq("doc_id", "n_words", "n_tokens", "n_unk", "token_ids"))
+    assert(wp.agg(sum($"n_unk")).head.getLong(0) == 0L)
+    assert(corpus.join(wp.select("doc_id", "n_tokens"), "doc_id")
+      .mixtureResampleTokens("doc_id", "lang", $"n_tokens",
+        Map("en" -> 1.0), budgetTokens = 1000).count() == 2)
+    val nums = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 7.0)).toDF("x", "y")
+    assert(nums.corrMatrix(Seq("x", "y")).count() == 3)
   }
 }
