@@ -625,13 +625,15 @@ object RelationalQueries extends QueryGroup {
     // std(ddof=0) — SURVEY §2.4). Spark's skewness/kurtosis are the
     // population (g1/g2-excess) definitions.
     "q20b_pop_stats" -> ((s, d) => {
+      // + 0.0 collapses IEEE −0.0 (a tiny negative skewness rounds to
+      // −0.0 in DuckDB but 0.0 in Spark — surfaced at sf0.001)
       li(s, d).groupBy(col("l_returnflag"))
         .agg(
-          round(stddev_pop(col("l_quantity")), 4).as("std_pop_qty"),
-          round(var_pop(col("l_quantity")), 4).as("var_pop_qty"),
-          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("cov_pop"),
-          round(skewness(col("l_quantity")), 4).as("skew_qty"),
-          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+          (round(stddev_pop(col("l_quantity")), 4) + lit(0.0)).as("std_pop_qty"),
+          (round(var_pop(col("l_quantity")), 4) + lit(0.0)).as("var_pop_qty"),
+          (round(covar_pop(col("l_quantity"), col("l_discount")), 6) + lit(0.0)).as("cov_pop"),
+          (round(skewness(col("l_quantity")), 4) + lit(0.0)).as("skew_qty"),
+          (round(kurtosis(col("l_quantity")), 4) + lit(0.0)).as("kurt_qty"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1146,11 +1148,11 @@ object RelationalQueries extends QueryGroup {
     // G1 * (n-2) / sqrt(n*(n-1)). kurtosis_pop matches Spark directly.
     "q20b_pop_stats" ->
       """SELECT l_returnflag,
-        |  ROUND(STDDEV_POP(l_quantity), 4) AS std_pop_qty,
-        |  ROUND(VAR_POP(l_quantity), 4) AS var_pop_qty,
-        |  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cov_pop,
-        |  ROUND(SKEWNESS(l_quantity) * (COUNT(*) - 2) / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 4) AS skew_qty,
-        |  ROUND(KURTOSIS_POP(l_quantity), 4) AS kurt_qty
+        |  ROUND(STDDEV_POP(l_quantity), 4) + 0.0 AS std_pop_qty,
+        |  ROUND(VAR_POP(l_quantity), 4) + 0.0 AS var_pop_qty,
+        |  ROUND(COVAR_POP(l_quantity, l_discount), 6) + 0.0 AS cov_pop,
+        |  ROUND(SKEWNESS(l_quantity) * (COUNT(*) - 2) / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 4) + 0.0 AS skew_qty,
+        |  ROUND(KURTOSIS_POP(l_quantity), 4) + 0.0 AS kurt_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q24b_mode" ->
