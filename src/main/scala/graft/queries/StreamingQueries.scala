@@ -89,6 +89,18 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("lang"), col("fp"))
     }),
 
+    // the subword tokenizer under Structured Streaming: the compiled
+    // greedy-WordPiece UDF is stateless, so the SAME map stage runs
+    // per micro-batch with no state store — gated against the SAME
+    // recursive-CTE oracle as the batch q109, which makes this a
+    // HASH-gated batch-vs-stream equivalence, not just a spec
+    "q117_stream_subword" -> ((s, d) => {
+      val stream = graft.ops.TextAnalysis.wordpieceTokenize(
+        Streams.documentsStream(s, d), "doc_id", "text")
+      Streams.runToBatch(s, stream, "q117_subword")
+        .orderBy(col("doc_id"))
+    }),
+
     // custom state machine: per-user event count + running max via
     // mapGroupsWithState (the groupby-apply-with-state analog the
     // reference lacks entirely). Update-mode emissions are collapsed to
@@ -118,6 +130,17 @@ object StreamingQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // identical to q109's oracle: a full drain of the stateless map
+    // stage must equal the batch tokenization bit-for-bit
+    "q117_stream_subword" ->
+      s"""WITH RECURSIVE
+         |${LlmQueries.sqlWordpieceCtes}
+         |SELECT t.doc_id, CAST(len(t.wl) AS INTEGER) AS n_words,
+         |  CAST(coalesce(len(f.ids), 0) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(len(list_filter(f.ids, x -> x = 0)), 0) AS INTEGER) AS n_unk,
+         |  coalesce(array_to_string(f.ids, ' '), '') AS token_ids
+         |FROM t LEFT JOIN flat f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // full drain of a stateful dedup emits exactly the distinct key
     // set; fp replays HashSpec.polyHash over normalized text
     "q116_stream_corpus_ingest" ->
