@@ -74,6 +74,41 @@ object Corpus {
         round(col("n_overlap") / col("n_grams"), 4).as("overlap_frac"))
   }
 
+  /** [[decontaminate]] for a benchmark too large to broadcast (a full
+    * eval-suite union, or decontamination against another CORPUS):
+    * same output, different plan. The benchmark gram set is shuffled,
+    * not broadcast; corpus grams are prefiltered by a driver-built
+    * Bloom filter over the gram hash (poly_hash → long), so only grams
+    * that MIGHT be contaminated enter the shuffle — the trailing exact
+    * semi-join on the gram string removes the false positives, keeping
+    * the op exact (a Bloom filter has no false negatives). Per-doc
+    * totals come from a separate shuffle-free map pass over the gram
+    * arrays, so the exploded candidate stream is consumed once.
+    * At 100 TB: two map passes over the corpus + one shuffle sized by
+    * the contamination rate + fpp, instead of a corpus-gram shuffle.
+    */
+  def decontaminateLarge(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    val bench = explodedGrams(benchmark, id, text, n)
+      .select(col("gram")).distinct()
+    val benchHashed = bench.withColumn("gh", poly_hash(col("gram")))
+    val expected = math.max(1024L, benchHashed.count())
+    val bf = benchHashed.stat.bloomFilter("gh", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: java.lang.Long) =>
+      h != null && bc.value.mightContainLong(h))
+    val totals = corpus.select(col(id),
+      size(TextAnalysis.ngramsUdf(toks(col(text)), lit(n))).as("n_grams"))
+    val hits = explodedGrams(corpus, id, text, n)
+      .filter(mightContain(poly_hash(col("gram"))))
+      .join(bench, Seq("gram"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq(id)) // inner: contaminated docs only
+      .select(col(id), col("n_grams").cast("int").as("n_grams"),
+        col("n_overlap").cast("int").as("n_overlap"),
+        round(col("n_overlap") / col("n_grams"), 4).as("overlap_frac"))
+  }
+
   /** PII patterns shared by the Spark op and the DuckDB oracle: plain
     * RE2-safe syntax (no lookarounds), identical semantics in Java
     * regex. Order matters — emails are redacted before IPs so the

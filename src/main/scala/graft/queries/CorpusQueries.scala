@@ -45,6 +45,23 @@ object CorpusQueries extends QueryGroup {
     (seed +: rounds).mkString(",\n")
   }
 
+  /** Shared by q140 and q140b: both decontamination plans (broadcast
+    * semi-join vs bloom-prefiltered shuffle) must emit identical rows.
+    */
+  private lazy val decontOracle: String =
+    s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+       |tk AS (SELECT doc_id, string_split(s, ' ') AS toks FROM t),
+       |grams AS (SELECT doc_id, unnest(list_distinct(
+       |    [concat_ws(' ', toks[i], toks[i+1], toks[i+2]) for i in range(1, len(toks) - 1)])) AS gram
+       |  FROM tk),
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+       |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+       |hits AS (SELECT g.doc_id, COUNT(*) AS n_overlap FROM grams g JOIN bench b USING (gram) GROUP BY 1)
+       |SELECT h.doc_id, CAST(t.n_grams AS INTEGER) AS n_grams,
+       |  CAST(h.n_overlap AS INTEGER) AS n_overlap,
+       |  CAST(FLOOR(h.n_overlap * 10000.0 / t.n_grams) AS BIGINT) AS overlap_bp
+       |FROM hits h JOIN totals t USING (doc_id) ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, Q] = Map(
     // benchmark decontamination: flag corpus docs sharing a token
     // 3-gram with the eval set (docs with doc_id % 97 == 0)
@@ -55,6 +72,20 @@ object CorpusQueries extends QueryGroup {
         // gate on the integer pair; the ratio is derived — floor to
         // basis points (identical IEEE doubles → identical floor) so
         // no round-half boundary can diverge between engines
+        .withColumn("overlap_bp",
+          floor(col("n_overlap") * lit(10000.0) / col("n_grams")).cast("long"))
+        .select(col("doc_id"), col("n_grams"), col("n_overlap"), col("overlap_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the too-big-to-broadcast variant: bloom-prefiltered shuffle
+    // semi-join, exactness preserved (trailing exact gram semi-join
+    // kills bloom false positives) — MUST equal q140 bit-for-bit, so
+    // it shares q140's oracle SQL verbatim
+    "q140b_decontaminate_large" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val bench = corpus.filter(pmod(col("doc_id"), lit(97)) === 0)
+      Corpus.decontaminateLarge(corpus, bench, "doc_id", "text", n = 3)
         .withColumn("overlap_bp",
           floor(col("n_overlap") * lit(10000.0) / col("n_grams")).cast("long"))
         .select(col("doc_id"), col("n_grams"), col("n_overlap"), col("overlap_bp"))
@@ -264,19 +295,9 @@ object CorpusQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
-    "q140_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
-         |tk AS (SELECT doc_id, string_split(s, ' ') AS toks FROM t),
-         |grams AS (SELECT doc_id, unnest(list_distinct(
-         |    [concat_ws(' ', toks[i], toks[i+1], toks[i+2]) for i in range(1, len(toks) - 1)])) AS gram
-         |  FROM tk),
-         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
-         |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
-         |hits AS (SELECT g.doc_id, COUNT(*) AS n_overlap FROM grams g JOIN bench b USING (gram) GROUP BY 1)
-         |SELECT h.doc_id, CAST(t.n_grams AS INTEGER) AS n_grams,
-         |  CAST(h.n_overlap AS INTEGER) AS n_overlap,
-         |  CAST(FLOOR(h.n_overlap * 10000.0 / t.n_grams) AS BIGINT) AS overlap_bp
-         |FROM hits h JOIN totals t USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q140_decontaminate" -> decontOracle,
+    // the large-benchmark plan must produce the SAME rows: one oracle
+    "q140b_decontaminate_large" -> decontOracle,
 
     "q141_redact_pii" ->
       s"""WITH t AS (SELECT doc_id,

@@ -213,6 +213,19 @@ class CorpusSpec extends SparkSpec {
     assert(full.filter(_ < 250).subsetOf(sub))
   }
 
+  test("decontaminateLarge equals decontaminate even at fpp=0.5") {
+    // a coarse bloom floods the shuffle with false positives — the
+    // trailing exact gram semi-join must kill every one of them
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val small = key(Corpus.decontaminate(docs, bench, "doc_id", "text", n = 3))
+    val large = key(Corpus.decontaminateLarge(docs, bench, "doc_id", "text",
+      n = 3, fpp = 0.5))
+    assert(small == large)
+    assert(small.nonEmpty)
+  }
+
   test("qualityClassifierScore rejects empty docs deterministically") {
     import spark.implicits._
     val df = Seq((1L, "real text with several honest tokens here"),
