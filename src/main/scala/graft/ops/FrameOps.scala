@@ -136,6 +136,37 @@ object FrameOps {
     cal.join(b, Seq("bucket"), "left")
   }
 
+  /** pandas/cudf `Series.interpolate(method='linear')` over a
+    * partitioned ordered frame ([cudf/core/dataframe.py ::
+    * DataFrame.interpolate]): nulls between two known points take the
+    * linear value at their POSITION (pandas interpolates on position,
+    * not on the order column's value); leading nulls stay null and
+    * trailing nulls take the last known value (the pandas
+    * limit_direction='forward' default). Three windows over one
+    * ordering — a single hash exchange per partition key, no joins,
+    * same cost profile as ffill.
+    */
+  def interpolate(df: DataFrame, partitionBy: Seq[String],
+      orderBy: Seq[String], valueCol: String, as: String): DataFrame = {
+    val wAll = w(partitionBy, orderBy)
+    val back = wAll.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = wAll.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val markedPos = when(v.isNotNull, col("__pos"))
+    df.withColumn("__pos", row_number().over(wAll))
+      .withColumn("__pv", last(v, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(fwd))
+      .withColumn("__pp", last(markedPos, ignoreNulls = true).over(back))
+      .withColumn("__np", first(markedPos, ignoreNulls = true).over(fwd))
+      .withColumn(as,
+        when(v.isNotNull, v)
+          .when(col("__pv").isNull, lit(null))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__pos") - col("__pp")) / (col("__np") - col("__pp")))))
+      .drop("__pos", "__pv", "__nv", "__pp", "__np")
+  }
+
   /** Full pairwise correlation/covariance matrix (pandas/dask
     * `df.corr()` / `df.cov()` — [dask/dataframe/core.py :: corr] computes
     * every pair): ALL n·(n+1)/2 upper-triangle pairs (diagonal included)

@@ -190,6 +190,21 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // linear interpolation of null runs (reference
+    // DataFrame.interpolate): position-based linear fill between known
+    // points, leading nulls stay null, trailing nulls ffill (pandas
+    // limit_direction='forward' default)
+    "q77b_interpolate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("v", when(pmod(col("event_id"), lit(5)).isin(1, 2),
+          lit(null)).otherwise(col("value")))
+      graft.ops.FrameOps.interpolate(ev, Seq("user_id"), Seq("event_id"),
+          "v", "v_interp")
+        .select(col("event_id"), col("user_id"), col("v"),
+          round(col("v_interp"), 6).as("v_interp"))
+        .orderBy(col("event_id"))
+    }),
+
     // pct_change (reference Series.pct_change): lag-based, zero-base
     // guarded by NULLIF on both engines
     "q78_pct_change" -> ((s, d) => {
@@ -219,6 +234,30 @@ object WindowQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q77b_interpolate" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 5 IN (1, 2) THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w1 AS (SELECT event_id, user_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS p
+        |  FROM e),
+        |w2 AS (SELECT event_id, user_id, v, p,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wb AS pp,
+        |    first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wf AS np
+        |  FROM w1
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, v,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN NULL
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * ((p - pp) / (np - pp)) END, 6) AS v_interp
+        |FROM w2 ORDER BY event_id""".stripMargin,
+
     "q70_window_rank" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |  CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS INTEGER) AS rnk,

@@ -156,6 +156,9 @@ package object syntax {
       graft.ops.TextAnalysis.wordpieceTokenize(df, id, text)
     def corrMatrix(cols: Seq[String]): DataFrame =
       graft.ops.FrameOps.corrMatrix(df, cols)
+    def interpolate(partitionBy: Seq[String], orderBy: Seq[String],
+        valueCol: String, as: String): DataFrame =
+      graft.ops.FrameOps.interpolate(df, partitionBy, orderBy, valueCol, as)
     def vocabStats(text: String, maxFreq: Int): DataFrame =
       Corpus.vocabStats(df, text, maxFreq)
     def weightedSample(id: String, strata: String, weight: Column,

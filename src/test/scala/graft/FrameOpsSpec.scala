@@ -154,6 +154,24 @@ class FrameOpsSpec extends SparkSpec {
       "bad-site.org", 0))
   }
 
+  test("interpolate matches the pandas linear golden example") {
+    // pd.Series([1, None, None, 7, None]).interpolate() -> [1, 3, 5, 7, 7]
+    // and a leading null stays null
+    val df = Seq((1L, 1, Some(1.0)), (1L, 2, None), (1L, 3, None),
+      (1L, 4, Some(7.0)), (1L, 5, None),
+      (2L, 1, None), (2L, 2, Some(2.0)))
+      .toDF("g", "p", "v")
+    val r = graft.ops.FrameOps.interpolate(df, Seq("g"), Seq("p"), "v", "vi")
+      .orderBy("g", "p").collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> Option(x.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(r((1L, 1)) == Some(1.0) && r((1L, 2)) == Some(3.0) &&
+      r((1L, 3)) == Some(5.0) && r((1L, 4)) == Some(7.0))
+    assert(r((1L, 5)) == Some(7.0)) // trailing: forward-filled
+    assert(r((2L, 1)).isEmpty)      // leading: stays null
+    assert(r((2L, 2)) == Some(2.0))
+  }
+
   test("corrMatrix: all pairs in one aggregation pass, no self-join") {
     val df = Seq((1.0, 2.0, 10.0), (2.0, 4.0, 9.0), (3.0, 6.0, 8.0),
       (4.0, 8.0, 7.0)).toDF("x", "y", "z")
