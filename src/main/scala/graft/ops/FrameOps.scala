@@ -167,6 +167,45 @@ object FrameOps {
       .drop("__pos", "__pv", "__nv", "__pp", "__np")
   }
 
+  /** pandas/cudf `Series.ewm(alpha).mean()` (adjust=True, the default —
+    * [cudf/core/window/ewm.py :: ExponentialMovingWindow]):
+    * y_t = Σ_{i≤t} (1−α)^(t−i)·x_i / Σ_{i≤t} (1−α)^(t−i), evaluated as
+    * the Horner recurrence num_t = (1−α)·num_{t−1} + x_t (and the same
+    * for the denominator with x=1) — numerically stable for unbounded
+    * group lengths, unlike the (1−α)^(−i) scaled-cumsum trick, which
+    * overflows past a few thousand rows. One compiled UDF over each
+    * group's ordered values (grouping is a single hash exchange; state
+    * is the group's row array, bounded by per-key activity — the same
+    * memory contract as groupby.apply/mapGroupsWithState). The oracle
+    * replays the identical fold order via DuckDB list_reduce, so the
+    * IEEE stream matches bit-for-bit.
+    */
+  def ewmMean(df: DataFrame, partitionBy: Seq[String], orderCol: String,
+      valueCol: String, alpha: Double, as: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    val w = 1.0 - alpha
+    val ewmUdf = udf { (ords: Seq[Long], vs: Seq[Double]) =>
+      var num = 0.0; var den = 0.0
+      ords.zip(vs).map { case (o, x) =>
+        num = num * w + x
+        den = den * w + 1.0
+        (o, num / den)
+      }
+    }
+    val sorted = array_sort(collect_list(
+      struct(col("__o").as("o"), col("__v").as("v"))))
+    df.select((partitionBy.map(col) :+
+        col(orderCol).cast("long").as("__o") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .groupBy(partitionBy.map(col): _*)
+      .agg(sorted.as("__rs"))
+      .select((partitionBy.map(col) :+
+        explode(ewmUdf(transform(col("__rs"), r => r.getField("o")),
+          transform(col("__rs"), r => r.getField("v")))).as("__e")): _*)
+      .select((partitionBy.map(col) :+
+        col("__e._1").as(orderCol) :+ col("__e._2").as(as)): _*)
+  }
+
   /** Full pairwise correlation/covariance matrix (pandas/dask
     * `df.corr()` / `df.cov()` — [dask/dataframe/core.py :: corr] computes
     * every pair): ALL n·(n+1)/2 upper-triangle pairs (diagonal included)

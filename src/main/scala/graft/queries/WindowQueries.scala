@@ -65,6 +65,22 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling dispersion (reference rolling.std/var — sample ddof=1,
+    // the pandas default); windows shorter than 2 give null on both
+    // engines
+    "q71c_rolling_std" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          round(stddev_samp(col("value")).over(w), 6).as("roll_std"),
+          round(var_samp(col("value")).over(w), 6).as("roll_var"),
+          count(lit(1)).over(w).as("roll_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // rolling with min_periods (SURVEY §2.5: `min_periods` → gate the
     // agg on the window count)
     "q71b_rolling_min_periods" -> ((s, d) => {
@@ -190,6 +206,18 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // exponentially weighted mean (reference Series.ewm(alpha).mean(),
+    // adjust=True): Horner recurrence per user inside one compiled UDF,
+    // replayed in DuckDB as the identical list_reduce fold
+    "q74b_ewm_mean" -> ((s, d) => {
+      graft.ops.FrameOps.ewmMean(
+          Tables.events(s, d).filter(col("user_id") % 9 === 0),
+          Seq("user_id"), "event_id", "value", alpha = 0.2, as = "ewm")
+        .select(col("user_id"), col("event_id"),
+          round(col("ewm"), 6).as("ewm"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // linear interpolation of null runs (reference
     // DataFrame.interpolate): position-based linear fill between known
     // points, leading nulls stay null, trailing nulls ffill (pandas
@@ -234,6 +262,27 @@ object WindowQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q71c_rolling_std" ->
+      """SELECT user_id, event_id,
+        |  ROUND(STDDEV_SAMP(value) OVER w, 6) AS roll_std,
+        |  ROUND(VAR_SAMP(value) OVER w, 6) AS roll_var,
+        |  COUNT(*) OVER w AS roll_n
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q74b_ewm_mean" ->
+      """WITH pre AS (SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+        |  FROM events WHERE user_id % 9 = 0)
+        |SELECT user_id, event_id,
+        |  ROUND(list_reduce(pl, (a, b) -> a * 0.8 + b)
+        |    / list_reduce(list_transform(pl, x -> CAST(1 AS DOUBLE)),
+        |        (a, b) -> a * 0.8 + b), 6) AS ewm
+        |FROM pre ORDER BY user_id, event_id""".stripMargin,
+
     "q77b_interpolate" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CASE WHEN event_id % 5 IN (1, 2) THEN NULL ELSE value END AS v

@@ -159,6 +159,9 @@ package object syntax {
     def interpolate(partitionBy: Seq[String], orderBy: Seq[String],
         valueCol: String, as: String): DataFrame =
       graft.ops.FrameOps.interpolate(df, partitionBy, orderBy, valueCol, as)
+    def ewmMean(partitionBy: Seq[String], orderCol: String,
+        valueCol: String, alpha: Double, as: String): DataFrame =
+      graft.ops.FrameOps.ewmMean(df, partitionBy, orderCol, valueCol, alpha, as)
     def vocabStats(text: String, maxFreq: Int): DataFrame =
       Corpus.vocabStats(df, text, maxFreq)
     def weightedSample(id: String, strata: String, weight: Column,

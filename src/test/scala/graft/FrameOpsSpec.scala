@@ -172,6 +172,21 @@ class FrameOpsSpec extends SparkSpec {
     assert(r((2L, 2)) == Some(2.0))
   }
 
+  test("ewmMean matches the pandas adjust=True golden values") {
+    // pd.Series([10, 20, 0]).ewm(alpha=0.2).mean()
+    //   -> [10.0, 15.5555555..., 9.1803278...]
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 0.0),
+      (2L, 1L, 5.0)).toDF("g", "p", "v")
+    val r = graft.ops.FrameOps.ewmMean(df, Seq("g"), "p", "v",
+        alpha = 0.2, as = "ewm")
+      .orderBy("g", "p").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(math.abs(r((1L, 1L)) - 10.0) < 1e-12)
+    assert(math.abs(r((1L, 2L)) - 140.0 / 9) < 1e-12)
+    assert(math.abs(r((1L, 3L)) - 22.4 / 2.44) < 1e-12)
+    assert(math.abs(r((2L, 1L)) - 5.0) < 1e-12)
+  }
+
   test("corrMatrix: all pairs in one aggregation pass, no self-join") {
     val df = Seq((1.0, 2.0, 10.0), (2.0, 4.0, 9.0), (3.0, 6.0, 8.0),
       (4.0, 8.0, 7.0)).toDF("x", "y", "z")
