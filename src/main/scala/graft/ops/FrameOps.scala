@@ -167,6 +167,18 @@ object FrameOps {
       .drop("__pos", "__pv", "__nv", "__pp", "__np")
   }
 
+  /** pandas `concat(axis=1)` / cudf.concat axis=1 ([dask/dataframe/
+    * multi.py :: concat] aligns on the index): frames stack COLUMN-wise,
+    * rows aligned by the index key — a chain of full-outer joins on
+    * `key`, absent rows surfacing as nulls (outer-join semantics, the
+    * pandas default). Each join shuffles on the same key, so AQE/
+    * bucketing can reuse the partitioning across the chain.
+    */
+  def concatAxis1(frames: Seq[DataFrame], key: String): DataFrame = {
+    require(frames.nonEmpty, "need at least one frame")
+    frames.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
+  }
+
   /** pandas/cudf `Series.ewm(alpha).mean()` (adjust=True, the default —
     * [cudf/core/window/ewm.py :: ExponentialMovingWindow]):
     * y_t = Σ_{i≤t} (1−α)^(t−i)·x_i / Σ_{i≤t} (1−α)^(t−i), evaluated as

@@ -597,6 +597,18 @@ object RelationalQueries extends QueryGroup {
       a.union(b).distinct().orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // concat axis=1 (reference cudf.concat axis=1): column-wise stack
+    // aligned on the index key — full-outer joins, absent rows → null
+    "q35b_concat_axis1" -> ((s, d) => {
+      def cnt(p: String, as: String) =
+        ord(s, d).filter(col("o_orderpriority") === p)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as(as))
+      graft.ops.FrameOps.concatAxis1(
+          Seq(cnt("1-URGENT", "n_urgent"), cnt("2-HIGH", "n_high"),
+            cnt("5-LOW", "n_low")), "o_custkey")
+        .orderBy(col("o_custkey"))
+    }),
+
     "q36_intersect" -> ((s, d) => {
       val a = ord(s, d).filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
       val b = ord(s, d).filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
@@ -1127,6 +1139,17 @@ object RelationalQueries extends QueryGroup {
         |UNION
         |SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linestatus = 'F'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q35b_concat_axis1" ->
+      """WITH u AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |h AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_high
+        |  FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1),
+        |l AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_low
+        |  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT o_custkey, n_urgent, n_high, n_low
+        |FROM u FULL JOIN h USING (o_custkey) FULL JOIN l USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q36_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

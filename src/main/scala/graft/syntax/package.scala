@@ -162,6 +162,8 @@ package object syntax {
     def ewmMean(partitionBy: Seq[String], orderCol: String,
         valueCol: String, alpha: Double, as: String): DataFrame =
       graft.ops.FrameOps.ewmMean(df, partitionBy, orderCol, valueCol, alpha, as)
+    def concatAxis1(others: Seq[DataFrame], key: String): DataFrame =
+      graft.ops.FrameOps.concatAxis1(df +: others, key)
     def vocabStats(text: String, maxFreq: Int): DataFrame =
       Corpus.vocabStats(df, text, maxFreq)
     def weightedSample(id: String, strata: String, weight: Column,
