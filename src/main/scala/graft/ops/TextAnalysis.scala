@@ -4,6 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.expressions.TextHashes._
 
+/** Per-document WordPiece result for [[TextAnalysis.wordpieceTokenize]].
+  * Top-level (NOT nested in the object): Spark's expression codegen
+  * cannot compile a serializer for a case class nested inside an
+  * object — it resolves members as zero-arg methods on the outer
+  * instance and fails with "No applicable constructor", silently
+  * falling back to interpreted serialization on every row.
+  */
+case class WpDoc(n_words: Int, n_tokens: Int, n_unk: Int,
+    token_ids: String)
+
 /** Text analysis for training-data pipelines (M6d): tokenization,
   * quality scoring, language-ID heuristic, fingerprinting.
   * Reference kernels: nvtext tokenize/token_count/ngrams
@@ -240,9 +250,6 @@ object TextAnalysis {
     }
     out.toList
   }
-
-  private case class WpDoc(n_words: Int, n_tokens: Int, n_unk: Int,
-      token_ids: String)
 
   private val wordpieceUdf = udf { (words: Seq[String]) =>
     val ids = if (words == null) Seq.empty[Int]
