@@ -54,13 +54,23 @@ def dedupThenJaccard(dir: String): org.apache.spark.sql.DataFrame = {
 timed("exact+capped-jaccard @ sf0.1")(drain(dedupThenJaccard(sf)))
 timed("exact+capped-jaccard @ 100x")(drain(dedupThenJaccard(out)))
 
-// q145 semantic dedup: fixed k=8 at both scales, then the scale knob
-timed("q145 semanticDupPairs k=8 @ sf0.1")(drain(
-  graft.SparkEntry.queries("q145_semantic_dedup")(spark, sf)))
-timed("q145 semanticDupPairs k=8 @ 100x")(drain(
-  graft.SparkEntry.queries("q145_semantic_dedup")(spark, out)))
-timed("q145 semanticDupPairs k=64 @ 100x")(drain(
+// q145 semantic dedup, round-7 state: the size-derived overload is the
+// default path (q145 itself now routes through it) and kmeansAssign is
+// the map-side argmax (N shuffled rows regardless of k). Rows:
+//   fixed k=8 at 100x   -- the documented misuse, for reference
+//   fixed k=64 at 100x  -- round-6's measured-good manual setting
+//   derived (tcs=63)    -- the new default, both scales: cluster size
+//                          (and the quadratic pair term) held constant
+timed("q145 fixed k=8 @ 100x")(drain(
+  graft.ops.Corpus.semanticDupPairs(
+    graft.Tables.embeddings(spark, out), "vec_id", "embedding",
+    nClusters = 8, threshold = 0.4, iters = 2)))
+timed("q145 fixed k=64 @ 100x")(drain(
   graft.ops.Corpus.semanticDupPairs(
     graft.Tables.embeddings(spark, out), "vec_id", "embedding",
     nClusters = 64, threshold = 0.4, iters = 2)))
+timed("q145 derived tcs=63 @ sf0.1")(drain(
+  graft.SparkEntry.queries("q145_semantic_dedup")(spark, sf)))
+timed("q145 derived tcs=63 @ 100x")(drain(
+  graft.SparkEntry.queries("q145_semantic_dedup")(spark, out)))
 System.exit(0)

@@ -252,6 +252,28 @@ object Corpus {
     * paper uses ~11k clusters for ~100M embeddings), keeping cluster
     * size — and therefore per-cluster pair work — constant as N grows.
     */
+  /** Scale-safe entry point — the default to reach for: derives
+    * `nClusters = max(minClusters, ceil(N / targetClusterSize))` from a
+    * count(*) so cluster size (and per-cluster pair work, which is
+    * size²) stays CONSTANT as the corpus grows — SemDeDup's own recipe
+    * (~11k clusters for ~100M embeddings ≈ 9k vectors/cluster). The
+    * round-6 100× stress measured 322× wall from a fixed cluster count
+    * and a 37× cut once k scaled with N; this overload makes the
+    * scaling automatic. NOTE: runs one eager count() job at call time
+    * to size the quantizer (a metadata-only scan on parquet sources);
+    * everything downstream stays lazy.
+    */
+  def semanticDupPairs(df: DataFrame, id: String, vec: String,
+      threshold: Double, targetClusterSize: Int, minClusters: Int,
+      iters: Int): DataFrame = {
+    require(targetClusterSize > 0, s"targetClusterSize must be positive, got $targetClusterSize")
+    require(minClusters > 0, s"minClusters must be positive, got $minClusters")
+    val n = df.count()
+    val k = math.max(minClusters.toLong,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    semanticDupPairs(df, id, vec, k, threshold, iters)
+  }
+
   def semanticDupPairs(df: DataFrame, id: String, vec: String,
       nClusters: Int, threshold: Double, iters: Int = 3): DataFrame = {
     val cents = Similarity.kmeansCentroids(df, id, vec, nClusters, iters)

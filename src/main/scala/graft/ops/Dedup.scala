@@ -408,7 +408,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
       block: String, ngram: Int = 3, minJaccard: Double = 0.2,
-      maxDf: Int = 0): DataFrame = {
+      maxDf: Int = 0, maxUnsafeFrac: Double = 0.5): DataFrame = {
     // long ids ride the posting-list structs; a non-integral id would
     // silently cast to null and NPE inside pairGenUdf (ADVICE r2)
     locally {
@@ -478,12 +478,34 @@ object Dedup {
         .groupBy(col(id)).agg(count(lit(1)).cast("int").as("h"),
           collect_list(col("gram")).as("hgs"))
       // unsafe docs: hot-gram count too large for the exactness bound —
-      // they keep hot postings (hot-heavy boilerplate; rare by design)
+      // they keep hot postings (hot-heavy boilerplate; rare by design).
+      // Checkpointed eagerly (N tiny rows) so the guard aggregate below
+      // is free and the pair stage doesn't recompute the hot-count join.
       val docStats = dg.select(col(id), col("sz"))
         .join(hotPerDoc.select(col(id), col("h")), Seq(id), "left")
         .na.fill(0, Seq("h"))
         .withColumn("u",
           (col("h") * (1 + minJaccard) > lit(minJaccard) * col("sz")).cast("int"))
+        .localCheckpoint(true)
+      // GUARD (round-7): the cap is only sub-quadratic while unsafe docs
+      // are rare — on a wholesale-duplicated corpus every gram goes hot,
+      // every doc goes unsafe, hot postings are all kept, and pair
+      // generation silently reverts to the uncapped quadratic scan (the
+      // 100× stress DNF). Fail fast with routing guidance instead.
+      locally {
+        val r = docStats.agg(count(lit(1)), sum(col("u"))).head()
+        val nDocs = r.getLong(0)
+        val nUnsafe = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val frac = if (nDocs == 0) 0.0 else nUnsafe.toDouble / nDocs
+        require(frac <= maxUnsafeFrac,
+          f"ngramJaccardPairs maxDf=$maxDf cap: $nUnsafe of $nDocs docs " +
+            f"(${frac * 100}%.0f%% > maxUnsafeFrac=${maxUnsafeFrac * 100}%.0f%%) exceed the " +
+            "hot-gram exactness bound, so the cap would keep their hot postings and " +
+            "revert to the uncapped quadratic pair scan. This corpus shape (wholesale-" +
+            "duplicated documents) should be exact-deduplicated first — run " +
+            "Dedup.exactDuplicateGroups and cap-jaccard the representatives — or pass " +
+            "maxUnsafeFrac=1.0 to knowingly run the quadratic path.")
+      }
       // kept postings: cold grams for everyone + hot grams for unsafe
       // docs — one pass over the postings (broadcast left join against
       // the tiny stop-gram set + filter) rather than anti ∪ semi, which

@@ -79,17 +79,27 @@ object Similarity {
 
   /** Nearest-centroid assignment: broadcast the tiny centroid set against
     * the corpus, argmax dot product (ties → lowest cluster id).
-    * Returns (id, vec, cl).
+    * Returns (id, vec, cl). `id` must be unique in `df`.
+    *
+    * The argmax is a map-side-combined `max(struct(score, -cl))`, NOT a
+    * row_number window: the broadcast join expands N×k rows, but partial
+    * aggregation collapses them back to N before the exchange, so the
+    * shuffle is N rows regardless of k. (The window formulation shuffled
+    * the full N×k expansion — at k in the thousands that is the job's
+    * dominant cost; the struct-max picks the identical winner because
+    * the scores are the same dot_f evaluations and lexicographic struct
+    * order [score desc ≡ max, then -cl max ≡ cl min] replays the
+    * window's tie-break.)
     */
   def kmeansAssign(df: DataFrame, id: String, vec: String,
       centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cl").asc)
     df.select(col(id), col(vec))
       .join(broadcast(centroids))
       .withColumn("score", dot_f(col(vec), col("c_vec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(id), col(vec), col("cl"))
+      .groupBy(col(id))
+      .agg(max(struct(col("score"), (-col("cl")).as("ncl"))).as("best"),
+        first(col(vec)).as("v"))
+      .select(col(id), col("v").as(vec), (-col("best.ncl")).as("cl"))
   }
 
   /** Learned coarse quantizer: deterministic shuffle-based k-means.

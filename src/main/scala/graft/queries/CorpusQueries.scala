@@ -143,10 +143,12 @@ object CorpusQueries extends QueryGroup {
     }),
 
     // SemDeDup-style semantic dedup: learned k-means clusters, within-
-    // cluster cosine pairs above threshold
+    // cluster cosine pairs above threshold. Gated through the scale-safe
+    // size-derived overload: 500 fixture vectors / targetClusterSize=63
+    // derives k=8, the same k the unrolled oracle replays.
     "q145_semantic_dedup" -> ((s, d) => {
       Corpus.semanticDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          nClusters = 8, threshold = 0.4, iters = 2)
+          threshold = 0.4, targetClusterSize = 63, minClusters = 2, iters = 2)
         .orderBy(col("a"), col("b"))
     }),
 

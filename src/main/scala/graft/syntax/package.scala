@@ -79,8 +79,10 @@ package object syntax {
         maxHamming: Int = 3): DataFrame =
       Dedup.simhashNearPairs(df, id, text, block, maxHamming)
     def ngramJaccardPairs(id: String, text: String, block: String, ngram: Int = 3,
-        minJaccard: Double = 0.2, maxDf: Int = 0): DataFrame =
-      Dedup.ngramJaccardPairs(df, id, text, block, ngram, minJaccard, maxDf)
+        minJaccard: Double = 0.2, maxDf: Int = 0,
+        maxUnsafeFrac: Double = 0.5): DataFrame =
+      Dedup.ngramJaccardPairs(df, id, text, block, ngram, minJaccard, maxDf,
+        maxUnsafeFrac)
     def embeddingNearPairs(id: String, vec: String, minCosine: Double,
         blockBits: Int = 0): DataFrame =
       Dedup.embeddingNearPairs(df, id, vec, minCosine, blockBits)

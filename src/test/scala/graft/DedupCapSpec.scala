@@ -17,10 +17,12 @@ import graft.ops.Dedup
 class DedupCapSpec extends SparkSpec {
   import spark.implicits._
 
-  private def pairs(docs: Seq[(Long, String)], minJ: Double, maxDf: Int) =
+  private def pairs(docs: Seq[(Long, String)], minJ: Double, maxDf: Int,
+      maxUnsafe: Double = 1.0) =
     Dedup.ngramJaccardPairs(
         docs.toDF("doc_id", "text").withColumn("blk", lit(0)),
-        "doc_id", "text", "blk", ngram = 3, minJaccard = minJ, maxDf = maxDf)
+        "doc_id", "text", "blk", ngram = 3, minJaccard = minJ, maxDf = maxDf,
+        maxUnsafeFrac = maxUnsafe)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .as[(Long, Long, Double)].collect().toSet
 
@@ -63,6 +65,23 @@ class DedupCapSpec extends SparkSpec {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
     assert(res.passed, s"cap-exactness: ${res.status}")
+  }
+
+  test("wholesale-duplicated corpus fails fast with routing guidance") {
+    // 12 verbatim copies of one doc: every trigram's df is 12, so with
+    // maxDf=8 every gram is hot and every doc is unsafe — the shape the
+    // round-6 100× stress DNF'd on. The default guard must refuse it
+    // and point at exact-dedup-first, not silently run the quadratic
+    // pair scan.
+    val docs = (0L until 12L).map(i => i -> "alpha beta gamma delta epsilon zeta eta")
+    val e = intercept[IllegalArgumentException] {
+      pairs(docs, 0.3, 8, maxUnsafe = 0.5)
+    }
+    assert(e.getMessage.contains("exact-deduplicated first"), e.getMessage)
+    // explicit opt-out still computes the exact answer
+    val forced = pairs(docs, 0.3, 8, maxUnsafe = 1.0)
+    assert(forced == pairs(docs, 0.3, 0), "opt-out path must stay exact")
+    assert(forced.size == 12 * 11 / 2)
   }
 
   test("non-integral id is rejected with a clear message") {
