@@ -48,8 +48,10 @@ def dedupThenJaccard(dir: String): org.apache.spark.sql.DataFrame = {
     .select(col("keep_id").as("doc_id"))
   val surv = docs.join(reps, "doc_id")
     .withColumn("blk", pmod(col("doc_id"), lit(4)))
+  // maxUnsafeFrac=1.0: this harness deliberately measures the cap on a
+  // 100%-hot-heavy survivor set (the round-7 guard would refuse it)
   graft.ops.Dedup.ngramJaccardPairs(surv, "doc_id", "text", "blk",
-    ngram = 3, minJaccard = 0.3, maxDf = 8)
+    ngram = 3, minJaccard = 0.3, maxDf = 8, maxUnsafeFrac = 1.0)
 }
 timed("exact+capped-jaccard @ sf0.1")(drain(dedupThenJaccard(sf)))
 timed("exact+capped-jaccard @ 100x")(drain(dedupThenJaccard(out)))
@@ -69,8 +71,15 @@ timed("q145 fixed k=64 @ 100x")(drain(
   graft.ops.Corpus.semanticDupPairs(
     graft.Tables.embeddings(spark, out), "vec_id", "embedding",
     nClusters = 64, threshold = 0.4, iters = 2)))
-timed("q145 derived tcs=63 @ sf0.1")(drain(
-  graft.SparkEntry.queries("q145_semantic_dedup")(spark, sf)))
+// constant cluster size (SemDeDup paper recipe): pair work linear but
+// the exact assign is O(N*k) = O(N^2/tcs) -- measured 285.7 s @ 100x
 timed("q145 derived tcs=63 @ 100x")(drain(
+  graft.ops.Corpus.semanticDupPairs(
+    graft.Tables.embeddings(spark, out), "vec_id", "embedding",
+    threshold = 0.4, targetClusterSize = 63, iters = 2)))
+// balanced sqrt(N) default: assign and pair work equalized at N^1.5
+timed("q145 derived sqrt @ sf0.1")(drain(
+  graft.SparkEntry.queries("q145_semantic_dedup")(spark, sf)))
+timed("q145 derived sqrt @ 100x")(drain(
   graft.SparkEntry.queries("q145_semantic_dedup")(spark, out)))
 System.exit(0)

@@ -86,6 +86,14 @@ object Corpus {
     * arrays, so the exploded candidate stream is consumed once.
     * At 100 TB: two map passes over the corpus + one shuffle sized by
     * the contamination rate + fpp, instead of a corpus-gram shuffle.
+    *
+    * EAGER, unlike every other operator in this file: the call itself
+    * runs two benchmark-side jobs (a count to size the filter + the
+    * `stat.bloomFilter` aggregation) because Spark's Bloom builder is
+    * an action. The bits aggregated to the driver are the compact
+    * filter (bounded by expectedItems/fpp), never data rows; but the
+    * filter is rebuilt on every CALL, even if the returned frame is
+    * never executed — construct once and reuse the returned DataFrame.
     */
   def decontaminateLarge(corpus: DataFrame, benchmark: DataFrame,
       id: String, text: String, n: Int, fpp: Double = 0.01): DataFrame = {
@@ -252,30 +260,41 @@ object Corpus {
     * paper uses ~11k clusters for ~100M embeddings), keeping cluster
     * size — and therefore per-cluster pair work — constant as N grows.
     */
-  /** Scale-safe entry point — the default to reach for: derives
-    * `nClusters = max(minClusters, ceil(N / targetClusterSize))` from a
-    * count(*) so cluster size (and per-cluster pair work, which is
-    * size²) stays CONSTANT as the corpus grows — SemDeDup's own recipe
-    * (~11k clusters for ~100M embeddings ≈ 9k vectors/cluster). The
-    * round-6 100× stress measured 322× wall from a fixed cluster count
-    * and a 37× cut once k scaled with N; this overload makes the
-    * scaling automatic. NOTE: runs one eager count() job at call time
-    * to size the quantizer (a metadata-only scan on parquet sources);
-    * everything downstream stays lazy.
+  /** Scale-safe entry point — the default to reach for: derives the
+    * cluster count from a count(*) instead of trusting a caller's fixed
+    * k (the round-6 100× stress measured 322× wall from fixed k=8).
+    *
+    * Two derivations, chosen by `targetClusterSize`:
+    *  - `0` (default): k = ceil(sqrt(N)) — BALANCED. Total work is
+    *    assign O(N·k) + within-cluster pairs O(N²/k); sqrt(N) equalizes
+    *    the two terms, so wall grows as N^1.5 instead of N² in either
+    *    degenerate direction. Measured at 100× rows (stress100b r7):
+    *    fixed k=8 → 354 s, constant-cluster-size → 286 s (assign-bound),
+    *    sqrt → see PLANS.md rerun; all vs ~2 s at 1×.
+    *  - `> 0`: k = ceil(N / targetClusterSize) — SemDeDup's paper
+    *    recipe (constant cluster size, e.g. ~9k vectors/cluster for
+    *    100M embeddings). Right when the assign stage is delegated to a
+    *    real ANN index or pair work must be strictly linear; in THIS
+    *    engine's exact broadcast assign the N·k term then dominates at
+    *    scale, so prefer the sqrt default unless you know better.
+    *
+    * NOTE: runs one eager count() job at call time to size the
+    * quantizer; everything downstream stays lazy.
     */
   def semanticDupPairs(df: DataFrame, id: String, vec: String,
-      threshold: Double, targetClusterSize: Int, minClusters: Int,
-      iters: Int): DataFrame = {
-    require(targetClusterSize > 0, s"targetClusterSize must be positive, got $targetClusterSize")
+      threshold: Double, targetClusterSize: Int = 0, minClusters: Int = 2,
+      iters: Int = 3): DataFrame = {
     require(minClusters > 0, s"minClusters must be positive, got $minClusters")
     val n = df.count()
-    val k = math.max(minClusters.toLong,
-      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val derived =
+      if (targetClusterSize > 0) (n + targetClusterSize - 1) / targetClusterSize
+      else math.ceil(math.sqrt(n.toDouble)).toLong
+    val k = math.max(minClusters.toLong, derived).toInt
     semanticDupPairs(df, id, vec, k, threshold, iters)
   }
 
   def semanticDupPairs(df: DataFrame, id: String, vec: String,
-      nClusters: Int, threshold: Double, iters: Int = 3): DataFrame = {
+      nClusters: Int, threshold: Double, iters: Int): DataFrame = {
     val cents = Similarity.kmeansCentroids(df, id, vec, nClusters, iters)
     val assigned = Similarity.kmeansAssign(df, id, vec, cents)
     val l = assigned.select(col("cl"), col(id).as("a"), col(vec).as("va"))

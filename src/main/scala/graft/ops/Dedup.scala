@@ -502,8 +502,8 @@ object Dedup {
             f"(${frac * 100}%.0f%% > maxUnsafeFrac=${maxUnsafeFrac * 100}%.0f%%) exceed the " +
             "hot-gram exactness bound, so the cap would keep their hot postings and " +
             "revert to the uncapped quadratic pair scan. This corpus shape (wholesale-" +
-            "duplicated documents) should be exact-deduplicated first — run " +
-            "Dedup.exactDuplicateGroups and cap-jaccard the representatives — or pass " +
+            "duplicated documents) should be exact-deduplicated first (run " +
+            "Dedup.exactDuplicateGroups and cap-jaccard the representatives), or pass " +
             "maxUnsafeFrac=1.0 to knowingly run the quadratic path.")
       }
       // kept postings: cold grams for everyone + hot grams for unsafe

@@ -147,24 +147,54 @@ object FrameOps {
     * same cost profile as ffill.
     */
   def interpolate(df: DataFrame, partitionBy: Seq[String],
-      orderBy: Seq[String], valueCol: String, as: String): DataFrame = {
+      orderBy: Seq[String], valueCol: String, as: String,
+      method: String = "position", limit: Int = 0,
+      limitDirection: String = "forward"): DataFrame = {
+    require(Set("position", "values")(method),
+      s"method must be 'position' or 'values', got '$method'")
+    require(Set("forward", "backward", "both")(limitDirection),
+      s"limit_direction must be forward/backward/both, got '$limitDirection'")
+    require(limit >= 0, "limit must be >= 0 (0 = unlimited)")
     val wAll = w(partitionBy, orderBy)
     val back = wAll.rowsBetween(Window.unboundedPreceding, 0)
     val fwd = wAll.rowsBetween(0, Window.unboundedFollowing)
     val v = col(valueCol)
-    val markedPos = when(v.isNotNull, col("__pos"))
-    df.withColumn("__pos", row_number().over(wAll))
+    // interpolation anchor: row position (pandas method='linear') or
+    // the order column's values (method='values' — the one-line
+    // numerator change: gaps weigh by distance, not by row count)
+    val anchor =
+      if (method == "values") col(orderBy.head).cast("double")
+      else col("__pos").cast("double")
+    val dirFwd = limitDirection != "backward"
+    val dirBwd = limitDirection != "forward"
+    def within(dist: Column): Column =
+      if (limit == 0) lit(true) else dist <= limit
+    val base = df.withColumn("__pos", row_number().over(wAll))
+    val marked = base
+      .withColumn("__pa", anchor)
       .withColumn("__pv", last(v, ignoreNulls = true).over(back))
       .withColumn("__nv", first(v, ignoreNulls = true).over(fwd))
-      .withColumn("__pp", last(markedPos, ignoreNulls = true).over(back))
-      .withColumn("__np", first(markedPos, ignoreNulls = true).over(fwd))
-      .withColumn(as,
-        when(v.isNotNull, v)
-          .when(col("__pv").isNull, lit(null))
-          .when(col("__nv").isNull, col("__pv"))
-          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
-            ((col("__pos") - col("__pp")) / (col("__np") - col("__pp")))))
-      .drop("__pos", "__pv", "__nv", "__pp", "__np")
+      .withColumn("__pp", last(when(v.isNotNull, col("__pa")), ignoreNulls = true).over(back))
+      .withColumn("__np", first(when(v.isNotNull, col("__pa")), ignoreNulls = true).over(fwd))
+      .withColumn("__ppr", last(when(v.isNotNull, col("__pos")), ignoreNulls = true).over(back))
+      .withColumn("__npr", first(when(v.isNotNull, col("__pos")), ignoreNulls = true).over(fwd))
+    // fill eligibility (pandas limit_direction × limit): a null may be
+    // written from the left anchor (forward/both, within `limit` rows
+    // of it) or from the right anchor (backward/both); the VALUE is
+    // direction-independent — linear between two anchors, constant
+    // extension past the edge anchors
+    val fromLeft = lit(dirFwd) && col("__pv").isNotNull &&
+      within(col("__pos") - col("__ppr"))
+    val fromRight = lit(dirBwd) && col("__nv").isNotNull &&
+      within(col("__npr") - col("__pos"))
+    val fillVal =
+      when(col("__pv").isNull, col("__nv"))
+        .when(col("__nv").isNull, col("__pv"))
+        .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+          ((col("__pa") - col("__pp")) / (col("__np") - col("__pp"))))
+    marked
+      .withColumn(as, when(v.isNotNull, v).when(fromLeft || fromRight, fillVal))
+      .drop("__pos", "__pa", "__pv", "__nv", "__pp", "__np", "__ppr", "__npr")
   }
 
   /** pandas `concat(axis=1)` / cudf.concat axis=1 ([dask/dataframe/
@@ -173,6 +203,12 @@ object FrameOps {
     * `key`, absent rows surfacing as nulls (outer-join semantics, the
     * pandas default). Each join shuffles on the same key, so AQE/
     * bucketing can reuse the partitioning across the chain.
+    */
+  /** PRECONDITION: `key` must be unique within every frame. pandas
+    * concat(axis=1) raises InvalidIndexError on duplicate index labels;
+    * this full-outer-join chain would instead silently emit the per-key
+    * Cartesian product across frames — callers (q35b pre-aggregates)
+    * must dedupe or aggregate to a unique key first.
     */
   def concatAxis1(frames: Seq[DataFrame], key: String): DataFrame = {
     require(frames.nonEmpty, "need at least one frame")
@@ -191,6 +227,20 @@ object FrameOps {
     * memory contract as groupby.apply/mapGroupsWithState). The oracle
     * replays the identical fold order via DuckDB list_reduce, so the
     * IEEE stream matches bit-for-bit.
+    *
+    * Null handling: rows with a null value or order key are dropped up
+    * front (and absent from the output) — pandas `ignore_na=True`
+    * semantics, where missing observations neither consume decay steps
+    * nor appear in the result (`ignore_na=False`, decay continuing
+    * across NaN gaps, is not implemented). The output's `orderCol`
+    * comes back widened to long.
+    *
+    * Memory: per-group state is the group's full (order, value) array —
+    * fine for per-key-bounded activity; a single unbounded key needs
+    * the segmented formulation instead (split the series into fixed
+    * segments, fold each, stitch with the carry
+    * num' = num_seg + (1−α)^len_seg · num_prev — the fold is linear in
+    * its initial state, so segment results compose exactly).
     */
   def ewmMean(df: DataFrame, partitionBy: Seq[String], orderCol: String,
       valueCol: String, alpha: Double, as: String): DataFrame = {
@@ -209,6 +259,7 @@ object FrameOps {
     df.select((partitionBy.map(col) :+
         col(orderCol).cast("long").as("__o") :+
         col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__o").isNotNull && col("__v").isNotNull)
       .groupBy(partitionBy.map(col): _*)
       .agg(sorted.as("__rs"))
       .select((partitionBy.map(col) :+
@@ -216,6 +267,102 @@ object FrameOps {
           transform(col("__rs"), r => r.getField("v")))).as("__e")): _*)
       .select((partitionBy.map(col) :+
         col("__e._1").as(orderCol) :+ col("__e._2").as(as)): _*)
+  }
+
+  /** pandas/cudf `Series.ewm(alpha).var()` / `.std()` (adjust=True,
+    * bias=False — the pandas defaults; [cudf/core/window/ewm.py ::
+    * ExponentialMovingWindow.var/std]). Four Horner folds ride the same
+    * single pass as [[ewmMean]]'s two:
+    *   num  = Σ wᵢ·xᵢ   (wᵢ = (1−α)^(t−i)):  num  = (1−α)·num + x
+    *   den  = Σ wᵢ:                          den  = (1−α)·den + 1
+    *   sq   = Σ wᵢ·xᵢ²:                      sq   = (1−α)·sq  + x²
+    *   den2 = Σ wᵢ²:                         den2 = (1−α)²·den2 + 1
+    * biased var = sq/den − (num/den)², debiased by den²/(den²−den2)
+    * (the pandas bias=False correction); the first row's correction
+    * denominator is 0 → null (pandas NaN). std = sqrt(var), null when
+    * var < 0 (fp cancellation guard, both engines). The oracle replays
+    * each fold via DuckDB list_reduce in identical order and combines
+    * with the identically-parenthesized expression, so results are
+    * bit-for-bit. Same per-key-bounded memory contract as [[ewmMean]].
+    */
+  def ewmVar(df: DataFrame, partitionBy: Seq[String], orderCol: String,
+      valueCol: String, alpha: Double, varAs: String, stdAs: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    val w = 1.0 - alpha
+    val w2 = w * w
+    val vUdf = udf { (ords: Seq[Long], vs: Seq[Double]) =>
+      var num = 0.0; var den = 0.0; var sq = 0.0; var den2 = 0.0
+      ords.zip(vs).map { case (o, x) =>
+        num = num * w + x
+        den = den * w + 1.0
+        sq = sq * w + x * x
+        den2 = den2 * w2 + 1.0
+        val m = num / den
+        val corrDen = den * den - den2
+        val v =
+          if (corrDen == 0.0) None
+          else Some(((sq / den - m * m) * (den * den)) / corrDen)
+        (o, v, v.flatMap(x0 => if (x0 < 0) None else Some(math.sqrt(x0))))
+      }
+    }
+    val sorted = array_sort(collect_list(
+      struct(col("__o").as("o"), col("__v").as("v"))))
+    df.select((partitionBy.map(col) :+
+        col(orderCol).cast("long").as("__o") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__o").isNotNull && col("__v").isNotNull)
+      .groupBy(partitionBy.map(col): _*)
+      .agg(sorted.as("__rs"))
+      .select((partitionBy.map(col) :+
+        explode(vUdf(transform(col("__rs"), r => r.getField("o")),
+          transform(col("__rs"), r => r.getField("v")))).as("__e")): _*)
+      .select((partitionBy.map(col) :+
+        col("__e._1").as(orderCol) :+ col("__e._2").as(varAs) :+
+        col("__e._3").as(stdAs)): _*)
+  }
+
+  /** pandas `Series.ewm(halflife=<timedelta>, times=<col>).mean()`
+    * (adjust=True — [cudf/core/window/ewm.py] exposes halflife too):
+    * decay follows ACTUAL elapsed time, not row count. With per-step
+    * gap Δᵢ = tᵢ − tᵢ₋₁ (in `halflife` units) the Horner fold becomes
+    *   num = num·2^(−Δ) + x,  den = den·2^(−Δ) + 1,  y = num/den —
+    * irregular series decay correctly through gaps, and duplicate
+    * timestamps (Δ=0) weigh equally, the pandas times= contract. The
+    * order key is (time, tieBreak) so replay order is total. Integral
+    * Δ/halflife gives decay = exact powers of two — pow(0.5, k) is
+    * verified bit-identical between the JVM and DuckDB here — so the
+    * oracle's list_reduce replay hash-matches. Same memory contract as
+    * [[ewmMean]].
+    */
+  def ewmMeanHalflife(df: DataFrame, partitionBy: Seq[String],
+      timeCol: String, tieBreak: String, valueCol: String,
+      halflife: Double, as: String): DataFrame = {
+    require(halflife > 0, "need halflife > 0")
+    val hlUdf = udf { (ts: Seq[Double], ks: Seq[Long], vs: Seq[Double]) =>
+      var num = 0.0; var den = 0.0
+      ts.indices.map { i =>
+        val d = if (i == 0) 1.0 else math.pow(0.5, (ts(i) - ts(i - 1)) / halflife)
+        num = num * d + vs(i)
+        den = den * d + 1.0
+        (ks(i), num / den)
+      }
+    }
+    val sorted = array_sort(collect_list(
+      struct(col("__t").as("t"), col("__k").as("k"), col("__v").as("v"))))
+    df.select((partitionBy.map(col) :+
+        col(timeCol).cast("double").as("__t") :+
+        col(tieBreak).cast("long").as("__k") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__t").isNotNull && col("__k").isNotNull && col("__v").isNotNull)
+      .groupBy(partitionBy.map(col): _*)
+      .agg(sorted.as("__rs"))
+      .select((partitionBy.map(col) :+
+        explode(hlUdf(
+          transform(col("__rs"), r => r.getField("t")),
+          transform(col("__rs"), r => r.getField("k")),
+          transform(col("__rs"), r => r.getField("v")))).as("__e")): _*)
+      .select((partitionBy.map(col) :+
+        col("__e._1").as(tieBreak) :+ col("__e._2").as(as)): _*)
   }
 
   /** Full pairwise correlation/covariance matrix (pandas/dask
@@ -230,16 +377,18 @@ object FrameOps {
     */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    // index-based intermediate aliases: name-based ones (corr__a__b)
+    // could collide for column names that themselves contain "__"
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i <= j
-    } yield (cols(i), cols(j))
-    val aggs = pairs.flatMap { case (a, b) => Seq(
-      corr(col(a), col(b)).as(s"corr__${a}__$b"),
-      covar_samp(col(a), col(b)).as(s"cov__${a}__$b")) }
-    val entries = pairs.map { case (a, b) =>
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        col(s"corr__${a}__$b").as("corr"),
-        col(s"cov__${a}__$b").as("cov")) }
+    } yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) => Seq(
+      corr(col(cols(i)), col(cols(j))).as(s"corr__${i}_$j"),
+      covar_samp(col(cols(i)), col(cols(j))).as(s"cov__${i}_$j")) }
+    val entries = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col(s"corr__${i}_$j").as("corr"),
+        col(s"cov__${i}_$j").as("cov")) }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(entries: _*)).as("e"))
       .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),

@@ -144,11 +144,11 @@ object CorpusQueries extends QueryGroup {
 
     // SemDeDup-style semantic dedup: learned k-means clusters, within-
     // cluster cosine pairs above threshold. Gated through the scale-safe
-    // size-derived overload: 500 fixture vectors / targetClusterSize=63
-    // derives k=8, the same k the unrolled oracle replays.
+    // size-derived default: 500 fixture vectors -> k = ceil(sqrt(500)) =
+    // 23, and the oracle unrolls its k-means CTEs at the same k.
     "q145_semantic_dedup" -> ((s, d) => {
       Corpus.semanticDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.4, targetClusterSize = 63, minClusters = 2, iters = 2)
+          threshold = 0.4, iters = 2)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -362,7 +362,7 @@ object CorpusQueries extends QueryGroup {
          |FROM sc QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q145_semantic_dedup" ->
-      s"""WITH ${sqlKmeansCtes(k = 8, iters = 2)},
+      s"""WITH ${sqlKmeansCtes(k = 23, iters = 2)},
          |af AS (SELECT vec_id, embedding, cl FROM (
          |  SELECT e.vec_id, e.embedding, c.cl,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id

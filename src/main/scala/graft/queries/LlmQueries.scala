@@ -262,9 +262,15 @@ object LlmQueries extends QueryGroup {
     // exact full-jaccard SQL as q95, so the gate proves the cap changes
     // the plan, never the result
     "q95b_ngram_jaccard_capped" -> ((s, d) => {
+      // maxUnsafeFrac=1.0: this query deliberately runs the cap on its
+      // documented worst case (at sf0.1 every doc is hot-heavy under
+      // maxDf=8, the shape the default guard exists to refuse) to prove
+      // exactness; real pipelines keep the 0.5 default and scale maxDf
+      // with the corpus (~a fixed df FRACTION, like 2% of docs).
       Dedup.ngramJaccardPairs(
           Tables.documents(s, d).withColumn("blk", lit(0)),
-          "doc_id", "text", "blk", ngram = 3, minJaccard = 0.3, maxDf = 8)
+          "doc_id", "text", "blk", ngram = 3, minJaccard = 0.3, maxDf = 8,
+          maxUnsafeFrac = 1.0)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -218,6 +218,50 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ewm variance + std (pandas adjust=True, bias=False): four Horner
+    // folds in one pass, debias correction, first-row null — replayed
+    // fold-for-fold in DuckDB list_reduce
+    "q74c_ewm_var_std" -> ((s, d) => {
+      graft.ops.FrameOps.ewmVar(
+          Tables.events(s, d).filter(col("user_id") % 9 === 0),
+          Seq("user_id"), "event_id", "value", alpha = 0.2,
+          varAs = "ewm_var", stdAs = "ewm_std")
+        .select(col("user_id"), col("event_id"),
+          round(col("ewm_var"), 6).as("ewm_var"),
+          round(col("ewm_std"), 6).as("ewm_std"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ewm mean with halflife + times (pandas ewm(halflife=, times=)):
+    // decay follows actual elapsed days between a customer's orders —
+    // irregular gaps, not row counts; integral day gaps make the decay
+    // exact powers of two, so the DuckDB fold replay is bit-identical
+    "q74d_ewm_halflife" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_custkey") % 10 === 0)
+        .withColumn("t", datediff(col("o_orderdate"), lit("1970-01-01")))
+      graft.ops.FrameOps.ewmMeanHalflife(o, Seq("o_custkey"), "t",
+          "o_orderkey", "o_totalprice", halflife = 1.0, as = "ewm_hl")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("ewm_hl"), 6).as("ewm_hl"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // interpolate parity options (pandas method='values', limit=2,
+    // limit_direction='both'): anchors are the order column's VALUES
+    // (event_id gaps weigh the fill), nulls filled only within 2 rows
+    // of a real anchor from either side
+    "q77c_interpolate_opts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("v", when(pmod(col("event_id"), lit(5)).isin(1, 2),
+          lit(null)).otherwise(col("value")))
+      graft.ops.FrameOps.interpolate(ev, Seq("user_id"), Seq("event_id"),
+          "v", "v_interp", method = "values", limit = 2,
+          limitDirection = "both")
+        .select(col("event_id"), col("user_id"), col("v"),
+          round(col("v_interp"), 6).as("v_interp"))
+        .orderBy(col("event_id"))
+    }),
+
     // linear interpolation of null runs (reference
     // DataFrame.interpolate): position-based linear fill between known
     // points, leading nulls stay null, trailing nulls ffill (pandas
@@ -282,6 +326,81 @@ object WindowQueries extends QueryGroup {
         |    / list_reduce(list_transform(pl, x -> CAST(1 AS DOUBLE)),
         |        (a, b) -> a * 0.8 + b), 6) AS ewm
         |FROM pre ORDER BY user_id, event_id""".stripMargin,
+
+    "q74c_ewm_var_std" ->
+      """WITH pre AS (SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+        |  FROM events WHERE user_id % 9 = 0),
+        |f AS (SELECT user_id, event_id,
+        |    list_reduce(pl, (a, b) -> a * 0.8 + b) AS num,
+        |    list_reduce(list_transform(pl, x -> CAST(1 AS DOUBLE)),
+        |      (a, b) -> a * 0.8 + b) AS den,
+        |    list_reduce(list_transform(pl, x -> x * x),
+        |      (a, b) -> a * 0.8 + b) AS sq,
+        |    list_reduce(list_transform(pl, x -> CAST(1 AS DOUBLE)),
+        |      (a, b) -> a * (0.8 * 0.8) + b) AS den2
+        |  FROM pre),
+        |v AS (SELECT user_id, event_id,
+        |    CASE WHEN den * den - den2 = 0 THEN NULL
+        |      ELSE ((sq / den - (num / den) * (num / den)) * (den * den))
+        |        / (den * den - den2) END AS ev
+        |  FROM f)
+        |SELECT user_id, event_id, ROUND(ev, 6) AS ewm_var,
+        |  ROUND(CASE WHEN ev IS NULL OR ev < 0 THEN NULL ELSE sqrt(ev) END, 6) AS ewm_std
+        |FROM v ORDER BY user_id, event_id""".stripMargin,
+
+    "q74d_ewm_halflife" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS t
+        |  FROM orders WHERE o_custkey % 10 = 0),
+        |pre AS (SELECT o_custkey, o_orderkey,
+        |    list(t) OVER w AS tl, list(o_totalprice) OVER w AS xl
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY t, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT o_custkey, o_orderkey,
+        |    [CAST(i AS DOUBLE) for i in range(1, len(tl) + 1)] AS idx
+        |  , tl, xl FROM pre)
+        |SELECT o_custkey, o_orderkey,
+        |  ROUND(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), idx), (a, i) ->
+        |      a * pow(0.5, tl[CAST(i AS BIGINT)] - tl[CAST(CASE WHEN i > 1 THEN i - 1 ELSE i END AS BIGINT)])
+        |        + xl[CAST(i AS BIGINT)])
+        |    / list_reduce(list_prepend(CAST(0 AS DOUBLE), idx), (a, i) ->
+        |      a * pow(0.5, tl[CAST(i AS BIGINT)] - tl[CAST(CASE WHEN i > 1 THEN i - 1 ELSE i END AS BIGINT)])
+        |        + CAST(1 AS DOUBLE)), 6) AS ewm_hl
+        |FROM f ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q77c_interpolate_opts" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 5 IN (1, 2) THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w1 AS (SELECT event_id, user_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS p,
+        |    CAST(event_id AS DOUBLE) AS pa
+        |  FROM e),
+        |w2 AS (SELECT event_id, user_id, v, p, pa,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN pa END IGNORE NULLS) OVER wb AS pp,
+        |    first_value(CASE WHEN v IS NOT NULL THEN pa END IGNORE NULLS) OVER wf AS np,
+        |    last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wb AS ppr,
+        |    first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wf AS npr
+        |  FROM w1
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, v,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN (pv IS NOT NULL AND p - ppr <= 2)
+        |      OR (nv IS NOT NULL AND npr - p <= 2) THEN
+        |      CASE WHEN pv IS NULL THEN nv
+        |           WHEN nv IS NULL THEN pv
+        |           ELSE pv + (nv - pv) * ((pa - pp) / (np - pp)) END
+        |    ELSE NULL END, 6) AS v_interp
+        |FROM w2 ORDER BY event_id""".stripMargin,
 
     "q77b_interpolate" ->
       """WITH e AS (SELECT event_id, user_id,

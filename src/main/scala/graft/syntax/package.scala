@@ -159,11 +159,23 @@ package object syntax {
     def corrMatrix(cols: Seq[String]): DataFrame =
       graft.ops.FrameOps.corrMatrix(df, cols)
     def interpolate(partitionBy: Seq[String], orderBy: Seq[String],
-        valueCol: String, as: String): DataFrame =
-      graft.ops.FrameOps.interpolate(df, partitionBy, orderBy, valueCol, as)
+        valueCol: String, as: String, method: String = "position",
+        limit: Int = 0, limitDirection: String = "forward"): DataFrame =
+      graft.ops.FrameOps.interpolate(df, partitionBy, orderBy, valueCol, as,
+        method, limit, limitDirection)
     def ewmMean(partitionBy: Seq[String], orderCol: String,
         valueCol: String, alpha: Double, as: String): DataFrame =
       graft.ops.FrameOps.ewmMean(df, partitionBy, orderCol, valueCol, alpha, as)
+    def ewmVar(partitionBy: Seq[String], orderCol: String,
+        valueCol: String, alpha: Double, varAs: String,
+        stdAs: String): DataFrame =
+      graft.ops.FrameOps.ewmVar(df, partitionBy, orderCol, valueCol, alpha,
+        varAs, stdAs)
+    def ewmMeanHalflife(partitionBy: Seq[String], timeCol: String,
+        tieBreak: String, valueCol: String, halflife: Double,
+        as: String): DataFrame =
+      graft.ops.FrameOps.ewmMeanHalflife(df, partitionBy, timeCol, tieBreak,
+        valueCol, halflife, as)
     def concatAxis1(others: Seq[DataFrame], key: String): DataFrame =
       graft.ops.FrameOps.concatAxis1(df +: others, key)
     def vocabStats(text: String, maxFreq: Int): DataFrame =

@@ -172,6 +172,74 @@ class FrameOpsSpec extends SparkSpec {
     assert(r((2L, 2)) == Some(2.0))
   }
 
+  test("interpolate limit/limit_direction match the pandas goldens") {
+    // s = pd.Series([nan,nan,1,nan,nan,nan,5,nan,nan]); goldens from
+    // s.interpolate(method='linear', limit=..., limit_direction=...)
+    val df = Seq[(Long, Int, Option[Double])](
+      (1L, 1, None), (1L, 2, None), (1L, 3, Some(1.0)), (1L, 4, None),
+      (1L, 5, None), (1L, 6, None), (1L, 7, Some(5.0)), (1L, 8, None),
+      (1L, 9, None)).toDF("g", "p", "v")
+    def run(ld: String, lim: Int): Seq[Option[Double]] =
+      graft.ops.FrameOps.interpolate(df, Seq("g"), Seq("p"), "v", "vi",
+          limit = lim, limitDirection = ld)
+        .orderBy("p").collect()
+        .map(x => Option(x.get(3)).map(_.asInstanceOf[Double])).toSeq
+    def g(xs: Double*): Seq[Option[Double]] =
+      xs.map(x => if (x.isNaN) None else Some(x))
+    val n = Double.NaN
+    assert(run("forward", 0) == g(n, n, 1, 2, 3, 4, 5, 5, 5))
+    assert(run("forward", 1) == g(n, n, 1, 2, n, n, 5, 5, n))
+    assert(run("backward", 0) == g(1, 1, 1, 2, 3, 4, 5, n, n))
+    assert(run("backward", 1) == g(n, 1, 1, n, n, 4, 5, n, n))
+    assert(run("both", 0) == g(1, 1, 1, 2, 3, 4, 5, 5, 5))
+    assert(run("both", 1) == g(n, 1, 1, 2, n, 4, 5, 5, n))
+  }
+
+  test("interpolate method='values' anchors on the order column") {
+    // pd.Series([1,nan,nan,10], index=[0,1,5,10]).interpolate('values')
+    //   -> [1.0, 1.9, 5.5, 10.0]  (position method gives [1,4,7,10])
+    val df = Seq[(Long, Double, Option[Double])]((1L, 0.0, Some(1.0)),
+      (1L, 1.0, None), (1L, 5.0, None), (1L, 10.0, Some(10.0)))
+      .toDF("g", "t", "v")
+    val byVal = graft.ops.FrameOps.interpolate(df, Seq("g"), Seq("t"),
+        "v", "vi", method = "values")
+      .orderBy("t").collect().map(_.getDouble(3)).toSeq
+    assert(byVal == Seq(1.0, 1.9, 5.5, 10.0))
+    val byPos = graft.ops.FrameOps.interpolate(df, Seq("g"), Seq("t"),
+        "v", "vi")
+      .orderBy("t").collect().map(_.getDouble(3)).toSeq
+    assert(byPos == Seq(1.0, 4.0, 7.0, 10.0))
+  }
+
+  test("ewmVar/Std match the pandas adjust=True bias=False goldens") {
+    // pd.Series([10,20,0]).ewm(alpha=0.2).var() -> [nan, 50, 111.4754...]
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 0.0))
+      .toDF("g", "p", "v")
+    val r = graft.ops.FrameOps.ewmVar(df, Seq("g"), "p", "v", alpha = 0.2,
+        varAs = "ev", stdAs = "es")
+      .orderBy("p").collect()
+      .map(x => (Option(x.get(2)).map(_.asInstanceOf[Double]),
+        Option(x.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(r(0) == (None, None)) // first row: debias denominator is 0
+    assert(math.abs(r(1)._1.get - 50.0) < 1e-9)
+    assert(math.abs(r(1)._2.get - 7.0710678118654755) < 1e-12)
+    assert(math.abs(r(2)._1.get - 111.47540983606555) < 1e-9)
+    assert(math.abs(r(2)._2.get - 10.558191598757126) < 1e-12)
+  }
+
+  test("ewmMeanHalflife matches the pandas times= golden") {
+    // pd.Series([10,20,0], times=['01-01','01-02','01-05']).ewm(
+    //   halflife='1 day').mean() -> [10, 16.666..., 2.6315789...]
+    val df = Seq((1L, 0.0, 11L, 10.0), (1L, 1.0, 12L, 20.0),
+      (1L, 4.0, 13L, 0.0)).toDF("g", "t", "k", "v")
+    val r = graft.ops.FrameOps.ewmMeanHalflife(df, Seq("g"), "t", "k",
+        "v", halflife = 1.0, as = "e")
+      .orderBy("k").collect().map(_.getDouble(2)).toSeq
+    assert(math.abs(r(0) - 10.0) < 1e-12)
+    assert(math.abs(r(1) - 16.666666666666668) < 1e-12)
+    assert(math.abs(r(2) - 2.6315789473684212) < 1e-12)
+  }
+
   test("ewmMean matches the pandas adjust=True golden values") {
     // pd.Series([10, 20, 0]).ewm(alpha=0.2).mean()
     //   -> [10.0, 15.5555555..., 9.1803278...]

@@ -82,7 +82,8 @@ class SyntaxSpec extends SparkSpec {
       .filter($"id_a" === 1 && $"id_b" === 2).head.getDouble(2) == 1.0)
     assert(docs.simhashNearPairs("doc_id", "text", "blk", maxHamming = 0).count() >= 1)
     assert(docs.ngramJaccardPairs("doc_id", "text", "blk", minJaccard = 0.9).count() == 1)
-    assert(docs.ngramJaccardPairs("doc_id", "text", "blk", minJaccard = 0.9, maxDf = 1).count() == 1)
+    assert(docs.ngramJaccardPairs("doc_id", "text", "blk", minJaccard = 0.9,
+      maxDf = 1, maxUnsafeFrac = 1.0).count() == 1)
     assert(Seq((1L, 2L)).toDF("id_a", "id_b").connectedComponents().count() == 2)
     assert(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b").connectedComponentsStar()
       .agg(countDistinct($"cluster")).head.getLong(0) == 1)
