@@ -228,11 +228,14 @@ object FrameOps {
     * replays the identical fold order via DuckDB list_reduce, so the
     * IEEE stream matches bit-for-bit.
     *
-    * Null handling: rows with a null value or order key are dropped up
-    * front (and absent from the output) — pandas `ignore_na=True`
-    * semantics, where missing observations neither consume decay steps
-    * nor appear in the result (`ignore_na=False`, decay continuing
-    * across NaN gaps, is not implemented). The output's `orderCol`
+    * Null handling (pandas `ignore_na`, default false as in pandas):
+    * with `ignoreNa=false` a null observation still consumes a decay
+    * step (weights follow absolute positions; the emitted value is the
+    * held, further-decayed mean); with `ignoreNa=true` null rows
+    * neither decay nor contribute (weights follow relative positions
+    * of the valid points). Every input row gets an output row — null
+    * until the first valid observation. Rows with a null ORDER key are
+    * dropped (they cannot be positioned). The output's `orderCol`
     * comes back widened to long.
     *
     * Memory: per-group state is the group's full (order, value) array —
@@ -243,15 +246,18 @@ object FrameOps {
     * its initial state, so segment results compose exactly).
     */
   def ewmMean(df: DataFrame, partitionBy: Seq[String], orderCol: String,
-      valueCol: String, alpha: Double, as: String): DataFrame = {
+      valueCol: String, alpha: Double, as: String,
+      ignoreNa: Boolean = false): DataFrame = {
     require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
     val w = 1.0 - alpha
-    val ewmUdf = udf { (ords: Seq[Long], vs: Seq[Double]) =>
+    val ewmUdf = udf { (ords: Seq[Long], vs: Seq[java.lang.Double]) =>
       var num = 0.0; var den = 0.0
       ords.zip(vs).map { case (o, x) =>
-        num = num * w + x
-        den = den * w + 1.0
-        (o, num / den)
+        // the +0.0 on the null branch matches the oracle's
+        // `a*w + coalesce(b, 0.0)` fold bit-for-bit (-0.0 + 0.0 = +0.0)
+        if (x != null) { num = num * w + x.doubleValue(); den = den * w + 1.0 }
+        else if (!ignoreNa) { num = num * w + 0.0; den = den * w + 0.0 }
+        (o, if (den == 0.0) None else Some(num / den))
       }
     }
     val sorted = array_sort(collect_list(
@@ -259,7 +265,7 @@ object FrameOps {
     df.select((partitionBy.map(col) :+
         col(orderCol).cast("long").as("__o") :+
         col(valueCol).cast("double").as("__v")): _*)
-      .filter(col("__o").isNotNull && col("__v").isNotNull)
+      .filter(col("__o").isNotNull)
       .groupBy(partitionBy.map(col): _*)
       .agg(sorted.as("__rs"))
       .select((partitionBy.map(col) :+
@@ -267,6 +273,95 @@ object FrameOps {
           transform(col("__rs"), r => r.getField("v")))).as("__e")): _*)
       .select((partitionBy.map(col) :+
         col("__e._1").as(orderCol) :+ col("__e._2").as(as)): _*)
+  }
+
+  /** [[ewmMean]] for UNBOUNDED keys — the segmented/scan formulation
+    * its scaladoc promises: identical semantics (adjust=True,
+    * `ignoreNa`), but per-task state is O(segLen + nSegments) instead
+    * of the key's whole series, so one multi-billion-row key cannot
+    * OOM an executor.
+    *
+    * The Horner fold `num ← (1−α)·num + x` is LINEAR in its state, so a
+    * segment is summarized by (W = Π stepdecay, N = fold from 0,
+    * D = den fold from 0) and carries compose exactly:
+    * C_s = C_{s−1}·W_{s−1} + N_{s−1}. Three stages, all bounded:
+    *  1. row_number per key (streaming window) → segment id, then one
+    *     groupBy (key, seg) holding ≤ segLen rows per group;
+    *  2. per-key carry scan over the nSegments summary array (a second
+    *     tiny groupBy — for a 10-billion-row key at segLen=1M that is a
+    *     10k-element array);
+    *  3. broadcast-joinable (key, seg) carry table seeds each segment's
+    *     fold, which then runs the ORIGINAL recurrence.
+    * Results equal [[ewmMean]] mathematically but NOT bit-for-bit (the
+    * carry is a re-associated sum) — agreement is ~1e-12 relative
+    * (PropertySpec); use [[ewmMean]] when bit-replay against the
+    * oracle matters and keys are bounded.
+    */
+  def ewmMeanSegmented(df: DataFrame, partitionBy: Seq[String],
+      orderCol: String, valueCol: String, alpha: Double, as: String,
+      segLen: Int = 4096, ignoreNa: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    require(segLen > 0, "need segLen > 0")
+    val w = 1.0 - alpha
+    // (W, N, D) summary of one segment's fold, from zero state
+    val sumUdf = udf { (vs: Seq[java.lang.Double]) =>
+      var sw = 1.0; var n = 0.0; var d = 0.0
+      vs.foreach { x =>
+        if (x != null) { sw *= w; n = n * w + x.doubleValue(); d = d * w + 1.0 }
+        else if (!ignoreNa) { sw *= w; n = n * w + 0.0; d = d * w + 0.0 }
+      }
+      (sw, n, d)
+    }
+    // carry scan over the per-key segment summaries (ordered by seg)
+    val carryUdf = udf { (segs: Seq[Long], ws: Seq[Double], ns: Seq[Double],
+        ds: Seq[Double]) =>
+      var cn = 0.0; var cd = 0.0
+      segs.indices.map { i =>
+        val out = (segs(i), cn, cd)
+        cn = cn * ws(i) + ns(i)
+        cd = cd * ws(i) + ds(i)
+        out
+      }
+    }
+    // seeded per-segment fold — the original recurrence, carry as init
+    val foldUdf = udf { (ords: Seq[Long], vs: Seq[java.lang.Double],
+        cn: Double, cd: Double) =>
+      var num = cn; var den = cd
+      ords.zip(vs).map { case (o, x) =>
+        if (x != null) { num = num * w + x.doubleValue(); den = den * w + 1.0 }
+        else if (!ignoreNa) { num = num * w + 0.0; den = den * w + 0.0 }
+        (o, if (den == 0.0) None else Some(num / den))
+      }
+    }
+    val keys = partitionBy.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("__o"))
+    val seg = df
+      .select((keys :+ col(orderCol).cast("long").as("__o") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__o").isNotNull)
+      .withColumn("__seg", ((row_number().over(wOrd) - 1) / segLen).cast("long"))
+      .groupBy((keys :+ col("__seg")): _*)
+      .agg(array_sort(collect_list(struct(col("__o").as("o"), col("__v").as("v"))))
+        .as("__rs"))
+      .withColumn("__s", sumUdf(transform(col("__rs"), r => r.getField("v"))))
+    val carries = seg
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("__seg").as("g"),
+        col("__s._1").as("w"), col("__s._2").as("n"), col("__s._3").as("d"))))
+        .as("__sm"))
+      .select((keys :+ explode(carryUdf(
+        transform(col("__sm"), r => r.getField("g")),
+        transform(col("__sm"), r => r.getField("w")),
+        transform(col("__sm"), r => r.getField("n")),
+        transform(col("__sm"), r => r.getField("d")))).as("__c")): _*)
+      .select((keys :+ col("__c._1").as("__seg") :+ col("__c._2").as("__cn") :+
+        col("__c._3").as("__cd")): _*)
+    seg.join(carries, partitionBy :+ "__seg")
+      .select((keys :+ explode(foldUdf(
+        transform(col("__rs"), r => r.getField("o")),
+        transform(col("__rs"), r => r.getField("v")),
+        col("__cn"), col("__cd"))).as("__e")): _*)
+      .select((keys :+ col("__e._1").as(orderCol) :+ col("__e._2").as(as)): _*)
   }
 
   /** pandas/cudf `Series.ewm(alpha).var()` / `.std()` (adjust=True,
@@ -283,24 +378,33 @@ object FrameOps {
     * var < 0 (fp cancellation guard, both engines). The oracle replays
     * each fold via DuckDB list_reduce in identical order and combines
     * with the identically-parenthesized expression, so results are
-    * bit-for-bit. Same per-key-bounded memory contract as [[ewmMean]].
+    * bit-for-bit. Same per-key-bounded memory contract and `ignoreNa`
+    * null semantics as [[ewmMean]] (pandas default false: a null still
+    * consumes a decay step; var/std emit null until the debias
+    * denominator is nonzero).
     */
   def ewmVar(df: DataFrame, partitionBy: Seq[String], orderCol: String,
-      valueCol: String, alpha: Double, varAs: String, stdAs: String): DataFrame = {
+      valueCol: String, alpha: Double, varAs: String, stdAs: String,
+      ignoreNa: Boolean = false): DataFrame = {
     require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
     val w = 1.0 - alpha
     val w2 = w * w
-    val vUdf = udf { (ords: Seq[Long], vs: Seq[Double]) =>
+    val vUdf = udf { (ords: Seq[Long], vs: Seq[java.lang.Double]) =>
       var num = 0.0; var den = 0.0; var sq = 0.0; var den2 = 0.0
       ords.zip(vs).map { case (o, x) =>
-        num = num * w + x
-        den = den * w + 1.0
-        sq = sq * w + x * x
-        den2 = den2 * w2 + 1.0
+        if (x != null) {
+          val xv = x.doubleValue()
+          num = num * w + xv
+          den = den * w + 1.0
+          sq = sq * w + xv * xv
+          den2 = den2 * w2 + 1.0
+        } else if (!ignoreNa) {
+          num = num * w; den = den * w; sq = sq * w; den2 = den2 * w2
+        }
         val m = num / den
         val corrDen = den * den - den2
         val v =
-          if (corrDen == 0.0) None
+          if (den == 0.0 || corrDen == 0.0) None
           else Some(((sq / den - m * m) * (den * den)) / corrDen)
         (o, v, v.flatMap(x0 => if (x0 < 0) None else Some(math.sqrt(x0))))
       }
@@ -310,7 +414,7 @@ object FrameOps {
     df.select((partitionBy.map(col) :+
         col(orderCol).cast("long").as("__o") :+
         col(valueCol).cast("double").as("__v")): _*)
-      .filter(col("__o").isNotNull && col("__v").isNotNull)
+      .filter(col("__o").isNotNull)
       .groupBy(partitionBy.map(col): _*)
       .agg(sorted.as("__rs"))
       .select((partitionBy.map(col) :+

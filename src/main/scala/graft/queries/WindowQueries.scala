@@ -232,6 +232,35 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // the segmented/scan ewm (unbounded-key formulation): O(segLen +
+    // nSegments) per-task state, carry-composed across segments —
+    // gated against the SAME full-fold oracle as q74b (deterministic
+    // fixture, so the ~1e-12 re-association drift never moves a
+    // 6-decimal rounding here)
+    "q74f_ewm_segmented" -> ((s, d) => {
+      graft.ops.FrameOps.ewmMeanSegmented(
+          Tables.events(s, d).filter(col("user_id") % 9 === 0),
+          Seq("user_id"), "event_id", "value", alpha = 0.2, as = "ewm",
+          segLen = 16)
+        .select(col("user_id"), col("event_id"),
+          round(col("ewm"), 6).as("ewm"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ewm over a gappy series with pandas-default ignore_na=False: a
+    // null observation still consumes a decay step (absolute-position
+    // weights) and the held mean is emitted at null rows
+    "q74e_ewm_ignore_na" -> ((s, d) => {
+      val gappy = Tables.events(s, d).filter(col("user_id") % 9 === 0)
+        .withColumn("v", when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value")))
+      graft.ops.FrameOps.ewmMean(gappy, Seq("user_id"), "event_id", "v",
+          alpha = 0.2, as = "ewm", ignoreNa = false)
+        .select(col("user_id"), col("event_id"),
+          round(col("ewm"), 6).as("ewm"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ewm mean with halflife + times (pandas ewm(halflife=, times=)):
     // decay follows actual elapsed days between a customer's orders —
     // irregular gaps, not row counts; integral day gaps make the decay
@@ -326,6 +355,37 @@ object WindowQueries extends QueryGroup {
         |    / list_reduce(list_transform(pl, x -> CAST(1 AS DOUBLE)),
         |        (a, b) -> a * 0.8 + b), 6) AS ewm
         |FROM pre ORDER BY user_id, event_id""".stripMargin,
+
+    "q74f_ewm_segmented" ->
+      """WITH pre AS (SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+        |  FROM events WHERE user_id % 9 = 0)
+        |SELECT user_id, event_id,
+        |  ROUND(list_reduce(pl, (a, b) -> a * 0.8 + b)
+        |    / list_reduce(list_transform(pl, x -> CAST(1 AS DOUBLE)),
+        |        (a, b) -> a * 0.8 + b), 6) AS ewm
+        |FROM pre ORDER BY user_id, event_id""".stripMargin,
+
+    "q74e_ewm_ignore_na" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id % 9 = 0),
+        |pre AS (SELECT user_id, event_id,
+        |    list(v) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+        |  FROM e),
+        |f AS (SELECT user_id, event_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), pl),
+        |      (a, b) -> a * 0.8 + coalesce(b, CAST(0 AS DOUBLE))) AS num,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(pl, x -> CASE WHEN x IS NULL
+        |          THEN CAST(0 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)),
+        |      (a, b) -> a * 0.8 + b) AS den
+        |  FROM pre)
+        |SELECT user_id, event_id,
+        |  ROUND(CASE WHEN den = 0 THEN NULL ELSE num / den END, 6) AS ewm
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     "q74c_ewm_var_std" ->
       """WITH pre AS (SELECT user_id, event_id,

@@ -164,13 +164,15 @@ package object syntax {
       graft.ops.FrameOps.interpolate(df, partitionBy, orderBy, valueCol, as,
         method, limit, limitDirection)
     def ewmMean(partitionBy: Seq[String], orderCol: String,
-        valueCol: String, alpha: Double, as: String): DataFrame =
-      graft.ops.FrameOps.ewmMean(df, partitionBy, orderCol, valueCol, alpha, as)
+        valueCol: String, alpha: Double, as: String,
+        ignoreNa: Boolean = false): DataFrame =
+      graft.ops.FrameOps.ewmMean(df, partitionBy, orderCol, valueCol, alpha,
+        as, ignoreNa)
     def ewmVar(partitionBy: Seq[String], orderCol: String,
-        valueCol: String, alpha: Double, varAs: String,
-        stdAs: String): DataFrame =
+        valueCol: String, alpha: Double, varAs: String, stdAs: String,
+        ignoreNa: Boolean = false): DataFrame =
       graft.ops.FrameOps.ewmVar(df, partitionBy, orderCol, valueCol, alpha,
-        varAs, stdAs)
+        varAs, stdAs, ignoreNa)
     def ewmMeanHalflife(partitionBy: Seq[String], timeCol: String,
         tieBreak: String, valueCol: String, halflife: Double,
         as: String): DataFrame =

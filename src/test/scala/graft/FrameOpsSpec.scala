@@ -211,6 +211,62 @@ class FrameOpsSpec extends SparkSpec {
     assert(byPos == Seq(1.0, 4.0, 7.0, 10.0))
   }
 
+  test("ewm ignore_na matches pandas for both modes over null gaps") {
+    // s = pd.Series([1, nan, 3, nan, nan, 5]); ewm(alpha=0.5).mean():
+    //   ignore_na=False -> [1, 1, 2.6, 2.6, 2.6, 4.675675675675675]
+    //   ignore_na=True  -> [1, 1, 2.333..., 2.333..., 2.333..., 3.857142857142857]
+    // ewm(alpha=0.5).var() ignore_na=False -> [nan, nan, 2, 2, 2, 3.170731707317073]
+    val df = Seq[(Long, Long, Option[Double])]((1L, 1L, Some(1.0)),
+      (1L, 2L, None), (1L, 3L, Some(3.0)), (1L, 4L, None), (1L, 5L, None),
+      (1L, 6L, Some(5.0))).toDF("g", "p", "v")
+    def means(ig: Boolean): Seq[Double] =
+      graft.ops.FrameOps.ewmMean(df, Seq("g"), "p", "v", alpha = 0.5,
+          as = "e", ignoreNa = ig)
+        .orderBy("p").collect().map(_.getDouble(2)).toSeq
+    val mF = means(false)
+    assert(mF.take(5) == Seq(1.0, 1.0, 2.6, 2.6, 2.6) &&
+      math.abs(mF(5) - 4.675675675675675) < 1e-12, mF)
+    val mT = means(true)
+    assert(math.abs(mT(2) - 2.3333333333333335) < 1e-12 &&
+      math.abs(mT(5) - 3.857142857142857) < 1e-12, mT)
+    val vF = graft.ops.FrameOps.ewmVar(df, Seq("g"), "p", "v", alpha = 0.5,
+        varAs = "ev", stdAs = "es")
+      .orderBy("p").collect()
+      .map(x => Option(x.get(2)).map(_.asInstanceOf[Double])).toSeq
+    assert(vF(0).isEmpty && vF(1).isEmpty, vF)
+    assert(math.abs(vF(2).get - 2.0) < 1e-12 &&
+      math.abs(vF(4).get - 2.0) < 1e-12 &&
+      math.abs(vF(5).get - 3.170731707317073) < 1e-12, vF)
+  }
+
+  test("ewmMeanSegmented equals ewmMean on random gappy series") {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      g <- 1L to 2L
+      p <- 1L to 40L
+    } yield (g, p, if (rnd.nextDouble() < 0.25) None
+      else Some(rnd.nextDouble() * 20 - 10))
+    val df = rows.toDF("g", "p", "v")
+    for (ig <- Seq(false, true); sl <- Seq(3, 7, 64)) {
+      val ref = graft.ops.FrameOps.ewmMean(df, Seq("g"), "p", "v",
+          alpha = 0.3, as = "e", ignoreNa = ig)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+      val segd = graft.ops.FrameOps.ewmMeanSegmented(df, Seq("g"), "p", "v",
+          alpha = 0.3, as = "e", segLen = sl, ignoreNa = ig)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+      assert(ref.keySet == segd.keySet, s"ig=$ig sl=$sl row sets differ")
+      ref.foreach { case (k, rv) =>
+        val sv = segd(k)
+        assert(rv.isDefined == sv.isDefined, s"ig=$ig sl=$sl $k null mismatch")
+        rv.zip(sv).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+            s"ig=$ig sl=$sl $k: $a vs $b") }
+      }
+    }
+  }
+
   test("ewmVar/Std match the pandas adjust=True bias=False goldens") {
     // pd.Series([10,20,0]).ewm(alpha=0.2).var() -> [nan, 50, 111.4754...]
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 0.0))
