@@ -578,6 +578,27 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // pandas drop_duplicates(keep='last') and keep=False in one gate:
+    // keep='last' takes each user's LAST event (row_number over the
+    // reversed order); keep=False drops every key that occurs more
+    // than once (count window == 1). Both stay one exchange per window.
+    "q34c_dedup_keep_last_false" -> ((s, d) => {
+      val wLast = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val nPerKey = Window.partitionBy(col("user_id"), col("event_type"))
+      val last = Tables.events(s, d)
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val uniqueOnly = Tables.events(s, d)
+        .withColumn("cnt", count(lit(1)).over(nPerKey))
+        .filter(col("cnt") === 1)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_unique_types"))
+      last.join(uniqueOnly, Seq("user_id"), "left")
+        .na.fill(0, Seq("n_unique_types"))
+        .orderBy(col("user_id"))
+    }),
+
     // pandas duplicated(keep='first'): flag every occurrence after the
     // first of each (user_id, event_type) in event order — the
     // row-marking sibling of q34's drop
@@ -1123,6 +1144,22 @@ object RelationalQueries extends QueryGroup {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q34c_dedup_keep_last_false" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |uo AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_unique_types FROM (
+        |    SELECT user_id, event_type,
+        |      COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+        |    FROM events) WHERE cnt = 1 GROUP BY user_id)
+        |SELECT l.user_id, l.event_id, l.event_type,
+        |  COALESCE(uo.n_unique_types, 0) AS n_unique_types
+        |FROM last l LEFT JOIN uo ON l.user_id = uo.user_id
+        |ORDER BY l.user_id""".stripMargin,
 
     "q34b_duplicated_flag" ->
       """SELECT user_id, COUNT(*) AS n,

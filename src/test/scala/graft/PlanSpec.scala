@@ -105,6 +105,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p) // corpus side never shuffles for the rates
   }
 
+  test("ewm family is one hash exchange on the group key (+ gate sort)") {
+    // the collect_list aggregation is partial+final over ONE
+    // hashpartitioning; no joins, no extra shuffles beyond the final
+    // presentation orderBy (a range exchange)
+    for (q <- Seq("q74b_ewm_mean", "q74c_ewm_var_std", "q74e_ewm_ignore_na")) {
+      val p = plan(q)
+      assert("hashpartitioning".r.findAllIn(p.toLowerCase).size == 1, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
+  test("segmented ewm adds only the bounded carry join, never a cartesian") {
+    val p = plan("q74f_ewm_segmented")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // carry table joins back on (key, seg) — an equi-join
+    assert(p.contains("Join"), p)
+  }
+
+  test("interpolate options stay a single window pass (one hash exchange)") {
+    val p = plan("q77c_interpolate_opts")
+    assert("hashpartitioning".r.findAllIn(p.toLowerCase).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("set_index analog: range repartition + within-partition sort is sorted per partition") {
     val df = Tables.lineitem(spark, sfTiny)
       .repartitionByRange(8, col("l_orderkey"))
