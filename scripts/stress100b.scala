@@ -63,10 +63,9 @@ timed("exact+capped-jaccard @ 100x")(drain(dedupThenJaccard(out)))
 //   fixed k=64 at 100x  -- round-6's measured-good manual setting
 //   derived (tcs=63)    -- the new default, both scales: cluster size
 //                          (and the quadratic pair term) held constant
-timed("q145 fixed k=8 @ 100x")(drain(
-  graft.ops.Corpus.semanticDupPairs(
-    graft.Tables.embeddings(spark, out), "vec_id", "embedding",
-    nClusters = 8, threshold = 0.4, iters = 2)))
+// fixed k=8 (the r6 misuse row) is NOT rerun here — it was measured at
+// 825.6 s (r6, window assign) and 353.7 s (r7, argmax assign); paying
+// ~6 min per rerun to reconfirm a documented anti-pattern is waste.
 timed("q145 fixed k=64 @ 100x")(drain(
   graft.ops.Corpus.semanticDupPairs(
     graft.Tables.embeddings(spark, out), "vec_id", "embedding",

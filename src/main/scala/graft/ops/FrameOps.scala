@@ -295,7 +295,8 @@ object FrameOps {
     * Results equal [[ewmMean]] mathematically but NOT bit-for-bit (the
     * carry is a re-associated sum) — agreement is ~1e-12 relative
     * (PropertySpec); use [[ewmMean]] when bit-replay against the
-    * oracle matters and keys are bounded.
+    * oracle matters and keys are bounded. `orderCol` must be unique per
+    * key: ties at a segment boundary would split nondeterministically.
     */
   def ewmMeanSegmented(df: DataFrame, partitionBy: Seq[String],
       orderCol: String, valueCol: String, alpha: Double, as: String,
@@ -362,6 +363,104 @@ object FrameOps {
         transform(col("__rs"), r => r.getField("v")),
         col("__cn"), col("__cd"))).as("__e")): _*)
       .select((keys :+ col("__e._1").as(orderCol) :+ col("__e._2").as(as)): _*)
+  }
+
+  /** [[ewmVar]] for unbounded keys — the same segmented/carry scheme as
+    * [[ewmMeanSegmented]], extended to the four var states. Each fold
+    * is linear in its own state, so a segment is summarized by its
+    * decay (W = stepdecay^steps for num/den/sq, W² for den2) plus the
+    * four partials-from-zero, and carries compose exactly. Same
+    * contracts as the mean variant: ~1e-12 relative agreement with
+    * [[ewmVar]], unique `orderCol` per key required.
+    */
+  def ewmVarSegmented(df: DataFrame, partitionBy: Seq[String],
+      orderCol: String, valueCol: String, alpha: Double, varAs: String,
+      stdAs: String, segLen: Int = 4096,
+      ignoreNa: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    require(segLen > 0, "need segLen > 0")
+    val w = 1.0 - alpha
+    val w2 = w * w
+    val sumUdf = udf { (vs: Seq[java.lang.Double]) =>
+      var sw = 1.0; var n = 0.0; var d = 0.0; var q = 0.0; var d2 = 0.0
+      vs.foreach { x =>
+        if (x != null) {
+          val xv = x.doubleValue()
+          sw *= w; n = n * w + xv; d = d * w + 1.0
+          q = q * w + xv * xv; d2 = d2 * w2 + 1.0
+        } else if (!ignoreNa) {
+          sw *= w; n = n * w + 0.0; d = d * w + 0.0
+          q = q * w + 0.0; d2 = d2 * w2 + 0.0
+        }
+      }
+      (sw, n, d, q, d2)
+    }
+    val carryUdf = udf { (segs: Seq[Long], ws: Seq[Double], ns: Seq[Double],
+        ds: Seq[Double], qs: Seq[Double], d2s: Seq[Double]) =>
+      var cn = 0.0; var cd = 0.0; var cq = 0.0; var cd2 = 0.0
+      segs.indices.map { i =>
+        val out = (segs(i), cn, cd, cq, cd2)
+        val sw = ws(i); val sw2 = sw * sw
+        cn = cn * sw + ns(i)
+        cd = cd * sw + ds(i)
+        cq = cq * sw + qs(i)
+        cd2 = cd2 * sw2 + d2s(i)
+        out
+      }
+    }
+    val foldUdf = udf { (ords: Seq[Long], vs: Seq[java.lang.Double],
+        cn: Double, cd: Double, cq: Double, cd2: Double) =>
+      var num = cn; var den = cd; var sq = cq; var den2 = cd2
+      ords.zip(vs).map { case (o, x) =>
+        if (x != null) {
+          val xv = x.doubleValue()
+          num = num * w + xv; den = den * w + 1.0
+          sq = sq * w + xv * xv; den2 = den2 * w2 + 1.0
+        } else if (!ignoreNa) {
+          num = num * w + 0.0; den = den * w + 0.0
+          sq = sq * w + 0.0; den2 = den2 * w2 + 0.0
+        }
+        val m = num / den
+        val corrDen = den * den - den2
+        val v =
+          if (den == 0.0 || corrDen == 0.0) None
+          else Some(((sq / den - m * m) * (den * den)) / corrDen)
+        (o, v, v.flatMap(x0 => if (x0 < 0) None else Some(math.sqrt(x0))))
+      }
+    }
+    val keys = partitionBy.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("__o"))
+    val seg = df
+      .select((keys :+ col(orderCol).cast("long").as("__o") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__o").isNotNull)
+      .withColumn("__seg", ((row_number().over(wOrd) - 1) / segLen).cast("long"))
+      .groupBy((keys :+ col("__seg")): _*)
+      .agg(array_sort(collect_list(struct(col("__o").as("o"), col("__v").as("v"))))
+        .as("__rs"))
+      .withColumn("__s", sumUdf(transform(col("__rs"), r => r.getField("v"))))
+    val carries = seg
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("__seg").as("g"),
+        col("__s._1").as("w"), col("__s._2").as("n"), col("__s._3").as("d"),
+        col("__s._4").as("q"), col("__s._5").as("d2")))).as("__sm"))
+      .select((keys :+ explode(carryUdf(
+        transform(col("__sm"), r => r.getField("g")),
+        transform(col("__sm"), r => r.getField("w")),
+        transform(col("__sm"), r => r.getField("n")),
+        transform(col("__sm"), r => r.getField("d")),
+        transform(col("__sm"), r => r.getField("q")),
+        transform(col("__sm"), r => r.getField("d2")))).as("__c")): _*)
+      .select((keys :+ col("__c._1").as("__seg") :+ col("__c._2").as("__cn") :+
+        col("__c._3").as("__cd") :+ col("__c._4").as("__cq") :+
+        col("__c._5").as("__cd2")): _*)
+    seg.join(carries, partitionBy :+ "__seg")
+      .select((keys :+ explode(foldUdf(
+        transform(col("__rs"), r => r.getField("o")),
+        transform(col("__rs"), r => r.getField("v")),
+        col("__cn"), col("__cd"), col("__cq"), col("__cd2"))).as("__e")): _*)
+      .select((keys :+ col("__e._1").as(orderCol) :+ col("__e._2").as(varAs) :+
+        col("__e._3").as(stdAs)): _*)
   }
 
   /** pandas/cudf `Series.ewm(alpha).var()` / `.std()` (adjust=True,

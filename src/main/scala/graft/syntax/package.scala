@@ -173,6 +173,16 @@ package object syntax {
         ignoreNa: Boolean = false): DataFrame =
       graft.ops.FrameOps.ewmVar(df, partitionBy, orderCol, valueCol, alpha,
         varAs, stdAs, ignoreNa)
+    def ewmMeanSegmented(partitionBy: Seq[String], orderCol: String,
+        valueCol: String, alpha: Double, as: String, segLen: Int = 4096,
+        ignoreNa: Boolean = false): DataFrame =
+      graft.ops.FrameOps.ewmMeanSegmented(df, partitionBy, orderCol,
+        valueCol, alpha, as, segLen, ignoreNa)
+    def ewmVarSegmented(partitionBy: Seq[String], orderCol: String,
+        valueCol: String, alpha: Double, varAs: String, stdAs: String,
+        segLen: Int = 4096, ignoreNa: Boolean = false): DataFrame =
+      graft.ops.FrameOps.ewmVarSegmented(df, partitionBy, orderCol,
+        valueCol, alpha, varAs, stdAs, segLen, ignoreNa)
     def ewmMeanHalflife(partitionBy: Seq[String], timeCol: String,
         tieBreak: String, valueCol: String, halflife: Double,
         as: String): DataFrame =

@@ -267,6 +267,37 @@ class FrameOpsSpec extends SparkSpec {
     }
   }
 
+  test("ewmVarSegmented equals ewmVar on random gappy series") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- 1L to 2L
+      p <- 1L to 40L
+    } yield (g, p, if (rnd.nextDouble() < 0.25) None
+      else Some(rnd.nextDouble() * 20 - 10))
+    val df = rows.toDF("g", "p", "v")
+    for (ig <- Seq(false, true); sl <- Seq(3, 7, 64)) {
+      def toMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+      val ref = toMap(graft.ops.FrameOps.ewmVar(df, Seq("g"), "p", "v",
+        alpha = 0.3, varAs = "ev", stdAs = "es", ignoreNa = ig))
+      val segd = toMap(graft.ops.FrameOps.ewmVarSegmented(df, Seq("g"), "p",
+        "v", alpha = 0.3, varAs = "ev", stdAs = "es", segLen = sl,
+        ignoreNa = ig))
+      assert(ref.keySet == segd.keySet, s"ig=$ig sl=$sl row sets differ")
+      ref.foreach { case (k, (rv, rs)) =>
+        val (sv, ss) = segd(k)
+        Seq((rv, sv), (rs, ss)).foreach { case (a0, b0) =>
+          assert(a0.isDefined == b0.isDefined, s"ig=$ig sl=$sl $k null mismatch")
+          a0.zip(b0).foreach { case (a, b) =>
+            assert(math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(a)),
+              s"ig=$ig sl=$sl $k: $a vs $b") }
+        }
+      }
+    }
+  }
+
   test("ewmVar/Std match the pandas adjust=True bias=False goldens") {
     // pd.Series([10,20,0]).ewm(alpha=0.2).var() -> [nan, 50, 111.4754...]
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 0.0))
