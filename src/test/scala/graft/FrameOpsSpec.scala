@@ -239,6 +239,59 @@ class FrameOpsSpec extends SparkSpec {
       math.abs(vF(5).get - 3.170731707317073) < 1e-12, vF)
   }
 
+  test("interpolate options match a sequential reference on random series") {
+    // brute-force pandas semantics: for each null, find anchors, apply
+    // direction eligibility + row-distance limit, linear/constant fill
+    def reference(vs: Seq[Option[Double]], anchors: Seq[Double],
+        ld: String, limit: Int): Seq[Option[Double]] =
+      vs.indices.map { i =>
+        vs(i) match {
+          case some @ Some(_) => some
+          case None =>
+            val li = (i - 1 to 0 by -1).find(vs(_).isDefined)
+            val ri = (i + 1 until vs.length).find(vs(_).isDefined)
+            val okL = ld != "backward" && li.isDefined &&
+              (limit == 0 || i - li.get <= limit)
+            val okR = ld != "forward" && ri.isDefined &&
+              (limit == 0 || ri.get - i <= limit)
+            if (!okL && !okR) None
+            else (li, ri) match {
+              case (Some(l), Some(r)) =>
+                Some(vs(l).get + (vs(r).get - vs(l).get) *
+                  ((anchors(i) - anchors(l)) / (anchors(r) - anchors(l))))
+              case (Some(l), None) => Some(vs(l).get)
+              case (None, Some(r)) => Some(vs(r).get)
+              case _ => None
+            }
+        }
+      }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(12)
+      val ps = (1 to n).map(_ * (1 + rnd.nextInt(3)).toLong).scanLeft(0L)(_ + _).tail
+      val vs = ps.map(_ => if (rnd.nextDouble() < 0.4) None
+        else Some((rnd.nextInt(100) - 50).toDouble))
+      val ld = Seq("forward", "backward", "both")(rnd.nextInt(3))
+      val limit = rnd.nextInt(3)
+      val method = if (rnd.nextBoolean()) "values" else "position"
+      val df = ps.zip(vs).map { case (p, v) => (1L, p, v) }.toDF("g", "p", "v")
+      val got = graft.ops.FrameOps.interpolate(df, Seq("g"), Seq("p"), "v",
+          "vi", method = method, limit = limit, limitDirection = ld)
+        .orderBy("p").collect()
+        .map(r => Option(r.get(3)).map(_.asInstanceOf[Double])).toSeq
+      val anchors = if (method == "values") ps.map(_.toDouble)
+        else ps.indices.map(i => (i + 1).toDouble)
+      val want = reference(vs, anchors, ld, limit)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g.isDefined == w.isDefined,
+          s"trial=$trial ld=$ld lim=$limit m=$method i=$i: $g vs $w\nvs=$vs")
+        g.zip(w).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9,
+            s"trial=$trial ld=$ld lim=$limit m=$method i=$i: $a vs $b") }
+      }
+    }
+  }
+
   test("ewmMeanSegmented equals ewmMean on random gappy series") {
     val rnd = new scala.util.Random(42)
     val rows = for {
