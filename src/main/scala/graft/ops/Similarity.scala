@@ -77,29 +77,49 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cl"), transform(col("pm"), p => p.getField("m").cast("float")).as("c_vec"))
 
-  /** Nearest-centroid assignment: broadcast the tiny centroid set against
-    * the corpus, argmax dot product (ties → lowest cluster id).
-    * Returns (id, vec, cl). `id` must be unique in `df`.
+  /** Nearest-centroid assignment: argmax dot product against the (tiny)
+    * centroid set, ties → lowest cluster id. Returns (id, vec, cl).
     *
-    * The argmax is a map-side-combined `max(struct(score, -cl))`, NOT a
-    * row_number window: the broadcast join expands N×k rows, but partial
-    * aggregation collapses them back to N before the exchange, so the
-    * shuffle is N rows regardless of k. (The window formulation shuffled
-    * the full N×k expansion — at k in the thousands that is the job's
-    * dominant cost; the struct-max picks the identical winner because
-    * the scores are the same dot_f evaluations and lexicographic struct
-    * order [score desc ≡ max, then -cl max ≡ cl min] replays the
-    * window's tie-break.)
+    * The centroid table is collected (k × dim floats — driver-trivial
+    * by the coarse-quantizer contract) and broadcast as a VARIABLE, and
+    * the whole argmax runs inside one UDF per corpus row: a zero-
+    * shuffle, zero-row-expansion map stage. Two earlier formulations
+    * measured progressively worse at 100×: a row_number window over the
+    * N×k broadcast-join expansion shuffled N×k rows (~190 GB/iter at
+    * k=3175), and a map-side max(struct) still paid the N×k BNLJ row
+    * materialization (~80 s/iter at k=448 — the dominant cost, since
+    * the per-expanded-row join machinery is ~10× a fused dot product).
+    * The UDF loop is the shape a native engine uses: k fused dots per
+    * row, nothing allocated, nothing joined. Scores replay dot_f's
+    * index-order float→double accumulation exactly, so the winner is
+    * bit-identical to the expression path the oracles replay.
     */
   def kmeansAssign(df: DataFrame, id: String, vec: String,
       centroids: DataFrame): DataFrame = {
-    df.select(col(id), col(vec))
-      .join(broadcast(centroids))
-      .withColumn("score", dot_f(col(vec), col("c_vec")))
-      .groupBy(col(id))
-      .agg(max(struct(col("score"), (-col("cl")).as("ncl"))).as("best"),
-        first(col(vec)).as("v"))
-      .select(col(id), col("v").as(vec), (-col("best.ncl")).as("cl"))
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cl").cast("long"), col("c_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val vl = v.length
+      var best = 0L; var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)._2
+        val n = math.min(vl, c.length)
+        var s = 0.0; var i = 0
+        while (i < n) { s += v(i).toDouble * c(i).toDouble; i += 1 }
+        // strict > keeps the FIRST maximum; cs is sorted by cl, so ties
+        // resolve to the lowest cluster id (the window's tie-break)
+        if (s > bestScore) { bestScore = s; best = cs(j)._1 }
+        j += 1
+      }
+      best
+    }
+    df.select(col(id), col(vec), assignUdf(col(vec)).as("cl"))
   }
 
   /** Learned coarse quantizer: deterministic shuffle-based k-means.
