@@ -214,6 +214,45 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("n"))
     }),
 
+    // pandas merge(indicator=True): the _merge provenance column
+    // (left_only/right_only/both) derived from marker nullness on a
+    // full-outer join — same single shuffle as q13
+    "q13c_merge_indicator" -> ((s, d) => {
+      val a = ord(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k")).distinct().withColumn("__l", lit(1))
+      val b = li(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k2")).distinct().withColumn("__r", lit(1))
+      a.join(b, col("k") === col("k2"), "full")
+        .withColumn("_merge",
+          when(col("__l").isNotNull && col("__r").isNotNull, "both")
+            .when(col("__l").isNotNull, "left_only")
+            .otherwise("right_only"))
+        .groupBy(col("_merge")).agg(count(lit(1)).as("n"))
+        .orderBy(col("_merge"))
+    }),
+
+    // pandas combine_first: fill this frame's nulls from another frame
+    // aligned on the key — COALESCE over a left join, one shuffle
+    "q04d_combine_first" -> ((s, d) => {
+      val base = ord(s, d).filter(col("o_orderkey") % 149 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 298 === 0, lit(null))
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("o_orderpriority") === "1-URGENT", lit(null))
+            .otherwise(col("o_orderpriority")).as("prio"))
+      val other = ord(s, d).filter(col("o_orderkey") % 149 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 2, 2).as("price"),
+          lit("FALLBACK").as("prio"))
+      val o = other.select(col("o_orderkey"), col("price").as("__p2"),
+        col("prio").as("__q2"))
+      base.join(o, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("price"), col("__p2")).as("price"),
+          coalesce(col("prio"), col("__q2")).as("prio"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q14_join_semi" -> ((s, d) => {
       val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
       cust(s, d).join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
@@ -890,6 +929,28 @@ object RelationalQueries extends QueryGroup {
         |FULL OUTER JOIN (SELECT DISTINCT l_orderkey AS k2 FROM lineitem WHERE l_returnflag = 'R') b
         |  ON a.k = b.k2
         |ORDER BY n""".stripMargin,
+
+    "q13c_merge_indicator" ->
+      """SELECT CASE WHEN a.k IS NOT NULL AND b.k2 IS NOT NULL THEN 'both'
+        |            WHEN a.k IS NOT NULL THEN 'left_only'
+        |            ELSE 'right_only' END AS _merge, COUNT(*) AS n
+        |FROM (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F') a
+        |FULL OUTER JOIN (SELECT DISTINCT l_orderkey AS k2 FROM lineitem WHERE l_returnflag = 'R') b
+        |  ON a.k = b.k2
+        |GROUP BY 1 ORDER BY _merge""".stripMargin,
+
+    "q04d_combine_first" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 298 = 0 THEN NULL ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS prio
+        |  FROM orders WHERE o_orderkey % 149 = 0),
+        |other AS (SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS p2,
+        |    'FALLBACK' AS q2
+        |  FROM orders WHERE o_orderkey % 149 = 0)
+        |SELECT b.o_orderkey, COALESCE(b.price, o.p2) AS price,
+        |  COALESCE(b.prio, o.q2) AS prio
+        |FROM base b LEFT JOIN other o ON b.o_orderkey = o.o_orderkey
+        |ORDER BY b.o_orderkey""".stripMargin,
 
     "q14_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
