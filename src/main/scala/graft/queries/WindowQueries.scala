@@ -81,6 +81,42 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling pairwise stats (pandas rolling(5).corr(other)/cov(other)):
+    // Pearson corr + sample cov between two series over the same row
+    // frame — still ONE window pass, two more agg buffers
+    "q71d_rolling_corr_cov" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .withColumn("y", (col("event_id") % 17).cast("double"))
+        // corr as cov/(sx*sy) with a nullif guard: Spark 4's ANSI mode
+        // makes corr() THROW on a single-row frame (0/0), where DuckDB
+        // and pandas return null — the ratio of null-propagating aggs
+        // reproduces the null contract and the same Pearson value
+        .select(
+          col("user_id"), col("event_id"),
+          round(covar_samp(col("value"), col("y")).over(w) /
+            nullif(stddev_samp(col("value")).over(w) *
+              stddev_samp(col("y")).over(w), lit(0.0)), 6).as("roll_corr"),
+          round(covar_samp(col("value"), col("y")).over(w), 6).as("roll_cov"),
+          count(lit(1)).over(w).as("roll_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // rolling exact median (pandas rolling(5).median()): interpolated
+    // percentile over the row frame
+    "q71e_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5)").over(w), 6).as("roll_med"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // rolling with min_periods (SURVEY §2.5: `min_periods` → gate the
     // agg on the window count)
     "q71b_rolling_min_periods" -> ((s, d) => {
@@ -335,6 +371,24 @@ object WindowQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q71d_rolling_corr_cov" ->
+      """SELECT user_id, event_id,
+        |  ROUND(CORR(value, CAST(event_id % 17 AS DOUBLE)) OVER w, 6) AS roll_corr,
+        |  ROUND(COVAR_SAMP(value, CAST(event_id % 17 AS DOUBLE)) OVER w, 6) AS roll_cov,
+        |  COUNT(*) OVER w AS roll_n
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q71e_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  ROUND(QUANTILE_CONT(value, 0.5) OVER w, 6) AS roll_med
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "q71c_rolling_std" ->
       """SELECT user_id, event_id,
         |  ROUND(STDDEV_SAMP(value) OVER w, 6) AS roll_std,
