@@ -107,6 +107,46 @@ object FrameOps {
     df.join(broadcast(codes), valueCol)
   }
 
+  /** pandas `groupby(keys).ngroup()` (sort=True): dense group index in
+    * key-sorted order, 0-based. Same shape as [[factorize]]: the
+    * numbering window runs over the DISTINCT key frame only (bounded
+    * group cardinality), and rows get their index back via broadcast
+    * join — the frame itself never funnels through one task.
+    */
+  def ngroup(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+    val groups = df.select(keys.map(col): _*).distinct()
+      .withColumn(out, row_number().over(Window.orderBy(keys.map(col): _*)) - 1)
+    df.join(broadcast(groups), keys)
+  }
+
+  /** cudf `Series.searchsorted(probes, side='left')`: for each probe,
+    * the insertion index into the value-sorted element series = the
+    * count of elements strictly below the probe. Merge-based: union
+    * elements (tag 1) with probes (tag 0), sort by (value, tag) — so a
+    * probe lands BEFORE equal elements ('left' side) — and read the
+    * running element count at each probe row. One distributed sort;
+    * deterministic under duplicates because tied probes all see the
+    * same element prefix. The global ROWS window is the prefix-scan
+    * step and executes single-partition — for corpus-scale inputs swap
+    * it for the as-of formulation (AsofJoin on value, backward-strict)
+    * or broadcast the element side as bin edges; both keep the probe
+    * side shuffle-free.
+    */
+  def searchSorted(elems: DataFrame, elemCol: String, probes: DataFrame,
+      probeCol: String, idCol: String, out: String): DataFrame = {
+    val idType = probes.schema(idCol).dataType
+    val e = elems.select(col(elemCol).cast("double").as("__v"),
+      lit(1).as("__is_elem"), lit(null).cast(idType).as(idCol))
+    val p = probes.select(col(probeCol).cast("double").as("__v"),
+      lit(0).as("__is_elem"), col(idCol))
+    val scan = Window.orderBy(col("__v"), col("__is_elem"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.unionByName(p)
+      .withColumn(out, sum(col("__is_elem")).over(scan))
+      .filter(col("__is_elem") === 0)
+      .select(col(idCol), col("__v").as(probeCol), col(out))
+  }
+
   /** pandas `melt` (reference cudf.melt): wide → long. Thin wrapper over
     * Spark's native unpivot, which keeps the plan a single Expand (no
     * join, no shuffle).

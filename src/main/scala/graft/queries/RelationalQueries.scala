@@ -811,10 +811,77 @@ object RelationalQueries extends QueryGroup {
           ord(s, d).filter(col("o_orderkey") % 149 === 0), "o_orderpriority", "pri_code")
         .select(col("o_orderkey"), col("o_orderpriority"), col("pri_code"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // groupby.ngroup() (pandas sort=True): dense 0-based group index in
+    // key-sorted order; numbering on the distinct-key frame, broadcast
+    // back (FrameOps.ngroup — factorize's shape, multi-key)
+    "q33c_ngroup" -> ((s, d) => {
+      graft.ops.FrameOps.ngroup(
+          ord(s, d).filter(col("o_orderkey") % 149 === 0),
+          Seq("o_orderpriority", "o_orderstatus"), "grp")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"), col("grp"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Series.autocorr(lag=1): Pearson corr of the series with its own
+    // lag, per user. Pair-complete frame first (drop the leading null
+    // pair), then the cov/(sx·sy) ratio — nullif instead of corr() so a
+    // zero-variance group yields null like DuckDB/pandas instead of
+    // throwing under Spark 4 ANSI
+    "q20d_autocorr" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(round(covar_samp(col("value"), col("prev")) /
+            nullif(stddev_samp(col("value")) * stddev_samp(col("prev")), lit(0.0)), 6)
+          .as("autocorr_1"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Series.searchsorted(side='left'): insertion index of each probe
+    // (customer acctbal) into the sorted element series (supplier
+    // acctbal) — merge-based union + running element count
+    // (FrameOps.searchSorted)
+    "q31b_searchsorted" -> ((s, d) => {
+      graft.ops.FrameOps.searchSorted(
+          Tables.supplier(s, d), "s_acctbal",
+          cust(s, d).filter(col("c_custkey") % 97 === 0), "c_acctbal",
+          "c_custkey", "ins_idx")
+        .orderBy(col("c_custkey"))
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    "q33c_ngroup" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+        |  DENSE_RANK() OVER (ORDER BY o_orderpriority, o_orderstatus) - 1 AS grp
+        |FROM orders WHERE o_orderkey % 149 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q20d_autocorr" ->
+      """WITH lagged AS (
+        |  SELECT user_id, value,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id % 9 = 0)
+        |SELECT user_id,
+        |  ROUND(COVAR_SAMP(value, prev) /
+        |    NULLIF(STDDEV_SAMP(value) * STDDEV_SAMP(prev), 0.0), 6) AS autocorr_1,
+        |  COUNT(*) AS n_pairs
+        |FROM lagged WHERE prev IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q31b_searchsorted" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT COUNT(*) FROM supplier e WHERE e.s_acctbal < p.c_acctbal) AS ins_idx
+        |FROM customer p WHERE c_custkey % 97 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
     "q01b_sql_entry" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

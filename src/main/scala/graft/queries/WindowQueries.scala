@@ -117,6 +117,56 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling center=True (SURVEY §2.5 `center` param): the frame
+    // straddles the current row symmetrically — rowsBetween(-2, 2) for
+    // window=5 — instead of trailing it
+    "q71f_rolling_center" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 2)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w), 4).as("roll_avg_c"),
+          round(sum(col("value")).over(w), 2).as("roll_sum_c"),
+          count(lit(1)).over(w).as("roll_n_c"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // expanding() aggs (pandas expanding(min_periods=2).sum/mean/std):
+    // the unbounded-preceding frame, mean/std gated on the running count
+    "q72b_expanding" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("exp_sum"),
+          when(count(lit(1)).over(w) >= 2,
+            avg(col("value")).over(w)).as("exp_mean_mp2"),
+          when(count(lit(1)).over(w) >= 2,
+            round(stddev_samp(col("value")).over(w), 6)).as("exp_std_mp2"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // cummin + cumprod (SURVEY §2.5 cumulative family; q72 covers
+    // cumsum/cummax/cumcount). cumprod as exp∘sum∘ln, the same
+    // prefix-scan both engines evaluate in frame order (q79's pattern);
+    // 5-col ORDER key because (l_orderkey, l_linenumber) is not unique
+    "q72c_cummin_cumprod" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          round(min(col("l_quantity")).over(w), 2).as("cum_min"),
+          round(exp(sum(log(lit(1.0) + col("l_discount"))).over(w)), 4).as("cum_prod"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+    }),
+
     // rolling with min_periods (SURVEY §2.5: `min_periods` → gate the
     // agg on the window count)
     "q71b_rolling_min_periods" -> ((s, d) => {
@@ -388,6 +438,38 @@ object WindowQueries extends QueryGroup {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q71f_rolling_center" ->
+      """SELECT user_id, event_id,
+        |  ROUND(AVG(value) OVER w, 4) AS roll_avg_c,
+        |  ROUND(SUM(value) OVER w, 2) AS roll_sum_c,
+        |  COUNT(*) OVER w AS roll_n_c
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q72b_expanding" ->
+      """SELECT user_id, event_id,
+        |  ROUND(SUM(value) OVER w, 2) AS exp_sum,
+        |  CASE WHEN COUNT(*) OVER w >= 2
+        |    THEN AVG(value) OVER w END AS exp_mean_mp2,
+        |  CASE WHEN COUNT(*) OVER w >= 2
+        |    THEN ROUND(STDDEV_SAMP(value) OVER w, 6) END AS exp_std_mp2
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q72c_cummin_cumprod" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+        |  ROUND(MIN(l_quantity) OVER w, 2) AS cum_min,
+        |  ROUND(EXP(SUM(LN(1.0 + l_discount)) OVER w), 4) AS cum_prod
+        |FROM lineitem WHERE l_orderkey % 331 = 0
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey""".stripMargin,
 
     "q71c_rolling_std" ->
       """SELECT user_id, event_id,

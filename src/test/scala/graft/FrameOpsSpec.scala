@@ -239,6 +239,32 @@ class FrameOpsSpec extends SparkSpec {
       math.abs(vF(5).get - 3.170731707317073) < 1e-12, vF)
   }
 
+  test("searchSorted matches the brute-force strict-less count, duplicates included") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      // small value domain forces duplicate elements AND probe==element
+      // collisions — the side='left' tie case
+      val elems = Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(10).toDouble)
+      val probes = Seq.fill(1 + rnd.nextInt(15))(rnd.nextInt(12).toDouble)
+      val eDf = elems.toDF("ev")
+      val pDf = probes.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "pv")
+      val got = graft.ops.FrameOps.searchSorted(eDf, "ev", pDf, "pv", "id", "idx")
+        .orderBy("id").as[(Long, Double, Long)].collect()
+      probes.zipWithIndex.foreach { case (v, i) =>
+        val want = elems.count(_ < v)
+        assert(got(i)._3 == want, s"trial=$trial probe=$v: ${got(i)._3} vs $want")
+      }
+    }
+  }
+
+  test("ngroup is dense, zero-based, in multi-key sort order") {
+    val df = Seq(("b", 2), ("a", 1), ("b", 1), ("a", 1), ("b", 2)).toDF("k1", "k2")
+    val got = graft.ops.FrameOps.ngroup(df, Seq("k1", "k2"), "g")
+      .select($"k1", $"k2", $"g").distinct()
+      .orderBy($"g").as[(String, Int, Int)].collect().toSeq
+    assert(got == Seq(("a", 1, 0), ("b", 1, 1), ("b", 2, 2)))
+  }
+
   test("interpolate options match a sequential reference on random series") {
     // brute-force pandas semantics: for each null, find anchors, apply
     // direction eligibility + row-distance limit, linear/constant fill

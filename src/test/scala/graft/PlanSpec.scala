@@ -63,6 +63,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ngroup numbers the distinct-key frame and broadcasts it back") {
+    val p = plan("q33c_ngroup")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("binning aggregates partial+final on the computed bin key") {
     val p = plan("q25b_binning")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
