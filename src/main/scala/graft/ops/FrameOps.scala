@@ -147,6 +147,47 @@ object FrameOps {
       .select(col(idCol), col("__v").as(probeCol), col(out))
   }
 
+  /** pandas `groupby(keys).filter(f)`: keep ALL rows of the groups whose
+    * aggregate passes `keep` (a predicate over the `__agg` alias).
+    * Aggregate + left-semi join, NOT an unordered window: the
+    * aggregation is map-side combined, and the surviving-keys frame
+    * (bounded by group cardinality) broadcasts when small — rows never
+    * carry the group statistic, and non-qualifying groups die in the
+    * semi-join without being re-shuffled.
+    */
+  def groupbyFilter(df: DataFrame, keys: Seq[String], agg: Column,
+      keep: Column): DataFrame = {
+    val groups = df.groupBy(keys.map(col): _*).agg(agg.as("__agg")).filter(keep)
+    df.join(groups.select(keys.map(col): _*), keys, "left_semi")
+  }
+
+  /** pandas `unstack(level)` on a long frame with a unique
+    * (index, level) key: level values become columns via pivot +
+    * first(). The inverse of [[melt]]/stack — `unstack(melt(df)) == df`
+    * (q27d gates exactly that round-trip). `values` is explicit so the
+    * plan stays lazy (pivot without values runs an eager distinct).
+    */
+  def unstack(long: DataFrame, index: Seq[String], level: String,
+      values: Seq[String], valueCol: String = "value"): DataFrame =
+    long.groupBy(index.map(col): _*).pivot(level, values)
+      .agg(first(col(valueCol)))
+
+  /** cudf `DataFrame.T` for summary-sized frames: melt every non-key
+    * column (cast to double — a transpose mixes source columns into one
+    * output column, so they must share a type) and pivot the key values
+    * into columns. `keyVals` explicit for the same lazy-plan reason as
+    * [[unstack]]; a transpose is only meaningful when the row count is
+    * column-count-sized, so the pivot width is bounded by construction.
+    */
+  def transpose(df: DataFrame, keyCol: String, keyVals: Seq[String],
+      varName: String = "variable"): DataFrame = {
+    val valueCols = df.columns.filterNot(_ == keyCol).toSeq
+    val long = melt(
+      df.select(col(keyCol) +: valueCols.map(c => col(c).cast("double")): _*),
+      Seq(keyCol), valueCols, varName)
+    long.groupBy(col(varName)).pivot(keyCol, keyVals).agg(first(col("value")))
+  }
+
   /** pandas `melt` (reference cudf.melt): wide → long. Thin wrapper over
     * Spark's native unpivot, which keeps the plan a single Expand (no
     * join, no shuffle).

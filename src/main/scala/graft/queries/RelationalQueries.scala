@@ -843,6 +843,44 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // groupby.filter (pandas filter(lambda g: ...)): keep all rows of
+    // groups whose aggregate qualifies — agg + left-semi join, no
+    // unordered window (FrameOps.groupbyFilter)
+    "q26e_groupby_filter" -> ((s, d) => {
+      graft.ops.FrameOps.groupbyFilter(
+          Tables.events(s, d).filter(col("user_id") % 9 === 0)
+            .select(col("user_id"), col("event_id"), col("value")),
+          Seq("user_id"), count(lit(1)), col("__agg") >= 65)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // stack/unstack round-trip (pandas unstack = inverse of melt/stack):
+    // melt two measures to long, unstack back to wide — identity, so the
+    // oracle is the plain projection (FrameOps.melt + FrameOps.unstack)
+    "q27d_stack_unstack" -> ((s, d) => {
+      val base = ord(s, d).filter(col("o_orderkey") % 149 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"),
+          col("o_custkey").cast("double").as("custkey_d"))
+      val long = graft.ops.FrameOps.melt(
+        base, Seq("o_orderkey"), Seq("totalprice", "custkey_d"))
+      graft.ops.FrameOps.unstack(long, Seq("o_orderkey"), "variable",
+          Seq("totalprice", "custkey_d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // DataFrame.T (cudf transpose, summary-sized frames): per-flag stats
+    // transposed so stats are rows and flags are columns
+    // (FrameOps.transpose — melt + bounded pivot)
+    "q26d_transpose" -> ((s, d) => {
+      val stats = li(s, d).groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+      graft.ops.FrameOps.transpose(stats, "l_returnflag", Seq("A", "N", "R"))
+        .orderBy(col("variable"))
+    }),
+
     // Series.searchsorted(side='left'): insertion index of each probe
     // (customer acctbal) into the sorted element series (supplier
     // acctbal) — merge-based union + running element count
@@ -875,6 +913,41 @@ object RelationalQueries extends QueryGroup {
         |FROM lagged WHERE prev IS NOT NULL
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q26e_groupby_filter" ->
+      """SELECT user_id, event_id, value FROM events
+        |WHERE user_id % 9 = 0 AND user_id IN (
+        |  SELECT user_id FROM events WHERE user_id % 9 = 0
+        |  GROUP BY user_id HAVING COUNT(*) >= 65)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q27d_stack_unstack" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+        |  CAST(o_custkey AS DOUBLE) AS custkey_d
+        |FROM orders WHERE o_orderkey % 149 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q26d_transpose" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS f, ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |    ROUND(AVG(l_discount), 4) AS avg_disc,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT 'sum_qty' AS variable,
+        |  MAX(CASE WHEN f = 'A' THEN sum_qty END) AS A,
+        |  MAX(CASE WHEN f = 'N' THEN sum_qty END) AS N,
+        |  MAX(CASE WHEN f = 'R' THEN sum_qty END) AS R FROM s
+        |UNION ALL
+        |SELECT 'avg_disc',
+        |  MAX(CASE WHEN f = 'A' THEN avg_disc END),
+        |  MAX(CASE WHEN f = 'N' THEN avg_disc END),
+        |  MAX(CASE WHEN f = 'R' THEN avg_disc END) FROM s
+        |UNION ALL
+        |SELECT 'n',
+        |  MAX(CASE WHEN f = 'A' THEN n END),
+        |  MAX(CASE WHEN f = 'N' THEN n END),
+        |  MAX(CASE WHEN f = 'R' THEN n END) FROM s
+        |ORDER BY variable""".stripMargin,
 
     "q31b_searchsorted" ->
       """SELECT c_custkey, c_acctbal,
