@@ -147,6 +147,50 @@ object FrameOps {
       .select(col(idCol), col("__v").as(probeCol), col(out))
   }
 
+  /** [[searchSorted]] at corpus scale: the same strict-less count via a
+    * DISTRIBUTED prefix scan instead of one global window. Range-
+    * partition the tagged union on (value, tag) — equal sort keys land
+    * in one partition, so the 'left'-side tie rule survives — then the
+    * running element count is partition-LOCAL (`Window.partitionBy` on
+    * the physical partition id) plus a broadcast offset: the cumulative
+    * element count of all earlier partitions. The only global-ordered
+    * window runs over the per-partition count frame — `numParts` rows —
+    * so no task ever sees more than its range slice. Same result,
+    * column-for-column, as [[searchSorted]] (FrameOpsSpec property-
+    * checks equivalence; q31c shares q31b's oracle verbatim).
+    */
+  def searchSortedLarge(elems: DataFrame, elemCol: String, probes: DataFrame,
+      probeCol: String, idCol: String, out: String,
+      numParts: Int = 0): DataFrame = {
+    val idType = probes.schema(idCol).dataType
+    val e = elems.select(col(elemCol).cast("double").as("__v"),
+      lit(1).as("__is_elem"), lit(null).cast(idType).as(idCol))
+    val p = probes.select(col(probeCol).cast("double").as("__v"),
+      lit(0).as("__is_elem"), col(idCol))
+    val u = e.unionByName(p)
+    val parted = (if (numParts > 0)
+        u.repartitionByRange(numParts, col("__v"), col("__is_elem"))
+      else u.repartitionByRange(col("__v"), col("__is_elem")))
+      .withColumn("__pid", spark_partition_id())
+    val localScan = Window.partitionBy(col("__pid"))
+      .orderBy(col("__v"), col("__is_elem"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // per-partition element totals → exclusive prefix = this partition's
+    // offset; the frame has numParts rows, so the ordered window is free
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("__is_elem")).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    parted
+      .withColumn("__local", sum(col("__is_elem")).over(localScan))
+      .join(broadcast(offsets), "__pid")
+      .filter(col("__is_elem") === 0)
+      .select(col(idCol), col("__v").as(probeCol),
+        (col("__local") + col("__offset")).as(out))
+  }
+
   /** pandas `groupby(keys).filter(f)`: keep ALL rows of the groups whose
     * aggregate passes `keep` (a predicate over the `__agg` alias).
     * Aggregate + left-semi join, NOT an unordered window: the

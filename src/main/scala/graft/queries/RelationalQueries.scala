@@ -891,6 +891,18 @@ object RelationalQueries extends QueryGroup {
           cust(s, d).filter(col("c_custkey") % 97 === 0), "c_acctbal",
           "c_custkey", "ins_idx")
         .orderBy(col("c_custkey"))
+    }),
+
+    // the scale path: distributed prefix scan (range partition +
+    // partition-local running count + broadcast offsets) — 8 partitions
+    // forced so the gate exercises real cross-partition offsets; shares
+    // q31b's oracle verbatim
+    "q31c_searchsorted_large" -> ((s, d) => {
+      graft.ops.FrameOps.searchSortedLarge(
+          Tables.supplier(s, d), "s_acctbal",
+          cust(s, d).filter(col("c_custkey") % 97 === 0), "c_acctbal",
+          "c_custkey", "ins_idx", numParts = 8)
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -950,6 +962,12 @@ object RelationalQueries extends QueryGroup {
         |ORDER BY variable""".stripMargin,
 
     "q31b_searchsorted" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT COUNT(*) FROM supplier e WHERE e.s_acctbal < p.c_acctbal) AS ins_idx
+        |FROM customer p WHERE c_custkey % 97 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q31c_searchsorted_large" ->
       """SELECT c_custkey, c_acctbal,
         |  (SELECT COUNT(*) FROM supplier e WHERE e.s_acctbal < p.c_acctbal) AS ins_idx
         |FROM customer p WHERE c_custkey % 97 = 0

@@ -257,6 +257,24 @@ class FrameOpsSpec extends SparkSpec {
     }
   }
 
+  test("searchSortedLarge equals searchSorted across forced partition splits") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      val elems = Seq.fill(20 + rnd.nextInt(40))(rnd.nextInt(15).toDouble)
+      val probes = Seq.fill(10 + rnd.nextInt(20))(rnd.nextInt(18).toDouble)
+      val eDf = elems.toDF("ev")
+      val pDf = probes.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "pv")
+      val small = graft.ops.FrameOps.searchSorted(eDf, "ev", pDf, "pv", "id", "idx")
+        .orderBy("id").as[(Long, Double, Long)].collect().toSeq
+      // 5 partitions over a 15-wide value domain: offsets are non-zero
+      // for most probes, so the distributed-prefix arithmetic is real
+      val large = graft.ops.FrameOps.searchSortedLarge(eDf, "ev", pDf, "pv", "id", "idx",
+          numParts = 5)
+        .orderBy("id").as[(Long, Double, Long)].collect().toSeq
+      assert(large == small, s"trial=$trial")
+    }
+  }
+
   test("ngroup is dense, zero-based, in multi-key sort order") {
     val df = Seq(("b", 2), ("a", 1), ("b", 1), ("a", 1), ("b", 2)).toDF("k1", "k2")
     val got = graft.ops.FrameOps.ngroup(df, Seq("k1", "k2"), "g")
