@@ -77,6 +77,26 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // dt.floor/ceil to an arbitrary frequency ('15min' — finer than any
+    // date_trunc unit). Epoch arithmetic on the FRACTIONAL-seconds cast
+    // (ts.cast(double)), not unix_timestamp: unix_timestamp drops
+    // microseconds, and a ts sitting exactly on a 15-min boundary plus
+    // micros would then ceil one bucket low vs DuckDB's epoch()
+    "q52b_dt_floor_ceil" -> ((s, d) => {
+      val ep = col("ts").cast("double")
+      Tables.events(s, d)
+        .filter(col("event_id") % 101 === 0)
+        .select(
+          col("event_id"),
+          date_format(timestamp_seconds(floor(ep / 900) * 900),
+            "yyyy-MM-dd HH:mm:ss").as("floor_15m"),
+          date_format(timestamp_seconds(ceil(ep / 900) * 900),
+            "yyyy-MM-dd HH:mm:ss").as("ceil_15m"),
+          date_format(timestamp_seconds(floor(ep / 3600) * 3600),
+            "yyyy-MM-dd HH:mm:ss").as("floor_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // arithmetic: datediff / interval add / add_months / last_day / epoch
     "q53_dt_arith" -> ((s, d) => {
       Tables.orders(s, d)
@@ -248,6 +268,16 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day_start,
         |  STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS fmt_full
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
+
+    "q52b_dt_floor_ceil" ->
+      """SELECT event_id,
+        |  STRFTIME(TO_TIMESTAMP(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 900) * 900),
+        |    '%Y-%m-%d %H:%M:%S') AS floor_15m,
+        |  STRFTIME(TO_TIMESTAMP(CEIL(EPOCH(CAST(ts AS TIMESTAMP)) / 900) * 900),
+        |    '%Y-%m-%d %H:%M:%S') AS ceil_15m,
+        |  STRFTIME(TO_TIMESTAMP(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 3600) * 3600),
+        |    '%Y-%m-%d %H:%M:%S') AS floor_1h
         |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
 
     "q53_dt_arith" ->

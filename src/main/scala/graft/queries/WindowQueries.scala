@@ -222,6 +222,39 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rank(method=) matrix (pandas/cudf rank methods): min=rank,
+    // dense=dense_rank, first=row_number over a total order, max=rank +
+    // peer count - 1. pct variants live in q70 (percent_rank) and q70c
+    // (cume_dist); rank/n is deliberately not emitted — it lands on
+    // round-half boundaries whenever the partition count is 2^a·5^b
+    "q70d_rank_methods" -> ((s, d) => {
+      val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val peers = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
+      val total = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          rank().over(byQty).as("rank_min"),
+          (rank().over(byQty) + count(lit(1)).over(peers) - 1).as("rank_max"),
+          dense_rank().over(byQty).as("rank_dense"),
+          row_number().over(total).as("rank_first"))
+        .orderBy(col("l_returnflag"), col("rank_first"))
+    }),
+
+    // groupby.nth(n) (pandas/cudf): the n-th row of each group in frame
+    // order — row_number window + filter, one keyed Exchange
+    "q24c_groupby_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 3)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // per-group shift on a different grouping (groupby-shift, §2.5)
     "q75_window_group_shift" -> ((s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -438,6 +471,23 @@ object WindowQueries extends QueryGroup {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q70d_rank_methods" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  RANK() OVER wq AS rank_min,
+        |  RANK() OVER wq + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rank_max,
+        |  DENSE_RANK() OVER wq AS rank_dense,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rank_first
+        |FROM lineitem WHERE l_orderkey % 331 = 0
+        |WINDOW wq AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_returnflag, rank_first""".stripMargin,
+
+    "q24c_groupby_nth" ->
+      """SELECT user_id, event_id, value FROM events
+        |WHERE user_id % 9 = 0
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 3
+        |ORDER BY user_id""".stripMargin,
 
     "q71f_rolling_center" ->
       """SELECT user_id, event_id,
