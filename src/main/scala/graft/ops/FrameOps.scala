@@ -82,6 +82,21 @@ object FrameOps {
       .agg(count(lit(1)).as(as))
       .orderBy(col(as).desc +: cols.map(col(_).asc): _*)
 
+  /** pandas `value_counts(normalize=True)`: counts as exact fractions of
+    * the total. The total comes from a window sum over the (tiny) counts
+    * frame, not a second scan of `df`; the division is one int/int IEEE
+    * op, bit-identical across engines, so the raw double hash-gates.
+    */
+  def valueCountsNormalized(df: DataFrame, cols: Seq[String],
+      as: String = "frac"): DataFrame = {
+    val counts = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+    counts
+      .withColumn(as,
+        col("__n").cast("double") / sum(col("__n")).over(Window.partitionBy()))
+      .drop("__n")
+      .orderBy(col(as).desc +: cols.map(col(_).asc): _*)
+  }
+
   /** pandas `mode` per group (first mode under value ordering): the
     * max-count value, ties broken by the smallest value.
     */

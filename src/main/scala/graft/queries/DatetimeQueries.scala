@@ -97,6 +97,29 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // dt.tz_localize('UTC').tz_convert(zone) (cudf >= 23.12): naive
+    // UTC instants to wall-clock time in a named IANA zone, plus the
+    // inverse round-trip. from_utc_timestamp/to_utc_timestamp are the
+    // session-tz-independent pair (the fixture's Jan-2024 range has no
+    // US DST transition; Kolkata exercises a half-hour offset)
+    "q53b_tz_convert" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") % 101 === 0)
+        .select(
+          col("event_id"),
+          date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("ny_wall"),
+          date_format(from_utc_timestamp(col("ts"), "Asia/Kolkata"),
+            "yyyy-MM-dd HH:mm:ss").as("kolkata_wall"),
+          date_format(from_utc_timestamp(col("ts"), "Australia/Sydney"),
+            "yyyy-MM-dd HH:mm:ss").as("sydney_wall"),
+          date_format(to_utc_timestamp(
+              from_utc_timestamp(col("ts"), "America/New_York"),
+              "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("roundtrip_utc"))
+        .orderBy(col("event_id"))
+    }),
+
     // arithmetic: datediff / interval add / add_months / last_day / epoch
     "q53_dt_arith" -> ((s, d) => {
       Tables.orders(s, d)
@@ -278,6 +301,17 @@ object DatetimeQueries extends QueryGroup {
         |    '%Y-%m-%d %H:%M:%S') AS ceil_15m,
         |  STRFTIME(TO_TIMESTAMP(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 3600) * 3600),
         |    '%Y-%m-%d %H:%M:%S') AS floor_1h
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
+
+    "q53b_tz_convert" ->
+      """SELECT event_id,
+        |  STRFTIME((CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+        |    AT TIME ZONE 'America/New_York', '%Y-%m-%d %H:%M:%S') AS ny_wall,
+        |  STRFTIME((CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+        |    AT TIME ZONE 'Asia/Kolkata', '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
+        |  STRFTIME((CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+        |    AT TIME ZONE 'Australia/Sydney', '%Y-%m-%d %H:%M:%S') AS sydney_wall,
+        |  STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS roundtrip_utc
         |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
 
     "q53_dt_arith" ->

@@ -476,6 +476,12 @@ object RelationalQueries extends QueryGroup {
       graft.ops.FrameOps.valueCounts(Tables.events(s, d), Seq("event_type"))
     }),
 
+    // value_counts(normalize=True): exact int/int fraction of total —
+    // no rounding, the raw double is bit-identical cross-engine
+    "q25d_value_counts_norm" -> ((s, d) => {
+      graft.ops.FrameOps.valueCountsNormalized(Tables.events(s, d), Seq("event_type"))
+    }),
+
     "q26_agg_global" -> ((s, d) => {
       li(s, d).agg(
         count(lit(1)).as("n"),
@@ -1249,6 +1255,12 @@ object RelationalQueries extends QueryGroup {
     "q25_value_counts" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    "q25d_value_counts_norm" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS frac
+        |FROM events GROUP BY event_type
+        |ORDER BY frac DESC, event_type""".stripMargin,
 
     "q26_agg_global" ->
       """SELECT COUNT(*) AS n,

@@ -97,6 +97,31 @@ object UdfQueries extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // dask map_overlap: custom rolling logic that crosses partition
+    // boundaries — trailing 3-row sum over a GLOBALLY ordered frame,
+    // computed per range-partition with a 2-row halo (numParts=8 forces
+    // real boundaries at sf0.01). Integer cents keep the fold exact, so
+    // the hash gate is immune to fp association order.
+    "q86_map_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val in = Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val outSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("roll3_cents", LongType)))
+      graft.ops.Overlap.mapOverlap(in, "event_id", before = 2, after = 0,
+        outSchema, numParts = 8) { rows =>
+        rows.zipWithIndex.map { case (r, i) =>
+          val lo = math.max(0, i - 2)
+          Row(r.getLong(0),
+            (lo to i).map(j => rows(j).getLong(1)).sum)
+        }
+      }.orderBy(col("event_id"))
+    }),
+
     // SQL-registered UDF through the FunctionRegistry
     "q84_udf_sql" -> ((s, d) => {
       s.udf.register("graft_rev_up", Udfs.revUpFn)
@@ -117,6 +142,13 @@ object UdfQueries extends QueryGroup {
       """SELECT l_returnflag,
         |  ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wmean_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q86_map_overlap" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+        |    ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        |  ) AS BIGINT) AS roll3_cents
+        |FROM events WHERE user_id % 7 = 0 ORDER BY event_id""".stripMargin,
 
     "q85_udaf_over_window" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,

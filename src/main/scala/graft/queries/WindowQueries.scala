@@ -117,6 +117,21 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling(5).quantile(q) at arbitrary q (pandas default linear
+    // interpolation == Spark percentile == DuckDB QUANTILE_CONT)
+    "q71g_rolling_quantile" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.25)").over(w), 6).as("roll_q25"),
+          round(expr("percentile(value, 0.75)").over(w), 6).as("roll_q75"),
+          round(expr("percentile(value, 0.9)").over(w), 6).as("roll_q90"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // rolling center=True (SURVEY §2.5 `center` param): the frame
     // straddles the current row symmetrically — rowsBetween(-2, 2) for
     // window=5 — instead of trailing it
@@ -488,6 +503,16 @@ object WindowQueries extends QueryGroup {
         |WHERE user_id % 9 = 0
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 3
         |ORDER BY user_id""".stripMargin,
+
+    "q71g_rolling_quantile" ->
+      """SELECT user_id, event_id,
+        |  ROUND(QUANTILE_CONT(value, 0.25) OVER w, 6) AS roll_q25,
+        |  ROUND(QUANTILE_CONT(value, 0.75) OVER w, 6) AS roll_q75,
+        |  ROUND(QUANTILE_CONT(value, 0.9) OVER w, 6) AS roll_q90
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q71f_rolling_center" ->
       """SELECT user_id, event_id,
