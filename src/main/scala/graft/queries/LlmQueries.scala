@@ -394,6 +394,23 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge LEARNING (tokenizer training — the counterpart to
+    // q109's vocab-driven application): 10 iterations over the
+    // word-frequency dictionary; each = one bounded-key shuffle +
+    // a 1-row driver argmax + a map-side replace. Oracle unrolls the
+    // identical 10 iterations as MATERIALIZED CTE stages.
+    "q162_bpe_learn" -> ((s, d) => {
+      graft.ops.Bpe.learnMerges(Tables.documents(s, d), "text", nMerges = 10)
+    }),
+
+    // BPE encode with the just-learned rules: broadcast dictionary
+    // join — the corpus text never shuffles
+    "q162b_bpe_encode" -> ((s, d) => {
+      graft.ops.Bpe.encode(Tables.documents(s, d), "doc_id", "text",
+          nMerges = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing (M6; decode is a marked stub) ----------
     "q105_multimodal_features" -> ((s, d) => {
       val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "text")
@@ -428,6 +445,37 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** DuckDB CTE prefix replaying [[graft.ops.Bpe]] training: w0/t0 =
+    * the char-tokenized word-frequency dictionary, then per iteration
+    * k: pair counts (lateral index comprehension), the argmax rule
+    * m{k} (same count-desc/(l,r)-asc tiebreak), and the two-pass
+    * delimiter-guarded replace t{k}. MATERIALIZED keeps the
+    * doubly-referenced t{k-1} from inlining exponentially.
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM
+         |    (SELECT unnest(string_split($sqlNorm, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |t0 AS MATERIALIZED (SELECT w, cnt,
+         |  TRIM(REGEXP_REPLACE(w, '(.)', '\\1 ', 'g')) AS toks FROM w0)""".stripMargin)
+    for (k <- 1 to nMerges) {
+      sb.append(s""",
+         |x$k AS (SELECT string_split(toks, ' ') AS ls, cnt FROM t${k - 1}),
+         |p$k AS (SELECT ls[u.i] AS l, ls[u.i + 1] AS r, SUM(cnt) AS c
+         |  FROM x$k, UNNEST([i for i in range(1, len(ls))]) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM p$k
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |t$k AS MATERIALIZED (SELECT w, cnt, TRIM(REPLACE(REPLACE(
+         |    ' ' || toks || ' ', ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
+         |    ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')) AS toks
+         |  FROM t${k - 1}, m$k)""".stripMargin)
+    }
+    sb.toString
+  }
 
   override def oracle: Map[String, String] = {
     val minhashCtes = sqlMinhashCtes()
@@ -773,6 +821,26 @@ object LlmQueries extends QueryGroup {
            |  CAST(coalesce(len(list_filter(f.ids, x -> x = 0)), 0) AS INTEGER) AS n_unk,
            |  coalesce(array_to_string(f.ids, ' '), '') AS token_ids
            |FROM t LEFT JOIN flat f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "q162_bpe_learn" -> {
+        val n = 10
+        s"""${bpeCtes(n)}
+           |${(1 to n).map(k =>
+              s"SELECT $k AS iter, l AS l_tok, r AS r_tok, c AS pair_cnt FROM m$k")
+              .mkString("\nUNION ALL ")}
+           |ORDER BY iter""".stripMargin
+      },
+
+      "q162b_bpe_encode" -> {
+        val n = 10
+        s"""${bpeCtes(n)},
+           |dict AS (SELECT w, len(string_split(toks, ' ')) AS n_sub FROM t$n),
+           |dw AS (SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS w FROM documents)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+           |FROM dw JOIN dict USING (w) WHERE len(w) > 0
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       "q105_multimodal_features" ->
         s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
