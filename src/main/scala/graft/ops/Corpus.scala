@@ -788,4 +788,125 @@ object Corpus {
       .filter(col("rnk") <= n)
       .withColumn("rnk", col("rnk").cast("int"))
   }
+
+  /** Benchmark-side contamination by CONTAINMENT (asymmetric Jaccard):
+    * for each (corpus doc, benchmark doc) pair, the fraction of the
+    * BENCHMARK doc's distinct token n-grams found in the corpus doc —
+    * the GPT-3-appendix-C / PaLM decon reports flag eval EXAMPLES this
+    * way ("dirty" examples mostly contained in some training doc),
+    * which [[decontaminate]]'s corpus-side overlap can't express.
+    *
+    * Plan: benchmark grams (+ per-doc gram counts) broadcast; candidate
+    * generation is the gram equi-join, so only (corpus_id, bench_id)
+    * hit tuples shuffle — never text. The containment threshold is
+    * compared in exact basis points (floor), no fp boundary.
+    */
+  def containmentPairs(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, n: Int,
+      minContainment: Double): DataFrame = {
+    val bg = explodedGrams(benchmark, id, text, n)
+      .withColumnRenamed(id, "bench_id")
+    val bsz = bg.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("bench_grams"))
+    explodedGrams(corpus, id, text, n)
+      .join(broadcast(bg), Seq("gram"))
+      .groupBy(col(id), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(bsz), Seq("bench_id"))
+      .withColumn("containment_bp",
+        floor(col("n_common") * lit(10000.0) / col("bench_grams")).cast("long"))
+      .filter(col("containment_bp") >= lit((minContainment * 10000).toLong))
+      .select(col(id), col("bench_id"),
+        col("bench_grams").cast("int").as("bench_grams"),
+        col("n_common").cast("int").as("n_common"), col("containment_bp"))
+  }
+
+  /** Okapi BM25 retrieval for a bag-of-words query (k1 = 1.2, b = 0.75):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5)+1). The serving-side counterpart
+    * to [[invertedIndex]].
+    *
+    * Plan: the token stream is filtered to the query's terms BEFORE the
+    * (id, term) count shuffle, so shuffle volume is O(query hits), not
+    * O(tokens); df/idf live on a |query|-row broadcast; doc length is a
+    * map-side pass; N and avgdl are one broadcast scalar row. Per-term
+    * scores are quantized to basis points (floor) BEFORE the per-doc
+    * sum, so the sum is integer-exact and association-order-free.
+    */
+  def bm25TopK(df: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val t = toks(col(text))
+    val lens = df.select(col(id),
+      size(filter(t, x => length(x) > 0)).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = df.select(col(id), explode(t).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    tf.join(lens, Seq(id))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
+      .withColumn("s_bp", floor(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))) *
+        lit(10000.0)).cast("long"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+        sum(col("s_bp")).as("score_bp"))
+      .orderBy(col("score_bp").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** Temperature-scaled mixture sampling: per-stratum target shares are
+    * DERIVED from the observed distribution, p_s^(1/tau) / Σ p^(1/tau)
+    * (the multilingual-LM upsampling recipe — tau > 1 flattens toward
+    * uniform, lifting low-resource strata; tau = 1 keeps natural
+    * proportions), then applied with the same deterministic hash-rate
+    * budget filter as [[mixtureResample]]. All share arithmetic runs on
+    * the |strata|-row counts frame; the corpus side stays a map-stage
+    * filter.
+    */
+  def mixtureTemperature(df: DataFrame, id: String, strata: String,
+      tau: Double, budget: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    val w = Window.partitionBy()
+    val rates = df.groupBy(col(strata))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("p", col("n_stratum") / sum(col("n_stratum")).over(w))
+      .withColumn("pt", pow(col("p"), lit(1.0 / tau)))
+      .withColumn("target", col("pt") / sum(col("pt")).over(w))
+      .withColumn("rate",
+        least(lit(1.0d), lit(budget.toDouble) * col("target") / col("n_stratum")))
+    df.join(broadcast(rates.select(col(strata), col("n_stratum"),
+        col("target"), col("rate"))), strata)
+      .filter(hashBucket(col(id)) < (col("rate") * lit(4294967296L)).cast("long"))
+  }
+
+  /** Deterministic stratified train/val/test split: each row's split is
+    * a pure function of its id hash, via cumulative bucket thresholds —
+    * reproducible across runs, engines, shards, and corpus growth (a
+    * doc never changes split as others arrive; the property eval-set
+    * hygiene depends on). `fracs` are (label, fraction) in priority
+    * order; fractions must sum to <= 1, any remainder falls to the last
+    * label.
+    */
+  def splitAssign(df: DataFrame, id: String,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = hashBucket(col(id))
+    val cum = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+    // integer thresholds computed once on the driver — the comparison
+    // in the plan is pure long arithmetic, no fp boundary per row
+    val thresholds = cum.map(c => (c * 4294967296.0d).toLong)
+    val expr = fracs.init.zip(thresholds.init).foldRight(
+        lit(fracs.last._1)) { case (((label, _), thr), acc) =>
+      when(bucket < thr, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
 }

@@ -293,6 +293,60 @@ object CorpusQueries extends QueryGroup {
     "q154_dup_spans" -> ((s, d) => {
       Corpus.dupSpans(Tables.documents(s, d), "doc_id", "text", l = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // benchmark-example containment (asymmetric Jaccard): which eval
+    // docs are >= 50% contained in some NON-benchmark training doc —
+    // the direction q140's corpus-side overlap can't express
+    "q140c_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.containmentPairs(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 3, minContainment = 0.5)
+        .orderBy(col("bench_id"), col("doc_id"))
+    }),
+
+    // perplexity filter: decile-bin docs by the q151 bigram-LM score
+    // (CCNet-style quality buckets); keep = the 8 best deciles
+    "q151b_perplexity_filter" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_logprob").desc, col("doc_id").asc)
+      Corpus.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("keep", col("decile") <= 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Okapi BM25 retrieval for a 4-term query — the serving-side
+    // counterpart of q152's inverted index; per-term scores quantized
+    // to basis points before the doc sum (association-order-free)
+    "q152b_bm25_topk" -> ((s, d) => {
+      Corpus.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("spark", "merge", "window", "customer"), k = 20)
+    }),
+
+    // temperature-scaled mixture (tau = 2): targets derived from the
+    // observed language distribution, flattened toward uniform
+    "q156c_mixture_temperature" -> ((s, d) => {
+      Corpus.mixtureTemperature(Tables.documents(s, d), "doc_id", "lang",
+          tau = 2.0, budget = 150)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(round(col("target"), 6)).as("target"),
+          max(round(col("rate"), 6)).as("rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // deterministic stratified train/val/test split: 80/10/10 by id
+    // hash; gated on per-(lang, split) counts AND id sums, so a single
+    // reassigned doc flips the hash
+    "q143b_stratified_split" -> ((s, d) => {
+      Corpus.splitAssign(Tables.documents(s, d), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"), col("split"))
     })
   )
 
@@ -600,6 +654,87 @@ object CorpusQueries extends QueryGroup {
          |  CAST(MAX(run) AS INTEGER) AS max_run FROM agg GROUP BY 1),
          |tot AS (SELECT doc_id, CAST(GREATEST(len(tk) - 4, 0) AS INTEGER) AS n_windows FROM t)
          |SELECT tot.doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, COALESCE(max_run, 0) AS max_run
-         |FROM tot LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM tot LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q140c_containment" ->
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+         |tk AS (SELECT doc_id, string_split(s, ' ') AS toks FROM t),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |    [concat_ws(' ', toks[i], toks[i+1], toks[i+2]) for i in range(1, len(toks) - 1)])) AS gram
+         |  FROM tk),
+         |bg AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 97 = 0),
+         |bsz AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bg GROUP BY 1),
+         |hits AS (SELECT g.doc_id, b.bench_id, COUNT(*) AS n_common
+         |  FROM grams g JOIN bg b USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY 1, 2)
+         |SELECT h.doc_id, h.bench_id, CAST(z.bench_grams AS INTEGER) AS bench_grams,
+         |  CAST(h.n_common AS INTEGER) AS n_common,
+         |  CAST(FLOOR(h.n_common * 10000.0 / z.bench_grams) AS BIGINT) AS containment_bp
+         |FROM hits h JOIN bsz z USING (bench_id)
+         |WHERE FLOOR(h.n_common * 10000.0 / z.bench_grams) >= 5000
+         |ORDER BY bench_id, doc_id""".stripMargin,
+
+    "q151b_perplexity_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS p FROM t),
+         |c1 AS (SELECT w, COUNT(*) AS c1 FROM tokpos WHERE len(w) > 0 GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT w) AS v FROM tokpos WHERE len(w) > 0),
+         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM tokpos a
+         |  JOIN tokpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         |sc AS (SELECT bg.doc_id, LN((c2.c12 + 1.0) / (c1.c1 + v.v)) AS lp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         |  ROUND(AVG(lp), 4) AS avg_logprob FROM sc GROUP BY 1)
+         |SELECT doc_id, n_bigrams, avg_logprob,
+         |  CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+         |  NTILE(10) OVER w <= 8 AS keep
+         |FROM agg WINDOW w AS (ORDER BY avg_logprob DESC, doc_id ASC)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q152b_bm25_topk" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+         |tk AS (SELECT doc_id, list_filter(string_split(s, ' '), x -> len(x) > 0) AS toks FROM t),
+         |lens AS (SELECT doc_id, len(toks) AS dl FROM tk),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |  WHERE term IN ('spark', 'merge', 'window', 'customer') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(FLOOR(LN((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+         |      * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))
+         |      * 10000.0) AS BIGINT) AS s_bp
+         |  FROM tf JOIN lens USING (doc_id) JOIN dfreq USING (term), stats)
+         |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms_hit,
+         |  CAST(SUM(s_bp) AS BIGINT) AS score_bp
+         |FROM sc GROUP BY doc_id ORDER BY score_bp DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q156c_mixture_temperature" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+         |p AS (SELECT lang, n_stratum, n_stratum / SUM(n_stratum) OVER () AS p FROM c),
+         |pt AS (SELECT lang, n_stratum, POW(p, ${1.0 / 2.0}) AS pt FROM p),
+         |r AS (SELECT lang, n_stratum, pt / SUM(pt) OVER () AS target FROM pt),
+         |r2 AS (SELECT lang, n_stratum, target,
+         |  LEAST(1.0, 150.0 * target / n_stratum) AS rate FROM r),
+         |k AS (SELECT d.lang FROM documents d JOIN r2 USING (lang)
+         |  WHERE (d.doc_id * 2654435761) % 4294967296
+         |    < CAST(FLOOR(r2.rate * 4294967296) AS BIGINT))
+         |SELECT k.lang, COUNT(*) AS n_kept,
+         |  ROUND(ANY_VALUE(r2.target), 6) AS target,
+         |  ROUND(ANY_VALUE(r2.rate), 6) AS rate
+         |FROM k JOIN r2 ON k.lang = r2.lang GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+
+    "q143b_stratified_split" -> {
+      val t1 = (0.8 * 4294967296.0d).toLong
+      val t2 = (0.9 * 4294967296.0d).toLong
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  CASE WHEN (doc_id * 2654435761) % 4294967296 < $t1 THEN 'train'
+         |       WHEN (doc_id * 2654435761) % 4294967296 < $t2 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents)
+         |SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    }
   )
 }

@@ -249,4 +249,73 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L)) // w<=0 / null rows never corrupt ranks
   }
+
+  test("splitAssign: splits are exhaustive, disjoint, and growth-stable") {
+    val s1 = Corpus.splitAssign(docs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(s1.count() == docs.count()) // every row gets exactly one split
+    assert(s1.select("split").distinct().count() <= 3)
+    // membership is a pure id function: a shrunken corpus assigns the
+    // SAME split to every surviving doc (eval-set hygiene under growth)
+    val s2 = Corpus.splitAssign(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val joined = s1.select(col("doc_id"), col("split").as("a"))
+      .join(s2.select(col("doc_id"), col("split").as("b")), "doc_id")
+    assert(joined.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("mixtureTemperature: tau=1 keeps natural shares; high tau flattens") {
+    val t1 = Corpus.mixtureTemperature(docs, "doc_id", "lang",
+        tau = 1.0, budget = 100)
+      .select("lang", "target", "n_stratum").distinct().collect()
+    val total = t1.map(_.getLong(2)).sum.toDouble
+    t1.foreach { r => // tau=1: target == observed share
+      assert(math.abs(r.getDouble(1) - r.getLong(2) / total) < 1e-12)
+    }
+    val tBig = Corpus.mixtureTemperature(docs, "doc_id", "lang",
+        tau = 100.0, budget = 100)
+      .select("lang", "target").distinct().collect().map(_.getDouble(1))
+    val nLangs = tBig.length
+    tBig.foreach(t => assert(math.abs(t - 1.0 / nLangs) < 0.02)) // ~uniform
+  }
+
+  test("containmentPairs: full containment scores 10000 bp") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e")).toDF("doc_id", "text")
+    val got = Corpus.containmentPairs(corpus, bench, "doc_id", "text",
+      n = 3, minContainment = 0.5).collect()
+    assert(got.length == 1) // doc 1 contains ALL of bench's 2 grams
+    assert(got(0).getLong(0) == 1L && got(0).getLong(4) == 10000L)
+  }
+
+  test("bm25TopK matches a driver-side reference on a tiny corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark merge spark window"), (2L, "merge table row"),
+      (3L, "spark spark spark spark"), (4L, "key value hash"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "merge")
+    val got = Corpus.bm25TopK(corpus, "doc_id", "text", terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // independent reference
+    val toks = Map(1L -> Seq("spark", "merge", "spark", "window"),
+      2L -> Seq("merge", "table", "row"), 3L -> Seq.fill(4)("spark"),
+      4L -> Seq("key", "value", "hash"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val dfq = terms.map(t => t -> toks.values.count(_.contains(t))).toMap
+    val want = toks.flatMap { case (id, ws) =>
+      val s = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0L else {
+          val idf = math.log((n - dfq(t) + 0.5) / (dfq(t) + 0.5) + 1.0)
+          math.floor(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * ws.size / avgdl)) * 10000.0).toLong
+        }
+      }.sum
+      if (s != 0L) Some(id -> s) else None
+    }
+    assert(got == want)
+  }
 }
