@@ -132,6 +132,37 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling(5).skew()/kurt() with pandas' bias-corrected sample
+    // formulas, built from window moment SUMS with a textually
+    // identical expression tree on both engines (pandas-validated to
+    // 1e-10; Spark's skewness/kurtosis builtins are population-based
+    // and would NOT match pandas). NULL below the pandas min counts
+    // (skew n>=3, kurt n>=4) and on zero variance.
+    "q71h_rolling_skew_kurt" -> ((s, d) => {
+      val over = "OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .selectExpr("user_id", "event_id",
+          s"CAST(COUNT(*) $over AS DOUBLE) AS n",
+          s"SUM(value) $over AS s1",
+          s"SUM(value*value) $over AS s2",
+          s"SUM(value*value*value) $over AS s3",
+          s"SUM(value*value*value*value) $over AS s4")
+        .selectExpr("user_id", "event_id", "n",
+          "s1/n AS m", "s2/n AS s2n", "s3/n AS s3n", "s4/n AS s4n")
+        .selectExpr("user_id", "event_id", "n", "m",
+          "s2n - m*m AS m2",
+          "s3n - 3.0*m*s2n + 2.0*m*m*m AS m3",
+          "s4n - 4.0*m*s3n + 6.0*m*m*s2n - 3.0*m*m*m*m AS m4")
+        .selectExpr("user_id", "event_id", "CAST(n AS INT) AS roll_n",
+          "ROUND(CASE WHEN n >= 3.0 AND m2 > 0.0 THEN " +
+            "sqrt(n*(n-1.0))/(n-2.0)*(m3/(m2*sqrt(m2))) END, 6) AS roll_skew",
+          "ROUND(CASE WHEN n >= 4.0 AND m2 > 0.0 THEN " +
+            "((n+1.0)*(m4/(m2*m2)-3.0)+6.0)*(n-1.0)/((n-2.0)*(n-3.0)) END, 6) AS roll_kurt")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // rolling center=True (SURVEY §2.5 `center` param): the frame
     // straddles the current row symmetrically — rowsBetween(-2, 2) for
     // window=5 — instead of trailing it
@@ -503,6 +534,29 @@ object WindowQueries extends QueryGroup {
         |WHERE user_id % 9 = 0
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 3
         |ORDER BY user_id""".stripMargin,
+
+    "q71h_rolling_skew_kurt" ->
+      """WITH a AS (SELECT user_id, event_id,
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |    SUM(value) OVER w AS s1,
+        |    SUM(value*value) OVER w AS s2,
+        |    SUM(value*value*value) OVER w AS s3,
+        |    SUM(value*value*value*value) OVER w AS s4
+        |  FROM events WHERE user_id % 9 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT user_id, event_id, n,
+        |    s1/n AS m, s2/n AS s2n, s3/n AS s3n, s4/n AS s4n FROM a),
+        |c AS (SELECT user_id, event_id, n, m,
+        |    s2n - m*m AS m2,
+        |    s3n - 3.0*m*s2n + 2.0*m*m*m AS m3,
+        |    s4n - 4.0*m*s3n + 6.0*m*m*s2n - 3.0*m*m*m*m AS m4 FROM b)
+        |SELECT user_id, event_id, CAST(n AS INT) AS roll_n,
+        |  ROUND(CASE WHEN n >= 3.0 AND m2 > 0.0 THEN
+        |    sqrt(n*(n-1.0))/(n-2.0)*(m3/(m2*sqrt(m2))) END, 6) AS roll_skew,
+        |  ROUND(CASE WHEN n >= 4.0 AND m2 > 0.0 THEN
+        |    ((n+1.0)*(m4/(m2*m2)-3.0)+6.0)*(n-1.0)/((n-2.0)*(n-3.0)) END, 6) AS roll_kurt
+        |FROM c ORDER BY user_id, event_id""".stripMargin,
 
     "q71g_rolling_quantile" ->
       """SELECT user_id, event_id,

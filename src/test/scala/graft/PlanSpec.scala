@@ -134,6 +134,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("bm25 broadcasts df/idf and the scalar stats, never sort-merges") {
+    val p = plan("q152b_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("containment decon broadcasts the benchmark side") {
+    val p = plan("q140c_containment")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stratified split is a pure map + partial/final agg — no joins") {
+    val p = plan("q143b_stratified_split")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial"), p) // map-side combine before the exchange
+  }
+
+  test("bpe encode broadcasts the learned dictionary — corpus text never shuffles") {
+    val p = graft.ops.Bpe
+      .encode(Tables.documents(spark, sfTiny), "doc_id", "text", nMerges = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("set_index analog: range repartition + within-partition sort is sorted per partition") {
     val df = Tables.lineitem(spark, sfTiny)
       .repartitionByRange(8, col("l_orderkey"))
