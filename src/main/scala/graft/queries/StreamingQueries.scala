@@ -46,6 +46,23 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("user_id"), col("s_start"))
     }),
 
+    // stream-static enrichment: events enriched per micro-batch by a
+    // broadcast user->tier dimension, then tumbling window x tier agg
+    "q118_stream_static_join" -> ((s, d) => {
+      val dim = graft.Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("tier", pmod(col("user_id"), lit(5)).cast("int"))
+      val enriched = Streams.staticEnrich(
+          Streams.eventsStream(s, d).withWatermark("ts", "10 minutes"),
+          dim, "user_id")
+        .groupBy(window(col("ts"), "5 minutes"), col("tier"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("tier"), col("n"), col("sum_val"))
+      Streams.runToBatch(s, enriched, "q118_static")
+        .orderBy(col("w_start"), col("tier"))
+    }),
+
     // streaming dedup to a distinct key set (exact, unbounded state —
     // the state-bounded dropDuplicatesWithinWatermark variant is
     // exercised in StreamingSpec where single-batch replay keeps it
@@ -165,6 +182,16 @@ object StreamingQueries extends QueryGroup {
          |FROM w, mx
          |WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND
          |GROUP BY ws ORDER BY w_start""".stripMargin,
+
+    "q118_stream_static_join" ->
+      s"""WITH $ctes,
+         |w AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000) AS ws,
+         |             CAST(user_id % 5 AS INTEGER) AS tier, value FROM e)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, tier,
+         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
+         |FROM w, mx
+         |WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND
+         |GROUP BY ws, tier ORDER BY w_start, tier""".stripMargin,
 
     "q111_stream_sliding" ->
       s"""WITH $ctes,

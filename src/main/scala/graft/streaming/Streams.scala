@@ -96,6 +96,17 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("n"), col("sum_val"))
 
+  /** Stream-static enrichment join: the static dimension is a plain
+    * batch DataFrame joined into every micro-batch (Spark re-plans the
+    * broadcast per batch; stateless — no watermark requirement for the
+    * inner equi-join itself). THE canonical serving shape: enrich an
+    * event stream with a dimension table with zero stream-side shuffle
+    * and zero state store.
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Sliding window: each event lands in size/slide overlapping windows. */
   def slidingAgg(events: DataFrame, size: String = "10 minutes",
                  slide: String = "5 minutes", delay: String = "10 minutes"): DataFrame =
