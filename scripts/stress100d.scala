@@ -1,0 +1,48 @@
+// 100x scale stress of the round-7 additions: BPE training/encode,
+// BM25 retrieval, containment decon (reuses the /tmp/stress100 fixture
+// built by stress100.scala -- run that first if missing).
+// Run:  /opt/spark/bin/spark-shell --master "local[32]" \
+//         --driver-class-path /root/repo/target/scala-2.13/classes \
+//         --driver-memory 100g \
+//         --conf spark.sql.shuffle.partitions=32 \
+//         --conf spark.sql.adaptive.enabled=true \
+//         --conf spark.sql.autoBroadcastJoinThreshold=16777216 \
+//         --conf spark.sql.session.timeZone=UTC \
+//         --conf spark.ui.enabled=false \
+//         -i /root/repo/scripts/stress100d.scala
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+val sf = "/root/testdata/sf0.1"
+val big = "/tmp/stress100"
+
+object M {
+  @volatile var shuffleWrite = 0L
+  @volatile var peakExecMem = 0L
+}
+spark.sparkContext.addSparkListener(new SparkListener {
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      M.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+      M.peakExecMem = math.max(M.peakExecMem, m.peakExecutionMemory)
+    }
+  }
+})
+
+def run(tag: String, name: String, dir: String): Unit = {
+  M.shuffleWrite = 0L; M.peakExecMem = 0L
+  val t0 = System.nanoTime()
+  graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
+  val sec = (System.nanoTime() - t0) / 1e9
+  println(f"[stress] $tag%-8s $name%-26s $sec%8.2f s  " +
+    f"shuffleWrite=${M.shuffleWrite / 1048576.0}%9.1f MiB  " +
+    f"peakTaskMem=${M.peakExecMem / 1048576.0}%7.1f MiB")
+}
+
+run("warmup", "q162_bpe_learn", sf)
+for (q <- Seq("q162_bpe_learn", "q162b_bpe_encode", "q152b_bm25_topk",
+    "q140c_containment")) {
+  run("sf0.1", q, sf)
+  run("100x", q, big)
+}
+System.exit(0)

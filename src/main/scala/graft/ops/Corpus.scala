@@ -800,6 +800,13 @@ object Corpus {
     * generation is the gram equi-join, so only (corpus_id, bench_id)
     * hit tuples shuffle — never text. The containment threshold is
     * compared in exact basis points (floor), no fp boundary.
+    *
+    * PRECONDITION (same contract as the capped-jaccard guard):
+    * candidate pairs scale as Σ_gram corpusDf(gram)·benchDf(gram), so
+    * run EXACT DEDUP FIRST on both sides (the ordering `prepareCorpus`
+    * uses). On a wholesale-replicated corpus the raw path is quadratic
+    * in the duplication factor — measured at 100x: 84 s raw vs 15 s
+    * dedup-first (PLANS.md round-7 stress table).
     */
   def containmentPairs(corpus: DataFrame, benchmark: DataFrame,
       id: String, text: String, n: Int,
