@@ -828,6 +828,47 @@ object Corpus {
         col("n_common").cast("int").as("n_common"), col("containment_bp"))
   }
 
+  /** Consumer-grade contamination verdicts per BENCHMARK document with
+    * the exact-dedup-first ordering BAKED IN (the measured linear-scale
+    * path — PLANS.md round-7 stress: 84 s → 15 s at 100x): both sides
+    * collapse to normalized-text-distinct representatives before the
+    * gram join, rep-level containment runs once per distinct text, and
+    * verdicts fan back to every benchmark member by fingerprint —
+    * linear joins throughout, never a pairwise expansion. Returns one
+    * row per contaminated benchmark doc: (bench_doc, bench_grams,
+    * n_common, containment_bp, example_<id> = the min-id corpus doc
+    * attaining the best containment).
+    */
+  def containmentVerdicts(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, n: Int,
+      minContainment: Double): DataFrame = {
+    val fp = md5(Dedup.normText(col(text)))
+    def reps(df: DataFrame): DataFrame = df
+      .select(fp.as("fp"), struct(col(id), col(text)).as("m"))
+      .groupBy(col("fp")).agg(min(col("m")).as("m"))
+      .select(col("fp"), col("m")(id).as(id), col("m")(text).as(text))
+    val cReps = reps(corpus)
+    val bReps = reps(benchmark)
+    val pairs = containmentPairs(cReps.select(col(id), col(text)),
+      bReps.select(col(id), col(text)), id, text, n, minContainment)
+    // best corpus rep per bench rep: highest containment, then min id
+    // (same-bp ties share n_common, so the struct max is total)
+    val best = pairs
+      .groupBy(col("bench_id"))
+      .agg(max(struct(col("containment_bp"), col("n_common"),
+          (-col(id)).as("nid"))).as("b"),
+        max(col("bench_grams")).as("bench_grams"))
+      .select(col("bench_id"), col("bench_grams"),
+        col("b.n_common").as("n_common"),
+        col("b.containment_bp").as("containment_bp"),
+        (-col("b.nid")).as(s"example_$id"))
+    benchmark.select(col(id).as("bench_doc"), fp.as("fp"))
+      .join(broadcast(bReps.select(col("fp"), col(id).as("bench_id"))), "fp")
+      .join(broadcast(best), "bench_id")
+      .select(col("bench_doc"), col("bench_grams"), col("n_common"),
+        col("containment_bp"), col(s"example_$id"))
+  }
+
   /** Okapi BM25 retrieval for a bag-of-words query (k1 = 1.2, b = 0.75):
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     * idf(t) = ln((N−df+0.5)/(df+0.5)+1). The serving-side counterpart

@@ -307,6 +307,18 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("bench_id"), col("doc_id"))
     }),
 
+    // per-benchmark-doc contamination verdicts with exact-dedup-first
+    // baked in (the linear-scale path the 100x stress measured): rep
+    // containment + fingerprint fan-back to every bench member
+    "q140d_containment_verdicts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.containmentVerdicts(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 3, minContainment = 0.5)
+        .orderBy(col("bench_doc"))
+    }),
+
     // perplexity filter: decile-bin docs by the q151 bigram-LM score
     // (CCNet-style quality buckets); keep = the 8 best deciles
     "q151b_perplexity_filter" -> ((s, d) => {
@@ -672,6 +684,37 @@ object CorpusQueries extends QueryGroup {
          |FROM hits h JOIN bsz z USING (bench_id)
          |WHERE FLOOR(h.n_common * 10000.0 / z.bench_grams) >= 5000
          |ORDER BY bench_id, doc_id""".stripMargin,
+
+    "q140d_containment_verdicts" ->
+      s"""WITH f AS (SELECT doc_id, text, md5($sqlNorm) AS fp FROM documents),
+         |cr AS (SELECT fp, MIN(doc_id) AS doc_id, ARG_MIN(text, doc_id) AS text
+         |  FROM f WHERE doc_id % 97 <> 0 GROUP BY fp),
+         |br AS (SELECT fp, MIN(doc_id) AS bench_id, ARG_MIN(text, doc_id) AS text
+         |  FROM f WHERE doc_id % 97 = 0 GROUP BY fp),
+         |cg AS (SELECT doc_id, unnest(list_distinct(
+         |    [concat_ws(' ', toks[i], toks[i+1], toks[i+2]) for i in range(1, len(toks) - 1)])) AS gram
+         |  FROM (SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS toks FROM cr)),
+         |bgr AS (SELECT bench_id, unnest(list_distinct(
+         |    [concat_ws(' ', toks[i], toks[i+1], toks[i+2]) for i in range(1, len(toks) - 1)])) AS gram
+         |  FROM (SELECT bench_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS toks FROM br)),
+         |bsz AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bgr GROUP BY 1),
+         |hits AS (SELECT g.doc_id, b.bench_id, COUNT(*) AS n_common
+         |  FROM cg g JOIN bgr b USING (gram) GROUP BY 1, 2),
+         |pairs AS (SELECT h.doc_id, h.bench_id, z.bench_grams, h.n_common,
+         |    CAST(FLOOR(h.n_common * 10000.0 / z.bench_grams) AS BIGINT) AS containment_bp
+         |  FROM hits h JOIN bsz z USING (bench_id)
+         |  WHERE FLOOR(h.n_common * 10000.0 / z.bench_grams) >= 5000),
+         |best AS (SELECT bench_id, bench_grams, n_common, containment_bp,
+         |    doc_id AS example_doc_id FROM (SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY bench_id ORDER BY containment_bp DESC, doc_id ASC) AS rn
+         |    FROM pairs) WHERE rn = 1)
+         |SELECT m.doc_id AS bench_doc,
+         |  CAST(best.bench_grams AS INTEGER) AS bench_grams,
+         |  CAST(best.n_common AS INTEGER) AS n_common,
+         |  best.containment_bp, best.example_doc_id
+         |FROM (SELECT doc_id, fp FROM f WHERE doc_id % 97 = 0) m
+         |JOIN br USING (fp) JOIN best USING (bench_id)
+         |ORDER BY bench_doc""".stripMargin,
 
     "q151b_perplexity_filter" ->
       s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
