@@ -273,6 +273,92 @@ object TextAnalysis {
         col("wp.token_ids").as("token_ids"))
   }
 
+  /** nvtext `replace_tokens` parity [python/cudf/cudf/core/column/
+    * string.py :: replace_tokens]: whitespace tokens equal to
+    * `targets(i)` become `repls(i)`; everything else passes through.
+    * A literal-map lookup inside one `transform` — whole-stage
+    * codegen, no UDF, scale-free per-row map.
+    */
+  def replaceTokens(c: Column, targets: Seq[String],
+      repls: Seq[String]): Column = {
+    require(targets.length == repls.length, "targets/repls must align")
+    val m = typedlit(targets.zip(repls).toMap)
+    array_join(transform(split(norm(c), " "),
+      t => coalesce(element_at(m, t), t)), " ")
+  }
+
+  /** nvtext `filter_tokens` parity [python/cudf/cudf/core/column/
+    * string.py :: filter_tokens]: whitespace tokens shorter than
+    * `minLen` are replaced by `repl`; with `repl = ""` they are
+    * removed outright (single-space rejoin — the practical reading of
+    * cuDF's delimiter collapse). Pure HOF column, codegen'd.
+    */
+  def filterTokens(c: Column, minLen: Int, repl: String = ""): Column = {
+    val toks = split(norm(c), " ")
+    if (repl.isEmpty)
+      array_join(filter(toks, t => length(t) >= minLen), " ")
+    else
+      array_join(transform(toks,
+        t => when(length(t) >= minLen, t).otherwise(lit(repl))), " ")
+  }
+
+  /** nvtext `character_tokenize` parity [python/cudf/cudf/core/column/
+    * string.py :: character_tokenize]: one output row per character
+    * with its 1-based position. `split(s, "")` yields single
+    * characters identically in Spark and DuckDB (verified).
+    */
+  def characterTokenize(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+        posexplode(split(col(text), "")).as(Seq("pos0", "ch")))
+      .select(col(id), (col("pos0") + 1).as("pos"), col("ch"))
+
+  /** nvtext `detokenize` parity [python/cudf/cudf/core/column/
+    * string.py :: detokenize]: reassemble a token table (id, pos,
+    * token) back into one string per id, ordered by pos. One
+    * partial+final aggregation; the sort happens inside `array_sort`
+    * on the collected (pos, token) structs, never as a global sort.
+    */
+  def detokenize(df: DataFrame, id: String, pos: String, token: String,
+      sep: String = " "): DataFrame =
+    df.groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col(pos), col(token)))).as("a"))
+      .select(col(id),
+        array_join(transform(col("a"), s => s(token)), sep).as("text"))
+
+  /** nvtext `edit_distance_matrix` parity [python/cudf/cudf/core/
+    * column/string.py :: edit_distance_matrix]: pairwise Levenshtein
+    * over a column of strings. All-pairs BY DEFINITION (the cuDF API
+    * returns the full N×N matrix), so this is O(N²) and documented
+    * for bounded inputs only — vocabularies, label sets, entity
+    * names; the emitted upper triangle (a < b) halves the work.
+    * Spark's built-in `levenshtein` matches DuckDB's bit-for-bit.
+    */
+  def editDistanceMatrix(df: DataFrame, value: String): DataFrame = {
+    val v = df.select(col(value).as("v")).distinct()
+    v.as("a").join(v.as("b"), col("a.v") < col("b.v"))
+      .select(col("a.v").as("a"), col("b.v").as("b"),
+        levenshtein(col("a.v"), col("b.v")).as("dist"))
+  }
+
+  /** nvtext `tokenize_with_vocabulary` parity [python/cudf/cudf/core/
+    * tokenize_vocabulary.py]: map each whitespace token to its id in
+    * `vocab` (a frame of (word, vocab_id)), OOV → `defaultId`. The
+    * vocabulary is broadcast (bounded by construction); the corpus
+    * never shuffles — explode, broadcast-left-join, re-collect by
+    * position.
+    */
+  def tokenizeWithVocabulary(df: DataFrame, id: String, text: String,
+      vocab: DataFrame, defaultId: Int = -1): DataFrame =
+    df.select(col(id), posexplode(filter(split(norm(col(text)), " "),
+        x => length(x) > 0)).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        coalesce(col("vocab_id"), lit(defaultId)).as("tid")))).as("a"))
+      .select(col(id), size(col("a")).as("n_tokens"),
+        array_join(transform(col("a"), s => s("tid").cast("string")), " ")
+          .as("token_ids"))
+
   /** URL decomposition for corpus filtering (domain blocklists, path
     * heuristics — the CommonCrawl-prep pass). Pure `regexp_extract`
     * chains, RE2-safe and lookaround-free so the same patterns run

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.expressions.TextHashes._
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -408,6 +409,74 @@ object LlmQueries extends QueryGroup {
     "q162b_bpe_encode" -> ((s, d) => {
       graft.ops.Bpe.encode(Tables.documents(s, d), "doc_id", "text",
           nMerges = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // nvtext replace_tokens parity: literal-map lookup in one
+    // transform — codegen'd, scale-free
+    "q163_replace_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.replaceTokens(col("text"),
+            Seq("the", "and", "of"), Seq("THE", "AND", "OF")).as("replaced"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // nvtext filter_tokens parity: both variants (drop vs marker)
+    "q164_filter_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.filterTokens(col("text"), 4).as("dropped"),
+          TextAnalysis.filterTokens(col("text"), 4, "_").as("marked"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // nvtext character_tokenize parity: row-per-character with
+    // position (bounded: first 25 chars of a doc slice)
+    "q165_char_tokenize" -> ((s, d) => {
+      TextAnalysis.characterTokenize(
+          Tables.documents(s, d).filter(col("doc_id") % 29 === 0)
+            .select(col("doc_id"), substring(col("text"), 1, 25).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // nvtext detokenize parity: tokenize → detokenize round-trip must
+    // reproduce the normalized text (identity oracle)
+    "q166_detokenize" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(filter(
+          split(TextAnalysis.norm(col("text")), " "),
+          x => length(x) > 0)).as(Seq("pos", "tok")))
+      TextAnalysis.detokenize(toks, "doc_id", "pos", "tok")
+        .orderBy(col("doc_id"))
+    }),
+
+    // nvtext edit_distance_matrix parity: all-pairs Levenshtein over
+    // the 25 nation names (N^2 by definition — bounded input)
+    "q167_edit_distance_matrix" -> ((s, d) => {
+      TextAnalysis.editDistanceMatrix(
+          Tables.nation(s, d).select(lower(col("n_name")).as("v")), "v")
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // nvtext tokenize_with_vocabulary parity: top-40 corpus words by
+    // (count desc, word) as the vocab, OOV -> -1; vocab broadcast,
+    // corpus never shuffles before the id re-collect
+    "q168_vocab_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(filter(split(TextAnalysis.norm(col("text")), " "),
+          x => length(x) > 0)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(40)
+        .select(col("word"),
+          (row_number().over(Window.orderBy(col("cnt").desc, col("word"))) - 1)
+            .as("vocab_id"))
+      TextAnalysis.tokenizeWithVocabulary(
+          docs.filter(col("doc_id") % 13 === 0), "doc_id", "text", vocab)
         .orderBy(col("doc_id"))
     }),
 
@@ -841,6 +910,59 @@ object LlmQueries extends QueryGroup {
            |FROM dw JOIN dict USING (w) WHERE len(w) > 0
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
+
+      "q163_replace_tokens" ->
+        s"""SELECT doc_id, array_to_string(list_transform(
+           |    string_split($sqlNorm, ' '),
+           |    t -> CASE WHEN t = 'the' THEN 'THE' WHEN t = 'and' THEN 'AND'
+           |              WHEN t = 'of' THEN 'OF' ELSE t END), ' ') AS replaced
+           |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
+
+      "q164_filter_tokens" ->
+        s"""SELECT doc_id,
+           |  array_to_string(list_filter(string_split($sqlNorm, ' '),
+           |    t -> len(t) >= 4), ' ') AS dropped,
+           |  array_to_string(list_transform(string_split($sqlNorm, ' '),
+           |    t -> CASE WHEN len(t) >= 4 THEN t ELSE '_' END), ' ') AS marked
+           |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
+
+      "q165_char_tokenize" ->
+        """WITH t AS (SELECT doc_id, string_split(substr(text, 1, 25), '') AS cs
+          |  FROM documents WHERE doc_id % 29 = 0)
+          |SELECT doc_id, CAST(generate_subscripts(cs, 1) AS INTEGER) AS pos,
+          |  unnest(cs) AS ch
+          |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+      "q166_detokenize" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    list_filter(string_split($sqlNorm, ' '), x -> len(x) > 0) AS wl
+           |  FROM documents)
+           |SELECT doc_id, array_to_string(wl, ' ') AS text
+           |FROM t WHERE len(wl) > 0 ORDER BY doc_id""".stripMargin,
+
+      "q167_edit_distance_matrix" ->
+        """WITH v AS (SELECT DISTINCT LOWER(n_name) AS v FROM nation)
+          |SELECT a.v AS a, b.v AS b,
+          |  CAST(levenshtein(a.v, b.v) AS INTEGER) AS dist
+          |FROM v a JOIN v b ON a.v < b.v ORDER BY a, b""".stripMargin,
+
+      "q168_vocab_tokenize" ->
+        s"""WITH w AS (SELECT unnest(list_filter(string_split($sqlNorm, ' '),
+           |    x -> len(x) > 0)) AS word FROM documents),
+           |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+           |vocab AS (SELECT word,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) - 1 AS INTEGER) AS vocab_id
+           |  FROM c ORDER BY cnt DESC, word LIMIT 40),
+           |tok AS (SELECT doc_id,
+           |    unnest(list_filter(string_split($sqlNorm, ' '), x -> len(x) > 0)) AS word,
+           |    generate_subscripts(list_filter(string_split($sqlNorm, ' '),
+           |      x -> len(x) > 0), 1) AS pos
+           |  FROM documents WHERE doc_id % 13 = 0),
+           |j AS (SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, -1) AS tid
+           |  FROM tok t LEFT JOIN vocab v USING (word))
+           |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q105_multimodal_features" ->
         s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,

@@ -89,4 +89,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2).getAs[Int]("n_unk") == 1) // x9z -> [UNK], scan -> 2 ids
     assert(r(2).getAs[Int]("n_tokens") == 3)
   }
+
+  test("replaceTokens swaps whole tokens only") {
+    val df = Seq("the theater of The and sand").toDF("text")
+    val got = df.select(TextAnalysis.replaceTokens(col("text"),
+      Seq("the", "and", "of"), Seq("THE", "AND", "OF"))).first.getString(0)
+    // 'theater'/'sand' untouched; norm lowercases 'The' first
+    assert(got == "THE theater OF THE AND sand")
+  }
+
+  test("filterTokens drops or marks short tokens") {
+    val df = Seq("a big cat leaps up").toDF("text")
+    assert(df.select(TextAnalysis.filterTokens(col("text"), 4))
+      .first.getString(0) == "leaps")
+    assert(df.select(TextAnalysis.filterTokens(col("text"), 3, "_"))
+      .first.getString(0) == "_ big cat leaps _")
+  }
+
+  test("characterTokenize rows carry 1-based positions") {
+    val df = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.characterTokenize(df, "doc_id", "text")
+      .orderBy("doc_id", "pos").collect()
+    assert(r.map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSeq ==
+      Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "")))
+  }
+
+  test("detokenize reassembles by position within each id") {
+    val toks = Seq((1L, 2, "c"), (1L, 0, "a"), (1L, 1, "b"), (2L, 0, "z"))
+      .toDF("doc_id", "pos", "tok")
+    val r = TextAnalysis.detokenize(toks, "doc_id", "pos", "tok")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("a b c", "z"))
+  }
+
+  test("editDistanceMatrix emits the upper triangle with exact distances") {
+    val df = Seq("kitten", "sitting", "kitten").toDF("v") // dup collapses
+    val r = TextAnalysis.editDistanceMatrix(df, "v").collect()
+    assert(r.length == 1 &&
+      r(0).getString(0) == "kitten" && r(0).getInt(2) == 3)
+  }
+
+  test("tokenizeWithVocabulary maps OOV to the default id in order") {
+    val docs = Seq((1L, "big cat zz big")).toDF("doc_id", "text")
+    val vocab = Seq(("big", 0), ("cat", 1)).toDF("word", "vocab_id")
+    val r = TextAnalysis.tokenizeWithVocabulary(docs, "doc_id", "text", vocab)
+      .first
+    assert(r.getAs[Int]("n_tokens") == 4 &&
+      r.getAs[String]("token_ids") == "0 1 -1 0")
+  }
 }
