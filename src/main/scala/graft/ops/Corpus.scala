@@ -519,6 +519,51 @@ object Corpus {
         coalesce(col("max_run"), lit(0)).as("max_run"))
   }
 
+  /** Exact substring dedup with REWRITE (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every l-token window
+    * that occurs more than once corpus-wide (across OR within docs)
+    * keeps only its globally-first occurrence (min (id, pos)); every
+    * token covered by a non-first duplicated window is excised, and the
+    * doc is rebuilt from the survivors in order. Returns (id, n_toks,
+    * n_removed, text_dedup) — n_removed = 0 rows pass through verbatim.
+    *
+    * Scale shape: one shuffle of window strings on content (the same
+    * bounded-key equi-join as [[dupSpans]]), then co-partitioned
+    * (id, pos) joins and one partial+final re-collect — linear in
+    * corpus size, no pairwise expansion. Window strings amplify
+    * shuffled bytes ~l×; at 100 TB swap the join key for xxhash64(win)
+    * to shuffle 8-byte keys instead (collision odds ~N²/2⁶⁴ — fine in
+    * production, kept exact here so the oracle gates bit-for-bit).
+    */
+  def dedupSpansRewrite(df: DataFrame, id: String, text: String,
+      l: Int): DataFrame = {
+    val t = toks(col(text))
+    val wins = df.select(col(id),
+        posexplode(TextAnalysis.allNgramsUdf(t, lit(l))).as(Seq("p0", "win")))
+      .select(col(id), (col("p0") + 1).as("p"), col("win"))
+    val stat = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("cnt"), min(struct(col(id), col("p"))).as("f"))
+    val marked = wins.join(stat, Seq("win"))
+      .filter(col("cnt") > 1 &&
+        !(col("f")(id) === col(id) && col("f")("p") === col("p")))
+      .select(col(id), col("p"))
+    val cover = marked
+      .select(col(id), explode(sequence(col("p"), col("p") + l - 1)).as("tp"))
+      .distinct()
+    val tokens = df.select(col(id), posexplode(t).as(Seq("tp0", "tok")))
+      .select(col(id), (col("tp0") + 1).as("tp"), col("tok"))
+    val rebuilt = tokens.join(cover, Seq(id, "tp"), "left_anti")
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("tp"), col("tok")))).as("a"))
+      .select(col(id), size(col("a")).as("n_kept"),
+        array_join(transform(col("a"), s => s("tok")), " ").as("text_dedup"))
+    df.select(col(id), size(t).as("n_toks"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Hashed-feature linear quality classifier — the INFERENCE shape of a
     * fastText-style filter (Joulin et al. 2016; the CCNet/GPT-3 quality
     * gate) with deterministic pseudo-weights standing in for trained

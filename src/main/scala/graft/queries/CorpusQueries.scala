@@ -295,6 +295,14 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // the q154 signal turned into the actual TRANSFORM: excise every
+    // token covered by a non-first duplicated 5-token window and
+    // rebuild each doc (Lee et al. substring dedup with rewrite)
+    "q154b_dedup_substrings" -> ((s, d) => {
+      Corpus.dedupSpansRewrite(Tables.documents(s, d), "doc_id", "text", l = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark-example containment (asymmetric Jaccard): which eval
     // docs are >= 50% contained in some NON-benchmark training doc —
     // the direction q140's corpus-side overlap can't express
@@ -667,6 +675,27 @@ object CorpusQueries extends QueryGroup {
          |tot AS (SELECT doc_id, CAST(GREATEST(len(tk) - 4, 0) AS INTEGER) AS n_windows FROM t)
          |SELECT tot.doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, COALESCE(max_run, 0) AS max_run
          |FROM tot LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q154b_dedup_substrings" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |w0 AS (SELECT doc_id, [array_to_string(tk[i:i+4], ' ')
+         |    for i in range(1, greatest(len(tk) - 4, 0) + 1)] AS wins FROM t),
+         |w AS (SELECT doc_id, unnest(wins) AS win, generate_subscripts(wins, 1) AS p FROM w0),
+         |w2 AS (SELECT doc_id, p,
+         |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rn,
+         |    COUNT(*) OVER (PARTITION BY win) AS cnt FROM w),
+         |marked AS (SELECT doc_id, p FROM w2 WHERE cnt > 1 AND rn > 1),
+         |cover AS (SELECT DISTINCT doc_id, unnest([p + i for i in range(0, 5)]) AS tp FROM marked),
+         |tokens AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS tp FROM t),
+         |kept AS (SELECT k.doc_id, k.tp, k.tok FROM tokens k LEFT JOIN cover c
+         |  ON k.doc_id = c.doc_id AND k.tp = c.tp WHERE c.doc_id IS NULL),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY tp) AS text_dedup FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, len(tk) AS n_toks FROM t)
+         |SELECT tot.doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+         |  CAST(n_toks - COALESCE(n_kept, 0) AS INTEGER) AS n_removed,
+         |  COALESCE(text_dedup, '') AS text_dedup
+         |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
 
     "q140c_containment" ->
       s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),

@@ -318,4 +318,25 @@ class CorpusSpec extends SparkSpec {
     }
     assert(got == want)
   }
+
+  test("dedupSpansRewrite keeps only the globally-first duplicated span") {
+    import spark.implicits._
+    // doc 1 and doc 2 share the window "a b c"; doc 1 owns it (min id).
+    // doc 3 repeats "x y z" WITHIN itself; first occurrence survives.
+    // doc 4 is untouched.
+    val df = Seq(
+      (1L, "a b c tail1"),
+      (2L, "head a b c"),
+      (3L, "x y z x y z"),
+      (4L, "no dups here")).toDF("doc_id", "text")
+    val r = Corpus.dedupSpansRewrite(df, "doc_id", "text", l = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    assert(r(0) == ((1L, 4, 0, "a b c tail1")))
+    assert(r(1) == ((2L, 4, 3, "head")))
+    // doc 3 windows: (x y z)@1&4 dup; (y z x)@2, (z x y)@3 unique;
+    // marked start 4 covers tokens 4..6
+    assert(r(2) == ((3L, 6, 3, "x y z")))
+    assert(r(3) == ((4L, 3, 0, "no dups here")))
+  }
 }
