@@ -430,6 +430,51 @@ object Corpus {
         round(avg(col("lp")), 4).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995; the
+    * canonical n-gram smoothing — strictly better perplexity filtering
+    * than [[bigramLmScore]]'s add-one): with absolute discount d,
+    *   P(w2|w1) = (c12 − d)/c1 + (d · N1+(w1·)/c1) · N1+(·w2)/|types|
+    * where c1 counts bigram CONTEXTS (not unigrams), N1+(w1·)/N1+(·w2)
+    * are distinct continuation/precursor counts and |types| the number
+    * of distinct bigram types. Every count is exact; the per-bigram
+    * log-prob is evaluated through a TEXTUALLY identical expression
+    * tree in both engines (the q71h gating pattern), so avg+round(4)
+    * hash-gates. Same scale shape as q151: bounded-vocab-key shuffles
+    * plus one (w1,w2)-keyed join; nothing pairwise.
+    */
+  def knBigramLmScore(df: DataFrame, id: String, text: String,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, "need 0 < d < 1")
+    val t = toks(col(text))
+    val bigrams = df.select(col(id),
+        explode(arrays_zip(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1))).as("bg"))
+      .select(col(id), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val ctx = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1f"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bw = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = c2.agg(count(lit(1)).as("dd"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(bw, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .selectExpr(id, knLpExpr(d) + " AS lp")
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg(col("lp")), 4).as("avg_logprob"))
+  }
+
+  /** The KN log-prob expression — ONE string, parsed by Spark and
+    * DuckDB alike so the double arithmetic is replayed operation-for-
+    * operation (the discount interpolates via shortest-roundtrip repr).
+    */
+  def knLpExpr(d: Double): String =
+    s"LN((CAST(c12 AS DOUBLE) - $d) / CAST(c1 AS DOUBLE)" +
+      s" + ($d * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))" +
+      " * (CAST(n1b AS DOUBLE) / CAST(dd AS DOUBLE)))"
+
   /** Inverted index build: per term, document frequency, total term
     * frequency, and the first `maxPostings` doc ids of the sorted
     * posting list. One shuffle on term with map-side combine; posting

@@ -338,6 +338,14 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // interpolated Kneser-Ney bigram LM (absolute discount 0.75):
+    // the canonical smoothing upgrade over q151's add-one; the lp
+    // expression is ONE string parsed by both engines
+    "q151c_kn_lm" -> ((s, d) => {
+      Corpus.knBigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Okapi BM25 retrieval for a 4-term query — the serving-side
     // counterpart of q152's inverted index; per-term scores quantized
     // to basis points before the doc sum (association-order-free)
@@ -489,6 +497,22 @@ object CorpusQueries extends QueryGroup {
          |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
          |sc AS (SELECT bg.doc_id, LN((c2.c12 + 1.0) / (c1.c1 + v.v)) AS lp
          |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w CROSS JOIN v)
+         |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         |  ROUND(AVG(lp), 4) AS avg_logprob
+         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q151c_kn_lm" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS p FROM t),
+         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM tokpos a
+         |  JOIN tokpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         |ctx AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1f FROM bg GROUP BY 1),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         |bw AS (SELECT w2, COUNT(*) AS n1b FROM c2 GROUP BY 1),
+         |ty AS (SELECT COUNT(*) AS dd FROM c2),
+         |sc AS (SELECT bg.doc_id, ${graft.ops.Corpus.knLpExpr(0.75)} AS lp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+         |  JOIN bw USING (w2) CROSS JOIN ty)
          |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
          |  ROUND(AVG(lp), 4) AS avg_logprob
          |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,

@@ -319,6 +319,20 @@ class CorpusSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("knBigramLmScore matches the hand-computed KN probability") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)x2 in doc1, (b,a) in doc1 and doc2.
+    // c1(a)=2 n1f(a)=1; c1(b)=2 n1f(b)=1; n1b=1 both; |types|=2.
+    // P = (2-0.75)/2 + (0.75*1/2)*(1/2) = 0.8125 for both bigrams.
+    val df = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val r = Corpus.knBigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2)))
+    val lp = BigDecimal(math.log(0.8125))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq == Seq((1L, 3, lp), (2L, 1, lp)))
+  }
+
   test("dedupSpansRewrite keeps only the globally-first duplicated span") {
     import spark.implicits._
     // doc 1 and doc 2 share the window "a b c"; doc 1 owns it (min id).
