@@ -160,6 +160,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("replace/filter tokens are pure map stages — zero exchanges") {
+    for (q <- Seq("q163_replace_tokens", "q164_filter_tokens")) {
+      val p = graft.SparkEntry.queries(q)(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      // only the presentation orderBy may exchange (a range partition)
+      assert(!p.toLowerCase.contains("hashpartitioning"), s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
+  test("vocab tokenize broadcasts the vocabulary — corpus never sort-merges") {
+    val p = plan("q168_vocab_tokenize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("substring-dedup rewrite has no cartesian and no nested loop") {
+    val p = plan("q154b_dedup_substrings")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("KN LM broadcasts only the 1-row type count — all other joins keyed") {
+    val p = plan("q151c_kn_lm")
+    assert(!p.contains("CartesianProduct"), p)
+    // the single nested-loop allowed is the 1-row types crossJoin,
+    // which Spark plans as BroadcastNestedLoopJoin over one row
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("set_index analog: range repartition + within-partition sort is sorted per partition") {
     val df = Tables.lineitem(spark, sfTiny)
       .repartitionByRange(8, col("l_orderkey"))
