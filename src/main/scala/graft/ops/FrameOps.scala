@@ -289,11 +289,14 @@ object FrameOps {
   def interpolate(df: DataFrame, partitionBy: Seq[String],
       orderBy: Seq[String], valueCol: String, as: String,
       method: String = "position", limit: Int = 0,
-      limitDirection: String = "forward"): DataFrame = {
+      limitDirection: String = "forward",
+      limitArea: String = "none"): DataFrame = {
     require(Set("position", "values")(method),
       s"method must be 'position' or 'values', got '$method'")
     require(Set("forward", "backward", "both")(limitDirection),
       s"limit_direction must be forward/backward/both, got '$limitDirection'")
+    require(Set("none", "inside", "outside")(limitArea),
+      s"limit_area must be none/inside/outside, got '$limitArea'")
     require(limit >= 0, "limit must be >= 0 (0 = unlimited)")
     val wAll = w(partitionBy, orderBy)
     val back = wAll.rowsBetween(Window.unboundedPreceding, 0)
@@ -327,13 +330,21 @@ object FrameOps {
       within(col("__pos") - col("__ppr"))
     val fromRight = lit(dirBwd) && col("__nv").isNotNull &&
       within(col("__npr") - col("__pos"))
+    // pandas limit_area: 'inside' fills only nulls strictly between two
+    // anchors (no edge extension); 'outside' only leading/trailing runs
+    val areaOk = limitArea match {
+      case "inside"  => col("__pv").isNotNull && col("__nv").isNotNull
+      case "outside" => col("__pv").isNull || col("__nv").isNull
+      case _         => lit(true)
+    }
     val fillVal =
       when(col("__pv").isNull, col("__nv"))
         .when(col("__nv").isNull, col("__pv"))
         .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
           ((col("__pa") - col("__pp")) / (col("__np") - col("__pp"))))
     marked
-      .withColumn(as, when(v.isNotNull, v).when(fromLeft || fromRight, fillVal))
+      .withColumn(as,
+        when(v.isNotNull, v).when((fromLeft || fromRight) && areaOk, fillVal))
       .drop("__pos", "__pa", "__pv", "__nv", "__pp", "__np", "__ppr", "__npr")
   }
 

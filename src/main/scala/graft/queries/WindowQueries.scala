@@ -456,6 +456,25 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // pandas interpolate(limit_area=): 'inside' fills only strictly
+    // interior nulls (no edge extension), 'outside' only the
+    // leading/trailing runs — both variants in one result
+    "q77d_interpolate_area" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("v", when(pmod(col("event_id"), lit(5)).isin(1, 2),
+          lit(null)).otherwise(col("value")))
+      val ins = graft.ops.FrameOps.interpolate(ev, Seq("user_id"),
+        Seq("event_id"), "v", "v_inside",
+        limitDirection = "both", limitArea = "inside")
+      graft.ops.FrameOps.interpolate(ins, Seq("user_id"),
+          Seq("event_id"), "v", "v_outside",
+          limitDirection = "both", limitArea = "outside")
+        .select(col("event_id"), col("user_id"), col("v"),
+          round(col("v_inside"), 6).as("v_inside"),
+          round(col("v_outside"), 6).as("v_outside"))
+        .orderBy(col("event_id"))
+    }),
+
     // linear interpolation of null runs (reference
     // DataFrame.interpolate): position-based linear fill between known
     // points, leading nulls stay null, trailing nulls ffill (pandas
@@ -696,6 +715,34 @@ object WindowQueries extends QueryGroup {
         |      a * pow(0.5, tl[CAST(i AS BIGINT)] - tl[CAST(CASE WHEN i > 1 THEN i - 1 ELSE i END AS BIGINT)])
         |        + CAST(1 AS DOUBLE)), 6) AS ewm_hl
         |FROM f ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q77d_interpolate_area" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 5 IN (1, 2) THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w1 AS (SELECT event_id, user_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS p
+        |  FROM e),
+        |w2 AS (SELECT event_id, user_id, v, p,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN CAST(p AS DOUBLE) END IGNORE NULLS) OVER wb AS pp,
+        |    first_value(CASE WHEN v IS NOT NULL THEN CAST(p AS DOUBLE) END IGNORE NULLS) OVER wf AS np
+        |  FROM w1
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, v,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) * ((CAST(p AS DOUBLE) - pp) / (np - pp))
+        |    END, 6) AS v_inside,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    END, 6) AS v_outside
+        |FROM w2 ORDER BY event_id""".stripMargin,
 
     "q77c_interpolate_opts" ->
       """WITH e AS (SELECT event_id, user_id,

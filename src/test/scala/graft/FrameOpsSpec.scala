@@ -195,6 +195,26 @@ class FrameOpsSpec extends SparkSpec {
     assert(run("both", 1) == g(n, 1, 1, 2, n, 4, 5, 5, n))
   }
 
+  test("interpolate limit_area matches the pandas goldens") {
+    // s = pd.Series([nan,nan,1,nan,nan,nan,5,nan,nan]); goldens from
+    // s.interpolate('linear', limit_direction='both', limit_area=...)
+    val df = Seq[(Long, Int, Option[Double])](
+      (1L, 1, None), (1L, 2, None), (1L, 3, Some(1.0)), (1L, 4, None),
+      (1L, 5, None), (1L, 6, None), (1L, 7, Some(5.0)), (1L, 8, None),
+      (1L, 9, None)).toDF("g", "p", "v")
+    def run(area: String): Seq[Option[Double]] =
+      graft.ops.FrameOps.interpolate(df, Seq("g"), Seq("p"), "v", "vi",
+          limitDirection = "both", limitArea = area)
+        .orderBy("p").collect()
+        .map(x => Option(x.get(3)).map(_.asInstanceOf[Double])).toSeq
+    def g(xs: Double*): Seq[Option[Double]] =
+      xs.map(x => if (x.isNaN) None else Some(x))
+    val n = Double.NaN
+    assert(run("inside") == g(n, n, 1, 2, 3, 4, 5, n, n))
+    assert(run("outside") == g(1, 1, 1, n, n, n, 5, 5, 5))
+    assert(run("none") == g(1, 1, 1, 2, 3, 4, 5, 5, 5))
+  }
+
   test("interpolate method='values' anchors on the order column") {
     // pd.Series([1,nan,nan,10], index=[0,1,5,10]).interpolate('values')
     //   -> [1.0, 1.9, 5.5, 10.0]  (position method gives [1,4,7,10])
