@@ -63,6 +63,22 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"), col("tier"))
     }),
 
+    // stream-stream LEFT OUTER interval join: unmatched views surface
+    // as null click_id via watermark state eviction; the gate keeps
+    // only the decidable region (v_ts well before max_ts − gap −
+    // delay) so batch and stream agree row-for-row
+    "q119_stream_outer_join" -> ((s, d) => {
+      val res = Streams.runToBatch(s,
+        Streams.viewClickLeftOuter(
+          Streams.eventsStream(s, d), Streams.eventsStream(s, d)),
+        "q119_outer")
+      val mx = graft.Tables.events(s, d)
+        .agg(max(col("ts"))).first.getTimestamp(0)
+      res.filter(col("v_ts") < lit(mx) - expr("INTERVAL 75 MINUTES"))
+        .select(col("user_id"), col("view_id"), col("click_id"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }),
+
     // streaming dedup to a distinct key set (exact, unbounded state —
     // the state-bounded dropDuplicatesWithinWatermark variant is
     // exercised in StreamingSpec where single-batch replay keeps it
@@ -228,6 +244,18 @@ object StreamingQueries extends QueryGroup {
     "q113_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q119_stream_outer_join" ->
+      s"""WITH $ctes,
+         |v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM e
+         |  WHERE event_type = 'view'),
+         |c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+         |  FROM e WHERE event_type = 'click')
+         |SELECT v.user_id, v.view_id, c.click_id
+         |FROM v CROSS JOIN mx LEFT JOIN c ON v.user_id = c.c_user
+         |  AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 3600 SECOND
+         |WHERE v.v_ts < mx.m - INTERVAL 75 MINUTE
+         |ORDER BY user_id, view_id, click_id""".stripMargin,
 
     "q115_stream_stream_join" ->
       s"""WITH $ctes

@@ -160,6 +160,33 @@ object Streams {
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: views left-join clicks on
+    * user within [v_ts, v_ts + gap]. Spark emits the null-extended row
+    * for an unmatched view only via watermark-driven state EVICTION —
+    * once no future click can possibly match — so at drain the emitted
+    * set is deterministic exactly for views whose decision horizon
+    * (v_ts + gap + delay) the final watermark passed. Gating callers
+    * must restrict to that region (q119 filters v_ts < max_ts − gap −
+    * delay with a safety margin); rows past the horizon are
+    * undecided-by-construction, not wrong.
+    */
+  def viewClickLeftOuter(left: DataFrame, right: DataFrame,
+      gap: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val views = left.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", delay)
+    val clicks = right.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", delay)
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr(s"INTERVAL $gap"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("v_ts"), col("click_id"))
+  }
+
   /** Streaming dedup on a derived key with bounded state
     * (dropDuplicatesWithinWatermark). Projects the key columns only, so
     * the result is the deterministic distinct key set regardless of
