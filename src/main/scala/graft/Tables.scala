@@ -46,15 +46,25 @@ object Tables {
     }
   }
 
-  /** events.ts is parquet timestamp[ns], which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf,
-    * scoped to this read) and truncate to µs TimestampType — FIXTURES.md:
-    * "ns → truncates to µs in Spark; compare at µs". `div` is integer
+  /** events.ts has shipped in two physical encodings across fixture
+    * generations: parquet timestamp[ns] (which Spark's vectorized reader
+    * rejects with [PARQUET_TYPE_ILLEGAL] — read as raw nanos via the
+    * legacy conf and truncate: FIXTURES.md "ns → truncates to µs in
+    * Spark; compare at µs") and native timestamp[us]. Adapt on the
+    * RESOLVED type so both generations load; either way the column
+    * comes out as µs TimestampType (session tz = UTC), the type every
+    * downstream query and oracle was gated against. `div` is integer
     * division, so no double-precision loss on ~1.7e18 ns values.
     */
   def events(s: SparkSession, d: String): DataFrame = withNanosAsLong(s) {
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -28,16 +28,23 @@ import org.apache.spark.sql.functions._
 object Streams {
 
   /** File-stream source over the events fixture. Streaming requires an
-    * explicit schema, so we snapshot it from a batch read; `ts` arrives
-    * as raw nanos (legacy ns conf, see Tables.events) and is truncated
-    * to µs TimestampType exactly like the batch path.
+    * explicit schema, so we snapshot it from a batch read; `ts` has
+    * shipped as either raw nanos (legacy ns conf, see Tables.events) or
+    * native timestamp[us] across fixture generations — adapt on the
+    * snapshotted type, normalizing to µs TimestampType exactly like the
+    * batch path.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.withNanosAsLong(spark) {
       val path = s"$dir/events.parquet"
       val schema = spark.read.parquet(path).schema
-      spark.readStream.schema(schema).parquet(stageDir(path))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.readStream.schema(schema).parquet(stageDir(path))
+      schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     }
 
   /** FileStreamSource requires a directory; the fixtures are single

@@ -79,17 +79,26 @@ class FrameOpsSpec extends SparkSpec {
       .rdd.getNumPartitions == cores)
   }
 
-  test("events ns-parquet read is conf-scoped: session conf untouched, frame still executes") {
+  test("events read adapts to the fixture's ts encoding; legacy conf never leaks") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val before = spark.conf.getOption(key)
     spark.conf.unset(key) // back to the registered default ("false")
     val ev = Tables.events(spark, sfTiny) // sets + restores the conf internally
     assert(spark.conf.get(key) == "false", "events() leaked the legacy ns conf")
+    // whatever the physical encoding (ns-as-long or native µs), the
+    // loader normalizes to µs TimestampType — the type every query and
+    // oracle is gated against
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     assert(ev.count() > 0) // the returned frame survives the restore
-    // and without the scoped conf, a raw ns read still fails loudly
-    // (proves the conf genuinely was restored, not left enabled)
-    intercept[Exception] {
-      spark.read.parquet(s"$sfTiny/events.parquet").collect()
+    // if the fixture is ns-encoded, a raw unscoped read must still fail
+    // loudly (proves the conf genuinely was restored, not left enabled)
+    val rawType = Tables.withNanosAsLong(spark) {
+      spark.read.parquet(s"$sfTiny/events.parquet").schema("ts").dataType
+    }
+    if (rawType == org.apache.spark.sql.types.LongType) {
+      intercept[Exception] {
+        spark.read.parquet(s"$sfTiny/events.parquet").collect()
+      }
     }
     before.foreach(v => spark.conf.set(key, v))
   }
