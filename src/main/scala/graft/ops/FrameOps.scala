@@ -675,6 +675,82 @@ object FrameOps {
         col("__e._3").as(stdAs)): _*)
   }
 
+  /** pandas `Series.ewm(alpha).cov(other)` / `.corr(other)`
+    * (adjust=True, bias=False — [cudf/core/window/ewm.py ::
+    * ExponentialMovingWindow.cov/corr], pandas semantics): the pairwise
+    * extension of [[ewmVar]]. Six Horner folds ride one pass over each
+    * group's ordered (x, y) rows (wᵢ = (1−α)^(t−i)):
+    *   numx = Σ wᵢxᵢ, numy = Σ wᵢyᵢ, numxy = Σ wᵢxᵢyᵢ,
+    *   sqx = Σ wᵢxᵢ², sqy = Σ wᵢyᵢ², den = Σ wᵢ, den2 = Σ wᵢ²
+    * cov  = (numxy/den − (numx/den)(numy/den)) · den²/(den²−den2)
+    *        (the pandas bias=False debias, exactly [[ewmVar]]'s);
+    * corr = biased-cov / sqrt(biased-varx · biased-vary) — the debias
+    *        factors cancel in the ratio, the pandas formulation.
+    * First row: debias denominator 0 → cov null (pandas NaN); corr null
+    * whenever either biased variance is ≤ 0 (constant-so-far series).
+    * A pair observes only when BOTH x and y are non-null (pandas aligns
+    * the two series first — a half-null pair is a null observation);
+    * with the default ignoreNa=false a null pair still consumes a decay
+    * step. Same per-key-bounded memory contract as [[ewmMean]], same
+    * DuckDB list_reduce fold replay for the oracle (each moment's input
+    * list — xy, x², y² — is materialized per row in SQL so the fold
+    * order is bit-identical).
+    */
+  def ewmCov(df: DataFrame, partitionBy: Seq[String], orderCol: String,
+      xCol: String, yCol: String, alpha: Double, covAs: String,
+      corrAs: String, ignoreNa: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    val w = 1.0 - alpha
+    val w2 = w * w
+    val cUdf = udf { (ords: Seq[Long], xs: Seq[java.lang.Double],
+        ys: Seq[java.lang.Double]) =>
+      var numx = 0.0; var numy = 0.0; var numxy = 0.0
+      var sqx = 0.0; var sqy = 0.0; var den = 0.0; var den2 = 0.0
+      ords.indices.map { i =>
+        val x = xs(i); val y = ys(i)
+        if (x != null && y != null) {
+          val xv = x.doubleValue(); val yv = y.doubleValue()
+          numx = numx * w + xv; numy = numy * w + yv
+          numxy = numxy * w + xv * yv
+          sqx = sqx * w + xv * xv; sqy = sqy * w + yv * yv
+          den = den * w + 1.0; den2 = den2 * w2 + 1.0
+        } else if (!ignoreNa) {
+          numx *= w; numy *= w; numxy *= w
+          sqx *= w; sqy *= w; den *= w; den2 *= w2
+        }
+        if (den == 0.0) (ords(i), None, None)
+        else {
+          val mx = numx / den; val my = numy / den
+          val bcov = numxy / den - mx * my
+          val bvx = sqx / den - mx * mx
+          val bvy = sqy / den - my * my
+          val corrDen = den * den - den2
+          val cov = if (corrDen == 0.0) None
+            else Some((bcov * (den * den)) / corrDen)
+          val corr = if (bvx <= 0.0 || bvy <= 0.0) None
+            else Some(bcov / math.sqrt(bvx * bvy))
+          (ords(i), cov, corr)
+        }
+      }
+    }
+    val sorted = array_sort(collect_list(
+      struct(col("__o").as("o"), col("__x").as("x"), col("__y").as("y"))))
+    df.select((partitionBy.map(col) :+
+        col(orderCol).cast("long").as("__o") :+
+        col(xCol).cast("double").as("__x") :+
+        col(yCol).cast("double").as("__y")): _*)
+      .filter(col("__o").isNotNull)
+      .groupBy(partitionBy.map(col): _*)
+      .agg(sorted.as("__rs"))
+      .select((partitionBy.map(col) :+
+        explode(cUdf(transform(col("__rs"), r => r.getField("o")),
+          transform(col("__rs"), r => r.getField("x")),
+          transform(col("__rs"), r => r.getField("y")))).as("__e")): _*)
+      .select((partitionBy.map(col) :+
+        col("__e._1").as(orderCol) :+ col("__e._2").as(covAs) :+
+        col("__e._3").as(corrAs)): _*)
+  }
+
   /** pandas `Series.ewm(halflife=<timedelta>, times=<col>).mean()`
     * (adjust=True — [cudf/core/window/ewm.py] exposes halflife too):
     * decay follows ACTUAL elapsed time, not row count. With per-step

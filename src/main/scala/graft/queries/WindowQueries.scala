@@ -440,6 +440,23 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ewm covariance + correlation between two per-user series (pandas
+    // ewm(alpha).cov/corr, adjust=True, bias=False): six Horner folds in
+    // one pass, debias on cov, debias-cancelling ratio on corr — each
+    // moment's fold replayed in DuckDB list_reduce over per-row
+    // materialized xy/x²/y² lists, so results are bit-identical
+    "q74g_ewm_cov_corr" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") % 9 === 0)
+        .withColumn("y", col("value") * 0.3 +
+          pmod(col("event_id"), lit(7)).cast("double"))
+      graft.ops.FrameOps.ewmCov(e, Seq("user_id"), "event_id",
+          "value", "y", alpha = 0.2, covAs = "ewm_cov", corrAs = "ewm_corr")
+        .select(col("user_id"), col("event_id"),
+          round(col("ewm_cov"), 6).as("ewm_cov"),
+          round(col("ewm_corr"), 6).as("ewm_corr"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // interpolate parity options (pandas method='values', limit=2,
     // limit_direction='both'): anchors are the order column's VALUES
     // (event_id gaps weigh the fill), nulls filled only within 2 rows
@@ -715,6 +732,41 @@ object WindowQueries extends QueryGroup {
         |      a * pow(0.5, tl[CAST(i AS BIGINT)] - tl[CAST(CASE WHEN i > 1 THEN i - 1 ELSE i END AS BIGINT)])
         |        + CAST(1 AS DOUBLE)), 6) AS ewm_hl
         |FROM f ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q74g_ewm_cov_corr" ->
+      """WITH e AS (SELECT user_id, event_id, value AS x,
+        |    value * 0.3 + CAST(event_id % 7 AS DOUBLE) AS y
+        |  FROM events WHERE user_id % 9 = 0),
+        |pre AS (SELECT user_id, event_id,
+        |    list(x) OVER w AS xl, list(y) OVER w AS yl,
+        |    list(x * y) OVER w AS xyl,
+        |    list(x * x) OVER w AS x2l, list(y * y) OVER w AS y2l
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT user_id, event_id,
+        |    list_reduce(xl, (a, b) -> a * 0.8 + b) AS numx,
+        |    list_reduce(yl, (a, b) -> a * 0.8 + b) AS numy,
+        |    list_reduce(xyl, (a, b) -> a * 0.8 + b) AS numxy,
+        |    list_reduce(x2l, (a, b) -> a * 0.8 + b) AS sqx,
+        |    list_reduce(y2l, (a, b) -> a * 0.8 + b) AS sqy,
+        |    list_reduce(list_transform(xl, v -> CAST(1 AS DOUBLE)),
+        |      (a, b) -> a * 0.8 + b) AS den,
+        |    list_reduce(list_transform(xl, v -> CAST(1 AS DOUBLE)),
+        |      (a, b) -> a * (0.8 * 0.8) + b) AS den2
+        |  FROM pre),
+        |v AS (SELECT user_id, event_id, den,
+        |    numxy / den - (numx / den) * (numy / den) AS bcov,
+        |    sqx / den - (numx / den) * (numx / den) AS bvx,
+        |    sqy / den - (numy / den) * (numy / den) AS bvy,
+        |    den * den - den2 AS corrden
+        |  FROM f)
+        |SELECT user_id, event_id,
+        |  ROUND(CASE WHEN corrden = 0 THEN NULL
+        |    ELSE (bcov * (den * den)) / corrden END, 6) AS ewm_cov,
+        |  ROUND(CASE WHEN bvx <= 0 OR bvy <= 0 THEN NULL
+        |    ELSE bcov / sqrt(bvx * bvy) END, 6) AS ewm_corr
+        |FROM v ORDER BY user_id, event_id""".stripMargin,
 
     "q77d_interpolate_area" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -440,6 +440,24 @@ class FrameOpsSpec extends SparkSpec {
     assert(math.abs(r(2)._2.get - 10.558191598757126) < 1e-12)
   }
 
+  test("ewmCov/Corr match the pandas adjust=True bias=False goldens") {
+    // x = pd.Series([10,20,0]); y = pd.Series([1,3,2])
+    // x.ewm(alpha=0.2).cov(y)  -> [nan, 10.0, 5.0819672131...]
+    // x.ewm(alpha=0.2).corr(y) -> [nan, 1.0, 0.5092241434...]
+    val df = Seq((1L, 1L, 10.0, 1.0), (1L, 2L, 20.0, 3.0),
+      (1L, 3L, 0.0, 2.0)).toDF("g", "p", "x", "y")
+    val r = graft.ops.FrameOps.ewmCov(df, Seq("g"), "p", "x", "y",
+        alpha = 0.2, covAs = "ec", corrAs = "er")
+      .orderBy("p").collect()
+      .map(x => (Option(x.get(2)).map(_.asInstanceOf[Double]),
+        Option(x.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(r(0) == (None, None)) // debias denom 0; zero variance so far
+    assert(math.abs(r(1)._1.get - 10.0) < 1e-9)
+    assert(math.abs(r(1)._2.get - 1.0) < 1e-9)
+    assert(math.abs(r(2)._1.get - 5.081967213114753) < 1e-9)
+    assert(math.abs(r(2)._2.get - 0.5092241434559709) < 1e-9)
+  }
+
   test("ewmMeanHalflife matches the pandas times= golden") {
     // pd.Series([10,20,0], times=['01-01','01-02','01-05']).ewm(
     //   halflife='1 day').mean() -> [10, 16.666..., 2.6315789...]
