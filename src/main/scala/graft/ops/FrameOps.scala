@@ -220,6 +220,62 @@ object FrameOps {
     df.join(groups.select(keys.map(col): _*), keys, "left_semi")
   }
 
+  /** pandas `merge_ordered(left, right, on=, by=, fill_method=)`
+    * ([pandas.core.reshape.merge :: merge_ordered]; the ordered cousin
+    * of merge_asof for aligning two keyed time series): a full-outer
+    * merge on `by ++ on` — Spark's USING-style join coalesces the key
+    * columns — then, with `fillMethod=Some("ffill")`, every non-key
+    * column from BOTH sides is forward-filled within its `by` group in
+    * `on` order (the pandas contract: fill_method applies to the whole
+    * merged frame, so each side's values propagate across the other
+    * side's unmatched rows).
+    *
+    * Two grouped forms, switched on whether `right` carries the `by`
+    * columns:
+    *  - right WITHOUT them — pandas `left_by=` exactly: the whole right
+    *    frame is replicated into every left group (distinct-by ×
+    *    right, a broadcast when the group list is small) before the
+    *    grouped merge+fill;
+    *  - right WITH them — both sides keyed: the merge is on
+    *    `by ++ on`, and the fill is PER GROUP. pandas given
+    *    on=[by, k] would ffill GLOBALLY across group boundaries (an
+    *    artifact of its single sorted frame, meaningless distributed);
+    *    the per-group fill is the deliberate deviation and the only
+    *    scale-safe reading.
+    *
+    * Scale shape: one shuffle for the join (hash on the full key), one
+    * for the window (hash on `by` alone — a coarser partitioning, so
+    * the exchange is unavoidable); all fills share the single window
+    * spec, so every column fills in that same one pass. `by` must be
+    * non-empty for distributed fill — an empty `by` is a global ordered
+    * fill and moves everything to one partition (same caveat as any
+    * unpartitioned window).
+    */
+  def mergeOrdered(left: DataFrame, right: DataFrame, on: Seq[String],
+      by: Seq[String] = Nil, fillMethod: Option[String] = None): DataFrame = {
+    val keys = by ++ on
+    val rightKeyed =
+      if (by.nonEmpty && !by.forall(right.columns.contains))
+        left.select(by.map(col): _*).distinct.join(right)
+      else right
+    val joined = left.join(rightKeyed, keys, "full_outer")
+    fillMethod match {
+      case Some("ffill") =>
+        val w = Window.partitionBy(by.map(col): _*)
+          .orderBy(on.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val filled = joined.columns.map { c =>
+          if (keys.contains(c)) col(c)
+          else last(col(c), ignoreNulls = true).over(w).as(c)
+        }
+        joined.select(filled.toIndexedSeq: _*)
+      case None => joined
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"unsupported fill_method '$other' (only ffill)")
+    }
+  }
+
   /** pandas `unstack(level)` on a long frame with a unique
     * (index, level) key: level values become columns via pivot +
     * first(). The inverse of [[melt]]/stack — `unstack(melt(df)) == df`

@@ -88,6 +88,24 @@ object AsofQueries extends QueryGroup {
           direction = "nearest")
         .select(col("event_id"), col("user_id"), col("view_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // merge_ordered(fill_method='ffill'): interleave each user's click
+    // and view series on event_id (disjoint ids — the classic ordered
+    // union) and forward-fill both value columns within the user group;
+    // oracle is a FULL OUTER JOIN + last_value(IGNORE NULLS) window
+    "q134_merge_ordered" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") % 4 === 0)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("value").as("click_v"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("value").as("view_v"))
+      graft.ops.FrameOps.mergeOrdered(clicks, views, on = Seq("event_id"),
+          by = Seq("user_id"), fillMethod = Some("ffill"))
+        .select(col("user_id"), col("event_id"),
+          round(col("click_v"), 6).as("click_v"),
+          round(col("view_v"), 6).as("view_v"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
@@ -165,6 +183,21 @@ object AsofQueries extends QueryGroup {
         |       WHEN ABS(EPOCH(f_ts) - EPOCH(b.ts)) < ABS(EPOCH(b.ts) - EPOCH(b_ts)) THEN f_id
         |       ELSE b_id END AS view_id
         |FROM b JOIN f USING (event_id)
-        |ORDER BY b.event_id""".stripMargin
+        |ORDER BY b.event_id""".stripMargin,
+
+    "q134_merge_ordered" ->
+      """WITH c AS (SELECT user_id, event_id, value AS click_v FROM events
+        |  WHERE event_type = 'click' AND user_id % 4 = 0),
+        |v AS (SELECT user_id, event_id, value AS view_v FROM events
+        |  WHERE event_type = 'view' AND user_id % 4 = 0),
+        |j AS (SELECT user_id, event_id, click_v, view_v
+        |  FROM c FULL OUTER JOIN v USING (user_id, event_id))
+        |SELECT user_id, event_id,
+        |  ROUND(last_value(click_v IGNORE NULLS) OVER w, 6) AS click_v,
+        |  ROUND(last_value(view_v IGNORE NULLS) OVER w, 6) AS view_v
+        |FROM j
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -440,6 +440,52 @@ class FrameOpsSpec extends SparkSpec {
     assert(math.abs(r(2)._2.get - 10.558191598757126) < 1e-12)
   }
 
+  test("mergeOrdered interleaves and ffills like pandas merge_ordered") {
+    // pd.merge_ordered(l, r, on='k', fill_method='ffill') per group g:
+    // disjoint keys interleave; both value columns forward-fill
+    val l = Seq((1L, 1L, 10.0), (1L, 3L, 30.0), (2L, 1L, 1.0))
+      .toDF("g", "k", "lv")
+    val r = Seq((1L, 2L, 5.0), (1L, 4L, 7.0)).toDF("g", "k", "rv")
+    val m = graft.ops.FrameOps.mergeOrdered(l, r, on = Seq("k"),
+        by = Seq("g"), fillMethod = Some("ffill"))
+      .orderBy("g", "k").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Double]),
+        Option(x.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(m == Seq(
+      (1L, 1L, Some(10.0), None),
+      (1L, 2L, Some(10.0), Some(5.0)),
+      (1L, 3L, Some(30.0), Some(5.0)),
+      (1L, 4L, Some(30.0), Some(7.0)),
+      (2L, 1L, Some(1.0), None)))
+    // without fill: plain ordered outer merge, nulls stay
+    val plain = graft.ops.FrameOps.mergeOrdered(l, r, on = Seq("k"),
+      by = Seq("g")).orderBy("g", "k").collect()
+    assert(plain.length == 5 && plain.count(_.isNullAt(2)) == 2)
+  }
+
+  test("mergeOrdered left_by replicates right per group, pandas golden") {
+    // pd.merge_ordered(l, r, on='k', left_by='g', fill_method='ffill')
+    // with r lacking g: r replicated into EVERY left group
+    val l = Seq((1L, 1L, 10.0), (1L, 3L, 30.0), (2L, 1L, 1.0))
+      .toDF("g", "k", "lv")
+    val r = Seq((2L, 5.0), (4L, 7.0)).toDF("k", "rv")
+    val m = graft.ops.FrameOps.mergeOrdered(l, r, on = Seq("k"),
+        by = Seq("g"), fillMethod = Some("ffill"))
+      .orderBy("g", "k").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Double]),
+        Option(x.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(m == Seq(
+      (1L, 1L, Some(10.0), None),
+      (1L, 2L, Some(10.0), Some(5.0)),
+      (1L, 3L, Some(30.0), Some(5.0)),
+      (1L, 4L, Some(30.0), Some(7.0)),
+      (2L, 1L, Some(1.0), None),
+      (2L, 2L, Some(1.0), Some(5.0)),
+      (2L, 4L, Some(1.0), Some(7.0))))
+  }
+
   test("ewmCov/Corr match the pandas adjust=True bias=False goldens") {
     // x = pd.Series([10,20,0]); y = pd.Series([1,3,2])
     // x.ewm(alpha=0.2).cov(y)  -> [nan, 10.0, 5.0819672131...]
