@@ -425,6 +425,25 @@ object RelationalQueries extends QueryGroup {
       per.unionByName(all).orderBy(col("grp"))
     }),
 
+    // Count-Min Sketch point queries (explicit hash family, so DuckDB
+    // replays the identical sketch): estimates vs exact counts for the
+    // probed users; width 64 makes collisions real, so the overcount
+    // property (est >= exact, never under) is exercised, not vacuous
+    "q21d_cms_estimate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sketch = graft.ops.Sketches.cmsBuild(ev, "user_id",
+        depth = 4, width = 64)
+      val probes = ev.filter(col("user_id") % 25 === 0)
+        .select(col("user_id")).distinct
+      val exact = ev.filter(col("user_id") % 25 === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      graft.ops.Sketches.cmsEstimate(sketch, probes, "user_id",
+          depth = 4, width = 64)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("cms_est"), col("exact_cnt"))
+        .orderBy(col("user_id"))
+    }),
+
     "q22_agg_collect" -> ((s, d) => {
       ord(s, d).groupBy(col("o_orderpriority"))
         .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
@@ -1221,6 +1240,26 @@ object RelationalQueries extends QueryGroup {
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT l_partkey) FROM lineitem)
         |ORDER BY grp""".stripMargin,
+
+    "q21d_cms_estimate" ->
+      """WITH a AS (SELECT CAST(j AS INTEGER) AS j,
+        |    (2654435761 * (j + 1)) % 2147483647 AS aj,
+        |    (40503 * (j + 1) * (j + 1) + 7) % 2147483647 AS bj
+        |  FROM range(4) t(j)),
+        |sk AS (SELECT j,
+        |    ((aj * (user_id % 2147483647) + bj) % 2147483647) % 64 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM events CROSS JOIN a GROUP BY 1, 2),
+        |pr AS (SELECT DISTINCT user_id FROM events WHERE user_id % 25 = 0),
+        |pb AS (SELECT user_id, j,
+        |    ((aj * (user_id % 2147483647) + bj) % 2147483647) % 64 AS bucket
+        |  FROM pr CROSS JOIN a),
+        |est AS (SELECT user_id, MIN(COALESCE(cnt, 0)) AS cms_est
+        |  FROM pb LEFT JOIN sk USING (j, bucket) GROUP BY user_id),
+        |ex AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events
+        |  WHERE user_id % 25 = 0 GROUP BY user_id)
+        |SELECT user_id, cms_est, exact_cnt FROM est JOIN ex USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q22_agg_collect" ->
       """SELECT o_orderpriority,

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Count-Min Sketch properties (ops/Sketches.scala): the one-sided
+  * error guarantee, shard mergeability, and the plan shape (broadcast
+  * estimate join, bounded sketch cardinality).
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ev = Tables.events(spark, sfTiny)
+
+  test("cms never undercounts and is exact when width >> keys") {
+    val sketch = graft.ops.Sketches.cmsBuild(ev, "user_id", 4, 64)
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact"))
+    val probes = ev.select($"user_id").distinct
+    val both = graft.ops.Sketches
+      .cmsEstimate(sketch, probes, "user_id", 4, 64)
+      .join(exact, "user_id").collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getLong(1) >= r.getLong(2)),
+      "CMS undercounted a key")
+    // wide sketch: collisions vanish, estimates collapse to exact
+    val wide = graft.ops.Sketches.cmsBuild(ev, "user_id", 4, 1 << 16)
+    val w = graft.ops.Sketches
+      .cmsEstimate(wide, probes, "user_id", 4, 1 << 16)
+      .join(exact, "user_id").collect()
+    assert(w.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("sketch cardinality is bounded by depth*width and merge = whole") {
+    val whole = graft.ops.Sketches.cmsBuild(ev, "user_id", 3, 32)
+    assert(whole.count() <= 3 * 32)
+    val shards = Seq(
+      ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1))
+      .map(s => graft.ops.Sketches.cmsBuild(s, "user_id", 3, 32))
+    val merged = graft.ops.Sketches.cmsMerge(shards)
+    assert(merged.unionByName(whole).groupBy($"j", $"bucket", $"cnt")
+      .count().filter($"count" =!= 2).count() == 0,
+      "merged shard sketch differs from whole-corpus sketch")
+  }
+
+  test("absent keys estimate 0 on a sparse sketch; estimate join broadcasts") {
+    val sketch = graft.ops.Sketches.cmsBuild(
+      ev.filter($"user_id" < 10), "user_id", 4, 1 << 16)
+    val absent = Seq(999999999L).toDF("user_id")
+    val est = graft.ops.Sketches.cmsEstimate(sketch, absent, "user_id", 4, 1 << 16)
+    assert(est.collect().map(_.getLong(1)).toSeq == Seq(0L))
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"estimate join should broadcast the sketch:\n$plan")
+  }
+}
