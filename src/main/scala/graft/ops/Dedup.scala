@@ -568,6 +568,87 @@ object Dedup {
     * verification. Embeddings are compared by dot product — pass
     * normalized vectors (the fixtures are unit-norm) or normalize first.
     */
+  /** All-pairs TF-IDF cosine similarity join (the sparse-vector
+    * counterpart of [[embeddingNearPairs]]; SURVEY §2's near-dup family,
+    * the classic "all-pairs similarity search" of Bayardo et al. 2007):
+    * docs become L2-normalized tf·idf vectors over their own vocabulary,
+    * and pairs sharing at least one term are scored by the dot product
+    *   cos(a, b) = Σ_t ŵ_a(t)·ŵ_b(t),  ŵ = tf·idf / ‖tf·idf‖₂ —
+    * no dense vocabulary, no cartesian: candidates come from per-term
+    * posting lists (groupBy term → in-list pair expansion), the same
+    * bounded-key equi-join shape as [[ngramJaccardPairs]].
+    *
+    * `maxDf` is the scale knob: terms in more than `maxDf` docs are
+    * dropped BEFORE weighting (df that high means idf ≈ 0 — the dropped
+    * coordinates are the vector's least informative, and they are
+    * exactly the posting lists whose pair fan-out is quadratic in df).
+    * Unlike the jaccard cap there is no exactness correction: the
+    * cosine is computed over the capped vocabulary, a DIFFERENT (and at
+    * scale, the standard) measure; the oracle replays the same cap, so
+    * the gate still proves the distributed computation exact.
+    *
+    * Cross-engine determinism: idf = ln(n/df) is rounded to 6 decimals
+    * before entering any product (JVM log and DuckDB ln can differ in
+    * the last ulp; rounding first pins every weight, the
+    * [[Corpus.tfidf]] rank-on-rounded lesson). Remaining noise is
+    * sum-order re-association (~1e-16 relative), absorbed by the
+    * 6-decimal output rounding.
+    */
+  def tfidfCosinePairs(df: DataFrame, id: String, text: String,
+      minCosine: Double, maxDf: Int = 0): DataFrame = {
+    require(minCosine > 0, "need minCosine > 0 (the threshold prunes the pair space)")
+    val terms = graft.Tables
+      .spread(df.select(col(id), col(text)), id)
+      .select(col(id), explode(split(normText(col(text)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    // df via window over the tf frame (one exchange on term, reused by
+    // the posting-list grouping below); n_docs is a broadcast scalar
+    val n = df.filter(size(split(normText(col(text)), " ")) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val dfd = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val capped = if (maxDf > 0) dfd.filter(col("df") <= maxDf) else dfd
+    val weighted = capped.crossJoin(broadcast(n))
+      .withColumn("w", col("tf") *
+        round(log(col("n_docs").cast("double") / col("df")), 6))
+    val normed = weighted.withColumn("nrm", sqrt(sum(col("w") * col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(id)))))
+      .withColumn("uw", col("w") / col("nrm"))
+    // per-term posting list → in-list (a < b) products, partial-summed
+    // map-side per term, then one keyed agg to the pair's cosine
+    normed.groupBy(col("term"))
+      .agg(array_sort(collect_list(struct(
+        col(id).cast("long").as("i"), col("uw").as("u")))).as("lst"))
+      .filter(size(col("lst")) > 1)
+      .select(explode(prodPairUdf(col("lst"))).as("p"))
+      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .agg(sum(col("p._3")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** In-list pair expansion for [[tfidfCosinePairs]]: every (a < b)
+    * pair in a term's posting list with the weight product — a compiled
+    * single-pass UDF for the same HOF-trap reason as [[pairGenUdf]].
+    */
+  private val prodPairUdf = udf { (lst: Seq[org.apache.spark.sql.Row]) =>
+    val m = lst.size
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      m * (m - 1) / 2)
+    var a = 0
+    while (a < m) {
+      val ia = lst(a).getLong(0); val ua = lst(a).getDouble(1)
+      var b = a + 1
+      while (b < m) {
+        out += ((ia, lst(b).getLong(0), ua * lst(b).getDouble(1)))
+        b += 1
+      }
+      a += 1
+    }
+    out.toSeq
+  }
+
   def embeddingNearPairs(df: DataFrame, id: String, vec: String,
       minCosine: Double, blockBits: Int = 0): DataFrame = {
     val withBucket =

@@ -275,6 +275,16 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // all-pairs TF-IDF cosine similarity join (Bayardo-style): sparse
+    // tf-idf vectors, posting-list candidate generation, maxDf stop-term
+    // cap bounding per-term fan-out; idf rounded before any product so
+    // the DuckDB replay is deterministic
+    "q95c_tfidf_cosine_pairs" -> ((s, d) => {
+      Dedup.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+          minCosine = 0.3, maxDf = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // embedding cosine near-dup pairs (exact tier)
     "q96_dedup_embedding" -> ((s, d) => {
       Dedup.embeddingNearPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -746,6 +756,29 @@ object LlmQueries extends QueryGroup {
            |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
            |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q95c_tfidf_cosine_pairs" ->
+        s"""WITH d AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |terms AS (SELECT doc_id, unnest(string_split(s, ' ')) AS term FROM d),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+           |  WHERE length(term) > 0 GROUP BY 1, 2),
+           |dfr AS (SELECT doc_id, term, tf,
+           |    COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+           |capped AS (SELECT * FROM dfr WHERE df <= 100),
+           |nd AS (SELECT COUNT(*) AS n_docs FROM d
+           |  WHERE len(string_split(s, ' ')) > 0),
+           |w AS (SELECT doc_id, term,
+           |    tf * ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6) AS w
+           |  FROM capped CROSS JOIN nd),
+           |u AS (SELECT doc_id, term,
+           |    w / sqrt(SUM(w * w) OVER (PARTITION BY doc_id)) AS uw
+           |  FROM w),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    SUM(a.uw * b.uw) AS cos
+           |  FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM pairs
+           |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
       "q96_dedup_embedding" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${sqlDot("a", "b")}, 4) AS cos

@@ -91,4 +91,35 @@ class DedupCapSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral id"))
   }
+
+  test("tfidfCosinePairs: verbatim duplicates score 1, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "red fox jumps over lazy dog"),
+      (2L, "red fox jumps over lazy dog"), // verbatim dup of 1
+      (3L, "entirely different words here"),
+      (4L, "red fox naps")).toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(docs, "doc_id", "text", minCosine = 0.05)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-9,
+      "identical docs must have cosine 1")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)) &&
+      !got.contains((3L, 4L)), "docs sharing no term must not pair")
+    // (1,4)/(2,4) share 'red'+'fox'; both appear and are symmetric
+    assert(got.contains((1L, 4L)) && got((1L, 4L)) == got((2L, 4L)))
+  }
+
+  test("tfidfCosinePairs: maxDf cap is a no-op below the cap; plan has no cartesian") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon"), (4L, "zeta eta theta")).toDF("doc_id", "text")
+    def run(cap: Int) =
+      Dedup.tfidfCosinePairs(docs, "doc_id", "text", minCosine = 0.01, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(0) == run(100), "cap above every df must not change results")
+    val plan = Dedup.tfidfCosinePairs(docs, "doc_id", "text", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs similarity must stay posting-list-joined:\n$plan")
+  }
 }
