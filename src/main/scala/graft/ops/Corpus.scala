@@ -1047,4 +1047,55 @@ object Corpus {
     }
     df.withColumn("split", expr)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * corpus document by how target-like its hashed unigram profile is,
+    *   logw(d) = Σ_{tokens t ∈ d} ( ln p̂_target(b(t)) − ln p̂_source(b(t)) ),
+    * with b(t) = poly_hash(t) mod `buckets` and both distributions
+    * Laplace-smoothed (+0.5 per bucket, the paper's hashed-feature
+    * recipe). High logw → resembles `target`; resampling/top-k on logw
+    * selects target-like data from the raw corpus.
+    *
+    * Scale shape: two explode→groupBy bucket-count passes (map-side
+    * combined, output bounded by `buckets`), the per-bucket
+    * log-likelihood-ratio table joins back BROADCAST (≤ buckets rows),
+    * and the final per-doc sum is one keyed agg — token rows never
+    * carry text, nothing quadratic anywhere. The target sample is
+    * typically tiny (a quality slice); the source pass is the only
+    * full-corpus scan.
+    *
+    * Cross-engine determinism: the per-bucket ratio is rounded to 6
+    * decimals BEFORE the per-doc sum (bucket counts are exact integers
+    * on both engines, so p̂/q̂ are bit-identical doubles; only ln can
+    * drift last-ulp — rounding the ratio pins it, the same pin as
+    * [[Dedup.tfidfCosinePairs]]'s idf). Docs with zero tokens are
+    * absent from the output (they have no evidence either way).
+    */
+  def dsirLogWeights(corpus: DataFrame, target: DataFrame, id: String,
+      text: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "need buckets > 0")
+    def feats(df: DataFrame) = graft.Tables.spread(df.select(col(id), col(text)), id)
+      .select(col(id), explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("b", pmod(graft.expressions.TextHashes.poly_hash(col("term")),
+        lit(buckets.toLong)))
+    val src = feats(corpus)
+    val srcCnt = src.groupBy(col("b")).agg(count(lit(1)).as("qc"))
+    val tgtCnt = feats(target).groupBy(col("b")).agg(count(lit(1)).as("pc"))
+    // totals ride tiny (≤ buckets)-row frames; the ratio table is exact
+    // integer arithmetic up to the two ln calls, rounded immediately
+    val qTot = srcCnt.agg(sum(col("qc")).as("q_tot"))
+    val pTot = tgtCnt.agg(sum(col("pc")).as("p_tot"))
+    val lr = srcCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("pc"))
+      .crossJoin(broadcast(qTot)).crossJoin(broadcast(pTot))
+      .withColumn("lr", round(
+        log((col("pc") + lit(0.5)) / (col("p_tot") + lit(0.5 * buckets))) -
+        log((col("qc") + lit(0.5)) / (col("q_tot") + lit(0.5 * buckets))), 6))
+      .select(col("b"), col("lr"))
+    src.join(broadcast(lr), Seq("b"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("logw"))
+  }
 }

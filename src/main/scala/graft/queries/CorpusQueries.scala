@@ -17,6 +17,14 @@ object CorpusQueries extends QueryGroup {
   /** DuckDB: normalized text (Dedup.normText). */
   private val sqlNorm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
 
+  /** DuckDB replay of [[graft.expressions.TextHashes.poly_hash]] (same
+    * helper as LlmQueries.sqlPoly — fold a·31+codepoint mod 1e9+7).
+    */
+  private def sqlPoly(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, x) -> (a * 31 + x) % 1000000007)"
+
   /** DuckDB: index-order dot product of two 64-dim float-list columns. */
   private[queries] def sqlDot(a: String, ac: String, b: String, bc: String): String =
     s"list_sum(list_transform(range(1, 65), i -> " +
@@ -364,6 +372,19 @@ object CorpusQueries extends QueryGroup {
           max(round(col("target"), 6)).as("target"),
           max(round(col("rate"), 6)).as("rate"))
         .orderBy(col("lang"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): target = the English
+    // slice, source = the whole corpus; per-bucket log-likelihood
+    // ratios rounded before the per-doc sum so both engines agree;
+    // ranked on the ROUNDED weight, doc_id tiebreak
+    "q156d_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 256)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("logw"), 6).as("logw"))
+        .orderBy(col("logw").desc, col("doc_id")).limit(50)
     }),
 
     // deterministic stratified train/val/test split: 80/10/10 by id
@@ -821,6 +842,27 @@ object CorpusQueries extends QueryGroup {
          |  ROUND(ANY_VALUE(r2.target), 6) AS target,
          |  ROUND(ANY_VALUE(r2.rate), 6) AS rate
          |FROM k JOIN r2 ON k.lang = r2.lang GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+
+    "q156d_dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(s, ' ')) AS term FROM d),
+         |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         |dt AS (SELECT DISTINCT term FROM tok2),
+         |hb AS (SELECT term, ${sqlPoly("term")} % 256 AS b FROM dt),
+         |tb AS (SELECT doc_id, b FROM tok2 JOIN hb USING (term)),
+         |qc AS (SELECT b, COUNT(*) AS qc FROM tb GROUP BY b),
+         |pc AS (SELECT b, COUNT(*) AS pc FROM tb
+         |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT (SELECT SUM(qc) FROM qc) AS q_tot,
+         |               (SELECT SUM(pc) FROM pc) AS p_tot),
+         |lr AS (SELECT qc.b, ROUND(
+         |    ln((COALESCE(pc, 0) + 0.5) / (p_tot + 0.5 * 256)) -
+         |    ln((qc + 0.5) / (q_tot + 0.5 * 256)), 6) AS lr
+         |  FROM qc LEFT JOIN pc ON qc.b = pc.b CROSS JOIN tot),
+         |w AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS logw
+         |  FROM tb JOIN lr USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, ROUND(logw, 6) AS logw FROM w
+         |ORDER BY ROUND(logw, 6) DESC, doc_id LIMIT 50""".stripMargin,
 
     "q143b_stratified_split" -> {
       val t1 = (0.8 * 4294967296.0d).toLong

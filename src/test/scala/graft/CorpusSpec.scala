@@ -353,4 +353,21 @@ class CorpusSpec extends SparkSpec {
     assert(r(2) == ((3L, 6, 3, "x y z")))
     assert(r(3) == ((4L, 3, 0, "no dups here")))
   }
+
+  test("dsirLogWeights ranks target-like docs above the rest") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny)
+    val w = Corpus.dsirLogWeights(docs, docs.filter($"lang" === "en"),
+        "doc_id", "text", buckets = 256)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val byLang = w.groupBy($"lang" === "en")
+      .agg(org.apache.spark.sql.functions.avg($"logw" / $"n_tokens").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en target must score en docs higher: $byLang")
+    // every doc with tokens gets a finite weight; empty docs are absent
+    assert(w.count() == docs.filter(org.apache.spark.sql.functions
+      .length(org.apache.spark.sql.functions.trim($"text")) > 0).count())
+    assert(w.filter($"logw".isNull || $"logw".isNaN).count() == 0)
+  }
 }
