@@ -180,18 +180,27 @@ object WindowQueries extends QueryGroup {
     }),
 
     // expanding() aggs (pandas expanding(min_periods=2).sum/mean/std):
-    // the unbounded-preceding frame, mean/std gated on the running count
+    // the unbounded-preceding frame, mean/std gated on the running count.
+    // The mean is EXACT integer-cents arithmetic, not a double running
+    // AVG: r7's driver run proved Spark's running accumulation and
+    // DuckDB's segment-tree window re-associate the sum differently
+    // (last-ulp drift → hash fail). `value` sits on a 2-decimal grid,
+    // so round(value*100) recovers the exact integer cents in both
+    // engines (the product is within 1e-9 of an integer — no ties),
+    // the bigint window SUM is exact, and mean = cents/count/100.0 is
+    // two IEEE divisions on exact operands — bit-identical everywhere.
     "q72b_expanding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
+      val cnt = count(lit(1)).over(w)
+      val cents = sum(round(col("value") * 100, 0).cast("long")).over(w)
       Tables.events(s, d)
         .filter(col("user_id") % 9 === 0)
         .select(
           col("user_id"), col("event_id"),
           round(sum(col("value")).over(w), 2).as("exp_sum"),
-          when(count(lit(1)).over(w) >= 2,
-            avg(col("value")).over(w)).as("exp_mean_mp2"),
-          when(count(lit(1)).over(w) >= 2,
+          when(cnt >= 2, cents.cast("double") / cnt / lit(100.0)).as("exp_mean_mp2"),
+          when(cnt >= 2,
             round(stddev_samp(col("value")).over(w), 6)).as("exp_std_mp2"))
         .orderBy(col("user_id"), col("event_id"))
     }),
@@ -618,7 +627,8 @@ object WindowQueries extends QueryGroup {
       """SELECT user_id, event_id,
         |  ROUND(SUM(value) OVER w, 2) AS exp_sum,
         |  CASE WHEN COUNT(*) OVER w >= 2
-        |    THEN AVG(value) OVER w END AS exp_mean_mp2,
+        |    THEN CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |         / COUNT(*) OVER w / 100.0 END AS exp_mean_mp2,
         |  CASE WHEN COUNT(*) OVER w >= 2
         |    THEN ROUND(STDDEV_SAMP(value) OVER w, 6) END AS exp_std_mp2
         |FROM events WHERE user_id % 9 = 0
