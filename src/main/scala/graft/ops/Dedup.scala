@@ -597,6 +597,15 @@ object Dedup {
   def tfidfCosinePairs(df: DataFrame, id: String, text: String,
       minCosine: Double, maxDf: Int = 0): DataFrame = {
     require(minCosine > 0, "need minCosine > 0 (the threshold prunes the pair space)")
+    // long ids ride the posting-list structs; a non-integral id would
+    // silently cast to null and NPE inside prodPairUdf (ADVICE r7 —
+    // same contract as ngramJaccardPairs)
+    locally {
+      import org.apache.spark.sql.types._
+      val ok = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+      require(ok(df.schema(id).dataType),
+        s"tfidfCosinePairs needs an integral id column; '$id' is ${df.schema(id).dataType.simpleString}")
+    }
     val terms = graft.Tables
       .spread(df.select(col(id), col(text)), id)
       .select(col(id), explode(split(normText(col(text)), " ")).as("term"))
@@ -623,9 +632,13 @@ object Dedup {
       .filter(size(col("lst")) > 1)
       .select(explode(prodPairUdf(col("lst"))).as("p"))
       .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .agg(sum(col("p._3")).as("cos"))
+      // round BEFORE the threshold filter: a pair sitting exactly at
+      // minCosine could otherwise flip membership on ~1e-16 sum-order
+      // drift between engines; thresholding the rounded value means
+      // both engines gate on identical doubles (ADVICE r7)
+      .agg(round(sum(col("p._3")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** In-list pair expansion for [[tfidfCosinePairs]]: every (a < b)

@@ -254,8 +254,17 @@ object FrameOps {
   def mergeOrdered(left: DataFrame, right: DataFrame, on: Seq[String],
       by: Seq[String] = Nil, fillMethod: Option[String] = None): DataFrame = {
     val keys = by ++ on
+    // all-or-none contract on right's by columns: a proper subset would
+    // cross-join on the missing ones while the join key still names the
+    // present ones — duplicate column names, then an ambiguous-column
+    // failure (or a silently wrong pick) downstream (ADVICE r7)
+    val byPresent = by.filter(right.columns.contains)
+    require(byPresent.isEmpty || byPresent.size == by.size,
+      s"mergeOrdered: right must carry ALL of the by columns (${by.mkString(", ")}) " +
+        s"— the keyed form — or NONE of them (the left_by replicate form); " +
+        s"it has only (${byPresent.mkString(", ")})")
     val rightKeyed =
-      if (by.nonEmpty && !by.forall(right.columns.contains))
+      if (by.nonEmpty && byPresent.isEmpty)
         left.select(by.map(col): _*).distinct.join(right)
       else right
     val joined = left.join(rightKeyed, keys, "full_outer")

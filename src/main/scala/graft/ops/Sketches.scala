@@ -46,9 +46,14 @@ object Sketches {
     require(depth > 0 && width > 0, "need depth > 0 and width > 0")
     val rows = (0 until depth).map(j =>
       struct(lit(j).as("j"), bucketExpr(col(key), j, width).as("bucket")))
-    val w = weight.map(c => sum(col(c)).as("cnt"))
+    // the weight column must survive the explode projection — selecting
+    // only (key, e) dropped it and sum() failed to resolve (ADVICE r7)
+    val exploded = df.select(
+      col(key) +: weight.map(c => col(c).as("__w")).toSeq :+
+        explode(array(rows: _*)).as("e"): _*)
+    val w = weight.map(_ => sum(col("__w")).as("cnt"))
       .getOrElse(count(lit(1)).as("cnt"))
-    df.select(col(key), explode(array(rows: _*)).as("e"))
+    exploded
       .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
       .agg(w)
   }

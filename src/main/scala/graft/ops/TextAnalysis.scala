@@ -332,9 +332,23 @@ object TextAnalysis {
     * for bounded inputs only — vocabularies, label sets, entity
     * names; the emitted upper triangle (a < b) halves the work.
     * Spark's built-in `levenshtein` matches DuckDB's bit-for-bit.
+    *
+    * `maxN` fail-fasts the misuse mode (same guard pattern as the
+    * jaccard cap / SemDeDup): a distinct count beyond it means someone
+    * pointed an O(N²) matrix op at corpus-sized data — the one cheap
+    * count aggregate catches it before the quadratic join is built.
+    * Raise maxN knowingly for a genuinely large bounded vocabulary.
     */
-  def editDistanceMatrix(df: DataFrame, value: String): DataFrame = {
+  def editDistanceMatrix(df: DataFrame, value: String,
+      maxN: Long = 10000): DataFrame = {
     val v = df.select(col(value).as("v")).distinct()
+    val n = v.count()
+    require(n <= maxN,
+      s"editDistanceMatrix: $n distinct values exceed maxN=$maxN — this op is " +
+        "all-pairs O(N²) BY DEFINITION (the cuDF edit_distance_matrix contract) and " +
+        "is meant for bounded inputs (vocabularies, label sets, entity names). " +
+        "For corpus-scale near-dup detection use ngramJaccardPairs / " +
+        "minhashCandidatePairs; pass a larger maxN to knowingly run the quadratic join.")
     v.as("a").join(v.as("b"), col("a.v") < col("b.v"))
       .select(col("a.v").as("a"), col("b.v").as("b"),
         levenshtein(col("a.v"), col("b.v")).as("dist"))

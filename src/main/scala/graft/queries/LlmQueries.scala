@@ -778,7 +778,7 @@ object LlmQueries extends QueryGroup {
            |  FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
            |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM pairs
-           |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+           |WHERE ROUND(cos, 6) >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
       "q96_dedup_embedding" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${sqlDot("a", "b")}, 4) AS cos

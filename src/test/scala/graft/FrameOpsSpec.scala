@@ -486,6 +486,16 @@ class FrameOpsSpec extends SparkSpec {
       (2L, 4L, Some(1.0), Some(7.0))))
   }
 
+  test("mergeOrdered rejects a right frame with a proper subset of by") {
+    val l = Seq((1L, 2L, 1L, 10.0)).toDF("g1", "g2", "k", "lv")
+    val r = Seq((1L, 2L, 5.0)).toDF("g1", "k", "rv") // has g1, lacks g2
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.FrameOps.mergeOrdered(l, r, on = Seq("k"), by = Seq("g1", "g2"))
+    }
+    assert(e.getMessage.contains("ALL of the by columns") &&
+      e.getMessage.contains("g2"), e.getMessage)
+  }
+
   test("ewmCov/Corr match the pandas adjust=True bias=False goldens") {
     // x = pd.Series([10,20,0]); y = pd.Series([1,3,2])
     // x.ewm(alpha=0.2).cov(y)  -> [nan, 10.0, 5.0819672131...]

@@ -41,6 +41,21 @@ class SketchSpec extends SparkSpec {
       "merged shard sketch differs from whole-corpus sketch")
   }
 
+  test("weighted (turnstile) build sums weights; weight=1 ≡ unweighted") {
+    val wev = ev.withColumn("w", lit(1L))
+    val unweighted = graft.ops.Sketches.cmsBuild(ev, "user_id", 3, 32)
+    val weighted1 = graft.ops.Sketches.cmsBuild(wev, "user_id", 3, 32, Some("w"))
+    assert(weighted1.unionByName(unweighted).groupBy($"j", $"bucket", $"cnt")
+      .count().filter($"count" =!= 2).count() == 0,
+      "weight=1 turnstile sketch differs from the unweighted build")
+    // weight=3 per row must triple every cell
+    val w3 = graft.ops.Sketches.cmsBuild(
+      ev.withColumn("w", lit(3L)), "user_id", 3, 32, Some("w"))
+    assert(w3.join(unweighted.withColumnRenamed("cnt", "c1"), Seq("j", "bucket"))
+      .filter($"cnt" =!= $"c1" * 3).count() == 0,
+      "weight=3 turnstile sketch is not 3x the unweighted cells")
+  }
+
   test("absent keys estimate 0 on a sparse sketch; estimate join broadcasts") {
     val sketch = graft.ops.Sketches.cmsBuild(
       ev.filter($"user_id" < 10), "user_id", 4, 1 << 16)

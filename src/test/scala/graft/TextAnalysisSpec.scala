@@ -129,6 +129,18 @@ class TextAnalysisSpec extends SparkSpec {
       r(0).getString(0) == "kitten" && r(0).getInt(2) == 3)
   }
 
+  test("editDistanceMatrix fail-fasts corpus-sized input; maxN overrides") {
+    val big = spark.range(50).selectExpr("CAST(id AS STRING) AS v")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.editDistanceMatrix(big, "v", maxN = 10)
+    }
+    assert(e.getMessage.contains("all-pairs O(N²)") &&
+      e.getMessage.contains("maxN=10"), e.getMessage)
+    // explicit larger cap runs the quadratic join knowingly
+    assert(TextAnalysis.editDistanceMatrix(big, "v", maxN = 50).count() ==
+      50L * 49 / 2)
+  }
+
   test("tokenizeWithVocabulary maps OOV to the default id in order") {
     val docs = Seq((1L, "big cat zz big")).toDF("doc_id", "text")
     val vocab = Seq(("big", 0), ("cat", 1)).toDF("word", "vocab_id")
