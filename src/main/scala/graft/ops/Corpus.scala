@@ -579,25 +579,38 @@ object Corpus {
     * shuffled bytes ~l×; at 100 TB swap the join key for xxhash64(win)
     * to shuffle 8-byte keys instead (collision odds ~N²/2⁶⁴ — fine in
     * production, kept exact here so the oracle gates bit-for-bit).
+    *
+    * `numParts` bounds PER-TASK memory, the same knob (and reason) as
+    * [[FrameOps.searchSortedLarge]]: the exploded window/token frames
+    * are ~l× the corpus, so at the default shuffle parallelism each
+    * task holds corpus/parts·l bytes — the r7 100× stress peaked a
+    * task at 1996 MiB, one fixture-doubling from task failure. Raising
+    * numParts splits the win-stat groupBy, the cover distinct, and the
+    * rebuild joins into more, smaller tasks; 0 keeps the session
+    * default (fine at test SF). Size it ≈ corpus_bytes·l / 256 MiB.
     */
   def dedupSpansRewrite(df: DataFrame, id: String, text: String,
-      l: Int): DataFrame = {
+      l: Int, numParts: Int = 0): DataFrame = {
+    def parted(d: DataFrame, keys: Column*): DataFrame =
+      if (numParts > 0) d.repartition(numParts, keys: _*) else d
     val t = toks(col(text))
     val wins = df.select(col(id),
         posexplode(TextAnalysis.allNgramsUdf(t, lit(l))).as(Seq("p0", "win")))
       .select(col(id), (col("p0") + 1).as("p"), col("win"))
-    val stat = wins.groupBy(col("win"))
+    val stat = parted(wins, col("win")).groupBy(col("win"))
       .agg(count(lit(1)).as("cnt"), min(struct(col(id), col("p"))).as("f"))
-    val marked = wins.join(stat, Seq("win"))
+    val marked = parted(wins, col("win")).join(stat, Seq("win"))
       .filter(col("cnt") > 1 &&
         !(col("f")(id) === col(id) && col("f")("p") === col("p")))
       .select(col(id), col("p"))
-    val cover = marked
-      .select(col(id), explode(sequence(col("p"), col("p") + l - 1)).as("tp"))
+    val cover = parted(marked
+      .select(col(id), explode(sequence(col("p"), col("p") + l - 1)).as("tp")),
+        col(id), col("tp"))
       .distinct()
     val tokens = df.select(col(id), posexplode(t).as(Seq("tp0", "tok")))
       .select(col(id), (col("tp0") + 1).as("tp"), col("tok"))
-    val rebuilt = tokens.join(cover, Seq(id, "tp"), "left_anti")
+    val rebuilt = parted(tokens, col(id), col("tp"))
+      .join(cover, Seq(id, "tp"), "left_anti")
       .groupBy(col(id))
       .agg(array_sort(collect_list(struct(col("tp"), col("tok")))).as("a"))
       .select(col(id), size(col("a")).as("n_kept"),

@@ -305,9 +305,14 @@ object CorpusQueries extends QueryGroup {
 
     // the q154 signal turned into the actual TRANSFORM: excise every
     // token covered by a non-first duplicated 5-token window and
-    // rebuild each doc (Lee et al. substring dedup with rewrite)
+    // rebuild each doc (Lee et al. substring dedup with rewrite).
+    // numParts=256 bounds per-task memory on the exploded window
+    // frames (r7 100× stress peaked a task at 1996 MiB at the default
+    // 32); explicit-numPartitions repartitions are not AQE-coalesced,
+    // but the extra small-SF tasks are sub-ms each
     "q154b_dedup_substrings" -> ((s, d) => {
-      Corpus.dedupSpansRewrite(Tables.documents(s, d), "doc_id", "text", l = 5)
+      Corpus.dedupSpansRewrite(Tables.documents(s, d), "doc_id", "text", l = 5,
+          numParts = 256)
         .orderBy(col("doc_id"))
     }),
 

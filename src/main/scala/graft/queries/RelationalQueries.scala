@@ -444,6 +444,28 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // weighted (turnstile) CMS: cells accumulate SUM(weight), not
+    // COUNT(*) — the form a token-count or byte-count heavy-hitter
+    // sketch needs. Weight = exact integer cents of `value` (the q72b
+    // lesson: integer weights keep both engines' sums exact), same
+    // replayable hash family as q21d. Gates the r7-ADVICE fix (the
+    // weighted path used to drop the weight column before the agg).
+    "q21e_cms_weighted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("w", round(col("value") * 100, 0).cast("long"))
+      val sketch = graft.ops.Sketches.cmsBuild(ev, "user_id",
+        depth = 4, width = 64, weight = Some("w"))
+      val probes = ev.filter(col("user_id") % 25 === 0)
+        .select(col("user_id")).distinct
+      val exact = ev.filter(col("user_id") % 25 === 0)
+        .groupBy(col("user_id")).agg(sum(col("w")).as("exact_w"))
+      graft.ops.Sketches.cmsEstimate(sketch, probes, "user_id",
+          depth = 4, width = 64, as = "cms_w")
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("cms_w"), col("exact_w"))
+        .orderBy(col("user_id"))
+    }),
+
     "q22_agg_collect" -> ((s, d) => {
       ord(s, d).groupBy(col("o_orderpriority"))
         .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
@@ -1259,6 +1281,28 @@ object RelationalQueries extends QueryGroup {
         |ex AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events
         |  WHERE user_id % 25 = 0 GROUP BY user_id)
         |SELECT user_id, cms_est, exact_cnt FROM est JOIN ex USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q21e_cms_weighted" ->
+      """WITH a AS (SELECT CAST(j AS INTEGER) AS j,
+        |    (2654435761 * (j + 1)) % 2147483647 AS aj,
+        |    (40503 * (j + 1) * (j + 1) + 7) % 2147483647 AS bj
+        |  FROM range(4) t(j)),
+        |ew AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS w
+        |  FROM events),
+        |sk AS (SELECT j,
+        |    ((aj * (user_id % 2147483647) + bj) % 2147483647) % 64 AS bucket,
+        |    CAST(SUM(w) AS BIGINT) AS cnt
+        |  FROM ew CROSS JOIN a GROUP BY 1, 2),
+        |pr AS (SELECT DISTINCT user_id FROM ew WHERE user_id % 25 = 0),
+        |pb AS (SELECT user_id, j,
+        |    ((aj * (user_id % 2147483647) + bj) % 2147483647) % 64 AS bucket
+        |  FROM pr CROSS JOIN a),
+        |est AS (SELECT user_id, MIN(COALESCE(cnt, 0)) AS cms_w
+        |  FROM pb LEFT JOIN sk USING (j, bucket) GROUP BY user_id),
+        |ex AS (SELECT user_id, CAST(SUM(w) AS BIGINT) AS exact_w FROM ew
+        |  WHERE user_id % 25 = 0 GROUP BY user_id)
+        |SELECT user_id, cms_w, exact_w FROM est JOIN ex USING (user_id)
         |ORDER BY user_id""".stripMargin,
 
     "q22_agg_collect" ->
