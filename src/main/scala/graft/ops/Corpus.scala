@@ -581,19 +581,37 @@ object Corpus {
     * production, kept exact here so the oracle gates bit-for-bit).
     *
     * `numParts` bounds PER-TASK memory, the same knob (and reason) as
-    * [[FrameOps.searchSortedLarge]]: the exploded window/token frames
-    * are ~l× the corpus, so at the default shuffle parallelism each
-    * task holds corpus/parts·l bytes — the r7 100× stress peaked a
-    * task at 1996 MiB, one fixture-doubling from task failure. Raising
-    * numParts splits the win-stat groupBy, the cover distinct, and the
-    * rebuild joins into more, smaller tasks; 0 keeps the session
-    * default (fine at test SF). Size it ≈ corpus_bytes·l / 256 MiB.
+    * [[FrameOps.searchSortedLarge]]: the window/cover/token frames are
+    * ~l× the corpus, so at the default shuffle parallelism the win
+    * join, the cover distinct, and the rebuild anti-join each hold
+    * corpus·l/parts rows per task — the r7 100× stress peaked a task
+    * at ~2 GiB, one fixture-doubling from task failure. The r8
+    * same-session A/B on that fixture: default parts 128 s wall /
+    * 2688 MiB peak task → 256 parts 99 s / 268 MiB (better on BOTH
+    * axes: the wide shuffles also break up the hot-window stragglers).
+    * The default `numParts = -1` AUTO-SIZES from one cheap token-count
+    * pass: ~500k exploded (token × l) rows per task ≈ the measured
+    * ~260 MiB task footprint (533 B/row of Tungsten hash-set + window
+    * string overhead, calibrated on the 100× fixture), clamped to
+    * 4096 and disabled when the derived width doesn't exceed the
+    * session shuffle partitions — so test-SF plans are untouched and
+    * the 100 TB shape engages by itself. 0 forces off; >0 overrides.
     */
   def dedupSpansRewrite(df: DataFrame, id: String, text: String,
-      l: Int, numParts: Int = 0): DataFrame = {
-    def parted(d: DataFrame, keys: Column*): DataFrame =
-      if (numParts > 0) d.repartition(numParts, keys: _*) else d
+      l: Int, numParts: Int = -1): DataFrame = {
     val t = toks(col(text))
+    val sessionParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val parts =
+      if (numParts >= 0) numParts
+      else {
+        val nTok = Option(df.agg(sum(size(t))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val want = (nTok * l / 500000L).toInt
+        if (want <= sessionParts) 0 else math.min(want, 4096)
+      }
+    def parted(d: DataFrame, keys: Column*): DataFrame =
+      if (parts > 0) d.repartition(parts, keys: _*) else d
     val wins = df.select(col(id),
         posexplode(TextAnalysis.allNgramsUdf(t, lit(l))).as(Seq("p0", "win")))
       .select(col(id), (col("p0") + 1).as("p"), col("win"))

@@ -306,13 +306,12 @@ object CorpusQueries extends QueryGroup {
     // the q154 signal turned into the actual TRANSFORM: excise every
     // token covered by a non-first duplicated 5-token window and
     // rebuild each doc (Lee et al. substring dedup with rewrite).
-    // numParts=256 bounds per-task memory on the exploded window
-    // frames (r7 100× stress peaked a task at 1996 MiB at the default
-    // 32); explicit-numPartitions repartitions are not AQE-coalesced,
-    // but the extra small-SF tasks are sub-ms each
+    // numParts is left on AUTO: the op sizes its own shuffle width
+    // from a token-count pass, so this same query plan is untouched at
+    // sf0.01/0.1 and widens itself on a 100× corpus (PLANS.md r8 row:
+    // 2688→268 MiB peak task AND 128→~100 s wall on the same fixture)
     "q154b_dedup_substrings" -> ((s, d) => {
-      Corpus.dedupSpansRewrite(Tables.documents(s, d), "doc_id", "text", l = 5,
-          numParts = 256)
+      Corpus.dedupSpansRewrite(Tables.documents(s, d), "doc_id", "text", l = 5)
         .orderBy(col("doc_id"))
     }),
 
