@@ -679,8 +679,9 @@ object Corpus {
 
   /** Resample the corpus toward a target domain mixture: given target
     * weights per stratum and a total row `budget`, compute the keep-rate
-    * budget·target/n per stratum (capped at 1 — can't upsample with a
-    * filter) and apply the deterministic hash filter of [[sampleByHash]].
+    * budget·target/n per stratum (capped at 1 — a filter can't
+    * upsample; [[mixtureUpsample]] handles rates above 1 by
+    * replication) and apply the deterministic hash filter of [[sampleByHash]].
     * This is the mixture-balancing step of every pretraining pipeline
     * (e.g. up/down-weighting domains): counts aggregate is tiny and
     * broadcast back; the filter itself is a map-stage predicate.
@@ -697,6 +698,46 @@ object Corpus {
     val bucket = hashBucket(col(id))
     df.join(broadcast(rates), strata)
       .filter(bucket < (col("rate") * lit(4294967296L)).cast("long"))
+  }
+
+  /** Mixture resampling WITH upsampling — rates above 1 replicate.
+    * [[mixtureResample]] caps its keep-rate at 1 because a filter can
+    * only discard; real mixture schedules (DoReMi-style domain weights,
+    * epoch factors for small high-quality domains) routinely ask for
+    * 2–4 passes over a stratum. Here each row of a stratum with rate r
+    * is emitted floor(r) times unconditionally plus one more copy iff
+    * the [[sampleByHash]] hash of its id lands under frac(r) — so
+    * E[copies] = r exactly, the emitted set is a function of (id,
+    * targets, budget) alone (reproducible across runs, retries, and
+    * the DuckDB oracle — no RNG stream), and a stratum with r ≤ 1
+    * degenerates to exactly [[mixtureResample]]'s selection.
+    *
+    * Scale shape: the rate table is a broadcast |strata|-row frame;
+    * replication is a map-stage explode of a `sequence` bounded by
+    * ceil(r) — no shuffle, no driver loop. Emits a `copy` index
+    * (0-based) so downstream sharding/packing can disambiguate
+    * replicas before any groupBy on the id.
+    */
+  def mixtureUpsample(df: DataFrame, id: String, strata: String,
+      targets: Map[String, Double], budget: Long,
+      defaultTarget: Double = 0.0): DataFrame = {
+    val target = targets.foldLeft(lit(defaultTarget)) { case (acc, (k, w)) =>
+      when(col(strata) === k, lit(w)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(strata))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("rate", lit(budget.toDouble) * target / col("n_stratum"))
+    val whole = floor(col("rate")).cast("long")
+    val frac = col("rate") - floor(col("rate"))
+    df.join(broadcast(rates), strata)
+      // rate = 0 still yields one candidate copy (sequence(0, -1) would
+      // count DOWN in Spark); the filter then drops it: 0 < 0 is false
+      // and frac·2^32 = 0 admits no hash
+      .withColumn("copy",
+        explode(sequence(lit(0L), greatest(ceil(col("rate")).cast("long"), lit(1L)) - 1)))
+      .filter(col("copy") < whole ||
+        (col("copy") === whole &&
+          hashBucket(col(id)) < (frac * lit(4294967296L)).cast("long")))
   }
 
   /** Mixture resampling toward a TOKEN budget (the unit training

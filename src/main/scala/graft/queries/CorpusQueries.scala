@@ -224,6 +224,18 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("lang"))
     }),
 
+    // mixture resampling WITH upsampling: rates above 1 replicate
+    // (floor(r) copies + one hash-gated fractional copy, E[copies]=r).
+    // At sf0.01 this profile downsamples en (0.55×) and upsamples zh
+    // (2.4×) and es (4.11×); de/fr get target 0 and drop. Gated on
+    // the full (doc_id, lang, copy) emitted set.
+    "q156e_mixture_upsample" -> ((s, d) => {
+      Corpus.mixtureUpsample(Tables.documents(s, d), "doc_id", "lang",
+          targets = Map("en" -> 0.2, "es" -> 0.5, "zh" -> 0.3), budget = 600)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // mixture resampling toward a TOKEN budget — the unit pretraining
     // actually plans in: real wordpiece counts (q109's kernel) drive
     // per-language keep-rates of budget·target/token-mass
@@ -657,6 +669,28 @@ object CorpusQueries extends QueryGroup {
         |  ROUND(ANY_VALUE(r.rate), 6) AS rate,
         |  CAST(ANY_VALUE(r.n_stratum) AS BIGINT) AS n_stratum
         |FROM k JOIN r USING (lang) GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+
+    // replication via a static range(0,64) cross join + width filter:
+    // DuckDB 1.0's binder hits an INTERNAL error when an unnest-aliased
+    // column is referenced from an outer WHERE, and its range() table
+    // function rejects lateral (correlated) bounds — the 64-copy cap is
+    // fixture-safe (max rate here is es at 4.11)
+    "q156e_mixture_upsample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |    CAST(600 AS DOUBLE) * (CASE lang WHEN 'en' THEN 0.2
+        |      WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.3 ELSE 0.0 END)
+        |      / n_stratum AS rate
+        |  FROM c),
+        |e AS (SELECT d.doc_id, d.lang, r.rate, t.copy
+        |  FROM documents d JOIN r USING (lang) CROSS JOIN range(0, 64) t(copy)
+        |  WHERE t.copy < CAST(GREATEST(CEIL(r.rate), 1) AS BIGINT))
+        |SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy FROM e
+        |WHERE copy < CAST(FLOOR(rate) AS BIGINT)
+        |   OR (copy = CAST(FLOOR(rate) AS BIGINT)
+        |       AND (doc_id * 2654435761) % 4294967296
+        |         < CAST(FLOOR((rate - FLOOR(rate)) * 4294967296) AS BIGINT))
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q156b_mixture_by_tokens" ->
       s"""WITH RECURSIVE

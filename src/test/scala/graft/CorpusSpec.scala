@@ -279,6 +279,38 @@ class CorpusSpec extends SparkSpec {
     tBig.foreach(t => assert(math.abs(t - 1.0 / nLangs) < 0.02)) // ~uniform
   }
 
+  test("mixtureUpsample replicates by floor(r) + hash-gated fractional copy") {
+    import spark.implicits._
+    val tiny = (0L until 10L).map(i => (i, "a")).toDF("doc_id", "lang")
+    // rate = 25 * 1.0 / 10 = 2.5: copies 0,1 always; copy 2 iff the
+    // Knuth hash of the id lands under 0.5 * 2^32 (brute-forced here)
+    val got = Corpus.mixtureUpsample(tiny, "doc_id", "lang",
+        targets = Map("a" -> 1.0), budget = 25)
+      .select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bucket(i: Long): Long = {
+      val m = (i * 2654435761L) % 4294967296L
+      if (m < 0) m + 4294967296L else m
+    }
+    val expected = (0L until 10L).flatMap { i =>
+      Seq((i, 0L), (i, 1L)) ++
+        (if (bucket(i) < (0.5 * 4294967296L).toLong) Seq((i, 2L)) else Nil)
+    }.toSet
+    assert(got == expected)
+    // a stratum with r <= 1 degenerates to exactly mixtureResample's set
+    val docs10 = docs.limit(0).unionByName(docs) // fresh plan, same rows
+    val up = Corpus.mixtureUpsample(docs, "doc_id", "lang",
+        targets = Map("en" -> 1.0), budget = 50)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val down = Corpus.mixtureResample(docs10, "doc_id", "lang",
+        targets = Map("en" -> 1.0), budget = 50)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(up == down)
+    // rate 0 strata emit nothing
+    assert(Corpus.mixtureUpsample(tiny, "doc_id", "lang",
+      targets = Map("zz" -> 1.0), budget = 25).count() == 0)
+  }
+
   test("containmentPairs: full containment scores 10000 bp") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e f g h"), (2L, "zz yy xx ww"))
