@@ -205,6 +205,29 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // expanding pairwise stats (pandas expanding().corr(other)/
+    // cov(other)): q71d's one-pass ratio formulation on the unbounded-
+    // preceding frame, min_periods=2 gate like q72b — corr as
+    // cov/(sx*sy) with nullif (Spark 4 ANSI corr throws on 0/0 where
+    // DuckDB/pandas return null)
+    "q72d_expanding_corr_cov" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cnt = count(lit(1)).over(w)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .withColumn("y", (col("event_id") % 17).cast("double"))
+        .select(
+          col("user_id"), col("event_id"),
+          when(cnt >= 2, round(covar_samp(col("value"), col("y")).over(w) /
+            nullif(stddev_samp(col("value")).over(w) *
+              stddev_samp(col("y")).over(w), lit(0.0)), 6)).as("exp_corr"),
+          when(cnt >= 2,
+            round(covar_samp(col("value"), col("y")).over(w), 6)).as("exp_cov"),
+          cnt.as("exp_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // cummin + cumprod (SURVEY §2.5 cumulative family; q72 covers
     // cumsum/cummax/cumcount). cumprod as exp∘sum∘ln, the same
     // prefix-scan both engines evaluate in frame order (q79's pattern);
@@ -631,6 +654,22 @@ object WindowQueries extends QueryGroup {
         |         / COUNT(*) OVER w / 100.0 END AS exp_mean_mp2,
         |  CASE WHEN COUNT(*) OVER w >= 2
         |    THEN ROUND(STDDEV_SAMP(value) OVER w, 6) END AS exp_std_mp2
+        |FROM events WHERE user_id % 9 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q72d_expanding_corr_cov" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN COUNT(*) OVER w >= 2 THEN
+        |    ROUND(COVAR_SAMP(value, CAST(event_id % 17 AS DOUBLE)) OVER w /
+        |      NULLIF(STDDEV_SAMP(value) OVER w *
+        |        STDDEV_SAMP(CAST(event_id % 17 AS DOUBLE)) OVER w, 0.0), 6)
+        |  END AS exp_corr,
+        |  CASE WHEN COUNT(*) OVER w >= 2 THEN
+        |    ROUND(COVAR_SAMP(value, CAST(event_id % 17 AS DOUBLE)) OVER w, 6)
+        |  END AS exp_cov,
+        |  COUNT(*) OVER w AS exp_n
         |FROM events WHERE user_id % 9 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

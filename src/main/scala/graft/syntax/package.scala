@@ -154,6 +154,10 @@ package object syntax {
         defaultTarget: Double = 0.0): DataFrame =
       Corpus.mixtureResampleTokens(df, id, strata, nTokens, targets,
         budgetTokens, defaultTarget)
+    def mixtureUpsample(id: String, strata: String,
+        targets: Map[String, Double], budget: Long,
+        defaultTarget: Double = 0.0): DataFrame =
+      Corpus.mixtureUpsample(df, id, strata, targets, budget, defaultTarget)
     def wordpieceTokenize(id: String, text: String): DataFrame =
       graft.ops.TextAnalysis.wordpieceTokenize(df, id, text)
     def corrMatrix(cols: Seq[String]): DataFrame =
