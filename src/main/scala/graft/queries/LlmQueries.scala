@@ -292,6 +292,17 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the SCALE tier of the same op: signed-random-projection blocking
+    // (q98's replayable bucket function) — only same-bucket pairs are
+    // compared, so the quadratic term is bounded per bucket; the oracle
+    // replays bucket assignment AND the within-bucket pair scan, so the
+    // recall trade of the blocked tier is itself hash-gated
+    "q96b_dedup_embedding_blocked" -> ((s, d) => {
+      Dedup.embeddingNearPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          minCosine = 0.4, blockBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- similarity search (M6c) ------------------------------------
     "q97_ann_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -783,6 +794,13 @@ object LlmQueries extends QueryGroup {
       "q96_dedup_embedding" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${sqlDot("a", "b")}, 4) AS cos
            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${sqlDot("a", "b")} > 0.4
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q96b_dedup_embedding_blocked" ->
+        s"""WITH bk AS (SELECT vec_id, embedding, ${sqlRpBucket("embeddings", 4)} AS bucket FROM embeddings)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${sqlDot("a", "b")}, 4) AS cos
+           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE ${sqlDot("a", "b")} > 0.4
            |ORDER BY id_a, id_b""".stripMargin,
 
