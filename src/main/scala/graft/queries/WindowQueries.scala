@@ -321,6 +321,26 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("l_returnflag"), col("rank_first"))
     }),
 
+    // rank(pct=True) — the surface q70d leaves unemitted as a raw
+    // double (rank/n lands on round-half boundaries whenever the
+    // partition count is 2^a·5^b, where Spark half-up and DuckDB
+    // half-even disagree). Gated EXACTLY instead via the q140
+    // basis-points trick: floor(rank·10000/n) is pure integer
+    // arithmetic — identical in both engines at every count
+    "q70e_rank_pct" -> ((s, d) => {
+      val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val total = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 331 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          rank().over(byQty).as("rank_min"),
+          floor(rank().over(byQty) * lit(10000.0) / count(lit(1)).over(total))
+            .cast("long").as("pct_bp"))
+        .orderBy(col("l_returnflag"), col("rank_min"),
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // groupby.nth(n) (pandas/cudf): the n-th row of each group in frame
     // order — row_number window + filter, one keyed Exchange
     "q24c_groupby_nth" -> ((s, d) => {
@@ -585,6 +605,15 @@ object WindowQueries extends QueryGroup {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q70e_rank_pct" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  RANK() OVER wq AS rank_min,
+        |  CAST(FLOOR(RANK() OVER wq * 10000.0
+        |    / COUNT(*) OVER (PARTITION BY l_returnflag)) AS BIGINT) AS pct_bp
+        |FROM lineitem WHERE l_orderkey % 331 = 0
+        |WINDOW wq AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_returnflag, rank_min, l_orderkey, l_linenumber""".stripMargin,
 
     "q70d_rank_methods" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

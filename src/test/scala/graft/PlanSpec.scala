@@ -189,6 +189,21 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("mixture upsample broadcasts the rate table; replication is a map-stage explode") {
+    val p = graft.ops.Corpus.mixtureUpsample(
+        Tables.documents(spark, sfTiny), "doc_id", "lang",
+        targets = Map("en" -> 0.5, "zh" -> 0.5), budget = 1000)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Generate"), p) // the sequence-explode replication
+  }
+
+  test("blocked embedding dedup joins on the bucket key — no cartesian") {
+    val p = plan("q96b_dedup_embedding_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("set_index analog: range repartition + within-partition sort is sorted per partition") {
     val df = Tables.lineitem(spark, sfTiny)
       .repartitionByRange(8, col("l_orderkey"))
