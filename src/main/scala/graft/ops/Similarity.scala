@@ -154,6 +154,179 @@ object Similarity {
     ivfTopK(kmeansAssign(corpus, id, vec, cents), queries, id, vec, "cl", k, nProbe)
   }
 
+  /** Product-quantization codebooks (tier 4 — the memory-bandwidth
+    * scale path): split the `dim`-wide vector into `nSub` contiguous
+    * subspaces and train the SAME deterministic k-means
+    * ([[kmeansCentroids]]: lowest-id seeds, fixed rounds, float-cast
+    * means) independently on each slice. Returns (sub, cl, c_vec) —
+    * nSub × k × (dim/nSub) floats, driver/broadcast-trivial by
+    * construction.
+    *
+    * 100 TB posture: training scans the corpus nSub × iters times but
+    * each pass is a map + one bounded aggregation (the centroid
+    * recompute); in production one trains on a [[Corpus.sampleByHash]]
+    * slice — codebook quality needs thousands of vectors, not the
+    * corpus. The payoff is [[pqAssign]]'s output: 8·nSub bytes per
+    * vector instead of 4·dim (32 B vs 256 B at dim=64) — the ANN scan
+    * becomes an 8× smaller, cache-resident pass over codes.
+    */
+  def pqCodebooks(corpus: DataFrame, id: String, vec: String,
+      dim: Int, nSub: Int, k: Int, iters: Int = 2): DataFrame = {
+    require(nSub > 0 && dim % nSub == 0,
+      s"pqCodebooks: dim=$dim must divide evenly into nSub=$nSub subspaces")
+    val sd = dim / nSub
+    (0 until nSub).map { s =>
+      val sliced = corpus.select(col(id), slice(col(vec), s * sd + 1, sd).as(vec))
+      kmeansCentroids(sliced, id, vec, k, iters)
+        .select(lit(s).as("sub"), col("cl"), col("c_vec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ code assignment: per subspace, the nearest codeword by dot
+    * product (strict-max → ties resolve to the lowest code id, the
+    * same contract as [[kmeansAssign]]). Pure map stage: codebooks ride
+    * a broadcast variable, nothing is joined or shuffled. Output
+    * (id, codes array<long> in subspace order) — the compressed row
+    * that replaces the raw vector at scan time.
+    */
+  def pqAssign(corpus: DataFrame, id: String, vec: String,
+      codebooks: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(collectBooks(codebooks))
+    val codeUdf = udf { (v: Seq[Float]) =>
+      val books = bc.value
+      val nSub = books.length
+      val sd = v.length / nSub
+      val out = new Array[Long](nSub)
+      var s = 0
+      while (s < nSub) {
+        val book = books(s)
+        var best = 0L; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < book.length) {
+          val w = book(c)
+          var acc = 0.0; var i = 0
+          while (i < sd) { acc += v(s * sd + i).toDouble * w(i).toDouble; i += 1 }
+          if (acc > bestScore) { bestScore = acc; best = c.toLong }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      out.toSeq
+    }
+    corpus.select(col(id) +: keep.map(col) :+ codeUdf(col(vec)).as("codes"): _*)
+  }
+
+  /** Codebook rows → sub-indexed, code-indexed float arrays. */
+  private def collectBooks(codebooks: DataFrame): Array[Array[Array[Float]]] =
+    codebooks
+      .select(col("sub").cast("int"), col("cl").cast("long"), col("c_vec"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Float](2).toArray))
+
+  /** The ADC scorer: one running double sum over the 64 products of
+    * query × reconstructed codewords, index order across subspace
+    * boundaries — replayed by the oracle's single list_sum.
+    */
+  private def adcUdfFor(df: DataFrame, codebooks: DataFrame)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = df.sparkSession.sparkContext.broadcast(collectBooks(codebooks))
+    udf { (q: Seq[Float], cs: Seq[Long]) =>
+      val books = bc.value
+      var acc = 0.0
+      var s = 0
+      while (s < books.length) {
+        val w = books(s)(cs(s).toInt)
+        val off = s * w.length
+        var i = 0
+        while (i < w.length) { acc += q(off + i).toDouble * w(i).toDouble; i += 1 }
+        s += 1
+      }
+      acc
+    }
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: score(q, x) =
+    * dot(q, reconstruction(x)) where reconstruction = the concatenation
+    * of x's chosen codewords. The UDF accumulates the 64 products in
+    * index order across subspace boundaries — one running double sum,
+    * bit-replayable by the oracle's single list_sum over the
+    * reconstructed vector. Queries are broadcast (ANN asymmetry); the
+    * corpus side is scanned as CODES ONLY — at 100 TB this is the tier
+    * where the scan reads 32 B/row instead of 256 B and the codebook
+    * (nSub·k·subDim floats) lives in L2. A production variant
+    * precomputes per-query lookup tables (nSub·k dots, then nSub table
+    * hits per row); the fused form here keeps the score a pure function
+    * of (q_vec, codes) for the differential gate.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, codebooks: DataFrame): DataFrame = {
+    val adcUdf = adcUdfFor(codes, codebooks)
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    codes.select(col(id).as("n_id"), col("codes"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", adcUdf(col("q_vec"), col("codes")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** End-to-end PQ ANN: train codebooks → encode the corpus → ADC scan. */
+  def pqTopKLearned(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, dim: Int, k: Int, nSub: Int, nCodes: Int,
+      iters: Int = 2): DataFrame = {
+    val books = pqCodebooks(corpus, id, vec, dim, nSub, nCodes, iters)
+      .localCheckpoint(true)
+    pqTopK(pqAssign(corpus, id, vec, books), queries, id, vec, k, books)
+  }
+
+  /** IVF-PQ (the FAISS "IVFADC" architecture, Jégou et al. 2011): a
+    * learned coarse quantizer prunes the candidate set to `nProbe`
+    * clusters AND the scan inside those clusters reads PQ codes, not
+    * vectors. The two compressions compose: at 100 TB the probe cuts
+    * the scan to nProbe/nClusters of the corpus, and the code scan
+    * cuts bytes-per-row by 4·dim/(8·nSub) — with cluster as the
+    * parquet partition key, the probe is partition pruning and the
+    * whole search is a pruned scan of 32-byte rows plus one
+    * |queries|·k-row window.
+    *
+    * Scoring uses the learned centroids for the probe (dot(q, c_vec),
+    * ties → lowest cl — kmeansAssign's contract) and raw ADC for
+    * ranking (no residual encoding: codebooks are trained on absolute
+    * vectors, so scores are comparable ACROSS probed clusters without
+    * per-cluster correction — simpler than FAISS's residual variant
+    * and exactly replayable by the oracle).
+    */
+  def ivfPqTopKLearned(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, dim: Int, k: Int, nClusters: Int, nProbe: Int,
+      nSub: Int, nCodes: Int, itersCoarse: Int = 3,
+      itersPq: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, id, vec, nClusters, itersCoarse)
+      .localCheckpoint(true)
+    val books = pqCodebooks(corpus, id, vec, dim, nSub, nCodes, itersPq)
+      .localCheckpoint(true)
+    // one pass emits (id, cl, codes): the stored index row
+    val coded = pqAssign(kmeansAssign(corpus, id, vec, cents), id, vec,
+      books, keep = Seq("cl"))
+    val qc = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .join(broadcast(cents))
+      .withColumn("c_dist", dot_f(col("q_vec"), col("c_vec")))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_dist").desc, col("cl").asc)
+    val probes = qc.withColumn("p", row_number().over(wProbe)).filter(col("p") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cl"))
+    val adcUdf = adcUdfFor(coded, books)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    coded.select(col(id).as("n_id"), col("cl"), col("codes"))
+      .join(broadcast(probes), Seq("cl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", adcUdf(col("q_vec"), col("codes")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF-style search with a provided coarse partition (cluster column):
     * centroids = per-cluster mean vector (computed distributed, result is
     * broadcast-small); each query probes its nProbe nearest centroids and

@@ -104,6 +104,55 @@ object TextAnalysis {
           .cast("double") / length(norm(c)), 4))
   }
 
+  /** Gopher/MassiveText quality-filter ruleset (Rae et al. 2021 §A1.1,
+    * public): per-rule boolean verdicts plus the combined pass flag.
+    * Every rule is a pure expression over integer token/char counts —
+    * each emitted comparison divides two exact integers at most once,
+    * so the booleans are bit-stable across engines (no rounded-double
+    * thresholds). Line-based rules (bullet/ellipsis) operate on
+    * newline-split lines and pass vacuously on single-line docs.
+    *
+    * Scan-only: no shuffle, no UDF — at 100 TB this is a projection
+    * fused into the parquet scan, the cheapest possible filter pass.
+    */
+  def gopherRules(df: DataFrame, id: String, text: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val c = col(text)
+    val toks = split(norm(c), " ")
+    val nWords = size(toks)
+    val totalLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    // '#' and '...' occurrences (Gopher's symbol set), counted on the
+    // RAW text — normalization strips nothing relevant but rule fidelity
+    // says count before reshaping
+    val nHash = (length(c) - length(regexp_replace(c, "#", ""))).cast("long")
+    val nEllipsis = ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3).cast("long")
+    val nAlphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    val stopHits = size(filter(
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit(_)): _*),
+      s => array_contains(toks, s)))
+    val lines = split(c, "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => trim(l).startsWith("-") || trim(l).startsWith("*")))
+    val nEllLine = size(filter(lines, l => l.endsWith("...")))
+    df.select(col(id),
+      nWords.as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_words"),
+      (totalLen.cast("double") / nWords >= minAvgLen &&
+        totalLen.cast("double") / nWords <= maxAvgLen).as("ok_avg_len"),
+      ((nHash + nEllipsis).cast("double") / nWords <= maxSymbolRatio).as("ok_symbol"),
+      (nAlphaWords.cast("double") / nWords >= minAlphaRatio).as("ok_alpha"),
+      (stopHits >= minStopwords).as("ok_stop"),
+      (nBullet.cast("double") / nLines <= 0.9).as("ok_bullet"),
+      (nEllLine.cast("double") / nLines <= 0.3).as("ok_ellipsis"))
+      .withColumn("gopher_pass",
+        col("ok_words") && col("ok_avg_len") && col("ok_symbol") &&
+          col("ok_alpha") && col("ok_stop") && col("ok_bullet") && col("ok_ellipsis"))
+  }
+
   /** Document fingerprint: polynomial rolling hash of normalized text
     * (PolyHash expression — SURVEY §2.7 fingerprinting row).
     */

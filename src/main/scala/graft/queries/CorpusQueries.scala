@@ -53,6 +53,47 @@ object CorpusQueries extends QueryGroup {
     (seed +: rounds).mkString(",\n")
   }
 
+  /** Index-order dot of a SLICE of `embedding` against a (pre-sliced)
+    * codeword list — the subspace form of [[sqlDot]]. `off` is 0-based.
+    */
+  private[queries] def sqlDotSlice(a: String, off: Int, len: Int,
+      b: String, bc: String): String =
+    s"list_sum(list_transform(range(1, ${len + 1}), i -> " +
+      s"CAST($a.embedding[$off + i] AS DOUBLE) * CAST($b.$bc[i] AS DOUBLE)))"
+
+  /** Subspace k-means replay for the PQ oracle: [[sqlKmeansCtes]] with
+    * every dot/mean confined to `embedding[off+1 .. off+len]` and CTE
+    * names prefixed `p` so four independent chains coexist in one WITH.
+    * Ends with `${p}sel(vec_id, c_vec)`: each vector's FINAL codeword
+    * (assignment against the last-round codebook — exactly what
+    * [[graft.ops.Similarity.pqAssign]] emits as the code).
+    */
+  private[queries] def sqlKmeansCtesSub(p: String, off: Int, len: Int,
+      k: Int, iters: Int): String = {
+    val seed =
+      s"""${p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         |  embedding[${off + 1}:${off + len}] AS c_vec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      s"""${p}a$it AS (SELECT vec_id, cl FROM (
+         |  SELECT e.vec_id, c.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDotSlice("e", off, len, "c", "c_vec")} DESC, c.cl ASC) AS rn
+         |  FROM embeddings e, ${p}c${it - 1} c) s WHERE rn = 1),
+         |${p}m$it AS (SELECT cl, i, CAST(AVG(CAST(e.embedding[$off + i] AS DOUBLE)) AS FLOAT) AS m
+         |  FROM ${p}a$it a JOIN embeddings e USING (vec_id), range(1, ${len + 1}) t(i) GROUP BY cl, i),
+         |${p}c$it AS (SELECT cl, list(m ORDER BY i) AS c_vec FROM ${p}m$it GROUP BY cl)""".stripMargin
+    }
+    val sel =
+      s"""${p}sel AS (SELECT vec_id, c_vec FROM (
+         |  SELECT e.vec_id, c.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDotSlice("e", off, len, "c", "c_vec")} DESC, c.cl ASC) AS rn
+         |  FROM embeddings e, ${p}c$iters c) s
+         |  JOIN ${p}c$iters c2 ON c2.cl = s.cl WHERE rn = 1)""".stripMargin
+    (seed +: rounds :+ sel).mkString(",\n")
+  }
+
   /** Shared by q140 and q140b: both decontamination plans (broadcast
     * semi-join vs bloom-prefiltered shuffle) must emit identical rows.
     */

@@ -336,6 +336,34 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // Product-quantization ANN (NEW r8): per-subspace deterministic
+    // k-means codebooks → 8-byte-per-subspace codes → asymmetric-
+    // distance top-k over the RECONSTRUCTED vectors. The scan side
+    // reads 32 B of codes per vector instead of 256 B of floats — the
+    // memory-bandwidth tier a 100 TB corpus runs. Fully hash-gated:
+    // the oracle unrolls all four subspace k-means chains in DuckDB
+    // CTEs and replays code assignment + the single index-order
+    // dot(q, reconstruction) sum.
+    "q99c_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopKLearned(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", dim = 64, k = 3, nSub = 4, nCodes = 8, iters = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // IVF-PQ composition (NEW r8, FAISS IVFADC shape): learned coarse
+    // quantizer prunes to nProbe clusters, ADC over PQ codes ranks
+    // inside them. Hash-gated end-to-end: coarse k-means chain + all
+    // four subspace chains + probe + reconstruction replayed in one
+    // DuckDB WITH.
+    "q99d_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopKLearned(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", dim = 64, k = 3, nClusters = 8, nProbe = 2,
+          nSub = 4, nCodes = 8)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // ---- text analysis (M6d) ----------------------------------------
     "q100_text_langid" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d), "doc_id")
@@ -348,6 +376,14 @@ object LlmQueries extends QueryGroup {
       TextAnalysis.qualityColumns(Tables.spread(Tables.documents(s, d), "doc_id"), "text")
         .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("ttr"),
           col("avg_tok_len"), col("stop_ratio"), col("digit_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher/MassiveText quality-filter ruleset (NEW r8): per-rule
+    // boolean verdicts over integer-exact counts; scan-only plan.
+    "q101b_gopher_rules" -> ((s, d) => {
+      TextAnalysis.gopherRules(Tables.spread(Tables.documents(s, d), "doc_id"),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -851,6 +887,98 @@ object LlmQueries extends QueryGroup {
            |  SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
            |    ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rnk FROM cand)
            |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+      // PQ ANN oracle: four independent subspace k-means chains (the
+      // q99b unroll confined to embedding[off+1..off+16] each), final
+      // code assignment per subspace, reconstruction = concatenated
+      // codewords, then ONE index-order dot(q, reconstruction) — the
+      // same single running sum the Spark ADC UDF accumulates.
+      "q99c_ann_pq" -> {
+        val subs = (0 until 4).map(s =>
+          CorpusQueries.sqlKmeansCtesSub(s"s$s", off = s * 16, len = 16, k = 8, iters = 2))
+        s"""WITH ${subs.mkString(",\n")},
+           |rv AS (SELECT s0.vec_id,
+           |    s0.c_vec || s1.c_vec || s2.c_vec || s3.c_vec AS rvec
+           |  FROM s0sel s0 JOIN s1sel s1 USING (vec_id)
+           |    JOIN s2sel s2 USING (vec_id) JOIN s3sel s3 USING (vec_id)),
+           |cand AS (SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+           |    list_sum(list_transform(range(1, 65), i ->
+           |      CAST(q.embedding[i] AS DOUBLE) * CAST(r.rvec[i] AS DOUBLE))) AS cos
+           |  FROM embeddings q, rv r WHERE q.vec_id < 3 AND r.vec_id != q.vec_id)
+           |SELECT q_id, rnk, n_id, ROUND(cos, 6) AS cos FROM (
+           |  SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rnk FROM cand)
+           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // IVF-PQ oracle: q99b's coarse chain (assignment against the
+      // LEARNED c3 centroids — both membership and probe, no mean
+      // recompute) composed with q99c's subspace chains and
+      // reconstruction; ranking = the same single index-order dot
+      "q99d_ann_ivfpq" -> {
+        val subs = (0 until 4).map(s =>
+          CorpusQueries.sqlKmeansCtesSub(s"s$s", off = s * 16, len = 16, k = 8, iters = 2))
+        s"""WITH ${CorpusQueries.sqlKmeansCtes(k = 8, iters = 3)},
+           |af AS (SELECT vec_id, cl FROM (
+           |  SELECT e.vec_id, c.cl,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${CorpusQueries.sqlDot("e", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS rn
+           |  FROM embeddings e, c3 c) s WHERE rn = 1),
+           |${subs.mkString(",\n")},
+           |rv AS (SELECT s0.vec_id,
+           |    s0.c_vec || s1.c_vec || s2.c_vec || s3.c_vec AS rvec
+           |  FROM s0sel s0 JOIN s1sel s1 USING (vec_id)
+           |    JOIN s2sel s2 USING (vec_id) JOIN s3sel s3 USING (vec_id)),
+           |pr AS (SELECT q_id, q_vec, cl FROM (
+           |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cl,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${CorpusQueries.sqlDot("q", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS p
+           |  FROM embeddings q, c3 c WHERE q.vec_id < 3) s WHERE p <= 2),
+           |cand AS (SELECT pr.q_id, e.vec_id AS n_id,
+           |    list_sum(list_transform(range(1, 65), i ->
+           |      CAST(pr.q_vec[i] AS DOUBLE) * CAST(r.rvec[i] AS DOUBLE))) AS cos
+           |  FROM pr JOIN af e USING (cl) JOIN rv r ON r.vec_id = e.vec_id
+           |  WHERE e.vec_id != pr.q_id)
+           |SELECT q_id, rnk, n_id, ROUND(cos, 6) AS cos FROM (
+           |  SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rnk FROM cand)
+           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // Gopher ruleset: every comparison divides two exact integers at
+      // most once — bit-stable booleans, no rounded thresholds
+      "q101b_gopher_rules" ->
+        s"""WITH t AS (SELECT doc_id, text, $sqlNorm AS s FROM documents),
+           |tok AS (SELECT doc_id, text, string_split(s, ' ') AS tk FROM t),
+           |f AS (SELECT doc_id,
+           |  CAST(LEN(tk) AS INTEGER) AS n_words,
+           |  CAST(list_sum(list_transform(tk, x -> CAST(LENGTH(x) AS BIGINT))) AS DOUBLE) AS tot_len,
+           |  CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS BIGINT) AS n_hash,
+           |  CAST((LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+           |  CAST(LEN(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS INTEGER) AS n_alpha,
+           |  CAST(LEN(list_filter(['the','be','to','of','and','that','have','with'],
+           |    st -> list_contains(tk, st))) AS INTEGER) AS n_stop,
+           |  string_split(text, chr(10)) AS lines
+           |FROM tok)
+           |SELECT doc_id, n_words,
+           |  n_words >= 50 AND n_words <= 100000 AS ok_words,
+           |  tot_len / n_words >= 3.0 AND tot_len / n_words <= 10.0 AS ok_avg_len,
+           |  CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1 AS ok_symbol,
+           |  CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS ok_alpha,
+           |  n_stop >= 2 AS ok_stop,
+           |  CAST(LEN(list_filter(lines, l -> starts_with(TRIM(l), '-')
+           |    OR starts_with(TRIM(l), '*'))) AS DOUBLE) / LEN(lines) <= 0.9 AS ok_bullet,
+           |  CAST(LEN(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / LEN(lines) <= 0.3 AS ok_ellipsis,
+           |  (n_words >= 50 AND n_words <= 100000)
+           |    AND (tot_len / n_words >= 3.0 AND tot_len / n_words <= 10.0)
+           |    AND (CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1)
+           |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+           |    AND (n_stop >= 2)
+           |    AND (CAST(LEN(list_filter(lines, l -> starts_with(TRIM(l), '-')
+           |      OR starts_with(TRIM(l), '*'))) AS DOUBLE) / LEN(lines) <= 0.9)
+           |    AND (CAST(LEN(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / LEN(lines) <= 0.3)
+           |    AS gopher_pass
+           |FROM f ORDER BY doc_id""".stripMargin,
 
       "q100_text_langid" -> {
         val scores = TextAnalysis.langMarkers.map { case (lang, m) =>

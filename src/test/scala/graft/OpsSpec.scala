@@ -67,6 +67,67 @@ class OpsSpec extends SparkSpec {
     lsh.foreach(l => assert(bf >= l)) // exact ≥ approximate
   }
 
+  test("pqAssign emits one code per subspace within codebook range") {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, nSub = 4, k = 8, iters = 2)
+    assert(books.count() == 32) // 4 subspaces × 8 codewords
+    assert(books.select("c_vec").collect().forall(_.getSeq[Float](0).length == 16))
+    val codes = Similarity.pqAssign(emb, "vec_id", "embedding", books)
+    assert(codes.count() == emb.count())
+    codes.collect().foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 8))
+    }
+  }
+
+  test("pqTopKLearned: ADC recall vs brute force on the quantized corpus") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val pq = Similarity.pqTopKLearned(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 3, nSub = 8, nCodes = 32)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    // The fixture's unit vectors are near-random: rank-1-vs-rank-5
+    // cosine margins (~0.05) sit below PQ quantization error, so top-3
+    // recall is inherently modest — EXACTNESS of the ADC arithmetic is
+    // the q99c oracle's job (full DuckDB replay); this pins that the
+    // quantizer still ranks true neighbors above the field, and the
+    // deterministic training makes the bound stable run-to-run
+    val overlap = bf.map { case (q, ns) => (ns & pq.getOrElse(q, Set.empty)).size }.sum
+    assert(overlap >= 4, s"ADC top-3 overlap too low: $overlap/15")
+    // every query still gets exactly k results
+    assert(pq.values.forall(_.size == 3))
+  }
+
+  test("ivfPqTopKLearned: k results per query, all from probed clusters") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8)
+    val membership = Similarity.kmeansAssign(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cl")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = Similarity.ivfPqTopKLearned(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 3, nClusters = 8, nProbe = 2, nSub = 4, nCodes = 8)
+    val rows = res.collect()
+    assert(rows.length == 9) // 3 queries × 3
+    // every neighbor must live in one of its query's 2 probed clusters —
+    // which certainly excludes at least one of the 8 clusters overall
+    val neighborClusters = rows.map(r => membership(r.getAs[Long]("n_id"))).toSet
+    assert(neighborClusters.size <= 6,
+      s"neighbors from too many clusters for 3 queries × 2 probes: $neighborClusters")
+    assert(rows.forall(r => r.getAs[Long]("n_id") != r.getAs[Long]("q_id")))
+  }
+
+  test("pqCodebooks rejects a subspace count that does not divide dim") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, "vec_id", "embedding", dim = 64, nSub = 5, k = 4)
+    }
+    assert(e.getMessage.contains("divide evenly"))
+  }
+
   test("minhash LSH finds the planted near-duplicates with high estimate") {
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
       .filter(col("est_jaccard") >= 0.9).collect()

@@ -204,6 +204,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("PQ ADC scan: codes side never shuffles — queries broadcast, no sort-merge") {
+    val p = plan("q99c_ann_pq")
+    // the candidate expansion is the broadcast-nested-loop of the tiny
+    // query set against the codes scan (bruteForceTopK's shape); the
+    // only hash exchange allowed is the per-query top-k window
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("IVF-PQ: probes broadcast onto the codes scan — no sort-merge, no cartesian") {
+    val p = plan("q99d_ann_ivfpq")
+    // candidate generation is an equi-join on the cluster key with the
+    // probe set broadcast; the codes side never hash-exchanges
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("gopher rules are a scan-only projection — zero joins, zero hash exchanges") {
+    val p = graft.ops.TextAnalysis.gopherRules(
+        Tables.documents(spark, sfTiny), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("hashpartitioning"), p)
+  }
+
   test("set_index analog: range repartition + within-partition sort is sorted per partition") {
     val df = Tables.lineitem(spark, sfTiny)
       .repartitionByRange(8, col("l_orderkey"))

@@ -9,6 +9,37 @@ import graft.ops.{Porter, TextAnalysis}
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherRules: each rule fires on its crafted violation") {
+    val longOk = (1 to 60).map(i => s"word${i % 7} and the").mkString(" ")
+    val docs = Seq(
+      (1L, longOk),                                   // passes everything
+      (2L, "too short but the and of"),               // fails ok_words only
+      (3L, longOk + " " + (1 to 30).map(_ => "###### ......").mkString(" ")), // symbols
+      (4L, (1 to 60).map(_ => "the supercalifragilisticexpialidocious and").mkString(" ")), // avg len > 10
+      (5L, (1 to 60).map(i => s"w$i x$i").mkString(" "))  // no stopword pair
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("gopher_pass"))
+    assert(!r(2L).getAs[Boolean]("ok_words") && r(2L).getAs[Boolean]("ok_stop"))
+    assert(!r(3L).getAs[Boolean]("ok_symbol"))
+    assert(!r(4L).getAs[Boolean]("ok_avg_len"))
+    assert(!r(5L).getAs[Boolean]("ok_stop") && r(5L).getAs[Boolean]("ok_words"))
+    assert(Seq(2L, 3L, 4L, 5L).forall(i => !r(i).getAs[Boolean]("gopher_pass")))
+  }
+
+  test("gopherRules: line-based rules fire on bullet/ellipsis-heavy docs") {
+    val body = (1 to 60).map(_ => "the and of words here").mkString(" ")
+    val bullets = (1 to 10).map(i => s"- item $i the and").mkString("\n")
+    val ell = (1 to 10).map(i => s"line $i the and trails...").mkString("\n")
+    val docs = Seq((1L, body), (2L, bullets), (3L, ell)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("ok_bullet") && r(1L).getAs[Boolean]("ok_ellipsis"))
+    assert(!r(2L).getAs[Boolean]("ok_bullet"))
+    assert(!r(3L).getAs[Boolean]("ok_ellipsis"))
+  }
+
   test("porter stemmer matches canonical examples") {
     val golden = Map(
       "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
