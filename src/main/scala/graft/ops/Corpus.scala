@@ -771,6 +771,32 @@ object Corpus {
     * Good–Turing). One term-count shuffle, then an aggregation over
     * vocabulary-sized data — never row-sized.
     */
+  /** Per-source operational report — the first dashboard a pipeline
+    * owner reads before mixing sources: document count, exact-duplicate
+    * rate (md5-fingerprint groups, the [[Dedup.exactDuplicateGroups]]
+    * notion), whitespace-token mass, and mean document length. All
+    * integer-exact except the ratio columns, which floor to basis
+    * points (engine-order-free). Two bounded shuffles at any scale:
+    * fingerprint distinct (keyed on (source, fp)) then the per-source
+    * rollup — shuffled rows carry fingerprints, never text.
+    */
+  def sourceReport(df: DataFrame, id: String, text: String,
+      source: String): DataFrame = {
+    val base = df.select(col(source).as("source"),
+      md5(Dedup.normText(col(text))).as("fp"),
+      size(split(Dedup.normText(col(text)), " ")).cast("long").as("n_toks"))
+    val perDoc = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("token_mass"))
+    val distinctFp = base.select(col("source"), col("fp")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    perDoc.join(distinctFp, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_distinct"), col("token_mass"),
+        floor((col("n_docs") - col("n_distinct")) * lit(10000L) / col("n_docs"))
+          .cast("long").as("dup_bp"),
+        floor(col("token_mass") * lit(100L) / col("n_docs"))
+          .cast("long").as("mean_toks_c"))
+  }
+
   def vocabStats(df: DataFrame, text: String, maxFreq: Int): DataFrame = {
     val terms = df.select(explode(toks(col(text))).as("term"))
       .filter(length(col("term")) > 0)

@@ -67,6 +67,41 @@ object Dedup {
     graft.Tables.spread(df.select(col(id), col(text)), id)
       .select(col(id), minhash_sig(normText(col(text)), k, n).as("sig"))
 
+  /** LSH banding parameter planner (the MMDS ch.3 S-curve analysis):
+    * for every (bands, rowsPerBand) factorization of `nPerm`, the
+    * midpoint-rule false-positive / false-negative areas of the
+    * detection curve P(s) = 1 − (1 − s^r)^b around `threshold`, plus
+    * the argmin row — the (b, r) a user should pass to
+    * [[minhashCandidatePairs]] for a target similarity.
+    *
+    * Determinism: each grid cell's probability is FLOORED to parts-
+    * per-billion before summing, so the two integral columns are exact
+    * integer sums (association-order-free — the q152b quantization
+    * trick) and the argmin cannot flip on last-ulp drift. Pure
+    * planning math over a |divisors|×grid literal frame; no input
+    * table, trivially driver-safe at any corpus scale.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, nPerm: Int = 16,
+      threshold: Double = 0.5, grid: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = (1 to nPerm).filter(nPerm % _ == 0)
+    val pdf = spark.createDataFrame(pairs.map(b => (b, nPerm / b)))
+      .toDF("bands", "rows_per_band")
+    val g = spark.range(grid)
+      .select(((col("id").cast("double") + 0.5) / grid).as("s"))
+    val ppb = lit(1000000000L)
+    val j = pdf.crossJoin(g)
+      .withColumn("p_ppb", floor((lit(1.0) -
+        pow(lit(1.0) - pow(col("s"), col("rows_per_band")), col("bands"))) * 1e9).cast("long"))
+    val w = Window.orderBy(col("score_ppb").asc, col("bands").asc)
+    j.groupBy("bands", "rows_per_band")
+      .agg(
+        sum(when(col("s") <= threshold, col("p_ppb")).otherwise(0L)).as("fp_ppb"),
+        sum(when(col("s") > threshold, ppb - col("p_ppb")).otherwise(0L)).as("fn_ppb"))
+      .withColumn("score_ppb", col("fp_ppb") + col("fn_ppb"))
+      .withColumn("chosen", row_number().over(w) === 1)
+  }
+
   /** MinHash + LSH banding candidate pairs (SURVEY §7.2 M6b).
     * n/bands rows per band; docs sharing any band key become a candidate
     * pair; est_jaccard = fraction of equal signature positions.

@@ -115,30 +115,53 @@ object TextAnalysis {
     * Scan-only: no shuffle, no UDF — at 100 TB this is a projection
     * fused into the parquet scan, the cheapest possible filter pass.
     */
+  /** One pass over the token array for the four token-level Gopher
+    * stats; the interpreted-HOF formulation (aggregate/filter ×4, each
+    * re-splitting) is the repo's measured 10× trap. Alpha check matches
+    * rlike("[a-z]") on normalized (lowercased) tokens; stop_hits counts
+    * DISTINCT stopwords present.
+    */
+  private val gopherStatsUdf = {
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    udf { (toks: Seq[String]) =>
+      var totLen = 0L; var nAlpha = 0
+      val seen = scala.collection.mutable.Set.empty[String]
+      toks.foreach { t =>
+        totLen += t.length
+        var i = 0; var hasAlpha = false
+        while (i < t.length && !hasAlpha) {
+          val ch = t.charAt(i)
+          if (ch >= 'a' && ch <= 'z') hasAlpha = true
+          i += 1
+        }
+        if (hasAlpha) nAlpha += 1
+        if (stops(t)) seen += t
+      }
+      (toks.length, totLen, nAlpha, seen.size)
+    }
+  }
+
   def gopherRules(df: DataFrame, id: String, text: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
       minStopwords: Int = 2): DataFrame = {
     val c = col(text)
-    val toks = split(norm(c), " ")
-    val nWords = size(toks)
-    val totalLen = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (a, x) => a + x)
     // '#' and '...' occurrences (Gopher's symbol set), counted on the
     // RAW text — normalization strips nothing relevant but rule fidelity
     // says count before reshaping
     val nHash = (length(c) - length(regexp_replace(c, "#", ""))).cast("long")
     val nEllipsis = ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3).cast("long")
-    val nAlphaWords = size(filter(toks, t => t.rlike("[a-z]")))
-    val stopHits = size(filter(
-      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit(_)): _*),
-      s => array_contains(toks, s)))
     val lines = split(c, "\n")
     val nLines = size(lines)
     val nBullet = size(filter(lines, l => trim(l).startsWith("-") || trim(l).startsWith("*")))
     val nEllLine = size(filter(lines, l => l.endsWith("...")))
-    df.select(col(id),
+    val g = df.withColumn("__g", gopherStatsUdf(split(norm(c), " ")))
+    val nWords = col("__g._1")
+    val totalLen = col("__g._2")
+    val nAlphaWords = col("__g._3")
+    val stopHits = col("__g._4")
+    g.select(col(id),
       nWords.as("n_words"),
       (nWords >= minWords && nWords <= maxWords).as("ok_words"),
       (totalLen.cast("double") / nWords >= minAvgLen &&

@@ -368,6 +368,13 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source operational report (NEW r8): doc counts, exact-dup
+    // rate, token mass, mean length — the pre-mixing dashboard
+    "q169_source_report" -> ((s, d) => {
+      Corpus.sourceReport(Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }),
+
     // benchmark-example containment (asymmetric Jaccard): which eval
     // docs are >= 50% contained in some NON-benchmark training doc —
     // the direction q140's corpus-side overlap can't express
@@ -613,6 +620,19 @@ object CorpusQueries extends QueryGroup {
          |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2)
          |SELECT term_a, term_b, n_ab, ROUND(LN(n_ab * 1.0 * nd.n_docs / (n_a * n_b)), 4) AS pmi
          |FROM pr, nd WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
+
+    "q169_source_report" ->
+      s"""WITH base AS (SELECT source, md5($sqlNorm) AS fp,
+         |    CAST(LEN(string_split($sqlNorm, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |d AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS token_mass
+         |  FROM base GROUP BY source),
+         |u AS (SELECT source, COUNT(*) AS n_distinct
+         |  FROM (SELECT DISTINCT source, fp FROM base) GROUP BY source)
+         |SELECT d.source, n_docs, n_distinct, token_mass,
+         |  CAST(FLOOR((n_docs - n_distinct) * 10000 / n_docs) AS BIGINT) AS dup_bp,
+         |  CAST(FLOOR(token_mass * 100 / n_docs) AS BIGINT) AS mean_toks_c
+         |FROM d JOIN u USING (source) ORDER BY source""".stripMargin,
 
     "q161_prepare_corpus" ->
       s"""WITH t AS (SELECT doc_id, lang, $sqlNorm AS s FROM documents),

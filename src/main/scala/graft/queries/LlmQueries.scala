@@ -176,6 +176,14 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("fresh_id"), col("ingested_id"))
     }),
 
+    // LSH banding planner (NEW r8): the S-curve (bands, rows) selection
+    // a user runs BEFORE q92 — FP/FN integral areas per factorization
+    // of nPerm, floored to ppb pre-sum so both engines sum exact ints
+    "q92f_lsh_plan" -> ((s, _) => {
+      Dedup.lshPlan(s, nPerm = 16, threshold = 0.5, grid = 200)
+        .orderBy(col("bands"))
+    }),
+
     // incremental dedup: the "new crawl" (doc_id % 3 != 0) against the
     // already-ingested snapshot (doc_id % 3 == 0) — only content NOT
     // already in the corpus survives
@@ -700,6 +708,24 @@ object LlmQueries extends QueryGroup {
            |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
            |ORDER BY fresh_id, ingested_id""".stripMargin
       },
+
+      // planner replay: same midpoint grid, same ppb floor-quantization
+      // before the integer sums, same (score, bands) argmin tie-break
+      "q92f_lsh_plan" ->
+        s"""WITH pr AS (SELECT b AS bands, CAST(16 / b AS INTEGER) AS rows_per_band
+           |  FROM (VALUES (1),(2),(4),(8),(16)) t(b)),
+           |g AS (SELECT (CAST(i AS DOUBLE) + 0.5) / 200 AS s FROM range(0, 200) t(i)),
+           |j AS (SELECT bands, rows_per_band, s,
+           |  CAST(FLOOR((1 - POW(1 - POW(s, rows_per_band), bands)) * 1e9) AS BIGINT) AS p_ppb
+           |  FROM pr, g),
+           |a AS (SELECT bands, rows_per_band,
+           |  CAST(SUM(CASE WHEN s <= 0.5 THEN p_ppb ELSE 0 END) AS BIGINT) AS fp_ppb,
+           |  CAST(SUM(CASE WHEN s > 0.5 THEN 1000000000 - p_ppb ELSE 0 END) AS BIGINT) AS fn_ppb
+           |  FROM j GROUP BY 1, 2)
+           |SELECT bands, rows_per_band, fp_ppb, fn_ppb,
+           |  fp_ppb + fn_ppb AS score_ppb,
+           |  ROW_NUMBER() OVER (ORDER BY fp_ppb + fn_ppb ASC, bands ASC) = 1 AS chosen
+           |FROM a ORDER BY bands""".stripMargin,
 
       // shared by q92b (label propagation) and q92d (star rewriting):
       // both must produce identical min-id clusters

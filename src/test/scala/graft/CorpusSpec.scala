@@ -386,6 +386,27 @@ class CorpusSpec extends SparkSpec {
     assert(r(3) == ((4L, 3, 0, "no dups here")))
   }
 
+  test("sourceReport: hand-computed counts, dup rate, and token mass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "web"),
+      (2L, "alpha  beta gamma ", "web"), // normalizes to doc 1's text
+      (3L, "delta", "web"),
+      (4L, "one two", "books"),
+      (5L, "three four five six", "books")
+    ).toDF("doc_id", "text", "source")
+    val r = Corpus.sourceReport(docs, "doc_id", "text", "source")
+      .collect().map(x => x.getAs[String]("source") -> x).toMap
+    val web = r("web")
+    assert(web.getAs[Long]("n_docs") == 3 && web.getAs[Long]("n_distinct") == 2)
+    assert(web.getAs[Long]("token_mass") == 7) // 3 + 3 + 1
+    assert(web.getAs[Long]("dup_bp") == 3333) // floor(1*10000/3)
+    assert(web.getAs[Long]("mean_toks_c") == 233) // floor(700/3)
+    val books = r("books")
+    assert(books.getAs[Long]("n_docs") == 2 && books.getAs[Long]("n_distinct") == 2)
+    assert(books.getAs[Long]("dup_bp") == 0 && books.getAs[Long]("token_mass") == 6)
+  }
+
   test("dsirLogWeights ranks target-like docs above the rest") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfTiny)

@@ -128,6 +128,20 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("divide evenly"))
   }
 
+  test("lshPlan: one chosen factorization with the minimal FP+FN area") {
+    val rows = Dedup.lshPlan(spark, nPerm = 16, threshold = 0.5, grid = 200).collect()
+    assert(rows.length == 5) // divisors of 16
+    assert(rows.forall(r => r.getAs[Int]("bands") * r.getAs[Int]("rows_per_band") == 16))
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1)
+    val best = chosen.head.getAs[Long]("score_ppb")
+    assert(rows.forall(_.getAs[Long]("score_ppb") >= best))
+    // extreme factorizations are never optimal at an interior threshold:
+    // b=16,r=1 catches everything (FP-heavy), b=1,r=16 almost nothing
+    val cb = chosen.head.getAs[Int]("bands")
+    assert(cb != 1 && cb != 16, s"degenerate banding chosen: $cb")
+  }
+
   test("minhash LSH finds the planted near-duplicates with high estimate") {
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
       .filter(col("est_jaccard") >= 0.9).collect()
