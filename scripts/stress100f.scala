@@ -1,11 +1,11 @@
 // PQ ANN at 100x (round 8): train codebooks on the sf0.1 slice (the
-// production posture — codebook quality needs thousands of vectors,
+// production posture - codebook quality needs thousands of vectors,
 // not the corpus), then encode + ADC-scan the 100x-replicated
 // embeddings (200k rows). Measures wall + shuffle for the encode pass
 // and the ADC top-k scan separately, at 1x and 100x: both are
 // broadcast/map shapes, so wall should scale ~linearly with rows and
 // shuffle stays ~0 (the only exchange is the per-query top-k window
-// over |queries|·k candidate rows).
+// over |queries|*k candidate rows).
 // Run like stress100.scala (spark-shell -i, after it built /tmp/stress100).
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}

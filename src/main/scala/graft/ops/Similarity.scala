@@ -175,11 +175,54 @@ object Similarity {
     require(nSub > 0 && dim % nSub == 0,
       s"pqCodebooks: dim=$dim must divide evenly into nSub=$nSub subspaces")
     val sd = dim / nSub
-    (0 until nSub).map { s =>
-      val sliced = corpus.select(col(id), slice(col(vec), s * sd + 1, sd).as(vec))
-      kmeansCentroids(sliced, id, vec, k, iters)
-        .select(lit(s).as("sub"), col("cl"), col("c_vec"))
-    }.reduce(_ unionByName _)
+    val spark = corpus.sparkSession
+    val subIdx = array((0 until nSub).map(lit(_)): _*)
+    // ALL subspaces train in one dataflow: explode each vector to
+    // (sub, slice) rows so every k-means round is ONE corpus scan +
+    // one bounded aggregation, independent of nSub — the sequential
+    // per-subspace formulation scanned the corpus nSub× per round.
+    // Per-subspace arithmetic is identical to kmeansCentroids (same
+    // lowest-id seeds, same strict-argmax dot assignment, same
+    // float-cast means), which the q99c oracle replays chain-by-chain.
+    val exploded = corpus.select(col(id).as("__id"), col(vec).as("__v"))
+      .select(col("__id"), explode(subIdx).as("sub"), col("__v"))
+      .select(col("sub"), col("__id"),
+        slice(col("__v"), col("sub") * sd + 1, lit(sd)).as("v"))
+    var cents = corpus.orderBy(col(id)).limit(k)
+      .select(col(id).as("__id"), col(vec).as("__v"))
+      .withColumn("cl",
+        (row_number().over(Window.orderBy(col("__id"))) - 1).cast("long"))
+      .select(explode(subIdx).as("sub"), col("cl"), col("__v"))
+      .select(col("sub"), col("cl"),
+        slice(col("__v"), col("sub") * sd + 1, lit(sd)).as("c_vec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(collectBooks(cents))
+      val assignUdf = udf { (sub: Int, v: Seq[Float]) =>
+        val book = bc.value(sub)
+        var best = 0L; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < book.length) {
+          val w = book(c)
+          var acc = 0.0; var i = 0
+          while (i < w.length) { acc += v(i).toDouble * w(i).toDouble; i += 1 }
+          if (acc > bestScore) { bestScore = acc; best = c.toLong }
+          c += 1
+        }
+        best
+      }
+      cents = exploded
+        .withColumn("cl", assignUdf(col("sub"), col("v")))
+        .select(col("sub"), col("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cl"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("sub"), col("cl"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cl"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("c_vec"))
+        .localCheckpoint(true)
+    }
+    cents
   }
 
   /** PQ code assignment: per subspace, the nearest codeword by dot
