@@ -411,14 +411,25 @@ object RelationalQueries extends QueryGroup {
     // exact NDV both sides + an ok flag bounding the estimate's error;
     // the union row proves merge correctness, not just per-group math.
     "q21c_agg_hll_sketch" -> ((s, d) => {
-      val sk = li(s, d).groupBy(col("l_linestatus"))
+      // ONE lineitem scan: HLL is duplicate-insensitive, so the distinct
+      // (status, partkey) pairs feed both the sketches AND the exact
+      // counts (countDistinct per group ≡ count over the pairs), and the
+      // checkpointed per-group sketch frame is reused by the union leg
+      // instead of re-scanning + re-sketching raw lineitem (the r8 bench
+      // had this query as the catalog's slowest at 4.4 s — four scans,
+      // two sketch builds)
+      val pairs = li(s, d).select(col("l_linestatus"), col("l_partkey"))
+        .distinct().localCheckpoint(true)
+      val sk = pairs.groupBy(col("l_linestatus"))
         .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"),
-          countDistinct(col("l_partkey")).as("exact_nd"))
+          count(lit(1)).as("exact_nd"))
+        .localCheckpoint(true)
       val per = sk.select(col("l_linestatus").as("grp"), col("exact_nd"),
         (abs(hll_sketch_estimate(col("sk")) - col("exact_nd")).cast("double")
           / col("exact_nd") <= 0.05).cast("int").as("ok"))
       val all = sk.agg(hll_union_agg(col("sk")).as("sku"))
-        .crossJoin(li(s, d).agg(countDistinct(col("l_partkey")).as("exact_nd")))
+        .crossJoin(pairs.select(col("l_partkey")).distinct()
+          .agg(count(lit(1)).as("exact_nd")))
         .select(lit("ALL").as("grp"), col("exact_nd"),
           (abs(hll_sketch_estimate(col("sku")) - col("exact_nd")).cast("double")
             / col("exact_nd") <= 0.05).cast("int").as("ok"))
