@@ -103,9 +103,19 @@ package object syntax {
     def annTopKIvfLearned(queries: DataFrame, id: String, vec: String, k: Int,
         nClusters: Int, nProbe: Int = 2, iters: Int = 3): DataFrame =
       Similarity.ivfTopKLearned(df, queries, id, vec, k, nClusters, nProbe, iters)
+    def annTopKPq(queries: DataFrame, id: String, vec: String, dim: Int,
+        k: Int, nSub: Int = 4, nCodes: Int = 8, iters: Int = 2): DataFrame =
+      Similarity.pqTopKLearned(df, queries, id, vec, dim, k, nSub, nCodes, iters)
+    def annTopKIvfPq(queries: DataFrame, id: String, vec: String, dim: Int,
+        k: Int, nClusters: Int, nProbe: Int = 2, nSub: Int = 4,
+        nCodes: Int = 8): DataFrame =
+      Similarity.ivfPqTopKLearned(df, queries, id, vec, dim, k, nClusters,
+        nProbe, nSub, nCodes)
 
     // ---- text analysis (TextAnalysis) -------------------------------
     def withTextQuality(text: String): DataFrame = TextAnalysis.qualityColumns(df, text)
+    def gopherRules(id: String, text: String): DataFrame =
+      TextAnalysis.gopherRules(df, id, text)
     def repetitionStats(id: String, text: String, n: Int = 2): DataFrame =
       TextAnalysis.repetitionStats(df, id, text, n)
 
@@ -135,6 +145,8 @@ package object syntax {
         minDocs: Long): DataFrame = Corpus.boilerplateStrip(df, id, text, w, minDocs)
     def bottomKPerStratum(strata: String, id: String, n: Int): DataFrame =
       Corpus.bottomKPerStratum(df, strata, id, n)
+    def sourceReport(id: String, text: String, source: String): DataFrame =
+      Corpus.sourceReport(df, id, text, source)
     def bigramLmScore(id: String, text: String): DataFrame =
       Corpus.bigramLmScore(df, id, text)
     def invertedIndex(id: String, text: String, maxPostings: Int): DataFrame =

@@ -94,8 +94,13 @@ class SyntaxSpec extends SparkSpec {
     assert(emb.embeddingNearPairs("id", "vec", minCosine = 0.8).count() == 1)
     assert(emb.annTopKIvfLearned(emb.filter($"id" === 1), "id", "vec",
       k = 1, nClusters = 2).count() >= 1)
+    assert(emb.annTopKPq(emb.filter($"id" === 1), "id", "vec", dim = 2,
+      k = 1, nSub = 2, nCodes = 2).count() == 1)
+    assert(emb.annTopKIvfPq(emb.filter($"id" === 1), "id", "vec", dim = 2,
+      k = 1, nClusters = 2, nProbe = 2, nSub = 2, nCodes = 2).count() == 1)
 
     assert(docs.withTextQuality("text").columns.contains("n_tokens"))
+    assert(docs.gopherRules("doc_id", "text").columns.contains("gopher_pass"))
     // "a b a b a": bigrams = [a b, b a, a b, b a] -> top 2/4, dup 1 - 2/4
     val rep = Seq((1L, "a b a b a")).toDF("doc_id", "text")
       .repetitionStats("doc_id", "text")
@@ -121,6 +126,8 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.boilerplateStrip("doc_id", "text", w = 5, minDocs = 2)
       .filter($"doc_id" === 1).head.getAs[Int]("n_boiler") == 1)
     assert(docs.bottomKPerStratum("lang", "doc_id", 1).count() == 2)
+    assert(docs.sourceReport("doc_id", "text", "lang")
+      .filter($"source" === "en").head.getAs[Long]("dup_bp") == 5000L)
     assert(docs.bigramLmScore("doc_id", "text").count() == 3)
     assert(docs.invertedIndex("doc_id", "text", 5)
       .filter($"term" === "alpha").head.getAs[Int]("df") == 2)
