@@ -453,6 +453,60 @@ object TextAnalysis {
     * (last two labels — a public-suffix list plugs in here at
     * production) and path depth.
     */
+  /** Unigram-LM (SentencePiece-style) OPTIMAL segmentation — the
+    * Viterbi-DP counterpart of [[tokenizeWithVocabulary]]'s greedy
+    * longest-match-first. Each whitespace word is segmented into
+    * vocabulary pieces minimizing (total_cost, n_pieces)
+    * LEXICOGRAPHICALLY; with integer piece costs the DP is bit-exact
+    * in any engine (production supplies cost ≈ round(-1000·log p)).
+    * Unknown single characters cost `unkCost`. Pure map stage: the
+    * vocabulary (piece, cost) is collected (vocab-sized by contract)
+    * and broadcast; one DP per word, O(len · maxPieceLen).
+    * Returns (id, n_words, total_cost, total_pieces).
+    */
+  def viterbiSegment(df: DataFrame, id: String, text: String,
+      vocab: DataFrame, unkCost: Long = 10000L): DataFrame = {
+    val vm = vocab.select(col("piece"), col("cost").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxLen = if (vm.isEmpty) 1 else vm.keys.map(_.length).max
+    val bc = df.sparkSession.sparkContext.broadcast((vm, maxLen))
+    val segUdf = udf { (s: String) =>
+      val (vmap, ml) = bc.value
+      val words = if (s == null) Array.empty[String]
+        else s.split(" ").filter(_.nonEmpty)
+      var totalCost = 0L; var totalPieces = 0L
+      words.foreach { w =>
+        val n = w.length
+        val dpC = Array.fill(n + 1)(Long.MaxValue)
+        val dpP = Array.fill(n + 1)(Long.MaxValue)
+        dpC(0) = 0L; dpP(0) = 0L
+        var i = 1
+        while (i <= n) {
+          var j = math.max(0, i - ml)
+          while (j < i) {
+            if (dpC(j) != Long.MaxValue) {
+              val c = vmap.getOrElse(w.substring(j, i),
+                if (i - j == 1) unkCost else -1L)
+              if (c >= 0L) {
+                val nc = dpC(j) + c; val np = dpP(j) + 1
+                if (nc < dpC(i) || (nc == dpC(i) && np < dpP(i))) {
+                  dpC(i) = nc; dpP(i) = np
+                }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        totalCost += dpC(n); totalPieces += dpP(n)
+      }
+      (words.length.toLong, totalCost, totalPieces)
+    }
+    df.select(col(id), segUdf(norm(col(text))).as("__seg"))
+      .select(col(id), col("__seg._1").as("n_words"),
+        col("__seg._2").as("total_cost"), col("__seg._3").as("total_pieces"))
+  }
+
   def urlParts(u: Column): Column = {
     val host = regexp_extract(u, "^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([a-z0-9.-]+)", 1)
     val path = regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)

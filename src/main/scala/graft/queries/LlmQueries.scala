@@ -545,6 +545,38 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Viterbi unigram segmentation (NEW r8): OPTIMAL (cost, pieces)-
+    // lexicographic DP over a derived integer-cost vocabulary — the
+    // SentencePiece-unigram counterpart of q168's greedy matcher.
+    // Vocab: top-20 words @100, top-30 char bigrams @250, all chars
+    // @300 (dupes keep min cost); integer costs make the DP bit-exact,
+    // and the oracle enumerates every segmentation path of each
+    // DISTINCT word via a recursive CTE and takes the same argmin.
+    "q170_viterbi_tokenize" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d), "doc_id")
+      val words = docs
+        .select(explode(split(TextAnalysis.norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val topWords = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(20)
+        .select(col("w").as("piece"), lit(100L).as("cost"))
+      val bigrams = words.filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g").asc).limit(30)
+        .select(col("g").as("piece"), lit(250L).as("cost"))
+      val chars = words
+        .select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("ch"))
+        .distinct()
+        .select(col("ch").as("piece"), lit(300L).as("cost"))
+      val vocab = topWords.unionByName(bigrams).unionByName(chars)
+        .groupBy(col("piece")).agg(min(col("cost")).as("cost"))
+      TextAnalysis.viterbiSegment(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing (M6; decode is a marked stub) ----------
     "q105_multimodal_features" -> ((s, d) => {
       val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "text")
@@ -1168,6 +1200,49 @@ object LlmQueries extends QueryGroup {
            |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
            |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // Viterbi oracle: rebuild the identical integer-cost vocabulary,
+      // then enumerate EVERY segmentation path of each distinct word
+      // with a recursive CTE (pos strictly increases → terminates;
+      // piece alphabet = chars+bigrams+words keeps the path count
+      // Fibonacci-bounded per word) and take the same (cost, pieces)
+      // lexicographic argmin the DP takes
+      "q170_viterbi_tokenize" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |w0 AS (SELECT doc_id, unnest(string_split(s, ' ')) AS w FROM t),
+           |words AS (SELECT doc_id, w FROM w0 WHERE LENGTH(w) > 0),
+           |topw AS (SELECT w AS piece, CAST(100 AS BIGINT) AS cost FROM (
+           |  SELECT w, COUNT(*) AS c FROM words GROUP BY w
+           |  ORDER BY c DESC, w ASC LIMIT 20)),
+           |bg AS (SELECT g AS piece, CAST(250 AS BIGINT) AS cost FROM (
+           |  SELECT substr(w, CAST(i AS INTEGER), 2) AS g, COUNT(*) AS c
+           |  FROM words, range(1, 200) t2(i)
+           |  WHERE LENGTH(w) >= 2 AND i <= LENGTH(w) - 1
+           |  GROUP BY g ORDER BY c DESC, g ASC LIMIT 30)),
+           |chp AS (SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS piece,
+           |    CAST(300 AS BIGINT) AS cost
+           |  FROM words, range(1, 200) t2(i) WHERE i <= LENGTH(w)),
+           |pieces AS (SELECT piece, MIN(cost) AS cost FROM (
+           |  SELECT * FROM topw UNION ALL SELECT * FROM bg
+           |  UNION ALL SELECT * FROM chp) GROUP BY piece),
+           |dw AS (SELECT DISTINCT w FROM words),
+           |seg AS (
+           |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS np
+           |  FROM dw
+           |  UNION ALL
+           |  SELECT s.w, s.pos + LENGTH(p.piece), s.cost + p.cost, s.np + 1
+           |  FROM seg s JOIN pieces p
+           |    ON s.pos + LENGTH(p.piece) <= LENGTH(s.w)
+           |   AND substr(s.w, s.pos + 1, LENGTH(p.piece)) = p.piece),
+           |best AS (SELECT w, cost, np FROM (
+           |  SELECT w, cost, np,
+           |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY cost ASC, np ASC) AS rn
+           |  FROM seg WHERE pos = LENGTH(w)) WHERE rn = 1)
+           |SELECT wo.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(b.cost) AS BIGINT) AS total_cost,
+           |  CAST(SUM(b.np) AS BIGINT) AS total_pieces
+           |FROM words wo JOIN best b USING (w)
+           |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin,
 
       "q105_multimodal_features" ->
         s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,

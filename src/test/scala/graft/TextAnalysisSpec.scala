@@ -9,6 +9,27 @@ import graft.ops.{Porter, TextAnalysis}
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("viterbiSegment finds the optimal split greedy longest-match misses") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    // greedy longest-first takes "abc"=100; the DP takes "ab"+"c"=20
+    val vocab = Seq(("ab", 10L), ("abc", 100L), ("c", 10L),
+      ("a", 300L), ("b", 300L)).toDF("piece", "cost")
+    val r = TextAnalysis.viterbiSegment(docs, "doc_id", "text", vocab).head()
+    assert(r.getAs[Long]("total_cost") == 20 && r.getAs[Long]("total_pieces") == 2)
+  }
+
+  test("viterbiSegment: equal-cost tie prefers fewer pieces; unknown chars cost unkCost") {
+    val docs = Seq((1L, "ab"), (2L, "xq xq")).toDF("doc_id", "text")
+    val vocab = Seq(("ab", 20L), ("a", 10L), ("b", 10L)).toDF("piece", "cost")
+    val r = TextAnalysis.viterbiSegment(docs, "doc_id", "text", vocab, unkCost = 7L)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // "ab": whole piece (cost 20, 1 piece) beats a+b (cost 20, 2 pieces)
+    assert(r(1L).getAs[Long]("total_cost") == 20 && r(1L).getAs[Long]("total_pieces") == 1)
+    // two OOV words of two unknown chars each: 4 × unkCost, 4 pieces
+    assert(r(2L).getAs[Long]("n_words") == 2)
+    assert(r(2L).getAs[Long]("total_cost") == 28 && r(2L).getAs[Long]("total_pieces") == 4)
+  }
+
   test("gopherRules: each rule fires on its crafted violation") {
     val longOk = (1 to 60).map(i => s"word${i % 7} and the").mkString(" ")
     val docs = Seq(
