@@ -464,6 +464,37 @@ object TextAnalysis {
     * and broadcast; one DP per word, O(len · maxPieceLen).
     * Returns (id, n_words, total_cost, total_pieces).
     */
+  /** The per-word DP, exposed for PropertySpec's brute-force compare:
+    * min (cost, pieces) lexicographically over all segmentations of `w`
+    * into vocab pieces (unknown single chars cost `unkCost`).
+    */
+  private[graft] def viterbiWord(w: String, vm: Map[String, Long],
+      ml: Int, unkCost: Long): (Long, Long) = {
+    val n = w.length
+    val dpC = Array.fill(n + 1)(Long.MaxValue)
+    val dpP = Array.fill(n + 1)(Long.MaxValue)
+    dpC(0) = 0L; dpP(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - ml)
+      while (j < i) {
+        if (dpC(j) != Long.MaxValue) {
+          val c = vm.getOrElse(w.substring(j, i),
+            if (i - j == 1) unkCost else -1L)
+          if (c >= 0L) {
+            val nc = dpC(j) + c; val np = dpP(j) + 1
+            if (nc < dpC(i) || (nc == dpC(i) && np < dpP(i))) {
+              dpC(i) = nc; dpP(i) = np
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (dpC(n), dpP(n))
+  }
+
   def viterbiSegment(df: DataFrame, id: String, text: String,
       vocab: DataFrame, unkCost: Long = 10000L): DataFrame = {
     val vm = vocab.select(col("piece"), col("cost").cast("long")).collect()
@@ -476,29 +507,8 @@ object TextAnalysis {
         else s.split(" ").filter(_.nonEmpty)
       var totalCost = 0L; var totalPieces = 0L
       words.foreach { w =>
-        val n = w.length
-        val dpC = Array.fill(n + 1)(Long.MaxValue)
-        val dpP = Array.fill(n + 1)(Long.MaxValue)
-        dpC(0) = 0L; dpP(0) = 0L
-        var i = 1
-        while (i <= n) {
-          var j = math.max(0, i - ml)
-          while (j < i) {
-            if (dpC(j) != Long.MaxValue) {
-              val c = vmap.getOrElse(w.substring(j, i),
-                if (i - j == 1) unkCost else -1L)
-              if (c >= 0L) {
-                val nc = dpC(j) + c; val np = dpP(j) + 1
-                if (nc < dpC(i) || (nc == dpC(i) && np < dpP(i))) {
-                  dpC(i) = nc; dpP(i) = np
-                }
-              }
-            }
-            j += 1
-          }
-          i += 1
-        }
-        totalCost += dpC(n); totalPieces += dpP(n)
+        val (c, p) = viterbiWord(w, vmap, ml, unkCost)
+        totalCost += c; totalPieces += p
       }
       (words.length.toLong, totalCost, totalPieces)
     }

@@ -278,4 +278,32 @@ class PropertySpec extends SparkSpec {
     }
     check("wordpiece-unk-collapse", unk, minTests = 100)
   }
+
+  test("viterbiWord matches brute-force segmentation enumeration") {
+    import graft.ops.TextAnalysis
+    val unkCost = 100L
+    val genWord = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genVocab: Gen[Map[String, Long]] = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, for {
+        l <- Gen.chooseNum(1, 3)
+        cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c'))
+        cost <- Gen.chooseNum(1L, 50L)
+      } yield (cs.mkString, cost)).map(_.toMap))
+    // exhaustive reference: every segmentation, min by (cost, pieces) —
+    // Tuple2's Ordering IS that lexicographic objective
+    def brute(w: String, vm: Map[String, Long]): (Long, Long) =
+      if (w.isEmpty) (0L, 0L)
+      else (1 to w.length).flatMap { l =>
+        vm.get(w.take(l)).orElse(if (l == 1) Some(unkCost) else None).map { c =>
+          val (rc, rp) = brute(w.drop(l), vm)
+          (c + rc, 1L + rp)
+        }
+      }.min
+    val prop = Prop.forAll(genWord, genVocab) { (w, vm) =>
+      val ml = (vm.keys.map(_.length) ++ Seq(1)).max
+      TextAnalysis.viterbiWord(w, vm, ml, unkCost) == brute(w, vm)
+    }
+    check("viterbi-vs-brute", prop, minTests = 300)
+  }
 }
