@@ -227,6 +227,27 @@ object DatetimeQueries extends QueryGroup {
         .groupBy(col("cohort"), (col("w") - col("cohort")).as("weeks_since"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort"), col("weeks_since"))
+    }),
+
+    // event-type transition matrix (NEW r8): per-user ordered lag pairs
+    // → global (prev, next) counts + row-normalized probability floored
+    // to basis points — the Markov view of the event stream (completes
+    // the funnel/retention event-analytics family)
+    "q59c_event_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = pairs
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+      counts.join(totals, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          floor(col("n") * lit(10000L) / col("tot")).cast("long").as("p_bp"))
+        .orderBy(col("prev_type"), col("next_type"))
     })
   )
 
@@ -255,6 +276,19 @@ object DatetimeQueries extends QueryGroup {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM d2 JOIN f USING (user_id)
         |GROUP BY cohort, w - cohort ORDER BY cohort, weeks_since""".stripMargin,
+
+    "q59c_event_transitions" ->
+      """WITH p AS (SELECT user_id, event_type AS next_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(FLOOR(c.n * 10000 / t.tot) AS BIGINT) AS p_bp
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     "q50_dt_extract_date" ->
       """SELECT o_orderkey,
