@@ -370,6 +370,66 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily pick `k` of each query's candidates maximizing
+    * λ·rel − (1−λ)·max_{s∈selected} dot(vec, vec_s) — the diversity
+    * re-rank step between ANN/BM25 candidate generation and serving.
+    * Per-query candidate lists are bounded (the ANN asymmetry), so the
+    * greedy loop runs inside flatMapGroups: ONE shuffle on q_id, no
+    * cross-query state, O(k·C) dots per query. Every number is an IEEE
+    * op over engine-identical inputs (rel is already rounded, sims are
+    * index-order dots), argmax ties → lowest n_id, and the emitted
+    * score is FLOORED to ppm so the gate compares exact integers.
+    *
+    * `candidates`: (q_id, n_id, rel); `vectors`: id → vec for n_ids.
+    */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, id: String,
+      vec: String, k: Int, lambda: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates.select(col("q_id"), col("n_id"), col("rel").cast("double"))
+      .join(vectors.select(col(id).as("n_id"), col(vec).as("n_vec")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("rel"), col("n_vec"))
+      .as[(Long, Long, Double, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(_._2) // n_id order → deterministic argmax
+        val n = cand.length
+        val vecs = cand.map(_._4.toArray)
+        val picked = Array.fill(n)(false)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+        var r = 1
+        while (r <= math.min(k, n)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              var maxSim = 0.0
+              if (sel.nonEmpty) {
+                maxSim = Double.NegativeInfinity
+                sel.foreach { j =>
+                  val a = vecs(i); val b = vecs(j)
+                  val len = math.min(a.length, b.length)
+                  var acc = 0.0; var p = 0
+                  while (p < len) { acc += a(p).toDouble * b(p).toDouble; p += 1 }
+                  if (acc > maxSim) maxSim = acc
+                }
+              }
+              val score = lambda * cand(i)._3 - (1 - lambda) * maxSim
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          picked(best) = true; sel += best
+          out += ((qid, r, cand(best)._2, math.floor(bestScore * 1e6).toLong))
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "rank", "n_id", "score_ppm")
+  }
+
   /** IVF-style search with a provided coarse partition (cluster column):
     * centroids = per-cluster mean vector (computed distributed, result is
     * broadcast-small); each query probes its nProbe nearest centroids and

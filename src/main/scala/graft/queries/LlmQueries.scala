@@ -318,6 +318,19 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // MMR diversity re-rank (NEW r8): brute-force top-10 candidates →
+    // greedy λ·rel − (1−λ)·max-sim-to-selected, k=3. The re-rank step
+    // between candidate generation and serving; oracle unrolls the
+    // three greedy steps (argmax with the same lowest-n_id tie-break).
+    "q97b_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cand = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("n_id"), col("cos").as("rel"))
+      Similarity.mmrRerank(cand, emb, "vec_id", "embedding", k = 3, lambda = 0.5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "q98_ann_lsh_buckets" -> ((s, d) => {
       Similarity.withBucket(Tables.embeddings(s, d), "embedding", nBits = 4)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -905,6 +918,52 @@ object LlmQueries extends QueryGroup {
            |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
            |  WHERE q.vec_id < 3
            |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // MMR oracle: same top-10 candidate set as q97's (rank by the
+      // UNROUNDED dot, emit the rounded rel), then the three greedy
+      // steps unrolled — each an argmax over (score DESC, n_id ASC)
+      // with sims as inline index-order dots; scores floored to ppm
+      "q97b_mmr_rerank" -> {
+        def d(a: String, b: String): String =
+          s"list_sum(list_transform(range(1, 65), i -> " +
+            s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        s"""WITH cand AS (SELECT q_id, n_id, rel FROM (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |    ROUND(${sqlDot("q", "n")}, 6) AS rel,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${sqlDot("q", "n")} DESC, n.vec_id ASC) AS rnk
+           |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+           |  WHERE q.vec_id < 3) WHERE rnk <= 10),
+           |cv AS (SELECT c.q_id, c.n_id, c.rel, e.embedding AS nv
+           |  FROM cand c JOIN embeddings e ON e.vec_id = c.n_id),
+           |s1 AS (SELECT q_id, n_id, rel, nv, sc FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY sc DESC, n_id ASC) AS rn
+           |  FROM (SELECT *, 0.5 * rel AS sc FROM cv)) WHERE rn = 1),
+           |s2 AS (SELECT q_id, n_id, rel, nv, sc FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY sc DESC, n_id ASC) AS rn
+           |  FROM (SELECT c.q_id, c.n_id, c.rel, c.nv,
+           |      0.5 * c.rel - 0.5 * ${d("c.nv", "s1.nv")} AS sc
+           |    FROM cv c JOIN s1 ON s1.q_id = c.q_id
+           |    WHERE c.n_id != s1.n_id)) WHERE rn = 1),
+           |s3 AS (SELECT q_id, n_id, sc FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY sc DESC, n_id ASC) AS rn
+           |  FROM (SELECT c.q_id, c.n_id,
+           |      0.5 * c.rel - 0.5 * GREATEST(${d("c.nv", "s1.nv")},
+           |        ${d("c.nv", "s2.nv")}) AS sc
+           |    FROM cv c JOIN s1 ON s1.q_id = c.q_id
+           |      JOIN s2 ON s2.q_id = c.q_id
+           |    WHERE c.n_id != s1.n_id AND c.n_id != s2.n_id)) WHERE rn = 1)
+           |SELECT q_id, CAST(1 AS INTEGER) AS rank, n_id,
+           |  CAST(FLOOR(sc * 1e6) AS BIGINT) AS score_ppm FROM s1
+           |UNION ALL SELECT q_id, CAST(2 AS INTEGER), n_id,
+           |  CAST(FLOOR(sc * 1e6) AS BIGINT) FROM s2
+           |UNION ALL SELECT q_id, CAST(3 AS INTEGER), n_id,
+           |  CAST(FLOOR(sc * 1e6) AS BIGINT) FROM s3
+           |ORDER BY q_id, rank""".stripMargin
+      },
 
       "q98_ann_lsh_buckets" ->
         s"""SELECT ${sqlRpBucket("embeddings", 4)} AS bucket, COUNT(*) AS n

@@ -128,6 +128,24 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("divide evenly"))
   }
 
+  test("mmrRerank: diversity demotes the near-duplicate of the first pick") {
+    import spark.implicits._
+    // A is best; B is A's near-verbatim twin; C is weaker but orthogonal.
+    // Plain top-2 = (A, B); MMR(λ=0.5) must pick (A, C).
+    val vecs = Seq(
+      (10L, Array(1f, 0f)),   // A
+      (11L, Array(0.99f, 0.14f)), // B ≈ A
+      (12L, Array(0f, 1f))    // C
+    ).toDF("id", "vec")
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.89), (1L, 12L, 0.5))
+      .toDF("q_id", "n_id", "rel")
+    val r = Similarity.mmrRerank(cand, vecs, "id", "vec", k = 3, lambda = 0.5)
+      .orderBy(col("rank")).collect()
+    assert(r.map(_.getAs[Long]("n_id")).toSeq == Seq(10L, 12L, 11L))
+    // rank-1 score = floor(λ·rel·1e6) — no similarity penalty yet
+    assert(r.head.getAs[Long]("score_ppm") == 450000L)
+  }
+
   test("lshPlan: one chosen factorization with the minimal FP+FN area") {
     val rows = Dedup.lshPlan(spark, nPerm = 16, threshold = 0.5, grid = 200).collect()
     assert(rows.length == 5) // divisors of 16
