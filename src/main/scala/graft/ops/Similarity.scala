@@ -430,6 +430,34 @@ object Similarity {
       .toDF("q_id", "rank", "n_id", "score_ppm")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine any number
+    * of per-query rankings of the same item space into one list by
+    * score(n) = Σ_r 1/(c + rank_r(n)), items absent from a ranking
+    * contributing 0. The standard hybrid-retrieval combiner (BM25 ⊕
+    * ANN ⊕ ...). Each input is (q_id, n_id, rnk). Deterministic: the
+    * per-ranker terms are summed in RANKER ORDER (a fixed expression
+    * tree, not an aggregation), the fused score is floored to ppm
+    * BEFORE the final ordering, and ties break on lowest n_id. One
+    * full-outer equi-join per extra ranking + the per-query top-k
+    * window — rankings are top-k-bounded, so every side is tiny
+    * relative to the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col("q_id"), col("n_id"), col("rnk").cast("long").as(s"__r$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq("q_id", "n_id"), "full_outer"))
+    val score = renamed.indices
+      .map(i => coalesce(lit(1.0) / (lit(c) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_ppm").desc, col("n_id").asc)
+    joined.withColumn("rrf_ppm", floor(score * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("rrf_ppm"))
+  }
+
   /** IVF-style search with a provided coarse partition (cluster column):
     * centroids = per-cluster mean vector (computed distributed, result is
     * broadcast-small); each query probes its nProbe nearest centroids and

@@ -331,6 +331,21 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Reciprocal-rank fusion (NEW r8): exact brute-force top-5 fused
+    // with the LSH-bucket top-3 — the hybrid-retrieval combiner.
+    // Per-ranker 1/(60+rnk) terms summed in ranker order, fused score
+    // floored to ppm before the final ordering.
+    "q97c_rrf_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 3)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id"), col("rnk"))
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 3, nBits = 4)
+        .select(col("q_id"), col("n_id"), col("rnk"))
+      Similarity.rrfFuse(Seq(exact, lsh), k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "q98_ann_lsh_buckets" -> ((s, d) => {
       Similarity.withBucket(Tables.embeddings(s, d), "embedding", nBits = 4)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -964,6 +979,33 @@ object LlmQueries extends QueryGroup {
            |  CAST(FLOOR(sc * 1e6) AS BIGINT) FROM s3
            |ORDER BY q_id, rank""".stripMargin
       },
+
+      // RRF oracle: the q97 and q99 ranking CTEs verbatim, then the
+      // fixed-order coalesce sum floored to ppm
+      "q97c_rrf_fusion" ->
+        s"""WITH ex AS (SELECT q_id, n_id, rnk FROM (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${sqlDot("q", "n")} DESC, n.vec_id ASC) AS INTEGER) AS rnk
+           |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+           |  WHERE q.vec_id < 3) WHERE rnk <= 5),
+           |bk AS (SELECT vec_id, embedding, ${sqlRpBucket("embeddings", 4)} AS bucket FROM embeddings),
+           |ls AS (SELECT q_id, n_id, rnk FROM (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${sqlDot("q", "n")} DESC, n.vec_id ASC) AS INTEGER) AS rnk
+           |  FROM bk q JOIN bk n ON n.bucket = q.bucket AND n.vec_id != q.vec_id
+           |  WHERE q.vec_id < 3) WHERE rnk <= 3),
+           |f AS (SELECT COALESCE(e.q_id, l.q_id) AS q_id,
+           |    COALESCE(e.n_id, l.n_id) AS n_id,
+           |    CAST(FLOOR((COALESCE(1.0 / (60 + e.rnk), 0.0) +
+           |      COALESCE(1.0 / (60 + l.rnk), 0.0)) * 1e6) AS BIGINT) AS rrf_ppm
+           |  FROM ex e FULL OUTER JOIN ls l
+           |    ON l.q_id = e.q_id AND l.n_id = e.n_id)
+           |SELECT q_id, rank, n_id, rrf_ppm FROM (
+           |  SELECT q_id, n_id, rrf_ppm, CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY q_id ORDER BY rrf_ppm DESC, n_id ASC) AS INTEGER) AS rank
+           |  FROM f) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
       "q98_ann_lsh_buckets" ->
         s"""SELECT ${sqlRpBucket("embeddings", 4)} AS bucket, COUNT(*) AS n

@@ -146,6 +146,17 @@ class OpsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("score_ppm") == 450000L)
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank scores and ordering") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "n_id", "rnk")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q_id", "n_id", "rnk")
+    val r = Similarity.rrfFuse(Seq(a, b), k = 5)
+      .orderBy(col("rank")).collect()
+    // y=11 in both lists wins: 1/62 + 1/61; then x=10 (1/61), z=12 (1/62)
+    assert(r.map(_.getAs[Long]("n_id")).toSeq == Seq(11L, 10L, 12L))
+    assert(r.map(_.getAs[Long]("rrf_ppm")).toSeq == Seq(32522L, 16393L, 16129L))
+  }
+
   test("lshPlan: one chosen factorization with the minimal FP+FN area") {
     val rows = Dedup.lshPlan(spark, nPerm = 16, threshold = 0.5, grid = 200).collect()
     assert(rows.length == 5) // divisors of 16
