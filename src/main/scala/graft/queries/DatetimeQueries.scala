@@ -192,6 +192,30 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("h"))
     }),
 
+    // resample().ohlc() (NEW r8, the pandas finance staple): open =
+    // value at the earliest (ts, event_id) in the hour bucket, close =
+    // latest, high/low = extremes. OHLC columns are SELECTED values
+    // (no arithmetic) — bit-identical cross-engine without rounding
+    "q57b_resample_ohlc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+      val wAsc = Window.partitionBy(col("bucket")).orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("bucket")).orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_o", row_number().over(wAsc))
+        .withColumn("rn_c", row_number().over(wDesc))
+        .groupBy(col("bucket"))
+        .agg(
+          min(when(col("rn_o") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          min(when(col("rn_c") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy(col("h"))
+    }),
+
     // funnel analysis: per user, first view → first purchase strictly
     // after it (event-sequence matching, the analytics staple pandas
     // users hand-roll); one grouped aggregation via conditional mins
@@ -381,6 +405,20 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(DATE_TRUNC('week', o_orderdate), '%Y-%m-%d') AS week_start,
         |  CAST((YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS INTEGER) AS months_since_95
         |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q57b_resample_ohlc" ->
+      """WITH e AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+        |    ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_o,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_c
+        |  FROM e)
+        |SELECT STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS h,
+        |  MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY bucket ORDER BY h""".stripMargin,
 
     // ns-parquet ts: cast the trunc to µs TIMESTAMP so generate_series
     // and the join key agree on type

@@ -111,11 +111,21 @@ package object syntax {
         nCodes: Int = 8): DataFrame =
       Similarity.ivfPqTopKLearned(df, queries, id, vec, dim, k, nClusters,
         nProbe, nSub, nCodes)
+    /** `df` is the candidate list (q_id, n_id, rel). */
+    def mmrRerank(vectors: DataFrame, id: String, vec: String, k: Int,
+        lambda: Double = 0.5): DataFrame =
+      Similarity.mmrRerank(df, vectors, id, vec, k, lambda)
+    /** `df` is the first ranking (q_id, n_id, rnk). */
+    def rrfFuse(others: Seq[DataFrame], k: Int, c: Int = 60): DataFrame =
+      Similarity.rrfFuse(df +: others, k, c)
 
     // ---- text analysis (TextAnalysis) -------------------------------
     def withTextQuality(text: String): DataFrame = TextAnalysis.qualityColumns(df, text)
     def gopherRules(id: String, text: String): DataFrame =
       TextAnalysis.gopherRules(df, id, text)
+    def viterbiSegment(id: String, text: String, vocab: DataFrame,
+        unkCost: Long = 10000L): DataFrame =
+      TextAnalysis.viterbiSegment(df, id, text, vocab, unkCost)
     def repetitionStats(id: String, text: String, n: Int = 2): DataFrame =
       TextAnalysis.repetitionStats(df, id, text, n)
 
