@@ -751,6 +751,23 @@ object RelationalQueries extends QueryGroup {
         .select(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // exact-n deterministic sample (NEW r8; dask sample(n=) RAISES —
+    // beyond-reference): draw n rows by global order on a keyed md5 —
+    // reproducible across engines and runs, hash-gated unlike q39's
+    // engine RNG. (hk, price) is unique because the 5-col key is.
+    "q39b_sample_n" -> ((s, d) => {
+      li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+        .withColumn("hk", md5(concat_ws("-", col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))))
+        .orderBy(col("hk"), col("l_extendedprice"))
+        .limit(500)
+        .drop("hk")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+    }),
+
     // population stats + higher moments (reference Series.skew/kurt,
     // std(ddof=0) — SURVEY §2.4). Spark's skewness/kurtosis are the
     // population (g1/g2-excess) definitions.
@@ -1528,6 +1545,13 @@ object RelationalQueries extends QueryGroup {
     "q38_limit_offset" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q39b_sample_n" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+        |    md5(CONCAT_WS('-', l_orderkey, l_linenumber, l_partkey, l_suppkey)) AS hk
+        |  FROM lineitem ORDER BY hk, l_extendedprice LIMIT 500)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
 
     // DuckDB skewness is the sample G1; Spark's is population g1 =
     // G1 * (n-2) / sqrt(n*(n-1)). kurtosis_pop matches Spark directly.

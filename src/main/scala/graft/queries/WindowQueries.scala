@@ -179,6 +179,26 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling(5, win_type='triang').mean() (NEW r8): pandas weighted
+    // rolling with the triangular kernel [1,2,3,2,1]/9. Exact
+    // integer-cents arithmetic (the q72b lesson): weighted sum of
+    // lagged cents is a pure bigint expression, one final division by
+    // 900.0 on exact operands — bit-identical cross-engine. Emitted
+    // only where the full window exists (pandas min_periods=window).
+    "q71i_rolling_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cents = round(col("value") * 100, 0).cast("long")
+      val weights = Seq(1L, 2L, 3L, 2L, 1L)
+      val wsum = weights.zipWithIndex.map { case (wt, i) =>
+        lag(cents, 4 - i).over(w) * lit(wt)
+      }.reduce(_ + _)
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(col("user_id"), col("event_id"),
+          (wsum.cast("double") / lit(900.0)).as("tri_mean"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // expanding() aggs (pandas expanding(min_periods=2).sum/mean/std):
     // the unbounded-preceding frame, mean/std gated on the running count.
     // The mean is EXACT integer-cents arithmetic, not a double running
@@ -673,6 +693,17 @@ object WindowQueries extends QueryGroup {
         |FROM events WHERE user_id % 9 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q71i_rolling_weighted" ->
+      """SELECT user_id, event_id,
+        |  CAST(LAG(c, 4) OVER w * 1 + LAG(c, 3) OVER w * 2
+        |    + LAG(c, 2) OVER w * 3 + LAG(c, 1) OVER w * 2
+        |    + LAG(c, 0) OVER w * 1 AS DOUBLE) / 900.0 AS tri_mean
+        |FROM (SELECT user_id, event_id, ts,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE user_id % 9 = 0)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q72b_expanding" ->
