@@ -67,6 +67,28 @@ object Dedup {
     graft.Tables.spread(df.select(col(id), col(text)), id)
       .select(col(id), minhash_sig(normText(col(text)), k, n).as("sig"))
 
+  /** Corpus snapshot diff — the data-versioning dashboard between two
+    * crawls: per id, `added` (only in new), `removed` (only in old),
+    * `changed` (both, normalized text differs), `unchanged`. One
+    * full-outer join on id; shuffled rows carry md5 fingerprints, not
+    * text — the same posture as every dedup op here.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+      text: String): DataFrame = {
+    // presence markers, not fingerprint nullness: a null text hashes to
+    // null and must still count as present on its side
+    val o = oldDf.select(col(id), md5(normText(col(text))).as("__fp_old"),
+      lit(1).as("__in_old"))
+    val n = newDf.select(col(id), md5(normText(col(text))).as("__fp_new"),
+      lit(1).as("__in_new"))
+    o.join(n, Seq(id), "full_outer")
+      .select(col(id),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(not(col("__fp_old") <=> col("__fp_new")), "changed")
+          .otherwise("unchanged").as("verdict"))
+  }
+
   /** LSH banding parameter planner (the MMDS ch.3 S-curve analysis):
     * for every (bands, rowsPerBand) factorization of `nPerm`, the
     * midpoint-rule false-positive / false-negative areas of the

@@ -176,6 +176,20 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("fresh_id"), col("ingested_id"))
     }),
 
+    // corpus snapshot diff (NEW r8): the data-versioning view between
+    // two crawls — added/removed/changed/unchanged per id over one
+    // fingerprint full-outer join; "changed" docs simulated by a
+    // deterministic text edit on doc_id % 7
+    "q90c_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // LSH banding planner (NEW r8): the S-curve (bands, rows) selection
     // a user runs BEFORE q92 — FP/FN integral areas per factorization
     // of nPerm, floored to ppb pre-sum so both engines sum exact ints
@@ -768,6 +782,23 @@ object LlmQueries extends QueryGroup {
            |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
            |ORDER BY fresh_id, ingested_id""".stripMargin
       },
+
+      "q90c_snapshot_diff" ->
+        s"""WITH o AS (SELECT doc_id, md5($sqlNorm) AS fp FROM documents
+           |  WHERE doc_id % 5 <> 4),
+           |n0 AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           |n AS (SELECT doc_id,
+           |    md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+           |  FROM n0)
+           |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           |  CASE WHEN o.doc_id IS NULL THEN 'added'
+           |       WHEN n.doc_id IS NULL THEN 'removed'
+           |       WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+           |       ELSE 'unchanged' END AS verdict
+           |FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+           |ORDER BY doc_id""".stripMargin,
 
       // planner replay: same midpoint grid, same ppb floor-quantization
       // before the integer sums, same (score, bands) argmin tie-break

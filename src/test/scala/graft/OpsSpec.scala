@@ -146,6 +146,16 @@ class OpsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("score_ppm") == 450000L)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged verdicts") {
+    import spark.implicits._
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val n = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val r = Dedup.snapshotDiff(o, n, "id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank scores and ordering") {
     import spark.implicits._
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "n_id", "rnk")

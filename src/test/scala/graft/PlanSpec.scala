@@ -221,6 +221,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("viterbi tokenize: segmentation is a map stage — no join touches the corpus text") {
+    val p = plan("q170_viterbi_tokenize")
+    // vocab derivation joins nothing; the segmentation UDF runs over a
+    // scan+project; only aggregation/top-k exchanges appear
+    assert(!p.contains("Join"), p)
+  }
+
+  test("RRF fusion joins only top-k-bounded ranking lists") {
+    val p = plan("q97c_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus side appears only under broadcast candidate generation
+    // (bruteforce/lsh shapes); the fusion join itself is tiny-vs-tiny
+    assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FULL OUTER"), p)
+  }
+
   test("gopher rules are a scan-only projection — zero joins, zero hash exchanges") {
     val p = graft.ops.TextAnalysis.gopherRules(
         Tables.documents(spark, sfTiny), "doc_id", "text")
