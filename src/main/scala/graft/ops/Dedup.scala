@@ -720,9 +720,27 @@ object Dedup {
   }
 
   def embeddingNearPairs(df: DataFrame, id: String, vec: String,
-      minCosine: Double, blockBits: Int = 0): DataFrame = {
+      minCosine: Double, blockBits: Int = 0,
+      targetBucketSize: Long = 4096L): DataFrame = {
+    // blockBits < 0 → AUTO: the per-bucket pair scan is quadratic in
+    // bucket population, so the bucket COUNT must scale with N —
+    // measured at 100×: fixed bits=4 went 0.57→72.9 s (128×,
+    // super-linear) while bits=8 landed at 7.2 s (~linear). One count
+    // pass derives bits so E[bucket] ≈ targetBucketSize (bounded
+    // ~targetBucketSize²/2 dots per bucket); same auto-knob pattern as
+    // dedupSpansRewrite's shuffle width. Finer blocking trades recall
+    // on near-threshold pairs (RP planes split neighbors) — pin
+    // blockBits explicitly where recall is gated.
+    val bits =
+      if (blockBits >= 0) blockBits
+      else {
+        val n = df.count()
+        if (n <= targetBucketSize) 0 // small corpus: the exact tier is affordable
+        else math.min(24,
+          math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+      }
     val withBucket =
-      if (blockBits > 0) df.select(col(id), col(vec), rp_bits(col(vec), blockBits).as("bkt"))
+      if (bits > 0) df.select(col(id), col(vec), rp_bits(col(vec), bits).as("bkt"))
       else df.select(col(id), col(vec), lit(0L).as("bkt"))
     val a = withBucket.select(col(id).as("id_a"), col(vec).as("v_a"), col("bkt"))
     val b = withBucket.select(col(id).as("id_b"), col(vec).as("v_b"), col("bkt"))

@@ -146,6 +146,22 @@ class OpsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("score_ppm") == 450000L)
   }
 
+  test("embeddingNearPairs auto blockBits: exact tier for small corpora, scaled bits above") {
+    // 500 fixture vectors ≤ targetBucketSize → exact tier (bits 0):
+    // auto must equal the explicit exact run
+    val auto = Dedup.embeddingNearPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, blockBits = -1).collect().toSet
+    val exact = Dedup.embeddingNearPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, blockBits = 0).collect().toSet
+    assert(auto == exact && auto.nonEmpty)
+    // above the target, auto must match the explicitly derived bits
+    val autoSmallTarget = Dedup.embeddingNearPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, blockBits = -1, targetBucketSize = 64).collect().toSet
+    val explicit3 = Dedup.embeddingNearPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, blockBits = 3).collect().toSet // ceil(log2(500/64)) = 3
+    assert(autoSmallTarget == explicit3)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged verdicts") {
     import spark.implicits._
     val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
