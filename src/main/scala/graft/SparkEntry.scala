@@ -23,7 +23,8 @@ object SparkEntry {
     ScaleJoinQueries,
     StreamingQueries,
     SourceQueries,
-    AsofQueries
+    AsofQueries,
+    GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

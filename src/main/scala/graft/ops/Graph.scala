@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation.
+  *
+  * Web-scale training corpora weight and filter sources by graph
+  * centrality over the host/domain link graph (Common Crawl publishes
+  * harmonic-centrality and PageRank rankings for exactly this purpose;
+  * the reference has no graph surface — beyond-reference capability,
+  * same family as the connected-components ops in [[Dedup]]).
+  *
+  * All ranks are computed in INTEGER nano-units ("ppb": the whole graph
+  * starts with 1e9 per node) with floor division at every step, so the
+  * fixpoint iteration is exactly replayable in any engine that has
+  * 64-bit integer division — the same cross-engine determinism trick as
+  * the basis-point quantization in [[Corpus.bm25TopK]]. Doubles never
+  * enter the loop; there is nothing to drift.
+  *
+  * 100 TB posture: the edge list is the big input and is touched once
+  * per iteration by one equi-join on `src` (hash-partitioned, no text
+  * or payload carried — two longs per row). Rank state is |V| rows
+  * (hosts/domains, orders of magnitude smaller than documents). The
+  * iteration count is fixed and small (classic 3–20), the driver sees
+  * only per-round row counts, and nothing is collected.
+  */
+object Graph {
+
+  /** PageRank with fixed iteration count, integer (parts-per-billion)
+    * arithmetic.
+    *
+    * Per node v: r0(v) = 1e9;
+    * r_{i+1}(v) = (100-dampingPct)*1e9/100
+    *            + dampingPct * (Σ_{(u,v)∈E} r_i(u) div outdeg(u)) div 100
+    * with `div` = floor integer division. Dangling nodes (no out-edges)
+    * simply evaporate their mass — deterministic on both engines; feed a
+    * symmetrized graph if you want none (the gated query does).
+    *
+    * @param edges directed edge list; duplicate edges count as parallel
+    *              edges (pre-`distinct` upstream if unwanted)
+    * @return (node, rank_ppb: Long) for every node appearing in edges
+    */
+  def pageRankPpb(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations (fixed small counts " +
+        "are the point of the integer formulation)")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"))
+    // out-degree once; joined per round. Persist both: every iteration
+    // (and the final action) would otherwise rescan the upstream plan.
+    val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).persist()
+    val ed = e.join(deg, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+
+    val basePpb = (100L - dampingPct) * 1000000000L / 100L
+    var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_ppb"))
+    var i = 0
+    while (i < iterations) {
+      // contribution of u to each successor: floor(r(u) / outdeg(u)) —
+      // exact in any 64-bit engine; the remainder mass evaporates
+      // identically everywhere.
+      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_ppb div odeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(basePpb) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+            .as("rank_ppb"))
+      i += 1
+    }
+    // one localCheckpoint cuts the iterations-deep lineage so downstream
+    // consumers don't replay the loop per action; loop caches released.
+    val out = ranks.localCheckpoint(true)
+    deg.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** Degree profile of a directed edge list: per-node out/in degree and
+    * total — the cheap first look at any crawl graph (spam hosts show
+    * up as degree outliers before any iteration is run). One pass,
+    * two bounded aggregations.
+    */
+  def degreeStats(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"))
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("total_deg", col("out_deg") + col("in_deg"))
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.DatetimeOps
 
 /** Datetime surface — SURVEY.md §2.8 (`Series.dt.*`): component extract,
   * trunc/round, strftime/to_datetime, arithmetic. Reference anchors:
@@ -60,6 +61,37 @@ object DatetimeQueries extends QueryGroup {
           (dayofmonth(col("o_orderdate")) === 1).as("is_month_start"),
           (col("o_orderdate").cast("date") === last_day(col("o_orderdate").cast("date"))).as("is_month_end"),
           (quarter(col("o_orderdate")) =!= quarter(col("o_orderdate") + expr("INTERVAL 1 DAY"))).as("is_quarter_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // pandas dt.isocalendar(): ISO week-numbering (year, week, day).
+    // The oracle uses DuckDB's NATIVE isoyear/weekofyear/isodow — an
+    // independent implementation, so the Thursday-trick expressions in
+    // DatetimeOps are cross-checked, not replayed
+    "q50c_isocalendar" -> ((s, d) => {
+      val dt = col("o_orderdate").cast("date")
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .select(
+          col("o_orderkey"),
+          DatetimeOps.isoYear(dt).as("iso_year"),
+          DatetimeOps.isoWeek(dt).as("iso_week"),
+          DatetimeOps.isoDow(dt).as("iso_day"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // numpy busday_count(start, end): weekdays in [start, end) for a
+    // spread of span lengths hitting every (dow, remainder) combination
+    "q53c_busday" -> ((s, d) => {
+      val start = col("o_orderdate").cast("date")
+      val end = expr("date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 40 + 1 AS INT))")
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .select(
+          col("o_orderkey"),
+          date_format(start, "yyyy-MM-dd").as("start_d"),
+          date_format(end, "yyyy-MM-dd").as("end_d"),
+          DatetimeOps.busdayCount(start, end).as("busdays"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -341,6 +373,27 @@ object DatetimeQueries extends QueryGroup {
         |  CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE)) AS is_month_end,
         |  QUARTER(o_orderdate) != QUARTER(o_orderdate + INTERVAL 1 DAY) AS is_quarter_end
         |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    // independent implementation: DuckDB natives, not a formula replay
+    "q50c_isocalendar" ->
+      """SELECT o_orderkey,
+        |  CAST(ISOYEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_year,
+        |  CAST(WEEKOFYEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+        |  CAST(ISODOW(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_day
+        |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q53c_busday" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 40 + 1 AS INTEGER) AS e
+        |  FROM orders WHERE o_orderkey % 149 = 0),
+        |c AS (SELECT o_orderkey, s, e, e - s AS days, ISODOW(s) AS dw,
+        |    (e - s) % 7 AS rem FROM t)
+        |SELECT o_orderkey, STRFTIME(s, '%Y-%m-%d') AS start_d,
+        |  STRFTIME(e, '%Y-%m-%d') AS end_d,
+        |  CAST((days // 7) * 5 + rem
+        |    - CASE WHEN dw <= 6 AND dw + rem - 1 >= 6 THEN 1 ELSE 0 END
+        |    - CASE WHEN dw + rem - 1 >= 7 THEN 1 ELSE 0 END AS INTEGER) AS busdays
+        |FROM c ORDER BY o_orderkey""".stripMargin,
 
     "q52_dt_trunc_format" ->
       """SELECT event_id,

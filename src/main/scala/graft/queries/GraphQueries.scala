@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Graph
+
+/** Link-graph analytics (graft.ops.Graph) — PageRank-style source
+  * authority and degree profiling over a bipartite customer↔supplier
+  * interaction graph derived from the fixtures (the stand-in for a web
+  * crawl's host link graph; SURVEY §2 beyond-reference block).
+  *
+  * Oracles replay the integer ppb fixpoint exactly: the rank loop is
+  * pure 64-bit floor division, so three unrolled CTE rounds in DuckDB
+  * reproduce Spark's longs bit-for-bit.
+  */
+object GraphQueries extends QueryGroup {
+
+  /** Symmetrized bipartite graph: customer c ↔ supplier s iff some
+    * lineitem of one of c's orders was supplied by s. Supplier nodes
+    * offset by 1e6 into a disjoint id space.
+    */
+  private def edges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + 1000000L).as("sn"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sn").as("dst"))
+      .union(pairs.select(col("sn").as("src"), col("c").as("dst")))
+  }
+
+  private val sqlEdges =
+    """pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS sn
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT c AS src, sn AS dst FROM pairs
+      |  UNION ALL SELECT sn AS src, c AS dst FROM pairs)""".stripMargin
+
+  override def queries: Map[String, Q] = Map(
+    // 3-round integer PageRank; top-100 authorities. The heavy
+    // suppliers (many distinct customers) float to the top — the
+    // host-authority signal corpus pipelines weight sources by.
+    "q171_pagerank" -> ((s, d) => {
+      Graph.pageRankPpb(edges(s, d), "src", "dst", iterations = 3)
+        .orderBy(col("rank_ppb").desc, col("node"))
+        .limit(100)
+    }),
+
+    // degree profile of the same graph (symmetric, so out = in; the
+    // gate checks both legs anyway)
+    "q171b_degree_stats" -> ((s, d) => {
+      Graph.degreeStats(edges(s, d), "src", "dst")
+        .orderBy(col("total_deg").desc, col("node"))
+        .limit(100)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q171_pagerank" -> {
+      // unrolled 3-round replay: r_{i+1} = 0.15e9 + 85 * Σ floor-div
+      // contributions div 100, all BIGINT floor division
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r.r // d.odeg) AS BIGINT) AS s
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |    CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+      s"""WITH $sqlEdges,
+         |deg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, r AS rank_ppb FROM r3
+         |ORDER BY rank_ppb DESC, node LIMIT 100""".stripMargin
+    },
+
+    "q171b_degree_stats" ->
+      s"""WITH $sqlEdges,
+         |o AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+         |i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst),
+         |d AS (SELECT COALESCE(o.node, i.node) AS node,
+         |    COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+         |  FROM o FULL JOIN i ON o.node = i.node)
+         |SELECT node, out_deg, in_deg, out_deg + in_deg AS total_deg
+         |FROM d ORDER BY total_deg DESC, node LIMIT 100""".stripMargin
+  )
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.expressions.TextHashes._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Keywords, Linalg, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operators (SURVEY §7.2 M6 — the north star):
   * dedup (exact / minhash+LSH / simhash / n-gram jaccard / embedding
@@ -650,6 +650,38 @@ object LlmQueries extends QueryGroup {
     // codecs in this container; the plan arithmetic is the real logic)
     "q105d_audio_resample" -> ((s, d) => {
       Multimodal.audioResamplePlan(Tables.documents(s, d), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- embedding linalg (PCA-whitening prep) -----------------------
+    // distributed Gramian X^T X of the embedding table in integer
+    // micro-units: one scan, per-partition local d(d+1)/2 accumulation,
+    // shuffle size independent of row count
+    "q172_gramian" -> ((s, d) => {
+      Linalg.gramianMicro(Tables.embeddings(s, d), "embedding", dim = 64)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // per-dimension sums + count (the mean vector of the same space)
+    "q172b_column_sums" -> ((s, d) => {
+      Linalg.columnSumsMicro(Tables.embeddings(s, d), "embedding", dim = 64)
+        .orderBy(col("i"))
+    }),
+
+    // ---- multi-keyword tagging (Aho–Corasick, one text pass) ---------
+    // literal patterns incl. a cross-word phrase and a mid-word
+    // substring; non-overlapping replace-count semantics so REPLACE
+    // replays it exactly
+    "q173_keyword_tags" -> ((s, d) => {
+      Keywords.tagKeywords(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "merge", "a a", "art", "customer query"))
+        .orderBy(col("doc_id"), col("keyword"))
+    }),
+
+    // blocklist-score rollup of the same pass
+    "q173b_keyword_summary" -> ((s, d) => {
+      Keywords.keywordSummary(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "merge", "a a", "art", "customer query"))
         .orderBy(col("doc_id"))
     })
   )
@@ -1417,7 +1449,50 @@ object LlmQueries extends QueryGroup {
            |  CAST(LENGTH(SUBSTR(text, i * 256 + 1, 256)) AS INTEGER) AS frame_chars,
            |  SUBSTR(text, i * 256 + 1, 12) AS head12
            |FROM t, UNNEST(range(0, nf, 3)) AS u(i)
-           |ORDER BY doc_id, frame_idx""".stripMargin
+           |ORDER BY doc_id, frame_idx""".stripMargin,
+
+      // Gramian: replay the float→double products with the same
+      // left-assoc multiply order and micro-unit floor pre-sum; the
+      // integer sum is association-order-free so DuckDB's plan choice
+      // cannot drift
+      "q172_gramian" ->
+        """WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+          |    FROM embeddings, range(1, 65) t(i)),
+          |p AS (SELECT a.i AS ai, b.i AS bi,
+          |    CAST(FLOOR(a.v * b.v * 1000000.0) AS BIGINT) AS q
+          |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
+          |SELECT CAST(ai - 1 AS INTEGER) AS i, CAST(bi - 1 AS INTEGER) AS j,
+          |  CAST(SUM(q) AS BIGINT) AS g_micro
+          |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+      "q172b_column_sums" ->
+        """WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+          |    FROM embeddings, range(1, 65) t(i))
+          |SELECT CAST(i - 1 AS INTEGER) AS i,
+          |  CAST(SUM(CAST(FLOOR(v * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+          |  COUNT(*) AS n
+          |FROM x GROUP BY 1 ORDER BY i""".stripMargin,
+
+      "q173_keyword_tags" ->
+        """WITH k AS (SELECT kw FROM (VALUES ('spark'), ('merge'), ('a a'),
+          |    ('art'), ('customer query')) AS v(kw)),
+          |c AS (SELECT doc_id, kw,
+          |    CAST((LENGTH(text) - LENGTH(REPLACE(text, kw, ''))) // LENGTH(kw)
+          |      AS BIGINT) AS n_hits
+          |  FROM documents CROSS JOIN k)
+          |SELECT doc_id, kw AS keyword, n_hits FROM c
+          |WHERE n_hits > 0 ORDER BY doc_id, keyword""".stripMargin,
+
+      "q173b_keyword_summary" ->
+        """WITH k AS (SELECT kw FROM (VALUES ('spark'), ('merge'), ('a a'),
+          |    ('art'), ('customer query')) AS v(kw)),
+          |c AS (SELECT doc_id, kw,
+          |    CAST((LENGTH(text) - LENGTH(REPLACE(text, kw, ''))) // LENGTH(kw)
+          |      AS BIGINT) AS n_hits
+          |  FROM documents CROSS JOIN k)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_keywords,
+          |  CAST(SUM(n_hits) AS BIGINT) AS total_hits
+          |FROM c WHERE n_hits > 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -95,6 +95,20 @@ object StringQueries extends QueryGroup {
         .orderBy(col("p_partkey"))
     }),
 
+    // pandas str.count(pat): non-overlapping regex match count
+    // (Spark regexp_count vs DuckDB len(regexp_extract_all) — two
+    // independent regex engines agreeing on the count)
+    "q43b_str_count" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 13 === 0)
+        .select(
+          col("p_partkey"),
+          expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
+          expr("regexp_count(p_name, '[a-z]+')").as("n_words"),
+          expr("regexp_count(p_brand, '[0-9]')").as("n_digits"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // extract family: regexp_extract groups + findall count
     "q44_str_extract" -> ((s, d) => {
       Tables.customer(s, d)
@@ -303,6 +317,13 @@ object StringQueries extends QueryGroup {
         |  REPLACE(p_name, ' ', '_') AS snake_name,
         |  TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up,
         |  REGEXP_REPLACE(p_name, '(\w+) (\w+)', '\2 \1', 'g') AS swapped
+        |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "q43b_str_count" ->
+      """SELECT p_partkey,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[a-z]+')) AS INTEGER) AS n_words,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(p_brand, '[0-9]')) AS INTEGER) AS n_digits
         |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin,
 
     "q44_str_extract" ->

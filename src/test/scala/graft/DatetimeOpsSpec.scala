@@ -1,0 +1,63 @@
+package graft
+
+import java.time.{DayOfWeek, LocalDate}
+import org.apache.spark.sql.functions._
+import graft.ops.DatetimeOps
+
+/** Pins DatetimeOps against java.time ground truth — important because
+  * the q53c oracle replays the same closed-form formula in DuckDB (a
+  * formula bug would pass the differential gate), while q50c's oracle
+  * is DuckDB's independent native isocalendar.
+  */
+class DatetimeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteBusdays(s: LocalDate, e: LocalDate): Int =
+    Iterator.iterate(s)(_.plusDays(1)).takeWhile(_.isBefore(e))
+      .count(d => d.getDayOfWeek != DayOfWeek.SATURDAY &&
+        d.getDayOfWeek != DayOfWeek.SUNDAY)
+
+  test("busdayCount matches day-by-day iteration over all dow x span combos") {
+    // 14 consecutive start days x spans 0..30 — covers every
+    // (start-dow, remainder) pair several times over
+    val cases = for {
+      off <- 0 until 14
+      span <- 0 to 30
+    } yield (LocalDate.of(2024, 2, 26).plusDays(off).toString,
+      LocalDate.of(2024, 2, 26).plusDays(off + span).toString)
+    val df = cases.toDF("s", "e")
+      .select(col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val got = df.select(col("s"), col("e"),
+        DatetimeOps.busdayCount(col("s"), col("e")).as("b"))
+      .collect()
+      .map(r => ((r.getDate(0).toString, r.getDate(1).toString), r.getInt(2)))
+      .toMap
+    cases.foreach { case (s, e) =>
+      assert(got((s, e)) == bruteBusdays(LocalDate.parse(s), LocalDate.parse(e)),
+        s"busdays($s, $e)")
+    }
+  }
+
+  test("isocalendar matches java.time IsoFields across year boundaries") {
+    import java.time.temporal.IsoFields
+    // Dec 28 .. Jan 5 around several new years, incl. leap years — the
+    // zone where iso year != calendar year
+    val dates = for {
+      y <- Seq(2015, 2016, 2020, 2021, 2024, 2025)
+      off <- -5 to 5
+    } yield LocalDate.of(y, 1, 1).plusDays(off).toString
+    val got = dates.toDF("d").select(col("d").cast("date").as("d"))
+      .select(col("d"), DatetimeOps.isoYear(col("d")).as("iy"),
+        DatetimeOps.isoWeek(col("d")).as("iw"),
+        DatetimeOps.isoDow(col("d")).as("idw"))
+      .collect()
+      .map(r => (r.getDate(0).toString, (r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    dates.foreach { s =>
+      val d = LocalDate.parse(s)
+      val want = (d.get(IsoFields.WEEK_BASED_YEAR),
+        d.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR), d.getDayOfWeek.getValue)
+      assert(got(s) == want, s"isocalendar($s)")
+    }
+  }
+}

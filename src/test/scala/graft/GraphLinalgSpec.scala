@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Linalg}
+
+/** Unit specs for the link-graph (ops.Graph) and embedding-linalg
+  * (ops.Linalg) operators. The e2e DuckDB gates are q171/q171b and
+  * q172/q172b; these specs pin the kernel math on hand-checkable
+  * inputs plus partition-count invariance (the property a distributed
+  * Gramian must hold by construction).
+  */
+class GraphLinalgSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- pageRankPpb ---------------------------------------------------
+
+  test("pageRankPpb: symmetric 2-node graph stays uniform") {
+    // a <-> b: each node's contribution equals its own rank, so the
+    // fixpoint is the initial mass exactly: 0.15e9 + 0.85e9 = 1e9
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRankPpb(edges, "src", "dst", iterations = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("pageRankPpb: star center outranks leaves, hand-checked round") {
+    // leaves 2,3,4 -> center 1, center -> 2. One round:
+    //   center: 0.15e9 + 85*(3 * 1e9) / 100          = 2700000000
+    //   leaf 2: 0.15e9 + 85*(1e9 div 1) div 100      = 1000000000
+    //   leaves 3,4 (no in-edges): 150000000
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r1 = Graph.pageRankPpb(edges, "src", "dst", iterations = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r1 == Map(1L -> 2700000000L, 2L -> 1000000000L,
+      3L -> 150000000L, 4L -> 150000000L))
+    // more rounds keep the ordering: center stays the top authority
+    val r3 = Graph.pageRankPpb(edges, "src", "dst", iterations = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r3(1L) > r3(2L) && r3(2L) > r3(3L) && r3(3L) == r3(4L))
+  }
+
+  test("pageRankPpb is partition-count invariant") {
+    val edges = (1L to 40L).map(i => (i, i % 7 + 100L)) ++
+      (1L to 6L).map(i => (i + 100L, i))
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df7 = edges.toDF("src", "dst").repartition(7)
+    val a = Graph.pageRankPpb(df1, "src", "dst", iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val b = Graph.pageRankPpb(df7, "src", "dst", iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("pageRankPpb rejects bad knobs fast") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankPpb(edges, "src", "dst", iterations = 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankPpb(edges, "src", "dst", dampingPct = 101)
+    }
+  }
+
+  test("degreeStats: hand-checked degrees incl. pure-sink and pure-source") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.degreeStats(edges, "src", "dst")
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(1L -> ((2L, 0L, 2L)), 2L -> ((1L, 1L, 2L)), 3L -> ((0L, 2L, 2L))))
+  }
+
+  // --- gramianMicro / columnSumsMicro --------------------------------
+
+  private def vecsDf(rows: Seq[Seq[Float]]) =
+    rows.map(Tuple1(_)).toDF("embedding")
+
+  test("gramianMicro: hand-computed 2-dim case") {
+    // rows (1,2) and (3,4):
+    //   g(0,0)=1+9=10; g(0,1)=2+12=14; g(1,1)=4+16=20 — in micro-units
+    val df = vecsDf(Seq(Seq(1f, 2f), Seq(3f, 4f)))
+    val g = Linalg.gramianMicro(df, "embedding", 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(g == Map((0, 0) -> 10000000L, (0, 1) -> 14000000L, (1, 1) -> 20000000L))
+  }
+
+  test("gramianMicro is partition-count invariant (integer pre-sum)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)(Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val a = Linalg.gramianMicro(vecsDf(rows).repartition(1), "embedding", 8)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val b = Linalg.gramianMicro(vecsDf(rows).repartition(13), "embedding", 8)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(a == b && a.size == 36)
+  }
+
+  test("columnSumsMicro: sums and counts match a driver-side fold") {
+    val rows = Seq(Seq(0.5f, -0.25f), Seq(1.5f, 0.75f), Seq(-1.0f, 2.0f))
+    val r = Linalg.columnSumsMicro(vecsDf(rows), "embedding", 2)
+      .collect().map(x => (x.getInt(0), (x.getLong(1), x.getLong(2)))).toMap
+    val expect = (0 until 2).map { i =>
+      i -> ((rows.map(v => math.floor(v(i).toDouble * 1e6).toLong).sum, 3L))
+    }.toMap
+    assert(r == expect)
+  }
+
+  test("topEigen recovers the dominant axis of an anisotropic cloud") {
+    // points stretched along (1,1)/√2 — the top eigenvector of X^T X
+    // must align with it (up to sign)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500) {
+      val t = rnd.nextGaussian() * 10
+      val n = rnd.nextGaussian() * 0.1
+      Seq((t + n).toFloat, (t - n).toFloat)
+    }
+    val gram = Linalg.gramianMicro(vecsDf(rows), "embedding", 2)
+    val (v, lam) = Linalg.topEigen(gram, 2)
+    assert(math.abs(math.abs(v(0)) - math.sqrt(0.5)) < 0.01)
+    assert(math.abs(math.abs(v(1)) - math.sqrt(0.5)) < 0.01)
+    assert(lam > 0)
+  }
+
+  test("projectTo: projection onto an axis-aligned basis picks coordinates") {
+    val df = vecsDf(Seq(Seq(3f, 4f), Seq(-1f, 2f)))
+    val out = Linalg.projectTo(df, "embedding",
+        Seq(Array(1.0, 0.0), Array(0.0, 1.0)))
+      .select(col("proj")).collect().map(_.getSeq[Double](0).toList).toSet
+    assert(out == Set(List(3.0, 4.0), List(-1.0, 2.0)))
+  }
+}
