@@ -230,6 +230,37 @@ package object syntax {
     def shardManifest(id: String, text: String, nShards: Int): DataFrame =
       Corpus.shardManifest(df, id, text, nShards)
 
+    // ---- link-graph analytics (Graph); `df` is an edge list ---------
+    def pageRankPpb(src: String, dst: String, iterations: Int = 3,
+        dampingPct: Int = 85): DataFrame =
+      Graph.pageRankPpb(df, src, dst, iterations, dampingPct)
+    def degreeStats(src: String, dst: String): DataFrame =
+      Graph.degreeStats(df, src, dst)
+
+    // ---- embedding linalg (Linalg) ----------------------------------
+    def gramianMicro(vec: String, dim: Int): DataFrame =
+      Linalg.gramianMicro(df, vec, dim)
+    def columnSumsMicro(vec: String, dim: Int): DataFrame =
+      Linalg.columnSumsMicro(df, vec, dim)
+    def projectTo(vec: String, basis: Seq[Array[Double]],
+        outCol: String = "proj"): DataFrame =
+      Linalg.projectTo(df, vec, basis, outCol)
+
+    // ---- multi-keyword tagging (Keywords) ---------------------------
+    def tagKeywords(id: String, text: String, keywords: Seq[String]): DataFrame =
+      Keywords.tagKeywords(df, id, text, keywords)
+    def keywordSummary(id: String, text: String, keywords: Seq[String]): DataFrame =
+      Keywords.keywordSummary(df, id, text, keywords)
+
+    // ---- datetime long tail (DatetimeOps) ---------------------------
+    def withIsocalendar(dateCol: String, prefix: String = "iso_"): DataFrame =
+      df.withColumn(prefix + "year", DatetimeOps.isoYear(df(dateCol)))
+        .withColumn(prefix + "week", DatetimeOps.isoWeek(df(dateCol)))
+        .withColumn(prefix + "day", DatetimeOps.isoDow(df(dateCol)))
+    def withBusdayCount(startCol: String, endCol: String,
+        as: String = "busdays"): DataFrame =
+      df.withColumn(as, DatetimeOps.busdayCount(df(startCol), df(endCol)))
+
     // ---- scale joins / layout (ScaleJoins, Layout) ------------------
     def bloomSemiJoin(dim: DataFrame, factKey: String, dimKey: String,
         expectedItems: Long, fpp: Double = 0.01): DataFrame =

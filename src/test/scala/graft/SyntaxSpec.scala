@@ -189,5 +189,18 @@ class SyntaxSpec extends SparkSpec {
         Map("en" -> 1.0), budgetTokens = 1000).count() == 2)
     val nums = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 7.0)).toDF("x", "y")
     assert(nums.corrMatrix(Seq("x", "y")).count() == 3)
+
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(edges.pageRankPpb("src", "dst").count() == 2)
+    assert(edges.degreeStats("src", "dst").count() == 2)
+    assert(emb.gramianMicro("embedding", 2).count() == 3)
+    assert(emb.columnSumsMicro("embedding", 2).count() == 2)
+    assert(emb.projectTo("embedding", Seq(Array(1.0, 0.0))).columns.contains("proj"))
+    assert(corpus.tagKeywords("doc_id", "text", Seq("fast", "scan")).count() == 2)
+    assert(corpus.keywordSummary("doc_id", "text", Seq("fast", "scan")).count() == 2)
+    val dts = Seq(("2024-01-01", "2024-01-08")).toDF("s", "e")
+      .select($"s".cast("date").as("s"), $"e".cast("date").as("e"))
+    assert(dts.withIsocalendar("s").select("iso_week").head.getInt(0) == 1)
+    assert(dts.withBusdayCount("s", "e").select("busdays").head.getInt(0) == 5)
   }
 }
