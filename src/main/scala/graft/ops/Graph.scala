@@ -53,6 +53,13 @@ object Graph {
       col(dst).cast("long").as("dst"))
     // out-degree once; joined per round. Persist both: every iteration
     // (and the final action) would otherwise rescan the upstream plan.
+    // Deliberately a plain shuffled join per round: rounds re-execute
+    // the prior chain, but sort-shuffle files are REUSED (skipped
+    // stages), so the marginal cost per round is one |E|-row exchange
+    // of (dst, contrib) longs (~8 B/edge measured). A broadcast-ranks
+    // + dst-partitioned-edges variant was measured 2.6x SLOWER at 1x
+    // and 1.4x at 100x (PLANS.md round-8): broadcast builds forfeit
+    // shuffle reuse across the iteration chain.
     val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).persist()
     val ed = e.join(deg, "src").persist()
     val nodes = e.select(col("src").as("node"))
