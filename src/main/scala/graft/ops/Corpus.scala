@@ -1196,4 +1196,70 @@ object Corpus {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("logw"))
   }
+
+  /** Multinomial naive Bayes over hashed unigrams: the TRAINABLE
+    * companion of [[qualityClassifierScore]]'s fixed-weight inference —
+    * the fasttext-style language-ID / quality-classifier shape corpus
+    * pipelines train on a labeled slice and run over everything.
+    *
+    * Model: per (bucket, class) log-likelihood ln((cnt+0.5) /
+    * (classTokens + 0.5·B)) and per-class log-prior ln(nDocs/total),
+    * both FLOOR-quantized to integer micro-units at model-build time —
+    * so scoring is pure 64-bit integer summation and the argmax is
+    * association-order-free (the [[Graph.pageRankPpb]] determinism
+    * pattern). Ties break to the lexicographically smallest label.
+    * Tokens hashing to buckets unseen in training score over known
+    * buckets only (inner join — deterministic, documented).
+    *
+    * 100 TB posture: training aggregates to ≤ B·C + C rows (broadcast
+    * both); prediction is explode → broadcast join → per-(doc, class)
+    * map-side-combined sum → C-row window per doc. The corpus is
+    * scanned once and shuffles only (id, class, partial-sum) rows.
+    *
+    * @return (id, label = predicted class, score_micro, n_known —
+    *         tokens that hit a trained bucket)
+    */
+  def naiveBayesPredict(corpus: DataFrame, seeds: DataFrame, id: String,
+      text: String, label: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    def feats(df: DataFrame, keep: Seq[String]) =
+      graft.Tables.spread(df.select((keep :+ text).map(col): _*), keep.head)
+        .select(keep.map(col) :+ explode(toks(col(text))).as("term"): _*)
+        .filter(length(col("term")) > 0)
+        .withColumn("b", pmod(poly_hash(col("term")), lit(buckets.toLong)))
+        .drop("term")
+    // ---- train: all aggregates are bucket/class-bounded ----
+    val tok = feats(seeds, Seq(id, label))
+    val classTok = tok.groupBy(col(label), col("b")).agg(count(lit(1)).as("cnt"))
+    val classTot = tok.groupBy(col(label)).agg(count(lit(1)).as("tot"))
+    // full (seen-bucket × class) grid so absent pairs get the smoothed
+    // floor value instead of silently vanishing from one class
+    val grid = classTok.select(col("b")).distinct().crossJoin(classTot)
+    val model = grid.join(classTok, Seq("b", label), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("ll_micro",
+        floor(log((col("cnt") + lit(0.5)) / (col("tot") + lit(0.5 * buckets)))
+          * 1e6).cast("long"))
+      .select(col("b"), col(label), col("ll_micro"))
+    val nDocs = seeds.groupBy(col(label)).agg(count(lit(1)).as("ndocs"))
+    val nTot = seeds.agg(count(lit(1)).as("nd_tot"))
+    val priors = nDocs.crossJoin(broadcast(nTot))
+      .withColumn("prior_micro",
+        floor(log(col("ndocs").cast("double") / col("nd_tot")) * 1e6).cast("long"))
+      .select(col(label), col("prior_micro"))
+    // ---- predict: one corpus scan, broadcast model ----
+    val t = feats(corpus, Seq(id))
+    val perClass = t.join(broadcast(model), Seq("b"))
+      .groupBy(col(id), col(label))
+      .agg(sum(col("ll_micro")).as("s"), count(lit(1)).as("n_known"))
+      .join(broadcast(priors), label)
+      .withColumn("score_micro", col("s") + col("prior_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("score_micro").desc, col(label))
+    perClass
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(id), col(label), col("score_micro"), col("n_known"))
+  }
 }

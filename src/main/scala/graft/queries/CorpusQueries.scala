@@ -25,6 +25,44 @@ object CorpusQueries extends QueryGroup {
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, x) -> (a * 31 + x) % 1000000007)"
 
+  /** DuckDB replay of [[Corpus.naiveBayesPredict]] trained on the
+    * doc_id %3 != 0 slice (lang = class, 256 hash buckets), predicting
+    * the held-out third: per-(bucket, class) counts → floor-micro
+    * log-likelihoods over the full seen-bucket × class grid, floor-micro
+    * log-priors, integer score sum, ROW_NUMBER argmax (score desc,
+    * label asc). Ends with CTE `best` (doc_id, lang, score_micro,
+    * n_known, rk).
+    */
+  private val sqlNbCtes: String =
+    s"""d AS (SELECT doc_id, lang, $sqlNorm AS s FROM documents),
+       |tokall AS (SELECT doc_id, lang, unnest(string_split(s, ' ')) AS term FROM d),
+       |tok AS (SELECT doc_id, lang, term FROM tokall WHERE length(term) > 0),
+       |dt AS (SELECT DISTINCT term FROM tok),
+       |hb AS (SELECT term, ${sqlPoly("term")} % 256 AS b FROM dt),
+       |tb AS (SELECT doc_id, lang, b FROM tok JOIN hb USING (term)),
+       |tr AS (SELECT * FROM tb WHERE doc_id % 3 != 0),
+       |ct AS (SELECT lang, b, COUNT(*) AS cnt FROM tr GROUP BY 1, 2),
+       |tot AS (SELECT lang, COUNT(*) AS tot FROM tr GROUP BY 1),
+       |grid AS (SELECT sb.b, tot.lang, tot.tot
+       |  FROM (SELECT DISTINCT b FROM ct) sb CROSS JOIN tot),
+       |model AS (SELECT g.b, g.lang,
+       |    CAST(FLOOR(LN((COALESCE(ct.cnt, 0) + 0.5) / (g.tot + 128.0))
+       |      * 1000000.0) AS BIGINT) AS ll
+       |  FROM grid g LEFT JOIN ct ON g.b = ct.b AND g.lang = ct.lang),
+       |nd AS (SELECT lang, COUNT(*) AS ndocs FROM documents WHERE doc_id % 3 != 0 GROUP BY 1),
+       |ndt AS (SELECT COUNT(*) AS nd_tot FROM documents WHERE doc_id % 3 != 0),
+       |pri AS (SELECT lang, CAST(FLOOR(LN(CAST(ndocs AS DOUBLE) / nd_tot)
+       |    * 1000000.0) AS BIGINT) AS prior FROM nd, ndt),
+       |te AS (SELECT doc_id, b FROM tb WHERE doc_id % 3 = 0),
+       |sc AS (SELECT te.doc_id, m.lang, CAST(SUM(m.ll) AS BIGINT) AS s,
+       |    COUNT(*) AS n_known
+       |  FROM te JOIN model m USING (b) GROUP BY 1, 2),
+       |sc2 AS (SELECT sc.doc_id, sc.lang, CAST(sc.s + pri.prior AS BIGINT) AS score_micro,
+       |    sc.n_known
+       |  FROM sc JOIN pri USING (lang)),
+       |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score_micro DESC, lang) AS rk FROM sc2)""".stripMargin
+
   /** DuckDB: index-order dot product of two 64-dim float-list columns. */
   private[queries] def sqlDot(a: String, ac: String, b: String, bc: String): String =
     s"list_sum(list_transform(range(1, 65), i -> " +
@@ -460,6 +498,40 @@ object CorpusQueries extends QueryGroup {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang"), col("split"))
+    }),
+
+    // trainable naive Bayes language-ID: train on the %3!=0 slice
+    // (lang = class), predict the held-out third; all log terms
+    // floor-quantized to micro-units at model build, so scoring is
+    // integer argmax — association-order-free in both engines
+    "q174_nb_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pred = Corpus.naiveBayesPredict(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang").as("pred"),
+          col("score_micro"), col("n_known"))
+      pred.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred"),
+          col("score_micro"), col("n_known"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // holdout accuracy rollup of the same model — the number a
+    // pipeline actually gates deploys on
+    "q174b_nb_accuracy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pred = Corpus.naiveBayesPredict(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang").as("pred"))
+      pred.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -972,6 +1044,19 @@ object CorpusQueries extends QueryGroup {
          |       ELSE 'test' END AS split FROM documents)
          |SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
-    }
+    },
+
+    "q174_nb_langid" ->
+      s"""WITH $sqlNbCtes
+         |SELECT b.doc_id, d2.lang, b.lang AS pred, b.score_micro, b.n_known
+         |FROM best b JOIN documents d2 USING (doc_id)
+         |WHERE b.rk = 1 ORDER BY b.doc_id""".stripMargin,
+
+    "q174b_nb_accuracy" ->
+      s"""WITH $sqlNbCtes
+         |SELECT d2.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN b.lang = d2.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM best b JOIN documents d2 USING (doc_id)
+         |WHERE b.rk = 1 GROUP BY d2.lang ORDER BY d2.lang""".stripMargin
   )
 }

@@ -230,6 +230,11 @@ package object syntax {
     def shardManifest(id: String, text: String, nShards: Int): DataFrame =
       Corpus.shardManifest(df, id, text, nShards)
 
+    /** `df` is the predict set; `seeds` the labeled training slice. */
+    def naiveBayesPredict(seeds: DataFrame, id: String, text: String,
+        label: String, buckets: Int = 256): DataFrame =
+      Corpus.naiveBayesPredict(df, seeds, id, text, label, buckets)
+
     // ---- link-graph analytics (Graph); `df` is an edge list ---------
     def pageRankPpb(src: String, dst: String, iterations: Int = 3,
         dampingPct: Int = 85): DataFrame =
