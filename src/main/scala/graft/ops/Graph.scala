@@ -91,6 +91,57 @@ object Graph {
     out
   }
 
+  /** Semi-supervised label propagation with clamped seeds (the label-
+    * spreading shape corpus pipelines use to extend a small labeled
+    * slice — topic, quality tier, spam verdict — over a similarity or
+    * interaction graph). Votes flow src → dst; each round every
+    * unseeded node takes the majority label of its labeled in-
+    * neighbors (count desc, then lexicographically smallest label —
+    * fully deterministic, no scores, no doubles); seed labels never
+    * change. Newly labeled nodes vote in later rounds, so labels
+    * spread one hop per iteration.
+    *
+    * 100 TB posture: same loop skeleton as [[pageRankPpb]] — one
+    * equi-join of the (persisted) edge list against the current
+    * assignment plus one bounded aggregation per round; the assignment
+    * is |V| rows; the driver collects nothing.
+    *
+    * @param seeds (node, label) — the clamped labeled slice
+    * @return (node, label, seeded) for every node reachable within
+    *         `iterations` hops of a seed (unreached nodes are absent)
+    */
+  def labelPropagate(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, node: String, label: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst")).persist()
+    val s0 = seeds.select(col(node).cast("long").as("node"),
+      col(label).cast("string").as("label")).distinct().persist()
+    var assigned = s0.withColumn("seeded", lit(true))
+    var i = 0
+    while (i < iterations) {
+      val votes = e.join(assigned.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("n_votes").desc, col("label"))
+      val winners = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label"), lit(false).as("seeded"))
+      // seeds clamp: an inferred label never overrides a seed
+      assigned = s0.withColumn("seeded", lit(true))
+        .unionByName(winners.join(s0.select("node"), Seq("node"), "left_anti"))
+      i += 1
+    }
+    val out = assigned.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    s0.unpersist(blocking = false)
+    out
+  }
+
   /** Degree profile of a directed edge list: per-node out/in degree and
     * total — the cheap first look at any crawl graph (spam hosts show
     * up as degree outliers before any iteration is run). One pass,

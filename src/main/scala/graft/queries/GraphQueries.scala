@@ -52,6 +52,21 @@ object GraphQueries extends QueryGroup {
       Graph.degreeStats(edges(s, d), "src", "dst")
         .orderBy(col("total_deg").desc, col("node"))
         .limit(100)
+    }),
+
+    // label propagation: region labels seeded on HALF the customers
+    // (even keys) spread to suppliers in round 1 and back to the
+    // unseeded customers in round 2 — true two-hop spreading with
+    // clamped seeds, integer votes, lexicographic tie-break
+    "q175_label_prop" -> ((s, d) => {
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_custkey") % 2 === 0)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey").as("node"), col("r_name").as("label"))
+      Graph.labelPropagate(edges(s, d), "src", "dst", seeds,
+          "node", "label", iterations = 2)
+        .orderBy(col("node"))
     })
   )
 
@@ -85,6 +100,29 @@ object GraphQueries extends QueryGroup {
          |    COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
          |  FROM o FULL JOIN i ON o.node = i.node)
          |SELECT node, out_deg, in_deg, out_deg + in_deg AS total_deg
-         |FROM d ORDER BY total_deg DESC, node LIMIT 100""".stripMargin
+         |FROM d ORDER BY total_deg DESC, node LIMIT 100""".stripMargin,
+
+    "q175_label_prop" -> {
+      // two unrolled LPA rounds: votes from the current assignment,
+      // ROW_NUMBER argmax (count desc, label asc), seeds clamped
+      def round(i: Int): String =
+        s"""v$i AS (SELECT e.dst AS node, a.label, COUNT(*) AS n
+           |  FROM edges e JOIN a${i - 1} a ON e.src = a.node GROUP BY 1, 2),
+           |w$i AS (SELECT node, label FROM (SELECT node, label,
+           |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk
+           |  FROM v$i) WHERE rk = 1),
+           |a$i AS (SELECT node, label, TRUE AS seeded FROM seeds
+           |  UNION ALL SELECT w.node, w.label, FALSE AS seeded FROM w$i w
+           |  WHERE w.node NOT IN (SELECT node FROM seeds))""".stripMargin
+      s"""WITH $sqlEdges,
+         |seeds AS (SELECT DISTINCT c_custkey AS node, r_name AS label
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE c_custkey % 2 = 0),
+         |a0 AS (SELECT node, label, TRUE AS seeded FROM seeds),
+         |${round(1)},
+         |${round(2)}
+         |SELECT node, label, seeded FROM a2 ORDER BY node""".stripMargin
+    }
   )
 }

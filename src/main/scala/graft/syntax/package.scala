@@ -241,6 +241,9 @@ package object syntax {
       Graph.pageRankPpb(df, src, dst, iterations, dampingPct)
     def degreeStats(src: String, dst: String): DataFrame =
       Graph.degreeStats(df, src, dst)
+    def labelPropagate(src: String, dst: String, seeds: DataFrame,
+        node: String, label: String, iterations: Int = 2): DataFrame =
+      Graph.labelPropagate(df, src, dst, seeds, node, label, iterations)
 
     // ---- embedding linalg (Linalg) ----------------------------------
     def gramianMicro(vec: String, dim: Int): DataFrame =

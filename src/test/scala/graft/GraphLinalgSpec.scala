@@ -68,6 +68,38 @@ class GraphLinalgSpec extends SparkSpec {
     assert(r == Map(1L -> ((2L, 0L, 2L)), 2L -> ((1L, 1L, 2L)), 3L -> ((0L, 2L, 2L))))
   }
 
+  // --- labelPropagate ------------------------------------------------
+
+  test("labelPropagate: two-hop spread, clamped seeds, majority + tie-break") {
+    // 1(A), 2(B) seeded; 3 hears A twice + B once -> A; 4 hears A and B
+    // once each -> tie -> 'A' (lexicographic); 5 only reachable via 3's
+    // round-1 label -> labeled A in round 2; seed 2 keeps B even though
+    // a neighbor would vote A at it
+    val edges = Seq(
+      (1L, 3L), (6L, 3L), (2L, 3L), // 6 is a second A-seed
+      (1L, 4L), (2L, 4L),
+      (3L, 5L),
+      (1L, 2L) // vote into a seed must not flip it
+    ).toDF("src", "dst")
+    val seeds = Seq((1L, "A"), (6L, "A"), (2L, "B")).toDF("node", "label")
+    val r = Graph.labelPropagate(edges, "src", "dst", seeds, "node", "label", 2)
+      .collect().map(x => (x.getLong(0), (x.getString(1), x.getBoolean(2)))).toMap
+    assert(r == Map(
+      1L -> (("A", true)), 6L -> (("A", true)), 2L -> (("B", true)),
+      3L -> (("A", false)), 4L -> (("A", false)), 5L -> (("A", false))))
+  }
+
+  test("labelPropagate: one iteration reaches only direct neighbors") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, "X")).toDF("node", "label")
+    val r1 = Graph.labelPropagate(edges, "src", "dst", seeds, "node", "label", 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L))
+    val r2 = Graph.labelPropagate(edges, "src", "dst", seeds, "node", "label", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(r2 == Set(1L, 2L, 3L))
+  }
+
   // --- gramianMicro / columnSumsMicro --------------------------------
 
   private def vecsDf(rows: Seq[Seq[Float]]) =
