@@ -1197,6 +1197,47 @@ object Corpus {
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("logw"))
   }
 
+  /** Feature-hashed bag-of-words document vectors (Weinberger et al.
+    * 2009): token t adds sign(t) at index hash(t) mod dim, giving every
+    * document a fixed-width `array<float>` embedding with NO trained
+    * vocabulary — the deterministic bridge from raw text into the
+    * engine's vector tiers ([[Linalg.gramianMicro]], the ANN family,
+    * [[Dedup.embeddingNearPairs]]). Counts are integers, the sign is a
+    * hash bit, so the vectors are bit-identical across engines,
+    * partitionings and runs.
+    *
+    * 100 TB posture: explode → one (id, bucket)-bounded aggregation →
+    * dense array assembly per doc; shuffled rows carry (id, idx,
+    * signed-count) longs, never text.
+    *
+    * @return (id, vec: array<float> of length dim, n_tokens)
+    */
+  def hashedBowVectors(df: DataFrame, id: String, text: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    val tok = graft.Tables.spread(df.select(col(id), col(text)), id)
+      .select(col(id), explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("h", poly_hash(col("term")))
+      // index = h mod dim; sign from the next hash "bit" — an
+      // independent parity of the same polynomial hash
+      .withColumn("i", pmod(col("h"), lit(dim.toLong)).cast("int"))
+      .withColumn("s", when(pmod(floor(col("h") / dim).cast("long"),
+        lit(2L)) === 0, 1L).otherwise(-1L))
+    val cells = tok.groupBy(col(id), col("i"))
+      .agg(sum(col("s")).as("v"), count(lit(1)).as("n"))
+    // dense assembly: one O(dim) pass with a map lookup per index (an
+    // accumulator-fold over transform() would re-evaluate the whole
+    // array per cell — the interpreted-HOF trap PLANS.md measures)
+    cells.groupBy(col(id))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("v")))).as("m"),
+        sum(col("n")).as("n_tokens"))
+      .select(col(id),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j), lit(0L)).cast("float")).as("vec"),
+        col("n_tokens"))
+  }
+
   /** Multinomial naive Bayes over hashed unigrams: the TRAINABLE
     * companion of [[qualityClassifierScore]]'s fixed-weight inference —
     * the fasttext-style language-ID / quality-classifier shape corpus

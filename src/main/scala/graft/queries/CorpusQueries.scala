@@ -518,6 +518,16 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // feature-hashed bag-of-words vectors: text → fixed-width
+    // array<float> with no trained vocabulary; integer signed counts,
+    // so the embedding is bit-identical across engines
+    "q176_hashed_bow" -> ((s, d) => {
+      Corpus.hashedBowVectors(
+          Tables.documents(s, d).filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"))
+    }),
+
     // holdout accuracy rollup of the same model — the number a
     // pipeline actually gates deploys on
     "q174b_nb_accuracy" -> ((s, d) => {
@@ -1051,6 +1061,27 @@ object CorpusQueries extends QueryGroup {
          |SELECT b.doc_id, d2.lang, b.lang AS pred, b.score_micro, b.n_known
          |FROM best b JOIN documents d2 USING (doc_id)
          |WHERE b.rk = 1 ORDER BY b.doc_id""".stripMargin,
+
+    "q176_hashed_bow" ->
+      s"""WITH d AS (SELECT doc_id, $sqlNorm AS s FROM documents WHERE doc_id % 25 = 0),
+         |tokall AS (SELECT doc_id, unnest(string_split(s, ' ')) AS term FROM d),
+         |tok AS (SELECT doc_id, term FROM tokall WHERE length(term) > 0),
+         |dt AS (SELECT DISTINCT term FROM tok),
+         |hh AS (SELECT term, ${sqlPoly("term")} AS h FROM dt),
+         |tb AS (SELECT doc_id, h % 64 AS i,
+         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM tok JOIN hh USING (term)),
+         |cells AS (SELECT doc_id, i, SUM(sgn) AS v, COUNT(*) AS n
+         |  FROM tb GROUP BY 1, 2),
+         |nt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens
+         |  FROM cells GROUP BY 1),
+         |grid AS (SELECT doc_id, r.i
+         |  FROM (SELECT DISTINCT doc_id FROM cells) CROSS JOIN range(0, 64) r(i)),
+         |jn AS (SELECT g.doc_id, g.i, CAST(COALESCE(c.v, 0) AS FLOAT) AS val
+         |  FROM grid g LEFT JOIN cells c ON g.doc_id = c.doc_id AND g.i = c.i),
+         |v AS (SELECT doc_id, list(val ORDER BY i) AS vec FROM jn GROUP BY doc_id)
+         |SELECT v.doc_id, v.vec, nt.n_tokens FROM v JOIN nt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q174b_nb_accuracy" ->
       s"""WITH $sqlNbCtes

@@ -230,6 +230,8 @@ package object syntax {
     def shardManifest(id: String, text: String, nShards: Int): DataFrame =
       Corpus.shardManifest(df, id, text, nShards)
 
+    def hashedBowVectors(id: String, text: String, dim: Int = 64): DataFrame =
+      Corpus.hashedBowVectors(df, id, text, dim)
     /** `df` is the predict set; `seeds` the labeled training slice. */
     def naiveBayesPredict(seeds: DataFrame, id: String, text: String,
         label: String, buckets: Int = 256): DataFrame =

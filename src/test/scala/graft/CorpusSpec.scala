@@ -447,6 +447,36 @@ class CorpusSpec extends SparkSpec {
     assert(p7 == p)
   }
 
+  test("hashedBowVectors: dense, deterministic, parity-bounded, ANN-composable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "alpha beta alpha"), // identical docs
+      (3L, "gamma delta epsilon zeta")
+    ).toDF("id", "text")
+    val v = Corpus.hashedBowVectors(docs, "id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), (r.getSeq[Float](1), r.getLong(2)))).toMap
+    // identical text -> identical vector (the dup-detection bridge)
+    assert(v(1L)._1 == v(2L)._1 && v(1L)._2 == 3L)
+    assert(v.values.forall(_._1.length == 16))
+    // each token adds +-1 to one cell: L1 <= n_tokens, same parity
+    v.values.foreach { case (vec, n) =>
+      val l1 = vec.map(x => math.abs(x).toLong).sum
+      assert(l1 <= n && (n - l1) % 2 == 0, s"L1=$l1 n=$n")
+    }
+    // partition invariance (integer cells, order-free)
+    val v7 = Corpus.hashedBowVectors(docs.repartition(7), "id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(v.view.mapValues(_._1).toMap == v7)
+    // composable with the ANN tier: nearest neighbor of doc 1 is its twin
+    val emb = Corpus.hashedBowVectors(docs, "id", "text", dim = 16)
+      .select($"id".as("vec_id"), $"vec".as("embedding"))
+    val nn = graft.ops.Similarity.bruteForceTopK(emb,
+        emb.filter($"vec_id" === 1), "vec_id", "embedding", k = 2)
+      .orderBy($"rnk").collect()
+    // self excluded: rank-1 neighbor is the identical twin (cos = 1)
+    assert(nn(0).getAs[Long]("n_id") == 2L)
+  }
+
   test("naiveBayesPredict on the fixture beats the majority-class baseline") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfSmall)
