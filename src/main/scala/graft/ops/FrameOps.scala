@@ -889,4 +889,41 @@ object FrameOps {
       .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
         col("e.corr").as("corr"), col("e.cov").as("cov"))
   }
+
+  /** Per-group outlier screening, both classic flavors at once:
+    * z-score vs the group's sample mean/std and Tukey 1.5·IQR fences
+    * from exact linearly-interpolated quartiles — the first-pass data-
+    * cleaning step of any metrics/training pipeline. Group statistics
+    * come from ONE aggregation (joined back broadcast-style; groups ≪
+    * rows), so the data is scanned once and shuffled once on the key.
+    * z is rounded to 6 decimals BEFORE the flag comparison so the flag
+    * is a pure function of the rounded value in any engine.
+    *
+    * @return input rows + (z, iqr_lo, iqr_hi, is_z_outlier |z|>zMax,
+    *         is_iqr_outlier). Groups with zero variance get z = null
+    *         and never flag on z.
+    */
+  def outlierFlags(df: DataFrame, keys: Seq[String], valueCol: String,
+      zMax: Double = 3.0, iqrK: Double = 1.5): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(avg(v).as("__mu"), stddev_samp(v).as("__sd"),
+        expr(s"percentile($valueCol, 0.25)").as("__q1"),
+        expr(s"percentile($valueCol, 0.75)").as("__q3"))
+      .withColumn("__lo", round(col("__q1") - lit(iqrK) * (col("__q3") - col("__q1")), 6))
+      .withColumn("__hi", round(col("__q3") + lit(iqrK) * (col("__q3") - col("__q1")), 6))
+    // no forced broadcast hint: AQE broadcasts the stats side when the
+    // key cardinality is small and degrades to a shuffled join when a
+    // pathological key space would OOM a forced broadcast
+    df.join(stats, keys)
+      .withColumn("z", when(col("__sd") > 0,
+        round((v - col("__mu")) / col("__sd"), 6)))
+      .withColumn("iqr_lo", col("__lo"))
+      .withColumn("iqr_hi", col("__hi"))
+      .withColumn("is_z_outlier",
+        coalesce(abs(col("z")) > zMax, lit(false)))
+      .withColumn("is_iqr_outlier", v < col("__lo") || v > col("__hi"))
+      .drop("__mu", "__sd", "__q1", "__q3", "__lo", "__hi")
+  }
 }

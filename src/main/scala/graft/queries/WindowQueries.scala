@@ -604,6 +604,22 @@ object WindowQueries extends QueryGroup {
         .select(col("l_orderkey"), col("l_linenumber"),
           round(exp(sum(log(lit(1.0) + col("l_discount"))).over(w)), 6).as("roll_prod"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // per-group outlier screening (z-score + Tukey IQR fences in one
+    // stats pass) — emits only the flagged rows; z and the fences are
+    // rounded before any comparison so the flags are pure functions of
+    // rounded values in both engines
+    "q177_outlier_flags" -> ((s, d) => {
+      graft.ops.FrameOps.outlierFlags(
+          Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value")
+        .filter(col("is_z_outlier") || col("is_iqr_outlier"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), col("z"),
+          col("iqr_lo"), col("iqr_hi"),
+          col("is_z_outlier"), col("is_iqr_outlier"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1079,6 +1095,23 @@ object WindowQueries extends QueryGroup {
         |    ORDER BY l_orderkey, l_linenumber, l_extendedprice
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_prod
         |FROM lineitem WHERE l_orderkey % 331 = 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q177_outlier_flags" ->
+      """WITH st AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd,
+        |    QUANTILE_CONT(value, 0.25) AS q1, QUANTILE_CONT(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, mu, sd,
+        |    ROUND(q1 - 1.5 * (q3 - q1), 6) AS iqr_lo,
+        |    ROUND(q3 + 1.5 * (q3 - q1), 6) AS iqr_hi FROM st),
+        |r AS (SELECT e.event_id, e.event_type, e.value AS raw,
+        |    CASE WHEN f.sd > 0 THEN ROUND((e.value - f.mu) / f.sd, 6) END AS z,
+        |    f.iqr_lo, f.iqr_hi
+        |  FROM events e JOIN f USING (event_type))
+        |SELECT event_id, event_type, ROUND(raw, 6) AS value, z, iqr_lo, iqr_hi,
+        |  COALESCE(ABS(z) > 3.0, FALSE) AS is_z_outlier,
+        |  (raw < iqr_lo OR raw > iqr_hi) AS is_iqr_outlier
+        |FROM r WHERE COALESCE(ABS(z) > 3.0, FALSE) OR raw < iqr_lo OR raw > iqr_hi
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -230,6 +230,9 @@ package object syntax {
     def shardManifest(id: String, text: String, nShards: Int): DataFrame =
       Corpus.shardManifest(df, id, text, nShards)
 
+    def outlierFlags(keys: Seq[String], valueCol: String,
+        zMax: Double = 3.0, iqrK: Double = 1.5): DataFrame =
+      FrameOps.outlierFlags(df, keys, valueCol, zMax, iqrK)
     def hashedBowVectors(id: String, text: String, dim: Int = 64): DataFrame =
       Corpus.hashedBowVectors(df, id, text, dim)
     /** `df` is the predict set; `seeds` the labeled training slice. */

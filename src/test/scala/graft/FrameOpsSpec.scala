@@ -557,4 +557,28 @@ class FrameOpsSpec extends SparkSpec {
     // cov(x,y) = 2·var(x); var(x) of 1..4 (sample) = 5/3
     assert(math.abs(r(("x", "y"))._2 - 10.0 / 3) < 1e-9)
   }
+
+  test("outlierFlags: z + IQR flags, zero-variance guard, inliers untouched") {
+    import spark.implicits._
+    // group a: 30 identical inliers + one spike. Sample-z of a single
+    // spike is bounded by (n-1)/sqrt(n), so n=31 comfortably clears 3.
+    // group b: constant -> sd = 0 -> z null, nothing flags.
+    val rows = (1 to 30).map(i => (i.toLong, "a", 10.0)) ++
+      Seq((31L, "a", 1000.0)) ++ (40 to 44).map(i => (i.toLong, "b", 7.0))
+    val out = graft.ops.FrameOps.outlierFlags(
+      rows.toDF("id", "g", "v"), Seq("g"), "v")
+    val flagged = out.filter($"is_z_outlier" || $"is_iqr_outlier")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(flagged == Set(31L))
+    val spike = out.filter($"id" === 31L).head
+    assert(spike.getAs[Boolean]("is_z_outlier") &&
+      spike.getAs[Boolean]("is_iqr_outlier"))
+    assert(spike.getAs[Double]("z") > 3.0)
+    // IQR fences of group a collapse to [10, 10]; inlier 10s don't flag
+    assert(spike.getAs[Double]("iqr_lo") == 10.0 &&
+      spike.getAs[Double]("iqr_hi") == 10.0)
+    val b = out.filter($"g" === "b")
+    assert(b.filter($"z".isNotNull).count() == 0)
+    assert(b.filter($"is_z_outlier" || $"is_iqr_outlier").count() == 0)
+  }
 }
