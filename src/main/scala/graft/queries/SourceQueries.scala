@@ -169,6 +169,30 @@ object SourceQueries extends QueryGroup {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           min(Layout.zValue(col("l_partkey"), col("l_suppkey"))).as("min_z"),
           max(Layout.zValue(col("l_partkey"), col("l_suppkey"))).as("max_z"))
+    }),
+
+    // declarative data-quality expectations (the pre-ingest shard
+    // gate): a 6-check suite compiled into ONE aggregation pass —
+    // violation counts are integers, verdict arithmetic is ppm-exact
+    "q178_expectations" -> ((s, d) => {
+      import graft.ops.Validate
+      import graft.ops.Validate._
+      Validate.expect(Tables.lineitem(s, d), Seq(
+          notNull("l_orderkey"),
+          between("l_quantity", 1, 50),
+          between("l_quantity", 1, 30), // deliberately failing check
+          inSet("l_returnflag", Seq("A", "N")), // "R" rows violate
+          nonNegative("l_discount"),
+          matches("l_linestatus", "^[OF]$")))
+        .orderBy(col("expectation"))
+    }),
+
+    // uniqueness expectation (its own aggregation shape): the fixture's
+    // (l_orderkey, l_linenumber) is KNOWN non-unique — the gate proves
+    // the check catches it with exact duplicate counts
+    "q178b_expect_unique" -> ((s, d) => {
+      graft.ops.Validate.expectUnique(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"))
     })
   )
 
@@ -229,6 +253,35 @@ object SourceQueries extends QueryGroup {
         |              ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3)
         |SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty,
         |  MIN(a4 | (b4 << 1)) AS min_z, MAX(a4 | (b4 << 1)) AS max_z
-        |FROM s4""".stripMargin
+        |FROM s4""".stripMargin,
+
+    "q178_expectations" -> {
+      // (name, predicate SQL) — violation when NOT COALESCE(pred, FALSE)
+      val checks = Seq(
+        ("not_null(l_orderkey)", "l_orderkey IS NOT NULL"),
+        ("between(l_quantity,1.0,50.0)", "l_quantity >= 1.0 AND l_quantity <= 50.0"),
+        ("between(l_quantity,1.0,30.0)", "l_quantity >= 1.0 AND l_quantity <= 30.0"),
+        ("in_set(l_returnflag)", "l_returnflag IN ('A', 'N')"),
+        ("non_negative(l_discount)", "l_discount >= 0"),
+        ("matches(l_linestatus)", "regexp_matches(l_linestatus, '^[OF]$')"))
+      val legs = checks.map { case (name, pred) =>
+        s"""SELECT '$name' AS expectation, n AS n_rows,
+           |  CAST((SELECT SUM(CASE WHEN NOT COALESCE($pred, FALSE) THEN 1 ELSE 0 END)
+           |    FROM lineitem) AS BIGINT) AS n_violations,
+           |  CAST(0 AS BIGINT) AS max_violation_ppm FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (SELECT COUNT(*) AS n FROM lineitem),
+         |u AS ($legs)
+         |SELECT expectation, n_rows, n_violations, max_violation_ppm,
+         |  n_violations * 1000000 <= max_violation_ppm * n_rows AS passed
+         |FROM u ORDER BY expectation""".stripMargin
+    },
+
+    "q178b_expect_unique" ->
+      """SELECT 'l_orderkey,l_linenumber' AS columns, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct,
+        |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_duplicate_rows,
+        |  COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber)) AS passed
+        |FROM lineitem""".stripMargin
   )
 }

@@ -230,6 +230,11 @@ package object syntax {
     def shardManifest(id: String, text: String, nShards: Int): DataFrame =
       Corpus.shardManifest(df, id, text, nShards)
 
+    def expect(expectations: Seq[Validate.Expectation],
+        maxViolationPpm: Long = 0L): DataFrame =
+      Validate.expect(df, expectations, maxViolationPpm)
+    def expectUnique(cols: Seq[String]): DataFrame =
+      Validate.expectUnique(df, cols)
     def outlierFlags(keys: Seq[String], valueCol: String,
         zMax: Double = 3.0, iqrK: Double = 1.5): DataFrame =
       FrameOps.outlierFlags(df, keys, valueCol, zMax, iqrK)
