@@ -491,4 +491,25 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Recall@k of an approximate ANN tier against the exact one — the
+    * evaluation loop every ANN deployment runs when tuning nBits /
+    * nProbe / codebook size. Both inputs are (q_id, rnk, n_id, ...)
+    * frames as produced by the tier ops; recall is reported in integer
+    * basis points (floor), so the number is engine- and
+    * partitioning-exact.
+    *
+    * @return (q_id, n_exact, n_hit, recall_bp)
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.filter(col("rnk") <= k).select(col("q_id"), col("n_id"))
+    val e = exact.filter(col("rnk") <= k).select(col("q_id"), col("n_id"))
+    val hits = e.join(a, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall_bp", expr("(n_hit * 10000L) div n_exact"))
+  }
 }

@@ -118,6 +118,9 @@ package object syntax {
     /** `df` is the first ranking (q_id, n_id, rnk). */
     def rrfFuse(others: Seq[DataFrame], k: Int, c: Int = 60): DataFrame =
       Similarity.rrfFuse(df +: others, k, c)
+    /** `df` is the approximate tier's (q_id, rnk, n_id) result. */
+    def recallAtK(exact: DataFrame, k: Int): DataFrame =
+      Similarity.recallAtK(df, exact, k)
 
     // ---- text analysis (TextAnalysis) -------------------------------
     def withTextQuality(text: String): DataFrame = TextAnalysis.qualityColumns(df, text)

@@ -34,6 +34,27 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 3, s"recall too low: $hits/5 (ivf=$ivf bf=$bf)")
   }
 
+  test("recallAtK: exact-vs-exact is 10000 bp; known misses floor exactly") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val self = Similarity.recallAtK(exact, exact, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("recall_bp")))
+    assert(self.length == 4 && self.forall(_._2 == 10000L))
+    // hand-built approx: for q 0 keep 3 of the 5 exact hits + 2 bogus
+    val keep = exact.filter(col("q_id") === 0 && col("rnk") <= 3)
+    val bogus = Seq((0L, 4, -1L, 0.0), (0L, 5, -2L, 0.0))
+      .toDF("q_id", "rnk", "n_id", "cos")
+    val r = Similarity.recallAtK(keep.unionByName(bogus), exact, k = 5)
+      .filter(col("q_id") === 0).head
+    assert(r.getAs[Long]("n_exact") == 5L && r.getAs[Long]("n_hit") == 3L)
+    assert(r.getAs[Long]("recall_bp") == 6000L)
+    // a query with an empty approx set scores 0, not a missing row
+    val none = Similarity.recallAtK(bogus.filter(col("rnk") > 99), exact, k = 5)
+      .filter(col("q_id") === 1).head
+    assert(none.getAs[Long]("n_hit") == 0L && none.getAs[Long]("recall_bp") == 0L)
+  }
+
   test("kmeansCentroids is deterministic and assigns every vector") {
     val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
