@@ -57,6 +57,19 @@ class StreamingSpec extends SparkSpec {
     assert(res.count() == exact)
   }
 
+  test("map-only corpus ops compose with readStream: keyword tagging batch == stream") {
+    import graft.streaming.Streams
+    val kws = Seq("spark", "merge", "a a")
+    val stream = graft.ops.Keywords.tagKeywords(
+      Streams.documentsStream(spark, sfTiny), "doc_id", "text", kws)
+    val streamed = Streams.runToBatch(spark, stream, "kw_stream")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = graft.ops.Keywords.tagKeywords(
+        Tables.documents(spark, sfTiny), "doc_id", "text", kws)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so
