@@ -306,4 +306,66 @@ class PropertySpec extends SparkSpec {
     }
     check("viterbi-vs-brute", prop, minTests = 300)
   }
+
+  // ---- graph ops vs driver-side sequential references ---------------
+
+  /** Driver-side replay of pageRankPpb's integer recurrence. */
+  private def pageRankRef(edges: List[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / odeg(u) }.sum).toMap
+      r = nodes.map(v => v -> (150000000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private val genDirEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(14, for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+    } yield (a, b)).map(_.distinct).suchThat(_.nonEmpty)
+
+  test("pageRankPpb matches the sequential integer recurrence on random digraphs") {
+    val prop = Prop.forAll(genDirEdges) { es =>
+      val got = graft.ops.Graph.pageRankPpb(es.toDF("src", "dst"), "src", "dst", 3)
+        .as[(Long, Long)].collect().toMap
+      got == pageRankRef(es, 3)
+    }
+    check("pagerank-vs-ref", prop, minTests = 5)
+  }
+
+  /** Driver-side replay of labelPropagate (clamped seeds, majority,
+    * lexicographic tie-break).
+    */
+  private def lpaRef(edges: List[(Long, Long)], seeds: Map[Long, String],
+      iters: Int): Map[Long, String] = {
+    var assigned = seeds
+    for (_ <- 1 to iters) {
+      val votes = edges.flatMap { case (u, v) =>
+        assigned.get(u).map(l => (v, l))
+      }.groupBy(_._1).view.mapValues { vs =>
+        vs.groupBy(_._2).view.mapValues(_.size).toList
+          .sortBy { case (l, n) => (-n, l) }.head._1
+      }.toMap
+      // voters never unlabel, so every previously-labeled non-seed
+      // keeps receiving votes: assigned_k = seeds ∪ winners exactly
+      assigned = seeds ++ (votes -- seeds.keys)
+    }
+    assigned
+  }
+
+  test("labelPropagate matches the sequential LPA fold on random digraphs") {
+    val genSeeds = Gen.nonEmptyMap(for {
+      n <- Gen.choose(0L, 9L); l <- Gen.oneOf("A", "B", "C")
+    } yield (n, l))
+    val prop = Prop.forAll(genDirEdges, genSeeds) { (es, sd) =>
+      val got = graft.ops.Graph.labelPropagate(es.toDF("src", "dst"),
+          "src", "dst", sd.toSeq.toDF("node", "label"), "node", "label", 2)
+        .select($"node", $"label").as[(Long, String)].collect().toMap
+      got == lpaRef(es, sd, 2)
+    }
+    check("lpa-vs-ref", prop, minTests = 5)
+  }
 }
