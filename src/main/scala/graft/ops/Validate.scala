@@ -68,6 +68,39 @@ object Validate {
         col("n_violations") * lit(1000000L) <= col("max_violation_ppm") * col("n_rows"))
   }
 
+  /** One-pass column census (`df.info()`-meets-profiler): per column
+    * the null count, distinct count and min/max (as strings, so one
+    * schema fits every column type). `exact = false` swaps the exact
+    * distinct for `approx_count_distinct` — the 100 TB default, since
+    * N exact distincts in one aggregate cost an N-way expand while the
+    * HLL sketches ride the single pass for free.
+    *
+    * @return (column_name, n_rows, n_nulls, n_distinct, min_str,
+    *         max_str) — one row per requested column, input order
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__mn_$i"),
+        max(col(c)).cast("string").as(s"__mx_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"__nn_$i").as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"), col(s"__mn_$i").as("min_str"),
+        col(s"__mx_$i").as("max_str"))
+    }: _*)
+    row.select(col("__n").as("n_rows"), explode(entries).as("e"))
+      .select(col("e.column_name"), col("n_rows"), col("e.n_nulls"),
+        col("e.n_distinct"), col("e.min_str"), col("e.max_str"))
+  }
+
   /** Uniqueness is the one check that needs its own aggregation shape
     * (a distinct count, not a row predicate): returns
     * (column, n_rows, n_distinct, n_duplicate_rows, passed).

@@ -187,6 +187,14 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("expectation"))
     }),
 
+    // one-pass column census: null/distinct/min/max per column — the
+    // data profile a pipeline snapshots per ingested shard
+    "q179_profile" -> ((s, d) => {
+      graft.ops.Validate.profile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_extendedprice"))
+        .orderBy(col("column_name"))
+    }),
+
     // uniqueness expectation (its own aggregation shape): the fixture's
     // (l_orderkey, l_linenumber) is KNOWN non-unique — the gate proves
     // the check catches it with exact duplicate counts
@@ -275,6 +283,19 @@ object SourceQueries extends QueryGroup {
          |SELECT expectation, n_rows, n_violations, max_violation_ppm,
          |  n_violations * 1000000 <= max_violation_ppm * n_rows AS passed
          |FROM u ORDER BY expectation""".stripMargin
+    },
+
+    "q179_profile" -> {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_extendedprice")
+      val legs = cols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_str,
+           |  CAST(MAX($c) AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$legs\nORDER BY column_name"
     },
 
     "q178b_expect_unique" ->

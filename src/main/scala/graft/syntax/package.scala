@@ -238,6 +238,8 @@ package object syntax {
       Validate.expect(df, expectations, maxViolationPpm)
     def expectUnique(cols: Seq[String]): DataFrame =
       Validate.expectUnique(df, cols)
+    def profile(cols: Seq[String], exact: Boolean = true): DataFrame =
+      Validate.profile(df, cols, exact)
     def outlierFlags(keys: Seq[String], valueCol: String,
         zMax: Double = 3.0, iqrK: Double = 1.5): DataFrame =
       FrameOps.outlierFlags(df, keys, valueCol, zMax, iqrK)

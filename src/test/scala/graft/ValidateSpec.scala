@@ -61,6 +61,19 @@ class ValidateSpec extends SparkSpec {
     assert(plan.split("LocalTableScan|Scan ").length <= 3, plan)
   }
 
+  test("profile: per-column census with nulls, exact vs approx distinct") {
+    val p = Seq((Some(1L), "x"), (None, "y"), (Some(1L), "x"), (Some(3L), "z"))
+      .toDF("k", "s")
+    val r = Validate.profile(p, Seq("k", "s"))
+      .collect().map(x => (x.getString(0),
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4), x.getString(5)))).toMap
+    assert(r("k") == ((4L, 1L, 2L, "1", "3"))) // nulls excluded from distinct/min/max
+    assert(r("s") == ((4L, 0L, 3L, "x", "z")))
+    // approx path returns the same schema and sane counts on tiny data
+    val a = Validate.profile(p, Seq("k"), exact = false).head
+    assert(a.getAs[Long]("n_distinct") >= 1L)
+  }
+
   test("misuse guards: empty suite, duplicate names, bad ppm") {
     assertThrows[IllegalArgumentException] { Validate.expect(df, Seq.empty) }
     assertThrows[IllegalArgumentException] {
