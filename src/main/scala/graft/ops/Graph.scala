@@ -142,6 +142,53 @@ object Graph {
     out
   }
 
+  /** k-core peeling with a fixed round count — the link-farm / spam-
+    * cluster screen (a dense core that survives repeated peeling is
+    * the classic web-spam signal; singleton-ish hosts fall out in the
+    * first rounds). Each round drops every node with fewer than k
+    * distinct neighbors and all its edges; `rounds` rounds give the
+    * standard fixed-depth approximation of the true k-core (which is
+    * the fixpoint). Degrees are integers; the result is engine-exact.
+    *
+    * The input is treated as undirected: edges are symmetrized and
+    * de-duplicated internally, so degree = distinct-neighbor count.
+    *
+    * 100 TB posture: per round one bounded aggregation (degrees) and
+    * one double semi-join of the shrinking edge list against the
+    * surviving-node set; the edge list only ever shrinks, and the
+    * driver sees nothing.
+    *
+    * @return (node, degree) for nodes surviving `rounds` peels, with
+    *         their degree in the peeled graph
+    */
+  def kCorePeel(edges: DataFrame, src: String, dst: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val sym = edges.select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"))
+    var e = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    var i = 0
+    while (i < rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("src").as("node"))
+      val next = e
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .persist()
+      next.count() // materialize before releasing the previous round
+      e.unpersist(blocking = false)
+      e = next
+      i += 1
+    }
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Degree profile of a directed edge list: per-node out/in degree and
     * total — the cheap first look at any crawl graph (spam hosts show
     * up as degree outliers before any iteration is run). One pass,

@@ -180,6 +180,23 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("o_orderkey"))
     }),
 
+    // pandas to_datetime(errors='coerce'): malformed inputs become
+    // null instead of failing the job (try_to_timestamp vs DuckDB
+    // TRY_STRPTIME — independent lenient parsers agreeing on validity)
+    "q54b_dt_parse_coerce" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 149 === 0)
+        .withColumn("raw", when(col("o_orderkey") % 3 === 0,
+            concat(lit("xx-"), col("o_orderkey"))) // deliberately malformed
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .select(
+          col("o_orderkey"), col("raw"),
+          date_format(expr("try_to_timestamp(raw, 'yyyy-MM-dd')"),
+            "yyyy-MM-dd HH:mm:ss").as("parsed"),
+          expr("try_to_timestamp(raw, 'yyyy-MM-dd')").isNull.as("coerced_null"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // epoch-aligned time bucketing (the batch analog of a tumbling
     // window — reused by the streaming surface, SURVEY §2.11)
     "q55_dt_bucket" -> ((s, d) => {
@@ -441,6 +458,16 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S') AS parsed,
         |  YEAR(STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS parsed_year
         |FROM orders WHERE o_orderkey % 149 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q54b_dt_parse_coerce" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'xx-' || CAST(o_orderkey AS VARCHAR)
+        |         ELSE STRFTIME(o_orderdate, '%Y-%m-%d') END AS raw
+        |  FROM orders WHERE o_orderkey % 149 = 0)
+        |SELECT o_orderkey, raw,
+        |  STRFTIME(TRY_STRPTIME(raw, '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S') AS parsed,
+        |  TRY_STRPTIME(raw, '%Y-%m-%d') IS NULL AS coerced_null
+        |FROM t ORDER BY o_orderkey""".stripMargin,
 
     "q55_dt_bucket" ->
       """SELECT (EPOCH_US(CAST(ts AS TIMESTAMP)) // 1000000 // 300) * 300 AS bucket_s,

@@ -67,6 +67,14 @@ object GraphQueries extends QueryGroup {
       Graph.labelPropagate(edges(s, d), "src", "dst", seeds,
           "node", "label", iterations = 2)
         .orderBy(col("node"))
+    }),
+
+    // 3-round k-core peel (k = 30): low-degree customers fall out
+    // first, cascading supplier degrees down — the dense-core spam
+    // screen, fixed-depth so the oracle unrolls exactly
+    "q180_kcore" -> ((s, d) => {
+      Graph.kCorePeel(edges(s, d), "src", "dst", k = 30, rounds = 3)
+        .orderBy(col("node"))
     })
   )
 
@@ -123,6 +131,23 @@ object GraphQueries extends QueryGroup {
          |${round(1)},
          |${round(2)}
          |SELECT node, label, seeded FROM a2 ORDER BY node""".stripMargin
+    },
+
+    "q180_kcore" -> {
+      def peel(i: Int): String =
+        s"""k$i AS (SELECT src FROM (SELECT src, COUNT(*) AS c FROM e${i - 1}
+           |  GROUP BY src) WHERE c >= 30),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+      s"""WITH $sqlEdges,
+         |e0 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+         |  WHERE src != dst),
+         |${peel(1)},
+         |${peel(2)},
+         |${peel(3)}
+         |SELECT src AS node, COUNT(*) AS degree FROM e3
+         |GROUP BY src ORDER BY node""".stripMargin
     }
   )
 }

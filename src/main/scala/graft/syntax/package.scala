@@ -259,6 +259,8 @@ package object syntax {
     def labelPropagate(src: String, dst: String, seeds: DataFrame,
         node: String, label: String, iterations: Int = 2): DataFrame =
       Graph.labelPropagate(df, src, dst, seeds, node, label, iterations)
+    def kCorePeel(src: String, dst: String, k: Int, rounds: Int = 3): DataFrame =
+      Graph.kCorePeel(df, src, dst, k, rounds)
 
     // ---- embedding linalg (Linalg) ----------------------------------
     def gramianMicro(vec: String, dim: Int): DataFrame =

@@ -68,6 +68,32 @@ class GraphLinalgSpec extends SparkSpec {
     assert(r == Map(1L -> ((2L, 0L, 2L)), 2L -> ((1L, 1L, 2L)), 3L -> ((0L, 2L, 2L))))
   }
 
+  // --- kCorePeel -----------------------------------------------------
+
+  test("kCorePeel: triangle survives k=2, pendant chain cascades away") {
+    // triangle 1-2-3 plus chain 3-4-5: at k=2 the chain peels over two
+    // rounds (5 first, then 4), the triangle keeps degree 2 everywhere
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round only removes the degree-1 tail, not the cascade
+    val r1 = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("kCorePeel symmetrizes and dedups directed/duplicate input") {
+    // one-directional + duplicate edges must count as a single
+    // undirected neighbor relation
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   // --- labelPropagate ------------------------------------------------
 
   test("labelPropagate: two-hop spread, clamped seeds, majority + tie-break") {
