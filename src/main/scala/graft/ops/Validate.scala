@@ -68,37 +68,52 @@ object Validate {
         col("n_violations") * lit(1000000L) <= col("max_violation_ppm") * col("n_rows"))
   }
 
-  /** One-pass column census (`df.info()`-meets-profiler): per column
-    * the null count, distinct count and min/max (as strings, so one
-    * schema fits every column type). `exact = false` swaps the exact
-    * distinct for `approx_count_distinct` — the 100 TB default, since
-    * N exact distincts in one aggregate cost an N-way expand while the
-    * HLL sketches ride the single pass for free.
+  /** Column census (`df.info()`-meets-profiler): per column the null
+    * count, distinct count and min/max (as strings, so one schema fits
+    * every column type).
+    *
+    * Shapes (both measured at sf0.1, PLANS.md): `exact = false` is the
+    * 100 TB default — ONE scan, every column's HLL sketch + min/max in
+    * a single aggregate. `exact = true` runs one scan per column with
+    * an ordinary partial-distinct aggregate; folding N exact distincts
+    * into one aggregate instead costs an (N+1)-way Expand of every row
+    * and measured 7x slower than the per-column scans.
     *
     * @return (column_name, n_rows, n_nulls, n_distinct, min_str,
-    *         max_str) — one row per requested column, input order
+    *         max_str) — one row per requested column
     */
   def profile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     require(cols.distinct.size == cols.size, "duplicate columns")
-    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__nd_$i"),
-        min(col(c)).cast("string").as(s"__mn_$i"),
-        max(col(c)).cast("string").as(s"__mx_$i"))
+    if (exact) {
+      cols.map { c =>
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_str"),
+            max(col(c)).cast("string").as("max_str"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+      }.reduce(_ unionByName _)
+    } else {
+      val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
+          approx_count_distinct(col(c)).as(s"__nd_$i"),
+          min(col(c)).cast("string").as(s"__mn_$i"),
+          max(col(c)).cast("string").as(s"__mx_$i"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*)
+      val entries = array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column_name"), col(s"__nn_$i").as("n_nulls"),
+          col(s"__nd_$i").as("n_distinct"), col(s"__mn_$i").as("min_str"),
+          col(s"__mx_$i").as("max_str"))
+      }: _*)
+      row.select(col("__n").as("n_rows"), explode(entries).as("e"))
+        .select(col("e.column_name"), col("n_rows"), col("e.n_nulls"),
+          col("e.n_distinct"), col("e.min_str"), col("e.max_str"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val entries = array(cols.zipWithIndex.map { case (c, i) =>
-      struct(lit(c).as("column_name"), col(s"__nn_$i").as("n_nulls"),
-        col(s"__nd_$i").as("n_distinct"), col(s"__mn_$i").as("min_str"),
-        col(s"__mx_$i").as("max_str"))
-    }: _*)
-    row.select(col("__n").as("n_rows"), explode(entries).as("e"))
-      .select(col("e.column_name"), col("n_rows"), col("e.n_nulls"),
-        col("e.n_distinct"), col("e.min_str"), col("e.max_str"))
   }
 
   /** Uniqueness is the one check that needs its own aggregation shape
