@@ -1303,4 +1303,96 @@ object Corpus {
       .filter(col("rk") === 1)
       .select(col(id), col(label), col("score_micro"), col("n_known"))
   }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * token distributions, plus each source's token entropy — the
+    * data-mixing diagnostic (a source whose unigram distribution has
+    * drifted far from the corpus mean is a candidate for re-weighting
+    * or quality review; between two crawls the same number flags
+    * template/spam shifts inside one source).
+    *
+    * Determinism contract: every per-term contribution is computed by
+    * ONE expression string parsed identically by Spark and DuckDB
+    * ([[driftKlTermExpr]]/[[driftEntTermExpr]] — the [[knLpExpr]]
+    * pattern), floor-quantized to integer nano-units, and summed as
+    * BIGINT — so the reduction is association-order-free and the
+    * result bit-identical across engines and partitionings.
+    *
+    * 100 TB posture: one token-count shuffle keyed on (source, term);
+    * everything after runs on vocabulary-sized frames (|sources|·|V|
+    * rows carrying a term and three longs — never text, never rows).
+    * The corpus total is a broadcast single-row frame.
+    */
+  def domainDrift(df: DataFrame, text: String, source: String): DataFrame = {
+    val tok = df.select(col(source).as("source"),
+        explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+    val st = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+    val sTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val tTot = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val nAll = st.agg(sum(col("c_st")).as("n_all"))
+    st.join(sTot, Seq("source"))
+      .join(tTot, Seq("term"))
+      .crossJoin(broadcast(nAll))
+      .selectExpr("source",
+        driftKlTermExpr + " AS kl_nano_t",
+        driftEntTermExpr + " AS ent_nano_t")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("kl_nano_t")).as("kl_nano"),
+        sum(col("ent_nano_t")).as("entropy_nano"))
+      .join(sTot, Seq("source"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_terms"),
+        col("kl_nano"), col("entropy_nano"))
+  }
+
+  /** Floor-nano KL term: (c_st/n_s)·ln(c_st·n_all / (n_s·c_t)) — one
+    * string, parsed by both engines so the double ops replay exactly.
+    */
+  def driftKlTermExpr: String =
+    "CAST(FLOOR(1000000000.0 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))" +
+      " * LN((CAST(c_st AS DOUBLE) * CAST(n_all AS DOUBLE))" +
+      " / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE)))) AS BIGINT)"
+
+  /** Floor-nano entropy term: −(c_st/n_s)·ln(c_st/n_s). */
+  def driftEntTermExpr: String =
+    "CAST(FLOOR(-1000000000.0 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))" +
+      " * LN(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))) AS BIGINT)"
+
+  /** Sequence-length bucketing report — the pad-efficiency dashboard a
+    * training pipeline reads before choosing batch shapes: documents
+    * are assigned to the smallest bucket boundary holding their
+    * whitespace-token count (over-cap docs clamp to the top bucket,
+    * the truncation the packer would apply), and each bucket reports
+    * document count, kept-token mass, pad-token mass, and the pad
+    * fraction in floor basis points. Pure integer arithmetic
+    * throughout; the CASE ladder is generated from `boundaries` so an
+    * engine replay is the literal same expression. One scan plus a
+    * |boundaries|-row aggregation.
+    */
+  def lengthBuckets(df: DataFrame, text: String,
+      boundaries: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024, 2048))
+      : DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      "boundaries must be non-empty, strictly increasing")
+    val cap = boundaries.last
+    df.select(size(toks(col(text))).cast("long").as("n"))
+      .select(least(col("n"), lit(cap.toLong)).as("kept"))
+      .selectExpr(lengthBucketExpr(boundaries) + " AS bucket", "kept")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("kept_tokens"),
+        sum(col("bucket") - col("kept")).as("pad_tokens"))
+      .withColumn("pad_bp",
+        expr("(10000 * pad_tokens) div (n_docs * bucket)"))
+  }
+
+  /** CASE ladder mapping a clamped token count `kept` to its bucket —
+    * shared verbatim with the SQL replay.
+    */
+  def lengthBucketExpr(boundaries: Seq[Int]): String =
+    "CASE " + boundaries.init.map(b => s"WHEN kept <= $b THEN CAST($b AS BIGINT) ")
+      .mkString + s"ELSE CAST(${boundaries.last} AS BIGINT) END"
 }

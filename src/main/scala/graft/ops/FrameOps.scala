@@ -926,4 +926,41 @@ object FrameOps {
       .withColumn("is_iqr_outlier", v < col("__lo") || v > col("__hi"))
       .drop("__mu", "__sd", "__q1", "__q3", "__lo", "__hi")
   }
+
+  /** Slowly-changing-dimension (type 2) interval construction: collapse
+    * a change-event stream into validity intervals per key — the
+    * standard warehouse transform that turns an append-only log into
+    * an as-of-joinable dimension ([[AsofJoin]] is the natural
+    * consumer). Consecutive rows whose tracked attributes are
+    * unchanged are folded into one interval; each surviving row gets
+    * `valid_from` = its own order position and `valid_to` = the next
+    * change's position (null = current version).
+    *
+    * Determinism contract: `orderCols` must be a per-key unique order
+    * (pass a tiebreaker column, e.g. an event id — the same contract
+    * as [[ewmMean]]); change detection compares attributes null-safely
+    * (`<=>`), so null attribute values are ordinary states, not
+    * wildcards.
+    *
+    * 100 TB posture: two windows over the SAME (key, orderCols)
+    * partitioning — Catalyst plans one Exchange + one Sort reused by
+    * both Window operators; no joins, no driver data. The second
+    * window runs on the change rows only (a fraction of the log).
+    */
+  def scd2Intervals(df: DataFrame, key: String, orderCols: Seq[String],
+      attrs: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(attrs.nonEmpty, "need at least one tracked attribute")
+    val w = Window.partitionBy(col(key)).orderBy(orderCols.map(col): _*)
+    val changed = attrs.map(a =>
+      !(col(a) <=> lag(col(a), 1).over(w))).reduce(_ || _) ||
+      row_number().over(w) === 1
+    df.select(col(key) +: (orderCols ++ attrs).map(col): _*)
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .drop("__chg")
+      .drop(orderCols: _*)
+  }
 }

@@ -189,6 +189,83 @@ object Graph {
     out
   }
 
+  /** Exact triangle census with per-node counts and local clustering
+    * coefficient (the link-farm / community-density signal: organic
+    * neighborhoods close triangles, spam link rings and scraped
+    * mirror-nets show extreme coefficients in either direction).
+    *
+    * Algorithm: degree-ordered edge orientation (the classic
+    * compact-forward / Cohen MapReduce formulation). Every undirected
+    * edge is oriented from its lower-rank endpoint to its higher-rank
+    * endpoint under the total order rank(v) = (deg(v), v); each
+    * triangle then has exactly ONE vertex with two out-edges, so the
+    * wedge self-join emits each triangle once and no dedup pass is
+    * needed. The orientation is also the scale guarantee: out-degree
+    * under the degree order is O(sqrt(|E|)) even on power-law graphs,
+    * so the wedge join's fan-out is bounded — the naive formulation
+    * (join on every shared endpoint) is quadratic in the max hub
+    * degree and melts on exactly the graphs this op screens.
+    *
+    * Everything is 64-bit integer arithmetic; the clustering
+    * coefficient is emitted in floor basis points
+    * (`cc_bp = 20000·T(v) div (deg·(deg−1))`, i.e. 2T/(deg choose 2)
+    * scaled to 1e4) so the result is bit-identical in any engine.
+    *
+    * 100 TB posture: two equi-joins over the oriented edge list (one
+    * u-keyed self-join, one (x,y)-keyed closing join) plus bounded
+    * per-node aggregations; shuffled rows carry 2–3 longs; the driver
+    * collects nothing. Input normalization (self-loop drop, undirected
+    * dedup) costs one distinct.
+    *
+    * @param edges edge list, either orientation, duplicates/self-loops
+    *              tolerated (normalized away)
+    * @return (node, deg, triangles, cc_bp) for every node in the
+    *         normalized graph; cc_bp null when deg < 2
+    */
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e0 = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")).persist()
+    // orient low-rank → high-rank, rank = (deg, node); carry the head's
+    // degree so the wedge filter below needs no extra join
+    val oriented = e0
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .persist()
+    // wedges (x, y) around pivot u with rank(x) < rank(y): the closing
+    // edge of pair {x, y}, if present, is oriented exactly x → y
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_bp", when(col("deg") >= 2,
+        expr("(20000 * triangles) div (deg * (deg - 1))")))
+      .localCheckpoint(true)
+    deg.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    out
+  }
+
   /** Degree profile of a directed edge list: per-node out/in degree and
     * total — the cheap first look at any crawl graph (spam hosts show
     * up as degree outliers before any iteration is run). One pass,

@@ -413,6 +413,22 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("source"))
     }),
 
+    // per-source unigram KL drift + entropy (NEW r8): the data-mixing
+    // diagnostic — floor-nano per-term contributions summed as BIGINT,
+    // so the doubles never meet a reduction order
+    "q182_domain_drift" -> ((s, d) => {
+      Corpus.domainDrift(Tables.documents(s, d), "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // sequence-length bucketing / pad-efficiency report (NEW r8):
+    // smallest power-of-two bucket per doc, clamped at 2048; all
+    // integer arithmetic, CASE ladder shared with the oracle
+    "q184_length_buckets" -> ((s, d) => {
+      Corpus.lengthBuckets(Tables.documents(s, d), "text")
+        .orderBy(col("bucket"))
+    }),
+
     // benchmark-example containment (asymmetric Jaccard): which eval
     // docs are >= 50% contained in some NON-benchmark training doc —
     // the direction q140's corpus-side overlap can't express
@@ -715,6 +731,43 @@ object CorpusQueries extends QueryGroup {
          |  CAST(FLOOR((n_docs - n_distinct) * 10000 / n_docs) AS BIGINT) AS dup_bp,
          |  CAST(FLOOR(token_mass * 100 / n_docs) AS BIGINT) AS mean_toks_c
          |FROM d JOIN u USING (source) ORDER BY source""".stripMargin,
+
+    "q182_domain_drift" ->
+      s"""WITH d AS (SELECT source, $sqlNorm AS s FROM documents),
+         |tokall AS (SELECT source, unnest(string_split(s, ' ')) AS term FROM d),
+         |tok AS (SELECT source, term FROM tokall WHERE length(term) > 0),
+         |st AS (SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+         |stot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+         |  FROM st GROUP BY source),
+         |ttot AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t
+         |  FROM st GROUP BY term),
+         |nall AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_all FROM st),
+         |terms AS (SELECT st.source,
+         |    ${graft.ops.Corpus.driftKlTermExpr} AS kl_nano_t,
+         |    ${graft.ops.Corpus.driftEntTermExpr} AS ent_nano_t
+         |  FROM st JOIN stot USING (source) JOIN ttot USING (term)
+         |  CROSS JOIN nall),
+         |agg AS (SELECT source, COUNT(*) AS n_terms,
+         |    CAST(SUM(kl_nano_t) AS BIGINT) AS kl_nano,
+         |    CAST(SUM(ent_nano_t) AS BIGINT) AS entropy_nano
+         |  FROM terms GROUP BY source)
+         |SELECT a.source, s.n_s AS n_tokens, a.n_terms, a.kl_nano,
+         |  a.entropy_nano
+         |FROM agg a JOIN stot s USING (source) ORDER BY a.source""".stripMargin,
+
+    "q184_length_buckets" ->
+      s"""WITH n0 AS (SELECT CAST(LEN(string_split($sqlNorm, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |k AS (SELECT LEAST(n, 2048) AS kept FROM n0),
+         |b AS (SELECT ${graft.ops.Corpus.lengthBucketExpr(
+               Seq(16, 32, 64, 128, 256, 512, 1024, 2048))} AS bucket, kept
+         |  FROM k)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+         |  CAST(SUM(bucket - kept) AS BIGINT) AS pad_tokens,
+         |  (10000 * CAST(SUM(bucket - kept) AS BIGINT)) // (COUNT(*) * bucket)
+         |    AS pad_bp
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q161_prepare_corpus" ->
       s"""WITH t AS (SELECT doc_id, lang, $sqlNorm AS s FROM documents),

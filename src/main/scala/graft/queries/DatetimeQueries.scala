@@ -321,6 +321,21 @@ object DatetimeQueries extends QueryGroup {
         .select(col("prev_type"), col("next_type"), col("n"),
           floor(col("n") * lit(10000L) / col("tot")).cast("long").as("p_bp"))
         .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // SCD type-2 interval construction (NEW r8): collapse the event
+    // log into per-user event_type validity intervals — change rows
+    // survive, valid_to = next change (null = current). Second-
+    // resolution formatting for the cross-engine compare (q57b's
+    // pattern); the op itself keeps full precision.
+    "q183_scd2" -> ((s, d) => {
+      graft.ops.FrameOps.scd2Intervals(
+          Tables.events(s, d).filter(col("user_id") % 7 === 0),
+          "user_id", Seq("ts", "event_id"), Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
     })
   )
 
@@ -511,6 +526,24 @@ object DatetimeQueries extends QueryGroup {
         |SELECT STRFTIME(cal.bucket, '%Y-%m-%d %H:%M:%S') AS h, COALESCE(b.n, 0) AS n, b.avg_value,
         |  last_value(b.avg_value IGNORE NULLS) OVER (ORDER BY cal.bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
-        |FROM cal LEFT JOIN b USING (bucket) ORDER BY h""".stripMargin
+        |FROM cal LEFT JOIN b USING (bucket) ORDER BY h""".stripMargin,
+
+    "q183_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id % 7 = 0),
+        |m AS (SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER w AS prev_type,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, ts AS vf,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM c)
+        |SELECT user_id, event_type,
+        |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+        |FROM v ORDER BY user_id, valid_from""".stripMargin
   )
 }

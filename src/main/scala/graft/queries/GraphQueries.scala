@@ -69,14 +69,41 @@ object GraphQueries extends QueryGroup {
         .orderBy(col("node"))
     }),
 
-    // 3-round k-core peel (k = 30): low-degree customers fall out
+    // 3-round k-core peel (k = 10): low-degree customers fall out
     // first, cascading supplier degrees down — the dense-core spam
-    // screen, fixed-depth so the oracle unrolls exactly
+    // screen, fixed-depth so the oracle unrolls exactly. k = 10 is the
+    // largest k whose core is non-empty at EVERY fixture scale (the
+    // sf0.001 customer-degree ceiling is 10); the smoke suite runs all
+    // queries at sf0.001.
     "q180_kcore" -> ((s, d) => {
-      Graph.kCorePeel(edges(s, d), "src", "dst", k = 30, rounds = 3)
+      Graph.kCorePeel(edges(s, d), "src", "dst", k = 10, rounds = 3)
         .orderBy(col("node"))
+    }),
+
+    // triangle census + clustering coefficient over the supplier
+    // co-occurrence graph (suppliers sharing an order among high-
+    // quantity lineitems — the bipartite q171 graph is triangle-free
+    // by construction, so the density signal needs a unipartite
+    // projection; the quantity filter keeps it sparse, the same way a
+    // host graph is thresholded before density screening)
+    "q181_triangles" -> ((s, d) => {
+      Graph.triangleCount(coEdges(s, d), "src", "dst")
+        .orderBy(col("triangles").desc, col("node"))
+        .limit(100)
     })
   )
+
+  /** Unipartite supplier co-occurrence graph: s1 — s2 iff both supplied
+    * high-quantity (>= 45) lineitems of the same order. Per-order
+    * fan-out is bounded by order size, so edge generation is linear.
+    */
+  private def coEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    hi.as("x").join(hi.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+  }
 
   override def oracle: Map[String, String] = Map(
     "q171_pagerank" -> {
@@ -136,7 +163,7 @@ object GraphQueries extends QueryGroup {
     "q180_kcore" -> {
       def peel(i: Int): String =
         s"""k$i AS (SELECT src FROM (SELECT src, COUNT(*) AS c FROM e${i - 1}
-           |  GROUP BY src) WHERE c >= 30),
+           |  GROUP BY src) WHERE c >= 10),
            |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
            |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
       s"""WITH $sqlEdges,
@@ -148,6 +175,42 @@ object GraphQueries extends QueryGroup {
          |${peel(3)}
          |SELECT src AS node, COUNT(*) AS degree FROM e3
          |GROUP BY src ORDER BY node""".stripMargin
-    }
+    },
+
+    "q181_triangles" ->
+      // full replay of the degree-ordered orientation: normalize,
+      // rank by (deg, node), orient low→high, wedge self-join on the
+      // pivot, closing join, per-corner attribution, floor-bp coeff
+      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_quantity >= 45),
+         |raw AS (SELECT x.sk AS a, y.sk AS b FROM hi x JOIN hi y
+         |  ON x.ok = y.ok AND x.sk < y.sk),
+         |e0 AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+         |  FROM raw WHERE a != b),
+         |deg AS (SELECT node, COUNT(*) AS deg FROM (
+         |  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+         |  GROUP BY node),
+         |o AS (SELECT
+         |    CASE WHEN pa.deg < pb.deg OR (pa.deg = pb.deg AND e0.a < e0.b)
+         |      THEN e0.a ELSE e0.b END AS u,
+         |    CASE WHEN pa.deg < pb.deg OR (pa.deg = pb.deg AND e0.a < e0.b)
+         |      THEN e0.b ELSE e0.a END AS v,
+         |    CASE WHEN pa.deg < pb.deg OR (pa.deg = pb.deg AND e0.a < e0.b)
+         |      THEN pb.deg ELSE pa.deg END AS dv
+         |  FROM e0 JOIN deg pa ON e0.a = pa.node JOIN deg pb ON e0.b = pb.node),
+         |w AS (SELECT o1.u, o1.v AS x, o2.v AS y FROM o o1 JOIN o o2
+         |  ON o1.u = o2.u
+         |  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+         |t AS (SELECT w.u, w.x, w.y FROM w JOIN o
+         |  ON o.u = w.x AND o.v = w.y),
+         |per AS (SELECT node, COUNT(*) AS triangles FROM (
+         |  SELECT u AS node FROM t UNION ALL SELECT x FROM t
+         |  UNION ALL SELECT y FROM t) GROUP BY node)
+         |SELECT d.node, d.deg, COALESCE(p.triangles, 0) AS triangles,
+         |  CASE WHEN d.deg >= 2
+         |    THEN (20000 * COALESCE(p.triangles, 0)) // (d.deg * (d.deg - 1))
+         |  END AS cc_bp
+         |FROM deg d LEFT JOIN per p ON d.node = p.node
+         |ORDER BY triangles DESC, d.node LIMIT 100""".stripMargin
   )
 }

@@ -7,6 +7,7 @@ import graft.ops.Corpus
   * end-to-end values are hash-gated by q140–q145's DuckDB oracles.
   */
 class CorpusSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val docs = Tables.documents(spark, sfTiny).cache()
 
@@ -492,5 +493,55 @@ class CorpusSpec extends SparkSpec {
     // fixture text is topic-agnostic so separation is weak; the gate is
     // that training MOVES the needle vs predicting the majority class
     assert(acc >= major, s"nb acc=$acc must be >= majority=$major")
+  }
+
+  test("domainDrift: identical sources have zero KL; a skewed one doesn't") {
+    // two sources with the SAME distribution → every term ratio is 1,
+    // ln 1 = 0, floor(0) = 0; a third all-on-one-term source drifts
+    val df = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s2"),
+      (3L, "c c c c", "s3")
+    ).toDF("doc_id", "text", "source")
+    val r = Corpus.domainDrift(df, "text", "source")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // s1/s2: p(a)=p(b)=1/2 within source; corpus-wide p(a)=p(b)=2/8 —
+    // ratio 2 → kl = 2·floor(1e9·0.5·ln 2) = 2·346573590
+    assert(r("s1") == ((2L, 2L, 693147180L, 693147180L)))
+    assert(r("s2") == r("s1"))
+    // s3: single term → entropy 0; ratio (4/4)/(4/8) = 2 → ln 2
+    assert(r("s3")._1 == 4L && r("s3")._2 == 1L)
+    assert(r("s3")._3 == 693147180L && r("s3")._4 == 0L)
+  }
+
+  test("domainDrift is partition-count invariant (floor-nano contract)") {
+    val docs = Tables.documents(spark, sfSmall)
+    val a = Corpus.domainDrift(docs.repartition(1), "text", "source")
+      .collect().map(_.toSeq).toSet
+    val b = Corpus.domainDrift(docs.repartition(13), "text", "source")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("lengthBuckets: hand-checked buckets, clamped tail, pad math") {
+    val df = Seq(
+      (1L, "a b c"),                               // 3 toks → bucket 16
+      (2L, Seq.fill(17)("w").mkString(" ")),       // 17 → bucket 32
+      (3L, Seq.fill(5000)("w").mkString(" "))      // clamps to 2048
+    ).toDF("doc_id", "text")
+    val r = Corpus.lengthBuckets(df, "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(16L) == ((1L, 3L, 13L, 10000L * 13 / 16)))
+    assert(r(32L) == ((1L, 17L, 15L, 10000L * 15 / 32)))
+    assert(r(2048L) == ((1L, 2048L, 0L, 0L)))
+    assert(r.keySet == Set(16L, 32L, 2048L))
+  }
+
+  test("lengthBuckets rejects unsorted boundaries fast") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      Corpus.lengthBuckets(df, "text", boundaries = Seq(32, 16))
+    }
   }
 }

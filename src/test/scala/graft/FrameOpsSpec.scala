@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.FrameOps
 
 /** Edge semantics for the round-2 frame operators (q77–q79, q24b, q25b,
   * q33b, q66) that the sf0.01 fixture may not hit: leading/trailing
@@ -580,5 +581,41 @@ class FrameOpsSpec extends SparkSpec {
     val b = out.filter($"g" === "b")
     assert(b.filter($"z".isNotNull).count() == 0)
     assert(b.filter($"is_z_outlier" || $"is_iqr_outlier").count() == 0)
+  }
+
+  test("scd2Intervals: runs collapse, intervals chain, last is open") {
+    // key 1: A A B A → intervals A[1,3) B[3,4) A[4,null); key 2: C → open
+    val df = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"), (1L, 4L, "A"),
+      (2L, 1L, "C")
+    ).toDF("k", "seq", "v").repartition(3)
+    val out = FrameOps.scd2Intervals(df, "k", Seq("seq"), Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "v", "valid_from", "valid_to"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, "A", 1L, 3L), (1L, "B", 3L, 4L), (1L, "A", 4L, -1L),
+      (2L, "C", 1L, -1L)))
+  }
+
+  test("scd2Intervals: null attribute values are states, not wildcards") {
+    val df = Seq(
+      (1L, 1L, Some("A")), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some("A"))
+    ).toDF("k", "seq", "v")
+    val out = FrameOps.scd2Intervals(df, "k", Seq("seq"), Seq("v"))
+      .collect().map(r => (Option(r.getString(1)).getOrElse("∅"),
+        r.getLong(2))).toSet
+    // A[1) → null[2) → A[4): the null run collapses to ONE interval
+    assert(out == Set(("A", 1L), ("∅", 2L), ("A", 4L)))
+  }
+
+  test("scd2Intervals: multi-attribute change detection + tiebreaker order") {
+    // same ts, tiebreaker id orders them; change on EITHER attribute
+    val df = Seq(
+      (1L, 10L, 1L, "A", 1), (1L, 10L, 2L, "A", 2), (1L, 11L, 3L, "B", 2)
+    ).toDF("k", "ts", "id", "a1", "a2")
+    val out = FrameOps.scd2Intervals(df, "k", Seq("ts", "id"), Seq("a1", "a2"))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(out == Set(("A", 1, 10L), ("A", 2, 10L), ("B", 2, 11L)))
   }
 }

@@ -183,4 +183,70 @@ class GraphLinalgSpec extends SparkSpec {
       .select(col("proj")).collect().map(_.getSeq[Double](0).toList).toSet
     assert(out == Set(List(3.0, 4.0), List(-1.0, 2.0)))
   }
+
+  // --- triangleCount -------------------------------------------------
+
+  private def triMap(edges: Seq[(Long, Long)], parts: Int = 3) = {
+    val df = edges.toDF("src", "dst").repartition(parts)
+    Graph.triangleCount(df, "src", "dst").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+  }
+
+  test("triangleCount: K4 — every node in 3 triangles, cc = 10000 bp") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r = triMap(e)
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    r.values.foreach { case (deg, tri, cc) =>
+      assert(deg == 3L && tri == 3L && cc == 10000L)
+    }
+  }
+
+  test("triangleCount: triangle plus pendant, hand-checked coefficients") {
+    // 1-2-3 closed; 4 hangs off 1. cc(1) = 2·1/(3·2) = 3333 bp floored,
+    // cc(2) = cc(3) = 2·1/(2·1) = 10000, deg-1 node 4 → null cc
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val r = triMap(e)
+    assert(r(1L) == ((3L, 1L, 3333L)))
+    assert(r(2L) == ((2L, 1L, 10000L)))
+    assert(r(3L) == ((2L, 1L, 10000L)))
+    assert(r(4L) == ((1L, 0L, -1L)))
+  }
+
+  test("triangleCount normalizes duplicates, reversals, self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L), (3L, 3L))
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(triMap(messy) == triMap(clean))
+  }
+
+  test("triangleCount matches brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.25
+    } yield (a, b)).toSeq
+    val adj = edges.toSet
+    def conn(x: Long, y: Long) = adj((x min y, x max y))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = nodes.map { v =>
+      val tri = (for {
+        x <- nodes; y <- nodes
+        if x < y && conn(v, x) && conn(v, y) && conn(x, y)
+      } yield 1).size.toLong
+      v -> tri
+    }.toMap
+    val r = triMap(edges, parts = 5)
+    nodes.foreach { v => assert(r(v)._2 == brute(v), s"node $v") }
+    // total census: each triangle attributed to exactly 3 corners
+    assert(r.values.map(_._2).sum == brute.values.sum)
+  }
+
+  test("triangleCount is partition-count invariant") {
+    val rnd = new scala.util.Random(7)
+    val edges = (for {
+      a <- 1L to 40L; b <- (a + 1) to 40L if rnd.nextDouble() < 0.2
+    } yield (a, b)).toSeq
+    assert(triMap(edges, parts = 1) == triMap(edges, parts = 11))
+  }
 }
