@@ -266,6 +266,66 @@ object Graph {
     out
   }
 
+  /** Link prediction scores for non-adjacent node pairs: common-
+    * neighbor count and Adamic–Adar (Σ 1/ln deg(u) over shared
+    * neighbors u) — the classic similarity signals used to densify a
+    * sparse interaction graph before clustering / label propagation,
+    * or to flag "should-be-linked" near-duplicates two hops apart.
+    *
+    * Determinism contract: each shared neighbor's Adamic–Adar
+    * contribution is floor-quantized to integer nano-units by ONE
+    * expression string ([[aaGainExpr]]) parsed identically by Spark
+    * and DuckDB, then summed as BIGINT — association-order-free, the
+    * [[Corpus.driftKlTermExpr]] pattern.
+    *
+    * Scale contract: wedge enumeration through a pivot of degree d
+    * yields d·(d−1)/2 pairs, so hub pivots are quadratic to expand —
+    * and contribute the least evidence (1/ln d vanishes; that is the
+    * whole point of Adamic–Adar's weighting). `maxPivotDeg` therefore
+    * drops hub pivots BEFORE the self-join, the same
+    * documented-contract cap as the jaccard maxDf: the result is
+    * exact on the thresholded graph. `minCommon` prunes the output to
+    * pairs with real support.
+    *
+    * @return (x, y, cn, aa_nano) per candidate pair, x < y, pair NOT
+    *         an existing edge, cn >= minCommon
+    */
+  def linkPredict(edges: DataFrame, src: String, dst: String,
+      maxPivotDeg: Int = 1000, minCommon: Int = 2): DataFrame = {
+    require(maxPivotDeg >= 2, s"maxPivotDeg must be >= 2, got $maxPivotDeg")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e0 = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist()
+    val adj = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val small = adj.join(deg.filter(col("deg") <= maxPivotDeg), "u")
+    val scores = small.select(col("u"), col("v").as("x"), col("deg"))
+      .join(small.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"), sum(expr(aaGainExpr)).as("aa_nano"))
+      .filter(col("cn") >= minCommon)
+    val out = scores.join(
+        e0.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .localCheckpoint(true)
+    e0.unpersist(blocking = false)
+    out
+  }
+
+  /** Floor-nano Adamic–Adar gain of one shared neighbor of degree
+    * `deg` — one string, parsed by both engines. Pivots always have
+    * deg >= 2 (they neighbor two distinct nodes), so ln > 0.
+    */
+  def aaGainExpr: String =
+    "CAST(FLOOR(1000000000.0 / LN(CAST(deg AS DOUBLE))) AS BIGINT)"
+
   /** Degree profile of a directed edge list: per-node out/in degree and
     * total — the cheap first look at any crawl graph (spam hosts show
     * up as degree outliers before any iteration is run). One pass,

@@ -512,4 +512,49 @@ object Similarity {
       .na.fill(0L, Seq("n_hit"))
       .withColumn("recall_bp", expr("(n_hit * 10000L) div n_exact"))
   }
+
+  /** Ranking quality per query — MRR and binary-relevance nDCG@k —
+    * for an approximate ranking judged against an exact one (the
+    * rank-sensitive companions to [[recallAtK]]: recall says WHETHER
+    * the right items surfaced, these say WHERE). Same input contract
+    * as recallAtK: both frames carry (q_id, n_id, rnk) with rnk
+    * 1-based dense per q_id.
+    *
+    * Integer determinism: reciprocal rank is `1e6 div first_rel`
+    * (floor); each DCG position gain is floor(1e9·ln 2 / ln(rnk+1))
+    * via ONE shared expression string ([[dcgGainExpr]]), summed as
+    * BIGINT, and nDCG is the floor-micro ratio of the two integer
+    * sums — bit-identical in any engine, no reduction-order exposure.
+    * Queries whose approx top-k contains no relevant item score 0 on
+    * both metrics (not null — a whiffed query is a measured zero).
+    *
+    * 100 TB posture: two equi-joins on (q_id, n_id) and bounded
+    * per-query aggregations over ≤ k rows each; nothing collected.
+    */
+  def rankingMetrics(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    val e = exact.filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    val rel = a.join(e.select(col("q_id"), col("n_id")),
+      Seq("q_id", "n_id"), "left_semi")
+    val perQ = rel.groupBy(col("q_id")).agg(
+      min(col("rnk")).as("first_rel"),
+      sum(expr(dcgGainExpr)).as("dcg_nano"))
+    val ideal = e.groupBy(col("q_id")).agg(
+      sum(expr(dcgGainExpr)).as("idcg_nano"),
+      count(lit(1)).as("n_exact"))
+    ideal.join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(expr("1000000L div first_rel"), lit(0L)).as("rr_micro"),
+        coalesce(expr("(1000000L * dcg_nano) div idcg_nano"), lit(0L))
+          .as("ndcg_micro"))
+  }
+
+  /** Floor-nano DCG gain at 1-based rank `rnk`: 1e9·ln 2 / ln(rnk+1),
+    * i.e. 1/log2(rnk+1) — one string, parsed by both engines.
+    */
+  def dcgGainExpr: String =
+    "CAST(FLOOR(1000000000.0 * LN(2.0) / LN(CAST(rnk AS DOUBLE) + 1.0)) AS BIGINT)"
 }

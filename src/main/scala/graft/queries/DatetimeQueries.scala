@@ -336,6 +336,25 @@ object DatetimeQueries extends QueryGroup {
           date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
         .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // ranking metrics (NEW r8): MRR + binary nDCG@3 of each user's
+    // value-ranked event types judged against the count-ranked truth —
+    // exercises Similarity.rankingMetrics on a fully SQL-replayable
+    // pair of rankings (value in exact integer cents, q72b's lesson;
+    // ties broken lexicographically)
+    "q186_ranking_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .groupBy(col("user_id").as("q_id"), col("event_type").as("n_id"))
+        .agg(count(lit(1)).as("mc"),
+          sum(round(col("value") * 100, 0).cast("long")).as("mv"))
+      val truth = ev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("mc").desc, col("n_id"))))
+      val approx = ev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("mv").desc, col("n_id"))))
+      graft.ops.Similarity.rankingMetrics(approx, truth, k = 3)
+        .orderBy(col("q_id"))
     })
   )
 
@@ -544,6 +563,32 @@ object DatetimeQueries extends QueryGroup {
         |SELECT user_id, event_type,
         |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
-        |FROM v ORDER BY user_id, valid_from""".stripMargin
+        |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    "q186_ranking_metrics" ->
+      s"""WITH e AS (SELECT user_id AS q_id, event_type AS n_id,
+         |    COUNT(*) AS mc,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS mv
+         |  FROM events GROUP BY 1, 2),
+         |ex AS (SELECT q_id, n_id, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY mc DESC, n_id) AS rnk FROM e),
+         |ap AS (SELECT q_id, n_id, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY mv DESC, n_id) AS rnk FROM e),
+         |e3 AS (SELECT q_id, n_id, rnk FROM ex WHERE rnk <= 3),
+         |a3 AS (SELECT q_id, n_id, rnk FROM ap WHERE rnk <= 3),
+         |rel AS (SELECT a3.q_id, a3.n_id, a3.rnk FROM a3
+         |  JOIN e3 ON a3.q_id = e3.q_id AND a3.n_id = e3.n_id),
+         |perq AS (SELECT q_id, MIN(rnk) AS first_rel,
+         |    CAST(SUM(${graft.ops.Similarity.dcgGainExpr}) AS BIGINT) AS dcg_nano
+         |  FROM rel GROUP BY q_id),
+         |ideal AS (SELECT q_id,
+         |    CAST(SUM(${graft.ops.Similarity.dcgGainExpr}) AS BIGINT) AS idcg_nano,
+         |    COUNT(*) AS n_exact
+         |  FROM e3 GROUP BY q_id)
+         |SELECT i.q_id, i.n_exact,
+         |  COALESCE(1000000 // p.first_rel, 0) AS rr_micro,
+         |  COALESCE((1000000 * p.dcg_nano) // i.idcg_nano, 0) AS ndcg_micro
+         |FROM ideal i LEFT JOIN perq p ON i.q_id = p.q_id
+         |ORDER BY i.q_id""".stripMargin
   )
 }

@@ -90,6 +90,16 @@ object GraphQueries extends QueryGroup {
       Graph.triangleCount(coEdges(s, d), "src", "dst")
         .orderBy(col("triangles").desc, col("node"))
         .limit(100)
+    }),
+
+    // link prediction on the same co-occurrence graph: top candidate
+    // non-edges by common-neighbor support, Adamic–Adar in floor-nano
+    // integer units as the tie-sensitive score
+    "q185_link_predict" -> ((s, d) => {
+      Graph.linkPredict(coEdges(s, d), "src", "dst",
+          maxPivotDeg = 1000, minCommon = 2)
+        .orderBy(col("cn").desc, col("aa_nano").desc, col("x"), col("y"))
+        .limit(100)
     })
   )
 
@@ -211,6 +221,28 @@ object GraphQueries extends QueryGroup {
          |    THEN (20000 * COALESCE(p.triangles, 0)) // (d.deg * (d.deg - 1))
          |  END AS cc_bp
          |FROM deg d LEFT JOIN per p ON d.node = p.node
-         |ORDER BY triangles DESC, d.node LIMIT 100""".stripMargin
+         |ORDER BY triangles DESC, d.node LIMIT 100""".stripMargin,
+
+    "q185_link_predict" ->
+      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_quantity >= 45),
+         |raw AS (SELECT x.sk AS a, y.sk AS b FROM hi x JOIN hi y
+         |  ON x.ok = y.ok AND x.sk < y.sk),
+         |e0 AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+         |  FROM raw WHERE a != b),
+         |adj AS (SELECT a AS u, b AS v FROM e0
+         |  UNION ALL SELECT b AS u, a AS v FROM e0),
+         |dg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+         |small AS (SELECT adj.u, adj.v, dg.deg FROM adj
+         |  JOIN dg ON adj.u = dg.u WHERE dg.deg <= 1000),
+         |wedge AS (SELECT s1.v AS x, s2.v AS y, s1.deg AS deg
+         |  FROM small s1 JOIN small s2 ON s1.u = s2.u AND s1.v < s2.v),
+         |sc AS (SELECT x, y, COUNT(*) AS cn,
+         |    CAST(SUM(${graft.ops.Graph.aaGainExpr}) AS BIGINT) AS aa_nano
+         |  FROM wedge GROUP BY x, y HAVING COUNT(*) >= 2)
+         |SELECT x, y, cn, aa_nano FROM sc
+         |WHERE NOT EXISTS (SELECT 1 FROM e0
+         |  WHERE e0.a = sc.x AND e0.b = sc.y)
+         |ORDER BY cn DESC, aa_nano DESC, x, y LIMIT 100""".stripMargin
   )
 }

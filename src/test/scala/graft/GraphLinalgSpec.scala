@@ -249,4 +249,54 @@ class GraphLinalgSpec extends SparkSpec {
     } yield (a, b)).toSeq
     assert(triMap(edges, parts = 1) == triMap(edges, parts = 11))
   }
+
+  // --- linkPredict ---------------------------------------------------
+
+  private def lpMap(edges: Seq[(Long, Long)], maxDeg: Int = 1000,
+      minCn: Int = 1) = {
+    val df = edges.toDF("src", "dst").repartition(3)
+    Graph.linkPredict(df, "src", "dst", maxPivotDeg = maxDeg,
+        minCommon = minCn)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+  }
+
+  test("linkPredict: path endpoints predicted, existing edges excluded") {
+    // path 1-2-3 plus 1-4: (1,3) share pivot 2; (2,4) share pivot 1;
+    // no other pair has a common neighbor
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 4L))
+    val r = lpMap(e)
+    // both pivots have degree 2: aa = floor(1e9/ln 2)
+    val aa2 = math.floor(1e9 / math.log(2)).toLong
+    assert(r == Map((1L, 3L) -> (1L, aa2), (2L, 4L) -> (1L, aa2)))
+  }
+
+  test("linkPredict: triangle has no candidates; minCommon prunes") {
+    assert(lpMap(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+    // square 1-2-3-4-1: diagonals share TWO neighbors
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val r = lpMap(sq, minCn = 2)
+    val aa2 = math.floor(1e9 / math.log(2)).toLong
+    assert(r == Map((1L, 3L) -> (2L, 2 * aa2), (2L, 4L) -> (2L, 2 * aa2)))
+  }
+
+  test("linkPredict: hub pivots above maxPivotDeg contribute nothing") {
+    // star center 10 with leaves 1..5: every leaf pair shares only the
+    // hub; capping the pivot degree below 5 erases all candidates
+    val star = (1L to 5L).map(i => (10L, i))
+    assert(lpMap(star).size == 10) // C(5,2) pairs via the hub
+    assert(lpMap(star, maxDeg = 4).isEmpty)
+  }
+
+  test("linkPredict is partition-count invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df9 = edges.toDF("src", "dst").repartition(9)
+    val a = Graph.linkPredict(df1, "src", "dst").collect().map(_.toSeq).toSet
+    val b = Graph.linkPredict(df9, "src", "dst").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

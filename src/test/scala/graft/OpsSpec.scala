@@ -55,6 +55,34 @@ class OpsSpec extends SparkSpec {
     assert(none.getAs[Long]("n_hit") == 0L && none.getAs[Long]("recall_bp") == 0L)
   }
 
+  test("rankingMetrics: hand-checked MRR and nDCG cases") {
+    import spark.implicits._
+    def rank(rows: (Long, Long, Int)*) = rows.toSeq.toDF("q_id", "n_id", "rnk")
+    // truth for both queries: items 1, 2, 3 at ranks 1, 2, 3
+    val truth = rank((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3),
+      (1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3))
+    // q0: perfect ordering → rr = 1e6, ndcg = 1e6 exactly
+    // q1: only item 3 found, at rank 2 → rr = 500000;
+    //     dcg = floor(1e9·ln2/ln3); idcg = g(1)+g(2)+g(3)
+    val approx = rank((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3),
+      (1L, 9L, 1), (1L, 3L, 2), (1L, 8L, 3))
+    val r = Similarity.rankingMetrics(approx, truth, k = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(0L) == ((3L, 1000000L, 1000000L)))
+    def g(i: Int) = math.floor(1e9 * math.log(2) / math.log(i + 1)).toLong
+    val expNdcg = 1000000L * g(2) / (g(1) + g(2) + g(3))
+    assert(r(1L) == ((3L, 500000L, expNdcg)))
+  }
+
+  test("rankingMetrics: whiffed query scores zero, not null") {
+    import spark.implicits._
+    val truth = Seq((0L, 1L, 1)).toDF("q_id", "n_id", "rnk")
+    val approx = Seq((0L, 9L, 1)).toDF("q_id", "n_id", "rnk")
+    val r = Similarity.rankingMetrics(approx, truth, k = 3).head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+  }
+
   test("kmeansCentroids is deterministic and assigns every vector") {
     val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
