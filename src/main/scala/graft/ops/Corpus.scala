@@ -1131,20 +1131,47 @@ object Corpus {
     * label.
     */
   def splitAssign(df: DataFrame, id: String,
-      fracs: Seq[(String, Double)]): DataFrame = {
+      fracs: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitExpr(hashBucket(col(id)), fracs))
+
+  /** Shared split-label ladder over a 32-bit bucket value: cumulative
+    * integer thresholds computed once on the driver — the per-row
+    * comparison is pure long arithmetic, no fp boundary per row.
+    */
+  private def splitExpr(bucket: Column,
+      fracs: Seq[(String, Double)]): Column = {
     require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
-    val bucket = hashBucket(col(id))
     val cum = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
-    // integer thresholds computed once on the driver — the comparison
-    // in the plan is pure long arithmetic, no fp boundary per row
     val thresholds = cum.map(c => (c * 4294967296.0d).toLong)
-    val expr = fracs.init.zip(thresholds.init).foldRight(
+    fracs.init.zip(thresholds.init).foldRight(
         lit(fracs.last._1)) { case (((label, _), thr), acc) =>
       when(bucket < thr, lit(label)).otherwise(acc)
     }
-    df.withColumn("split", expr)
   }
+
+  /** Integer thresholds of the split ladder — exposed so an engine
+    * replay (the q187 oracle) uses the EXACT longs the plan compares
+    * against, not a re-derivation.
+    */
+  def splitThresholds(fracs: Seq[(String, Double)]): Seq[Long] =
+    fracs.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => (c * 4294967296.0d).toLong)
+
+  /** Leakage-safe split assignment: like [[splitAssign]], but the
+    * bucket is derived from the NORMALIZED CONTENT (poly_hash of
+    * [[Dedup.normText]]) instead of the row id — so exact duplicates
+    * land in the SAME split by construction and a train/val pair can
+    * never be copies of one document (the classic eval-leak that id-
+    * hashed splitting silently permits). Near-duplicates still need
+    * [[Dedup.dedupCorpus]] first; this op closes the exact-copy hole
+    * at zero extra passes — the split is still a pure per-row map,
+    * no join, no shuffle, stable under corpus growth.
+    */
+  def splitAssignSafe(df: DataFrame, text: String,
+      fracs: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitExpr(
+      hashBucket(graft.expressions.TextHashes.poly_hash(
+        Dedup.normText(col(text)))), fracs))
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every

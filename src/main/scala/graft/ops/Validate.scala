@@ -129,4 +129,129 @@ object Validate {
         (col("n_rows") - col("n_distinct")).as("n_duplicate_rows"),
         (col("n_rows") === col("n_distinct")).as("passed"))
   }
+
+  /** Referential-integrity check: child rows whose foreign key has no
+    * match in the parent's key set — the orphan census every warehouse
+    * load gate runs (and every corpus pipeline needs when a dimension
+    * is filtered or rebuilt: the "events pointing at deleted users"
+    * class of rot). Null foreign keys are reported separately — a
+    * null FK is a different defect than a dangling one.
+    *
+    * One left-anti join on the key (the parent side is key-distinct —
+    * at any scale this broadcasts when small and shuffles both sides
+    * co-partitioned when not) plus one bounded per-key rollup of the
+    * violations capped at `topK` for the report.
+    *
+    * @return summary row (n_child, n_null_fk, n_orphans,
+    *         n_orphan_keys, orphan_bp floor basis points) unioned
+    *         with the `topK` worst orphan keys as
+    *         (orphan_key, n_rows) — two result shapes in one frame
+    *         would be untidy, so this returns the SUMMARY; use
+    *         [[fkOrphanKeys]] for the per-key detail
+    */
+  def fkCheck(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    val base = child.select(col(childKey).as("__fk"))
+    val nonNull = base.filter(col("__fk").isNotNull)
+    val orphans = nonNull.join(keys, col("__fk") === col("__pk"), "left_anti")
+    val o = orphans.agg(count(lit(1)).as("n_orphans"),
+      countDistinct(col("__fk")).as("n_orphan_keys"))
+    base.agg(count(lit(1)).as("n_child"),
+        sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      .crossJoin(broadcast(o))
+      .select(col("n_child"), col("n_null_fk"), col("n_orphans"),
+        col("n_orphan_keys"),
+        expr("(10000 * n_orphans) div n_child").as("orphan_bp"))
+  }
+
+  /** Per-key orphan detail for [[fkCheck]]: the `topK` foreign keys
+    * with the most dangling child rows (ties broken by key).
+    */
+  def fkOrphanKeys(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    child.select(col(childKey).as("orphan_key"))
+      .filter(col("orphan_key").isNotNull)
+      .join(keys, col("orphan_key") === col("__pk"), "left_anti")
+      .groupBy(col("orphan_key")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col("orphan_key"))
+      .limit(topK)
+  }
+
+  /** Population Stability Index between a reference and a current
+    * slice of one numeric column over a FIXED bucket ladder — the
+    * standard production drift gate for numeric features (PSI < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 shifted). The token-level
+    * sibling is [[Corpus.domainDrift]]; this one watches numbers
+    * (prices, scores, lengths) between two crawls / weeks / shards.
+    *
+    * PSI = Σ_buckets (p_b − q_b) · ln(p_b / q_b), with p from
+    * `current`, q from `reference`. Empty buckets are Laplace-floored
+    * by adding 1 to every bucket count on both sides (deterministic,
+    * and the gate stays defined when a bucket empties out).
+    *
+    * Determinism contract: per-bucket contributions are computed by
+    * ONE expression string ([[psiTermExpr]]) on exact integer counts,
+    * floor-quantized to nano-units, summed as BIGINT — the
+    * [[Corpus.driftKlTermExpr]] pattern. Bucket boundaries are a
+    * literal CASE ladder, so assignment is engine-exact.
+    *
+    * 100 TB posture: each side is one scan → |boundaries|-sized
+    * aggregate; the join is on bucket labels (bounded); nothing big
+    * moves.
+    *
+    * @param boundaries strictly-increasing upper bounds; values above
+    *                   the last go to the overflow bucket
+    * @return one row per bucket (bucket, n_ref, n_cur, psi_nano_term)
+    *         plus the scalar Σ as psi_nano on every row (window-free:
+    *         a broadcast single-row cross join)
+    */
+  def psiDrift(reference: DataFrame, current: DataFrame, valueCol: String,
+      boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      "boundaries must be non-empty, strictly increasing")
+    def counts(df: DataFrame, as: String) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .selectExpr(psiBucketExpr(boundaries) + " AS bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    // the full bucket grid as a literal frame, so empty buckets exist
+    // on both sides before the Laplace floor
+    val all = boundaries.map(b => s"le_$b") :+ "overflow"
+    val gridDf = reference.sparkSession.range(1)
+      .select(explode(array(all.map(lit): _*)).as("bucket"))
+    val joined = gridDf
+      .join(counts(reference, "nr"), Seq("bucket"), "left")
+      .join(counts(current, "nc"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        (coalesce(col("nr"), lit(0L)) + 1L).as("n_ref"),
+        (coalesce(col("nc"), lit(0L)) + 1L).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .selectExpr("bucket", "n_ref", "n_cur",
+        psiTermExpr + " AS psi_nano_term")
+    val total = terms.agg(sum(col("psi_nano_term")).as("psi_nano"))
+    terms.crossJoin(broadcast(total))
+  }
+
+  /** CASE ladder for [[psiDrift]] bucket assignment — shared verbatim
+    * with the SQL replay (label `le_<bound>` / `overflow`).
+    */
+  def psiBucketExpr(boundaries: Seq[Double]): String =
+    "CASE " + boundaries.map(b => s"WHEN v <= $b THEN 'le_$b' ")
+      .mkString + "ELSE 'overflow' END"
+
+  /** Floor-nano PSI term on Laplace-floored integer counts:
+    * (p − q)·ln(p/q) with p = n_cur/t_cur, q = n_ref/t_ref.
+    */
+  def psiTermExpr: String =
+    "CAST(FLOOR(1000000000.0 * " +
+      "((CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))" +
+      " - (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))" +
+      " * LN((CAST(n_cur AS DOUBLE) * CAST(t_ref AS DOUBLE))" +
+      " / (CAST(t_cur AS DOUBLE) * CAST(n_ref AS DOUBLE)))) AS BIGINT)"
 }

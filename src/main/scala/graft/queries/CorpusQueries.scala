@@ -429,6 +429,24 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("bucket"))
     }),
 
+    // leakage-safe split (NEW r8): content-hashed assignment — the
+    // gate output carries per-split doc/fingerprint counts AND the
+    // cross-split leaked-fingerprint count, which the op guarantees 0
+    "q187_split_safe" -> ((s, d) => {
+      val split = Corpus.splitAssignSafe(Tables.documents(s, d), "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val withFp = split.withColumn("fp",
+        md5(graft.ops.Dedup.normText(col("text"))))
+      val leak = withFp.groupBy(col("fp"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaked_fps"))
+      withFp.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_fps"))
+        .crossJoin(broadcast(leak))
+        .orderBy(col("split"))
+    }),
+
     // benchmark-example containment (asymmetric Jaccard): which eval
     // docs are >= 50% contained in some NON-benchmark training doc —
     // the direction q140's corpus-side overlap can't express
@@ -768,6 +786,25 @@ object CorpusQueries extends QueryGroup {
          |  (10000 * CAST(SUM(bucket - kept) AS BIGINT)) // (COUNT(*) * bucket)
          |    AS pad_bp
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q187_split_safe" -> {
+      val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val thr = graft.ops.Corpus.splitThresholds(fracs)
+      s"""WITH d AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+         |h AS (SELECT doc_id, s,
+         |    (${sqlPoly("s")} * 2654435761) % 4294967296 AS bucket FROM d),
+         |a AS (SELECT doc_id, md5(s) AS fp,
+         |    CASE WHEN bucket < ${thr(0)} THEN 'train'
+         |         WHEN bucket < ${thr(1)} THEN 'val'
+         |         ELSE 'test' END AS split FROM h),
+         |leak AS (SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS leaked_fps
+         |  FROM (SELECT fp, COUNT(DISTINCT split) AS ns FROM a GROUP BY fp)),
+         |g AS (SELECT split, COUNT(*) AS n_docs,
+         |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps FROM a GROUP BY split)
+         |SELECT split, n_docs, n_fps, leaked_fps FROM g CROSS JOIN leak
+         |ORDER BY split""".stripMargin
+    },
 
     "q161_prepare_corpus" ->
       s"""WITH t AS (SELECT doc_id, lang, $sqlNorm AS s FROM documents),

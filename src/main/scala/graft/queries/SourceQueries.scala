@@ -201,6 +201,36 @@ object SourceQueries extends QueryGroup {
     "q178b_expect_unique" -> ((s, d) => {
       graft.ops.Validate.expectUnique(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_linenumber"))
+    }),
+
+    // referential-integrity gate (NEW r8): orders whose customer fell
+    // out of a filtered dimension (negative-balance customers dropped)
+    // — the orphan census, one left-anti join + bounded rollup
+    "q188_fk_check" -> ((s, d) => {
+      graft.ops.Validate.fkCheck(
+        Tables.orders(s, d),
+        Tables.customer(s, d).filter(col("c_acctbal") >= 0),
+        "o_custkey", "c_custkey")
+    }),
+
+    // per-key orphan detail: the 20 worst dangling customer keys
+    "q188b_fk_orphan_keys" -> ((s, d) => {
+      graft.ops.Validate.fkOrphanKeys(
+        Tables.orders(s, d),
+        Tables.customer(s, d).filter(col("c_acctbal") >= 0),
+        "o_custkey", "c_custkey", topK = 20)
+    }),
+
+    // PSI numeric drift (NEW r8): purchase-event values judged against
+    // the click-event reference over a fixed ladder — per-bucket
+    // floor-nano terms + the scalar Σ on every row
+    "q189_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Validate.psiDrift(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", Seq(10.0, 20.0, 40.0, 80.0, 160.0))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -303,6 +333,56 @@ object SourceQueries extends QueryGroup {
         |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct,
         |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_duplicate_rows,
         |  COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber)) AS passed
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q188_fk_check" ->
+      """WITH pk AS (SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_acctbal >= 0),
+        |base AS (SELECT o_custkey AS fk FROM orders),
+        |orph AS (SELECT fk FROM base WHERE fk IS NOT NULL
+        |  AND fk NOT IN (SELECT c_custkey FROM pk)),
+        |o AS (SELECT COUNT(*) AS n_orphans,
+        |    CAST(COUNT(DISTINCT fk) AS BIGINT) AS n_orphan_keys FROM orph),
+        |b AS (SELECT COUNT(*) AS n_child,
+        |    CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_fk FROM base)
+        |SELECT n_child, n_null_fk, n_orphans, n_orphan_keys,
+        |  (10000 * n_orphans) // n_child AS orphan_bp
+        |FROM b CROSS JOIN o""".stripMargin,
+
+    "q188b_fk_orphan_keys" ->
+      """WITH pk AS (SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_acctbal >= 0)
+        |SELECT o_custkey AS orphan_key, COUNT(*) AS n_rows FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM pk)
+        |GROUP BY 1 ORDER BY n_rows DESC, orphan_key LIMIT 20""".stripMargin,
+
+    "q189_psi_drift" -> {
+      val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
+      val labels = (bounds.map(b => s"'le_$b'") :+ "'overflow'").mkString(", ")
+      s"""WITH r0 AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+         |  WHERE event_type = 'click' AND value IS NOT NULL),
+         |c0 AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |rb AS (SELECT ${graft.ops.Validate.psiBucketExpr(bounds)} AS bucket,
+         |    COUNT(*) AS nr FROM r0 GROUP BY 1),
+         |cb AS (SELECT ${graft.ops.Validate.psiBucketExpr(bounds)} AS bucket,
+         |    COUNT(*) AS nc FROM c0 GROUP BY 1),
+         |grid AS (SELECT unnest([$labels]) AS bucket),
+         |j AS (SELECT grid.bucket,
+         |    CAST(COALESCE(nr, 0) + 1 AS BIGINT) AS n_ref,
+         |    CAST(COALESCE(nc, 0) + 1 AS BIGINT) AS n_cur
+         |  FROM grid LEFT JOIN rb USING (bucket) LEFT JOIN cb USING (bucket)),
+         |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         |    CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM j),
+         |terms AS (SELECT bucket, n_ref, n_cur,
+         |    ${graft.ops.Validate.psiTermExpr} AS psi_nano_term
+         |  FROM j CROSS JOIN tot),
+         |ttl AS (SELECT CAST(SUM(psi_nano_term) AS BIGINT) AS psi_nano
+         |  FROM terms)
+         |SELECT bucket, n_ref, n_cur, psi_nano_term, psi_nano
+         |FROM terms CROSS JOIN ttl ORDER BY bucket""".stripMargin
+    }
   )
 }

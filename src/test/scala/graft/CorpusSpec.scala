@@ -544,4 +544,32 @@ class CorpusSpec extends SparkSpec {
       Corpus.lengthBuckets(df, "text", boundaries = Seq(32, 16))
     }
   }
+
+  test("splitAssignSafe: exact duplicates always share a split") {
+    // 60 distinct texts, each duplicated 3x with different ids and
+    // whitespace/case noise (normText-equal) — id-hashed splitting
+    // would scatter them; content-hashed must not
+    val rows = (0 until 60).flatMap { i =>
+      Seq((i * 3L, s"document number $i about topic ${i % 7}"),
+        (i * 3L + 1, s"Document  Number $i about topic ${i % 7}"),
+        (i * 3L + 2, s"  document number $i ABOUT topic ${i % 7} "))
+    }
+    val df = rows.toDF("doc_id", "text").repartition(5)
+    val fracs = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val out = Corpus.splitAssignSafe(df, "text", fracs)
+      .withColumn("fp", md5(graft.ops.Dedup.normText(col("text"))))
+    val leaked = out.groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaked == 0L)
+    // the same texts under ID-hashed splitAssign DO leak (negative
+    // control: proves the test can detect scattering)
+    val idLeak = Corpus.splitAssign(df, "doc_id", fracs)
+      .withColumn("fp", md5(graft.ops.Dedup.normText(col("text"))))
+      .groupBy(col("fp")).agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(idLeak > 0L)
+    // all three labels actually used
+    assert(out.select(col("split")).distinct().count() == 3L)
+  }
 }

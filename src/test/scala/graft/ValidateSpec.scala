@@ -83,4 +83,56 @@ class ValidateSpec extends SparkSpec {
       Validate.expect(df, Seq(notNull("id")), maxViolationPpm = -1L)
     }
   }
+
+  test("fkCheck: orphans, null FKs, and the floor-bp ratio, hand-counted") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(3L), Some(4L), Some(4L), None)
+      .toDF("fk")
+    val r = Validate.fkCheck(child, parent, "fk", "pk").head
+    // 6 children, 1 null FK, 3 orphan rows over 2 keys (3, 4),
+    // orphan_bp = 30000 div 6 = 5000
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((6L, 1L, 3L, 2L, 5000L)))
+    val keys = Validate.fkOrphanKeys(child, parent, "fk", "pk")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(keys == List((4L, 2L), (3L, 1L))) // count desc, key tiebreak
+  }
+
+  test("fkCheck: clean FK reports zero everything") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 2L, 2L).toDF("fk")
+    val r = Validate.fkCheck(child, parent, "fk", "pk").head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((0L, 0L, 0L)))
+  }
+
+  test("psiDrift: identical distributions score ~0; a shift doesn't") {
+    val ref = Seq.tabulate(100)(i => (i % 10).toDouble).toDF("v")
+    val same = Validate.psiDrift(ref, ref, "v", Seq(3.0, 6.0))
+    // p = q in every bucket → every floor-nano term is exactly 0
+    assert(same.select(sum(abs(col("psi_nano_term")))).head.getLong(0) == 0L)
+    // shove all current mass into the top bucket → big positive PSI
+    val cur = Seq.tabulate(100)(_ => 9.0).toDF("v")
+    val shifted = Validate.psiDrift(ref, cur, "v", Seq(3.0, 6.0))
+    assert(shifted.select(max(col("psi_nano"))).head.getLong(0) > 500000000L)
+  }
+
+  test("psiDrift: empty buckets exist via Laplace floor; grid is complete") {
+    val ref = Seq(1.0).toDF("v")
+    val cur = Seq(100.0).toDF("v")
+    val r = Validate.psiDrift(ref, cur, "v", Seq(5.0, 50.0))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set("le_5.0", "le_50.0", "overflow"))
+    assert(r("le_5.0") == ((2L, 1L)))   // 1 ref row + 1 floor
+    assert(r("le_50.0") == ((1L, 1L)))  // floor only, both sides
+    assert(r("overflow") == ((1L, 2L)))
+  }
+
+  test("psiDrift is partition-count invariant") {
+    val ref = Seq.tabulate(200)(i => (i % 17).toDouble).toDF("v")
+    val cur = Seq.tabulate(150)(i => (i % 13).toDouble).toDF("v")
+    def run(p: Int) = Validate.psiDrift(ref.repartition(p),
+        cur.repartition(p), "v", Seq(4.0, 8.0, 12.0))
+      .collect().map(_.toSeq).toSet
+    assert(run(1) == run(7))
+  }
 }
