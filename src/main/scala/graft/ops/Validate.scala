@@ -245,6 +245,43 @@ object Validate {
     "CASE " + boundaries.map(b => s"WHEN v <= $b THEN 'le_$b' ")
       .mkString + "ELSE 'overflow' END"
 
+  /** k-anonymity census over quasi-identifier columns — the privacy
+    * gate a corpus (or its metadata tables) passes before release:
+    * every combination of quasi-identifiers must be shared by at
+    * least k rows, or the combination re-identifies. One groupBy over
+    * the quasi columns, then a bounded rollup; with `sensitive` set,
+    * also reports l-diversity (the minimum number of distinct
+    * sensitive values within any class — k-anonymous classes with one
+    * sensitive value still leak it).
+    *
+    * @return one summary row (n_rows, n_classes, min_class_size,
+    *         n_violating_classes, rows_at_risk, risk_bp floor basis
+    *         points, l_min — null when no sensitive column given)
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long,
+      sensitive: Option[String] = None): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    sensitive.foreach(s => require(!quasiCols.contains(s),
+      s"sensitive column $s must not be a quasi-identifier"))
+    val classAggs = count(lit(1)).as("__sz") +:
+      sensitive.map(s => countDistinct(col(s)).as("__l")).toSeq
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(classAggs.head, classAggs.tail: _*)
+    classes.agg(
+      sum(col("__sz")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("__sz")).as("min_class_size"),
+      sum(when(col("__sz") < k, 1L).otherwise(0L)).as("n_violating_classes"),
+      sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("rows_at_risk"),
+      (sensitive.map(_ => min(col("__l")))
+        .getOrElse(lit(null))).cast("long").as("l_min"))
+      .withColumn("risk_bp", expr("(10000 * rows_at_risk) div n_rows"))
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_violating_classes"), col("rows_at_risk"), col("risk_bp"),
+        col("l_min"))
+  }
+
   /** Floor-nano PSI term on Laplace-floored integer counts:
     * (p − q)·ln(p/q) with p = n_cur/t_cur, q = n_ref/t_ref.
     */

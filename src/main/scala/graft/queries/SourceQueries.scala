@@ -221,6 +221,18 @@ object SourceQueries extends QueryGroup {
         "o_custkey", "c_custkey", topK = 20)
     }),
 
+    // k-anonymity + l-diversity census (NEW r8): the privacy gate over
+    // quasi-identifiers (nation × market segment), balance sign as the
+    // sensitive attribute — one groupBy + bounded rollup
+    "q190_k_anonymity" -> ((s, d) => {
+      graft.ops.Validate.kAnonymity(
+        Tables.customer(s, d)
+          .withColumn("bal_sign",
+            when(col("c_acctbal") >= 0, "pos").otherwise("neg")),
+        Seq("c_nationkey", "c_mktsegment"), k = 5,
+        sensitive = Some("bal_sign"))
+    }),
+
     // PSI numeric drift (NEW r8): purchase-event values judged against
     // the click-event reference over a fixed ladder — per-bucket
     // floor-nano terms + the scalar Σ on every row
@@ -357,6 +369,24 @@ object SourceQueries extends QueryGroup {
         |WHERE o_custkey IS NOT NULL
         |  AND o_custkey NOT IN (SELECT c_custkey FROM pk)
         |GROUP BY 1 ORDER BY n_rows DESC, orphan_key LIMIT 20""".stripMargin,
+
+    "q190_k_anonymity" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_sign
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+        |    CAST(COUNT(DISTINCT bal_sign) AS BIGINT) AS l
+        |  FROM base GROUP BY 1, 2)
+        |SELECT CAST(SUM(sz) AS BIGINT) AS n_rows, COUNT(*) AS n_classes,
+        |  CAST(MIN(sz) AS BIGINT) AS min_class_size,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  (10000 * CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT))
+        |    // CAST(SUM(sz) AS BIGINT) AS risk_bp,
+        |  CAST(MIN(l) AS BIGINT) AS l_min
+        |FROM cls""".stripMargin,
 
     "q189_psi_drift" -> {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)

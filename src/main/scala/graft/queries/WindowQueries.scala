@@ -199,6 +199,34 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling OLS slope (NEW r8): pandas rolling(10).apply(linregress)
+    // — the local-trend signal. Exact-integer formulation: y in cents,
+    // x = row position; all five window sums (n, Σx, Σy, Σxy, Σx²)
+    // are 64-bit exact over the row frame, so numerator and
+    // denominator are bit-identical longs in any engine and the slope
+    // is ONE double division rounded at the end (the q72b lesson
+    // applied to regression). Emitted only where the window is full.
+    "q71j_rolling_slope" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wr = w.rowsBetween(-9, 0)
+      val x = row_number().over(w).cast("long")
+      val y = round(col("value") * 100, 0).cast("long")
+      Tables.events(s, d)
+        .filter(col("user_id") % 9 === 0)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(wr).as("n"),
+          sum(x).over(wr).as("sx"), sum(y).over(wr).as("sy"),
+          sum(x * y).over(wr).as("sxy"), sum(x * x).over(wr).as("sxx"))
+        .select(col("user_id"), col("event_id"),
+          when(col("n") === 10 &&
+              col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")) / 100.0, 6))
+            .as("slope"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // expanding() aggs (pandas expanding(min_periods=2).sum/mean/std):
     // the unbounded-preceding frame, mean/std gated on the running count.
     // The mean is EXACT integer-cents arithmetic, not a double running
@@ -721,6 +749,25 @@ object WindowQueries extends QueryGroup {
         |  FROM events WHERE user_id % 9 = 0)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q71j_rolling_slope" ->
+      """WITH base AS (SELECT user_id, event_id, ts,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS x
+        |  FROM events WHERE user_id % 9 = 0),
+        |s AS (SELECT user_id, event_id,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |    SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY x
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CASE WHEN n = 10 AND n * sxx - sx * sx != 0
+        |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (n * sxx - sx * sx) / 100.0, 6) END AS slope
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
 
     "q72b_expanding" ->
       """SELECT user_id, event_id,

@@ -127,6 +127,30 @@ class ValidateSpec extends SparkSpec {
     assert(r("overflow") == ((1L, 2L)))
   }
 
+  test("kAnonymity: hand-counted classes, violations, l-diversity") {
+    val people = Seq(
+      ("US", "A", "x"), ("US", "A", "y"), ("US", "A", "x"), // class of 3
+      ("US", "B", "x"), ("US", "B", "x"),                   // class of 2
+      ("DE", "A", "z")                                      // class of 1
+    ).toDF("country", "seg", "secret")
+    val r = Validate.kAnonymity(people, Seq("country", "seg"), k = 3,
+      sensitive = Some("secret")).head
+    // 6 rows, 3 classes, min size 1; 2 classes below k=3 covering 3
+    // rows; risk_bp = 30000 div 6 = 5000; l_min = 1 (the DE/A class
+    // and US/B both have one distinct secret)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((6L, 3L, 1L, 2L, 3L, 5000L, 1L)))
+    // without a sensitive column, l_min is null
+    val r2 = Validate.kAnonymity(people, Seq("country"), k = 2).head
+    assert(r2.isNullAt(6) && r2.getLong(3) == 1L)
+    // sensitive column may not be a quasi-identifier
+    assertThrows[IllegalArgumentException] {
+      Validate.kAnonymity(people, Seq("country", "secret"), k = 2,
+        sensitive = Some("secret"))
+    }
+  }
+
   test("psiDrift is partition-count invariant") {
     val ref = Seq.tabulate(200)(i => (i % 17).toDouble).toDF("v")
     val cur = Seq.tabulate(150)(i => (i % 13).toDouble).toDF("v")
