@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-Min Sketch as a relational program (Cormode & Muthukrishnan
@@ -79,4 +80,79 @@ object Sketches {
       .groupBy(col(key))
       .agg(min(coalesce(col("cnt"), lit(0L))).as(as))
   }
+
+  /** Mergeable one-pass histogram build over a fixed value range: the
+    * shard-mergeable quantile substrate (the third tier beside q23's
+    * exact sort-based quantile and q23b's approx_percentile contract).
+    * At 100 TB every shard builds its own `nBuckets`-row histogram in
+    * one scan; merging is integer addition of bucket counts
+    * ([[histMerge]]) and the quantile walk runs on the merged
+    * `nBuckets`-row frame — no re-scan, no sort, deterministic. The
+    * worst-case estimate error is one bucket width, (hi−lo)/nBuckets,
+    * by construction.
+    *
+    * Values are clamped into [lo, hi] (the under/overflow rows land in
+    * the first/last bucket — size the range from a [[graft.ops.Validate.profile]]
+    * pass). Bucket assignment is ONE expression string
+    * ([[histBucketExpr]]) parsed identically by Spark and DuckDB.
+    */
+  def histBuild(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .selectExpr(histBucketExpr(lo, hi, nBuckets) + " AS bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge shard histograms: integer addition per bucket. */
+  def histMerge(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard histogram")
+    shards.reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates from a (merged) histogram: for each q the
+    * first bucket whose cumulative count reaches ceil(q·N), linearly
+    * interpolated inside the bucket. Runs entirely on the
+    * `nBuckets`-row frame (one tiny window + a |qs|-row cross join);
+    * the estimate expression is ONE string ([[histEstExpr]]) shared
+    * with the SQL replay, rounded to 6 decimals.
+    *
+    * @return (q, n, est) per requested quantile
+    */
+  def histQuantile(hist: DataFrame, lo: Double, hi: Double, nBuckets: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cume", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+    // CAST each literal: a bare 0.25 parses as DECIMAL in both engines
+    val qf = qs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    val targets = cum.sparkSession.range(1)
+      .selectExpr(s"explode(array($qf)) AS q")
+    targets.join(cum,
+        expr("cume >= CAST(CEIL(q * n) AS BIGINT)" +
+          " AND cume - cnt < CAST(CEIL(q * n) AS BIGINT)"))
+      .selectExpr("q", "n", histEstExpr(lo, hi, nBuckets) + " AS est")
+  }
+
+  /** Clamped equi-width bucket index of `v` — shared verbatim with the
+    * oracle.
+    */
+  def histBucketExpr(lo: Double, hi: Double, nBuckets: Int): String =
+    s"LEAST(GREATEST(CAST(FLOOR((v - $lo) / (($hi - $lo) / $nBuckets))" +
+      s" AS BIGINT), 0), ${nBuckets - 1})"
+
+  /** Linear interpolation inside the quantile's bucket — shared
+    * verbatim with the oracle. Uses (bucket, cnt, cume, n, q).
+    */
+  def histEstExpr(lo: Double, hi: Double, nBuckets: Int): String =
+    s"ROUND($lo + (($hi - $lo) / $nBuckets) * (CAST(bucket AS DOUBLE)" +
+      " + (CAST(CEIL(q * n) AS DOUBLE) - (CAST(cume AS DOUBLE)" +
+      " - CAST(cnt AS DOUBLE))) / CAST(cnt AS DOUBLE)), 6)"
 }

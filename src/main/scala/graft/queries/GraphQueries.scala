@@ -92,11 +92,20 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
-    // link prediction on the same co-occurrence graph: top candidate
-    // non-edges by common-neighbor support, Adamic–Adar in floor-nano
-    // integer units as the tie-sensitive score
+    // link prediction over the PART co-occurrence graph (q181's
+    // supplier graph saturates to a complete graph at small scale —
+    // a complete graph has no non-edges to predict; the part graph at
+    // quantity >= 40 stays sparse at every fixture scale): top
+    // candidate non-edges by common-neighbor support, Adamic–Adar in
+    // floor-nano integer units as the tie-sensitive score
     "q185_link_predict" -> ((s, d) => {
-      Graph.linkPredict(coEdges(s, d), "src", "dst",
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = hi.as("x").join(hi.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      Graph.linkPredict(edges, "src", "dst",
           maxPivotDeg = 1000, minCommon = 2)
         .orderBy(col("cn").desc, col("aa_nano").desc, col("x"), col("y"))
         .limit(100)
@@ -224,8 +233,8 @@ object GraphQueries extends QueryGroup {
          |ORDER BY triangles DESC, d.node LIMIT 100""".stripMargin,
 
     "q185_link_predict" ->
-      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-         |  FROM lineitem WHERE l_quantity >= 45),
+      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+         |  FROM lineitem WHERE l_quantity >= 40),
          |raw AS (SELECT x.sk AS a, y.sk AS b FROM hi x JOIN hi y
          |  ON x.ok = y.ok AND x.sk < y.sk),
          |e0 AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b

@@ -477,6 +477,20 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // mergeable histogram quantiles (NEW r8): the third quantile tier
+    // beside exact q23 and approx-contract q23b — one scan builds a
+    // 64-bucket histogram over a fixed range, the quantile walk runs
+    // on the 64-row frame; shards merge by integer addition
+    // (SketchSpec proves merge ≡ whole build and the bucket-width
+    // error bound vs the exact quantile)
+    "q192_hist_quantile" -> ((s, d) => {
+      val h = graft.ops.Sketches.histBuild(Tables.lineitem(s, d),
+        "l_extendedprice", lo = 0.0, hi = 110000.0, nBuckets = 64)
+      graft.ops.Sketches.histQuantile(h, lo = 0.0, hi = 110000.0,
+          nBuckets = 64, qs = Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy(col("q"))
+    }),
+
     "q22_agg_collect" -> ((s, d) => {
       ord(s, d).groupBy(col("o_orderpriority"))
         .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
@@ -1277,6 +1291,26 @@ object RelationalQueries extends QueryGroup {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the estimate itself is engine-specific; the gated columns are the
+    "q192_hist_quantile" -> {
+      import graft.ops.Sketches
+      val (lo, hi, nb) = (0.0, 110000.0, 64)
+      s"""WITH vals AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |h AS (SELECT ${Sketches.histBucketExpr(lo, hi, nb)} AS bucket,
+         |    COUNT(*) AS cnt FROM vals GROUP BY 1),
+         |c AS (SELECT bucket, cnt, CAST(SUM(cnt) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cume FROM h),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+         |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+         |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q)
+         |SELECT q, n, ${Sketches.histEstExpr(lo, hi, nb)} AS est
+         |FROM qs CROSS JOIN t JOIN c
+         |  ON cume >= CAST(CEIL(q * n) AS BIGINT)
+         |  AND cume - cnt < CAST(CEIL(q * n) AS BIGINT)
+         |ORDER BY q""".stripMargin
+    },
+
     // exact count and the ≤5%-relative-error flag (expected always 1)
     "q21b_agg_approx_distinct" ->
       """SELECT l_returnflag,

@@ -79,6 +79,20 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }),
 
+    // streaming SCD2 change capture (NEW r8): flatMapGroupsWithState
+    // emits each CLOSED validity interval as the closing change
+    // arrives; the open tail lives in state. Emitted set == the batch
+    // scd2's closed intervals (q183 kernel with valid_to NOT NULL)
+    "q191_stream_scd2" -> ((s, d) => {
+      val stream = Streams.scd2Stream(
+        Streams.eventsStream(s, d).filter(col("user_id") % 7 === 0))
+      Streams.runToBatch(s, stream, "q191_scd2")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // streaming dedup to a distinct key set (exact, unbounded state —
     // the state-bounded dropDuplicatesWithinWatermark variant is
     // exercised in StreamingSpec where single-batch replay keeps it
@@ -163,6 +177,26 @@ object StreamingQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the q183 batch-SCD2 kernel restricted to CLOSED intervals — the
+    // streaming op can only emit an interval once its close arrives
+    "q191_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id % 7 = 0),
+        |m AS (SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER w AS prev_type,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, ts AS vf,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM c)
+        |SELECT user_id, event_type,
+        |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+        |FROM v WHERE vt IS NOT NULL
+        |ORDER BY user_id, valid_from""".stripMargin,
     // identical to q109's oracle: a full drain of the stateless map
     // stage must equal the batch tokenization bit-for-bit
     "q117_stream_subword" ->

@@ -194,6 +194,54 @@ object Streams {
       .select(col("user_id"), col("view_id"), col("v_ts"), col("click_id"))
   }
 
+  /** Streaming SCD type-2 change capture: the streaming twin of
+    * [[graft.ops.FrameOps.scd2Intervals]], as flatMapGroupsWithState.
+    * State is ONE (attribute, since) pair per key; each arriving
+    * change CLOSES the previous interval and emits it, the open
+    * interval stays in state (a stream can never know its own close).
+    * The emitted set therefore equals the batch op's closed intervals
+    * — gated by q191 against the same SQL kernel the batch op
+    * replays, and by StreamingSpec's direct batch==stream equality.
+    *
+    * Ordering contract: rows are sorted by (ts, event_id) within each
+    * micro-batch group; the file-replay source delivers time-ordered
+    * batches (the same in-order contract every q110–q119 replay uses).
+    * In production the sort still applies per batch and a watermark
+    * bounds how late a change may arrive.
+    *
+    * 100 TB posture: state is O(|keys|) pairs — not per-event — and
+    * each micro-batch shuffles only its own rows once, keyed by the
+    * dimension key.
+    */
+  def scd2Stream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         st: GroupState[(String, java.sql.Timestamp)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          var cur = st.getOption
+          val out = Seq.newBuilder[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+          sorted.foreach { case (_, ts, _, tpe) =>
+            cur match {
+              case Some((pt, pf)) if pt != tpe =>
+                out += ((uid, pt, pf, ts))
+                cur = Some((tpe, ts))
+              case None => cur = Some((tpe, ts))
+              case _ => () // same attribute value: interval continues
+            }
+          }
+          cur.foreach(st.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_type", "valid_from", "valid_to")
+  }
+
   /** Streaming dedup on a derived key with bounded state
     * (dropDuplicatesWithinWatermark). Projects the key columns only, so
     * the result is the deterministic distinct key set regardless of

@@ -41,6 +41,45 @@ class SketchSpec extends SparkSpec {
       "merged shard sketch differs from whole-corpus sketch")
   }
 
+  test("histQuantile: shard-merge ≡ whole build; bucket-width error bound") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(4000)(rnd.nextDouble() * 1000.0)
+    val df = vals.toDF("x").repartition(8)
+    val (lo, hi, nb) = (0.0, 1000.0, 50)
+    val whole = Sketches.histBuild(df, "x", lo, hi, nb)
+    // merge of 4 disjoint shard histograms equals the whole build
+    val shards = (0 until 4).map(i =>
+      Sketches.histBuild(
+        vals.zipWithIndex.filter(_._2 % 4 == i).map(_._1).toDF("x"),
+        "x", lo, hi, nb))
+    val merged = Sketches.histMerge(shards)
+    assert(whole.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      merged.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    // every estimate within one bucket width of the true quantile
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = Sketches.histQuantile(whole, lo, hi, nb, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val sorted = vals.sorted
+    val width = (hi - lo) / nb
+    qs.foreach { q =>
+      val truth = sorted(math.ceil(q * vals.size).toInt - 1)
+      assert(math.abs(est(q) - truth) <= width,
+        s"q=$q est=${est(q)} truth=$truth width=$width")
+    }
+    // q = 1 lands in the last occupied bucket and never exceeds hi
+    val top = Sketches.histQuantile(whole, lo, hi, nb, Seq(1.0)).head
+    assert(top.getDouble(2) <= hi)
+  }
+
+  test("histBuild clamps out-of-range values into the edge buckets") {
+    import graft.ops.Sketches
+    val df = Seq(-5.0, 0.5, 9.5, 42.0).toDF("x")
+    val h = Sketches.histBuild(df, "x", 0.0, 10.0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h == Map(0L -> 2L, 9L -> 2L)) // -5 clamps low, 42 clamps high
+  }
+
   test("weighted (turnstile) build sums weights; weight=1 ≡ unweighted") {
     val wev = ev.withColumn("w", lit(1L))
     val unweighted = graft.ops.Sketches.cmsBuild(ev, "user_id", 3, 32)

@@ -70,6 +70,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming SCD2 emits exactly the batch op's closed intervals") {
+    val streamed = Streams.runToBatch(spark,
+        Streams.scd2Stream(Streams.eventsStream(spark, sfTiny)), "spec_scd2")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val batch = graft.ops.FrameOps.scd2Intervals(
+        Tables.events(spark, sfTiny),
+        "user_id", Seq("ts", "event_id"), Seq("event_type"))
+      .filter(col("valid_to").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so
