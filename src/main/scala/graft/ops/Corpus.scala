@@ -1422,4 +1422,40 @@ object Corpus {
   def lengthBucketExpr(boundaries: Seq[Int]): String =
     "CASE " + boundaries.init.map(b => s"WHEN kept <= $b THEN CAST($b AS BIGINT) ")
       .mkString + s"ELSE CAST(${boundaries.last} AS BIGINT) END"
+
+  /** Per-class precision / recall / F1 of a classifier against truth
+    * labels — the evaluation rollup that decides whether a trained
+    * quality/language gate ([[naiveBayesPredict]], or any model whose
+    * scores land in a column) ships. All three metrics are exact
+    * integer floor basis points — F1's closed form 2·tp/(n_pred +
+    * n_truth) needs no intermediate ratios, so there is nothing to
+    * drift. Classes appearing only in predictions or only in truth
+    * still get a row (their undefined metric is null, not fabricated
+    * 0). Bounded aggregations over the joined (pred, truth) pairs;
+    * scale-independent output (one row per class).
+    */
+  def classifierReport(pred: DataFrame, truth: DataFrame, id: String,
+      predCol: String, labelCol: String): DataFrame = {
+    val j = pred.select(col(id), col(predCol).as("__p"))
+      .join(truth.select(col(id), col(labelCol).as("__t")), Seq(id))
+    val classes = j.select(col("__p").as("cls"))
+      .union(j.select(col("__t").as("cls"))).distinct()
+    val tp = j.filter(col("__p") === col("__t"))
+      .groupBy(col("__p").as("cls")).agg(count(lit(1)).as("tp"))
+    val predN = j.groupBy(col("__p").as("cls")).agg(count(lit(1)).as("n_pred"))
+    val truthN = j.groupBy(col("__t").as("cls")).agg(count(lit(1)).as("n_truth"))
+    classes
+      .join(tp, Seq("cls"), "left")
+      .join(predN, Seq("cls"), "left")
+      .join(truthN, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"))
+      // nullif: a class absent from one side has that metric undefined
+      // (null) — and Spark 4 ANSI `div` throws on a zero divisor
+      .withColumn("precision_bp", expr("(10000 * tp) div nullif(n_pred, 0L)"))
+      .withColumn("recall_bp", expr("(10000 * tp) div nullif(n_truth, 0L)"))
+      .withColumn("f1_bp", expr("(20000 * tp) div (n_pred + n_truth)"))
+  }
 }

@@ -530,4 +530,71 @@ object TextAnalysis {
       regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1).as("domain"),
       size(filter(split(path, "/"), p => p =!= "")).as("path_depth"))
   }
+
+  /** URL canonicalization — the crawl-dedup normalizer: the same page
+    * arrives under dozens of surface forms (tracking params, fragments,
+    * default ports, www, scheme/host case), and deduping on the RAW
+    * url misses all of them. Steps, in order:
+    *   1. trim; 2. drop the #fragment; 3. lowercase scheme://host
+    *   (path case is significant and kept); 4. strip a leading www.;
+    *   5. strip default ports :80/:443; 6. remove tracking params
+    *   (utm_*, gclid, fbclid, ref) and tidy the separators left
+    *   behind; 7. drop a now-empty trailing '?'.
+    * Pure codegen'd regexp chain (no UDF); the q195 oracle implements
+    * the same steps independently in DuckDB's regex dialect, so the
+    * gate is engine-agreement on a shared VALUES fixture — q149's
+    * pattern.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    // lowercase scheme://host only
+    val head = lower(regexp_extract(noFrag, "^[^/]*//[^/]*", 0))
+    val tail = regexp_replace(noFrag, "^[^/]*//[^/]*", "")
+    val lowered = when(head === "", noFrag).otherwise(concat(head, tail))
+    val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    val noPort = regexp_replace(noWww,
+      "^([a-z][a-z0-9+.-]*://[^/:]+):(?:80|443)(/|$)", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*&?", "")
+    val fixSep = regexp_replace(noTrack, "[?&]$", "")
+    regexp_replace(fixSep, "\\?&", "?")
+  }
+
+  /** Canonical-URL dedup census: group by [[canonicalUrl]], report
+    * each canonical form's variant count and the kept (min) id — the
+    * crawl-frontier dedup pass.
+    */
+  def canonicalUrlGroups(df: DataFrame, id: String, url: String): DataFrame =
+    df.select(col(id), canonicalUrl(col(url)).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"), min(col(id)).as("keep_id"))
+
+  /** Unicode-script profile of a text column — the script gate a
+    * multilingual corpus applies before language-specific processing
+    * (fasttext-style pipelines route or drop by script before any
+    * model runs). Counts codepoints per script class with explicit
+    * range regexes (evaluated independently by both engines), emits
+    * floor-bp shares of the total letter mass and the dominant script
+    * (ties broken by the fixed class order, then 'other').
+    */
+  def scriptProfile(c: Column): Column = {
+    def cnt(ranges: String) =
+      length(regexp_replace(c, s"[^$ranges]", "")).cast("long")
+    val latin = cnt("a-zA-Z")
+    val cyr = cnt("\\u0400-\\u04FF")
+    val cjk = cnt("\\u4E00-\\u9FFF\\u3040-\\u30FF")
+    val arab = cnt("\\u0600-\\u06FF")
+    val letters = latin + cyr + cjk + arab
+    def bp(x: Column) = when(letters > 0,
+      floor(x * lit(10000L) / letters).cast("long")).otherwise(lit(0L))
+    val dominant = when(letters === 0, "other")
+      .when(latin >= cyr && latin >= cjk && latin >= arab, "latin")
+      .when(cyr >= cjk && cyr >= arab, "cyrillic")
+      .when(cjk >= arab, "cjk")
+      .otherwise("arabic")
+    struct(latin.as("latin"), cyr.as("cyrillic"), cjk.as("cjk"),
+      arab.as("arabic"), bp(latin).as("latin_bp"), bp(cyr).as("cyrillic_bp"),
+      bp(cjk).as("cjk_bp"), bp(arab).as("arabic_bp"),
+      dominant.as("dominant"))
+  }
 }

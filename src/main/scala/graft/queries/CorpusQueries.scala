@@ -562,6 +562,21 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // per-class precision/recall/F1 of the same model (NEW r8): the
+    // full evaluation rollup — exact integer bp, F1 in closed form
+    // 2tp/(n_pred + n_truth)
+    "q194_classifier_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pred = Corpus.naiveBayesPredict(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang").as("pred"))
+      Corpus.classifierReport(pred,
+          docs.select(col("doc_id"), col("lang")), "doc_id", "pred", "lang")
+        .orderBy(col("cls"))
+    }),
+
     // holdout accuracy rollup of the same model — the number a
     // pipeline actually gates deploys on
     "q174b_nb_accuracy" -> ((s, d) => {
@@ -1178,6 +1193,26 @@ object CorpusQueries extends QueryGroup {
          |SELECT d2.lang, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN b.lang = d2.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          |FROM best b JOIN documents d2 USING (doc_id)
-         |WHERE b.rk = 1 GROUP BY d2.lang ORDER BY d2.lang""".stripMargin
+         |WHERE b.rk = 1 GROUP BY d2.lang ORDER BY d2.lang""".stripMargin,
+
+    "q194_classifier_report" ->
+      s"""WITH $sqlNbCtes,
+         |pairs AS (SELECT b.lang AS p, d2.lang AS t
+         |  FROM best b JOIN documents d2 USING (doc_id) WHERE b.rk = 1),
+         |cls AS (SELECT p AS cls FROM pairs UNION SELECT t FROM pairs),
+         |tp AS (SELECT p AS cls, COUNT(*) AS tp FROM pairs
+         |  WHERE p = t GROUP BY p),
+         |pn AS (SELECT p AS cls, COUNT(*) AS n_pred FROM pairs GROUP BY p),
+         |tn AS (SELECT t AS cls, COUNT(*) AS n_truth FROM pairs GROUP BY t),
+         |j AS (SELECT cls.cls, COALESCE(tp.tp, 0) AS tp,
+         |    COALESCE(pn.n_pred, 0) AS n_pred,
+         |    COALESCE(tn.n_truth, 0) AS n_truth
+         |  FROM cls LEFT JOIN tp USING (cls) LEFT JOIN pn USING (cls)
+         |  LEFT JOIN tn USING (cls))
+         |SELECT cls, tp, n_pred, n_truth,
+         |  (10000 * tp) // n_pred AS precision_bp,
+         |  (10000 * tp) // n_truth AS recall_bp,
+         |  (20000 * tp) // (n_pred + n_truth) AS f1_bp
+         |FROM j ORDER BY cls""".stripMargin
   )
 }

@@ -249,8 +249,62 @@ object StringQueries extends QueryGroup {
           col("p.path_depth").cast("int").as("path_depth"),
           col("p.domain").isin(urlBlocklist: _*).cast("int").as("blocked"))
         .orderBy(col("uid"))
+    }),
+
+    // URL canonicalization + dedup census (NEW r8): the crawl-frontier
+    // normalizer — tracking params, fragments, default ports, www,
+    // scheme/host case all collapse; grouped to (canonical,
+    // n_variants, keep_id). VALUES fixture gated by independent
+    // engine implementations of the same steps (q149's pattern)
+    "q195_url_canonical" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.TextAnalysis.canonicalUrlGroups(
+          canonFixture.toDF("uid", "url"), "uid", "url")
+        .orderBy(col("canonical"))
+    }),
+
+    // unicode-script profile (NEW r8): per-doc script codepoint counts
+    // + floor-bp shares + dominant script, on a mixed-script VALUES
+    // fixture (the documents fixture is all-latin — it would gate
+    // nothing); both engines count via the same explicit ranges
+    "q193_script_profile" -> ((s, d) => {
+      import s.implicits._
+      val p = graft.ops.TextAnalysis.scriptProfile(col("text"))
+      scriptFixture.toDF("sid", "text")
+        .select(col("sid"), p.as("p"))
+        .select(col("sid"), col("p.latin").as("latin"),
+          col("p.cyrillic").as("cyrillic"), col("p.cjk").as("cjk"),
+          col("p.arabic").as("arabic"), col("p.latin_bp").as("latin_bp"),
+          col("p.cyrillic_bp").as("cyrillic_bp"),
+          col("p.cjk_bp").as("cjk_bp"), col("p.arabic_bp").as("arabic_bp"),
+          col("p.dominant").as("dominant"))
+        .orderBy(col("sid"))
     })
   )
+
+  /** Mixed-script fixture for q193 (VALUES both sides). */
+  private val scriptFixture: Seq[(Int, String)] = Seq(
+    1 -> "hello plain english text",
+    2 -> "привет мир mixed with latin",
+    3 -> "中文文本と日本語",
+    4 -> "مرحبا world",
+    5 -> "1234 !!! ...",
+    6 -> "")
+
+  /** Canonicalization fixture for q195: each group of surface forms
+    * must collapse to one canonical URL.
+    */
+  private val canonFixture: Seq[(Int, String)] = Seq(
+    1 -> "https://www.example.com/Page?utm_source=x&id=1",
+    2 -> "HTTPS://EXAMPLE.COM/Page?id=1#section",
+    3 -> "https://example.com:443/Page?id=1",
+    4 -> " https://example.com/Page?id=1&utm_campaign=spring ",
+    5 -> "http://shop.example.net/list?gclid=abc123",
+    6 -> "http://shop.example.net:80/list",
+    7 -> "https://other.org/a?fbclid=zz&q=2&ref=tw",
+    8 -> "https://other.org/a?q=2",
+    9 -> "http://unique.io/solo",
+    10 -> "https://example.com/page")  // path case differs from /Page — stays separate
 
   /** URL fixture shared by q149 and its oracle (VALUES on both sides,
     * like q108): each engine parses independently with the SAME
@@ -422,6 +476,54 @@ object StringQueries extends QueryGroup {
          |  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INTEGER) AS path_depth,
          |  CAST(regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) IN ($block) AS INTEGER) AS blocked
          |FROM p ORDER BY uid""".stripMargin
+    },
+
+    "q195_url_canonical" -> {
+      val vals = canonFixture.map { case (i, u) => s"($i, '$u')" }.mkString(", ")
+      // independent DuckDB implementation of the same canonicalization
+      // steps (RE2 dialect: \\1 backrefs, 'g' for global)
+      s"""WITH u AS (SELECT * FROM (VALUES $vals) AS v(uid, url)),
+         |s1 AS (SELECT uid, regexp_replace(trim(url), '#.*$$', '') AS c FROM u),
+         |s2 AS (SELECT uid, CASE
+         |    WHEN regexp_extract(c, '^[^/]*//[^/]*') = '' THEN c
+         |    ELSE lower(regexp_extract(c, '^[^/]*//[^/]*'))
+         |      || regexp_replace(c, '^[^/]*//[^/]*', '') END AS c FROM s1),
+         |s3 AS (SELECT uid, regexp_replace(c,
+         |    '^([a-z][a-z0-9+.-]*://)www\\.', '\\1') AS c FROM s2),
+         |s4 AS (SELECT uid, regexp_replace(c,
+         |    '^([a-z][a-z0-9+.-]*://[^/:]+):(?:80|443)(/|$$)', '\\1\\2') AS c
+         |  FROM s3),
+         |s5 AS (SELECT uid, regexp_replace(c,
+         |    '(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*&?', '', 'g') AS c FROM s4),
+         |s6 AS (SELECT uid, regexp_replace(regexp_replace(c, '[?&]$$', ''),
+         |    '\\?&', '?') AS c FROM s5)
+         |SELECT c AS canonical, COUNT(*) AS n_variants,
+         |  CAST(MIN(uid) AS BIGINT) AS keep_id
+         |FROM s6 GROUP BY c ORDER BY c""".stripMargin
+    },
+
+    "q193_script_profile" -> {
+      val vals = scriptFixture.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      def cnt(r: String) = s"CAST(length(regexp_replace(text, '[^$r]', '', 'g')) AS BIGINT)"
+      val latin = cnt("a-zA-Z")
+      val cyr = cnt("\\x{0400}-\\x{04FF}")
+      val cjk = cnt("\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}")
+      val arab = cnt("\\x{0600}-\\x{06FF}")
+      s"""WITH u AS (SELECT * FROM (VALUES $vals) AS v(sid, text)),
+         |c AS (SELECT sid, $latin AS latin, $cyr AS cyrillic,
+         |    $cjk AS cjk, $arab AS arabic FROM u),
+         |t AS (SELECT *, latin + cyrillic + cjk + arabic AS letters FROM c)
+         |SELECT sid, latin, cyrillic, cjk, arabic,
+         |  CASE WHEN letters > 0 THEN (10000 * latin) // letters ELSE 0 END AS latin_bp,
+         |  CASE WHEN letters > 0 THEN (10000 * cyrillic) // letters ELSE 0 END AS cyrillic_bp,
+         |  CASE WHEN letters > 0 THEN (10000 * cjk) // letters ELSE 0 END AS cjk_bp,
+         |  CASE WHEN letters > 0 THEN (10000 * arabic) // letters ELSE 0 END AS arabic_bp,
+         |  CASE WHEN letters = 0 THEN 'other'
+         |    WHEN latin >= cyrillic AND latin >= cjk AND latin >= arabic THEN 'latin'
+         |    WHEN cyrillic >= cjk AND cyrillic >= arabic THEN 'cyrillic'
+         |    WHEN cjk >= arabic THEN 'cjk'
+         |    ELSE 'arabic' END AS dominant
+         |FROM t ORDER BY sid""".stripMargin
     }
   )
 }

@@ -545,6 +545,23 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("classifierReport: hand-counted P/R/F1, one-sided classes get null") {
+    val pred = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "pred")
+    val truth = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "d"), (5L, "c"))
+      .toDF("id", "label")
+    val r = Corpus.classifierReport(pred, truth, "id", "pred", "label")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    // a: tp=1 pred=2 truth=1 → P 5000, R 10000, F1 = 20000/3 = 6666
+    assert(r("a") == Seq(1L, 2L, 1L, 5000L, 10000L, 6666L))
+    // b: tp=1 pred=2 truth=2 → P 5000, R 5000, F1 5000
+    assert(r("b") == Seq(1L, 2L, 2L, 5000L, 5000L, 5000L))
+    // c: perfect singleton
+    assert(r("c") == Seq(1L, 1L, 1L, 10000L, 10000L, 10000L))
+    // d: truth-only → precision undefined (null), recall 0
+    assert(r("d") == Seq(0L, 0L, 1L, null, 0L, 0L))
+  }
+
   test("splitAssignSafe: exact duplicates always share a split") {
     // 60 distinct texts, each duplicated 3x with different ids and
     // whitespace/case noise (normText-equal) — id-hashed splitting

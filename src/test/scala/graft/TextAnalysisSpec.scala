@@ -201,4 +201,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tokens") == 4 &&
       r.getAs[String]("token_ids") == "0 1 -1 0")
   }
+
+  test("canonicalUrl collapses tracking, fragments, ports, www, case") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "https://www.example.com/Page?utm_source=x&id=1",
+      "HTTPS://EXAMPLE.COM/Page?id=1#section",
+      "https://example.com:443/Page?id=1",
+      " https://example.com/Page?id=1&utm_campaign=spring ")
+    val out = urls.toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("https://example.com/Page?id=1"))
+    // path case is significant and kept; bare strings pass through
+    val keep = Seq("https://example.com/page", "not a url")
+      .toDF("url").select(TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(keep == Set("https://example.com/page", "not a url"))
+  }
+
+  test("scriptProfile: counts, bp shares, dominant per script") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("abc мир", "中文", "!!!").toDF("text")
+      .select(TextAnalysis.scriptProfile(col("text")).as("p"))
+      .select(col("p.latin"), col("p.cyrillic"), col("p.cjk"),
+        col("p.latin_bp"), col("p.dominant"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(df == Set(
+      (3L, 3L, 0L, 5000L, "latin"),   // tie latin/cyrillic → latin
+      (0L, 0L, 2L, 0L, "cjk"),
+      (0L, 0L, 0L, 0L, "other")))
+  }
 }
