@@ -261,6 +261,46 @@ package object syntax {
       Graph.labelPropagate(df, src, dst, seeds, node, label, iterations)
     def kCorePeel(src: String, dst: String, k: Int, rounds: Int = 3): DataFrame =
       Graph.kCorePeel(df, src, dst, k, rounds)
+    def triangleCount(src: String, dst: String): DataFrame =
+      Graph.triangleCount(df, src, dst)
+    def linkPredict(src: String, dst: String, maxPivotDeg: Int = 1000,
+        minCommon: Int = 2): DataFrame =
+      Graph.linkPredict(df, src, dst, maxPivotDeg, minCommon)
+
+    // ---- round-8 session additions ----------------------------------
+    /** `df` is the corpus. */
+    def domainDrift(text: String, source: String): DataFrame =
+      Corpus.domainDrift(df, text, source)
+    def lengthBuckets(text: String,
+        boundaries: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)): DataFrame =
+      Corpus.lengthBuckets(df, text, boundaries)
+    def splitAssignSafe(text: String,
+        fracs: Seq[(String, Double)]): DataFrame =
+      Corpus.splitAssignSafe(df, text, fracs)
+    /** `df` is the prediction frame (id, predCol). */
+    def classifierReport(truth: DataFrame, id: String, predCol: String,
+        labelCol: String): DataFrame =
+      Corpus.classifierReport(df, truth, id, predCol, labelCol)
+    /** `df` is the change log. */
+    def scd2Intervals(key: String, orderCols: Seq[String],
+        attrs: Seq[String]): DataFrame =
+      FrameOps.scd2Intervals(df, key, orderCols, attrs)
+    /** `df` is the approximate tier's (q_id, n_id, rnk) ranking. */
+    def rankingMetrics(exact: DataFrame, k: Int): DataFrame =
+      Similarity.rankingMetrics(df, exact, k)
+    /** `df` is the child table. */
+    def fkCheck(parent: DataFrame, childKey: String,
+        parentKey: String): DataFrame =
+      Validate.fkCheck(df, parent, childKey, parentKey)
+    def kAnonymity(quasiCols: Seq[String], k: Long,
+        sensitive: Option[String] = None): DataFrame =
+      Validate.kAnonymity(df, quasiCols, k, sensitive)
+    /** `df` is the reference slice. */
+    def psiDrift(current: DataFrame, valueCol: String,
+        boundaries: Seq[Double]): DataFrame =
+      Validate.psiDrift(df, current, valueCol, boundaries)
+    def canonicalUrlGroups(id: String, url: String): DataFrame =
+      graft.ops.TextAnalysis.canonicalUrlGroups(df, id, url)
 
     // ---- embedding linalg (Linalg) ----------------------------------
     def gramianMicro(vec: String, dim: Int): DataFrame =

@@ -203,4 +203,32 @@ class SyntaxSpec extends SparkSpec {
     assert(dts.withIsocalendar("s").select("iso_week").head.getInt(0) == 1)
     assert(dts.withBusdayCount("s", "e").select("busdays").head.getInt(0) == 5)
   }
+
+  test("round-8 session wrappers resolve and delegate") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(edges.triangleCount("src", "dst").count() == 4)
+    assert(edges.linkPredict("src", "dst", minCommon = 1).count() >= 1)
+    val corpus = Seq((1L, "alpha beta", "s1"), (2L, "alpha beta", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(corpus.domainDrift("text", "source").count() == 2)
+    assert(corpus.lengthBuckets("text").count() == 1)
+    assert(corpus.splitAssignSafe("text",
+      Seq("a" -> 0.5, "b" -> 0.5)).columns.contains("split"))
+    val pred = Seq((1L, "x"), (2L, "y")).toDF("id", "p")
+    val truth = Seq((1L, "x"), (2L, "x")).toDF("id", "t")
+    assert(pred.classifierReport(truth, "id", "p", "t").count() == 2)
+    val log = Seq((1L, 1L, "A"), (1L, 2L, "B")).toDF("k", "i", "s")
+    assert(log.scd2Intervals("k", Seq("i"), Seq("s")).count() == 2)
+    val rk = Seq((0L, 1L, 1)).toDF("q_id", "n_id", "rnk")
+    assert(rk.rankingMetrics(rk, k = 3).head.getLong(2) == 1000000L)
+    val parent = Seq(1L).toDF("pk")
+    val child = Seq(1L, 9L).toDF("fk")
+    assert(child.fkCheck(parent, "fk", "pk").head.getLong(2) == 1L)
+    val vals = Seq(1.0, 2.0, 9.0).toDF("v")
+    assert(vals.kAnonymity(Seq("v"), k = 2).count() == 1)
+    assert(vals.psiDrift(vals, "v", Seq(5.0)).count() == 2)
+    val urls = Seq((1L, "https://www.x.com/a?utm_source=1"),
+      (2L, "https://x.com/a")).toDF("uid", "url")
+    assert(urls.canonicalUrlGroups("uid", "url").count() == 1)
+  }
 }
