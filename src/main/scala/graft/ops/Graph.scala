@@ -91,6 +91,67 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank, integer parts-per-billion: the teleport
+    * mass returns to a SEED SET instead of spreading uniformly — the
+    * crawl-seeding / topic-expansion form (rank pages relative to a
+    * trusted seed list; TrustRank's shape). Same floor-division
+    * determinism contract as [[pageRankPpb]]: the seed share of each
+    * round's teleport is (100−dampingPct)·1e9·|V| div (100·|S|) per
+    * seed node — all 64-bit integer arithmetic, replayable anywhere.
+    *
+    * Nodes unreachable from the seed set converge to rank 0 (they get
+    * no teleport and no inflow) — exactly the screening signal: a host
+    * cluster with ~zero personalized rank has no trusted path into it.
+    *
+    * 100 TB posture: identical loop shape to [[pageRankPpb]] — one
+    * |E|-row equi-join + one bounded agg per round; the seed frame is
+    * |S| rows joined once up front.
+    */
+  def personalizedPageRankPpb(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, node: String,
+      iterations: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).persist()
+    val ed = e.join(deg, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val s0 = seeds.select(col(node).cast("long").as("node")).distinct()
+    // teleport: the whole graph's (100-d)% share concentrated on seeds
+    val seeded = nodes.join(s0, Seq("node"), "left_semi").persist()
+    val counts = nodes.agg(count(lit(1)).as("nv"))
+      .crossJoin(seeded.agg(count(lit(1)).as("ns"))).first()
+    val (nv, ns) = (counts.getLong(0), counts.getLong(1))
+    require(ns > 0, "seed set shares no node with the edge list")
+    val basePpb = (100L - dampingPct) * 1000000000L * nv / (100L * ns)
+    val base = nodes.join(s0, Seq("node"), "left_semi")
+      .select(col("node"), lit(basePpb).as("b"))
+    var ranks = nodes.join(base, Seq("node"), "left")
+      .select(col("node"), coalesce(col("b"), lit(0L)).as("rank_ppb"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank_ppb div odeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(base, Seq("node"), "left")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("b"), lit(0L)) +
+            expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank_ppb"))
+      i += 1
+    }
+    val out = ranks.localCheckpoint(true)
+    deg.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    seeded.unpersist(blocking = false)
+    out
+  }
+
   /** Semi-supervised label propagation with clamped seeds (the label-
     * spreading shape corpus pipelines use to extend a small labeled
     * slice — topic, quality tier, spam verdict — over a similarity or

@@ -46,6 +46,21 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // personalized PageRank (NEW r8): teleport mass concentrated on
+    // the EUROPE customers — authority RELATIVE to a trusted seed set
+    // (TrustRank's shape); unreachable nodes converge to 0
+    "q171c_personalized_pagerank" -> ((s, d) => {
+      val seeds = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("c_custkey").as("node"))
+      Graph.personalizedPageRankPpb(edges(s, d), "src", "dst",
+          seeds, "node", iterations = 3)
+        .orderBy(col("rank_ppb").desc, col("node"))
+        .limit(100)
+    }),
+
     // degree profile of the same graph (symmetric, so out = in; the
     // gate checks both legs anyway)
     "q171b_degree_stats" -> ((s, d) => {
@@ -139,6 +154,38 @@ object GraphQueries extends QueryGroup {
          |deg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
          |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
          |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, r AS rank_ppb FROM r3
+         |ORDER BY rank_ppb DESC, node LIMIT 100""".stripMargin
+    },
+
+    "q171c_personalized_pagerank" -> {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r.r // d.odeg) AS BIGINT) AS s
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+           |r$i AS (SELECT bn.node,
+           |    CAST(bn.b + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM bn LEFT JOIN c$i c ON bn.node = c.node)""".stripMargin
+      s"""WITH $sqlEdges,
+         |deg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |seeds AS (SELECT DISTINCT c_custkey AS node
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |sn AS (SELECT n.node FROM nodes n JOIN seeds s ON n.node = s.node),
+         |k AS (SELECT (SELECT COUNT(*) FROM nodes) AS nv,
+         |    (SELECT COUNT(*) FROM sn) AS ns),
+         |basec AS (SELECT CAST((15 * CAST(1000000000 AS BIGINT) * nv)
+         |    // (100 * ns) AS BIGINT) AS b FROM k),
+         |bn AS (SELECT n.node,
+         |    CAST(CASE WHEN s.node IS NOT NULL THEN (SELECT b FROM basec)
+         |      ELSE 0 END AS BIGINT) AS b
+         |  FROM nodes n LEFT JOIN sn s ON n.node = s.node),
+         |r0 AS (SELECT node, b AS r FROM bn),
          |${round(1)},
          |${round(2)},
          |${round(3)}

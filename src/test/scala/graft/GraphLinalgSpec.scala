@@ -184,6 +184,34 @@ class GraphLinalgSpec extends SparkSpec {
     assert(out == Set(List(3.0, 4.0), List(-1.0, 2.0)))
   }
 
+  // --- personalizedPageRankPpb ----------------------------------------
+
+  test("personalized pagerank: seed mass, hand-checked round, dead zones") {
+    // a→b, c→d; seed {a}: nv=4, ns=1 → base = 15e9·4/100 = 6e8 on a
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRankPpb(edges, "src", "dst",
+        seeds, "node", iterations = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(1L) == 600000000L)                 // teleport only
+    assert(r(2L) == 600000000L * 85 / 100)      // 85% of a's round-0 rank
+    assert(r(3L) == 0L && r(4L) == 0L)          // unreachable from seeds
+  }
+
+  test("personalized pagerank is partition invariant and guards empty seeds") {
+    val edges = (1L to 30L).map(i => (i, i % 5 + 100L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 3L).toDF("node")
+    val a = Graph.personalizedPageRankPpb(edges.repartition(1), "src", "dst",
+      seeds, "node", iterations = 3).collect().map(_.toSeq).toSet
+    val b = Graph.personalizedPageRankPpb(edges.repartition(7), "src", "dst",
+      seeds, "node", iterations = 3).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    assertThrows[IllegalArgumentException] {
+      Graph.personalizedPageRankPpb(edges, "src", "dst",
+        Seq(999L).toDF("node"), "node")
+    }
+  }
+
   // --- triangleCount -------------------------------------------------
 
   private def triMap(edges: Seq[(Long, Long)], parts: Int = 3) = {
