@@ -502,6 +502,29 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility report (NEW r8): per-source tokens-per-word,
+    // chars-per-token and UNK rate of the wordpiece tokenizer — the
+    // eval every tokenizer swap is judged by (fertility spikes on a
+    // source = vocabulary mismatch = wasted sequence length there)
+    "q196_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wp = TextAnalysis.wordpieceTokenize(docs, "doc_id", "text")
+      val chars = docs.select(col("doc_id"), col("source"),
+        length(graft.ops.Dedup.normText(col("text"))).cast("long").as("n_chars"))
+      wp.join(chars, "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_words").cast("long")).as("words"),
+          sum(col("n_tokens").cast("long")).as("tokens"),
+          sum(col("n_unk").cast("long")).as("unks"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("source"), col("words"), col("tokens"), col("unks"),
+          col("chars"),
+          expr("(10000 * tokens) div nullif(words, 0L)").as("fertility_bp"),
+          expr("(100 * chars) div nullif(tokens, 0L)").as("chars_per_token_c"),
+          expr("(10000 * unks) div nullif(tokens, 0L)").as("unk_bp"))
+        .orderBy(col("source"))
+    }),
+
     // BPE merge LEARNING (tokenizer training — the counterpart to
     // q109's vocab-driven application): 10 iterations over the
     // word-frequency dictionary; each = one bounded-key shuffle +
@@ -1291,6 +1314,28 @@ object LlmQueries extends QueryGroup {
            |  CAST(coalesce(len(list_filter(f.ids, x -> x = 0)), 0) AS INTEGER) AS n_unk,
            |  coalesce(array_to_string(f.ids, ' '), '') AS token_ids
            |FROM t LEFT JOIN flat f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "q196_tokenizer_fertility" ->
+        s"""WITH RECURSIVE
+           |$sqlWordpieceCtes,
+           |m AS (SELECT t.doc_id, CAST(len(t.wl) AS BIGINT) AS n_words,
+           |    CAST(coalesce(len(f.ids), 0) AS BIGINT) AS n_tokens,
+           |    CAST(coalesce(len(list_filter(f.ids, x -> x = 0)), 0) AS BIGINT) AS n_unk
+           |  FROM t LEFT JOIN flat f USING (doc_id)),
+           |ch AS (SELECT doc_id, source,
+           |    CAST(length(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+           |      AS BIGINT) AS n_chars
+           |  FROM documents),
+           |g AS (SELECT ch.source, CAST(SUM(m.n_words) AS BIGINT) AS words,
+           |    CAST(SUM(m.n_tokens) AS BIGINT) AS tokens,
+           |    CAST(SUM(m.n_unk) AS BIGINT) AS unks,
+           |    CAST(SUM(ch.n_chars) AS BIGINT) AS chars
+           |  FROM m JOIN ch USING (doc_id) GROUP BY ch.source)
+           |SELECT source, words, tokens, unks, chars,
+           |  (10000 * tokens) // NULLIF(words, 0) AS fertility_bp,
+           |  (100 * chars) // NULLIF(tokens, 0) AS chars_per_token_c,
+           |  (10000 * unks) // NULLIF(tokens, 0) AS unk_bp
+           |FROM g ORDER BY source""".stripMargin,
 
       "q162_bpe_learn" -> {
         val n = 10
