@@ -32,6 +32,17 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // exact distinct users per tumbling window (NEW r8): chained
+    // stateful ops — windowed dropDuplicates feeding a windowed count
+    // (streaming COUNT(DISTINCT) has no direct form; this is the
+    // exact composition, not the approx fallback)
+    "q197_stream_distinct_users" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.distinctUsersPerWindow(Streams.eventsStream(s, d)),
+          "q197_distinct")
+        .orderBy(col("w_start"))
+    }),
+
     // sliding 10-min/5-min window per event_type
     "q111_stream_sliding" -> ((s, d) => {
       Streams.runToBatch(s, Streams.slidingAgg(Streams.eventsStream(s, d)),
@@ -229,6 +240,17 @@ object StreamingQueries extends QueryGroup {
          |             value FROM e)
          |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
          |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
+         |FROM w, mx
+         |WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND
+         |GROUP BY ws ORDER BY w_start""".stripMargin,
+
+    "q197_stream_distinct_users" ->
+      s"""WITH $ctes,
+         |w AS (SELECT DISTINCT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000) AS ws,
+         |    user_id FROM e)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  COUNT(*) AS n_users
          |FROM w, mx
          |WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND
          |GROUP BY ws ORDER BY w_start""".stripMargin,

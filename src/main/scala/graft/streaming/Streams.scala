@@ -103,6 +103,28 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("n"), col("sum_val"))
 
+  /** Exact distinct users per tumbling window — the chained-stateful
+    * composition Spark's docs bless for streaming COUNT(DISTINCT):
+    * windowed `dropDuplicates` (state keyed by (window, user), evicted
+    * once the watermark passes the window) feeding a windowed count.
+    * Plain `count_distinct` is unsupported in streaming aggregation;
+    * this is the exact formulation, not the approx_count_distinct
+    * fallback (which no oracle could gate). Two stateful operators,
+    * both watermark-bounded — state is O(active windows × distinct
+    * users in them), never historical.
+    */
+  def distinctUsersPerWindow(events: DataFrame, size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .select(window(col("ts"), size).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n_users"))
+
   /** Stream-static enrichment join: the static dimension is a plain
     * batch DataFrame joined into every micro-batch (Spark re-plans the
     * broadcast per batch; stateless — no watermark requirement for the
