@@ -234,6 +234,23 @@ object StringQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // banded edit distance (NEW r8): exact Levenshtein when <= bound,
+    // -1 past it — the O(bound·len) pair-scoring kernel
+    // (EditDistanceBounded, codegen'd); the oracle disagrees-or-agrees
+    // via DuckDB's INDEPENDENT full-matrix levenshtein
+    "q198_edit_distance_bounded" -> ((s, d) => {
+      import graft.expressions.TextHashes
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_name"), col("c_mktsegment"))
+      c.as("a").join(c.as("b"), col("a.k") + 1 === col("b.k"))
+        .select(col("a.k").as("k"),
+          TextHashes.edit_distance_bounded(
+            col("a.c_name"), col("b.c_name"), 3).as("d_names"),
+          TextHashes.edit_distance_bounded(
+            col("a.c_name"), col("a.c_mktsegment"), 5).as("d_name_seg"))
+        .orderBy(col("k"))
+    }),
+
     // URL decomposition + domain blocklist (corpus filtering pass) —
     // TextAnalysis.urlParts, pure codegen'd regexp chains
     "q149_url_parse" -> ((s, d) => {
@@ -477,6 +494,20 @@ object StringQueries extends QueryGroup {
          |  CAST(regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) IN ($block) AS INTEGER) AS blocked
          |FROM p ORDER BY uid""".stripMargin
     },
+
+    "q198_edit_distance_bounded" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name, c_mktsegment FROM customer),
+        |p AS (SELECT a.k AS k, a.c_name AS n1, b.c_name AS n2,
+        |    a.c_mktsegment AS ad
+        |  FROM c a JOIN c b ON a.k + 1 = b.k)
+        |SELECT k,
+        |  CASE WHEN levenshtein(n1, n2) <= 3
+        |    THEN CAST(levenshtein(n1, n2) AS INTEGER)
+        |    ELSE CAST(-1 AS INTEGER) END AS d_names,
+        |  CASE WHEN levenshtein(n1, ad) <= 5
+        |    THEN CAST(levenshtein(n1, ad) AS INTEGER)
+        |    ELSE CAST(-1 AS INTEGER) END AS d_name_seg
+        |FROM p ORDER BY k""".stripMargin,
 
     "q195_url_canonical" -> {
       val vals = canonFixture.map { case (i, u) => s"($i, '$u')" }.mkString(", ")

@@ -55,4 +55,34 @@ class TextHashesSpec extends SparkSpec {
     assert(row(1).getAs[Long]("sh") == 1708188488L)
     assert(row(0).getAs[Double]("dot") == 11.0)
   }
+
+  test("editDistanceBounded: property vs full-matrix DP on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def full(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val rnd = new scala.util.Random(17)
+    def randStr() = Seq.fill(rnd.nextInt(12))("abc" (rnd.nextInt(3))).mkString
+    for (_ <- 1 to 500; k <- 0 to 4) {
+      val (s, t) = (randStr(), randStr())
+      val expect = { val f = full(s, t); if (f <= k) f else -1 }
+      val got = graft.expressions.HashSpec.editDistanceBounded(
+        UTF8String.fromString(s), UTF8String.fromString(t), k)
+      assert(got == expect, s"s=$s t=$t k=$k got=$got expect=$expect")
+    }
+  }
+
+  test("editDistanceBounded works through codegen in a real plan") {
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("same", "same"), ("a", "zzzzzz"))
+      .toDF("a", "b")
+      .select(TextHashes.edit_distance_bounded(col("a"), col("b"), 3).as("d"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, -1))
+  }
 }
