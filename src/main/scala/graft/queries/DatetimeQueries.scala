@@ -338,6 +338,52 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // time-weighted average value per user (NEW r8): TWAP over the
+    // irregular event stream — each observation holds until the next
+    // one, so the mean weights value by holding duration. Exact
+    // integers end to end: cents × millisecond durations summed as
+    // longs, ONE integer division at the end (the q72b discipline);
+    // the last observation of a user has no successor and drops out,
+    // matching the standard TWAP convention
+    "q199_twap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("c"),
+          unix_micros(col("ts")).as("t_us"))
+        .withColumn("next_us", lead(col("t_us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dms", expr("(next_us - t_us) div 1000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("dms")).as("held_ms"),
+          expr("sum(c * dms) div sum(dms)").as("twap_c"))
+        .orderBy(col("user_id"))
+    }),
+
+    // last-touch conversion attribution (NEW r8): each purchase is
+    // attributed to the latest non-purchase event of the same user in
+    // the preceding 30 minutes (struct-max over a RANGE frame — a
+    // total lexicographic order both engines share); purchases with no
+    // touch in the window land in the 'none' bucket
+    "q200_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tUs = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(tUs)
+        .rangeBetween(-30L * 60 * 1000000, 0)
+      val touch = max(when(col("event_type") =!= "purchase",
+        struct(col("ts"), col("event_id"), col("event_type")))).over(w)
+      Tables.events(s, d)
+        .withColumn("src", touch("event_type"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("src"), lit("none")).as("source"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .withColumn("share_bp", expr(
+          "(10000 * n_conversions) div sum(n_conversions) over ()"))
+        .orderBy(col("source"))
+    }),
+
     // ranking metrics (NEW r8): MRR + binary nDCG@3 of each user's
     // value-ranked event types judged against the count-ranked truth —
     // exercises Similarity.rankingMetrics on a fully SQL-replayable
@@ -564,6 +610,41 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
         |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    "q199_twap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS t_us
+        |  FROM events),
+        |l AS (SELECT user_id, c, t_us,
+        |    LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+        |      AS next_us FROM e),
+        |h AS (SELECT user_id, c, (next_us - t_us) // 1000 AS dms FROM l
+        |  WHERE next_us IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_holds,
+        |  CAST(SUM(dms) AS BIGINT) AS held_ms,
+        |  CAST(SUM(c * dms) // SUM(dms) AS BIGINT) AS twap_c
+        |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q200_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS t_us
+        |  FROM events),
+        |t AS (SELECT *, (MAX(CASE WHEN event_type <> 'purchase'
+        |      THEN {'ts': ts, 'event_id': event_id,
+        |            'event_type': event_type} END) OVER
+        |    (PARTITION BY user_id ORDER BY t_us
+        |     RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)).event_type
+        |    AS src
+        |  FROM e),
+        |g AS (SELECT COALESCE(src, 'none') AS source,
+        |    COUNT(*) AS n_conversions
+        |  FROM t WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT source, n_conversions,
+        |  CAST((10000 * n_conversions) // SUM(n_conversions) OVER ()
+        |    AS BIGINT) AS share_bp
+        |FROM g ORDER BY source""".stripMargin,
 
     "q186_ranking_metrics" ->
       s"""WITH e AS (SELECT user_id AS q_id, event_type AS n_id,
