@@ -1423,6 +1423,38 @@ object Corpus {
     "CASE " + boundaries.init.map(b => s"WHEN kept <= $b THEN CAST($b AS BIGINT) ")
       .mkString + s"ELSE CAST(${boundaries.last} AS BIGINT) END"
 
+  /** Vocabulary diff between two corpus snapshots (crawl N vs crawl
+    * N+1): gained/lost/shared term counts, vocabulary Jaccard, and the
+    * share of the new snapshot's token mass carried by gained terms —
+    * the cheap "what changed in this crawl" dashboard that catches
+    * template shifts, new spam campaigns, and scraper regressions
+    * before any model sees the data. All integer; ratios floor to
+    * basis points. Two token-count shuffles, then one full-outer join
+    * of two vocabulary-sized frames and a bounded rollup.
+    */
+  def vocabDiff(old: DataFrame, fresh: DataFrame, text: String): DataFrame = {
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as(as))
+    counts(old, "c_old").join(counts(fresh, "c_new"), Seq("term"), "full")
+      .agg(
+        sum(when(col("c_old").isNotNull, 1L).otherwise(0L)).as("n_terms_old"),
+        sum(when(col("c_new").isNotNull, 1L).otherwise(0L)).as("n_terms_new"),
+        sum(when(col("c_old").isNotNull && col("c_new").isNotNull, 1L)
+          .otherwise(0L)).as("n_shared"),
+        sum(when(col("c_old").isNull, 1L).otherwise(0L)).as("n_gained"),
+        sum(when(col("c_new").isNull, 1L).otherwise(0L)).as("n_lost"),
+        sum(coalesce(col("c_old"), lit(0L))).as("mass_old"),
+        sum(coalesce(col("c_new"), lit(0L))).as("mass_new"),
+        sum(when(col("c_old").isNull, coalesce(col("c_new"), lit(0L)))
+          .otherwise(0L)).as("gained_mass"))
+      .withColumn("vocab_jaccard_bp", expr(
+        "(10000 * n_shared) div (n_terms_old + n_terms_new - n_shared)"))
+      .withColumn("gained_mass_bp",
+        expr("(10000 * gained_mass) div mass_new"))
+  }
+
   /** Per-class precision / recall / F1 of a classifier against truth
     * labels — the evaluation rollup that decides whether a trained
     * quality/language gate ([[naiveBayesPredict]], or any model whose

@@ -927,6 +927,43 @@ object FrameOps {
       .drop("__mu", "__sd", "__q1", "__q3", "__lo", "__hi")
   }
 
+  /** Integer CUSUM change-point: per group, the position where the
+    * cumulative sum deviates most from the uniform trend — the
+    * classic mean-shift detector (a metric that jumped mid-series
+    * shows a V-shaped CUSUM whose vertex is the change point). To
+    * stay engine-exact, the textbook Σ(xᵢ − x̄) is cross-multiplied by
+    * n: dev_k = n·prefix_k − k·total — pure 64-bit integers, no mean,
+    * no division — which scales the statistic by n without moving its
+    * argmax. Emits the vertex (position, order-key value, signed dev)
+    * per group; ties break to the earliest position.
+    *
+    * One Exchange+Sort for the two windows, one bounded per-group
+    * rollup; `valueCol` must already be integral (quantize first —
+    * cents, micro-units — as every exact op here does).
+    */
+  def cusumChangePoint(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val scored = df
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__prefix", sum(col(valueCol))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__total", sum(col(valueCol)).over(wAll))
+      .withColumn("__dev",
+        col("__n") * col("__prefix") - col("__k") * col("__total"))
+    val best = Window.partitionBy(keys.map(col): _*)
+      .orderBy(abs(col("__dev")).desc, col("__k"))
+    scored
+      .withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(keys.map(col) ++ Seq(col("__k").as("change_pos"),
+        col(orderCol).as("change_at"), col("__dev").as("dev_n"),
+        col("__n").as("n_points")): _*)
+  }
+
   /** Slowly-changing-dimension (type 2) interval construction: collapse
     * a change-event stream into validity intervals per key — the
     * standard warehouse transform that turns an append-only log into

@@ -429,6 +429,15 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("bucket"))
     }),
 
+    // vocabulary diff between two snapshots (NEW r8): gained/lost/
+    // shared terms, vocab Jaccard, gained-mass share — the crawl-over-
+    // crawl change dashboard
+    "q201_vocab_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.vocabDiff(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text")
+    }),
+
     // leakage-safe split (NEW r8): content-hashed assignment — the
     // gate output carries per-split doc/fingerprint counts AND the
     // cross-split leaked-fingerprint count, which the op guarantees 0
@@ -801,6 +810,39 @@ object CorpusQueries extends QueryGroup {
          |  (10000 * CAST(SUM(bucket - kept) AS BIGINT)) // (COUNT(*) * bucket)
          |    AS pad_bp
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q201_vocab_diff" ->
+      s"""WITH od AS (SELECT $sqlNorm AS s FROM documents WHERE doc_id % 2 = 0),
+         |nd AS (SELECT $sqlNorm AS s FROM documents WHERE doc_id % 2 != 0),
+         |ot AS (SELECT term, COUNT(*) AS c_old FROM (
+         |  SELECT unnest(string_split(s, ' ')) AS term FROM od)
+         |  WHERE length(term) > 0 GROUP BY term),
+         |nt AS (SELECT term, COUNT(*) AS c_new FROM (
+         |  SELECT unnest(string_split(s, ' ')) AS term FROM nd)
+         |  WHERE length(term) > 0 GROUP BY term),
+         |j AS (SELECT ot.c_old, nt.c_new
+         |  FROM ot FULL JOIN nt ON ot.term = nt.term),
+         |a AS (SELECT
+         |  CAST(SUM(CASE WHEN c_old IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_terms_old,
+         |  CAST(SUM(CASE WHEN c_new IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_terms_new,
+         |  CAST(SUM(CASE WHEN c_old IS NOT NULL AND c_new IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(SUM(CASE WHEN c_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gained,
+         |  CAST(SUM(CASE WHEN c_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lost,
+         |  CAST(SUM(COALESCE(c_old, 0)) AS BIGINT) AS mass_old,
+         |  CAST(SUM(COALESCE(c_new, 0)) AS BIGINT) AS mass_new,
+         |  CAST(SUM(CASE WHEN c_old IS NULL THEN COALESCE(c_new, 0)
+         |    ELSE 0 END) AS BIGINT) AS gained_mass
+         |  FROM j)
+         |SELECT *,
+         |  (10000 * n_shared) // (n_terms_old + n_terms_new - n_shared)
+         |    AS vocab_jaccard_bp,
+         |  (10000 * gained_mass) // mass_new AS gained_mass_bp
+         |FROM a""".stripMargin,
 
     "q187_split_safe" -> {
       val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -384,6 +384,22 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("source"))
     }),
 
+    // CUSUM change-point per event type (NEW r8): the day where the
+    // cumulative daily-cents sum deviates most from the uniform trend
+    // — cross-multiplied integer form (n·prefix − k·total), no mean,
+    // no division, bit-exact in any engine
+    "q202_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      graft.ops.FrameOps.cusumChangePoint(daily, Seq("event_type"),
+          "day", "cents")
+        .select(col("event_type"), col("change_pos"),
+          date_format(col("change_at"), "yyyy-MM-dd").as("change_day"),
+          col("dev_n"), col("n_points"))
+        .orderBy(col("event_type"))
+    }),
+
     // ranking metrics (NEW r8): MRR + binary nDCG@3 of each user's
     // value-ranked event types judged against the count-ranked truth —
     // exercises Similarity.rankingMetrics on a fully SQL-replayable
@@ -610,6 +626,27 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
         |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    "q202_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+        |    CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS prefix,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |d AS (SELECT event_type, day, k, n,
+        |    n * prefix - k * total AS dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(n * prefix - k * total) DESC, k) AS rk
+        |  FROM s)
+        |SELECT event_type, k AS change_pos,
+        |  STRFTIME(day, '%Y-%m-%d') AS change_day,
+        |  dev AS dev_n, n AS n_points
+        |FROM d WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q199_twap" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -545,6 +545,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("vocabDiff: hand-counted gained/lost/shared and mass shares") {
+    val old = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val fresh = Seq((2L, "b c c c")).toDF("doc_id", "text")
+    val r = Corpus.vocabDiff(old, fresh, "text").head
+    // old vocab {a, b}, new {b, c}: shared 1, gained 1 (c), lost 1 (a)
+    assert(r.getAs[Long]("n_terms_old") == 2 && r.getAs[Long]("n_terms_new") == 2)
+    assert(r.getAs[Long]("n_shared") == 1 && r.getAs[Long]("n_gained") == 1 &&
+      r.getAs[Long]("n_lost") == 1)
+    assert(r.getAs[Long]("mass_old") == 3 && r.getAs[Long]("mass_new") == 4)
+    assert(r.getAs[Long]("gained_mass") == 3) // the three c's
+    assert(r.getAs[Long]("vocab_jaccard_bp") == 10000L / 3)
+    assert(r.getAs[Long]("gained_mass_bp") == 7500L)
+  }
+
   test("classifierReport: hand-counted P/R/F1, one-sided classes get null") {
     val pred = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
       .toDF("id", "pred")

@@ -583,6 +583,20 @@ class FrameOpsSpec extends SparkSpec {
     assert(b.filter($"is_z_outlier" || $"is_iqr_outlier").count() == 0)
   }
 
+  test("cusumChangePoint: vertex lands on the mean shift; flat series ties to 1") {
+    // group a: 10,10,10,50,50 — the V-vertex of n·prefix−k·total sits
+    // at the last pre-shift point (k=3): dev_3 = 5·30 − 3·130 = −240
+    val df = Seq(("a", 1, 10L), ("a", 2, 10L), ("a", 3, 10L),
+      ("a", 4, 50L), ("a", 5, 50L),
+      ("b", 1, 7L), ("b", 2, 7L), ("b", 3, 7L)).toDF("g", "t", "v")
+    val r = FrameOps.cusumChangePoint(df, Seq("g"), "t", "v")
+      .collect().map(x => x.getString(0) ->
+        (x.getInt(1), x.getInt(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("a") == ((3, 3, -240L, 5L)))
+    // flat series: dev identically 0, earliest position wins the tie
+    assert(r("b") == ((1, 1, 0L, 3L)))
+  }
+
   test("scd2Intervals: runs collapse, intervals chain, last is open") {
     // key 1: A A B A → intervals A[1,3) B[3,4) A[4,null); key 2: C → open
     val df = Seq(
