@@ -141,6 +141,44 @@ object Sketches {
       .selectExpr("q", "n", histEstExpr(lo, hi, nBuckets) + " AS est")
   }
 
+  /** Grouped [[histBuild]]: one histogram per key of `group` — the
+    * distributed per-group quantile substrate (per-source length
+    * distributions, per-tenant latency percentiles). Same mergeable
+    * contract: shard results add by (grp, bucket).
+    */
+  def histBuildBy(df: DataFrame, group: String, valueCol: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    df.select(col(group).as("grp"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .selectExpr("grp", histBucketExpr(lo, hi, nBuckets) + " AS bucket")
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Grouped [[histQuantile]]: per (group, q) estimate. The quantile
+    * walk runs on |groups|·nBuckets rows; within each group the
+    * cumulative intervals partition [1..n], so the inequality join
+    * matches exactly one bucket per (group, q).
+    */
+  def histQuantileBy(hist: DataFrame, lo: Double, hi: Double,
+      nBuckets: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cume", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+    val qf = qs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    val targets = cum.sparkSession.range(1)
+      .selectExpr(s"explode(array($qf)) AS q")
+    targets.join(cum,
+        expr("cume >= CAST(CEIL(q * n) AS BIGINT)" +
+          " AND cume - cnt < CAST(CEIL(q * n) AS BIGINT)"))
+      .selectExpr("grp", "q", "n", histEstExpr(lo, hi, nBuckets) + " AS est")
+  }
+
   /** Clamped equi-width bucket index of `v` — shared verbatim with the
     * oracle.
     */

@@ -429,6 +429,22 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("bucket"))
     }),
 
+    // per-source length quantiles via grouped mergeable histograms
+    // (NEW r8): the distributed per-group quantile shape — per-shard
+    // histograms add by (source, bucket), the walk runs on
+    // |sources|×64 rows
+    "q203_grouped_quantiles" -> ((s, d) => {
+      val lens = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(graft.ops.Dedup.normText(col("text")), " "))
+            .cast("double").as("len"))
+      val h = graft.ops.Sketches.histBuildBy(lens, "source", "len",
+        lo = 0.0, hi = 1024.0, nBuckets = 64)
+      graft.ops.Sketches.histQuantileBy(h, 0.0, 1024.0, 64,
+          Seq(0.5, 0.9, 0.99))
+        .orderBy(col("grp"), col("q"))
+    }),
+
     // vocabulary diff between two snapshots (NEW r8): gained/lost/
     // shared terms, vocab Jaccard, gained-mass share — the crawl-over-
     // crawl change dashboard
@@ -810,6 +826,30 @@ object CorpusQueries extends QueryGroup {
          |  (10000 * CAST(SUM(bucket - kept) AS BIGINT)) // (COUNT(*) * bucket)
          |    AS pad_bp
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q203_grouped_quantiles" -> {
+      import graft.ops.Sketches
+      val (lo, hi, nb) = (0.0, 1024.0, 64)
+      s"""WITH vals AS (SELECT source,
+         |    CAST(LEN(string_split($sqlNorm, ' ')) AS DOUBLE) AS v
+         |  FROM documents),
+         |h AS (SELECT source AS grp,
+         |    ${Sketches.histBucketExpr(lo, hi, nb)} AS bucket,
+         |    COUNT(*) AS cnt FROM vals GROUP BY 1, 2),
+         |c AS (SELECT grp, bucket, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cume,
+         |    CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+         |  FROM h),
+         |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         |    CAST(0.99 AS DOUBLE)]) AS q)
+         |SELECT grp, q, n, ${Sketches.histEstExpr(lo, hi, nb)} AS est
+         |FROM qs JOIN c
+         |  ON cume >= CAST(CEIL(q * n) AS BIGINT)
+         |  AND cume - cnt < CAST(CEIL(q * n) AS BIGINT)
+         |ORDER BY grp, q""".stripMargin
+    },
 
     "q201_vocab_diff" ->
       s"""WITH od AS (SELECT $sqlNorm AS s FROM documents WHERE doc_id % 2 = 0),

@@ -72,6 +72,28 @@ class SketchSpec extends SparkSpec {
     assert(top.getDouble(2) <= hi)
   }
 
+  test("histQuantileBy: per-group estimates match per-group scalar runs") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.tabulate(2000)(i =>
+      (if (i % 3 == 0) "a" else "b", rnd.nextDouble() * 100.0))
+    val df = rows.toDF("g", "x").repartition(6)
+    val (lo, hi, nb) = (0.0, 100.0, 20)
+    val grouped = Sketches.histQuantileBy(
+        Sketches.histBuildBy(df, "g", "x", lo, hi, nb), lo, hi, nb,
+        Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Sketches.histQuantile(
+          Sketches.histBuild(df.filter($"g" === g), "x", lo, hi, nb),
+          lo, hi, nb, Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+      for (q <- Seq(0.5, 0.9))
+        assert(grouped((g, q)) == solo(q), s"g=$g q=$q")
+    }
+  }
+
   test("histBuild clamps out-of-range values into the edge buckets") {
     import graft.ops.Sketches
     val df = Seq(-5.0, 0.5, 9.5, 42.0).toDF("x")
