@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Datetime long-tail helpers beyond Spark's built-in surface:
@@ -42,4 +42,37 @@ object DatetimeOps {
       - when(dw <= 6 && last >= 6, 1).otherwise(0)
       - when(last >= 7, 1).otherwise(0)).cast("int")
   }
+
+  /** Time-decayed value sum per key as of a reference instant: each
+    * event contributes `value · 2^(−age/halflife)` — the standard
+    * recency-weighted engagement/activity feature (a purchase last
+    * night counts ~full, one from three half-lives ago counts 1/8).
+    *
+    * Determinism contract: the decay factor is `ROUND(EXP(...), 6)` —
+    * rounding absorbs the last-ulp libm difference between engines
+    * (the [[graft.ops.Dedup.tfidfCosinePairs]] idf pin) — and each
+    * event's contribution is the floor of `cents × factor`, an exact
+    * double product of identical operands, summed as BIGINT. The
+    * whole computation is ONE expression string ([[decayTermExpr]])
+    * parsed by both engines.
+    *
+    * Inputs are pre-quantized: `centsCol` integral value units,
+    * `ageUsCol` the event's age in microseconds at the reference
+    * instant (compute as `ref_us − unix_micros(ts)`; negative ages —
+    * events after the reference — are the caller's bug to avoid).
+    */
+  def decayedSum(df: DataFrame, keys: Seq[String], centsCol: String,
+      ageUsCol: String, halflifeUs: Long): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(halflifeUs > 0, s"halflifeUs must be > 0, got $halflifeUs")
+    df.selectExpr(keys :+
+      (s"${decayTermExpr(centsCol, ageUsCol, halflifeUs)} AS __dc"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col("__dc")).as("decayed_c"))
+  }
+
+  /** Floor-integer decay term — one string, parsed by both engines. */
+  def decayTermExpr(cents: String, ageUs: String, halflifeUs: Long): String =
+    s"CAST(FLOOR(CAST($cents AS DOUBLE) * ROUND(EXP(-(LN(2.0)" +
+      s" / $halflifeUs.0) * CAST($ageUs AS DOUBLE)), 6)) AS BIGINT)"
 }

@@ -384,6 +384,23 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("source"))
     }),
 
+    // time-decayed engagement score per user (NEW r8): value·2^(−age/
+    // 7 days) as of the corpus max instant — the recency-weighted
+    // activity feature; decay factor ROUND(EXP, 6)-pinned, per-event
+    // contributions floored to integers, summed as BIGINT
+    "q204_decayed_engagement" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("c"),
+          unix_micros(col("ts")).as("t_us"))
+      val ref = ev.agg(max(col("t_us")).as("ref_us"))
+      val aged = ev.crossJoin(broadcast(ref))
+        .withColumn("age_us", col("ref_us") - col("t_us"))
+      graft.ops.DatetimeOps.decayedSum(aged, Seq("user_id"),
+          "c", "age_us", halflifeUs = 7L * 24 * 3600 * 1000000)
+        .orderBy(col("user_id"))
+    }),
+
     // CUSUM change-point per event type (NEW r8): the day where the
     // cumulative daily-cents sum deviates most from the uniform trend
     // — cross-multiplied integer form (n·prefix − k·total), no mean,
@@ -626,6 +643,19 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
         |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    "q204_decayed_engagement" ->
+      s"""WITH e AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c,
+         |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         |r AS (SELECT MAX(t_us) AS ref_us FROM e),
+         |a AS (SELECT user_id, c, ref_us - t_us AS age_us FROM e, r),
+         |t AS (SELECT user_id,
+         |    ${graft.ops.DatetimeOps.decayTermExpr("c", "age_us",
+               7L * 24 * 3600 * 1000000)} AS dc
+         |  FROM a)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(dc) AS BIGINT) AS decayed_c
+         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q202_cusum" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
