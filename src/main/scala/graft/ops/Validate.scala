@@ -245,6 +245,50 @@ object Validate {
     "CASE " + boundaries.map(b => s"WHEN v <= $b THEN 'le_$b' ")
       .mkString + "ELSE 'overflow' END"
 
+  /** Keyed snapshot diff — data versioning for structured tables:
+    * classify every primary key as added / removed / changed /
+    * unchanged between two snapshots and count which columns drove
+    * the changes (the content-hash sibling for text corpora is the
+    * q90c corpus diff; this one is for dimensions and fact extracts
+    * where the KEY persists and the attributes move). Null-safe
+    * comparison (`<=>`): a null attribute is a value, not a wildcard.
+    *
+    * One full-outer join on the key + one aggregation; the long-format
+    * result (metric, n) is emitted via an exploded literal array —
+    * zero extra scans, same trick as [[expect]].
+    */
+  def tableDiff(old: DataFrame, fresh: DataFrame, pk: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one compared column")
+    val o = old.select(col(pk).as("__k") +:
+      (cols.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__op")): _*)
+    val n = fresh.select(col(pk).as("__k") +:
+      (cols.map(c => col(c).as(s"__n_$c")) :+ lit(true).as("__np")): _*)
+    val j = o.join(n, Seq("__k"), "full")
+    val both = col("__op").isNotNull && col("__np").isNotNull
+    val colChg = cols.map(c => c ->
+      (both && !(col(s"__o_$c") <=> col(s"__n_$c"))))
+    val anyChg = colChg.map(_._2).reduce(_ || _)
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val aggs = Seq(
+      cnt(col("__op").isNotNull).as("rows_old"),
+      cnt(col("__np").isNotNull).as("rows_new"),
+      cnt(col("__op").isNull).as("added"),
+      cnt(col("__np").isNull).as("removed"),
+      cnt(anyChg).as("changed"),
+      cnt(both && !anyChg).as("unchanged")) ++
+      colChg.map { case (c, p) => cnt(p).as(s"chg_$c") }
+    val row = j.agg(aggs.head, aggs.tail: _*)
+    val metrics = Seq("rows_old", "rows_new", "added", "removed",
+      "changed", "unchanged") ++ cols.map(c => s"chg_$c")
+    val labels = Seq("rows_old", "rows_new", "added", "removed",
+      "changed", "unchanged") ++ cols.map(c => s"col_changed:$c")
+    row.select(explode(array(metrics.zip(labels).map { case (m, l) =>
+        struct(lit(l).as("metric"), col(m).as("n"))
+      }: _*)).as("e"))
+      .select(col("e.metric").as("metric"), col("e.n").as("n"))
+  }
+
   /** k-anonymity census over quasi-identifier columns — the privacy
     * gate a corpus (or its metadata tables) passes before release:
     * every combination of quasi-identifiers must be shared by at

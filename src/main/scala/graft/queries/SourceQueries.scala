@@ -221,6 +221,23 @@ object SourceQueries extends QueryGroup {
         "o_custkey", "c_custkey", topK = 20)
     }),
 
+    // keyed snapshot diff (NEW r8): orders vs a deterministically
+    // mutated copy — %97 keys removed, %89 keys re-keyed (added),
+    // %13 prices bumped (changed) — the data-versioning census
+    "q205_table_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val mutated = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderkey",
+          when(col("o_orderkey") % 89 === 0, col("o_orderkey") + 100000000L)
+            .otherwise(col("o_orderkey")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0,
+            round(col("o_totalprice") + 1, 2)).otherwise(col("o_totalprice")))
+      graft.ops.Validate.tableDiff(o, mutated, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("metric"))
+    }),
+
     // k-anonymity + l-diversity census (NEW r8): the privacy gate over
     // quasi-identifiers (nation × market segment), balance sign as the
     // sensitive attribute — one groupBy + bounded rollup
@@ -369,6 +386,48 @@ object SourceQueries extends QueryGroup {
         |WHERE o_custkey IS NOT NULL
         |  AND o_custkey NOT IN (SELECT c_custkey FROM pk)
         |GROUP BY 1 ORDER BY n_rows DESC, orphan_key LIMIT 20""".stripMargin,
+
+    "q205_table_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+        |    o_totalprice AS p FROM orders),
+        |m0 AS (SELECT CASE WHEN k % 89 = 0 THEN k + 100000000 ELSE k END
+        |    AS k, s, p FROM o WHERE k % 97 != 0),
+        |m AS (SELECT k, s, CASE WHEN k % 13 = 0 THEN ROUND(p + 1, 2)
+        |    ELSE p END AS p FROM m0),
+        |j AS (SELECT o.k AS ok, m.k AS mk, o.s AS os, m.s AS ms,
+        |    o.p AS op_, m.p AS mp
+        |  FROM o FULL JOIN m ON o.k = m.k),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN ok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rows_old,
+        |  CAST(SUM(CASE WHEN mk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rows_new,
+        |  CAST(SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS added,
+        |  CAST(SUM(CASE WHEN mk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS removed,
+        |  CAST(SUM(CASE WHEN ok IS NOT NULL AND mk IS NOT NULL
+        |    AND (os IS DISTINCT FROM ms OR op_ IS DISTINCT FROM mp)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |  CAST(SUM(CASE WHEN ok IS NOT NULL AND mk IS NOT NULL
+        |    AND os IS NOT DISTINCT FROM ms AND op_ IS NOT DISTINCT FROM mp
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+        |  CAST(SUM(CASE WHEN ok IS NOT NULL AND mk IS NOT NULL
+        |    AND os IS DISTINCT FROM ms THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS chg_status,
+        |  CAST(SUM(CASE WHEN ok IS NOT NULL AND mk IS NOT NULL
+        |    AND op_ IS DISTINCT FROM mp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS chg_price
+        |  FROM j)
+        |SELECT 'rows_old' AS metric, rows_old AS n FROM a
+        |UNION ALL SELECT 'rows_new', rows_new FROM a
+        |UNION ALL SELECT 'added', added FROM a
+        |UNION ALL SELECT 'removed', removed FROM a
+        |UNION ALL SELECT 'changed', changed FROM a
+        |UNION ALL SELECT 'unchanged', unchanged FROM a
+        |UNION ALL SELECT 'col_changed:o_orderstatus', chg_status FROM a
+        |UNION ALL SELECT 'col_changed:o_totalprice', chg_price FROM a
+        |ORDER BY metric""".stripMargin,
 
     "q190_k_anonymity" ->
       """WITH base AS (SELECT c_nationkey, c_mktsegment,

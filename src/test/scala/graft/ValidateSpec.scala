@@ -127,6 +127,21 @@ class ValidateSpec extends SparkSpec {
     assert(r("overflow") == ((1L, 2L)))
   }
 
+  test("tableDiff: hand-built added/removed/changed census, null-safe") {
+    val old = Seq((1L, Some("a"), 10), (2L, Some("b"), 20),
+      (3L, None: Option[String], 30)).toDF("k", "s", "v")
+    val fresh = Seq((1L, Some("a"), 10),          // unchanged
+      (2L, Some("B"), 20),                        // s changed
+      (3L, None: Option[String], 31),             // v changed, null s stable
+      (4L, Some("d"), 40)).toDF("k", "s", "v")    // added; key 3 stays, none removed? no: old 3 present
+    val r = Validate.tableDiff(old, fresh, "k", Seq("s", "v"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("rows_old") == 3 && r("rows_new") == 4)
+    assert(r("added") == 1 && r("removed") == 0)
+    assert(r("changed") == 2 && r("unchanged") == 1)
+    assert(r("col_changed:s") == 1 && r("col_changed:v") == 1)
+  }
+
   test("kAnonymity: hand-counted classes, violations, l-diversity") {
     val people = Seq(
       ("US", "A", "x"), ("US", "A", "y"), ("US", "A", "x"), // class of 3
