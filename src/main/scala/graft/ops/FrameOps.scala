@@ -927,6 +927,59 @@ object FrameOps {
       .drop("__mu", "__sd", "__q1", "__q3", "__lo", "__hi")
   }
 
+  /** Per-group OLS trend: slope, intercept, and R² of `valueCol`
+    * against the row position within each group — "is this user/
+    * source/metric trending, and how cleanly" as one bounded
+    * aggregation (the full-series companion to the rolling q71j
+    * slope). All five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are exact 64-bit integers over pre-quantized values; the only
+    * doubles are the final ratios — single expressions over exact
+    * operands, rounded to 6 decimals, shared verbatim with the
+    * engine replay ([[olsExprs]]). Groups with a degenerate x-spread
+    * (n < 2) or zero y-variance get null slope/R² rather than
+    * fabricated numbers.
+    */
+  def groupOls(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__x", row_number().over(w).cast("long"))
+      .withColumn("__y", col(valueCol).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .selectExpr(keys :+ "n" :+
+        (olsSlopeExpr + " AS slope") :+
+        (olsInterceptExpr + " AS intercept") :+
+        (olsR2Expr + " AS r2"): _*)
+  }
+
+  /** Final-ratio expressions over the exact sufficient statistics —
+    * one string each, parsed identically by Spark and DuckDB.
+    * Numerators/denominators are cast to DOUBLE before any division;
+    * products that could exceed 2^63 are formed in double space from
+    * exact operands, so both engines round identically.
+    */
+  def olsSlopeExpr: String =
+    "CASE WHEN n >= 2 THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " / CAST(n * sxx - sx * sx AS DOUBLE), 6) END"
+  def olsInterceptExpr: String =
+    "CASE WHEN n >= 2 THEN ROUND((CAST(sy AS DOUBLE)" +
+      " - (CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))" +
+      " / CAST(n AS DOUBLE), 6) END"
+  def olsR2Expr: String =
+    "CASE WHEN n >= 2 AND n * syy - sy * sy != 0 THEN" +
+      " ROUND((CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " * CAST(n * sxy - sx * sy AS DOUBLE))" +
+      " / (CAST(n * sxx - sx * sx AS DOUBLE)" +
+      " * CAST(n * syy - sy * sy AS DOUBLE)), 6) END"
+
   /** Integer CUSUM change-point: per group, the position where the
     * cumulative sum deviates most from the uniform trend — the
     * classic mean-shift detector (a metric that jumped mid-series

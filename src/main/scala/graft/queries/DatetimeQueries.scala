@@ -384,6 +384,17 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("source"))
     }),
 
+    // per-user OLS trend (NEW r8): slope/intercept/R² of value cents
+    // against event position — exact integer sufficient statistics,
+    // final ratios the only doubles (shared expression strings)
+    "q206_group_ols" -> ((s, d) => {
+      graft.ops.FrameOps.groupOls(
+          Tables.events(s, d)
+            .withColumn("cents", round(col("value") * 100, 0).cast("long")),
+          Seq("user_id"), Seq("ts", "event_id"), "cents")
+        .orderBy(col("user_id"))
+    }),
+
     // time-decayed engagement score per user (NEW r8): value·2^(−age/
     // 7 days) as of the corpus max instant — the recency-weighted
     // activity feature; decay factor ROUND(EXP, 6)-pinned, per-event
@@ -643,6 +654,26 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
         |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    "q206_group_ols" -> {
+      import graft.ops.FrameOps
+      s"""WITH e AS (SELECT user_id,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS y,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS BIGINT) AS x
+         |  FROM events),
+         |s AS (SELECT user_id, COUNT(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM e GROUP BY user_id)
+         |SELECT user_id, n,
+         |  ${FrameOps.olsSlopeExpr} AS slope,
+         |  ${FrameOps.olsInterceptExpr} AS intercept,
+         |  ${FrameOps.olsR2Expr} AS r2
+         |FROM s ORDER BY user_id""".stripMargin
+    },
 
     "q204_decayed_engagement" ->
       s"""WITH e AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c,

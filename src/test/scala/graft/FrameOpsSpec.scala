@@ -583,6 +583,21 @@ class FrameOpsSpec extends SparkSpec {
     assert(b.filter($"is_z_outlier" || $"is_iqr_outlier").count() == 0)
   }
 
+  test("groupOls: perfect line recovers slope/intercept exactly, R2 = 1") {
+    // y = 7x + 3 → slope 7, intercept 3, r2 1; flat series → slope 0,
+    // zero y-variance → null r2; singleton → null everything
+    val df = Seq(("a", 1, 10L), ("a", 2, 17L), ("a", 3, 24L), ("a", 4, 31L),
+      ("b", 1, 5L), ("b", 2, 5L), ("b", 3, 5L),
+      ("c", 1, 42L)).toDF("g", "t", "v")
+    val r = FrameOps.groupOls(df, Seq("g"), Seq("t"), "v")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), Option(x.get(2)), Option(x.get(3)), Option(x.get(4))))
+      .toMap
+    assert(r("a") == ((4L, Some(7.0), Some(3.0), Some(1.0))))
+    assert(r("b") == ((3L, Some(0.0), Some(5.0), None)))
+    assert(r("c") == ((1L, None, None, None)))
+  }
+
   test("cusumChangePoint: vertex lands on the mean shift; flat series ties to 1") {
     // group a: 10,10,10,50,50 — the V-vertex of n·prefix−k·total sits
     // at the last pre-shift point (k=3): dev_3 = 5·30 − 3·130 = −240
