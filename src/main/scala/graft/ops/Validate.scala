@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations — the pre-ingest gate a
@@ -236,6 +237,55 @@ object Validate {
         psiTermExpr + " AS psi_nano_term")
     val total = terms.agg(sum(col("psi_nano_term")).as("psi_nano"))
     terms.crossJoin(broadcast(total))
+  }
+
+  /** Kolmogorov–Smirnov drift statistic over the same fixed bucket
+    * ladder as [[psiDrift]]: the maximum CDF gap between the two
+    * slices, in floor basis points — the rank-style companion to
+    * PSI (PSI weights density ratios; KS catches a pure location
+    * shift even when densities stay comparable). ENTIRELY integer:
+    * |cum_ref/t_ref − cum_cur/t_cur| is evaluated cross-multiplied as
+    * |cum_ref·t_cur − cum_cur·t_ref|·10⁴ div (t_ref·t_cur), so there
+    * is no floating point anywhere and no Laplace floor is needed.
+    *
+    * @return one row: (ks_bp, at_bucket — the first ladder bucket
+    *         attaining the max, n_ref, n_cur)
+    */
+  def ksDrift(reference: DataFrame, current: DataFrame, valueCol: String,
+      boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      "boundaries must be non-empty, strictly increasing")
+    def counts(df: DataFrame, as: String) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .selectExpr(psiBucketExpr(boundaries) + " AS bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val all = boundaries.map(b => s"le_$b") :+ "overflow"
+    val order = typedlit(all.zipWithIndex.toMap)
+    val gridDf = reference.sparkSession.range(1)
+      .select(explode(array(all.map(lit): _*)).as("bucket"))
+    val joined = gridDf
+      .join(counts(reference, "nr"), Seq("bucket"), "left")
+      .join(counts(current, "nc"), Seq("bucket"), "left")
+      .select(col("bucket"), element_at(order, col("bucket")).as("pos"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val w = Window.orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cum = joined
+      .withColumn("cr", sum(col("nr")).over(w))
+      .withColumn("cc", sum(col("nc")).over(w))
+      .withColumn("t_ref", sum(col("nr")).over(wAll))
+      .withColumn("t_cur", sum(col("nc")).over(wAll))
+      .withColumn("gap_bp",
+        expr("(abs(cr * t_cur - cc * t_ref) * 10000) div (t_ref * t_cur)"))
+    val best = Window.orderBy(col("gap_bp").desc, col("pos"))
+    cum.withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(col("gap_bp").as("ks_bp"), col("bucket").as("at_bucket"),
+        col("t_ref").as("n_ref"), col("t_cur").as("n_cur"))
   }
 
   /** CASE ladder for [[psiDrift]] bucket assignment — shared verbatim

@@ -250,6 +250,17 @@ object SourceQueries extends QueryGroup {
         sensitive = Some("bal_sign"))
     }),
 
+    // KS drift statistic (NEW r8): max CDF gap between the same two
+    // slices as q189 — cross-multiplied pure-integer arithmetic, the
+    // rank-style companion to PSI
+    "q207_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Validate.ksDrift(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", Seq(10.0, 20.0, 40.0, 80.0, 160.0))
+    }),
+
     // PSI numeric drift (NEW r8): purchase-event values judged against
     // the click-event reference over a fixed ladder — per-bucket
     // floor-nano terms + the scalar Σ on every row
@@ -446,6 +457,42 @@ object SourceQueries extends QueryGroup {
         |    // CAST(SUM(sz) AS BIGINT) AS risk_bp,
         |  CAST(MIN(l) AS BIGINT) AS l_min
         |FROM cls""".stripMargin,
+
+    "q207_ks_drift" -> {
+      val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
+      val grid = (bounds.map(b => s"'le_$b'") :+ "'overflow'")
+        .zipWithIndex.map { case (l, i) => s"($l, $i)" }.mkString(", ")
+      s"""WITH r0 AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+         |  WHERE event_type = 'click' AND value IS NOT NULL),
+         |c0 AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |rb AS (SELECT ${graft.ops.Validate.psiBucketExpr(bounds)} AS bucket,
+         |    COUNT(*) AS nr FROM r0 GROUP BY 1),
+         |cb AS (SELECT ${graft.ops.Validate.psiBucketExpr(bounds)} AS bucket,
+         |    COUNT(*) AS nc FROM c0 GROUP BY 1),
+         |grid AS (SELECT * FROM (VALUES $grid) AS g(bucket, pos)),
+         |j AS (SELECT grid.bucket, grid.pos,
+         |    CAST(COALESCE(nr, 0) AS BIGINT) AS nr,
+         |    CAST(COALESCE(nc, 0) AS BIGINT) AS nc
+         |  FROM grid LEFT JOIN rb USING (bucket) LEFT JOIN cb USING (bucket)),
+         |c AS (SELECT bucket, pos,
+         |    CAST(SUM(nr) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cr,
+         |    CAST(SUM(nc) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         |    CAST(SUM(nr) OVER () AS BIGINT) AS t_ref,
+         |    CAST(SUM(nc) OVER () AS BIGINT) AS t_cur
+         |  FROM j),
+         |g AS (SELECT bucket, pos, t_ref, t_cur,
+         |    CAST((ABS(cr * t_cur - cc * t_ref) * 10000)
+         |      // (t_ref * t_cur) AS BIGINT) AS gap_bp
+         |  FROM c),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY gap_bp DESC, pos)
+         |    AS r FROM g)
+         |SELECT gap_bp AS ks_bp, bucket AS at_bucket,
+         |  t_ref AS n_ref, t_cur AS n_cur
+         |FROM rk WHERE r = 1""".stripMargin
+    },
 
     "q189_psi_drift" -> {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)

@@ -166,6 +166,18 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("ksDrift: identical slices score 0; a location shift maxes the CDF gap") {
+    val ref = Seq.tabulate(100)(i => (i % 10).toDouble).toDF("v")
+    val same = Validate.ksDrift(ref, ref, "v", Seq(3.0, 6.0)).head
+    assert(same.getLong(0) == 0L)
+    // shift all mass to the top: CDF gap at the first boundary is
+    // |40/100 - 0/100| = 4000 bp; at the second |70/100 - 0| = 7000
+    val cur = Seq.tabulate(100)(_ => 9.0).toDF("v")
+    val r = Validate.ksDrift(ref, cur, "v", Seq(3.0, 6.0)).head
+    assert(r.getLong(0) == 7000L && r.getString(1) == "le_6.0")
+    assert(r.getLong(2) == 100L && r.getLong(3) == 100L)
+  }
+
   test("psiDrift is partition-count invariant") {
     val ref = Seq.tabulate(200)(i => (i % 17).toDouble).toDF("v")
     val cur = Seq.tabulate(150)(i => (i % 13).toDouble).toDF("v")
