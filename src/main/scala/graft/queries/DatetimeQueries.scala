@@ -384,6 +384,32 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("source"))
     }),
 
+    // inter-event cadence per user (NEW r8): gap count, exact mean gap
+    // (integer division of second-quantized gaps), and the coefficient
+    // of variation in floor bp — the burstiness screen (bots are
+    // metronomes, cv→0; bursty humans cv≫1). The only non-integer
+    // steps are one IEEE-exact SQRT and one division on exact operands
+    "q208_cadence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"))
+        .withColumn("next_us", lead(col("t_us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("g", expr("(next_us - t_us) div 1000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("g")).as("s"), sum(col("g") * col("g")).as("ssq"))
+        .filter(col("s") > 0)
+        .select(col("user_id"), col("n_gaps"),
+          expr("s div n_gaps").as("mean_gap_s"),
+          expr("CAST(FLOOR(10000.0 * SQRT(CAST(n_gaps * ssq - s * s AS DOUBLE))" +
+            " / CAST(s AS DOUBLE)) AS BIGINT)").as("cv_bp"))
+        .orderBy(col("user_id"))
+    }),
+
     // per-user OLS trend (NEW r8): slope/intercept/R² of value cents
     // against event position — exact integer sufficient statistics,
     // final ratios the only doubles (shared expression strings)
@@ -654,6 +680,23 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
         |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    "q208_cadence" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+        |l AS (SELECT user_id, t_us,
+        |    LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+        |      AS next_us FROM e),
+        |g AS (SELECT user_id, (next_us - t_us) // 1000000 AS g FROM l
+        |  WHERE next_us IS NOT NULL),
+        |a AS (SELECT user_id, COUNT(*) AS n_gaps,
+        |    CAST(SUM(g) AS BIGINT) AS s,
+        |    CAST(SUM(g * g) AS BIGINT) AS ssq
+        |  FROM g GROUP BY user_id)
+        |SELECT user_id, n_gaps, s // n_gaps AS mean_gap_s,
+        |  CAST(FLOOR(10000.0 * SQRT(CAST(n_gaps * ssq - s * s AS DOUBLE))
+        |    / CAST(s AS DOUBLE)) AS BIGINT) AS cv_bp
+        |FROM a WHERE s > 0 ORDER BY user_id""".stripMargin,
 
     "q206_group_ols" -> {
       import graft.ops.FrameOps
