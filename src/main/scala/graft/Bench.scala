@@ -90,11 +90,19 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 16) { sinceGc = 0; System.gc() }
     }
+    // A crashed query must be VISIBLE: it benches at its failure time,
+    // is named on stderr, and lands in the JSON "errors" field — a
+    // silent catch would report a broken query as a ~0 s "win" and let
+    // bench diverge from correctness (r8 verdict item 5).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def runPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
         tag: String): Seq[(String, Double)] = order.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors(name) = e.getClass.getSimpleName
+        System.err.println(s"[bench] ERROR $tag $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       purge()
       println(f"[bench] $tag $name%-28s ${sec}%9.3f s")
@@ -112,7 +120,9 @@ object Bench {
         val key = if (short) k.takeWhile(_ != '_') else k
         "\"" + key + "\":" + s"%.${dec}f".format(v)
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val errs = errors.keys.map(k =>
+        "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
     // full-name copy for humans/judge; short-key line for the driver tail
     java.nio.file.Files.writeString(

@@ -136,14 +136,17 @@ object HashSpec {
     s
   }
 
-  /** Ukkonen-banded Levenshtein over UTF-16 code units: exact distance
-    * when <= k, −1 otherwise. Visits only the |i−j| <= k band
+  /** Ukkonen-banded Levenshtein over Unicode CODE POINTS: exact
+    * distance when <= k, −1 otherwise. Visits only the |i−j| <= k band
     * (O(k·len) time, O(len) space) and exits as soon as a whole row's
-    * band exceeds k.
+    * band exceeds k. Code points (not UTF-16 code units — r8 advice)
+    * so the metric agrees with character-counting engines (DuckDB
+    * `levenshtein`, the q198 oracle) on supplementary-plane text too,
+    * not just ASCII/BMP.
     */
   def editDistanceBounded(a: UTF8String, b: UTF8String, k: Int): Int = {
-    val s = a.toString
-    val t = b.toString
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     val n = s.length
     val m = t.length
     if (math.abs(n - m) > k) return -1
@@ -164,7 +167,7 @@ object HashSpec {
       var best = INF
       var jj = lo
       while (jj <= hi) {
-        val cost = if (s.charAt(i - 1) == t.charAt(jj - 1)) 0 else 1
+        val cost = if (s(i - 1) == t(jj - 1)) 0 else 1
         var v = prev(jj - 1) + cost
         if (prev(jj) + 1 < v) v = prev(jj) + 1
         if (cur(jj - 1) + 1 < v) v = cur(jj - 1) + 1
@@ -258,7 +261,12 @@ case class RandomProjectionBits(child: Expression, nBits: Int) extends UnaryExpr
   * Differential gate: DuckDB replays it as
   * CASE WHEN levenshtein(a,b) <= k THEN levenshtein(a,b) ELSE -1 END —
   * an INDEPENDENT full-matrix implementation agreeing with the banded
-  * one exactly on every in-band value (q198).
+  * one exactly on every in-band value (q198) — for ASCII text (the
+  * q198 fixture). On non-ASCII the engines deliberately diverge:
+  * DuckDB's levenshtein counts UTF-8 BYTES (measured: '😀'→'a' = 4),
+  * while this kernel counts Unicode code points — the semantics of
+  * Spark's builtin levenshtein, with which it agrees on ALL text
+  * (spec-gated in TextHashesSpec, incl. supplementary-plane).
   */
 case class EditDistanceBounded(left: Expression, right: Expression,
     bound: Int) extends BinaryExpression {

@@ -127,7 +127,16 @@ object Graph {
       .crossJoin(seeded.agg(count(lit(1)).as("ns"))).first()
     val (nv, ns) = (counts.getLong(0), counts.getLong(1))
     require(ns > 0, "seed set shares no node with the edge list")
-    val basePpb = (100L - dampingPct) * 1000000000L * nv / (100L * ns)
+    // (100−d)·1e9·nv wraps a plain Long once nv passes ~6·10⁸ nodes
+    // (r8 advice) — a real range for web-scale link graphs, so the
+    // product goes through BigInt; the floor-division semantics (and
+    // therefore the oracle) are unchanged, and the RESULT fits a Long
+    // again (per-seed base ≤ 1e9·nv/ns ≤ 1e9·nv, guarded below)
+    val basePpbBig = BigInt(100L - dampingPct) * BigInt(1000000000L) *
+      BigInt(nv) / (BigInt(100L) * BigInt(ns))
+    require(basePpbBig.isValidLong,
+      s"per-seed teleport mass overflows Long: nv=$nv ns=$ns")
+    val basePpb = basePpbBig.toLong
     val base = nodes.join(s0, Seq("node"), "left_semi")
       .select(col("node"), lit(basePpb).as("b"))
     var ranks = nodes.join(base, Seq("node"), "left")

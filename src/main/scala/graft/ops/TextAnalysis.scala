@@ -538,8 +538,11 @@ object TextAnalysis {
     *   1. trim; 2. drop the #fragment; 3. lowercase scheme://host
     *   (path case is significant and kept); 4. strip a leading www.;
     *   5. strip default ports :80/:443; 6. remove tracking params
-    *   (utm_*, gclid, fbclid, ref) and tidy the separators left
-    *   behind; 7. drop a now-empty trailing '?'.
+    *   (utm_*, gclid, fbclid, ref) — anchored to a preceding '?' or
+    *   '&' so 'href='/'pref=' params and path segments like
+    *   '/ref=sr_1_1' are untouched (r8 advice: the unanchored form
+    *   matched inside other tokens) — then tidy the separators left
+    *   behind; 7. drop a now-empty trailing '?'/'&'.
     * Pure codegen'd regexp chain (no UDF); the q195 oracle implements
     * the same steps independently in DuckDB's regex dialect, so the
     * gate is engine-agreement on a shared VALUES fixture — q149's
@@ -555,9 +558,12 @@ object TextAnalysis {
     val noPort = regexp_replace(noWww,
       "^([a-z][a-z0-9+.-]*://[^/:]+):(?:80|443)(/|$)", "$1$2")
     val noTrack = regexp_replace(noPort,
-      "(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*&?", "")
-    val fixSep = regexp_replace(noTrack, "[?&]$", "")
-    regexp_replace(fixSep, "\\?&", "?")
+      "([?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*", "$1")
+    // tidy: collapse the '&' runs the removals left, turn '?&' into
+    // '?', then drop a dangling trailing separator
+    val collapsed = regexp_replace(noTrack, "&&+", "&")
+    val fixHead = regexp_replace(collapsed, "\\?&", "?")
+    regexp_replace(fixHead, "[?&]+$", "")
   }
 
   /** Canonical-URL dedup census: group by [[canonicalUrl]], report

@@ -244,9 +244,12 @@ object Validate {
     * slices, in floor basis points — the rank-style companion to
     * PSI (PSI weights density ratios; KS catches a pure location
     * shift even when densities stay comparable). ENTIRELY integer:
-    * |cum_ref/t_ref − cum_cur/t_cur| is evaluated cross-multiplied as
-    * |cum_ref·t_cur − cum_cur·t_ref|·10⁴ div (t_ref·t_cur), so there
-    * is no floating point anywhere and no Laplace floor is needed.
+    * each side's CDF is floor-quantized to basis points on its own
+    * total — (cum·10⁴) div total — and the gap is the |difference| of
+    * those two bp values (≤1 bp quantization, fully deterministic).
+    * The r8 cross-multiplied form |cr·t_cur − cc·t_ref|·10⁴ overflowed
+    * BIGINT once each side passed ~10⁷–10⁸ rows (ANSI would throw at
+    * runtime); the per-side form is safe to ~9·10¹⁴ rows per slice.
     *
     * @return one row: (ks_bp, at_bucket — the first ladder bucket
     *         attaining the max, n_ref, n_cur)
@@ -280,7 +283,7 @@ object Validate {
       .withColumn("t_ref", sum(col("nr")).over(wAll))
       .withColumn("t_cur", sum(col("nc")).over(wAll))
       .withColumn("gap_bp",
-        expr("(abs(cr * t_cur - cc * t_ref) * 10000) div (t_ref * t_cur)"))
+        expr("abs((cr * 10000) div t_ref - (cc * 10000) div t_cur)"))
     val best = Window.orderBy(col("gap_bp").desc, col("pos"))
     cum.withColumn("__rk", row_number().over(best))
       .filter(col("__rk") === 1)

@@ -579,11 +579,18 @@ object CorpusQueries extends QueryGroup {
 
     // feature-hashed bag-of-words vectors: text → fixed-width
     // array<float> with no trained vocabulary; integer signed counts,
-    // so the embedding is bit-identical across engines
+    // so the embedding is bit-identical across engines. Gated as the
+    // q91 sig_str convention — the raw array<float> column crashes the
+    // driver's pandas hasher (r8 red row), and the values are
+    // integer-valued, so a cast-to-long comma join is deterministic
     "q176_hashed_bow" -> ((s, d) => {
       Corpus.hashedBowVectors(
           Tables.documents(s, d).filter(col("doc_id") % 25 === 0),
           "doc_id", "text", dim = 64)
+        .select(col("doc_id"),
+          array_join(transform(col("vec"),
+            v => v.cast("long").cast("string")), ",").as("vec_str"),
+          col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1264,10 +1271,12 @@ object CorpusQueries extends QueryGroup {
          |  FROM cells GROUP BY 1),
          |grid AS (SELECT doc_id, r.i
          |  FROM (SELECT DISTINCT doc_id FROM cells) CROSS JOIN range(0, 64) r(i)),
-         |jn AS (SELECT g.doc_id, g.i, CAST(COALESCE(c.v, 0) AS FLOAT) AS val
+         |jn AS (SELECT g.doc_id, g.i, CAST(COALESCE(c.v, 0) AS BIGINT) AS val
          |  FROM grid g LEFT JOIN cells c ON g.doc_id = c.doc_id AND g.i = c.i),
-         |v AS (SELECT doc_id, list(val ORDER BY i) AS vec FROM jn GROUP BY doc_id)
-         |SELECT v.doc_id, v.vec, nt.n_tokens FROM v JOIN nt USING (doc_id)
+         |v AS (SELECT doc_id,
+         |    string_agg(CAST(val AS VARCHAR), ',' ORDER BY i) AS vec_str
+         |  FROM jn GROUP BY doc_id)
+         |SELECT v.doc_id, v.vec_str, nt.n_tokens FROM v JOIN nt USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "q174b_nb_accuracy" ->

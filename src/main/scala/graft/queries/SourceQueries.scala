@@ -250,9 +250,9 @@ object SourceQueries extends QueryGroup {
         sensitive = Some("bal_sign"))
     }),
 
-    // KS drift statistic (NEW r8): max CDF gap between the same two
-    // slices as q189 — cross-multiplied pure-integer arithmetic, the
-    // rank-style companion to PSI
+    // KS drift statistic (NEW r8, r9 overflow-proofed): max CDF gap
+    // between the same two slices as q189 — per-side floor-bp CDFs
+    // diffed in pure integers, the rank-style companion to PSI
     "q207_ks_drift" -> ((s, d) => {
       val ev = Tables.events(s, d)
       graft.ops.Validate.ksDrift(
@@ -484,8 +484,8 @@ object SourceQueries extends QueryGroup {
          |    CAST(SUM(nc) OVER () AS BIGINT) AS t_cur
          |  FROM j),
          |g AS (SELECT bucket, pos, t_ref, t_cur,
-         |    CAST((ABS(cr * t_cur - cc * t_ref) * 10000)
-         |      // (t_ref * t_cur) AS BIGINT) AS gap_bp
+         |    CAST(ABS((cr * 10000) // t_ref - (cc * 10000) // t_cur)
+         |      AS BIGINT) AS gap_bp
          |  FROM c),
          |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY gap_bp DESC, pos)
          |    AS r FROM g)

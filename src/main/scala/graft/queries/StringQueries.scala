@@ -321,7 +321,16 @@ object StringQueries extends QueryGroup {
     7 -> "https://other.org/a?fbclid=zz&q=2&ref=tw",
     8 -> "https://other.org/a?q=2",
     9 -> "http://unique.io/solo",
-    10 -> "https://example.com/page")  // path case differs from /Page — stays separate
+    10 -> "https://example.com/page",  // path case differs from /Page — stays separate
+    // r9 adversarial rows (advice): params/paths the old UNANCHORED
+    // tracking regex mangled — 'href='/'pref=' must survive, a
+    // '/ref=' path segment must survive, and a run of tracking params
+    // must collapse cleanly
+    11 -> "https://other.org/a?href=tw&q=2",
+    12 -> "https://shop.example.com/dp/B01/ref=sr_1_1?pref=keep&utm_source=x",
+    13 -> "https://shop.example.com/dp/B01/ref=sr_1_1?pref=keep",
+    14 -> "https://track.example.org/p?utm_aa=1&utm_bb=2&gclid=g",
+    15 -> "https://track.example.org/p")
 
   /** URL fixture shared by q149 and its oracle (VALUES on both sides,
     * like q108): each engine parses independently with the SAME
@@ -525,9 +534,10 @@ object StringQueries extends QueryGroup {
          |    '^([a-z][a-z0-9+.-]*://[^/:]+):(?:80|443)(/|$$)', '\\1\\2') AS c
          |  FROM s3),
          |s5 AS (SELECT uid, regexp_replace(c,
-         |    '(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*&?', '', 'g') AS c FROM s4),
-         |s6 AS (SELECT uid, regexp_replace(regexp_replace(c, '[?&]$$', ''),
-         |    '\\?&', '?') AS c FROM s5)
+         |    '([?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '\\1', 'g') AS c
+         |  FROM s4),
+         |s6 AS (SELECT uid, regexp_replace(regexp_replace(regexp_replace(c,
+         |    '&&+', '&', 'g'), '\\?&', '?'), '[?&]+$$', '') AS c FROM s5)
          |SELECT c AS canonical, COUNT(*) AS n_variants,
          |  CAST(MIN(uid) AS BIGINT) AS keep_id
          |FROM s6 GROUP BY c ORDER BY c""".stripMargin

@@ -254,24 +254,44 @@ object WindowQueries extends QueryGroup {
     }),
 
     // expanding pairwise stats (pandas expanding().corr(other)/
-    // cov(other)): q71d's one-pass ratio formulation on the unbounded-
-    // preceding frame, min_periods=2 gate like q72b — corr as
-    // cov/(sx*sy) with nullif (Spark 4 ANSI corr throws on 0/0 where
-    // DuckDB/pandas return null)
+    // cov(other)) on the unbounded-preceding frame, min_periods=2 gate
+    // like q72b. r8's ROUND(COVAR_SAMP OVER w, 6) form hash-failed:
+    // Spark's running accumulation and DuckDB's segment tree
+    // re-associate the double sums differently (last-ulp drift flips
+    // ROUND on boundary values). This rewrite is the q72b/q206 exact
+    // integer-sufficient-statistics pattern: `value` sits on a
+    // 2-decimal grid so cents = round(value*100) is an exact BIGINT,
+    // y = event_id % 17 is integral, and the six window moments
+    // (n, Σx, Σy, Σxy, Σxx, Σyy) are exact BIGINT sums in BOTH
+    // engines. cov and corr are then the SAME sequence of IEEE ops
+    // on identical integers (cast→mul→sqrt→div are each correctly
+    // rounded per IEEE-754) → bit-identical doubles, no ROUND needed.
+    // Overflow bound: n·Σxx ≤ n²·max(cents)² — safe to ~5e4 rows per
+    // user-partition under ANSI (which fail-fasts loudly beyond).
     "q72d_expanding_corr_cov" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val cnt = count(lit(1)).over(w)
+      val x = round(col("value") * 100, 0).cast("long")
+      val y = (col("event_id") % 17).cast("long")
+      val sx = sum(x).over(w)
+      val sy = sum(y).over(w)
+      val sxy = sum(x * y).over(w)
+      val sxx = sum(x * x).over(w)
+      val syy = sum(y * y).over(w)
+      val num = cnt * sxy - sx * sy
+      val dxx = cnt * sxx - sx * sx
+      val dyy = cnt * syy - sy * sy
       Tables.events(s, d)
         .filter(col("user_id") % 9 === 0)
-        .withColumn("y", (col("event_id") % 17).cast("double"))
         .select(
           col("user_id"), col("event_id"),
-          when(cnt >= 2, round(covar_samp(col("value"), col("y")).over(w) /
-            nullif(stddev_samp(col("value")).over(w) *
-              stddev_samp(col("y")).over(w), lit(0.0)), 6)).as("exp_corr"),
+          when(cnt >= 2 && dxx > 0 && dyy > 0,
+            num.cast("double") /
+              sqrt(dxx.cast("double") * dyy.cast("double"))).as("exp_corr"),
           when(cnt >= 2,
-            round(covar_samp(col("value"), col("y")).over(w), 6)).as("exp_cov"),
+            num.cast("double") / (cnt * (cnt - 1)).cast("double") / lit(100.0))
+            .as("exp_cov"),
           cnt.as("exp_n"))
         .orderBy(col("user_id"), col("event_id"))
     }),
@@ -783,20 +803,28 @@ object WindowQueries extends QueryGroup {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q72d_expanding_corr_cov" ->
-      """SELECT user_id, event_id,
-        |  CASE WHEN COUNT(*) OVER w >= 2 THEN
-        |    ROUND(COVAR_SAMP(value, CAST(event_id % 17 AS DOUBLE)) OVER w /
-        |      NULLIF(STDDEV_SAMP(value) OVER w *
-        |        STDDEV_SAMP(CAST(event_id % 17 AS DOUBLE)) OVER w, 0.0), 6)
+      """WITH m AS (
+        |  SELECT user_id, event_id,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |    SUM(x * y) OVER w AS sxy,
+        |    SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+        |  FROM (SELECT user_id, event_id, ts,
+        |          CAST(ROUND(value * 100) AS BIGINT) AS x,
+        |          CAST(event_id % 17 AS BIGINT) AS y
+        |        FROM events WHERE user_id % 9 = 0)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
         |  END AS exp_corr,
-        |  CASE WHEN COUNT(*) OVER w >= 2 THEN
-        |    ROUND(COVAR_SAMP(value, CAST(event_id % 17 AS DOUBLE)) OVER w, 6)
+        |  CASE WHEN n >= 2 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 100.0
         |  END AS exp_cov,
-        |  COUNT(*) OVER w AS exp_n
-        |FROM events WHERE user_id % 9 = 0
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
+        |  n AS exp_n
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
 
     "q72c_cummin_cumprod" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey,

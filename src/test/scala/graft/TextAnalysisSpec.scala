@@ -220,6 +220,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(keep == Set("https://example.com/page", "not a url"))
   }
 
+  test("canonicalUrl tracking regex is boundary-anchored (r8 advice)") {
+    import org.apache.spark.sql.functions.col
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("url").select(TextAnalysis.canonicalUrl(col("url")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+    // href=/pref= params and a /ref= path segment must SURVIVE; only
+    // whole ?/&-anchored tracking param names are stripped
+    assert(canon("https://other.org/a?href=tw&q=2")
+      == Seq("https://other.org/a?href=tw&q=2"))
+    assert(canon("https://s.example.com/dp/B01/ref=sr_1_1?pref=keep&utm_source=x")
+      == Seq("https://s.example.com/dp/B01/ref=sr_1_1?pref=keep"))
+    // runs of tracking params collapse with clean separators
+    assert(canon("https://t.org/p?utm_aa=1&utm_bb=2&gclid=g")
+      == Seq("https://t.org/p"))
+    assert(canon("https://t.org/p?ref=x&q=1&utm_z=2")
+      == Seq("https://t.org/p?q=1"))
+  }
+
   test("scriptProfile: counts, bp shares, dominant per script") {
     import org.apache.spark.sql.functions.col
     val df = Seq("abc мир", "中文", "!!!").toDF("text")

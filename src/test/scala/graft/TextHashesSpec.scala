@@ -85,4 +85,25 @@ class TextHashesSpec extends SparkSpec {
       .select(TextHashes.edit_distance_bounded(col("a"), col("b"), 3).as("d"))
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, -1))
   }
+
+  test("editDistanceBounded counts code points, matching Spark builtin on non-ASCII") {
+    // deliberate divergence from DuckDB levenshtein (UTF-8 BYTES:
+    // '😀'→'a' measures 4 there); the kernel's contract is Unicode
+    // code points — the semantics of Spark's own levenshtein — so gate
+    // agreement with the builtin on BMP + supplementary-plane text
+    import spark.implicits._
+    val pairs = Seq(("café", "cafe"), ("😀", "a"), ("ab😀cd", "abcd"),
+      ("привет", "привёт"), ("中文文本", "中文"), ("𝕏y", "xy"))
+    val df = pairs.toDF("a", "b").select(
+      TextHashes.edit_distance_bounded(col("a"), col("b"), 10).as("banded"),
+      levenshtein(col("a"), col("b")).as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"banded=${r.getInt(0)} builtin=${r.getInt(1)}")
+    }
+    // out-of-band sentinel still fires on non-ASCII
+    val far = Seq(("😀😀😀😀😀", "x")).toDF("a", "b")
+      .select(TextHashes.edit_distance_bounded(col("a"), col("b"), 2).as("d"))
+    assert(far.collect().head.getInt(0) == -1)
+  }
 }
