@@ -212,13 +212,15 @@ object Graph {
     out
   }
 
-  /** k-core peeling with a fixed round count — the link-farm / spam-
-    * cluster screen (a dense core that survives repeated peeling is
-    * the classic web-spam signal; singleton-ish hosts fall out in the
-    * first rounds). Each round drops every node with fewer than k
-    * distinct neighbors and all its edges; `rounds` rounds give the
-    * standard fixed-depth approximation of the true k-core (which is
-    * the fixpoint). Degrees are integers; the result is engine-exact.
+  /** k-core peeling — the link-farm / spam-cluster screen (a dense
+    * core that survives repeated peeling is the classic web-spam
+    * signal; singleton-ish hosts fall out in the first rounds). Each
+    * round drops every node with fewer than k distinct neighbors and
+    * all its edges. `rounds` >= 1 gives the fixed-depth approximation
+    * of the true k-core; `rounds = -1` peels until the edge set stops
+    * shrinking — the exact k-core fixpoint (gated as q180b against an
+    * oracle unrolled past the fixture's measured convergence depth).
+    * Degrees are integers; the result is engine-exact.
     *
     * The input is treated as undirected: edges are symmetrized and
     * de-duplicated internally, so degree = distinct-neighbor count.
@@ -234,21 +236,38 @@ object Graph {
   def kCorePeel(edges: DataFrame, src: String, dst: String,
       k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(rounds >= 1 && rounds <= 50,
-      s"rounds must be in [1, 50], got $rounds")
+    require(rounds == -1 || (rounds >= 1 && rounds <= 50),
+      s"rounds must be in [1, 50] or -1 (peel to fixpoint), got $rounds")
+    // rounds >= 1 peels a FIXED depth (gate-friendly, oracle unrolls
+    // exactly — but an approximation of the true core); rounds = -1
+    // iterates until the surviving edge count stops changing, which IS
+    // the k-core. Convergence needs at most |V| rounds (each non-final
+    // round removes >= 1 node); the loop already materializes a
+    // count() per round, so the fixpoint test is free. Fixpoint rounds
+    // cut lineage with an eager localCheckpoint, NOT persist: persist
+    // caches execution but the LOGICAL plan still nests — each round
+    // references the previous round's plan 3× (the edge frame plus the
+    // two semi-join sides), so an unbounded loop grows the tree 3^i
+    // and Catalyst analysis hangs long before execution does (hit at
+    // ~12 rounds). Fixed-depth mode keeps plain persist — ≤50 rounds
+    // is bounded and the shipped 3-round plans stay bit-identical.
+    val fixpoint = rounds == -1
     val sym = edges.select(col(src).cast("long").as("src"),
         col(dst).cast("long").as("dst"))
     var e = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct().persist()
+    var prevCount = if (fixpoint) e.count() else -1L
     var i = 0
-    while (i < rounds) {
+    var stable = false
+    while (if (fixpoint) !stable else i < rounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("node"))
-      val next = e
+      val peeled = e
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        .persist()
-      next.count() // materialize before releasing the previous round
+      val next = if (fixpoint) peeled.localCheckpoint(true) else peeled.persist()
+      val n = next.count() // materialize before releasing the previous round
+      if (fixpoint) { stable = n == prevCount; prevCount = n }
       e.unpersist(blocking = false)
       e = next
       i += 1
@@ -357,11 +376,24 @@ object Graph {
     * exact on the thresholded graph. `minCommon` prunes the output to
     * pairs with real support.
     *
+    * `numParts` bounds PER-TASK memory at the wedge (x, y) aggregation
+    * — the stage that concentrates the densest pivot neighborhoods and
+    * peaked at 646 MiB/task in the r8 100× stress. The default −1
+    * AUTO-SIZES from the exact wedge count Σ deg·(deg−1)/2 over capped
+    * pivots (one bounded agg on the already-needed degree frame):
+    * ~500 k wedge rows per task ≈ a low-hundreds-MiB fixed-width-longs
+    * task, clamped to 4096, and DISABLED when the derived width does
+    * not exceed the session shuffle parallelism — small-SF plans are
+    * bit-identical and the 100 TB shape engages by itself (the q154b
+    * [[Corpus.dedupSpansRewrite]] knob, same calibration idea).
+    * 0 forces off; >0 overrides.
+    *
     * @return (x, y, cn, aa_nano) per candidate pair, x < y, pair NOT
     *         an existing edge, cn >= minCommon
     */
   def linkPredict(edges: DataFrame, src: String, dst: String,
-      maxPivotDeg: Int = 1000, minCommon: Int = 2): DataFrame = {
+      maxPivotDeg: Int = 1000, minCommon: Int = 2,
+      numParts: Int = -1): DataFrame = {
     require(maxPivotDeg >= 2, s"maxPivotDeg must be >= 2, got $maxPivotDeg")
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
     val e0 = edges.select(col(src).cast("long").as("a"),
@@ -373,11 +405,25 @@ object Graph {
       .persist()
     val adj = e0.select(col("a").as("u"), col("b").as("v"))
       .union(e0.select(col("b").as("u"), col("a").as("v")))
-    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
+    val parts =
+      if (numParts >= 0) numParts
+      else {
+        val sessionParts = edges.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt
+        val wedges = Option(deg.filter(col("deg") <= maxPivotDeg)
+            .agg(sum(expr("deg * (deg - 1) div 2"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val want = (wedges / 500000L).toInt
+        if (want <= sessionParts) 0 else math.min(want, 4096)
+      }
     val small = adj.join(deg.filter(col("deg") <= maxPivotDeg), "u")
-    val scores = small.select(col("u"), col("v").as("x"), col("deg"))
+    val wedgeRows = small.select(col("u"), col("v").as("x"), col("deg"))
       .join(small.select(col("u"), col("v").as("y")), "u")
       .filter(col("x") < col("y"))
+    val parted = if (parts > 0)
+      wedgeRows.repartition(parts, col("x"), col("y")) else wedgeRows
+    val scores = parted
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("cn"), sum(expr(aaGainExpr)).as("aa_nano"))
       .filter(col("cn") >= minCommon)
@@ -386,6 +432,7 @@ object Graph {
         Seq("x", "y"), "left_anti")
       .localCheckpoint(true)
     e0.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     out
   }
 

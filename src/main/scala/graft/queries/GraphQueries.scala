@@ -95,6 +95,23 @@ object GraphQueries extends QueryGroup {
         .orderBy(col("node"))
     }),
 
+    // k-core peel to FIXPOINT (rounds = -1, NEW r9): the TPC-H graph
+    // converges after ONE effective peel at every fixture scale
+    // (measured), which would gate nothing — so the fixpoint path runs
+    // on a designed cascade fixture (q195's VALUES convention): a
+    // 10-node chain welded to a triangle plus a star. Peeling at k = 2
+    // strips one chain node per round (~10 cascading rounds) before
+    // the triangle stabilizes as the exact 2-core — a depth at which
+    // fixed-3-round peeling and the true fixpoint give DIFFERENT
+    // answers, so the gate actually discriminates. Oracle unrolls 14
+    // peels (> measured depth; converged peels are no-ops).
+    "q180b_kcore_fixpoint" -> ((s, d) => {
+      import s.implicits._
+      Graph.kCorePeel(kcoreFixture.toDF("src", "dst"), "src", "dst",
+          k = 2, rounds = -1)
+        .orderBy(col("node"))
+    }),
+
     // triangle census + clustering coefficient over the supplier
     // co-occurrence graph (suppliers sharing an order among high-
     // quantity lineitems — the bipartite q171 graph is triangle-free
@@ -126,6 +143,18 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     })
   )
+
+  /** Cascade fixture for q180b (VALUES both sides): chain 1–…–10
+    * welded at node 10 to triangle 100-101-102, plus a star
+    * 200→(201…205). A k = 2 peel strips one chain end per round and
+    * dissolves the star in two; the fixpoint is exactly the triangle,
+    * reached after ~10 cascading rounds.
+    */
+  private val kcoreFixture: Seq[(Long, Long)] = Seq(
+    1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 7L,
+    7L -> 8L, 8L -> 9L, 9L -> 10L, 10L -> 100L,
+    100L -> 101L, 101L -> 102L, 102L -> 100L,
+    200L -> 201L, 200L -> 202L, 200L -> 203L, 200L -> 204L, 200L -> 205L)
 
   /** Unipartite supplier co-occurrence graph: s1 — s2 iff both supplied
     * high-quantity (>= 45) lineitems of the same order. Per-order
@@ -240,6 +269,30 @@ object GraphQueries extends QueryGroup {
          |${peel(2)},
          |${peel(3)}
          |SELECT src AS node, COUNT(*) AS degree FROM e3
+         |GROUP BY src ORDER BY node""".stripMargin
+    },
+
+    "q180b_kcore_fixpoint" -> {
+      // 14 unrolled peels > the fixture's measured ~11-round cascade;
+      // once converged each further peel is a no-op, so e14 IS the
+      // fixpoint the Spark side iterates to. Every peel CTE is
+      // MATERIALIZED: DuckDB 1.0 inlines plain CTEs, and each round
+      // references the previous one 3× — un-materialized, the planner
+      // explodes 3^14 (hangs), the exact analysis-time blowup the
+      // Spark side dodges with per-round localCheckpoint
+      val vals = kcoreFixture.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      def peel(i: Int): String =
+        s"""k$i AS MATERIALIZED (SELECT src FROM
+           |  (SELECT src, COUNT(*) AS c FROM e${i - 1}
+           |  GROUP BY src) WHERE c >= 2),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+      s"""WITH raw AS (SELECT * FROM (VALUES $vals) AS v(src, dst)),
+         |e0 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+         |  WHERE src != dst),
+         |${(1 to 14).map(peel).mkString(",\n")}
+         |SELECT src AS node, COUNT(*) AS degree FROM e14
          |GROUP BY src ORDER BY node""".stripMargin
     },
 

@@ -67,40 +67,65 @@ object WindowQueries extends QueryGroup {
 
     // rolling dispersion (reference rolling.std/var — sample ddof=1,
     // the pandas default); windows shorter than 2 give null on both
-    // engines
+    // engines. r9: migrated off ROUND(double window agg, 6) — the q72d
+    // failure class — onto the exact integer-cents moment pattern:
+    // the window sums are exact BIGINTs in both engines and the final
+    // cast→div→sqrt sequence is IEEE-identical, so no rounding is
+    // needed at all
     "q71c_rolling_std" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(-4, 0)
+      val x = round(col("value") * 100, 0).cast("long")
+      val cnt = count(lit(1)).over(w)
+      val sx = sum(x).over(w)
+      val sxx = sum(x * x).over(w)
+      val dxx = cnt * sxx - sx * sx
+      val denom = (cnt * (cnt - 1)).cast("double")
       Tables.events(s, d)
         .filter(col("user_id") % 9 === 0)
         .select(
           col("user_id"), col("event_id"),
-          round(stddev_samp(col("value")).over(w), 6).as("roll_std"),
-          round(var_samp(col("value")).over(w), 6).as("roll_var"),
-          count(lit(1)).over(w).as("roll_n"))
+          when(cnt >= 2,
+            sqrt(dxx.cast("double") / denom) / lit(100.0)).as("roll_std"),
+          when(cnt >= 2,
+            dxx.cast("double") / denom / lit(10000.0)).as("roll_var"),
+          cnt.as("roll_n"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 
     // rolling pairwise stats (pandas rolling(5).corr(other)/cov(other)):
     // Pearson corr + sample cov between two series over the same row
-    // frame — still ONE window pass, two more agg buffers
+    // frame. r9: migrated to the q72d integer-moment pattern — exact
+    // BIGINT window sums, corr/cov as one identical IEEE op sequence
+    // in both engines, no ROUND. The dxx/dyy > 0 guards reproduce the
+    // null contract of the old nullif(sx*sy, 0) form (constant frames
+    // and single-row frames → null in both engines; Spark 4 ANSI
+    // corr() would THROW there, which is why corr is never called)
     "q71d_rolling_corr_cov" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(-4, 0)
+      val x = round(col("value") * 100, 0).cast("long")
+      val y = (col("event_id") % 17).cast("long")
+      val cnt = count(lit(1)).over(w)
+      val sx = sum(x).over(w)
+      val sy = sum(y).over(w)
+      val sxy = sum(x * y).over(w)
+      val sxx = sum(x * x).over(w)
+      val syy = sum(y * y).over(w)
+      val num = cnt * sxy - sx * sy
+      val dxx = cnt * sxx - sx * sx
+      val dyy = cnt * syy - sy * sy
       Tables.events(s, d)
         .filter(col("user_id") % 9 === 0)
-        .withColumn("y", (col("event_id") % 17).cast("double"))
-        // corr as cov/(sx*sy) with a nullif guard: Spark 4's ANSI mode
-        // makes corr() THROW on a single-row frame (0/0), where DuckDB
-        // and pandas return null — the ratio of null-propagating aggs
-        // reproduces the null contract and the same Pearson value
         .select(
           col("user_id"), col("event_id"),
-          round(covar_samp(col("value"), col("y")).over(w) /
-            nullif(stddev_samp(col("value")).over(w) *
-              stddev_samp(col("y")).over(w), lit(0.0)), 6).as("roll_corr"),
-          round(covar_samp(col("value"), col("y")).over(w), 6).as("roll_cov"),
-          count(lit(1)).over(w).as("roll_n"))
+          when(cnt >= 2 && dxx > 0 && dyy > 0,
+            num.cast("double") /
+              sqrt(dxx.cast("double") * dyy.cast("double"))).as("roll_corr"),
+          when(cnt >= 2,
+            num.cast("double") / (cnt * (cnt - 1)).cast("double") / lit(100.0))
+            .as("roll_cov"),
+          cnt.as("roll_n"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 
@@ -241,15 +266,21 @@ object WindowQueries extends QueryGroup {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val cnt = count(lit(1)).over(w)
-      val cents = sum(round(col("value") * 100, 0).cast("long")).over(w)
+      val x = round(col("value") * 100, 0).cast("long")
+      val cents = sum(x).over(w)
+      // r9: exp_std also moved onto the exact integer moments (the
+      // last ROUND(double window agg) in the expanding family)
+      val sxx = sum(x * x).over(w)
+      val dxx = cnt * sxx - cents * cents
       Tables.events(s, d)
         .filter(col("user_id") % 9 === 0)
         .select(
           col("user_id"), col("event_id"),
-          round(sum(col("value")).over(w), 2).as("exp_sum"),
+          (cents.cast("double") / lit(100.0)).as("exp_sum"),
           when(cnt >= 2, cents.cast("double") / cnt / lit(100.0)).as("exp_mean_mp2"),
           when(cnt >= 2,
-            round(stddev_samp(col("value")).over(w), 6)).as("exp_std_mp2"))
+            sqrt(dxx.cast("double") / (cnt * (cnt - 1)).cast("double"))
+              / lit(100.0)).as("exp_std_mp2"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 
@@ -673,14 +704,28 @@ object WindowQueries extends QueryGroup {
 
   override def oracle: Map[String, String] = Map(
     "q71d_rolling_corr_cov" ->
-      """SELECT user_id, event_id,
-        |  ROUND(CORR(value, CAST(event_id % 17 AS DOUBLE)) OVER w, 6) AS roll_corr,
-        |  ROUND(COVAR_SAMP(value, CAST(event_id % 17 AS DOUBLE)) OVER w, 6) AS roll_cov,
-        |  COUNT(*) OVER w AS roll_n
-        |FROM events WHERE user_id % 9 = 0
-        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT user_id, event_id,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |    SUM(x * y) OVER w AS sxy,
+        |    SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+        |  FROM (SELECT user_id, event_id,
+        |          CAST(ROUND(value * 100) AS BIGINT) AS x,
+        |          CAST(event_id % 17 AS BIGINT) AS y
+        |        FROM events WHERE user_id % 9 = 0)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |  END AS roll_corr,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 100.0
+        |  END AS roll_cov,
+        |  n AS roll_n
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
 
     "q71e_rolling_median" ->
       """SELECT user_id, event_id,
@@ -790,17 +835,23 @@ object WindowQueries extends QueryGroup {
         |FROM s ORDER BY user_id, event_id""".stripMargin,
 
     "q72b_expanding" ->
-      """SELECT user_id, event_id,
-        |  ROUND(SUM(value) OVER w, 2) AS exp_sum,
-        |  CASE WHEN COUNT(*) OVER w >= 2
-        |    THEN CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
-        |         / COUNT(*) OVER w / 100.0 END AS exp_mean_mp2,
-        |  CASE WHEN COUNT(*) OVER w >= 2
-        |    THEN ROUND(STDDEV_SAMP(value) OVER w, 6) END AS exp_std_mp2
-        |FROM events WHERE user_id % 9 = 0
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT user_id, event_id,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(x) OVER w AS sx, SUM(x * x) OVER w AS sxx
+        |  FROM (SELECT user_id, event_id, ts,
+        |          CAST(ROUND(value * 100) AS BIGINT) AS x
+        |        FROM events WHERE user_id % 9 = 0)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CAST(sx AS DOUBLE) / 100.0 AS exp_sum,
+        |  CASE WHEN n >= 2
+        |    THEN CAST(sx AS DOUBLE) / n / 100.0 END AS exp_mean_mp2,
+        |  CASE WHEN n >= 2
+        |    THEN SQRT(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
+        |         / 100.0 END AS exp_std_mp2
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
 
     "q72d_expanding_corr_cov" ->
       """WITH m AS (
@@ -837,14 +888,24 @@ object WindowQueries extends QueryGroup {
         |ORDER BY l_orderkey, l_linenumber, l_suppkey""".stripMargin,
 
     "q71c_rolling_std" ->
-      """SELECT user_id, event_id,
-        |  ROUND(STDDEV_SAMP(value) OVER w, 6) AS roll_std,
-        |  ROUND(VAR_SAMP(value) OVER w, 6) AS roll_var,
-        |  COUNT(*) OVER w AS roll_n
-        |FROM events WHERE user_id % 9 = 0
-        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT user_id, event_id,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(x) OVER w AS sx, SUM(x * x) OVER w AS sxx
+        |  FROM (SELECT user_id, event_id,
+        |          CAST(ROUND(value * 100) AS BIGINT) AS x
+        |        FROM events WHERE user_id % 9 = 0)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CASE WHEN n >= 2
+        |    THEN SQRT(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
+        |         / 100.0 END AS roll_std,
+        |  CASE WHEN n >= 2
+        |    THEN CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)
+        |         / 10000.0 END AS roll_var,
+        |  n AS roll_n
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
 
     "q74b_ewm_mean" ->
       """WITH pre AS (SELECT user_id, event_id,

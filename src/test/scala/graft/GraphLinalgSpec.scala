@@ -84,6 +84,26 @@ class GraphLinalgSpec extends SparkSpec {
     assert(r1 == Set(1L, 2L, 3L, 4L))
   }
 
+  test("kCorePeel rounds = -1 peels to the exact fixpoint past fixed depth") {
+    // 8-node chain welded to a triangle: the cascade needs ~8 rounds,
+    // far past the fixed-3-round approximation — fixpoint must strip
+    // the whole chain and return exactly the triangle
+    val chain = (1L to 7L).map(i => (i, i + 1)) :+ (8L -> 100L)
+    val tri = Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val edges = (chain ++ tri).toDF("src", "dst")
+    val fix = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = -1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(fix == Map(100L -> 2L, 101L -> 2L, 102L -> 2L))
+    // fixed 3 rounds on the same graph is NOT yet converged
+    val approx = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.size > 3)
+    // an already-stable graph converges immediately
+    val stable = Graph.kCorePeel(tri.toDF("src", "dst"), "src", "dst",
+      k = 2, rounds = -1).collect().map(_.getLong(0)).toSet
+    assert(stable == Set(100L, 101L, 102L))
+  }
+
   test("kCorePeel symmetrizes and dedups directed/duplicate input") {
     // one-directional + duplicate edges must count as a single
     // undirected neighbor relation
