@@ -141,6 +141,25 @@ object GraphQueries extends QueryGroup {
           maxPivotDeg = 1000, minCommon = 2)
         .orderBy(col("cn").desc, col("aa_nano").desc, col("x"), col("y"))
         .limit(100)
+    }),
+
+    // harmonic centrality (NEW r9): the Common Crawl host-ranking
+    // metric, truncated at 3 hops, exact integer micro-units — over
+    // the q185-style sparse part co-occurrence graph at quantity >= 45
+    // (threshold raised from q185's 40: depth-3 exact balls on the
+    // >= 40 graph are ~4 M pairs at sf0.1 — 45 keeps the same shape
+    // at ~1/10 the pair volume; the supplier graph saturates complete
+    // at small SF: every ball would be everything)
+    "q209_harmonic_centrality" -> ((s, d) => {
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = hi.as("x").join(hi.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      Graph.harmonicCentralityMicro(edges, "src", "dst", maxDepth = 3)
+        .orderBy(col("harmonic_micro").desc, col("node"))
+        .limit(100)
     })
   )
 
@@ -352,6 +371,48 @@ object GraphQueries extends QueryGroup {
          |SELECT x, y, cn, aa_nano FROM sc
          |WHERE NOT EXISTS (SELECT 1 FROM e0
          |  WHERE e0.a = sc.x AND e0.b = sc.y)
-         |ORDER BY cn DESC, aa_nano DESC, x, y LIMIT 100""".stripMargin
+         |ORDER BY cn DESC, aa_nano DESC, x, y LIMIT 100""".stripMargin,
+
+    "q209_harmonic_centrality" ->
+      // unrolled 3-round simultaneous BFS; every round CTE is
+      // MATERIALIZED (plain CTEs inline and each round references the
+      // previous twice — the q180b planner-blowup lesson)
+      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+         |  FROM lineitem WHERE l_quantity >= 45),
+         |raw AS (SELECT x.sk AS a, y.sk AS b FROM hi x JOIN hi y
+         |  ON x.ok = y.ok AND x.sk < y.sk),
+         |e AS MATERIALIZED (SELECT esrc, edst FROM (
+         |  SELECT a AS esrc, b AS edst FROM raw WHERE a != b
+         |  UNION SELECT b, a FROM raw WHERE a != b)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT esrc AS node FROM e),
+         |r0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
+         |f1 AS MATERIALIZED (SELECT DISTINCT r.v, e.esrc AS u
+         |  FROM r0 r JOIN e ON r.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r0 x
+         |    WHERE x.v = r.v AND x.u = e.esrc)),
+         |r1 AS MATERIALIZED (SELECT v, u FROM r0 UNION SELECT v, u FROM f1),
+         |f2 AS MATERIALIZED (SELECT DISTINCT f.v, e.esrc AS u
+         |  FROM f1 f JOIN e ON f.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r1 x
+         |    WHERE x.v = f.v AND x.u = e.esrc)),
+         |r2 AS MATERIALIZED (SELECT v, u FROM r1 UNION SELECT v, u FROM f2),
+         |f3 AS MATERIALIZED (SELECT DISTINCT f.v, e.esrc AS u
+         |  FROM f2 f JOIN e ON f.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r2 x
+         |    WHERE x.v = f.v AND x.u = e.esrc)),
+         |cnt AS (
+         |  SELECT v, 1000000 * COUNT(*) AS h, COUNT(*) AS n FROM f1 GROUP BY v
+         |  UNION ALL
+         |  SELECT v, 500000 * COUNT(*) AS h, COUNT(*) AS n FROM f2 GROUP BY v
+         |  UNION ALL
+         |  SELECT v, 333333 * COUNT(*) AS h, COUNT(*) AS n FROM f3 GROUP BY v),
+         |agg AS (SELECT v, CAST(SUM(h) AS BIGINT) AS harmonic_micro,
+         |    CAST(SUM(n) AS BIGINT) AS n_reached
+         |  FROM cnt GROUP BY v)
+         |SELECT n.node,
+         |  COALESCE(a.harmonic_micro, 0) AS harmonic_micro,
+         |  COALESCE(a.n_reached, 0) AS n_reached
+         |FROM nodes n LEFT JOIN agg a ON n.node = a.v
+         |ORDER BY harmonic_micro DESC, n.node LIMIT 100""".stripMargin
   )
 }

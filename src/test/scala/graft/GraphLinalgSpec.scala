@@ -104,6 +104,29 @@ class GraphLinalgSpec extends SparkSpec {
     assert(stable == Set(100L, 101L, 102L))
   }
 
+  test("harmonicCentralityMicro: hand-checked path graph, directed vs undirected") {
+    // undirected path a(1)-b(2)-c(3), depth 3:
+    //   b: two nodes at d=1            -> 2,000,000
+    //   a: b at d=1 + c at d=2         -> 1,500,000
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val und = Graph.harmonicCentralityMicro(path, "src", "dst", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(und == Map(1L -> (1500000L, 2L), 2L -> (2000000L, 2L),
+      3L -> (1500000L, 2L)))
+    // directed 1→2→3: centrality counts IN-reachability (being linked
+    // to): node 3 sees 2 at d=1 and 1 at d=2; node 1 sees nothing
+    val dir = Graph.harmonicCentralityMicro(path, "src", "dst",
+      maxDepth = 3, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dir == Map(1L -> 0L, 2L -> 1000000L, 3L -> 1500000L))
+    // depth truncation: a 4-chain at maxDepth=1 only counts neighbors
+    val chain4 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val d1 = Graph.harmonicCentralityMicro(chain4, "src", "dst", maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(1L -> 1000000L, 2L -> 2000000L, 3L -> 2000000L,
+      4L -> 1000000L))
+  }
+
   test("kCorePeel symmetrizes and dedups directed/duplicate input") {
     // one-directional + duplicate edges must count as a single
     // undirected neighbor relation
