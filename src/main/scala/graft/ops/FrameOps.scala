@@ -1053,4 +1053,42 @@ object FrameOps {
       .drop("__chg")
       .drop(orderCols: _*)
   }
+
+  /** Point-in-time (temporal) enrichment join — the consumer side of
+    * [[scd2Intervals]]: attach to every fact row the dimension version
+    * that was valid at the fact's timestamp, i.e. the half-open
+    * interval `[valid_from, valid_to)` containing `ts` (null
+    * `valid_to` = current version, open-ended). Facts before a key's
+    * first version keep null attributes (left join).
+    *
+    * Spark-first plan: because the dimension carries an EQUALITY key,
+    * this is a plain key-equi-join (hash or sort-merge, AQE-eligible)
+    * with the interval predicate as a cheap post-filter — no range-bin
+    * machinery needed; per-key fan-out is bounded by that key's
+    * version count, and SCD2 intervals are non-overlapping by
+    * construction so each fact matches at most one version (a fact ON
+    * a boundary t matches only the interval OPENING at t — `[t, t)` is
+    * empty). At 100 TB both sides shuffle on the key once; the
+    * dimension is usually orders of magnitude smaller and broadcasts.
+    *
+    * @param facts fact rows; all columns pass through
+    * @param dim   SCD2 dimension: key + validFrom + validTo + attrs
+    * @return facts ++ the matching version's attribute columns
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+      ts: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val dimAttrs = dim.columns.filterNot(_ == key)
+    val clash = dimAttrs.toSet.intersect(facts.columns.toSet)
+    require(clash.isEmpty,
+      s"dimension columns collide with fact columns: ${clash.mkString(", ")}")
+    val f = facts.alias("__f")
+    val dm = dim.alias("__d")
+    val cond = col(s"__f.$key") === col(s"__d.$key") &&
+      col(s"__f.$ts") >= col(s"__d.$validFrom") &&
+      (col(s"__d.$validTo").isNull || col(s"__f.$ts") < col(s"__d.$validTo"))
+    f.join(dm, cond, "left")
+      .select(facts.columns.map(c => col(s"__f.$c")) ++
+        dimAttrs.map(c => col(s"__d.$c")): _*)
+  }
 }

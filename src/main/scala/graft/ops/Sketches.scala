@@ -81,6 +81,36 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as(as))
   }
 
+  /** CMS inner-product join-size estimate (the AMS/Count-Min
+    * equi-join cardinality estimator — Alon–Matias–Szegedy's F₂ idea
+    * applied to two relations): |A ⋈_key B| = Σ_k f_A(k)·f_B(k), and
+    * each sketch row j overestimates it as Σ_bucket cntA·cntB (hash
+    * collisions only ever ADD mass), so min over j is the classic
+    * never-undercounting estimate. THE planning primitive at 100 TB:
+    * both sketches are one scan + a (depth·width)-row frame each, so
+    * the engine can predict whether a join explodes before paying for
+    * it — no row of either table crosses the wire.
+    *
+    * Entirely integer arithmetic on the shared explicit hash family —
+    * DuckDB replays the whole estimator bit-for-bit. Overflow bound:
+    * Σ cntA·cntB ≤ |A|·|B|, so the estimate itself must fit a long —
+    * fine until both sides exceed ~3·10⁹ rows; beyond that route the
+    * products through DECIMAL(38,0).
+    *
+    * @return one row: (join_size_est, depth, width)
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame, key: String,
+      depth: Int, width: Int): DataFrame = {
+    val sa = cmsBuild(a, key, depth, width)
+    val sb = cmsBuild(b, key, depth, width).withColumnRenamed("cnt", "cnt_b")
+    sa.join(sb, Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+      .agg(min(col("dot")).as("join_size_est"))
+      .select(col("join_size_est"),
+        lit(depth).as("depth"), lit(width).as("width"))
+  }
+
   /** Mergeable one-pass histogram build over a fixed value range: the
     * shard-mergeable quantile substrate (the third tier beside q23's
     * exact sort-based quantile and q23b's approx_percentile contract).

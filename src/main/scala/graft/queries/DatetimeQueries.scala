@@ -338,6 +338,30 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // point-in-time enrichment join (NEW r9): the consumer side of
+    // q183 — every purchase fact picks up the event_type regime whose
+    // SCD2 validity interval contains the purchase timestamp; facts
+    // are a slice of the same log the dimension was built from, so
+    // every purchase lands in exactly one interval (often the one it
+    // itself opened — the boundary contract [from, to) is part of the
+    // gate). Plain key-equi-join + interval post-filter: the 100 TB
+    // plan, no range-bin machinery needed when an equality key exists
+    "q210_point_in_time_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") % 7 === 0)
+      val dim = graft.ops.FrameOps.scd2Intervals(
+          ev, "user_id", Seq("ts", "event_id"), Seq("event_type"))
+        .withColumnRenamed("event_type", "regime")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.ops.FrameOps.pointInTimeJoin(facts, dim, "user_id", "ts")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("regime"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // time-weighted average value per user (NEW r8): TWAP over the
     // irregular event stream — each observation holds until the next
     // one, so the mean weights value by holding duration. Exact
@@ -680,6 +704,29 @@ object DatetimeQueries extends QueryGroup {
         |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  STRFTIME(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
         |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    "q210_point_in_time_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id % 7 = 0),
+        |m AS (SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER w AS prev_type,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type AS regime, ts AS vf,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM c),
+        |f AS (SELECT user_id, event_id, ts FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id,
+        |  STRFTIME(f.ts, '%Y-%m-%d %H:%M:%S') AS ts, v.regime,
+        |  STRFTIME(v.vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  STRFTIME(v.vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+        |FROM f LEFT JOIN v ON f.user_id = v.user_id
+        |  AND f.ts >= v.vf AND (v.vt IS NULL OR f.ts < v.vt)
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
 
     "q208_cadence" ->
       """WITH e AS (SELECT user_id, event_id,

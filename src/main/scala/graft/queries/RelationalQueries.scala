@@ -455,6 +455,28 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // CMS join-size estimation (NEW r9): predict |orders ⋈ lineitem|
+    // on orderkey from two tiny sketches — the AMS inner-product
+    // planning primitive — next to the exact size. Two widths: 64
+    // (collisions dominate — the never-undercount property is
+    // exercised hard) and 16384 (≥ distinct keys at sf0.01 — the
+    // estimate collapses onto the truth, showing the ε = e/width
+    // error bound doing its job)
+    "q211_cms_join_size" -> ((s, d) => {
+      def est(w: Int) = graft.ops.Sketches.cmsJoinSizeEstimate(
+        Tables.orders(s, d).select(col("o_orderkey").as("k")),
+        Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+        "k", depth = 4, width = w)
+      val exact = Tables.orders(s, d).select(col("o_orderkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_size"))
+      est(64).unionByName(est(16384)).crossJoin(exact)
+        .select(col("width"), col("join_size_est"), col("exact_size"),
+          (col("join_size_est") >= col("exact_size")).cast("int").as("never_under"))
+        .orderBy(col("width"))
+    }),
+
     // weighted (turnstile) CMS: cells accumulate SUM(weight), not
     // COUNT(*) — the form a token-count or byte-count heavy-hitter
     // sketch needs. Weight = exact integer cents of `value` (the q72b
@@ -1344,6 +1366,32 @@ object RelationalQueries extends QueryGroup {
         |  WHERE user_id % 25 = 0 GROUP BY user_id)
         |SELECT user_id, cms_est, exact_cnt FROM est JOIN ex USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q211_cms_join_size" -> {
+      def one(w: Int) =
+        s"""(WITH a AS (SELECT CAST(j AS INTEGER) AS j,
+           |    (2654435761 * (j + 1)) % 2147483647 AS aj,
+           |    (40503 * (j + 1) * (j + 1) + 7) % 2147483647 AS bj
+           |  FROM range(4) t(j)),
+           |sa AS (SELECT j,
+           |    ((aj * (o_orderkey % 2147483647) + bj) % 2147483647) % $w AS bucket,
+           |    COUNT(*) AS cnt
+           |  FROM orders CROSS JOIN a GROUP BY 1, 2),
+           |sb AS (SELECT j,
+           |    ((aj * (l_orderkey % 2147483647) + bj) % 2147483647) % $w AS bucket,
+           |    COUNT(*) AS cnt_b
+           |  FROM lineitem CROSS JOIN a GROUP BY 1, 2),
+           |dots AS (SELECT sa.j, CAST(SUM(sa.cnt * sb.cnt_b) AS BIGINT) AS dot
+           |  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+           |  GROUP BY sa.j)
+           |SELECT $w AS width, MIN(dot) AS join_size_est FROM dots)""".stripMargin
+      s"""WITH est AS (${one(64)} UNION ALL ${one(16384)}),
+         |ex AS (SELECT COUNT(*) AS exact_size FROM orders
+         |  JOIN lineitem ON o_orderkey = l_orderkey)
+         |SELECT width, join_size_est, exact_size,
+         |  CAST(join_size_est >= exact_size AS INTEGER) AS never_under
+         |FROM est CROSS JOIN ex ORDER BY width""".stripMargin
+    },
 
     "q21e_cms_weighted" ->
       """WITH a AS (SELECT CAST(j AS INTEGER) AS j,
