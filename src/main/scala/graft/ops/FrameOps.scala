@@ -1054,6 +1054,40 @@ object FrameOps {
       .drop(orderCols: _*)
   }
 
+  /** CDC changeset apply — the Delta/Iceberg-style MERGE reduced to its
+    * deterministic core: fold a batch of keyed change rows
+    * (op = 'U' upsert-full-row / 'D' delete, plus a version column)
+    * into a snapshot. Within the changeset the LAST version per key
+    * wins (last-write-wins; `version` must order changes uniquely per
+    * key — pass a tiebroken column, the [[scd2Intervals]] contract);
+    * a winning 'U' inserts or replaces the row, a winning 'D' removes
+    * it, untouched snapshot rows pass through.
+    *
+    * 100 TB posture: one window over the changeset (small side) + one
+    * left-anti join of the snapshot against the touched-key set + a
+    * union — the snapshot is scanned once and only shuffles on the
+    * key; with a small changeset the anti join broadcasts and the
+    * snapshot never shuffles at all.
+    *
+    * @param changes must carry `key`, `op`, `version`, and EVERY
+    *                snapshot attribute column (full-row upsert)
+    */
+  def applyChangeSet(snapshot: DataFrame, changes: DataFrame, key: String,
+      op: String = "op", version: String = "version"): DataFrame = {
+    val attrs = snapshot.columns.filterNot(_ == key)
+    val missing = (Seq(key, op, version) ++ attrs)
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changeset is missing required columns: ${missing.mkString(", ")}")
+    val w = Window.partitionBy(col(key)).orderBy(col(version).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val untouched = snapshot.join(latest.select(col(key)), Seq(key), "left_anti")
+    val upserts = latest.filter(upper(col(op)) === "U")
+      .select((key +: attrs).map(col): _*)
+    untouched.unionByName(upserts)
+  }
+
   /** Point-in-time (temporal) enrichment join — the consumer side of
     * [[scd2Intervals]]: attach to every fact row the dimension version
     * that was valid at the fact's timestamp, i.e. the half-open

@@ -231,6 +231,32 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("_merge"))
     }),
 
+    // CDC changeset apply (NEW r9): Delta-style MERGE — a two-version
+    // changeset over a third of the customers (v1 stale, v2 wins;
+    // every ninth touched key a delete) folded into the snapshot via
+    // FrameOps.applyChangeSet: last-write-wins window + one anti-join,
+    // the snapshot scanned once. Gate checks all four outcomes:
+    // untouched pass-through, replaced rows carry v2's values (the
+    // stale v1 +111 must NOT appear), deletes vanish, LWW ordering
+    "q212_cdc_merge" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      val touched = cust.filter(col("c_custkey") % 3 === 0)
+      val changes = touched.select(col("c_custkey"), lit(1L).as("v"),
+          lit("U").as("op"), col("c_name"),
+          (col("c_acctbal") + 111).as("c_acctbal"), col("c_nationkey"))
+        .unionByName(touched.select(col("c_custkey"), lit(2L).as("v"),
+          when(col("c_custkey") % 9 === 0, "D").otherwise("U").as("op"),
+          col("c_name"), (col("c_acctbal") + 555).as("c_acctbal"),
+          col("c_nationkey")))
+      graft.ops.FrameOps.applyChangeSet(cust, changes, "c_custkey",
+          op = "op", version = "v")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // pandas combine_first: fill this frame's nulls from another frame
     // aligned on the key — COALESCE over a left join, one shuffle
     "q04d_combine_first" -> ((s, d) => {
@@ -1220,6 +1246,29 @@ object RelationalQueries extends QueryGroup {
         |  COALESCE(b.prio, o.q2) AS prio
         |FROM base b LEFT JOIN other o ON b.o_orderkey = o.o_orderkey
         |ORDER BY b.o_orderkey""".stripMargin,
+
+    "q212_cdc_merge" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        |  FROM customer),
+        |t AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |ch AS (
+        |  SELECT c_custkey, 1 AS v, 'U' AS op, c_name,
+        |    c_acctbal + 111 AS c_acctbal, c_nationkey FROM t
+        |  UNION ALL
+        |  SELECT c_custkey, 2 AS v,
+        |    CASE WHEN c_custkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    c_name, c_acctbal + 555 AS c_acctbal, c_nationkey FROM t),
+        |latest AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY c_custkey ORDER BY v DESC) AS rn FROM ch)
+        |  WHERE rn = 1),
+        |untouched AS (SELECT c.* FROM cust c WHERE NOT EXISTS
+        |  (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
+        |ups AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        |  FROM latest WHERE op = 'U'),
+        |merged AS (SELECT * FROM untouched UNION ALL SELECT * FROM ups)
+        |SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+        |  c_nationkey
+        |FROM merged ORDER BY c_custkey""".stripMargin,
 
     "q14_join_semi" ->
       """SELECT c_custkey, c_name FROM customer

@@ -647,4 +647,35 @@ class FrameOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSet
     assert(out == Set(("A", 1, 10L), ("A", 2, 10L), ("B", 2, 11L)))
   }
+
+  test("applyChangeSet: LWW within the changeset, insert, replace, delete, pass-through") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr")
+    val changes = Seq(
+      (2L, 1L, "U", "b-stale"),  // loses to v2
+      (2L, 2L, "U", "b-new"),    // replace
+      (3L, 1L, "U", "c-revived"),// loses to the v2 delete
+      (3L, 2L, "D", "x"),        // delete wins
+      (4L, 1L, "U", "d-new")     // insert
+    ).toDF("k", "version", "op", "attr")
+    val out = FrameOps.applyChangeSet(snap, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "b-new"), (4L, "d-new")))
+    // missing attr column in the changeset fails fast
+    val bad = Seq((1L, 1L, "U")).toDF("k", "version", "op")
+    val err = intercept[IllegalArgumentException] {
+      FrameOps.applyChangeSet(snap, bad, "k")
+    }
+    assert(err.getMessage.contains("attr"))
+  }
+
+  test("applyChangeSet: delete-everything and empty-changeset edges") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "attr")
+    val delAll = Seq((1L, 1L, "D", "x"), (2L, 1L, "D", "x"))
+      .toDF("k", "version", "op", "attr")
+    assert(FrameOps.applyChangeSet(snap, delAll, "k").count() == 0L)
+    val none = Seq.empty[(Long, Long, String, String)]
+      .toDF("k", "version", "op", "attr")
+    assert(FrameOps.applyChangeSet(snap, none, "k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
 }
