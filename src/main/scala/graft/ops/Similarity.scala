@@ -557,4 +557,82 @@ object Similarity {
     */
   def dcgGainExpr: String =
     "CAST(FLOOR(1000000000.0 * LN(2.0) / LN(CAST(rnk AS DOUBLE) + 1.0)) AS BIGINT)"
+
+  // --- SQ8 scalar quantization (NEW r9) ------------------------------
+
+  /** Corpus-wide max |v_i| — the per-tensor symmetric-quantization
+    * scale for [[sqAssign]]: one bounded aggregation, one scalar.
+    */
+  def sqMaxAbs(corpus: DataFrame, vec: String): Float =
+    corpus.select(explode(col(vec)).as("x"))
+      .agg(max(abs(col("x")))).head().getFloat(0)
+
+  /** Scalar (SQ8 / int8) quantization, per-tensor SYMMETRIC — the
+    * simplest and most widely deployed ANN compression tier,
+    * completing the ladder exact → RP-LSH → IVF → PQ:
+    * code_i = clamp(floor(v_i·127/maxAbs), −127, 127) with ONE global
+    * scale. 4 B/dim floats become 1 B/dim codes (64-dim rows go
+    * 256 B → 64 B on the search scan). The single shared scale is
+    * load-bearing for search: Σ codeQ·codeX ≈ (127/maxAbs)²·dot — a
+    * MONOTONE image of the true inner product up to quantization
+    * error, so integer code-dots rank like float dots. (The unsigned
+    * per-dim affine form quantizes values fine but its raw code-dot
+    * is dominated by the shift cross-terms — measured 5% recall@5 on
+    * the fixture vs ~100% for this form — so per-dim affine is NOT
+    * offered for search.) Codes are INTEGERS produced by one fixed
+    * IEEE double sequence on identical operands — bit-identical
+    * across engines, so unlike the float-cosine tiers the whole
+    * search result hash-gates. A zero scale codes everything 0.
+    */
+  def sqAssign(corpus: DataFrame, id: String, vec: String,
+      maxAbs: Float): DataFrame = {
+    val codeUdf = udf { (v: Seq[Float]) =>
+      v.map { x =>
+        if (maxAbs <= 0f) 0
+        else {
+          val c = math.floor(x.toDouble * 127.0 / maxAbs.toDouble).toInt
+          math.max(-127, math.min(127, c))
+        }
+      }
+    }
+    corpus.select(col(id), codeUdf(col(vec)).as("sq_codes"))
+  }
+
+  /** Top-k in QUANTIZED space: score = Σ codeQ_i·codeX_i as exact
+    * BIGINT (the int8-dot SIMD kernel production SQ8 deployments run).
+    * Recall vs the exact tier is spec-gated.
+    */
+  def sqTopK(corpusCodes: DataFrame, queryCodes: DataFrame,
+      k: Int): DataFrame = {
+    val dotUdf = udf { (a: Seq[Int], b: Seq[Int]) =>
+      var s = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+      s
+    }
+    val q = queryCodes.select(col(queryCodes.columns.head).as("q_id"),
+      col("sq_codes").as("q_codes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("code_dot").desc, col("n_id").asc)
+    corpusCodes.select(col(corpusCodes.columns.head).as("n_id"),
+        col("sq_codes"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("code_dot", dotUdf(col("q_codes"), col("sq_codes")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("code_dot"))
+  }
+
+  /** End-to-end SQ8 ANN: learn ranges → encode corpus and queries with
+    * the SAME ranges → integer-dot scan. At 100 TB the ranges frame is
+    * dim rows (one bounded agg), the corpus re-scan writes 1 B/dim
+    * codes, and the search scan reads codes only.
+    */
+  def sqTopKLearned(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val scale = sqMaxAbs(corpus, vec)
+    sqTopK(sqAssign(corpus, id, vec, scale).select(col(id), col("sq_codes")),
+      sqAssign(queries, id, vec, scale).select(col(id), col("sq_codes")), k)
+  }
 }

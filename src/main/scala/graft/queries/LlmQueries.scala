@@ -414,6 +414,17 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // SQ8 scalar quantization ANN (NEW r9): the simplest compression
+    // tier — per-dim affine int8 codes, top-k by exact BIGINT
+    // code-dot. Unlike the float-cosine tiers the ENTIRE result
+    // hash-gates (integer scores); recall vs exact is spec-gated
+    "q213_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sqTopKLearned(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // ---- text analysis (M6d) ----------------------------------------
     "q100_text_langid" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d), "doc_id")
@@ -1132,6 +1143,31 @@ object LlmQueries extends QueryGroup {
            |  SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
            |    ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rnk FROM cand)
            |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+      // SQ8 oracle: corpus-wide max-abs scale, the same clamp-floor
+      // symmetric code (identical IEEE double sequence on identical
+      // operands), integer code-dot, window top-5
+      "q213_ann_sq8" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |dims AS (SELECT CAST(r.i + 1 AS INTEGER) AS i FROM range(64) r(i)),
+          |scale AS (SELECT MAX(ABS(embedding[i])) AS m
+          |  FROM e CROSS JOIN dims),
+          |codes AS (SELECT vec_id, i,
+          |    CASE WHEN m <= 0 THEN 0 ELSE
+          |      LEAST(127, GREATEST(-127, CAST(FLOOR(
+          |        CAST(embedding[i] AS DOUBLE) * 127.0
+          |          / CAST(m AS DOUBLE)) AS INTEGER)))
+          |    END AS c
+          |  FROM e CROSS JOIN dims CROSS JOIN scale),
+          |q AS (SELECT * FROM codes WHERE vec_id < 3),
+          |d AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          |    CAST(SUM(q.c * c.c) AS BIGINT) AS code_dot
+          |  FROM q JOIN codes c ON q.i = c.i AND q.vec_id != c.vec_id
+          |  GROUP BY 1, 2),
+          |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          |    ORDER BY code_dot DESC, n_id ASC) AS INTEGER) AS rnk FROM d)
+          |SELECT q_id, rnk, n_id, code_dot FROM rk
+          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       // PQ ANN oracle: four independent subspace k-means chains (the
       // q99b unroll confined to embedding[off+1..off+16] each), final

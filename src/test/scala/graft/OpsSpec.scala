@@ -34,6 +34,29 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 3, s"recall too low: $hits/5 (ivf=$ivf bf=$bf)")
   }
 
+  test("sq8: codes bounded, identical vectors code identically, recall vs exact") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val scale = Similarity.sqMaxAbs(emb, "embedding")
+    assert(scale > 0f)
+    val codes = Similarity.sqAssign(emb, "vec_id", "embedding", scale)
+    // every code in [-127, 127]
+    val rows = codes.select(explode(col("sq_codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head
+    assert(rows.getInt(0) >= -127 && rows.getInt(1) <= 127)
+    // identical input vectors → identical code arrays
+    val c0 = codes.filter(col("vec_id") === 0).head.getSeq[Int](1)
+    val c0b = Similarity.sqAssign(emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", scale).head.getSeq[Int](1)
+    assert(c0 == c0b)
+    // quantized search keeps most of the exact top-5 (deterministic —
+    // fixed fixture, fixed codes — so this is a stable bound)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val sq = Similarity.sqTopKLearned(emb, queries, "vec_id", "embedding", k = 5)
+    val recall = Similarity.recallAtK(sq, exact, k = 5)
+      .agg(avg(col("recall_bp"))).head.getDouble(0)
+    assert(recall >= 8000.0, s"sq8 mean recall too low: $recall bp")
+  }
+
   test("recallAtK: exact-vs-exact is 10000 bp; known misses floor exactly") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") < 4)
