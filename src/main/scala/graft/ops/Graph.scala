@@ -243,14 +243,17 @@ object Graph {
     // iterates until the surviving edge count stops changing, which IS
     // the k-core. Convergence needs at most |V| rounds (each non-final
     // round removes >= 1 node); the loop already materializes a
-    // count() per round, so the fixpoint test is free. Fixpoint rounds
-    // cut lineage with an eager localCheckpoint, NOT persist: persist
+    // count() per round, so the fixpoint test is free. EVERY round
+    // cuts lineage with an eager localCheckpoint, NOT persist: persist
     // caches execution but the LOGICAL plan still nests — each round
     // references the previous round's plan 3× (the edge frame plus the
     // two semi-join sides), so an unbounded loop grows the tree 3^i
     // and Catalyst analysis hangs long before execution does (hit at
-    // ~12 rounds). Fixed-depth mode keeps plain persist — ≤50 rounds
-    // is bounded and the shipped 3-round plans stay bit-identical.
+    // ~12 rounds). The checkpoint also WINS on wall clock even at
+    // bounded depth: later rounds and the final degree aggregation
+    // read materialized blocks instead of re-traversing the nested
+    // chain — measured 2× at 100× edges, ~12% at sf0.1 (PLANS.md
+    // round-9 k-core stress table). Results are unchanged either way.
     val fixpoint = rounds == -1
     val sym = edges.select(col(src).cast("long").as("src"),
         col(dst).cast("long").as("dst"))
@@ -265,7 +268,7 @@ object Graph {
       val peeled = e
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-      val next = if (fixpoint) peeled.localCheckpoint(true) else peeled.persist()
+      val next = peeled.localCheckpoint(true)
       val n = next.count() // materialize before releasing the previous round
       if (fixpoint) { stable = n == prevCount; prevCount = n }
       e.unpersist(blocking = false)
