@@ -80,6 +80,7 @@ object Graph {
         .select(col("node"),
           (lit(basePpb) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
             .as("rank_ppb"))
+        .localCheckpoint(true)
       i += 1
     }
     // one localCheckpoint cuts the iterations-deep lineage so downstream
@@ -151,6 +152,7 @@ object Graph {
         .select(col("node"),
           (coalesce(col("b"), lit(0L)) +
             expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank_ppb"))
+        .localCheckpoint(true)
       i += 1
     }
     val out = ranks.localCheckpoint(true)
