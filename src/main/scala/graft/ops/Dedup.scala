@@ -234,7 +234,7 @@ object Dedup {
       val next = labels
         .select(col("id"), col("lbl"), col("lbl").as("old")).union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels.unpersist()
       labels = next
