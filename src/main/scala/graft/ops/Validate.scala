@@ -388,4 +388,19 @@ object Validate {
       " - (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))" +
       " * LN((CAST(n_cur AS DOUBLE) * CAST(t_ref AS DOUBLE))" +
       " / (CAST(t_cur AS DOUBLE) * CAST(n_ref AS DOUBLE)))) AS BIGINT)"
+
+  /** [[psiTermExpr]]'s arithmetic with pluggable operand EXPRESSIONS:
+    * `nCur` = raw current bucket count (Laplace +1 applied inline),
+    * `tCur` = current Laplace total, `nRef`/`tRef` = reference Laplace
+    * count/total (literal numbers or column names — the values, not
+    * the spelling, drive the IEEE result). One generator feeds both
+    * the Spark streaming monitor and its DuckDB replay.
+    */
+  def psiTermExprOf(nCur: String, tCur: String, nRef: String,
+      tRef: String): String =
+    "CAST(FLOOR(1000000000.0 * " +
+      s"((CAST($nCur + 1 AS DOUBLE) / CAST($tCur AS DOUBLE))" +
+      s" - (CAST($nRef AS DOUBLE) / CAST($tRef AS DOUBLE)))" +
+      s" * LN((CAST($nCur + 1 AS DOUBLE) * CAST($tRef AS DOUBLE))" +
+      s" / (CAST($tCur AS DOUBLE) * CAST($nRef AS DOUBLE)))) AS BIGINT)"
 }

@@ -43,6 +43,30 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming PSI drift monitor (NEW r9): per-5-min-window PSI of
+    // the purchase-value stream against the frozen click-value
+    // reference distribution (q189's ladder) — the deploy-time drift
+    // alert as a LIVE query. One stateful window agg with per-bucket
+    // conditional counts in-row; reference enters as integer literals
+    // computed batch-side (ladder-bounded collect)
+    "q214_stream_psi_drift" -> ((s, d) => {
+      val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
+      val labels = bounds.map(b => s"le_$b") :+ "overflow"
+      val refMap = graft.Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("value").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .selectExpr(graft.ops.Validate.psiBucketExpr(bounds) + " AS bucket")
+        .groupBy(col("bucket")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val refCounts = labels.map(l => refMap.getOrElse(l, 0L))
+      val stream = Streams.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+      Streams.runToBatch(s,
+          Streams.psiDriftStream(stream, refCounts, bounds), "q214_psi")
+        .orderBy(col("w_start"))
+    }),
+
     // sliding 10-min/5-min window per event_type
     "q111_stream_sliding" -> ((s, d) => {
       Streams.runToBatch(s, Streams.slidingAgg(Streams.eventsStream(s, d)),
@@ -243,6 +267,43 @@ object StreamingQueries extends QueryGroup {
          |FROM w, mx
          |WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND
          |GROUP BY ws ORDER BY w_start""".stripMargin,
+
+    "q214_stream_psi_drift" -> {
+      val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
+      val labels = bounds.map(b => s"le_$b") :+ "overflow"
+      val nB = labels.length
+      def flt(i: Int) =
+        s"COUNT(*) FILTER (WHERE b = '${labels(i)}') AS n$i"
+      val terms = labels.indices.map(i =>
+        graft.ops.Validate.psiTermExprOf(s"n$i", "t_cur", s"r$i", "t_ref"))
+        .mkString(" + ")
+      s"""WITH $ctes,
+         |rv AS (SELECT CAST(value AS DOUBLE) AS v FROM e
+         |  WHERE event_type = 'click' AND value IS NOT NULL),
+         |rb AS (SELECT ${graft.ops.Validate.psiBucketExpr(bounds)} AS b FROM rv),
+         |rc AS (SELECT ${labels.indices.map(i =>
+                  s"COUNT(*) FILTER (WHERE b = '${labels(i)}') + 1 AS r$i")
+                  .mkString(", ")} FROM rb),
+         |rt AS (SELECT *, ${labels.indices.map(i => s"r$i").mkString(" + ")}
+         |    AS t_ref FROM rc),
+         |pv AS (SELECT ts, CAST(value AS DOUBLE) AS v FROM e
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |pb AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws,
+         |    ${graft.ops.Validate.psiBucketExpr(bounds)} AS b FROM pv),
+         |c AS (SELECT ws, ${labels.indices.map(flt).mkString(", ")}
+         |  FROM pb GROUP BY ws),
+         |mxp AS (SELECT MAX(ts) AS m FROM pv),
+         |dec AS (SELECT c.* FROM c, mxp
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND),
+         |t AS (SELECT *, ${labels.indices.map(i => s"(n$i + 1)").mkString(" + ")}
+         |    AS t_cur FROM dec)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  t_cur - $nB AS n_events, t_cur,
+         |  $terms AS psi_nano
+         |FROM t CROSS JOIN rt ORDER BY w_start""".stripMargin
+    },
 
     "q197_stream_distinct_users" ->
       s"""WITH $ctes,

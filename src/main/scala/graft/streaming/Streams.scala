@@ -330,4 +330,56 @@ object Streams {
     }
     spark.table(sinkName)
   }
+
+  /** Streaming PSI drift monitor — the production posture for
+    * [[graft.ops.Validate.psiDrift]]: a per-tumbling-window population
+    * stability index of the live stream against a FROZEN reference
+    * distribution (the deploy-time snapshot a drift alert is defined
+    * against). Emits one row per closed window: (w_start, n_events,
+    * t_cur, psi_nano).
+    *
+    * Single stateful operator: the window aggregation computes one
+    * conditional count per ladder bucket IN-ROW (ladder-width columns,
+    * not rows), so totals, Laplace floors, and the floor-nano PSI sum
+    * are a stateless projection after the agg — no chained-stateful
+    * machinery, state is O(open windows · ladder width). The reference
+    * enters as INTEGER literals (ladder-bounded, computed batch-side),
+    * and every term uses the shared
+    * [[graft.ops.Validate.psiTermExprOf]] arithmetic, so the DuckDB
+    * replay matches bit-for-bit on the decidable windows.
+    *
+    * @param refCounts RAW reference bucket counts in ladder order
+    *                  (boundaries labels then overflow); Laplace +1 is
+    *                  applied here, mirroring the batch op
+    */
+  def psiDriftStream(events: DataFrame, refCounts: Seq[Long],
+      boundaries: Seq[Double], valueCol: String = "value",
+      size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {
+    val labels = boundaries.map(b => s"le_$b") :+ "overflow"
+    require(refCounts.length == labels.length,
+      s"need ${labels.length} reference counts (one per ladder bucket), " +
+        s"got ${refCounts.length}")
+    val nRef = refCounts.map(_ + 1L)
+    val tRef = nRef.sum
+    val e = events
+      .select(col("ts"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__b", expr(graft.ops.Validate.psiBucketExpr(boundaries)))
+    val aggCols = labels.zipWithIndex.map { case (l, i) =>
+      sum(when(col("__b") === l, 1L).otherwise(0L)).as(s"n$i")
+    }
+    val counts = e.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val tCur = labels.indices.map(i => col(s"n$i") + lit(1L)).reduce(_ + _)
+    val psi = labels.indices.map(i =>
+        expr(graft.ops.Validate.psiTermExprOf(
+          s"n$i", "t_cur", nRef(i).toString, tRef.toString)))
+      .reduce(_ + _)
+    counts.withColumn("t_cur", tCur)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        (col("t_cur") - lit(labels.length.toLong)).as("n_events"),
+        col("t_cur"), psi.as("psi_nano"))
+  }
 }
