@@ -338,6 +338,26 @@ package object syntax {
     def sessionStats(userCol: String, tsCol: String, gapSec: Long,
         valueCol: String): DataFrame =
       ScaleJoins.sessionStats(df, userCol, tsCol, gapSec, valueCol)
+    // --- round-9 additions ---------------------------------------
+    def kCoreFixpoint(src: String, dst: String, k: Int): DataFrame =
+      ops.Graph.kCorePeel(df, src, dst, k, rounds = -1)
+    def harmonicCentralityMicro(src: String, dst: String,
+        maxDepth: Int = 3, directed: Boolean = false): DataFrame =
+      ops.Graph.harmonicCentralityMicro(df, src, dst, maxDepth, directed)
+    def pointInTimeJoin(dim: DataFrame, key: String, ts: String,
+        validFrom: String = "valid_from",
+        validTo: String = "valid_to"): DataFrame =
+      ops.FrameOps.pointInTimeJoin(df, dim, key, ts, validFrom, validTo)
+    def applyChangeSet(changes: DataFrame, key: String,
+        op: String = "op", version: String = "version"): DataFrame =
+      ops.FrameOps.applyChangeSet(df, changes, key, op, version)
+    def cmsJoinSizeEstimate(other: DataFrame, key: String,
+        depth: Int, width: Int): DataFrame =
+      ops.Sketches.cmsJoinSizeEstimate(df, other, key, depth, width)
+    def sqTopKLearned(queries: DataFrame, id: String, vec: String,
+        k: Int): DataFrame =
+      ops.Similarity.sqTopKLearned(df, queries, id, vec, k)
+
     def zOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
       Layout.zOrderBy(df, a, b, nFiles)
   }

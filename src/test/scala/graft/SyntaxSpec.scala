@@ -231,4 +231,25 @@ class SyntaxSpec extends SparkSpec {
       (2L, "https://x.com/a")).toDF("uid", "url")
     assert(urls.canonicalUrlGroups("uid", "url").count() == 1)
   }
+
+  test("round-9 session wrappers resolve and delegate") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    assert(tri.kCoreFixpoint("src", "dst", k = 2).count() == 3)
+    assert(tri.harmonicCentralityMicro("src", "dst").count() == 4)
+    val snap = Seq((1L, "a")).toDF("k", "attr")
+    val ch = Seq((2L, 1L, "U", "b")).toDF("k", "version", "op", "attr")
+    assert(snap.applyChangeSet(ch, "k").count() == 2)
+    val dim = Seq((1L, 10L, Option.empty[Long], "X"))
+      .toDF("k", "valid_from", "valid_to", "state")
+    val facts = Seq((1L, 15L)).toDF("k", "t")
+    assert(facts.pointInTimeJoin(dim, "k", "t")
+      .head.getAs[String]("state") == "X")
+    val a = Seq(1L, 2L).toDF("k")
+    assert(a.cmsJoinSizeEstimate(a, "k", depth = 2, width = 8)
+      .head.getLong(0) >= 2L)
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-1.0f, 0.5f))).toDF("vec_id", "embedding")
+    assert(emb.sqTopKLearned(emb.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 1).head.getLong(2) != 1L)
+  }
 }
