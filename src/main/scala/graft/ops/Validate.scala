@@ -389,6 +389,81 @@ object Validate {
       " * LN((CAST(n_cur AS DOUBLE) * CAST(t_ref AS DOUBLE))" +
       " / (CAST(t_cur AS DOUBLE) * CAST(n_ref AS DOUBLE)))) AS BIGINT)"
 
+  /** Benford first-digit screen — the classic fabricated-data /
+    * corrupted-feed test: natural multi-magnitude quantities follow
+    * P(d) = log10(1 + 1/d), and a column that departs hard from it
+    * (uniform synthetic fill, truncated exports, unit-mangled loads)
+    * shows up as per-digit deviation. Reports, per digit 1–9: count,
+    * observed share (floor bp), the Benford expectation (integer bp
+    * CONSTANTS, precomputed once here and embedded as literals in both
+    * engines), and |obs − exp|.
+    *
+    * First-digit extraction is a fixed comparison ladder normalizing
+    * |v| into [1, 10) by exact power-of-ten division — one shared
+    * expression string, pure IEEE ops, no log10 (whose last-ulp
+    * behavior near exact powers of ten differs by libm). Supported
+    * magnitude range [1e-3, 1e7); rows outside it and zeros are
+    * excluded and reported via `n_excluded` on every row; nulls are
+    * dropped silently (null accounting is [[profile]]'s job).
+    *
+    * One scan + one 9-row aggregation; the excluded count rides the
+    * same aggregation (no second pass).
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val expBp = benfordExpBp
+    val v = df.select(abs(col(valueCol).cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    val classified = v.selectExpr(
+      s"CASE WHEN v >= 0.001 AND v < 10000000.0 THEN $benfordDigitExpr " +
+        "ELSE -1 END AS digit")
+    val agg = classified.groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    // global aggregates: exactly ONE row each even when their input is
+    // empty (null sums coalesced), so the cross joins never vanish
+    val excl = agg.filter(col("digit") === -1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_excluded"))
+    val tot = agg.filter(col("digit") =!= -1)
+      .agg(sum(col("n")).as("t"))
+    val grid = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val expCol = expBp.zipWithIndex.foldLeft(lit(0L)) { case (acc, (e, i)) =>
+      when(col("digit") === i + 1, lit(e)).otherwise(acc)
+    }
+    grid.join(agg, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(excl))
+      .withColumn("obs_bp", expr("(n * 10000) div t"))
+      .withColumn("exp_bp", expCol)
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      .select(col("digit"), col("n"), col("obs_bp"), col("exp_bp"),
+        col("dev_bp"), col("n_excluded"))
+  }
+
+  /** floor(1e4·log10(1 + 1/d)) for d = 1..9 — computed once in Scala
+    * and embedded as integer literals in BOTH engines' plans.
+    */
+  def benfordExpBp: Seq[Long] =
+    (1 to 9).map(d => math.floor(10000.0 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  /** First significant digit of column `v` (|value|, already > 0 and
+    * inside [1e-3, 1e7)): a fixed power-of-ten comparison ladder into
+    * [1, 10), then FLOOR — one string, parsed by both engines, no
+    * libm log10.
+    */
+  def benfordDigitExpr: String =
+    "CAST(FLOOR(CASE " +
+      "WHEN v >= 1000000.0 THEN v / 1000000.0 " +
+      "WHEN v >= 100000.0 THEN v / 100000.0 " +
+      "WHEN v >= 10000.0 THEN v / 10000.0 " +
+      "WHEN v >= 1000.0 THEN v / 1000.0 " +
+      "WHEN v >= 100.0 THEN v / 100.0 " +
+      "WHEN v >= 10.0 THEN v / 10.0 " +
+      "WHEN v >= 1.0 THEN v " +
+      "WHEN v >= 0.1 THEN v * 10.0 " +
+      "WHEN v >= 0.01 THEN v * 100.0 " +
+      "ELSE v * 1000.0 END) AS INT)"
+
   /** [[psiTermExpr]]'s arithmetic with pluggable operand EXPRESSIONS:
     * `nCur` = raw current bucket count (Laplace +1 applied inline),
     * `tCur` = current Laplace total, `nRef`/`tRef` = reference Laplace

@@ -261,6 +261,17 @@ object SourceQueries extends QueryGroup {
         "value", Seq(10.0, 20.0, 40.0, 80.0, 160.0))
     }),
 
+    // Benford first-digit screen (NEW r9): order totals' first-digit
+    // distribution vs the log10(1+1/d) expectation — the classic
+    // fabricated-data / corrupted-feed test; digit extraction is a
+    // power-of-ten CASE ladder (no libm log10), expectations are
+    // precomputed integer-bp literals in both engines
+    "q215_benford" -> ((s, d) => {
+      graft.ops.Validate.benfordDigits(
+          Tables.orders(s, d), "o_totalprice")
+        .orderBy(col("digit"))
+    }),
+
     // PSI numeric drift (NEW r8): purchase-event values judged against
     // the click-event reference over a fixed ladder — per-bucket
     // floor-nano terms + the scalar Σ on every row
@@ -457,6 +468,31 @@ object SourceQueries extends QueryGroup {
         |    // CAST(SUM(sz) AS BIGINT) AS risk_bp,
         |  CAST(MIN(l) AS BIGINT) AS l_min
         |FROM cls""".stripMargin,
+
+    "q215_benford" -> {
+      val exp = graft.ops.Validate.benfordExpBp
+      val expCase = (1 to 9).map(dd =>
+        s"WHEN digit = $dd THEN ${exp(dd - 1)}").mkString(" ")
+      s"""WITH src AS (SELECT ABS(CAST(o_totalprice AS DOUBLE)) AS v
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |cls AS (SELECT CASE WHEN v >= 0.001 AND v < 10000000.0
+         |    THEN ${graft.ops.Validate.benfordDigitExpr}
+         |    ELSE -1 END AS digit FROM src),
+         |agg AS (SELECT digit, COUNT(*) AS n FROM cls GROUP BY digit),
+         |ex AS (SELECT COALESCE(SUM(n), 0) AS n_excluded FROM agg
+         |  WHERE digit = -1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM agg
+         |  WHERE digit != -1),
+         |grid AS (SELECT CAST(r.i + 1 AS INTEGER) AS digit FROM range(9) r(i)),
+         |j AS (SELECT g.digit, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+         |  FROM grid g LEFT JOIN agg a ON g.digit = a.digit)
+         |SELECT j.digit, j.n, (j.n * 10000) // t.t AS obs_bp,
+         |  CAST(CASE $expCase END AS BIGINT) AS exp_bp,
+         |  ABS((j.n * 10000) // t.t - CAST(CASE $expCase END AS BIGINT))
+         |    AS dev_bp,
+         |  CAST(ex.n_excluded AS BIGINT) AS n_excluded
+         |FROM j CROSS JOIN t CROSS JOIN ex ORDER BY j.digit""".stripMargin
+    },
 
     "q207_ks_drift" -> {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)

@@ -186,4 +186,25 @@ class ValidateSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(run(1) == run(7))
   }
+
+  test("benfordDigits: hand-checked digits across magnitudes, exclusions, empty digits") {
+    // digits: 123.4→1, 0.023→2, 2000.0→2, 9.99→9, 0.5→5, -30.0→3 (abs);
+    // excluded: 0.0 (below range), 2e7 (above range); null is DROPPED
+    // (not counted — null accounting belongs to profile)
+    val df = Seq[Option[Double]](Some(123.4), Some(0.023), Some(2000.0),
+      Some(9.99), Some(0.5), Some(-30.0), Some(0.0), Some(2e7), None)
+      .toDF("v")
+    val out = Validate.benfordDigits(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(out.keySet == (1 to 9).toSet)
+    assert(out(1)._1 == 1L && out(2)._1 == 2L && out(3)._1 == 1L &&
+      out(5)._1 == 1L && out(9)._1 == 1L)
+    assert(out(4)._1 == 0L && out(7)._1 == 0L) // empty digits present as 0
+    assert(out.values.forall(_._3 == 2L))      // 0.0 and 2e7 excluded
+    // obs shares over the 6 counted rows: digit 2 → floor(2e4/... )
+    assert(out(2)._2 == 20000L / 6)
+    // expectation constants: monotone decreasing, digit 1 ≈ 30.1%
+    val exp = Validate.benfordExpBp
+    assert(exp.head == 3010L && exp == exp.sorted.reverse && exp.sum <= 10000L)
+  }
 }
