@@ -440,6 +440,68 @@ object Validate {
         col("dev_bp"), col("n_excluded"))
   }
 
+  /** Exact `nQ`-point type-1 quantile ladder of a numeric column:
+    * values at global sort ranks floor(q·(n−1)/nQ) for q = 0..nQ —
+    * (nQ+1) exact DATA values (no interpolation, no fp synthesis),
+    * collected driver-side (bounded by construction). The global
+    * row_number window is the same single-partition prefix step
+    * [[FrameOps.searchSorted]] documents; at 100 TB compute the ladder
+    * from [[Sketches.histBuild]]'s mergeable histogram instead — same
+    * downstream mapping contract.
+    */
+  def quantileLadder(df: DataFrame, valueCol: String,
+      nQ: Int): Array[Double] = {
+    require(nQ >= 2 && nQ <= 10000, s"nQ must be in [2, 10000], got $nQ")
+    val v = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val n = v.count()
+    require(n > 0, s"quantileLadder: no non-null values in $valueCol")
+    val targets = (0 to nQ).map(q => q.toLong * (n - 1) / nQ).distinct
+    val ranked = v.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"))) - 1)
+    val picked = ranked.filter(col("rn").isin(targets: _*))
+      .collect().map(r => r.getInt(1).toLong -> r.getDouble(0)).toMap
+    (0 to nQ).map(q => picked(q.toLong * (n - 1) / nQ)).toArray
+  }
+
+  /** Quantile mapping (discrete histogram matching) — the CORRECTION
+    * companion of [[psiDrift]]/[[ksDrift]]: once drift is detected,
+    * map each current value onto the reference distribution by
+    * quantile — v lands in its own distribution's quantile bucket
+    * q_idx, and is replaced by the REFERENCE ladder value at the same
+    * index (the scikit QuantileTransformer / image histogram-matching
+    * shape, discrete at nQ buckets).
+    *
+    * Both ladders are (nQ+1) exact data values broadcast to a
+    * per-row binary-search UDF — the big side is a pure map, nothing
+    * shuffles. Mapped outputs are exact reference DATA values (no
+    * arithmetic on them), so the whole result hash-gates.
+    *
+    * @return input row + (q_idx, mapped)
+    */
+  def quantileMap(cur: DataFrame, ref: DataFrame, valueCol: String,
+      nQ: Int = 16): DataFrame = {
+    val curL = quantileLadder(cur, valueCol, nQ)
+    val refL = quantileLadder(ref, valueCol, nQ)
+    val mapUdf = udf { (v: Double) =>
+      // largest i with curL(i) <= v (ties resolve to the LAST equal
+      // entry — the COUNT(lv <= v) − 1 semantics the oracle replays)
+      var lo = 0
+      var hi = curL.length - 1
+      var i = -1
+      while (lo <= hi) {
+        val m = (lo + hi) >>> 1
+        if (curL(m) <= v) { i = m; lo = m + 1 } else hi = m - 1
+      }
+      val idx = math.max(0, i)
+      (idx, refL(idx))
+    }
+    cur.withColumn("__m", mapUdf(col(valueCol).cast("double")))
+      .withColumn("q_idx", col("__m._1"))
+      .withColumn("mapped", col("__m._2"))
+      .drop("__m")
+  }
+
   /** floor(1e4·log10(1 + 1/d)) for d = 1..9 — computed once in Scala
     * and embedded as integer literals in BOTH engines' plans.
     */

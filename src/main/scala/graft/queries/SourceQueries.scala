@@ -261,6 +261,23 @@ object SourceQueries extends QueryGroup {
         "value", Seq(10.0, 20.0, 40.0, 80.0, 160.0))
     }),
 
+    // quantile mapping (NEW r9): the drift-CORRECTION companion of
+    // q189/q207 — purchase values mapped onto the click distribution
+    // by 16-bucket discrete histogram matching; mapped outputs are
+    // exact reference DATA values, so the full result hash-gates
+    "q216_quantile_map" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cur = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("event_id"), col("value"))
+      val ref = ev
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+      graft.ops.Validate.quantileMap(cur, ref, "value", nQ = 16)
+        .select(col("event_id"), round(col("value"), 2).as("value"),
+          col("q_idx"), col("mapped"))
+        .orderBy(col("event_id"))
+    }),
+
     // Benford first-digit screen (NEW r9): order totals' first-digit
     // distribution vs the log10(1+1/d) expectation — the classic
     // fabricated-data / corrupted-feed test; digit extraction is a
@@ -468,6 +485,29 @@ object SourceQueries extends QueryGroup {
         |    // CAST(SUM(sz) AS BIGINT) AS risk_bp,
         |  CAST(MIN(l) AS BIGINT) AS l_min
         |FROM cls""".stripMargin,
+
+    "q216_quantile_map" ->
+      """WITH c0 AS (SELECT event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |r0 AS (SELECT CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+        |cn AS (SELECT COUNT(*) AS n FROM c0),
+        |rn AS (SELECT COUNT(*) AS n FROM r0),
+        |cr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS r FROM c0),
+        |rr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS r FROM r0),
+        |qs AS (SELECT CAST(g.i AS BIGINT) AS q FROM range(17) g(i)),
+        |cl AS (SELECT q, cr.v AS lv FROM qs CROSS JOIN cn
+        |  JOIN cr ON cr.r = q * (cn.n - 1) // 16),
+        |rl AS (SELECT q, rr.v AS rv FROM qs CROSS JOIN rn
+        |  JOIN rr ON rr.r = q * (rn.n - 1) // 16),
+        |m AS (SELECT c0.event_id, c0.v,
+        |    GREATEST(0, (SELECT COUNT(*) FROM cl WHERE cl.lv <= c0.v) - 1)
+        |      AS q_idx
+        |  FROM c0)
+        |SELECT m.event_id, ROUND(m.v, 2) AS value,
+        |  CAST(m.q_idx AS INTEGER) AS q_idx, rl.rv AS mapped
+        |FROM m JOIN rl ON rl.q = m.q_idx
+        |ORDER BY m.event_id""".stripMargin,
 
     "q215_benford" -> {
       val exp = graft.ops.Validate.benfordExpBp

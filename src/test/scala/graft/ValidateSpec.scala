@@ -187,6 +187,39 @@ class ValidateSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("quantileMap: identity on same distribution; shift maps back onto reference") {
+    val ref = Seq.tabulate(101)(i => i.toDouble).toDF("v")
+    // same distribution → every value maps to (approximately) itself:
+    // with nQ=10 on 0..100 the ladder is exact multiples of 10, and a
+    // ladder value maps to the SAME ladder value
+    val self = Validate.quantileMap(ref, ref, "v", nQ = 10)
+      .filter(col("v") % 10 === 0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2))
+    assert(self.forall { case (v, m) => v == m })
+    // current = reference + 1000 (pure location shift): every mapped
+    // value must land back inside the reference range
+    val cur = Seq.tabulate(101)(i => (i + 1000).toDouble).toDF("v")
+    val m = Validate.quantileMap(cur, ref, "v", nQ = 10)
+      .agg(min(col("mapped")), max(col("mapped"))).head
+    assert(m.getDouble(0) == 0.0 && m.getDouble(1) == 100.0)
+    // q_idx covers the full bucket range
+    val idx = Validate.quantileMap(cur, ref, "v", nQ = 10)
+      .select(col("q_idx")).distinct().collect().map(_.getInt(0)).sorted
+    assert(idx.head == 0 && idx.last == 10)
+  }
+
+  test("quantileLadder: exact type-1 ranks, bounds, degenerate input guard") {
+    val df = Seq(5.0, 1.0, 3.0, 2.0, 4.0).toDF("v")
+    // n=5, nQ=4 → ranks 0,1,2,3,4 → the sorted data itself
+    assert(Validate.quantileLadder(df, "v", 4).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    // nQ=2 → ranks 0,2,4 → min/median/max
+    assert(Validate.quantileLadder(df, "v", 2).toSeq == Seq(1.0, 3.0, 5.0))
+    assertThrows[IllegalArgumentException] {
+      Validate.quantileLadder(Seq.empty[Double].toDF("v"), "v", 4)
+    }
+  }
+
   test("benfordDigits: hand-checked digits across magnitudes, exclusions, empty digits") {
     // digits: 123.4→1, 0.023→2, 2000.0→2, 9.99→9, 0.5→5, -30.0→3 (abs);
     // excluded: 0.0 (below range), 2e7 (above range); null is DROPPED
