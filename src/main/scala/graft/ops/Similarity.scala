@@ -585,7 +585,7 @@ object Similarity {
     * search result hash-gates. A zero scale codes everything 0.
     */
   def sqAssign(corpus: DataFrame, id: String, vec: String,
-      maxAbs: Float): DataFrame = {
+      maxAbs: Float, keep: Seq[String] = Nil): DataFrame = {
     val codeUdf = udf { (v: Seq[Float]) =>
       v.map { x =>
         if (maxAbs <= 0f) 0
@@ -595,7 +595,8 @@ object Similarity {
         }
       }
     }
-    corpus.select(col(id), codeUdf(col(vec)).as("sq_codes"))
+    corpus.select(col(id) +: keep.map(col) :+
+      codeUdf(col(vec)).as("sq_codes"): _*)
   }
 
   /** Top-k in QUANTIZED space: score = Σ codeQ_i·codeX_i as exact
@@ -634,5 +635,54 @@ object Similarity {
     val scale = sqMaxAbs(corpus, vec)
     sqTopK(sqAssign(corpus, id, vec, scale).select(col(id), col("sq_codes")),
       sqAssign(queries, id, vec, scale).select(col(id), col("sq_codes")), k)
+  }
+
+  /** IVF-SQ (the FAISS IVFScalarQuantizer architecture): the learned
+    * coarse quantizer prunes the candidate set to `nProbe` clusters
+    * AND the scan inside them reads 1 B/dim SQ8 codes scored by exact
+    * BIGINT code-dot — so unlike IVF-PQ's double-valued ADC, the
+    * WHOLE result hash-gates. Completes the tier matrix:
+    * {flat, PQ, SQ8} × {exhaustive, IVF-pruned}. Probe selection
+    * ranks centroids by the float query vector (the index stores
+    * centroids full-precision — standard IVFSQ), then scoring is all
+    * integers.
+    */
+  def ivfSqTopKLearned(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nClusters: Int, nProbe: Int,
+      itersCoarse: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, id, vec, nClusters, itersCoarse)
+      .localCheckpoint(true)
+    val scale = sqMaxAbs(corpus, vec)
+    // the stored index row: (id, cl, sq_codes)
+    val coded = sqAssign(kmeansAssign(corpus, id, vec, cents), id, vec,
+      scale, keep = Seq("cl"))
+    val qc = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .join(broadcast(cents))
+      .withColumn("c_dist", dot_f(col("q_vec"), col("c_vec")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_dist").desc, col("cl").asc)
+    val probes = qc.withColumn("p", row_number().over(wProbe))
+      .filter(col("p") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cl"))
+    val qCoded = sqAssign(
+      probes.select(col("q_id"), col("q_vec"), col("cl")),
+      "q_id", "q_vec", scale, keep = Seq("cl"))
+      .withColumnRenamed("sq_codes", "q_codes")
+    val dotUdf = udf { (a: Seq[Int], b: Seq[Int]) =>
+      var s = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+      s
+    }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("code_dot").desc, col("n_id").asc)
+    coded.select(col(id).as("n_id"), col("cl"), col("sq_codes"))
+      .join(broadcast(qCoded), Seq("cl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("code_dot", dotUdf(col("q_codes"), col("sq_codes")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("code_dot"))
   }
 }

@@ -414,6 +414,18 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // IVF-SQ composition (NEW r9, FAISS IVFScalarQuantizer shape):
+    // learned coarse quantizer prunes to nProbe clusters, 1 B/dim SQ8
+    // code-dots rank inside them — all-integer scores, so the whole
+    // result hash-gates (IVF-PQ's double ADC needed ROUND); completes
+    // the {flat, PQ, SQ8} × {exhaustive, IVF} tier matrix
+    "q217_ann_ivfsq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfSqTopKLearned(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 3, nClusters = 8, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // SQ8 scalar quantization ANN (NEW r9): the simplest compression
     // tier — per-dim affine int8 codes, top-k by exact BIGINT
     // code-dot. Unlike the float-cosine tiers the ENTIRE result
@@ -1142,6 +1154,43 @@ object LlmQueries extends QueryGroup {
            |SELECT q_id, rnk, n_id, ROUND(cos, 6) AS cos FROM (
            |  SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
            |    ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rnk FROM cand)
+           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+      // IVF-SQ oracle: the q99b coarse-kmeans chain (c3) drives both
+      // corpus assignment and probe selection, then the q213 SQ code
+      // construction scores candidates in pure integers
+      "q217_ann_ivfsq" ->
+        s"""WITH ${CorpusQueries.sqlKmeansCtes(k = 8, iters = 3)},
+           |af AS (SELECT vec_id, cl FROM (
+           |  SELECT e.vec_id, c.cl,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${CorpusQueries.sqlDot("e", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS rn
+           |  FROM embeddings e, c3 c) s WHERE rn = 1),
+           |dims AS (SELECT CAST(r.i + 1 AS INTEGER) AS i FROM range(64) r(i)),
+           |scale AS (SELECT MAX(ABS(embedding[i])) AS m
+           |  FROM embeddings CROSS JOIN dims),
+           |codes AS (SELECT vec_id, i,
+           |    CASE WHEN m <= 0 THEN 0 ELSE
+           |      LEAST(127, GREATEST(-127, CAST(FLOOR(
+           |        CAST(embedding[i] AS DOUBLE) * 127.0
+           |          / CAST(m AS DOUBLE)) AS INTEGER)))
+           |    END AS c
+           |  FROM embeddings CROSS JOIN dims CROSS JOIN scale),
+           |pr AS (SELECT q_id, cl FROM (
+           |  SELECT q.vec_id AS q_id, c.cl,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${CorpusQueries.sqlDot("q", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS p
+           |  FROM embeddings q, c3 c WHERE q.vec_id < 3) s WHERE p <= 2),
+           |cand AS (SELECT pr.q_id, af.vec_id AS n_id
+           |  FROM pr JOIN af USING (cl) WHERE af.vec_id != pr.q_id),
+           |d AS (SELECT cand.q_id, cand.n_id,
+           |    CAST(SUM(qc.c * nc.c) AS BIGINT) AS code_dot
+           |  FROM cand JOIN codes qc ON qc.vec_id = cand.q_id
+           |  JOIN codes nc ON nc.vec_id = cand.n_id AND nc.i = qc.i
+           |  GROUP BY 1, 2),
+           |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY code_dot DESC, n_id ASC) AS INTEGER) AS rnk FROM d)
+           |SELECT q_id, rnk, n_id, code_dot FROM rk
            |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
       // SQ8 oracle: corpus-wide max-abs scale, the same clamp-floor

@@ -57,6 +57,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 8000.0, s"sq8 mean recall too low: $recall bp")
   }
 
+  test("ivfSq: probed-cluster pruning + integer code-dots keep top-1 recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfsq = Similarity.ivfSqTopKLearned(emb, queries, "vec_id", "embedding",
+        k = 1, nClusters = 8, nProbe = 4)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two approximations stacked (cluster pruning + int8 scores), so a
+    // looser bound than IVF-flat's 3/5 — deterministic on the fixture
+    val hits = bf.count { case (q, n) => ivfsq.get(q).contains(n) }
+    assert(hits >= 2, s"ivf-sq recall too low: $hits/5 (ivfsq=$ivfsq bf=$bf)")
+    // scores are exact integers (the hash-gate property)
+    val dots = Similarity.ivfSqTopKLearned(emb, queries, "vec_id", "embedding",
+      k = 2, nClusters = 8, nProbe = 2)
+    assert(dots.schema("code_dot").dataType.typeName == "long")
+  }
+
   test("recallAtK: exact-vs-exact is 10000 bp; known misses floor exactly") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") < 4)
