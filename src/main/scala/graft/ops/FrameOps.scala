@@ -1080,10 +1080,20 @@ object FrameOps {
     require(missing.isEmpty,
       s"changeset is missing required columns: ${missing.mkString(", ")}")
     val w = Window.partitionBy(col(key)).orderBy(col(version).desc)
+    // Fail fast on malformed ops: a winning row whose op is outside
+    // {'U','D'} (an 'I', a typo, a null) must NOT silently delete the
+    // key. raise_error keeps the check inside the single changeset
+    // scan — no extra validation job.
+    val opOk = upper(col(op)).isin("U", "D")
+    val checkedOp = when(opOk, upper(col(op))).otherwise(raise_error(concat(
+      lit("applyChangeSet: op must be 'U' or 'D', got '"),
+      coalesce(col(op).cast("string"), lit("null")),
+      lit(s"' for key "), col(key).cast("string"))))
     val latest = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+      .withColumn("__op", checkedOp)
     val untouched = snapshot.join(latest.select(col(key)), Seq(key), "left_anti")
-    val upserts = latest.filter(upper(col(op)) === "U")
+    val upserts = latest.filter(col("__op") === "U")
       .select((key +: attrs).map(col): _*)
     untouched.unionByName(upserts)
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for corpus curation.
@@ -236,10 +237,12 @@ object Graph {
     *         their degree in the peeled graph
     */
   def kCorePeel(edges: DataFrame, src: String, dst: String,
-      k: Int, rounds: Int = 3): DataFrame = {
+      k: Int, rounds: Int = 3, maxFixpointRounds: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds == -1 || (rounds >= 1 && rounds <= 50),
       s"rounds must be in [1, 50] or -1 (peel to fixpoint), got $rounds")
+    require(maxFixpointRounds >= 1,
+      s"maxFixpointRounds must be >= 1, got $maxFixpointRounds")
     // rounds >= 1 peels a FIXED depth (gate-friendly, oracle unrolls
     // exactly — but an approximation of the true core); rounds = -1
     // iterates until the surviving edge count stops changing, which IS
@@ -265,6 +268,14 @@ object Graph {
     var i = 0
     var stable = false
     while (if (fixpoint) !stable else i < rounds) {
+      // Safety cap for fixpoint mode: a pathological long-chain graph
+      // converges only after O(|V|) rounds, each an eager
+      // materialization. Abort loudly instead of looping unbounded.
+      if (fixpoint && i >= maxFixpointRounds)
+        throw new IllegalStateException(
+          s"kCorePeel fixpoint did not converge within $maxFixpointRounds " +
+            s"rounds (surviving edges: $prevCount); raise maxFixpointRounds " +
+            "if the graph genuinely needs more peels")
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("node"))
       val peeled = e
@@ -540,6 +551,173 @@ object Graph {
       .localCheckpoint(true)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    out
+  }
+
+  // --- HyperBall tier (NEW r10) --------------------------------------
+
+  /** Deterministic 64-bit finalizer (the public-domain SplitMix64
+    * mixing sequence) — the FIXED node hash behind HyperBall registers.
+    * Same input → same registers on every run and every engine; the
+    * sketch result is therefore deterministic even though it is an
+    * approximation.
+    */
+  private[graft] def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Register-wise max of HLL register arrays — the HLL UNION, which is
+    * what makes HyperBall work: |A ∪ B| merges in O(m) independent of
+    * |A|, |B|. A typed [[Aggregator]] so Spark runs it with map-side
+    * partial aggregation (hub nodes with millions of in-neighbors merge
+    * locally before the shuffle — the 100 TB shape).
+    */
+  private[graft] class RegMax(m: Int)
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](m)
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      merge(b, a)
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      if (x == null) return y
+      if (y == null) return x
+      var i = 0
+      while (i < m) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Standard HLL cardinality estimate (Flajolet et al. 2007 alpha_m
+    * bias correction + linear counting below 2.5m). Doubles appear ONLY
+    * here, in one fixed-order loop over the registers; the one libm
+    * call goes through StrictMath so the estimate is bit-identical
+    * across JVMs/platforms (JDK 17 fp arithmetic is always-strict, but
+    * Math.log may use platform intrinsics — StrictMath may not). The
+    * gate compares the estimate to the EXACT op within an error bound
+    * rather than hashing the estimate cross-engine.
+    */
+  private[graft] def hllEstimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    var zeros = 0
+    var sumInv = 0.0
+    var i = 0
+    while (i < m) {
+      sumInv += 1.0 / (1L << regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha =
+      if (m == 16) 0.673
+      else if (m == 32) 0.697
+      else if (m == 64) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / sumInv
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * StrictMath.log(m.toDouble / zeros)
+      else raw
+    math.round(est)
+  }
+
+  /** HyperBall harmonic centrality (Boldi–Vigna 2013) — the WEB-SCALE
+    * tier of [[harmonicCentralityMicro]], and how Common Crawl actually
+    * produces its published host rankings. The exact op's (v, u) pair
+    * set is Σ_v |ball_d(v)| rows — quadratic on a web graph; HyperBall
+    * replaces it with ONE fixed-size HLL register array per node
+    * (m = 2^p bytes) and unions registers along in-edges per round:
+    *
+    *   C_d(v) = C_{d-1}(v) ∪ ⋃_{(u,v)∈E} C_{d-1}(u)
+    *
+    * so |ball_d(v)| reads off the counter and the per-round shuffle is
+    * |E| register arrays — INDEPENDENT of ball sizes. Same loop
+    * skeleton as the exact op (per-round eager localCheckpoint, the
+    * kCorePeel 3^i lesson); registers come from the fixed [[splitmix64]]
+    * hash so the sketch is run-to-run deterministic.
+    *
+    * Cost model (measured, scripts/stress_hyperball.scala): each round
+    * moves |E|·2^p bytes through ONE partial-aggregated shuffle, so
+    * the sketch only beats the exact pair set once typical |ball|
+    * exceeds ~2^p — i.e. exactly on the web-scale graphs whose exact
+    * pair volume is infeasible, NOT on sparse fixtures whose depth-3
+    * balls hold a handful of nodes (there the exact op is cheaper and
+    * is the right tier; q209 keeps it). Known further trim for deep
+    * graphs: propagate only nodes whose registers changed last round
+    * (Boldi–Vigna's signal propagation) — unimplemented because
+    * truncated depth-3 balls change nearly every node every round.
+    *
+    * harmonic_est_micro(v) = Σ_d (10⁶ div d)·max(0, est_d − est_{d-1})
+    * with est_d clamped monotone (registers only grow; the clamp kills
+    * the tiny non-monotonicity at the linear-counting → raw-HLL switch).
+    *
+    * Accuracy: HLL std error ≈ 1.04/√m (~3.3% at the default p = 10);
+    * ball sizes at fixture scale sit in the linear-counting range where
+    * the error is far smaller. The gated query (q209b) checks every
+    * emitted node against the exact op within a stated bound; the spec
+    * additionally gates mean relative error across ALL nodes.
+    *
+    * @param p log2 of the register count (4..14); m = 2^p bytes/node
+    * @return (node, harmonic_est_micro, n_reached_est)
+    */
+  def harmonicCentralityHyperBall(edges: DataFrame, src: String, dst: String,
+      maxDepth: Int = 3, directed: Boolean = false, p: Int = 10): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 10,
+      s"maxDepth must be in [1, 10], got $maxDepth")
+    require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
+    val m = 1 << p
+    val e0 = edges.select(col(src).cast("long").as("esrc"),
+        col(dst).cast("long").as("edst"))
+      .filter(col("esrc") =!= col("edst"))
+    val e = (if (directed) e0
+             else e0.union(e0.select(col("edst").as("esrc"), col("esrc").as("edst"))))
+      .distinct().persist()
+    val initUdf = udf { (node: Long) =>
+      val h = splitmix64(node)
+      val idx = (h >>> (64 - p)).toInt
+      val rank = math.min(java.lang.Long.numberOfLeadingZeros(h << p) + 1,
+        64 - p + 1)
+      val a = new Array[Byte](m)
+      a(idx) = rank.toByte
+      a
+    }
+    val estUdf = udf { (regs: Array[Byte]) => hllEstimate(regs) }
+    val regMax = udaf(new RegMax(m))
+    // state: one row per node — registers + monotone ball estimate +
+    // accumulated harmonic sum. ball_0 = {v} is exact by construction.
+    var state = e.select(col("esrc").as("node"))
+      .union(e.select(col("edst").as("node"))).distinct()
+      .select(col("node"), initUdf(col("node")).as("regs"),
+        lit(1L).as("est"), lit(0L).as("h_micro"))
+      .localCheckpoint(true)
+    var d = 1
+    while (d <= maxDepth) {
+      // ONE shuffle per round: neighbor contributions carry zeroed
+      // est/h_micro, the node's own row carries the real ones, and
+      // max() recovers them through the same aggregation that unions
+      // the registers (est >= 1 and h_micro >= 0 always, so max picks
+      // the own-row value) — no second per-round join against state.
+      val contrib = state.select(col("node"), col("regs"))
+        .join(e, col("node") === col("esrc"))
+        .select(col("edst").as("node"), col("regs"),
+          lit(0L).as("est"), lit(0L).as("h_micro"))
+      val w = 1000000L / d
+      state = contrib.unionByName(state)
+        .groupBy(col("node"))
+        .agg(regMax(col("regs")).as("regs"),
+          max(col("est")).as("est0"), max(col("h_micro")).as("h0"))
+        .withColumn("est", greatest(estUdf(col("regs")), col("est0")))
+        .select(col("node"), col("regs"), col("est"),
+          (col("h0") + (col("est") - col("est0")) * w).as("h_micro"))
+        .localCheckpoint(true)
+      d += 1
+    }
+    val out = state.select(col("node"),
+      col("h_micro").as("harmonic_est_micro"),
+      (col("est") - 1L).as("n_reached_est"))
+    e.unpersist(blocking = false)
     out
   }
 }

@@ -563,9 +563,14 @@ object Similarity {
   /** Corpus-wide max |v_i| — the per-tensor symmetric-quantization
     * scale for [[sqAssign]]: one bounded aggregation, one scalar.
     */
-  def sqMaxAbs(corpus: DataFrame, vec: String): Float =
-    corpus.select(explode(col(vec)).as("x"))
-      .agg(max(abs(col("x")))).head().getFloat(0)
+  def sqMaxAbs(corpus: DataFrame, vec: String): Float = {
+    // max over an empty/all-null corpus is NULL — map it to the
+    // documented zero-scale path (everything codes to 0) instead of
+    // letting getFloat throw an opaque NPE.
+    val row = corpus.select(explode(col(vec)).as("x"))
+      .agg(max(abs(col("x")))).head()
+    if (row.isNullAt(0)) 0f else row.getFloat(0)
+  }
 
   /** Scalar (SQ8 / int8) quantization, per-tensor SYMMETRIC — the
     * simplest and most widely deployed ANN compression tier,

@@ -502,6 +502,93 @@ object Validate {
       .drop("__m")
   }
 
+  /** Reference bucket counts for a PSI monitor
+    * ([[graft.streaming.Streams.psiDriftStream]]): ONE batch
+    * aggregation over the reference slice, collected as a bounded
+    * (|bounds|+1)-value vector. Compute this ONCE when the reference
+    * window is frozen and pass the literal vector to every monitor
+    * restart — the production shape; a monitor must NOT rescan the
+    * reference corpus per deploy. Buckets ride the same
+    * [[psiBucketExpr]] ladder the batch-side [[psiDrift]] gate uses,
+    * so frozen counts and batch PSI agree bucket-for-bucket.
+    */
+  def psiReferenceCounts(ref: DataFrame, valueCol: String,
+      bounds: Seq[Double]): Seq[Long] = {
+    val labels = bounds.map(b => s"le_$b") :+ "overflow"
+    val m = ref.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .selectExpr(psiBucketExpr(bounds) + " AS bucket")
+      .groupBy(col("bucket")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    labels.map(l => m.getOrElse(l, 0L))
+  }
+
+  /** Histogram-backed quantile mapping — the 100 TB tier of
+    * [[quantileMap]] (which is exact but rides a single-partition
+    * global row_number + a driver collect; its own docstring names
+    * this op as the scale swap). Both distributions are reduced to
+    * [[Sketches.histBuild]]'s mergeable equi-width histograms (ONE
+    * scan each, integer bucket counts, shard-mergeable by addition),
+    * and the mapping is classic discrete histogram matching at bucket
+    * granularity:
+    *
+    *   mapped_bucket(b) = min { rb : cumRef(rb)·nCur >= cumCur(b)·nRef }
+    *
+    * — an integer cross-multiplied CDF inversion, no float ratios, no
+    * ladder collect, no WindowExec anywhere: cumulative counts come
+    * from a bounded nBuckets×nBuckets triangular self-join (≤ 64²
+    * rows), and the row-level application is ONE broadcast join of the
+    * ≤ nBuckets-row mapping against the big side. Missing buckets need
+    * no densification: cumulative counts are constant across empty
+    * runs, so the min present bucket meeting the target equals the min
+    * over the full grid.
+    *
+    * Granularity trade vs [[quantileMap]]: outputs land on bucket
+    * midpoints ([[histMidExpr]], one shared expression string) rather
+    * than exact reference data values — the histogram-estimate
+    * contract [[Sketches.histQuantile]] already documents, worst-case
+    * one bucket width. Everything emitted (bucket ids, midpoints) is
+    * deterministic integer/one-shot-double arithmetic, so the whole
+    * result hash-gates (q216b).
+    *
+    * @return input row + (bucket, mapped_bucket, mapped)
+    */
+  def quantileMapHist(cur: DataFrame, ref: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1024,
+      s"nBuckets must be in [2, 1024], got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    def cum(h: DataFrame): DataFrame =
+      h.as("a").join(h.as("b"), col("b.bucket") <= col("a.bucket"))
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(sum(col("b.cnt")).as("cume"))
+    val ch = cum(Sketches.histBuild(cur, valueCol, lo, hi, nBuckets))
+    val rh = cum(Sketches.histBuild(ref, valueCol, lo, hi, nBuckets))
+    val nCur = ch.agg(max(col("cume")).as("n_cur"))
+    val nRef = rh.agg(max(col("cume")).as("n_ref"))
+    val mapping = ch.crossJoin(broadcast(nCur)).crossJoin(broadcast(nRef))
+      .as("c")
+      .join(rh.as("r"),
+        col("r.cume") * col("n_cur") >= col("c.cume") * col("n_ref"))
+      .groupBy(col("c.bucket").as("bucket"))
+      .agg(min(col("r.bucket")).as("mapped_bucket"))
+    cur.withColumn("__v", col(valueCol).cast("double"))
+      .withColumn("bucket",
+        expr(Sketches.histBucketExpr(lo, hi, nBuckets)
+          .replaceAll("\\bv\\b", "__v")))
+      .drop("__v")
+      .join(broadcast(mapping), Seq("bucket"))
+      .withColumn("mapped",
+        expr(histMidExpr(lo, hi, nBuckets)))
+  }
+
+  /** Midpoint of `mapped_bucket` rounded to 6 decimals — one shared
+    * expression string parsed identically by Spark and DuckDB.
+    */
+  def histMidExpr(lo: Double, hi: Double, nBuckets: Int): String =
+    s"ROUND($lo + (CAST(mapped_bucket AS DOUBLE) + 0.5)" +
+      s" * (($hi - $lo) / $nBuckets), 6)"
+
   /** floor(1e4·log10(1 + 1/d)) for d = 1..9 — computed once in Scala
     * and embedded as integer literals in BOTH engines' plans.
     */

@@ -160,6 +160,40 @@ object GraphQueries extends QueryGroup {
       Graph.harmonicCentralityMicro(edges, "src", "dst", maxDepth = 3)
         .orderBy(col("harmonic_micro").desc, col("node"))
         .limit(100)
+    }),
+
+    // HyperBall harmonic centrality (NEW r10): the WEB-SCALE tier of
+    // q209 — fixed-size HLL register arrays per node instead of the
+    // exact (v, u) pair set (the Boldi–Vigna algorithm Common Crawl
+    // runs on its host graph). The sketch estimate is deterministic
+    // (fixed splitmix64 hash, integer registers, StrictMath) but not
+    // SQL-replayable, so the gate HASHES the exact values + per-node
+    // WITHIN-BOUND flags: every node's estimated ball size and
+    // harmonic sum must sit within 10% + small additive slack of the
+    // exact op (p = 12 → 4096 registers, HLL std err ≈ 1.6%; fixture
+    // balls sit deep in the linear-counting range where it is far
+    // tighter — the bound only trips if the sketch genuinely breaks).
+    // The oracle restates the bound as literal 1-flags over the exact
+    // BFS, so a single out-of-bound node reddens the gate.
+    "q209b_harmonic_hyperball" -> ((s, d) => {
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = hi.as("x").join(hi.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val exact = Graph.harmonicCentralityMicro(edges, "src", "dst",
+        maxDepth = 3)
+      val est = Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+        maxDepth = 3, p = 12)
+      exact.join(est, Seq("node"))
+        .select(col("node"), col("harmonic_micro"), col("n_reached"),
+          (abs(col("n_reached_est") - col("n_reached")) <=
+            col("n_reached") / 10L + lit(3L)).cast("int").as("ball_ok"),
+          (abs(col("harmonic_est_micro") - col("harmonic_micro")) <=
+            (col("n_reached") / 10L + lit(3L)) * 1000000L)
+            .cast("int").as("harm_ok"))
+        .orderBy(col("node"))
     })
   )
 
@@ -413,6 +447,53 @@ object GraphQueries extends QueryGroup {
          |  COALESCE(a.harmonic_micro, 0) AS harmonic_micro,
          |  COALESCE(a.n_reached, 0) AS n_reached
          |FROM nodes n LEFT JOIN agg a ON n.node = a.v
-         |ORDER BY harmonic_micro DESC, n.node LIMIT 100""".stripMargin
+         |ORDER BY harmonic_micro DESC, n.node LIMIT 100""".stripMargin,
+
+    "q209b_harmonic_hyperball" ->
+      // same unrolled exact BFS as q209 over ALL nodes, plus the
+      // within-bound verdict RESTATED as literal 1-flags: the Spark
+      // side computes ball_ok/harm_ok by comparing the HyperBall
+      // sketch to its own exact op, so any node whose estimate leaves
+      // the 10%+3 envelope hashes 0 against the oracle's 1 and the
+      // gate goes red. The estimates themselves never cross engines.
+      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+         |  FROM lineitem WHERE l_quantity >= 45),
+         |raw AS (SELECT x.sk AS a, y.sk AS b FROM hi x JOIN hi y
+         |  ON x.ok = y.ok AND x.sk < y.sk),
+         |e AS MATERIALIZED (SELECT esrc, edst FROM (
+         |  SELECT a AS esrc, b AS edst FROM raw WHERE a != b
+         |  UNION SELECT b, a FROM raw WHERE a != b)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT esrc AS node FROM e),
+         |r0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
+         |f1 AS MATERIALIZED (SELECT DISTINCT r.v, e.esrc AS u
+         |  FROM r0 r JOIN e ON r.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r0 x
+         |    WHERE x.v = r.v AND x.u = e.esrc)),
+         |r1 AS MATERIALIZED (SELECT v, u FROM r0 UNION SELECT v, u FROM f1),
+         |f2 AS MATERIALIZED (SELECT DISTINCT f.v, e.esrc AS u
+         |  FROM f1 f JOIN e ON f.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r1 x
+         |    WHERE x.v = f.v AND x.u = e.esrc)),
+         |r2 AS MATERIALIZED (SELECT v, u FROM r1 UNION SELECT v, u FROM f2),
+         |f3 AS MATERIALIZED (SELECT DISTINCT f.v, e.esrc AS u
+         |  FROM f2 f JOIN e ON f.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r2 x
+         |    WHERE x.v = f.v AND x.u = e.esrc)),
+         |cnt AS (
+         |  SELECT v, 1000000 * COUNT(*) AS h, COUNT(*) AS n FROM f1 GROUP BY v
+         |  UNION ALL
+         |  SELECT v, 500000 * COUNT(*) AS h, COUNT(*) AS n FROM f2 GROUP BY v
+         |  UNION ALL
+         |  SELECT v, 333333 * COUNT(*) AS h, COUNT(*) AS n FROM f3 GROUP BY v),
+         |agg AS (SELECT v, CAST(SUM(h) AS BIGINT) AS harmonic_micro,
+         |    CAST(SUM(n) AS BIGINT) AS n_reached
+         |  FROM cnt GROUP BY v)
+         |SELECT n.node,
+         |  COALESCE(a.harmonic_micro, 0) AS harmonic_micro,
+         |  COALESCE(a.n_reached, 0) AS n_reached,
+         |  CAST(1 AS INTEGER) AS ball_ok,
+         |  CAST(1 AS INTEGER) AS harm_ok
+         |FROM nodes n LEFT JOIN agg a ON n.node = a.v
+         |ORDER BY n.node""".stripMargin
   )
 }

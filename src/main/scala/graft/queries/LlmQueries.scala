@@ -427,9 +427,10 @@ object LlmQueries extends QueryGroup {
     }),
 
     // SQ8 scalar quantization ANN (NEW r9): the simplest compression
-    // tier — per-dim affine int8 codes, top-k by exact BIGINT
-    // code-dot. Unlike the float-cosine tiers the ENTIRE result
-    // hash-gates (integer scores); recall vs exact is spec-gated
+    // tier — per-tensor symmetric int8 codes (ONE global scale; per-dim
+    // affine is deliberately not offered for search, see sqAssign),
+    // top-k by exact BIGINT code-dot. Unlike the float-cosine tiers the
+    // ENTIRE result hash-gates (integer scores); recall is spec-gated
     "q213_ann_sq8" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.sqTopKLearned(emb, emb.filter(col("vec_id") < 3),

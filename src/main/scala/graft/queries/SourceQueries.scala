@@ -278,6 +278,29 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // histogram-backed quantile mapping (NEW r10): the 100 TB tier of
+    // q216 — both CDFs come from mergeable equi-width histograms (one
+    // scan each), the bucket→bucket mapping is an integer
+    // cross-multiplied CDF inversion over ≤ 32² rows, and the
+    // application is one broadcast join. NO single-partition
+    // row_number, NO ladder collect (the q216 scale caveat this op
+    // closes); outputs are bucket midpoints (granularity = one bucket
+    // width by the histogram contract), all deterministic, full hash
+    // gate
+    "q216b_quantile_map_hist" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cur = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("event_id"), col("value"))
+      val ref = ev
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+      graft.ops.Validate.quantileMapHist(cur, ref, "value",
+          lo = 0.0, hi = 200.0, nBuckets = 32)
+        .select(col("event_id"), round(col("value"), 2).as("value"),
+          col("bucket"), col("mapped_bucket"), col("mapped"))
+        .orderBy(col("event_id"))
+    }),
+
     // Benford first-digit screen (NEW r9): order totals' first-digit
     // distribution vs the log10(1+1/d) expectation — the classic
     // fabricated-data / corrupted-feed test; digit extraction is a
@@ -508,6 +531,36 @@ object SourceQueries extends QueryGroup {
         |  CAST(m.q_idx AS INTEGER) AS q_idx, rl.rv AS mapped
         |FROM m JOIN rl ON rl.q = m.q_idx
         |ORDER BY m.event_id""".stripMargin,
+
+    "q216b_quantile_map_hist" -> {
+      val bucketExpr = graft.ops.Sketches.histBucketExpr(0.0, 200.0, 32)
+      val midExpr = graft.ops.Validate.histMidExpr(0.0, 200.0, 32)
+      s"""WITH c0 AS (SELECT event_id, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |r0 AS (SELECT CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+         |chist AS (SELECT $bucketExpr AS bucket, COUNT(*) AS cnt
+         |  FROM c0 GROUP BY 1),
+         |rhist AS (SELECT $bucketExpr AS bucket, COUNT(*) AS cnt
+         |  FROM r0 GROUP BY 1),
+         |cc AS (SELECT a.bucket, CAST(SUM(b.cnt) AS BIGINT) AS cume
+         |  FROM chist a JOIN chist b ON b.bucket <= a.bucket
+         |  GROUP BY a.bucket),
+         |rc AS (SELECT a.bucket, CAST(SUM(b.cnt) AS BIGINT) AS cume
+         |  FROM rhist a JOIN rhist b ON b.bucket <= a.bucket
+         |  GROUP BY a.bucket),
+         |nc AS (SELECT MAX(cume) AS n_cur FROM cc),
+         |nr AS (SELECT MAX(cume) AS n_ref FROM rc),
+         |mp AS (SELECT c.bucket, MIN(r.bucket) AS mapped_bucket
+         |  FROM cc c CROSS JOIN nc CROSS JOIN nr
+         |  JOIN rc r ON r.cume * n_cur >= c.cume * n_ref
+         |  GROUP BY c.bucket)
+         |SELECT b.event_id, ROUND(b.v, 2) AS value, b.bucket,
+         |  mp.mapped_bucket, $midExpr AS mapped
+         |FROM (SELECT event_id, v, $bucketExpr AS bucket FROM c0) b
+         |JOIN mp USING (bucket)
+         |ORDER BY b.event_id""".stripMargin
+    },
 
     "q215_benford" -> {
       val exp = graft.ops.Validate.benfordExpBp

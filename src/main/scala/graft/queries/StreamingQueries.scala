@@ -43,23 +43,20 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
-    // streaming PSI drift monitor (NEW r9): per-5-min-window PSI of
-    // the purchase-value stream against the frozen click-value
+    // streaming PSI drift monitor (NEW r9, r10: reference factored
+    // through Validate.psiReferenceCounts): per-5-min-window PSI of
+    // the purchase-value stream against the FROZEN click-value
     // reference distribution (q189's ladder) — the deploy-time drift
     // alert as a LIVE query. One stateful window agg with per-bucket
-    // conditional counts in-row; reference enters as integer literals
-    // computed batch-side (ladder-bounded collect)
+    // conditional counts in-row; the reference enters
+    // psiDriftStream as a literal count vector, computed ONCE here
+    // (and in production frozen across monitor restarts — the spec
+    // covers the literal-vector path with no batch scan at all)
     "q214_stream_psi_drift" -> ((s, d) => {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
-      val labels = bounds.map(b => s"le_$b") :+ "overflow"
-      val refMap = graft.Tables.events(s, d)
-        .filter(col("event_type") === "click")
-        .select(col("value").cast("double").as("v"))
-        .filter(col("v").isNotNull)
-        .selectExpr(graft.ops.Validate.psiBucketExpr(bounds) + " AS bucket")
-        .groupBy(col("bucket")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val refCounts = labels.map(l => refMap.getOrElse(l, 0L))
+      val refCounts = graft.ops.Validate.psiReferenceCounts(
+        graft.Tables.events(s, d).filter(col("event_type") === "click"),
+        "value", bounds)
       val stream = Streams.eventsStream(s, d)
         .filter(col("event_type") === "purchase")
       Streams.runToBatch(s,

@@ -131,6 +131,16 @@ object WindowQueries extends QueryGroup {
 
     // rolling exact median (pandas rolling(5).median()): interpolated
     // percentile over the row frame
+    // ROUND-over-double-window SAFETY (r10 audit, q72d class): this
+    // row keeps ROUND(percentile OVER w, 6) because it is provably
+    // boundary-safe — `value` is exactly 2-decimal (fixture-checked:
+    // value*100 is integer for every row, max 56021 cents) and the
+    // interpolated median of 2-decimal data at frac ∈ {0, 0.5} is an
+    // exact multiple of 0.005, i.e. at most 3 decimals. A 6-decimal
+    // ROUND flips only if the true value sits within ~1 ulp of a
+    // x.xxxxxx5 boundary; the nearest such boundary is 5e-7 away from
+    // any 3-decimal value — 12 orders of magnitude beyond ulp noise,
+    // so no engine-side interpolation-formula difference can flip it.
     "q71e_rolling_median" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(-4, 0)
@@ -143,7 +153,13 @@ object WindowQueries extends QueryGroup {
     }),
 
     // rolling(5).quantile(q) at arbitrary q (pandas default linear
-    // interpolation == Spark percentile == DuckDB QUANTILE_CONT)
+    // interpolation == Spark percentile == DuckDB QUANTILE_CONT).
+    // ROUND-over-double-window SAFETY (r10 audit): boundary-safe for
+    // the same reason as q71e — 2-decimal inputs, and q·(n−1) for
+    // q ∈ {.25,.75,.9}, n ≤ 5 yields interpolation fractions that are
+    // exact multiples of 0.05, so true quantiles are exact multiples
+    // of 0.0005 (≤ 4 decimals): 3 orders of magnitude from the nearest
+    // 6-decimal ROUND boundary, unreachable by last-ulp engine drift.
     "q71g_rolling_quantile" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(-4, 0)
@@ -158,24 +174,32 @@ object WindowQueries extends QueryGroup {
     }),
 
     // rolling(5).skew()/kurt() with pandas' bias-corrected sample
-    // formulas, built from window moment SUMS with a textually
-    // identical expression tree on both engines (pandas-validated to
-    // 1e-10; Spark's skewness/kurtosis builtins are population-based
-    // and would NOT match pandas). NULL below the pandas min counts
-    // (skew n>=3, kurt n>=4) and on zero variance.
+    // formulas (pandas-validated to 1e-10; Spark's skewness/kurtosis
+    // builtins are population-based and would NOT match pandas). NULL
+    // below the pandas min counts (skew n>=3, kurt n>=4) and on zero
+    // variance. r10: moment sums migrated off ROUND(double window agg)
+    // — the q72d boundary-flip class — onto EXACT integer cents moments
+    // (skew/kurt are scale-invariant, so cents == dollars): s1..s3 are
+    // BIGINT window sums, s4 rides DECIMAL/HUGEINT (x^4 of max-cents
+    // 56021 is 9.9e18 — past int64). Every double op now happens AFTER
+    // the window on identical exact integers, single-shot in both
+    // engines, so the ROUND can no longer flip.
     "q71h_rolling_skew_kurt" -> ((s, d) => {
       val over = "OVER (PARTITION BY user_id ORDER BY event_id " +
         "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
       Tables.events(s, d)
         .filter(col("user_id") % 9 === 0)
         .selectExpr("user_id", "event_id",
+          "CAST(ROUND(value * 100) AS BIGINT) AS x")
+        .selectExpr("user_id", "event_id",
           s"CAST(COUNT(*) $over AS DOUBLE) AS n",
-          s"SUM(value) $over AS s1",
-          s"SUM(value*value) $over AS s2",
-          s"SUM(value*value*value) $over AS s3",
-          s"SUM(value*value*value*value) $over AS s4")
+          s"SUM(x) $over AS s1",
+          s"SUM(x*x) $over AS s2",
+          s"SUM(x*x*x) $over AS s3",
+          s"SUM(CAST(x AS DECIMAL(19,0))*x*x*x) $over AS s4")
         .selectExpr("user_id", "event_id", "n",
-          "s1/n AS m", "s2/n AS s2n", "s3/n AS s3n", "s4/n AS s4n")
+          "CAST(s1 AS DOUBLE)/n AS m", "CAST(s2 AS DOUBLE)/n AS s2n",
+          "CAST(s3 AS DOUBLE)/n AS s3n", "CAST(s4 AS DOUBLE)/n AS s4n")
         .selectExpr("user_id", "event_id", "n", "m",
           "s2n - m*m AS m2",
           "s3n - 3.0*m*s2n + 2.0*m*m*m AS m3",
@@ -190,7 +214,15 @@ object WindowQueries extends QueryGroup {
 
     // rolling center=True (SURVEY §2.5 `center` param): the frame
     // straddles the current row symmetrically — rowsBetween(-2, 2) for
-    // window=5 — instead of trailing it
+    // window=5 — instead of trailing it.
+    // ROUND-over-double-window SAFETY (r10 audit): ≤ 5-term window sum
+    // of exact 2-decimal doubles — accumulated fp error ≤ ~5e-15 while
+    // the true sum is an exact multiple of 0.01 (ROUND(.,2) boundary
+    // distance 5e-3) and the true avg an exact k/(100n), n ≤ 5, whose
+    // distance from any 1e-4/2 ROUND boundary is ≥ 1/(2·3e6) ≈ 1.7e-7
+    // (k·1e4 = 100n·m + n/2 has no integer solution for odd n·...) —
+    // both margins are orders of magnitude beyond any re-association
+    // drift, so the ROUND cannot flip cross-engine.
     "q71f_rolling_center" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-2, 2)
@@ -762,17 +794,24 @@ object WindowQueries extends QueryGroup {
         |ORDER BY user_id""".stripMargin,
 
     "q71h_rolling_skew_kurt" ->
-      """WITH a AS (SELECT user_id, event_id,
+      // r10: exact integer cents moments through the window (s4 via
+      // HUGEINT — x^4 of max-cents overflows int64); doubles only
+      // AFTER, on identical integers in both engines
+      """WITH src AS (SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE user_id % 9 = 0),
+        |a AS (SELECT user_id, event_id,
         |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
-        |    SUM(value) OVER w AS s1,
-        |    SUM(value*value) OVER w AS s2,
-        |    SUM(value*value*value) OVER w AS s3,
-        |    SUM(value*value*value*value) OVER w AS s4
-        |  FROM events WHERE user_id % 9 = 0
+        |    SUM(x) OVER w AS s1,
+        |    SUM(x*x) OVER w AS s2,
+        |    SUM(x*x*x) OVER w AS s3,
+        |    SUM(CAST(x AS HUGEINT)*x*x*x) OVER w AS s4
+        |  FROM src
         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
         |b AS (SELECT user_id, event_id, n,
-        |    s1/n AS m, s2/n AS s2n, s3/n AS s3n, s4/n AS s4n FROM a),
+        |    CAST(s1 AS DOUBLE)/n AS m, CAST(s2 AS DOUBLE)/n AS s2n,
+        |    CAST(s3 AS DOUBLE)/n AS s3n, CAST(s4 AS DOUBLE)/n AS s4n FROM a),
         |c AS (SELECT user_id, event_id, n, m,
         |    s2n - m*m AS m2,
         |    s3n - 3.0*m*s2n + 2.0*m*m*m AS m3,

@@ -127,6 +127,82 @@ class GraphLinalgSpec extends SparkSpec {
       4L -> 1000000L))
   }
 
+  test("harmonicCentralityHyperBall: exact on small graphs (linear-counting range)") {
+    // with m = 4096 registers and balls of size <= 4, linear counting
+    // m*ln(m/zeros) rounds to the exact count (error ~ n^2/2m < 0.01),
+    // so the sketch must agree with the exact op BIT-FOR-BIT here
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val hb = Graph.harmonicCentralityHyperBall(path, "src", "dst",
+        maxDepth = 3, p = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hb == Map(1L -> (1500000L, 2L), 2L -> (2000000L, 2L),
+      3L -> (1500000L, 2L)))
+    // directed semantics match the exact op: in-reachability
+    val dir = Graph.harmonicCentralityHyperBall(path, "src", "dst",
+        maxDepth = 3, directed = true, p = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dir == Map(1L -> 0L, 2L -> 1000000L, 3L -> 1500000L))
+  }
+
+  test("harmonicCentralityHyperBall: bounded error vs exact on a random graph") {
+    // 400-node random graph, ~1200 edges: balls reach hundreds of
+    // nodes by depth 3 — still linear-counting at m = 4096 but no
+    // longer trivially exact. Gate mean relative error on BOTH the
+    // ball size and the harmonic sum well inside the q209b envelope.
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(1200)((rnd.nextInt(400).toLong,
+      rnd.nextInt(400).toLong)).filter(e => e._1 != e._2)
+      .toDF("src", "dst").repartition(7)
+    val exact = Graph.harmonicCentralityMicro(edges, "src", "dst", maxDepth = 3)
+    val est = Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+      maxDepth = 3, p = 12)
+    val joined = exact.join(est, Seq("node"))
+      .select(col("n_reached"), col("n_reached_est"),
+        col("harmonic_micro"), col("harmonic_est_micro"))
+      .collect()
+    assert(joined.nonEmpty)
+    val relBall = joined.map(r =>
+      math.abs(r.getLong(1) - r.getLong(0)).toDouble / math.max(1L, r.getLong(0)))
+    val relHarm = joined.map(r =>
+      math.abs(r.getLong(3) - r.getLong(2)).toDouble / math.max(1L, r.getLong(2)))
+    assert(relBall.sum / relBall.length < 0.03,
+      s"mean ball rel err ${relBall.sum / relBall.length}")
+    assert(relHarm.sum / relHarm.length < 0.03,
+      s"mean harmonic rel err ${relHarm.sum / relHarm.length}")
+    assert(relBall.max < 0.1, s"max ball rel err ${relBall.max}")
+    // determinism: a second run returns the identical sketch output
+    val again = Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+      maxDepth = 3, p = 12)
+    assert(est.orderBy("node").collect().toSeq ==
+      again.orderBy("node").collect().toSeq)
+  }
+
+  test("harmonicCentralityHyperBall is partition-count invariant") {
+    // register-max is commutative/associative and the hash is fixed,
+    // so the sketch result cannot depend on physical partitioning
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = Graph.harmonicCentralityHyperBall(
+      edges.toDF("src", "dst").repartition(1), "src", "dst", p = 8)
+    val b = Graph.harmonicCentralityHyperBall(
+      edges.toDF("src", "dst").repartition(13), "src", "dst", p = 8)
+    assert(a.orderBy("node").collect().toSeq == b.orderBy("node").collect().toSeq)
+  }
+
+  test("kCorePeel fixpoint mode aborts at maxFixpointRounds instead of looping") {
+    // a 12-chain needs ~12 cascading peels at k=2; capping at 3 must
+    // throw loudly rather than silently return a non-fixpoint
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.kCorePeel(chain, "src", "dst", k = 2, rounds = -1,
+        maxFixpointRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // a generous cap still converges to the exact (empty) fixpoint
+    val ok = Graph.kCorePeel(chain, "src", "dst", k = 2, rounds = -1,
+      maxFixpointRounds = 50).collect()
+    assert(ok.isEmpty)
+  }
+
   test("kCorePeel symmetrizes and dedups directed/duplicate input") {
     // one-directional + duplicate edges must count as a single
     // undirected neighbor relation

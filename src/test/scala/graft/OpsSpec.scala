@@ -57,6 +57,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 8000.0, s"sq8 mean recall too low: $recall bp")
   }
 
+  test("sqMaxAbs: empty / all-null corpus takes the zero-scale path") {
+    // max over an empty corpus is a NULL aggregate — must map to the
+    // documented 0f zero-scale (everything codes to 0), not NPE
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.sqMaxAbs(empty, "embedding") == 0f)
+    val allNull = emb.select(col("vec_id"),
+      lit(null).cast("array<float>").as("embedding"))
+    assert(Similarity.sqMaxAbs(allNull, "embedding") == 0f)
+  }
+
   test("ivfSq: probed-cluster pruning + integer code-dots keep top-1 recall") {
     val queries = emb.filter(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)

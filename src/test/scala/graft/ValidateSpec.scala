@@ -208,6 +208,38 @@ class ValidateSpec extends SparkSpec {
     assert(idx.head == 0 && idx.last == 10)
   }
 
+  test("quantileMapHist: identity on same distribution, shift inversion, no WindowExec") {
+    // identity: same distribution → every bucket maps to itself
+    val ref = Seq.tabulate(100)(i => i.toDouble).toDF("v")
+    val self = Validate.quantileMapHist(ref, ref, "v", 0.0, 100.0, nBuckets = 10)
+    assert(self.filter(col("bucket") =!= col("mapped_bucket")).count() == 0L)
+    // location shift: cur = uniform on [50, 100) maps onto the FULL
+    // reference range — its lowest values sit at cur-CDF ~ 1/5 → land
+    // near ref bucket 2, its highest at CDF 1 → ref bucket 9
+    val cur = Seq.tabulate(50)(i => (i + 50).toDouble).toDF("v")
+    val mapped = Validate.quantileMapHist(cur, ref, "v", 0.0, 100.0, 10)
+      .select(col("bucket"), col("mapped_bucket")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapped == Map(5L -> 1L, 6L -> 3L, 7L -> 5L, 8L -> 7L, 9L -> 9L),
+      s"got $mapped")
+    // midpoints are the shared-expression arithmetic
+    val mids = Validate.quantileMapHist(cur, ref, "v", 0.0, 100.0, 10)
+      .select(col("mapped_bucket"), col("mapped")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mids.forall { case (b, m) => m == b * 10.0 + 5.0 })
+    // the scale claim: NO WindowExec anywhere in the physical plan
+    // (quantileMap's global row_number is exactly what this op removes)
+    val plan = Validate.quantileMapHist(cur, ref, "v", 0.0, 100.0, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected WindowExec:\n$plan")
+    // partition-count invariance (histograms are mergeable integers)
+    val a = Validate.quantileMapHist(cur.repartition(1), ref.repartition(1),
+      "v", 0.0, 100.0, 10).orderBy("v").collect().toSeq
+    val b = Validate.quantileMapHist(cur.repartition(13), ref.repartition(7),
+      "v", 0.0, 100.0, 10).orderBy("v").collect().toSeq
+    assert(a == b)
+  }
+
   test("quantileLadder: exact type-1 ranks, bounds, degenerate input guard") {
     val df = Seq(5.0, 1.0, 3.0, 2.0, 4.0).toDF("v")
     // n=5, nQ=4 → ranks 0,1,2,3,4 → the sorted data itself
