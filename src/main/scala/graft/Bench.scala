@@ -33,6 +33,10 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // typed-UDAF aggs (HyperBall RegMax) stay on the hash path
+      // instead of sorting wide buffer rows (see Engine.session)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen/parquet-reader warmup outside the timed loop

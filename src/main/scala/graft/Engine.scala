@@ -45,6 +45,16 @@ object Engine {
       // 16 MB threshold keeps that true at sf0.1 without risking OOM on
       // the fact tables at cluster scale.
       .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
+      // ObjectHashAggregate (typed UDAFs: RegMax register-union,
+      // weighted-mean Aggregator) falls back to SORT-based aggregation
+      // after 128 distinct keys per partition by default — for the
+      // HyperBall register frames that meant sorting 4 KB rows every
+      // round (measured 6.1 s → 3.2 s at sf0.1 with the hash path).
+      // 64k keys × buffer stays far under executor memory at our
+      // partition sizing; at cluster scale keys-per-partition shrink
+      // with parallelism, so the hash path only gets safer.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       // keep catalog state (bucketed saveAsTable) + derby metastore out
       // of the source tree when running from the repo root
       .config("spark.sql.warehouse.dir",
@@ -60,6 +70,8 @@ object Engine {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     graft.plans.RangeBinJoin.install(spark)
     graft.plans.AsofMergeJoin.install(spark)
     spark

@@ -209,6 +209,102 @@ object Sketches {
       .selectExpr("grp", "q", "n", histEstExpr(lo, hi, nBuckets) + " AS est")
   }
 
+  // --- KMV distinct / overlap sketch (NEW r10) -----------------------
+
+  /** KMV (k-minimum-values) distinct sketch of a string column: the k
+    * SMALLEST distinct scrambled hash values (Bar-Yossef et al. 2002)
+    * — k rows per corpus regardless of size, built by ONE distributed
+    * top-k (Catalyst's TakeOrderedAndProject: per-partition heaps + a
+    * k-row merge, no global sort, no single-partition window).
+    * Mergeable by construction: union two sketches and re-take the k
+    * smallest — exactly how shard sketches combine at 100 TB.
+    *
+    * The raw [[graft.expressions.TextHashes.poly_hash]] is a ROLLING
+    * polynomial — near-identical inputs give near-identical values
+    * (sequential doc texts were measured hashing to CONSECUTIVE
+    * integers), which wrecks the order statistics KMV estimates from.
+    * [[kmvScramble]] composes it with a fixed affine bijection mod
+    * P (prime), mapping step-1 input runs to step-c runs that the
+    * three-distance theorem equidistributes over [0, P) — and, being
+    * one integer expression, it replays in SQL exactly like the poly
+    * hash itself. So unlike HLL tiers the WHOLE sketch AND its
+    * estimates hash-gate bit-for-bit cross-engine.
+    *
+    * @return (rk, h): rank 1..k by ascending hash (the window runs on
+    *         the k-row result — bounded by construction)
+    */
+  def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val p = graft.expressions.HashSpec.P
+    val mixed = (graft.expressions.TextHashes.poly_hash(value)
+      * lit(kmvMixA) + lit(kmvMixB)) % lit(p)
+    val top = df.select(mixed.as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+    top.withColumn("rk", row_number().over(Window.orderBy(col("h"))))
+      .select(col("rk"), col("h"))
+  }
+
+  /** Fixed affine-scramble constants (odd multiplier coprime to P). */
+  val kmvMixA: Long = 961748927L
+  val kmvMixB: Long = 322193L
+
+  /** DuckDB replay of the KMV scrambled hash over a poly-hash SQL
+    * expression — shared verbatim with the oracle.
+    */
+  def kmvScrambleSql(polySql: String): String =
+    s"($kmvMixA * ($polySql) + $kmvMixB) % ${graft.expressions.HashSpec.P}"
+
+  /** Distinct-count estimate from a KMV sketch: if the sketch holds
+    * fewer than k hashes the count is EXACT (= sketch size); else the
+    * standard unbiased estimate floor((k−1)·P / h_k) with hashes
+    * uniform on [0, P). Pure integers.
+    *
+    * @return one row (n_sketch, est_distinct)
+    */
+  def kmvDistinct(sketch: DataFrame, k: Int): DataFrame = {
+    val p = graft.expressions.HashSpec.P
+    sketch.agg(count(lit(1)).as("n_sketch"),
+        max(col("h")).as("hk"))
+      .select(col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(s"(${k - 1}L * ${p}L) div hk"))
+          .as("est_distinct"))
+  }
+
+  /** Corpus-overlap estimate from two KMV sketches — the
+    * decontamination question ("how much of the eval shard leaked into
+    * the train shard?") answered from 2·k rows instead of a distinct
+    * join of two corpora. Merge the sketches, take the k smallest of
+    * the union (the KMV of A ∪ B), and count how many of those appear
+    * in BOTH input sketches: jaccard_bp = 10000·|both|/k', union from
+    * the merged h_k, intersection = jaccard · union (floor at bp
+    * precision). Exact-count degenerate cases (either side < k) stay
+    * correct because the merged sketch is then the true union set.
+    *
+    * @return one row (k_used, jaccard_bp, est_union, est_intersect)
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val merged = a.select(col("h")).unionByName(b.select(col("h")))
+      .distinct().orderBy(col("h")).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(col("h"))))
+    val inBoth = merged
+      .join(a.select(col("h")), Seq("h"), "left_semi")
+      .join(b.select(col("h")), Seq("h"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_both"))
+    val stats = merged.agg(count(lit(1)).as("k_used"), max(col("h")).as("hk"))
+    val p = graft.expressions.HashSpec.P
+    stats.crossJoin(broadcast(inBoth))
+      .select(col("k_used"),
+        expr("(10000L * n_both) div k_used").as("jaccard_bp"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"(${k - 1}L * ${p}L) div hk")).as("est_union"))
+      .withColumn("est_intersect",
+        expr("(jaccard_bp * est_union) div 10000"))
+  }
+
   /** Clamped equi-width bucket index of `v` — shared verbatim with the
     * oracle.
     */

@@ -558,8 +558,11 @@ object Validate {
     require(nBuckets >= 2 && nBuckets <= 1024,
       s"nBuckets must be in [2, 1024], got $nBuckets")
     require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    // every join below is between ≤ nBuckets-row frames — broadcast
+    // hints keep the non-equi joins on BroadcastNestedLoopJoin (a
+    // bounded loop over tiny frames) instead of CartesianProduct
     def cum(h: DataFrame): DataFrame =
-      h.as("a").join(h.as("b"), col("b.bucket") <= col("a.bucket"))
+      h.as("a").join(broadcast(h.as("b")), col("b.bucket") <= col("a.bucket"))
         .groupBy(col("a.bucket").as("bucket"))
         .agg(sum(col("b.cnt")).as("cume"))
     val ch = cum(Sketches.histBuild(cur, valueCol, lo, hi, nBuckets))
@@ -568,7 +571,7 @@ object Validate {
     val nRef = rh.agg(max(col("cume")).as("n_ref"))
     val mapping = ch.crossJoin(broadcast(nCur)).crossJoin(broadcast(nRef))
       .as("c")
-      .join(rh.as("r"),
+      .join(broadcast(rh.as("r")),
         col("r.cume") * col("n_cur") >= col("c.cume") * col("n_ref"))
       .groupBy(col("c.bucket").as("bucket"))
       .agg(min(col("r.bucket")).as("mapped_bucket"))

@@ -179,9 +179,13 @@ object GraphQueries extends QueryGroup {
       val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+      // checkpoint once: both legs (exact BFS + sketch) consume the
+      // same materialized edge frame instead of re-deriving the
+      // lineitem self-join twice
       val edges = hi.as("x").join(hi.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .localCheckpoint(true)
       val exact = Graph.harmonicCentralityMicro(edges, "src", "dst",
         maxDepth = 3)
       val est = Graph.harmonicCentralityHyperBall(edges, "src", "dst",

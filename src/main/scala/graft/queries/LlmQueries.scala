@@ -162,6 +162,37 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("fp")).limit(100)
     }),
 
+    // KMV distinct sketch (NEW r10): k-minimum-values estimate of the
+    // distinct normalized documents — k rows per corpus, built by ONE
+    // distributed top-k (TakeOrderedAndProject), shard-mergeable.
+    // Unlike HLL, the sketch rides the shared poly hash and floor
+    // integer estimator, so sketch AND estimate hash-gate bit-for-bit
+    // (exact distinct emitted alongside as the accuracy witness)
+    "q218_kmv_distinct" -> ((s, d) => {
+      import graft.ops.Sketches
+      val docs = Tables.documents(s, d)
+      val norm = Dedup.normText(col("text"))
+      val sk = Sketches.kmvSketch(docs, norm, k = 128)
+      val exact = docs.select(poly_hash(norm).as("h")).distinct()
+        .agg(count(lit(1)).as("n_exact"))
+      Sketches.kmvDistinct(sk, 128).crossJoin(broadcast(exact))
+    }),
+
+    // KMV overlap / contamination estimate (NEW r10): how much of
+    // shard B leaked into shard A, answered from two 128-row sketches
+    // instead of a distinct-join of the corpora — the 100 TB
+    // decontamination TRIAGE step (the exact containment gate q140c/d
+    // then runs only on flagged shard pairs). Slices overlap by
+    // construction (doc_id % 3 ∈ {2} is in both)
+    "q219_kmv_overlap" -> ((s, d) => {
+      import graft.ops.Sketches
+      val docs = Tables.documents(s, d)
+      val norm = Dedup.normText(col("text"))
+      val a = Sketches.kmvSketch(docs.filter(col("doc_id") % 3 =!= 0), norm, 128)
+      val b = Sketches.kmvSketch(docs.filter(col("doc_id") % 3 =!= 1), norm, 128)
+      Sketches.kmvOverlap(a, b, 128)
+    }),
+
     // incremental NEAR-dedup: the new crawl's minhash bands joined
     // against the ingested snapshot's — the fuzzy companion of q90b
     // (same corpus split), round-4 estimated Jaccard at 0.9
@@ -815,6 +846,42 @@ object LlmQueries extends QueryGroup {
            |SELECT doc_id, sig[1] AS mh0, sig[8] AS mh7, sig[16] AS mh15,
            |  array_to_string(sig, ',') AS sig_str
            |FROM sig WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin,
+
+      "q218_kmv_distinct" ->
+        s"""WITH t AS (SELECT DISTINCT ${graft.ops.Sketches.kmvScrambleSql(sqlPoly(sqlNorm))} AS h
+           |  FROM documents),
+           |t2 AS (SELECT h FROM t WHERE h IS NOT NULL),
+           |s AS (SELECT h FROM t2 ORDER BY h LIMIT 128),
+           |agg AS (SELECT COUNT(*) AS n_sketch, MAX(h) AS hk FROM s),
+           |ex AS (SELECT COUNT(*) AS n_exact FROM t2)
+           |SELECT agg.n_sketch,
+           |  CASE WHEN agg.n_sketch < 128 THEN agg.n_sketch
+           |    ELSE (127 * CAST($P AS BIGINT)) // agg.hk END AS est_distinct,
+           |  ex.n_exact
+           |FROM agg CROSS JOIN ex""".stripMargin,
+
+      "q219_kmv_overlap" -> {
+        val est = s"CASE WHEN st.k_used < 128 THEN st.k_used" +
+          s" ELSE (127 * CAST($P AS BIGINT)) // st.hk END"
+        s"""WITH base AS (SELECT doc_id, ${graft.ops.Sketches.kmvScrambleSql(sqlPoly(sqlNorm))} AS h
+           |  FROM documents),
+           |a AS (SELECT h FROM (SELECT DISTINCT h FROM base
+           |  WHERE doc_id % 3 != 0 AND h IS NOT NULL) ORDER BY h LIMIT 128),
+           |b AS (SELECT h FROM (SELECT DISTINCT h FROM base
+           |  WHERE doc_id % 3 != 1 AND h IS NOT NULL) ORDER BY h LIMIT 128),
+           |m AS (SELECT h FROM (SELECT DISTINCT h FROM (
+           |    SELECT h FROM a UNION ALL SELECT h FROM b))
+           |  ORDER BY h LIMIT 128),
+           |nb AS (SELECT COUNT(*) AS n_both FROM m
+           |  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+           |st AS (SELECT COUNT(*) AS k_used, MAX(h) AS hk FROM m)
+           |SELECT st.k_used,
+           |  (10000 * nb.n_both) // st.k_used AS jaccard_bp,
+           |  $est AS est_union,
+           |  (((10000 * nb.n_both) // st.k_used) * ($est)) // 10000
+           |    AS est_intersect
+           |FROM st CROSS JOIN nb""".stripMargin
+      },
 
       "q92_dedup_minhash_lsh" -> {
         val bandSelects = (0 until 4).map { b =>

@@ -357,6 +357,15 @@ package object syntax {
     def sqTopKLearned(queries: DataFrame, id: String, vec: String,
         k: Int): DataFrame =
       ops.Similarity.sqTopKLearned(df, queries, id, vec, k)
+    // --- round-10 additions --------------------------------------
+    def harmonicCentralityHyperBall(src: String, dst: String,
+        maxDepth: Int = 3, directed: Boolean = false, p: Int = 10): DataFrame =
+      ops.Graph.harmonicCentralityHyperBall(df, src, dst, maxDepth, directed, p)
+    def quantileMapHist(ref: DataFrame, valueCol: String,
+        lo: Double, hi: Double, nBuckets: Int = 32): DataFrame =
+      ops.Validate.quantileMapHist(df, ref, valueCol, lo, hi, nBuckets)
+    def kmvSketch(value: Column, k: Int): DataFrame =
+      ops.Sketches.kmvSketch(df, value, k)
 
     def zOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
       Layout.zOrderBy(df, a, b, nFiles)

@@ -127,4 +127,78 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"estimate join should broadcast the sketch:\n$plan")
   }
+
+  // --- KMV distinct / overlap ---------------------------------------
+
+  private def strDf(ss: Seq[String]) = ss.toDF("s")
+
+  test("kmv: exact below k, bounded relative error above k") {
+    import graft.ops.Sketches
+    // 40 distinct values, k = 64 → sketch IS the value set, estimate exact
+    val small = strDf((1 to 40).map(i => s"doc-$i"))
+    val sk = Sketches.kmvSketch(small, col("s"), 64)
+    assert(sk.count() == 40)
+    val est = Sketches.kmvDistinct(sk, 64).head
+    assert(est.getLong(0) == 40 && est.getLong(1) == 40)
+    // 5000 distinct values, k = 256 → standard KMV error ~ 1/sqrt(k)
+    // (6.2%); assert a generous 20% band (deterministic hash → this is
+    // a fixed number, the band guards against regressions not noise)
+    val big = strDf((1 to 5000).map(i => s"document body number $i"))
+    val est2 = Sketches.kmvDistinct(
+      Sketches.kmvSketch(big, col("s"), 256), 256).head.getLong(1)
+    assert(math.abs(est2 - 5000.0) / 5000.0 < 0.2, s"est=$est2")
+  }
+
+  test("kmv sketches merge: union sketch == sketch of union") {
+    import graft.ops.Sketches
+    val a = strDf((1 to 900).map(i => s"shard-a-$i"))
+    val b = strDf((500 to 1400).map(i => s"shard-b-$i"))
+    val whole = Sketches.kmvSketch(a.unionByName(b), col("s"), 128)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val mergedFrames = Sketches.kmvSketch(a, col("s"), 128)
+      .select(col("h")).unionByName(
+        Sketches.kmvSketch(b, col("s"), 128).select(col("h")))
+      .distinct().orderBy(col("h")).limit(128)
+    val rk = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    val merged = mergedFrames
+      .withColumn("rk", row_number().over(rk))
+      .select(col("rk"), col("h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(whole == merged)
+  }
+
+  test("kmv overlap: identical → 10000 bp, disjoint → 0, partial in between") {
+    import graft.ops.Sketches
+    val xs = strDf((1 to 800).map(i => s"x-$i"))
+    val ys = strDf((1 to 800).map(i => s"y-$i"))
+    val skX = Sketches.kmvSketch(xs, col("s"), 128)
+    val skY = Sketches.kmvSketch(ys, col("s"), 128)
+    assert(Sketches.kmvOverlap(skX, skX, 128).head.getLong(1) == 10000L)
+    assert(Sketches.kmvOverlap(skX, skY, 128).head.getLong(1) == 0L)
+    // A = 1..800, B = 401..1200: true J = 400/1200 = 3333 bp; with
+    // k = 128 the deterministic estimate must land within ~2.5x the
+    // 1/sqrt(k) band (fixed hash → fixed value; band guards regressions)
+    val zs = strDf((401 to 1200).map(i => s"x-$i"))
+    val j = Sketches.kmvOverlap(skX,
+      Sketches.kmvSketch(zs, col("s"), 128), 128).head.getLong(1)
+    assert(j > 1000 && j < 5800, s"jaccard_bp=$j")
+  }
+
+  test("kmv is partition-count invariant and avoids a global-sort plan") {
+    import graft.ops.Sketches
+    val data = (1 to 3000).map(i => s"p-$i")
+    val one = Sketches.kmvSketch(strDf(data).repartition(1), col("s"), 64)
+      .collect().map(_.getLong(1)).toSeq
+    val many = Sketches.kmvSketch(strDf(data).repartition(17), col("s"), 64)
+      .collect().map(_.getLong(1)).toSeq
+    assert(one == many)
+    // the top-k must plan as TakeOrderedAndProject (per-partition
+    // heaps + k-row merge), not a global Sort + Limit
+    val plan = strDf(data).select(
+        graft.expressions.TextHashes.poly_hash(col("s")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .orderBy(col("h")).limit(64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
 }

@@ -252,4 +252,16 @@ class SyntaxSpec extends SparkSpec {
     assert(emb.sqTopKLearned(emb.filter(col("vec_id") === 1),
       "vec_id", "embedding", k = 1).head.getLong(2) != 1L)
   }
+
+  test("round-10 session wrappers resolve and delegate") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    // tiny ball sizes → sketch is exact → same rows as the exact op
+    assert(tri.harmonicCentralityHyperBall("src", "dst", p = 10).count() == 4)
+    val cur = Seq.tabulate(20)(i => (i + 10).toDouble).toDF("v")
+    val ref = Seq.tabulate(20)(_.toDouble).toDF("v")
+    assert(cur.quantileMapHist(ref, "v", 0.0, 40.0, nBuckets = 8)
+      .count() == 20)
+    val docs = Seq("a", "b", "c").toDF("s")
+    assert(docs.kmvSketch(col("s"), k = 8).count() == 3)
+  }
 }
