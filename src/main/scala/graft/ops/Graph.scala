@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for corpus curation.
@@ -662,8 +662,135 @@ object Graph {
     * @param p log2 of the register count (4..14); m = 2^p bytes/node
     * @return (node, harmonic_est_micro, n_reached_est)
     */
+  /** Exact neighborhood function N(d) = Σ_v |ball_d(v)| (the number of
+    * node pairs within distance d, self included) — same simultaneous-
+    * BFS skeleton as [[harmonicCentralityMicro]] but only the per-depth
+    * GLOBAL totals leave the loop, so the result is maxDepth+1 rows.
+    * The classic derived statistic is the EFFECTIVE DIAMETER (smallest
+    * d where N(d) reaches q% of N(maxDepth), linearly interpolated —
+    * Boldi–Vigna's "four degrees of separation" number), computed by
+    * [[effectiveDiameterMicro]] on this output in exact floor-micro
+    * integers.
+    *
+    * Same scale caveat as the exact harmonic op: the pair set is
+    * quadratic on dense graphs — [[neighborhoodFunctionHyperBall]] is
+    * the sketch tier with per-round cost |E|·2^p instead.
+    *
+    * @return (d, n_pairs) for d = 0..maxDepth, n_pairs exact
+    */
+  def neighborhoodFunctionExact(edges: DataFrame, src: String, dst: String,
+      maxDepth: Int = 3, directed: Boolean = false): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 10,
+      s"maxDepth must be in [1, 10], got $maxDepth")
+    val e0 = edges.select(col(src).cast("long").as("esrc"),
+        col(dst).cast("long").as("edst"))
+      .filter(col("esrc") =!= col("edst"))
+    val e = (if (directed) e0
+             else e0.union(e0.select(col("edst").as("esrc"), col("esrc").as("edst"))))
+      .distinct().persist()
+    val nodes = e.select(col("esrc").as("node"))
+      .union(e.select(col("edst").as("node"))).distinct().persist()
+    var frontier = nodes.select(col("node").as("v"), col("node").as("u"))
+      .localCheckpoint(true)
+    var reached = frontier
+    var total = frontier.count()
+    val counts = scala.collection.mutable.ArrayBuffer((0, total))
+    var d = 1
+    var emptied = false
+    while (d <= maxDepth && !emptied) {
+      val expanded = frontier.join(e, frontier("u") === e("edst"))
+        .select(col("v"), col("esrc").as("u")).distinct()
+      val next = expanded.join(reached, Seq("v", "u"), "left_anti")
+        .localCheckpoint(true)
+      val n = next.count()
+      if (n == 0L) emptied = true
+      else {
+        total += n
+        reached = reached.union(next)
+        frontier = next
+      }
+      counts += ((d, total))
+      d += 1
+    }
+    while (d <= maxDepth) { counts += ((d, total)); d += 1 }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    val s = edges.sparkSession
+    import s.implicits._
+    counts.toSeq.toDF("d", "n_pairs")
+  }
+
+  /** Sketch-tier neighborhood function: the same HyperBall loop as
+    * [[harmonicCentralityHyperBall]], emitting the per-depth GLOBAL
+    * Σ_v est|ball_d(v)| instead of per-node centralities. Per-round
+    * cost is |E|·2^p — independent of ball mass — which is exactly how
+    * the web-scale "degrees of separation" numbers are produced.
+    * Deterministic for the same reasons (fixed hash, integer
+    * registers, StrictMath estimate); global sums concentrate, so the
+    * relative error is far below the per-node HLL bound.
+    *
+    * @return (d, n_pairs_est) for d = 0..maxDepth
+    */
+  def neighborhoodFunctionHyperBall(edges: DataFrame, src: String,
+      dst: String, maxDepth: Int = 3, directed: Boolean = false,
+      p: Int = 10): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 10,
+      s"maxDepth must be in [1, 10], got $maxDepth")
+    require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
+    val (_, sums) = hyperBallLoop(edges, src, dst, maxDepth, directed, p,
+      collectSums = true)
+    val s = edges.sparkSession
+    import s.implicits._
+    sums.toDF("d", "n_pairs_est")
+  }
+
+  /** Effective diameter at `qBp` basis points (e.g. 9000 = 90%) from a
+    * neighborhood-function frame `(d, n_pairs[...])`: the smallest d
+    * with N(d) >= target, linearly interpolated inside the step in
+    * exact floor-micro integers — deterministic in any 64-bit engine.
+    * One tiny (maxDepth+1)-row computation; `valueCol` selects the
+    * exact or estimated count column.
+    */
+  def effectiveDiameterMicro(nf: DataFrame, valueCol: String,
+      qBp: Int = 9000): DataFrame = {
+    require(qBp >= 1 && qBp <= 10000, s"qBp must be in [1, 10000], got $qBp")
+    val last = nf.agg(max(col("d")).as("dmax"))
+    val tgt = nf.join(broadcast(last), col("d") === col("dmax"))
+      .select((col(valueCol) * qBp).as("target_x10k"))
+    val w = Window.orderBy(col("d"))
+    val steps = nf.select(col("d"), col(valueCol).as("n"))
+      .withColumn("n_prev", lag(col("n"), 1).over(w))
+      .crossJoin(broadcast(tgt))
+      .filter(col("n") * 10000 >= col("target_x10k") &&
+        (col("n_prev").isNull || col("n_prev") * 10000 < col("target_x10k")))
+    // floor-integer interpolation (div, not /): exact in any 64-bit
+    // engine; target·1e6 bounds the magnitude at ~N·9e9 — fine for
+    // pair counts into the trillions
+    steps.selectExpr(
+      "CAST(CASE WHEN n_prev IS NULL THEN 0 ELSE " +
+        "(d - 1) * 1000000 + ((target_x10k - n_prev * 10000) * 1000000)" +
+        " div ((n - n_prev) * 10000) END AS BIGINT) AS eff_diameter_micro")
+  }
+
   def harmonicCentralityHyperBall(edges: DataFrame, src: String, dst: String,
       maxDepth: Int = 3, directed: Boolean = false, p: Int = 10): DataFrame = {
+    val (state, _) = hyperBallLoop(edges, src, dst, maxDepth, directed, p,
+      collectSums = false)
+    state.select(col("node"),
+      col("h_micro").as("harmonic_est_micro"),
+      (col("est") - 1L).as("n_reached_est"))
+  }
+
+  /** The shared HyperBall round loop behind
+    * [[harmonicCentralityHyperBall]] and
+    * [[neighborhoodFunctionHyperBall]]. Returns the final per-node
+    * state (node, regs, est, h_micro) and — when `collectSums` — the
+    * per-depth global Σ est (one bounded 1-row action per round; the
+    * harmonic path skips them).
+    */
+  private def hyperBallLoop(edges: DataFrame, src: String, dst: String,
+      maxDepth: Int, directed: Boolean, p: Int,
+      collectSums: Boolean): (DataFrame, Seq[(Int, Long)]) = {
     require(maxDepth >= 1 && maxDepth <= 10,
       s"maxDepth must be in [1, 10], got $maxDepth")
     require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
@@ -692,6 +819,11 @@ object Graph {
       .select(col("node"), initUdf(col("node")).as("regs"),
         lit(1L).as("est"), lit(0L).as("h_micro"))
       .localCheckpoint(true)
+    val sums = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    def sumEst(d: Int): Unit = if (collectSums)
+      sums += ((d, state.agg(coalesce(sum(col("est")), lit(0L)))
+        .head().getLong(0)))
+    sumEst(0)
     var d = 1
     while (d <= maxDepth) {
       // ONE shuffle per round: neighbor contributions carry zeroed
@@ -712,12 +844,10 @@ object Graph {
         .select(col("node"), col("regs"), col("est"),
           (col("h0") + (col("est") - col("est0")) * w).as("h_micro"))
         .localCheckpoint(true)
+      sumEst(d)
       d += 1
     }
-    val out = state.select(col("node"),
-      col("h_micro").as("harmonic_est_micro"),
-      (col("est") - 1L).as("n_reached_est"))
     e.unpersist(blocking = false)
-    out
+    (state, sums.toSeq)
   }
 }

@@ -198,6 +198,35 @@ object GraphQueries extends QueryGroup {
             (col("n_reached") / 10L + lit(3L)) * 1000000L)
             .cast("int").as("harm_ok"))
         .orderBy(col("node"))
+    }),
+
+    // neighborhood function + effective diameter (NEW r10): N(d) =
+    // pairs within d hops, and the 90% effective diameter — the
+    // Boldi–Vigna "degrees of separation" statistic. Exact N(d) and
+    // the floor-micro interpolated diameter hash-gate outright (all
+    // integer); the HyperBall sketch's per-depth totals gate as
+    // within-bound flags (5% + 3 — global sums concentrate far below
+    // the per-node HLL error). Sparser qty >= 47 slice: the op is
+    // scale-free and the HB stress ladder carries the scale receipts
+    "q209c_effective_diameter" -> ((s, d) => {
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 47)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = hi.as("x").join(hi.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .localCheckpoint(true)
+      val exact = Graph.neighborhoodFunctionExact(edges, "src", "dst",
+        maxDepth = 3)
+      val est = Graph.neighborhoodFunctionHyperBall(edges, "src", "dst",
+        maxDepth = 3, p = 12)
+      val eff = Graph.effectiveDiameterMicro(exact, "n_pairs", qBp = 9000)
+      exact.join(est, Seq("d"))
+        .select(col("d"), col("n_pairs"),
+          (abs(col("n_pairs_est") - col("n_pairs")) <=
+            col("n_pairs") / 20L + lit(3L)).cast("int").as("nf_ok"))
+        .crossJoin(broadcast(eff))
+        .orderBy(col("d"))
     })
   )
 
@@ -498,6 +527,60 @@ object GraphQueries extends QueryGroup {
          |  CAST(1 AS INTEGER) AS ball_ok,
          |  CAST(1 AS INTEGER) AS harm_ok
          |FROM nodes n LEFT JOIN agg a ON n.node = a.v
-         |ORDER BY n.node""".stripMargin
+         |ORDER BY n.node""".stripMargin,
+
+    "q209c_effective_diameter" ->
+      // exact N(d) via the same unrolled BFS (qty >= 47 slice) +
+      // floor-micro interpolated 90% effective diameter; sketch
+      // verdicts restated as literal 1-flags (q209b's pattern)
+      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+         |  FROM lineitem WHERE l_quantity >= 47),
+         |raw AS (SELECT x.sk AS a, y.sk AS b FROM hi x JOIN hi y
+         |  ON x.ok = y.ok AND x.sk < y.sk),
+         |e AS MATERIALIZED (SELECT esrc, edst FROM (
+         |  SELECT a AS esrc, b AS edst FROM raw WHERE a != b
+         |  UNION SELECT b, a FROM raw WHERE a != b)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT esrc AS node FROM e),
+         |r0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
+         |f1 AS MATERIALIZED (SELECT DISTINCT r.v, e.esrc AS u
+         |  FROM r0 r JOIN e ON r.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r0 x
+         |    WHERE x.v = r.v AND x.u = e.esrc)),
+         |r1 AS MATERIALIZED (SELECT v, u FROM r0 UNION SELECT v, u FROM f1),
+         |f2 AS MATERIALIZED (SELECT DISTINCT f.v, e.esrc AS u
+         |  FROM f1 f JOIN e ON f.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r1 x
+         |    WHERE x.v = f.v AND x.u = e.esrc)),
+         |r2 AS MATERIALIZED (SELECT v, u FROM r1 UNION SELECT v, u FROM f2),
+         |f3 AS MATERIALIZED (SELECT DISTINCT f.v, e.esrc AS u
+         |  FROM f2 f JOIN e ON f.u = e.edst
+         |  WHERE NOT EXISTS (SELECT 1 FROM r2 x
+         |    WHERE x.v = f.v AND x.u = e.esrc)),
+         |nv AS (SELECT COUNT(*) AS n0 FROM nodes),
+         |c1 AS (SELECT COUNT(*) AS c FROM f1),
+         |c2 AS (SELECT COUNT(*) AS c FROM f2),
+         |c3 AS (SELECT COUNT(*) AS c FROM f3),
+         |nf AS (
+         |  SELECT 0 AS d, n0 AS n_pairs FROM nv
+         |  UNION ALL SELECT 1, n0 + c1.c FROM nv CROSS JOIN c1
+         |  UNION ALL SELECT 2, n0 + c1.c + c2.c
+         |    FROM nv CROSS JOIN c1 CROSS JOIN c2
+         |  UNION ALL SELECT 3, n0 + c1.c + c2.c + c3.c
+         |    FROM nv CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN c3),
+         |tgt AS (SELECT n_pairs * 9000 AS target FROM nf WHERE d = 3),
+         |steps AS (SELECT d, n_pairs AS n,
+         |    LAG(n_pairs) OVER (ORDER BY d) AS n_prev FROM nf),
+         |eff AS (SELECT CAST(CASE WHEN s.n_prev IS NULL THEN 0 ELSE
+         |    (s.d - 1) * 1000000 +
+         |      ((t.target - s.n_prev * 10000) * 1000000)
+         |        // ((s.n - s.n_prev) * 10000) END AS BIGINT)
+         |    AS eff_diameter_micro
+         |  FROM steps s CROSS JOIN tgt t
+         |  WHERE s.n * 10000 >= t.target
+         |    AND (s.n_prev IS NULL OR s.n_prev * 10000 < t.target)
+         |  ORDER BY s.d LIMIT 1)
+         |SELECT nf.d, CAST(nf.n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(1 AS INTEGER) AS nf_ok, eff.eff_diameter_micro
+         |FROM nf CROSS JOIN eff ORDER BY nf.d""".stripMargin
   )
 }

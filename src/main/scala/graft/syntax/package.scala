@@ -366,6 +366,9 @@ package object syntax {
       ops.Validate.quantileMapHist(df, ref, valueCol, lo, hi, nBuckets)
     def kmvSketch(value: Column, k: Int): DataFrame =
       ops.Sketches.kmvSketch(df, value, k)
+    def neighborhoodFunction(src: String, dst: String, maxDepth: Int = 3,
+        directed: Boolean = false): DataFrame =
+      ops.Graph.neighborhoodFunctionExact(df, src, dst, maxDepth, directed)
 
     def zOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
       Layout.zOrderBy(df, a, b, nFiles)

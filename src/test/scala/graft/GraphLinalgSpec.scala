@@ -188,6 +188,33 @@ class GraphLinalgSpec extends SparkSpec {
     assert(a.orderBy("node").collect().toSeq == b.orderBy("node").collect().toSeq)
   }
 
+  test("neighborhoodFunction: exact hand-check, sketch agreement, effective diameter") {
+    // path 1-2-3-4: N(0)=4, N(1)=4+6 (ends reach 1, middles 2),
+    // N(2)=10+4, N(3)=14+2=16 (all pairs reached)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nf = Graph.neighborhoodFunctionExact(path, "src", "dst", maxDepth = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nf == Map(0 -> 4L, 1 -> 10L, 2 -> 14L, 3 -> 16L))
+    // HyperBall totals agree exactly in the linear-counting range
+    val hb = Graph.neighborhoodFunctionHyperBall(path, "src", "dst",
+        maxDepth = 3, p = 12)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hb == nf)
+    // effective diameter at 90%: target = 16*0.9 = 14.4 ⇒ crossing
+    // step is d ∈ (2, 3]: 2 + (144000-140000)/(160000-140000) = 2.2
+    val eff = Graph.effectiveDiameterMicro(
+      Graph.neighborhoodFunctionExact(path, "src", "dst", 3), "n_pairs")
+      .head.getLong(0)
+    assert(eff == 2200000L, s"eff=$eff")
+    // degenerate: a triangle saturates at d=1; target inside (0,1]
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val effTri = Graph.effectiveDiameterMicro(
+      Graph.neighborhoodFunctionExact(tri, "src", "dst", 3), "n_pairs")
+      .head.getLong(0)
+    // N(0)=3, N(1..3)=9; target 8.1 ⇒ 0 + (81000-30000)/(90000-30000)
+    assert(effTri == 850000L, s"effTri=$effTri")
+  }
+
   test("kCorePeel fixpoint mode aborts at maxFixpointRounds instead of looping") {
     // a 12-chain needs ~12 cascading peels at k=2; capping at 3 must
     // throw loudly rather than silently return a non-fixpoint

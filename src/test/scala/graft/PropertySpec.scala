@@ -356,6 +356,40 @@ class PropertySpec extends SparkSpec {
     assigned
   }
 
+  test("kmv sketch: merge == whole and estimate == reference fold on random corpora") {
+    // the KMV merge property (union sketches, re-take k smallest ==
+    // sketch of the union) plus agreement with a sequential reference
+    // implementation of the scrambled hash + estimator
+    val genDocs: Gen[List[String]] = Gen.listOfN(60, for {
+      a <- Gen.choose(0, 999); b <- Gen.oneOf("x", "y", "doc")
+    } yield s"$b-$a")
+    val p = graft.expressions.HashSpec.P
+    def refHashes(ss: Seq[String]): Seq[Long] = ss.map { s =>
+      val raw = graft.expressions.HashSpec.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (raw * graft.ops.Sketches.kmvMixA + graft.ops.Sketches.kmvMixB) % p
+    }.distinct.sorted
+    val prop = Prop.forAll(genDocs, genDocs) { (as, bs) =>
+      val k = 16
+      val skA = graft.ops.Sketches.kmvSketch(as.toDF("s"), col("s"), k)
+      val skB = graft.ops.Sketches.kmvSketch(bs.toDF("s"), col("s"), k)
+      val whole = graft.ops.Sketches.kmvSketch(
+        (as ++ bs).toDF("s"), col("s"), k)
+        .collect().map(_.getLong(1)).toSeq
+      val merged = (skA.collect().map(_.getLong(1)) ++
+        skB.collect().map(_.getLong(1))).distinct.sorted.take(k).toSeq
+      val refWhole = refHashes(as ++ bs).take(k)
+      val est = graft.ops.Sketches.kmvDistinct(
+        graft.ops.Sketches.kmvSketch(as.toDF("s"), col("s"), k), k)
+        .head.getLong(1)
+      val refAll = refHashes(as)
+      val refEst = if (refAll.length < k) refAll.length.toLong
+                   else (k - 1).toLong * p / refAll(k - 1)
+      whole == merged && whole == refWhole && est == refEst
+    }
+    check("kmv-merge-ref", prop, minTests = 5)
+  }
+
   test("labelPropagate matches the sequential LPA fold on random digraphs") {
     val genSeeds = Gen.nonEmptyMap(for {
       n <- Gen.choose(0L, 9L); l <- Gen.oneOf("A", "B", "C")
