@@ -296,9 +296,12 @@ object Sketches {
       .agg(coalesce(count(lit(1)), lit(0L)).as("n_both"))
     val stats = merged.agg(count(lit(1)).as("k_used"), max(col("h")).as("hk"))
     val p = graft.expressions.HashSpec.P
+    // k_used = 0 (both corpora empty) would divide by zero — an empty
+    // pair trivially has jaccard 0 / union 0 / intersection 0
     stats.crossJoin(broadcast(inBoth))
       .select(col("k_used"),
-        expr("(10000L * n_both) div k_used").as("jaccard_bp"),
+        when(col("k_used") === 0, lit(0L))
+          .otherwise(expr("(10000L * n_both) div k_used")).as("jaccard_bp"),
         when(col("k_used") < k, col("k_used"))
           .otherwise(expr(s"(${k - 1}L * ${p}L) div hk")).as("est_union"))
       .withColumn("est_intersect",

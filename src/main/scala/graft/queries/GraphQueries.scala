@@ -205,11 +205,12 @@ object GraphQueries extends QueryGroup {
     // Boldi–Vigna "degrees of separation" statistic. Exact N(d) and
     // the floor-micro interpolated diameter hash-gate outright (all
     // integer); the HyperBall sketch's per-depth totals gate as
-    // within-bound flags (5% + 3 — global sums concentrate far below
-    // the per-node HLL error). Sparser qty >= 47 slice: the op is
+    // within-bound flags (5% + 3; p = 10 suffices here — GLOBAL sums
+    // concentrate far below the per-node HLL error, measured 0.15%
+    // at the stress tier). Sparser qty >= 48 slice: the op is
     // scale-free and the HB stress ladder carries the scale receipts
     "q209c_effective_diameter" -> ((s, d) => {
-      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 47)
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val edges = hi.as("x").join(hi.as("y"),
@@ -219,7 +220,7 @@ object GraphQueries extends QueryGroup {
       val exact = Graph.neighborhoodFunctionExact(edges, "src", "dst",
         maxDepth = 3)
       val est = Graph.neighborhoodFunctionHyperBall(edges, "src", "dst",
-        maxDepth = 3, p = 12)
+        maxDepth = 3, p = 10)
       val eff = Graph.effectiveDiameterMicro(exact, "n_pairs", qBp = 9000)
       exact.join(est, Seq("d"))
         .select(col("d"), col("n_pairs"),
@@ -534,7 +535,7 @@ object GraphQueries extends QueryGroup {
       // floor-micro interpolated 90% effective diameter; sketch
       // verdicts restated as literal 1-flags (q209b's pattern)
       s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
-         |  FROM lineitem WHERE l_quantity >= 47),
+         |  FROM lineitem WHERE l_quantity >= 48),
          |raw AS (SELECT x.sk AS a, y.sk AS b FROM hi x JOIN hi y
          |  ON x.ok = y.ok AND x.sk < y.sk),
          |e AS MATERIALIZED (SELECT esrc, edst FROM (

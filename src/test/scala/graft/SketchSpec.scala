@@ -184,6 +184,19 @@ class SketchSpec extends SparkSpec {
     assert(j > 1000 && j < 5800, s"jaccard_bp=$j")
   }
 
+  test("kmv overlap: empty sketches yield the zero row, not a division error") {
+    import graft.ops.Sketches
+    val empty = Sketches.kmvSketch(strDf(Nil), col("s"), 16)
+    val r = Sketches.kmvOverlap(empty, empty, 16).head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L &&
+      r.getLong(2) == 0L && r.getLong(3) == 0L)
+    // one empty side: jaccard 0, union estimate = the other side's
+    val some = Sketches.kmvSketch(strDf(Seq("a", "b", "c")), col("s"), 16)
+    val r2 = Sketches.kmvOverlap(some, empty, 16).head
+    assert(r2.getLong(0) == 3L && r2.getLong(1) == 0L &&
+      r2.getLong(2) == 3L && r2.getLong(3) == 0L)
+  }
+
   test("kmv is partition-count invariant and avoids a global-sort plan") {
     import graft.ops.Sketches
     val data = (1 to 3000).map(i => s"p-$i")
