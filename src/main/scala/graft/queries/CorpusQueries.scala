@@ -498,6 +498,12 @@ object CorpusQueries extends QueryGroup {
 
     // perplexity filter: decile-bin docs by the q151 bigram-LM score
     // (CCNet-style quality buckets); keep = the 8 best deciles
+    // SCALE NOTE (r10 window audit): the exact global ntile is the
+    // GATE tier — at 100 TB a perplexity filter assigns deciles by
+    // comparing against broadcast decile thresholds (the
+    // Sketches.histBuild / Validate.quantileMapHist substrate), a
+    // map-only plan; the exact global window stays here because the
+    // oracle replays ntile semantics bit-for-bit.
     "q151b_perplexity_filter" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("avg_logprob").desc, col("doc_id").asc)

@@ -58,6 +58,51 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test("unpartitioned WindowExec appears only in the bounded-by-construction whitelist") {
+    // a global (no PARTITION BY) window moves ALL rows to one
+    // partition — a scale-killer unless its input is bounded by
+    // construction (a k-row sketch, an nQ-point ladder, a
+    // maxDepth-row profile, a per-chunk offset table). This audit
+    // pins the whitelist so a new query can't silently ship an
+    // unbounded single-partition window. Prefixes because several
+    // queries share kernels.
+    val allowed = Set(
+      // bounded-input windows (run over sketch/offset/grid frames):
+      "q142_pack_sequences", "q142b_pack_by_subword", // chunk-offset table, #docs/chunkSize rows
+      "q146_heavy_hitters", // rank over the bounded candidate set
+      "q156c_mixture_temperature", // rate table, #sources rows
+      "q157b_zipf_slope", // top-K vocabulary frame
+      "q168_vocab_tokenize", // vocab table
+      "q192_hist_quantile", "q207_ks_drift", // ladder walks, nBuckets rows
+      "q200_attribution", // share-of-total over the grouped #sources frame
+      "q209c_effective_diameter", // maxDepth+1-row profile
+      "q25d_value_counts_norm", // distinct values of a low-card column
+      "q33b_factorize", "q33c_ngroup", // code dimension (distinct keys)
+      "q57_dt_resample", // calendar grid
+      "q92f_lsh_plan", // band-count factorization grid
+      // documented full-column tiers with a named scale swap:
+      "q31b_searchsorted", "q31c_searchsorted_large", // prefix step (scaladoc'd)
+      "q151b_perplexity_filter" // exact global deciles (gate tier; production assigns by histogram thresholds)
+    )
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): Seq[SparkPlan] =
+      p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        .flatMap(unwrap)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      try {
+        val p = SparkEntry.queries(q)(spark, sfTiny).queryExecution.executedPlan
+        val hasGlobal = unwrap(p).exists(_.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.nonEmpty)
+        hasGlobal && !allowed(q)
+      } catch { case _: Throwable => false } // streaming plans throw
+    }
+    assert(offenders.isEmpty,
+      s"NEW unbounded single-partition window in: ${offenders.mkString(", ")}")
+  }
+
   test("factorize broadcasts the code dimension, never shuffles the fact side") {
     val p = plan("q33b_factorize")
     assert(p.contains("BroadcastHashJoin"), p)
