@@ -369,6 +369,10 @@ package object syntax {
     def neighborhoodFunction(src: String, dst: String, maxDepth: Int = 3,
         directed: Boolean = false): DataFrame =
       ops.Graph.neighborhoodFunctionExact(df, src, dst, maxDepth, directed)
+    def kmvOverlap(other: DataFrame, k: Int): DataFrame =
+      ops.Sketches.kmvOverlap(df, other, k)
+    def psiReferenceCounts(valueCol: String, bounds: Seq[Double]): Seq[Long] =
+      ops.Validate.psiReferenceCounts(df, valueCol, bounds)
 
     def zOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
       Layout.zOrderBy(df, a, b, nFiles)
