@@ -592,6 +592,53 @@ object Validate {
     s"ROUND($lo + (CAST(mapped_bucket AS DOUBLE) + 0.5)" +
       s" * (($hi - $lo) / $nBuckets), 6)"
 
+  /** Per-group [[benfordDigits]] — the screen run per source/feed/
+    * tenant, which is how a corrupted UPSTREAM is actually localized
+    * (a global screen dilutes one bad feed across the corpus). Same
+    * exact power-of-ten ladder and integer-bp deviations; per-group
+    * totals and exclusions ride ONE partitioned window over the
+    * (|groups|·10)-row aggregate (scalable — the window is partitioned
+    * by group, never global), and the digit grid is densified per
+    * group so absent digits surface as n = 0 rows exactly like the
+    * global op.
+    *
+    * @return (grp, digit, n, obs_bp, exp_bp, dev_bp, n_excluded)
+    */
+  def benfordDigitsBy(df: DataFrame, group: String,
+      valueCol: String): DataFrame = {
+    val v = df.select(col(group).as("grp"),
+        abs(col(valueCol).cast("double")).as("v"))
+      .filter(col("v").isNotNull && col("grp").isNotNull)
+    val classified = v.selectExpr("grp",
+      s"CASE WHEN v >= 0.001 AND v < 10000000.0 THEN $benfordDigitExpr " +
+        "ELSE -1 END AS digit")
+    val agg = classified.groupBy(col("grp"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val grid = v.select(col("grp")).distinct()
+      .crossJoin(v.sparkSession.range(1, 10)
+        .select(col("id").cast("int").as("digit")))
+    val w = Window.partitionBy(col("grp"))
+    val expCol = benfordExpBp.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (e, i)) => when(col("digit") === i + 1, lit(e)).otherwise(acc)
+    }
+    grid.join(agg, Seq("grp", "digit"), "left")
+      .select(col("grp"), col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .unionByName(agg.filter(col("digit") === -1))
+      .withColumn("t",
+        sum(when(col("digit") =!= -1, col("n")).otherwise(0L)).over(w))
+      .withColumn("n_excluded",
+        sum(when(col("digit") === -1, col("n")).otherwise(0L)).over(w))
+      .filter(col("digit") =!= -1)
+      // a group whose every value was excluded has t = 0: report
+      // obs_bp 0 (deviation = the full expectation) instead of nulls
+      .withColumn("obs_bp",
+        when(col("t") === 0, lit(0L)).otherwise(expr("(n * 10000) div t")))
+      .withColumn("exp_bp", expCol)
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      .select(col("grp"), col("digit"), col("n"), col("obs_bp"),
+        col("exp_bp"), col("dev_bp"), col("n_excluded"))
+  }
+
   /** floor(1e4·log10(1 + 1/d)) for d = 1..9 — computed once in Scala
     * and embedded as integer literals in BOTH engines' plans.
     */

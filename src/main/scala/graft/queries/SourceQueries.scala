@@ -312,6 +312,16 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("digit"))
     }),
 
+    // per-group Benford screen (NEW r10): the q215 ladder per order
+    // priority — how a corrupted upstream FEED is localized (the
+    // global screen dilutes one bad source across the corpus); totals
+    // ride one grp-partitioned window, digit grid densified per group
+    "q215b_benford_by" -> ((s, d) => {
+      graft.ops.Validate.benfordDigitsBy(
+          Tables.orders(s, d), "o_orderpriority", "o_totalprice")
+        .orderBy(col("grp"), col("digit"))
+    }),
+
     // PSI numeric drift (NEW r8): purchase-event values judged against
     // the click-event reference over a fixed ladder — per-bucket
     // floor-nano terms + the scalar Σ on every row
@@ -560,6 +570,39 @@ object SourceQueries extends QueryGroup {
          |FROM (SELECT event_id, v, $bucketExpr AS bucket FROM c0) b
          |JOIN mp USING (bucket)
          |ORDER BY b.event_id""".stripMargin
+    },
+
+    "q215b_benford_by" -> {
+      val exp = graft.ops.Validate.benfordExpBp
+      val expCase = (1 to 9).map(dd =>
+        s"WHEN digit = $dd THEN ${exp(dd - 1)}").mkString(" ")
+      s"""WITH src AS (SELECT o_orderpriority AS grp,
+         |    ABS(CAST(o_totalprice AS DOUBLE)) AS v
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+         |cls AS (SELECT grp, CASE WHEN v >= 0.001 AND v < 10000000.0
+         |    THEN ${graft.ops.Validate.benfordDigitExpr}
+         |    ELSE -1 END AS digit FROM src),
+         |agg AS (SELECT grp, digit, COUNT(*) AS n FROM cls GROUP BY 1, 2),
+         |grid AS (SELECT g.grp, CAST(r.i + 1 AS INTEGER) AS digit
+         |  FROM (SELECT DISTINCT grp FROM src) g CROSS JOIN range(9) r(i)),
+         |dens AS (SELECT g.grp, g.digit,
+         |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+         |  FROM grid g LEFT JOIN agg a ON g.grp = a.grp AND g.digit = a.digit
+         |  UNION ALL SELECT grp, digit, n FROM agg WHERE digit = -1),
+         |tot AS (SELECT *,
+         |    CAST(SUM(CASE WHEN digit != -1 THEN n ELSE 0 END)
+         |      OVER (PARTITION BY grp) AS BIGINT) AS t,
+         |    CAST(SUM(CASE WHEN digit = -1 THEN n ELSE 0 END)
+         |      OVER (PARTITION BY grp) AS BIGINT) AS n_excluded
+         |  FROM dens)
+         |SELECT grp, digit, n,
+         |  CASE WHEN t = 0 THEN 0 ELSE (n * 10000) // t END AS obs_bp,
+         |  CAST(CASE $expCase END AS BIGINT) AS exp_bp,
+         |  ABS(CASE WHEN t = 0 THEN 0 ELSE (n * 10000) // t END
+         |    - CAST(CASE $expCase END AS BIGINT)) AS dev_bp,
+         |  n_excluded
+         |FROM tot WHERE digit != -1 ORDER BY grp, digit""".stripMargin
     },
 
     "q215_benford" -> {

@@ -252,6 +252,29 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("benfordDigitsBy: per-group counts, densified grid, all-excluded group") {
+    val df = Seq(
+      ("a", 123.4), ("a", 150.0), ("a", 99.0),   // a: digits 1,1,9
+      ("b", 0.25), ("b", 2e7),                   // b: digit 2 + one excluded
+      ("c", 0.0)                                  // c: ALL excluded
+    ).toDF("src", "v")
+    val out = Validate.benfordDigitsBy(df, "src", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    // 9 rows per group (densified), 3 groups
+    assert(out.size == 27)
+    assert(out(("a", 1)) == (2L, 6666L, 0L)) // 2/3 → 6666 bp
+    assert(out(("a", 9)) == (1L, 3333L, 0L))
+    assert(out(("a", 5))._1 == 0L)           // absent digit surfaces as 0
+    assert(out(("b", 2)) == (1L, 10000L, 1L)) // 1/1 + one excluded
+    // all-excluded group: t = 0 → obs_bp 0, exclusion counted
+    assert(out(("c", 1)) == (0L, 0L, 1L))
+    // expectations identical across groups (shared constant ladder)
+    val exps = Validate.benfordDigitsBy(df, "src", "v")
+      .select(col("digit"), col("exp_bp")).distinct().count()
+    assert(exps == 9)
+  }
+
   test("benfordDigits: hand-checked digits across magnitudes, exclusions, empty digits") {
     // digits: 123.4→1, 0.023→2, 2000.0→2, 9.99→9, 0.5→5, -30.0→3 (abs);
     // excluded: 0.0 (below range), 2e7 (above range); null is DROPPED
