@@ -257,6 +257,54 @@ object Sketches {
   def kmvScrambleSql(polySql: String): String =
     s"($kmvMixA * ($polySql) + $kmvMixB) % ${graft.expressions.HashSpec.P}"
 
+  /** DuckDB replay of [[graft.expressions.HashSpec.polyHash]] over a
+    * string SQL expression (the same list_reduce form the minhash
+    * oracles use) — so any KMV consumer can build the full scrambled
+    * hash as `kmvScrambleSql(polyHashSql(e))`.
+    */
+  def polyHashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, x) -> (a * 31 + x) % ${graft.expressions.HashSpec.P})"
+
+  /** Grouped [[kmvSketch]]: the k smallest distinct scrambled hashes
+    * PER KEY of `group` — per-source/tenant distinct estimates at
+    * O(k) rows per key. One aggregation on (grp, h) then a
+    * grp-PARTITIONED rank filter (scalable — never a global window);
+    * same mergeable contract per group.
+    *
+    * @return (grp, rk, h)
+    */
+  def kmvSketchBy(df: DataFrame, group: String, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val p = graft.expressions.HashSpec.P
+    val mixed = (graft.expressions.TextHashes.poly_hash(value)
+      * lit(kmvMixA) + lit(kmvMixB)) % lit(p)
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    df.select(col(group).as("grp"), mixed.as("h"))
+      .filter(col("h").isNotNull && col("grp").isNotNull)
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("grp"), col("rk"), col("h"))
+  }
+
+  /** Per-group distinct estimate from a [[kmvSketchBy]] result — same
+    * floor arithmetic as [[kmvDistinct]], one bounded agg per group.
+    *
+    * @return (grp, n_sketch, est_distinct)
+    */
+  def kmvDistinctBy(sketch: DataFrame, k: Int): DataFrame = {
+    val p = graft.expressions.HashSpec.P
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("hk"))
+      .select(col("grp"), col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(s"(${k - 1}L * ${p}L) div hk"))
+          .as("est_distinct"))
+  }
+
   /** Distinct-count estimate from a KMV sketch: if the sketch holds
     * fewer than k hashes the count is EXACT (= sketch size); else the
     * standard unbiased estimate floor((k−1)·P / h_k) with hashes

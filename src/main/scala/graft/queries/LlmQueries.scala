@@ -178,6 +178,24 @@ object LlmQueries extends QueryGroup {
       Sketches.kmvDistinct(sk, 128).crossJoin(broadcast(exact))
     }),
 
+    // per-source KMV distinct (NEW r10): q218 grouped — per-feed
+    // distinct-document estimates at O(k) rows per source (the
+    // per-tenant cardinality dashboard); grp-partitioned rank, never
+    // a global window; exact per-source distinct rides along as the
+    // accuracy witness, everything integer → full hash gate
+    "q218b_kmv_distinct_by" -> ((s, d) => {
+      import graft.ops.Sketches
+      val docs = Tables.documents(s, d)
+      val norm = Dedup.normText(col("text"))
+      val sk = Sketches.kmvSketchBy(docs, "source", norm, k = 64)
+      val exact = docs.select(col("source").as("grp"),
+          poly_hash(norm).as("h")).distinct()
+        .groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
+      Sketches.kmvDistinctBy(sk, 64)
+        .join(exact, Seq("grp"))
+        .orderBy(col("grp"))
+    }),
+
     // KMV overlap / contamination estimate (NEW r10): how much of
     // shard B leaked into shard A, answered from two 128-row sketches
     // instead of a distinct-join of the corpora — the 100 TB
@@ -859,6 +877,24 @@ object LlmQueries extends QueryGroup {
            |    ELSE (127 * CAST($P AS BIGINT)) // agg.hk END AS est_distinct,
            |  ex.n_exact
            |FROM agg CROSS JOIN ex""".stripMargin,
+
+      "q218b_kmv_distinct_by" ->
+        s"""WITH t AS (SELECT DISTINCT source AS grp,
+           |    ${graft.ops.Sketches.kmvScrambleSql(sqlPoly(sqlNorm))} AS h
+           |  FROM documents WHERE source IS NOT NULL),
+           |t2 AS (SELECT grp, h FROM t WHERE h IS NOT NULL),
+           |s AS (SELECT grp, h FROM (SELECT grp, h,
+           |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rk
+           |  FROM t2) WHERE rk <= 64),
+           |agg AS (SELECT grp, COUNT(*) AS n_sketch, MAX(h) AS hk
+           |  FROM s GROUP BY grp),
+           |ex AS (SELECT grp, COUNT(*) AS n_exact FROM t2 GROUP BY grp)
+           |SELECT agg.grp, agg.n_sketch,
+           |  CASE WHEN agg.n_sketch < 64 THEN agg.n_sketch
+           |    ELSE (63 * CAST($P AS BIGINT)) // agg.hk END AS est_distinct,
+           |  ex.n_exact
+           |FROM agg JOIN ex ON agg.grp = ex.grp
+           |ORDER BY agg.grp""".stripMargin,
 
       "q219_kmv_overlap" -> {
         val est = s"CASE WHEN st.k_used < 128 THEN st.k_used" +

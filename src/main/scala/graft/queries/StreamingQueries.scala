@@ -64,6 +64,27 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming KMV distinct monitor (NEW r10): per-window approximate
+    // distinct users with O(k) state per window — the scale answer to
+    // q197's exact composition, whose dedup state grows with the TRUE
+    // per-window cardinality. The sketch state is Sketches.kmvSketch's
+    // exact contract (k smallest scrambled poly hashes), so the
+    // streaming estimate is deterministic and the oracle replays it
+    // in full — no tolerance. Update-mode emissions folded to the
+    // final row per window by max(n_events), the q114 pattern
+    "q220_stream_kmv_distinct" -> ((s, d) => {
+      val res = Streams.runToBatch(s,
+        Streams.kmvDistinctStream(Streams.eventsStream(s, d), k = 64),
+        "q220_kmv", outputMode = "update")
+      res.groupBy(col("w_start"))
+        .agg(max(struct(col("n_events"), col("n_sketch"),
+          col("est_distinct"))).as("f"))
+        .select(col("w_start"), col("f.n_events").as("n_events"),
+          col("f.n_sketch").as("n_sketch"),
+          col("f.est_distinct").as("est_distinct"))
+        .orderBy(col("w_start"))
+    }),
+
     // sliding 10-min/5-min window per event_type
     "q111_stream_sliding" -> ((s, d) => {
       Streams.runToBatch(s, Streams.slidingAgg(Streams.eventsStream(s, d)),
@@ -264,6 +285,34 @@ object StreamingQueries extends QueryGroup {
          |FROM w, mx
          |WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND
          |GROUP BY ws ORDER BY w_start""".stripMargin,
+
+    "q220_stream_kmv_distinct" -> {
+      // full KMV replay per window: scrambled poly hash of the user id
+      // string, k smallest per window, floor estimator — update-mode
+      // state emissions fold to the final row, so every window gates
+      val h = graft.ops.Sketches.kmvScrambleSql(
+        graft.ops.Sketches.polyHashSql("CAST(user_id AS VARCHAR)"))
+      val p = graft.expressions.HashSpec.P
+      s"""WITH $ctes,
+         |w AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 300)
+         |      * 300 * 1000000) AS ws, user_id FROM e),
+         |hs AS (SELECT ws, $h AS h, COUNT(*) AS cnt
+         |  FROM w GROUP BY ws, h),
+         |ranked AS (SELECT ws, h, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY h) AS rk
+         |  FROM hs),
+         |agg AS (SELECT ws,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_events,
+         |    CAST(SUM(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sketch,
+         |    MAX(CASE WHEN rk = 64 THEN h END) AS h64
+         |  FROM ranked GROUP BY ws)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, n_events,
+         |  n_sketch,
+         |  CASE WHEN n_sketch < 64 THEN n_sketch
+         |    ELSE (63 * CAST($p AS BIGINT)) // h64 END AS est_distinct
+         |FROM agg ORDER BY w_start""".stripMargin
+    },
 
     "q214_stream_psi_drift" -> {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)

@@ -352,6 +352,61 @@ object Streams {
     *                  (boundaries labels then overflow); Laplace +1 is
     *                  applied here, mirroring the batch op
     */
+  /** Streaming approximate distinct per tumbling window via KMV state
+    * — the O(k)-state alternative to [[distinctUsersPerWindow]], whose
+    * dedup state grows with the TRUE distinct count per window (the
+    * thing that explodes on a high-cardinality key at 100 TB). State
+    * per window = the k smallest scrambled poly hashes (a sorted
+    * array, exactly [[graft.ops.Sketches.kmvSketch]]'s contract), so
+    * the estimate is deterministic and IDENTICAL to the batch sketch
+    * over the same rows — the gate replays it bucket-for-bucket in
+    * SQL, no tolerance needed.
+    *
+    * Emits the running (w_start, n_events, n_sketch, est_distinct)
+    * per micro-batch in update mode; consumers keep the row with the
+    * highest n_events per window (the q114 pattern).
+    */
+  def kmvDistinctStream(events: DataFrame, k: Int,
+      keyCol: String = "user_id", size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val p = graft.expressions.HashSpec.P
+    val mixA = graft.ops.Sketches.kmvMixA
+    val mixB = graft.ops.Sketches.kmvMixB
+    events
+      .withWatermark("ts", delay)
+      .select(
+        date_format(window(col("ts"), size).getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col(keyCol).cast("string").as("key"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (w: String, rows: Iterator[(String, String)],
+         st: GroupState[(Long, Array[Long])]) =>
+          val (n0, arr0) = st.getOption.getOrElse((0L, Array.empty[Long]))
+          val set = scala.collection.mutable.SortedSet.empty[Long] ++ arr0
+          var n = n0
+          rows.foreach { case (_, key) =>
+            n += 1
+            val raw = graft.expressions.HashSpec.polyHash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(key))
+            val h = (raw * mixA + mixB) % p
+            set += h
+            if (set.size > k) set -= set.last
+          }
+          val arr = set.toArray
+          st.update((n, arr))
+          val est = if (arr.length < k) arr.length.toLong
+                    else (k - 1).toLong * p / arr(k - 1)
+          (w, n, arr.length.toLong, est)
+      }
+      .toDF("w_start", "n_events", "n_sketch", "est_distinct")
+  }
+
   def psiDriftStream(events: DataFrame, refCounts: Seq[Long],
       boundaries: Seq[Double], valueCol: String = "value",
       size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {

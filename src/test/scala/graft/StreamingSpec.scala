@@ -112,6 +112,33 @@ class StreamingSpec extends SparkSpec {
     assert(empty == Seq.fill(bounds.length + 1)(0L))
   }
 
+  test("streaming KMV distinct equals the batch sketch window-for-window") {
+    // the streaming state IS Sketches.kmvSketch's contract, so the
+    // final per-window emission must equal the batch grouped sketch
+    // exactly — same hashes, same estimator, no tolerance
+    val k = 16
+    val streamed = Streams.runToBatch(spark,
+        Streams.kmvDistinctStream(Streams.eventsStream(spark, sfTiny), k),
+        "spec_kmv_stream", outputMode = "update")
+      .groupBy(col("w_start"))
+      .agg(max(struct(col("n_events"), col("n_sketch"),
+        col("est_distinct"))).as("f"))
+      .select(col("w_start"), col("f.n_events"), col("f.n_sketch"),
+        col("f.est_distinct"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sfTiny)
+      .select(date_format(window(col("ts"), "5 minutes").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("grp"),
+        col("user_id").cast("string").as("key"))
+    val batch = graft.ops.Sketches.kmvDistinctBy(
+        graft.ops.Sketches.kmvSketchBy(ev, "grp", col("key"), k), k)
+      .join(ev.groupBy(col("grp")).agg(count(lit(1)).as("n_events")), Seq("grp"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(3), r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so
