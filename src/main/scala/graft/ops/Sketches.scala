@@ -305,6 +305,52 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Pairwise overlap MATRIX from a grouped sketch ([[kmvSketchBy]]):
+    * the [[kmvOverlap]] estimator for EVERY pair of groups at once —
+    * the full shard-contamination triage a curation run wants, costing
+    * |pairs|·2k bounded rows instead of |pairs| distinct joins over
+    * the corpora. Merged per-pair top-k via one rank over the unioned
+    * sketch rows (partitioned by pair — never global), membership via
+    * two semi-join flags on the k-row frames.
+    *
+    * @return (grp_a, grp_b, k_used, jaccard_bp, est_union,
+    *         est_intersect) for every a < b
+    */
+  def kmvOverlapMatrix(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val p = graft.expressions.HashSpec.P
+    val grps = sketches.select(col("grp")).distinct()
+    val pairs = grps.as("x").join(grps.as("y"), col("x.grp") < col("y.grp"))
+      .select(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"))
+    val sk = sketches.select(col("grp"), col("h"))
+    // union both sides' sketch rows per pair, dedup, rank, keep k
+    val unioned = pairs
+      .join(sk, col("grp") === col("grp_a") || col("grp") === col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("h")).distinct()
+    val w = Window.partitionBy(col("grp_a"), col("grp_b")).orderBy(col("h"))
+    val merged = unioned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val inA = sk.select(col("grp").as("grp_a"), col("h"),
+      lit(1).as("in_a")).distinct()
+    val inB = sk.select(col("grp").as("grp_b"), col("h"),
+      lit(1).as("in_b")).distinct()
+    merged
+      .join(inA, Seq("grp_a", "h"), "left")
+      .join(inB, Seq("grp_b", "h"), "left")
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"),
+        max(col("h")).as("hk"))
+      .select(col("grp_a"), col("grp_b"), col("k_used"),
+        when(col("k_used") === 0, lit(0L))
+          .otherwise(expr("(10000L * n_both) div k_used")).as("jaccard_bp"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"(${k - 1}L * ${p}L) div hk")).as("est_union"))
+      .withColumn("est_intersect",
+        expr("(jaccard_bp * est_union) div 10000"))
+  }
+
   /** Distinct-count estimate from a KMV sketch: if the sketch holds
     * fewer than k hashes the count is EXACT (= sketch size); else the
     * standard unbiased estimate floor((k−1)·P / h_k) with hashes

@@ -196,6 +196,27 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("grp"))
     }),
 
+    // KMV pairwise contamination MATRIX (NEW r10): every shard pair's
+    // overlap estimate from the grouped sketch alone — |pairs|·2k
+    // bounded rows, no corpus distinct-joins. Slices constructed with
+    // known overlap (doc_id%4 ∈ {0,1}/{1,2}/{2,3}: adjacent pairs
+    // share a quarter, the outer pair is disjoint) so the matrix
+    // discriminates; all-integer → full hash gate
+    "q219b_kmv_overlap_matrix" -> ((s, d) => {
+      import graft.ops.Sketches
+      val docs = Tables.documents(s, d)
+      val norm = Dedup.normText(col("text"))
+      def slice(name: String, r0: Int, r1: Int) =
+        docs.filter(col("doc_id") % 4 === r0 || col("doc_id") % 4 === r1)
+          .select(lit(name).as("grp"), col("text"))
+      val all = slice("s01", 0, 1)
+        .unionByName(slice("s12", 1, 2))
+        .unionByName(slice("s23", 2, 3))
+      Sketches.kmvOverlapMatrix(
+          Sketches.kmvSketchBy(all, "grp", norm, 64), 64)
+        .orderBy(col("grp_a"), col("grp_b"))
+    }),
+
     // KMV overlap / contamination estimate (NEW r10): how much of
     // shard B leaked into shard A, answered from two 128-row sketches
     // instead of a distinct-join of the corpora — the 100 TB
@@ -895,6 +916,48 @@ object LlmQueries extends QueryGroup {
            |  ex.n_exact
            |FROM agg JOIN ex ON agg.grp = ex.grp
            |ORDER BY agg.grp""".stripMargin,
+
+      "q219b_kmv_overlap_matrix" -> {
+        val h = graft.ops.Sketches.kmvScrambleSql(sqlPoly(sqlNorm))
+        s"""WITH base AS (SELECT doc_id, $h AS hh FROM documents),
+           |sl AS (
+           |  SELECT 's01' AS grp, hh FROM base WHERE doc_id % 4 IN (0, 1)
+           |  UNION ALL
+           |  SELECT 's12', hh FROM base WHERE doc_id % 4 IN (1, 2)
+           |  UNION ALL
+           |  SELECT 's23', hh FROM base WHERE doc_id % 4 IN (2, 3)),
+           |t AS (SELECT DISTINCT grp, hh AS h FROM sl WHERE hh IS NOT NULL),
+           |sk AS (SELECT grp, h FROM (SELECT grp, h,
+           |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rk
+           |  FROM t) WHERE rk <= 64),
+           |grps AS (SELECT DISTINCT grp FROM sk),
+           |pairs AS (SELECT x.grp AS grp_a, y.grp AS grp_b
+           |  FROM grps x JOIN grps y ON x.grp < y.grp),
+           |uni AS (SELECT DISTINCT p.grp_a, p.grp_b, s.h
+           |  FROM pairs p JOIN sk s ON s.grp = p.grp_a OR s.grp = p.grp_b),
+           |merged AS (SELECT grp_a, grp_b, h FROM (SELECT grp_a, grp_b, h,
+           |    ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rk
+           |  FROM uni) WHERE rk <= 64),
+           |agg AS (SELECT m.grp_a, m.grp_b, COUNT(*) AS k_used,
+           |    CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM sk a
+           |        WHERE a.grp = m.grp_a AND a.h = m.h)
+           |      AND EXISTS (SELECT 1 FROM sk b
+           |        WHERE b.grp = m.grp_b AND b.h = m.h)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           |    MAX(m.h) AS hk
+           |  FROM merged m GROUP BY m.grp_a, m.grp_b)
+           |SELECT grp_a, grp_b, k_used,
+           |  CASE WHEN k_used = 0 THEN 0
+           |    ELSE (10000 * n_both) // k_used END AS jaccard_bp,
+           |  CASE WHEN k_used < 64 THEN k_used
+           |    ELSE (63 * CAST($P AS BIGINT)) // hk END AS est_union,
+           |  ((CASE WHEN k_used = 0 THEN 0
+           |      ELSE (10000 * n_both) // k_used END)
+           |    * (CASE WHEN k_used < 64 THEN k_used
+           |      ELSE (63 * CAST($P AS BIGINT)) // hk END)) // 10000
+           |    AS est_intersect
+           |FROM agg ORDER BY grp_a, grp_b""".stripMargin
+      },
 
       "q219_kmv_overlap" -> {
         val est = s"CASE WHEN st.k_used < 128 THEN st.k_used" +

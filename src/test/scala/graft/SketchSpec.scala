@@ -184,6 +184,33 @@ class SketchSpec extends SparkSpec {
     assert(j > 1000 && j < 5800, s"jaccard_bp=$j")
   }
 
+  test("kmvOverlapMatrix: pairwise estimates agree with the pairwise op") {
+    import graft.ops.Sketches
+    // three slices with planted overlaps: A∩B = 300, B∩C = 300, A∩C = ∅
+    val a = (1 to 900).map(i => ("A", s"t-$i"))
+    val b = (601 to 1500).map(i => ("B", s"t-$i"))
+    val c = (1201 to 2100).map(i => ("C", s"t-$i"))
+    val all = (a ++ b ++ c).toDF("grp", "s")
+    val sk = Sketches.kmvSketchBy(all, "grp", col("s"), 64)
+    val m = Sketches.kmvOverlapMatrix(sk, 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(m.size == 3)
+    // the matrix must equal the pairwise kmvOverlap on the same sketches
+    def one(x: String, y: String) = Sketches.kmvOverlap(
+      sk.filter(col("grp") === x).select(col("rk"), col("h")),
+      sk.filter(col("grp") === y).select(col("rk"), col("h")), 64)
+      .head match { case r => (r.getLong(0), r.getLong(1)) }
+    assert(m(("A", "B")) == one("A", "B"))
+    assert(m(("B", "C")) == one("B", "C"))
+    assert(m(("A", "C")) == one("A", "C"))
+    // disjoint pair estimates zero; overlapping pairs land in band
+    // (true J = 300/1500 = 2000 bp)
+    assert(m(("A", "C"))._2 == 0L)
+    assert(m(("A", "B"))._2 > 600 && m(("A", "B"))._2 < 4000,
+      s"J(A,B)=${m(("A", "B"))._2}")
+  }
+
   test("kmv overlap: empty sketches yield the zero row, not a division error") {
     import graft.ops.Sketches
     val empty = Sketches.kmvSketch(strDf(Nil), col("s"), 16)
