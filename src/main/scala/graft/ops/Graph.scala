@@ -93,6 +93,61 @@ object Graph {
     out
   }
 
+  /** Edge-WEIGHTED PageRank, integer parts-per-billion — the form a
+    * real host graph runs (links carry counts; a host linking once and
+    * a host linking ten thousand times are not the same endorsement).
+    * Each node's rank splits across out-edges proportional to integer
+    * edge weight: contribution u→v = floor(r(u)·w(u,v) / Σw(u)) —
+    * still pure 64-bit floor arithmetic, still replayable bit-for-bit
+    * in any engine (the unweighted op is the w ≡ 1 special case).
+    * Same loop shape as [[pageRankPpb]]: one |E|-row equi-join +
+    * bounded agg per round, per-round localCheckpoint.
+    *
+    * Overflow bound: r ≤ ~|V|·1e9 and the product r·w must stay under
+    * 2^63 — fine for w up to ~1e4 on million-node graphs; rescale
+    * weights if yours are larger (only ratios matter).
+    *
+    * Non-positive/null weights are dropped (an edge that carries no
+    * endorsement is no edge); duplicate (src, dst) rows ADD their
+    * weights — the natural multigraph collapse.
+    */
+  def pageRankWeightedPpb(edges: DataFrame, src: String, dst: String,
+      weight: String, iterations: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+    val e = edges.select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"),
+        col(weight).cast("long").as("w"))
+      .filter(col("w").isNotNull && col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum")).persist()
+    val ed = e.join(wsum, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val basePpb = (100L - dampingPct) * 1000000000L / 100L
+    var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_ppb"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(rank_ppb * w) div wsum").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(basePpb) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+            .as("rank_ppb"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val out = ranks.localCheckpoint(true)
+    wsum.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Personalized PageRank, integer parts-per-billion: the teleport
     * mass returns to a SEED SET instead of spreading uniformly — the
     * crawl-seeding / topic-expansion form (rank pages relative to a

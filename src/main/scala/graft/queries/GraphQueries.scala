@@ -61,6 +61,25 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // edge-WEIGHTED PageRank (NEW r10): rank mass splits across
+    // out-edges by interaction count (how many lineitems link the
+    // customer and supplier) — the real host-graph form where a
+    // 10,000-link endorsement outweighs a single link; still pure
+    // floor-integer arithmetic, oracle unrolls 3 rounds bit-for-bit
+    "q171d_weighted_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000L).as("sn"))
+        .agg(count(lit(1)).as("w"))
+      val we = pairs.select(col("c").as("src"), col("sn").as("dst"), col("w"))
+        .union(pairs.select(col("sn").as("src"), col("c").as("dst"), col("w")))
+      Graph.pageRankWeightedPpb(we, "src", "dst", "w", iterations = 3)
+        .orderBy(col("rank_ppb").desc, col("node"))
+        .limit(100)
+    }),
+
     // degree profile of the same graph (symmetric, so out = in; the
     // gate checks both legs anyway)
     "q171b_degree_stats" -> ((s, d) => {
@@ -302,6 +321,33 @@ object GraphQueries extends QueryGroup {
          |      ELSE 0 END AS BIGINT) AS b
          |  FROM nodes n LEFT JOIN sn s ON n.node = s.node),
          |r0 AS (SELECT node, b AS r FROM bn),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, r AS rank_ppb FROM r3
+         |ORDER BY rank_ppb DESC, node LIMIT 100""".stripMargin
+    },
+
+    "q171d_weighted_pagerank" -> {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e.dst AS node,
+           |    CAST(SUM((r.r * e.w) // s.wsum) AS BIGINT) AS s
+           |  FROM wedges e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN ws s ON e.src = s.src GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |    CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+      s"""WITH pairs AS (SELECT o_custkey AS c, l_suppkey + 1000000 AS sn,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |wedges AS (SELECT c AS src, sn AS dst, w FROM pairs
+         |  UNION ALL SELECT sn AS src, c AS dst, w FROM pairs),
+         |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+         |  FROM wedges GROUP BY src),
+         |nodes AS (SELECT src AS node FROM wedges
+         |  UNION SELECT dst FROM wedges),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
          |${round(1)},
          |${round(2)},
          |${round(3)}

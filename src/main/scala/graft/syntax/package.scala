@@ -371,6 +371,9 @@ package object syntax {
       ops.Graph.neighborhoodFunctionExact(df, src, dst, maxDepth, directed)
     def kmvOverlap(other: DataFrame, k: Int): DataFrame =
       ops.Sketches.kmvOverlap(df, other, k)
+    def pageRankWeightedPpb(src: String, dst: String, weight: String,
+        iterations: Int = 3): DataFrame =
+      ops.Graph.pageRankWeightedPpb(df, src, dst, weight, iterations)
     def psiReferenceCounts(valueCol: String, bounds: Seq[Double]): Seq[Long] =
       ops.Validate.psiReferenceCounts(df, valueCol, bounds)
 

@@ -61,6 +61,41 @@ class GraphLinalgSpec extends SparkSpec {
     }
   }
 
+  test("pageRankWeightedPpb: weighted split, w=1 degenerates to unweighted, weight hygiene") {
+    // star 1→2 (w=3), 1→3 (w=1): node 1's rank splits 3:1.
+    // round 1: r(2) = base + 85% · floor(1e9·3/4), r(3) = base + 85% · floor(1e9/4)
+    val star = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r1 = Graph.pageRankWeightedPpb(star, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(2L) == 150000000L + 85L * 750000000L / 100L)
+    assert(r1(3L) == 150000000L + 85L * 250000000L / 100L)
+    assert(r1(1L) == 150000000L)
+    // w ≡ 1 equals the unweighted op exactly
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val unw = Graph.pageRankPpb(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = Graph.pageRankWeightedPpb(
+      edges.withColumn("w", lit(1L)), "src", "dst", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unw == w1)
+    // null/non-positive weights drop the edge; duplicate rows add
+    val messy = Seq((1L, 2L, Some(2L)), (1L, 2L, Some(1L)),
+      (1L, 3L, Some(0L)), (1L, 4L, None)).toDF("src", "dst", "w")
+    val rm = Graph.pageRankWeightedPpb(messy, "src", "dst", "w", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only 1→2 (w=3) survives: nodes {1,2}, all of 1's mass to 2
+    assert(rm.keySet == Set(1L, 2L))
+    assert(rm(2L) == 150000000L + 85L * 1000000000L / 100L)
+    // partition invariance
+    val a = Graph.pageRankWeightedPpb(
+      star.repartition(1), "src", "dst", "w", 2)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRankWeightedPpb(
+      star.repartition(9), "src", "dst", "w", 2)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
   test("degreeStats: hand-checked degrees incl. pure-sink and pure-source") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val r = Graph.degreeStats(edges, "src", "dst")
