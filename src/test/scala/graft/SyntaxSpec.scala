@@ -263,5 +263,11 @@ class SyntaxSpec extends SparkSpec {
       .count() == 20)
     val docs = Seq("a", "b", "c").toDF("s")
     assert(docs.kmvSketch(col("s"), k = 8).count() == 3)
+    val wstar = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    assert(wstar.pageRankWeightedPpb("src", "dst", "w", iterations = 1)
+      .count() == 3)
+    assert(docs.kmvSketch(col("s"), 8)
+      .kmvOverlap(docs.kmvSketch(col("s"), 8), 8)
+      .head.getLong(1) == 10000L)
   }
 }
