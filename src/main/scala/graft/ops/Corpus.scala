@@ -430,6 +430,47 @@ object Corpus {
         round(avg(col("lp")), 4).as("avg_logprob"))
   }
 
+  /** Histogram-threshold keep/drop — the 100 TB tier of q151b's exact
+    * global-decile perplexity filter (whose ntile is a single-partition
+    * global sort, whitelisted as gate-tier only): the cut point comes
+    * from a mergeable [[Sketches.histBuild]] histogram of the score
+    * (ONE extra scan, nBuckets integer counts), and every row is kept
+    * iff its bucket clears the threshold bucket — a map-only pass with
+    * a broadcast scalar, nothing global anywhere. Granularity: the
+    * boundary lands on a bucket edge, so up to one bucket-width of
+    * rows near the cut are kept conservatively (the documented
+    * histogram contract); size nBuckets to the tolerance.
+    *
+    * `dropBp` = parts-per-10000 of rows to drop from the BOTTOM: the
+    * threshold bucket is the smallest b with cume(b)·10000 >= n·dropBp
+    * (pure integer cross-multiply), and keep = bucket >= that b.
+    *
+    * @return input row + (bucket, keep)
+    */
+  def thresholdKeepByHistogram(scored: DataFrame, scoreCol: String,
+      lo: Double, hi: Double, nBuckets: Int, dropBp: Int): DataFrame = {
+    require(dropBp >= 0 && dropBp <= 10000,
+      s"dropBp must be in [0, 10000], got $dropBp")
+    val hist = Sketches.histBuild(scored, scoreCol, lo, hi, nBuckets)
+    val cum = hist.as("a")
+      .join(broadcast(hist.as("b")), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.cnt")).as("cume"))
+    val n = cum.agg(max(col("cume")).as("n"))
+    val tb = cum.crossJoin(broadcast(n))
+      .filter(col("cume") * 10000 >= col("n") * dropBp)
+      .agg(min(col("bucket")).as("tb"))
+    scored
+      .withColumn("__v", col(scoreCol).cast("double"))
+      .withColumn("bucket",
+        expr(Sketches.histBucketExpr(lo, hi, nBuckets)
+          .replaceAll("\\bv\\b", "__v")))
+      .drop("__v")
+      .crossJoin(broadcast(tb))
+      .withColumn("keep", col("bucket") >= col("tb"))
+      .drop("tb")
+  }
+
   /** Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995; the
     * canonical n-gram smoothing — strictly better perplexity filtering
     * than [[bigramLmScore]]'s add-one): with absolute discount d,

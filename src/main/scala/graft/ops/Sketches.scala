@@ -403,17 +403,24 @@ object Sketches {
   }
 
   /** Clamped equi-width bucket index of `v` — shared verbatim with the
-    * oracle.
+    * oracle. Every literal is CAST to DOUBLE: Spark parses a bare
+    * `15.0` as DECIMAL and then ROUNDS the decimal division
+    * `15.0/256` to 0.058594, while DuckDB computes the exact double
+    * 0.05859375 — a one-bucket flip on boundary values (caught by
+    * q151d; earlier ranges like 200/32 = 6.25 were decimal-exact by
+    * luck, the same trap histQuantile's q-literals already document).
     */
   def histBucketExpr(lo: Double, hi: Double, nBuckets: Int): String =
-    s"LEAST(GREATEST(CAST(FLOOR((v - $lo) / (($hi - $lo) / $nBuckets))" +
+    s"LEAST(GREATEST(CAST(FLOOR((v - CAST($lo AS DOUBLE)) /" +
+      s" ((CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)) / $nBuckets))" +
       s" AS BIGINT), 0), ${nBuckets - 1})"
 
   /** Linear interpolation inside the quantile's bucket — shared
     * verbatim with the oracle. Uses (bucket, cnt, cume, n, q).
     */
   def histEstExpr(lo: Double, hi: Double, nBuckets: Int): String =
-    s"ROUND($lo + (($hi - $lo) / $nBuckets) * (CAST(bucket AS DOUBLE)" +
+    s"ROUND(CAST($lo AS DOUBLE) + ((CAST($hi AS DOUBLE)" +
+      s" - CAST($lo AS DOUBLE)) / $nBuckets) * (CAST(bucket AS DOUBLE)" +
       " + (CAST(CEIL(q * n) AS DOUBLE) - (CAST(cume AS DOUBLE)" +
       " - CAST(cnt AS DOUBLE))) / CAST(cnt AS DOUBLE)), 6)"
 }

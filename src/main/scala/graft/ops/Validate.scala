@@ -589,8 +589,9 @@ object Validate {
     * expression string parsed identically by Spark and DuckDB.
     */
   def histMidExpr(lo: Double, hi: Double, nBuckets: Int): String =
-    s"ROUND($lo + (CAST(mapped_bucket AS DOUBLE) + 0.5)" +
-      s" * (($hi - $lo) / $nBuckets), 6)"
+    s"ROUND(CAST($lo AS DOUBLE) + (CAST(mapped_bucket AS DOUBLE)" +
+      s" + CAST(0.5 AS DOUBLE))" +
+      s" * ((CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)) / $nBuckets), 6)"
 
   /** Per-group [[benfordDigits]] — the screen run per source/feed/
     * tenant, which is how a corrupted UPSTREAM is actually localized

@@ -513,6 +513,22 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // histogram-threshold perplexity filter (NEW r10): the 100 TB
+    // tier of q151b — the cut point comes from a mergeable histogram
+    // of the score (one scan, 256 integer buckets) instead of a
+    // global ntile sort; keep/drop is a map-only pass with a
+    // broadcast scalar. Bucket-edge granularity (≤ one bucket width
+    // conservatively over-kept) is the documented histogram contract
+    "q151d_perplexity_filter_hist" -> ((s, d) => {
+      val scored = Corpus.bigramLmScore(Tables.documents(s, d),
+        "doc_id", "text")
+      Corpus.thresholdKeepByHistogram(scored, "avg_logprob",
+          lo = -15.0, hi = 0.0, nBuckets = 256, dropBp = 2000)
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+          col("bucket"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (absolute discount 0.75):
     // the canonical smoothing upgrade over q151's add-one; the lp
     // expression is ONE string parsed by both engines
@@ -1188,6 +1204,33 @@ object CorpusQueries extends QueryGroup {
          |  NTILE(10) OVER w <= 8 AS keep
          |FROM agg WINDOW w AS (ORDER BY avg_logprob DESC, doc_id ASC)
          |ORDER BY doc_id""".stripMargin,
+
+    "q151d_perplexity_filter_hist" -> {
+      val bucketExpr = graft.ops.Sketches.histBucketExpr(-15.0, 0.0, 256)
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS p FROM t),
+         |c1 AS (SELECT w, COUNT(*) AS c1 FROM tokpos WHERE len(w) > 0 GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT w) AS v FROM tokpos WHERE len(w) > 0),
+         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM tokpos a
+         |  JOIN tokpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         |sc AS (SELECT bg.doc_id, LN((c2.c12 + 1.0) / (c1.c1 + vv.v)) AS lp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w CROSS JOIN vv),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         |  ROUND(AVG(lp), 4) AS avg_logprob FROM sc GROUP BY 1),
+         |hv AS (SELECT doc_id, n_bigrams, avg_logprob,
+         |  CAST(avg_logprob AS DOUBLE) AS v FROM agg),
+         |hist AS (SELECT $bucketExpr AS bucket, COUNT(*) AS cnt
+         |  FROM hv GROUP BY 1),
+         |cum AS (SELECT a.bucket, CAST(SUM(b.cnt) AS BIGINT) AS cume
+         |  FROM hist a JOIN hist b ON b.bucket <= a.bucket GROUP BY a.bucket),
+         |nn AS (SELECT MAX(cume) AS n FROM cum),
+         |tb AS (SELECT MIN(bucket) AS tb FROM cum CROSS JOIN nn
+         |  WHERE cume * 10000 >= n * 2000)
+         |SELECT hv.doc_id, hv.n_bigrams, hv.avg_logprob,
+         |  $bucketExpr AS bucket, ($bucketExpr >= tb.tb) AS keep
+         |FROM hv CROSS JOIN tb ORDER BY hv.doc_id""".stripMargin
+    },
 
     "q152b_bm25_topk" -> {
       val (k1, b) = (1.2, 0.75)

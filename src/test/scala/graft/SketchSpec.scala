@@ -128,6 +128,19 @@ class SketchSpec extends SparkSpec {
       s"estimate join should broadcast the sketch:\n$plan")
   }
 
+  test("histBucketExpr computes the step in DOUBLE, not rounded DECIMAL") {
+    // regression (r10, caught by q151d): Spark parses a bare `15.0`
+    // literal as DECIMAL and ROUNDS the decimal division 15.0/256 to
+    // 0.058594 (the exact double step is 0.05859375), flipping
+    // boundary values into the neighboring bucket vs DuckDB. The value
+    // -3.3984 sits exactly in that flip zone: correct bucket 198,
+    // decimal-step bucket 197.
+    val out = graft.ops.Sketches.histBuild(
+        Seq(-3.3984).toDF("x"), "x", -15.0, 0.0, 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((198L, 1L)), s"got ${out.toSeq}")
+  }
+
   // --- KMV distinct / overlap ---------------------------------------
 
   private def strDf(ss: Seq[String]) = ss.toDF("s")
