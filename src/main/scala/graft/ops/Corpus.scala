@@ -398,6 +398,44 @@ object Corpus {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** C4-style keep-first line dedup (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once in the data set"): exactly ONE copy of each duplicated
+    * unit survives — the globally first occurrence by (id, position) —
+    * and every later copy is removed. This is the complement of
+    * [[boilerplateStrip]], which removes ALL copies of frequent chunks;
+    * C4's rule keeps one. Same `w`-token chunk granularity (the fixture
+    * text has no newlines; the algorithm is unit-agnostic).
+    *
+    * Plan (deliberately NOT a row_number window over the chunk key —
+    * a corpus-frequent chunk would sort all its copies inside one
+    * window partition): the first occurrence per chunk is
+    * `min(struct(id, cidx))`, a map-side-combined aggregate that stays
+    * O(1) per distinct chunk no matter how hot it is, then one join
+    * back on the chunk and an ordered reassembly — two keyed shuffles,
+    * no windows. At 100 TB group/join on a 64-bit chunk hash instead
+    * of the string (same note as [[boilerplateStrip]]).
+    */
+  def dedupLinesKeepFirst(df: DataFrame, id: String, text: String,
+      w: Int): DataFrame = {
+    require(w >= 1, s"chunk width must be >= 1, got $w")
+    val t = toks(col(text))
+    val chunks = df.select(col(id),
+        posexplode(TextAnalysis.tokenChunksUdf(t, lit(w))).as(Seq("cidx", "chunk")))
+    val first = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col(id).as("fid"), col("cidx").as("fcidx"))).as("f"))
+    val flagged = chunks.join(first, "chunk")
+      .withColumn("kept",
+        col(id) === col("f.fid") && col("cidx") === col("f.fcidx"))
+    flagged.groupBy(col(id)).agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("kept"), 0).otherwise(1)).cast("int").as("n_removed"),
+        array_join(transform(
+          sort_array(collect_list(when(col("kept"),
+            struct(col("cidx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("text_dedup"))
+  }
+
   /** CCNet-style statistical-LM quality score without the external LM:
     * train an add-one-smoothed bigram model ON the corpus itself and
     * score every document by its mean bigram log-probability,
@@ -451,24 +489,74 @@ object Corpus {
       lo: Double, hi: Double, nBuckets: Int, dropBp: Int): DataFrame = {
     require(dropBp >= 0 && dropBp <= 10000,
       s"dropBp must be in [0, 10000], got $dropBp")
-    val hist = Sketches.histBuild(scored, scoreCol, lo, hi, nBuckets)
-    val cum = hist.as("a")
-      .join(broadcast(hist.as("b")), col("b.bucket") <= col("a.bucket"))
-      .groupBy(col("a.bucket").as("bucket"))
-      .agg(sum(col("b.cnt")).as("cume"))
+    val cum = histCume(scored, scoreCol, lo, hi, nBuckets)
     val n = cum.agg(max(col("cume")).as("n"))
     val tb = cum.crossJoin(broadcast(n))
       .filter(col("cume") * 10000 >= col("n") * dropBp)
       .agg(min(col("bucket")).as("tb"))
+    withHistBucket(scored, scoreCol, lo, hi, nBuckets)
+      .crossJoin(broadcast(tb))
+      .withColumn("keep", col("bucket") >= col("tb"))
+      .drop("tb")
+  }
+
+  /** Cumulative histogram (bucket → running count) from
+    * [[Sketches.histBuild]] — nBuckets² broadcast self-join on the
+    * bounded bucket frame, never the data.
+    */
+  private def histCume(scored: DataFrame, scoreCol: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    val hist = Sketches.histBuild(scored, scoreCol, lo, hi, nBuckets)
+    hist.as("a")
+      .join(broadcast(hist.as("b")), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.cnt")).as("cume"))
+  }
+
+  /** Input + its clamped histogram bucket — the shared map-only
+    * application leg (expression text identical to the oracle's).
+    */
+  private def withHistBucket(scored: DataFrame, scoreCol: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame =
     scored
       .withColumn("__v", col(scoreCol).cast("double"))
       .withColumn("bucket",
         expr(Sketches.histBucketExpr(lo, hi, nBuckets)
           .replaceAll("\\bv\\b", "__v")))
       .drop("__v")
-      .crossJoin(broadcast(tb))
-      .withColumn("keep", col("bucket") >= col("tb"))
-      .drop("tb")
+
+  /** CCNet-style quality tiers (Wenzek et al. 2020 §4.3: the corpus is
+    * split into head/middle/tail by perplexity terciles) generalized to
+    * arbitrary cut points, from the SAME mergeable histogram substrate
+    * as [[thresholdKeepByHistogram]]: each cut's threshold bucket is an
+    * integer cross-multiply over the cumulative histogram, and the tier
+    * label is a map-only count of cleared cuts against a broadcast
+    * sorted cut array — one data scan for the histogram, one for the
+    * labeling, nothing global. `cutsBp` ascending parts-per-10000
+    * (CCNet terciles = Seq(3334, 6667)); tier 0 is the BOTTOM slice
+    * (tail), tier cutsBp.length the top (head). Bucket-edge granularity
+    * as documented on the threshold op.
+    *
+    * @return input row + (bucket, tier)
+    */
+  def tierByHistogram(scored: DataFrame, scoreCol: String,
+      lo: Double, hi: Double, nBuckets: Int, cutsBp: Seq[Int]): DataFrame = {
+    require(cutsBp.nonEmpty && cutsBp == cutsBp.sorted &&
+      cutsBp.forall(c => c > 0 && c < 10000),
+      s"cutsBp must be ascending within (0, 10000), got $cutsBp")
+    val cum = histCume(scored, scoreCol, lo, hi, nBuckets)
+    val n = cum.agg(max(col("cume")).as("n"))
+    val tbs = cutsBp.map { bp =>
+        cum.crossJoin(broadcast(n))
+          .filter(col("cume") * 10000 >= col("n") * bp)
+          .agg(min(col("bucket")).as("tb"))
+      }.reduce(_ unionAll _)
+      .agg(sort_array(collect_list(col("tb"))).as("tbs"))
+    withHistBucket(scored, scoreCol, lo, hi, nBuckets)
+      .crossJoin(broadcast(tbs))
+      .withColumn("tier", aggregate(col("tbs"), lit(0),
+        (acc, t) => acc + when(col("bucket") >= t, 1).otherwise(0)))
+      .drop("tbs")
   }
 
   /** Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995; the

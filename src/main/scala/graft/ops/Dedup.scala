@@ -356,6 +356,36 @@ object Dedup {
       .withColumn("keep", (col(id) === col("canonical_id")).cast("int"))
   }
 
+  /** [[dedupCorpus]] with QUALITY-AWARE representative selection: the
+    * survivor of each duplicate cluster is the member with the highest
+    * `quality` (ties → min id), not the min id — what a production
+    * pipeline actually wants (when a page was crawled twice, keep the
+    * longer/cleaner extraction, not the one with the smaller row id).
+    * The cluster structure is exactly [[dedupCorpus]]'s; selection adds
+    * one map-side-combined argmax per cluster (max over
+    * struct(quality, −id), O(1) state per cluster however hot) and one
+    * keyed join — no windows. `quality` must be an exactly-comparable
+    * numeric column (integer counts / cents; float quality would make
+    * tie order engine-dependent).
+    *
+    * @return (id, canonical_id, best_id, keep) for every input row:
+    *         canonical_id is the cluster key (min reachable id),
+    *         best_id the quality-chosen survivor, keep=1 iff id is it.
+    */
+  def dedupCorpusKeepBest(df: DataFrame, id: String, text: String,
+      quality: String, k: Int = 5, n: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.9): DataFrame = {
+    val memb = dedupCorpus(df, id, text, k, n, bands, minEstJaccard)
+      .select(col(id), col("canonical_id"))
+      .join(df.select(col(id), col(quality)), Seq(id))
+    val best = memb.groupBy(col("canonical_id"))
+      .agg(max(struct(col(quality).as("q"), (-col(id)).as("negid"))).as("b"))
+      .select(col("canonical_id"), (-col("b.negid")).as("best_id"))
+    memb.join(best, Seq("canonical_id"))
+      .select(col(id), col("canonical_id"), col("best_id"),
+        (col(id) === col("best_id")).cast("int").as("keep"))
+  }
+
   /** SimHash near-duplicate pairs within a blocking column: pairs whose
     * 32-bit simhash differs in ≤ maxHamming bits. Blocking bounds the
     * O(N²) inside each block; at scale block on a cheap partition key

@@ -255,6 +255,18 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 keep-first line dedup (NEW r10): exactly ONE copy of each
+    // duplicated 8-token chunk survives corpus-wide (the globally first
+    // occurrence by (doc_id, cidx)); complements q148, which removes
+    // ALL copies of frequent chunks. First-occurrence via an argmin
+    // aggregate, never a window over the chunk key (hot chunks stay
+    // map-side-combined)
+    "q221_line_dedup_keep_first" -> ((s, d) => {
+      Corpus.dedupLinesKeepFirst(Tables.documents(s, d), "doc_id", "text",
+          w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // consistent bottom-5-per-language sample (exact count per stratum,
     // membership stable under corpus growth — unlike a rate filter)
     "q147_bottomk_sample" -> ((s, d) => {
@@ -529,6 +541,21 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet head/middle/tail quality tiers (NEW r10): perplexity
+    // terciles from the SAME mergeable histogram substrate as q151d —
+    // per-cut threshold buckets via integer cross-multiplies, tier
+    // label as a map-only count of cleared cuts against a broadcast
+    // sorted cut array. Wenzek et al. 2020 §4.3's corpus split
+    "q151e_perplexity_tiers" -> ((s, d) => {
+      val scored = Corpus.bigramLmScore(Tables.documents(s, d),
+        "doc_id", "text")
+      Corpus.tierByHistogram(scored, "avg_logprob",
+          lo = -15.0, hi = 0.0, nBuckets = 256, cutsBp = Seq(3334, 6667))
+        .select(col("doc_id"), col("avg_logprob"), col("bucket"),
+          col("tier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (absolute discount 0.75):
     // the canonical smoothing upgrade over q151's add-one; the lp
     // expression is ONE string parsed by both engines
@@ -748,6 +775,22 @@ object CorpusQueries extends QueryGroup {
          |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks,
          |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
          |  COALESCE(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY cidx), '') AS clean_text
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // rn = 1 restates the argmin-struct first occurrence: min (doc_id,
+    // cidx) per chunk corpus-wide
+    "q221_line_dedup_keep_first" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS ord FROM t),
+         |chunks AS (SELECT doc_id, CAST((ord - 1) // 8 AS INTEGER) AS cidx,
+         |    string_agg(tok, ' ' ORDER BY ord) AS chunk
+         |  FROM tokpos GROUP BY doc_id, (ord - 1) // 8),
+         |fl AS (SELECT doc_id, cidx, chunk,
+         |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+         |  FROM chunks)
+         |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY cidx), '') AS text_dedup
          |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q147_bottomk_sample" ->
@@ -1230,6 +1273,35 @@ object CorpusQueries extends QueryGroup {
          |SELECT hv.doc_id, hv.n_bigrams, hv.avg_logprob,
          |  $bucketExpr AS bucket, ($bucketExpr >= tb.tb) AS keep
          |FROM hv CROSS JOIN tb ORDER BY hv.doc_id""".stripMargin
+    },
+
+    "q151e_perplexity_tiers" -> {
+      val bucketExpr = graft.ops.Sketches.histBucketExpr(-15.0, 0.0, 256)
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS p FROM t),
+         |c1 AS (SELECT w, COUNT(*) AS c1 FROM tokpos WHERE len(w) > 0 GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT w) AS v FROM tokpos WHERE len(w) > 0),
+         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM tokpos a
+         |  JOIN tokpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         |sc AS (SELECT bg.doc_id, LN((c2.c12 + 1.0) / (c1.c1 + vv.v)) AS lp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w CROSS JOIN vv),
+         |agg AS (SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob FROM sc GROUP BY 1),
+         |hv AS (SELECT doc_id, avg_logprob,
+         |  CAST(avg_logprob AS DOUBLE) AS v FROM agg),
+         |hist AS (SELECT $bucketExpr AS bucket, COUNT(*) AS cnt
+         |  FROM hv GROUP BY 1),
+         |cum AS (SELECT a.bucket, CAST(SUM(b.cnt) AS BIGINT) AS cume
+         |  FROM hist a JOIN hist b ON b.bucket <= a.bucket GROUP BY a.bucket),
+         |nn AS (SELECT MAX(cume) AS n FROM cum),
+         |tb1 AS (SELECT MIN(bucket) AS tb FROM cum CROSS JOIN nn
+         |  WHERE cume * 10000 >= n * 3334),
+         |tb2 AS (SELECT MIN(bucket) AS tb FROM cum CROSS JOIN nn
+         |  WHERE cume * 10000 >= n * 6667)
+         |SELECT hv.doc_id, hv.avg_logprob, $bucketExpr AS bucket,
+         |  CAST((CASE WHEN $bucketExpr >= tb1.tb THEN 1 ELSE 0 END)
+         |    + (CASE WHEN $bucketExpr >= tb2.tb THEN 1 ELSE 0 END) AS INTEGER) AS tier
+         |FROM hv CROSS JOIN tb1 CROSS JOIN tb2 ORDER BY hv.doc_id""".stripMargin
     },
 
     "q152b_bm25_topk" -> {

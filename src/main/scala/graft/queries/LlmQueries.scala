@@ -327,6 +327,20 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-aware dedup survivor (NEW r10): q92c's clusters, but the
+    // survivor is the member with the MOST non-empty tokens (ties →
+    // min doc_id) instead of the min id — keep the longest extraction
+    // of a twice-crawled page. Argmax per cluster via max over
+    // struct(quality, −id): map-side-combined, O(1) per cluster
+    "q92g_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_toks",
+          size(filter(split(Dedup.normText(col("text")), " "),
+            t => length(t) > 0)))
+      Dedup.dedupCorpusKeepBest(docs, "doc_id", "text", "n_toks")
+        .orderBy(col("doc_id"))
+    }),
+
     // simhash signatures + near pairs
     "q93_simhash_sig" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1108,6 +1122,59 @@ object LlmQueries extends QueryGroup {
            |  CAST(CASE WHEN w.doc_id = COALESCE(cl.cluster, w.rep) THEN 1 ELSE 0 END AS INTEGER) AS keep
            |FROM withrep w LEFT JOIN cl ON cl.id = w.rep
            |ORDER BY w.doc_id""".stripMargin
+      },
+
+      // q92c's cluster structure + per-cluster argmax survivor: rn = 1
+      // restates max(struct(n_toks, -doc_id))
+      "q92g_dedup_keep_best" -> {
+        val bandSelects = (0 until 4).map { b =>
+          val key = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+          s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val repCtes = sqlMinhashCtes(from =
+          "(SELECT d.* FROM documents d JOIN grp g ON d.doc_id = g.rep)")
+        s"""WITH RECURSIVE
+           |t0 AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+           |alldocs AS (SELECT doc_id, md5(s) AS fp FROM t0),
+           |grp AS (SELECT fp, MIN(doc_id) AS rep FROM alldocs GROUP BY fp),
+           |withrep AS (SELECT a.doc_id, g.rep FROM alldocs a JOIN grp g USING (fp)),
+           |$repCtes,
+           |banded AS (
+           |  $bandSelects
+           |),
+           |cpairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |),
+           |near AS (
+           |  SELECT id_a, id_b FROM cpairs p
+           |  JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+           |  WHERE list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.9
+           |),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM near
+           |  UNION ALL SELECT id_b, id_a FROM near
+           |),
+           |reach(id, lbl) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+           |),
+           |cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+           |memb AS (SELECT w.doc_id, COALESCE(cl.cluster, w.rep) AS canonical_id
+           |  FROM withrep w LEFT JOIN cl ON cl.id = w.rep),
+           |ql AS (SELECT doc_id,
+           |  len(list_filter(string_split(s, ' '), x -> len(x) > 0)) AS n_toks FROM t0),
+           |bst AS (SELECT canonical_id, doc_id AS best_id FROM (
+           |  SELECT m.canonical_id, m.doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY m.canonical_id
+           |      ORDER BY q.n_toks DESC, m.doc_id ASC) AS rn
+           |  FROM memb m JOIN ql q USING (doc_id)) s WHERE rn = 1)
+           |SELECT m.doc_id, m.canonical_id, b.best_id,
+           |  CAST(CASE WHEN m.doc_id = b.best_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+           |FROM memb m JOIN bst b USING (canonical_id)
+           |ORDER BY m.doc_id""".stripMargin
       },
 
       "q93_simhash_sig" ->

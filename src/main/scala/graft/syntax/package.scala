@@ -156,6 +156,18 @@ package object syntax {
         capacity: Int): DataFrame = Corpus.heavyHitters(df, id, text, k, capacity)
     def boilerplateStrip(id: String, text: String, w: Int,
         minDocs: Long): DataFrame = Corpus.boilerplateStrip(df, id, text, w, minDocs)
+    def dedupLinesKeepFirst(id: String, text: String, w: Int): DataFrame =
+      Corpus.dedupLinesKeepFirst(df, id, text, w)
+    def thresholdKeepByHistogram(scoreCol: String, lo: Double, hi: Double,
+        nBuckets: Int, dropBp: Int): DataFrame =
+      Corpus.thresholdKeepByHistogram(df, scoreCol, lo, hi, nBuckets, dropBp)
+    def tierByHistogram(scoreCol: String, lo: Double, hi: Double,
+        nBuckets: Int, cutsBp: Seq[Int]): DataFrame =
+      Corpus.tierByHistogram(df, scoreCol, lo, hi, nBuckets, cutsBp)
+    def dedupCorpusKeepBest(id: String, text: String, quality: String,
+        k: Int = 5, n: Int = 16, bands: Int = 4,
+        minEstJaccard: Double = 0.9): DataFrame =
+      Dedup.dedupCorpusKeepBest(df, id, text, quality, k, n, bands, minEstJaccard)
     def bottomKPerStratum(strata: String, id: String, n: Int): DataFrame =
       Corpus.bottomKPerStratum(df, strata, id, n)
     def sourceReport(id: String, text: String, source: String): DataFrame =

@@ -136,6 +136,72 @@ class CorpusSpec extends SparkSpec {
       "totally unrelated content with no shared chunk at all")
   }
 
+  test("dedupLinesKeepFirst keeps exactly the first occurrence of each chunk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common header block here unique tail one two"),
+      (2L, "common header block here different body words go"),
+      (3L, "unique tail one two common header block here")
+    ).toDF("doc_id", "text")
+    val r = Corpus.dedupLinesKeepFirst(df, "doc_id", "text", w = 4)
+      .orderBy("doc_id").collect()
+    // doc 1 owns both chunks' first occurrences; C4 keeps ONE copy
+    assert(r(0).getAs[Int]("n_removed") == 0)
+    assert(r(0).getAs[String]("text_dedup") ==
+      "common header block here unique tail one two")
+    // doc 2's leading chunk is a later copy; its unique chunk survives
+    assert(r(1).getAs[Int]("n_removed") == 1)
+    assert(r(1).getAs[String]("text_dedup") == "different body words go")
+    // every chunk of doc 3 already occurred in doc 1 — all removed
+    assert(r(2).getAs[Int]("n_chunks") == 2)
+    assert(r(2).getAs[Int]("n_removed") == 2)
+    assert(r(2).getAs[String]("text_dedup") == "")
+  }
+
+  test("dedupLinesKeepFirst removes within-doc repeats, keeping the earlier") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d a b c d x y z w")).toDF("doc_id", "text")
+    val r = Corpus.dedupLinesKeepFirst(df, "doc_id", "text", w = 4).collect()
+    assert(r(0).getAs[Int]("n_chunks") == 3)
+    assert(r(0).getAs[Int]("n_removed") == 1)
+    assert(r(0).getAs[String]("text_dedup") == "a b c d x y z w")
+  }
+
+  test("tierByHistogram splits a uniform ladder into exact terciles") {
+    import spark.implicits._
+    val df = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val r = Corpus.tierByHistogram(df, "x", lo = 0.0, hi = 10.0,
+        nBuckets = 10, cutsBp = Seq(3334, 6667))
+      .orderBy("id").collect()
+    // buckets 1..9; cume(b)=b, n=9: tb1 = 4 (first cume*1e4 >= 9*3334),
+    // tb2 = 7 — tiers 0/0/0 1/1/1 2/2/2
+    assert(r.map(_.getAs[Int]("tier")).toSeq ==
+      Seq(0, 0, 0, 1, 1, 1, 2, 2, 2))
+    intercept[IllegalArgumentException] {
+      Corpus.tierByHistogram(df, "x", 0.0, 10.0, 10, Seq(6667, 3334))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tierByHistogram(df, "x", 0.0, 10.0, 10, Seq(0, 5000))
+    }
+  }
+
+  test("dedupCorpusKeepBest picks the max-quality survivor, ties to min id") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "x y z w v u t s", 5), // exact-dup cluster {1,2}: 2 wins on q
+      (2L, "x y z w v u t s", 9),
+      (3L, "completely different words here now", 1), // singleton
+      (4L, "m n o p q r s t", 7), // tie cluster {4,5}: min id 4 wins
+      (5L, "m n o p q r s t", 7)
+    ).toDF("doc_id", "text", "q")
+    val r = Dedup.dedupCorpusKeepBest(df, "doc_id", "text", "q")
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("best_id"),
+      x.getAs[Int]("keep"))).toSeq == Seq(
+      (1L, 2L, 0), (2L, 2L, 1), (3L, 3L, 1), (4L, 4L, 1), (5L, 4L, 0)))
+  }
+
   test("bigramLmScore computes add-one-smoothed mean bigram logprob") {
     import spark.implicits._
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")

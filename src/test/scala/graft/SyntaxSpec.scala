@@ -269,5 +269,21 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.kmvSketch(col("s"), 8)
       .kmvOverlap(docs.kmvSketch(col("s"), 8), 8)
       .head.getLong(1) == 10000L)
+    val lined = Seq((1L, "a b c d e f g h"), (2L, "a b c d z y x w"))
+      .toDF("doc_id", "text")
+    assert(lined.dedupLinesKeepFirst("doc_id", "text", w = 4)
+      .agg(sum($"n_removed")).head.getLong(0) == 1L)
+    val scored = Seq.tabulate(10)(i => (i.toLong, i.toDouble))
+      .toDF("id", "sc")
+    // threshold bucket kept conservatively: cume(b)=b+1, tb=2 → drop {0,1}
+    assert(scored.thresholdKeepByHistogram("sc", 0.0, 10.0, 10, 3000)
+      .filter(!$"keep").count() == 2)
+    // tb = 4 (first bucket with cume ≥ 5) → tier 1 = values 4..9
+    assert(scored.tierByHistogram("sc", 0.0, 10.0, 10, Seq(5000))
+      .filter($"tier" === 1).count() == 6)
+    val qd = Seq((1L, "p q r s t u v w", 1), (2L, "p q r s t u v w", 9))
+      .toDF("doc_id", "text", "q")
+    assert(qd.dedupCorpusKeepBest("doc_id", "text", "q")
+      .filter($"keep" === 1).head.getLong(0) == 2L)
   }
 }
