@@ -148,6 +148,62 @@ object Graph {
     out
   }
 
+  /** HITS hub/authority scores (Kleinberg 1999) as exact integer PATH
+    * COUNTS: h₀ ≡ 1, then per round a = Aᵀh, h = A·a — deliberately
+    * WITHOUT the usual per-round normalization (whose L2/L1 division
+    * would reintroduce engine-dependent rounding), so after i rounds
+    * auth(v) counts the alternating back-forward paths of length 2i−1
+    * ending at v and every value hash-gates bit-for-bit. Rankings are
+    * identical to normalized HITS (normalization is a positive scalar
+    * per round); only magnitudes differ.
+    *
+    * Overflow bound: values grow by ≤ d_in·d_out per round —
+    * iterations is capped at 4 and callers on graphs with degree
+    * products beyond ~2^15 per round should stop at 2–3 (scores ≤
+    * |V|·(d_in·d_out)^i must stay under 2^63); the require message
+    * restates this.
+    *
+    * 100 TB posture: identical loop shape to [[pageRankPpb]] — two
+    * |E|-row equi-joins + bounded aggs per round over (long, long)
+    * rows, per-round localCheckpoint, nothing collected.
+    *
+    * @return (node, auth, hub) for every node in the edge list
+    */
+  def hitsCounts(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 4,
+      s"iterations must be in [1, 4], got $iterations (unnormalized " +
+        "integer HITS grows by ~d_in*d_out per round; keep the product " +
+        "under 2^63)")
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var hub = nodes.select(col("node"), lit(1L).as("h"))
+    var auth = nodes.select(col("node"), lit(0L).as("a"))
+    var i = 0
+    while (i < iterations) {
+      auth = nodes.join(
+          e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      hub = nodes.join(
+          e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val out = auth.join(hub, Seq("node"))
+      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Personalized PageRank, integer parts-per-billion: the teleport
     * mass returns to a SEED SET instead of spreading uniformly — the
     * crawl-seeding / topic-expansion form (rank pages relative to a

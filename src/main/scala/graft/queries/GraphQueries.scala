@@ -80,6 +80,23 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // HITS hub/authority (NEW r10): the DIRECTED customer→supplier
+    // bipartite graph — suppliers accrue authority (endorsed by many
+    // strong hubs), customers hub mass. Unnormalized integer path
+    // counts after 2 rounds, so the oracle unrolls a=Aᵀh / h=Aa
+    // bit-for-bit; ranking identical to normalized HITS
+    "q171e_hits" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val de = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.hitsCounts(de, "src", "dst", iterations = 2)
+        .orderBy(col("auth").desc, col("node"))
+        .limit(100)
+    }),
+
     // degree profile of the same graph (symmetric, so out = in; the
     // gate checks both legs anyway)
     "q171b_degree_stats" -> ((s, d) => {
@@ -295,6 +312,32 @@ object GraphQueries extends QueryGroup {
          |SELECT node, r AS rank_ppb FROM r3
          |ORDER BY rank_ppb DESC, node LIMIT 100""".stripMargin
     },
+
+    // unrolled a=Aᵀh / h=Aa path counts on the DIRECTED bipartite
+    // graph — no normalization, so every value is exact BIGINT
+    "q171e_hits" ->
+      s"""WITH de AS (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+         |a1r AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a FROM de GROUP BY 1),
+         |a1 AS (SELECT n.node, COALESCE(a1r.a, 0) AS a
+         |  FROM nodes n LEFT JOIN a1r USING (node)),
+         |h1r AS (SELECT de.src AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+         |  FROM de JOIN a1 ON de.dst = a1.node GROUP BY 1),
+         |h1 AS (SELECT n.node, COALESCE(h1r.h, 0) AS h
+         |  FROM nodes n LEFT JOIN h1r USING (node)),
+         |a2r AS (SELECT de.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+         |  FROM de JOIN h1 ON de.src = h1.node GROUP BY 1),
+         |a2 AS (SELECT n.node, COALESCE(a2r.a, 0) AS a
+         |  FROM nodes n LEFT JOIN a2r USING (node)),
+         |h2r AS (SELECT de.src AS node, CAST(SUM(a2.a) AS BIGINT) AS h
+         |  FROM de JOIN a2 ON de.dst = a2.node GROUP BY 1),
+         |h2 AS (SELECT n.node, COALESCE(h2r.h, 0) AS h
+         |  FROM nodes n LEFT JOIN h2r USING (node))
+         |SELECT a2.node, a2.a AS auth, h2.h AS hub
+         |FROM a2 JOIN h2 USING (node)
+         |ORDER BY auth DESC, node LIMIT 100""".stripMargin,
 
     "q171c_personalized_pagerank" -> {
       def round(i: Int): String =

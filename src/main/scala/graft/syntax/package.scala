@@ -383,6 +383,8 @@ package object syntax {
       ops.Graph.neighborhoodFunctionExact(df, src, dst, maxDepth, directed)
     def kmvOverlap(other: DataFrame, k: Int): DataFrame =
       ops.Sketches.kmvOverlap(df, other, k)
+    def hitsCounts(src: String, dst: String, iterations: Int = 2): DataFrame =
+      ops.Graph.hitsCounts(df, src, dst, iterations)
     def pageRankWeightedPpb(src: String, dst: String, weight: String,
         iterations: Int = 3): DataFrame =
       ops.Graph.pageRankWeightedPpb(df, src, dst, weight, iterations)

@@ -96,6 +96,20 @@ class GraphLinalgSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hitsCounts: hand-unrolled 2-round path counts on a bipartite graph") {
+    // 1→10, 2→10, 2→11 with h0≡1:
+    // a1 = indeg: 10→2, 11→1; h1: 1→2, 2→3;
+    // a2: 10→h1(1)+h1(2)=5, 11→h1(2)=3; h2: 1→5, 2→8
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val r = Graph.hitsCounts(e, "src", "dst", iterations = 2)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> (0L, 5L), 2L -> (0L, 8L),
+      10L -> (5L, 0L), 11L -> (3L, 0L)))
+    intercept[IllegalArgumentException] {
+      Graph.hitsCounts(e, "src", "dst", iterations = 5)
+    }
+  }
+
   test("degreeStats: hand-checked degrees incl. pure-sink and pure-source") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val r = Graph.degreeStats(edges, "src", "dst")
