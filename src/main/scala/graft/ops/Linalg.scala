@@ -155,4 +155,58 @@ object Linalg {
     }
     df.withColumn(outCol, fn(col(vecCol).cast("array<float>")))
   }
+
+  /** Top eigenvector by INTEGER power iteration in milli-units — the
+    * hash-gateable tier of [[topEigen]]: start v ≡ 1000, each round
+    * w = G·v exactly in 64-bit integers over the micro-unit Gramian,
+    * then rescale v ← trunc(w·1000 / max|w|) with division TRUNCATING
+    * toward zero (Scala `/`; an engine whose `//` floors must
+    * sign-split — the oracle does). Every step is exact integer
+    * arithmetic, so any engine replays the vector bit-for-bit; the
+    * direction converges to [[topEigen]]'s (milli resolution) and the
+    * deterministic all-positive start pins the sign.
+    *
+    * The d×d collect is the same bounded-driver-work class as
+    * [[topEigen]] / the k-means centroids. Overflow bound:
+    * |w_i| ≤ d·max|G|·1000 and the rescale multiplies by 1000 more —
+    * keep d·max|G| under ~9e12 (micro-unit Gramians of ~1e9 rows at
+    * |x|≤1; re-quantize coarser beyond).
+    */
+  def topEigenMilli(gram: DataFrame, dim: Int, iterations: Int = 6): Array[Long] = {
+    require(iterations >= 1 && iterations <= 30,
+      s"iterations must be in [1, 30], got $iterations")
+    val g = Array.ofDim[Long](dim, dim)
+    gram.select("i", "j", "g_micro").collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      g(i)(j) = r.getLong(2)
+      g(j)(i) = r.getLong(2)
+    }
+    var v = Array.fill(dim)(1000L)
+    var it = 0
+    while (it < iterations) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += g(i)(j) * v(j); j += 1 }
+        s
+      }
+      val m = w.map(math.abs).max
+      if (m == 0L) it = iterations // zero Gramian: keep v, stop
+      else { v = w.map(x => x * 1000L / m); it += 1 }
+    }
+    v
+  }
+
+  /** Exact integer PCA projection: proj = Σ_i floor(x_i·1e6) · v_i
+    * with `v` from [[topEigenMilli]] — one codegen'd map-only
+    * expression (micro·milli units), no shuffle, hash-gateable.
+    */
+  def projectMicroMilli(df: DataFrame, vecCol: String, v: Array[Long],
+      outCol: String = "proj"): DataFrame = {
+    val x = col(vecCol).cast("array<float>")
+    val terms = v.indices.map { i =>
+      floor(x.getItem(i).cast("double") * 1e6).cast("long") * lit(v(i))
+    }
+    df.withColumn(outCol, terms.reduce(_ + _))
+  }
 }

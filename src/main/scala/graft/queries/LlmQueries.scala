@@ -799,6 +799,21 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("i"))
     }),
 
+    // PCA top-component projection (NEW r10), fully hash-gated: the
+    // eigenvector comes from INTEGER power iteration in milli-units
+    // over the micro-unit Gramian (6 exact rounds, truncating rescale
+    // by max|w|), the projection is Σ floor(x_i·1e6)·v_i — every step
+    // 64-bit integer arithmetic the oracle unrolls bit-for-bit. The
+    // deterministic upgrade of the spec-gated double topEigen tier
+    "q222_pca_projection" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val gram = Linalg.gramianMicro(emb, "embedding", dim = 64)
+      val v = Linalg.topEigenMilli(gram, dim = 64, iterations = 6)
+      Linalg.projectMicroMilli(emb, "embedding", v)
+        .select(col("vec_id"), col("proj"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- multi-keyword tagging (Aho–Corasick, one text pass) ---------
     // literal patterns incl. a cross-word phrase and a mid-word
     // substring; non-overlapping replace-count semantics so REPLACE
@@ -1836,6 +1851,40 @@ object LlmQueries extends QueryGroup {
           |  CAST(SUM(CAST(FLOOR(v * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
           |  COUNT(*) AS n
           |FROM x GROUP BY 1 ORDER BY i""".stripMargin,
+
+      // integer power iteration unrolled: w = G·v exact BIGINT, rescale
+      // v ← trunc(w·1000/max|w|) with the sign split because // floors
+      // while the Spark side truncates toward zero
+      "q222_pca_projection" -> {
+        val iters = (1 to 6).map { k =>
+          s"""w$k AS MATERIALIZED (SELECT g2.i,
+             |    CAST(SUM(g2.g_micro * v${k - 1}.v) AS BIGINT) AS w
+             |  FROM g2 JOIN v${k - 1} ON g2.j = v${k - 1}.i GROUP BY 1),
+             |m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
+             |v$k AS MATERIALIZED (SELECT i,
+             |    CAST(CASE WHEN w < 0 THEN -(((-w) * 1000) // m)
+             |      ELSE (w * 1000) // m END AS BIGINT) AS v
+             |  FROM w$k CROSS JOIN m$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xv
+           |    FROM embeddings, range(1, 65) t(i)),
+           |p AS (SELECT a.i AS ai, b.i AS bi,
+           |    CAST(FLOOR(a.xv * b.xv * 1000000.0) AS BIGINT) AS q
+           |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i),
+           |g AS MATERIALIZED (SELECT ai - 1 AS i, bi - 1 AS j,
+           |    CAST(SUM(q) AS BIGINT) AS g_micro
+           |  FROM p GROUP BY 1, 2),
+           |g2 AS MATERIALIZED (SELECT i, j, g_micro FROM g
+           |  UNION ALL SELECT j, i, g_micro FROM g WHERE i < j),
+           |v0 AS (SELECT i, CAST(1000 AS BIGINT) AS v FROM range(0, 64) t(i)),
+           |$iters
+           |SELECT e.vec_id,
+           |  CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.i + 1] AS DOUBLE)
+           |    * 1000000.0) AS BIGINT) * v6.v) AS BIGINT) AS proj
+           |FROM embeddings e CROSS JOIN range(0, 64) t(i)
+           |JOIN v6 ON v6.i = t.i
+           |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin
+      },
 
       "q173_keyword_tags" ->
         """WITH k AS (SELECT kw FROM (VALUES ('spark'), ('merge'), ('a a'),

@@ -371,6 +371,38 @@ class GraphLinalgSpec extends SparkSpec {
     assert(lam > 0)
   }
 
+  test("topEigenMilli aligns with the double topEigen direction") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500) {
+      val t = rnd.nextGaussian() * 10
+      val n = rnd.nextGaussian() * 0.1
+      Seq((t + n).toFloat, (t - n).toFloat)
+    }
+    val gram = Linalg.gramianMicro(vecsDf(rows), "embedding", 2).cache()
+    val (vd, _) = Linalg.topEigen(gram, 2)
+    val vi = Linalg.topEigenMilli(gram, 2, iterations = 6)
+    // cosine between the integer milli vector and the double one
+    val dot = vi(0) * vd(0) + vi(1) * vd(1)
+    val ni = math.sqrt((vi(0) * vi(0) + vi(1) * vi(1)).toDouble)
+    assert(math.abs(dot) / ni > 0.999,
+      s"integer eigenvector ${vi.toSeq} vs double ${vd.toSeq}")
+    // deterministic: a second run is bit-identical
+    assert(Linalg.topEigenMilli(gram, 2, iterations = 6).toSeq == vi.toSeq)
+    intercept[IllegalArgumentException] {
+      Linalg.topEigenMilli(gram, 2, iterations = 0)
+    }
+  }
+
+  test("projectMicroMilli: hand-checked exact integer projection") {
+    val df = vecsDf(Seq(Seq(3f, 4f), Seq(-1f, 2f)))
+    val out = Linalg.projectMicroMilli(df, "embedding",
+        Array(1000L, -500L))
+      .select(col("proj")).collect().map(_.getLong(0)).toSet
+    // floor(3e6)·1000 + floor(4e6)·(−500); floor(−1e6)·1000 + floor(2e6)·(−500)
+    assert(out == Set(3000000L * 1000 - 4000000L * 500,
+      -1000000L * 1000 - 2000000L * 500))
+  }
+
   test("projectTo: projection onto an axis-aligned basis picks coordinates") {
     val df = vecsDf(Seq(Seq(3f, 4f), Seq(-1f, 2f)))
     val out = Linalg.projectTo(df, "embedding",
