@@ -678,4 +678,44 @@ object Validate {
       s" - (CAST($nRef AS DOUBLE) / CAST($tRef AS DOUBLE)))" +
       s" * LN((CAST($nCur + 1 AS DOUBLE) * CAST($tRef AS DOUBLE))" +
       s" / (CAST($tCur AS DOUBLE) * CAST($nRef AS DOUBLE)))) AS BIGINT)"
+
+  /** EMBEDDING-space drift: per-dimension mean shift between two
+    * snapshots of a vector column, in exact integer micro-units — the
+    * deploy-time monitor for "the new encoder/crawl moved the
+    * embedding distribution" that the scalar drift family (PSI/KL/KS)
+    * cannot see. Values floor-quantize to micro BEFORE summation
+    * (association-order-free, the [[Linalg.gramianMicro]] contract);
+    * means divide through [[truncDivExpr]] so truncation toward zero is
+    * explicit on both engines (floor-vs-trunc `div` semantics differ
+    * for negative sums). One scan per snapshot, a dim-row join —
+    * nothing global, nothing collected.
+    *
+    * @return (i, n_old, n_new, mean_old_micro, mean_new_micro,
+    *         shift_micro, abs_shift_micro) — one row per dimension
+    */
+  def embeddingDriftMicro(old: DataFrame, fresh: DataFrame,
+      vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    def sums(df: DataFrame, s: String, n: String) = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(floor(col("x") * 1e6).cast("long")).as(s),
+        count(lit(1)).as(n))
+    sums(old, "s_old", "n_old").join(sums(fresh, "s_new", "n_new"), Seq("i"))
+      .withColumn("mean_old_micro", expr(truncDivExpr("s_old", "n_old")))
+      .withColumn("mean_new_micro", expr(truncDivExpr("s_new", "n_new")))
+      .withColumn("shift_micro", col("mean_new_micro") - col("mean_old_micro"))
+      .withColumn("abs_shift_micro", abs(col("shift_micro")))
+      .select(col("i"), col("n_old"), col("n_new"), col("mean_old_micro"),
+        col("mean_new_micro"), col("shift_micro"), col("abs_shift_micro"))
+  }
+
+  /** Truncate-toward-zero integer division as a shared expression
+    * template: engines disagree on negative integral division (DuckDB
+    * `//` floors, JVM `/` truncates), so the sign is split out —
+    * substitute the engine's own integral-divide operator for `div`
+    * when mirroring.
+    */
+  def truncDivExpr(a: String, b: String): String =
+    s"CASE WHEN $a < 0 THEN -((-($a)) div $b) ELSE ($a) div $b END"
 }

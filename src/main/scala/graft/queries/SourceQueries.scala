@@ -261,6 +261,23 @@ object SourceQueries extends QueryGroup {
         "value", Seq(10.0, 20.0, 40.0, 80.0, 160.0))
     }),
 
+    // embedding drift (NEW r10): per-dimension mean shift between two
+    // snapshots in exact integer micro-units — the drift monitor for
+    // the EMBEDDING space (PSI/KL/KS see scalars only). The odd-id
+    // snapshot gets a planted +0.1 shift on dims 0–2, which the
+    // monitor must localize exactly
+    "q223_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val old = emb.filter(col("vec_id") % 2 === 0)
+      val fresh = emb.filter(col("vec_id") % 2 === 1)
+        .withColumn("embedding",
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => when(i < 3, x + lit(0.1)).otherwise(x)))
+      graft.ops.Validate.embeddingDriftMicro(old, fresh, "embedding",
+          dim = 64)
+        .orderBy(col("i"))
+    }),
+
     // quantile mapping (NEW r9): the drift-CORRECTION companion of
     // q189/q207 — purchase values mapped onto the click distribution
     // by 16-bucket discrete histogram matching; mapped outputs are
@@ -629,6 +646,33 @@ object SourceQueries extends QueryGroup {
          |  CAST(ex.n_excluded AS BIGINT) AS n_excluded
          |FROM j CROSS JOIN t CROSS JOIN ex ORDER BY j.digit""".stripMargin
     },
+
+    // micro quantization BEFORE summation; means via the sign-split
+    // truncating division (// floors in DuckDB, so the split is load-
+    // bearing for negative sums)
+    "q223_embedding_drift" ->
+      """WITH o AS (SELECT CAST(t.i - 1 AS INTEGER) AS i,
+        |    CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS s_old,
+        |    COUNT(*) AS n_old
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |  WHERE vec_id % 2 = 0 GROUP BY 1),
+        |f AS (SELECT CAST(t.i - 1 AS INTEGER) AS i,
+        |    CAST(SUM(CAST(FLOOR((CAST(embedding[t.i] AS DOUBLE)
+        |      + CASE WHEN t.i <= 3 THEN CAST(0.1 AS DOUBLE)
+        |        ELSE CAST(0 AS DOUBLE) END) * 1000000.0) AS BIGINT)) AS BIGINT) AS s_new,
+        |    COUNT(*) AS n_new
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |  WHERE vec_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT o.i, n_old, n_new,
+        |    CAST(CASE WHEN s_old < 0 THEN -((-(s_old)) // n_old)
+        |      ELSE (s_old) // n_old END AS BIGINT) AS mean_old_micro,
+        |    CAST(CASE WHEN s_new < 0 THEN -((-(s_new)) // n_new)
+        |      ELSE (s_new) // n_new END AS BIGINT) AS mean_new_micro
+        |  FROM o JOIN f USING (i))
+        |SELECT i, n_old, n_new, mean_old_micro, mean_new_micro,
+        |  mean_new_micro - mean_old_micro AS shift_micro,
+        |  ABS(mean_new_micro - mean_old_micro) AS abs_shift_micro
+        |FROM j ORDER BY i""".stripMargin,
 
     "q207_ks_drift" -> {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)

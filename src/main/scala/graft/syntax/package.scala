@@ -383,6 +383,9 @@ package object syntax {
       ops.Graph.neighborhoodFunctionExact(df, src, dst, maxDepth, directed)
     def kmvOverlap(other: DataFrame, k: Int): DataFrame =
       ops.Sketches.kmvOverlap(df, other, k)
+    def embeddingDriftMicro(fresh: DataFrame, vecCol: String,
+        dim: Int): DataFrame =
+      ops.Validate.embeddingDriftMicro(df, fresh, vecCol, dim)
     def hitsCounts(src: String, dst: String, iterations: Int = 2): DataFrame =
       ops.Graph.hitsCounts(df, src, dst, iterations)
     def pageRankWeightedPpb(src: String, dst: String, weight: String,

@@ -187,6 +187,23 @@ class ValidateSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("embeddingDriftMicro: planted shift localized; negative means truncate toward zero") {
+    val old = Seq(Seq(1.25f, -1.0f), Seq(0f, 0f), Seq(0f, 0f)).toDF("embedding")
+    val fresh = Seq(Seq(2.25f, -1.0f)).toDF("embedding")
+    val r = Validate.embeddingDriftMicro(old, fresh, "embedding", dim = 2)
+      .orderBy("i").collect()
+    // dim 0: s_old=1250000/3 → 416666 (trunc), new 2250000
+    assert(r(0).getAs[Long]("mean_old_micro") == 416666L)
+    assert(r(0).getAs[Long]("mean_new_micro") == 2250000L)
+    assert(r(0).getAs[Long]("shift_micro") == 1833334L)
+    // dim 1: s_old=-1000000/3 → -333333 TRUNCATED toward zero (a
+    // flooring engine would say -333334 — the sign-split is load-bearing)
+    assert(r(1).getAs[Long]("mean_old_micro") == -333333L)
+    assert(r(1).getAs[Long]("shift_micro") == -666667L)
+    assert(r(1).getAs[Long]("abs_shift_micro") == 666667L)
+    assert(r(0).getAs[Long]("n_old") == 3L && r(0).getAs[Long]("n_new") == 1L)
+  }
+
   test("quantileMap: identity on same distribution; shift maps back onto reference") {
     val ref = Seq.tabulate(101)(i => i.toDouble).toDF("v")
     // same distribution → every value maps to (approximately) itself:
