@@ -251,6 +251,17 @@ object Sketches {
   val kmvMixA: Long = 961748927L
   val kmvMixB: Long = 322193L
 
+  /** [[kmvSketch]] collected to its k sorted hash values — the
+    * compute-once-FREEZE producer for monitors that pin a reference
+    * sketch as a literal (the [[Validate.psiReferenceCounts]] pattern):
+    * run once when the reference corpus is blessed, ship the ≤ k longs
+    * in config, and no live query ever rescans the reference. Bounded
+    * k-row collect by construction.
+    */
+  def kmvSketchValues(df: DataFrame, value: Column, k: Int): Seq[Long] =
+    kmvSketch(df, value, k).orderBy(col("rk"))
+      .collect().map(_.getAs[Long]("h")).toSeq
+
   /** DuckDB replay of the KMV scrambled hash over a poly-hash SQL
     * expression — shared verbatim with the oracle.
     */

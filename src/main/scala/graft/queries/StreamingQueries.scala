@@ -85,6 +85,32 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming KMV contamination monitor (NEW r10): per-window
+    // overlap of the purchase-user stream vs a FROZEN click-user
+    // reference sketch (kmvSketchValues = the compute-once producer;
+    // the streaming query carries only 64 literal longs — no
+    // reference scan). State O(k) per window; every estimate replays
+    // kmvOverlap's integer arithmetic, so the whole result hash-gates
+    "q224_stream_kmv_overlap" -> ((s, d) => {
+      val ref = graft.ops.Sketches.kmvSketchValues(
+        graft.Tables.events(s, d).filter(col("event_type") === "click"),
+        col("user_id").cast("string"), k = 64)
+      val res = Streams.runToBatch(s,
+        Streams.kmvOverlapStream(
+          Streams.eventsStream(s, d).filter(col("event_type") === "purchase"),
+          ref, k = 64),
+        "q224_kmv_ov", outputMode = "update")
+      res.groupBy(col("w_start"))
+        .agg(max(struct(col("n_events"), col("n_sketch"), col("jaccard_bp"),
+          col("est_union"), col("est_intersect"))).as("f"))
+        .select(col("w_start"), col("f.n_events").as("n_events"),
+          col("f.n_sketch").as("n_sketch"),
+          col("f.jaccard_bp").as("jaccard_bp"),
+          col("f.est_union").as("est_union"),
+          col("f.est_intersect").as("est_intersect"))
+        .orderBy(col("w_start"))
+    }),
+
     // sliding 10-min/5-min window per event_type
     "q111_stream_sliding" -> ((s, d) => {
       Streams.runToBatch(s, Streams.slidingAgg(Streams.eventsStream(s, d)),
@@ -312,6 +338,50 @@ object StreamingQueries extends QueryGroup {
          |  CASE WHEN n_sketch < 64 THEN n_sketch
          |    ELSE (63 * CAST($p AS BIGINT)) // h64 END AS est_distinct
          |FROM agg ORDER BY w_start""".stripMargin
+    },
+
+    // reference = top-64 scrambled hashes of DISTINCT click users
+    // (what kmvSketchValues froze); per window: purchase-user sketch,
+    // merged top-64, two-membership count, the kmvOverlap floor math
+    "q224_stream_kmv_overlap" -> {
+      val h = graft.ops.Sketches.kmvScrambleSql(
+        graft.ops.Sketches.polyHashSql("CAST(user_id AS VARCHAR)"))
+      val p = graft.expressions.HashSpec.P
+      s"""WITH $ctes,
+         |rh AS (SELECT DISTINCT $h AS h FROM e WHERE event_type = 'click'),
+         |rs AS (SELECT h FROM (SELECT h,
+         |    ROW_NUMBER() OVER (ORDER BY h) AS rk FROM rh) WHERE rk <= 64),
+         |pw AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 300)
+         |      * 300 * 1000000) AS ws, $h AS h, COUNT(*) AS cnt
+         |  FROM e WHERE event_type = 'purchase' GROUP BY ws, h),
+         |cur AS (SELECT ws, h, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY h) AS rk FROM pw),
+         |c64 AS (SELECT ws, h FROM cur WHERE rk <= 64),
+         |m0 AS (SELECT ws, h FROM c64
+         |  UNION SELECT w.ws, rs.h FROM (SELECT DISTINCT ws FROM cur) w
+         |    CROSS JOIN rs),
+         |mk AS (SELECT ws, h FROM (SELECT ws, h,
+         |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY h) AS mrk FROM m0)
+         |  WHERE mrk <= 64),
+         |nb AS (SELECT mk.ws, CAST(COUNT(*) AS BIGINT) AS n_both FROM mk
+         |  JOIN c64 ON mk.ws = c64.ws AND mk.h = c64.h
+         |  JOIN rs ON mk.h = rs.h GROUP BY mk.ws),
+         |ne AS (SELECT ws, CAST(SUM(cnt) AS BIGINT) AS n_events,
+         |    CAST(SUM(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sketch
+         |  FROM cur GROUP BY ws),
+         |st AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS hk
+         |  FROM mk GROUP BY ws),
+         |fin AS (SELECT ne.ws, ne.n_events, ne.n_sketch,
+         |    (10000 * COALESCE(nb.n_both, 0)) // st.k_used AS jaccard_bp,
+         |    CASE WHEN st.k_used < 64 THEN st.k_used
+         |      ELSE (63 * CAST($p AS BIGINT)) // st.hk END AS est_union
+         |  FROM ne JOIN st ON ne.ws = st.ws LEFT JOIN nb ON ne.ws = nb.ws)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, n_events,
+         |  n_sketch, CAST(jaccard_bp AS BIGINT) AS jaccard_bp,
+         |  CAST(est_union AS BIGINT) AS est_union,
+         |  CAST((jaccard_bp * est_union) // 10000 AS BIGINT) AS est_intersect
+         |FROM fin ORDER BY w_start""".stripMargin
     },
 
     "q214_stream_psi_drift" -> {

@@ -407,6 +407,76 @@ object Streams {
       .toDF("w_start", "n_events", "n_sketch", "est_distinct")
   }
 
+  /** Streaming KMV contamination monitor: per-window overlap estimate
+    * of a live stream against a FROZEN reference sketch — "how much of
+    * this window's traffic is already in the blessed corpus", live.
+    * The reference enters as ≤ k literal longs
+    * ([[graft.ops.Sketches.kmvSketchValues]] is the compute-once
+    * producer; NO reference scan anywhere in the streaming query — the
+    * q214 frozen-literal pattern), state per window is the same k
+    * smallest scrambled hashes as [[kmvDistinctStream]], and every
+    * emitted estimate replays [[graft.ops.Sketches.kmvOverlap]]'s
+    * integer arithmetic exactly — a fully hash-gated streaming sketch.
+    *
+    * Emits running (w_start, n_events, n_sketch, jaccard_bp,
+    * est_union, est_intersect) per micro-batch in update mode;
+    * consumers keep the max-n_events row per window (q114 pattern).
+    */
+  def kmvOverlapStream(events: DataFrame, refSketch: Seq[Long], k: Int,
+      keyCol: String = "user_id", size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    require(refSketch.length <= k,
+      s"reference sketch has ${refSketch.length} values, expected <= $k")
+    require(refSketch == refSketch.sorted && refSketch.distinct == refSketch,
+      "reference sketch must be sorted distinct hashes (kmvSketchValues output)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val p = graft.expressions.HashSpec.P
+    val mixA = graft.ops.Sketches.kmvMixA
+    val mixB = graft.ops.Sketches.kmvMixB
+    val refSet = refSketch.toSet
+    events
+      .withWatermark("ts", delay)
+      .select(
+        date_format(window(col("ts"), size).getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col(keyCol).cast("string").as("key"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (w: String, rows: Iterator[(String, String)],
+         st: GroupState[(Long, Array[Long])]) =>
+          val (n0, arr0) = st.getOption.getOrElse((0L, Array.empty[Long]))
+          val set = scala.collection.mutable.SortedSet.empty[Long] ++ arr0
+          var n = n0
+          rows.foreach { case (_, key) =>
+            n += 1
+            val raw = graft.expressions.HashSpec.polyHash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(key))
+            val h = (raw * mixA + mixB) % p
+            set += h
+            if (set.size > k) set -= set.last
+          }
+          val arr = set.toArray
+          st.update((n, arr))
+          // kmvOverlap's arithmetic verbatim, over the state + the
+          // frozen literal — all non-negative 64-bit integers
+          val curSet = arr.toSet
+          val merged = (curSet ++ refSet).toArray.sorted.take(k)
+          val kUsed = merged.length.toLong
+          val nBoth = merged.count(h => curSet(h) && refSet(h)).toLong
+          val jaccardBp = if (kUsed == 0) 0L else 10000L * nBoth / kUsed
+          val estUnion =
+            if (kUsed < k) kUsed else (k - 1).toLong * p / merged.last
+          val estInter = jaccardBp * estUnion / 10000L
+          (w, n, arr.length.toLong, jaccardBp, estUnion, estInter)
+      }
+      .toDF("w_start", "n_events", "n_sketch", "jaccard_bp",
+        "est_union", "est_intersect")
+  }
+
   def psiDriftStream(events: DataFrame, refCounts: Seq[Long],
       boundaries: Seq[Double], valueCol: String = "value",
       size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {

@@ -139,6 +139,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming KMV overlap equals batch kmvOverlap per window; frozen ref only") {
+    import spark.implicits._
+    val k = 16
+    val clicks = Tables.events(spark, sfTiny)
+      .filter(col("event_type") === "click")
+    val ref = graft.ops.Sketches.kmvSketchValues(
+      clicks, col("user_id").cast("string"), k)
+    assert(ref.nonEmpty && ref == ref.sorted)
+    val streamed = Streams.runToBatch(spark,
+        Streams.kmvOverlapStream(
+          Streams.eventsStream(spark, sfTiny)
+            .filter(col("event_type") === "purchase"), ref, k),
+        "spec_kmv_ov", outputMode = "update")
+      .groupBy(col("w_start"))
+      .agg(max(struct(col("n_events"), col("n_sketch"), col("jaccard_bp"),
+        col("est_union"), col("est_intersect"))).as("f"))
+      .select(col("w_start"), col("f.jaccard_bp"), col("f.est_union"),
+        col("f.est_intersect"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed.nonEmpty)
+    // batch twin per window: kmvOverlap(window sketch, ref sketch)
+    val refDf = ref.zipWithIndex
+      .map { case (h, i) => (i + 1, h) }.toDF("rk", "h")
+    val purchases = Tables.events(spark, sfTiny)
+      .filter(col("event_type") === "purchase")
+      .select(date_format(window(col("ts"), "5 minutes").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("grp"),
+        col("user_id").cast("string").as("key"))
+    streamed.foreach { case (w, got) =>
+      val cur = graft.ops.Sketches.kmvSketch(
+        purchases.filter(col("grp") === w).toDF(), col("key"), k)
+      val b = graft.ops.Sketches.kmvOverlap(cur, refDf, k).collect().head
+      assert((b.getLong(1), b.getLong(2), b.getLong(3)) == got,
+        s"window $w: batch ${(b.getLong(1), b.getLong(2), b.getLong(3))} vs stream $got")
+    }
+    // guards: misordered / oversized reference
+    intercept[IllegalArgumentException] {
+      Streams.kmvOverlapStream(Streams.eventsStream(spark, sfTiny),
+        Seq(5L, 3L), k)
+    }
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so
