@@ -60,6 +60,20 @@ object Bench {
     val only = sys.env.get("GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // FROZEN bench canary (round-11 protocol): ~20 queries spanning the
+    // catalog (joins/aggs, windows, text, dedup/LSH, ANN, streaming,
+    // graph, sketches, corpus). GRAFT_BENCH_CANARY=1 runs ONLY this set,
+    // min-of-3 by default. Run it at round OPEN and CLOSE and record
+    // both tables in PLANS.md: an A/A delta on untouched canaries makes
+    // "environment offset vs real regression" decidable without a judge
+    // rerun (the r10 driver pair read +17% on untouched queries purely
+    // from machine state). Do NOT edit this set without a PLANS.md note
+    // — its value is comparability across rounds.
+    val canarySet: Set[String] = Set(
+      "q01b", "q18b", "q23b", "q35", "q71h", "q77d", "q92c", "q95b",
+      "q96", "q99d", "q110", "q119", "q145", "q151e", "q154b", "q162b",
+      "q171", "q180", "q209b", "q216b", "q218", "q221")
+    val isCanary = sys.env.get("GRAFT_BENCH_CANARY").contains("1")
     // GRAFT_BENCH_REVERSE=1 runs the catalog in reverse name order — an
     // A/B diagnostic for shared-session position effects (JIT/GC drift):
     // a query whose time moves with its POSITION is not a regression
@@ -68,6 +82,8 @@ object Bench {
       ordered0.reverse else ordered0
     val sel = ordered
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        !isCanary || canarySet.contains(name.takeWhile(_ != '_')) }
     // Position noise in the shared JVM is proven at up to 7x on this
     // catalog (PLANS.md order-flip A/B), so a single run per query is
     // not a measurement. Default: TWO passes, the second in reverse
@@ -76,7 +92,9 @@ object Bench {
     // instead of masquerading as regressions. Each pass calls fn()
     // fresh, so plans (and their exchanges) are rebuilt, never reused.
     // GRAFT_BENCH_PASSES=1 restores the quick single-pass mode.
-    val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt
+    // Canary mode defaults to min-of-3 (odd passes end forward-order).
+    val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES",
+      if (isCanary) "3" else "2").toInt
     // Shared-JVM interference purge (round-8): iterative ops release
     // their persist/localCheckpoint blocks via GC-driven ContextCleaner
     // weak references, and a long bench JVM with a large heap collects
@@ -112,12 +130,14 @@ object Bench {
       println(f"[bench] $tag $name%-28s ${sec}%9.3f s")
       name -> sec
     }
-    val p1 = runPass(sel, "p1")
-    val results =
-      if (passes > 1) {
-        val p2 = runPass(sel.reverse, "p2").toMap
-        p1.map { case (n, s) => n -> math.min(s, p2(n)) }
-      } else p1
+    // N passes alternating forward/reverse order, per-query MIN across
+    // passes — position effects in the shared JVM cancel instead of
+    // masquerading as regressions.
+    val passRuns = (1 to passes).map { i =>
+      val order = if (i % 2 == 0) sel.reverse else sel
+      runPass(order, s"p$i").toMap
+    }
+    val results = sel.map { case (n, _) => n -> passRuns.map(_(n)).min }
     val total = results.map(_._2).sum
     def line(rs: Seq[(String, Double)], short: Boolean, dec: Int): String = {
       val qs = rs.map { case (k, v) =>
@@ -129,8 +149,11 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
     // full-name copy for humans/judge; short-key line for the driver tail
+    // (canary runs get their own file so the full-catalog artifact is
+    // never clobbered by a 20-query subset)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(
+        if (isCanary) "BENCH_CANARY.json" else "BENCH_FULL.json"),
       line(results, short = false, dec = 3) + "\n")
     val shortOk = { val ks = results.map(_._1.takeWhile(_ != '_')); ks.distinct.size == ks.size }
     // degrade gracefully toward the 1900-char budget: 3 → 2 decimals,

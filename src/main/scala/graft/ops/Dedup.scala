@@ -375,15 +375,24 @@ object Dedup {
   def dedupCorpusKeepBest(df: DataFrame, id: String, text: String,
       quality: String, k: Int = 5, n: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.9): DataFrame = {
+    // memb is consumed TWICE (per-cluster argmax + the final join-back);
+    // without a persist each consumer re-runs the dedupCorpus membership
+    // build — i.e. a second full pass over the corpus text column at
+    // 100 TB. Persist the 3-narrow-column frame, eagerly cut the result
+    // lineage, release — the PageRank e-persist pattern.
     val memb = dedupCorpus(df, id, text, k, n, bands, minEstJaccard)
       .select(col(id), col("canonical_id"))
       .join(df.select(col(id), col(quality)), Seq(id))
+      .persist()
     val best = memb.groupBy(col("canonical_id"))
       .agg(max(struct(col(quality).as("q"), (-col(id)).as("negid"))).as("b"))
       .select(col("canonical_id"), (-col("b.negid")).as("best_id"))
-    memb.join(best, Seq("canonical_id"))
+    val out = memb.join(best, Seq("canonical_id"))
       .select(col(id), col("canonical_id"), col("best_id"),
         (col(id) === col("best_id")).cast("int").as("keep"))
+      .localCheckpoint(true)
+    memb.unpersist(blocking = false)
+    out
   }
 
   /** SimHash near-duplicate pairs within a blocking column: pairs whose

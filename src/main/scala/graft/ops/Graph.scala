@@ -888,12 +888,16 @@ object Graph {
       .filter(col("n") * 10000 >= col("target_x10k") &&
         (col("n_prev").isNull || col("n_prev") * 10000 < col("target_x10k")))
     // floor-integer interpolation (div, not /): exact in any 64-bit
-    // engine; target·1e6 bounds the magnitude at ~N·9e9 — fine for
-    // pair counts into the trillions
+    // engine. (delta·1e6) div (step·1e4) == (delta·100) div step — the
+    // common factor 1e4 cancels exactly under floor division — and the
+    // reduced form bounds the product at delta·100 ≤ step·1e6, so the
+    // first overflow is at a per-depth pair-count STEP of ~9.2e12
+    // (trillions of new pairs in one depth), not the ~9.2e8 the
+    // unreduced multiply allowed
     steps.selectExpr(
       "CAST(CASE WHEN n_prev IS NULL THEN 0 ELSE " +
-        "(d - 1) * 1000000 + ((target_x10k - n_prev * 10000) * 1000000)" +
-        " div ((n - n_prev) * 10000) END AS BIGINT) AS eff_diameter_micro")
+        "(d - 1) * 1000000 + ((target_x10k - n_prev * 10000) * 100)" +
+        " div (n - n_prev) END AS BIGINT) AS eff_diameter_micro")
   }
 
   def harmonicCentralityHyperBall(edges: DataFrame, src: String, dst: String,

@@ -324,6 +324,17 @@ object Sketches {
     * sketch rows (partitioned by pair — never global), membership via
     * two semi-join flags on the k-row frames.
     *
+    * SHARD-COUNT posture: the matrix is quadratic in |groups| — S
+    * shards ⇒ S·(S−1)/2 pairs ⇒ ~S²·k intermediate rows. That stays a
+    * small bounded frame for fleet-scale shard counts (S = 10³, k = 64
+    * ⇒ ~500k pairs, ~64 M narrow rows through two HASH equi-joins —
+    * measured receipt in PLANS.md), but is the wrong tool at S ≫ 10³:
+    * there, prefilter the pair list by a cheap blocking key (e.g.
+    * bucket shards by [[kmvDistinctBy]]'s estimate, or restrict to
+    * new-shard × blessed-shard pairs) before calling this with the
+    * reduced `sketches` — the exact-containment gate then runs only on
+    * flagged pairs, as in the q219b triage pipeline.
+    *
     * @return (grp_a, grp_b, k_used, jaccard_bp, est_union,
     *         est_intersect) for every a < b
     */
@@ -334,10 +345,19 @@ object Sketches {
     val pairs = grps.as("x").join(grps.as("y"), col("x.grp") < col("y.grp"))
       .select(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"))
     val sk = sketches.select(col("grp"), col("h"))
-    // union both sides' sketch rows per pair, dedup, rank, keep k
+    // union both sides' sketch rows per pair, dedup, rank, keep k.
+    // Two hash EQUI-joins (grp_a leg ∪ grp_b leg), not one OR-predicate
+    // join: an OR equality can't hash-partition, so Spark would fall
+    // back to a nested loop — S²·|sketch rows| comparisons at S shards.
+    // grp_a < grp_b strictly, so no sketch row enters both legs for
+    // the same pair; distinct() dedups h collisions across legs only.
     val unioned = pairs
-      .join(sk, col("grp") === col("grp_a") || col("grp") === col("grp_b"))
-      .select(col("grp_a"), col("grp_b"), col("h")).distinct()
+      .join(sk.withColumnRenamed("grp", "grp_a"), Seq("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("h"))
+      .union(pairs
+        .join(sk.withColumnRenamed("grp", "grp_b"), Seq("grp_b"))
+        .select(col("grp_a"), col("grp_b"), col("h")))
+      .distinct()
     val w = Window.partitionBy(col("grp_a"), col("grp_b")).orderBy(col("h"))
     val merged = unioned.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -697,7 +697,17 @@ object Validate {
       vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
     def sums(df: DataFrame, s: String, n: String) = df
-      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      // shape fail-fast (the applyChangeSet op-domain pattern): a null
+      // or ragged vector would otherwise silently skew per-dimension
+      // counts AND let the inner join drop dimensions — a monitor that
+      // under-reports drift on malformed input is worse than one that
+      // raises. size() is an O(1) header read per row.
+      .select(when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
+          raise_error(concat(lit(s"embeddingDriftMicro: $vecCol size "),
+            coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
+            lit(s" != dim $dim"))))
+        .otherwise(col(vecCol)).as("v"))
+      .select(posexplode(col("v").cast("array<double>")).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(sum(floor(col("x") * 1e6).cast("long")).as(s),
         count(lit(1)).as(n))

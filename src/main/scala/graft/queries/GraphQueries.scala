@@ -662,8 +662,8 @@ object GraphQueries extends QueryGroup {
          |    LAG(n_pairs) OVER (ORDER BY d) AS n_prev FROM nf),
          |eff AS (SELECT CAST(CASE WHEN s.n_prev IS NULL THEN 0 ELSE
          |    (s.d - 1) * 1000000 +
-         |      ((t.target - s.n_prev * 10000) * 1000000)
-         |        // ((s.n - s.n_prev) * 10000) END AS BIGINT)
+         |      ((t.target - s.n_prev * 10000) * 100)
+         |        // (s.n - s.n_prev) END AS BIGINT)
          |    AS eff_diameter_micro
          |  FROM steps s CROSS JOIN tgt t
          |  WHERE s.n * 10000 >= t.target

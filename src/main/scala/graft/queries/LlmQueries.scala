@@ -173,7 +173,11 @@ object LlmQueries extends QueryGroup {
       val docs = Tables.documents(s, d)
       val norm = Dedup.normText(col("text"))
       val sk = Sketches.kmvSketch(docs, norm, k = 128)
-      val exact = docs.select(poly_hash(norm).as("h")).distinct()
+      // h IS NOT NULL mirrors both kmvSketch's filter and the oracle's
+      // t2 CTE — without it a null text would make n_exact diverge
+      // cross-engine (null row counted here, not there)
+      val exact = docs.select(poly_hash(norm).as("h"))
+        .filter(col("h").isNotNull).distinct()
         .agg(count(lit(1)).as("n_exact"))
       Sketches.kmvDistinct(sk, 128).crossJoin(broadcast(exact))
     }),
@@ -188,8 +192,11 @@ object LlmQueries extends QueryGroup {
       val docs = Tables.documents(s, d)
       val norm = Dedup.normText(col("text"))
       val sk = Sketches.kmvSketchBy(docs, "source", norm, k = 64)
+      // same null hygiene as q218: the oracle's t CTE keeps only
+      // non-null (grp, h) rows
       val exact = docs.select(col("source").as("grp"),
-          poly_hash(norm).as("h")).distinct()
+          poly_hash(norm).as("h"))
+        .filter(col("grp").isNotNull && col("h").isNotNull).distinct()
         .groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
       Sketches.kmvDistinctBy(sk, 64)
         .join(exact, Seq("grp"))

@@ -276,6 +276,26 @@ object Streams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** "5 minutes"-style duration → milliseconds, for computing state
+    * eviction timestamps from window-start keys. Month-based units are
+    * rejected (not a fixed millisecond span).
+    */
+  private def durationMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"month-based durations unsupported here: $s")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** Parse a "yyyy-MM-dd HH:mm:ss" window-start key back to epoch ms
+    * (UTC — the session timezone everywhere in this engine).
+    */
+  private def windowStartMs(w: String): Long =
+    java.time.LocalDateTime
+      .parse(w, java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
   /** Drain a streaming DataFrame through the memory sink and return the
     * collected result as a batch DataFrame. `Trigger.AvailableNow`
     * processes everything the source has, runs the trailing no-data
@@ -381,28 +401,55 @@ object Streams {
       .select(
         date_format(window(col("ts"), size).getField("start"),
           "yyyy-MM-dd HH:mm:ss").as("w_start"),
-        col(keyCol).cast("string").as("key"))
-      .as[(String, String)]
+        col(keyCol).cast("string").as("key"),
+        // the WATERMARKED event-time attribute must stay in scope for
+        // EventTimeTimeout (the checker wants the tagged column, not
+        // just a watermark node upstream); the fold ignores it
+        col("ts"))
+      .as[(String, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (w: String, rows: Iterator[(String, String)],
+      // EventTimeTimeout: per-window state is EVICTED once the
+      // watermark passes window_end + delay (no more rows can arrive —
+      // the watermark filter would drop them), so total state is
+      // O(k · open windows), not O(k · windows ever seen). The
+      // timed-out invocation re-emits the window's final row, which the
+      // consumer's max(n_events)-fold collapses — output is unchanged.
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (w: String, rows: Iterator[(String, String, java.sql.Timestamp)],
          st: GroupState[(Long, Array[Long])]) =>
-          val (n0, arr0) = st.getOption.getOrElse((0L, Array.empty[Long]))
-          val set = scala.collection.mutable.SortedSet.empty[Long] ++ arr0
-          var n = n0
-          rows.foreach { case (_, key) =>
-            n += 1
-            val raw = graft.expressions.HashSpec.polyHash(
-              org.apache.spark.unsafe.types.UTF8String.fromString(key))
-            val h = (raw * mixA + mixB) % p
-            set += h
-            if (set.size > k) set -= set.last
+          def emit(n: Long, arr: Array[Long]): (String, Long, Long, Long) = {
+            val est = if (arr.length < k) arr.length.toLong
+                      else (k - 1).toLong * p / arr(k - 1)
+            (w, n, arr.length.toLong, est)
           }
-          val arr = set.toArray
-          st.update((n, arr))
-          val est = if (arr.length < k) arr.length.toLong
-                    else (k - 1).toLong * p / arr(k - 1)
-          (w, n, arr.length.toLong, est)
+          if (st.hasTimedOut) {
+            val (n, arr) = st.get
+            st.remove()
+            emit(n, arr)
+          } else {
+            val (n0, arr0) = st.getOption.getOrElse((0L, Array.empty[Long]))
+            val set = scala.collection.mutable.SortedSet.empty[Long] ++ arr0
+            var n = n0
+            rows.foreach { case (_, key, _) =>
+              n += 1
+              // null keys count toward n_events but never enter the
+              // sketch — kmvSketch's isNotNull filter, mirrored (a null
+              // key must not NPE the stream)
+              if (key != null) {
+                val raw = graft.expressions.HashSpec.polyHash(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(key))
+                val h = (raw * mixA + mixB) % p
+                set += h
+                if (set.size > k) set -= set.last
+              }
+            }
+            val arr = set.toArray
+            st.update((n, arr))
+            st.setTimeoutTimestamp(math.max(
+              windowStartMs(w) + durationMs(size) + durationMs(delay),
+              st.getCurrentWatermarkMs() + 1))
+            emit(n, arr)
+          }
       }
       .toDF("w_start", "n_events", "n_sketch", "est_distinct")
   }
@@ -442,36 +489,61 @@ object Streams {
       .select(
         date_format(window(col("ts"), size).getField("start"),
           "yyyy-MM-dd HH:mm:ss").as("w_start"),
-        col(keyCol).cast("string").as("key"))
-      .as[(String, String)]
+        col(keyCol).cast("string").as("key"),
+        // the WATERMARKED event-time attribute must stay in scope for
+        // EventTimeTimeout (the checker wants the tagged column, not
+        // just a watermark node upstream); the fold ignores it
+        col("ts"))
+      .as[(String, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (w: String, rows: Iterator[(String, String)],
+      // EventTimeTimeout eviction — see kmvDistinctStream: state dies
+      // once the watermark passes window_end + delay; the timed-out
+      // re-emission collapses under the consumer's max-fold.
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (w: String, rows: Iterator[(String, String, java.sql.Timestamp)],
          st: GroupState[(Long, Array[Long])]) =>
-          val (n0, arr0) = st.getOption.getOrElse((0L, Array.empty[Long]))
-          val set = scala.collection.mutable.SortedSet.empty[Long] ++ arr0
-          var n = n0
-          rows.foreach { case (_, key) =>
-            n += 1
-            val raw = graft.expressions.HashSpec.polyHash(
-              org.apache.spark.unsafe.types.UTF8String.fromString(key))
-            val h = (raw * mixA + mixB) % p
-            set += h
-            if (set.size > k) set -= set.last
-          }
-          val arr = set.toArray
-          st.update((n, arr))
           // kmvOverlap's arithmetic verbatim, over the state + the
           // frozen literal — all non-negative 64-bit integers
-          val curSet = arr.toSet
-          val merged = (curSet ++ refSet).toArray.sorted.take(k)
-          val kUsed = merged.length.toLong
-          val nBoth = merged.count(h => curSet(h) && refSet(h)).toLong
-          val jaccardBp = if (kUsed == 0) 0L else 10000L * nBoth / kUsed
-          val estUnion =
-            if (kUsed < k) kUsed else (k - 1).toLong * p / merged.last
-          val estInter = jaccardBp * estUnion / 10000L
-          (w, n, arr.length.toLong, jaccardBp, estUnion, estInter)
+          def emit(n: Long, arr: Array[Long])
+              : (String, Long, Long, Long, Long, Long) = {
+            val curSet = arr.toSet
+            val merged = (curSet ++ refSet).toArray.sorted.take(k)
+            val kUsed = merged.length.toLong
+            val nBoth = merged.count(h => curSet(h) && refSet(h)).toLong
+            val jaccardBp = if (kUsed == 0) 0L else 10000L * nBoth / kUsed
+            val estUnion =
+              if (kUsed < k) kUsed else (k - 1).toLong * p / merged.last
+            val estInter = jaccardBp * estUnion / 10000L
+            (w, n, arr.length.toLong, jaccardBp, estUnion, estInter)
+          }
+          if (st.hasTimedOut) {
+            val (n, arr) = st.get
+            st.remove()
+            emit(n, arr)
+          } else {
+            val (n0, arr0) = st.getOption.getOrElse((0L, Array.empty[Long]))
+            val set = scala.collection.mutable.SortedSet.empty[Long] ++ arr0
+            var n = n0
+            rows.foreach { case (_, key, _) =>
+              n += 1
+              // null keys count toward n_events but never enter the
+              // sketch — kmvSketch's isNotNull filter, mirrored (a null
+              // key must not NPE the stream)
+              if (key != null) {
+                val raw = graft.expressions.HashSpec.polyHash(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(key))
+                val h = (raw * mixA + mixB) % p
+                set += h
+                if (set.size > k) set -= set.last
+              }
+            }
+            val arr = set.toArray
+            st.update((n, arr))
+            st.setTimeoutTimestamp(math.max(
+              windowStartMs(w) + durationMs(size) + durationMs(delay),
+              st.getCurrentWatermarkMs() + 1))
+            emit(n, arr)
+          }
       }
       .toDF("w_start", "n_events", "n_sketch", "jaccard_bp",
         "est_union", "est_intersect")
