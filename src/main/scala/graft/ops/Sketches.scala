@@ -341,38 +341,26 @@ object Sketches {
   def kmvOverlapMatrix(sketches: DataFrame, k: Int): DataFrame = {
     require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
     val p = graft.expressions.HashSpec.P
-    val grps = sketches.select(col("grp")).distinct()
-    val pairs = grps.as("x").join(grps.as("y"), col("x.grp") < col("y.grp"))
-      .select(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"))
-    val sk = sketches.select(col("grp"), col("h"))
-    // union both sides' sketch rows per pair, dedup, rank, keep k.
-    // Two hash EQUI-joins (grp_a leg ∪ grp_b leg), not one OR-predicate
-    // join: an OR equality can't hash-partition, so Spark would fall
-    // back to a nested loop — S²·|sketch rows| comparisons at S shards.
-    // grp_a < grp_b strictly, so no sketch row enters both legs for
-    // the same pair; distinct() dedups h collisions across legs only.
-    val unioned = pairs
-      .join(sk.withColumnRenamed("grp", "grp_a"), Seq("grp_a"))
-      .select(col("grp_a"), col("grp_b"), col("h"))
-      .union(pairs
-        .join(sk.withColumnRenamed("grp", "grp_b"), Seq("grp_b"))
-        .select(col("grp_a"), col("grp_b"), col("h")))
-      .distinct()
-    val w = Window.partitionBy(col("grp_a"), col("grp_b")).orderBy(col("h"))
-    val merged = unioned.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-    val inA = sk.select(col("grp").as("grp_a"), col("h"),
-      lit(1).as("in_a")).distinct()
-    val inB = sk.select(col("grp").as("grp_b"), col("h"),
-      lit(1).as("in_b")).distinct()
-    merged
-      .join(inA, Seq("grp_a", "h"), "left")
-      .join(inB, Seq("grp_b", "h"), "left")
-      .groupBy(col("grp_a"), col("grp_b"))
-      .agg(count(lit(1)).as("k_used"),
-        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+    // Collapse each group's k-row sketch to ONE sorted-array row (S
+    // rows total), pair with a self-join, and do the per-pair merge /
+    // membership entirely with codegen'd array functions. The whole
+    // matrix is then one S-row shuffle + an S²/2-row map stage — no
+    // per-(pair, h) row explosion (the previous formulation shuffled
+    // |pairs|·2k rows and ran a per-pair rank window: measured 137 s /
+    // 1.5 GB shuffle at S=1000, k=64 vs seconds for this form).
+    // array_union dedups; array_intersect keeps each value once —
+    // sketch hashes are distinct per group by construction.
+    val arrs = sketches.groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    arrs.as("x").join(arrs.as("y"), col("x.grp") < col("y.grp"))
+      .select(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"),
+        expr(s"slice(array_sort(array_union(x.hs, y.hs)), 1, $k)").as("mk"),
+        array_intersect(col("x.hs"), col("y.hs")).as("both"))
+      .select(col("grp_a"), col("grp_b"),
+        size(col("mk")).cast("long").as("k_used"),
+        size(array_intersect(col("mk"), col("both"))).cast("long")
           .as("n_both"),
-        max(col("h")).as("hk"))
+        element_at(col("mk"), size(col("mk"))).as("hk"))
       .select(col("grp_a"), col("grp_b"), col("k_used"),
         when(col("k_used") === 0, lit(0L))
           .otherwise(expr("(10000L * n_both) div k_used")).as("jaccard_bp"),
