@@ -214,6 +214,68 @@ object Graph {
     out
   }
 
+  /** HITS with per-round truncating MILLI-rescale — the
+    * convergence-depth form of [[hitsCounts]], whose raw integer path
+    * counts overflow past ~4 rounds (growth ≤ d_in·d_out per round).
+    * After each half-step the vector renormalizes to
+    * v ← (v·1000) div max(v) (all values non-negative, so floor and
+    * trunc coincide and any 64-bit engine replays it bit-for-bit —
+    * the [[Linalg.topEigenMilli]] trick applied graph-side). The
+    * argmax node pins each vector's scale at exactly 1000, so rounds
+    * compose without growth and `iterations` can reach
+    * convergence-grade depth.
+    *
+    * Overflow bound (restated for the rescaled form): post-rescale
+    * values are ≤ 1000, so a raw half-step sum is ≤ 1000·max_degree
+    * and the rescale multiply tops out at 1000·1000·max_degree —
+    * overflow needs a single node of degree ~9.2e12, far beyond any
+    * real link graph (vs ~d_in·d_out compounding PER ROUND unscaled).
+    *
+    * 100 TB posture: identical loop shape to [[hitsCounts]] — two
+    * |E|-row equi-joins + bounded aggs per round; the per-round max is
+    * a 1-row broadcast, not a collect.
+    *
+    * @return (node, auth_milli, hub_milli), each in [0, 1000]
+    */
+  def hitsMilli(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 6): DataFrame = {
+    require(iterations >= 1 && iterations <= 30,
+      s"iterations must be in [1, 30], got $iterations")
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    def rescale(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(max(col(c)).as("m"))))
+        .select(col("node"),
+          when(col("m") === 0, lit(0L))
+            .otherwise(expr(s"($c * 1000) div m")).as(c))
+    var hub = nodes.select(col("node"), lit(1000L).as("h"))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      auth = rescale(nodes.join(
+          e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+        .localCheckpoint(true)
+      hub = rescale(nodes.join(
+          e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+        .localCheckpoint(true)
+      i += 1
+    }
+    val out = auth.join(hub, Seq("node"))
+      .select(col("node"), col("a").as("auth_milli"),
+        col("h").as("hub_milli"))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Personalized PageRank, integer parts-per-billion: the teleport
     * mass returns to a SEED SET instead of spreading uniformly — the
     * crawl-seeding / topic-expansion form (rank pages relative to a

@@ -97,6 +97,24 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // HITS at convergence depth (NEW r11): 6 rounds with truncating
+    // milli-rescale after each half-step — the unscaled-counts cap of
+    // 4 rounds is gone (post-rescale values ≤ 1000; overflow would
+    // need a single ~9.2e12-degree node). Every step is exact integer
+    // arithmetic, so the oracle unrolls all 12 half-steps + rescales
+    // bit-for-bit
+    "q171f_hits_milli" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val de = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.hitsMilli(de, "src", "dst", iterations = 6)
+        .orderBy(col("auth_milli").desc, col("node"))
+        .limit(100)
+    }),
+
     // degree profile of the same graph (symmetric, so out = in; the
     // gate checks both legs anyway)
     "q171b_degree_stats" -> ((s, d) => {
@@ -338,6 +356,44 @@ object GraphQueries extends QueryGroup {
          |SELECT a2.node, a2.a AS auth, h2.h AS hub
          |FROM a2 JOIN h2 USING (node)
          |ORDER BY auth DESC, node LIMIT 100""".stripMargin,
+
+    // full 6-round unroll of hitsMilli: each half-step is a summed
+    // join + a (v*1000) // max(v) rescale — non-negative values, so
+    // DuckDB's flooring // matches Spark's div exactly
+    "q171f_hits_milli" -> {
+      def half(v: Int, out: String, in: String, eK: String,
+          nK: String): String = {
+        val inCol = if (out == "a") "h" else "a"
+        // every frame MATERIALIZED: the f frame is referenced twice
+        // (max + rescale) and each round references the previous —
+        // inlined CTEs would re-expand the whole chain exponentially
+        s"""${out}${v}r AS MATERIALIZED (SELECT de.$eK AS node,
+           |    CAST(SUM($in.$inCol) AS BIGINT) AS $out
+           |  FROM de JOIN $in ON de.$nK = $in.node GROUP BY 1),
+           |${out}${v}f AS MATERIALIZED (SELECT n.node,
+           |    COALESCE(${out}${v}r.$out, 0)
+           |    AS $out FROM nodes n LEFT JOIN ${out}${v}r USING (node)),
+           |${out}${v}m AS MATERIALIZED (
+           |  SELECT MAX($out) AS m FROM ${out}${v}f),
+           |$out$v AS MATERIALIZED (SELECT node, CASE WHEN m = 0 THEN 0
+           |    ELSE ($out * 1000) // m END AS $out
+           |  FROM ${out}${v}f CROSS JOIN ${out}${v}m)""".stripMargin
+      }
+      val rounds = (1 to 6).map { r =>
+        half(r, "a", s"h${r - 1}", "dst", "src") + ",\n" +
+          half(r, "h", s"a$r", "src", "dst")
+      }.mkString(",\n")
+      s"""WITH de AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM de UNION SELECT dst FROM de),
+         |h0 AS (SELECT node, CAST(1000 AS BIGINT) AS h FROM nodes),
+         |$rounds
+         |SELECT a6.node, a6.a AS auth_milli, h6.h AS hub_milli
+         |FROM a6 JOIN h6 USING (node)
+         |ORDER BY auth_milli DESC, node LIMIT 100""".stripMargin
+    },
 
     "q171c_personalized_pagerank" -> {
       def round(i: Int): String =

@@ -388,6 +388,8 @@ package object syntax {
       ops.Validate.embeddingDriftMicro(df, fresh, vecCol, dim)
     def hitsCounts(src: String, dst: String, iterations: Int = 2): DataFrame =
       ops.Graph.hitsCounts(df, src, dst, iterations)
+    def hitsMilli(src: String, dst: String, iterations: Int = 6): DataFrame =
+      ops.Graph.hitsMilli(df, src, dst, iterations)
     def pageRankWeightedPpb(src: String, dst: String, weight: String,
         iterations: Int = 3): DataFrame =
       ops.Graph.pageRankWeightedPpb(df, src, dst, weight, iterations)

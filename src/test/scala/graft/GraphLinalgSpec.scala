@@ -110,6 +110,27 @@ class GraphLinalgSpec extends SparkSpec {
     }
   }
 
+  test("hitsMilli: hand-unrolled rescaled rounds; deep iterations stay bounded") {
+    // same graph, h0≡1000:
+    // a1 raw: 10→2000, 11→1000; max 2000 → a1: 10→1000, 11→500
+    // h1 raw: 1→1000, 2→1500; max 1500 → h1: 1→666, 2→1000
+    // a2 raw: 10→666+1000=1666, 11→1000; max 1666 → 10→1000, 11→600
+    // h2 raw: 1→1000, 2→1600; max 1600 → 1→625, 2→1000
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val r = Graph.hitsMilli(e, "src", "dst", iterations = 2)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> (0L, 625L), 2L -> (0L, 1000L),
+      10L -> (1000L, 0L), 11L -> (600L, 0L)))
+    // depth the unscaled form cannot reach: values stay in [0, 1000]
+    val deep = Graph.hitsMilli(e, "src", "dst", iterations = 12)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(deep.values.forall { case (a, h) =>
+      a >= 0L && a <= 1000L && h >= 0L && h <= 1000L })
+    // the argmax nodes pin each scale at exactly 1000
+    assert(deep.values.exists(_._1 == 1000L))
+    assert(deep.values.exists(_._2 == 1000L))
+  }
+
   test("degreeStats: hand-checked degrees incl. pure-sink and pure-source") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val r = Graph.degreeStats(edges, "src", "dst")
