@@ -134,15 +134,38 @@ object Dedup {
     * — cheaper than recomputing the signature on both sides of a
     * pair⋈sigs join (the previous shape evaluated minhash_sig 3×).
     */
-  private def bandedSigs(df: DataFrame, id: String, text: String,
-      k: Int, n: Int, bands: Int): DataFrame = {
+  /** LSH band-key array from a minhash signature column: element b is
+    * the "-"-joined slice of rows n/bands·b .. n/bands·(b+1) — THE band
+    * arithmetic every LSH consumer here (batch q92 family, streaming
+    * near-dup monitor) shares, so oracles replay one construction.
+    */
+  def bandKeyArray(sig: Column, n: Int, bands: Int): Column = {
     require(n % bands == 0, s"bands=$bands must divide n=$n")
     val rows = n / bands
-    val bandKeys = array((0 until bands).map { b =>
-      concat_ws("-", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+    array((0 until bands).map { b =>
+      concat_ws("-", (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
     }: _*)
+  }
+
+  /** Banded signatures of a BOUNDED blessed corpus collected to
+    * literal (band, bkey) values — the compute-once producer for
+    * streaming near-dup monitors (the [[graft.ops.Sketches.kmvSketchValues]]
+    * pattern: the stream carries only literals, no reference scan).
+    * Size is |blessed docs|·bands rows: call this on a bounded
+    * reference sample (an eval set, a blocklist), never a full corpus.
+    */
+  def bandKeyValues(df: DataFrame, id: String, text: String,
+      k: Int = 5, n: Int = 16, bands: Int = 4): Seq[(Int, String)] =
+    bandedSigs(df, id, text, k, n, bands)
+      .select(col("band"), col("bkey")).distinct()
+      .orderBy(col("band"), col("bkey"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+
+  private def bandedSigs(df: DataFrame, id: String, text: String,
+      k: Int, n: Int, bands: Int): DataFrame = {
     minhashSignatures(df, id, text, k, n)
-      .select(col(id), col("sig"), posexplode(bandKeys).as(Seq("band", "bkey")))
+      .select(col(id), col("sig"),
+        posexplode(bandKeyArray(col("sig"), n, bands)).as(Seq("band", "bkey")))
   }
 
   /** Estimated Jaccard from two signature array columns. */

@@ -88,7 +88,7 @@ object LlmQueries extends QueryGroup {
   /** DuckDB CTEs: documents → minhash signature list (HashSpec.minHash).
     * `from` lets callers restrict the corpus (e.g. to exact-dedup reps).
     */
-  private def sqlMinhashCtes(n: Int = 16, k: Int = 5,
+  private[queries] def sqlMinhashCtes(n: Int = 16, k: Int = 5,
       from: String = "documents"): String = {
     val sigEntries = (0 until n).map { i =>
       val a = 2 * i + 3

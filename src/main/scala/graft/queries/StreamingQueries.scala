@@ -111,6 +111,25 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming LSH near-dup monitor (NEW r11): flag documents at the
+    // door that share a MinHash band with an earlier doc of the same
+    // ingest window (near-dup) or with a FROZEN blessed-sample band
+    // table (contamination) — the fuzzy complement of q224. Band
+    // arithmetic is the batch q92 construction verbatim; the reference
+    // is literal (band, bkey) pairs from the compute-once producer
+    // Dedup.bandKeyValues (no reference scan in the stream), so the
+    // whole flagged set hash-gates against a SQL replay
+    "q225_stream_near_dup" -> ((s, d) => {
+      import graft.ops.Dedup
+      val ref = Dedup.bandKeyValues(
+        graft.Tables.documents(s, d).filter(col("doc_id") % 101 === 0),
+        "doc_id", "text")
+      val res = Streams.runToBatch(s,
+        Streams.nearDupBandStream(Streams.documentsStream(s, d), ref),
+        "q225_near_dup", outputMode = "update")
+      res.orderBy(col("w_start"), col("doc_id"))
+    }),
+
     // sliding 10-min/5-min window per event_type
     "q111_stream_sliding" -> ((s, d) => {
       Streams.runToBatch(s, Streams.slidingAgg(Streams.eventsStream(s, d)),
@@ -382,6 +401,51 @@ object StreamingQueries extends QueryGroup {
          |  CAST(est_union AS BIGINT) AS est_union,
          |  CAST((jaccard_bp * est_union) // 10000 AS BIGINT) AS est_intersect
          |FROM fin ORDER BY w_start""".stripMargin
+    },
+
+    // full replay of the streaming LSH monitor: the same minhash sig +
+    // band-key construction as the q92 oracles, windows from the
+    // synthetic timestamp_seconds(doc_id) clock, "earlier" = smaller
+    // doc_id in the same window (the stream's determinism contract),
+    // reference = the blessed 1-in-101 sample's distinct bands
+    "q225_stream_near_dup" -> {
+      val bandSelects = (0 until 4).map { b =>
+        val key = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)")
+          .mkString(" || '-' || ")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${LlmQueries.sqlMinhashCtes()},
+         |b0 AS MATERIALIZED ($bandSelects),
+         |wd AS MATERIALIZED (SELECT doc_id,
+         |    ((doc_id + 1000000) // 1000) * 1000 AS ws
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |bb AS MATERIALIZED (SELECT w.ws, b.doc_id, b.band, b.bkey
+         |  FROM b0 b JOIN wd w USING (doc_id)),
+         |dup AS (SELECT a.ws, a.doc_id, a.band, MIN(b.doc_id) AS peer_band
+         |  FROM bb a JOIN bb b ON a.ws = b.ws AND a.band = b.band
+         |    AND a.bkey = b.bkey AND b.doc_id < a.doc_id
+         |  GROUP BY a.ws, a.doc_id, a.band),
+         |dupagg AS (SELECT ws, doc_id, COUNT(*) AS n_dup_bands,
+         |    MIN(peer_band) AS peer
+         |  FROM dup GROUP BY ws, doc_id),
+         |refb AS (SELECT DISTINCT band, bkey FROM b0
+         |  WHERE doc_id % 101 = 0),
+         |refagg AS (SELECT b.doc_id, COUNT(*) AS n_ref_bands
+         |  FROM b0 b JOIN refb USING (band, bkey) GROUP BY b.doc_id),
+         |fin AS (SELECT w.ws, w.doc_id,
+         |    COALESCE(d.n_dup_bands, 0) AS n_dup_bands,
+         |    COALESCE(d.peer, -1) AS peer,
+         |    COALESCE(r.n_ref_bands, 0) AS n_ref_bands
+         |  FROM wd w
+         |  LEFT JOIN dupagg d ON w.ws = d.ws AND w.doc_id = d.doc_id
+         |  LEFT JOIN refagg r ON w.doc_id = r.doc_id)
+         |SELECT STRFTIME(make_timestamp(ws * 1000000),
+         |    '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  doc_id, CAST(n_dup_bands AS INTEGER) AS n_dup_bands,
+         |  CAST(peer AS BIGINT) AS peer,
+         |  CAST(n_ref_bands AS INTEGER) AS n_ref_bands
+         |FROM fin WHERE n_dup_bands > 0 OR n_ref_bands > 0
+         |ORDER BY w_start, doc_id""".stripMargin
     },
 
     "q214_stream_psi_drift" -> {

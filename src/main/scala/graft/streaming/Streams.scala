@@ -549,6 +549,100 @@ object Streams {
         "est_union", "est_intersect")
   }
 
+  /** Streaming LSH-banded NEAR-duplicate monitor — the live fuzzy
+    * complement of [[kmvOverlapStream]]'s exact-sketch contamination
+    * alert: flag each arriving document that (a) shares a MinHash band
+    * with an EARLIER document of the same ingest window (near-dup at
+    * the door) and/or (b) shares a band with a FROZEN reference band
+    * table (eval-set / blocklist contamination). Band arithmetic is
+    * [[graft.ops.Dedup.bandKeyArray]] over
+    * [[graft.expressions.TextHashes.minhash_sig]] — exactly the batch
+    * q92 construction — and the reference enters as literal
+    * (band, bkey) pairs from [[graft.ops.Dedup.bandKeyValues]] (the
+    * q224 frozen-literal pattern: NO reference scan in the stream).
+    *
+    * Determinism contract (what lets the result hash-gate): docs carry
+    * the synthetic monotone event time timestamp_seconds(doc_id) (the
+    * ingest-replay clock), each micro-batch's rows fold in ascending
+    * doc_id order, and state holds the MIN doc_id per (band, bkey) —
+    * so "earlier" means smaller doc_id and the emitted set equals the
+    * batch SQL "exists d' < d in the same window sharing a band".
+    *
+    * State per window is one entry per DISTINCT (band, bkey) —
+    * bounded by bands · docs-per-window, evicted by EventTimeTimeout
+    * once the watermark passes window_end + delay. `maxStateBands` is
+    * a fail-fast valve (op-domain error, never silent degradation).
+    *
+    * Emits one row per FLAGGED doc, in the micro-batch where it
+    * arrived: (w_start, doc_id, n_dup_bands, peer = min colliding
+    * earlier doc id or -1, n_ref_bands).
+    */
+  def nearDupBandStream(docs: DataFrame, refBands: Seq[(Int, String)],
+      k: Int = 5, n: Int = 16, bands: Int = 4,
+      windowSecs: Int = 1000, delay: String = "2000 seconds",
+      maxStateBands: Int = 4000000): DataFrame = {
+    require(n % bands == 0, s"bands=$bands must divide n=$n")
+    require(refBands.forall { case (b, _) => b >= 0 && b < bands },
+      s"reference band indices must be in [0, $bands)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val refSet = refBands.map { case (b, bk) => s"$b:$bk" }.toSet
+    val sized = s"$windowSecs seconds"
+    docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      // +1e6 s (window-aligned): doc_id 0 would otherwise sit exactly
+      // ON the initial watermark (epoch 0) and be dropped as late
+      .select(col("doc_id"),
+        timestamp_seconds(col("doc_id") + lit(1000000L)).as("ts"),
+        graft.ops.Dedup.bandKeyArray(
+          graft.expressions.TextHashes.minhash_sig(
+            graft.ops.Dedup.normText(col("text")), k, n), n, bands)
+          .as("bks"))
+      .withWatermark("ts", delay)
+      .select(
+        date_format(window(col("ts"), sized).getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("doc_id"), col("bks"), col("ts"))
+      .as[(String, Long, Seq[String], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (w: String, rows: Iterator[(String, Long, Seq[String], java.sql.Timestamp)],
+         st: GroupState[Map[String, Long]]) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            var state = st.getOption.getOrElse(Map.empty[String, Long])
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Long, Int, Long, Int)]
+            // ascending doc_id within the batch — see the determinism
+            // contract in the scaladoc
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, bks, _) =>
+              val keys = bks.zipWithIndex.map { case (bk, b) => s"$b:$bk" }
+              val earlier = keys.flatMap(state.get).filter(_ < id)
+              val nDup = keys.count(kk => state.get(kk).exists(_ < id))
+              val peer = if (earlier.nonEmpty) earlier.min else -1L
+              val nRef = keys.count(refSet)
+              if (nDup > 0 || nRef > 0) out += ((w, id, nDup, peer, nRef))
+              keys.foreach { kk =>
+                if (state.get(kk).forall(_ > id)) state = state.updated(kk, id)
+              }
+            }
+            if (state.size > maxStateBands)
+              throw new IllegalStateException(
+                s"nearDupBandStream: window $w exceeds $maxStateBands " +
+                  "distinct band keys — raise maxStateBands or shrink " +
+                  "the window")
+            st.update(state)
+            st.setTimeoutTimestamp(math.max(
+              windowStartMs(w) + windowSecs * 1000L + durationMs(delay),
+              st.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("w_start", "doc_id", "n_dup_bands", "peer", "n_ref_bands")
+  }
+
   def psiDriftStream(events: DataFrame, refCounts: Seq[Long],
       boundaries: Seq[Double], valueCol: String = "value",
       size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {

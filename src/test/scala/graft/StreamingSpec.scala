@@ -182,6 +182,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup monitor equals the batch band computation window-for-window") {
+    import graft.ops.Dedup
+    // frozen reference: bands of the 1-in-101 blessed sample
+    val docs = Tables.documents(spark, sfTiny)
+    val ref = Dedup.bandKeyValues(
+      docs.filter(col("doc_id") % 101 === 0), "doc_id", "text")
+    assert(ref.nonEmpty)
+    val streamed = Streams.runToBatch(spark,
+        Streams.nearDupBandStream(Streams.documentsStream(spark, sfTiny), ref),
+        "spec_near_dup", outputMode = "update")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3), r.getInt(4))).toMap
+    assert(streamed.nonEmpty)
+    // batch twin: same band arithmetic, windows from the synthetic
+    // clock, "earlier" = smaller doc_id in the same window
+    import spark.implicits._
+    val bands = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        (((col("doc_id") + 1000000L) / 1000).cast("long") * 1000).as("ws"),
+        posexplode(Dedup.bandKeyArray(
+          graft.expressions.TextHashes.minhash_sig(
+            Dedup.normText(col("text")), 5, 16), 16, 4))
+          .as(Seq("band", "bkey")))
+      .persist()
+    val dup = bands.as("a").join(bands.as("b"),
+        col("a.ws") === col("b.ws") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.ws").as("ws"), col("a.doc_id").as("doc_id"),
+        col("a.band").as("band"))
+      .agg(min(col("b.doc_id")).as("peer_band"))
+      .groupBy(col("ws"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_dup_bands"),
+        min(col("peer_band")).as("peer"))
+    val refDf = ref.toDF("band", "bkey")
+    val refAgg = bands.join(refDf, Seq("band", "bkey"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_ref_bands"))
+    val batch = bands.select(col("ws"), col("doc_id")).distinct()
+      .join(dup, Seq("ws", "doc_id"), "left")
+      .join(refAgg, Seq("doc_id"), "left")
+      .select(col("ws"), col("doc_id"),
+        coalesce(col("n_dup_bands"), lit(0)).as("n_dup_bands"),
+        coalesce(col("peer"), lit(-1L)).as("peer"),
+        coalesce(col("n_ref_bands"), lit(0)).as("n_ref_bands"))
+      .filter(col("n_dup_bands") > 0 || col("n_ref_bands") > 0)
+      .select(date_format(timestamp_seconds(col("ws")),
+        "yyyy-MM-dd HH:mm:ss").as("w_start"), col("doc_id"),
+        col("n_dup_bands"), col("peer"), col("n_ref_bands"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3), r.getInt(4))).toMap
+    bands.unpersist(blocking = false)
+    assert(streamed == batch)
+    // band-index guard on the frozen reference
+    intercept[IllegalArgumentException] {
+      Streams.nearDupBandStream(Streams.documentsStream(spark, sfTiny),
+        Seq((7, "x-y-z-w")))
+    }
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so
