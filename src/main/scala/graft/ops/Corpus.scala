@@ -829,6 +829,56 @@ object Corpus {
       .filter(bucket < (col("rate") * lit(4294967296L)).cast("long"))
   }
 
+  /** Shared Efraimidis–Spirakis priority spelling: one generator feeds
+    * both the Spark op and its DuckDB replay (the psiTermExprOf
+    * pattern), so the IEEE LN result — and therefore the floor-nano
+    * integer — is computed from the same expression tree on both
+    * engines. `h` is a scrambled hash in [0, P); +1 maps it to (0, P]
+    * so the log argument is ≥ 1 and the priority non-negative.
+    */
+  def esPriorityExpr(h: String, w: String): String =
+    s"CAST(FLOOR(1000000000.0 * LN(CAST(" +
+      s"${graft.expressions.HashSpec.P} AS DOUBLE) / " +
+      s"CAST(($h) + 1 AS DOUBLE)) / CAST($w AS DOUBLE)) AS BIGINT)"
+
+  /** DETERMINISTIC weighted sample WITHOUT replacement — the
+    * Efraimidis–Spirakis scheme with hash-derived uniforms instead of
+    * an RNG stream: u(id) = (scrambled poly hash + 1) / P, priority =
+    * floor(1e9 · ln(1/u) / w), keep the k SMALLEST priorities (ties →
+    * min id). Inclusion odds are proportional to weight exactly as in
+    * classic E–S (larger w ⇒ ln(1/u)/w closer to 0 ⇒ earlier rank),
+    * but the sample is a pure function of (ids, weights, k): identical
+    * across runs, retries, partitionings AND engines, so — unlike RNG
+    * `df.sample` (q39, rows-only) — it hash-gates. The affine scramble
+    * ([[Sketches.kmvMixA]]/[[Sketches.kmvMixB]]) decorrelates
+    * sequential ids, the q218 rationale.
+    *
+    * This is the per-document companion of the stratum-level mixture
+    * family: [[mixtureResample]] hits an EXPECTED budget per stratum;
+    * this draws an EXACT-size sample biased by a per-row quality/
+    * length weight — "keep the best-ish 100k docs, weight = quality"
+    * without a global sort of the corpus.
+    *
+    * Scale shape: one map stage (hash + priority) then a distributed
+    * top-k (TakeOrderedAndProject — per-partition heaps, k rows to the
+    * driver-side reduce, never a global sort). Weights must be
+    * POSITIVE integers (cents/chars/tokens — float weights would make
+    * tie order engine-dependent); non-positive rows are dropped.
+    */
+  def weightedSampleDet(df: DataFrame, id: String, weight: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000000, s"k must be in [1, 1e7], got $k")
+    val p = graft.expressions.HashSpec.P
+    val h = (poly_hash(col(id).cast("string")) * lit(Sketches.kmvMixA) +
+      lit(Sketches.kmvMixB)) % lit(p)
+    df.select(col(id), col(weight).cast("long").as("w"), h.as("h"))
+      .filter(col("w") > 0 && col(id).isNotNull)
+      .withColumn("priority_nano", expr(esPriorityExpr("h", "w")))
+      .orderBy(col("priority_nano"), col(id))
+      .limit(k)
+      .select(col(id), col("w"), col("priority_nano"))
+  }
+
   /** Mixture resampling WITH upsampling — rates above 1 replicate.
     * [[mixtureResample]] caps its keep-rate at 1 because a filter can
     * only discard; real mixture schedules (DoReMi-style domain weights,

@@ -315,6 +315,16 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("lang"))
     }),
 
+    // deterministic weighted sample without replacement (NEW r11):
+    // Efraimidis–Spirakis with hash-derived uniforms — priority =
+    // floor(1e9·ln(P/(h+1))/w), keep the k smallest. A pure function
+    // of (ids, weights, k), so unlike RNG sample (q39) it hash-gates;
+    // weight = n_chars biases the 100-doc draw toward longer docs
+    "q226_weighted_sample" -> ((s, d) => {
+      Corpus.weightedSampleDet(Tables.documents(s, d), "doc_id",
+        "n_chars", k = 100)
+    }),
+
     // mixture resampling WITH upsampling: rates above 1 replicate
     // (floor(r) copies + one hash-gated fractional copy, E[copies]=r).
     // At sf0.01 this profile downsamples en (0.55×) and upsamples zh
@@ -1057,6 +1067,19 @@ object CorpusQueries extends QueryGroup {
          |  CASE WHEN n_tokens = 0 THEN FALSE
          |       ELSE (4.0 * ws / n_tokens) > 0 END AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the same scrambled poly hash + the SAME esPriorityExpr spelling
+    // as the Spark op (one generator, two engines — the PSI pattern)
+    "q226_weighted_sample" -> {
+      val h = graft.ops.Sketches.kmvScrambleSql(
+        graft.ops.Sketches.polyHashSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    $h AS h
+         |  FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL)
+         |SELECT doc_id, w,
+         |  ${graft.ops.Corpus.esPriorityExpr("h", "w")} AS priority_nano
+         |FROM t ORDER BY priority_nano, doc_id LIMIT 100""".stripMargin
+    },
 
     "q156_mixture_resample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),

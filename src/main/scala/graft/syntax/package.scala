@@ -186,6 +186,8 @@ package object syntax {
     def mixtureResample(id: String, strata: String, targets: Map[String, Double],
         budget: Long, defaultTarget: Double = 0.0): DataFrame =
       Corpus.mixtureResample(df, id, strata, targets, budget, defaultTarget)
+    def weightedSampleDet(id: String, weight: String, k: Int): DataFrame =
+      Corpus.weightedSampleDet(df, id, weight, k)
     def mixtureResampleTokens(id: String, strata: String, nTokens: Column,
         targets: Map[String, Double], budgetTokens: Long,
         defaultTarget: Double = 0.0): DataFrame =

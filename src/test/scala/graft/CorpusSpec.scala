@@ -669,4 +669,37 @@ class CorpusSpec extends SparkSpec {
     // all three labels actually used
     assert(out.select(col("split")).distinct().count() == 3L)
   }
+  test("weightedSampleDet: deterministic E-S sample, weight monotonicity, top-k plan") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, 10L + (i % 7) * 5)).toDF("id", "w")
+    val a = Corpus.weightedSampleDet(docs.repartition(3), "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    val b = Corpus.weightedSampleDet(docs.repartition(11), "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 50 && a == b) // partitioning-invariant
+    // equal weights degenerate to pure hash order
+    val eq = Corpus.weightedSampleDet(
+        docs.withColumn("w", lit(5L)), "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    val hashOrder = Corpus.weightedSampleDet(
+        docs.withColumn("w", lit(1L)), "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(eq == hashOrder) // priority scales by 1/w uniformly
+    // boosting one excluded id's weight 1000x pulls it into the sample
+    val out = (1L to 500L).filterNot(a).head
+    val boosted = docs.withColumn("w",
+      when(col("id") === out, lit(1000000L)).otherwise(col("w")))
+    val c = Corpus.weightedSampleDet(boosted, "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(c(out))
+    // zero/negative weights and null ids are dropped, never sampled
+    val dirty = docs.union(Seq((9999L, 0L), (9998L, -5L)).toDF("id", "w"))
+    val d = Corpus.weightedSampleDet(dirty, "id", "w", 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(!d(9999L) && !d(9998L) && d.size == 500)
+    // plan: distributed top-k, not a global sort
+    val plan = Corpus.weightedSampleDet(docs, "id", "w", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }
