@@ -125,4 +125,54 @@ object ScaleJoins {
         ((max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol)))) / 1000000L)
           .cast("long").as("span_sec"),
         round(sum(col(valueCol)), 2).as("total_value"))
+
+  /** Ordered-sequence FUNNEL: per user, the earliest order-respecting
+    * completion of `steps` — t₁ = min ts of step 1, tᵢ = min ts of
+    * step i STRICTLY AFTER tᵢ₋₁ (the greedy matching, which is optimal
+    * for "did the user complete the sequence": if any completion
+    * exists, the greedy one exists). Emits one row per user who
+    * reached step 1: (user, depth = furthest step reached, t_first,
+    * t_last, span_sec). Conversion per depth is a groupBy away.
+    *
+    * Scale shape: one groupBy per step over ONLY that step's events
+    * (filter pushed to the scan) joined to the ≤|users|-row frontier —
+    * S−1 keyed joins of user-level frames, never a per-user event
+    * sort; no window over raw events. Greedy tᵢ is deterministic
+    * (min of timestamps), so the whole funnel hash-gates.
+    */
+  def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 16,
+      s"steps must be 1..16 entries, got ${steps.size}")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val byStep = steps.zipWithIndex.map { case (s, i) =>
+      df.filter(col(typeCol) === s)
+        .select(col(userCol).as("u"), unix_micros(col(tsCol)).as(s"ts$i"))
+    }
+    // frontier: (u, t_first, t_i) for users alive at step i
+    var frontier = byStep.head.groupBy(col("u"))
+      .agg(min(col("ts0")).as("t0"))
+      .select(col("u"), col("t0").as("t_first"), col("t0").as("t_cur"),
+        lit(1).as("depth"))
+    var i = 1
+    while (i < steps.size) {
+      // only users who completed exactly i steps are eligible — a user
+      // stalled earlier must not advance on a later step type
+      val alive = frontier.filter(col("depth") === i)
+        .select(col("u"), col("t_cur"))
+      val nxt = byStep(i).join(alive, "u")
+        .filter(col(s"ts$i") > col("t_cur"))
+        .groupBy(col("u")).agg(min(col(s"ts$i")).as("t_nxt"))
+      frontier = frontier.join(nxt, Seq("u"), "left")
+        .select(col("u"), col("t_first"),
+          coalesce(col("t_nxt"), col("t_cur")).as("t_cur"),
+          (col("depth") + when(col("t_nxt").isNotNull, 1).otherwise(0))
+            .as("depth"))
+      i += 1
+    }
+    frontier.select(col("u").as(userCol), col("depth"),
+      timestamp_micros(col("t_first")).as("t_first"),
+      timestamp_micros(col("t_cur")).as("t_last"),
+      ((col("t_cur") - col("t_first")) / 1000000L).cast("long").as("span_sec"))
+  }
 }

@@ -352,6 +352,9 @@ package object syntax {
     def sessionStats(userCol: String, tsCol: String, gapSec: Long,
         valueCol: String): DataFrame =
       ScaleJoins.sessionStats(df, userCol, tsCol, gapSec, valueCol)
+    def funnelSteps(userCol: String, tsCol: String, typeCol: String,
+        steps: Seq[String]): DataFrame =
+      ScaleJoins.funnelSteps(df, userCol, tsCol, typeCol, steps)
     // --- round-9 additions ---------------------------------------
     def kCoreFixpoint(src: String, dst: String, k: Int): DataFrame =
       ops.Graph.kCorePeel(df, src, dst, k, rounds = -1)

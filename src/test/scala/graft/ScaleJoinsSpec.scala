@@ -149,4 +149,30 @@ class ScaleJoinsSpec extends SparkSpec {
       ("u1", 2L) -> ((1L, 0L, 4.0)),
       ("u2", 1L) -> ((1L, 0L, 9.0))))
   }
+  test("funnelSteps: greedy ordering, stalls never advance, full completion") {
+    // u1 completes A->B->C in order (greedy picks the EARLIEST valid
+    // chain); u2 has A then C but no B -- must stall at depth 1 even
+    // though a C exists (the stall regression); u3 has B,C but never A
+    // -- absent; u4 has C before A then nothing after -- depth 1
+    val rows = Seq(
+      ("u1", "A", 10L), ("u1", "B", 20L), ("u1", "C", 15L), ("u1", "C", 30L),
+      ("u2", "A", 10L), ("u2", "C", 50L),
+      ("u3", "B", 10L), ("u3", "C", 20L),
+      ("u4", "C", 5L), ("u4", "A", 10L))
+    val df = rows.toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = ScaleJoins.funnelSteps(df, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"))
+      .select($"user_id", $"depth", $"span_sec").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "u1" -> ((3, 20L)),  // 10 -> 20 -> 30 (the C at 15 is before B)
+      "u2" -> ((1, 0L)),   // stalled: no B, the C at 50 must not count
+      "u4" -> ((1, 0L))))  // the C at 5 precedes A
+    assert(!got.contains("u3"))
+    intercept[IllegalArgumentException] {
+      ScaleJoins.funnelSteps(df, "user_id", "ts", "event_type",
+        Seq("A", "A", "B"))
+    }
+  }
 }
