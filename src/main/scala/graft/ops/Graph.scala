@@ -238,11 +238,28 @@ object Graph {
     * @return (node, auth_milli, hub_milli), each in [0, 1000]
     */
   def hitsMilli(edges: DataFrame, src: String, dst: String,
-      iterations: Int = 6): DataFrame = {
+      iterations: Int = 6): DataFrame =
+    hitsMilliLoop(edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"), lit(1L).as("w")), iterations)
+
+  /** Edge-WEIGHTED [[hitsMilli]] — endorsement mass scales with the
+    * integer edge weight (auth += h(u)·w(u,v), hub += a(v)·w(u,v)),
+    * the form a real host-link graph runs (the [[pageRankWeightedPpb]]
+    * rationale). w ≡ 1 degenerates to [[hitsMilli]] EXACTLY (same
+    * loop). Overflow: post-rescale values ≤ 1000, so a half-step sum
+    * is ≤ 1000·(max weighted degree) and the rescale multiply needs
+    * max Σw per node under ~9.2e12.
+    */
+  def hitsMilliWeighted(edges: DataFrame, src: String, dst: String,
+      weight: String, iterations: Int = 6): DataFrame =
+    hitsMilliLoop(edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"),
+      col(weight).cast("long").as("w")), iterations)
+
+  private def hitsMilliLoop(edgesW: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 30,
       s"iterations must be in [1, 30], got $iterations")
-    val e = edges.select(col(src).cast("long").as("src"),
-      col(dst).cast("long").as("dst")).persist()
+    val e = edgesW.persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     def rescale(df: DataFrame, c: String): DataFrame =
@@ -256,13 +273,15 @@ object Graph {
     while (i < iterations) {
       auth = rescale(nodes.join(
           e.join(hub.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("h") * col("w")).as("a")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
         .localCheckpoint(true)
       hub = rescale(nodes.join(
           e.join(auth.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("a") * col("w")).as("h")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
         .localCheckpoint(true)

@@ -115,6 +115,22 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // edge-WEIGHTED convergence-depth HITS (NEW r11): endorsement mass
+    // scales with the lineitem count per (customer, supplier) pair —
+    // q171d's weighting on q171f's rescaled loop; w ≡ 1 degenerates to
+    // q171f exactly
+    "q171g_hits_milli_weighted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val we = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.hitsMilliWeighted(we, "src", "dst", "w", iterations = 6)
+        .orderBy(col("auth_milli").desc, col("node"))
+        .limit(100)
+    }),
+
     // degree profile of the same graph (symmetric, so out = in; the
     // gate checks both legs anyway)
     "q171b_degree_stats" -> ((s, d) => {
@@ -309,6 +325,54 @@ object GraphQueries extends QueryGroup {
       .select(col("x.sk").as("src"), col("y.sk").as("dst"))
   }
 
+  /** Full 6-round unroll of hitsMilli / hitsMilliWeighted: each
+    * half-step is a (weighted) summed join + a (v*1000) // max(v)
+    * rescale — non-negative values, so DuckDB's flooring // matches
+    * Spark's div exactly. Every frame MATERIALIZED: the f frame is
+    * referenced twice (max + rescale) and each round references the
+    * previous — inlined CTEs would re-expand the chain exponentially.
+    */
+  private def hitsMilliOracleSql(weighted: Boolean): String = {
+    val wFactor = if (weighted) " * de.w" else ""
+    def half(v: Int, out: String, in: String, eK: String,
+        nK: String): String = {
+      val inCol = if (out == "a") "h" else "a"
+      s"""${out}${v}r AS MATERIALIZED (SELECT de.$eK AS node,
+         |    CAST(SUM($in.$inCol$wFactor) AS BIGINT) AS $out
+         |  FROM de JOIN $in ON de.$nK = $in.node GROUP BY 1),
+         |${out}${v}f AS MATERIALIZED (SELECT n.node,
+         |    COALESCE(${out}${v}r.$out, 0)
+         |    AS $out FROM nodes n LEFT JOIN ${out}${v}r USING (node)),
+         |${out}${v}m AS MATERIALIZED (
+         |  SELECT MAX($out) AS m FROM ${out}${v}f),
+         |$out$v AS MATERIALIZED (SELECT node, CASE WHEN m = 0 THEN 0
+         |    ELSE ($out * 1000) // m END AS $out
+         |  FROM ${out}${v}f CROSS JOIN ${out}${v}m)""".stripMargin
+    }
+    val rounds = (1 to 6).map { r =>
+      half(r, "a", s"h${r - 1}", "dst", "src") + ",\n" +
+        half(r, "h", s"a$r", "src", "dst")
+    }.mkString(",\n")
+    val de =
+      if (weighted)
+        """de AS MATERIALIZED (SELECT o_custkey AS src,
+          |    l_suppkey + 1000000 AS dst, CAST(COUNT(*) AS BIGINT) AS w
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2)""".stripMargin
+      else
+        """de AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+          |    l_suppkey + 1000000 AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+    s"""WITH $de,
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM de UNION SELECT dst FROM de),
+       |h0 AS (SELECT node, CAST(1000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT a6.node, a6.a AS auth_milli, h6.h AS hub_milli
+       |FROM a6 JOIN h6 USING (node)
+       |ORDER BY auth_milli DESC, node LIMIT 100""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
     "q171_pagerank" -> {
       // unrolled 3-round replay: r_{i+1} = 0.15e9 + 85 * Σ floor-div
@@ -360,40 +424,9 @@ object GraphQueries extends QueryGroup {
     // full 6-round unroll of hitsMilli: each half-step is a summed
     // join + a (v*1000) // max(v) rescale — non-negative values, so
     // DuckDB's flooring // matches Spark's div exactly
-    "q171f_hits_milli" -> {
-      def half(v: Int, out: String, in: String, eK: String,
-          nK: String): String = {
-        val inCol = if (out == "a") "h" else "a"
-        // every frame MATERIALIZED: the f frame is referenced twice
-        // (max + rescale) and each round references the previous —
-        // inlined CTEs would re-expand the whole chain exponentially
-        s"""${out}${v}r AS MATERIALIZED (SELECT de.$eK AS node,
-           |    CAST(SUM($in.$inCol) AS BIGINT) AS $out
-           |  FROM de JOIN $in ON de.$nK = $in.node GROUP BY 1),
-           |${out}${v}f AS MATERIALIZED (SELECT n.node,
-           |    COALESCE(${out}${v}r.$out, 0)
-           |    AS $out FROM nodes n LEFT JOIN ${out}${v}r USING (node)),
-           |${out}${v}m AS MATERIALIZED (
-           |  SELECT MAX($out) AS m FROM ${out}${v}f),
-           |$out$v AS MATERIALIZED (SELECT node, CASE WHEN m = 0 THEN 0
-           |    ELSE ($out * 1000) // m END AS $out
-           |  FROM ${out}${v}f CROSS JOIN ${out}${v}m)""".stripMargin
-      }
-      val rounds = (1 to 6).map { r =>
-        half(r, "a", s"h${r - 1}", "dst", "src") + ",\n" +
-          half(r, "h", s"a$r", "src", "dst")
-      }.mkString(",\n")
-      s"""WITH de AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
-         |    l_suppkey + 1000000 AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |nodes AS MATERIALIZED (
-         |  SELECT src AS node FROM de UNION SELECT dst FROM de),
-         |h0 AS (SELECT node, CAST(1000 AS BIGINT) AS h FROM nodes),
-         |$rounds
-         |SELECT a6.node, a6.a AS auth_milli, h6.h AS hub_milli
-         |FROM a6 JOIN h6 USING (node)
-         |ORDER BY auth_milli DESC, node LIMIT 100""".stripMargin
-    },
+    "q171f_hits_milli" -> hitsMilliOracleSql(weighted = false),
+
+    "q171g_hits_milli_weighted" -> hitsMilliOracleSql(weighted = true),
 
     "q171c_personalized_pagerank" -> {
       def round(i: Int): String =

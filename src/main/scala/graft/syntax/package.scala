@@ -395,6 +395,9 @@ package object syntax {
       ops.Graph.hitsCounts(df, src, dst, iterations)
     def hitsMilli(src: String, dst: String, iterations: Int = 6): DataFrame =
       ops.Graph.hitsMilli(df, src, dst, iterations)
+    def hitsMilliWeighted(src: String, dst: String, weight: String,
+        iterations: Int = 6): DataFrame =
+      ops.Graph.hitsMilliWeighted(df, src, dst, weight, iterations)
     def pageRankWeightedPpb(src: String, dst: String, weight: String,
         iterations: Int = 3): DataFrame =
       ops.Graph.pageRankWeightedPpb(df, src, dst, weight, iterations)

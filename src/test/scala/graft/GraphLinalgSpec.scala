@@ -131,6 +131,22 @@ class GraphLinalgSpec extends SparkSpec {
     assert(deep.values.exists(_._2 == 1000L))
   }
 
+  test("hitsMilliWeighted: w=1 degenerates to hitsMilli; weight shifts authority") {
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val ew1 = e.withColumn("w", lit(1L))
+    val a = Graph.hitsMilli(e, "src", "dst", iterations = 3)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    val b = Graph.hitsMilliWeighted(ew1, "src", "dst", "w", iterations = 3)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // a heavy 1->11 edge flips which sink is the top authority
+    val ew = Seq((1L, 10L, 1L), (2L, 10L, 1L), (2L, 11L, 1L), (1L, 11L, 50L))
+      .toDF("src", "dst", "w")
+    val r = Graph.hitsMilliWeighted(ew, "src", "dst", "w", iterations = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(11L) == 1000L && r(10L) < 1000L)
+  }
+
   test("degreeStats: hand-checked degrees incl. pure-sink and pure-source") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val r = Graph.degreeStats(edges, "src", "dst")
