@@ -879,6 +879,31 @@ object Corpus {
       .select(col(id), col("w"), col("priority_nano"))
   }
 
+  /** Grouped [[weightedSampleDet]]: an EXACT-size weighted sample per
+    * stratum (k best-ish docs per language/source/domain) — the
+    * deterministic per-stratum draw a mixture schedule actually wants.
+    * Same hash-derived E–S priorities; selection is a grp-PARTITIONED
+    * rank (bounded per-group window, never global — the kmvSketchBy
+    * posture). Strata with fewer than k eligible rows keep them all.
+    */
+  def weightedSampleDetBy(df: DataFrame, id: String, weight: String,
+      strata: String, kPerStratum: Int): DataFrame = {
+    require(kPerStratum >= 1 && kPerStratum <= 10000000,
+      s"kPerStratum must be in [1, 1e7], got $kPerStratum")
+    val p = graft.expressions.HashSpec.P
+    val h = (poly_hash(col(id).cast("string")) * lit(Sketches.kmvMixA) +
+      lit(Sketches.kmvMixB)) % lit(p)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("priority_nano"), col(id))
+    df.select(col(strata).as("grp"), col(id),
+        col(weight).cast("long").as("w"), h.as("h"))
+      .filter(col("w") > 0 && col(id).isNotNull && col("grp").isNotNull)
+      .withColumn("priority_nano", expr(esPriorityExpr("h", "w")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kPerStratum)
+      .select(col("grp"), col(id), col("w"), col("priority_nano"), col("rk"))
+  }
+
   /** Mixture resampling WITH upsampling — rates above 1 replicate.
     * [[mixtureResample]] caps its keep-rate at 1 because a filter can
     * only discard; real mixture schedules (DoReMi-style domain weights,

@@ -325,6 +325,15 @@ object CorpusQueries extends QueryGroup {
         "n_chars", k = 100)
     }),
 
+    // per-stratum exact-k weighted sample (NEW r11): 30 best-ish docs
+    // per language by n_chars-weighted E–S priority — grp-partitioned
+    // rank, never a global window
+    "q226b_weighted_sample_by" -> ((s, d) => {
+      Corpus.weightedSampleDetBy(Tables.documents(s, d), "doc_id",
+          "n_chars", "lang", kPerStratum = 30)
+        .orderBy(col("grp"), col("rk"))
+    }),
+
     // mixture resampling WITH upsampling: rates above 1 replicate
     // (floor(r) copies + one hash-gated fractional copy, E[copies]=r).
     // At sf0.01 this profile downsamples en (0.55×) and upsamples zh
@@ -1079,6 +1088,24 @@ object CorpusQueries extends QueryGroup {
          |SELECT doc_id, w,
          |  ${graft.ops.Corpus.esPriorityExpr("h", "w")} AS priority_nano
          |FROM t ORDER BY priority_nano, doc_id LIMIT 100""".stripMargin
+    },
+
+    "q226b_weighted_sample_by" -> {
+      val h = graft.ops.Sketches.kmvScrambleSql(
+        graft.ops.Sketches.polyHashSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH t AS (SELECT lang AS grp, doc_id,
+         |    CAST(n_chars AS BIGINT) AS w, $h AS h
+         |  FROM documents
+         |  WHERE n_chars > 0 AND doc_id IS NOT NULL AND lang IS NOT NULL),
+         |pr AS (SELECT grp, doc_id, w,
+         |    ${graft.ops.Corpus.esPriorityExpr("h", "w")} AS priority_nano
+         |  FROM t),
+         |rk AS (SELECT grp, doc_id, w, priority_nano,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+         |      ORDER BY priority_nano, doc_id) AS INTEGER) AS rk
+         |  FROM pr)
+         |SELECT grp, doc_id, w, priority_nano, rk FROM rk
+         |WHERE rk <= 30 ORDER BY grp, rk""".stripMargin
     },
 
     "q156_mixture_resample" ->

@@ -188,6 +188,9 @@ package object syntax {
       Corpus.mixtureResample(df, id, strata, targets, budget, defaultTarget)
     def weightedSampleDet(id: String, weight: String, k: Int): DataFrame =
       Corpus.weightedSampleDet(df, id, weight, k)
+    def weightedSampleDetBy(id: String, weight: String, strata: String,
+        kPerStratum: Int): DataFrame =
+      Corpus.weightedSampleDetBy(df, id, weight, strata, kPerStratum)
     def mixtureResampleTokens(id: String, strata: String, nTokens: Column,
         targets: Map[String, Double], budgetTokens: Long,
         defaultTarget: Double = 0.0): DataFrame =

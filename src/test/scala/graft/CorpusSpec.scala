@@ -702,4 +702,27 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+
+  test("weightedSampleDetBy: exact k per stratum, consistent with ungrouped priorities") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, 10L + (i % 5) * 3, s"g${i % 3}"))
+      .toDF("id", "w", "grp")
+    val by = Corpus.weightedSampleDetBy(docs, "id", "w", "grp", 20)
+    val counts = by.groupBy($"grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L))
+    // per-group selection = the group's k smallest ungrouped priorities
+    val all = Corpus.weightedSampleDet(docs, "id", "w", 300)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = by.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = docs.collect()
+      .map(r => (r.getString(2), r.getLong(0)))
+      .groupBy(_._1).toSeq.flatMap { case (g, ids) =>
+        ids.map(_._2).sortBy(i => (all(i), i)).take(20).map(g -> _).toSeq
+      }.toSet
+    assert(got == expected)
+    // short strata keep everything
+    val tiny = Seq((1L, 5L, "a"), (2L, 5L, "a")).toDF("id", "w", "grp")
+    assert(Corpus.weightedSampleDetBy(tiny, "id", "w", "grp", 10).count() == 2L)
+  }
 }
