@@ -442,4 +442,73 @@ object Sketches {
       s" - CAST($lo AS DOUBLE)) / $nBuckets) * (CAST(bucket AS DOUBLE)" +
       " + (CAST(CEIL(q * n) AS DOUBLE) - (CAST(cume AS DOUBLE)" +
       " - CAST(cnt AS DOUBLE))) / CAST(cnt AS DOUBLE)), 6)"
+
+  /** EXACT heavy hitters without a full-tail shuffle: every value with
+    * frequency STRICTLY ABOVE N/k, with its exact count. Two passes:
+    *
+    *  1. per-partition Misra–Gries with k counters (`mapPartitions`,
+    *     O(k) state, no shuffle) → candidate values. MG's guarantee
+    *     lifts by pigeonhole: if freq(v) > N/k globally then
+    *     freq_p(v) > n_p/k in some partition p, so v survives p's
+    *     summary — candidates ⊇ all true heavy hitters, NO false
+    *     negatives regardless of partitioning.
+    *  2. exact recount of candidates only (broadcast semi-join of a
+    *     ≤ k·|partitions| value list into one scan) and the integer
+    *     filter cnt·k > N — false positives vanish here, so the OUTPUT
+    *     is a pure function of (multiset, k): deterministic under any
+    *     partitioning, hash-gatable against a plain GROUP BY / HAVING.
+    *
+    * The 100 TB point: a naive value_counts shuffles the full tail
+    * (distinct-values-sized); this shuffles ≤ k rows per partition for
+    * the sketch plus the candidate-filtered counts — heavy-hitter cost
+    * tracks k·partitions, not cardinality.
+    *
+    * @return (value, cnt, n_total) for every value with cnt·k > N,
+    *         one row per heavy hitter
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    // pass 1 emits candidates AND the partition row count in one scan
+    // (a null-keyed count row per partition), so the whole op is TWO
+    // scans — sketch+count, then the candidate recount — not three
+    val summary = vals.as[String].mapPartitions { it =>
+      // Misra–Gries: k counters; decrement-all on overflow admission.
+      // Each trigger removes k mass and mass added ≤ n_p, so triggers
+      // ≤ n_p/k and the O(k) sweep amortizes to O(1)/row.
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { v =>
+        n += 1L
+        if (m.contains(v)) m(v) += 1L
+        else if (m.size < k) m(v) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.keysIterator.foreach { kk =>
+            val nv = m(kk) - 1L
+            if (nv == 0L) dead += kk else m(kk) = nv
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      Iterator.single((Option.empty[String], n)) ++
+        m.keysIterator.map(v => (Option(v), 0L))
+    }.toDF("v", "n").persist()
+    val candidates = summary.filter(col("v").isNotNull)
+      .select(col("v")).distinct()
+    val total = summary.filter(col("v").isNull)
+      .agg(sum(col("n")).as("n_total"))
+    val out = vals.join(broadcast(candidates), Seq("v"), "left_semi")
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("v").as("value"), col("cnt"), col("n_total"))
+      .localCheckpoint(true)
+    summary.unpersist(blocking = false)
+    out
+  }
 }

@@ -348,6 +348,20 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT heavy-hitter tokens (NEW r11): every token above 2% corpus
+    // frequency with its exact count — per-partition Misra–Gries
+    // candidates + exact recount, so the output is partitioning-
+    // independent and hash-gates against a plain GROUP BY / HAVING
+    // while never shuffling the full token tail (stopword discovery
+    // at corpus scale)
+    "q228_heavy_hitter_tokens" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.ops.Sketches.heavyHitters(toks, "tok", 50)
+        .orderBy(col("value"))
+    }),
+
     // simhash signatures + near pairs
     "q93_simhash_sig" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1198,6 +1212,18 @@ object LlmQueries extends QueryGroup {
            |FROM memb m JOIN bst b USING (canonical_id)
            |ORDER BY m.doc_id""".stripMargin
       },
+
+      // plain GROUP BY + the same integer HAVING (cnt*k > N): the
+      // MG-candidate pass is an optimization, not a semantics change
+      "q228_heavy_hitter_tokens" ->
+        s"""WITH w AS (SELECT unnest(string_split($sqlNorm, ' ')) AS v
+           |  FROM documents),
+           |t AS (SELECT v FROM w WHERE len(v) > 0 AND v IS NOT NULL),
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+           |c AS (SELECT v AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM t GROUP BY v)
+           |SELECT value, cnt, n_total FROM c CROSS JOIN n
+           |WHERE cnt * 50 > n_total ORDER BY value""".stripMargin,
 
       "q93_simhash_sig" ->
         s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),

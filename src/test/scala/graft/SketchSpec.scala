@@ -254,4 +254,34 @@ class SketchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+  test("heavyHitters: equals brute-force GROUP BY/HAVING under any partitioning") {
+    import spark.implicits._
+    // skewed multiset: two true heavy hitters over a long distinct tail
+    val rows = Seq.fill(400)("the") ++ Seq.fill(150)("of") ++
+      (1 to 450).map(i => s"tail$i")
+    val k = 5 // threshold N/5 = 200: only "the" qualifies
+    def run(parts: Int) = graft.ops.Sketches.heavyHitters(
+        rows.toDF("v").repartition(parts), "v", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = {
+      val n = rows.size.toLong
+      rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * k > n }
+        .map { case (v, c) => (v, c, n) }.toSet
+    }
+    assert(run(1) == brute && run(7) == brute && run(32) == brute)
+    assert(brute == Set(("the", 400L, 1000L)))
+    // lower threshold admits the second hitter exactly
+    val k8 = graft.ops.Sketches.heavyHitters(
+        rows.toDF("v").repartition(13), "v", 8)
+      .collect().map(_.getString(0)).toSet
+    assert(k8 == Set("the", "of"))
+    // nulls never surface; bad k fails fast
+    val withNulls = (rows.map(Option(_)) ++ Seq.fill(300)(None)).toDF("v")
+    assert(!graft.ops.Sketches.heavyHitters(withNulls, "v", 3)
+      .collect().map(_.getString(0)).contains(null))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketches.heavyHitters(rows.toDF("v"), "v", 1)
+    }
+  }
 }
