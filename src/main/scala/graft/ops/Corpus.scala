@@ -904,6 +904,45 @@ object Corpus {
       .select(col("grp"), col(id), col("w"), col("priority_nano"), col("rk"))
   }
 
+  /** Shared Shannon-entropy term spelling — floor-nano nats per
+    * distinct value: floor(1e9 · (cnt/N) · ln(N/cnt)). Each term is an
+    * exact function of (cnt, N) alone and the per-group sum is integer
+    * addition, so the result is association-order-free and replays
+    * bit-for-bit on any engine with IEEE doubles + LN (the
+    * psiTermExprOf contract). cnt = N ⇒ ln(1) = 0 ⇒ term 0.
+    */
+  def entropyTermExpr(cnt: String, n: String): String =
+    s"CAST(FLOOR(1000000000.0 * (CAST($cnt AS DOUBLE) / CAST($n AS DOUBLE))" +
+      s" * LN(CAST($n AS DOUBLE) / CAST($cnt AS DOUBLE))) AS BIGINT)"
+
+  /** Per-group token ENTROPY in exact floor-nano nats — the corpus
+    * diversity dashboard (a deduplicated crawl's token entropy is
+    * high; boilerplate-heavy or repetitive sources sit low; the metric
+    * most curation reports chart next to dedup rates). Exactness tier:
+    * one (group, value) count shuffle with map-side combine, then a
+    * bounded per-group fold — entropy needs every count, so the tail
+    * ride is inherent; pair with [[graft.ops.Sketches.heavyHittersBy]]
+    * when only the head matters.
+    *
+    * @return (grp, n_tokens, n_distinct, entropy_nano) per group
+    */
+  def tokenEntropyBy(df: DataFrame, group: String,
+      valueCol: String): DataFrame = {
+    val counts = df.select(col(group).cast("string").as("grp"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("grp").isNotNull && col("v").isNotNull)
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+    counts.join(totals, Seq("grp"))
+      .withColumn("term", expr(entropyTermExpr("cnt", "n_tokens")))
+      .groupBy(col("grp"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("term")).as("entropy_nano"))
+  }
+
   /** Mixture resampling WITH upsampling — rates above 1 replicate.
     * [[mixtureResample]] caps its keep-rate at 1 because a filter can
     * only discard; real mixture schedules (DoReMi-style domain weights,

@@ -511,4 +511,64 @@ object Sketches {
     summary.unpersist(blocking = false)
     out
   }
+
+  /** Grouped [[heavyHitters]]: per-group exact heavy hitters (every
+    * value with within-group frequency above N_g/k) — per-source
+    * boilerplate/stopword discovery. Pass 1 runs one MG summary PER
+    * GROUP PER PARTITION (state k·|groups in partition| — fine for
+    * dashboard-grade group counts; shard first at millions of groups),
+    * carrying per-(partition, group) row counts in the same scan; the
+    * pigeonhole lift holds within each group, so per-group candidates
+    * have no false negatives. Pass 2 recounts (group, value)
+    * candidates exactly and filters cnt·k > N_g — deterministic,
+    * hash-gatable per group.
+    *
+    * @return (grp, value, cnt, n_total) per heavy hitter
+    */
+  def heavyHittersBy(df: DataFrame, group: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(group).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val summary = vals.as[(String, String)].mapPartitions { it =>
+      val ms = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
+      val ns = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { case (g, v) =>
+        ns(g) = ns.getOrElse(g, 0L) + 1L
+        val m = ms.getOrElseUpdate(g,
+          scala.collection.mutable.HashMap.empty[String, Long])
+        if (m.contains(v)) m(v) += 1L
+        else if (m.size < k) m(v) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.keysIterator.foreach { kk =>
+            val nv = m(kk) - 1L
+            if (nv == 0L) dead += kk else m(kk) = nv
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      ns.iterator.map { case (g, n) => (g, Option.empty[String], n) } ++
+        ms.iterator.flatMap { case (g, m) =>
+          m.keysIterator.map(v => (g, Option(v), 0L)) }
+    }.toDF("g", "v", "n").persist()
+    val candidates = summary.filter(col("v").isNotNull)
+      .select(col("g"), col("v")).distinct()
+    val totals = summary.filter(col("v").isNull)
+      .groupBy(col("g")).agg(sum(col("n")).as("n_total"))
+    val out = vals.join(broadcast(candidates), Seq("g", "v"), "left_semi")
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("g"))
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("g").as("grp"), col("v").as("value"), col("cnt"),
+        col("n_total"))
+      .localCheckpoint(true)
+    summary.unpersist(blocking = false)
+    out
+  }
 }

@@ -362,6 +362,31 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("value"))
     }),
 
+    // per-source heavy hitters (NEW r11): q228 grouped — per-feed
+    // boilerplate/stopword discovery at the same O(k·partitions)
+    // sketch shuffle; per-group pigeonhole keeps exactness
+    "q228b_heavy_hitters_by" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.ops.Sketches.heavyHittersBy(toks, "source", "tok", 40)
+        .orderBy(col("grp"), col("value"))
+    }),
+
+    // per-source token entropy in exact floor-nano nats (NEW r11):
+    // the corpus-diversity dashboard — each term is an exact function
+    // of (cnt, N) so the integer sum is association-order-free and
+    // the whole frame hash-gates
+    "q229_token_entropy_by" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.ops.Corpus.tokenEntropyBy(toks, "source", "tok")
+        .orderBy(col("grp"))
+    }),
+
     // simhash signatures + near pairs
     "q93_simhash_sig" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1224,6 +1249,35 @@ object LlmQueries extends QueryGroup {
            |  FROM t GROUP BY v)
            |SELECT value, cnt, n_total FROM c CROSS JOIN n
            |WHERE cnt * 50 > n_total ORDER BY value""".stripMargin,
+
+      "q228b_heavy_hitters_by" ->
+        s"""WITH w AS (SELECT source AS g,
+           |    unnest(string_split($sqlNorm, ' ')) AS v FROM documents),
+           |t AS (SELECT g, v FROM w
+           |  WHERE len(v) > 0 AND v IS NOT NULL AND g IS NOT NULL),
+           |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_total
+           |  FROM t GROUP BY g),
+           |c AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM t GROUP BY g, v)
+           |SELECT c.g AS grp, c.v AS value, c.cnt, n.n_total
+           |FROM c JOIN n USING (g)
+           |WHERE c.cnt * 40 > n.n_total ORDER BY grp, value""".stripMargin,
+
+      // the SAME entropyTermExpr spelling as the Spark op
+      "q229_token_entropy_by" ->
+        s"""WITH w AS (SELECT source AS grp,
+           |    unnest(string_split($sqlNorm, ' ')) AS v FROM documents),
+           |t AS (SELECT grp, v FROM w
+           |  WHERE len(v) > 0 AND v IS NOT NULL AND grp IS NOT NULL),
+           |c AS (SELECT grp, v, COUNT(*) AS cnt FROM t GROUP BY grp, v),
+           |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           |    CAST(COUNT(*) AS BIGINT) AS n_distinct FROM c GROUP BY grp)
+           |SELECT c.grp, tot.n_tokens, tot.n_distinct,
+           |  CAST(SUM(${graft.ops.Corpus.entropyTermExpr("c.cnt",
+                "tot.n_tokens")}) AS BIGINT) AS entropy_nano
+           |FROM c JOIN tot USING (grp)
+           |GROUP BY c.grp, tot.n_tokens, tot.n_distinct
+           |ORDER BY grp""".stripMargin,
 
       "q93_simhash_sig" ->
         s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),

@@ -191,6 +191,12 @@ package object syntax {
     def weightedSampleDetBy(id: String, weight: String, strata: String,
         kPerStratum: Int): DataFrame =
       Corpus.weightedSampleDetBy(df, id, weight, strata, kPerStratum)
+    def tokenEntropyBy(group: String, valueCol: String): DataFrame =
+      Corpus.tokenEntropyBy(df, group, valueCol)
+    def heavyHitters(valueCol: String, k: Int): DataFrame =
+      Sketches.heavyHitters(df, valueCol, k)
+    def heavyHittersBy(group: String, valueCol: String, k: Int): DataFrame =
+      Sketches.heavyHittersBy(df, group, valueCol, k)
     def mixtureResampleTokens(id: String, strata: String, nTokens: Column,
         targets: Map[String, Double], budgetTokens: Long,
         defaultTarget: Double = 0.0): DataFrame =

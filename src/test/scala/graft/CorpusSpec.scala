@@ -725,4 +725,25 @@ class CorpusSpec extends SparkSpec {
     val tiny = Seq((1L, 5L, "a"), (2L, 5L, "a")).toDF("id", "w", "grp")
     assert(Corpus.weightedSampleDetBy(tiny, "id", "w", "grp", 10).count() == 2L)
   }
+
+  test("tokenEntropyBy: uniform = ln(D) nano, constant = 0, hand-checked mix") {
+    import spark.implicits._
+    // g1: 4 distinct values, once each -> H = ln(4); g2: one value -> 0;
+    // g3: {a:3, b:1} -> 0.75*ln(4/3) + 0.25*ln(4)
+    val rows = Seq(("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "d"),
+      ("g2", "x"), ("g2", "x"), ("g2", "x"),
+      ("g3", "a"), ("g3", "a"), ("g3", "a"), ("g3", "b"))
+    val got = Corpus.tokenEntropyBy(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def t(c: Long, n: Long) =
+      math.floor(1e9 * (c.toDouble / n) * math.log(n.toDouble / c)).toLong
+    assert(got("g1") == ((4L, 4L, 4 * t(1, 4))))
+    assert(got("g2") == ((3L, 1L, 0L)))
+    assert(got("g3") == ((4L, 2L, t(3, 4) + t(1, 4))))
+    // partitioning-invariant (integer sum of exact terms)
+    val a = Corpus.tokenEntropyBy(rows.toDF("g", "v").repartition(7), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a == got.view.mapValues(_._3).toMap)
+  }
 }

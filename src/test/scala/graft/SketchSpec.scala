@@ -284,4 +284,24 @@ class SketchSpec extends SparkSpec {
       graft.ops.Sketches.heavyHitters(rows.toDF("v"), "v", 1)
     }
   }
+  test("heavyHittersBy: per-group brute-force equality under any partitioning") {
+    import spark.implicits._
+    val rows = Seq.fill(60)(("s1", "the")) ++ Seq.fill(10)(("s1", "of")) ++
+      (1 to 30).map(i => ("s1", s"t$i")) ++
+      Seq.fill(5)(("s2", "le")) ++ (1 to 5).map(i => ("s2", s"u$i"))
+    val k = 4
+    def run(parts: Int) = graft.ops.Sketches.heavyHittersBy(
+        rows.toDF("g", "v").repartition(parts), "g", "v", k)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val brute = rows.groupBy(_._1).toSeq.flatMap { case (g, gs) =>
+      val n = gs.size.toLong
+      gs.map(_._2).groupBy(identity).toSeq
+        .map { case (v, o) => (g, v, o.size.toLong, n) }
+        .filter { case (_, _, c, nn) => c * k > nn }
+    }.toSet
+    assert(run(1) == brute && run(9) == brute)
+    // s1: n=100, threshold 25 -> only "the"(60); s2: n=10, threshold 2.5 -> "le"(5)
+    assert(brute == Set(("s1", "the", 60L, 100L), ("s2", "le", 5L, 10L)))
+  }
 }
