@@ -444,7 +444,12 @@ object Sketches {
       " - CAST(cnt AS DOUBLE))) / CAST(cnt AS DOUBLE)), 6)"
 
   /** EXACT heavy hitters without a full-tail shuffle: every value with
-    * frequency STRICTLY ABOVE N/k, with its exact count. Two passes:
+    * frequency STRICTLY ABOVE N/k, with its exact count. The
+    * THRESHOLD-contract sibling of [[graft.ops.Corpus.heavyHitters]]
+    * (top-k ranked, whose per-row `ok` displacement proof can fail on
+    * adversarial distributions): here the threshold IS the MG bound,
+    * so completeness is unconditional — no distribution can hide a
+    * qualifying value. Two passes:
     *
     *  1. per-partition Misra–Gries with k counters (`mapPartitions`,
     *     O(k) state, no shuffle) → candidate values. MG's guarantee
