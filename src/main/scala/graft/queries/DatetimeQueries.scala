@@ -510,31 +510,36 @@ object DatetimeQueries extends QueryGroup {
     })
   )
 
+  /** The greedy view→click→purchase chain as three CTE hops: t0 = min
+    * view, t1 = min click AFTER t0, t2 = min purchase AFTER t1 — users
+    * stalled at a step never advance (each hop joins the previous
+    * hop's survivors). Shared verbatim by batch q227 and streaming
+    * q230 (the stream's drained state equals the batch op).
+    */
+  private[queries] val funnelOracleSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |s0 AS (SELECT user_id, MIN(ts) AS t0 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (SELECT s0.user_id, MIN(e.ts) AS t1 FROM s0 JOIN e
+      |  ON e.user_id = s0.user_id AND e.event_type = 'click'
+      |    AND e.ts > s0.t0 GROUP BY s0.user_id),
+      |s2 AS (SELECT s1.user_id, MIN(e.ts) AS t2 FROM s1 JOIN e
+      |  ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+      |    AND e.ts > s1.t1 GROUP BY s1.user_id),
+      |f AS (SELECT s0.user_id,
+      |    1 + CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END AS depth,
+      |    s0.t0 AS t_first, COALESCE(s2.t2, s1.t1, s0.t0) AS t_last
+      |  FROM s0 LEFT JOIN s1 USING (user_id)
+      |  LEFT JOIN s2 USING (user_id))
+      |SELECT user_id, CAST(depth AS INTEGER) AS depth, t_first, t_last,
+      |  CAST((EPOCH_US(t_last) - EPOCH_US(t_first)) // 1000000 AS BIGINT)
+      |    AS span_sec
+      |FROM f ORDER BY user_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
-    // the greedy chain as three CTE hops: t0 = min view, t1 = min
-    // click AFTER t0, t2 = min purchase AFTER t1 — users stalled at a
-    // step never advance (each hop joins the previous hop's survivors)
-    "q227_funnel_steps" ->
-      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events),
-        |s0 AS (SELECT user_id, MIN(ts) AS t0 FROM e
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s1 AS (SELECT s0.user_id, MIN(e.ts) AS t1 FROM s0 JOIN e
-        |  ON e.user_id = s0.user_id AND e.event_type = 'click'
-        |    AND e.ts > s0.t0 GROUP BY s0.user_id),
-        |s2 AS (SELECT s1.user_id, MIN(e.ts) AS t2 FROM s1 JOIN e
-        |  ON e.user_id = s1.user_id AND e.event_type = 'purchase'
-        |    AND e.ts > s1.t1 GROUP BY s1.user_id),
-        |f AS (SELECT s0.user_id,
-        |    1 + CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END
-        |      + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END AS depth,
-        |    s0.t0 AS t_first, COALESCE(s2.t2, s1.t1, s0.t0) AS t_last
-        |  FROM s0 LEFT JOIN s1 USING (user_id)
-        |  LEFT JOIN s2 USING (user_id))
-        |SELECT user_id, CAST(depth AS INTEGER) AS depth, t_first, t_last,
-        |  CAST((EPOCH_US(t_last) - EPOCH_US(t_first)) // 1000000 AS BIGINT)
-        |    AS span_sec
-        |FROM f ORDER BY user_id""".stripMargin,
+    "q227_funnel_steps" -> funnelOracleSql,
 
     "q59_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -130,6 +130,24 @@ object StreamingQueries extends QueryGroup {
       res.orderBy(col("w_start"), col("doc_id"))
     }),
 
+    // streaming funnel (NEW r11): live per-user conversion depth for
+    // view→click→purchase — the stateful twin of batch q227, gated
+    // against the SAME greedy SQL (drained state == batch op). Update
+    // emissions folded by max depth (monotone), the q114 pattern
+    "q230_stream_funnel" -> ((s, d) => {
+      val res = Streams.runToBatch(s,
+        Streams.funnelStream(Streams.eventsStream(s, d),
+          Seq("view", "click", "purchase")),
+        "q230_funnel", outputMode = "update")
+      res.groupBy(col("user_id"))
+        .agg(max(struct(col("depth"), col("t_first"), col("t_last"),
+          col("span_sec"))).as("f"))
+        .select(col("user_id"), col("f.depth").as("depth"),
+          col("f.t_first").as("t_first"), col("f.t_last").as("t_last"),
+          col("f.span_sec").as("span_sec"))
+        .orderBy(col("user_id"))
+    }),
+
     // sliding 10-min/5-min window per event_type
     "q111_stream_sliding" -> ((s, d) => {
       Streams.runToBatch(s, Streams.slidingAgg(Streams.eventsStream(s, d)),
@@ -447,6 +465,10 @@ object StreamingQueries extends QueryGroup {
          |FROM fin WHERE n_dup_bands > 0 OR n_ref_bands > 0
          |ORDER BY w_start, doc_id""".stripMargin
     },
+
+    // identical to q227's oracle: a full drain of the stateful funnel
+    // must equal the batch greedy chain row-for-row
+    "q230_stream_funnel" -> DatetimeQueries.funnelOracleSql,
 
     "q214_stream_psi_drift" -> {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)

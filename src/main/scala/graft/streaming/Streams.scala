@@ -643,6 +643,70 @@ object Streams {
       .toDF("w_start", "doc_id", "n_dup_bands", "peer", "n_ref_bands")
   }
 
+  /** Streaming ordered-sequence FUNNEL — the live twin of
+    * [[graft.ops.ScaleJoins.funnelSteps]]: per-user conversion depth
+    * maintained in mapGroupsWithState (state = 3 longs per user who
+    * started the funnel), greedy semantics identical to batch: advance
+    * from depth i exactly when an event of type steps(i) arrives with
+    * ts STRICTLY AFTER the current chain time. Each micro-batch's rows
+    * fold in (ts, type) order, and the greedy chain's next hop is the
+    * first qualifying event in time order, so the drained final state
+    * equals the batch op row-for-row — the q191/q114 replay contract —
+    * and the result gates against the SAME SQL as q227.
+    *
+    * State is per-user lifetime (a funnel has no window to expire) —
+    * unbounded in users BY DESIGN, like q114's per-user machine; a
+    * production deployment bounds it with an idle-user timeout chosen
+    * by retention policy, orthogonal to the funnel math.
+    *
+    * Emits (user_id, depth, t_first, t_last, span_sec) per touched
+    * user per micro-batch in update mode; consumers keep the max-depth
+    * row per user (depth is monotone).
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      delay: String = "10 minutes"): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 16,
+      s"steps must be 1..16 entries, got ${steps.size}")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .withWatermark("ts", delay)
+      .filter(col(typeCol).isin(steps: _*) && col(userCol).isNotNull)
+      .select(col(userCol).cast("long").as("u"), col(typeCol).as("et"),
+        unix_micros(col("ts")).as("tus"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (u: Long, rows: Iterator[(Long, String, Long)],
+         st: GroupState[(Int, Long, Long)]) =>
+          var (depth, tFirst, tCur) =
+            st.getOption.getOrElse((0, 0L, 0L))
+          // ts order makes the sequential greedy scan equal the batch
+          // min-per-hop chain (ties: strict > blocks same-ts advances
+          // in either processing order)
+          rows.toSeq.sortBy(r => (r._3, stepIdx(r._2))).foreach {
+            case (_, et, tus) =>
+              if (depth == 0) {
+                if (et == steps.head) { depth = 1; tFirst = tus; tCur = tus }
+              } else if (depth < steps.size && et == steps(depth) &&
+                  tus > tCur) {
+                depth += 1; tCur = tus
+              }
+          }
+          st.update((depth, tFirst, tCur))
+          (u, depth, tFirst, tCur)
+      }
+      .filter(col("_2") > 0)
+      .select(col("_1").as("user_id"), col("_2").as("depth"),
+        timestamp_micros(col("_3")).as("t_first"),
+        timestamp_micros(col("_4")).as("t_last"),
+        ((col("_4") - col("_3")) / 1000000L).cast("long").as("span_sec"))
+  }
+
   def psiDriftStream(events: DataFrame, refCounts: Seq[Long],
       boundaries: Seq[Double], valueCol: String = "value",
       size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {

@@ -244,6 +244,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel's drained state equals the batch funnelSteps row-for-row") {
+    val streamed = Streams.runToBatch(spark,
+        Streams.funnelStream(Streams.eventsStream(spark, sfTiny),
+          Seq("view", "click", "purchase")),
+        "spec_funnel", outputMode = "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("depth"), col("t_first"), col("t_last"),
+        col("span_sec"))).as("f"))
+      .select(col("user_id"), col("f.depth"), col("f.t_first"),
+        col("f.t_last"), col("f.span_sec"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.ScaleJoins.funnelSteps(
+        Tables.events(spark, sfTiny), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so
