@@ -388,6 +388,76 @@ object Graph {
     * @return (node, label, seeded) for every node reachable within
     *         `iterations` hops of a seed (unreached nodes are absent)
     */
+  /** Shared Newman-modularity term spelling, floor-micro: per
+    * community, floor(1e6 · (e_c/m − (d_c/2m)²)). Inputs are exact
+    * integers (within-community edge count, degree sum, edge total),
+    * the doubles ride one spelled-once IEEE expression, and the
+    * community sum is integer addition — the psiTermExprOf contract,
+    * so Q_micro replays bit-for-bit cross-engine.
+    */
+  def modularityTermExpr(e: String, d: String, m: String): String =
+    s"CAST(FLOOR(1000000.0 * (CAST($e AS DOUBLE) / CAST($m AS DOUBLE)" +
+      s" - (CAST($d AS DOUBLE) / (2.0 * CAST($m AS DOUBLE)))" +
+      s" * (CAST($d AS DOUBLE) / (2.0 * CAST($m AS DOUBLE))))) AS BIGINT)"
+
+  /** Newman MODULARITY of a community assignment over an UNDIRECTED
+    * graph, per community in exact floor-micro units — the standard
+    * "are these communities real" score (Q = Σ_c e_c/m − (d_c/2m)²;
+    * ≈0 random, >0.3 strong structure, negative = anti-community).
+    * Pairs with [[labelPropagate]]/connected components as the quality
+    * gate on whatever partition they produced.
+    *
+    * Edges are canonicalized to distinct unordered pairs (self-loops
+    * dropped); nodes missing from `labels` score as singleton
+    * communities labeled by their own id. Plan shape: one distinct
+    * over edges, two broadcast-or-hash label joins, bounded per-label
+    * aggs, the |E| total as a 1-row broadcast — nothing collected,
+    * nothing global.
+    *
+    * @param labels (node, label) assignment
+    * @return (label, n_nodes, e_within, d_sum, term_micro) per
+    *         community; Q_micro = SUM(term_micro)
+    */
+  def modularityMicro(edges: DataFrame, src: String, dst: String,
+      labels: DataFrame, node: String, label: String): DataFrame = {
+    val e0 = edges.select(
+        least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct().persist()
+    val lab = labels.select(col(node).cast("long").as("n"),
+      col(label).cast("string").as("lbl"))
+    val nodes = e0.select(col("a").as("n"))
+      .union(e0.select(col("b").as("n"))).distinct()
+    val labeled = nodes.join(lab, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("lbl"), col("n").cast("string")).as("lbl"))
+      .persist()
+    val m = e0.agg(count(lit(1)).as("m"))
+    val deg = e0.select(col("a").as("n"))
+      .union(e0.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val dSum = deg.join(labeled, Seq("n"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("deg")).as("d_sum"), count(lit(1)).as("n_nodes"))
+    val eWithin = e0
+      .join(labeled.select(col("n").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(labeled.select(col("n").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_within"))
+    val out = dSum.join(eWithin, Seq("lbl"), "left")
+      .select(col("lbl").as("label"), col("n_nodes"),
+        coalesce(col("e_within"), lit(0L)).as("e_within"), col("d_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("term_micro",
+        expr(modularityTermExpr("e_within", "d_sum", "m")))
+      .drop("m")
+      .localCheckpoint(true)
+    e0.unpersist(blocking = false)
+    labeled.unpersist(blocking = false)
+    out
+  }
+
   def labelPropagate(edges: DataFrame, src: String, dst: String,
       seeds: DataFrame, node: String, label: String,
       iterations: Int = 2): DataFrame = {

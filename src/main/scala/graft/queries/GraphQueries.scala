@@ -143,6 +143,26 @@ object GraphQueries extends QueryGroup {
     // (even keys) spread to suppliers in round 1 and back to the
     // unseeded customers in round 2 — true two-hop spreading with
     // clamped seeds, integer votes, lexicographic tie-break
+    // modularity of the nation partition over the trade graph (NEW
+    // r11): score how nationally assortative customer↔supplier trade
+    // is — per-nation (n_nodes, e_within, d_sum, term_micro); the
+    // community-quality gate for whatever labelPropagate/CC produced,
+    // here against ground-truth labels so the oracle is closed-form
+    "q231_modularity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val de = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val labels = Tables.customer(s, d)
+        .select(col("c_custkey").as("node"), col("c_nationkey").as("lbl"))
+        .union(Tables.supplier(s, d)
+          .select((col("s_suppkey") + 1000000L).as("node"),
+            col("s_nationkey").as("lbl")))
+      Graph.modularityMicro(de, "src", "dst", labels, "node", "lbl")
+        .orderBy(col("label").cast("long"))
+    }),
+
     "q175_label_prop" -> ((s, d) => {
       val seeds = Tables.customer(s, d)
         .filter(col("c_custkey") % 2 === 0)
@@ -496,6 +516,42 @@ object GraphQueries extends QueryGroup {
          |  FROM o FULL JOIN i ON o.node = i.node)
          |SELECT node, out_deg, in_deg, out_deg + in_deg AS total_deg
          |FROM d ORDER BY total_deg DESC, node LIMIT 100""".stripMargin,
+
+    // the same canonical undirected dedup, label joins, and the SAME
+    // modularityTermExpr spelling
+    "q231_modularity" -> {
+      val term = graft.ops.Graph.modularityTermExpr(
+        "e_within", "d_sum", "m")
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+         |    LEAST(o_custkey, l_suppkey + 1000000) AS a,
+         |    GREATEST(o_custkey, l_suppkey + 1000000) AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_custkey != l_suppkey + 1000000),
+         |lab AS (SELECT c_custkey AS n, CAST(c_nationkey AS VARCHAR)
+         |    AS lbl FROM customer
+         |  UNION ALL SELECT s_suppkey + 1000000,
+         |    CAST(s_nationkey AS VARCHAR) FROM supplier),
+         |nodes AS (SELECT a AS n FROM e0 UNION SELECT b FROM e0),
+         |labeled AS MATERIALIZED (SELECT nodes.n,
+         |    COALESCE(lab.lbl, CAST(nodes.n AS VARCHAR)) AS lbl
+         |  FROM nodes LEFT JOIN lab USING (n)),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |  (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+         |ds AS (SELECT l.lbl, CAST(SUM(deg) AS BIGINT) AS d_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM deg d JOIN labeled l USING (n) GROUP BY l.lbl),
+         |ew AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_within
+         |  FROM e0 JOIN labeled la ON e0.a = la.n
+         |  JOIN labeled lb ON e0.b = lb.n
+         |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |f AS (SELECT ds.lbl AS label, ds.n_nodes,
+         |    COALESCE(ew.e_within, 0) AS e_within, ds.d_sum
+         |  FROM ds LEFT JOIN ew ON ds.lbl = ew.lbl)
+         |SELECT label, n_nodes, e_within, d_sum, $term AS term_micro
+         |FROM f CROSS JOIN mm
+         |ORDER BY CAST(label AS BIGINT)""".stripMargin
+    },
 
     "q175_label_prop" -> {
       // two unrolled LPA rounds: votes from the current assignment,

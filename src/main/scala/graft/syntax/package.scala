@@ -407,6 +407,9 @@ package object syntax {
     def hitsMilliWeighted(src: String, dst: String, weight: String,
         iterations: Int = 6): DataFrame =
       ops.Graph.hitsMilliWeighted(df, src, dst, weight, iterations)
+    def modularityMicro(src: String, dst: String, labels: DataFrame,
+        node: String, label: String): DataFrame =
+      ops.Graph.modularityMicro(df, src, dst, labels, node, label)
     def pageRankWeightedPpb(src: String, dst: String, weight: String,
         iterations: Int = 3): DataFrame =
       ops.Graph.pageRankWeightedPpb(df, src, dst, weight, iterations)

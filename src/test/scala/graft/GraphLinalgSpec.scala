@@ -147,6 +147,32 @@ class GraphLinalgSpec extends SparkSpec {
     assert(r(11L) == 1000L && r(10L) < 1000L)
   }
 
+  test("modularityMicro: two bridged triangles, singleton defaults, invariance") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; labels = triangle.
+    // m=7; each community: e_c=3, d_c=7 (2+2+3) ->
+    // term = 3/7 - (7/14)^2 = 0.178571... -> floor-micro 178571
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lab = Seq((1L, "t1"), (2L, "t1"), (3L, "t1"),
+      (4L, "t2"), (5L, "t2"), (6L, "t2")).toDF("n", "l")
+    val r = Graph.modularityMicro(e, "src", "dst", lab, "n", "l")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map("t1" -> ((3L, 3L, 7L, 178571L)),
+      "t2" -> ((3L, 3L, 7L, 178571L))))
+    // duplicate/reversed/self edges canonicalize away
+    val messy = e.union(Seq((2L, 1L), (3L, 3L)).toDF("src", "dst"))
+    val r2 = Graph.modularityMicro(messy.repartition(5), "src", "dst",
+      lab, "n", "l").collect()
+      .map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r2 == Map("t1" -> 178571L, "t2" -> 178571L))
+    // unlabeled nodes become singletons labeled by their id
+    val partial = Seq((1L, "t1"), (2L, "t1"), (3L, "t1")).toDF("n", "l")
+    val r3 = Graph.modularityMicro(e, "src", "dst", partial, "n", "l")
+      .collect().map(_.getString(0)).toSet
+    assert(r3 == Set("t1", "4", "5", "6"))
+  }
+
   test("degreeStats: hand-checked degrees incl. pure-sink and pure-source") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val r = Graph.degreeStats(edges, "src", "dst")
