@@ -419,12 +419,35 @@ object Graph {
     *         community; Q_micro = SUM(term_micro)
     */
   def modularityMicro(edges: DataFrame, src: String, dst: String,
-      labels: DataFrame, node: String, label: String): DataFrame = {
-    val e0 = edges.select(
+      labels: DataFrame, node: String, label: String): DataFrame =
+    modularityLoop(edges.select(
         least(col(src).cast("long"), col(dst).cast("long")).as("a"),
         greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().persist()
+      .distinct().withColumn("w", lit(1L)),
+      labels, node, label)
+
+  /** Edge-WEIGHTED [[modularityMicro]] — e_c, d_c, m become integer
+    * weight sums (the generalized Newman Q over weighted graphs; the
+    * form a trade/link graph with per-pair interaction counts runs).
+    * Duplicate (a, b) rows' weights ADD; w ≡ 1 on a deduped edge list
+    * degenerates to the unweighted op exactly.
+    */
+  def modularityWeightedMicro(edges: DataFrame, src: String, dst: String,
+      weight: String, labels: DataFrame, node: String,
+      label: String): DataFrame =
+    modularityLoop(edges.select(
+        least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"),
+        col(weight).cast("long").as("w"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("w") > 0)
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")),
+      labels, node, label)
+
+  private def modularityLoop(edgesW: DataFrame, labels: DataFrame,
+      node: String, label: String): DataFrame = {
+    val e0 = edgesW.persist()
     val lab = labels.select(col(node).cast("long").as("n"),
       col(label).cast("string").as("lbl"))
     val nodes = e0.select(col("a").as("n"))
@@ -433,10 +456,10 @@ object Graph {
       .select(col("n"),
         coalesce(col("lbl"), col("n").cast("string")).as("lbl"))
       .persist()
-    val m = e0.agg(count(lit(1)).as("m"))
-    val deg = e0.select(col("a").as("n"))
-      .union(e0.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val m = e0.agg(sum(col("w")).as("m"))
+    val deg = e0.select(col("a").as("n"), col("w"))
+      .union(e0.select(col("b").as("n"), col("w")))
+      .groupBy(col("n")).agg(sum(col("w")).as("deg"))
     val dSum = deg.join(labeled, Seq("n"))
       .groupBy(col("lbl"))
       .agg(sum(col("deg")).as("d_sum"), count(lit(1)).as("n_nodes"))
@@ -444,7 +467,7 @@ object Graph {
       .join(labeled.select(col("n").as("a"), col("lbl").as("la")), Seq("a"))
       .join(labeled.select(col("n").as("b"), col("lbl").as("lb")), Seq("b"))
       .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_within"))
+      .groupBy(col("la").as("lbl")).agg(sum(col("w")).as("e_within"))
     val out = dSum.join(eWithin, Seq("lbl"), "left")
       .select(col("lbl").as("label"), col("n_nodes"),
         coalesce(col("e_within"), lit(0L)).as("e_within"), col("d_sum"))

@@ -163,6 +163,25 @@ object GraphQueries extends QueryGroup {
         .orderBy(col("label").cast("long"))
     }),
 
+    // weighted modularity (NEW r11): the same nation partition scored
+    // over interaction COUNTS per pair — e_c/d_c/m become weight sums
+    "q231b_modularity_weighted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val de = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val labels = Tables.customer(s, d)
+        .select(col("c_custkey").as("node"), col("c_nationkey").as("lbl"))
+        .union(Tables.supplier(s, d)
+          .select((col("s_suppkey") + 1000000L).as("node"),
+            col("s_nationkey").as("lbl")))
+      Graph.modularityWeightedMicro(de, "src", "dst", "w", labels,
+          "node", "lbl")
+        .orderBy(col("label").cast("long"))
+    }),
+
     "q175_label_prop" -> ((s, d) => {
       val seeds = Tables.customer(s, d)
         .filter(col("c_custkey") % 2 === 0)
@@ -345,6 +364,56 @@ object GraphQueries extends QueryGroup {
       .select(col("x.sk").as("src"), col("y.sk").as("dst"))
   }
 
+  /** Modularity replay over the nation-labeled trade graph — the
+    * unweighted tier dedups pairs (w ≡ 1), the weighted tier carries
+    * the per-pair lineitem count; everything else (canonical
+    * undirected form, label joins, the term spelling) is shared.
+    */
+  private def modularityOracleSql(weighted: Boolean): String = {
+    val term = graft.ops.Graph.modularityTermExpr("e_within", "d_sum", "m")
+    val e0 =
+      if (weighted)
+        """e0 AS MATERIALIZED (SELECT
+          |    LEAST(o_custkey, l_suppkey + 1000000) AS a,
+          |    GREATEST(o_custkey, l_suppkey + 1000000) AS b,
+          |    CAST(COUNT(*) AS BIGINT) AS w
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE o_custkey != l_suppkey + 1000000 GROUP BY 1, 2)""".stripMargin
+      else
+        """e0 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM
+          |  (SELECT DISTINCT
+          |    LEAST(o_custkey, l_suppkey + 1000000) AS a,
+          |    GREATEST(o_custkey, l_suppkey + 1000000) AS b
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE o_custkey != l_suppkey + 1000000))""".stripMargin
+    s"""WITH $e0,
+       |lab AS (SELECT c_custkey AS n, CAST(c_nationkey AS VARCHAR)
+       |    AS lbl FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000,
+       |    CAST(s_nationkey AS VARCHAR) FROM supplier),
+       |nodes AS (SELECT a AS n FROM e0 UNION SELECT b FROM e0),
+       |labeled AS MATERIALIZED (SELECT nodes.n,
+       |    COALESCE(lab.lbl, CAST(nodes.n AS VARCHAR)) AS lbl
+       |  FROM nodes LEFT JOIN lab USING (n)),
+       |mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e0),
+       |deg AS (SELECT n, CAST(SUM(w) AS BIGINT) AS deg FROM
+       |  (SELECT a AS n, w FROM e0 UNION ALL SELECT b, w FROM e0)
+       |  GROUP BY n),
+       |ds AS (SELECT l.lbl, CAST(SUM(deg) AS BIGINT) AS d_sum,
+       |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM deg d JOIN labeled l USING (n) GROUP BY l.lbl),
+       |ew AS (SELECT la.lbl, CAST(SUM(e0.w) AS BIGINT) AS e_within
+       |  FROM e0 JOIN labeled la ON e0.a = la.n
+       |  JOIN labeled lb ON e0.b = lb.n
+       |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+       |f AS (SELECT ds.lbl AS label, ds.n_nodes,
+       |    COALESCE(ew.e_within, 0) AS e_within, ds.d_sum
+       |  FROM ds LEFT JOIN ew ON ds.lbl = ew.lbl)
+       |SELECT label, n_nodes, e_within, d_sum, $term AS term_micro
+       |FROM f CROSS JOIN mm
+       |ORDER BY CAST(label AS BIGINT)""".stripMargin
+  }
+
   /** Full 6-round unroll of hitsMilli / hitsMilliWeighted: each
     * half-step is a (weighted) summed join + a (v*1000) // max(v)
     * rescale — non-negative values, so DuckDB's flooring // matches
@@ -518,40 +587,10 @@ object GraphQueries extends QueryGroup {
          |FROM d ORDER BY total_deg DESC, node LIMIT 100""".stripMargin,
 
     // the same canonical undirected dedup, label joins, and the SAME
-    // modularityTermExpr spelling
-    "q231_modularity" -> {
-      val term = graft.ops.Graph.modularityTermExpr(
-        "e_within", "d_sum", "m")
-      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
-         |    LEAST(o_custkey, l_suppkey + 1000000) AS a,
-         |    GREATEST(o_custkey, l_suppkey + 1000000) AS b
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |  WHERE o_custkey != l_suppkey + 1000000),
-         |lab AS (SELECT c_custkey AS n, CAST(c_nationkey AS VARCHAR)
-         |    AS lbl FROM customer
-         |  UNION ALL SELECT s_suppkey + 1000000,
-         |    CAST(s_nationkey AS VARCHAR) FROM supplier),
-         |nodes AS (SELECT a AS n FROM e0 UNION SELECT b FROM e0),
-         |labeled AS MATERIALIZED (SELECT nodes.n,
-         |    COALESCE(lab.lbl, CAST(nodes.n AS VARCHAR)) AS lbl
-         |  FROM nodes LEFT JOIN lab USING (n)),
-         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
-         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
-         |  (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
-         |ds AS (SELECT l.lbl, CAST(SUM(deg) AS BIGINT) AS d_sum,
-         |    CAST(COUNT(*) AS BIGINT) AS n_nodes
-         |  FROM deg d JOIN labeled l USING (n) GROUP BY l.lbl),
-         |ew AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_within
-         |  FROM e0 JOIN labeled la ON e0.a = la.n
-         |  JOIN labeled lb ON e0.b = lb.n
-         |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
-         |f AS (SELECT ds.lbl AS label, ds.n_nodes,
-         |    COALESCE(ew.e_within, 0) AS e_within, ds.d_sum
-         |  FROM ds LEFT JOIN ew ON ds.lbl = ew.lbl)
-         |SELECT label, n_nodes, e_within, d_sum, $term AS term_micro
-         |FROM f CROSS JOIN mm
-         |ORDER BY CAST(label AS BIGINT)""".stripMargin
-    },
+    // modularityTermExpr spelling (one generator, both tiers)
+    "q231_modularity" -> modularityOracleSql(weighted = false),
+
+    "q231b_modularity_weighted" -> modularityOracleSql(weighted = true),
 
     "q175_label_prop" -> {
       // two unrolled LPA rounds: votes from the current assignment,

@@ -410,6 +410,10 @@ package object syntax {
     def modularityMicro(src: String, dst: String, labels: DataFrame,
         node: String, label: String): DataFrame =
       ops.Graph.modularityMicro(df, src, dst, labels, node, label)
+    def modularityWeightedMicro(src: String, dst: String, weight: String,
+        labels: DataFrame, node: String, label: String): DataFrame =
+      ops.Graph.modularityWeightedMicro(df, src, dst, weight, labels,
+        node, label)
     def pageRankWeightedPpb(src: String, dst: String, weight: String,
         iterations: Int = 3): DataFrame =
       ops.Graph.pageRankWeightedPpb(df, src, dst, weight, iterations)

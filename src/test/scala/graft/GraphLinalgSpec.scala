@@ -173,6 +173,30 @@ class GraphLinalgSpec extends SparkSpec {
     assert(r3 == Set("t1", "4", "5", "6"))
   }
 
+  test("modularityWeightedMicro: w=1 degenerates; weighting shifts Q") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lab = Seq((1L, "t1"), (2L, "t1"), (3L, "t1"),
+      (4L, "t2"), (5L, "t2"), (6L, "t2")).toDF("n", "l")
+    val a = Graph.modularityMicro(e, "src", "dst", lab, "n", "l")
+      .orderBy("label").collect().map(_.toSeq).toSeq
+    val b = Graph.modularityWeightedMicro(e.withColumn("w", lit(1L)),
+        "src", "dst", "w", lab, "n", "l")
+      .orderBy("label").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // heavy bridge (3-4, w=100) dominates the mass -> per-community
+    // modularity terms collapse toward negative (cross-community edge
+    // carries nearly all weight)
+    val ew = e.withColumn("w",
+      when(col("src") === 3L && col("dst") === 4L, 100L).otherwise(1L))
+    val q = Graph.modularityWeightedMicro(ew, "src", "dst", "w",
+        lab, "n", "l")
+      .agg(sum(col("term_micro"))).head.getLong(0)
+    val q1 = Graph.modularityMicro(e, "src", "dst", lab, "n", "l")
+      .agg(sum(col("term_micro"))).head.getLong(0)
+    assert(q < q1 && q < 0L)
+  }
+
   test("degreeStats: hand-checked degrees incl. pure-sink and pure-source") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val r = Graph.degreeStats(edges, "src", "dst")
