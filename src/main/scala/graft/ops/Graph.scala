@@ -395,6 +395,19 @@ object Graph {
     * community sum is integer addition — the psiTermExprOf contract,
     * so Q_micro replays bit-for-bit cross-engine.
     */
+  /** Shared CONDUCTANCE spelling, floor-micro: φ(c) = cut(c) /
+    * min(vol(c), 2m − vol(c)) with cut = d_c − 2·e_c and vol = d_c —
+    * all exact integers into one IEEE division. A community spanning
+    * the whole graph has no cut side: φ ≡ 0 by convention (the min
+    * is 0 there). Low φ = well-separated community; pairs with the
+    * modularity term as the second standard community-quality axis.
+    */
+  def conductanceTermExpr(e: String, d: String, m: String): String =
+    s"CAST(CASE WHEN ($d) = 0 OR ($d) = 2 * ($m) THEN 0 ELSE " +
+      s"FLOOR(1000000.0 * CAST(($d) - 2 * ($e) AS DOUBLE) / " +
+      s"CAST(CASE WHEN ($d) < 2 * ($m) - ($d) THEN ($d) " +
+      s"ELSE 2 * ($m) - ($d) END AS DOUBLE)) END AS BIGINT)"
+
   def modularityTermExpr(e: String, d: String, m: String): String =
     s"CAST(FLOOR(1000000.0 * (CAST($e AS DOUBLE) / CAST($m AS DOUBLE)" +
       s" - (CAST($d AS DOUBLE) / (2.0 * CAST($m AS DOUBLE)))" +
@@ -474,6 +487,8 @@ object Graph {
       .crossJoin(broadcast(m))
       .withColumn("term_micro",
         expr(modularityTermExpr("e_within", "d_sum", "m")))
+      .withColumn("conductance_micro",
+        expr(conductanceTermExpr("e_within", "d_sum", "m")))
       .drop("m")
       .localCheckpoint(true)
     e0.unpersist(blocking = false)

@@ -139,10 +139,6 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
-    // label propagation: region labels seeded on HALF the customers
-    // (even keys) spread to suppliers in round 1 and back to the
-    // unseeded customers in round 2 — true two-hop spreading with
-    // clamped seeds, integer votes, lexicographic tie-break
     // modularity of the nation partition over the trade graph (NEW
     // r11): score how nationally assortative customer↔supplier trade
     // is — per-nation (n_nodes, e_within, d_sum, term_micro); the
@@ -182,6 +178,10 @@ object GraphQueries extends QueryGroup {
         .orderBy(col("label").cast("long"))
     }),
 
+    // label propagation: region labels seeded on HALF the customers
+    // (even keys) spread to suppliers in round 1 and back to the
+    // unseeded customers in round 2 — true two-hop spreading with
+    // clamped seeds, integer votes, lexicographic tie-break
     "q175_label_prop" -> ((s, d) => {
       val seeds = Tables.customer(s, d)
         .filter(col("c_custkey") % 2 === 0)
@@ -371,6 +371,7 @@ object GraphQueries extends QueryGroup {
     */
   private def modularityOracleSql(weighted: Boolean): String = {
     val term = graft.ops.Graph.modularityTermExpr("e_within", "d_sum", "m")
+    val cond = graft.ops.Graph.conductanceTermExpr("e_within", "d_sum", "m")
     val e0 =
       if (weighted)
         """e0 AS MATERIALIZED (SELECT
@@ -409,7 +410,8 @@ object GraphQueries extends QueryGroup {
        |f AS (SELECT ds.lbl AS label, ds.n_nodes,
        |    COALESCE(ew.e_within, 0) AS e_within, ds.d_sum
        |  FROM ds LEFT JOIN ew ON ds.lbl = ew.lbl)
-       |SELECT label, n_nodes, e_within, d_sum, $term AS term_micro
+       |SELECT label, n_nodes, e_within, d_sum, $term AS term_micro,
+       |  $cond AS conductance_micro
        |FROM f CROSS JOIN mm
        |ORDER BY CAST(label AS BIGINT)""".stripMargin
   }

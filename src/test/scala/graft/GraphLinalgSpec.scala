@@ -160,6 +160,16 @@ class GraphLinalgSpec extends SparkSpec {
         ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
     assert(r == Map("t1" -> ((3L, 3L, 7L, 178571L)),
       "t2" -> ((3L, 3L, 7L, 178571L))))
+    // conductance: cut = 7 - 2*3 = 1, min(vol, 2m-vol) = 7 ->
+    // floor(1e6/7) = 142857; a whole-graph community scores 0
+    val cond = Graph.modularityMicro(e, "src", "dst", lab, "n", "l")
+      .collect().map(x => x.getString(0) -> x.getLong(5)).toMap
+    assert(cond == Map("t1" -> 142857L, "t2" -> 142857L))
+    val whole = Seq((1L, "g"), (2L, "g"), (3L, "g"), (4L, "g"),
+      (5L, "g"), (6L, "g")).toDF("n", "l")
+    val cw = Graph.modularityMicro(e, "src", "dst", whole, "n", "l")
+      .collect().map(x => x.getString(0) -> x.getLong(5)).toMap
+    assert(cw == Map("g" -> 0L))
     // duplicate/reversed/self edges canonicalize away
     val messy = e.union(Seq((2L, 1L), (3L, 3L)).toDF("src", "dst"))
     val r2 = Graph.modularityMicro(messy.repartition(5), "src", "dst",
