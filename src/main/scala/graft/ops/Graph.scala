@@ -789,6 +789,66 @@ object Graph {
       .withColumn("total_deg", col("out_deg") + col("in_deg"))
   }
 
+  /** Shared Newman degree-assortativity spelling, floor-micro:
+    * r = (S1·Se − S2²) / (S1·S3 − S2²) over the degree moment sums
+    * S1 = Σd, S2 = Σd², S3 = Σd³, Se = 2·Σ_{(u,v)∈E} d_u·d_v — all
+    * exact 64-bit integers into one IEEE division (a degenerate
+    * denominator — regular graphs, where every degree is equal —
+    * yields 0 by convention).
+    */
+  def assortativityExpr(s1: String, s2: String, s3: String,
+      se: String): String =
+    s"CAST(CASE WHEN ($s1) * ($s3) - ($s2) * ($s2) = 0 THEN 0 ELSE " +
+      s"FLOOR(1000000.0 * CAST(($s1) * ($se) - ($s2) * ($s2) AS DOUBLE)" +
+      s" / CAST(($s1) * ($s3) - ($s2) * ($s2) AS DOUBLE)) END AS BIGINT)"
+
+  /** Degree ASSORTATIVITY of an undirected graph in exact floor-micro
+    * — Newman's degree-degree Pearson correlation, the standard
+    * web-graph health statistic (social graphs are assortative r > 0;
+    * the web and most crawl host graphs are disassortative r < 0 —
+    * hubs link to leaves; a crawl whose r flips sign changed shape).
+    * Edges canonicalize to distinct unordered pairs; one degree
+    * aggregation, one 1-row moment aggregate, one edge join against
+    * degrees — nothing global, nothing collected.
+    *
+    * Overflow bound: S3 = Σd³ needs max degree under ~2e6 at a billion
+    * nodes (Σd³ ≤ |V|·d_max³ < 2^63); re-quantize degrees (e.g. d/10)
+    * beyond — only ratios matter.
+    *
+    * @return one row (n_nodes, n_edges, s1, s2, s3, se,
+    *         assortativity_micro)
+    */
+  def assortativityMicro(edges: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val e0 = edges.select(
+        least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct().persist()
+    val deg = e0.select(col("a").as("n"))
+      .union(e0.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .persist()
+    val moments = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d")).as("s1"),
+      sum(col("d") * col("d")).as("s2"),
+      sum(col("d") * col("d") * col("d")).as("s3"))
+    val se = e0
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("n_edges"),
+        (sum(col("da") * col("db")) * 2).as("se"))
+    val out = moments.crossJoin(broadcast(se))
+      .withColumn("assortativity_micro",
+        expr(assortativityExpr("s1", "s2", "s3", "se")))
+      .select(col("n_nodes"), col("n_edges"), col("s1"), col("s2"),
+        col("s3"), col("se"), col("assortativity_micro"))
+      .localCheckpoint(true)
+    e0.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
+
   /** Bounded-depth harmonic centrality — THE crawl-ranking metric:
     * Common Crawl publishes its host/domain rankings by harmonic
     * centrality (computed with HyperBall), and corpus pipelines weight

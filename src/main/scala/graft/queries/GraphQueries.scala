@@ -139,6 +139,19 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // degree assortativity of the trade graph (NEW r11): Newman's
+    // degree-degree correlation in exact floor-micro — bipartite
+    // interaction graphs run disassortative (hubs link to leaves);
+    // the moment sums are exact integers, one shared IEEE division
+    "q232_assortativity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val de = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      Graph.assortativityMicro(de, "src", "dst")
+    }),
+
     // modularity of the nation partition over the trade graph (NEW
     // r11): score how nationally assortative customer↔supplier trade
     // is — per-nation (n_nodes, e_within, d_sum, term_micro); the
@@ -587,6 +600,30 @@ object GraphQueries extends QueryGroup {
          |  FROM o FULL JOIN i ON o.node = i.node)
          |SELECT node, out_deg, in_deg, out_deg + in_deg AS total_deg
          |FROM d ORDER BY total_deg DESC, node LIMIT 100""".stripMargin,
+
+    // the same canonical undirected dedup and the SAME
+    // assortativityExpr spelling
+    "q232_assortativity" -> {
+      val r = graft.ops.Graph.assortativityExpr("s1", "s2", "s3", "se")
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+         |    LEAST(o_custkey, l_suppkey + 1000000) AS a,
+         |    GREATEST(o_custkey, l_suppkey + 1000000) AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_custkey != l_suppkey + 1000000),
+         |deg AS MATERIALIZED (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+         |  GROUP BY n),
+         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(d) AS BIGINT) AS s1,
+         |    CAST(SUM(d * d) AS BIGINT) AS s2,
+         |    CAST(SUM(d * d * d) AS BIGINT) AS s3 FROM deg),
+         |ee AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    CAST(2 * SUM(da.d * db.d) AS BIGINT) AS se
+         |  FROM e0 JOIN deg da ON e0.a = da.n JOIN deg db ON e0.b = db.n)
+         |SELECT n_nodes, n_edges, s1, s2, s3, se, $r
+         |    AS assortativity_micro
+         |FROM mo CROSS JOIN ee""".stripMargin
+    },
 
     // the same canonical undirected dedup, label joins, and the SAME
     // modularityTermExpr spelling (one generator, both tiers)

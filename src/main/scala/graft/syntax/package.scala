@@ -414,6 +414,8 @@ package object syntax {
         labels: DataFrame, node: String, label: String): DataFrame =
       ops.Graph.modularityWeightedMicro(df, src, dst, weight, labels,
         node, label)
+    def assortativityMicro(src: String, dst: String): DataFrame =
+      ops.Graph.assortativityMicro(df, src, dst)
     def pageRankWeightedPpb(src: String, dst: String, weight: String,
         iterations: Int = 3): DataFrame =
       ops.Graph.pageRankWeightedPpb(df, src, dst, weight, iterations)

@@ -207,6 +207,25 @@ class GraphLinalgSpec extends SparkSpec {
     assert(q < q1 && q < 0L)
   }
 
+  test("assortativityMicro: star = -1e6, path = -1e6, regular graph = 0") {
+    // star K1,3: S1=6 S2=12 S3=30 Se=18 -> r = -36/36 = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rs = Graph.assortativityMicro(star, "src", "dst").head
+    assert((rs.getLong(0), rs.getLong(1), rs.getLong(6)) == ((4L, 3L, -1000000L)))
+    // path 1-2-3: also perfectly disassortative
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.assortativityMicro(path, "src", "dst")
+      .head.getLong(6) == -1000000L)
+    // triangle: regular -> degenerate denominator -> 0 by convention
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.assortativityMicro(tri, "src", "dst")
+      .head.getLong(6) == 0L)
+    // duplicate/reversed edges canonicalize away
+    val messy = star.union(Seq((2L, 1L), (3L, 1L)).toDF("src", "dst"))
+    assert(Graph.assortativityMicro(messy.repartition(4), "src", "dst")
+      .head.getLong(6) == -1000000L)
+  }
+
   test("degreeStats: hand-checked degrees incl. pure-sink and pure-source") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val r = Graph.degreeStats(edges, "src", "dst")
