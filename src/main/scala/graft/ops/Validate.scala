@@ -342,6 +342,40 @@ object Validate {
       .select(col("e.metric").as("metric"), col("e.n").as("n"))
   }
 
+  /** Key-SKEW profile — the "should I salt this join/agg" planning
+    * report: per-key counts folded into exact power-of-two buckets,
+    * one output row per occupied bucket (bucket b covers counts in
+    * [2^b, 2^b+1)). The bucket index is the key count's binary-string
+    * length minus one (`bin()` + `length()`, identical string ops on
+    * both engines — deliberately NOT floor(log2(cnt)), whose IEEE
+    * rounding at exact powers of two is engine-dependent). A healthy
+    * key reads as a tight bucket band; a hot key shows as a lonely
+    * high bucket holding most of `n_rows` — that bucket's `max_cnt`
+    * vs the low buckets' is the salting factor to plan for.
+    *
+    * Plan shape: one map-side-combined groupBy over the key, then a
+    * bounded (≤ 64-bucket) aggregation. Null keys profile as their
+    * own bucket row would — they're counted like any value (a null-
+    * heavy key IS a skew hazard; filter upstream if unwanted).
+    *
+    * @return (bucket, lo_cnt, n_keys, n_rows, max_cnt) per occupied
+    *         bucket, bucket ascending
+    */
+  def skewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("bucket",
+        (length(expr("bin(cnt)")) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .withColumn("lo_cnt", expr("CAST(1 AS BIGINT) << bucket"))
+      .select(col("bucket"), col("lo_cnt"), col("n_keys"),
+        col("n_rows"), col("max_cnt"))
+  }
+
   /** k-anonymity census over quasi-identifier columns — the privacy
     * gate a corpus (or its metadata tables) passes before release:
     * every combination of quasi-identifiers must be shared by at

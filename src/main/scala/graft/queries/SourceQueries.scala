@@ -250,6 +250,15 @@ object SourceQueries extends QueryGroup {
         sensitive = Some("bal_sign"))
     }),
 
+    // key-skew profile (NEW r11): the "should I salt this join"
+    // report over the events user_id key — per-key counts folded into
+    // exact power-of-two buckets via bin()-length (engine-identical
+    // string ops, never float log2 at bucket boundaries)
+    "q233_skew_profile" -> ((s, d) => {
+      graft.ops.Validate.skewProfile(Tables.events(s, d), Seq("user_id"))
+        .orderBy(col("bucket"))
+    }),
+
     // KS drift statistic (NEW r8, r9 overflow-proofed): max CDF gap
     // between the same two slices as q189 — per-side floor-bp CDFs
     // diffed in pure integers, the rank-style companion to PSI
@@ -452,6 +461,20 @@ object SourceQueries extends QueryGroup {
         |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_duplicate_rows,
         |  COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber)) AS passed
         |FROM lineitem""".stripMargin,
+
+    // bucket = LENGTH(BIN(cnt)) - 1 on both engines (exact integer /
+    // string arithmetic; floor(log2) would be IEEE-rounding-dependent
+    // at exact powers of two)
+    "q233_skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT CAST(LENGTH(BIN(cnt)) - 1 AS INTEGER) AS bucket,
+        |    cnt FROM c)
+        |SELECT bucket, CAST(1 AS BIGINT) << bucket AS lo_cnt,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q188_fk_check" ->
       """WITH pk AS (SELECT DISTINCT c_custkey FROM customer

@@ -197,6 +197,8 @@ package object syntax {
       Sketches.heavyHitters(df, valueCol, k)
     def heavyHittersBy(group: String, valueCol: String, k: Int): DataFrame =
       Sketches.heavyHittersBy(df, group, valueCol, k)
+    def skewProfile(keyCols: Seq[String]): DataFrame =
+      Validate.skewProfile(df, keyCols)
     def mixtureResampleTokens(id: String, strata: String, nTokens: Column,
         targets: Map[String, Double], budgetTokens: Long,
         defaultTarget: Double = 0.0): DataFrame =

@@ -84,6 +84,23 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("skewProfile: hand-checked power-of-two buckets, hot key isolated") {
+    import spark.implicits._
+    // keys: a x1, b x2, c x3, d x4, hot x100
+    val rows = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d") ++ Seq.fill(100)("hot")
+    val got = graft.ops.Validate.skewProfile(
+        rows.toDF("k").repartition(5), Seq("k"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cnt=1 -> bucket 0; cnt=2,3 -> bucket 1; cnt=4 -> 2; cnt=100 -> 6
+    assert(got == Map(
+      0 -> ((1L, 1L, 1L, 1L)),
+      1 -> ((2L, 2L, 5L, 3L)),
+      2 -> ((4L, 1L, 4L, 4L)),
+      6 -> ((64L, 1L, 100L, 100L))))
+  }
+
   test("fkCheck: orphans, null FKs, and the floor-bp ratio, hand-counted") {
     val parent = Seq(1L, 2L).toDF("pk")
     val child = Seq(Some(1L), Some(1L), Some(3L), Some(4L), Some(4L), None)
