@@ -41,6 +41,49 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** MUTUAL nearest-neighbor pairs between two corpora — the
+    * bitext/parallel-corpus mining primitive (Artetxe & Schwenk's
+    * margin-mining family starts exactly here): emit (a, b) iff b is
+    * a's top-1 in B AND a is b's top-1 in A. Mutuality is the cheap
+    * high-precision filter — one-directional nearest neighbors are
+    * full of hubs; mutual ones are overwhelmingly true pairs.
+    *
+    * Scores are computed ONCE (one broadcast join over the codegen'd
+    * dot), then two partitioned rank-1 windows (per a, per b) and a
+    * semi-join keep the mutual pairs. Ties break by lowest partner id
+    * — deterministic, and the rounded cosine makes the frame
+    * hash-gatable. At 100 TB neither side is broadcast-small: run each
+    * direction through the IVF tier ([[ivfTopKLearned]] k = 1) and
+    * feed the two rank-1 frames to the same mutual semi-join — the
+    * mutuality logic is this op's last three lines, unchanged.
+    *
+    * @return (a_id, b_id, cos) for every mutual pair
+    */
+  def mutualNearestPairs(a: DataFrame, b: DataFrame, id: String,
+      vec: String): DataFrame = {
+    val av = a.select(col(id).as("a_id"), col(vec).as("a_vec"))
+    val bv = b.select(col(id).as("b_id"), col(vec).as("b_vec"))
+    val scored = av.join(broadcast(bv), col("a_id") =!= col("b_id"))
+      .withColumn("cos", dot_f(col("a_vec"), col("b_vec")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .persist()
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos").desc, col("a_id").asc)
+    val topA = scored.withColumn("r", row_number().over(wa))
+      .filter(col("r") === 1).drop("r")
+    val topB = scored.withColumn("r", row_number().over(wb))
+      .filter(col("r") === 1).drop("r")
+    val out = topA
+      .join(topB.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"),
+        "left_semi")
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+      .localCheckpoint(true)
+    scored.unpersist(blocking = false)
+    out
+  }
+
   /** Bucket assignment for the LSH tier (exposed for audits/bench). */
   def withBucket(df: DataFrame, vec: String, nBits: Int = 8): DataFrame =
     df.withColumn("bucket", rp_bits(col(vec), nBits))

@@ -462,6 +462,20 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // mutual nearest-neighbor pairs (NEW r11): the bitext-mining
+    // primitive — even-id vectors as corpus A, odd-id as corpus B;
+    // emit (a, b) iff each is the other's top-1 across the split.
+    // Scores computed once, two rank-1 windows, a semi-join keeps the
+    // mutual pairs; rounded cosine → full hash gate
+    "q234_mutual_nn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mutualNearestPairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding")
+        .orderBy(col("a_id"))
+    }),
+
     // MMR diversity re-rank (NEW r8): brute-force top-10 candidates →
     // greedy λ·rel − (1−λ)·max-sim-to-selected, k=3. The re-rank step
     // between candidate generation and serving; oracle unrolls the
@@ -1378,6 +1392,26 @@ object LlmQueries extends QueryGroup {
            |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
            |  WHERE q.vec_id < 3
            |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // rank by the UNROUNDED dot both directions, keep mutual rank-1
+      // pairs, emit the rounded cosine — the same tie-break
+      // (lowest partner id) as the Spark windows
+      "q234_mutual_nn" ->
+        s"""WITH sc AS MATERIALIZED (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ${sqlDot("a", "b")} AS cos
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+           |    AND a.vec_id != b.vec_id),
+           |ta AS (SELECT a_id, b_id, cos FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY cos DESC, b_id ASC) AS r FROM sc) WHERE r = 1),
+           |tb AS (SELECT a_id, b_id FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY b_id
+           |      ORDER BY cos DESC, a_id ASC) AS r FROM sc) WHERE r = 1)
+           |SELECT ta.a_id, ta.b_id, ROUND(ta.cos, 6) AS cos
+           |FROM ta JOIN tb ON ta.a_id = tb.a_id AND ta.b_id = tb.b_id
+           |ORDER BY ta.a_id""".stripMargin,
 
       // MMR oracle: same top-10 candidate set as q97's (rank by the
       // UNROUNDED dot, emit the rounded rel), then the three greedy

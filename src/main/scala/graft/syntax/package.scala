@@ -111,6 +111,9 @@ package object syntax {
         nCodes: Int = 8): DataFrame =
       Similarity.ivfPqTopKLearned(df, queries, id, vec, dim, k, nClusters,
         nProbe, nSub, nCodes)
+    /** `df` is corpus A; mutual top-1 pairs against corpus B. */
+    def mutualNearestPairs(b: DataFrame, id: String, vec: String): DataFrame =
+      Similarity.mutualNearestPairs(df, b, id, vec)
     /** `df` is the candidate list (q_id, n_id, rel). */
     def mmrRerank(vectors: DataFrame, id: String, vec: String, k: Int,
         lambda: Double = 0.5): DataFrame =

@@ -11,6 +11,27 @@ class OpsSpec extends SparkSpec {
   private lazy val emb = Tables.embeddings(spark, sfSmall).cache()
   private lazy val docs = Tables.documents(spark, sfSmall)
 
+  test("mutualNearestPairs: hand-built mutual and hub cases") {
+    import spark.implicits._
+    // unit-ish vectors in 64 dims (first 3 dims used): a1<->b1 mutual,
+    // a2 and a3 both point at b2 (hub) but b2's best is a2 -> only
+    // (a2, b2) survives; a3 gets nothing
+    def v(x: Double, y: Double, z: Double): Array[Float] =
+      (Array(x, y, z) ++ Array.fill(61)(0.0)).map(_.toFloat)
+    val a = Seq((10L, v(1, 0, 0)), (20L, v(0, 1, 0)), (30L, v(0, 0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((11L, v(0.9, 0.1, 0)), (21L, v(0, 1, 0.05)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.mutualNearestPairs(a, b, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L), (20L, 21L)))
+    // partitioning invariance
+    val got2 = graft.ops.Similarity.mutualNearestPairs(
+        a.repartition(3), b.repartition(2), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got)
+  }
+
   test("ivfTopK returns k neighbors per query and respects probes") {
     val queries = emb.filter(col("vec_id") < 3)
     val res = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label", k = 4, nProbe = 2)
