@@ -927,6 +927,42 @@ object FrameOps {
       .drop("__mu", "__sd", "__q1", "__q3", "__lo", "__hi")
   }
 
+  /** Per-group ROBUST outlier screening via median/MAD — the
+    * 50%-breakdown companion to [[outlierFlags]]: mean/std (and even
+    * quartile fences) drift under heavy contamination, the median
+    * absolute deviation does not, which is why robust-z is the
+    * standard screen for genuinely dirty feeds. robust_z =
+    * |v − median| / (1.4826·MAD) (the Gaussian consistency constant),
+    * rounded to 6 decimals BEFORE the flag comparison — the
+    * [[outlierFlags]] determinism contract. Zero-MAD groups (≥ half
+    * the group at one value) yield robust_z = null and never flag.
+    *
+    * Two grouped stat passes are INHERENT to MAD (the deviation needs
+    * the median first); both are single aggregations joined back by
+    * key — groups ≪ rows, AQE picks broadcast vs shuffle.
+    *
+    * @return input rows + (med, mad, robust_z, is_mad_outlier)
+    */
+  def outlierFlagsMad(df: DataFrame, keys: Seq[String], valueCol: String,
+      kMad: Double = 3.5): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(med, keys)
+      .withColumn("__ad", abs(v - col("__med")))
+    val mad = dev.groupBy(keys.map(col): _*)
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(mad, keys)
+      .withColumn("med", round(col("__med"), 6))
+      .withColumn("mad", round(col("__mad"), 6))
+      .withColumn("robust_z", when(col("__mad") > 0,
+        round(col("__ad") / (lit(1.4826) * col("__mad")), 6)))
+      .withColumn("is_mad_outlier",
+        coalesce(col("robust_z") > kMad, lit(false)))
+      .drop("__med", "__mad", "__ad")
+  }
+
   /** Per-group OLS trend: slope, intercept, and R² of `valueCol`
     * against the row position within each group — "is this user/
     * source/metric trending, and how cleanly" as one bounded

@@ -721,6 +721,20 @@ object WindowQueries extends QueryGroup {
     // stats pass) — emits only the flagged rows; z and the fences are
     // rounded before any comparison so the flags are pure functions of
     // rounded values in both engines
+    // robust outlier screening (NEW r11): median/MAD robust-z — the
+    // 50%-breakdown tier; flags only, rounded-before-compare
+    "q235_outlier_mad" -> ((s, d) => {
+      graft.ops.FrameOps.outlierFlagsMad(
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            col("value")),
+          Seq("event_type"), "value")
+        .filter(col("is_mad_outlier"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), col("med"), col("mad"),
+          col("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
     "q177_outlier_flags" -> ((s, d) => {
       graft.ops.FrameOps.outlierFlags(
           Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
@@ -1271,6 +1285,26 @@ object WindowQueries extends QueryGroup {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_prod
         |FROM lineitem WHERE l_orderkey % 331 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the same two QUANTILE_CONT stat passes and rounded-before-
+    // compare robust_z as the Spark op
+    "q235_outlier_mad" ->
+      """WITH md AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dv AS (SELECT e.event_id, e.event_type, e.value,
+        |    md.med, ABS(e.value - md.med) AS ad
+        |  FROM events e JOIN md USING (event_type)),
+        |ma AS (SELECT event_type, QUANTILE_CONT(ad, 0.5) AS mad
+        |  FROM dv GROUP BY 1),
+        |r AS (SELECT dv.event_id, dv.event_type, dv.value,
+        |    ROUND(dv.med, 6) AS med, ROUND(ma.mad, 6) AS mad,
+        |    CASE WHEN ma.mad > 0
+        |      THEN ROUND(dv.ad / (1.4826 * ma.mad), 6) END AS robust_z
+        |  FROM dv JOIN ma USING (event_type))
+        |SELECT event_id, event_type, ROUND(value, 6) AS value, med, mad,
+        |  robust_z
+        |FROM r WHERE COALESCE(robust_z > 3.5, FALSE)
+        |ORDER BY event_id""".stripMargin,
 
     "q177_outlier_flags" ->
       """WITH st AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd,

@@ -271,6 +271,9 @@ package object syntax {
     def outlierFlags(keys: Seq[String], valueCol: String,
         zMax: Double = 3.0, iqrK: Double = 1.5): DataFrame =
       FrameOps.outlierFlags(df, keys, valueCol, zMax, iqrK)
+    def outlierFlagsMad(keys: Seq[String], valueCol: String,
+        kMad: Double = 3.5): DataFrame =
+      FrameOps.outlierFlagsMad(df, keys, valueCol, kMad)
     def hashedBowVectors(id: String, text: String, dim: Int = 64): DataFrame =
       Corpus.hashedBowVectors(df, id, text, dim)
     /** `df` is the predict set; `seeds` the labeled training slice. */

@@ -648,6 +648,36 @@ class FrameOpsSpec extends SparkSpec {
     assert(out == Set(("A", 1, 10L), ("A", 2, 10L), ("B", 2, 11L)))
   }
 
+  test("outlierFlagsMad: hand-checked robust z; catches what contamination hides from z-score") {
+    import spark.implicits._
+    // group g: values 1..9 plus a 1000 spike. median = 5.5, deviations
+    // {0.5,...,4.5, 994.5} -> MAD = 2.5 (med of sorted devs); robust_z
+    // of the spike = 994.5/(1.4826*2.5) = 268.3... -> flagged.
+    // Classic z-score on the same group: sd ~ 313, z(1000) ~ 3.0 --
+    // BELOW the 3.0 threshold (the spike inflates its own sd).
+    val rows = ((1 to 9).map(i => (i.toLong, "g", i.toDouble)) :+
+      ((10L, "g", 1000.0))).toDF("id", "k", "v")
+    val mad = graft.ops.FrameOps.outlierFlagsMad(rows, Seq("k"), "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          Option(r.getAs[Any]("robust_z")),
+          r.getAs[Boolean]("is_mad_outlier")))).toMap
+    assert(mad(10L)._1 == 5.5 && mad(10L)._2 == 2.5)
+    assert(mad(10L)._3.get.asInstanceOf[Double] ==
+      math.rint(994.5 / (1.4826 * 2.5) * 1e6) / 1e6)
+    assert(mad(10L)._4 && !mad(1L)._4)
+    val z = graft.ops.FrameOps.outlierFlags(rows, Seq("k"), "v")
+      .filter(col("id") === 10L).head
+    assert(!z.getAs[Boolean]("is_z_outlier")) // the negative control
+    // zero-MAD group (constant majority) never flags on robust_z
+    val const = Seq((1L, "c", 5.0), (2L, "c", 5.0), (3L, "c", 5.0),
+      (4L, "c", 9.0)).toDF("id", "k", "v")
+    val cm = graft.ops.FrameOps.outlierFlagsMad(const, Seq("k"), "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("is_mad_outlier")).toMap
+    assert(cm.values.forall(_ == false))
+  }
+
   test("applyChangeSet: LWW within the changeset, insert, replace, delete, pass-through") {
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr")
     val changes = Seq(
