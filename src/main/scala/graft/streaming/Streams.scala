@@ -351,27 +351,6 @@ object Streams {
     spark.table(sinkName)
   }
 
-  /** Streaming PSI drift monitor — the production posture for
-    * [[graft.ops.Validate.psiDrift]]: a per-tumbling-window population
-    * stability index of the live stream against a FROZEN reference
-    * distribution (the deploy-time snapshot a drift alert is defined
-    * against). Emits one row per closed window: (w_start, n_events,
-    * t_cur, psi_nano).
-    *
-    * Single stateful operator: the window aggregation computes one
-    * conditional count per ladder bucket IN-ROW (ladder-width columns,
-    * not rows), so totals, Laplace floors, and the floor-nano PSI sum
-    * are a stateless projection after the agg — no chained-stateful
-    * machinery, state is O(open windows · ladder width). The reference
-    * enters as INTEGER literals (ladder-bounded, computed batch-side),
-    * and every term uses the shared
-    * [[graft.ops.Validate.psiTermExprOf]] arithmetic, so the DuckDB
-    * replay matches bit-for-bit on the decidable windows.
-    *
-    * @param refCounts RAW reference bucket counts in ladder order
-    *                  (boundaries labels then overflow); Laplace +1 is
-    *                  applied here, mirroring the batch op
-    */
   /** Streaming approximate distinct per tumbling window via KMV state
     * — the O(k)-state alternative to [[distinctUsersPerWindow]], whose
     * dedup state grows with the TRUE distinct count per window (the
@@ -707,6 +686,27 @@ object Streams {
         ((col("_4") - col("_3")) / 1000000L).cast("long").as("span_sec"))
   }
 
+  /** Streaming PSI drift monitor — the production posture for
+    * [[graft.ops.Validate.psiDrift]]: a per-tumbling-window population
+    * stability index of the live stream against a FROZEN reference
+    * distribution (the deploy-time snapshot a drift alert is defined
+    * against). Emits one row per closed window: (w_start, n_events,
+    * t_cur, psi_nano).
+    *
+    * Single stateful operator: the window aggregation computes one
+    * conditional count per ladder bucket IN-ROW (ladder-width columns,
+    * not rows), so totals, Laplace floors, and the floor-nano PSI sum
+    * are a stateless projection after the agg — no chained-stateful
+    * machinery, state is O(open windows · ladder width). The reference
+    * enters as INTEGER literals (ladder-bounded, computed batch-side),
+    * and every term uses the shared
+    * [[graft.ops.Validate.psiTermExprOf]] arithmetic, so the DuckDB
+    * replay matches bit-for-bit on the decidable windows.
+    *
+    * @param refCounts RAW reference bucket counts in ladder order
+    *                  (boundaries labels then overflow); Laplace +1 is
+    *                  applied here, mirroring the batch op
+    */
   def psiDriftStream(events: DataFrame, refCounts: Seq[Long],
       boundaries: Seq[Double], valueCol: String = "value",
       size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {
