@@ -41,6 +41,42 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_members"), min(col(id)).as("keep_id"))
 
+  /** Duplication-multiplicity profile — the corpus-health report run
+    * BEFORE committing to a dedup pass: per power-of-two multiplicity
+    * bucket (1, 2–3, 4–7, …), how many exact-duplicate clusters land
+    * there, how many documents they hold, how many of those documents
+    * are redundant (cluster size − 1 each), and each bucket's share of
+    * the corpus in floor basis points. A crawl whose mass sits in the
+    * high buckets pays for [[dedupCorpus]]; one that is 99% singletons
+    * does not — this one scan answers that before the LSH spend.
+    *
+    * Composition: [[exactDuplicateGroups]]'s fingerprint substrate
+    * (md5 over [[normText]]) flowing into [[Validate.skewProfile]]'s
+    * bin()-length bucketing (engine-identical integer string ops,
+    * never float log2 at bucket boundaries), plus the share/redundancy
+    * columns neither parent has.
+    *
+    * 100 TB posture: one groupBy on the 16-byte fingerprint (documents
+    * never shuffle — the fp is computed map-side), then a second
+    * aggregation over cluster rows, then a ≤64-row result crossed with
+    * a broadcast 1-row total. Cost ≈ the fingerprint leg of exact
+    * dedup itself.
+    */
+  def duplicationProfile(df: DataFrame, text: String): DataFrame = {
+    val clusters = df.select(md5(normText(col(text))).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+    val buckets = clusters
+      .withColumn("bucket", (length(expr("bin(sz)")) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1L).as("n_redundant"), max(col("sz")).as("max_sz"))
+    val total = df.agg(count(lit(1)).as("t"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("bucket"), expr("CAST(1 AS BIGINT) << bucket").as("lo_sz"),
+        col("n_clusters"), col("n_docs"), col("n_redundant"), col("max_sz"),
+        expr("(10000 * n_docs) div t").as("docs_bp"))
+  }
+
   /** Incremental exact dedup: rows of `fresh` whose normalized-content
     * fingerprint does not already exist in `ingested` — the shape of
     * every snapshot-over-snapshot corpus refresh (dedupe the new crawl

@@ -1134,6 +1134,65 @@ object FrameOps {
     untouched.unionByName(upserts)
   }
 
+  /** Time-travel snapshot reconstruction — `AS OF` over a CDC log: the
+    * state the table had after applying every change with
+    * `version <= asOfVersion` to the base snapshot. The log's tail
+    * (later versions) is filtered out BEFORE the [[applyChangeSet]]
+    * fold, so reconstruction cost tracks the changes up to the asked
+    * version, not the full log.
+    *
+    * Semantics are exactly [[applyChangeSet]]'s (last-write-wins per
+    * key within the kept prefix, 'U' upsert / 'D' delete, op-domain
+    * fail-fast) — this is the one-parameter time-travel surface a
+    * Delta/Iceberg user reaches for, expressed over the same
+    * deterministic core so every historical snapshot hash-gates.
+    *
+    * 100 TB posture: the version filter is a pushed-down predicate on
+    * the (partitioned-by-version-range) change log; everything after
+    * inherits applyChangeSet's one-scan-plus-keyed-join shape.
+    */
+  def snapshotAt(snapshot: DataFrame, changes: DataFrame, key: String,
+      asOfVersion: Long, op: String = "op",
+      version: String = "version"): DataFrame =
+    applyChangeSet(snapshot, changes.filter(col(version) <= asOfVersion),
+      key, op, version)
+
+  /** Exact distinct-key count per trailing window of `windowDays`
+    * calendar days — the "7-day active users by day" family, computed
+    * WITHOUT a count-distinct-over-window (which no engine distributes)
+    * and without self-joining the event table against itself.
+    *
+    * Dataflow: collapse events to distinct (day, key) pairs (the only
+    * pass over the raw table), fan each pair out to the ≤`windowDays`
+    * window-end days it contributes to (explode of a generated date
+    * sequence — shuffle is windowDays·|distinct pairs|, independent of
+    * raw event volume), re-distinct on (window day, key) so a key seen
+    * on several days in one window counts once, and count per day.
+    * Only days that actually appear in the data are reported (semi-join
+    * against the observed-day set).
+    *
+    * 100 TB posture: per-event cost is O(1) map-side; the blowup factor
+    * is the WINDOW LENGTH, not data volume or key cardinality, and the
+    * heavy re-distinct shuffles (day, key) pairs — already deduped
+    * once — partitioned across all 𝑑ays. No global sort, no window
+    * function, no per-key state.
+    */
+  def trailingDistinct(df: DataFrame, ts: String, key: String,
+      windowDays: Int, as: String = "n_distinct"): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays must be in [1, 370], got $windowDays")
+    val dk = df.select(to_date(col(ts)).as("__day"), col(key).as("__k"))
+      .filter(col("__day").isNotNull && col("__k").isNotNull)
+      .distinct()
+    val observed = dk.select(col("__day")).distinct()
+    val contrib = dk.select(explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("__day"), col("__k"))
+      .distinct()
+    contrib.join(observed, Seq("__day"), "left_semi")
+      .groupBy(col("__day").as("day"))
+      .agg(count(lit(1)).as(as))
+  }
+
   /** Point-in-time (temporal) enrichment join — the consumer side of
     * [[scd2Intervals]]: attach to every fact row the dimension version
     * that was valid at the fact's timestamp, i.e. the half-open

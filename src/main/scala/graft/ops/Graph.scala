@@ -640,6 +640,47 @@ object Graph {
     * @return (node, deg, triangles, cc_bp) for every node in the
     *         normalized graph; cc_bp null when deg < 2
     */
+  /** Capped weighted bipartite projection — collapse a (basket, item)
+    * incidence table into an item–item co-occurrence graph: one edge
+    * per unordered item pair sharing a basket, weighted by the number
+    * of shared baskets. The substrate of item-to-item similarity,
+    * query co-click graphs, and the unipartite graphs every centrality
+    * op here consumes.
+    *
+    * The SCALE CONTROL is `maxPerBasket`: a basket of b items emits
+    * C(b, 2) pairs, so ONE viral basket (a crawler trap page linking
+    * a million hosts, a bot account touching every item) turns the
+    * projection quadratic. Each basket is therefore capped to its
+    * `maxPerBasket` smallest item ids BEFORE pairing — deterministic
+    * (so the op hash-gates; production variants rank by
+    * weight/recency instead, same plan), bounding per-basket fan-out
+    * at C(maxPerBasket, 2) and total output at |baskets|·C(cap, 2).
+    * The cap window is partitioned by basket — no global sort, and
+    * per-partition state is one basket's items.
+    *
+    * 100 TB posture: distinct + cap + self-equi-join on the basket key
+    * + one groupBy on the pair — all hash-partitioned; AQE splits hot
+    * basket keys. The output graph (items²-bounded, cap-tamed) is the
+    * small side downstream.
+    */
+  def bipartiteProject(df: DataFrame, basket: String, item: String,
+      maxPerBasket: Int): DataFrame = {
+    require(maxPerBasket >= 2 && maxPerBasket <= 10000,
+      s"maxPerBasket must be in [2, 10000], got $maxPerBasket")
+    val bi = df.select(col(basket).as("__b"), col(item).cast("long").as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val capped = bi.withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__b")).orderBy(col("__i"))))
+      .filter(col("__rn") <= maxPerBasket)
+      .select(col("__b"), col("__i"))
+    capped.select(col("__b"), col("__i").as("__x"))
+      .join(capped.select(col("__b"), col("__i").as("__y")), Seq("__b"))
+      .filter(col("__x") < col("__y"))
+      .groupBy(col("__x").as("item_a"), col("__y").as("item_b"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
     val e0 = edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"))

@@ -446,6 +446,19 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // trailing-7-day distinct users per day (NEW r11): the rolling
+    // active-user series, computed as distinct (day, user) pairs
+    // fanned out to the ≤7 window-end days each contributes to — no
+    // count-distinct-over-window (undistributable), no event-table
+    // self-join; the blowup factor is the window length, never data
+    // volume
+    "q236_trailing_distinct" -> ((s, d) => {
+      graft.ops.FrameOps.trailingDistinct(Tables.events(s, d),
+          "ts", "user_id", windowDays = 7, as = "u7")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("u7"))
+        .orderBy(col("day"))
+    }),
+
     // per-user OLS trend (NEW r8): slope/intercept/R² of value cents
     // against event position — exact integer sufficient statistics,
     // final ratios the only doubles (shared expression strings)
@@ -786,6 +799,20 @@ object DatetimeQueries extends QueryGroup {
         |  CAST(FLOOR(10000.0 * SQRT(CAST(n_gaps * ssq - s * s AS DOUBLE))
         |    / CAST(s AS DOUBLE)) AS BIGINT) AS cv_bp
         |FROM a WHERE s > 0 ORDER BY user_id""".stripMargin,
+
+    "q236_trailing_distinct" ->
+      // same fan-out replay: distinct (day, user), explode each pair
+      // to the 7 window-end days it feeds, re-distinct, count; only
+      // observed days reported
+      """WITH dk AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |obs AS (SELECT DISTINCT day FROM dk),
+        |contrib AS (SELECT DISTINCT dk.day + CAST(g.i AS INTEGER) AS wday,
+        |    dk.user_id
+        |  FROM dk CROSS JOIN (SELECT unnest(range(7)) AS i) g)
+        |SELECT STRFTIME(c.wday, '%Y-%m-%d') AS day, COUNT(*) AS u7
+        |FROM contrib c JOIN obs ON c.wday = obs.day
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q206_group_ols" -> {
       import graft.ops.FrameOps

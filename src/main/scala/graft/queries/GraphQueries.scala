@@ -246,6 +246,20 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // capped weighted bipartite projection (NEW r11): order→part
+    // incidence collapsed to a part–part co-occurrence graph, each
+    // order capped to its 8 smallest parts BEFORE pairing — the
+    // quadratic-blowup control a viral basket needs (one crawler-trap
+    // page otherwise emits C(1e6, 2) pairs); weights = shared-order
+    // counts, top edges by weight
+    "q238_bipartite_project" -> ((s, d) => {
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      Graph.bipartiteProject(hi, "ok", "pk", maxPerBasket = 8)
+        .orderBy(col("w").desc, col("item_a"), col("item_b"))
+        .limit(100)
+    }),
+
     // link prediction over the PART co-occurrence graph (q181's
     // supplier graph saturates to a complete graph at small scale —
     // a complete graph has no non-edges to predict; the part graph at
@@ -694,6 +708,18 @@ object GraphQueries extends QueryGroup {
          |SELECT src AS node, COUNT(*) AS degree FROM e14
          |GROUP BY src ORDER BY node""".stripMargin
     },
+
+    "q238_bipartite_project" ->
+      // replay: distinct incidence, per-basket cap by item id, pair
+      // self-join, shared-basket counts
+      """WITH hi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |c AS (SELECT b, i FROM (SELECT b, i,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY i) AS rn FROM hi)
+        |  WHERE rn <= 8)
+        |SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS w
+        |FROM c x JOIN c y ON x.b = y.b AND x.i < y.i
+        |GROUP BY 1, 2 ORDER BY w DESC, item_a, item_b LIMIT 100""".stripMargin,
 
     "q181_triangles" ->
       // full replay of the degree-ordered orientation: normalize,

@@ -157,6 +157,15 @@ object LlmQueries extends QueryGroup {
 
   override def queries: Map[String, Q] = Map(
     // ---- dedup: exact (M6a) -----------------------------------------
+    // duplication-multiplicity profile (NEW r11): the pre-dedup health
+    // report — per power-of-two cluster-size bucket, clusters / docs /
+    // redundant docs / corpus share in floor bp, over q90's md5
+    // fingerprint substrate and q233's bin()-length bucketing
+    "q237_dup_profile" -> ((s, d) => {
+      Dedup.duplicationProfile(Tables.documents(s, d), "text")
+        .orderBy(col("bucket"))
+    }),
+
     "q90_dedup_exact" -> ((s, d) => {
       Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("fp")).limit(100)
@@ -961,6 +970,20 @@ object LlmQueries extends QueryGroup {
       "q90_dedup_exact" ->
         s"""SELECT md5($sqlNorm) AS fp, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
            |FROM documents GROUP BY fp ORDER BY fp LIMIT 100""".stripMargin,
+
+      "q237_dup_profile" ->
+        s"""WITH cl AS (SELECT md5($sqlNorm) AS fp, CAST(COUNT(*) AS BIGINT) AS sz
+           |  FROM documents GROUP BY fp),
+           |b AS (SELECT CAST(LENGTH(BIN(sz)) - 1 AS INTEGER) AS bucket, sz
+           |  FROM cl),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents)
+           |SELECT bucket, CAST(1 AS BIGINT) << bucket AS lo_sz,
+           |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+           |  CAST(SUM(sz - 1) AS BIGINT) AS n_redundant,
+           |  CAST(MAX(sz) AS BIGINT) AS max_sz,
+           |  (10000 * CAST(SUM(sz) AS BIGINT)) // t.t AS docs_bp
+           |FROM b, t GROUP BY bucket, t.t ORDER BY bucket""".stripMargin,
 
       "q90b_dedup_incremental" ->
         s"""SELECT doc_id, lang, md5($sqlNorm) AS fp

@@ -257,6 +257,30 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("c_custkey"))
     }),
 
+    // time-travel snapshot (NEW r11): AS OF version 1 over q212's CDC
+    // log — reconstructs the intermediate state (only the v=1 +111
+    // updates; v=2's +555/deletes are after the asked version), the
+    // Delta/Iceberg time-travel surface over the same deterministic
+    // changeset fold
+    "q239_snapshot_at" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      val touched = cust.filter(col("c_custkey") % 3 === 0)
+      val changes = touched.select(col("c_custkey"), lit(1L).as("v"),
+          lit("U").as("op"), col("c_name"),
+          (col("c_acctbal") + 111).as("c_acctbal"), col("c_nationkey"))
+        .unionByName(touched.select(col("c_custkey"), lit(2L).as("v"),
+          when(col("c_custkey") % 9 === 0, "D").otherwise("U").as("op"),
+          col("c_name"), (col("c_acctbal") + 555).as("c_acctbal"),
+          col("c_nationkey")))
+      graft.ops.FrameOps.snapshotAt(cust, changes, "c_custkey",
+          asOfVersion = 1L, op = "op", version = "v")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // pandas combine_first: fill this frame's nulls from another frame
     // aligned on the key — COALESCE over a left join, one shuffle
     "q04d_combine_first" -> ((s, d) => {
@@ -1260,6 +1284,32 @@ object RelationalQueries extends QueryGroup {
         |    c_name, c_acctbal + 555 AS c_acctbal, c_nationkey FROM t),
         |latest AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
         |    (PARTITION BY c_custkey ORDER BY v DESC) AS rn FROM ch)
+        |  WHERE rn = 1),
+        |untouched AS (SELECT c.* FROM cust c WHERE NOT EXISTS
+        |  (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
+        |ups AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        |  FROM latest WHERE op = 'U'),
+        |merged AS (SELECT * FROM untouched UNION ALL SELECT * FROM ups)
+        |SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+        |  c_nationkey
+        |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "q239_snapshot_at" ->
+      // q212's fold with the log truncated at v <= 1: only the +111
+      // updates exist at that version — no deletes, no +555
+      """WITH cust AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        |  FROM customer),
+        |t AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |ch AS (
+        |  SELECT c_custkey, 1 AS v, 'U' AS op, c_name,
+        |    c_acctbal + 111 AS c_acctbal, c_nationkey FROM t
+        |  UNION ALL
+        |  SELECT c_custkey, 2 AS v,
+        |    CASE WHEN c_custkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    c_name, c_acctbal + 555 AS c_acctbal, c_nationkey FROM t),
+        |kept AS (SELECT * FROM ch WHERE v <= 1),
+        |latest AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY c_custkey ORDER BY v DESC) AS rn FROM kept)
         |  WHERE rn = 1),
         |untouched AS (SELECT c.* FROM cust c WHERE NOT EXISTS
         |  (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),

@@ -429,6 +429,18 @@ package object syntax {
       ops.Graph.pageRankWeightedPpb(df, src, dst, weight, iterations)
     def psiReferenceCounts(valueCol: String, bounds: Seq[Double]): Seq[Long] =
       ops.Validate.psiReferenceCounts(df, valueCol, bounds)
+    // --- round-11 additions --------------------------------------
+    def duplicationProfile(text: String): DataFrame =
+      ops.Dedup.duplicationProfile(df, text)
+    def trailingDistinct(ts: String, key: String, windowDays: Int,
+        as: String = "n_distinct"): DataFrame =
+      ops.FrameOps.trailingDistinct(df, ts, key, windowDays, as)
+    def snapshotAt(changes: DataFrame, key: String, asOfVersion: Long,
+        op: String = "op", version: String = "version"): DataFrame =
+      ops.FrameOps.snapshotAt(df, changes, key, asOfVersion, op, version)
+    def bipartiteProject(basket: String, item: String,
+        maxPerBasket: Int): DataFrame =
+      ops.Graph.bipartiteProject(df, basket, item, maxPerBasket)
 
     def zOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
       Layout.zOrderBy(df, a, b, nFiles)

@@ -26,6 +26,28 @@ class DedupCapSpec extends SparkSpec {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .as[(Long, Long, Double)].collect().toSet
 
+  test("duplicationProfile: bucket boundaries, redundancy, corpus share") {
+    // clusters: 3 singletons (bucket 0), one pair (bucket 1), one
+    // 4-cluster (bucket 2) — whitespace variants must collapse (norm)
+    val docs = (
+      Seq("solo one", "solo two", "solo three") ++
+      Seq("dup pair", "dup  PAIR") ++
+      Seq.fill(4)("big cluster")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Dedup.duplicationProfile(docs, "text")
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      // (bucket, lo_sz, n_clusters, n_docs, n_redundant, max_sz, docs_bp)
+      (0, 1L, 3L, 3L, 0L, 1L, 3333L),
+      (1, 2L, 1L, 2L, 1L, 2L, 2222L),
+      (2, 4L, 1L, 4L, 3L, 4L, 4444L)))
+    // shares sum to ≤ 10000 (floor) and redundancy = docs − clusters
+    assert(out.map(_._7).sum <= 10000L)
+    assert(out.map(t => t._4 - t._3).toSeq == out.map(_._5).toSeq)
+  }
+
   test("capped equals uncapped when a boilerplate gram is in every doc") {
     // every doc ends with the same boilerplate sentence → its trigrams
     // have df = N and the uncapped posting explode would be quadratic

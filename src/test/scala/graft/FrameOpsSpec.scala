@@ -678,6 +678,55 @@ class FrameOpsSpec extends SparkSpec {
     assert(cm.values.forall(_ == false))
   }
 
+  test("trailingDistinct: window membership, cross-day dedup, observed-days-only") {
+    val df = Seq(
+      // user 10 on day 1 and day 2 — one window sees both, counts once
+      ("2024-01-01 10:00:00", 10L), ("2024-01-02 09:00:00", 10L),
+      ("2024-01-02 11:00:00", 20L),
+      // day 5 (gap: days 3-4 absent — must NOT appear in output)
+      ("2024-01-05 08:00:00", 30L)
+    ).toDF("ts", "k").select(col("ts").cast("timestamp").as("ts"), col("k"))
+    val out = FrameOps.trailingDistinct(df, "ts", "k", windowDays = 3,
+        as = "n")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    // day1: {10}; day2: {10 (both days, once), 20}; day5: {30} + day2's
+    // contributions end at day4 (absent); days 3,4 not observed → absent
+    assert(out == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L,
+      "2024-01-05" -> 1L))
+    // window of 1 day degenerates to per-day distinct
+    val out1 = FrameOps.trailingDistinct(df, "ts", "k", 1, "n")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(out1 == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L,
+      "2024-01-05" -> 1L))
+    // null keys and null timestamps are dropped, not counted
+    val withNulls = Seq(("2024-01-01 10:00:00", Some(10L)),
+        ("2024-01-01 11:00:00", None), (null, Some(99L)))
+      .toDF("ts", "k").select(col("ts").cast("timestamp").as("ts"), col("k"))
+    assert(FrameOps.trailingDistinct(withNulls, "ts", "k", 2, "n")
+      .collect().map(r => r.getLong(1)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      FrameOps.trailingDistinct(df, "ts", "k", 0, "n")
+    }
+  }
+
+  test("snapshotAt: version prefix semantics — each historical state reconstructs") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "attr")
+    val log = Seq(
+      (2L, 1L, "U", "b1"),   // v1: update 2
+      (3L, 2L, "U", "c2"),   // v2: insert 3
+      (2L, 3L, "D", "x")     // v3: delete 2
+    ).toDF("k", "version", "op", "attr")
+    def at(v: Long) = FrameOps.snapshotAt(snap, log, "k", v)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at(0L) == Set((1L, "a"), (2L, "b")))   // before any change
+    assert(at(1L) == Set((1L, "a"), (2L, "b1")))
+    assert(at(2L) == Set((1L, "a"), (2L, "b1"), (3L, "c2")))
+    assert(at(3L) == Set((1L, "a"), (3L, "c2")))
+    // as-of the max version ≡ applyChangeSet over the full log
+    assert(at(99L) == FrameOps.applyChangeSet(snap, log, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("applyChangeSet: LWW within the changeset, insert, replace, delete, pass-through") {
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr")
     val changes = Seq(

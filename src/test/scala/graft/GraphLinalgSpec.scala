@@ -12,6 +12,40 @@ import graft.ops.{Graph, Linalg}
 class GraphLinalgSpec extends SparkSpec {
   import spark.implicits._
 
+  // --- bipartiteProject ------------------------------------------------
+
+  test("bipartiteProject: weights count shared baskets; incidence dedup") {
+    val inc = Seq(
+      ("b1", 10L), ("b1", 20L), ("b1", 30L),
+      ("b2", 10L), ("b2", 20L),
+      ("b2", 20L),              // duplicate incidence row — counts once
+      ("b3", 10L), ("b3", 20L)
+    ).toDF("b", "i")
+    val out = Graph.bipartiteProject(inc, "b", "i", maxPerBasket = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == Map((10L, 20L) -> 3L, (10L, 30L) -> 1L, (20L, 30L) -> 1L))
+  }
+
+  test("bipartiteProject: the cap bounds a viral basket's fan-out deterministically") {
+    // basket "hot" holds items 1..100 → uncapped emits C(100,2)=4950
+    // pairs; cap=4 keeps the 4 SMALLEST ids, so exactly C(4,2)=6 pairs
+    // survive and they are the pairs over {1,2,3,4}
+    val hot = (1L to 100L).map(i => ("hot", i))
+    val cold = Seq(("c", 200L), ("c", 201L))
+    val out = Graph.bipartiteProject((hot ++ cold).toDF("b", "i"), "b", "i",
+        maxPerBasket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectHot = (for (x <- 1L to 4L; y <- 1L to 4L if x < y) yield (x, y)).toSet
+    assert(out == expectHot + ((200L, 201L)))
+    // null basket/item rows drop instead of pairing
+    val withNull = Seq((null, 1L), ("b", 2L)).toDF("b", "i")
+    assert(Graph.bipartiteProject(withNull, "b", "i", 4).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Graph.bipartiteProject(inc2, "b", "i", 1)
+    }
+  }
+  private lazy val inc2 = Seq(("b", 1L)).toDF("b", "i")
+
   // --- pageRankPpb ---------------------------------------------------
 
   test("pageRankPpb: symmetric 2-node graph stays uniform") {

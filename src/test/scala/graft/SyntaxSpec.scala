@@ -286,4 +286,20 @@ class SyntaxSpec extends SparkSpec {
     assert(qd.dedupCorpusKeepBest("doc_id", "text", "q")
       .filter($"keep" === 1).head.getLong(0) == 2L)
   }
+
+  test("round-11 wave-2 wrappers resolve and delegate") {
+    val docs = Seq((1L, "same text"), (2L, "same  TEXT"), (3L, "other"))
+      .toDF("doc_id", "text")
+    // one pair cluster (bucket 1) + one singleton (bucket 0)
+    assert(docs.duplicationProfile("text").count() == 2)
+    val ev = Seq(("2024-01-01 10:00:00", 1L))
+      .toDF("ts", "k").select(col("ts").cast("timestamp").as("ts"), col("k"))
+    assert(ev.trailingDistinct("ts", "k", 7).head.getLong(1) == 1L)
+    val snap = Seq((1L, "a")).toDF("k", "attr")
+    val log = Seq((1L, 1L, "D", "x")).toDF("k", "version", "op", "attr")
+    assert(snap.snapshotAt(log, "k", asOfVersion = 0L).count() == 1L)
+    assert(snap.snapshotAt(log, "k", asOfVersion = 1L).count() == 0L)
+    val inc = Seq(("b", 1L), ("b", 2L)).toDF("bk", "it")
+    assert(inc.bipartiteProject("bk", "it", 8).head.getLong(2) == 1L)
+  }
 }
