@@ -84,6 +84,60 @@ object Similarity {
     out
   }
 
+  /** Deterministic negative sampling for contrastive training — k
+    * pseudo-random negatives per anchor, WITHOUT an RNG: candidates
+    * sit on a 2³² hash ring (position = Knuth multiplicative hash of
+    * the id — odd multiplier, so positions are distinct for distinct
+    * ids < 2³²), each (anchor, j) probe hashes to a ring point, and
+    * the negative is the candidate at the smallest forward ring
+    * distance within the probe's ring bucket (top `bucketBits` bits).
+    *
+    * The BUCKETED-successor contract is the scale design: a strict
+    * global successor needs a sorted structure; restricting to the
+    * probe's bucket makes the lookup ONE equi-join on the bucket key +
+    * a per-(anchor, j) argmin — hash-partitioned, skew-free (buckets
+    * are hash-uniform by construction). With |pool| ≫ 2^bucketBits
+    * every bucket is populated and the choice distribution is
+    * indistinguishable from uniform; an empty bucket yields no row for
+    * that probe (size bucketBits so E[bucket] ≥ ~100 candidates).
+    * Everything is 64-bit integer arithmetic — the sample replays
+    * bit-for-bit in any engine, unlike rand()-based negative mining.
+    *
+    * The anchor itself is excluded in the join (a positive must never
+    * surface as its own negative); distinct probes may return the same
+    * candidate (sampling with replacement across j — standard for
+    * contrastive batches).
+    *
+    * @return (anchor_id, j, neg_id, ring_dist)
+    */
+  def negativeSampleRing(pool: DataFrame, poolId: String,
+      anchors: DataFrame, anchorId: String, k: Int,
+      bucketBits: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val M = 4294967296L            // 2^32 ring size
+    val KN = 2654435761L           // Knuth multiplicative constant (odd)
+    val bucketDiv = M >> bucketBits
+    val cand = pool.select(col(poolId).cast("long").as("cid"))
+      .filter(col("cid").isNotNull).distinct()
+      .withColumn("cpos", (col("cid") * KN) % M)
+      .withColumn("bkt", expr(s"cpos div ${bucketDiv}L"))
+    val probes = anchors.select(col(anchorId).cast("long").as("aid"))
+      .filter(col("aid").isNotNull).distinct()
+      .withColumn("j", explode(sequence(lit(0L), lit((k - 1).toLong))))
+      .withColumn("probe",
+        ((col("aid") * 37L + col("j") * 1009L + 17L) * KN) % M)
+      .withColumn("bkt", expr(s"probe div ${bucketDiv}L"))
+    probes.join(cand, probes("bkt") === cand("bkt") &&
+        col("cid") =!= col("aid"))
+      .withColumn("d", (col("cpos") - col("probe") + M) % M)
+      .groupBy(col("aid").as("anchor_id"), col("j"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("anchor_id"), col("j"), col("m.cid").as("neg_id"),
+        col("m.d").as("ring_dist"))
+  }
+
   /** Bucket assignment for the LSH tier (exposed for audits/bench). */
   def withBucket(df: DataFrame, vec: String, nBits: Int = 8): DataFrame =
     df.withColumn("bucket", rp_bits(col(vec), nBits))

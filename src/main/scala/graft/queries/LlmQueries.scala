@@ -476,6 +476,18 @@ object LlmQueries extends QueryGroup {
     // emit (a, b) iff each is the other's top-1 across the split.
     // Scores computed once, two rank-1 windows, a semi-join keeps the
     // mutual pairs; rounded cosine → full hash gate
+    // deterministic negative sampling (NEW r11): k=4 negatives per
+    // anchor from the 2^32 hash ring — Knuth-multiplicative positions,
+    // bucketed forward-successor lookup (one equi-join + argmin, no
+    // RNG, no sorted structure), pure 64-bit integers → hash-gates
+    "q240_negative_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.negativeSampleRing(emb, "vec_id",
+          emb.filter(col("vec_id") % 20 === 0), "vec_id",
+          k = 4, bucketBits = 6)
+        .orderBy(col("anchor_id"), col("j"))
+    }),
+
     "q234_mutual_nn" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.mutualNearestPairs(
@@ -1419,6 +1431,28 @@ object LlmQueries extends QueryGroup {
       // rank by the UNROUNDED dot both directions, keep mutual rank-1
       // pairs, emit the rounded cosine — the same tie-break
       // (lowest partner id) as the Spark windows
+      "q240_negative_sample" ->
+        // bit-for-bit ring replay: positions, probes, bucket division,
+        // forward distance, (d, cid)-argmin via row_number
+        """WITH cand AS (SELECT DISTINCT vec_id AS cid,
+          |    (vec_id * 2654435761) % 4294967296 AS cpos
+          |  FROM embeddings),
+          |cb AS (SELECT cid, cpos, cpos // 67108864 AS bkt FROM cand),
+          |pr AS (SELECT a.vec_id AS aid, g.j,
+          |    ((a.vec_id * 37 + g.j * 1009 + 17) * 2654435761)
+          |      % 4294967296 AS probe
+          |  FROM embeddings a
+          |  CROSS JOIN (SELECT unnest(range(4)) AS j) g
+          |  WHERE a.vec_id % 20 = 0),
+          |pb AS (SELECT aid, j, probe, probe // 67108864 AS bkt FROM pr),
+          |sc AS (SELECT pb.aid, pb.j, cb.cid,
+          |    (cb.cpos - pb.probe + 4294967296) % 4294967296 AS d
+          |  FROM pb JOIN cb ON pb.bkt = cb.bkt AND cb.cid != pb.aid)
+          |SELECT aid AS anchor_id, j, cid AS neg_id, d AS ring_dist
+          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid, j
+          |    ORDER BY d, cid) AS r FROM sc) WHERE r = 1
+          |ORDER BY anchor_id, j""".stripMargin,
+
       "q234_mutual_nn" ->
         s"""WITH sc AS MATERIALIZED (
            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

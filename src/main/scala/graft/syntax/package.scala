@@ -441,6 +441,10 @@ package object syntax {
     def bipartiteProject(basket: String, item: String,
         maxPerBasket: Int): DataFrame =
       ops.Graph.bipartiteProject(df, basket, item, maxPerBasket)
+    def negativeSampleRing(poolId: String, anchors: DataFrame,
+        anchorId: String, k: Int, bucketBits: Int = 6): DataFrame =
+      ops.Similarity.negativeSampleRing(df, poolId, anchors, anchorId,
+        k, bucketBits)
 
     def zOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
       Layout.zOrderBy(df, a, b, nFiles)

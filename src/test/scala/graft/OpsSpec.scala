@@ -11,6 +11,39 @@ class OpsSpec extends SparkSpec {
   private lazy val emb = Tables.embeddings(spark, sfSmall).cache()
   private lazy val docs = Tables.documents(spark, sfSmall)
 
+  test("negativeSampleRing: determinism, self-exclusion, hand-checked successor") {
+    import spark.implicits._
+    val pool = (0L until 200L).toDF("id")
+    val anchors = Seq(0L, 20L, 40L).toDF("id")
+    def run() = Similarity.negativeSampleRing(pool, "id", anchors, "id",
+        k = 4, bucketBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val out = run()
+    // k rows per anchor (buckets dense at 200/8 = 25 candidates each)
+    assert(out.size == 12)
+    assert(out.groupBy(_._1).forall(_._2.size == 4))
+    // never its own negative
+    assert(out.forall { case (a, _, n, _) => a != n })
+    // bit-for-bit reproducible (no RNG anywhere)
+    assert(run() == out)
+    // hand replay of one probe: smallest in-bucket forward distance
+    val M = 4294967296L; val KN = 2654435761L; val div = M >> 3
+    val probe = ((0L * 37 + 0L * 1009 + 17) * KN) % M
+    val want = (0L until 200L)
+      .map(c => (c, (c * KN) % M))
+      .filter { case (c, p) => p / div == probe / div && c != 0L }
+      .map { case (c, p) => ((p - probe + M) % M, c) }
+      .min
+    assert(out.contains((0L, 0L, want._2, want._1)))
+    // partitioning invariance: 1 partition == many
+    val got1 = Similarity.negativeSampleRing(pool.repartition(1), "id",
+        anchors, "id", k = 4, bucketBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got1 == out)
+  }
+
   test("mutualNearestPairs: hand-built mutual and hub cases") {
     import spark.implicits._
     // unit-ish vectors in 64 dims (first 3 dims used): a1<->b1 mutual,
