@@ -85,6 +85,24 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming exact per-window top-k (NEW r11): live heavy-user
+    // monitor — per-window count map in flatMapGroupsWithState, ONE
+    // row per window per batch carrying the ranked "user:cnt" string
+    // (sink traffic O(k), never per-key); counts are order-free so
+    // the gate needs no fold-order contract; max-n_events emission
+    // per window is the final state
+    "q241_stream_topk" -> ((s, d) => {
+      val res = Streams.runToBatch(s,
+        Streams.topKStream(Streams.eventsStream(s, d), k = 10),
+        "q241_topk", outputMode = "update")
+      res.groupBy(col("w_start"))
+        .agg(max(struct(col("n_events"), col("n_keys"), col("top_k")))
+          .as("f"))
+        .select(col("w_start"), col("f.n_events").as("n_events"),
+          col("f.n_keys").as("n_keys"), col("f.top_k").as("top_k"))
+        .orderBy(col("w_start"))
+    }),
+
     // streaming KMV contamination monitor (NEW r10): per-window
     // overlap of the purchase-user stream vs a FROZEN click-user
     // reference sketch (kmvSketchValues = the compute-once producer;
@@ -348,6 +366,26 @@ object StreamingQueries extends QueryGroup {
          |FROM w, mx
          |WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND
          |GROUP BY ws ORDER BY w_start""".stripMargin,
+
+    "q241_stream_topk" ->
+      // exact replay: per-(window, user) counts, rank by (cnt DESC,
+      // user), top-10 folded to the same "user:cnt,…" string
+      s"""WITH $ctes,
+         |w AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 300)
+         |      * 300 * 1000000) AS ws, user_id FROM e
+         |  WHERE user_id IS NOT NULL),
+         |c AS (SELECT ws, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM w GROUP BY 1, 2),
+         |r AS (SELECT ws, user_id, cnt, ROW_NUMBER() OVER
+         |    (PARTITION BY ws ORDER BY cnt DESC, user_id) AS rk FROM c),
+         |a AS (SELECT ws, CAST(SUM(cnt) AS BIGINT) AS n_events,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM c GROUP BY ws),
+         |t AS (SELECT ws, STRING_AGG(user_id || ':' || cnt,
+         |    ',' ORDER BY cnt DESC, user_id) AS top_k
+         |  FROM r WHERE rk <= 10 GROUP BY ws)
+         |SELECT STRFTIME(a.ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  n_events, n_keys, t.top_k
+         |FROM a JOIN t ON a.ws = t.ws ORDER BY w_start""".stripMargin,
 
     "q220_stream_kmv_distinct" -> {
       // full KMV replay per window: scrambled poly hash of the user id

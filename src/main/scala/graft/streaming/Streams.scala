@@ -686,6 +686,80 @@ object Streams {
         ((col("_4") - col("_3")) / 1000000L).cast("long").as("span_sec"))
   }
 
+  /** Streaming exact per-window TOP-K — the live "who is hammering the
+    * system this window" monitor ([[graft.ops.Sketches.heavyHitters]]'
+    * streaming sibling). One [[flatMapGroupsWithState]] group per open
+    * window holds the exact per-key count map; each micro-batch emits
+    * ONE row per touched window carrying the current top-k as a
+    * deterministic "key:cnt,…" string (ranked cnt DESC, key ASC) plus
+    * the monotone n_events — so sink traffic is O(k) per window per
+    * batch, never one row per key, and the final state per window is
+    * the max-n_events emission (counts are ORDER-FREE, so no fold-order
+    * contract is needed at all — stronger than the q225 ascending-id
+    * clock contract; any arrival order yields the same counts).
+    *
+    * State honesty: EXACT top-k requires the full per-window key→count
+    * map — state is O(distinct keys in window), capped by
+    * `maxStateKeys` with fail-fast (the q225 posture), and evicted by
+    * event-time timeout after the watermark passes the window.
+    * For vocabulary-scale cardinality where that map cannot fit, run
+    * the batch Misra-Gries tier ([[graft.ops.Sketches.heavyHitters]])
+    * over closed windows instead — the streaming tier's job is
+    * low-latency alerting on windows whose key set fits in memory
+    * (users, hosts, tenants).
+    *
+    * @return (w_start, n_events, n_keys, top_k) per window per batch,
+    *         update mode; fold max(struct(n_events, …)) per window
+    */
+  def topKStream(events: DataFrame, k: Int, windowSecs: Int = 300,
+      delay: String = "10 minutes", keyCol: String = "user_id",
+      maxStateKeys: Int = 4000000): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sized = s"$windowSecs seconds"
+    events
+      .filter(col(keyCol).isNotNull)
+      .withWatermark("ts", delay)
+      .select(
+        date_format(window(col("ts"), sized).getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("w"),
+        col(keyCol).cast("long").as("u"),
+        // the watermark column must ride into the grouped Dataset for
+        // EventTimeTimeout to resolve (q225 contract)
+        col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (w: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         st: GroupState[Map[Long, Long]]) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            var state = st.getOption.getOrElse(Map.empty[Long, Long])
+            rows.foreach { case (_, u, _) =>
+              state = state.updated(u, state.getOrElse(u, 0L) + 1L)
+            }
+            if (state.size > maxStateKeys)
+              throw new IllegalStateException(
+                s"topKStream: window $w exceeds $maxStateKeys distinct " +
+                  "keys — raise maxStateKeys, shrink the window, or use " +
+                  "the batch Misra-Gries tier")
+            st.update(state)
+            st.setTimeoutTimestamp(math.max(
+              windowStartMs(w) + windowSecs * 1000L + durationMs(delay),
+              st.getCurrentWatermarkMs() + 1))
+            val top = state.toSeq.map { case (u, c) => (-c, u) }
+              .sorted.take(k)
+              .map { case (nc, u) => s"$u:${-nc}" }.mkString(",")
+            Iterator.single((w, state.valuesIterator.sum,
+              state.size.toLong, top))
+          }
+      }
+      .toDF("w_start", "n_events", "n_keys", "top_k")
+  }
+
   /** Streaming PSI drift monitor — the production posture for
     * [[graft.ops.Validate.psiDrift]]: a per-tumbling-window population
     * stability index of the live stream against a FROZEN reference

@@ -262,6 +262,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("topKStream equals the batch window top-k; state cap fails fast") {
+    val streamed = Streams.runToBatch(spark,
+        Streams.topKStream(Streams.eventsStream(spark, sfTiny), k = 5),
+        "spec_topk", outputMode = "update")
+      .groupBy(col("w_start"))
+      .agg(max(struct(col("n_events"), col("n_keys"), col("top_k")))
+        .as("f"))
+      .select(col("w_start"), col("f.n_events"), col("f.n_keys"),
+        col("f.top_k"))
+      .orderBy("w_start").collect().map(_.toSeq).toSeq
+    // batch replay: per-(window, user) counts → rank → same string
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ws")).orderBy(col("cnt").desc, col("user_id"))
+    val c = Tables.events(spark, sfTiny)
+      .filter(col("user_id").isNotNull)
+      .select(date_format(window(col("ts"), "300 seconds")
+        .getField("start"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("user_id"))
+      .groupBy(col("ws"), col("user_id")).agg(count(lit(1)).as("cnt"))
+    val batch = c.withColumn("rk", row_number().over(w))
+      .groupBy(col("ws"))
+      .agg(sum(col("cnt")).as("n_events"), count(lit(1)).as("n_keys"),
+        expr("concat_ws(',', transform(array_sort(collect_list(" +
+          "CASE WHEN rk <= 5 THEN named_struct('rk', rk, 's', " +
+          "concat(user_id, ':', cnt)) END)), x -> x.s))").as("top_k"))
+      .orderBy("ws").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // cap: 2 distinct keys with maxStateKeys = 1 must fail loudly
+    val ex = intercept[Exception] {
+      Streams.runToBatch(spark,
+        Streams.topKStream(Streams.eventsStream(spark, sfTiny), k = 5,
+          maxStateKeys = 1),
+        "spec_topk_cap", outputMode = "update").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("distinct")), ex.getMessage)
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so
