@@ -182,6 +182,34 @@ object HashSpec {
     }
     if (prev(m) <= k) prev(m) else -1
   }
+
+  /** Hilbert-curve index of a 16-bit (x, y) cell — the classic
+    * quadrant-rotation xy→d walk (16 levels, pure 64-bit integers, no
+    * lookup tables), shared verbatim by interpreted eval, codegen, and
+    * the DuckDB oracle's level-unrolled CTE replay. Unlike the Morton
+    * z-value ([[graft.ops.Layout.zValue]]), consecutive Hilbert
+    * indices are always 4-adjacent grid cells, so range partitions of
+    * the index cover squarer, never-split tiles of key space — the
+    * better min/max-stat layout when both dimensions carry selective
+    * predicates.
+    */
+  def hilbertXY2D(xIn: Long, yIn: Long): Long = {
+    var x = xIn & 0xFFFFL
+    var y = yIn & 0xFFFFL
+    var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = 65535L - x; y = 65535L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }
 
 /** polyHash(string) → long. */
@@ -226,6 +254,19 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashSpec.dotF($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+}
+
+/** hilbert_index(long, long) → long: 16-bit Hilbert curve position. */
+case class HilbertIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashSpec.hilbertXY2D(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.HashSpec.hilbertXY2D($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex =
     copy(left = l, right = r)
 }
 
@@ -299,4 +340,6 @@ object TextHashes {
     column(RandomProjectionBits(expression(c), nBits))
   def edit_distance_bounded(a: Column, b: Column, bound: Int): Column =
     column(EditDistanceBounded(expression(a), expression(b), bound))
+  def hilbert_index(a: Column, b: Column): Column =
+    column(HilbertIndex(expression(a.cast("long")), expression(b.cast("long"))))
 }

@@ -171,6 +171,30 @@ object SourceQueries extends QueryGroup {
           max(Layout.zValue(col("l_partkey"), col("l_suppkey"))).as("max_z"))
     }),
 
+    // Hilbert-curve layout (NEW r11): q126's write-cluster-prune cycle
+    // with the Hilbert index as the clustering key — consecutive curve
+    // positions are always adjacent grid cells (the Z curve jumps at
+    // every power-of-two boundary), so file stat boxes are tighter
+    // under 2-d predicates; index computed by a codegen'd 16-level
+    // quadrant-rotation Expression (a column fold would blow up the
+    // tree exponentially), replayed level-by-level by the oracle
+    "q242_src_hilbert_layout" -> ((s, d) => {
+      import graft.ops.Layout
+      val out = scratch("hilbert_lineitem", d)
+      Layout.hilbertOrderBy(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+          col("l_partkey"), col("l_suppkey"), nFiles = 8)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(100, 140) &&
+          col("l_suppkey").between(10, 20))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(Layout.hValue(col("l_partkey"), col("l_suppkey"))).as("min_h"),
+          max(Layout.hValue(col("l_partkey"), col("l_suppkey"))).as("max_h"))
+    }),
+
     // declarative data-quality expectations (the pre-ingest shard
     // gate): a 6-check suite compiled into ONE aggregation pass —
     // violation counts are integers, verdict arithmetic is ppm-exact
@@ -419,6 +443,33 @@ object SourceQueries extends QueryGroup {
         |SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty,
         |  MIN(a4 | (b4 << 1)) AS min_z, MAX(a4 | (b4 << 1)) AS max_z
         |FROM s4""".stripMargin,
+
+    "q242_src_hilbert_layout" -> {
+      // level-by-level replay of the quadrant-rotation walk; each level
+      // MATERIALIZED (inlined CTEs re-expand the x/y CASEs across all
+      // 16 levels — the q171f lesson)
+      val levels = (1 to 16).map { i =>
+        val s = 1L << (16 - i)
+        val ss = s * s
+        s"""l$i AS MATERIALIZED (SELECT
+           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) != 0
+           |    THEN 65535 - y ELSE y END) ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) != 0
+           |    THEN 65535 - x ELSE x END) ELSE y END AS y,
+           |  d + $ss * xor(3 * (CASE WHEN (x & $s) != 0 THEN 1 ELSE 0 END),
+           |    CASE WHEN (y & $s) != 0 THEN 1 ELSE 0 END) AS d,
+           |  l_quantity FROM l${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT l_partkey % 65536 AS xa, l_suppkey % 65536 AS xb,
+         |    l_quantity FROM lineitem
+         |  WHERE l_partkey BETWEEN 100 AND 140 AND l_suppkey BETWEEN 10 AND 20),
+         |l0 AS (SELECT CAST(xa AS BIGINT) AS x, CAST(xb AS BIGINT) AS y,
+         |  CAST(0 AS BIGINT) AS d, l_quantity FROM t),
+         |$levels
+         |SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty,
+         |  MIN(d) AS min_h, MAX(d) AS max_h
+         |FROM l16""".stripMargin
+    },
 
     "q178_expectations" -> {
       // (name, predicate SQL) — violation when NOT COALESCE(pred, FALSE)

@@ -448,5 +448,7 @@ package object syntax {
 
     def zOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
       Layout.zOrderBy(df, a, b, nFiles)
+    def hilbertOrderBy(a: Column, b: Column, nFiles: Int): DataFrame =
+      Layout.hilbertOrderBy(df, a, b, nFiles)
   }
 }

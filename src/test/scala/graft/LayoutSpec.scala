@@ -19,6 +19,65 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(85L, 170L, 5L | (17L << 1), 0xFFFFFFFFL, 0L))
   }
 
+  test("hilbertXY2D: continuity — the first 4096 positions walk the 64x64 origin block in unit steps") {
+    // the curve's defining property (and what Z lacks): consecutive
+    // indices are 4-adjacent cells. {d < 4^k} must be exactly the
+    // [0, 2^k)^2 block, walked with |Δx| + |Δy| = 1 at every step.
+    val cells = for (x <- 0 until 64; y <- 0 until 64)
+      yield (graft.expressions.HashSpec.hilbertXY2D(x, y), x, y)
+    assert(cells.map(_._1).sorted == (0L until 4096L))
+    val walk = cells.sortBy(_._1)
+    walk.sliding(2).foreach { case Seq((_, x0, y0), (_, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"jump at ($x0,$y0)->($x1,$y1)")
+    }
+    // corners of the full 16-bit curve: start at (0,0); d covers [0, 2^32)
+    assert(graft.expressions.HashSpec.hilbertXY2D(0, 0) == 0L)
+    val corner = graft.expressions.HashSpec.hilbertXY2D(65535L, 0L)
+    assert(corner == (1L << 32) - 1L, s"end corner d=$corner")
+  }
+
+  test("hilbert_index expression: codegen == interpreted == reference loop") {
+    val rng = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L)) ++
+      Seq.fill(200)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val df = pts.toDF("x", "y")
+    val viaExpr = df.select(Layout.hValue($"x", $"y")).collect().map(_.getLong(0))
+    assert(viaExpr.toSeq == pts.map { case (x, y) =>
+      graft.expressions.HashSpec.hilbertXY2D(x, y) })
+    // interpreted path (codegen off) must agree
+    val conf = spark.conf
+    val oldWs = conf.get("spark.sql.codegen.wholeStage")
+    val oldFm = conf.get("spark.sql.codegen.factoryMode")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(Layout.hValue($"x", $"y")).collect().map(_.getLong(0))
+      assert(interp.toSeq == viaExpr.toSeq)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWs)
+      conf.set("spark.sql.codegen.factoryMode", oldFm)
+    }
+  }
+
+  test("hilbert layout prunes a 2-d box at least as well as single-column sort") {
+    val li = Tables.lineitem(spark, sfSmall)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    val hDir = s"${System.getProperty("java.io.tmpdir")}/graft-hilbert-test"
+    val plainDir = s"${System.getProperty("java.io.tmpdir")}/graft-plain-h-test"
+    Layout.hilbertOrderBy(li, $"l_partkey", $"l_suppkey", nFiles = 8)
+      .write.mode("overwrite").parquet(hDir)
+    li.repartitionByRange(8, $"l_orderkey").sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(plainDir)
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter($"l_partkey".between(100, 140) && $"l_suppkey".between(10, 20))
+        .select(input_file_name()).distinct().count()
+    val (hf, pf) = (filesTouched(hDir), filesTouched(plainDir))
+    assert(hf < pf, s"hilbert files=$hf plain files=$pf")
+    assert(hf <= 4, s"hilbert files=$hf")
+  }
+
   test("z-ordered layout prunes more files than single-column sort for a 2-d box") {
     val li = Tables.lineitem(spark, sfSmall)
       .select($"l_orderkey", $"l_partkey", $"l_suppkey")
