@@ -1733,4 +1733,38 @@ object Corpus {
       .withColumn("recall_bp", expr("(10000 * tp) div nullif(n_truth, 0L)"))
       .withColumn("f1_bp", expr("(20000 * tp) div (n_pred + n_truth)"))
   }
+
+  /** Gini coefficient of the corpus token-frequency distribution —
+    * the concentration scalar behind the Zipf plot (q157b gives the
+    * slope; this gives the inequality number a crawl-health dashboard
+    * tracks release over release: template spam and boilerplate push
+    * it toward 1, a diversified crawl pulls it down). Exact integer
+    * form of the classic rank formula: terms rank ASCENDING by
+    * (count, term) — the tie-break makes the rank deterministic while
+    * leaving the Gini value unchanged (equal counts commute in W) —
+    * then gini_bp = floor(10^4·(2W − (n+1)·S) / (n·S)) with
+    * W = Σ rank·count, S = total token mass. The rank window runs over
+    * the VOCABULARY frame (bounded: distinct terms, not corpus rows).
+    *
+    * Overflow bound (BIGINT): the 10^4-scaled numerator needs
+    * n_terms·mass ≤ ~9.2e14 (e.g. a 1e6-term vocab over 1e8 tokens) —
+    * per-source strata at fleet scale, which is also the more
+    * actionable report.
+    *
+    * @return one row: (n_terms, mass, w_ranked, gini_bp)
+    */
+  def tokenGini(df: DataFrame, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(toks(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c"), col("term"))).cast("long"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("mass"),
+        sum(col("r") * col("c")).as("w_ranked"))
+      .withColumn("gini_bp", expr(
+        "(10000 * (2 * w_ranked - (n_terms + 1) * mass))" +
+          " div nullif(n_terms * mass, 0L)"))
+  }
 }

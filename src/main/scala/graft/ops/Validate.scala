@@ -762,4 +762,211 @@ object Validate {
     */
   def truncDivExpr(a: String, b: String): String =
     s"CASE WHEN $a < 0 THEN -((-($a)) div $b) ELSE ($a) div $b END"
+
+  // ---- score-based classifier evaluation (the metrics that decide
+  // whether a trained quality/language/toxicity gate ships) ----------
+
+  /** Shared substrate of the threshold-evaluation family
+    * ([[rocAuc]] / [[averagePrecision]] / [[scoreSweep]]): scores
+    * floor-quantized to `scale` units (exact IEEE multiply + floor,
+    * identical in both engines), then ONE aggregation to per-distinct-
+    * score (n_pos, n_neg) counts. Everything downstream operates on
+    * this DISTINCT-SCORE frame, whose size is bounded by the
+    * quantization — a [0,1] probability at micro scale is ≤ 1e6+1 rows
+    * no matter how many billions of scored rows feed it — so the
+    * global order-by-score windows the metrics need are bounded by
+    * construction, never a sort of the data. Null scores/labels drop.
+    */
+  private def scoreCounts(df: DataFrame, scoreCol: String,
+      labelCol: String, scale: Long): DataFrame =
+    df.select(col(scoreCol).cast("double").as("v"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("v").isNotNull && col("y").isNotNull)
+      .select(floor(col("v") * scale.toDouble).cast("long").as("s"),
+        col("y"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg"))
+
+  /** Exact ROC AUC of a score column against a boolean label, via the
+    * Mann–Whitney U statistic over the quantized distinct-score frame:
+    * 2U = Σ_s n_pos(s)·(2·negatives_below(s) + n_neg(s)) — ties (same
+    * quantized score) contribute the conventional half-credit without
+    * ever leaving integers, and AUC floors to basis points, so the
+    * whole result hash-gates. One scan, one bounded window.
+    *
+    * Overflow bounds (BIGINT): the 10^4-scaled numerator needs
+    * P·N ≤ ~4.6e14 (tens of millions per class) — at fleet scale
+    * compute AUC per stratum (source/day) exactly and report the
+    * strata, which is what a monitor wants anyway.
+    *
+    * @return one row: (n_pos, n_neg, n_scores, two_u, auc_bp);
+    *         auc_bp is null when either class is empty
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L && scale <= 1000000000L,
+      s"scale must be in [1, 1e9], got $scale")
+    val sc = scoreCounts(df, scoreCol, labelCol, scale)
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sc.withColumn("cn_below",
+        coalesce(sum(col("n_neg")).over(below), lit(0L)))
+      .withColumn("two_u_term",
+        col("n_pos") * (lit(2L) * col("cn_below") + col("n_neg")))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"), sum(col("two_u_term")).as("two_u"))
+      .withColumn("auc_bp",
+        expr("(10000 * two_u) div nullif(2 * n_pos * n_neg, 0L)"))
+  }
+
+  /** Exact average precision (the area under the precision–recall
+    * curve, sklearn's step-sum form) over the same quantized
+    * distinct-score substrate as [[rocAuc]]: sweeping thresholds
+    * DESCENDING, AP = Σ_s (n_pos(s)/P) · precision(s). Each
+    * precision floors once to nano units (spelled-once in both
+    * engines), the per-threshold terms sum as integers, and the final
+    * ratio floors twice (sum/P, then nano→bp) — error < 1e-5 bp,
+    * pinned identically cross-engine. Null when no positives.
+    *
+    * Overflow bounds (BIGINT): needs cum_tp ≤ 9.2e9 and
+    * P ≤ 9.2e9 — beyond billions of positives, stratify.
+    *
+    * @return one row: (n_pos, n_neg, n_scores, sum_prec_nano, ap_bp)
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L && scale <= 1000000000L,
+      s"scale must be in [1, 1e9], got $scale")
+    val sc = scoreCounts(df, scoreCol, labelCol, scale)
+    val upto = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sc.withColumn("cum_tp", sum(col("n_pos")).over(upto))
+      .withColumn("cum_n", sum(col("n_pos") + col("n_neg")).over(upto))
+      .withColumn("prec_nano", expr("(1000000000 * cum_tp) div cum_n"))
+      .withColumn("term", col("n_pos") * col("prec_nano"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"), sum(col("term")).as("sum_prec_nano"))
+      .withColumn("ap_bp", expr(
+        "(10000 * (sum_prec_nano div nullif(n_pos, 0L))) div 1000000000"))
+  }
+
+  /** Full threshold sweep — the ROC and PR curves as ONE frame, a row
+    * per distinct quantized score (threshold = "predict positive when
+    * score ≥ s"): cumulative tp/fp plus tpr/fpr/precision/f1 in floor
+    * basis points. This is the table a threshold picker reads (choose
+    * the operating point); [[rocAuc]]/[[averagePrecision]] are its
+    * scalar rollups. Output size = distinct quantized scores, bounded
+    * by the quantization, independent of input rows.
+    */
+  def scoreSweep(df: DataFrame, scoreCol: String, labelCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L && scale <= 1000000000L,
+      s"scale must be in [1, 1e9], got $scale")
+    val sc = scoreCounts(df, scoreCol, labelCol, scale)
+    val upto = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sc.withColumn("cum_tp", sum(col("n_pos")).over(upto))
+      .withColumn("cum_fp", sum(col("n_neg")).over(upto))
+      .withColumn("p_tot", sum(col("n_pos")).over(all))
+      .withColumn("n_tot", sum(col("n_neg")).over(all))
+      .withColumn("tpr_bp", expr("(10000 * cum_tp) div nullif(p_tot, 0L)"))
+      .withColumn("fpr_bp", expr("(10000 * cum_fp) div nullif(n_tot, 0L)"))
+      .withColumn("precision_bp",
+        expr("(10000 * cum_tp) div (cum_tp + cum_fp)"))
+      .withColumn("f1_bp",
+        expr("(20000 * cum_tp) div (cum_tp + cum_fp + p_tot)"))
+      .select(col("s"), col("n_pos"), col("n_neg"), col("cum_tp"),
+        col("cum_fp"), col("tpr_bp"), col("fpr_bp"), col("precision_bp"),
+        col("f1_bp"))
+  }
+
+  /** Reliability diagram + expected calibration error of a PROBABILITY
+    * column against a boolean label: equi-width probability bins, per
+    * bin the count, positives, floor-bp mean predicted probability and
+    * observed positive rate, their absolute gap, and the corpus-level
+    * ECE (count-weighted mean gap) broadcast onto every row (the q189
+    * scalar-Σ pattern). A quality classifier whose scores gate a
+    * corpus must be calibrated or its threshold means nothing — this
+    * is the table that check reads.
+    *
+    * Probabilities quantize to micro units BEFORE summation (the
+    * gramianMicro association-order-free contract) so bin means are
+    * exact integers; out-of-[0,1] scores raise (op-domain fail-fast —
+    * a silent clamp would fake calibration). Empty bins are absent
+    * (zero weight in ECE by definition). One scan + a ≤ nBins-row agg.
+    */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000,
+      s"nBins must be in [2, 10000], got $nBins")
+    val src = df
+      .select(col(probCol).cast("double").as("v"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("v").isNotNull && col("y").isNotNull)
+      .select(when(col("v") < 0.0 || col("v") > 1.0,
+          raise_error(concat(lit("calibrationBins: probability out of "),
+            lit("[0,1]: "), col("v").cast("string"))))
+        .otherwise(col("v")).as("v"), col("y"))
+    val binned = src.select(
+        least(floor(col("v") * nBins).cast("long"), lit(nBins - 1L))
+          .as("bin"),
+        floor(col("v") * 1e6).cast("long").as("v_micro"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("v_micro")).as("sum_micro"))
+      .withColumn("pred_bp", expr("sum_micro div (100 * n)"))
+      .withColumn("obs_bp", expr("(10000 * n_pos) div n"))
+      .withColumn("gap_bp", abs(col("pred_bp") - col("obs_bp")))
+    val tot = binned
+      .agg(sum(col("n")).as("t"),
+        sum(expr("n * gap_bp")).as("wg"))
+      .select(expr("wg div t").as("ece_bp"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("pred_bp"),
+        col("obs_bp"), col("gap_bp"), col("ece_bp"))
+  }
+
+  /** Cohen's kappa between two label columns — chance-corrected
+    * agreement, the standard inter-annotator (or model-vs-model)
+    * consistency score a labeling pipeline gates on before trusting a
+    * rater pool. All sums are exact integers; po/pe appear as floor
+    * basis points and kappa itself through the sign-split
+    * [[truncDivExpr]] (kappa is legitimately negative under systematic
+    * disagreement, and DuckDB's `//` floors where the JVM truncates).
+    * Null-labeled rows drop; kappa is null when pe = 1 (a single class
+    * on both sides — agreement is undefined, not fabricated 1).
+    *
+    * Overflow bound (BIGINT): the 10^4-scaled numerator needs
+    * n_obs ≤ ~3e7 rated items — per-stratum at fleet scale.
+    *
+    * @return one row: (n_obs, n_agree, n_classes, pe_num, po_bp,
+    *         pe_bp, kappa_bp)
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val j = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val base = j.agg(count(lit(1)).as("n_obs"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+    val ra = j.groupBy(col("a").as("cls")).agg(count(lit(1)).as("n_a"))
+    val rb = j.groupBy(col("b").as("cls")).agg(count(lit(1)).as("n_b"))
+    // full join: a class used by only one rater contributes 0 to the
+    // chance term but still counts as a class
+    val pe = ra.join(rb, Seq("cls"), "full")
+      .agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L)).as("pe_num"),
+        count(lit(1)).as("n_classes"))
+    base.crossJoin(broadcast(pe))
+      .withColumn("po_bp", expr("(10000 * n_agree) div nullif(n_obs, 0L)"))
+      .withColumn("pe_bp",
+        expr("(10000 * pe_num) div nullif(n_obs * n_obs, 0L)"))
+      .withColumn("kappa_bp", expr(truncDivExpr(
+        "10000 * (n_obs * n_agree - pe_num)",
+        "nullif(n_obs * n_obs - pe_num, 0L)")))
+      .select(col("n_obs"), col("n_agree"), col("n_classes"),
+        col("pe_num"), col("po_bp"), col("pe_bp"), col("kappa_bp"))
+  }
 }
