@@ -248,13 +248,18 @@ object Graph {
     * rationale). w ≡ 1 degenerates to [[hitsMilli]] EXACTLY (same
     * loop). Overflow: post-rescale values ≤ 1000, so a half-step sum
     * is ≤ 1000·(max weighted degree) and the rescale multiply needs
-    * max Σw per node under ~9.2e12.
+    * max Σw per node under ~9.2e12. Non-positive weights are filtered
+    * (edge treated as absent), mirroring [[modularityWeightedMicro]] —
+    * a negative weight would break the non-negativity invariant the
+    * truncating milli-rescale's floor/trunc equivalence (and the
+    * overflow bound) relies on.
     */
   def hitsMilliWeighted(edges: DataFrame, src: String, dst: String,
       weight: String, iterations: Int = 6): DataFrame =
     hitsMilliLoop(edges.select(col(src).cast("long").as("src"),
       col(dst).cast("long").as("dst"),
-      col(weight).cast("long").as("w")), iterations)
+      col(weight).cast("long").as("w"))
+      .filter(col("w") > 0), iterations)
 
   private def hitsMilliLoop(edgesW: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 30,

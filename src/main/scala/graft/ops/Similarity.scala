@@ -48,6 +48,13 @@ object Similarity {
     * high-precision filter — one-directional nearest neighbors are
     * full of hubs; mutual ones are overwhelmingly true pairs.
     *
+    * A and B are DIFFERENT corpora, so a coinciding id on both sides
+    * is a legitimate candidate (in aligned corpora the same-id pair is
+    * often precisely the true match) — no id-based exclusion happens
+    * by default. Pass `excludeSelf = true` only for the self-join use
+    * (A == B, mining duplicates within one corpus), where the diagonal
+    * is trivially rank-1 and must be masked.
+    *
     * Scores are computed ONCE (one broadcast join over the codegen'd
     * dot), then two partitioned rank-1 windows (per a, per b) and a
     * semi-join keep the mutual pairs. Ties break by lowest partner id
@@ -60,10 +67,11 @@ object Similarity {
     * @return (a_id, b_id, cos) for every mutual pair
     */
   def mutualNearestPairs(a: DataFrame, b: DataFrame, id: String,
-      vec: String): DataFrame = {
+      vec: String, excludeSelf: Boolean = false): DataFrame = {
     val av = a.select(col(id).as("a_id"), col(vec).as("a_vec"))
     val bv = b.select(col(id).as("b_id"), col(vec).as("b_vec"))
-    val scored = av.join(broadcast(bv), col("a_id") =!= col("b_id"))
+    val cond = if (excludeSelf) col("a_id") =!= col("b_id") else lit(true)
+    val scored = av.join(broadcast(bv), cond)
       .withColumn("cos", dot_f(col("a_vec"), col("b_vec")))
       .select(col("a_id"), col("b_id"), col("cos"))
       .persist()
@@ -87,8 +95,13 @@ object Similarity {
   /** Deterministic negative sampling for contrastive training — k
     * pseudo-random negatives per anchor, WITHOUT an RNG: candidates
     * sit on a 2³² hash ring (position = Knuth multiplicative hash of
-    * the id — odd multiplier, so positions are distinct for distinct
-    * ids < 2³²), each (anchor, j) probe hashes to a ring point, and
+    * the id mod 2³² — odd multiplier, so positions are distinct for
+    * distinct ids < 2³²; larger ids are valid but alias mod 2³², and
+    * negative ids are filtered out). The multiply itself is computed
+    * as a 2×16-bit decomposition so no intermediate exceeds 2⁴⁸ —
+    * overflow-free over the FULL non-negative 64-bit id domain in
+    * both Spark and DuckDB. Each (anchor, j) probe hashes to a ring
+    * point, and
     * the negative is the candidate at the smallest forward ring
     * distance within the probe's ring bucket (top `bucketBits` bits).
     *
@@ -117,17 +130,27 @@ object Similarity {
     require(bucketBits >= 1 && bucketBits <= 20,
       s"bucketBits must be in [1, 20], got $bucketBits")
     val M = 4294967296L            // 2^32 ring size
-    val KN = 2654435761L           // Knuth multiplicative constant (odd)
     val bucketDiv = M >> bucketBits
+    // Knuth multiply mod 2^32, overflow-safe for ANY non-negative
+    // 64-bit input: reduce x mod 2^32 first, then split the 32-bit
+    // residue as hi·2^16 + lo so every intermediate stays below 2^48
+    // (naive x·2654435761 wraps signed-64 silently in Spark for
+    // x ≥ ~3.47e9 while DuckDB raises — either way no replay). Pure
+    // integer SQL, so the oracle runs the IDENTICAL decomposition.
+    def knuthRing(x: String): String = {
+      val xm = s"(($x) % ${M}L)"
+      s"((($xm div 65536L) * 2654435761L % ${M}L) * 65536L % ${M}L" +
+        s" + ($xm % 65536L) * 2654435761L % ${M}L) % ${M}L"
+    }
     val cand = pool.select(col(poolId).cast("long").as("cid"))
-      .filter(col("cid").isNotNull).distinct()
-      .withColumn("cpos", (col("cid") * KN) % M)
+      .filter(col("cid").isNotNull && col("cid") >= 0).distinct()
+      .withColumn("cpos", expr(knuthRing("cid")))
       .withColumn("bkt", expr(s"cpos div ${bucketDiv}L"))
     val probes = anchors.select(col(anchorId).cast("long").as("aid"))
-      .filter(col("aid").isNotNull).distinct()
+      .filter(col("aid").isNotNull && col("aid") >= 0).distinct()
       .withColumn("j", explode(sequence(lit(0L), lit((k - 1).toLong))))
       .withColumn("probe",
-        ((col("aid") * 37L + col("j") * 1009L + 17L) * KN) % M)
+        expr(knuthRing(s"(aid % ${M}L) * 37L + j * 1009L + 17L")))
       .withColumn("bkt", expr(s"probe div ${bucketDiv}L"))
     probes.join(cand, probes("bkt") === cand("bkt") &&
         col("cid") =!= col("aid"))

@@ -528,16 +528,31 @@ object Sketches {
     * candidates exactly and filters cnt·k > N_g — deterministic,
     * hash-gatable per group.
     *
+    * The O(G_p·k) pass-1 state and the |groups|·k candidate broadcast
+    * make group cardinality the scale bound, so it is GUARDED, not
+    * prose: a cheap exact count-distinct over the group column runs
+    * first and the op fails fast above `maxGroups` with the shard
+    * guidance in the message (one extra column-pruned scan — noise
+    * next to pass 1 + recount).
+    *
     * @return (grp, value, cnt, n_total) per heavy hitter
     */
   def heavyHittersBy(df: DataFrame, group: String, valueCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxGroups: Int = 100000): DataFrame = {
     require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
+    require(maxGroups >= 1, s"maxGroups must be >= 1, got $maxGroups")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(group).cast("string").as("g"),
         col(valueCol).cast("string").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
+    val nGroups = vals.select(countDistinct(col("g"))).head().getLong(0)
+    require(nGroups <= maxGroups,
+      s"heavyHittersBy: $nGroups distinct groups exceeds maxGroups=" +
+        s"$maxGroups — pass-1 task state is O(groups-per-partition x k) " +
+        "and the candidate broadcast is O(groups x k); shard by the " +
+        "group column and run per shard, or raise maxGroups if the " +
+        "driver/executor memory budget allows")
     val summary = vals.as[(String, String)].mapPartitions { it =>
       val ms = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.HashMap[String, Long]]

@@ -1433,17 +1433,28 @@ object LlmQueries extends QueryGroup {
       // (lowest partner id) as the Spark windows
       "q240_negative_sample" ->
         // bit-for-bit ring replay: positions, probes, bucket division,
-        // forward distance, (d, cid)-argmin via row_number
+        // forward distance, (d, cid)-argmin via row_number. The Knuth
+        // multiply uses the SAME 2x16-bit decomposition as the Spark
+        // op, so the replay is overflow-free for any non-negative id
         """WITH cand AS (SELECT DISTINCT vec_id AS cid,
-          |    (vec_id * 2654435761) % 4294967296 AS cpos
-          |  FROM embeddings),
+          |    ((((vec_id % 4294967296) // 65536) * 2654435761
+          |        % 4294967296) * 65536 % 4294967296
+          |      + ((vec_id % 4294967296) % 65536) * 2654435761
+          |        % 4294967296) % 4294967296 AS cpos
+          |  FROM embeddings WHERE vec_id >= 0),
           |cb AS (SELECT cid, cpos, cpos // 67108864 AS bkt FROM cand),
-          |pr AS (SELECT a.vec_id AS aid, g.j,
-          |    ((a.vec_id * 37 + g.j * 1009 + 17) * 2654435761)
-          |      % 4294967296 AS probe
+          |pm AS (SELECT a.vec_id AS aid, g.j,
+          |    ((a.vec_id % 4294967296) * 37 + g.j * 1009 + 17)
+          |      % 4294967296 AS x
           |  FROM embeddings a
           |  CROSS JOIN (SELECT unnest(range(4)) AS j) g
-          |  WHERE a.vec_id % 20 = 0),
+          |  WHERE a.vec_id % 20 = 0 AND a.vec_id >= 0),
+          |pr AS (SELECT aid, j,
+          |    (((x // 65536) * 2654435761 % 4294967296) * 65536
+          |        % 4294967296
+          |      + (x % 65536) * 2654435761 % 4294967296)
+          |      % 4294967296 AS probe
+          |  FROM pm),
           |pb AS (SELECT aid, j, probe, probe // 67108864 AS bkt FROM pr),
           |sc AS (SELECT pb.aid, pb.j, cb.cid,
           |    (cb.cpos - pb.probe + 4294967296) % 4294967296 AS d
@@ -1458,8 +1469,7 @@ object LlmQueries extends QueryGroup {
            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |    ${sqlDot("a", "b")} AS cos
            |  FROM embeddings a JOIN embeddings b
-           |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
-           |    AND a.vec_id != b.vec_id),
+           |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
            |ta AS (SELECT a_id, b_id, cos FROM (SELECT *,
            |    ROW_NUMBER() OVER (PARTITION BY a_id
            |      ORDER BY cos DESC, b_id ASC) AS r FROM sc) WHERE r = 1),

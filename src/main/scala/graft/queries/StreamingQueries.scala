@@ -103,6 +103,38 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming Misra-Gries heavy hitters (NEW r12): the UNCAPPED
+    // sibling of q241 — state is k counters per open window, never
+    // the full key map, so it runs at any key cardinality. The live
+    // MG summary proposes <= k candidates per window (a SUPERSET of
+    // the true heavy hitters in ANY arrival order); one batch recount
+    // over the closed window disposes, and the recounted set
+    // {v: cnt*k > N} is a pure function of the window multiset — so
+    // the whole result hash-gates against a plain GROUP BY / HAVING
+    "q243_stream_heavy_hitters" -> ((s, d) => {
+      val k = 20
+      val cands = Streams.runToBatch(s,
+        Streams.heavyHittersStream(Streams.eventsStream(s, d), k = k),
+        "q243_hh", outputMode = "update")
+        .groupBy(col("w_start"))
+        .agg(max_by(col("candidates"), col("n_events")).as("cands"),
+          max(col("n_events")).as("n_total"))
+      val flat = cands.select(col("w_start"), col("n_total"),
+        explode(col("cands")).as("user_id"))
+      val ev = graft.Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(date_format(window(col("ts"), "300 seconds")
+          .getField("start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("user_id"))
+        .groupBy(col("w_start"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      ev.join(flat, Seq("w_start", "user_id"))
+        .filter(col("cnt") * k > col("n_total"))
+        .select(col("w_start"), col("user_id"), col("cnt"),
+          col("n_total"))
+        .orderBy(col("w_start"), col("user_id"))
+    }),
+
     // streaming KMV contamination monitor (NEW r10): per-window
     // overlap of the purchase-user stream vs a FROZEN click-user
     // reference sketch (kmvSketchValues = the compute-once producer;
@@ -148,18 +180,21 @@ object StreamingQueries extends QueryGroup {
       res.orderBy(col("w_start"), col("doc_id"))
     }),
 
-    // streaming funnel (NEW r11): live per-user conversion depth for
-    // view→click→purchase — the stateful twin of batch q227, gated
-    // against the SAME greedy SQL (drained state == batch op). Update
-    // emissions folded by max depth (monotone), the q114 pattern
+    // streaming funnel (NEW r11, contract hardened r12): live per-user
+    // conversion depth for view→click→purchase — the stateful twin of
+    // batch q227, gated against the SAME greedy SQL (every emission ==
+    // batch op over events-so-far, any arrival order within the
+    // watermark). Update emissions folded by max rev (the per-user
+    // state revision counter; depth alone can't order emissions once
+    // a late first-step event may move t_first earlier)
     "q230_stream_funnel" -> ((s, d) => {
       val res = Streams.runToBatch(s,
         Streams.funnelStream(Streams.eventsStream(s, d),
           Seq("view", "click", "purchase")),
         "q230_funnel", outputMode = "update")
       res.groupBy(col("user_id"))
-        .agg(max(struct(col("depth"), col("t_first"), col("t_last"),
-          col("span_sec"))).as("f"))
+        .agg(max(struct(col("rev"), col("depth"), col("t_first"),
+          col("t_last"), col("span_sec"))).as("f"))
         .select(col("user_id"), col("f.depth").as("depth"),
           col("f.t_first").as("t_first"), col("f.t_last").as("t_last"),
           col("f.span_sec").as("span_sec"))
@@ -386,6 +421,25 @@ object StreamingQueries extends QueryGroup {
          |SELECT STRFTIME(a.ws, '%Y-%m-%d %H:%M:%S') AS w_start,
          |  n_events, n_keys, t.top_k
          |FROM a JOIN t ON a.ws = t.ws ORDER BY w_start""".stripMargin,
+
+    "q243_stream_heavy_hitters" ->
+      // the recounted heavy-hitter set is a pure function of the
+      // window multiset (MG candidates are a superset in any arrival
+      // order), so the replay is the definition itself: per-(window,
+      // user) counts, keep cnt * k > window total
+      s"""WITH $ctes,
+         |w AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 300)
+         |      * 300 * 1000000) AS ws, user_id FROM e
+         |  WHERE user_id IS NOT NULL),
+         |c AS (SELECT ws, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM w GROUP BY 1, 2),
+         |a AS (SELECT ws, CAST(SUM(cnt) AS BIGINT) AS n_total
+         |  FROM c GROUP BY ws)
+         |SELECT STRFTIME(c.ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  c.user_id, c.cnt, a.n_total
+         |FROM c JOIN a ON c.ws = a.ws
+         |WHERE c.cnt * 20 > a.n_total
+         |ORDER BY w_start, c.user_id""".stripMargin,
 
     "q220_stream_kmv_distinct" -> {
       // full KMV replay per window: scrambled poly hash of the user id

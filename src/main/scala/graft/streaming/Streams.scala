@@ -233,33 +233,63 @@ object Streams {
     *
     * 100 TB posture: state is O(|keys|) pairs — not per-event — and
     * each micro-batch shuffles only its own rows once, keyed by the
-    * dimension key.
+    * dimension key. By default state is per-key lifetime (an SCD2
+    * dimension's open interval never expires); pass `idleTimeout =
+    * Some("90 days")` to evict keys idle past the timeout via
+    * event-time eviction — the expiring open interval is emitted with
+    * `valid_to = NULL` (the "current row" marker a warehouse SCD2
+    * table uses) and the key is forgotten. Setting `idleTimeout`
+    * watermarks `ts` by `delay`, so changes later than that are
+    * dropped as late data — the retention trade a bounded deployment
+    * makes explicitly.
     */
-  def scd2Stream(events: DataFrame): DataFrame = {
+  def scd2Stream(events: DataFrame, idleTimeout: Option[String] = None,
+      delay: String = "10 minutes"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    events
+    val idleMs = idleTimeout.map(durationMs)
+    val timeoutConf = if (idleMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val src = if (idleMs.isDefined) events.withWatermark("ts", delay)
+      else events
+    src
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[(Long, java.sql.Timestamp, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          st: GroupState[(String, java.sql.Timestamp)]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
-          var cur = st.getOption
-          val out = Seq.newBuilder[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
-          sorted.foreach { case (_, ts, _, tpe) =>
-            cur match {
-              case Some((pt, pf)) if pt != tpe =>
-                out += ((uid, pt, pf, ts))
-                cur = Some((tpe, ts))
-              case None => cur = Some((tpe, ts))
-              case _ => () // same attribute value: interval continues
+          if (st.hasTimedOut) {
+            // idle eviction: surface the open interval as the current
+            // row (valid_to NULL) and forget the key
+            val (pt, pf) = st.get
+            st.remove()
+            Iterator.single((uid, pt, pf,
+              null.asInstanceOf[java.sql.Timestamp]))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+            var cur = st.getOption
+            val out = Seq.newBuilder[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+            sorted.foreach { case (_, ts, _, tpe) =>
+              cur match {
+                case Some((pt, pf)) if pt != tpe =>
+                  out += ((uid, pt, pf, ts))
+                  cur = Some((tpe, ts))
+                case None => cur = Some((tpe, ts))
+                case _ => () // same attribute value: interval continues
+              }
             }
+            cur.foreach(st.update)
+            idleMs.foreach { ms =>
+              val lastSeenMs =
+                if (sorted.nonEmpty) sorted.map(_._2.getTime).max
+                else st.getCurrentWatermarkMs()
+              st.setTimeoutTimestamp(
+                math.max(lastSeenMs + ms, st.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          cur.foreach(st.update)
-          out.result().iterator
       }
       .toDF("user_id", "event_type", "valid_from", "valid_to")
   }
@@ -624,66 +654,126 @@ object Streams {
 
   /** Streaming ordered-sequence FUNNEL — the live twin of
     * [[graft.ops.ScaleJoins.funnelSteps]]: per-user conversion depth
-    * maintained in mapGroupsWithState (state = 3 longs per user who
-    * started the funnel), greedy semantics identical to batch: advance
-    * from depth i exactly when an event of type steps(i) arrives with
-    * ts STRICTLY AFTER the current chain time. Each micro-batch's rows
-    * fold in (ts, type) order, and the greedy chain's next hop is the
-    * first qualifying event in time order, so the drained final state
-    * equals the batch op row-for-row — the q191/q114 replay contract —
-    * and the result gates against the SAME SQL as q227.
+    * maintained in mapGroupsWithState, greedy semantics identical to
+    * batch: advance from depth i exactly when an event of type
+    * steps(i) arrives with ts STRICTLY AFTER the current chain time.
     *
-    * State is per-user lifetime (a funnel has no window to expire) —
-    * unbounded in users BY DESIGN, like q114's per-user machine; a
-    * production deployment bounds it with an idle-user timeout chosen
-    * by retention policy, orthogonal to the funnel math.
+    * Out-of-order contract (the part a naive per-batch greedy fold
+    * gets wrong): a greedy chain folded eagerly cannot absorb a
+    * late-but-within-watermark event that lands BEFORE an already
+    * consumed hop. So events are BUFFERED in state and only folded
+    * into the compact (depth, t_first, t_chain) triple once their
+    * event time falls at or below the query watermark — past that
+    * point Spark drops any later arrival, so the folded prefix is
+    * complete and the fold is final. Events still above the watermark
+    * stay buffered and are re-folded provisionally on every emission.
+    * Each emission therefore equals batch [[graft.ops.ScaleJoins
+    * .funnelSteps]] over ALL events received so far, in ANY arrival
+    * order across micro-batches (ties at equal ts break by step
+    * index, matching the batch min-per-hop chain) — the q191/q114
+    * replay contract, gated against the SAME SQL as q227.
     *
-    * Emits (user_id, depth, t_first, t_last, span_sec) per touched
-    * user per micro-batch in update mode; consumers keep the max-depth
-    * row per user (depth is monotone).
+    * State = 3 longs + the buffer of not-yet-final events, bounded by
+    * the per-user event rate over the watermark horizon (fail-fast at
+    * `maxBufferedEvents`). WITHOUT `idleTimeout` the compact triple is
+    * per-user lifetime (a funnel has no window to expire) — unbounded
+    * in users BY DESIGN, like q114's per-user machine. Pass
+    * `idleTimeout = Some("30 days")` to evict via event-time timeout:
+    * a user idle past the timeout emits a final fold of any remaining
+    * buffer and is removed — the retention-policy knob a production
+    * deployment wants (a re-appearing user simply restarts at depth 0).
+    *
+    * Emits (user_id, depth, t_first, t_last, span_sec, rev) per
+    * touched user per micro-batch in update mode; `rev` increments
+    * per state revision, so consumers keep the max-rev row per user
+    * (depth is monotone, but t_first can move EARLIER when a late
+    * first-step event arrives — max-depth alone is not enough).
     */
   def funnelStream(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      delay: String = "10 minutes"): DataFrame = {
+      delay: String = "10 minutes", idleTimeout: Option[String] = None,
+      maxBufferedEvents: Int = 100000): DataFrame = {
     require(steps.nonEmpty && steps.size <= 16,
       s"steps must be 1..16 entries, got ${steps.size}")
     require(steps.distinct == steps, "funnel steps must be distinct")
+    require(maxBufferedEvents >= 16,
+      s"maxBufferedEvents must be >= 16, got $maxBufferedEvents")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+    val idleMs = idleTimeout.map(durationMs)
+    val timeoutConf = if (idleMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // greedy min-per-hop chain over (tus, stepIdx)-sorted events
+    def fold(d0: Int, tf0: Long, tc0: Long,
+        evs: Seq[(Long, Int)]): (Int, Long, Long) = {
+      var d = d0; var tf = tf0; var tc = tc0
+      evs.foreach { case (tus, si) =>
+        if (d == 0) {
+          if (si == 0) { d = 1; tf = tus; tc = tus }
+        } else if (d < nSteps && si == d && tus > tc) {
+          d += 1; tc = tus
+        }
+      }
+      (d, tf, tc)
+    }
     events
       .withWatermark("ts", delay)
       .filter(col(typeCol).isin(steps: _*) && col(userCol).isNotNull)
       .select(col(userCol).cast("long").as("u"), col(typeCol).as("et"),
-        unix_micros(col("ts")).as("tus"))
-      .as[(Long, String, Long)]
+        unix_micros(col("ts")).as("tus"),
+        // the watermark column must ride into the grouped Dataset for
+        // getCurrentWatermarkMs/EventTimeTimeout to resolve (q225)
+        col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (u: Long, rows: Iterator[(Long, String, Long)],
-         st: GroupState[(Int, Long, Long)]) =>
-          var (depth, tFirst, tCur) =
-            st.getOption.getOrElse((0, 0L, 0L))
-          // ts order makes the sequential greedy scan equal the batch
-          // min-per-hop chain (ties: strict > blocks same-ts advances
-          // in either processing order)
-          rows.toSeq.sortBy(r => (r._3, stepIdx(r._2))).foreach {
-            case (_, et, tus) =>
-              if (depth == 0) {
-                if (et == steps.head) { depth = 1; tFirst = tus; tCur = tus }
-              } else if (depth < steps.size && et == steps(depth) &&
-                  tus > tCur) {
-                depth += 1; tCur = tus
-              }
+      .mapGroupsWithState(timeoutConf) {
+        (u: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         st: GroupState[(Int, Long, Long, Seq[(Long, Int)], Long)]) =>
+          if (st.hasTimedOut) {
+            // idle eviction: finalize whatever is buffered and forget
+            // the user (a later re-appearance restarts at depth 0)
+            val (d0, tf0, tc0, buf, rev) = st.get
+            val (d, tf, tc) = fold(d0, tf0, tc0, buf.sorted)
+            st.remove()
+            (u, d, tf, tc, rev + 1)
+          } else {
+            val (d0, tf0, tc0, buf, rev) =
+              st.getOption.getOrElse((0, 0L, 0L, Seq.empty[(Long, Int)], 0L))
+            val merged =
+              (buf ++ rows.map(r => (r._3, stepIdx(r._2)))).sorted
+            if (merged.size > maxBufferedEvents)
+              throw new IllegalStateException(
+                s"funnelStream: user $u has ${merged.size} events inside " +
+                  s"the watermark horizon — raise maxBufferedEvents " +
+                  s"($maxBufferedEvents) or shrink the watermark delay")
+            // events at/below the watermark are FINAL (later arrivals
+            // below it are dropped by Spark) — fold them in for good;
+            // younger events stay buffered for deterministic re-fold
+            val wmUs = st.getCurrentWatermarkMs() * 1000L
+            val (ripe, young) = merged.partition(_._1 <= wmUs)
+            val (d1, tf1, tc1) = fold(d0, tf0, tc0, ripe)
+            st.update((d1, tf1, tc1, young, rev + 1))
+            idleMs.foreach { ms =>
+              val lastSeenMs =
+                if (merged.nonEmpty) merged.map(_._1).max / 1000L
+                else st.getCurrentWatermarkMs()
+              st.setTimeoutTimestamp(
+                math.max(lastSeenMs + ms, st.getCurrentWatermarkMs() + 1))
+            }
+            // provisional emission = batch result over everything seen
+            val (d2, tf2, tc2) = fold(d1, tf1, tc1, young)
+            (u, d2, tf2, tc2, rev + 1)
           }
-          st.update((depth, tFirst, tCur))
-          (u, depth, tFirst, tCur)
       }
       .filter(col("_2") > 0)
       .select(col("_1").as("user_id"), col("_2").as("depth"),
         timestamp_micros(col("_3")).as("t_first"),
         timestamp_micros(col("_4")).as("t_last"),
-        ((col("_4") - col("_3")) / 1000000L).cast("long").as("span_sec"))
+        ((col("_4") - col("_3")) / 1000000L).cast("long").as("span_sec"),
+        col("_5").as("rev"))
   }
 
   /** Streaming exact per-window TOP-K — the live "who is hammering the
@@ -758,6 +848,82 @@ object Streams {
           }
       }
       .toDF("w_start", "n_events", "n_keys", "top_k")
+  }
+
+  /** Streaming HEAVY HITTERS via Misra-Gries state — the UNCAPPED
+    * sibling of [[topKStream]] for vocabulary-scale key cardinality:
+    * state per open window is k COUNTERS (the MG summary) plus one
+    * exact event count, independent of how many distinct keys the
+    * window sees — the op an ingest door actually runs at 100 TB,
+    * where q241's exact map (and its `maxStateKeys` fail-fast) cannot
+    * fit.
+    *
+    * The MG decrement argument survives micro-batching untouched:
+    * feeding batches incrementally IS processing the window's events
+    * in one arrival order, and for ANY order every value with
+    * freq > N/k keeps a positive counter — so each emission's
+    * candidate list is a SUPERSET of the window's true heavy hitters
+    * (no false negatives, ever). The candidate list itself is
+    * order-DEPENDENT (which extra sub-threshold survivors ride along
+    * depends on arrival order), so the deterministic, hash-gatable
+    * artifact is one recount downstream: stream proposes ≤ k
+    * candidates per window, a single batch recount over the closed
+    * window disposes — exactly the two-pass shape of the batch op
+    * ([[graft.ops.Sketches.heavyHitters]]), with pass 1 live. The
+    * recounted output {v : cnt·k > N} is a pure function of the
+    * window multiset by the superset guarantee, absorbing the
+    * candidate nondeterminism entirely (q243 gates on it).
+    *
+    * Emits (w_start, n_events, candidates) per touched window per
+    * micro-batch in update mode; n_events strictly increases per
+    * emission, so consumers keep the max-n_events row per window.
+    * State is evicted by event-time timeout once the watermark passes
+    * the window (the q225/q241 pattern).
+    */
+  def heavyHittersStream(events: DataFrame, k: Int, windowSecs: Int = 300,
+      delay: String = "10 minutes", keyCol: String = "user_id"): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sized = s"$windowSecs seconds"
+    events
+      .filter(col(keyCol).isNotNull)
+      .withWatermark("ts", delay)
+      .select(
+        date_format(window(col("ts"), sized).getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("w"),
+        col(keyCol).cast("long").as("u"),
+        col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (w: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         st: GroupState[(Map[Long, Long], Long)]) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            var (m, n) = st.getOption.getOrElse((Map.empty[Long, Long], 0L))
+            rows.foreach { case (_, u, _) =>
+              n += 1L
+              m.get(u) match {
+                case Some(c) => m = m.updated(u, c + 1L)
+                case None if m.size < k => m = m.updated(u, 1L)
+                case None =>
+                  // decrement-all admission: removes k units of mass,
+                  // so triggers <= n/k and freq > n/k survives
+                  m = m.flatMap { case (kk, c) =>
+                    if (c == 1L) None else Some(kk -> (c - 1L)) }
+              }
+            }
+            st.update((m, n))
+            st.setTimeoutTimestamp(math.max(
+              windowStartMs(w) + windowSecs * 1000L + durationMs(delay),
+              st.getCurrentWatermarkMs() + 1))
+            Iterator.single((w, n, m.keysIterator.toSeq.sorted))
+          }
+      }
+      .toDF("w_start", "n_events", "candidates")
   }
 
   /** Streaming PSI drift monitor — the production posture for

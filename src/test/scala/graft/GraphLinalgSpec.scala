@@ -179,6 +179,16 @@ class GraphLinalgSpec extends SparkSpec {
     val r = Graph.hitsMilliWeighted(ew, "src", "dst", "w", iterations = 3)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(r(11L) == 1000L && r(10L) < 1000L)
+    // non-positive weights are filtered (edge absent), never folded —
+    // a negative weight would break the milli-rescale's non-negativity
+    // invariant (floor vs trunc divergence in the DuckDB replay)
+    val ewNeg = Seq((1L, 10L, 1L), (2L, 10L, 1L), (2L, 11L, 1L),
+      (1L, 11L, -50L), (3L, 12L, 0L))
+      .toDF("src", "dst", "w")
+    val filtered = Graph.hitsMilliWeighted(ewNeg, "src", "dst", "w",
+        iterations = 3)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    assert(filtered == b) // == the w=1 graph without the bad edges
   }
 
   test("modularityMicro: two bridged triangles, singleton defaults, invariance") {

@@ -44,6 +44,31 @@ class OpsSpec extends SparkSpec {
     assert(got1 == out)
   }
 
+  test("negativeSampleRing: ids past 2^32/KN do not overflow and alias mod 2^32") {
+    import spark.implicits._
+    // 4e9 * 2654435761 wraps signed 64-bit in the naive multiply; the
+    // decomposed Knuth hash must keep every position and distance
+    // non-negative, and an id >= 2^32 must land exactly where its
+    // mod-2^32 alias lands
+    val M = 4294967296L
+    val big = Seq(4000000000L, 4100000000L, 4200000000L, 4294967295L,
+      M + 123L, 3L * M + 77L)
+    val pool = (big ++ (0L until 50L)).toDF("id")
+    val anchors = Seq(4000000000L).toDF("id")
+    val out = Similarity.negativeSampleRing(pool, "id", anchors, "id",
+        k = 8, bucketBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, _, n, d) => n >= 0 && d >= 0 && d < M })
+    // alias check: a pool of {M + 123} behaves exactly like {123}
+    def one(ids: Seq[Long]) = Similarity.negativeSampleRing(
+        ids.toDF("id"), "id", Seq(7L).toDF("id"), "id",
+        k = 2, bucketBits = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(one(Seq(M + 123L)) == one(Seq(123L)))
+  }
+
   test("mutualNearestPairs: hand-built mutual and hub cases") {
     import spark.implicits._
     // unit-ish vectors in 64 dims (first 3 dims used): a1<->b1 mutual,
@@ -63,6 +88,19 @@ class OpsSpec extends SparkSpec {
         a.repartition(3), b.repartition(2), "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == got)
+    // coinciding id spaces (aligned corpora): the same-id pair is a
+    // legitimate — often the TRUE — candidate, so the default must not
+    // mask the diagonal; excludeSelf=true is the self-join opt-in
+    val a2 = Seq((1L, v(1, 0, 0)), (2L, v(0, 1, 0))).toDF("vec_id", "embedding")
+    val b2 = Seq((1L, v(0.99, 0.01, 0)), (2L, v(0, 0.98, 0.02)))
+      .toDF("vec_id", "embedding")
+    val diag = graft.ops.Similarity.mutualNearestPairs(a2, b2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(diag == Set((1L, 1L), (2L, 2L)))
+    val masked = graft.ops.Similarity.mutualNearestPairs(
+        a2, b2, "vec_id", "embedding", excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(masked == Set((1L, 2L), (2L, 1L)))
   }
 
   test("ivfTopK returns k neighbors per query and respects probes") {

@@ -303,5 +303,13 @@ class SketchSpec extends SparkSpec {
     assert(run(1) == brute && run(9) == brute)
     // s1: n=100, threshold 25 -> only "the"(60); s2: n=10, threshold 2.5 -> "le"(5)
     assert(brute == Set(("s1", "the", 60L, 100L), ("s2", "le", 5L, 10L)))
+    // group-cardinality guard: pass-1 state is O(groups-per-partition
+    // x k), so cardinality above maxGroups must fail fast with the
+    // shard-first guidance, BEFORE the sketch pass runs
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Sketches.heavyHittersBy(rows.toDF("g", "v"), "g", "v",
+        k, maxGroups = 1)
+    }
+    assert(ex.getMessage.contains("shard"), ex.getMessage)
   }
 }

@@ -250,8 +250,8 @@ class StreamingSpec extends SparkSpec {
           Seq("view", "click", "purchase")),
         "spec_funnel", outputMode = "update")
       .groupBy(col("user_id"))
-      .agg(max(struct(col("depth"), col("t_first"), col("t_last"),
-        col("span_sec"))).as("f"))
+      .agg(max(struct(col("rev"), col("depth"), col("t_first"),
+        col("t_last"), col("span_sec"))).as("f"))
       .select(col("user_id"), col("f.depth"), col("f.t_first"),
         col("f.t_last"), col("f.span_sec"))
       .orderBy("user_id").collect().map(_.toSeq).toSeq
@@ -298,6 +298,157 @@ class StreamingSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("distinct")), ex.getMessage)
+  }
+
+  /** Stage rows as N single-file micro-batches: each group becomes one
+    * parquet file in a watched dir with strictly increasing modTimes,
+    * replayed via maxFilesPerTrigger=1 — the out-of-order multi-batch
+    * harness the single-fixture replay can't express.
+    */
+  private def stageBatches(name: String,
+      batches: Seq[org.apache.spark.sql.DataFrame]): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(s"graft-mb-$name-")
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory(s"graft-mb-$name-w$i-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      val src = {
+        var found: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet")) found = p
+        }
+        found
+      }
+      val dst = dir.resolve(f"b$i%03d.parquet")
+      Files.copy(src, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    dir.toString
+  }
+
+  private def eventsDF(rows: Seq[(Long, Long, String, Double, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "value", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+  }
+
+  private def streamDir(dir: String,
+      schema: org.apache.spark.sql.types.StructType) =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+
+  test("funnelStream absorbs a late-but-within-watermark earlier-step event from a later micro-batch") {
+    // batch 1 delivers user 1's click@10:10 FIRST; the view@10:05
+    // arrives in batch 2 (late, but above the 10:00 watermark). The
+    // eager per-batch greedy fold would discard the click forever and
+    // report depth 1 — the buffered fold must report depth 2, equal to
+    // the batch op over the union.
+    val b1 = eventsDF(Seq(
+      (1L, 1L, "click", 0.0, "2024-01-01 10:10:00"),
+      (2L, 2L, "view", 0.0, "2024-01-01 10:00:00"),
+      (3L, 2L, "click", 0.0, "2024-01-01 10:12:00")))
+    val b2 = eventsDF(Seq(
+      (4L, 1L, "view", 0.0, "2024-01-01 10:05:00"),
+      (5L, 2L, "purchase", 0.0, "2024-01-01 10:15:00")))
+    val dir = stageBatches("funnel", Seq(b1, b2))
+    val streamed = Streams.runToBatch(spark,
+        Streams.funnelStream(streamDir(dir, b1.schema),
+          Seq("view", "click", "purchase")),
+        "spec_funnel_mb", outputMode = "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("rev"), col("depth"), col("t_first"),
+        col("t_last"), col("span_sec"))).as("f"))
+      .select(col("user_id"), col("f.depth"), col("f.t_first"),
+        col("f.t_last"), col("f.span_sec"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.ScaleJoins.funnelSteps(
+        b1.union(b2), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.head(1) == 2) // user 1 recovered the out-of-order chain
+  }
+
+  test("funnelStream idleTimeout evicts an idle user, emitting the final fold") {
+    // user 9 goes idle after batch 1; batch 2's events push the
+    // watermark far past lastSeen + 1 minute, so the no-data timeout
+    // sweep must emit user 9's final fold (depth 1) from the eviction
+    // branch and remove the state
+    val b1 = eventsDF(Seq(
+      (1L, 9L, "view", 0.0, "2024-01-01 10:00:00")))
+    val b2 = eventsDF(Seq(
+      (2L, 8L, "view", 0.0, "2024-01-01 11:30:00")))
+    val dir = stageBatches("funnelidle", Seq(b1, b2))
+    val rows = Streams.runToBatch(spark,
+        Streams.funnelStream(streamDir(dir, b1.schema),
+          Seq("view", "click"), idleTimeout = Some("1 minute")),
+        "spec_funnel_idle", outputMode = "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("rev"), col("depth"))).as("f"))
+      .select(col("user_id"), col("f.depth"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.contains((9L, 1)), rows.mkString(","))
+  }
+
+  test("scd2Stream idleTimeout surfaces the open interval with valid_to NULL on eviction") {
+    val b1 = eventsDF(Seq(
+      (1L, 9L, "view", 0.0, "2024-01-01 10:00:00"),
+      (2L, 9L, "click", 0.0, "2024-01-01 10:01:00")))
+    val b2 = eventsDF(Seq(
+      (3L, 8L, "view", 0.0, "2024-01-01 11:30:00")))
+    val dir = stageBatches("scd2idle", Seq(b1, b2))
+    val rows = Streams.runToBatch(spark,
+        Streams.scd2Stream(streamDir(dir, b1.schema),
+          idleTimeout = Some("1 minute")),
+        "spec_scd2_idle")
+      .filter(col("user_id") === 9L)
+      .orderBy(col("valid_from"))
+      .collect().map(r => (r.getString(1), r.isNullAt(3)))
+    // closed interval (view, non-null close) + evicted open interval
+    // (click, NULL close = the current-row marker)
+    assert(rows.toSeq == Seq(("view", false), ("click", true)),
+      rows.mkString(","))
+  }
+
+  test("heavyHittersStream: MG candidates are a superset of true heavy hitters at the cap boundary; recount equals batch") {
+    // 40 events in one window: user 1 x 20, user 2 x 8, users 3..14 x 1
+    // each. k = 3 forces constant decrement churn; freq(1) = 20 > 40/3
+    // must survive in ANY arrival order (pigeonhole), smaller keys may
+    // or may not ride along
+    val rows = (1 to 20).map(i => (i.toLong, 1L, "view", 0.0,
+        f"2024-01-01 10:00:${i % 60}%02d")) ++
+      (21 to 28).map(i => (i.toLong, 2L, "view", 0.0,
+        f"2024-01-01 10:01:${i % 60}%02d")) ++
+      (29 to 40).map(i => (i.toLong, (i - 26).toLong, "view", 0.0,
+        f"2024-01-01 10:02:${i % 60}%02d"))
+    val df = eventsDF(scala.util.Random.shuffle(rows))
+    val dir = stageBatches("hhmg", Seq(df))
+    val emitted = Streams.runToBatch(spark,
+        Streams.heavyHittersStream(streamDir(dir, df.schema), k = 3),
+        "spec_hh_mg", outputMode = "update")
+      .orderBy(col("n_events").desc).collect()
+    assert(emitted.nonEmpty)
+    val cands = emitted.head.getSeq[Long](2)
+    assert(cands.size <= 3 && cands.contains(1L), cands.mkString(","))
+    // full recount pattern on the real fixture == plain GROUP BY/HAVING
+    val k = 20
+    val streamedHH = graft.queries.StreamingQueries
+      .queries("q243_stream_heavy_hitters")(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sfTiny).filter(col("user_id").isNotNull)
+      .select(date_format(window(col("ts"), "300 seconds")
+        .getField("start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("user_id"))
+      .groupBy(col("w_start"), col("user_id")).agg(count(lit(1)).as("cnt"))
+    val tot = ev.groupBy(col("w_start")).agg(sum(col("cnt")).as("n_total"))
+    val batchHH = ev.join(tot, Seq("w_start"))
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("w_start"), col("user_id"), col("cnt"), col("n_total"))
+      .orderBy(col("w_start"), col("user_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamedHH == batchHH && streamedHH.nonEmpty)
   }
 
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
