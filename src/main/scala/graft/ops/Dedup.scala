@@ -435,23 +435,28 @@ object Dedup {
       quality: String, k: Int = 5, n: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.9): DataFrame = {
     // memb is consumed TWICE (per-cluster argmax + the final join-back);
-    // without a persist each consumer re-runs the dedupCorpus membership
-    // build — i.e. a second full pass over the corpus text column at
-    // 100 TB. Persist the 3-narrow-column frame, eagerly cut the result
-    // lineage, release — the PageRank e-persist pattern.
+    // without materializing it each consumer re-runs the dedupCorpus
+    // membership build — i.e. a second full pass over the corpus text
+    // column at 100 TB. Eagerly checkpoint the 3-NARROW-COLUMN frame
+    // (cheap to write) and leave the wide final join LAZY — the r12 A/B
+    // (scripts/ab_keepbest.scala, min-of-3 at sf0.1): shipped r10/r11
+    // form (lazy persist + eager localCheckpoint of the FINAL frame)
+    // 6.04 s, this form 4.27 s, persist+count barrier 4.88 s, base
+    // dedupCorpus 3.68 s — all one text scan by inputMB; checkpointing
+    // the narrow frame recovers most of the r10 regression because the
+    // synchronous write is memb-sized, not result-sized. Checkpoint
+    // blocks are released when the frame is GC'd; no unpersist
+    // bookkeeping needed.
     val memb = dedupCorpus(df, id, text, k, n, bands, minEstJaccard)
       .select(col(id), col("canonical_id"))
       .join(df.select(col(id), col(quality)), Seq(id))
-      .persist()
+      .localCheckpoint(true)
     val best = memb.groupBy(col("canonical_id"))
       .agg(max(struct(col(quality).as("q"), (-col(id)).as("negid"))).as("b"))
       .select(col("canonical_id"), (-col("b.negid")).as("best_id"))
-    val out = memb.join(best, Seq("canonical_id"))
+    memb.join(best, Seq("canonical_id"))
       .select(col(id), col("canonical_id"), col("best_id"),
         (col(id) === col("best_id")).cast("int").as("keep"))
-      .localCheckpoint(true)
-    memb.unpersist(blocking = false)
-    out
   }
 
   /** SimHash near-duplicate pairs within a blocking column: pairs whose
