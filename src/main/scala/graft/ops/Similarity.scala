@@ -92,6 +92,69 @@ object Similarity {
     out
   }
 
+  /** MARGIN-scored bitext mining (Artetxe & Schwenk 2019's ratio
+    * margin — the step AFTER [[mutualNearestPairs]]'s mutuality
+    * filter): raw cosine is hub-biased (some vectors are close to
+    * everything), so each candidate pair is scored RELATIVE to its
+    * endpoints' neighborhoods — margin(x, y) = cos(x, y) / ((avg top-k
+    * cos of x in B + avg top-k cos of y in A) / 2) — and the mined
+    * pair per anchor is its rank-1 BY MARGIN above `minMarginPpm`
+    * (1 050 000 ppm = the classic 1.05 ratio threshold).
+    *
+    * Exactness tier: similarities are floored to integer micro-units
+    * FIRST, so the top-k neighborhood sums are integer additions
+    * (association-order-free) and the margin is one integer division,
+    * margin_ppm = (2k · cos_u6 · 1e6) div (sumA_u6 + sumB_u6) — the
+    * whole frame replays bit-for-bit in SQL. Only pairs with
+    * cos_u6 > 0 and a positive denominator are scored (both filters
+    * replay; they also keep the truncating div on positive operands,
+    * where Spark's `div` and DuckDB's `//` agree).
+    *
+    * Scale shape: scores are computed ONCE (broadcast join over the
+    * codegen'd dot, persisted); then two per-side rank-k windows for
+    * the neighborhood sums and one rank-1 window for the emission. At
+    * 100 TB feed the scored frame from the IVF tier per direction
+    * (the q234 composition note) — the margin arithmetic is unchanged.
+    *
+    * @return (a_id, b_id, cos_u6, margin_ppm) — the best-margin b per
+    *         a with margin above threshold (ties: lowest b_id)
+    */
+  def marginMinedPairs(a: DataFrame, b: DataFrame, id: String,
+      vec: String, k: Int = 4, minMarginPpm: Long = 1050000L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val av = a.select(col(id).as("a_id"), col(vec).as("a_vec"))
+    val bv = b.select(col(id).as("b_id"), col(vec).as("b_vec"))
+    val scored = av.join(broadcast(bv), lit(true))
+      .withColumn("cos_u6",
+        floor(dot_f(col("a_vec"), col("b_vec")) * lit(1000000.0d))
+          .cast("long"))
+      .select(col("a_id"), col("b_id"), col("cos_u6"))
+      .persist()
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_u6").desc, col("b_id").asc)
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos_u6").desc, col("a_id").asc)
+    val sumA = scored.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= k)
+      .groupBy(col("a_id")).agg(sum(col("cos_u6")).as("sa"))
+    val sumB = scored.withColumn("r", row_number().over(wb))
+      .filter(col("r") <= k)
+      .groupBy(col("b_id")).agg(sum(col("cos_u6")).as("sb"))
+    val wm = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_ppm").desc, col("b_id").asc)
+    val out = scored.filter(col("cos_u6") > 0)
+      .join(sumA, "a_id").join(sumB, "b_id")
+      .filter(col("sa") + col("sb") > 0)
+      .withColumn("margin_ppm",
+        expr(s"(cos_u6 * ${2L * k}L * 1000000L) div (sa + sb)"))
+      .withColumn("rm", row_number().over(wm))
+      .filter(col("rm") === 1 && col("margin_ppm") >= minMarginPpm)
+      .select(col("a_id"), col("b_id"), col("cos_u6"), col("margin_ppm"))
+      .localCheckpoint(true)
+    scored.unpersist(blocking = false)
+    out
+  }
+
   /** Deterministic negative sampling for contrastive training — k
     * pseudo-random negatives per anchor, WITHOUT an RNG: candidates
     * sit on a 2³² hash ring (position = Knuth multiplicative hash of

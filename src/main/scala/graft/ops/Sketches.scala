@@ -443,6 +443,30 @@ object Sketches {
       " + (CAST(CEIL(q * n) AS DOUBLE) - (CAST(cume AS DOUBLE)" +
       " - CAST(cnt AS DOUBLE))) / CAST(cnt AS DOUBLE)), 6)"
 
+  /** IN-ROW quantile walk over ladder-count columns n0..n{B-1} plus a
+    * total column `n` — [[histEstExpr]]'s arithmetic restated for the
+    * single-row histogram shape the streaming monitor carries (one
+    * column per bucket, not one row per bucket): the estimate for `q`
+    * is the first bucket whose in-row cumulative sum reaches
+    * ceil(q·n), linearly interpolated inside it. SQL CASE picks the
+    * FIRST matching arm in both engines, so the walk is deterministic
+    * and the oracle replays this string verbatim over FILTER-counted
+    * buckets. Textually O(B²) in the cumulative sums — fine at the
+    * ladder widths a monitor uses (B ≤ 64).
+    */
+  def histLadderQuantileExpr(lo: Double, hi: Double, nBuckets: Int,
+      q: Double): String = {
+    val width = s"((CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)) / $nBuckets)"
+    val tgt = s"CAST(CEIL(CAST($q AS DOUBLE) * n) AS BIGINT)"
+    def cume(i: Int) = (0 to i).map(j => s"n$j").mkString("(", " + ", ")")
+    val arms = (0 until nBuckets).map { i =>
+      s"WHEN ${cume(i)} >= $tgt THEN CAST($lo AS DOUBLE) + $width *" +
+        s" (CAST($i AS DOUBLE) + (CAST($tgt AS DOUBLE) -" +
+        s" CAST(${cume(i)} - n$i AS DOUBLE)) / CAST(n$i AS DOUBLE))"
+    }.mkString(" ")
+    s"ROUND(CASE $arms END, 6)"
+  }
+
   /** EXACT heavy hitters without a full-tail shuffle: every value with
     * frequency STRICTLY ABOVE N/k, with its exact count. The
     * THRESHOLD-contract sibling of [[graft.ops.Corpus.heavyHitters]]

@@ -497,6 +497,20 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("a_id"))
     }),
 
+    // margin-scored bitext mining (NEW r12): Artetxe & Schwenk's ratio
+    // margin over the q234 split — rank-1 BY MARGIN per anchor, scored
+    // against both endpoints' top-4 neighborhoods; micro-unit floors
+    // make the neighborhood sums integer and the margin one integer
+    // division, so the whole frame hash-gates
+    "q244_margin_bitext" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.marginMinedPairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMarginPpm = 1000000L)
+        .orderBy(col("a_id"))
+    }),
+
     // MMR diversity re-rank (NEW r8): brute-force top-10 candidates →
     // greedy λ·rel − (1−λ)·max-sim-to-selected, k=3. The re-rank step
     // between candidate generation and serving; oracle unrolls the
@@ -1479,6 +1493,33 @@ object LlmQueries extends QueryGroup {
            |SELECT ta.a_id, ta.b_id, ROUND(ta.cos, 6) AS cos
            |FROM ta JOIN tb ON ta.a_id = tb.a_id AND ta.b_id = tb.b_id
            |ORDER BY ta.a_id""".stripMargin,
+
+      "q244_margin_bitext" ->
+        // identical micro-unit floor, integer top-4 sums, one integer
+        // division on positive operands (Spark div == DuckDB // there)
+        s"""WITH sc AS MATERIALIZED (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    CAST(FLOOR((${sqlDot("a", "b")}) * 1000000) AS BIGINT)
+           |      AS cos_u6
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+           |sa AS (SELECT a_id, CAST(SUM(cos_u6) AS BIGINT) AS sa FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY cos_u6 DESC, b_id ASC) AS r FROM sc)
+           |  WHERE r <= 4 GROUP BY a_id),
+           |sb AS (SELECT b_id, CAST(SUM(cos_u6) AS BIGINT) AS sb FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY b_id
+           |      ORDER BY cos_u6 DESC, a_id ASC) AS r FROM sc)
+           |  WHERE r <= 4 GROUP BY b_id),
+           |m AS (SELECT sc.a_id, sc.b_id, sc.cos_u6,
+           |    (sc.cos_u6 * 8 * 1000000) // (sa.sa + sb.sb) AS margin_ppm
+           |  FROM sc JOIN sa USING (a_id) JOIN sb USING (b_id)
+           |  WHERE sc.cos_u6 > 0 AND sa.sa + sb.sb > 0)
+           |SELECT a_id, b_id, cos_u6, margin_ppm FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY margin_ppm DESC, b_id ASC) AS rm FROM m)
+           |WHERE rm = 1 AND margin_ppm >= 1000000
+           |ORDER BY a_id""".stripMargin,
 
       // MMR oracle: same top-10 candidate set as q97's (rank by the
       // UNROUNDED dot, emit the rounded rel), then the three greedy

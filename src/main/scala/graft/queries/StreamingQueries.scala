@@ -52,6 +52,21 @@ object StreamingQueries extends QueryGroup {
     // psiDriftStream as a literal count vector, computed ONCE here
     // (and in production frozen across monitor restarts — the spec
     // covers the literal-vector path with no batch scan at all)
+    // streaming per-window quantile monitor (NEW r12): live p50/p95/
+    // p99 of the value column — ladder-width IN-ROW bucket counts per
+    // window (state = 16 longs per open window, the psiDriftStream
+    // shape), quantile walk as a stateless projection via the SAME
+    // histogram arithmetic as batch q192/q203, so every closed window
+    // replays bit-for-bit
+    "q245_stream_quantiles" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.quantileStream(Streams.eventsStream(s, d),
+            lo = 0.0, hi = 200.0, nBuckets = 16,
+            qs = Seq(0.5, 0.95, 0.99)),
+          "q245_quant")
+        .orderBy(col("w_start"))
+    }),
+
     "q214_stream_psi_drift" -> ((s, d) => {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
       val refCounts = graft.ops.Validate.psiReferenceCounts(
@@ -561,6 +576,34 @@ object StreamingQueries extends QueryGroup {
     // identical to q227's oracle: a full drain of the stateful funnel
     // must equal the batch greedy chain row-for-row
     "q230_stream_funnel" -> DatetimeQueries.funnelOracleSql,
+
+    "q245_stream_quantiles" -> {
+      val nB = 16
+      val ests = Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+        .map { case (q, l) =>
+          graft.ops.Sketches.histLadderQuantileExpr(0.0, 200.0, nB, q) +
+            s" AS $l"
+        }.mkString(", ")
+      s"""WITH $ctes,
+         |vv AS (SELECT ts, CAST(value AS DOUBLE) AS v FROM e
+         |  WHERE value IS NOT NULL),
+         |vb AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws,
+         |    ${graft.ops.Sketches.histBucketExpr(0.0, 200.0, nB)} AS b
+         |  FROM vv),
+         |c AS (SELECT ws, ${(0 until nB).map(i =>
+                s"COUNT(*) FILTER (WHERE b = $i) AS n$i").mkString(", ")}
+         |  FROM vb GROUP BY ws),
+         |mx2 AS (SELECT MAX(ts) AS m FROM vv),
+         |dec AS (SELECT c.* FROM c, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND),
+         |t AS (SELECT *, ${(0 until nB).map(i => s"n$i").mkString(" + ")}
+         |    AS n FROM dec)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  n AS n_events, $ests
+         |FROM t ORDER BY w_start""".stripMargin
+    },
 
     "q214_stream_psi_drift" -> {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)

@@ -947,6 +947,55 @@ object Streams {
     *                  (boundaries labels then overflow); Laplace +1 is
     *                  applied here, mirroring the batch op
     */
+  /** Streaming per-window QUANTILE monitor — live p50/p95/p99 of a
+    * numeric column per tumbling window (the latency/size/score
+    * dashboard every serving door runs). Same single-stateful-operator
+    * shape as [[psiDriftStream]]: the windowed aggregation folds each
+    * event into ladder-width IN-ROW bucket counts (one COLUMN per
+    * bucket — state per open window is B longs, independent of event
+    * count or value cardinality), and the quantile walk is a stateless
+    * projection over the closed row via
+    * [[graft.ops.Sketches.histLadderQuantileExpr]] — the identical
+    * integer/double arithmetic as the batch histogram tier
+    * (q192/q203), so every emitted row replays bit-for-bit in the
+    * oracle. Estimates are histogram-grade: exact bucket, linear
+    * inside — the documented trade of the mergeable-histogram family.
+    *
+    * Append mode: one row per window once the watermark closes it.
+    *
+    * @return (w_start, n_events, p<q1>, p<q2>, …)
+    */
+  def quantileStream(events: DataFrame, lo: Double, hi: Double,
+      nBuckets: Int, qs: Seq[Double], valueCol: String = "value",
+      size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 64,
+      s"nBuckets must be in [2, 64], got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val labels = qs.map(q => s"p${math.round(q * 100)}")
+    require(labels.distinct == labels,
+      s"quantile labels collide after rounding to percent: $labels")
+    val e = events
+      .select(col("ts"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__b",
+        expr(graft.ops.Sketches.histBucketExpr(lo, hi, nBuckets)))
+    val aggCols = (0 until nBuckets).map(i =>
+      sum(when(col("__b") === i, 1L).otherwise(0L)).as(s"n$i"))
+    val counts = e.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n", (0 until nBuckets).map(i => col(s"n$i")).reduce(_ + _))
+    val ests = qs.zip(labels).map { case (q, l) =>
+      expr(graft.ops.Sketches.histLadderQuantileExpr(lo, hi, nBuckets, q))
+        .as(l)
+    }
+    counts.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start")
+        +: col("n").as("n_events") +: ests: _*)
+  }
+
   def psiDriftStream(events: DataFrame, refCounts: Seq[Long],
       boundaries: Seq[Double], valueCol: String = "value",
       size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {

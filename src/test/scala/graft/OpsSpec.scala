@@ -103,6 +103,49 @@ class OpsSpec extends SparkSpec {
     assert(masked == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("marginMinedPairs demotes hubs that raw cosine would pick; brute-force equality") {
+    import spark.implicits._
+    def v(x: Double, y: Double): Array[Float] =
+      (Array(x, y) ++ Array.fill(62)(0.0)).map(_.toFloat)
+    // b=100 is a HUB: decent cosine to BOTH anchors, so its top-k
+    // neighborhood sum is high and the ratio margin demotes it; b=101
+    // and b=102 are the true partners despite slightly lower raw cos
+    // ordering pressure on the hub
+    val a = Seq((0L, v(1.0, 0.2)), (2L, v(0.2, 1.0)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((100L, v(0.9, 0.9)), (101L, v(1.0, 0.0)),
+        (102L, v(0.0, 1.0))).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.marginMinedPairs(a, b, "vec_id",
+        "embedding", k = 2, minMarginPpm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // brute-force replication of the integer pipeline
+    val av = Seq(0L -> (1.0, 0.2), 2L -> (0.2, 1.0))
+    val bv = Seq(100L -> (0.9, 0.9), 101L -> (1.0, 0.0), 102L -> (0.0, 1.0))
+    def dot(p: (Double, Double), q: (Double, Double)): Long =
+      math.floor((p._1.toFloat.toDouble * q._1.toFloat.toDouble +
+        p._2.toFloat.toDouble * q._2.toFloat.toDouble) * 1e6).toLong
+    val sc = for ((ai, ap) <- av; (bi, bp) <- bv) yield (ai, bi, dot(ap, bp))
+    def topSum(xs: Seq[(Long, Long)]): Long = // (tiebreak id, cos)
+      xs.sortBy { case (id, c) => (-c, id) }.take(2).map(_._2).sum
+    val sa = av.map { case (ai, _) =>
+      ai -> topSum(sc.filter(_._1 == ai).map(x => (x._2, x._3))) }.toMap
+    val sb = bv.map { case (bi, _) =>
+      bi -> topSum(sc.filter(_._2 == bi).map(x => (x._1, x._3))) }.toMap
+    val want = av.map(_._1).flatMap { ai =>
+      sc.filter(x => x._1 == ai && x._3 > 0 && sa(ai) + sb(x._2) > 0)
+        .map { case (_, bi, c) =>
+          (bi, c, (c * 4L * 1000000L) / (sa(ai) + sb(bi))) }
+        .sortBy { case (bi, _, m) => (-m, bi) }.headOption
+        .map { case (bi, c, m) => (ai, bi, c, m) }
+    }
+    assert(got.toSet == want.toSet, s"got=${got.toSeq} want=$want")
+    // the margin pick differs from the raw-cosine pick for anchor 0:
+    // raw cos prefers the hub (0.9+0.18 = 1.08 > 1.0), margin picks 101
+    val rawTop = sc.filter(_._1 == 0L).maxBy(x => (x._3, -x._2))._2
+    assert(rawTop == 100L && got.find(_._1 == 0L).get._2 == 101L)
+  }
+
   test("ivfTopK returns k neighbors per query and respects probes") {
     val queries = emb.filter(col("vec_id") < 3)
     val res = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label", k = 4, nProbe = 2)

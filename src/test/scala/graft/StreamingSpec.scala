@@ -451,6 +451,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamedHH == batchHH && streamedHH.nonEmpty)
   }
 
+  test("quantileStream equals the batch histogram-quantile tier window-for-window") {
+    val (lo, hi, nB) = (0.0, 200.0, 16)
+    val qs = Seq(0.5, 0.95, 0.99)
+    val streamed = Streams.runToBatch(spark,
+        Streams.quantileStream(Streams.eventsStream(spark, sfTiny),
+          lo, hi, nB, qs), "spec_quant")
+      .orderBy("w_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(streamed.nonEmpty)
+    // batch replication through the OTHER spelling of the same
+    // arithmetic: per-window histBuildBy rows + histQuantileBy's
+    // row-ladder walk — cross-validates histLadderQuantileExpr against
+    // histEstExpr on real data
+    val ev = Tables.events(spark, sfTiny)
+      .filter(col("value").isNotNull)
+      .select(date_format(window(col("ts"), "5 minutes")
+        .getField("start"), "yyyy-MM-dd HH:mm:ss").as("grp"),
+        col("value"))
+    val hist = graft.ops.Sketches.histBuildBy(ev, "grp", "value", lo, hi, nB)
+    val batchMap = graft.ops.Sketches.histQuantileBy(hist, lo, hi, nB, qs)
+      .select(col("grp"), col("q"), col("n"), col("est"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    streamed.foreach { case (w, n, p50, p95, p99) =>
+      qs.zip(Seq(p50, p95, p99)).foreach { case (q, est) =>
+        assert(batchMap((w, q)) == ((n, est)),
+          s"window $w q$q: streamed ($n, $est) vs ${batchMap((w, q))}")
+      }
+    }
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so
