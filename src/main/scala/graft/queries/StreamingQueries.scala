@@ -52,6 +52,27 @@ object StreamingQueries extends QueryGroup {
     // psiDriftStream as a literal count vector, computed ONCE here
     // (and in production frozen across monitor restarts — the spec
     // covers the literal-vector path with no batch scan at all)
+    // streaming CUSUM change-point monitor (NEW r12): per (hour window
+    // x event_type) series, the mean-shift vertex argmax|n*prefix -
+    // k*total| in pure integers over cents — the buffered-fold shape
+    // at window granularity (state = the window's events per series,
+    // re-folded per batch; max-n_points emission == the batch fold in
+    // any arrival order)
+    "q246_stream_cusum" -> ((s, d) => {
+      val res = Streams.runToBatch(s,
+        Streams.cusumStream(Streams.eventsStream(s, d)), "q246_cusum",
+        outputMode = "update")
+      res.groupBy(col("w_start"), col("series"))
+        .agg(max(struct(col("n_points"), col("change_pos"),
+          col("change_at_us"), col("dev_n"))).as("f"))
+        .select(col("w_start"), col("series"),
+          col("f.n_points").as("n_points"),
+          col("f.change_pos").as("change_pos"),
+          col("f.change_at_us").as("change_at_us"),
+          col("f.dev_n").as("dev_n"))
+        .orderBy(col("w_start"), col("series"))
+    }),
+
     // streaming per-window quantile monitor (NEW r12): live p50/p95/
     // p99 of the value column — ladder-width IN-ROW bucket counts per
     // window (state = 16 longs per open window, the psiDriftStream
@@ -576,6 +597,37 @@ object StreamingQueries extends QueryGroup {
     // identical to q227's oracle: a full drain of the stateful funnel
     // must equal the batch greedy chain row-for-row
     "q230_stream_funnel" -> DatetimeQueries.funnelOracleSql,
+
+    "q246_stream_cusum" ->
+      // exact replay: per (hour, type) series ordered by (ts,
+      // event_id), cross-multiplied CUSUM dev in integers, argmax by
+      // (|dev| DESC, k) — every window gates (the max-n_points fold
+      // needs no decidability filter: all events arrive in the drain)
+      s"""WITH $ctes,
+         |v AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 3600)
+         |      * 3600 * 1000000) AS ws,
+         |    event_type AS series, EPOCH_US(ts) AS tus, event_id,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM e WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND event_id IS NOT NULL),
+         |r AS (SELECT *,
+         |    CAST(ROW_NUMBER() OVER wo AS BIGINT) AS k,
+         |    SUM(cents) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS prefix,
+         |    CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+         |    SUM(cents) OVER wp AS total
+         |  FROM v
+         |  WINDOW wo AS (PARTITION BY ws, series ORDER BY tus, event_id),
+         |    wp AS (PARTITION BY ws, series)),
+         |d AS (SELECT ws, series, n, k, tus,
+         |    CAST(n * prefix - k * total AS BIGINT) AS dev FROM r)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, series,
+         |  n AS n_points, k AS change_pos, tus AS change_at_us,
+         |  dev AS dev_n
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws, series
+         |    ORDER BY ABS(dev) DESC, k) AS rk FROM d)
+         |WHERE rk = 1 ORDER BY w_start, series""".stripMargin,
 
     "q245_stream_quantiles" -> {
       val nB = 16

@@ -947,6 +947,93 @@ object Streams {
     *                  (boundaries labels then overflow); Laplace +1 is
     *                  applied here, mirroring the batch op
     */
+  /** Streaming CUSUM change-point monitor — the live twin of
+    * [[graft.ops.FrameOps.cusumChangePoint]] at (tumbling window ×
+    * series key) granularity: per series, the position whose
+    * cross-multiplied CUSUM deviation dev_k = n·prefix_k − k·total is
+    * largest in magnitude (the mean-shift vertex), in pure 64-bit
+    * integers over values quantized to cents.
+    *
+    * The statistic is a function of the WHOLE series (n and total
+    * multiply every term), so this is the buffered-fold shape
+    * ([[funnelStream]]'s r12 contract, taken to window granularity):
+    * events buffer in state, every micro-batch re-folds the sorted
+    * buffer and emits the current vertex with its n_points — the
+    * emission with the highest n_points per (window, key) is the
+    * complete-series answer, equal to the batch fold in ANY arrival
+    * order (ties at equal |dev| break to the earliest position, order
+    * pinned by (ts, event_id)). State is O(events per window per
+    * series), the honest cost of an exact whole-series statistic —
+    * fail-fast at `maxBufferedEvents`, evicted by event-time timeout
+    * once the watermark passes the window.
+    *
+    * @return (w_start, series, n_points, change_pos, change_at_us,
+    *         dev_n) per touched (window, series) per batch, update
+    *         mode; fold max-n_points per (w_start, series)
+    */
+  def cusumStream(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value", windowSecs: Int = 3600,
+      delay: String = "10 minutes",
+      maxBufferedEvents: Int = 1000000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sized = s"$windowSecs seconds"
+    events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col("event_id").isNotNull)
+      .withWatermark("ts", delay)
+      .select(
+        concat_ws("",
+          date_format(window(col("ts"), sized).getField("start"),
+            "yyyy-MM-dd HH:mm:ss"),
+          col(keyCol)).as("wk"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_id").cast("long").as("eid"),
+        round(col(valueCol) * 100).cast("long").as("cents"),
+        col("ts"))
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (wk: String, rows: Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
+         st: GroupState[Seq[(Long, Long, Long)]]) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val buf = st.getOption.getOrElse(Seq.empty) ++
+              rows.map(r => (r._2, r._3, r._4))
+            if (buf.size > maxBufferedEvents)
+              throw new IllegalStateException(
+                s"cusumStream: series $wk has ${buf.size} events in one " +
+                  s"window — raise maxBufferedEvents ($maxBufferedEvents), " +
+                  "shrink the window, or use a finer series key")
+            st.update(buf)
+            val Array(w, key) = wk.split("", 2)
+            st.setTimeoutTimestamp(math.max(
+              windowStartMs(w) + windowSecs * 1000L + durationMs(delay),
+              st.getCurrentWatermarkMs() + 1))
+            // exact whole-series fold over the (ts, event_id) order
+            val sorted = buf.sorted
+            val n = sorted.size.toLong
+            val total = sorted.iterator.map(_._3).sum
+            var prefix = 0L; var k = 0L
+            var bestAbs = -1L; var bestK = 0L; var bestDev = 0L
+            var bestT = 0L
+            sorted.foreach { case (tus, _, cents) =>
+              k += 1; prefix += cents
+              val dev = n * prefix - k * total
+              val a = math.abs(dev)
+              if (a > bestAbs) {
+                bestAbs = a; bestK = k; bestDev = dev; bestT = tus
+              }
+            }
+            Iterator.single((w, key, n, bestK, bestT, bestDev))
+          }
+      }
+      .toDF("w_start", "series", "n_points", "change_pos",
+        "change_at_us", "dev_n")
+  }
+
   /** Streaming per-window QUANTILE monitor — live p50/p95/p99 of a
     * numeric column per tumbling window (the latency/size/score
     * dashboard every serving door runs). Same single-stateful-operator

@@ -451,6 +451,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamedHH == batchHH && streamedHH.nonEmpty)
   }
 
+  test("cusumStream finds the hand-computed mean-shift vertex; out-of-order arrival is absorbed") {
+    def fold(res: org.apache.spark.sql.DataFrame) = res
+      .groupBy(col("w_start"), col("series"))
+      .agg(max(struct(col("n_points"), col("change_pos"),
+        col("change_at_us"), col("dev_n"))).as("f"))
+      .select(col("w_start"), col("series"), col("f.n_points"),
+        col("f.change_pos"), col("f.dev_n"))
+      .orderBy("w_start", "series").collect().map(_.toSeq).toSeq
+    // series: 6 events at value 1.00, then 4 at 11.00 — the CUSUM
+    // vertex is position 6 (the last low point): total = 5000 cents,
+    // dev_6 = 10*600 - 6*5000 = -24000, the magnitude max
+    val rows = (1 to 6).map(i => (i.toLong, 1L, "view", 1.0,
+        f"2024-01-01 10:0$i:00")) ++
+      (7 to 9).map(i => (i.toLong, 1L, "view", 11.0,
+        f"2024-01-01 10:0$i:00")) ++
+      Seq((10L, 1L, "view", 11.0, "2024-01-01 10:10:00"))
+    val all = eventsDF(rows)
+    val one = fold(Streams.runToBatch(spark,
+      Streams.cusumStream(streamDir(stageBatches("cusum1", Seq(all)),
+        all.schema)), "spec_cusum1", outputMode = "update"))
+    assert(one == Seq(Seq("2024-01-01 10:00:00", "view", 10L, 6L, -24000L)),
+      one.toString)
+    // out-of-order: the late low event (pos 5) arrives in batch 2,
+    // within the watermark — the buffered re-fold must land on the
+    // same vertex as the single-batch drain
+    val b1 = eventsDF(rows.filterNot(_._1 == 5L))
+    val b2 = eventsDF(rows.filter(_._1 == 5L))
+    val two = fold(Streams.runToBatch(spark,
+      Streams.cusumStream(streamDir(stageBatches("cusum2", Seq(b1, b2)),
+        b1.schema)), "spec_cusum2", outputMode = "update"))
+    assert(two == one, s"two=$two one=$one")
+  }
+
   test("quantileStream equals the batch histogram-quantile tier window-for-window") {
     val (lo, hi, nB) = (0.0, 200.0, 16)
     val qs = Seq(0.5, 0.95, 0.99)
