@@ -969,4 +969,56 @@ object Validate {
       .select(col("n_obs"), col("n_agree"), col("n_classes"),
         col("pe_num"), col("po_bp"), col("pe_bp"), col("kappa_bp"))
   }
+
+  /** FK-CASCADE PURGE PLAN — the "right to be forgotten" audit: given
+    * root keys to delete and an FK chain of child tables, compute per
+    * table how many rows the cascade removes and integer key-sum
+    * WITNESSES of both the deleted and surviving sets (a single
+    * mis-cascaded row flips a witness, which is what makes the plan
+    * hash-gatable and diffable across engines before anything is
+    * actually deleted). Level i's deleted keys are the own-keys of
+    * rows whose FK lands in level i−1's deleted keys — semi-join
+    * cascade, so no table is ever joined wider than its key columns.
+    *
+    * 100 TB posture: one keyed semi/anti-join + one bounded agg per
+    * table; deleted-key frames are key-only projections (broadcast
+    * when small, shuffle-joined when not — planner's call), and no
+    * row data ever leaves its table's scan.
+    *
+    * @param chain one entry per child level: (tableName, df,
+    *              fkToParent, ownKey) — ownKey feeds the next level's
+    *              FK match and the witnesses
+    * @return (lvl, table, n_rows, n_deleted, n_kept, deleted_key_sum,
+    *         kept_key_sum) one row per chain entry
+    */
+  def cascadePurgePlan(roots: DataFrame, rootKey: String,
+      chain: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    require(chain.nonEmpty, "need at least one child table")
+    val spark = roots.sparkSession
+    var parentDeleted = roots.select(col(rootKey).cast("long").as("k"))
+      .filter(col("k").isNotNull).distinct()
+    val reports = chain.zipWithIndex.map {
+      case ((name, df, fk, ownKey), i) =>
+        val keyed = df.select(col(fk).cast("long").as("fk"),
+          col(ownKey).cast("long").as("k"))
+        val del = keyed.join(parentDeleted.withColumnRenamed("k", "fk"),
+          Seq("fk"), "left_semi")
+        parentDeleted = del.select(col("k")).distinct()
+          .localCheckpoint(true)
+        // kept = total − deleted (no anti-join, no own-key-uniqueness
+        // assumption: deletion membership is decided by the FK alone)
+        val tAgg = keyed.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("k")), lit(0L)).as("total_key_sum"))
+        val dAgg = del.agg(count(lit(1)).as("n_deleted"),
+          coalesce(sum(col("k")), lit(0L)).as("deleted_key_sum"))
+        dAgg.crossJoin(tAgg)
+          .select(lit(i + 1).as("lvl"), lit(name).as("table"),
+            col("n_rows"), col("n_deleted"),
+            (col("n_rows") - col("n_deleted")).as("n_kept"),
+            col("deleted_key_sum"),
+            (col("total_key_sum") - col("deleted_key_sum"))
+              .as("kept_key_sum"))
+    }
+    reports.reduce(_ unionByName _)
+  }
 }

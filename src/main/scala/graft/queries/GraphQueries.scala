@@ -119,6 +119,23 @@ object GraphQueries extends QueryGroup {
     // scales with the lineitem count per (customer, supplier) pair —
     // q171d's weighting on q171f's rescaled loop; w ≡ 1 degenerates to
     // q171f exactly
+    // GNN neighbor feature aggregation (NEW r12): GraphSAGE-style
+    // two-layer prep over the customer↔supplier graph — hop 1
+    // aggregates in-neighbors' account-balance cents (deg/sum/min/
+    // max), hop 2 re-aggregates the hop-1 sums/degrees; NO division
+    // anywhere, so every column is an exact integer fold
+    "q247_neighbor_agg" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("node"),
+        round(col("c_acctbal") * 100).cast("long").as("feat"))
+      val supp = Tables.supplier(s, d).select(
+        (col("s_suppkey") + 1000000L).as("node"),
+        round(col("s_acctbal") * 100).cast("long").as("feat"))
+      Graph.neighborAgg(edges(s, d), "src", "dst",
+          cust.union(supp), "node", "feat")
+        .orderBy(col("node"))
+    }),
+
     "q171g_hits_milli_weighted" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -545,6 +562,25 @@ object GraphQueries extends QueryGroup {
     "q171f_hits_milli" -> hitsMilliOracleSql(weighted = false),
 
     "q171g_hits_milli_weighted" -> hitsMilliOracleSql(weighted = true),
+
+    "q247_neighbor_agg" ->
+      s"""WITH $sqlEdges,
+         |feats AS (SELECT c_custkey AS node,
+         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS feat FROM customer
+         |  UNION ALL SELECT s_suppkey + 1000000,
+         |    CAST(ROUND(s_acctbal * 100) AS BIGINT) FROM supplier),
+         |h1 AS (SELECT e.dst AS node, CAST(COUNT(*) AS BIGINT) AS deg1,
+         |    CAST(SUM(f.feat) AS BIGINT) AS sum1, MIN(f.feat) AS min1,
+         |    MAX(f.feat) AS max1
+         |  FROM edges e JOIN feats f ON e.src = f.node GROUP BY e.dst),
+         |h2 AS (SELECT e.dst AS node,
+         |    CAST(SUM(h.deg1) AS BIGINT) AS deg2_sum,
+         |    CAST(SUM(h.sum1) AS BIGINT) AS sum2
+         |  FROM edges e JOIN h1 h ON e.src = h.node GROUP BY e.dst)
+         |SELECT f.node, f.feat, h1.deg1, h1.sum1, h1.min1, h1.max1,
+         |  h2.deg2_sum, h2.sum2
+         |FROM feats f LEFT JOIN h1 USING (node) LEFT JOIN h2 USING (node)
+         |ORDER BY f.node""".stripMargin,
 
     "q171c_personalized_pagerank" -> {
       def round(i: Int): String =

@@ -237,6 +237,22 @@ object SourceQueries extends QueryGroup {
         "o_custkey", "c_custkey")
     }),
 
+    // FK-cascade purge plan (NEW r12): "right to be forgotten" audit —
+    // %97 customers tombstoned, the cascade walks orders → lineitem
+    // as key-only semi-joins; per-table delete counts + integer
+    // key-sum witnesses of both sets, so one mis-cascaded row flips
+    // the hash
+    "q248_cascade_purge" -> ((s, d) => {
+      val roots = Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+      val li = Tables.lineitem(s, d)
+        .withColumn("l_rowkey",
+          col("l_orderkey") * 10L + col("l_linenumber"))
+      graft.ops.Validate.cascadePurgePlan(roots, "c_custkey", Seq(
+          ("orders", Tables.orders(s, d), "o_custkey", "o_orderkey"),
+          ("lineitem", li, "l_orderkey", "l_rowkey")))
+        .orderBy(col("lvl"))
+    }),
+
     // per-key orphan detail: the 20 worst dangling customer keys
     "q188b_fk_orphan_keys" -> ((s, d) => {
       graft.ops.Validate.fkOrphanKeys(
@@ -541,6 +557,34 @@ object SourceQueries extends QueryGroup {
         |SELECT n_child, n_null_fk, n_orphans, n_orphan_keys,
         |  (10000 * n_orphans) // n_child AS orphan_bp
         |FROM b CROSS JOIN o""".stripMargin,
+
+    "q248_cascade_purge" ->
+      // key-only semi-join cascade replay; HUGEINT sums cast back
+      """WITH del_c AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_custkey % 97 = 0),
+        |o AS (SELECT o_orderkey AS k, o_custkey AS fk FROM orders),
+        |del_o AS (SELECT k FROM o WHERE fk IN (SELECT k FROM del_c)),
+        |ot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(SUM(k), 0) AS BIGINT) AS ts FROM o),
+        |od AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted,
+        |    CAST(COALESCE(SUM(k), 0) AS BIGINT) AS ds FROM del_o),
+        |l AS (SELECT l_orderkey * 10 + l_linenumber AS k,
+        |    l_orderkey AS fk FROM lineitem),
+        |del_l AS (SELECT k FROM l
+        |  WHERE fk IN (SELECT DISTINCT k FROM del_o)),
+        |lt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(SUM(k), 0) AS BIGINT) AS ts FROM l),
+        |ld AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted,
+        |    CAST(COALESCE(SUM(k), 0) AS BIGINT) AS ds FROM del_l)
+        |SELECT CAST(1 AS INTEGER) AS lvl, 'orders' AS "table", n_rows,
+        |  n_deleted, n_rows - n_deleted AS n_kept,
+        |  ds AS deleted_key_sum, ts - ds AS kept_key_sum
+        |FROM ot CROSS JOIN od
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'lineitem', n_rows, n_deleted,
+        |  n_rows - n_deleted, ds, ts - ds
+        |FROM lt CROSS JOIN ld
+        |ORDER BY lvl""".stripMargin,
 
     "q188b_fk_orphan_keys" ->
       """WITH pk AS (SELECT DISTINCT c_custkey FROM customer

@@ -714,4 +714,28 @@ class GraphLinalgSpec extends SparkSpec {
     val b = Graph.linkPredict(df9, "src", "dst").collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("neighborAgg: hand-checked two-hop integer folds, isolated nodes keep nulls") {
+    // 1 -> 3, 2 -> 3, 3 -> 4; node 5 isolated. feats: 1=10, 2=-20,
+    // 3=5, 4=7, 5=9. h1(3) = (deg 2, sum -10, min -20, max 10);
+    // h1(4) = (1, 5, 5, 5); h2(4) = sums of h1(3) = (deg2 2, sum2 -10)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val f = Seq((1L, 10L), (2L, -20L), (3L, 5L), (4L, 7L), (5L, 9L))
+      .toDF("n", "x")
+    val r = Graph.neighborAgg(e, "src", "dst", f, "n", "x")
+      .orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) null else x.getLong(2),
+        if (x.isNullAt(3)) null else x.getLong(3),
+        if (x.isNullAt(4)) null else x.getLong(4),
+        if (x.isNullAt(5)) null else x.getLong(5),
+        if (x.isNullAt(6)) null else x.getLong(6),
+        if (x.isNullAt(7)) null else x.getLong(7)))
+    assert(r.toSeq == Seq(
+      (1L, 10L, null, null, null, null, null, null),
+      (2L, -20L, null, null, null, null, null, null),
+      (3L, 5L, 2L, -10L, -20L, 10L, null, null),
+      (4L, 7L, 1L, 5L, 5L, 5L, 2L, -10L),
+      (5L, 9L, null, null, null, null, null, null)), r.mkString(","))
+  }
 }

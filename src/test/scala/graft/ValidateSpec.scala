@@ -329,4 +329,25 @@ class ValidateSpec extends SparkSpec {
     val exp = Validate.benfordExpBp
     assert(exp.head == 3010L && exp == exp.sorted.reverse && exp.sum <= 10000L)
   }
+
+  test("cascadePurgePlan: hand-checked two-level cascade, witnesses, dup FKs") {
+    // roots {1, 2}; orders: o10,o11 belong to 1, o12 to 3 (kept),
+    // o13 to 2; lineitems: two rows under o10 (dup FK), one under o12
+    val roots = Seq(1L, 2L, 2L).toDF("cid") // dup root collapses
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 3L), (13L, 2L))
+      .toDF("okey", "cfk")
+    val items = Seq((101L, 10L), (102L, 10L), (103L, 12L))
+      .toDF("ikey", "ofk")
+    val r = Validate.cascadePurgePlan(roots, "cid", Seq(
+        ("orders", orders, "cfk", "okey"),
+        ("items", items, "ofk", "ikey")))
+      .orderBy("lvl").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    // orders: deleted {10,11,13} sum 34, kept {12} sum 12
+    // items: deleted {101,102} sum 203 (both under o10), kept {103}
+    assert(r.toSeq == Seq(
+      (1, "orders", 4L, 3L, 1L, 34L, 12L),
+      (2, "items", 3L, 2L, 1L, 203L, 103L)), r.mkString(","))
+  }
 }
