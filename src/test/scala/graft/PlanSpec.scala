@@ -301,4 +301,21 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"))
   }
+
+  test("neighborAgg plans two keyed joins with partial aggregation, no cartesian") {
+    val p = plan("q247_neighbor_agg")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // map-side combine on both hop aggregations
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("cascadePurgePlan plans key-only semi joins, no row data crosses tables") {
+    val p = plan("q248_cascade_purge")
+    assert(p.contains("LeftSemi"), p)
+    // the only nested-loop is the 1-row x 1-row aggregate crossJoin
+    // (bounded scalar join); no unkeyed join over table data
+    assert(!p.contains("CartesianProduct"), p)
+    // the lineitem scan reads only the two key columns
+    assert(p.contains("l_orderkey") && !p.contains("l_extendedprice"), p)
+  }
 }
