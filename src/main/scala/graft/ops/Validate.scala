@@ -1021,4 +1021,62 @@ object Validate {
     }
     reports.reduce(_ unionByName _)
   }
+
+  /** T-CLOSENESS census — the third privacy gate beside [[kAnonymity]]
+    * (class size) and its l-diversity column (distinct sensitive
+    * values): per quasi-identifier class, the EARTH MOVER'S DISTANCE
+    * between the class's sensitive-value distribution and the global
+    * one, over the ORDERED value domain (Li, Li & Venkatasubramanian
+    * 2007's numeric form: EMD = mean |prefix-sum of p − q| over the
+    * m−1 steps). A class can be k-anonymous and l-diverse yet leak —
+    * e.g. every row in it "diverse" but skewed to high salaries; EMD
+    * is the gate that catches that.
+    *
+    * Exact integers throughout: the per-step mass difference is
+    * cross-multiplied (p_i − q_i → cnt_class_i·N − cnt_glob_i·n_class)
+    * so prefixes are integer sums, and the result is one division,
+    * emd_ppm = 1e6·Σ|prefix| div (n_class·N·(m−1)) — non-negative
+    * operands, engine-identical. m = 1 (a constant sensitive column)
+    * emits 0.
+    *
+    * Scale: the support grid is |classes|·m rows — the sensitive
+    * attribute must be categorical or pre-bucketized (the domain
+    * t-closeness is defined on); the class frame itself is the same
+    * one [[kAnonymity]] aggregates.
+    *
+    * @return one row per class: (quasiCols…, n_class, emd_ppm)
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitive: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitive),
+      s"sensitive column $sensitive must not be a quasi-identifier")
+    val vals = df.select((quasiCols.map(col) :+
+        col(sensitive).cast("string").as("__v")): _*)
+      .filter(col("__v").isNotNull &&
+        quasiCols.map(c => col(c).isNotNull).reduce(_ && _))
+    val glob = vals.groupBy(col("__v")).agg(count(lit(1)).as("__qc"))
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("__n"),
+        countDistinct(col("__v")).as("__m"))))
+    val classes = vals.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__nc"))
+    val cell = vals.groupBy((quasiCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__pc"))
+    val grid = classes.crossJoin(broadcast(glob))
+      .join(cell, quasiCols :+ "__v", "left")
+      .withColumn("__pc", coalesce(col("__pc"), lit(0L)))
+    val w = Window.partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("__pref",
+        sum(col("__pc") * col("__n") - col("__qc") * col("__nc")).over(w))
+      .groupBy((quasiCols.map(col) :+ col("__nc") :+ col("__n")
+        :+ col("__m")): _*)
+      .agg(sum(abs(col("__pref"))).as("__emd_num"))
+      .withColumn("emd_ppm", when(col("__m") <= 1, lit(0L))
+        .otherwise(expr(
+          "(1000000 * __emd_num) div (__nc * __n * (__m - 1))")))
+      .select((quasiCols.map(col) :+ col("__nc").as("n_class")
+        :+ col("emd_ppm")): _*)
+  }
 }

@@ -388,6 +388,19 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("grp"), col("digit"))
     }),
 
+    // t-closeness census (NEW r12): per market-segment class, the
+    // integer EMD between the class's order-priority distribution and
+    // the global one — the privacy gate k-anonymity/l-diversity can't
+    // provide (a class can be diverse yet skewed); cross-multiplied
+    // prefixes keep everything in exact int64
+    "q250_t_closeness" -> ((s, d) => {
+      val j = Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      graft.ops.Validate.tCloseness(j, Seq("c_mktsegment"),
+          "o_orderpriority")
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // PSI numeric drift (NEW r8): purchase-event values judged against
     // the click-event reference over a fixed ladder — per-bucket
     // floor-nano terms + the scalar Σ on every row
@@ -585,6 +598,35 @@ object SourceQueries extends QueryGroup {
         |  n_rows - n_deleted, ds, ts - ds
         |FROM lt CROSS JOIN ld
         |ORDER BY lvl""".stripMargin,
+
+    "q250_t_closeness" ->
+      // same cross-multiplied integer EMD: prefix of
+      // pc*N - qcnt*n_class over the ordered value domain
+      """WITH vals AS (SELECT c_mktsegment AS qc, o_orderpriority AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS qcnt
+        |  FROM vals GROUP BY v),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT v) AS BIGINT) AS m FROM vals),
+        |cls AS (SELECT qc, CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM vals GROUP BY qc),
+        |cell AS (SELECT qc, v, CAST(COUNT(*) AS BIGINT) AS pc
+        |  FROM vals GROUP BY qc, v),
+        |grid AS (SELECT cls.qc, cls.nc, g.v, g.qcnt, tot.n, tot.m,
+        |    COALESCE(cell.pc, 0) AS pc
+        |  FROM cls CROSS JOIN g CROSS JOIN tot
+        |  LEFT JOIN cell ON cell.qc = cls.qc AND cell.v = g.v),
+        |pref AS (SELECT qc, nc, n, m,
+        |    SUM(pc * n - qcnt * nc) OVER (PARTITION BY qc ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM grid),
+        |agg AS (SELECT qc, nc, n, m, CAST(SUM(ABS(p)) AS BIGINT)
+        |    AS emd_num FROM pref GROUP BY qc, nc, n, m)
+        |SELECT qc AS c_mktsegment, nc AS n_class,
+        |  CASE WHEN m <= 1 THEN 0
+        |    ELSE (1000000 * emd_num) // (nc * n * (m - 1)) END AS emd_ppm
+        |FROM agg ORDER BY c_mktsegment""".stripMargin,
 
     "q188b_fk_orphan_keys" ->
       """WITH pk AS (SELECT DISTINCT c_custkey FROM customer

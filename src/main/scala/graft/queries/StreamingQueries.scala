@@ -52,6 +52,17 @@ object StreamingQueries extends QueryGroup {
     // psiDriftStream as a literal count vector, computed ONCE here
     // (and in production frozen across monitor restarts — the spec
     // covers the literal-vector path with no batch scan at all)
+    // streaming Benford first-digit monitor (NEW r12): per-window
+    // digit-share ladder vs the Benford expectation — the live fraud/
+    // corrupted-feed alarm; 10 longs of state per open window, integer
+    // obs_bp/deviation projection replays bit-for-bit
+    "q249_stream_benford" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.benfordStream(Streams.eventsStream(s, d)),
+          "q249_benford")
+        .orderBy(col("w_start"))
+    }),
+
     // streaming CUSUM change-point monitor (NEW r12): per (hour window
     // x event_type) series, the mean-shift vertex argmax|n*prefix -
     // k*total| in pure integers over cents — the buffered-fold shape
@@ -597,6 +608,38 @@ object StreamingQueries extends QueryGroup {
     // identical to q227's oracle: a full drain of the stateful funnel
     // must equal the batch greedy chain row-for-row
     "q230_stream_funnel" -> DatetimeQueries.funnelOracleSql,
+
+    "q249_stream_benford" -> {
+      val exp = graft.ops.Validate.benfordExpBp
+      val obs = (1 to 9).map(dd =>
+        s"CASE WHEN t = 0 THEN 0 ELSE (n$dd * 10000) // t END")
+      val dev = obs.zip(exp).map { case (o, e) => s"ABS(($o) - $e)" }
+        .mkString(" + ")
+      s"""WITH $ctes,
+         |vv AS (SELECT ts, ABS(CAST(value AS DOUBLE)) AS v FROM e
+         |  WHERE value IS NOT NULL),
+         |vd AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws,
+         |    CASE WHEN v >= 0.001 AND v < 10000000.0 THEN
+         |      ${graft.ops.Validate.benfordDigitExpr} ELSE -1 END AS d
+         |  FROM vv),
+         |c AS (SELECT ws, ${(1 to 9).map(dd =>
+                s"CAST(COUNT(*) FILTER (WHERE d = $dd) AS BIGINT) AS n$dd")
+                .mkString(", ")},
+         |    CAST(COUNT(*) FILTER (WHERE d = -1) AS BIGINT) AS n_excluded
+         |  FROM vd GROUP BY ws),
+         |mx2 AS (SELECT MAX(ts) AS m FROM vv),
+         |dec AS (SELECT c.* FROM c, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND),
+         |t AS (SELECT *, ${(1 to 9).map(dd => s"n$dd").mkString(" + ")}
+         |    AS t FROM dec)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  t AS n_valid, n_excluded,
+         |  CASE WHEN t = 0 THEN 0 ELSE (n1 * 10000) // t END AS d1_bp,
+         |  $dev AS dev_bp
+         |FROM t ORDER BY w_start""".stripMargin
+    },
 
     "q246_stream_cusum" ->
       // exact replay: per (hour, type) series ordered by (ts,

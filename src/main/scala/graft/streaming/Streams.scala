@@ -947,6 +947,46 @@ object Streams {
     *                  (boundaries labels then overflow); Laplace +1 is
     *                  applied here, mirroring the batch op
     */
+  /** Streaming BENFORD first-digit monitor — the live fraud/corrupted-
+    * feed alarm ([[graft.ops.Validate.benfordDigits]]' windowed twin):
+    * per tumbling window, in-row counts of the nine first significant
+    * digits (+ the out-of-range exclusions) via the SAME digit ladder
+    * as the batch op, then a stateless integer projection emits each
+    * digit share in basis points, the digit-1 share, and the total
+    * absolute deviation from the Benford expectation. State per open
+    * window is 10 longs — the psiDriftStream/quantileStream shape —
+    * and every closed row replays bit-for-bit (obs_bp = n_d·10000 div
+    * t on non-negative operands, dev = Σ|obs − exp|).
+    *
+    * @return (w_start, n_valid, n_excluded, d1_bp, dev_bp) per closed
+    *         window, append mode
+    */
+  def benfordStream(events: DataFrame, valueCol: String = "value",
+      size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {
+    val e = events
+      .select(col("ts"), abs(col(valueCol).cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__d", expr(
+        "CASE WHEN v >= 0.001 AND v < 10000000.0 THEN " +
+          graft.ops.Validate.benfordDigitExpr + " ELSE -1 END"))
+    val aggCols = (1 to 9).map(d =>
+      sum(when(col("__d") === d, 1L).otherwise(0L)).as(s"n$d")) :+
+      sum(when(col("__d") === -1, 1L).otherwise(0L)).as("n_excluded")
+    val counts = e.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("t", (1 to 9).map(d => col(s"n$d")).reduce(_ + _))
+    val exp = graft.ops.Validate.benfordExpBp
+    def obsBp(d: Int) = when(col("t") === 0, lit(0L))
+      .otherwise(expr(s"(n$d * 10000) div t"))
+    val dev = (1 to 9).map(d => abs(obsBp(d) - lit(exp(d - 1))))
+      .reduce(_ + _)
+    counts.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+      col("t").as("n_valid"), col("n_excluded"),
+      obsBp(1).as("d1_bp"), dev.as("dev_bp"))
+  }
+
   /** Streaming CUSUM change-point monitor — the live twin of
     * [[graft.ops.FrameOps.cusumChangePoint]] at (tumbling window ×
     * series key) granularity: per series, the position whose

@@ -532,4 +532,24 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"),
       s"expected provider-lookup failure, got: ${e.getMessage.take(200)}")
   }
+
+  test("benfordStream: all-digit-1 window pins d1_bp and the deviation sum") {
+    val exp = graft.ops.Validate.benfordExpBp
+    val rows = (1 to 20).map(i => (i.toLong, 1L, "view",
+      if (i % 2 == 0) 12.5 else 180.0, f"2024-01-01 10:00:${i % 60}%02d"))
+    val df = eventsDF(rows)
+    val out = Streams.runToBatch(spark,
+        Streams.benfordStream(streamDir(stageBatches("benford", Seq(
+          df, eventsDF(Seq((99L, 1L, "view", 50.0,
+            "2024-01-01 11:00:00"))))), df.schema)),
+        "spec_benford")
+      .orderBy("w_start").collect()
+    // only the 10:00 window is closed by the 11:00 event's watermark
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 20L && r.getLong(2) == 0L) // n_valid, excluded
+    assert(r.getLong(3) == 10000L)                    // every value digit 1
+    val wantDev = (10000L - exp.head) + exp.tail.sum
+    assert(r.getLong(4) == wantDev, s"dev=${r.getLong(4)} want=$wantDev")
+  }
 }

@@ -350,4 +350,28 @@ class ValidateSpec extends SparkSpec {
       (1, "orders", 4L, 3L, 1L, 34L, 12L),
       (2, "items", 3L, 2L, 1L, 203L, 103L)), r.mkString(","))
   }
+
+  test("tCloseness: hand-checked EMD, matching class = 0, constant sensitive = 0") {
+    // class c1 = {a, a} (fully skewed), class c2 = {b, b}; global
+    // (a: 2, b: 2, N = 4, m = 2). c1 dist (1, 0) vs global (.5, .5)
+    // -> EMD = 0.5 -> 500000 ppm (and c2 symmetric)
+    val df = Seq(("c1", "a"), ("c1", "a"), ("c2", "b"), ("c2", "b"))
+      .toDF("qc", "s")
+    val r = Validate.tCloseness(df, Seq("qc"), "s")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set(("c1", 2L, 500000L), ("c2", 2L, 500000L)), r)
+    // a class matching the global distribution scores 0
+    val df2 = Seq(("c1", "a"), ("c1", "b"), ("c2", "a"), ("c2", "b"))
+      .toDF("qc", "s")
+    val r2 = Validate.tCloseness(df2, Seq("qc"), "s")
+      .collect().map(x => x.getLong(2)).toSet
+    assert(r2 == Set(0L))
+    // constant sensitive column (m = 1) emits 0, not a crash
+    val df3 = Seq(("c1", "a"), ("c2", "a")).toDF("qc", "s")
+    assert(Validate.tCloseness(df3, Seq("qc"), "s")
+      .collect().forall(_.getLong(2) == 0L))
+    intercept[IllegalArgumentException] {
+      Validate.tCloseness(df, Seq("s"), "s")
+    }
+  }
 }
