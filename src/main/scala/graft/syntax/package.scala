@@ -112,8 +112,13 @@ package object syntax {
       Similarity.ivfPqTopKLearned(df, queries, id, vec, dim, k, nClusters,
         nProbe, nSub, nCodes)
     /** `df` is corpus A; mutual top-1 pairs against corpus B. */
-    def mutualNearestPairs(b: DataFrame, id: String, vec: String): DataFrame =
-      Similarity.mutualNearestPairs(df, b, id, vec)
+    def mutualNearestPairs(b: DataFrame, id: String, vec: String,
+        excludeSelf: Boolean = false): DataFrame =
+      Similarity.mutualNearestPairs(df, b, id, vec, excludeSelf)
+    /** `df` is corpus A; margin-scored rank-1 pairs against corpus B. */
+    def marginMinedPairs(b: DataFrame, id: String, vec: String,
+        k: Int = 4, minMarginPpm: Long = 1050000L): DataFrame =
+      Similarity.marginMinedPairs(df, b, id, vec, k, minMarginPpm)
     /** `df` is the candidate list (q_id, n_id, rel). */
     def mmrRerank(vectors: DataFrame, id: String, vec: String, k: Int,
         lambda: Double = 0.5): DataFrame =
@@ -198,8 +203,9 @@ package object syntax {
       Corpus.tokenEntropyBy(df, group, valueCol)
     def heavyHitters(valueCol: String, k: Int): DataFrame =
       Sketches.heavyHitters(df, valueCol, k)
-    def heavyHittersBy(group: String, valueCol: String, k: Int): DataFrame =
-      Sketches.heavyHittersBy(df, group, valueCol, k)
+    def heavyHittersBy(group: String, valueCol: String, k: Int,
+        maxGroups: Int = 100000): DataFrame =
+      Sketches.heavyHittersBy(df, group, valueCol, k, maxGroups)
     def skewProfile(keyCols: Seq[String]): DataFrame =
       Validate.skewProfile(df, keyCols)
     def mixtureResampleTokens(id: String, strata: String, nTokens: Column,
@@ -326,6 +332,12 @@ package object syntax {
     def kAnonymity(quasiCols: Seq[String], k: Long,
         sensitive: Option[String] = None): DataFrame =
       Validate.kAnonymity(df, quasiCols, k, sensitive)
+    def tCloseness(quasiCols: Seq[String], sensitive: String): DataFrame =
+      Validate.tCloseness(df, quasiCols, sensitive)
+    /** `df` holds the tombstoned root keys. */
+    def cascadePurgePlan(rootKey: String,
+        chain: Seq[(String, DataFrame, String, String)]): DataFrame =
+      Validate.cascadePurgePlan(df, rootKey, chain)
     /** `df` is the reference slice. */
     def psiDrift(current: DataFrame, valueCol: String,
         boundaries: Seq[Double]): DataFrame =
@@ -441,6 +453,10 @@ package object syntax {
     def bipartiteProject(basket: String, item: String,
         maxPerBasket: Int): DataFrame =
       ops.Graph.bipartiteProject(df, basket, item, maxPerBasket)
+    /** `df` is the edge list; two-layer GNN feature prep. */
+    def neighborAgg(src: String, dst: String, feats: DataFrame,
+        nodeCol: String, featCol: String): DataFrame =
+      ops.Graph.neighborAgg(df, src, dst, feats, nodeCol, featCol)
     def negativeSampleRing(poolId: String, anchors: DataFrame,
         anchorId: String, k: Int, bucketBits: Int = 6): DataFrame =
       ops.Similarity.negativeSampleRing(df, poolId, anchors, anchorId,

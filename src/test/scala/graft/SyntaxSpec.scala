@@ -302,4 +302,24 @@ class SyntaxSpec extends SparkSpec {
     val inc = Seq(("b", 1L), ("b", 2L)).toDF("bk", "it")
     assert(inc.bipartiteProject("bk", "it", 8).head.getLong(2) == 1L)
   }
+
+  test("r12 fluent surface: margin mining, neighborAgg, tCloseness, cascade purge") {
+    def v(x: Double): Array[Float] =
+      (Array(x, 1 - x) ++ Array.fill(62)(0.0)).map(_.toFloat)
+    val a = Seq((0L, v(1.0))).toDF("vec_id", "embedding")
+    val b = Seq((1L, v(0.9))).toDF("vec_id", "embedding")
+    assert(a.marginMinedPairs(b, "vec_id", "embedding", k = 1,
+      minMarginPpm = 0L).count() == 1L)
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val f = Seq((1L, 5L), (2L, 7L)).toDF("n", "x")
+    assert(e.neighborAgg("src", "dst", f, "n", "x")
+      .filter(col("node") === 2L).head.getLong(3) == 5L)
+    val priv = Seq(("c1", "a"), ("c1", "a"), ("c2", "b"), ("c2", "b"))
+      .toDF("qc", "s")
+    assert(priv.tCloseness(Seq("qc"), "s").count() == 2L)
+    val roots = Seq(1L).toDF("cid")
+    val child = Seq((10L, 1L), (11L, 2L)).toDF("okey", "cfk")
+    assert(roots.cascadePurgePlan("cid",
+      Seq(("child", child, "cfk", "okey"))).head.getLong(3) == 1L)
+  }
 }
