@@ -277,6 +277,16 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // bounded-round k-truss (NEW r12): edge-grade density screen over
+    // the supplier co-occurrence graph — every surviving edge sits in
+    // >= k-2 triangles within the surviving subgraph (a link farm can
+    // fake degree, not triangle support); round-synchronous peel, the
+    // q180 fixed-depth contract, final support as the witness
+    "q251_ktruss" -> ((s, d) => {
+      Graph.kTruss(coEdges(s, d), "src", "dst", k = 4, rounds = 2)
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // link prediction over the PART co-occurrence graph (q181's
     // supplier graph saturates to a complete graph at small scale —
     // a complete graph has no non-edges to predict; the part graph at
@@ -756,6 +766,35 @@ object GraphQueries extends QueryGroup {
         |SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS w
         |FROM c x JOIN c y ON x.b = y.b AND x.i < y.i
         |GROUP BY 1, 2 ORDER BY w DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "q251_ktruss" -> {
+      // canonical-form triangle enumeration (x<y<z, each once) is
+      // orientation-free, so the support counts equal the Spark op's
+      // oriented enumeration; two peel rounds unrolled + final recount
+      def tri(e: String, tag: String) =
+        s"""t$tag AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM $e e1 JOIN $e e2 ON e2.a = e1.b
+           |  JOIN $e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |s$tag AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+           |  SELECT x AS a, y AS b FROM t$tag
+           |  UNION ALL SELECT x, z FROM t$tag
+           |  UNION ALL SELECT y, z FROM t$tag) GROUP BY a, b)"""
+          .stripMargin
+      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_quantity >= 45),
+         |e0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+         |  FROM hi x JOIN hi y ON x.ok = y.ok AND x.sk < y.sk),
+         |${tri("e0", "0")},
+         |e1 AS (SELECT e0.a, e0.b FROM e0
+         |  JOIN s0 ON s0.a = e0.a AND s0.b = e0.b WHERE s0.sup >= 2),
+         |${tri("e1", "1")},
+         |e2 AS (SELECT e1.a, e1.b FROM e1
+         |  JOIN s1 ON s1.a = e1.a AND s1.b = e1.b WHERE s1.sup >= 2),
+         |${tri("e2", "2")}
+         |SELECT e2.a AS src, e2.b AS dst, COALESCE(s2.sup, 0) AS support
+         |FROM e2 LEFT JOIN s2 ON s2.a = e2.a AND s2.b = e2.b
+         |ORDER BY src, dst""".stripMargin
+    },
 
     "q181_triangles" ->
       // full replay of the degree-ordered orientation: normalize,

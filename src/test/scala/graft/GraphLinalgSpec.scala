@@ -738,4 +738,31 @@ class GraphLinalgSpec extends SparkSpec {
       (4L, 7L, 1L, 5L, 5L, 5L, 2L, -10L),
       (5L, 9L, null, null, null, null, null, null)), r.mkString(","))
   }
+
+  test("kTruss: K4 survives k=4, weak appendages peel, cascades need their round") {
+    // K4 over {1,2,3,4} (every edge in 2 triangles) + pendant triangle
+    // {4,5,6} (support-1 edges) + dangling edge (7,8): k=4 keeps
+    // exactly the K4 with support 2 per edge
+    val k4 = for (x <- 1L to 4L; y <- 1L to 4L if x < y) yield (x, y)
+    val extra = Seq((4L, 5L), (4L, 6L), (5L, 6L), (7L, 8L))
+    val e = (k4 ++ extra).toDF("src", "dst")
+    val r = Graph.kTruss(e, "src", "dst", k = 4, rounds = 2)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r.keySet == k4.toSet && r.values.forall(_ == 2L), r)
+    // two triangles sharing edge (2,3): the shared edge has support 2
+    // and survives round 1 at k=4, but its triangles die with the
+    // support-1 edges — round 2 must cascade it away
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r1 = Graph.kTruss(twoTri, "src", "dst", k = 4, rounds = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r1.toSeq == Seq((2L, 3L, 0L)), r1.mkString(","))
+    assert(Graph.kTruss(twoTri, "src", "dst", k = 4, rounds = 2).count() == 0L)
+    // k=3 keeps any triangle; canonicalization dedups reversed edges
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L))
+      .toDF("src", "dst")
+    val r3 = Graph.kTruss(messy, "src", "dst", k = 3, rounds = 2)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r3 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), r3)
+  }
 }
