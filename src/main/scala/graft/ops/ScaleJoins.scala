@@ -175,4 +175,46 @@ object ScaleJoins {
       timestamp_micros(col("t_cur")).as("t_last"),
       ((col("t_cur") - col("t_first")) / 1000000L).cast("long").as("span_sec"))
   }
+
+  /** Event-sequence MOTIF mining — the behavior-discovery complement of
+    * [[funnelSteps]] (a funnel checks a KNOWN sequence; motifs surface
+    * the sequences worth checking): per user, every run of `n`
+    * consecutive event types in (ts, tiebreak) order becomes a
+    * "a>b>c" motif; the report counts occurrences and distinct users
+    * per motif. Consecutive means adjacent in the user's ordered
+    * stream — gaps are not skipped (the classic n-gram-over-sessions
+    * formulation; sessionize first via [[sessionize]] to break motifs
+    * at session boundaries).
+    *
+    * Determinism contract: (`tsCol`, `tiebreak`) must uniquely order
+    * each user's events (the [[graft.ops.FrameOps.ewmMean]] contract);
+    * then every motif string is exact and the report hash-gates.
+    *
+    * 100 TB posture: ONE hash shuffle on the user key feeds the lead
+    * window, then one map-side-combined motif agg — no joins, no
+    * per-user collect; motif cardinality is bounded by |event types|^n,
+    * tiny for real type vocabularies.
+    *
+    * @return (motif, n_occurrences, n_users), the full motif census
+    */
+  def sequenceMotifs(df: DataFrame, userCol: String, tsCol: String,
+      tiebreak: String, typeCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 5, s"n must be in [2, 5], got $n")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreak))
+    val steps = (0 until n).map {
+      case 0 => col(typeCol)
+      case i => lead(col(typeCol), i).over(w)
+    }
+    df.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__motif", concat_ws(">", steps: _*))
+      // windows can't sit in a filter: materialize the run-complete
+      // marker first (a null LAST lead = truncated run; middle leads
+      // can't be null once null-typed rows are filtered above)
+      .withColumn("__complete", steps.last.isNotNull)
+      .filter(col("__complete"))
+      .groupBy(col("__motif").as("motif"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(userCol)).as("n_users"))
+  }
 }

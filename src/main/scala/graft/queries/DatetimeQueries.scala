@@ -420,6 +420,16 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // event-sequence trigram motifs (NEW r12): funnel DISCOVERY — the
+    // top "a>b>c" runs of consecutive per-user events with occurrence
+    // and distinct-user counts; one user-keyed window + one agg
+    "q253_sequence_motifs" -> ((s, d) => {
+      graft.ops.ScaleJoins.sequenceMotifs(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type", n = 3)
+        .orderBy(col("n_occurrences").desc, col("motif"))
+        .limit(50)
+    }),
+
     // inter-event cadence per user (NEW r8): gap count, exact mean gap
     // (integer division of second-quantized gaps), and the coefficient
     // of variation in floor bp — the burstiness screen (bots are
@@ -553,6 +563,24 @@ object DatetimeQueries extends QueryGroup {
 
   override def oracle: Map[String, String] = Map(
     "q227_funnel_steps" -> funnelOracleSql,
+
+    "q253_sequence_motifs" ->
+      // leads over the same unique (ts, event_id) order; a null last
+      // lead marks a truncated run (middle leads can't be null once
+      // null-typed rows are filtered first)
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT user_id,
+        |    event_type || '>' || LEAD(event_type, 1) OVER w
+        |      || '>' || LEAD(event_type, 2) OVER w AS motif,
+        |    LEAD(event_type, 2) OVER w AS l2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM m WHERE l2 IS NOT NULL
+        |GROUP BY motif ORDER BY n_occurrences DESC, motif
+        |LIMIT 50""".stripMargin,
 
     "q59_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -735,6 +735,22 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // seasonal-profile MAD outliers (NEW r12): the q235 robust screen
+    // conditioned on (event_type, hour-of-day) — a value normal at
+    // peak hour is an anomaly at 3am; same 50%-breakdown estimator,
+    // seasonality enters as a group key, not a model
+    "q252_seasonal_outlier_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      graft.ops.FrameOps.outlierFlagsMad(ev, Seq("event_type", "hod"),
+          "value", kMad = 3.0)
+        .filter(col("is_mad_outlier"))
+        .select(col("event_id"), col("event_type"), col("hod"),
+          round(col("value"), 6).as("value"), col("med"), col("mad"),
+          col("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
     "q177_outlier_flags" -> ((s, d) => {
       graft.ops.FrameOps.outlierFlags(
           Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
@@ -1304,6 +1320,27 @@ object WindowQueries extends QueryGroup {
         |SELECT event_id, event_type, ROUND(value, 6) AS value, med, mad,
         |  robust_z
         |FROM r WHERE COALESCE(robust_z > 3.5, FALSE)
+        |ORDER BY event_id""".stripMargin,
+
+    "q252_seasonal_outlier_mad" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+        |      AS hod, value FROM events),
+        |md AS (SELECT event_type, hod, QUANTILE_CONT(value, 0.5) AS med
+        |  FROM ev GROUP BY 1, 2),
+        |dv AS (SELECT e.event_id, e.event_type, e.hod, e.value,
+        |    md.med, ABS(e.value - md.med) AS ad
+        |  FROM ev e JOIN md USING (event_type, hod)),
+        |ma AS (SELECT event_type, hod, QUANTILE_CONT(ad, 0.5) AS mad
+        |  FROM dv GROUP BY 1, 2),
+        |r AS (SELECT dv.event_id, dv.event_type, dv.hod, dv.value,
+        |    ROUND(dv.med, 6) AS med, ROUND(ma.mad, 6) AS mad,
+        |    CASE WHEN ma.mad > 0
+        |      THEN ROUND(dv.ad / (1.4826 * ma.mad), 6) END AS robust_z
+        |  FROM dv JOIN ma USING (event_type, hod))
+        |SELECT event_id, event_type, hod, ROUND(value, 6) AS value,
+        |  med, mad, robust_z
+        |FROM r WHERE COALESCE(robust_z > 3.0, FALSE)
         |ORDER BY event_id""".stripMargin,
 
     "q177_outlier_flags" ->

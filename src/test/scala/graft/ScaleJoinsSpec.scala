@@ -175,4 +175,27 @@ class ScaleJoinsSpec extends SparkSpec {
         Seq("A", "A", "B"))
     }
   }
+
+  test("sequenceMotifs: hand-checked trigrams, truncated runs dropped, bigram n=2") {
+    import spark.implicits._
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
+    val ev = Seq(
+      (1L, ts(1), 1L, "A"), (1L, ts(2), 2L, "B"), (1L, ts(3), 3L, "C"),
+      (1L, ts(4), 4L, "B"), (1L, ts(5), 5L, "C"),
+      (2L, ts(1), 6L, "A"), (2L, ts(2), 7L, "B"), (2L, ts(3), 8L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = graft.ops.ScaleJoins.sequenceMotifs(ev, "user_id", "ts",
+        "event_id", "event_type", n = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set(("A>B>C", 2L, 2L), ("B>C>B", 1L, 1L),
+      ("C>B>C", 1L, 1L)), r)
+    val r2 = graft.ops.ScaleJoins.sequenceMotifs(ev, "user_id", "ts",
+        "event_id", "event_type", n = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r2 == Map("A>B" -> 2L, "B>C" -> 3L, "C>B" -> 1L), r2)
+    intercept[IllegalArgumentException] {
+      graft.ops.ScaleJoins.sequenceMotifs(ev, "user_id", "ts",
+        "event_id", "event_type", n = 1)
+    }
+  }
 }
