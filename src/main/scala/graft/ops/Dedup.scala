@@ -853,4 +853,51 @@ object Dedup {
       .filter(col("cos") > minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Fellegi-Sunter RECORD LINKAGE scoring — entity resolution between
+    * two record frames (the structured-data sibling of the text dedup
+    * family: "are these two customer rows the same real-world
+    * entity"): candidate pairs come from a BLOCKED equi-join (zip,
+    * nation, phonetic code, minhash band — the same candidate-bounding
+    * idea as LSH banding), and each pair's match score is the integer
+    * sum of per-field agreement/disagreement weights in milli-units
+    * (the log-likelihood-ratio weights of the Fellegi-Sunter model,
+    * precomputed by the caller from match/unmatch priors; integers so
+    * the frame hash-gates). Field agreement is null-safe string
+    * equality — normalize/bucketize fields upstream (case-fold,
+    * phonetic-code, value-bucket) to express fuzzy agreement.
+    *
+    * 100 TB posture: ONE equi-join on the block key bounds the pair
+    * space (never all-pairs); per-block fan-out is the caller's
+    * blocking-quality problem, exactly like [[minhashCandidatePairs]]'
+    * band tuning — block finer when a block gets hot.
+    *
+    * @param fields (column, agreeMilli, disagreeMilli) per compared
+    *               field — same column name on both frames
+    * @return (a_id, b_id, n_agree, score_milli) for pairs at or above
+    *         `minScoreMilli`
+    */
+  def linkageScores(a: DataFrame, b: DataFrame, id: String,
+      block: String, fields: Seq[(String, Long, Long)],
+      minScoreMilli: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one compared field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate compared fields")
+    def side(df: DataFrame, tag: String) =
+      df.select((col(block).as("__blk") +: col(id).as(s"${tag}_id") +:
+        fields.map { case (f, _, _) =>
+          col(f).cast("string").as(s"${tag}_$f") }): _*)
+    val pairs = side(a, "a").join(side(b, "b"), "__blk")
+    val score = fields.map { case (f, wa, wd) =>
+      when(col(s"a_$f") <=> col(s"b_$f"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    val agree = fields.map { case (f, _, _) =>
+      when(col(s"a_$f") <=> col(s"b_$f"), lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+    pairs
+      .withColumn("score_milli", score)
+      .withColumn("n_agree", agree)
+      .filter(col("score_milli") >= minScoreMilli)
+      .select(col("a_id"), col("b_id"), col("n_agree"), col("score_milli"))
+  }
 }

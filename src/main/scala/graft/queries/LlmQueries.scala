@@ -166,6 +166,25 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("bucket"))
     }),
 
+    // Fellegi-Sunter record linkage (NEW r12): entity resolution over
+    // the customer frame split even/odd — nation-blocked candidate
+    // pairs scored by integer agreement weights on the market segment
+    // and the acctbal thousand-bucket; the structured-data sibling of
+    // the text dedup family
+    "q255_record_linkage" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      graft.ops.Dedup.linkageScores(
+          c.filter(col("c_custkey") % 2 === 0),
+          c.filter(col("c_custkey") % 2 === 1),
+          "c_custkey", "c_nationkey",
+          Seq(("c_mktsegment", 1500L, -800L),
+            ("bal_bucket", 2500L, -1200L)),
+          minScoreMilli = 1700L)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "q90_dedup_exact" -> ((s, d) => {
       Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("fp")).limit(100)
@@ -993,6 +1012,28 @@ object LlmQueries extends QueryGroup {
          |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
     }
     Map(
+      "q255_record_linkage" ->
+        // same null-safe equality (IS NOT DISTINCT FROM) and integer
+        // weight sums; score cast BIGINT to match the Spark long
+        """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+          |  FROM customer),
+          |a AS (SELECT * FROM c WHERE c_custkey % 2 = 0),
+          |b AS (SELECT * FROM c WHERE c_custkey % 2 = 1),
+          |p AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+          |    CAST(CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM
+          |        b.c_mktsegment THEN 1500 ELSE -800 END
+          |      + CASE WHEN a.bal_bucket IS NOT DISTINCT FROM
+          |        b.bal_bucket THEN 2500 ELSE -1200 END AS BIGINT)
+          |      AS score_milli,
+          |    CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM
+          |        b.c_mktsegment THEN 1 ELSE 0 END
+          |      + CASE WHEN a.bal_bucket IS NOT DISTINCT FROM
+          |        b.bal_bucket THEN 1 ELSE 0 END AS n_agree
+          |  FROM a JOIN b ON a.c_nationkey = b.c_nationkey)
+          |SELECT a_id, b_id, n_agree, score_milli FROM p
+          |WHERE score_milli >= 1700 ORDER BY a_id, b_id""".stripMargin,
+
       "q90_dedup_exact" ->
         s"""SELECT md5($sqlNorm) AS fp, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
            |FROM documents GROUP BY fp ORDER BY fp LIMIT 100""".stripMargin,

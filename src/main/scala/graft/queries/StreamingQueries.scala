@@ -52,6 +52,21 @@ object StreamingQueries extends QueryGroup {
     // psiDriftStream as a literal count vector, computed ONCE here
     // (and in production frozen across monitor restarts — the spec
     // covers the literal-vector path with no batch scan at all)
+    // streaming FK-orphan monitor (NEW r12): per-window referential-
+    // integrity rate of the live stream vs a FROZEN dimension snapshot
+    // (missing every %3 user, so orphans are guaranteed) — stateless
+    // broadcast left join + windowed conditional counts
+    "q254_stream_fk_orphans" -> ((s, d) => {
+      val dim = graft.Tables.events(s, d)
+        .filter(col("user_id") % 3 =!= 0)
+        .select(col("user_id")).distinct()
+      Streams.runToBatch(s,
+          Streams.fkOrphanStream(Streams.eventsStream(s, d), dim,
+            "user_id", "user_id"),
+          "q254_fk_orphans")
+        .orderBy(col("w_start"))
+    }),
+
     // streaming Benford first-digit monitor (NEW r12): per-window
     // digit-share ladder vs the Benford expectation — the live fraud/
     // corrupted-feed alarm; 10 longs of state per open window, integer
@@ -608,6 +623,27 @@ object StreamingQueries extends QueryGroup {
     // identical to q227's oracle: a full drain of the stateful funnel
     // must equal the batch greedy chain row-for-row
     "q230_stream_funnel" -> DatetimeQueries.funnelOracleSql,
+
+    "q254_stream_fk_orphans" ->
+      s"""WITH $ctes,
+         |dim AS (SELECT DISTINCT user_id AS pk FROM e
+         |  WHERE user_id IS NOT NULL AND user_id % 3 != 0),
+         |j AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws, e.user_id AS fk, dim.pk
+         |  FROM e LEFT JOIN dim ON e.user_id = dim.pk),
+         |c AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(*) FILTER (WHERE fk IS NULL) AS BIGINT)
+         |      AS n_null_fk,
+         |    CAST(COUNT(*) FILTER (WHERE fk IS NOT NULL AND pk IS NULL)
+         |      AS BIGINT) AS n_orphans
+         |  FROM j GROUP BY ws),
+         |mx2 AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM e),
+         |dec AS (SELECT c.* FROM c, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, n_rows,
+         |  n_null_fk, n_orphans, (10000 * n_orphans) // n_rows AS orphan_bp
+         |FROM dec ORDER BY w_start""".stripMargin,
 
     "q249_stream_benford" -> {
       val exp = graft.ops.Validate.benfordExpBp

@@ -947,6 +947,42 @@ object Streams {
     *                  (boundaries labels then overflow); Laplace +1 is
     *                  applied here, mirroring the batch op
     */
+  /** Streaming FK-ORPHAN monitor — [[graft.ops.Validate.fkCheck]]'s
+    * live twin: per tumbling window, how many stream rows carry a
+    * foreign key with no match in the (broadcast) dimension snapshot,
+    * split NULL-FK vs DANGLING-FK (different defects, the batch op's
+    * contract). Stateless except the window agg: the dimension joins
+    * per micro-batch as a broadcast left join, matched-ness folds into
+    * in-row conditional counts, orphan rate in floor basis points.
+    *
+    * The dimension is the deploy-time SNAPSHOT by design (the frozen-
+    * reference monitor pattern, README "bless → freeze → monitor") —
+    * a row dangling against the snapshot but matched by a later
+    * dimension version is exactly what the alert should surface.
+    *
+    * @return (w_start, n_rows, n_null_fk, n_orphans, orphan_bp) per
+    *         closed window, append mode
+    */
+  def fkOrphanStream(events: DataFrame, dim: DataFrame, fkCol: String,
+      dimKey: String, size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    val keys = dim.select(col(dimKey).cast("long").as("__pk"))
+      .filter(col("__pk").isNotNull).distinct()
+    events
+      .select(col("ts"), col(fkCol).cast("long").as("__fk"))
+      .join(broadcast(keys), col("__fk") === col("__pk"), "left")
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n_rows"), col("n_null_fk"), col("n_orphans"),
+        expr("(10000 * n_orphans) div n_rows").as("orphan_bp"))
+  }
+
   /** Streaming BENFORD first-digit monitor — the live fraud/corrupted-
     * feed alarm ([[graft.ops.Validate.benfordDigits]]' windowed twin):
     * per tumbling window, in-row counts of the nine first significant

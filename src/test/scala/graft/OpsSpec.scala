@@ -448,4 +448,31 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(spark, withMedia, "doc_id").collect()
     assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
+
+  test("linkageScores: blocked pairs, weight sums, null-safe agreement") {
+    import spark.implicits._
+    val a = Seq((1L, "z1", "AUTO", Some(5L)), (2L, "z2", "BLDG", None))
+      .toDF("id", "blk", "seg", "bal")
+    val b = Seq((10L, "z1", "AUTO", Some(5L)),  // both agree  -> 4000
+        (11L, "z1", "AUTO", Some(6L)),          // seg only    -> 300
+        (12L, "z1", "FURN", Some(5L)),          // bal only    -> 1700
+        (13L, "z2", "BLDG", None),              // null==null agrees -> 4000
+        (14L, "z9", "AUTO", Some(5L)))          // other block -> no pair
+      .toDF("id", "blk", "seg", "bal")
+    val r = Dedup.linkageScores(a, b, "id", "blk",
+        Seq(("seg", 1500L, -800L), ("bal", 2500L, -1200L)),
+        minScoreMilli = Long.MinValue)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getInt(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      (1L, 10L) -> ((2, 4000L)), (1L, 11L) -> ((1, 300L)),
+      (1L, 12L) -> ((1, 1700L)), (2L, 13L) -> ((2, 4000L))), r)
+    // threshold prunes
+    assert(Dedup.linkageScores(a, b, "id", "blk",
+      Seq(("seg", 1500L, -800L), ("bal", 2500L, -1200L)),
+      minScoreMilli = 1700L).count() == 3L)
+    intercept[IllegalArgumentException] {
+      Dedup.linkageScores(a, b, "id", "blk", Seq.empty, 0L)
+    }
+  }
 }

@@ -552,4 +552,28 @@ class StreamingSpec extends SparkSpec {
     val wantDev = (10000L - exp.head) + exp.tail.sum
     assert(r.getLong(4) == wantDev, s"dev=${r.getLong(4)} want=$wantDev")
   }
+
+  test("fkOrphanStream: hand-built windows pin null/dangling splits") {
+    import spark.implicits._
+    // window 10:00: users 1 (in dim), 4 (dangling), null; a late event
+    // at 10:30 closes it. dim = {1, 2}
+    val rows = Seq(
+      (1L, 1L, "view", 0.0, "2024-01-01 10:00:10"),
+      (2L, 4L, "view", 0.0, "2024-01-01 10:01:00"),
+      (4L, 1L, "view", 0.0, "2024-01-01 10:30:00"))
+    val withNull = eventsDF(rows)
+      .union(Seq((3L, Option.empty[Long], "view", 0.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 10:02:00"))))
+    val dim = Seq(1L, 2L).toDF("uid")
+    val out = Streams.runToBatch(spark,
+        Streams.fkOrphanStream(streamDir(stageBatches("fkorph",
+          Seq(withNull)), withNull.schema), dim, "user_id", "uid"),
+        "spec_fk_orph")
+      .orderBy("w_start").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 1L, 1L, 3333L)), r.toString)
+  }
 }
