@@ -1079,4 +1079,103 @@ object Validate {
       .select((quasiCols.map(col) :+ col("__nc").as("n_class")
         :+ col("emd_ppm")): _*)
   }
+
+  /** MUTUAL INFORMATION between two categorical/bucketized columns in
+    * exact floor-nano nats — the model-free feature-relevance screen
+    * (which metadata columns actually carry signal about the label /
+    * each other; near-zero MI = safe to drop, high MI between two
+    * features = redundancy). Each cell term
+    * floor(1e9 · (n_xy/N) · ln(n_xy·N / (n_x·n_y))) is an exact
+    * function of four integers (the [[graft.ops.Corpus.entropyTermExpr]]
+    * contract), so the sum is association-order-free and replays
+    * bit-for-bit. Terms can be negative cell-wise; the SUM is the MI
+    * estimate (non-negative up to the floor quantization, which can
+    * leave it a few nano below zero on independent columns — reported
+    * as-is, not clamped).
+    *
+    * One (x, y) count shuffle with map-side combine + two marginal
+    * rollups of THAT frame (never a second scan) + a broadcast join
+    * back. Cardinality contract: |X|·|Y| cells — bucketize continuous
+    * columns first (the [[tCloseness]] posture).
+    *
+    * @return one row: (n, nx, ny, mi_nano)
+    */
+  def mutualInfoNano(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .persist()
+    val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"),
+      countDistinct(col("x")).as("nx_vals"),
+      countDistinct(col("y")).as("ny_vals"))
+    val out = cells.join(mx, "x").join(my, "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        "CAST(FLOOR(1000000000.0 * (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * LN((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))" +
+          " / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))) AS BIGINT)"))
+      .groupBy(col("n"), col("nx_vals"), col("ny_vals"))
+      .agg(sum(col("term")).as("mi_nano"))
+      .select(col("n"), col("nx_vals").as("nx"), col("ny_vals").as("ny"),
+        col("mi_nano"))
+      .localCheckpoint(true)
+    cells.unpersist(blocking = false)
+    out
+  }
+
+  /** A/B-assignment SAMPLE-RATIO-MISMATCH check — the first gate every
+    * experiment readout runs (a biased splitter invalidates everything
+    * downstream): per arm, observed count vs the expected share, the
+    * signed deviation in floor ppm of total, and the per-arm
+    * chi-square term (O−E)²/E in its cross-multiplied form
+    * (cnt·D − w_i·N)² / (w_i·D·N) with integer weights w_i summing to
+    * D — the numerator/denominator are exact integers and the one
+    * division + ROUND(…, 6) is a single IEEE expression, so the value
+    * replays across engines (the q235 rounded-double contract; an
+    * all-integer floor would truncate small-n terms to 0).
+    *
+    * @param arms (armValue, weight) — integer weights, e.g. 50/50 or
+    *             90/10; rows with other arm values are counted as
+    *             `unexpected` (an SRM red flag on their own)
+    * @return per arm: (arm, n, expected_ppm, observed_ppm, dev_ppm,
+    *         chi2_term) plus one `__unexpected__` row
+    */
+  def srmCheck(df: DataFrame, armCol: String,
+      arms: Seq[(String, Long)]): DataFrame = {
+    require(arms.nonEmpty, "need at least one arm")
+    require(arms.map(_._1).distinct.size == arms.size, "duplicate arms")
+    require(arms.forall(_._2 > 0), "arm weights must be positive")
+    val d = arms.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(armCol).cast("string").as("arm"))
+      .filter(col("arm").isNotNull)
+      .groupBy(col("arm")).agg(count(lit(1)).as("cnt"))
+    val grid = arms.toDF("arm", "w")
+    val known = grid.join(counts, Seq("arm"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val tot = known.agg(sum(col("cnt")).as("n_assigned")).crossJoin(
+      counts.join(grid.select(col("arm")), Seq("arm"), "left_anti")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_unexpected")))
+    known.crossJoin(broadcast(tot))
+      .withColumn("expected_ppm", expr(s"(w * 1000000) div ${d}L"))
+      .withColumn("observed_ppm",
+        expr("CASE WHEN n_assigned = 0 THEN 0" +
+          " ELSE (cnt * 1000000) div n_assigned END"))
+      .withColumn("dev_ppm", col("observed_ppm") - col("expected_ppm"))
+      .withColumn("chi2_term", expr(
+        s"CASE WHEN n_assigned = 0 THEN CAST(0.0 AS DOUBLE) ELSE" +
+          s" ROUND(CAST((cnt * ${d}L - w * n_assigned)" +
+          s" * (cnt * ${d}L - w * n_assigned) AS DOUBLE)" +
+          s" / CAST(w * ${d}L * n_assigned AS DOUBLE), 6) END"))
+      .select(col("arm"), col("cnt").as("n"), col("expected_ppm"),
+        col("observed_ppm"), col("dev_ppm"), col("chi2_term"))
+      .unionByName(tot.select(lit("__unexpected__").as("arm"),
+        col("n_unexpected").as("n"), lit(0L).as("expected_ppm"),
+        lit(0L).as("observed_ppm"), lit(0L).as("dev_ppm"),
+        lit(0.0d).as("chi2_term")))
+  }
 }

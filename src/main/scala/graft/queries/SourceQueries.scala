@@ -388,6 +388,29 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("grp"), col("digit"))
     }),
 
+    // mutual information feature screen (NEW r12): MI(order priority,
+    // order status) in exact floor-nano nats — model-free relevance/
+    // redundancy check over categorical columns; one cell-count
+    // shuffle + marginal rollups of that frame
+    "q256_mutual_info" -> ((s, d) => {
+      graft.ops.Validate.mutualInfoNano(Tables.orders(s, d),
+        "o_orderpriority", "o_orderstatus")
+    }),
+
+    // A/B sample-ratio-mismatch check (NEW r12): hash-derived 50/50
+    // assignment with a deliberate 'junk' arm (%97 users) — per-arm
+    // observed vs expected ppm, signed deviation, and the chi-square
+    // numerator in cross-multiplied integers
+    "q257_srm_check" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .withColumn("arm", when(col("user_id") % 97 === 0, "junk")
+          .when(col("user_id") % 10 < 5, "control")
+          .otherwise("treatment"))
+      graft.ops.Validate.srmCheck(ev, "arm",
+          Seq(("control", 1L), ("treatment", 1L)))
+        .orderBy(col("arm"))
+    }),
+
     // t-closeness census (NEW r12): per market-segment class, the
     // integer EMD between the class's order-priority distribution and
     // the global one — the privacy gate k-anonymity/l-diversity can't
@@ -598,6 +621,62 @@ object SourceQueries extends QueryGroup {
         |  n_rows - n_deleted, ds, ts - ds
         |FROM lt CROSS JOIN ld
         |ORDER BY lvl""".stripMargin,
+
+    "q256_mutual_info" ->
+      """WITH v AS (SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+        |    CAST(o_orderstatus AS VARCHAR) AS y FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy
+        |  FROM v GROUP BY x, y),
+        |mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx
+        |  FROM cells GROUP BY x),
+        |my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny
+        |  FROM cells GROUP BY y),
+        |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT x) AS BIGINT) AS nxv,
+        |    CAST(COUNT(DISTINCT y) AS BIGINT) AS nyv FROM cells),
+        |terms AS (SELECT tot.n, tot.nxv, tot.nyv,
+        |    CAST(FLOOR(1000000000.0
+        |      * (CAST(nxy AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * LN((CAST(nxy AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        |        / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE))))
+        |      AS BIGINT) AS term
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot)
+        |SELECT n, nxv AS nx, nyv AS ny,
+        |  CAST(SUM(term) AS BIGINT) AS mi_nano
+        |FROM terms GROUP BY n, nxv, nyv""".stripMargin,
+
+    "q257_srm_check" ->
+      """WITH a AS (SELECT CASE WHEN user_id % 97 = 0 THEN 'junk'
+        |    WHEN user_id % 10 < 5 THEN 'control'
+        |    ELSE 'treatment' END AS arm
+        |  FROM events WHERE user_id IS NOT NULL),
+        |counts AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM a GROUP BY arm),
+        |grid AS (SELECT 'control' AS arm, CAST(1 AS BIGINT) AS w
+        |  UNION ALL SELECT 'treatment', 1),
+        |known AS (SELECT grid.arm, grid.w, COALESCE(counts.cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN counts USING (arm)),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_assigned FROM known),
+        |unexp AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+        |    AS n_unexpected
+        |  FROM counts WHERE arm NOT IN (SELECT arm FROM grid))
+        |SELECT known.arm, cnt AS n,
+        |  (w * 1000000) // 2 AS expected_ppm,
+        |  CASE WHEN n_assigned = 0 THEN 0
+        |    ELSE (cnt * 1000000) // n_assigned END AS observed_ppm,
+        |  CASE WHEN n_assigned = 0 THEN 0
+        |    ELSE (cnt * 1000000) // n_assigned END
+        |    - (w * 1000000) // 2 AS dev_ppm,
+        |  CASE WHEN n_assigned = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE ROUND(CAST((cnt * 2 - w * n_assigned)
+        |        * (cnt * 2 - w * n_assigned) AS DOUBLE)
+        |      / CAST(w * 2 * n_assigned AS DOUBLE), 6) END AS chi2_term
+        |FROM known CROSS JOIN tot
+        |UNION ALL
+        |SELECT '__unexpected__', n_unexpected, 0, 0, 0,
+        |  CAST(0.0 AS DOUBLE) FROM unexp
+        |ORDER BY arm""".stripMargin,
 
     "q250_t_closeness" ->
       // same cross-multiplied integer EMD: prefix of

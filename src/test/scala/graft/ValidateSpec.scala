@@ -374,4 +374,35 @@ class ValidateSpec extends SparkSpec {
       Validate.tCloseness(df, Seq("s"), "s")
     }
   }
+
+  test("mutualInfoNano: ln2 on a perfect copy, 0 on independence") {
+    // x == y over two values: MI = ln 2; per-cell term
+    // floor(1e9 * 0.5 * ln 2) = 346573590, two cells
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r = Validate.mutualInfoNano(dep, "x", "y").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 2L, 693147180L)), r.toString)
+    // uniform independent 2x2: every cell term is exactly 0
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("x", "y")
+    assert(Validate.mutualInfoNano(ind, "x", "y").head.getLong(3) == 0L)
+  }
+
+  test("srmCheck: hand-checked 60/40 split with an unexpected arm") {
+    val df = (Seq.fill(6)("A") ++ Seq.fill(4)("B") ++ Seq("junk"))
+      .toDF("arm")
+    val r = Validate.srmCheck(df, "arm", Seq(("A", 1L), ("B", 1L)))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    // n_assigned = 10; A: obs 600000, dev +100000, chi2 = (12-10)^2/20
+    assert(r("A") == ((6L, 500000L, 600000L, 100000L, 0.2)), r("A"))
+    assert(r("B") == ((4L, 500000L, 400000L, -100000L, 0.2)), r("B"))
+    assert(r("__unexpected__")._1 == 1L)
+    // an arm with zero rows still reports (cnt = 0, full deviation)
+    val r2 = Validate.srmCheck(df.filter(col("arm") === "A"), "arm",
+        Seq(("A", 1L), ("B", 1L)))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2("B") == 0L && r2("A") == 6L)
+  }
 }
