@@ -603,4 +603,44 @@ object TextAnalysis {
       bp(cjk).as("cjk_bp"), bp(arab).as("arabic_bp"),
       dominant.as("dominant"))
   }
+
+  /** CODE-SWITCHING / language-mixture profile — per document, the
+    * sentence-level language composition (a "monolingual" corpus whose
+    * docs are half-and-half pollutes both language buckets; doc-level
+    * language ID ([[langIdCol]]) cannot see it): sentences split on
+    * [.!?]+, each classified by the SAME marker-scoring langid, then
+    * per doc the dominant language, its share in floor basis points,
+    * and the language-mixture entropy in exact floor-nano nats (the
+    * [[graft.ops.Corpus.entropyTermExpr]] contract — entropy 0 =
+    * monolingual, higher = switching).
+    *
+    * One explode + one (id, lang) count shuffle; the window and final
+    * fold reuse the same id partitioning (one Exchange total beyond
+    * the scan). Dominant ties break to the lexicographically smallest
+    * language — deterministic, hash-gatable.
+    *
+    * @return (id, n_sentences, n_langs, dom_lang, dom_bp, entropy_nano)
+    */
+  def codeSwitchProfile(df: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = df.select(col(id), explode(split(col(text), "[.!?]+")).as("sent"))
+      .withColumn("sent", trim(col("sent")))
+      .filter(length(col("sent")) > 0)
+      .withColumn("slang", langIdCol(col("sent")))
+    val counts = sents.groupBy(col(id), col("slang"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(id))
+    counts
+      .withColumn("n_sentences", sum(col("cnt")).over(w))
+      .withColumn("n_langs", count(lit(1)).over(w))
+      .withColumn("term",
+        expr(graft.ops.Corpus.entropyTermExpr("cnt", "n_sentences")))
+      .groupBy(col(id), col("n_sentences"), col("n_langs"))
+      .agg(sum(col("term")).as("entropy_nano"),
+        min(struct((-col("cnt")).as("nc"), col("slang").as("l"))).as("d"))
+      .select(col(id), col("n_sentences"), col("n_langs"),
+        col("d.l").as("dom_lang"),
+        expr("((-d.nc) * 10000) div n_sentences").as("dom_bp"),
+        col("entropy_nano"))
+  }
 }

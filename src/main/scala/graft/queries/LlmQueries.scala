@@ -637,6 +637,17 @@ object LlmQueries extends QueryGroup {
     }),
 
     // ---- text analysis (M6d) ----------------------------------------
+    // code-switching profile (NEW r12): sentence-level language
+    // mixture per doc — dominant language, its share in floor bp, and
+    // mixture entropy in floor-nano nats; the filter doc-level langid
+    // (q100) cannot provide
+    "q258_code_switch" -> ((s, d) => {
+      TextAnalysis.codeSwitchProfile(
+          Tables.spread(Tables.documents(s, d), "doc_id"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q100_text_langid" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("lang"),
@@ -1828,6 +1839,42 @@ object LlmQueries extends QueryGroup {
            |    AND (CAST(LEN(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / LEN(lines) <= 0.3)
            |    AS gopher_pass
            |FROM f ORDER BY doc_id""".stripMargin,
+
+      "q258_code_switch" -> {
+        val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+          val lst = m.map(w => s"'$w'").mkString(", ")
+          s"LEN(list_filter(string_split(s, ' '), t -> list_contains([$lst], t))) AS s_$lang"
+        }.mkString(",\n  ")
+        val term = graft.ops.Corpus.entropyTermExpr("cnt", "n_sentences")
+        s"""WITH sen AS (SELECT doc_id, TRIM(x) AS sent FROM (
+           |    SELECT doc_id, UNNEST(regexp_split_to_array(text,
+           |      '[.!?]+')) AS x FROM documents)
+           |  WHERE LENGTH(TRIM(x)) > 0),
+           |ns AS (SELECT doc_id,
+           |    LOWER(TRIM(REGEXP_REPLACE(sent, '\\s+', ' ', 'g'))) AS s
+           |  FROM sen),
+           |sc AS (SELECT doc_id, $scores FROM ns),
+           |lid AS (SELECT doc_id,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |       WHEN s_fr >= s_zh THEN 'fr'
+           |       ELSE 'zh' END AS slang FROM sc),
+           |c AS (SELECT doc_id, slang, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM lid GROUP BY 1, 2),
+           |t AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_sentences,
+           |    CAST(COUNT(*) AS BIGINT) AS n_langs FROM c GROUP BY 1),
+           |e AS (SELECT c.doc_id,
+           |    CAST(SUM($term) AS BIGINT) AS entropy_nano
+           |  FROM c JOIN t USING (doc_id) GROUP BY 1),
+           |d AS (SELECT doc_id, slang, cnt, ROW_NUMBER() OVER (
+           |    PARTITION BY doc_id ORDER BY cnt DESC, slang) AS rk FROM c)
+           |SELECT t.doc_id, t.n_sentences, t.n_langs, d.slang AS dom_lang,
+           |  (d.cnt * 10000) // t.n_sentences AS dom_bp, e.entropy_nano
+           |FROM t JOIN d ON d.doc_id = t.doc_id AND d.rk = 1
+           |JOIN e ON e.doc_id = t.doc_id
+           |ORDER BY t.doc_id""".stripMargin
+      },
 
       "q100_text_langid" -> {
         val scores = TextAnalysis.langMarkers.map { case (lang, m) =>

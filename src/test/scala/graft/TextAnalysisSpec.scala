@@ -251,4 +251,22 @@ class TextAnalysisSpec extends SparkSpec {
       (0L, 0L, 2L, 0L, "cjk"),
       (0L, 0L, 0L, 0L, "other")))
   }
+
+  test("codeSwitchProfile: mixed doc entropy, monolingual zero, dominant tiebreak") {
+    import spark.implicits._
+    // doc 1: two 'en' sentences ("the fast" markers) + two 'es'
+    // ("data query") -> 50/50 mix, entropy = ln 2 in floor-nano
+    // (2 * floor(1e9 * 0.5 * ln 2)); tie at 2-2 -> dominant 'en'
+    // (lexicographically smallest). doc 2: monolingual -> entropy 0.
+    val docs = Seq(
+      (1L, "the fast one. data query here! the slow way? sort data city"),
+      (2L, "the a fast. the slow a")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.codeSwitchProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1L, 4L, 2L, "en", 5000L, 693147180L),
+      (2L, 2L, 1L, "en", 10000L, 0L)), r.mkString(","))
+  }
 }
