@@ -1230,4 +1230,75 @@ object FrameOps {
       .select(facts.columns.map(c => col(s"__f.$c")) ++
         dimAttrs.map(c => col(s"__d.$c")): _*)
   }
+
+  /** TRIMMED MEAN per group — the drift-resistant KPI (a mean a single
+    * corrupt feed can't drag): exact per-group quantile bounds at
+    * [pLo, pHi] (QUANTILE_CONT semantics, the [[outlierFlagsMad]]
+    * percentile contract), then the plain mean of the values INSIDE
+    * the closed bounds, rounded to 6dp. Reports how many rows were
+    * trimmed on each side — a trim count spike is itself the alert.
+    *
+    * Two grouped percentile passes + one filtered re-aggregation, all
+    * on the same group key (one Exchange reused); deterministic:
+    * bounds are exact order statistics, membership is a closed-
+    * interval comparison, and the final mean is one division rounded
+    * once.
+    *
+    * @return (keys…, n, n_trimmed_lo, n_trimmed_hi, lo, hi,
+    *         trimmed_mean)
+    */
+  def trimmedMeanBy(df: DataFrame, keys: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, CAST($pLo AS DOUBLE))").as("__lo"),
+        expr(s"percentile($valueCol, CAST($pHi AS DOUBLE))").as("__hi"))
+    df.join(bounds, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(v < col("__lo"), 1L).otherwise(0L)).as("n_trimmed_lo"),
+        sum(when(v > col("__hi"), 1L).otherwise(0L)).as("n_trimmed_hi"),
+        round(first(col("__lo")), 6).as("lo"),
+        round(first(col("__hi")), 6).as("hi"),
+        round(avg(when(v >= col("__lo") && v <= col("__hi"), v)), 6)
+          .as("trimmed_mean"))
+  }
+
+  /** COHORT RETENTION matrix — the product-analytics staple: users
+    * cohorted by their FIRST activity week, then for each (cohort
+    * week, weeks-since) cell the count of cohort users active that
+    * week and the retention share in floor basis points. Weeks are
+    * epoch-day div 7 (engine-identical integer arithmetic — no
+    * ISO-week dialect drift), `weeks_since` = activity week − cohort
+    * week.
+    *
+    * Two aggregations on the user key (first-week + distinct activity
+    * weeks; one Exchange reused) + one bounded cohort-size join —
+    * never a user × week cross.
+    *
+    * @return (cohort_week, weeks_since, n_active, cohort_size,
+    *         retention_bp)
+    */
+  def cohortRetention(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    // integer div chain (Column./ is DOUBLE division — div keeps it
+    // exact and engine-identical)
+    val wk = expr(s"(unix_micros($tsCol) div 86400000000L) div 7L")
+    val uw = df.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), wk.as("__w"))
+      .distinct()
+    val cohort = uw.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
+    val sizes = cohort.groupBy(col("__cw"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "__u")
+      .groupBy(col("__cw"), (col("__w") - col("__cw")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "__cw")
+      .select(col("__cw").as("cohort_week"), col("weeks_since"),
+        col("n_active"), col("cohort_size"),
+        expr("(10000 * n_active) div cohort_size").as("retention_bp"))
+  }
 }

@@ -420,6 +420,15 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("user_id"))
     }),
 
+    // cohort retention matrix (NEW r12): users cohorted by first
+    // activity week (epoch-day div 7 — no ISO-week dialect drift),
+    // per (cohort, weeks-since) active counts + retention floor bp
+    "q260_cohort_retention" -> ((s, d) => {
+      graft.ops.FrameOps.cohortRetention(Tables.events(s, d),
+          "user_id", "ts")
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
     // event-sequence trigram motifs (NEW r12): funnel DISCOVERY — the
     // top "a>b>c" runs of consecutive per-user events with occurrence
     // and distinct-user counts; one user-keyed window + one agg
@@ -563,6 +572,21 @@ object DatetimeQueries extends QueryGroup {
 
   override def oracle: Map[String, String] = Map(
     "q227_funnel_steps" -> funnelOracleSql,
+
+    "q260_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    (EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS w
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cohort AS (SELECT u, MIN(w) AS cw FROM uw GROUP BY u),
+        |sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY cw),
+        |act AS (SELECT c.cw, uw.w - c.cw AS weeks_since,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM uw JOIN cohort c ON uw.u = c.u GROUP BY 1, 2)
+        |SELECT act.cw AS cohort_week, weeks_since, n_active,
+        |  cohort_size, (10000 * n_active) // cohort_size AS retention_bp
+        |FROM act JOIN sizes ON act.cw = sizes.cw
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     "q253_sequence_motifs" ->
       // leads over the same unique (ts, event_id) order; a null last

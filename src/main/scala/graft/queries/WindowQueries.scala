@@ -735,6 +735,16 @@ object WindowQueries extends QueryGroup {
         .orderBy(col("event_id"))
     }),
 
+    // trimmed mean per group (NEW r12): the drift-resistant KPI —
+    // exact p05/p95 bounds, mean of the inside, trim counts as their
+    // own alert signal
+    "q259_trimmed_mean" -> ((s, d) => {
+      graft.ops.FrameOps.trimmedMeanBy(
+          Tables.events(s, d).select(col("event_type"), col("value")),
+          Seq("event_type"), "value", 0.05, 0.95)
+        .orderBy(col("event_type"))
+    }),
+
     // seasonal-profile MAD outliers (NEW r12): the q235 robust screen
     // conditioned on (event_type, hour-of-day) — a value normal at
     // peak hour is an anomaly at 3am; same 50%-breakdown estimator,
@@ -1321,6 +1331,24 @@ object WindowQueries extends QueryGroup {
         |  robust_z
         |FROM r WHERE COALESCE(robust_z > 3.5, FALSE)
         |ORDER BY event_id""".stripMargin,
+
+    "q259_trimmed_mean" ->
+      """WITH b AS (SELECT event_type,
+        |    QUANTILE_CONT(value, CAST(0.05 AS DOUBLE)) AS qlo,
+        |    QUANTILE_CONT(value, CAST(0.95 AS DOUBLE)) AS qhi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE e.value < b.qlo) AS BIGINT)
+        |    AS n_trimmed_lo,
+        |  CAST(COUNT(*) FILTER (WHERE e.value > b.qhi) AS BIGINT)
+        |    AS n_trimmed_hi,
+        |  ROUND(b.qlo, 6) AS lo, ROUND(b.qhi, 6) AS hi,
+        |  ROUND(AVG(e.value) FILTER (
+        |    WHERE e.value >= b.qlo AND e.value <= b.qhi), 6)
+        |    AS trimmed_mean
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type, b.qlo, b.qhi
+        |ORDER BY e.event_type""".stripMargin,
 
     "q252_seasonal_outlier_mad" ->
       """WITH ev AS (SELECT event_id, event_type,

@@ -788,4 +788,42 @@ class FrameOpsSpec extends SparkSpec {
     assert(FrameOps.applyChangeSet(snap, none, "k")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  test("trimmedMeanBy: hand-checked bounds, trim counts, spike resistance") {
+    import spark.implicits._
+    // group g: 1..10 plus a 1e6 spike; p05/p95 over the 11 values trim
+    // the spike (and nothing low) — the trimmed mean ignores it while
+    // the plain mean is dragged 5 orders of magnitude
+    val df = ((1 to 10).map(i => ("g", i.toDouble)) :+ ("g", 1000000.0))
+      .toDF("k", "v")
+    val r = graft.ops.FrameOps.trimmedMeanBy(df, Seq("k"), "v",
+      0.05, 0.95).head
+    assert(r.getLong(1) == 11L)                       // n
+    assert(r.getLong(3) == 1L)                        // spike trimmed hi
+    assert(r.getDouble(6) < 11.0, r.toString)         // mean unpolluted
+    // no trimming at [0, 1]: plain mean
+    val all = graft.ops.FrameOps.trimmedMeanBy(
+      Seq(("g", 2.0), ("g", 4.0)).toDF("k", "v"), Seq("k"), "v",
+      0.0, 1.0).head
+    assert(all.getDouble(6) == 3.0 && all.getLong(2) == 0L)
+  }
+
+  test("cohortRetention: hand-built two-cohort matrix") {
+    import spark.implicits._
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // epoch weeks: users 1,2 first active week W; user 1 returns W+1;
+    // user 3 first active W+1
+    val ev = Seq(
+      (1L, t("2024-01-01")), (2L, t("2024-01-02")),
+      (1L, t("2024-01-10")), (3L, t("2024-01-10")))
+      .toDF("user_id", "ts")
+    val r = graft.ops.FrameOps.cohortRetention(ev, "user_id", "ts")
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val w0 = r.keys.map(_._1).min
+    assert(r((w0, 0L)) == ((2L, 2L, 10000L)))   // cohort of 2, week 0
+    assert(r((w0, 1L)) == ((1L, 2L, 5000L)))    // 50% retained
+    assert(r((w0 + 1, 0L)) == ((1L, 1L, 10000L)))
+    assert(r.size == 3)
+  }
 }
