@@ -457,6 +457,29 @@ package object syntax {
     def neighborAgg(src: String, dst: String, feats: DataFrame,
         nodeCol: String, featCol: String): DataFrame =
       ops.Graph.neighborAgg(df, src, dst, feats, nodeCol, featCol)
+    /** `df` is the edge list; bounded-round k-truss. */
+    def kTruss(src: String, dst: String, k: Int,
+        rounds: Int = 2): DataFrame =
+      ops.Graph.kTruss(df, src, dst, k, rounds)
+    def sequenceMotifs(userCol: String, tsCol: String, tiebreak: String,
+        typeCol: String, n: Int = 3): DataFrame =
+      ops.ScaleJoins.sequenceMotifs(df, userCol, tsCol, tiebreak, typeCol, n)
+    def codeSwitchProfile(id: String, text: String): DataFrame =
+      ops.TextAnalysis.codeSwitchProfile(df, id, text)
+    def trimmedMeanBy(keys: Seq[String], valueCol: String,
+        pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+      ops.FrameOps.trimmedMeanBy(df, keys, valueCol, pLo, pHi)
+    def cohortRetention(userCol: String, tsCol: String): DataFrame =
+      ops.FrameOps.cohortRetention(df, userCol, tsCol)
+    /** `df` is corpus A of the linkage. */
+    def linkageScores(b: DataFrame, id: String, block: String,
+        fields: Seq[(String, Long, Long)],
+        minScoreMilli: Long): DataFrame =
+      ops.Dedup.linkageScores(df, b, id, block, fields, minScoreMilli)
+    def mutualInfoNano(xCol: String, yCol: String): DataFrame =
+      ops.Validate.mutualInfoNano(df, xCol, yCol)
+    def srmCheck(armCol: String, arms: Seq[(String, Long)]): DataFrame =
+      ops.Validate.srmCheck(df, armCol, arms)
     def negativeSampleRing(poolId: String, anchors: DataFrame,
         anchorId: String, k: Int, bucketBits: Int = 6): DataFrame =
       ops.Similarity.negativeSampleRing(df, poolId, anchors, anchorId,

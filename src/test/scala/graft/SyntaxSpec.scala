@@ -321,5 +321,25 @@ class SyntaxSpec extends SparkSpec {
     val child = Seq((10L, 1L), (11L, 2L)).toDF("okey", "cfk")
     assert(roots.cascadePurgePlan("cid",
       Seq(("child", child, "cfk", "okey"))).head.getLong(3) == 1L)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(tri.kTruss("src", "dst", k = 3).count() == 3L)
+    def t0(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
+    val seq3 = Seq((1L, t0(1), 1L, "A"), (1L, t0(2), 2L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(seq3.sequenceMotifs("user_id", "ts", "event_id",
+      "event_type", n = 2).head.getString(0) == "A>B")
+    assert(Seq((1L, "the a fast")).toDF("doc_id", "text")
+      .codeSwitchProfile("doc_id", "text").head.getString(3) == "en")
+    assert(Seq(("g", 1.0), ("g", 3.0)).toDF("k", "v")
+      .trimmedMeanBy(Seq("k"), "v", 0.0, 1.0).head.getDouble(6) == 2.0)
+    assert(seq3.cohortRetention("user_id", "ts").count() == 1L)
+    assert(Seq(("x", "x")).toDF("x", "y").mutualInfoNano("x", "y")
+      .head.getLong(3) == 0L)
+    assert(Seq("A", "B").toDF("arm")
+      .srmCheck("arm", Seq(("A", 1L), ("B", 1L))).count() == 3L)
+    val la = Seq((1L, "z", "m")).toDF("id", "blk", "f")
+    val lb = Seq((2L, "z", "m")).toDF("id", "blk", "f")
+    assert(la.linkageScores(lb, "id", "blk", Seq(("f", 1000L, -500L)),
+      0L).head.getLong(3) == 1000L)
   }
 }
