@@ -1402,4 +1402,50 @@ object Graph {
     e.unpersist(blocking = false)
     out
   }
+
+  /** ASSOCIATION RULES over basket–item incidences — market-basket
+    * mining one step past [[bipartiteProject]]'s co-occurrence counts:
+    * each surviving pair emits BOTH directed rules a→b and b→a with
+    * support (co-basket count), confidence = support/baskets(a), and
+    * lift = support·N / (baskets(a)·baskets(b)), all in floor ppm on
+    * non-negative integers (engine-exact). Pair counts come from the
+    * CAPPED projection (the viral-basket control); per-item basket
+    * counts and N are the TRUE uncapped values — so confidence/lift
+    * are conservative (never inflated) when the cap bites, which is
+    * the honest direction for a screen.
+    *
+    * @return (antecedent, consequent, support, n_ante, n_cons,
+    *         conf_ppm, lift_ppm) per directed rule at or above
+    *         `minSupport`
+    */
+  def associationRules(df: DataFrame, basket: String, item: String,
+      maxPerBasket: Int, minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val pairs = bipartiteProject(df, basket, item, maxPerBasket)
+      .filter(col("w") >= minSupport)
+    val bi = df.select(col(basket).as("__b"), col(item).cast("long").as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct().persist()
+    val itemN = bi.groupBy(col("__i").as("it")).agg(count(lit(1)).as("nb"))
+    val total = bi.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val directed = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("w"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("w")))
+    val out = directed
+      .join(itemN.withColumnRenamed("it", "antecedent")
+        .withColumnRenamed("nb", "n_ante"), "antecedent")
+      .join(itemN.withColumnRenamed("it", "consequent")
+        .withColumnRenamed("nb", "n_cons"), "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("w").as("support"),
+        col("n_ante"), col("n_cons"),
+        expr("(w * 1000000) div n_ante").as("conf_ppm"),
+        expr("(w * n_baskets * 1000000) div (n_ante * n_cons)")
+          .as("lift_ppm"))
+      .localCheckpoint(true)
+    bi.unpersist(blocking = false)
+    out
+  }
 }

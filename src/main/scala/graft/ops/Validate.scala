@@ -1178,4 +1178,53 @@ object Validate {
         lit(0L).as("observed_ppm"), lit(0L).as("dev_ppm"),
         lit(0.0d).as("chi2_term")))
   }
+
+  /** Classifier CALIBRATION report — reliability bins + expected
+    * calibration error for a [0, 1] score column against a binary
+    * label (the eval every quality-classifier gate (q155/q194) needs
+    * before its threshold means anything): scores ladder into
+    * `nBins` equal-width bins (clamped, the [[graft.ops.Sketches
+    * .histBucketExpr]] arithmetic with lo=0, hi=1), each bin reports
+    * its count, mean score, and observed positive rate in floor ppm,
+    * and the summary ECE is the count-weighted mean absolute
+    * (confidence − accuracy) gap — integer ppm throughout except the
+    * mean score (one division rounded 6dp, the q235 contract).
+    *
+    * One scan + one ≤nBins-row aggregation; the ECE fold runs on the
+    * bin frame. Returns the PER-BIN frame with the scalar ECE
+    * repeated per row (one frame, hash-gatable; read any row's
+    * `ece_ppm`).
+    *
+    * @return (bin, n, mean_score, pos_ppm, gap_ppm, ece_ppm)
+    */
+  def calibrationReport(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"nBins must be in [2, 1000], got $nBins")
+    val bins = df.select(col(scoreCol).cast("double").as("v"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("v").isNotNull && col("y").isNotNull)
+      .selectExpr(
+        graft.ops.Sketches.histBucketExpr(0.0, 1.0, nBins) + " AS bin",
+        "v", "y")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        round(avg(col("v")), 6).as("mean_score"),
+        // confidence in ppm from the SAME rounded mean (floor of
+        // 1e6 * rounded mean is exact: 6dp scales to an integer)
+        floor(round(avg(col("v")), 6) * 1e6).cast("long").as("conf_ppm"))
+      .withColumn("pos_ppm", expr("(n_pos * 1000000) div n"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("pos_ppm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    bins
+      // integer div, NOT a double division + cast: Spark's long cast
+      // truncates while DuckDB's rounds — div floors identically in
+      // both engines on these non-negative sums
+      .withColumn("__wg", sum(col("n") * col("gap_ppm")).over(w))
+      .withColumn("__wn", sum(col("n")).over(w))
+      .withColumn("ece_ppm", expr("__wg div __wn"))
+      .select(col("bin"), col("n"), col("mean_score"), col("pos_ppm"),
+        col("gap_ppm"), col("ece_ppm"))
+  }
 }

@@ -277,6 +277,20 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // association rules (NEW r12): market-basket mining over the q238
+    // substrate — both directed rules per surviving pair, confidence /
+    // lift in floor ppm (capped pair counts over TRUE item counts, so
+    // the scores are conservative when the viral-basket cap bites)
+    "q261_association_rules" -> ((s, d) => {
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      Graph.associationRules(hi, "ok", "pk", maxPerBasket = 8,
+          minSupport = 2L)
+        .orderBy(col("lift_ppm").desc, col("antecedent"),
+          col("consequent"))
+        .limit(100)
+    }),
+
     // bounded-round k-truss (NEW r12): edge-grade density screen over
     // the supplier co-occurrence graph — every surviving edge sits in
     // >= k-2 triangles within the surviving subgraph (a link farm can
@@ -766,6 +780,32 @@ object GraphQueries extends QueryGroup {
         |SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS w
         |FROM c x JOIN c y ON x.b = y.b AND x.i < y.i
         |GROUP BY 1, 2 ORDER BY w DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "q261_association_rules" ->
+      // capped pair counts (q238 replay) + TRUE uncapped item/basket
+      // counts; both directed rules, integer ppm scores
+      """WITH hi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |c AS (SELECT b, i FROM (SELECT b, i,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY i) AS rn FROM hi)
+        |  WHERE rn <= 8),
+        |p AS (SELECT x.i AS ia, y.i AS ib, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM c x JOIN c y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |itemn AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM hi GROUP BY i),
+        |tot AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+        |  FROM hi),
+        |dr AS (SELECT ia AS antecedent, ib AS consequent, w FROM p
+        |  UNION ALL SELECT ib, ia, w FROM p)
+        |SELECT dr.antecedent, dr.consequent, dr.w AS support,
+        |  na.nb AS n_ante, nc.nb AS n_cons,
+        |  (dr.w * 1000000) // na.nb AS conf_ppm,
+        |  (dr.w * tot.n_baskets * 1000000) // (na.nb * nc.nb) AS lift_ppm
+        |FROM dr JOIN itemn na ON na.i = dr.antecedent
+        |JOIN itemn nc ON nc.i = dr.consequent CROSS JOIN tot
+        |ORDER BY lift_ppm DESC, antecedent, consequent
+        |LIMIT 100""".stripMargin,
 
     "q251_ktruss" -> {
       // canonical-form triangle enumeration (x<y<z, each once) is

@@ -388,6 +388,20 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("grp"), col("digit"))
     }),
 
+    // classifier calibration report (NEW r12): reliability bins + ECE
+    // for a deterministic score (value/200 clamped) against the
+    // purchase label — the eval every quality-classifier threshold
+    // needs before it means anything
+    "q262_calibration" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(least(greatest(col("value") / 200.0, lit(0.0)),
+            lit(1.0)).as("score"),
+          (col("event_type") === "purchase").cast("long").as("label"))
+      graft.ops.Validate.calibrationReport(ev, "score", "label",
+          nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // mutual information feature screen (NEW r12): MI(order priority,
     // order status) in exact floor-nano nats — model-free relevance/
     // redundancy check over categorical columns; one cell-count
@@ -621,6 +635,30 @@ object SourceQueries extends QueryGroup {
         |  n_rows - n_deleted, ds, ts - ds
         |FROM lt CROSS JOIN ld
         |ORDER BY lvl""".stripMargin,
+
+    "q262_calibration" -> {
+      val bucket = graft.ops.Sketches.histBucketExpr(0.0, 1.0, 10)
+      s"""WITH sc AS (SELECT
+         |    LEAST(GREATEST(value / 200.0, 0.0), 1.0) AS v,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT $bucket AS bin, v, y FROM sc),
+         |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS n_pos,
+         |    ROUND(AVG(v), 6) AS mean_score,
+         |    CAST(FLOOR(ROUND(AVG(v), 6) * 1000000) AS BIGINT)
+         |      AS conf_ppm
+         |  FROM b GROUP BY bin),
+         |r AS (SELECT bin, n, mean_score,
+         |    (n_pos * 1000000) // n AS pos_ppm,
+         |    ABS(conf_ppm - (n_pos * 1000000) // n) AS gap_ppm
+         |  FROM g),
+         |t AS (SELECT CAST(SUM(n * gap_ppm) AS BIGINT) AS wg,
+         |    CAST(SUM(n) AS BIGINT) AS wn FROM r)
+         |SELECT bin, n, mean_score, pos_ppm, gap_ppm,
+         |  wg // wn AS ece_ppm
+         |FROM r CROSS JOIN t ORDER BY bin""".stripMargin
+    },
 
     "q256_mutual_info" ->
       """WITH v AS (SELECT CAST(o_orderpriority AS VARCHAR) AS x,

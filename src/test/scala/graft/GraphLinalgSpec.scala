@@ -765,4 +765,22 @@ class GraphLinalgSpec extends SparkSpec {
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
     assert(r3 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), r3)
   }
+
+  test("associationRules: hand-checked confidence and lift, both directions") {
+    // baskets: {1,2} x3, {1,3} x1, {2} alone x1 -> N=5 baskets
+    // item baskets: 1 -> 4, 2 -> 4, 3 -> 1; pair (1,2) support 3
+    val inc = Seq(("b1", 1L), ("b1", 2L), ("b2", 1L), ("b2", 2L),
+      ("b3", 1L), ("b3", 2L), ("b4", 1L), ("b4", 3L), ("b5", 2L))
+      .toDF("b", "i")
+    val r = Graph.associationRules(inc, "b", "i", maxPerBasket = 8,
+        minSupport = 2L)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(5), x.getLong(6)))).toMap
+    // conf(1->2) = 3/4 = 750000 ppm; lift = 3*5/(4*4) = 937500 ppm
+    assert(r == Map(
+      (1L, 2L) -> ((3L, 750000L, 937500L)),
+      (2L, 1L) -> ((3L, 750000L, 937500L))), r)
+    // minSupport prunes the support-1 pair (1,3)
+    assert(!r.contains((1L, 3L)))
+  }
 }

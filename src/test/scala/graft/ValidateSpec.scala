@@ -405,4 +405,20 @@ class ValidateSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r2("B") == 0L && r2("A") == 6L)
   }
+
+  test("calibrationReport: perfectly calibrated bins gap ~0, miscalibrated flagged") {
+    import spark.implicits._
+    // bin 0.05-ish: score 0.05, 1 positive of 20 -> pos 50000 ppm vs
+    // conf 50000 ppm -> gap 0; bin at 0.95: score 0.95 but NO
+    // positives -> gap = 950000
+    val calib = (1 to 19).map(_ => (0.05, 0L)) :+ ((0.05, 1L))
+    val bad = (1 to 10).map(_ => (0.95, 0L))
+    val df = (calib ++ bad).toDF("score", "label")
+    val r = Validate.calibrationReport(df, "score", "label", nBins = 10)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(3),
+        x.getLong(4), x.getLong(5)))).toMap
+    assert(r(0L) == ((20L, 50000L, 0L, 316666L)), r(0L))
+    assert(r(9L) == ((10L, 0L, 950000L, 316666L)), r(9L))
+    // ECE = (20*0 + 10*950000) / 30 = 316666
+  }
 }
