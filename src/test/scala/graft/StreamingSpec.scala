@@ -576,4 +576,27 @@ class StreamingSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
       ((3L, 1L, 1L, 3333L)), r.toString)
   }
+
+  test("buffered-fold state caps fail fast (funnelStream, cusumStream)") {
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    // 17 funnel events for one user, all above the watermark -> the
+    // 16-event buffer cap must abort loudly, not silently drop
+    val many = eventsDF((1 to 17).map(i =>
+      (i.toLong, 1L, "view", 0.0, f"2024-01-01 10:00:${i % 60}%02d")))
+    val e1 = intercept[Exception] {
+      Streams.runToBatch(spark,
+        Streams.funnelStream(streamDir(stageBatches("fcap", Seq(many)),
+          many.schema), Seq("view", "click"), maxBufferedEvents = 16),
+        "spec_funnel_cap", outputMode = "update").collect()
+    }
+    assert(msgs(e1).exists(_.contains("maxBufferedEvents")), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Streams.runToBatch(spark,
+        Streams.cusumStream(streamDir(stageBatches("ccap", Seq(many)),
+          many.schema), maxBufferedEvents = 3),
+        "spec_cusum_cap", outputMode = "update").collect()
+    }
+    assert(msgs(e2).exists(_.contains("maxBufferedEvents")), e2.getMessage)
+  }
 }
