@@ -1301,4 +1301,72 @@ object FrameOps {
         col("n_active"), col("cohort_size"),
         expr("(10000 * n_active) div cohort_size").as("retention_bp"))
   }
+
+  /** CDC changeset EMITTER — the inverse of [[applyChangeSet]]: diff
+    * two keyed snapshots into the minimal (key, op, version, attrs…)
+    * changeset that replays `oldDf` into `newDf` — 'U' for keys added
+    * or whose attributes changed (null-safely compared), 'D' for keys
+    * removed; unchanged keys emit nothing. The round-trip
+    * `applyChangeSet(old, emitChangeSet(old, new, …)) == new` is the
+    * op's contract (spec-pinned), which is what makes an emitted feed
+    * trustworthy before it is published to downstream consumers.
+    *
+    * One full-outer join on the key (the [[graft.ops.Dedup
+    * .snapshotDiff]] shape, but carrying the new attributes out);
+    * deleted keys carry the OLD attribute values (the applyChangeSet
+    * column contract — the payload of a 'D' row is ignored on apply).
+    *
+    * @return (key, op, version, attrs…) — `version` is the constant
+    *         the caller stamps the batch with
+    */
+  def emitChangeSet(oldDf: DataFrame, newDf: DataFrame, key: String,
+      version: Long, op: String = "op",
+      versionCol: String = "version"): DataFrame = {
+    val attrs = newDf.columns.filterNot(_ == key).toSeq
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      "snapshots must share one schema; evolve columns before diffing")
+    val o = oldDf.select((col(key).as("__k") +:
+      attrs.map(c => col(c).as(s"__o_$c"))) :+ lit(1).as("__in_o"): _*)
+    val n = newDf.select((col(key).as("__k") +:
+      attrs.map(c => col(c).as(s"__n_$c"))) :+ lit(1).as("__in_n"): _*)
+    val changed = attrs.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, Seq("__k"), "full_outer")
+      .withColumn(op,
+        when(col("__in_n").isNull, "D")
+          .when(col("__in_o").isNull || changed, "U"))
+      .filter(col(op).isNotNull)
+      .select((col("__k").as(key) +: col(op) +:
+        lit(version).as(versionCol) +:
+        attrs.map(c => when(col(op) === "D", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c))): _*)
+  }
+
+  /** FUNCTIONAL-DEPENDENCY check — does X determine Y (the profiling
+    * question behind every "is this column a safe partition/join key"
+    * decision, and the violation census when it should hold but
+    * doesn't): per distinct X, the number of distinct null-safe Y
+    * values; keys with more than one are violations. Reports key and
+    * row counts plus the violating-row share in floor basis points.
+    *
+    * One (x, y) distinct + two rollups — the [[graft.ops.Validate.mutualInfoNano]] scan
+    * shape without the log terms.
+    *
+    * @return one row: (n_keys, n_violating_keys, n_rows,
+    *         n_rows_in_violating, fd_bp) — fd_bp = 0 iff X → Y holds
+    */
+  def fdCheck(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.select(col(xCol).cast("string").as("x"),
+        coalesce(col(yCol).cast("string"), lit("\u0000null")).as("y"))
+      .filter(col("x").isNotNull)
+    val perKey = rows.groupBy(col("x"))
+      .agg(count(lit(1)).as("nr"), countDistinct(col("y")).as("ny"))
+    perKey.agg(count(lit(1)).as("n_keys"),
+        sum(when(col("ny") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+        sum(col("nr")).as("n_rows"),
+        sum(when(col("ny") > 1, col("nr")).otherwise(0L))
+          .as("n_rows_in_violating"))
+      .withColumn("fd_bp",
+        expr("(10000 * n_rows_in_violating) div n_rows"))
+  }
 }

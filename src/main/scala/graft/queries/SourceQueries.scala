@@ -261,6 +261,33 @@ object SourceQueries extends QueryGroup {
         "o_custkey", "c_custkey", topK = 20)
     }),
 
+    // CDC changeset emitter (NEW r12): diff two order snapshots into
+    // the minimal U/D feed that replays old into new — the inverse of
+    // q212's applyChangeSet (round-trip spec-pinned); same mutation
+    // recipe as q205's diff census, but emitting the payload
+    "q264_emit_changeset" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mutated = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderkey",
+          when(col("o_orderkey") % 89 === 0, col("o_orderkey") + 100000000L)
+            .otherwise(col("o_orderkey")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0,
+            round(col("o_totalprice") + 1, 2)).otherwise(col("o_totalprice")))
+      graft.ops.FrameOps.emitChangeSet(o, mutated, "o_orderkey",
+          version = 7L)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // functional-dependency check (NEW r12): does o_custkey determine
+    // o_orderpriority (it should NOT — customers place orders at many
+    // priorities); violation census in one scan shape
+    "q263_fd_check" -> ((s, d) => {
+      graft.ops.FrameOps.fdCheck(Tables.orders(s, d),
+        "o_custkey", "o_orderpriority")
+    }),
+
     // keyed snapshot diff (NEW r8): orders vs a deterministically
     // mutated copy — %97 keys removed, %89 keys re-keyed (added),
     // %13 prices bumped (changed) — the data-versioning census
@@ -635,6 +662,46 @@ object SourceQueries extends QueryGroup {
         |  n_rows - n_deleted, ds, ts - ds
         |FROM lt CROSS JOIN ld
         |ORDER BY lvl""".stripMargin,
+
+    "q264_emit_changeset" ->
+      // same mutation recipe as q205, emitting the minimal U/D feed:
+      // D keeps old attrs, U carries new ones; null-safe compares
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+        |    o_totalprice AS p FROM orders),
+        |m0 AS (SELECT CASE WHEN k % 89 = 0 THEN k + 100000000 ELSE k END
+        |    AS k, s, p FROM o WHERE k % 97 != 0),
+        |m AS (SELECT k, s, CASE WHEN k % 13 = 0 THEN ROUND(p + 1, 2)
+        |    ELSE p END AS p FROM m0),
+        |j AS (SELECT COALESCE(o.k, m.k) AS k, o.k AS ok, m.k AS mk,
+        |    o.s AS os, m.s AS ms, o.p AS op2, m.p AS mp
+        |  FROM o FULL OUTER JOIN m ON o.k = m.k),
+        |v AS (SELECT k,
+        |    CASE WHEN mk IS NULL THEN 'D'
+        |      WHEN ok IS NULL OR os IS DISTINCT FROM ms
+        |        OR op2 IS DISTINCT FROM mp THEN 'U' END AS op,
+        |    CASE WHEN mk IS NULL THEN os ELSE ms END AS s,
+        |    CASE WHEN mk IS NULL THEN op2 ELSE mp END AS p
+        |  FROM j)
+        |SELECT k AS o_orderkey, op, CAST(7 AS BIGINT) AS version,
+        |  s AS o_orderstatus, p AS o_totalprice
+        |FROM v WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    "q263_fd_check" ->
+      """WITH r AS (SELECT CAST(o_custkey AS VARCHAR) AS x,
+        |    COALESCE(CAST(o_orderpriority AS VARCHAR),
+        |      chr(0) || 'null') AS y
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |pk AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT y) AS BIGINT) AS ny FROM r GROUP BY x)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(COUNT(*) FILTER (WHERE ny > 1) AS BIGINT)
+        |    AS n_violating_keys,
+        |  CAST(SUM(nr) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(nr) FILTER (WHERE ny > 1), 0) AS BIGINT)
+        |    AS n_rows_in_violating,
+        |  (10000 * CAST(COALESCE(SUM(nr) FILTER (WHERE ny > 1), 0)
+        |    AS BIGINT)) // CAST(SUM(nr) AS BIGINT) AS fd_bp
+        |FROM pk""".stripMargin,
 
     "q262_calibration" -> {
       val bucket = graft.ops.Sketches.histBucketExpr(0.0, 1.0, 10)

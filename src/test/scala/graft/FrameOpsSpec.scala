@@ -826,4 +826,37 @@ class FrameOpsSpec extends SparkSpec {
     assert(r((w0 + 1, 0L)) == ((1L, 1L, 10000L)))
     assert(r.size == 3)
   }
+
+  test("emitChangeSet round-trips: applyChangeSet(old, emit(old, new)) == new") {
+    import spark.implicits._
+    val old0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "s", "p")
+    // 1 unchanged, 2 attr-changed, 3 deleted, 4 null->value change,
+    // 5 inserted
+    val new0 = Seq((1L, "a", 10.0), (2L, "B", 20.0),
+      (4L, "x", 40.0), (5L, "e", 50.0)).toDF("k", "s", "p")
+    val cs = graft.ops.FrameOps.emitChangeSet(old0, new0, "k", version = 3L)
+    val ops = cs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops == Map(2L -> "U", 3L -> "D", 4L -> "U", 5L -> "U"), ops)
+    // the minimal feed: unchanged key 1 emits nothing
+    assert(cs.count() == 4L)
+    val replayed = graft.ops.FrameOps.applyChangeSet(old0, cs, "k")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val want = new0.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(replayed == want, s"replayed=$replayed want=$want")
+  }
+
+  test("fdCheck: held dependency scores 0, violations counted by rows") {
+    import spark.implicits._
+    val holds = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("a", "b")
+    val r1 = graft.ops.FrameOps.fdCheck(holds, "a", "b").head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(4)) == ((2L, 0L, 0L)))
+    // key 1 maps to two values (incl. a NULL, null-safely distinct):
+    // 3 of 4 rows sit in violating keys -> 7500 bp
+    val viol = Seq((1L, "x"), (1L, "x"), (1L, null.asInstanceOf[String]),
+      (2L, "y")).toDF("a", "b")
+    val r2 = graft.ops.FrameOps.fdCheck(viol, "a", "b").head
+    assert((r2.getLong(1), r2.getLong(3), r2.getLong(4)) ==
+      ((1L, 3L, 7500L)), r2.toString)
+  }
 }
