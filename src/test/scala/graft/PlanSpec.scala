@@ -76,6 +76,7 @@ class PlanSpec extends SparkSpec {
       "q192_hist_quantile", "q207_ks_drift", // ladder walks, nBuckets rows
       "q200_attribution", // share-of-total over the grouped #sources frame
       "q209c_effective_diameter", // maxDepth+1-row profile
+      "q262_calibration", // ECE fold over the <= nBins-row bin frame
       "q25d_value_counts_norm", // distinct values of a low-card column
       "q33b_factorize", "q33c_ngroup", // code dimension (distinct keys)
       "q57_dt_resample", // calendar grid
