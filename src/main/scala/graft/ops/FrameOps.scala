@@ -1315,6 +1315,9 @@ object FrameOps {
     * .snapshotDiff]] shape, but carrying the new attributes out);
     * deleted keys carry the OLD attribute values (the applyChangeSet
     * column contract — the payload of a 'D' row is ignored on apply).
+    * Null-keyed rows are DROPPED on both sides (a keyed CDC feed has
+    * no null keys; a full-outer join would otherwise mis-diff an
+    * unchanged null-key row into a spurious D + U pair).
     *
     * @return (key, op, version, attrs…) — `version` is the constant
     *         the caller stamps the batch with
@@ -1325,10 +1328,12 @@ object FrameOps {
     val attrs = newDf.columns.filterNot(_ == key).toSeq
     require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
       "snapshots must share one schema; evolve columns before diffing")
-    val o = oldDf.select((col(key).as("__k") +:
-      attrs.map(c => col(c).as(s"__o_$c"))) :+ lit(1).as("__in_o"): _*)
-    val n = newDf.select((col(key).as("__k") +:
-      attrs.map(c => col(c).as(s"__n_$c"))) :+ lit(1).as("__in_n"): _*)
+    val o = oldDf.filter(col(key).isNotNull)
+      .select((col(key).as("__k") +:
+        attrs.map(c => col(c).as(s"__o_$c"))) :+ lit(1).as("__in_o"): _*)
+    val n = newDf.filter(col(key).isNotNull)
+      .select((col(key).as("__k") +:
+        attrs.map(c => col(c).as(s"__n_$c"))) :+ lit(1).as("__in_n"): _*)
     val changed = attrs.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, Seq("__k"), "full_outer")
