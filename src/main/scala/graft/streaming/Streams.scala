@@ -238,10 +238,13 @@ object Streams {
     * Some("90 days")` to evict keys idle past the timeout via
     * event-time eviction — the expiring open interval is emitted with
     * `valid_to = NULL` (the "current row" marker a warehouse SCD2
-    * table uses) and the key is forgotten. Setting `idleTimeout`
-    * watermarks `ts` by `delay`, so changes later than that are
-    * dropped as late data — the retention trade a bounded deployment
-    * makes explicitly.
+    * table uses) and the key is forgotten; a key that reappears later
+    * starts a fresh interval chain, and the earlier NULL-close row
+    * remains in the sink (downstream compaction keeps the latest row
+    * per (key, valid_from), the standard CDC-sink fold). Setting
+    * `idleTimeout` watermarks `ts` by `delay`, so changes later than
+    * that are dropped as late data — the retention trade a bounded
+    * deployment makes explicitly.
     */
   def scd2Stream(events: DataFrame, idleTimeout: Option[String] = None,
       delay: String = "10 minutes"): DataFrame = {
