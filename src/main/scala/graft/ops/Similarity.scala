@@ -155,6 +155,94 @@ object Similarity {
     out
   }
 
+  /** The SCALE tier of [[marginMinedPairs]] — the q96b discipline
+    * applied to bitext mining: instead of the quadratic a × broadcast-b
+    * score matrix, each direction's candidate set comes from the IVF
+    * coarse quantizer ([[kmeansCentroids]] + probes), so the pair space
+    * is Σ_probe |cluster| per anchor, not |A|·|B|.
+    *
+    * Per direction src→dst: centroids are learned on DST (the corpus
+    * being searched), dst rows are assigned to their cluster, each src
+    * anchor probes its `nProbe` best centroids (rank by float dot,
+    * ties → lowest cluster id — the [[ivfSqTopKLearned]] probe rule),
+    * and only same-cluster (anchor, candidate) pairs are scored. The
+    * margin arithmetic is [[marginMinedPairs]]' unchanged: micro-unit
+    * floors, integer top-k neighborhood sums PER DIRECTION (sa over
+    * the a→B candidates, sb over the b→A candidates), one integer
+    * division, rank-1 by margin per anchor. The recall trade is the
+    * IVF trade — an out-of-probe true pair is missed, and a
+    * neighborhood sum over fewer than k in-probe candidates RAISES the
+    * margin of what was found (the denominator shrinks) — both are the
+    * documented behavior of production IVF-fed mining, and both replay
+    * in the oracle (which re-runs the same k-means, assignment, probe
+    * selection, and in-probe scoring in SQL), so the trade itself is
+    * hash-gated rather than prose.
+    *
+    * Scale shape: candidate generation is one equi-join ON THE CLUSTER
+    * ID per direction (shuffle-partitioned by cl — nClusters keys,
+    * sized ~√N at 100 TB so the join is wide, not skewed); no
+    * broadcast of either corpus. Two k-means chains (one per
+    * direction's dst), each a fixed number of scan+bounded-agg rounds.
+    *
+    * @return (a_id, b_id, cos_u6, margin_ppm) — best-margin in-probe b
+    *         per a above threshold (ties: lowest b_id)
+    */
+  def marginMinedPairsIvf(a: DataFrame, b: DataFrame, id: String,
+      vec: String, k: Int = 4, minMarginPpm: Long = 1050000L,
+      nClusters: Int = 8, nProbe: Int = 2, itersCoarse: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(nProbe >= 1 && nProbe <= nClusters,
+      s"nProbe must be in [1, $nClusters], got $nProbe")
+    // src anchors probe the centroids learned on dst; emit scored
+    // in-probe pairs (src id, dst id, cos_u6)
+    def candidates(src: DataFrame, srcCol: String,
+        dst: DataFrame, dstCol: String): DataFrame = {
+      val cents = kmeansCentroids(dst, id, vec, nClusters, itersCoarse)
+        .localCheckpoint(true)
+      val dstA = kmeansAssign(dst, id, vec, cents)
+        .select(col(id).as(dstCol), col(vec).as("d_vec"), col("cl"))
+      val wProbe = Window.partitionBy(col(srcCol))
+        .orderBy(col("c_dist").desc, col("cl").asc)
+      val probes = src.select(col(id).as(srcCol), col(vec).as("s_vec"))
+        .join(broadcast(cents))
+        .withColumn("c_dist", dot_f(col("s_vec"), col("c_vec")))
+        .withColumn("p", row_number().over(wProbe))
+        .filter(col("p") <= nProbe)
+        .select(col(srcCol), col("s_vec"), col("cl"))
+      dstA.join(probes, Seq("cl"))
+        .withColumn("cos_u6",
+          floor(dot_f(col("s_vec"), col("d_vec")) * lit(1000000.0d))
+            .cast("long"))
+        .select(col("a_id"), col("b_id"), col("cos_u6"))
+    }
+    val candAB = candidates(a, "a_id", b, "b_id").persist()
+    val candBA = candidates(b, "b_id", a, "a_id").persist()
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_u6").desc, col("b_id").asc)
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos_u6").desc, col("a_id").asc)
+    val sumA = candAB.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= k)
+      .groupBy(col("a_id")).agg(sum(col("cos_u6")).as("sa"))
+    val sumB = candBA.withColumn("r", row_number().over(wb))
+      .filter(col("r") <= k)
+      .groupBy(col("b_id")).agg(sum(col("cos_u6")).as("sb"))
+    val wm = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_ppm").desc, col("b_id").asc)
+    val out = candAB.filter(col("cos_u6") > 0)
+      .join(sumA, "a_id").join(sumB, "b_id")
+      .filter(col("sa") + col("sb") > 0)
+      .withColumn("margin_ppm",
+        expr(s"(cos_u6 * ${2L * k}L * 1000000L) div (sa + sb)"))
+      .withColumn("rm", row_number().over(wm))
+      .filter(col("rm") === 1 && col("margin_ppm") >= minMarginPpm)
+      .select(col("a_id"), col("b_id"), col("cos_u6"), col("margin_ppm"))
+      .localCheckpoint(true)
+    candAB.unpersist(blocking = false)
+    candBA.unpersist(blocking = false)
+    out
+  }
+
   /** Deterministic negative sampling for contrastive training — k
     * pseudo-random negatives per anchor, WITHOUT an RNG: candidates
     * sit on a 2³² hash ring (position = Knuth multiplicative hash of

@@ -91,6 +91,30 @@ object CorpusQueries extends QueryGroup {
     (seed +: rounds).mkString(",\n")
   }
 
+  /** [[sqlKmeansCtes]] generalized to a NAMED source CTE (columns
+    * vec_id, embedding) with prefixed CTE names, so two independent
+    * chains over different corpus splits coexist in one WITH — the
+    * q244b oracle needs one chain per mining direction. Ends at
+    * `${p}c$iters(cl, c_vec)`.
+    */
+  private[queries] def sqlKmeansCtesOver(p: String, src: String,
+      k: Int, iters: Int): String = {
+    val seed =
+      s"""${p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         |  embedding AS c_vec FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      s"""${p}a$it AS (SELECT vec_id, embedding, cl FROM (
+         |  SELECT e.vec_id, e.embedding, c.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS rn
+         |  FROM $src e, ${p}c${it - 1} c) s WHERE rn = 1),
+         |${p}m$it AS (SELECT cl, i, CAST(AVG(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS m
+         |  FROM ${p}a$it, range(1, 65) t(i) GROUP BY cl, i),
+         |${p}c$it AS (SELECT cl, list(m ORDER BY i) AS c_vec FROM ${p}m$it GROUP BY cl)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
   /** Index-order dot of a SLICE of `embedding` against a (pre-sliced)
     * codeword list — the subspace form of [[sqlDot]]. `off` is 0-based.
     */

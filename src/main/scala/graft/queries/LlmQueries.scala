@@ -530,6 +530,23 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("a_id"))
     }),
 
+    // the SCALE tier of q244 (NEW r13): candidate pairs per direction
+    // come from the IVF coarse quantizer (k-means on the searched
+    // side, nProbe=2 probes) instead of the full a×b score matrix —
+    // the oracle re-runs BOTH k-means chains, assignment, probe
+    // selection, in-probe micro-unit scoring and the margin fold in
+    // SQL, so the IVF recall trade is itself hash-gated (q96b's
+    // discipline applied to bitext mining)
+    "q244b_margin_bitext_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.marginMinedPairsIvf(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMarginPpm = 1000000L,
+          nClusters = 8, nProbe = 2, itersCoarse = 3)
+        .orderBy(col("a_id"))
+    }),
+
     // MMR diversity re-rank (NEW r8): brute-force top-10 candidates →
     // greedy λ·rel − (1−λ)·max-sim-to-selected, k=3. The re-rank step
     // between candidate generation and serving; oracle unrolls the
@@ -1572,6 +1589,61 @@ object LlmQueries extends QueryGroup {
            |      ORDER BY margin_ppm DESC, b_id ASC) AS rm FROM m)
            |WHERE rm = 1 AND margin_ppm >= 1000000
            |ORDER BY a_id""".stripMargin,
+
+      // q244b: both directions' k-means chains unrolled (u = centroids
+      // on B for a→B probes, v = centroids on A for b→A probes), then
+      // q244's margin arithmetic confined to the in-probe pair sets
+      "q244b_margin_bitext_ivf" -> {
+        def d2(a: String, ac: String, b: String, bc: String) =
+          CorpusQueries.sqlDot(a, ac, b, bc)
+        s"""WITH srcA AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+           |srcB AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+           |${CorpusQueries.sqlKmeansCtesOver("u", "srcB", 8, 3)},
+           |${CorpusQueries.sqlKmeansCtesOver("v", "srcA", 8, 3)},
+           |uasg AS (SELECT vec_id AS b_id, cl FROM (
+           |  SELECT e.vec_id, c.cl, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${d2("e", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS rn
+           |  FROM srcB e, uc3 c) s WHERE rn = 1),
+           |uprb AS (SELECT a_id, cl FROM (
+           |  SELECT q.vec_id AS a_id, c.cl, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |    ORDER BY ${d2("q", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS p
+           |  FROM srcA q, uc3 c) s WHERE p <= 2),
+           |candab AS (SELECT up.a_id, ua.b_id,
+           |    CAST(FLOOR((${d2("a", "embedding", "b", "embedding")}) * 1000000) AS BIGINT) AS cos_u6
+           |  FROM uprb up JOIN uasg ua USING (cl)
+           |  JOIN srcA a ON a.vec_id = up.a_id
+           |  JOIN srcB b ON b.vec_id = ua.b_id),
+           |vasg AS (SELECT vec_id AS a_id, cl FROM (
+           |  SELECT e.vec_id, c.cl, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${d2("e", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS rn
+           |  FROM srcA e, vc3 c) s WHERE rn = 1),
+           |vprb AS (SELECT b_id, cl FROM (
+           |  SELECT q.vec_id AS b_id, c.cl, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |    ORDER BY ${d2("q", "embedding", "c", "c_vec")} DESC, c.cl ASC) AS p
+           |  FROM srcB q, vc3 c) s WHERE p <= 2),
+           |candba AS (SELECT va.a_id, vp.b_id,
+           |    CAST(FLOOR((${d2("a", "embedding", "b", "embedding")}) * 1000000) AS BIGINT) AS cos_u6
+           |  FROM vprb vp JOIN vasg va USING (cl)
+           |  JOIN srcA a ON a.vec_id = va.a_id
+           |  JOIN srcB b ON b.vec_id = vp.b_id),
+           |sa AS (SELECT a_id, CAST(SUM(cos_u6) AS BIGINT) AS sa FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY cos_u6 DESC, b_id ASC) AS r FROM candab)
+           |  WHERE r <= 4 GROUP BY a_id),
+           |sb AS (SELECT b_id, CAST(SUM(cos_u6) AS BIGINT) AS sb FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY b_id
+           |      ORDER BY cos_u6 DESC, a_id ASC) AS r FROM candba)
+           |  WHERE r <= 4 GROUP BY b_id),
+           |m AS (SELECT c.a_id, c.b_id, c.cos_u6,
+           |    (c.cos_u6 * 8 * 1000000) // (sa.sa + sb.sb) AS margin_ppm
+           |  FROM candab c JOIN sa USING (a_id) JOIN sb USING (b_id)
+           |  WHERE c.cos_u6 > 0 AND sa.sa + sb.sb > 0)
+           |SELECT a_id, b_id, cos_u6, margin_ppm FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY margin_ppm DESC, b_id ASC) AS rm FROM m)
+           |WHERE rm = 1 AND margin_ppm >= 1000000
+           |ORDER BY a_id""".stripMargin
+      },
 
       // MMR oracle: same top-10 candidate set as q97's (rank by the
       // UNROUNDED dot, emit the rounded rel), then the three greedy

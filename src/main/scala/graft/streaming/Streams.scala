@@ -262,17 +262,18 @@ object Streams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
-         st: GroupState[(String, java.sql.Timestamp)]) =>
+         st: GroupState[(String, java.sql.Timestamp, Long)]) =>
           if (st.hasTimedOut) {
             // idle eviction: surface the open interval as the current
             // row (valid_to NULL) and forget the key
-            val (pt, pf) = st.get
+            val (pt, pf, _) = st.get
             st.remove()
             Iterator.single((uid, pt, pf,
               null.asInstanceOf[java.sql.Timestamp]))
           } else {
             val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
-            var cur = st.getOption
+            var cur = st.getOption.map { case (pt, pf, _) => (pt, pf) }
+            val seen0 = st.getOption.map(_._3).getOrElse(0L)
             val out = Seq.newBuilder[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
             sorted.foreach { case (_, ts, _, tpe) =>
               cur match {
@@ -283,11 +284,15 @@ object Streams {
                 case _ => () // same attribute value: interval continues
               }
             }
-            cur.foreach(st.update)
+            // idle clock = the key's TRUE last activity: max of the
+            // stored high-water mark and this batch's max event time —
+            // a batch of older (but in-watermark) changes must not pull
+            // the eviction timestamp earlier than idleTimeout promises
+            val seen1 = (seen0 +: sorted.map(_._2.getTime)).max
+            cur.foreach { case (pt, pf) => st.update((pt, pf, seen1)) }
             idleMs.foreach { ms =>
               val lastSeenMs =
-                if (sorted.nonEmpty) sorted.map(_._2.getTime).max
-                else st.getCurrentWatermarkMs()
+                if (seen1 > 0L) seen1 else st.getCurrentWatermarkMs()
               st.setTimeoutTimestamp(
                 math.max(lastSeenMs + ms, st.getCurrentWatermarkMs() + 1))
             }
@@ -374,12 +379,19 @@ object Streams {
     finally {
       q.stop()
       // replay checkpoints are throwaway — delete so repeated runs
-      // (bench loops, test suites) don't accumulate in tmpfs
+      // (bench loops, test suites) don't accumulate in tmpfs. The
+      // cleanup is BEST-EFFORT: when the query is failing, state-store
+      // maintenance tasks can still be writing under `ckpt`, and a
+      // DirectoryNotEmptyException thrown from this finally block would
+      // REPLACE the real streaming failure from awaitTermination — so
+      // any IO error here is swallowed (leaking at most one tmpfs dir).
       import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(ckpt)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
+      try {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
     }
     spark.table(sinkName)
   }
@@ -666,10 +678,12 @@ object Streams {
     * late-but-within-watermark event that lands BEFORE an already
     * consumed hop. So events are BUFFERED in state and only folded
     * into the compact (depth, t_first, t_chain) triple once their
-    * event time falls at or below the query watermark — past that
-    * point Spark drops any later arrival, so the folded prefix is
-    * complete and the fold is final. Events still above the watermark
-    * stay buffered and are re-folded provisionally on every emission.
+    * event time falls STRICTLY below the query watermark — Spark's
+    * late-row filter drops only rows strictly below it, so an event
+    * exactly AT the watermark can still arrive in a later batch; past
+    * the strict bound the folded prefix is complete and the fold is
+    * final. Events at or above the watermark stay buffered and are
+    * re-folded provisionally on every emission.
     * Each emission therefore equals batch [[graft.ops.ScaleJoins
     * .funnelSteps]] over ALL events received so far, in ANY arrival
     * order across micro-batches (ties at equal ts break by step
@@ -734,17 +748,17 @@ object Streams {
       .groupByKey(_._1)
       .mapGroupsWithState(timeoutConf) {
         (u: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
-         st: GroupState[(Int, Long, Long, Seq[(Long, Int)], Long)]) =>
+         st: GroupState[(Int, Long, Long, Seq[(Long, Int)], Long, Long)]) =>
           if (st.hasTimedOut) {
             // idle eviction: finalize whatever is buffered and forget
             // the user (a later re-appearance restarts at depth 0)
-            val (d0, tf0, tc0, buf, rev) = st.get
+            val (d0, tf0, tc0, buf, rev, _) = st.get
             val (d, tf, tc) = fold(d0, tf0, tc0, buf.sorted)
             st.remove()
             (u, d, tf, tc, rev + 1)
           } else {
-            val (d0, tf0, tc0, buf, rev) =
-              st.getOption.getOrElse((0, 0L, 0L, Seq.empty[(Long, Int)], 0L))
+            val (d0, tf0, tc0, buf, rev, seen0) =
+              st.getOption.getOrElse((0, 0L, 0L, Seq.empty[(Long, Int)], 0L, 0L))
             val merged =
               (buf ++ rows.map(r => (r._3, stepIdx(r._2)))).sorted
             if (merged.size > maxBufferedEvents)
@@ -752,17 +766,22 @@ object Streams {
                 s"funnelStream: user $u has ${merged.size} events inside " +
                   s"the watermark horizon — raise maxBufferedEvents " +
                   s"($maxBufferedEvents) or shrink the watermark delay")
-            // events at/below the watermark are FINAL (later arrivals
-            // below it are dropped by Spark) — fold them in for good;
-            // younger events stay buffered for deterministic re-fold
+            // events STRICTLY below the watermark are FINAL (Spark's
+            // late-row filter drops only rows strictly below it, so an
+            // event AT the watermark can still arrive in a later batch)
+            // — fold them in for good; events at or above the watermark
+            // stay buffered for deterministic re-fold
             val wmUs = st.getCurrentWatermarkMs() * 1000L
-            val (ripe, young) = merged.partition(_._1 <= wmUs)
+            val (ripe, young) = merged.partition(_._1 < wmUs)
             val (d1, tf1, tc1) = fold(d0, tf0, tc0, ripe)
-            st.update((d1, tf1, tc1, young, rev + 1))
+            // idle clock = the key's true last activity: max of the
+            // stored high-water mark and this batch (a batch of OLDER
+            // but in-watermark events must not pull eviction earlier)
+            val seen1 = (seen0 +: merged.map(_._1 / 1000L)).max
+            st.update((d1, tf1, tc1, young, rev + 1, seen1))
             idleMs.foreach { ms =>
               val lastSeenMs =
-                if (merged.nonEmpty) merged.map(_._1).max / 1000L
-                else st.getCurrentWatermarkMs()
+                if (seen1 > 0L) seen1 else st.getCurrentWatermarkMs()
               st.setTimeoutTimestamp(
                 math.max(lastSeenMs + ms, st.getCurrentWatermarkMs() + 1))
             }
@@ -1063,7 +1082,11 @@ object Streams {
         col("event_id").isNotNull)
       .withWatermark("ts", delay)
       .select(
-        concat_ws("",
+        // the "yyyy-MM-dd HH:mm:ss" window prefix is FIXED-WIDTH (19
+        // chars), so the packed (window, series) group key needs no
+        // separator: splitAt(19) recovers both halves exactly, and a
+        // series key containing ANY byte cannot corrupt the split
+        concat(
           date_format(window(col("ts"), sized).getField("start"),
             "yyyy-MM-dd HH:mm:ss"),
           col(keyCol)).as("wk"),
@@ -1087,7 +1110,7 @@ object Streams {
                   s"window — raise maxBufferedEvents ($maxBufferedEvents), " +
                   "shrink the window, or use a finer series key")
             st.update(buf)
-            val Array(w, key) = wk.split("", 2)
+            val (w, key) = wk.splitAt(19)
             st.setTimeoutTimestamp(math.max(
               windowStartMs(w) + windowSecs * 1000L + durationMs(delay),
               st.getCurrentWatermarkMs() + 1))
@@ -1111,6 +1134,75 @@ object Streams {
       }
       .toDF("w_start", "series", "n_points", "change_pos",
         "change_at_us", "dev_n")
+  }
+
+  /** The SCALE tier of [[cusumStream]] — CUSUM at BUCKET granularity
+    * with O(2·nBuckets) in-row state per open (window, series), the
+    * [[quantileStream]] posture applied to change-point detection.
+    *
+    * Each event folds into per-bucket (count, cent-sum) pairs, where
+    * bucket = the event's position among `nBuckets` equal sub-spans of
+    * its tumbling window (pure integer: ((tus mod windowUs)·nBuckets)
+    * div windowUs). The cross-multiplied CUSUM statistic
+    * dev = n·prefix − k·total evaluated at a BUCKET BOUNDARY depends
+    * only on the bucket prefix sums — within-bucket order cancels — so
+    * the boundary-resolution vertex is EXACT, not approximate: it is
+    * the true dev_k at k = (events in buckets before the boundary).
+    * What the tier gives up vs [[cusumStream]] is only vertex
+    * granularity (boundary j of nBuckets instead of the exact event
+    * position) — the trade a 100 TB deployment makes, because state no
+    * longer grows with the event count and the whole op is ONE
+    * windowed aggregation + a stateless projection (no
+    * flatMapGroupsWithState, no buffer, no fail-fast cap needed).
+    *
+    * Append mode: one row per (window, series) once the watermark
+    * closes the window; ties at equal |dev| break to the SMALLEST
+    * boundary index, mirroring [[cusumStream]]'s earliest-position rule.
+    *
+    * @return (w_start, series, n_points, change_bucket, dev_n) —
+    *         change_bucket ∈ [1, nBuckets] is the 1-based boundary
+    *         (prefix = buckets 0..change_bucket-1) with max |dev|
+    */
+  def cusumBucketStream(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value", windowSecs: Int = 3600,
+      nBuckets: Int = 16, delay: String = "10 minutes"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 64,
+      s"nBuckets must be in [2, 64], got $nBuckets")
+    val windowUs = windowSecs * 1000000L
+    val e = events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col("ts"), col(keyCol).as("series"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .withColumn("__b",
+        expr(s"((unix_micros(ts) % ${windowUs}L) * $nBuckets) div ${windowUs}L"))
+    val aggCols = (0 until nBuckets).flatMap(i => Seq(
+      sum(when(col("__b") === i, 1L).otherwise(0L)).as(s"k$i"),
+      sum(when(col("__b") === i, col("cents")).otherwise(0L)).as(s"s$i")))
+    val counts = e.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), s"$windowSecs seconds"), col("series"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n", (0 until nBuckets).map(i => col(s"k$i")).reduce(_ + _))
+      .withColumn("t", (0 until nBuckets).map(i => col(s"s$i")).reduce(_ + _))
+    // stateless boundary walk: dev_j over cumulative bucket prefixes,
+    // argmax |dev| with first-boundary tie-break
+    var kPre: org.apache.spark.sql.Column = lit(0L)
+    var sPre: org.apache.spark.sql.Column = lit(0L)
+    val devs = (1 to nBuckets).map { j =>
+      kPre = kPre + col(s"k${j - 1}")
+      sPre = sPre + col(s"s${j - 1}")
+      col("n") * sPre - kPre * col("t")
+    }
+    var bestJ: org.apache.spark.sql.Column = lit(1L)
+    var bestD: org.apache.spark.sql.Column = devs.head
+    (2 to nBuckets).foreach { j =>
+      val upd = abs(devs(j - 1)) > abs(bestD)
+      bestJ = when(upd, lit(j.toLong)).otherwise(bestJ)
+      bestD = when(upd, devs(j - 1)).otherwise(bestD)
+    }
+    counts.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+      col("series"), col("n").as("n_points"),
+      bestJ.as("change_bucket"), bestD.as("dev_n"))
   }
 
   /** Streaming per-window QUANTILE monitor — live p50/p95/p99 of a

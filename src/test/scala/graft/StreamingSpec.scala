@@ -412,6 +412,37 @@ class StreamingSpec extends SparkSpec {
       rows.mkString(","))
   }
 
+  test("scd2Stream idle clock tracks TRUE last activity: an older in-watermark batch must not pull eviction earlier") {
+    // key 9's last activity is 10:00; batch 2 delivers an OLDER (but
+    // in-watermark) 9:55 change. A timeout re-armed from only the
+    // batch max (9:55 + 30 min = 10:25) would evict key 9 during the
+    // batch-3 sweep (watermark 10:29) and NULL-close the open view
+    // interval; the true-last-activity clock (10:00 + 30 min = 10:30)
+    // keeps it alive, so batch 4's click closes it properly at 10:50.
+    val b1 = eventsDF(Seq(
+      (1L, 9L, "view", 0.0, "2024-01-01 10:00:00")))
+    val b2 = eventsDF(Seq(
+      (2L, 9L, "view", 0.0, "2024-01-01 09:55:00"),
+      (3L, 8L, "view", 0.0, "2024-01-01 10:39:00")))
+    val b3 = eventsDF(Seq(
+      (4L, 8L, "view", 0.0, "2024-01-01 10:45:00")))
+    val b4 = eventsDF(Seq(
+      (5L, 9L, "click", 0.0, "2024-01-01 10:50:00")))
+    val dir = stageBatches("scd2clock", Seq(b1, b2, b3, b4))
+    val rows = Streams.runToBatch(spark,
+        Streams.scd2Stream(streamDir(dir, b1.schema),
+          idleTimeout = Some("30 minutes")),
+        "spec_scd2_clock")
+      .filter(col("user_id") === 9L)
+      .orderBy(col("valid_from"))
+      .collect().map(r => (r.getString(1), if (r.isNullAt(3)) "null"
+        else r.getTimestamp(3).toString))
+    // exactly one emitted row for key 9: the view interval closed by
+    // the 10:50 click (an early eviction would read ("view", "null"))
+    assert(rows.toSeq == Seq(("view", "2024-01-01 10:50:00.0")),
+      rows.mkString(","))
+  }
+
   test("heavyHittersStream: MG candidates are a superset of true heavy hitters at the cap boundary; recount equals batch") {
     // 40 events in one window: user 1 x 20, user 2 x 8, users 3..14 x 1
     // each. k = 3 forces constant decrement churn; freq(1) = 20 > 40/3
