@@ -900,4 +900,61 @@ object Dedup {
       .filter(col("score_milli") >= minScoreMilli)
       .select(col("a_id"), col("b_id"), col("n_agree"), col("score_milli"))
   }
+
+  /** LEARN the Fellegi-Sunter field weights [[linkageScores]] consumes,
+    * from an ADJUDICATED pair set — the m/u estimation step of the
+    * model (Fellegi & Sunter 1969; the Splink/dedupe.io training
+    * loop): for each compared field,
+    * m = P(field agrees | pair is a match) and
+    * u = P(field agrees | pair is a non-match), estimated by counting
+    * agreements over the labeled pairs with add-half smoothing
+    * (m = (agree_m + 0.5)/(n_match + 1), same for u) so both stay in
+    * (0, 1) and the log-ratios are finite even on degenerate slices.
+    * Weights are the log-likelihood ratios, FLOOR-quantized to
+    * milli-units ([[Corpus.naiveBayesPredict]]'s discipline):
+    * agree_milli = floor(ln(m/u)·1000),
+    * disagree_milli = floor(ln((1−m)/(1−u))·1000) — so the learned
+    * model and every downstream score hash-gate.
+    *
+    * 100 TB posture: one bounded aggregation over the labeled pairs
+    * (2·|fields| + 2 cells collected); the labeled frame joins each
+    * record side once on its id — both joins shuffle only the labeled
+    * slice, never the full corpora.
+    *
+    * @param labeled (a_id, b_id, is_match) — adjudicated pairs; ids
+    *                must resolve in `a` / `b` respectively
+    * @return per field: (field, agree_milli, disagree_milli), ready
+    *         for [[linkageScores]]
+    */
+  def linkageWeights(a: DataFrame, b: DataFrame, id: String,
+      labeled: DataFrame, fields: Seq[String]): Seq[(String, Long, Long)] = {
+    require(fields.nonEmpty, "need at least one compared field")
+    require(fields.distinct.size == fields.size, "duplicate compared fields")
+    val aSel = a.select(col(id).as("a_id") +:
+      fields.map(f => col(f).cast("string").as(s"a_$f")): _*)
+    val bSel = b.select(col(id).as("b_id") +:
+      fields.map(f => col(f).cast("string").as(s"b_$f")): _*)
+    val j = labeled
+      .select(col("a_id"), col("b_id"), col("is_match").cast("boolean").as("m"))
+      .join(aSel, "a_id").join(bSel, "b_id")
+    val aggs = fields.flatMap(f => Seq(
+      sum(when(col("m") && (col(s"a_$f") <=> col(s"b_$f")), 1L)
+        .otherwise(0L)).as(s"ma_$f"),
+      sum(when(!col("m") && (col(s"a_$f") <=> col(s"b_$f")), 1L)
+        .otherwise(0L)).as(s"ua_$f"))) ++ Seq(
+      sum(when(col("m"), 1L).otherwise(0L)).as("nm"),
+      sum(when(!col("m"), 1L).otherwise(0L)).as("nu"))
+    val r = j.agg(aggs.head, aggs.tail: _*).head()
+    val nm = r.getAs[Long]("nm")
+    val nu = r.getAs[Long]("nu")
+    require(nm > 0 && nu > 0,
+      s"labeled pairs must include both matches and non-matches " +
+        s"(got $nm matches, $nu non-matches)")
+    fields.map { f =>
+      val m = (r.getAs[Long](s"ma_$f") + 0.5) / (nm + 1.0)
+      val u = (r.getAs[Long](s"ua_$f") + 0.5) / (nu + 1.0)
+      (f, math.floor(math.log(m / u) * 1000.0).toLong,
+        math.floor(math.log((1.0 - m) / (1.0 - u)) * 1000.0).toLong)
+    }
+  }
 }

@@ -1356,41 +1356,62 @@ object Graph {
       .groupBy(col("ed.a").as("a"), col("ed.b").as("b"))
       .agg(count(lit(1)).as("support"))
 
-  /** Bounded-round K-TRUSS — the EDGE-grade density screen one tier
+  /** K-TRUSS — the EDGE-grade density screen one tier
     * above [[kCorePeel]]'s node degrees (a link farm can fake degree
     * but not triangle support: every edge of a k-truss sits in >= k−2
     * triangles WITHIN the surviving subgraph). Round-synchronous peel,
-    * the q180 fixed-depth contract: each round enumerates triangles on
+    * the q180 contract: each round enumerates triangles on
     * the surviving edges (degree-oriented, hub-safe), counts per-edge
-    * support, and drops every edge below k−2 SIMULTANEOUSLY; `rounds`
-    * bounds the depth (the oracle unrolls it exactly), and the output
-    * carries each surviving edge's support recomputed on the FINAL
-    * subgraph — the trussness witness.
+    * support, and drops every edge below k−2 SIMULTANEOUSLY. `rounds`
+    * >= 1 bounds the depth (the oracle unrolls it exactly);
+    * `rounds = -1` peels until the surviving edge count stops
+    * shrinking — the exact k-truss fixpoint (the q180b discipline,
+    * gated as q251b on a graph where bounded-round and fixpoint
+    * DIFFER). The output carries each surviving edge's support
+    * recomputed on the FINAL subgraph — the trussness witness.
     *
     * 100 TB posture: per round one triangle enumeration (two keyed
     * joins over the oriented frame) + one support agg + one semi-join;
     * lineage cut per round with an eager localCheckpoint (the q180
-    * 3^i-nesting lesson).
+    * 3^i-nesting lesson). Fixpoint convergence needs at most |E|
+    * rounds (every non-final round removes >= 1 edge); the per-round
+    * count() the loop already pays makes the stability test free, and
+    * `maxFixpointRounds` aborts loudly on pathological chains.
     *
     * @return (src, dst, support) per surviving canonical edge
     */
   def kTruss(edges: DataFrame, src: String, dst: String, k: Int,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2, maxFixpointRounds: Int = 1000): DataFrame = {
     require(k >= 3 && k <= 1000, s"k must be in [3, 1000], got $k")
-    require(rounds >= 1 && rounds <= 20,
-      s"rounds must be in [1, 20], got $rounds")
+    require(rounds == -1 || (rounds >= 1 && rounds <= 20),
+      s"rounds must be in [1, 20] or -1 (peel to fixpoint), got $rounds")
+    require(maxFixpointRounds >= 1,
+      s"maxFixpointRounds must be >= 1, got $maxFixpointRounds")
+    val fixpoint = rounds == -1
     var e = edges.select(col(src).cast("long").as("x"),
         col(dst).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct().persist()
+    var prevCount = if (fixpoint) e.count() else -1L
     var i = 0
-    while (i < rounds) {
+    var stable = false
+    while (if (fixpoint) !stable else i < rounds) {
+      if (fixpoint && i >= maxFixpointRounds)
+        throw new IllegalStateException(
+          s"kTruss fixpoint did not converge within $maxFixpointRounds " +
+            s"rounds (surviving edges: $prevCount); raise " +
+            "maxFixpointRounds if the graph genuinely needs more peels")
       val keep = edgeSupport(e).filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
       val next = e.join(keep, Seq("a", "b"), "left_semi")
         .localCheckpoint(true)
+      if (fixpoint) {
+        val n = next.count()
+        stable = n == prevCount
+        prevCount = n
+      }
       e.unpersist(blocking = false)
       e = next
       i += 1

@@ -477,11 +477,19 @@ object Validate {
   /** Exact `nQ`-point type-1 quantile ladder of a numeric column:
     * values at global sort ranks floor(q·(n−1)/nQ) for q = 0..nQ —
     * (nQ+1) exact DATA values (no interpolation, no fp synthesis),
-    * collected driver-side (bounded by construction). The global
-    * row_number window is the same single-partition prefix step
-    * [[FrameOps.searchSorted]] documents; at 100 TB compute the ladder
-    * from [[Sketches.histBuild]]'s mergeable histogram instead — same
-    * downstream mapping contract.
+    * collected driver-side (bounded by construction).
+    *
+    * Global rank is computed DISTRIBUTED ([[FrameOps
+    * .searchSortedLarge]]'s prefix-scan shape, not a single-partition
+    * global window): range-partition on the value (equal keys land in
+    * one partition), per-partition 0-based row_number, plus a
+    * broadcast exclusive prefix offset per partition — the only
+    * globally-ordered window runs over the numParts-row count frame.
+    * The value AT a given rank is deterministic under duplicates
+    * regardless of their relative order, so no tie column is needed.
+    * At 100 TB the histogram tier ([[Sketches.histBuild]], q216b) is
+    * the cheaper 2-scan alternative when ladder-resolution exactness
+    * suffices — same downstream mapping contract.
     */
   def quantileLadder(df: DataFrame, valueCol: String,
       nQ: Int): Array[Double] = {
@@ -491,10 +499,22 @@ object Validate {
     val n = v.count()
     require(n > 0, s"quantileLadder: no non-null values in $valueCol")
     val targets = (0 to nQ).map(q => q.toLong * (n - 1) / nQ).distinct
-    val ranked = v.withColumn("rn",
-      row_number().over(Window.orderBy(col("v"))) - 1)
-    val picked = ranked.filter(col("rn").isin(targets: _*))
-      .collect().map(r => r.getInt(1).toLong -> r.getDouble(0)).toMap
+    val parted = v.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("v"))
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val picked = parted
+      .withColumn("__local", row_number().over(localW).cast("long") - 1L)
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rn", col("__local") + col("__offset"))
+      .filter(col("rn").isin(targets: _*))
+      .select(col("v"), col("rn"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
     (0 to nQ).map(q => picked(q.toLong * (n - 1) / nQ)).toArray
   }
 

@@ -301,6 +301,20 @@ object GraphQueries extends QueryGroup {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // k-truss to FIXPOINT (NEW r13): rounds = -1 peels until the edge
+    // count is stable — on a designed cascade fixture (ktrussFixture)
+    // where bounded-round-2 and the fixpoint DIFFER: apex edges die
+    // round 1, the chords they reinforced round 2, the bare cycle
+    // round 3 (bounded-2 would still carry it at support 0); only the
+    // welded K5 anchor (support 3 per edge) survives. Oracle unrolls 6
+    // peels > the measured depth-4 convergence (the q180b discipline)
+    "q251b_ktruss_fixpoint" -> ((s, d) => {
+      import s.implicits._
+      Graph.kTruss(ktrussFixture.toDF("src", "dst"), "src", "dst",
+          k = 4, rounds = -1)
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // link prediction over the PART co-occurrence graph (q181's
     // supplier graph saturates to a complete graph at small scale —
     // a complete graph has no non-edges to predict; the part graph at
@@ -419,6 +433,29 @@ object GraphQueries extends QueryGroup {
     7L -> 8L, 8L -> 9L, 9L -> 10L, 10L -> 100L,
     100L -> 101L, 101L -> 102L, 102L -> 100L,
     200L -> 201L, 200L -> 202L, 200L -> 203L, 200L -> 204L, 200L -> 205L)
+
+  /** Cascade fixture for q251b: an 8-cycle (0..7) with distance-2
+    * chords, each chord reinforced by one apex triangle (apex 20+i on
+    * chord (i, i+2)), plus a disjoint K5 anchor (100..104). At k = 4
+    * (support >= 2) the peel cascades one layer per round: apex edges
+    * (support 1) die in round 1, the chords (2 → 1 once their apex
+    * triangle breaks) in round 2, the bare cycle (2 → 0 once the
+    * chords vanish) in round 3 — so bounded-round-2 still carries the
+    * cycle at support 0 while the fixpoint is exactly the K5 (every
+    * K5 edge sits in 3 surviving triangles forever).
+    */
+  private val ktrussFixture: Seq[(Long, Long)] = {
+    val cycle = (0 until 8).map(i => (i.toLong, ((i + 1) % 8).toLong))
+    val chords = (0 until 8).map(i => (i.toLong, ((i + 2) % 8).toLong))
+    val apexes = (0 until 8).flatMap(i => Seq(
+      (i.toLong, (20 + i).toLong),
+      ((20 + i).toLong, ((i + 2) % 8).toLong)))
+    val k5 = for {
+      x <- 100 to 104
+      y <- (x + 1) to 104
+    } yield (x.toLong, y.toLong)
+    cycle ++ chords ++ apexes ++ k5
+  }
 
   /** Unipartite supplier co-occurrence graph: s1 — s2 iff both supplied
     * high-quantity (>= 45) lineitems of the same order. Per-order
@@ -833,6 +870,37 @@ object GraphQueries extends QueryGroup {
          |${tri("e2", "2")}
          |SELECT e2.a AS src, e2.b AS dst, COALESCE(s2.sup, 0) AS support
          |FROM e2 LEFT JOIN s2 ON s2.a = e2.a AND s2.b = e2.b
+         |ORDER BY src, dst""".stripMargin
+    },
+
+    "q251b_ktruss_fixpoint" -> {
+      // 6 unrolled truss peels > the fixture's measured depth-4
+      // convergence; converged peels are no-ops, so e6 IS the
+      // fixpoint. MATERIALIZED per round — each triangle CTE
+      // references its edge frame 3x (the q180b planner-blowup lesson)
+      val vals = ktrussFixture.map { case (a, b) => s"($a, $b)" }
+        .mkString(", ")
+      def tri(i: Int): String =
+        s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM e$i e1 JOIN e$i e2 ON e2.a = e1.b
+           |  JOIN e$i e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |s$i AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+           |  SELECT x AS a, y AS b FROM t$i
+           |  UNION ALL SELECT x, z FROM t$i
+           |  UNION ALL SELECT y, z FROM t$i) GROUP BY a, b)""".stripMargin
+      def peel(i: Int): String =
+        s"""${tri(i - 1)},
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN s${i - 1} s ON s.a = e.a AND s.b = e.b
+           |  WHERE s.sup >= 2)""".stripMargin
+      s"""WITH raw AS (SELECT * FROM (VALUES $vals) AS v(src, dst)),
+         |e0 AS (SELECT DISTINCT LEAST(src, dst) AS a,
+         |    GREATEST(src, dst) AS b
+         |  FROM raw WHERE src != dst),
+         |${(1 to 6).map(peel).mkString(",\n")},
+         |${tri(6)}
+         |SELECT e6.a AS src, e6.b AS dst, COALESCE(s6.sup, 0) AS support
+         |FROM e6 LEFT JOIN s6 ON s6.a = e6.a AND s6.b = e6.b
          |ORDER BY src, dst""".stripMargin
     },
 

@@ -185,6 +185,38 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // LEARNED Fellegi-Sunter linkage (NEW r13): q255 with the weights
+    // ESTIMATED instead of hand-set — m/u agreement probabilities
+    // counted on an adjudicated training slice (nation-blocked pairs
+    // of the %4 id stripes, labeled by segment equality — the q174
+    // holdout pattern), add-half smoothed, floor-quantized to
+    // milli log-ratios; the full even/odd split is then scored with
+    // the learned weights and the top-100 by score gates the whole
+    // train-then-score chain
+    "q255b_linkage_learned" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000).cast("long"))
+        .withColumn("name_tail", substring(col("c_name"), -1, 1))
+      val aSide = c.filter(col("c_custkey") % 2 === 0)
+      val bSide = c.filter(col("c_custkey") % 2 === 1)
+      val labeled = c.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("a_id"),
+          col("c_nationkey").as("blk"), col("c_mktsegment").as("sa"))
+        .join(c.filter(col("c_custkey") % 4 === 1)
+          .select(col("c_custkey").as("b_id"),
+            col("c_nationkey").as("blk"), col("c_mktsegment").as("sb")),
+          "blk")
+        .select(col("a_id"), col("b_id"),
+          (col("sa") === col("sb")).as("is_match"))
+      val w = graft.ops.Dedup.linkageWeights(aSide, bSide, "c_custkey",
+        labeled, Seq("bal_bucket", "name_tail"))
+      graft.ops.Dedup.linkageScores(aSide, bSide, "c_custkey",
+          "c_nationkey", w, minScoreMilli = Long.MinValue)
+        .orderBy(col("score_milli").desc, col("a_id"), col("b_id"))
+        .limit(100)
+    }),
+
     "q90_dedup_exact" -> ((s, d) => {
       Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("fp")).limit(100)
@@ -1061,6 +1093,54 @@ object LlmQueries extends QueryGroup {
           |  FROM a JOIN b ON a.c_nationkey = b.c_nationkey)
           |SELECT a_id, b_id, n_agree, score_milli FROM p
           |WHERE score_milli >= 1700 ORDER BY a_id, b_id""".stripMargin,
+
+      // q255b: the training fold replayed in SQL — agreement counts on
+      // the labeled stripe pairs, add-half smoothed m/u, floor milli
+      // log-ratios, then the q255 scoring join with the learned
+      // weights; top-100 by (score DESC, ids)
+      "q255b_linkage_learned" ->
+        """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+          |    SUBSTR(c_name, LENGTH(c_name), 1) AS name_tail
+          |  FROM customer),
+          |lab AS (SELECT
+          |    (a.c_mktsegment = b.c_mktsegment) AS m,
+          |    CASE WHEN a.bal_bucket IS NOT DISTINCT FROM b.bal_bucket
+          |      THEN 1 ELSE 0 END AS ag1,
+          |    CASE WHEN a.name_tail IS NOT DISTINCT FROM b.name_tail
+          |      THEN 1 ELSE 0 END AS ag2
+          |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+          |  WHERE a.c_custkey % 4 = 0 AND b.c_custkey % 4 = 1),
+          |cnt AS (SELECT
+          |    CAST(SUM(CASE WHEN m THEN ag1 ELSE 0 END) AS BIGINT) AS ma1,
+          |    CAST(SUM(CASE WHEN NOT m THEN ag1 ELSE 0 END) AS BIGINT) AS ua1,
+          |    CAST(SUM(CASE WHEN m THEN ag2 ELSE 0 END) AS BIGINT) AS ma2,
+          |    CAST(SUM(CASE WHEN NOT m THEN ag2 ELSE 0 END) AS BIGINT) AS ua2,
+          |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+          |    CAST(SUM(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS nu
+          |  FROM lab),
+          |w AS (SELECT
+          |    CAST(FLOOR(LN(((ma1 + 0.5) / (nm + 1.0))
+          |      / ((ua1 + 0.5) / (nu + 1.0))) * 1000) AS BIGINT) AS wa1,
+          |    CAST(FLOOR(LN((1.0 - (ma1 + 0.5) / (nm + 1.0))
+          |      / (1.0 - (ua1 + 0.5) / (nu + 1.0))) * 1000) AS BIGINT) AS wd1,
+          |    CAST(FLOOR(LN(((ma2 + 0.5) / (nm + 1.0))
+          |      / ((ua2 + 0.5) / (nu + 1.0))) * 1000) AS BIGINT) AS wa2,
+          |    CAST(FLOOR(LN((1.0 - (ma2 + 0.5) / (nm + 1.0))
+          |      / (1.0 - (ua2 + 0.5) / (nu + 1.0))) * 1000) AS BIGINT) AS wd2
+          |  FROM cnt),
+          |p AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+          |    CASE WHEN a.bal_bucket IS NOT DISTINCT FROM b.bal_bucket
+          |      THEN 1 ELSE 0 END AS g1,
+          |    CASE WHEN a.name_tail IS NOT DISTINCT FROM b.name_tail
+          |      THEN 1 ELSE 0 END AS g2
+          |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+          |  WHERE a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1)
+          |SELECT a_id, b_id, g1 + g2 AS n_agree,
+          |  (CASE WHEN g1 = 1 THEN wa1 ELSE wd1 END
+          |   + CASE WHEN g2 = 1 THEN wa2 ELSE wd2 END) AS score_milli
+          |FROM p CROSS JOIN w
+          |ORDER BY score_milli DESC, a_id, b_id LIMIT 100""".stripMargin,
 
       "q90_dedup_exact" ->
         s"""SELECT md5($sqlNorm) AS fp, COUNT(*) AS n_members, MIN(doc_id) AS keep_id

@@ -99,6 +99,33 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"), col("series"))
     }),
 
+    // the SCALE tier of q246 (NEW r13): CUSUM at bucket granularity —
+    // per (hour window x series), events fold into 16 per-bucket
+    // (count, cent-sum) pairs IN-ROW (one windowed agg, no buffered
+    // state, no fail-fast cap), and the boundary with max |n*prefix -
+    // k*total| is a stateless projection. The boundary dev is the
+    // EXACT dev_k at k = events-before-boundary (within-bucket order
+    // cancels), so the whole frame hash-gates; append mode emits
+    // closed windows only
+    "q246b_stream_cusum_bucket" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.cusumBucketStream(Streams.eventsStream(s, d)),
+          "q246b_cusumb")
+        .orderBy(col("w_start"), col("series"))
+    }),
+
+    // per-series streaming quantile monitor (NEW r13): q245 keyed by
+    // event_type — the per-endpoint latency dashboard; in-row ladder
+    // state per open (window, series), same batch histogram arithmetic
+    "q245b_stream_quantiles_by" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.quantileStreamBy(Streams.eventsStream(s, d),
+            "event_type", lo = 0.0, hi = 200.0, nBuckets = 16,
+            qs = Seq(0.5, 0.95, 0.99)),
+          "q245b_quantby")
+        .orderBy(col("w_start"), col("series"))
+    }),
+
     // streaming per-window quantile monitor (NEW r12): live p50/p95/
     // p99 of the value column — ladder-width IN-ROW bucket counts per
     // window (state = 16 longs per open window, the psiDriftStream
@@ -707,6 +734,75 @@ object StreamingQueries extends QueryGroup {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws, series
          |    ORDER BY ABS(dev) DESC, k) AS rk FROM d)
          |WHERE rk = 1 ORDER BY w_start, series""".stripMargin,
+
+    "q246b_stream_cusum_bucket" ->
+      // bucket replay: per (hour, series, bucket) counts/cent-sums,
+      // densified to all 16 buckets, cumulative prefixes per boundary,
+      // argmax |dev| with smallest-boundary tie-break; closed windows
+      // only (append mode: ws + window <= max(ts) - delay)
+      s"""WITH $ctes,
+         |v AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 3600000000) * 3600000000) AS ws,
+         |    event_type AS series,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         |    ((EPOCH_US(ts) % 3600000000) * 16) // 3600000000 AS b,
+         |    ts
+         |  FROM e WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |mx2 AS (SELECT MAX(ts) AS m FROM v),
+         |g AS (SELECT ws, series, b, CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(cents) AS BIGINT) AS sb
+         |  FROM v GROUP BY 1, 2, 3),
+         |ks AS (SELECT DISTINCT ws, series FROM g),
+         |dense AS (SELECT k.ws, k.series, t.b,
+         |    COALESCE(g.nb, 0) AS nb, COALESCE(g.sb, 0) AS sb
+         |  FROM ks k CROSS JOIN range(0, 16) t(b)
+         |  LEFT JOIN g ON g.ws = k.ws AND g.series = k.series AND g.b = t.b),
+         |p AS (SELECT ws, series, b,
+         |    CAST(SUM(nb) OVER w AS BIGINT) AS kj,
+         |    CAST(SUM(sb) OVER w AS BIGINT) AS pj,
+         |    CAST(SUM(nb) OVER wp AS BIGINT) AS n,
+         |    CAST(SUM(sb) OVER wp AS BIGINT) AS t
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY ws, series ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wp AS (PARTITION BY ws, series)),
+         |d AS (SELECT ws, series, CAST(b + 1 AS BIGINT) AS j, n,
+         |    CAST(n * pj - kj * t AS BIGINT) AS dev FROM p),
+         |dec AS (SELECT d.* FROM d, mx2
+         |  WHERE ws + INTERVAL 3600 SECOND <= m - INTERVAL 600 SECOND)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, series,
+         |  n AS n_points, j AS change_bucket, dev AS dev_n
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws, series
+         |    ORDER BY ABS(dev) DESC, j) AS rk FROM dec)
+         |WHERE rk = 1 ORDER BY w_start, series""".stripMargin,
+
+    "q245b_stream_quantiles_by" -> {
+      val nB = 16
+      val ests = Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+        .map { case (q, l) =>
+          graft.ops.Sketches.histLadderQuantileExpr(0.0, 200.0, nB, q) +
+            s" AS $l"
+        }.mkString(", ")
+      s"""WITH $ctes,
+         |vv AS (SELECT ts, event_type AS series, CAST(value AS DOUBLE) AS v
+         |  FROM e WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |vb AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws, series,
+         |    ${graft.ops.Sketches.histBucketExpr(0.0, 200.0, nB)} AS b
+         |  FROM vv),
+         |c AS (SELECT ws, series, ${(0 until nB).map(i =>
+                s"COUNT(*) FILTER (WHERE b = $i) AS n$i").mkString(", ")}
+         |  FROM vb GROUP BY ws, series),
+         |mx2 AS (SELECT MAX(ts) AS m FROM vv),
+         |dec AS (SELECT c.* FROM c, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND),
+         |t AS (SELECT *, ${(0 until nB).map(i => s"n$i").mkString(" + ")}
+         |    AS n FROM dec)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, series,
+         |  n AS n_events, $ests
+         |FROM t ORDER BY w_start, series""".stripMargin
+    },
 
     "q245_stream_quantiles" -> {
       val nB = 16

@@ -1183,26 +1183,26 @@ object Streams {
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("n", (0 until nBuckets).map(i => col(s"k$i")).reduce(_ + _))
       .withColumn("t", (0 until nBuckets).map(i => col(s"s$i")).reduce(_ + _))
-    // stateless boundary walk: dev_j over cumulative bucket prefixes,
-    // argmax |dev| with first-boundary tie-break
+    // stateless boundary walk: dev_j over cumulative bucket prefixes;
+    // argmax |dev| with first-boundary tie-break = greatest() over
+    // (|dev|, -j, dev) structs — struct comparison is lexicographic,
+    // so the max has the largest |dev| and, on ties, the smallest j.
+    // (A when-chain fold would embed each step's accumulator twice per
+    // comparison and blow up exponentially in nBuckets.)
     var kPre: org.apache.spark.sql.Column = lit(0L)
     var sPre: org.apache.spark.sql.Column = lit(0L)
-    val devs = (1 to nBuckets).map { j =>
+    val packed = (1 to nBuckets).map { j =>
       kPre = kPre + col(s"k${j - 1}")
       sPre = sPre + col(s"s${j - 1}")
-      col("n") * sPre - kPre * col("t")
+      val dev = col("n") * sPre - kPre * col("t")
+      struct(abs(dev).as("a"), lit(-j.toLong).as("nj"), dev.as("dev"))
     }
-    var bestJ: org.apache.spark.sql.Column = lit(1L)
-    var bestD: org.apache.spark.sql.Column = devs.head
-    (2 to nBuckets).foreach { j =>
-      val upd = abs(devs(j - 1)) > abs(bestD)
-      bestJ = when(upd, lit(j.toLong)).otherwise(bestJ)
-      bestD = when(upd, devs(j - 1)).otherwise(bestD)
-    }
+    val best = greatest(packed: _*)
     counts.select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
       col("series"), col("n").as("n_points"),
-      bestJ.as("change_bucket"), bestD.as("dev_n"))
+      (-best.getField("nj")).as("change_bucket"),
+      best.getField("dev").as("dev_n"))
   }
 
   /** Streaming per-window QUANTILE monitor — live p50/p95/p99 of a
@@ -1252,6 +1252,53 @@ object Streams {
     counts.select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start")
         +: col("n").as("n_events") +: ests: _*)
+  }
+
+  /** Per-SERIES streaming quantile monitor — [[quantileStream]] keyed
+    * by a series column (the latency dashboard users actually run is
+    * per (endpoint, window), not corpus-global). Same in-row ladder
+    * state, now per open (window, series): B longs each, independent
+    * of event count — the `histBuildBy` posture taken live. The
+    * quantile walk stays a stateless projection over the closed row
+    * via the identical batch histogram arithmetic (q192/q203), so
+    * every emitted row replays bit-for-bit in the oracle.
+    *
+    * Append mode: one row per (window, series) at watermark close.
+    *
+    * @return (w_start, series, n_events, p<q1>, p<q2>, …)
+    */
+  def quantileStreamBy(events: DataFrame, keyCol: String, lo: Double,
+      hi: Double, nBuckets: Int, qs: Seq[Double],
+      valueCol: String = "value", size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 64,
+      s"nBuckets must be in [2, 64], got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val labels = qs.map(q => s"p${math.round(q * 100)}")
+    require(labels.distinct == labels,
+      s"quantile labels collide after rounding to percent: $labels")
+    val e = events
+      .filter(col(keyCol).isNotNull)
+      .select(col("ts"), col(keyCol).as("series"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__b",
+        expr(graft.ops.Sketches.histBucketExpr(lo, hi, nBuckets)))
+    val aggCols = (0 until nBuckets).map(i =>
+      sum(when(col("__b") === i, 1L).otherwise(0L)).as(s"n$i"))
+    val counts = e.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size), col("series"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n", (0 until nBuckets).map(i => col(s"n$i")).reduce(_ + _))
+    val ests = qs.zip(labels).map { case (q, l) =>
+      expr(graft.ops.Sketches.histLadderQuantileExpr(lo, hi, nBuckets, q))
+        .as(l)
+    }
+    counts.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start")
+        +: col("series") +: col("n").as("n_events") +: ests: _*)
   }
 
   def psiDriftStream(events: DataFrame, refCounts: Seq[Long],

@@ -119,6 +119,12 @@ package object syntax {
     def marginMinedPairs(b: DataFrame, id: String, vec: String,
         k: Int = 4, minMarginPpm: Long = 1050000L): DataFrame =
       Similarity.marginMinedPairs(df, b, id, vec, k, minMarginPpm)
+    /** `df` is corpus A; the IVF-fed scale tier of [[marginMinedPairs]]. */
+    def marginMinedPairsIvf(b: DataFrame, id: String, vec: String,
+        k: Int = 4, minMarginPpm: Long = 1050000L, nClusters: Int = 8,
+        nProbe: Int = 2, itersCoarse: Int = 3): DataFrame =
+      Similarity.marginMinedPairsIvf(df, b, id, vec, k, minMarginPpm,
+        nClusters, nProbe, itersCoarse)
     /** `df` is the candidate list (q_id, n_id, rel). */
     def mmrRerank(vectors: DataFrame, id: String, vec: String, k: Int,
         lambda: Double = 0.5): DataFrame =
@@ -457,10 +463,10 @@ package object syntax {
     def neighborAgg(src: String, dst: String, feats: DataFrame,
         nodeCol: String, featCol: String): DataFrame =
       ops.Graph.neighborAgg(df, src, dst, feats, nodeCol, featCol)
-    /** `df` is the edge list; bounded-round k-truss. */
+    /** `df` is the edge list; k-truss (rounds = -1 peels to fixpoint). */
     def kTruss(src: String, dst: String, k: Int,
-        rounds: Int = 2): DataFrame =
-      ops.Graph.kTruss(df, src, dst, k, rounds)
+        rounds: Int = 2, maxFixpointRounds: Int = 1000): DataFrame =
+      ops.Graph.kTruss(df, src, dst, k, rounds, maxFixpointRounds)
     def sequenceMotifs(userCol: String, tsCol: String, tiebreak: String,
         typeCol: String, n: Int = 3): DataFrame =
       ops.ScaleJoins.sequenceMotifs(df, userCol, tsCol, tiebreak, typeCol, n)
@@ -476,6 +482,10 @@ package object syntax {
         fields: Seq[(String, Long, Long)],
         minScoreMilli: Long): DataFrame =
       ops.Dedup.linkageScores(df, b, id, block, fields, minScoreMilli)
+    /** `df` is corpus A; learn Fellegi-Sunter weights from labeled pairs. */
+    def linkageWeights(b: DataFrame, id: String, labeled: DataFrame,
+        fields: Seq[String]): Seq[(String, Long, Long)] =
+      ops.Dedup.linkageWeights(df, b, id, labeled, fields)
     def mutualInfoNano(xCol: String, yCol: String): DataFrame =
       ops.Validate.mutualInfoNano(df, xCol, yCol)
     def srmCheck(armCol: String, arms: Seq[(String, Long)]): DataFrame =

@@ -766,6 +766,81 @@ class GraphLinalgSpec extends SparkSpec {
     assert(r3 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), r3)
   }
 
+  test("kTruss rounds = -1 peels to the exact fixpoint past fixed depth") {
+    // the q251b cascade: 8-cycle + distance-2 chords, each chord
+    // reinforced by an apex triangle, plus a disjoint K5. At k=4 the
+    // layers peel one round apiece (apexes -> chords -> bare cycle),
+    // so rounds=2 still carries the dead cycle at support 0 while the
+    // fixpoint is exactly the K5 at support 3
+    val cycle = (0 until 8).map(i => (i.toLong, ((i + 1) % 8).toLong))
+    val chords = (0 until 8).map(i => (i.toLong, ((i + 2) % 8).toLong))
+    val apexes = (0 until 8).flatMap(i => Seq(
+      (i.toLong, (20 + i).toLong), ((20 + i).toLong, ((i + 2) % 8).toLong)))
+    val k5 = for (x <- 100L to 104L; y <- (x + 1) to 104L) yield (x, y)
+    val e = (cycle ++ chords ++ apexes ++ k5).toDF("src", "dst")
+    val fix = Graph.kTruss(e, "src", "dst", k = 4, rounds = -1)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(fix.keySet == k5.toSet && fix.values.forall(_ == 3L), fix)
+    // bounded-2 differs: the bare cycle is still present (support 0)
+    val b2 = Graph.kTruss(e, "src", "dst", k = 4, rounds = 2)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(b2.keySet == (k5 ++ cycle.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) }).toSet, b2)
+    assert(cycle.forall { case (a, b) =>
+      b2((math.min(a, b), math.max(a, b))) == 0L }, b2)
+  }
+
+  test("kTruss fixpoint mode aborts at maxFixpointRounds instead of looping") {
+    val cycle = (0 until 8).map(i => (i.toLong, ((i + 1) % 8).toLong))
+    val chords = (0 until 8).map(i => (i.toLong, ((i + 2) % 8).toLong))
+    val apexes = (0 until 8).flatMap(i => Seq(
+      (i.toLong, (20 + i).toLong), ((20 + i).toLong, ((i + 2) % 8).toLong)))
+    val e = (cycle ++ chords ++ apexes).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.kTruss(e, "src", "dst", k = 4, rounds = -1,
+        maxFixpointRounds = 2).count()
+    }
+    assert(ex.getMessage.contains("maxFixpointRounds"), ex.getMessage)
+  }
+
+  test("kTruss support matches brute-force triangle support on random graphs") {
+    val rnd = new scala.util.Random(251)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toSeq
+      val eSet = edges.toSet
+      // brute-force per-edge support, then iterate peel locally
+      def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+        def adj(x: Long, y: Long) =
+          es.contains((math.min(x, y), math.max(x, y)))
+        es.iterator.map { case (a, b) =>
+          (a, b) -> (0L until n.toLong)
+            .count(c => c != a && c != b && adj(a, c) && adj(b, c)).toLong
+        }.toMap
+      }
+      def peel(es: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+        val s = support(es)
+        val next = es.filter(e => s(e) >= k - 2)
+        if (next == es) es else peel(next, k)
+      }
+      for (k <- Seq(3, 4)) {
+        val want = {
+          val surv = peel(eSet, k)
+          val s = support(surv)
+          surv.map(e => e -> s(e)).toMap
+        }
+        val got = Graph.kTruss(edges.toDF("src", "dst"), "src", "dst",
+            k = k, rounds = -1)
+          .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2)))
+          .toMap
+        assert(got == want, s"trial $trial k=$k: $got vs $want")
+      }
+    }
+  }
+
   test("associationRules: hand-checked confidence and lift, both directions") {
     // baskets: {1,2} x3, {1,3} x1, {2} alone x1 -> N=5 baskets
     // item baskets: 1 -> 4, 2 -> 4, 3 -> 1; pair (1,2) support 3

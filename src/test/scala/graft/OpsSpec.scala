@@ -475,4 +475,38 @@ class OpsSpec extends SparkSpec {
       Dedup.linkageScores(a, b, "id", "blk", Seq.empty, 0L)
     }
   }
+
+  test("linkageWeights: hand-computed m/u log-ratios, smoothing, degenerate-label guard") {
+    import spark.implicits._
+    val a = Seq((1L, "AUTO", 5L), (2L, "BLDG", 6L), (3L, "AUTO", 7L))
+      .toDF("id", "seg", "bal")
+    val b = Seq((10L, "AUTO", 5L), (11L, "FURN", 6L), (12L, "AUTO", 9L))
+      .toDF("id", "seg", "bal")
+    // labeled pairs: 2 matches, 2 non-matches
+    //   (1,10) match:   seg agree, bal agree
+    //   (3,12) match:   seg agree, bal disagree
+    //   (2,11) nonmatch: seg disagree, bal agree
+    //   (1,12) nonmatch: seg agree, bal disagree
+    val lab = Seq((1L, 10L, true), (3L, 12L, true),
+      (2L, 11L, false), (1L, 12L, false))
+      .toDF("a_id", "b_id", "is_match")
+    val w = Dedup.linkageWeights(a, b, "id", lab, Seq("seg", "bal"))
+      .map { case (f, wa, wd) => f -> ((wa, wd)) }.toMap
+    // seg: m = (2+0.5)/3, u = (1+0.5)/3; bal: m = (1+0.5)/3, u same
+    def fl(x: Double) = math.floor(x * 1000.0).toLong
+    val mSeg = 2.5 / 3.0; val uSeg = 1.5 / 3.0
+    val mBal = 1.5 / 3.0; val uBal = 1.5 / 3.0
+    assert(w("seg") == ((fl(math.log(mSeg / uSeg)),
+      fl(math.log((1 - mSeg) / (1 - uSeg))))), w)
+    assert(w("bal") == ((fl(math.log(mBal / uBal)),
+      fl(math.log((1 - mBal) / (1 - uBal))))), w)
+    // learned weights feed linkageScores directly: seg-agree beats
+    // seg-disagree in the learned model (mSeg > uSeg)
+    assert(w("seg")._1 > 0 && w("seg")._2 < 0, w)
+    assert(w("bal")._1 == 0 && w("bal")._2 == 0, w) // uninformative field
+    intercept[IllegalArgumentException] {
+      Dedup.linkageWeights(a, b, "id",
+        Seq((1L, 10L, true)).toDF("a_id", "b_id", "is_match"), Seq("seg"))
+    }
+  }
 }

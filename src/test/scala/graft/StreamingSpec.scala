@@ -548,6 +548,93 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cusumBucketStream pins the hand-computed boundary vertex with first-boundary tie-break") {
+    // one hour window 10:00-11:00, 16 buckets of 225s. Events: two
+    // cents=100 in bucket 0, two cents=500 in bucket 8 (10:30/10:31).
+    // n=4, total=1200; boundaries 1..8 all have (k=2, p=200) ->
+    // dev = 4*200 - 2*1200 = -1600; boundaries 9..16 have dev = 0.
+    // argmax |dev| ties across j=1..8 -> smallest boundary j=1.
+    val b1 = eventsDF(Seq(
+      (1L, 1L, "view", 1.0, "2024-01-01 10:00:00"),
+      (2L, 2L, "view", 1.0, "2024-01-01 10:01:00"),
+      (3L, 3L, "view", 5.0, "2024-01-01 10:30:00"),
+      (4L, 4L, "view", 5.0, "2024-01-01 10:31:00")))
+    val b2 = eventsDF(Seq(
+      (9L, 9L, "click", 0.0, "2024-01-01 11:30:00"))) // closes 10:00
+    val dir = stageBatches("cusumb", Seq(b1, b2))
+    val rows = Streams.runToBatch(spark,
+        Streams.cusumBucketStream(streamDir(dir, b1.schema)),
+        "spec_cusum_bucket")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00", "view", 4L, 1L, -1600L)),
+      rows.mkString(","))
+  }
+
+  test("cusumBucketStream boundary dev equals the exact cusumStream dev at the same prefix point") {
+    // change lands exactly on a bucket boundary: 8 events of cents=100
+    // in buckets 0..7 (minute 0..7x4), 8 of cents=500 in buckets 8..15
+    // — the exact fold's vertex (position 8) IS a boundary prefix, so
+    // the bucket tier must report the identical dev value there.
+    val rows = (0 until 16).map { i =>
+      val off = i * 225 // exactly one event per 225s bucket
+      (i.toLong, i.toLong, "view", if (i < 8) 1.0 else 5.0,
+        f"2024-01-01 10:${off / 60}%02d:${off % 60}%02d")
+    }
+    val b1 = eventsDF(rows)
+    val b2 = eventsDF(Seq(
+      (99L, 99L, "click", 0.0, "2024-01-01 11:30:00")))
+    val dir = stageBatches("cusumb2", Seq(b1, b2))
+    val bucketed = Streams.runToBatch(spark,
+        Streams.cusumBucketStream(streamDir(dir, b1.schema)),
+        "spec_cusum_bucket2")
+      .filter(col("series") === "view").collect().head
+    val exact = Streams.runToBatch(spark,
+        Streams.cusumStream(streamDir(dir, b1.schema)),
+        "spec_cusum_exact2", outputMode = "update")
+      .filter(col("series") === "view")
+      .orderBy(col("n_points").desc).collect().head
+    // n=16, total=4800; vertex at k=8: dev = 16*800 - 8*4800 = -25600
+    assert(bucketed.getLong(2) == 16L && exact.getLong(2) == 16L)
+    assert(bucketed.getLong(3) == 8L,   s"boundary=${bucketed.getLong(3)}")
+    assert(exact.getLong(3) == 8L,      s"exact k=${exact.getLong(3)}")
+    assert(bucketed.getLong(4) == exact.getLong(5) &&
+      bucketed.getLong(4) == -25600L,
+      s"bucket dev=${bucketed.getLong(4)} exact dev=${exact.getLong(5)}")
+  }
+
+  test("quantileStreamBy equals per-series batch histogram quantiles window-for-window") {
+    val (lo, hi, nB) = (0.0, 200.0, 16)
+    val qs = Seq(0.5, 0.95, 0.99)
+    val streamed = Streams.runToBatch(spark,
+        Streams.quantileStreamBy(Streams.eventsStream(spark, sfTiny),
+          "event_type", lo, hi, nB, qs), "spec_quant_by")
+      .orderBy("w_start", "series").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(streamed.nonEmpty)
+    val ev = Tables.events(spark, sfTiny)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(concat_ws("|", date_format(window(col("ts"), "5 minutes")
+        .getField("start"), "yyyy-MM-dd HH:mm:ss"),
+        col("event_type")).as("grp"),
+        col("value"))
+    val hist = graft.ops.Sketches.histBuildBy(ev, "grp", "value", lo, hi, nB)
+    val batchMap = graft.ops.Sketches.histQuantileBy(hist, lo, hi, nB, qs)
+      .select(col("grp"), col("q"), col("n"), col("est"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    streamed.foreach { case (w, series, n, p50, p95, p99) =>
+      qs.zip(Seq(p50, p95, p99)).foreach { case (q, est) =>
+        assert(batchMap((s"$w|$series", q)) == ((n, est)),
+          s"($w, $series) q$q: streamed ($n, $est) vs " +
+            batchMap((s"$w|$series", q)))
+      }
+    }
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so

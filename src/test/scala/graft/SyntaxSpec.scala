@@ -342,4 +342,22 @@ class SyntaxSpec extends SparkSpec {
     assert(la.linkageScores(lb, "id", "blk", Seq(("f", 1000L, -500L)),
       0L).head.getLong(3) == 1000L)
   }
+
+  test("r13 fluent surface: IVF margin mining, linkage weight learning, k-truss fixpoint") {
+    def v(x: Double): Array[Float] =
+      (Array(x, 1 - x) ++ Array.fill(62)(0.0)).map(_.toFloat)
+    val a = Seq((0L, v(1.0)), (2L, v(0.8))).toDF("vec_id", "embedding")
+    val b = Seq((1L, v(0.9)), (3L, v(0.7))).toDF("vec_id", "embedding")
+    assert(a.marginMinedPairsIvf(b, "vec_id", "embedding", k = 1,
+      minMarginPpm = 0L, nClusters = 2, nProbe = 2).count() >= 1L)
+    val wa = Seq((1L, "m"), (3L, "x")).toDF("id", "f")
+    val wb = Seq((2L, "m"), (4L, "y")).toDF("id", "f")
+    val lab = Seq((1L, 2L, true), (3L, 4L, false))
+      .toDF("a_id", "b_id", "is_match")
+    val w = wa.linkageWeights(wb, "id", lab, Seq("f"))
+    assert(w.size == 1 && w.head._1 == "f" && w.head._2 > 0, w)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val fix = tri.kTruss("src", "dst", k = 3, rounds = -1)
+    assert(fix.count() == 3L && fix.filter(col("src") === 3L).count() == 0L)
+  }
 }

@@ -286,6 +286,23 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("quantileLadder distributed rank equals local sorted selection under duplicates and many partitions") {
+    // the r13 prefix-scan rewrite (range partition + local row_number +
+    // broadcast offsets) must pick the SAME values as sorting locally —
+    // including heavy duplicates, where the value at a rank must not
+    // depend on the order among equals
+    val rnd = new scala.util.Random(13)
+    val vals = Seq.fill(5000)((rnd.nextInt(400) / 4.0))
+    val df = vals.toDF("v").repartition(17)
+    for (nQ <- Seq(2, 7, 16)) {
+      val ladder = Validate.quantileLadder(df, "v", nQ).toSeq
+      val sorted = vals.sorted
+      val expect = (0 to nQ).map(q =>
+        sorted((q.toLong * (vals.size - 1) / nQ).toInt))
+      assert(ladder == expect, s"nQ=$nQ: $ladder vs $expect")
+    }
+  }
+
   test("benfordDigitsBy: per-group counts, densified grid, all-excluded group") {
     val df = Seq(
       ("a", 123.4), ("a", 150.0), ("a", 99.0),   // a: digits 1,1,9
