@@ -1302,6 +1302,53 @@ object FrameOps {
         expr("(10000 * n_active) div cohort_size").as("retention_bp"))
   }
 
+  /** Seasonal-naive FORECAST BACKTEST — the "is this series even
+    * forecastable / did the pipeline break last Tuesday" screen run
+    * before any real model: per key, bucket the metric to days (sums
+    * in integer cents), forecast day d as day d − `season`, and score
+    * the overlap with integer-exact errors. Missing days are handled
+    * by an equi-JOIN on (key, d − season) — not a lag window, whose
+    * row-offset semantics silently mis-align over gaps.
+    *
+    * Metrics (all association-order-free integers, divisions on
+    * positive operands only — the engine-portable `div` subset):
+    * MAE in milli-cents = floor(1000·Σ|err| / n), WAPE in ppm =
+    * floor(1e6·Σ|err| / Σ|actual|); the signed error sum is emitted
+    * raw (no signed division — Spark `div` truncates toward zero
+    * while other engines floor, so signed ratios do not replay).
+    *
+    * One aggregation to daily totals + one self-equi-join + one
+    * per-key aggregation; shuffles carry (key, day, cents) longs.
+    *
+    * @return (key, n_scored, sum_err_cents, sum_abs_err_cents,
+    *         sum_abs_actual_cents, mae_milli, wape_ppm)
+    */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, season: Int = 7): DataFrame = {
+    require(season >= 1 && season <= 1000,
+      s"season must be in [1, 1000], got $season")
+    val daily = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div 86400000000L").as("d"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+    val fc = daily.select(col("k"), (col("d") + season).as("d"),
+      col("cents").as("fc_cents"))
+    daily.join(fc, Seq("k", "d"))
+      .withColumn("err", col("cents") - col("fc_cents"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("err")).as("sum_err_cents"),
+        sum(abs(col("err"))).as("sum_abs_err_cents"),
+        sum(abs(col("cents"))).as("sum_abs_actual_cents"))
+      .withColumn("mae_milli",
+        expr("(1000 * sum_abs_err_cents) div n_scored"))
+      .withColumn("wape_ppm",
+        expr("CASE WHEN sum_abs_actual_cents = 0 THEN NULL" +
+          " ELSE (1000000 * sum_abs_err_cents) div sum_abs_actual_cents END"))
+  }
+
   /** CDC changeset EMITTER — the inverse of [[applyChangeSet]]: diff
     * two keyed snapshots into the minimal (key, op, version, attrs…)
     * changeset that replays `oldDf` into `newDf` — 'U' for keys added

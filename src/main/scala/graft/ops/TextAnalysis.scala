@@ -643,4 +643,80 @@ object TextAnalysis {
         expr("((-d.nc) * 10000) div n_sentences").as("dom_bp"),
         col("entropy_nano"))
   }
+
+  // ---- PII scan / redaction (M6-adjacent: the pre-training privacy
+  // pass every corpus pipeline runs before anything ships) -----------
+
+  /** PII patterns, restricted to the regex subset where Java (Spark)
+    * and RE2 (DuckDB) agree match-for-match: no lookaround, no
+    * backreferences, ASCII word boundaries, counted repetition only.
+    * Detection is pattern-grade by design (a validator, not an NER
+    * model): emails, NN(N)-NNN-NNN-NNNN phone shapes, dotted-quad
+    * IPv4s with octet range checks, and 16-digit card candidates —
+    * card COUNTS additionally require the Luhn checksum, computed in
+    * pure integer arithmetic so the count replays bit-for-bit.
+    */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe = "\\b[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val piiIpv4Re = "\\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])" +
+    "(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\\b"
+  val piiCardRe = "\\b[0-9]{16}\\b"
+
+  /** Luhn checksum over a 16-digit candidate string — integer HOF, no
+    * UDF: reversed position i doubles every even i with the −9
+    * correction; valid iff the sum ≡ 0 (mod 10).
+    */
+  def luhnValid16(c: Column): Column = {
+    val chars = split(c, "")
+    val total = aggregate(sequence(lit(1), lit(16)), lit(0),
+      (acc, i) => {
+        val d = element_at(chars, (lit(17) - i).cast("int")).cast("int")
+        val term = when(pmod(i, lit(2)) === 0,
+          d * 2 - when(d > 4, 9).otherwise(0)).otherwise(d)
+        acc + term
+      })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** Per-document PII counts: one projection, no shuffle — each class
+    * counted independently over the RAW text (a token can legitimately
+    * hit two classes; per-class counts are the audit contract). Card
+    * candidates are counted twice: raw 16-digit runs and the
+    * Luhn-valid subset (the false-positive discriminator).
+    *
+    * @return (id, n_email, n_phone, n_ipv4, n_card_raw, n_card_luhn,
+    *         pii_total — emails + phones + ips + Luhn-valid cards)
+    */
+  def piiScan(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = coalesce(col(text), lit(""))
+    def cnt(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    val cards = regexp_extract_all(t, lit(piiCardRe), lit(0))
+    df.select(col(id),
+        cnt(piiEmailRe).as("n_email"),
+        cnt(piiPhoneRe).as("n_phone"),
+        cnt(piiIpv4Re).as("n_ipv4"),
+        size(cards).cast("long").as("n_card_raw"),
+        size(filter(cards, c => luhnValid16(c))).cast("long")
+          .as("n_card_luhn"))
+      .withColumn("pii_total",
+        col("n_email") + col("n_phone") + col("n_ipv4") + col("n_card_luhn"))
+  }
+
+  /** PII redaction — the write-side companion of [[piiScan]]: each
+    * class replaced by a typed placeholder, applied in a FIXED order
+    * (email, phone, card, ip) so the output is deterministic and the
+    * oracle replays the same chain with 'g'-flagged regexp_replace.
+    * All 16-digit runs are redacted (not only Luhn-valid ones) — on
+    * the write side false positives are the safe direction.
+    */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(coalesce(c, lit("")),
+            piiEmailRe, "<EMAIL>"),
+          piiPhoneRe, "<PHONE>"),
+        piiCardRe, "<CARD>"),
+      piiIpv4Re, "<IP>")
 }

@@ -1199,6 +1199,120 @@ object Validate {
         lit(0.0d).as("chi2_term")))
   }
 
+  /** Per-group conversion rate with the WILSON score interval — the
+    * readout layer over [[srmCheck]]'s assignment audit and
+    * [[cupedAdjust]]'s variance reduction: a small-n arm's naive
+    * p ± z√(p(1−p)/n) interval is garbage near 0/1; Wilson's is the
+    * standard fix every experimentation platform reports.
+    * lo/hi = (p + z²/2n ∓ z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n).
+    *
+    * Counts are exact integers (conv_ppm is a floor div); the interval
+    * bounds are IEEE doubles ROUND(…, 6) — the q20b rounded-double
+    * contract. Empty groups cannot occur (groupBy only emits observed
+    * groups); n ≥ 1 keeps every division finite.
+    *
+    * @param convCol any column castable to 0/1 per unit row
+    * @return (grp, n, n_conv, conv_ppm, wilson_lo, wilson_hi)
+    */
+  def conversionWilson(df: DataFrame, groupCol: String, convCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0 && z <= 10, s"z must be in (0, 10], got $z")
+    val base = df.select(col(groupCol).cast("string").as("grp"),
+        col(convCol).cast("long").as("c"))
+      .filter(col("grp").isNotNull && col("c").isNotNull)
+    val agg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("n_conv"))
+    val nD = col("n").cast("double")
+    val p = col("n_conv").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    agg.select(col("grp"), col("n"), col("n_conv"),
+      expr("(n_conv * 1000000) div n").as("conv_ppm"),
+      round((center - spread) / denom, 6).as("wilson_lo"),
+      round((center + spread) / denom, 6).as("wilson_hi"))
+  }
+
+  /** Order-free corpus FINGERPRINT for integrity audits — the "did the
+    * migration copy every row unchanged" check a 100 TB move needs
+    * without a sort: per group, the row count plus the XOR and SUM of
+    * the shared polynomial row hash. Both folds are commutative and
+    * associative, so the fingerprint is IDENTICAL under any
+    * partitioning, row order, or shard-merge plan — compare source and
+    * destination with one scan each and a group-count-sized diff.
+    * Row serialization: columns cast to string, NULL folded as the
+    * U+0002 sentinel (distinct from the empty string), joined on
+    * U+0001 (documented ambiguity bound: a data cell containing
+    * U+0001 could alias a column boundary — pick audit columns
+    * accordingly). Hash values live in [0, 1e9+7), so the SUM of 9
+    * quintillion rows stays inside int64 — no overflow discipline
+    * needed.
+    *
+    * @return per group: (grp, n_rows, xor_h, sum_h)
+    */
+  def auditFingerprint(df: DataFrame, group: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one audited column")
+    val packed = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    df.select(col(group).cast("string").as("grp"),
+        graft.expressions.TextHashes.poly_hash(packed).as("h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_h"),
+        sum(col("h")).as("sum_h"))
+  }
+
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013 — the
+    * standard experimentation trick: remove the pre-period covariate's
+    * share of the metric variance so the same traffic detects smaller
+    * effects): θ = cov(x, y)/var(x) fitted GLOBALLY (pooled across
+    * arms — the unbiased form), each arm's adjusted mean is
+    * mean(y) − θ·(mean(x) − mean(x)_global), and `var_reduction` is
+    * ρ²(x, y) — the fraction of metric variance CUPED removes.
+    *
+    * Determinism contract: second-moment statistics are IEEE doubles
+    * (covar_pop/var_pop), so every emitted value is ROUND(…, 6) — the
+    * q20b/q235 rounded-double discipline; last-ulp association-order
+    * noise is absorbed, the decision-grade digits replay across
+    * engines. A zero-variance covariate yields θ = NULL (no
+    * adjustment is defensible); callers see it immediately.
+    *
+    * One scan for the global moments (5-cell aggregate, broadcast) +
+    * one per-arm aggregate — nothing shuffles beyond the arm keys.
+    *
+    * @param df one row per UNIT (user/session) with its covariate x
+    *           (pre-period) and metric y (post-period)
+    * @return per arm: (arm, n, mean_y, theta, mean_y_adj,
+    *         var_reduction)
+    */
+  def cupedAdjust(df: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(armCol).cast("string").as("arm"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .filter(col("arm").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+    val g = base.agg(
+      covar_pop(col("x"), col("y")).as("cxy"),
+      var_pop(col("x")).as("vx"),
+      var_pop(col("y")).as("vy"),
+      avg(col("x")).as("mx"))
+    val arms = base.groupBy(col("arm")).agg(count(lit(1)).as("n"),
+      avg(col("y")).as("my_a"), avg(col("x")).as("mx_a"))
+    val theta = when(col("vx") > 0, col("cxy") / col("vx"))
+    arms.crossJoin(broadcast(g))
+      .select(col("arm"), col("n"),
+        round(col("my_a"), 6).as("mean_y"),
+        round(theta, 6).as("theta"),
+        round(col("my_a") - theta * (col("mx_a") - col("mx")), 6)
+          .as("mean_y_adj"),
+        round(when(col("vx") > 0 && col("vy") > 0,
+          col("cxy") * col("cxy") / (col("vx") * col("vy"))), 6)
+          .as("var_reduction"))
+  }
+
   /** Classifier CALIBRATION report — reliability bins + expected
     * calibration error for a [0, 1] score column against a binary
     * label (the eval every quality-classifier gate (q155/q194) needs

@@ -439,6 +439,18 @@ object DatetimeQueries extends QueryGroup {
         .limit(50)
     }),
 
+    // seasonal-naive forecast backtest (NEW r13): per event_type, the
+    // daily cent totals scored against the value 7 days earlier —
+    // alignment by equi-join on (key, day − 7), never a lag window
+    // (gaps would silently mis-align row offsets); integer MAE/WAPE,
+    // signed error sum emitted raw (signed integer division does not
+    // replay across engines)
+    "q269_seasonal_backtest" -> ((s, d) => {
+      graft.ops.FrameOps.seasonalNaiveBacktest(
+          Tables.events(s, d), "event_type", "ts", "value", season = 7)
+        .orderBy(col("event_type"))
+    }),
+
     // inter-event cadence per user (NEW r8): gap count, exact mean gap
     // (integer division of second-quantized gaps), and the coefficient
     // of variation in floor bp — the burstiness screen (bots are
@@ -834,6 +846,31 @@ object DatetimeQueries extends QueryGroup {
         |FROM f LEFT JOIN v ON f.user_id = v.user_id
         |  AND f.ts >= v.vf AND (v.vt IS NULL OR f.ts < v.vt)
         |ORDER BY f.user_id, f.event_id""".stripMargin,
+
+    "q269_seasonal_backtest" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a.k, a.cents - f.cents AS err, a.cents
+        |  FROM daily a JOIN daily f ON f.k = a.k AND f.d = a.d - 7),
+        |agg AS (SELECT k AS event_type, CAST(COUNT(*) AS BIGINT)
+        |      AS n_scored,
+        |    CAST(SUM(err) AS BIGINT) AS sum_err_cents,
+        |    CAST(SUM(ABS(err)) AS BIGINT) AS sum_abs_err_cents,
+        |    CAST(SUM(ABS(cents)) AS BIGINT) AS sum_abs_actual_cents
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n_scored, sum_err_cents, sum_abs_err_cents,
+        |  sum_abs_actual_cents,
+        |  (1000 * sum_abs_err_cents) // n_scored AS mae_milli,
+        |  CASE WHEN sum_abs_actual_cents = 0 THEN NULL
+        |    ELSE (1000000 * sum_abs_err_cents) // sum_abs_actual_cents
+        |  END AS wape_ppm
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "q208_cadence" ->
       """WITH e AS (SELECT user_id, event_id,

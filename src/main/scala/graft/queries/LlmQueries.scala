@@ -150,6 +150,47 @@ object LlmQueries extends QueryGroup {
     "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
     "controll" -> "control", "roll" -> "roll")
 
+  /** Synthesized PII-bearing frame for q265/q265b: one email, phone,
+    * IPv4 and 16-digit card candidate per customer, all deterministic
+    * functions of (c_custkey, c_nationkey) — the oracle rebuilds the
+    * identical text, so scan counts and the redacted md5 hash-gate.
+    */
+  private def piiDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+      concat_ws(" ",
+        col("c_name"),
+        lit("call"),
+        concat(
+          (col("c_nationkey") + 10).cast("string"), lit("-"),
+          lpad(pmod(col("c_custkey") * 7, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey") * 13, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey") * 17, lit(10000)).cast("string"), 4, "0")),
+        lit("mail"),
+        concat(lit("c"), col("c_custkey").cast("string"),
+          lit("@example.com")),
+        lit("card"),
+        lpad((col("c_custkey") * 137 + col("c_nationkey")).cast("string"),
+          16, "4"),
+        lit("ip"),
+        concat(lit("10."), col("c_nationkey").cast("string"), lit(".0."),
+          pmod(col("c_custkey"), lit(256)).cast("string")),
+        lit("ok the end")).as("t"))
+
+  /** The same synthesized text in DuckDB (exact string equality with
+    * [[piiDocs]] — md5-gated). */
+  private val sqlPiiText: String =
+    "c_name || ' call ' || CAST(c_nationkey + 10 AS VARCHAR) || '-' || " +
+      "LPAD(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "LPAD(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "LPAD(CAST((c_custkey * 17) % 10000 AS VARCHAR), 4, '0') || " +
+      "' mail c' || CAST(c_custkey AS VARCHAR) || '@example.com card ' || " +
+      "LPAD(CAST(c_custkey * 137 + c_nationkey AS VARCHAR), 16, '4') || " +
+      "' ip 10.' || CAST(c_nationkey AS VARCHAR) || '.0.' || " +
+      "CAST(c_custkey % 256 AS VARCHAR) || ' ok the end'"
+
   /** DuckDB: index-order dot product of two embedding columns. */
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> " +
@@ -697,6 +738,39 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus audit fingerprint (NEW r13): per-source row count + XOR
+    // and SUM of the shared polynomial row hash — both folds
+    // commutative/associative, so the fingerprint is identical under
+    // any partitioning or shard merge: the one-scan "did the copy
+    // preserve every row" integrity check a 100 TB migration runs on
+    // both sides
+    "q267_audit_fingerprint" -> ((s, d) => {
+      graft.ops.Validate.auditFingerprint(Tables.documents(s, d),
+          "source", Seq("doc_id", "text", "lang"))
+        .orderBy(col("grp"))
+    }),
+
+    // PII scan (NEW r13): per-doc counts of emails / phones / IPv4s /
+    // 16-digit card candidates with an integer Luhn checksum — the
+    // pre-training privacy audit. The synthetic fixtures carry no real
+    // PII, so the gate synthesizes every class deterministically from
+    // the customer key space (built identically in the oracle); the
+    // Luhn subset varies by key, so the checksum actually
+    // discriminates
+    "q265_pii_scan" -> ((s, d) => {
+      TextAnalysis.piiScan(piiDocs(s, d), "c_custkey", "t")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // PII redaction (NEW r13): the write-side pass — fixed-order typed
+    // placeholders, whole redacted text gated by md5
+    "q265b_pii_redact" -> ((s, d) => {
+      piiDocs(s, d)
+        .select(col("c_custkey"),
+          md5(TextAnalysis.piiRedact(col("t"))).as("redacted_md5"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q100_text_langid" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("lang"),
@@ -1145,6 +1219,62 @@ object LlmQueries extends QueryGroup {
       "q90_dedup_exact" ->
         s"""SELECT md5($sqlNorm) AS fp, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
            |FROM documents GROUP BY fp ORDER BY fp LIMIT 100""".stripMargin,
+
+      // q267: the same packed-row poly hash (U+0001 separators, U+0002
+      // null sentinel), XOR/SUM folds replayed as aggregates
+      "q267_audit_fingerprint" -> {
+        val packed = "COALESCE(CAST(doc_id AS VARCHAR), CHR(2)) || CHR(1) || " +
+          "COALESCE(text, CHR(2)) || CHR(1) || COALESCE(lang, CHR(2))"
+        s"""WITH h AS (SELECT CAST(source AS VARCHAR) AS grp,
+           |    ${sqlPoly(packed)} AS h
+           |  FROM documents)
+           |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(BIT_XOR(h) AS BIGINT) AS xor_h,
+           |  CAST(SUM(h) AS BIGINT) AS sum_h
+           |FROM h GROUP BY grp ORDER BY grp""".stripMargin
+      },
+
+      // q265: the synthesized text rebuilt verbatim, per-class match
+      // counts via regexp_extract_all, Luhn filter as an integer list
+      // fold — identical arithmetic to the Spark HOF
+      "q265_pii_scan" -> {
+        val em = graft.ops.TextAnalysis.piiEmailRe
+        val ph = graft.ops.TextAnalysis.piiPhoneRe
+        val ip = graft.ops.TextAnalysis.piiIpv4Re
+        val cd = graft.ops.TextAnalysis.piiCardRe
+        s"""WITH p AS (SELECT c_custkey, $sqlPiiText AS t FROM customer),
+           |s AS (SELECT c_custkey,
+           |  CAST(LEN(regexp_extract_all(t, '$em')) AS BIGINT) AS n_email,
+           |  CAST(LEN(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phone,
+           |  CAST(LEN(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4,
+           |  CAST(LEN(regexp_extract_all(t, '$cd')) AS BIGINT) AS n_card_raw,
+           |  CAST(LEN(list_filter(regexp_extract_all(t, '$cd'), c ->
+           |    list_sum(list_transform(range(1, 17), i ->
+           |      CASE WHEN i % 2 = 0
+           |        THEN CAST(c[17 - i] AS INTEGER) * 2
+           |          - CASE WHEN CAST(c[17 - i] AS INTEGER) > 4
+           |            THEN 9 ELSE 0 END
+           |        ELSE CAST(c[17 - i] AS INTEGER) END)) % 10 = 0))
+           |    AS BIGINT) AS n_card_luhn
+           |  FROM p)
+           |SELECT c_custkey, n_email, n_phone, n_ipv4, n_card_raw,
+           |  n_card_luhn,
+           |  n_email + n_phone + n_ipv4 + n_card_luhn AS pii_total
+           |FROM s ORDER BY c_custkey""".stripMargin
+      },
+
+      "q265b_pii_redact" -> {
+        val em = graft.ops.TextAnalysis.piiEmailRe
+        val ph = graft.ops.TextAnalysis.piiPhoneRe
+        val ip = graft.ops.TextAnalysis.piiIpv4Re
+        val cd = graft.ops.TextAnalysis.piiCardRe
+        s"""WITH p AS (SELECT c_custkey, $sqlPiiText AS t FROM customer)
+           |SELECT c_custkey, MD5(
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |    t, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
+           |    '$cd', '<CARD>', 'g'), '$ip', '<IP>', 'g')) AS redacted_md5
+           |FROM p ORDER BY c_custkey""".stripMargin
+      },
 
       "q237_dup_profile" ->
         s"""WITH cl AS (SELECT md5($sqlNorm) AS fp, CAST(COUNT(*) AS BIGINT) AS sz

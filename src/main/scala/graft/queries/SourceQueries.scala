@@ -452,6 +452,40 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("arm"))
     }),
 
+    // CUPED variance-reduced A/B readout (NEW r13): per-user pre-period
+    // mean value (first half of January) as the covariate for the
+    // post-period metric — pooled theta = cov/var, per-arm adjusted
+    // means, rho-squared as the variance-reduction fraction; all
+    // second-moment doubles ROUND(…, 6) (the q20b discipline)
+    "q266_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+      val pre = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+        .groupBy(col("user_id")).agg(avg(col("value")).as("x"))
+      val post = ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+        .groupBy(col("user_id")).agg(avg(col("value")).as("y"))
+      val per = pre.join(post, "user_id")
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+      graft.ops.Validate.cupedAdjust(per, "arm", "x", "y")
+        .orderBy(col("arm"))
+    }),
+
+    // Wilson-interval conversion readout (NEW r13): per arm, the
+    // has-a-purchase conversion rate with the Wilson score interval —
+    // the small-n-safe bounds every experimentation platform reports;
+    // exact integer counts + one ROUND(…, 6) double pair
+    "q270_conversion_wilson" -> ((s, d) => {
+      val per = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+      graft.ops.Validate.conversionWilson(per, "arm", "converted")
+        .orderBy(col("grp"))
+    }),
+
     // t-closeness census (NEW r12): per market-segment class, the
     // integer EMD between the class's order-priority distribution and
     // the global one — the privacy gate k-anonymity/l-diversity can't
@@ -750,6 +784,59 @@ object SourceQueries extends QueryGroup {
         |SELECT n, nxv AS nx, nyv AS ny,
         |  CAST(SUM(term) AS BIGINT) AS mi_nano
         |FROM terms GROUP BY n, nxv, nyv""".stripMargin,
+
+    "q266_cuped" ->
+      // full replay: per-user pre/post means, pooled covar_pop/var_pop
+      // theta, per-arm adjusted means, rho2 — every double ROUND(…, 6)
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |pre AS (SELECT user_id, AVG(value) AS x FROM ev
+        |  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id),
+        |post AS (SELECT user_id, AVG(value) AS y FROM ev
+        |  WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id),
+        |per AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |    AS arm, x, y
+        |  FROM pre JOIN post USING (user_id)),
+        |g AS (SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+        |    var_pop(y) AS vy, AVG(x) AS mx FROM per),
+        |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    AVG(y) AS my_a, AVG(x) AS mx_a FROM per GROUP BY arm)
+        |SELECT arm, n, ROUND(my_a, 6) AS mean_y,
+        |  ROUND(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS theta,
+        |  ROUND(my_a - CASE WHEN vx > 0 THEN cxy / vx END
+        |    * (mx_a - mx), 6) AS mean_y_adj,
+        |  ROUND(CASE WHEN vx > 0 AND vy > 0
+        |    THEN cxy * cxy / (vx * vy) END, 6) AS var_reduction
+        |FROM a CROSS JOIN g ORDER BY arm""".stripMargin,
+
+    "q270_conversion_wilson" ->
+      // exact counts, floor-ppm rate, Wilson bounds in ROUND(…, 6)
+      // doubles — the identical formula expression tree
+      """WITH per AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |      AS grp,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(converted) AS BIGINT) AS n_conv
+        |  FROM per GROUP BY 1)
+        |SELECT grp, n, n_conv, (n_conv * 1000000) // n AS conv_ppm,
+        |  ROUND(((CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+        |      - 1.96 * SQRT((CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |        + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+        |  ROUND(((CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+        |      + 1.96 * SQRT((CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |        + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+        |FROM a ORDER BY grp""".stripMargin,
 
     "q257_srm_check" ->
       """WITH a AS (SELECT CASE WHEN user_id % 97 = 0 THEN 'junk'

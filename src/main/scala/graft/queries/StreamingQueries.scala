@@ -99,6 +99,21 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"), col("series"))
     }),
 
+    // streaming integrity fingerprint (NEW r13): per closed window,
+    // row count + XOR/SUM of the shared polynomial row hash over
+    // (event_id, user_id, event_type, cents) — both folds commutative,
+    // so the closed window equals the batch fold in any arrival order;
+    // the live duplicate-delivery detector at the ingest door
+    "q268_stream_fingerprint" -> ((s, d) => {
+      val ev = Streams.eventsStream(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      Streams.runToBatch(s,
+          Streams.fingerprintStream(ev,
+            Seq("event_id", "user_id", "event_type", "cents")),
+          "q268_fp")
+        .orderBy(col("w_start"))
+    }),
+
     // the SCALE tier of q246 (NEW r13): CUSUM at bucket granularity —
     // per (hour window x series), events fold into 16 per-bucket
     // (count, cent-sum) pairs IN-ROW (one windowed agg, no buffered
@@ -734,6 +749,31 @@ object StreamingQueries extends QueryGroup {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws, series
          |    ORDER BY ABS(dev) DESC, k) AS rk FROM d)
          |WHERE rk = 1 ORDER BY w_start, series""".stripMargin,
+
+    "q268_stream_fingerprint" -> {
+      // packed row: U+0001 separators (CHR(1)), U+0002 null sentinel;
+      // cents stringified as BIGINT so the serialization is portable
+      val packed = "COALESCE(CAST(event_id AS VARCHAR), CHR(2)) || CHR(1) || " +
+        "COALESCE(CAST(user_id AS VARCHAR), CHR(2)) || CHR(1) || " +
+        "COALESCE(event_type, CHR(2)) || CHR(1) || " +
+        "COALESCE(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), CHR(2))"
+      s"""WITH $ctes,
+         |h AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws,
+         |    ${graft.ops.Sketches.polyHashSql(packed)} AS h, ts
+         |  FROM e WHERE ts IS NOT NULL),
+         |c AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(BIT_XOR(h) AS BIGINT) AS xor_h,
+         |    CAST(SUM(h) AS BIGINT) AS sum_h
+         |  FROM h GROUP BY ws),
+         |mx2 AS (SELECT MAX(ts) AS m FROM h),
+         |dec AS (SELECT c.* FROM c, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  n_rows, xor_h, sum_h
+         |FROM dec ORDER BY w_start""".stripMargin
+    },
 
     "q246b_stream_cusum_bucket" ->
       // bucket replay: per (hour, series, bucket) counts/cent-sums,

@@ -1254,6 +1254,42 @@ object Streams {
         +: col("n").as("n_events") +: ests: _*)
   }
 
+  /** Streaming INTEGRITY fingerprint — [[graft.ops.Validate
+    * .auditFingerprint]]'s live twin at tumbling-window granularity:
+    * per window, the row count plus XOR and SUM of the shared
+    * polynomial row hash over the caller's audit columns. Both folds
+    * are commutative/associative, so the closed-window fingerprint is
+    * identical to the batch fold over the same rows in ANY arrival
+    * order — the at-least-once/duplicate-delivery detector an ingest
+    * door runs continuously (a replayed batch shifts n_rows and sum_h
+    * but leaves xor_h of the duplicated rows cancelled — the classic
+    * dup signature). State per open window: 3 longs.
+    *
+    * Append mode: one row per window at watermark close.
+    *
+    * @param cols pre-derived audit columns (cast/derive upstream —
+    *             e.g. integer cents, never raw doubles, so the string
+    *             serialization is engine-portable)
+    * @return (w_start, n_rows, xor_h, sum_h)
+    */
+  def fingerprintStream(events: DataFrame, cols: Seq[String],
+      size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {
+    require(cols.nonEmpty, "need at least one audited column")
+    val packed = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("ts"),
+        graft.expressions.TextHashes.poly_hash(packed).as("h"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_h"),
+        sum(col("h")).as("sum_h"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n_rows"), col("xor_h"), col("sum_h"))
+  }
+
   /** Per-SERIES streaming quantile monitor — [[quantileStream]] keyed
     * by a series column (the latency dashboard users actually run is
     * per (endpoint, window), not corpus-global). Same in-row ladder

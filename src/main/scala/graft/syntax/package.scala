@@ -488,6 +488,19 @@ package object syntax {
       ops.Dedup.linkageWeights(df, b, id, labeled, fields)
     def mutualInfoNano(xCol: String, yCol: String): DataFrame =
       ops.Validate.mutualInfoNano(df, xCol, yCol)
+    def piiScan(id: String, text: String): DataFrame =
+      ops.TextAnalysis.piiScan(df, id, text)
+    def auditFingerprint(group: String, cols: Seq[String]): DataFrame =
+      ops.Validate.auditFingerprint(df, group, cols)
+    /** `df` carries one row per unit: covariate x, metric y, arm. */
+    def cupedAdjust(armCol: String, xCol: String, yCol: String): DataFrame =
+      ops.Validate.cupedAdjust(df, armCol, xCol, yCol)
+    def conversionWilson(groupCol: String, convCol: String,
+        z: Double = 1.96): DataFrame =
+      ops.Validate.conversionWilson(df, groupCol, convCol, z)
+    def seasonalNaiveBacktest(keyCol: String, tsCol: String,
+        valueCol: String, season: Int = 7): DataFrame =
+      ops.FrameOps.seasonalNaiveBacktest(df, keyCol, tsCol, valueCol, season)
     def srmCheck(armCol: String, arms: Seq[(String, Long)]): DataFrame =
       ops.Validate.srmCheck(df, armCol, arms)
     def negativeSampleRing(poolId: String, anchors: DataFrame,

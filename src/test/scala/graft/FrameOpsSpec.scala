@@ -859,4 +859,26 @@ class FrameOpsSpec extends SparkSpec {
     assert((r2.getLong(1), r2.getLong(3), r2.getLong(4)) ==
       ((1L, 3L, 7500L)), r2.toString)
   }
+
+  test("seasonalNaiveBacktest: hand-checked errors; a missing day must not mis-align (join, not lag)") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // series k: days 1..3 = 10.00; day 8 = 13.00, day 9 = 11.50,
+    // day 10 MISSING, day 11 = 20.00 (its season anchor day 4 is also
+    // missing -> not scored; a lag-based alignment would wrongly pair
+    // day 11 with day 3)
+    val df = Seq(
+      (1, 10.0), (2, 10.0), (3, 10.0),
+      (8, 13.0), (9, 11.5), (11, 20.0)
+    ).map { case (d, v) => ("k", ts(d), v) }.toDF("key", "ts", "v")
+    val r = graft.ops.FrameOps.seasonalNaiveBacktest(
+      df, "key", "ts", "v", season = 7).head
+    // scored: day 8 vs 1 (err +300 cents), day 9 vs 2 (err +150)
+    assert(r.getLong(1) == 2L, r.toString)               // n_scored
+    assert(r.getLong(2) == 450L, r.toString)             // sum_err
+    assert(r.getLong(3) == 450L, r.toString)             // sum_abs_err
+    assert(r.getLong(4) == 2450L, r.toString)            // sum_abs_actual
+    assert(r.getLong(5) == (1000L * 450L) / 2L, r.toString)  // mae_milli
+    assert(r.getLong(6) == (1000000L * 450L) / 2450L, r.toString) // wape
+  }
 }

@@ -604,6 +604,38 @@ class StreamingSpec extends SparkSpec {
       s"bucket dev=${bucketed.getLong(4)} exact dev=${exact.getLong(5)}")
   }
 
+  test("fingerprintStream: closed window equals the batch fold in any arrival order; a duplicate shifts n/sum but cancels in xor") {
+    val rows = Seq(
+      (1L, 5L, "view", 1.0, "2024-01-01 10:00:10"),
+      (2L, 6L, "click", 2.0, "2024-01-01 10:01:00"),
+      (3L, 7L, "view", 3.0, "2024-01-01 10:02:30"))
+    val b1 = eventsDF(scala.util.Random.shuffle(rows))
+    val b2 = eventsDF(Seq((9L, 9L, "view", 0.0, "2024-01-01 11:00:00")))
+    def run(batches: Seq[org.apache.spark.sql.DataFrame], tag: String) = {
+      val dir = stageBatches(tag, batches)
+      val s = streamDir(dir, batches.head.schema)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      Streams.runToBatch(spark,
+          Streams.fingerprintStream(s,
+            Seq("event_id", "user_id", "event_type", "cents")),
+          s"spec_fp_$tag")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+    }
+    val a = run(Seq(b1, b2), "fpa")
+    // same rows split across batches in a different order
+    val c1 = eventsDF(rows.take(1)); val c2 = eventsDF(rows.drop(1))
+    val b = run(Seq(c2, c1, b2), "fpb")
+    assert(a.nonEmpty && a == b, s"$a vs $b")
+    // duplicate delivery: n_rows grows, sum_h grows, and the dup pair
+    // CANCELS in xor (xor becomes the two non-duplicated rows' fold —
+    // visibly different from the clean window's xor)
+    val dup = run(Seq(b1, eventsDF(rows.take(1)), b2), "fpc")
+    assert(dup.head._2 == a.head._2 + 1, s"$dup vs $a")
+    assert(dup.head._4 > a.head._4 && dup.head._3 != a.head._3,
+      s"$dup vs $a")
+  }
+
   test("quantileStreamBy equals per-series batch histogram quantiles window-for-window") {
     val (lo, hi, nB) = (0.0, 200.0, 16)
     val qs = Seq(0.5, 0.95, 0.99)

@@ -359,5 +359,18 @@ class SyntaxSpec extends SparkSpec {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
     val fix = tri.kTruss("src", "dst", k = 3, rounds = -1)
     assert(fix.count() == 3L && fix.filter(col("src") === 3L).count() == 0L)
+    val pii = Seq((1L, "x a@b.co y")).toDF("doc_id", "text")
+    assert(pii.piiScan("doc_id", "text").head.getLong(1) == 1L)
+    assert(Seq((1L, "s", "a")).toDF("id", "src", "v")
+      .auditFingerprint("src", Seq("id", "v")).head.getLong(1) == 1L)
+    val cu = Seq(("A", 1.0, 2.0), ("A", 2.0, 4.0), ("B", 3.0, 7.0),
+      ("B", 4.0, 9.0)).toDF("arm", "x", "y")
+    assert(cu.cupedAdjust("arm", "x", "y").head.getDouble(3) == 2.4)
+    assert(Seq(("A", 1L), ("A", 0L)).toDF("g", "c")
+      .conversionWilson("g", "c").head.getLong(3) == 500000L)
+    def t13(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val sb = Seq(("k", t13(1), 10.0), ("k", t13(8), 13.0))
+      .toDF("key", "ts", "v")
+    assert(sb.seasonalNaiveBacktest("key", "ts", "v").head.getLong(2) == 300L)
   }
 }

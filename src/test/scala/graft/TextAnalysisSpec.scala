@@ -269,4 +269,52 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 4L, 2L, "en", 5000L, 693147180L),
       (2L, 2L, 1L, "en", 10000L, 0L)), r.mkString(","))
   }
+
+  test("piiScan: per-class counts, Luhn discrimination, null text") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4111111111111111 is the classic Luhn-valid test PAN;
+      // 4111111111111112 fails the checksum
+      (1L, "mail a.b@x.co and c@d.org ip 10.0.0.1 call 12-345-678-9012 " +
+        "card 4111111111111111 and 4111111111111112"),
+      (2L, "no pii here, just 123 and 1.2.3 and a@b (no tld dot)"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.piiScan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 1L, 1L, 2L, 1L, 5L),
+      (2L, 0L, 0L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L, 0L, 0L)), r.mkString(","))
+  }
+
+  test("piiRedact: fixed-order typed placeholders, non-PII text preserved") {
+    import spark.implicits._
+    val docs = Seq((1L,
+      "hi a@b.co call 12-345-678-9012 card 4111111111111112 ip 10.0.0.1 end"))
+      .toDF("doc_id", "text")
+    val out = docs.select(
+        graft.ops.TextAnalysis.piiRedact(col("text")).as("t"))
+      .head().getString(0)
+    assert(out ==
+      "hi <EMAIL> call <PHONE> card <CARD> ip <IP> end", out)
+  }
+
+  test("luhnValid16 matches a reference Luhn implementation") {
+    import spark.implicits._
+    def refLuhn(s: String): Boolean = {
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val cands = Seq("4111111111111111", "4111111111111112",
+      "4444444444444448", "1234567812345670", "9999999999999999")
+    val got = cands.toDF("c")
+      .select(col("c"), graft.ops.TextAnalysis.luhnValid16(col("c")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cands.foreach(c => assert(got(c) == refLuhn(c), c))
+  }
 }

@@ -438,4 +438,84 @@ class ValidateSpec extends SparkSpec {
     assert(r(9L) == ((10L, 0L, 950000L, 316666L)), r(9L))
     // ECE = (20*0 + 10*950000) / 30 = 316666
   }
+
+  test("auditFingerprint: partition/order invariance, dup and mutation signatures, null sentinel") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "b", null.asInstanceOf[String]),
+      (3L, "a", "z")).toDF("id", "src", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Validate.auditFingerprint(d, "src", Seq("id", "v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = fp(df)
+    assert(base("a")._1 == 2L && base("b")._1 == 1L)
+    // invariant under repartition AND row order
+    assert(fp(df.repartition(7)) == base)
+    assert(fp(df.orderBy(col("id").desc)) == base)
+    // duplicated row: n and sum shift, xor of the dup pair cancels —
+    // xor collapses to the remaining row's hash
+    val dup = df.union(Seq((1L, "a", "x")).toDF("id", "src", "v"))
+    val d = fp(dup)
+    assert(d("a")._1 == 3L && d("a")._3 == base("a")._3 + fpRow(1L, "x"))
+    assert(d("a")._2 == fpRow(3L, "z"), d("a"))
+    // a mutated cell changes the group fingerprint
+    val mut = Seq((1L, "a", "x"), (2L, "b", null.asInstanceOf[String]),
+      (3L, "a", "Z")).toDF("id", "src", "v")
+    assert(fp(mut)("a") != base("a"))
+    // null folds as the sentinel, distinct from the empty string
+    val empty = Seq((2L, "b", "")).toDF("id", "src", "v")
+    assert(fp(empty)("b") != base("b"))
+  }
+
+  private def fpRow(id: Long, v: String): Long = {
+    // reference poly hash of the packed row (seed 7, base 31, mod P)
+    val s = s"$id\u0001$v"
+    s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+  }
+
+  test("cupedAdjust: hand-computed theta and adjusted means; zero-variance covariate yields NULL theta") {
+    import spark.implicits._
+    // x: 1,2,3,4; y = 2x + arm effect: A rows (1,2) y=2x, B rows y=2x+1
+    val df = Seq(("A", 1.0, 2.0), ("A", 2.0, 4.0),
+      ("B", 3.0, 7.0), ("B", 4.0, 9.0)).toDF("arm", "x", "y")
+    // pooled: mx=2.5, cov=Σ(x-mx)(y-my)/4, var=1.25
+    // y means: my=5.5; cov = ((-1.5)(-3.5)+(-0.5)(-1.5)+0.5*1.5+1.5*3.5)/4
+    //        = (5.25+0.75+0.75+5.25)/4 = 3.0 ; theta = 3/1.25 = 2.4
+    // A: my_a=3, mx_a=1.5 -> adj = 3 - 2.4*(1.5-2.5) = 5.4
+    // B: my_a=8, mx_a=3.5 -> adj = 8 - 2.4*(3.5-2.5) = 5.6
+    val r = Validate.cupedAdjust(df, "arm", "x", "y")
+      .orderBy("arm").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(("A", 2L, 3.0, 2.4, 5.4),
+      ("B", 2L, 8.0, 2.4, 5.6)), r.mkString(","))
+    // constant covariate: theta and var_reduction NULL, means intact
+    val flat = Seq(("A", 1.0, 2.0), ("B", 1.0, 4.0)).toDF("arm", "x", "y")
+    val f = Validate.cupedAdjust(flat, "arm", "x", "y").orderBy("arm").collect()
+    assert(f.forall(_.isNullAt(3)) && f.forall(_.isNullAt(5)))
+  }
+
+  test("conversionWilson: hand-checked bounds, degenerate all/none converters stay in [0, 1]") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("A", if (i <= 3) 1L else 0L)) ++
+      (1 to 5).map(_ => ("all", 1L)) ++ (1 to 5).map(_ => ("none", 0L))
+    val r = Validate.conversionWilson(df.toDF("grp", "c"), "grp", "c")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getDouble(4), x.getDouble(5)))).toMap
+    val (n, c, ppm, lo, hi) = r("A")
+    assert(n == 10L && c == 3L && ppm == 300000L)
+    // Wilson at p=0.3, n=10, z=1.96: center=(0.3+0.19208)/1.38416
+    def wilson(p: Double, n: Double, sign: Double): Double = {
+      val z = 1.96; val z2 = z * z
+      ((p + z2 / (2 * n) + sign * z *
+        math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n))
+    }
+    assert(math.abs(lo - wilson(0.3, 10, -1)) < 1e-6, lo)
+    assert(math.abs(hi - wilson(0.3, 10, 1)) < 1e-6, hi)
+    assert(lo > 0 && hi < 1)
+    // degenerate groups: bounds stay inside [0, 1], never NaN
+    assert(r("all")._4 > 0 && r("all")._5 == 1.0)
+    assert(r("none")._4 == 0.0 && r("none")._5 < 1)
+  }
 }
