@@ -1361,4 +1361,59 @@ object Validate {
       .select(col("bin"), col("n"), col("mean_score"), col("pos_ppm"),
         col("gap_ppm"), col("ece_ppm"))
   }
+
+  /** ISOTONIC calibration fit — the CORRECTION step after
+    * [[calibrationReport]] measures the miscalibration: fit the
+    * monotone step function minimizing squared error over the score
+    * bins (the classifier-recalibration standard; Zadrozny & Elkan
+    * 2002). Computed via the MINIMAX characterization of the
+    * pool-adjacent-violators solution — fitted_j = max_{i<=j}
+    * min_{k>=j} rate(i..k) — rather than the sequential PAV sweep, so
+    * the whole fit is a closed-form fold over the bin grid and replays
+    * in SQL (a sequential pooling loop would not).
+    *
+    * Quantization contract: range rates are floored to INTEGER ppm
+    * BEFORE the max/min folds, so the monotone fit is exact over the
+    * ppm grid and bit-identical across engines (the true rational
+    * minimax could order two ranges differently than their ppm floors
+    * — documented trade, at most 1 ppm of fit resolution).
+    *
+    * The bin frame is bounded by construction (<= nBins rows after
+    * one scan + one aggregation); the O(nBins²) range grid and the
+    * minimax folds run driver-side on collected counts — the
+    * quantileLadder bounded-collect discipline.
+    *
+    * @return per observed bin: (bin, n, n_pos, raw_ppm, fitted_ppm) —
+    *         fitted_ppm is non-decreasing in bin by construction
+    */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"nBins must be in [2, 1000], got $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df.select(col(scoreCol).cast("double").as("v"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("v").isNotNull && col("y").isNotNull)
+      .selectExpr(
+        graft.ops.Sketches.histBucketExpr(0.0, 1.0, nBins) + " AS bin",
+        "y")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = bins.length
+    // prefix sums over OBSERVED bins (empty bins carry no mass and
+    // cannot change any pooled rate)
+    val pn = bins.scanLeft(0L)(_ + _._2)
+    val pp = bins.scanLeft(0L)(_ + _._3)
+    def ratePpm(i: Int, k: Int): Long =
+      (pp(k + 1) - pp(i)) * 1000000L / (pn(k + 1) - pn(i))
+    val fitted = (0 until b).map { j =>
+      (0 to j).map(i => (j until b).map(k => ratePpm(i, k)).min).max
+    }
+    bins.zipWithIndex.map { case ((bin, n, pos), j) =>
+      (bin, n, pos, pos * 1000000L / n, fitted(j))
+    }.toSeq.toDF("bin", "n", "n_pos", "raw_ppm", "fitted_ppm")
+  }
 }

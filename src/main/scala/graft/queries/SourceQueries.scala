@@ -429,6 +429,22 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("bin"))
     }),
 
+    // isotonic calibration fit (NEW r13): the CORRECTION step after
+    // q262 measures miscalibration — monotone step fit over the same
+    // score bins via the minimax (max-of-min range rates) PAV
+    // characterization, quantized to integer ppm BEFORE the folds so
+    // the fit replays bit-for-bit; the bin grid is bounded, the folds
+    // run on collected counts (the quantileLadder discipline)
+    "q271_isotonic_fit" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(least(greatest(col("value") / 200.0, lit(0.0)),
+            lit(1.0)).as("score"),
+          (col("event_type") === "purchase").cast("long").as("label"))
+      graft.ops.Validate.isotonicCalibrate(ev, "score", "label",
+          nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // mutual information feature screen (NEW r12): MI(order priority,
     // order status) in exact floor-nano nats — model-free relevance/
     // redundancy check over categorical columns; one cell-count
@@ -736,6 +752,39 @@ object SourceQueries extends QueryGroup {
         |  (10000 * CAST(COALESCE(SUM(nr) FILTER (WHERE ny > 1), 0)
         |    AS BIGINT)) // CAST(SUM(nr) AS BIGINT) AS fd_bp
         |FROM pk""".stripMargin,
+
+    "q271_isotonic_fit" -> {
+      // minimax replay over the observed-bin grid: prefix sums by bin
+      // rank, O(B²) range rates floored to ppm, min over k >= j per
+      // range start, max over i <= j — identical quantization
+      val bucket = graft.ops.Sketches.histBucketExpr(0.0, 1.0, 10)
+      s"""WITH sc AS (SELECT
+         |    LEAST(GREATEST(value / 200.0, 0.0), 1.0) AS v,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |bb AS (SELECT $bucket AS bin, y FROM sc),
+         |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS n_pos
+         |  FROM bb GROUP BY bin),
+         |o AS (SELECT bin, n, n_pos,
+         |    ROW_NUMBER() OVER (ORDER BY bin) AS j FROM g),
+         |p AS (SELECT j, bin, n, n_pos,
+         |    CAST(SUM(n) OVER (ORDER BY j) AS BIGINT) AS cn,
+         |    CAST(SUM(n_pos) OVER (ORDER BY j) AS BIGINT) AS cp
+         |  FROM o),
+         |r AS (SELECT i.j AS i, k.j AS k,
+         |    ((k.cp - i.cp + i.n_pos) * 1000000)
+         |      // (k.cn - i.cn + i.n) AS ppm
+         |  FROM p i JOIN p k ON i.j <= k.j),
+         |mij AS (SELECT r.i, p2.j, MIN(r.ppm) AS m
+         |  FROM r JOIN p p2 ON r.k >= p2.j AND r.i <= p2.j
+         |  GROUP BY r.i, p2.j),
+         |f AS (SELECT j, CAST(MAX(m) AS BIGINT) AS fitted_ppm
+         |  FROM mij GROUP BY j)
+         |SELECT o.bin, o.n, o.n_pos,
+         |  (o.n_pos * 1000000) // o.n AS raw_ppm, f.fitted_ppm
+         |FROM o JOIN f USING (j) ORDER BY o.bin""".stripMargin
+    },
 
     "q262_calibration" -> {
       val bucket = graft.ops.Sketches.histBucketExpr(0.0, 1.0, 10)

@@ -498,6 +498,9 @@ package object syntax {
     def conversionWilson(groupCol: String, convCol: String,
         z: Double = 1.96): DataFrame =
       ops.Validate.conversionWilson(df, groupCol, convCol, z)
+    def isotonicCalibrate(scoreCol: String, labelCol: String,
+        nBins: Int = 10): DataFrame =
+      ops.Validate.isotonicCalibrate(df, scoreCol, labelCol, nBins)
     def seasonalNaiveBacktest(keyCol: String, tsCol: String,
         valueCol: String, season: Int = 7): DataFrame =
       ops.FrameOps.seasonalNaiveBacktest(df, keyCol, tsCol, valueCol, season)

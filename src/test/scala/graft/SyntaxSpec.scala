@@ -372,5 +372,10 @@ class SyntaxSpec extends SparkSpec {
     val sb = Seq(("k", t13(1), 10.0), ("k", t13(8), 13.0))
       .toDF("key", "ts", "v")
     assert(sb.seasonalNaiveBacktest("key", "ts", "v").head.getLong(2) == 300L)
+    val iso = Seq((0.05, 0L), (0.05, 1L), (0.15, 1L), (0.15, 1L))
+      .toDF("score", "label")
+    assert(iso.isotonicCalibrate("score", "label")
+      .orderBy("bin").collect().map(_.getLong(4)).toSeq ==
+      Seq(500000L, 1000000L))
   }
 }

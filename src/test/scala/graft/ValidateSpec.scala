@@ -473,6 +473,31 @@ class ValidateSpec extends SparkSpec {
     s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
   }
 
+  test("isotonicCalibrate: adjacent violators pool to the weighted mean; monotone input passes through") {
+    import spark.implicits._
+    // 4 observed bins (scores .05/.15/.25/.35 of the 10-bin [0,1]
+    // ladder), raw rates [1/5, 3/5, 2/5, 4/5]: bins 1 and 2 violate
+    // monotonicity and pool to (3+2)/(5+5) = 1/2
+    def rows(score: Double, pos: Int) =
+      (1 to 5).map(i => (score, if (i <= pos) 1L else 0L))
+    val df = (rows(0.05, 1) ++ rows(0.15, 3) ++ rows(0.25, 2) ++
+      rows(0.35, 4)).toDF("score", "label")
+    val r = Validate.isotonicCalibrate(df, "score", "label", nBins = 10)
+      .orderBy("bin").collect()
+      .map(x => (x.getLong(0), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (0L, 200000L, 200000L), (1L, 600000L, 500000L),
+      (2L, 400000L, 500000L), (3L, 800000L, 800000L)), r.mkString(","))
+    // fitted is non-decreasing by construction
+    assert(r.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // already-monotone input: fitted == raw everywhere
+    val mono = (rows(0.05, 1) ++ rows(0.15, 2) ++ rows(0.25, 4))
+      .toDF("score", "label")
+    val m = Validate.isotonicCalibrate(mono, "score", "label", nBins = 10)
+      .collect().map(x => x.getLong(3) == x.getLong(4))
+    assert(m.forall(identity))
+  }
+
   test("cupedAdjust: hand-computed theta and adjusted means; zero-variance covariate yields NULL theta") {
     import spark.implicits._
     // x: 1,2,3,4; y = 2x + arm effect: A rows (1,2) y=2x, B rows y=2x+1
