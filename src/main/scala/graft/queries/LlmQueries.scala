@@ -226,6 +226,30 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ENTITY RESOLUTION (NEW r13): the composition that turns pairwise
+    // linkage into entity ids — q255's scored pairs at the both-agree
+    // threshold feed connected components (min-label propagation), and
+    // the top-100 largest entities gate the whole chain: blocking →
+    // scoring → thresholding → transitive closure
+    "q255c_entity_resolution" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      val pairs = graft.ops.Dedup.linkageScores(
+          c.filter(col("c_custkey") % 2 === 0),
+          c.filter(col("c_custkey") % 2 === 1),
+          "c_custkey", "c_nationkey",
+          Seq(("c_mktsegment", 1500L, -800L),
+            ("bal_bucket", 2500L, -1200L)),
+          minScoreMilli = 4000L)
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      graft.ops.Dedup.connectedComponents(pairs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy(col("n_members").desc, col("cluster"))
+        .limit(100)
+    }),
+
     // LEARNED Fellegi-Sunter linkage (NEW r13): q255 with the weights
     // ESTIMATED instead of hand-set — m/u agreement probabilities
     // counted on an adjudicated training slice (nation-blocked pairs
@@ -1167,6 +1191,34 @@ object LlmQueries extends QueryGroup {
           |  FROM a JOIN b ON a.c_nationkey = b.c_nationkey)
           |SELECT a_id, b_id, n_agree, score_milli FROM p
           |WHERE score_milli >= 1700 ORDER BY a_id, b_id""".stripMargin,
+
+      // q255c: q255's pair replay at the both-agree threshold, then
+      // the q92b recursive min-label closure and the entity census
+      "q255c_entity_resolution" ->
+        """WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey,
+          |    c_mktsegment,
+          |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+          |  FROM customer),
+          |a AS (SELECT * FROM c WHERE c_custkey % 2 = 0),
+          |b AS (SELECT * FROM c WHERE c_custkey % 2 = 1),
+          |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          |  FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+          |  WHERE (CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM
+          |      b.c_mktsegment THEN 1500 ELSE -800 END
+          |    + CASE WHEN a.bal_bucket IS NOT DISTINCT FROM
+          |      b.bal_bucket THEN 2500 ELSE -1200 END) >= 4000),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          |  UNION ALL SELECT id_b, id_a FROM p),
+          |reach(id, lbl) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+          |),
+          |lab AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+          |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+          |  MAX(id) AS max_id
+          |FROM lab GROUP BY cluster
+          |ORDER BY n_members DESC, cluster LIMIT 100""".stripMargin,
 
       // q255b: the training fold replayed in SQL — agreement counts on
       // the labeled stripe pairs, add-half smoothed m/u, floor milli

@@ -99,6 +99,24 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"), col("series"))
     }),
 
+    // streaming SRM monitor (NEW r13): the q257 assignment audit per
+    // closed window — a broken splitter alarms in its FIRST window;
+    // |arms|+1 longs of in-row state, q257's integer/rounded-double
+    // arithmetic verbatim
+    "q272_stream_srm" -> ((s, d) => {
+      val ev = Streams.eventsStream(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm", when(col("user_id") % 97 === 0, "junk")
+          .when(col("user_id") % 10 < 5, "control")
+          .otherwise("treatment"))
+      Streams.runToBatch(s,
+          Streams.srmStream(ev, "arm",
+            Seq(("control", 1L), ("treatment", 1L)),
+            size = "60 minutes"),
+          "q272_srm")
+        .orderBy(col("w_start"), col("arm"))
+    }),
+
     // streaming integrity fingerprint (NEW r13): per closed window,
     // row count + XOR/SUM of the shared polynomial row hash over
     // (event_id, user_id, event_type, cents) — both folds commutative,
@@ -749,6 +767,44 @@ object StreamingQueries extends QueryGroup {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws, series
          |    ORDER BY ABS(dev) DESC, k) AS rk FROM d)
          |WHERE rk = 1 ORDER BY w_start, series""".stripMargin,
+
+    "q272_stream_srm" ->
+      s"""WITH $ctes,
+         |v AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 3600000000) * 3600000000)
+         |      AS ws,
+         |    CASE WHEN user_id % 97 = 0 THEN 'junk'
+         |      WHEN user_id % 10 < 5 THEN 'control'
+         |      ELSE 'treatment' END AS arm, ts
+         |  FROM e WHERE user_id IS NOT NULL),
+         |g AS (SELECT ws,
+         |    CAST(COUNT(*) FILTER (WHERE arm = 'control') AS BIGINT)
+         |      AS n0,
+         |    CAST(COUNT(*) FILTER (WHERE arm = 'treatment') AS BIGINT)
+         |      AS n1,
+         |    CAST(COUNT(*) FILTER (WHERE arm NOT IN
+         |      ('control', 'treatment')) AS BIGINT) AS n_unexpected
+         |  FROM v GROUP BY ws),
+         |t AS (SELECT *, n0 + n1 AS n_assigned FROM g),
+         |mx2 AS (SELECT MAX(ts) AS m FROM v),
+         |dec AS (SELECT t.* FROM t, mx2
+         |  WHERE ws + INTERVAL 3600 SECOND <= m - INTERVAL 600 SECOND),
+         |arms AS (SELECT ws, 'control' AS arm, n0 AS n, n_assigned,
+         |    n_unexpected FROM dec
+         |  UNION ALL SELECT ws, 'treatment', n1, n_assigned,
+         |    n_unexpected FROM dec)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, arm, n,
+         |  500000 AS expected_ppm,
+         |  CASE WHEN n_assigned = 0 THEN 0
+         |    ELSE (n * 1000000) // n_assigned END AS observed_ppm,
+         |  CASE WHEN n_assigned = 0 THEN 0
+         |    ELSE (n * 1000000) // n_assigned END - 500000 AS dev_ppm,
+         |  CASE WHEN n_assigned = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(CAST((n * 2 - n_assigned)
+         |        * (n * 2 - n_assigned) AS DOUBLE)
+         |      / CAST(2 * n_assigned AS DOUBLE), 6) END AS chi2_term,
+         |  n_unexpected
+         |FROM arms ORDER BY w_start, arm""".stripMargin,
 
     "q268_stream_fingerprint" -> {
       // packed row: U+0001 separators (CHR(1)), U+0002 null sentinel;

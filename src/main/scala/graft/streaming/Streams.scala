@@ -365,7 +365,13 @@ object Streams {
     // sf0.1: 8 partitions ≈ 3.4 s, 2 ≈ 2.2 s per query — per-partition
     // state-store open/commit dominates at replay size.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // r13 A/B over 8 streaming gates at sf0.1 (min-of-2 each):
+    // parts=2 -> 20.3 s, parts=1 -> 21.4 s, parts=4 -> 21.3 s — 2 is
+    // the measured sweet spot (1 serializes multi-series state work,
+    // 4 pays extra per-partition store open/commit); env-overridable
+    // for deployments with real state volume.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_PARTS", "2"))
     val q =
       try stream.writeStream
         .format("memory")
@@ -1252,6 +1258,61 @@ object Streams {
     counts.select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start")
         +: col("n").as("n_events") +: ests: _*)
+  }
+
+  /** Streaming SRM monitor — [[graft.ops.Validate.srmCheck]]'s live
+    * twin: per closed tumbling window, each expected arm's observed
+    * count vs its weight share (signed deviation in floor ppm, the
+    * cross-multiplied chi-square term as one ROUND(…, 6) double — the
+    * q257 arithmetic verbatim), plus the window's unexpected-arm
+    * count. A broken splitter shows up in the FIRST window it ships
+    * in, not at the end-of-day batch audit. State per open window:
+    * |arms|+1 longs (in-row conditional counts).
+    *
+    * Append mode: |arms| rows per window at watermark close.
+    *
+    * @return (w_start, arm, n, expected_ppm, observed_ppm, dev_ppm,
+    *         chi2_term, n_unexpected)
+    */
+  def srmStream(events: DataFrame, armCol: String,
+      arms: Seq[(String, Long)], size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    require(arms.nonEmpty, "need at least one arm")
+    require(arms.map(_._1).distinct.size == arms.size, "duplicate arms")
+    require(arms.forall(_._2 > 0), "arm weights must be positive")
+    val d = arms.map(_._2).sum
+    val aggCols = arms.zipWithIndex.map { case ((a, _), i) =>
+      sum(when(col("__arm") === a, 1L).otherwise(0L)).as(s"n$i")
+    } :+ sum(when(!col("__arm").isin(arms.map(_._1): _*), 1L)
+      .otherwise(0L)).as("n_unexpected")
+    val counts = events
+      .filter(col(armCol).isNotNull)
+      .select(col("ts"), col(armCol).cast("string").as("__arm"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n_assigned",
+        arms.indices.map(i => col(s"n$i")).reduce(_ + _))
+    val rows = arms.zipWithIndex.map { case ((a, w), i) =>
+      struct(lit(a).as("arm"), col(s"n$i").as("n"),
+        expr(s"(${w}L * 1000000) div ${d}L").as("expected_ppm"),
+        expr(s"CASE WHEN n_assigned = 0 THEN 0" +
+          s" ELSE (n$i * 1000000) div n_assigned END").as("observed_ppm"),
+        expr(s"CASE WHEN n_assigned = 0 THEN CAST(0.0 AS DOUBLE) ELSE" +
+          s" ROUND(CAST((n$i * ${d}L - ${w}L * n_assigned)" +
+          s" * (n$i * ${d}L - ${w}L * n_assigned) AS DOUBLE)" +
+          s" / CAST(${w}L * ${d}L * n_assigned AS DOUBLE), 6) END")
+          .as("chi2_term"))
+    }
+    counts.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w_start"),
+        explode(array(rows: _*)).as("r"), col("n_unexpected"))
+      .select(col("w_start"), col("r.arm").as("arm"), col("r.n").as("n"),
+        col("r.expected_ppm"),
+        col("r.observed_ppm"),
+        (col("r.observed_ppm") - col("r.expected_ppm")).as("dev_ppm"),
+        col("r.chi2_term"), col("n_unexpected"))
   }
 
   /** Streaming INTEGRITY fingerprint — [[graft.ops.Validate

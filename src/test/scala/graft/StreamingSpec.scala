@@ -604,6 +604,36 @@ class StreamingSpec extends SparkSpec {
       s"bucket dev=${bucketed.getLong(4)} exact dev=${exact.getLong(5)}")
   }
 
+  test("srmStream: hand-built window pins counts, deviation and chi2; unexpected arm counted") {
+    // window 10:00 (5-min): control x3 (users 10,20,30 — %10 < 5),
+    // treatment x1 (user 7 — %10 >= 5), junk x1 (user 97 — %97 == 0);
+    // closed by the 11:00 event
+    val b1 = eventsDF(Seq(
+      (1L, 10L, "view", 0.0, "2024-01-01 10:00:10"),
+      (2L, 20L, "view", 0.0, "2024-01-01 10:01:00"),
+      (3L, 30L, "view", 0.0, "2024-01-01 10:02:00"),
+      (4L, 7L, "view", 0.0, "2024-01-01 10:03:00"),
+      (5L, 97L, "view", 0.0, "2024-01-01 10:04:00")))
+    val b2 = eventsDF(Seq((9L, 2L, "view", 0.0, "2024-01-01 11:00:00")))
+    val ev = streamDir(stageBatches("srm", Seq(b1, b2)), b1.schema)
+      .filter(col("user_id").isNotNull)
+      .withColumn("arm", when(col("user_id") % 97 === 0, "junk")
+        .when(col("user_id") % 10 < 5, "control")
+        .otherwise("treatment"))
+    val rows = Streams.runToBatch(spark,
+        Streams.srmStream(ev, "arm",
+          Seq(("control", 1L), ("treatment", 1L))),
+        "spec_srm_stream")
+      .orderBy(col("w_start"), col("arm")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(5),
+        r.getDouble(6), r.getLong(7)))
+    // users 10,20,30 -> %10==0 -> control; user 1 -> treatment;
+    // n_assigned=4: control obs 750000 (dev +250000), chi2=(3*2-4)^2/8
+    assert(rows.toSeq == Seq(
+      ("control", 3L, 250000L, 0.5, 1L),
+      ("treatment", 1L, -250000L, 0.5, 1L)), rows.mkString(","))
+  }
+
   test("fingerprintStream: closed window equals the batch fold in any arrival order; a duplicate shifts n/sum but cancels in xor") {
     val rows = Seq(
       (1L, 5L, "view", 1.0, "2024-01-01 10:00:10"),
