@@ -476,6 +476,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("marginMinedPairsIvf with full probing equals the exact quadratic tier") {
+    import spark.implicits._
+    // nProbe == nClusters -> every anchor scores every candidate (the
+    // candidate set is complete), so the IVF tier must emit EXACTLY
+    // the exact tier's frame — the consistency anchor that pins the
+    // composition's arithmetic independent of the recall trade
+    val rnd = new scala.util.Random(244)
+    def vec() = Array.fill(64)((rnd.nextInt(1000) / 1000.0).toFloat)
+    val a = (0 until 30).map(i => (i * 2L, vec())).toDF("vec_id", "embedding")
+    val b = (0 until 30).map(i => (i * 2L + 1, vec())).toDF("vec_id", "embedding")
+    val exact = graft.ops.Similarity.marginMinedPairs(a, b,
+        "vec_id", "embedding", k = 3, minMarginPpm = 900000L)
+      .collect().map(_.toSeq).toSet
+    val ivfFull = graft.ops.Similarity.marginMinedPairsIvf(a, b,
+        "vec_id", "embedding", k = 3, minMarginPpm = 900000L,
+        nClusters = 4, nProbe = 4, itersCoarse = 2)
+      .collect().map(_.toSeq).toSet
+    assert(ivfFull == exact, s"ivf=$ivfFull exact=$exact")
+    // partial probing mines a SUBSET of anchors, never novel pairs
+    // with inflated scores above the same threshold from thin air:
+    // every emitted (a, b, cos) pair's cosine must match the exact
+    // tier's score for that pair (margins can differ — neighborhoods
+    // shrink — but the underlying similarity cannot)
+    val allCos = a.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+      .crossJoin(b.select(col("vec_id").as("b_id"), col("embedding").as("bv")))
+      .withColumn("cos_u6", floor(graft.expressions.TextHashes
+        .dot_f(col("av"), col("bv")) * lit(1000000.0d)).cast("long"))
+      .select(col("a_id"), col("b_id"), col("cos_u6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf1 = graft.ops.Similarity.marginMinedPairsIvf(a, b,
+        "vec_id", "embedding", k = 3, minMarginPpm = 900000L,
+        nClusters = 4, nProbe = 1, itersCoarse = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(ivf1.nonEmpty)
+    ivf1.foreach { case (pair, cos) =>
+      assert(allCos(pair) == cos, s"$pair: $cos vs ${allCos(pair)}")
+    }
+  }
+
   test("linkageWeights: hand-computed m/u log-ratios, smoothing, degenerate-label guard") {
     import spark.implicits._
     val a = Seq((1L, "AUTO", 5L), (2L, "BLDG", 6L), (3L, "AUTO", 7L))

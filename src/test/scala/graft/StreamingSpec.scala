@@ -697,6 +697,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("quantileStreamBy over a constant series equals quantileStream window-for-window") {
+    // keying by a constant partitions nothing: the per-series tier
+    // must reproduce the corpus-global monitor exactly (same ladder,
+    // same closed windows, same estimates)
+    val (lo, hi, nB) = (0.0, 200.0, 16)
+    val qs = Seq(0.5, 0.95, 0.99)
+    val global = Streams.runToBatch(spark,
+        Streams.quantileStream(Streams.eventsStream(spark, sfTiny),
+          lo, hi, nB, qs), "spec_qglobal")
+      .orderBy("w_start").collect().map(_.toSeq).toSeq
+    val keyed = Streams.runToBatch(spark,
+        Streams.quantileStreamBy(Streams.eventsStream(spark, sfTiny)
+          .withColumn("const", lit("all")),
+          "const", lo, hi, nB, qs), "spec_qconst")
+      .orderBy("w_start").collect()
+      .map(r => r.toSeq.patch(1, Nil, 1)).toSeq // drop the series col
+    assert(global.nonEmpty && keyed == global)
+  }
+
   test("kafka source wiring fails ONLY at provider lookup (no connector jar shipped)") {
     // the production path is fully constructed (options, payload decode,
     // projection); this environment has no spark-sql-kafka artifact, so

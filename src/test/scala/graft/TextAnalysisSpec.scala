@@ -301,6 +301,28 @@ class TextAnalysisSpec extends SparkSpec {
       "hi <EMAIL> call <PHONE> card <CARD> ip <IP> end", out)
   }
 
+  test("piiScan \\b semantics: digits glued to word chars do NOT match (identical in Java and RE2)") {
+    import spark.implicits._
+    // \b separates word from non-word chars; letters AND digits are
+    // both word chars, so 'x4111111111111111' has no boundary before
+    // the 4 and must NOT count as a card — pinning this keeps the
+    // Spark (Java regex) and DuckDB (RE2) engines on the same subset
+    val docs = Seq(
+      (1L, "x4111111111111111 glued"),        // no boundary -> 0
+      (2L, "id4111111111111111x"),             // glued both sides -> 0
+      (3L, "(4111111111111111)"),              // punct boundaries -> 1
+      (4L, "a@b.co.uk tail"),                  // multi-dot domain -> 1
+      (5L, "ip 999.0.0.1 over")                // octet 999 -> 0 ipv4
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.piiScan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(3), x.getLong(4)))
+    // (id, n_email, n_ipv4, n_card_raw)
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L), (3L, 0L, 0L, 1L),
+      (4L, 1L, 0L, 0L), (5L, 0L, 0L, 0L)), r.mkString(","))
+  }
+
   test("luhnValid16 matches a reference Luhn implementation") {
     import spark.implicits._
     def refLuhn(s: String): Boolean = {
