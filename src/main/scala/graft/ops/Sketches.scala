@@ -421,6 +421,41 @@ object Sketches {
         expr("(jaccard_bp * est_union) div 10000"))
   }
 
+  /** Full KMV set ALGEBRA from two sketches — [[kmvOverlap]] extended
+    * with the per-side and DIFFERENCE estimates: est_a/est_b from each
+    * sketch's own (count, h_k), union/intersection from the merged
+    * top-k (the kmvOverlap math verbatim), and
+    * est_a_only = max(0, est_a − est_intersect) (same for b) — the
+    * incremental-ingest question ("how many documents in the new
+    * shard are genuinely NEW") answered from 2·k rows instead of an
+    * anti-join of two corpora. The difference inherits both
+    * estimators' error, so it is a TRIAGE number (the exact
+    * anti-join runs only on shards this flags) — the same contract as
+    * q219's intersection. All arithmetic is the established integer
+    * floor math; the whole row hash-gates.
+    *
+    * @return one row (k_used, est_a, est_b, est_union, est_intersect,
+    *         est_a_only, est_b_only, jaccard_bp)
+    */
+  def kmvSetAlgebra(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val p = graft.expressions.HashSpec.P
+    def side(df: DataFrame, tag: String) = df
+      .agg(count(lit(1)).as(s"k$tag"), max(col("h")).as(s"hk$tag"))
+      .select(when(col(s"k$tag") < k, col(s"k$tag"))
+        .otherwise(expr(s"(${k - 1}L * ${p}L) div hk$tag"))
+        .as(s"est_$tag"))
+    kmvOverlap(a, b, k)
+      .crossJoin(broadcast(side(a, "a")))
+      .crossJoin(broadcast(side(b, "b")))
+      .select(col("k_used"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"),
+        greatest(lit(0L), col("est_a") - col("est_intersect"))
+          .as("est_a_only"),
+        greatest(lit(0L), col("est_b") - col("est_intersect"))
+          .as("est_b_only"),
+        col("jaccard_bp"))
+  }
+
   /** Clamped equi-width bucket index of `v` — shared verbatim with the
     * oracle. Every literal is CAST to DOUBLE: Spark parses a bare
     * `15.0` as DECIMAL and then ROUNDS the decimal division

@@ -364,6 +364,19 @@ object LlmQueries extends QueryGroup {
       Sketches.kmvOverlap(a, b, 128)
     }),
 
+    // KMV set ALGEBRA (NEW r13): q219's union/intersection extended
+    // with per-side and DIFFERENCE estimates — "how much of the new
+    // shard is genuinely new" from 2·k sketch rows; same slices as
+    // q219 so the three estimates cross-check (a_only ≈ b_only ≈ 1/3)
+    "q273_kmv_set_algebra" -> ((s, d) => {
+      import graft.ops.Sketches
+      val docs = Tables.documents(s, d)
+      val norm = Dedup.normText(col("text"))
+      val a = Sketches.kmvSketch(docs.filter(col("doc_id") % 3 =!= 0), norm, 128)
+      val b = Sketches.kmvSketch(docs.filter(col("doc_id") % 3 =!= 1), norm, 128)
+      Sketches.kmvSetAlgebra(a, b, 128)
+    }),
+
     // incremental NEAR-dedup: the new crawl's minhash bands joined
     // against the ingested snapshot's — the fuzzy companion of q90b
     // (same corpus split), round-4 estimated Jaccard at 0.9
@@ -1449,6 +1462,41 @@ object LlmQueries extends QueryGroup {
            |  (((10000 * nb.n_both) // st.k_used) * ($est)) // 10000
            |    AS est_intersect
            |FROM st CROSS JOIN nb""".stripMargin
+      },
+
+      // q273: q219's replay + per-side estimators + clamped differences
+      "q273_kmv_set_algebra" -> {
+        val estU = s"CASE WHEN st.k_used < 128 THEN st.k_used" +
+          s" ELSE (127 * CAST($P AS BIGINT)) // st.hk END"
+        def estS(t: String) = s"CASE WHEN s$t.k$t < 128 THEN s$t.k$t" +
+          s" ELSE (127 * CAST($P AS BIGINT)) // s$t.hk$t END"
+        s"""WITH base AS (SELECT doc_id, ${graft.ops.Sketches.kmvScrambleSql(sqlPoly(sqlNorm))} AS h
+           |  FROM documents),
+           |a AS (SELECT h FROM (SELECT DISTINCT h FROM base
+           |  WHERE doc_id % 3 != 0 AND h IS NOT NULL) ORDER BY h LIMIT 128),
+           |b AS (SELECT h FROM (SELECT DISTINCT h FROM base
+           |  WHERE doc_id % 3 != 1 AND h IS NOT NULL) ORDER BY h LIMIT 128),
+           |m AS (SELECT h FROM (SELECT DISTINCT h FROM (
+           |    SELECT h FROM a UNION ALL SELECT h FROM b))
+           |  ORDER BY h LIMIT 128),
+           |nb AS (SELECT COUNT(*) AS n_both FROM m
+           |  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+           |st AS (SELECT COUNT(*) AS k_used, MAX(h) AS hk FROM m),
+           |sa AS (SELECT COUNT(*) AS ka, MAX(h) AS hka FROM a),
+           |sb AS (SELECT COUNT(*) AS kb, MAX(h) AS hkb FROM b),
+           |f AS (SELECT st.k_used,
+           |    CAST(${estS("a")} AS BIGINT) AS est_a,
+           |    CAST(${estS("b")} AS BIGINT) AS est_b,
+           |    CAST($estU AS BIGINT) AS est_union,
+           |    (((10000 * nb.n_both) // st.k_used) * ($estU)) // 10000
+           |      AS est_intersect,
+           |    (10000 * nb.n_both) // st.k_used AS jaccard_bp
+           |  FROM st CROSS JOIN nb CROSS JOIN sa CROSS JOIN sb)
+           |SELECT k_used, est_a, est_b, est_union, est_intersect,
+           |  GREATEST(0, est_a - est_intersect) AS est_a_only,
+           |  GREATEST(0, est_b - est_intersect) AS est_b_only,
+           |  jaccard_bp
+           |FROM f""".stripMargin
       },
 
       "q92_dedup_minhash_lsh" -> {

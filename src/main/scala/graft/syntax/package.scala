@@ -423,6 +423,8 @@ package object syntax {
       ops.Graph.neighborhoodFunctionExact(df, src, dst, maxDepth, directed)
     def kmvOverlap(other: DataFrame, k: Int): DataFrame =
       ops.Sketches.kmvOverlap(df, other, k)
+    def kmvSetAlgebra(other: DataFrame, k: Int): DataFrame =
+      ops.Sketches.kmvSetAlgebra(df, other, k)
     def embeddingDriftMicro(fresh: DataFrame, vecCol: String,
         dim: Int): DataFrame =
       ops.Validate.embeddingDriftMicro(df, fresh, vecCol, dim)

@@ -197,6 +197,30 @@ class SketchSpec extends SparkSpec {
     assert(j > 1000 && j < 5800, s"jaccard_bp=$j")
   }
 
+  test("kmvSetAlgebra: below-k sketches are EXACT set algebra; differences clamp at zero") {
+    import graft.ops.Sketches
+    // |A| = 30, |B| = 30, |A ∩ B| = 10 (values 21..30), all below
+    // k = 128 -> every sketch is its full set and every estimate is
+    // the exact cardinality
+    val a = Sketches.kmvSketch(strDf((1 to 30).map(i => s"v-$i")),
+      col("s"), 128)
+    val b = Sketches.kmvSketch(strDf((21 to 50).map(i => s"v-$i")),
+      col("s"), 128)
+    val r = Sketches.kmvSetAlgebra(a, b, 128).head()
+    // (k_used, est_a, est_b, est_union, est_intersect, a_only, b_only,
+    //  jaccard_bp)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 30L &&
+      r.getLong(2) == 30L && r.getLong(3) == 50L, r.toString)
+    assert(r.getLong(4) == 10L && r.getLong(5) == 20L &&
+      r.getLong(6) == 20L && r.getLong(7) == 2000L, r.toString)
+    // A ⊂ B: a_only clamps to exactly 0, never negative
+    val sub = Sketches.kmvSetAlgebra(
+      Sketches.kmvSketch(strDf((1 to 10).map(i => s"v-$i")), col("s"), 128),
+      Sketches.kmvSketch(strDf((1 to 40).map(i => s"v-$i")), col("s"), 128),
+      128).head()
+    assert(sub.getLong(5) == 0L && sub.getLong(6) == 30L, sub.toString)
+  }
+
   test("kmvOverlapMatrix: pairwise estimates agree with the pairwise op") {
     import graft.ops.Sketches
     // three slices with planted overlaps: A∩B = 300, B∩C = 300, A∩C = ∅
