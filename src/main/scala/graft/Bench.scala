@@ -19,6 +19,28 @@ import org.apache.spark.sql.SparkSession
   * prefixed the line with "[info] " — build.sbt now forces StdoutOutput,
   * and we re-print the line after spark.stop() so it is the very last
   * thing on stdout even if Spark shutdown chatter intervenes.
+  *
+  * ROUND-14 CANONICAL PROTOCOL (r13 verdict item 1). The r13 close bench
+  * (353.4 s) and the driver re-run (400.2 s) disagreed and the artifact
+  * could not decide "machine heat vs regression" after the fact. Now
+  * every full-catalog run embeds its own controls:
+  *   1. A/A canary (1 pass over the frozen canary set) BEFORE the sweep
+  *      → `canary.pre`.
+  *   2. The sweep (min over N alternating-order passes, unchanged).
+  *   3. The same canary AFTER the sweep → `canary.post`.
+  *   4. If BENCH_PREV.json exists (written by scripts/round_open.sh as
+  *      the per-query MIN of last round's close and driver runs), every
+  *      common query whose sweep-min exceeds 1.4× its prev time is
+  *      flagged; up to GRAFT_BENCH_REMEASURE (default 6) of the worst
+  *      are re-measured in a FRESH CHILD JVM (true isolation — the r7/r13
+  *      interference analysis showed shared-JVM elevations of 1.4–2.1×
+  *      that vanish in a fresh process). Each re-measure records
+  *      sweep/isolated/prev and a noise-vs-regression verdict
+  *      (isolated ≤ 1.2× prev → noise).
+  * All of it lands in BENCH_FULL.json (no size budget); the driver tail
+  * line gains only compact "cpre"/"cpost" fields. The headline "value"
+  * stays the sweep total — canary/re-measure time is excluded so the
+  * number is comparable across rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,17 +85,17 @@ object Bench {
     // FROZEN bench canary (round-11 protocol): ~20 queries spanning the
     // catalog (joins/aggs, windows, text, dedup/LSH, ANN, streaming,
     // graph, sketches, corpus). GRAFT_BENCH_CANARY=1 runs ONLY this set,
-    // min-of-3 by default. Run it at round OPEN and CLOSE and record
-    // both tables in PLANS.md: an A/A delta on untouched canaries makes
-    // "environment offset vs real regression" decidable without a judge
-    // rerun (the r10 driver pair read +17% on untouched queries purely
-    // from machine state). Do NOT edit this set without a PLANS.md note
-    // — its value is comparability across rounds.
+    // min-of-3 by default. Since round 14 the full-catalog run ALSO runs
+    // one canary pass before and one after the sweep and embeds both in
+    // the artifact (see protocol note above). Do NOT edit this set
+    // without a PLANS.md note — its value is comparability across rounds.
     val canarySet: Set[String] = Set(
       "q01b", "q18b", "q23b", "q35", "q71h", "q77d", "q92c", "q95b",
       "q96", "q99d", "q110", "q119", "q145", "q151e", "q154b", "q162b",
       "q171", "q180", "q209b", "q216b", "q218", "q221")
     val isCanary = sys.env.get("GRAFT_BENCH_CANARY").contains("1")
+    // child re-measure mode: one query, no canary phases, no recursion
+    val isChild = sys.env.get("GRAFT_BENCH_CHILD").contains("1")
     // GRAFT_BENCH_REVERSE=1 runs the catalog in reverse name order — an
     // A/B diagnostic for shared-session position effects (JIT/GC drift):
     // a query whose time moves with its POSITION is not a regression
@@ -84,6 +106,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .filter { case (name, _) =>
         !isCanary || canarySet.contains(name.takeWhile(_ != '_')) }
+    val canaryQueries = ordered0.filter { case (name, _) =>
+      canarySet.contains(name.takeWhile(_ != '_')) }
     // Position noise in the shared JVM is proven at up to 7x on this
     // catalog (PLANS.md order-flip A/B), so a single run per query is
     // not a measurement. Default: TWO passes, the second in reverse
@@ -130,43 +154,164 @@ object Bench {
       println(f"[bench] $tag $name%-28s ${sec}%9.3f s")
       name -> sec
     }
-    // N passes alternating forward/reverse order, per-query MIN across
-    // passes — position effects in the shared JVM cancel instead of
-    // masquerading as regressions.
+    // full-protocol control phases only make sense for the whole catalog:
+    // GRAFT_ONLY / canary / child runs are already targeted measurements.
+    // GRAFT_BENCH_FULLPROTO=1 forces the phases on a filtered catalog —
+    // local smoke-testing of the protocol itself without a 413-query run.
+    val fullProtocol = !isCanary && !isChild && (only.isEmpty ||
+      sys.env.get("GRAFT_BENCH_FULLPROTO").contains("1"))
+    // ---- phase 1: A/A canary BEFORE the sweep -------------------------
+    val canaryPre: Map[String, Double] =
+      if (fullProtocol) runPass(canaryQueries, "cpre").toMap else Map.empty
+    // ---- phase 2: the sweep (N passes alternating order, per-query MIN)
     val passRuns = (1 to passes).map { i =>
       val order = if (i % 2 == 0) sel.reverse else sel
       runPass(order, s"p$i").toMap
     }
     val results = sel.map { case (n, _) => n -> passRuns.map(_(n)).min }
     val total = results.map(_._2).sum
-    def line(rs: Seq[(String, Double)], short: Boolean, dec: Int): String = {
+    // ---- phase 3: A/A canary AFTER the sweep --------------------------
+    val canaryPost: Map[String, Double] =
+      if (fullProtocol) runPass(canaryQueries, "cpost").toMap else Map.empty
+    // ---- phase 4: prev-round comparison + isolated re-measures --------
+    // BENCH_PREV.json = per-query MIN of last round's close + driver runs
+    // (scripts/round_open.sh). Jackson ships with Spark; no extra dep.
+    def loadBench(path: String): Map[String, Double] = try {
+      val f = new java.io.File(path)
+      if (!f.isFile) Map.empty else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val qs = root.get("queries")
+        if (qs == null) Map.empty else {
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val prev = if (fullProtocol) loadBench("BENCH_PREV.json") else Map.empty[String, Double]
+    // floor of 0.25 s on the prev side: sub-quarter-second queries flip
+    // >1.4x on pure scheduling jitter and re-measuring them proves nothing
+    val flagged: Seq[(String, Double)] = results.collect {
+      case (n, sec) if prev.get(n).exists(p => p >= 0.25 && sec > 1.4 * p) =>
+        n -> sec / prev(n)
+    }.sortBy(-_._2)
+    val remeasureCap = sys.env.getOrElse("GRAFT_BENCH_REMEASURE", "6").toInt
+    // A fresh child JVM re-runs one flagged query through this same main
+    // (GRAFT_BENCH_CHILD=1 → no canary phases, no recursion) and writes
+    // its JSON to a temp file. Classpath/JVM flags are inherited from
+    // this forked process (build.sbt `run / fork := true` gives us a real
+    // java.class.path and the jdk17 --add-opens set).
+    def isolatedRemeasure(name: String): Option[Double] = try {
+      val javaBin = new java.io.File(new java.io.File(
+        sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val outFile = java.nio.file.Files.createTempFile("graft_bench_", ".json")
+      val jvmArgs = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+      }
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("GRAFT_ONLY", name)
+      pb.environment().put("GRAFT_BENCH_PASSES", "1")
+      pb.environment().put("GRAFT_BENCH_OUTFILE", outFile.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File("/dev/null")))
+      val p = pb.start()
+      val done = p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); None }
+      else loadBench(outFile.toString).get(name)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] remeasure $name failed: ${e.getMessage}"); None
+    }
+    val remeasured: Seq[(String, Double, Option[Double])] =
+      flagged.take(remeasureCap).map { case (n, _) =>
+        println(s"[bench] isolated re-measure of $n (>1.4x prev)")
+        (n, results.toMap.apply(n), isolatedRemeasure(n))
+      }
+    def j(d: Double): String = f"$d%.3f"
+    val canaryJson = if (!fullProtocol) "" else {
+      val pre = canaryPre.values.sum; val post = canaryPost.values.sum
+      val resultMap = results.toMap
+      // like-for-like heat test: the canary queries' SWEEP mins (same
+      // min-of-passes methodology as prev) vs their prev times. The
+      // pre/post single-pass sums are NOT comparable to prev (pre is
+      // cold — first plan compile + classload — post is JIT-warm), so
+      // they only decide "did the machine heat DURING the run".
+      val canKeys = canaryPre.keySet.filter(k => prev.contains(k) && resultMap.contains(k))
+      val sweepCanary = canKeys.toSeq.map(resultMap).sum
+      val prevCanary = canKeys.toSeq.map(prev).sum
+      val prevOk = canKeys.nonEmpty && canKeys.size == canaryPre.size
+      val heat =
+        if (pre > 0 && post / pre > 1.25) "heated_during_sweep"
+        else if (prevOk && prevCanary > 0 && sweepCanary / prevCanary > 1.25) "uniform_shift_vs_prev"
+        else if (prevOk) "stable" else "no_prev"
+      val preD = canaryPre.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
+      val postD = canaryPost.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
+      s""","canary":{"pre":${j(pre)},"post":${j(post)},"sweep_min":${j(sweepCanary)},"prev":${if (prevOk) j(prevCanary) else "null"},"heat":"$heat","pre_detail":$preD,"post_detail":$postD}"""
+    }
+    val flagJson = if (!fullProtocol) "" else {
+      val fl = flagged.map { case (n, r) => "\"" + n + "\":" + j(r) }.mkString("{", ",", "}")
+      val rm = remeasured.map { case (n, sweep, iso) =>
+        val p = prev(n)
+        // +0.5 s absolute allowance: the child JVM's single pass carries
+        // cold-start fixed costs (plan compile, classload) the sweep's
+        // min-of-passes does not — without it sub-second queries would
+        // read "regression" from JVM warmth alone
+        val verdict = iso match {
+          case Some(s) if s <= math.max(1.2 * p, p + 0.5) => "noise"
+          case Some(_) => "regression"
+          case None => "remeasure_failed"
+        }
+        "\"" + n + "\":{\"sweep\":" + j(sweep) + ",\"isolated\":" +
+          iso.map(j).getOrElse("null") + ",\"prev\":" + j(p) +
+          ",\"verdict\":\"" + verdict + "\"}"
+      }.mkString("{", ",", "}")
+      s""","flagged":$fl,"remeasured":$rm"""
+    }
+    def line(rs: Seq[(String, Double)], short: Boolean, dec: Int,
+        extra: String): String = {
       val qs = rs.map { case (k, v) =>
         val key = if (short) k.takeWhile(_ != '_') else k
         "\"" + key + "\":" + s"%.${dec}f".format(v)
       }.mkString("{", ",", "}")
       val errs = errors.keys.map(k =>
         "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs$extra,"sf":"$sfDir"}"""
     }
     // full-name copy for humans/judge; short-key line for the driver tail
     // (canary runs get their own file so the full-catalog artifact is
-    // never clobbered by a 20-query subset)
+    // never clobbered by a 20-query subset; child re-measures write ONLY
+    // to their temp outfile so BENCH_FULL.json survives driver re-runs
+    // of single queries)
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUTFILE",
+      if (isCanary) "BENCH_CANARY.json" else "BENCH_FULL.json")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        if (isCanary) "BENCH_CANARY.json" else "BENCH_FULL.json"),
-      line(results, short = false, dec = 3) + "\n")
+      java.nio.file.Paths.get(outPath),
+      line(results, short = false, dec = 3, canaryJson + flagJson) + "\n")
     val shortOk = { val ks = results.map(_._1.takeWhile(_ != '_')); ks.distinct.size == ks.size }
+    // compact canary sums ride the driver tail line (~40 chars); the
+    // full detail lives only in BENCH_FULL.json
+    val tailExtra = if (!fullProtocol) "" else
+      s""","cpre":${j(canaryPre.values.sum)},"cpost":${j(canaryPost.values.sum)},"nflag":${flagged.size}"""
     // degrade gracefully toward the 1900-char budget: 3 → 2 decimals,
     // then keep only the slowest queries that fit — the total always
     // stays; a too-long line is parsed as NOTHING by the driver
     val budget = 1900
-    val out = Seq(line(results, shortOk, 3), line(results, shortOk, 2))
+    val out = Seq(line(results, shortOk, 3, tailExtra), line(results, shortOk, 2, tailExtra))
       .find(_.length <= budget)
       .getOrElse {
         var kept = results.sortBy(-_._2)
-        while (line(kept.sortBy(_._1), shortOk, 2).length > budget && kept.nonEmpty)
+        while (line(kept.sortBy(_._1), shortOk, 2, tailExtra).length > budget && kept.nonEmpty)
           kept = kept.dropRight(1)
-        line(kept.sortBy(_._1), shortOk, 2)
+        line(kept.sortBy(_._1), shortOk, 2, tailExtra)
       }
     println(out)
     spark.stop()
