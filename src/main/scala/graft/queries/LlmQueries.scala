@@ -1035,9 +1035,13 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- multimodal plumbing (M6; decode is a marked stub) ----------
+    // ---- multimodal plumbing (M6; REAL header decode since r14) -----
+    // blobs carry byte-valid PNG/JPEG/GIF headers (correct magics, PNG
+    // CRC32, JPEG marker segments) and the dims below are PARSED from
+    // those bytes — the oracle replays the synthesis arithmetic, so a
+    // parse that read the wrong offsets would hash-mismatch
     "q105_multimodal_features" -> ((s, d) => {
-      val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "text")
+      val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "doc_id", "text")
       Multimodal.extractFeatures(s, withMedia, "doc_id")
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("format"), col("width"),
@@ -1045,10 +1049,25 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
-    // aspect-preserving resize plan over the stub-decoded dimensions
+    // aspect-preserving resize plan over the header-decoded dimensions
     "q105b_multimodal_resize" -> ((s, d) => {
-      val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "text")
+      val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "doc_id", "text")
       Multimodal.resizePlan(Multimodal.extractFeatures(s, withMedia, "doc_id").toDF())
+        .orderBy(col("doc_id"))
+    }),
+
+    // malformed-header fallback: blobs truncated to doc_id % 24 bytes —
+    // recognized magic with an incomplete header degrades to
+    // (format, -1, -1), unrecognized magic to "unknown"; GIF's 13-byte
+    // logical screen descriptor is the only header short enough to
+    // still yield real dims under the truncation
+    "q105e_media_malformed" -> ((s, d) => {
+      val withMedia = Multimodal.withMediaColumn(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("media",
+          expr("substring(media, 1, cast(doc_id % 24 as int))"))
+      Multimodal.extractFeatures(s, withMedia, "doc_id").toDF()
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          col("width"), col("height"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2486,27 +2505,53 @@ object LlmQueries extends QueryGroup {
            |FROM words wo JOIN best b USING (w)
            |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin,
 
+      // the Spark side PARSES width/height/format out of synthesized
+      // header BYTES (PNG IHDR / JPEG SOF0 scan / GIF LSD); the oracle
+      // replays the synthesis arithmetic — a parse reading the wrong
+      // offsets or endianness hash-mismatches. Header sizes: png 33
+      // (sig+IHDR+CRC), jpeg 43 (SOI+APP0+SOF0+SOS), gif 13 (hdr+LSD).
+      // brightness = mean byte of the post-header payload = the text.
       "q105_multimodal_features" ->
         s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
            |  list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))) AS bsum
            |FROM documents)
            |SELECT doc_id,
-           |  CAST(n AS INTEGER) AS n_bytes,
-           |  CASE WHEN n % 3 = 0 THEN 'png' WHEN n % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
-           |  CAST(64 + n % 577 AS INTEGER) AS width,
-           |  CAST(64 + (n * 7) % 409 AS INTEGER) AS height,
-           |  ROUND(CAST(bsum AS DOUBLE) / n / 255.0, 6) AS brightness
+           |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 43 ELSE 13 END + n AS INTEGER) AS n_bytes,
+           |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+           |  CAST(64 + (doc_id * 13) % 577 AS INTEGER) AS width,
+           |  CAST(64 + (doc_id * 7) % 409 AS INTEGER) AS height,
+           |  CASE WHEN n = 0 THEN 0.0
+           |       ELSE ROUND(CAST(bsum AS DOUBLE) / n / 255.0, 6) END AS brightness
            |FROM t ORDER BY doc_id""".stripMargin,
 
       "q105b_multimodal_resize" ->
-        s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-           |d AS (SELECT doc_id, 64 + n % 577 AS w, 64 + (n * 7) % 409 AS h FROM t),
+        s"""WITH d AS (SELECT doc_id, 64 + (doc_id * 13) % 577 AS w,
+           |  64 + (doc_id * 7) % 409 AS h FROM documents),
            |s AS (SELECT doc_id, w, h, LEAST(128.0 / w, 128.0 / h) AS sc FROM d)
            |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            |  CAST(FLOOR(w * sc) AS INTEGER) AS new_w,
            |  CAST(FLOOR(h * sc) AS INTEGER) AS new_h,
            |  ROUND(sc, 6) AS scale
            |FROM s ORDER BY doc_id""".stripMargin,
+
+      // truncation thresholds mirror HeaderDecoder's structural minimums:
+      // png sig 8 / full-dims 24+, jpeg SOI 2, gif magic 6 / full LSD 13.
+      // k2 = effective blob length after LEAST(k, header+payload)
+      "q105e_media_malformed" ->
+        s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n,
+           |  doc_id % 24 AS k, doc_id % 3 AS f FROM documents),
+           |u AS (SELECT doc_id, f,
+           |  LEAST(k, CASE f WHEN 0 THEN 33 WHEN 1 THEN 43 ELSE 13 END + n) AS k2 FROM t)
+           |SELECT doc_id,
+           |  CAST(k2 AS INTEGER) AS n_bytes,
+           |  CASE WHEN f = 0 THEN (CASE WHEN k2 < 8 THEN 'unknown' ELSE 'png' END)
+           |       WHEN f = 1 THEN (CASE WHEN k2 < 2 THEN 'unknown' ELSE 'jpeg' END)
+           |       ELSE (CASE WHEN k2 < 6 THEN 'unknown' ELSE 'gif' END) END AS format,
+           |  CASE WHEN f = 2 AND k2 >= 13 THEN CAST(64 + (doc_id * 13) % 577 AS INTEGER)
+           |       ELSE -1 END AS width,
+           |  CASE WHEN f = 2 AND k2 >= 13 THEN CAST(64 + (doc_id * 7) % 409 AS INTEGER)
+           |       ELSE -1 END AS height
+           |FROM u ORDER BY doc_id""".stripMargin,
 
       "q105d_audio_resample" ->
         """WITH t AS (SELECT doc_id,

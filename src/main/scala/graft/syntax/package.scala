@@ -147,7 +147,8 @@ package object syntax {
       TextAnalysis.repetitionStats(df, id, text, n)
 
     // ---- multimodal (Multimodal) ------------------------------------
-    def withMediaColumn(text: String): DataFrame = Multimodal.withMediaColumn(df, text)
+    def withMediaColumn(id: String, text: String): DataFrame =
+      Multimodal.withMediaColumn(df, id, text)
     def sampleFrames(id: String, text: String, frameChars: Int = 256,
         step: Int = 3): DataFrame = Multimodal.sampleFrames(df, id, text, frameChars, step)
 

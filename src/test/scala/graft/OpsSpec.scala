@@ -440,13 +440,67 @@ class OpsSpec extends SparkSpec {
   }
 
   test("multimodal extraction is deterministic and schema-typed") {
-    val withMedia = Multimodal.withMediaColumn(docs.limit(10), "text")
+    val withMedia = Multimodal.withMediaColumn(docs.limit(10), "doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, withMedia, "doc_id").collect()
     assert(feats.length == 10)
     assert(feats.forall(f => f.width >= 64 && f.height >= 64))
-    assert(feats.forall(f => f.brightness > 0 && f.brightness < 1))
+    assert(feats.forall(f => f.brightness >= 0 && f.brightness < 1))
+    // dims are PARSED from header bytes; they must equal the synthesis
+    // arithmetic — a wrong offset/endianness breaks this equality
+    assert(feats.forall(f =>
+      f.width == 64 + Math.floorMod(f.doc_id * 13, 577L).toInt &&
+      f.height == 64 + Math.floorMod(f.doc_id * 7, 409L).toInt))
+    assert(feats.forall(f => Set("png", "jpeg", "gif").contains(f.format)))
     val again = Multimodal.extractFeatures(spark, withMedia, "doc_id").collect()
     assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("HeaderDecoder parses real container headers and degrades on malformed bytes") {
+    import graft.ops.Multimodal.HeaderDecoder.parseHeader
+    // golden fixtures: handcrafted headers with known dims (NOT produced
+    // by synthesizeBlob, so synthesis and parsing can't share a bug)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // sig
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 1, 0x2c, // width 300 big-endian
+      0, 0, 0, 0xc8, // height 200 big-endian
+      8, 2, 0, 0, 0, 0xde, 0xad, 0xbe, 0xef).map(_.toByte) ++ Array[Byte](7, 7)
+    assert(parseHeader(png) == (("png", 300, 200, 33)))
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0x2c, 0x01, 0x00, 0x00, 0x00).map(_.toByte) // 320x300 LE, no GCT
+    assert(parseHeader(gif) == (("gif", 320, 300, 13)))
+    // GIF with a global color table: flags 0x91 → 2^(1+1)=4 entries = 12 bytes
+    val gifGct = "GIF87a".getBytes("US-ASCII") ++
+      Array(0x10, 0x00, 0x08, 0x00, 0x91, 0x00, 0x00).map(_.toByte) ++
+      Array.fill[Byte](12)(0x33) ++ Array[Byte](1, 2)
+    assert(parseHeader(gifGct) == (("gif", 16, 8, 25)))
+    // JPEG: SOI + COM segment (scan must skip it) + SOF2 (progressive) + SOS
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xfe, 0x00, 0x04, 0x41, 0x42, // COM len 4
+      0xff, 0xc2, 0x00, 0x0b, 8, 0x00, 0x96, 0x01, 0x90, 1, 1, 0x11, 0, // SOF2 150x400, 1 comp
+      0xff, 0xda, 0x00, 0x08, 1, 1, 0, 0, 63, 0).map(_.toByte) ++ Array[Byte](9)
+    assert(parseHeader(jpeg) == (("jpeg", 400, 150, 31)))
+    // malformed: truncated PNG (sig only), JPEG without SOF, short GIF,
+    // empty, and plain text
+    assert(parseHeader(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))._1 == "png")
+    assert(parseHeader(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))._2 == -1)
+    assert(parseHeader(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) ==
+      (("jpeg", -1, -1, 4)))
+    assert(parseHeader("GIF89a".getBytes("US-ASCII")) == (("gif", -1, -1, 6)))
+    assert(parseHeader(Array.empty[Byte]) == (("unknown", -1, -1, 0)))
+    assert(parseHeader("hello world".getBytes("UTF-8")) == (("unknown", -1, -1, 0)))
+    // synthesizeBlob round-trip at adversarial ids (0, negatives via
+    // floorMod, large): parse(synthesize(id)) recovers the id-derived dims
+    for (id <- Seq(0L, 1L, 2L, 576L, 12345678901L)) {
+      val (fmt, w, h, off) = parseHeader(
+        graft.ops.Multimodal.synthesizeBlob(id, "payload".getBytes("UTF-8")))
+      assert(w == 64 + Math.floorMod(id * 13, 577L).toInt)
+      assert(h == 64 + Math.floorMod(id * 7, 409L).toInt)
+      val expFmt = Seq("png", "jpeg", "gif")(Math.floorMod(id, 3L).toInt)
+      assert(fmt == expFmt)
+      val expOff = Seq(33, 43, 13)(Math.floorMod(id, 3L).toInt)
+      assert(off == expOff)
+    }
   }
 
   test("linkageScores: blocked pairs, weight sums, null-safe agreement") {

@@ -106,7 +106,7 @@ class SyntaxSpec extends SparkSpec {
       .repetitionStats("doc_id", "text")
       .select($"n_grams", $"top_gram_frac", $"dup_gram_frac").head
     assert(rep.getInt(0) == 4 && rep.getDouble(1) == 0.5 && rep.getDouble(2) == 0.5)
-    assert(docs.withMediaColumn("text").schema("media").dataType.typeName == "binary")
+    assert(docs.withMediaColumn("doc_id", "text").schema("media").dataType.typeName == "binary")
     assert(docs.sampleFrames("doc_id", "text", frameChars = 10, step = 2).count() > 0)
   }
 
