@@ -402,16 +402,77 @@ object Similarity {
     * corpus is scanned once per round; k and dim stay driver-trivial.
     */
   def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
-      k: Int, iters: Int = 3): DataFrame = {
+      k: Int, iters: Int = 3, seeding: String = "lowest-id"): DataFrame = {
     val wSeed = Window.orderBy(col(id))
-    var cents = corpus.orderBy(col(id)).limit(k)
-      .select((row_number().over(wSeed) - 1).cast("long").as("cl"), col(vec).as("c_vec"))
-      .localCheckpoint(true)
+    var cents = (seeding match {
+      case "farthest" => kmeansSeedsFarthest(corpus, id, vec, k)
+      case _ => corpus.orderBy(col(id)).limit(k)
+        .select((row_number().over(wSeed) - 1).cast("long").as("cl"), col(vec).as("c_vec"))
+    }).localCheckpoint(true)
     for (_ <- 1 to iters) {
       cents = centroidMeans(kmeansAssign(corpus, id, vec, cents), vec)
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Deterministic k-means++-style farthest-point seeding (r13 verdict
+    * item 4). The `lowest-id` seeds above can all land in one region of
+    * embedding space when ids correlate with content (crawl order,
+    * shard order), silently degrading every IVF/SemDeDup tier built on
+    * the clustering. This maxmin traversal is RNG-free like the
+    * Efraimidis–Spirakis sampler: the anchor is the vector with the
+    * smallest xxhash64(id) (uniform over the corpus, independent of id
+    * order), then each round adds the point FARTHEST (squared
+    * euclidean) from its nearest already-chosen seed, ties broken by
+    * (hash asc, id asc) — fully reproducible across runs and cluster
+    * sizes.
+    *
+    * Cost: one scan of the (checkpointed) projection per seed — k
+    * scans, each ending in a 1-row TakeOrdered. At 100 TB one seeds on
+    * a `Corpus.sampleByHash` slice, exactly like codebook training:
+    * seed quality needs thousands of candidates, not the corpus.
+    * If the corpus has fewer than k rows the traversal stops early and
+    * returns what exists (downstream assign handles any cluster count).
+    */
+  def kmeansSeedsFarthest(corpus: DataFrame, id: String, vec: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"kmeansSeedsFarthest: k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus.select(col(id).cast("long").as("__id"), col(vec).as("__v"),
+        xxhash64(col(id).cast("long")).as("__h"))
+      .localCheckpoint(true)
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    val anchor = pts.orderBy(col("__h").asc, col("__id").asc).limit(1).collect()
+    if (anchor.nonEmpty) {
+      seeds += ((anchor(0).getLong(0), anchor(0).getSeq[Float](1).toArray))
+      var exhausted = false
+      while (seeds.length < k && !exhausted) {
+        val bcSeeds = spark.sparkContext.broadcast(seeds.map(_._2).toArray)
+        val minD = udf { (v: Seq[Float]) =>
+          val ss = bcSeeds.value
+          var best = Double.MaxValue; var j = 0
+          while (j < ss.length) {
+            val c = ss(j); val n = math.min(v.length, c.length)
+            var s = 0.0; var i = 0
+            while (i < n) { val dd = v(i).toDouble - c(i).toDouble; s += dd * dd; i += 1 }
+            if (s < best) best = s
+            j += 1
+          }
+          best
+        }
+        val next = pts.filter(!col("__id").isInCollection(seeds.map(_._1)))
+          .select(col("__id"), col("__v"), col("__h"), minD(col("__v")).as("__d"))
+          .orderBy(col("__d").desc, col("__h").asc, col("__id").asc)
+          .limit(1).collect()
+        if (next.isEmpty) exhausted = true
+        else seeds += ((next(0).getLong(0), next(0).getSeq[Float](1).toArray))
+      }
+    }
+    seeds.toSeq.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+      .toDF("cl", "c_vec")
   }
 
   /** IVF with a LEARNED coarse quantizer: k-means centroids → assign the
@@ -420,8 +481,8 @@ object Similarity {
     */
   def ivfTopKLearned(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, nClusters: Int, nProbe: Int = 2,
-      iters: Int = 3): DataFrame = {
-    val cents = kmeansCentroids(corpus, id, vec, nClusters, iters)
+      iters: Int = 3, seeding: String = "lowest-id"): DataFrame = {
+    val cents = kmeansCentroids(corpus, id, vec, nClusters, iters, seeding)
     ivfTopK(kmeansAssign(corpus, id, vec, cents), queries, id, vec, "cl", k, nProbe)
   }
 

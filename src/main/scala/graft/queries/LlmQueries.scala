@@ -711,6 +711,21 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // farthest-point-seeded IVF at FULL probe == the exact tier (NEW
+    // r14): hash-anchored maxmin seeding replaces lowest-id seeds
+    // (which collapse when ids correlate with embedding-space position
+    // — OpsSpec has the collapsing fixture). Probing every cluster
+    // makes the result seed-independent, so the exact brute-force
+    // top-k is the oracle and the whole seeded chain (seed → assign →
+    // centroid means → probe → search) is gated end-to-end.
+    "q274_ann_ivf_seeded" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKLearned(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 8,
+          iters = 2, seeding = "farthest")
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // Product-quantization ANN (NEW r8): per-subspace deterministic
     // k-means codebooks → 8-byte-per-subspace codes → asymmetric-
     // distance top-k over the RECONSTRUCTED vectors. The scan side
@@ -1833,6 +1848,18 @@ object LlmQueries extends QueryGroup {
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q97_ann_bruteforce" ->
+        s"""SELECT q_id, rnk, n_id, ROUND(cos, 6) AS cos FROM (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, ${sqlDot("q", "n")} AS cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${sqlDot("q", "n")} DESC, n.vec_id ASC) AS INTEGER) AS rnk
+           |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+           |  WHERE q.vec_id < 3
+           |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // full-probe IVF is seed-independent by construction, so the
+      // oracle is the EXACT tier — identical SQL to q97; a probe or
+      // assignment bug in the seeded chain would drop candidates and
+      // hash-mismatch
+      "q274_ann_ivf_seeded" ->
         s"""SELECT q_id, rnk, n_id, ROUND(cos, 6) AS cos FROM (
            |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, ${sqlDot("q", "n")} AS cos,
            |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${sqlDot("q", "n")} DESC, n.vec_id ASC) AS INTEGER) AS rnk

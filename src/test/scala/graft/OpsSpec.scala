@@ -455,6 +455,44 @@ class OpsSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
 
+  test("kmeansSeedsFarthest spreads seeds where lowest-id seeds collapse") {
+    import spark.implicits._
+    def v(x: Float, y: Float, z: Float) = Array(x, y, z)
+    // ids correlate with embedding-space position: the 4 lowest ids are
+    // all within 0.01 of the x-axis pole — exactly the degeneracy the
+    // verdict flagged for crawl-ordered corpora
+    val rows = Seq(
+      (0L, v(1f, 0f, 0f)), (1L, v(1f, 0.01f, 0f)), (2L, v(1f, 0f, 0.01f)),
+      (3L, v(0.99f, 0f, 0f)),
+      (10L, v(0f, 1f, 0f)), (11L, v(0.01f, 1f, 0f)),
+      (20L, v(0f, 0f, 1f)), (21L, v(0f, 0.01f, 1f))).toDF("vec_id", "embedding")
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    // lowest-id seeds: pairwise squared distance < 0.01 — collapsed
+    val low = rows.orderBy("vec_id").limit(3).collect()
+      .map(_.getSeq[Float](1).toArray)
+    assert(d2(low(0), low(1)) < 0.01 && d2(low(0), low(2)) < 0.01)
+    // farthest-point seeds: one per orthogonal group (pairwise d2 ~ 2)
+    val seeds = Similarity.kmeansSeedsFarthest(rows, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(seeds.length == 3)
+    for (i <- 0 until 3; j <- i + 1 until 3)
+      assert(d2(seeds(i)._2, seeds(j)._2) > 1.0,
+        s"seeds ${seeds(i)._1} and ${seeds(j)._1} collapsed")
+    // one seed per orthogonal group = three distinct dominant axes
+    // (the returned ids are cluster ordinals, not source vec_ids)
+    assert(seeds.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet.size == 3,
+      "expected one seed per orthogonal group")
+    // deterministic across runs (no RNG anywhere in the traversal)
+    val again = Similarity.kmeansSeedsFarthest(rows, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    assert(seeds.map(t => (t._1, t._2.toSeq)).toSeq == again.toSeq)
+    // fewer distinct points than k: stops early, returns what exists
+    val tiny = Seq((1L, v(1f, 0f, 0f)), (2L, v(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kmeansSeedsFarthest(tiny, "vec_id", "embedding", 5).count() == 2)
+  }
+
   test("HeaderDecoder parses real container headers and degrades on malformed bytes") {
     import graft.ops.Multimodal.HeaderDecoder.parseHeader
     // golden fixtures: handcrafted headers with known dims (NOT produced
