@@ -1398,11 +1398,15 @@ object Graph {
     var i = 0
     var stable = false
     while (if (fixpoint) !stable else i < rounds) {
-      if (fixpoint && i >= maxFixpointRounds)
+      if (fixpoint && i >= maxFixpointRounds) {
+        // release the current frame before aborting — a long-lived
+        // session would otherwise keep its cached partitions forever
+        e.unpersist(blocking = false)
         throw new IllegalStateException(
           s"kTruss fixpoint did not converge within $maxFixpointRounds " +
             s"rounds (surviving edges: $prevCount); raise " +
             "maxFixpointRounds if the graph genuinely needs more peels")
+      }
       val keep = edgeSupport(e).filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
       val next = e.join(keep, Seq("a", "b"), "left_semi")

@@ -657,10 +657,21 @@ object TextAnalysis {
     * pure integer arithmetic so the count replays bit-for-bit.
     */
   val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val piiPhoneRe = "\\b[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  // both the international NN(N)-NNN-NNN-NNNN shape and the ubiquitous
+  // NNN-NNN-NNNN local shape (r13 ADVICE); the optional middle group is
+  // tried greedily first in BOTH engines (Java greedy, RE2 default
+  // leftmost-first), so a 4-part number is one match, never two
+  val piiPhoneRe = "\\b[0-9]{2,3}-[0-9]{3}(-[0-9]{3})?-[0-9]{4}\\b"
   val piiIpv4Re = "\\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])" +
     "(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\\b"
   val piiCardRe = "\\b[0-9]{16}\\b"
+  // SSN shape NNN-NN-NNNN; issuable-range validity (area not 000/666/9xx,
+  // group not 00, serial not 0000) is a separate integer check — RE2 has
+  // no lookahead, so exclusions can't live in the pattern
+  val piiSsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  // IBAN shape: country code + 2 check digits + 11..30 alphanumerics
+  // (ISO 13616 BBAN); mod-97 validity is [[ibanValid]]
+  val piiIbanRe = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
 
   /** Luhn checksum over a 16-digit candidate string — integer HOF, no
     * UDF: reversed position i doubles every even i with the −9
@@ -676,6 +687,36 @@ object TextAnalysis {
         acc + term
       })
     pmod(total, lit(10)) === 0
+  }
+
+  /** IBAN mod-97 check (ISO 13616): move the first 4 chars to the end,
+    * map letters to 10..35, read the result as a decimal number — valid
+    * iff ≡ 1 (mod 97). Computed as a left-to-right integer fold that
+    * reduces mod 97 at every step (the textbook streaming form), so the
+    * accumulator never exceeds 97·100 + 35 and the arithmetic replays
+    * bit-for-bit in any engine — the oracle instead casts the mapped
+    * digit string to HUGEINT and takes one modulo; both are the same
+    * number theory.
+    */
+  def ibanValid(c: Column): Column = {
+    val rearranged = concat(substring(c, 5, 64), substring(c, 1, 4))
+    val chars = split(rearranged, "")
+    val residue = aggregate(chars, lit(0L), (acc, ch) =>
+      when(ch >= "A" && ch <= "Z",
+        pmod(acc * 100 + (ascii(ch) - 55), lit(97L)))
+        .otherwise(pmod(acc * 10 + ch.cast("long"), lit(97L))))
+    residue === 1
+  }
+
+  /** SSN issuable-range check over a NNN-NN-NNNN match: area not 000,
+    * not 666, below 900; group not 00; serial not 0000 (SSA rules).
+    * Pure substring/integer arithmetic — replays exactly.
+    */
+  def ssnValid(c: Column): Column = {
+    val area = substring(c, 1, 3).cast("int")
+    val group = substring(c, 5, 2).cast("int")
+    val serial = substring(c, 8, 4).cast("int")
+    area =!= 0 && area =!= 666 && area < 900 && group =!= 0 && serial =!= 0
   }
 
   /** Per-document PII counts: one projection, no shuffle — each class
@@ -703,20 +744,48 @@ object TextAnalysis {
         col("n_email") + col("n_phone") + col("n_ipv4") + col("n_card_luhn"))
   }
 
+  /** Extended per-document PII counts (r13 verdict item 7): IBAN and
+    * SSN shapes with their validity splits — raw shape matches vs the
+    * subset passing the class's integer checksum/range rules (mod-97
+    * for IBAN, SSA issuable ranges for SSN) — plus the phone count so
+    * the NNN-NNN-NNNN alternation is gated. Same posture as
+    * [[piiScan]]: one projection, no shuffle, validators not NER.
+    *
+    * @return (id, n_phone, n_ssn_raw, n_ssn_valid, n_iban_raw,
+    *         n_iban_valid)
+    */
+  def piiScanExtended(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = coalesce(col(text), lit(""))
+    val ssns = regexp_extract_all(t, lit(piiSsnRe), lit(0))
+    val ibans = regexp_extract_all(t, lit(piiIbanRe), lit(0))
+    df.select(col(id),
+      size(regexp_extract_all(t, lit(piiPhoneRe), lit(0))).cast("long")
+        .as("n_phone"),
+      size(ssns).cast("long").as("n_ssn_raw"),
+      size(filter(ssns, c => ssnValid(c))).cast("long").as("n_ssn_valid"),
+      size(ibans).cast("long").as("n_iban_raw"),
+      size(filter(ibans, c => ibanValid(c))).cast("long").as("n_iban_valid"))
+  }
+
   /** PII redaction — the write-side companion of [[piiScan]]: each
     * class replaced by a typed placeholder, applied in a FIXED order
-    * (email, phone, card, ip) so the output is deterministic and the
-    * oracle replays the same chain with 'g'-flagged regexp_replace.
-    * All 16-digit runs are redacted (not only Luhn-valid ones) — on
-    * the write side false positives are the safe direction.
+    * (email, phone, ssn, card, iban, ip) so the output is
+    * deterministic and the oracle replays the same chain with
+    * 'g'-flagged regexp_replace. All shape matches are redacted (not
+    * only checksum-valid ones) — on the write side false positives
+    * are the safe direction.
     */
   def piiRedact(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(coalesce(c, lit("")),
-            piiEmailRe, "<EMAIL>"),
-          piiPhoneRe, "<PHONE>"),
-        piiCardRe, "<CARD>"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(coalesce(c, lit("")),
+                piiEmailRe, "<EMAIL>"),
+              piiPhoneRe, "<PHONE>"),
+            piiSsnRe, "<SSN>"),
+          piiCardRe, "<CARD>"),
+        piiIbanRe, "<IBAN>"),
       piiIpv4Re, "<IP>")
 }

@@ -1246,9 +1246,13 @@ object Validate {
     * U+0002 sentinel (distinct from the empty string), joined on
     * U+0001 (documented ambiguity bound: a data cell containing
     * U+0001 could alias a column boundary — pick audit columns
-    * accordingly). Hash values live in [0, 1e9+7), so the SUM of 9
-    * quintillion rows stays inside int64 — no overflow discipline
-    * needed.
+    * accordingly). Hash values live in [0, 1e9+7), so the int64 SUM is
+    * exact up to ~9.2 billion rows PER GROUP; beyond that it wraps mod
+    * 2^64, which still compares consistently between source and
+    * destination (both sides wrap identically) — but enable
+    * spark.sql.ansi.enabled and the SUM throws instead of wrapping, so
+    * ANSI deployments auditing >9e9-row groups should fold sum_h
+    * modulo a prime or split groups first.
     *
     * @return per group: (grp, n_rows, xor_h, sum_h)
     */

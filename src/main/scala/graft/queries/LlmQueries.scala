@@ -179,6 +179,65 @@ object LlmQueries extends QueryGroup {
           pmod(col("c_custkey"), lit(256)).cast("string")),
         lit("ok the end")).as("t"))
 
+  /** Extended PII fixture for q265c/q265d: a local NNN-NNN-NNNN phone
+    * (the r13-ADVICE shape), an intl 4-part phone, an SSN whose
+    * issuable-range validity varies by key, and a DE-shaped IBAN whose
+    * mod-97 validity varies by key (~1/97 of keys valid) — every class
+    * a deterministic function of (c_custkey, c_nationkey), rebuilt
+    * verbatim in the oracle.
+    */
+  private def piiDocs2(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+      concat_ws(" ",
+        lit("tel"),
+        concat(
+          lpad(pmod(col("c_custkey") * 19 + 1, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey") * 23, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey") * 29, lit(10000)).cast("string"), 4, "0")),
+        lit("intl"),
+        concat(
+          (col("c_nationkey") + 10).cast("string"), lit("-"),
+          lpad(pmod(col("c_custkey") * 7, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey") * 13, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey") * 17, lit(10000)).cast("string"), 4, "0")),
+        lit("ssn"),
+        concat(
+          lpad(pmod(col("c_custkey") * 37, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey") * 11, lit(100)).cast("string"), 2, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey") * 53, lit(10000)).cast("string"), 4, "0")),
+        lit("iban"),
+        concat(lit("DE"),
+          lpad(pmod(col("c_custkey") * 3, lit(100)).cast("string"), 2, "0"),
+          lpad(pmod(col("c_custkey") * 271 + col("c_nationkey"),
+            lit(1000000000L)).cast("string"), 9, "0"),
+          lpad(pmod(col("c_custkey") * 7919, lit(1000000000L))
+            .cast("string"), 9, "0")),
+        lit("fin")).as("t"))
+
+  /** The q265c/q265d text in DuckDB (exact string equality with
+    * [[piiDocs2]]). */
+  private val sqlPiiText2: String =
+    "'tel ' || LPAD(CAST((c_custkey * 19 + 1) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "LPAD(CAST((c_custkey * 23) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "LPAD(CAST((c_custkey * 29) % 10000 AS VARCHAR), 4, '0') || " +
+      "' intl ' || CAST(c_nationkey + 10 AS VARCHAR) || '-' || " +
+      "LPAD(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "LPAD(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "LPAD(CAST((c_custkey * 17) % 10000 AS VARCHAR), 4, '0') || " +
+      "' ssn ' || LPAD(CAST((c_custkey * 37) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "LPAD(CAST((c_custkey * 11) % 100 AS VARCHAR), 2, '0') || '-' || " +
+      "LPAD(CAST((c_custkey * 53) % 10000 AS VARCHAR), 4, '0') || " +
+      "' iban DE' || LPAD(CAST((c_custkey * 3) % 100 AS VARCHAR), 2, '0') || " +
+      "LPAD(CAST((c_custkey * 271 + c_nationkey) % 1000000000 AS VARCHAR), 9, '0') || " +
+      "LPAD(CAST((c_custkey * 7919) % 1000000000 AS VARCHAR), 9, '0') || ' fin'"
+
   /** The same synthesized text in DuckDB (exact string equality with
     * [[piiDocs]] — md5-gated). */
   private val sqlPiiText: String =
@@ -823,6 +882,24 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("c_custkey"))
     }),
 
+    // extended PII classes (NEW r14, verdict item 7 + r13 ADVICE):
+    // local NNN-NNN-NNNN phones, SSNs with the SSA issuable-range
+    // split, IBANs with the mod-97 split — raw vs valid counts per
+    // class, both engines computing the checksums independently
+    "q265c_pii_extended" -> ((s, d) => {
+      TextAnalysis.piiScanExtended(piiDocs2(s, d), "c_custkey", "t")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // redaction over the extended classes: <SSN>/<IBAN> placeholders
+    // exercised, whole text md5-gated
+    "q265d_pii_redact_extended" -> ((s, d) => {
+      piiDocs2(s, d)
+        .select(col("c_custkey"),
+          md5(TextAnalysis.piiRedact(col("t"))).as("redacted_md5"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q100_text_langid" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("lang"),
@@ -1367,11 +1444,63 @@ object LlmQueries extends QueryGroup {
         val ph = graft.ops.TextAnalysis.piiPhoneRe
         val ip = graft.ops.TextAnalysis.piiIpv4Re
         val cd = graft.ops.TextAnalysis.piiCardRe
+        val sn = graft.ops.TextAnalysis.piiSsnRe
+        val ib = graft.ops.TextAnalysis.piiIbanRe
         s"""WITH p AS (SELECT c_custkey, $sqlPiiText AS t FROM customer)
            |SELECT c_custkey, MD5(
            |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |    regexp_replace(regexp_replace(
            |    t, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
-           |    '$cd', '<CARD>', 'g'), '$ip', '<IP>', 'g')) AS redacted_md5
+           |    '$sn', '<SSN>', 'g'), '$cd', '<CARD>', 'g'),
+           |    '$ib', '<IBAN>', 'g'), '$ip', '<IP>', 'g')) AS redacted_md5
+           |FROM p ORDER BY c_custkey""".stripMargin
+      },
+
+      // q265c/q265d: IBAN mod-97 replayed in ONE HUGEINT modulo (the
+      // Spark side folds mod 97 stepwise — same number theory, no
+      // overflow either way); SSN issuable ranges as integer CASEs
+      "q265c_pii_extended" -> {
+        val ph = graft.ops.TextAnalysis.piiPhoneRe
+        val sn = graft.ops.TextAnalysis.piiSsnRe
+        val ib = graft.ops.TextAnalysis.piiIbanRe
+        s"""WITH p AS (SELECT c_custkey, $sqlPiiText2 AS t FROM customer),
+           |s AS (SELECT c_custkey,
+           |  CAST(LEN(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phone,
+           |  regexp_extract_all(t, '$sn') AS ssns,
+           |  regexp_extract_all(t, '$ib') AS ibans
+           |  FROM p)
+           |SELECT c_custkey, n_phone,
+           |  CAST(LEN(ssns) AS BIGINT) AS n_ssn_raw,
+           |  CAST(LEN(list_filter(ssns, c ->
+           |    CAST(c[1:3] AS INTEGER) NOT IN (0, 666)
+           |    AND CAST(c[1:3] AS INTEGER) < 900
+           |    AND CAST(c[5:6] AS INTEGER) != 0
+           |    AND CAST(c[8:11] AS INTEGER) != 0)) AS BIGINT) AS n_ssn_valid,
+           |  CAST(LEN(ibans) AS BIGINT) AS n_iban_raw,
+           |  CAST(LEN(list_filter(ibans, c ->
+           |    CAST(list_aggregate(list_transform(
+           |      string_split(c[5:] || c[1:4], ''), ch ->
+           |        CASE WHEN ch BETWEEN 'A' AND 'Z'
+           |          THEN CAST(ascii(ch) - 55 AS VARCHAR) ELSE ch END),
+           |      'string_agg', '') AS HUGEINT) % 97 = 1)) AS BIGINT)
+           |    AS n_iban_valid
+           |FROM s ORDER BY c_custkey""".stripMargin
+      },
+
+      "q265d_pii_redact_extended" -> {
+        val em = graft.ops.TextAnalysis.piiEmailRe
+        val ph = graft.ops.TextAnalysis.piiPhoneRe
+        val ip = graft.ops.TextAnalysis.piiIpv4Re
+        val cd = graft.ops.TextAnalysis.piiCardRe
+        val sn = graft.ops.TextAnalysis.piiSsnRe
+        val ib = graft.ops.TextAnalysis.piiIbanRe
+        s"""WITH p AS (SELECT c_custkey, $sqlPiiText2 AS t FROM customer)
+           |SELECT c_custkey, MD5(
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |    regexp_replace(regexp_replace(
+           |    t, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
+           |    '$sn', '<SSN>', 'g'), '$cd', '<CARD>', 'g'),
+           |    '$ib', '<IBAN>', 'g'), '$ip', '<IP>', 'g')) AS redacted_md5
            |FROM p ORDER BY c_custkey""".stripMargin
       },
 

@@ -301,6 +301,66 @@ class TextAnalysisSpec extends SparkSpec {
       "hi <EMAIL> call <PHONE> card <CARD> ip <IP> end", out)
   }
 
+  test("piiPhoneRe matches both NNN-NNN-NNNN and NN(N)-NNN-NNN-NNNN; SSN shape does not cross-match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tel 123-456-7890 end"),               // local shape -> 1
+      (2L, "intl 12-345-678-9012 end"),           // 4-part -> 1 (one match, not two)
+      (3L, "both 123-456-7890 and 44-555-666-7777"), // -> 2
+      (4L, "ssn 123-45-6789 only"),               // SSN is NOT a phone -> 0
+      (5L, "digits 1234567890 undashed")          // -> 0
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.piiScan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 0L)),
+      r.mkString(","))
+  }
+
+  test("piiScanExtended: SSN issuable ranges and IBAN mod-97 discriminate; phone is not an SSN") {
+    import spark.implicits._
+    val docs = Seq(
+      // GB82WEST12345698765432 is the ISO 13616 example IBAN (valid);
+      // flipping the last digit breaks the mod-97 residue
+      (1L, "iban GB82WEST12345698765432 ok"),
+      (2L, "iban GB82WEST12345698765433 bad"),
+      (3L, "ssn 219-09-9999 fine"),        // issuable
+      (4L, "ssn 000-12-3456 bad area"),
+      (5L, "ssn 666-12-3456 bad area"),
+      (6L, "ssn 900-12-3456 bad area"),    // >= 900
+      (7L, "ssn 219-00-3456 bad group"),
+      (8L, "ssn 219-09-0000 bad serial"),
+      (9L, "tel 555-123-4567 not an ssn"),
+      (10L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.piiScanExtended(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    // (id, n_phone, n_ssn_raw, n_ssn_valid, n_iban_raw, n_iban_valid)
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L, 1L),
+      (2L, 0L, 0L, 0L, 1L, 0L),
+      (3L, 0L, 1L, 1L, 0L, 0L),
+      (4L, 0L, 1L, 0L, 0L, 0L),
+      (5L, 0L, 1L, 0L, 0L, 0L),
+      (6L, 0L, 1L, 0L, 0L, 0L),
+      (7L, 0L, 1L, 0L, 0L, 0L),
+      (8L, 0L, 1L, 0L, 0L, 0L),
+      (9L, 1L, 0L, 0L, 0L, 0L),
+      (10L, 0L, 0L, 0L, 0L, 0L)), r.mkString(","))
+  }
+
+  test("piiRedact extended order: SSN and IBAN get typed placeholders") {
+    import spark.implicits._
+    val docs = Seq((1L,
+      "s 219-09-9999 i GB82WEST12345698765432 p 555-123-4567 end"))
+      .toDF("doc_id", "text")
+    val out = docs.select(
+        graft.ops.TextAnalysis.piiRedact(col("text")).as("t"))
+      .head().getString(0)
+    assert(out == "s <SSN> i <IBAN> p <PHONE> end", out)
+  }
+
   test("piiScan \\b semantics: digits glued to word chars do NOT match (identical in Java and RE2)") {
     import spark.implicits._
     // \b separates word from non-word chars; letters AND digits are
