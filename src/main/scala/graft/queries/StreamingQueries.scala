@@ -67,6 +67,22 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming calibration monitor (NEW r14, verdict item 6): per
+    // closed window, the count-weighted ECE over 10 fixed score
+    // buckets + the worst bucket — q262's reliability readout as a
+    // live alarm; 3*10+1 longs of in-row state, all-integer
+    // projection, hash-gated against the batch arithmetic replayed
+    // per window in DuckDB
+    "q262b_stream_ece" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.eceStream(
+            Streams.eventsStream(s, d).filter(col("value").isNotNull),
+            least(greatest(col("value") / 200.0, lit(0.0)), lit(1.0)),
+            (col("event_type") === "purchase").cast("long")),
+          "q262b_ece")
+        .orderBy(col("w_start"))
+    }),
+
     // streaming Benford first-digit monitor (NEW r12): per-window
     // digit-share ladder vs the Benford expectation — the live fraud/
     // corrupted-feed alarm; 10 longs of state per open window, integer
@@ -704,6 +720,54 @@ object StreamingQueries extends QueryGroup {
          |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, n_rows,
          |  n_null_fk, n_orphans, (10000 * n_orphans) // n_rows AS orphan_bp
          |FROM dec ORDER BY w_start""".stripMargin,
+
+    "q262b_stream_ece" -> {
+      // per-bin state replay: n_b / p_b / m_b via FILTER, gap as the
+      // SAME integer arithmetic (m div (100 n) vs 10000 p div n), ECE
+      // as the count-weighted floor-div, worst bucket via a packed
+      // (gap*100 + 99-bin) MAX — monotone-equivalent to the Spark
+      // struct compare for gap in [0, 10000], bin in [0, 9]
+      val nBins = 10
+      val bins = 0 until nBins
+      val binCtes = bins.map(b =>
+        s"CAST(COUNT(*) FILTER (WHERE b = $b) AS BIGINT) AS n$b, " +
+          s"CAST(COALESCE(SUM(y) FILTER (WHERE b = $b), 0) AS BIGINT) AS p$b, " +
+          s"CAST(COALESCE(SUM(vm) FILTER (WHERE b = $b), 0) AS BIGINT) AS m$b")
+        .mkString(", ")
+      def gap(b: Int) =
+        s"ABS(m$b // (100 * n$b) - (10000 * p$b) // n$b)"
+      val nSum = bins.map(b => s"n$b").mkString(" + ")
+      val wgSum = bins.map(b =>
+        s"CASE WHEN n$b = 0 THEN 0 ELSE n$b * (${gap(b)}) END")
+        .mkString(" + ")
+      val packMax = "GREATEST(" + bins.map(b =>
+        s"CASE WHEN n$b = 0 THEN ${-1 * 100 + (99 - b)} " +
+          s"ELSE (${gap(b)}) * 100 + ${99 - b} END").mkString(", ") + ")"
+      s"""WITH $ctes,
+         |v AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws, ts,
+         |    LEAST(GREATEST(CAST(value AS DOUBLE) / 200.0, 0.0), 1.0) AS v,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM e WHERE value IS NOT NULL),
+         |bn AS (SELECT ws, ts,
+         |    LEAST(CAST(FLOOR(v * $nBins) AS BIGINT), ${nBins - 1}) AS b,
+         |    CAST(FLOOR(v * 1000000) AS BIGINT) AS vm, y
+         |  FROM v),
+         |c AS (SELECT ws, $binCtes,
+         |    CAST(0 AS BIGINT) AS n_oob
+         |  FROM bn GROUP BY ws),
+         |mx2 AS (SELECT MAX(ts) AS m FROM v),
+         |dec AS (SELECT c.* FROM c, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND),
+         |f AS (SELECT *, $nSum AS n, $wgSum AS wg, $packMax AS pk FROM dec)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  n, n_oob,
+         |  CASE WHEN n = 0 THEN -1 ELSE wg // n END AS ece_bp,
+         |  CASE WHEN n = 0 THEN -1 ELSE pk // 100 END AS max_gap_bp,
+         |  CASE WHEN n = 0 THEN -1 ELSE 99 - pk % 100 END AS worst_bin
+         |FROM f ORDER BY w_start""".stripMargin
+    },
 
     "q249_stream_benford" -> {
       val exp = graft.ops.Validate.benfordExpBp

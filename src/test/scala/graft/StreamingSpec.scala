@@ -732,6 +732,34 @@ class StreamingSpec extends SparkSpec {
       s"expected provider-lookup failure, got: ${e.getMessage.take(200)}")
   }
 
+  test("eceStream: hand-built window pins integer ECE and the worst-bin tie-break") {
+    import org.apache.spark.sql.functions._
+    // bin 9: scores 0.95/0.95, one positive -> pred 9500 bp, obs 5000,
+    // gap 4500; bin 0: scores 0.05/0.05, one positive -> pred 500, obs
+    // 5000, gap 4500. ECE = 4500; equal gaps tie-break to the LOWEST bin
+    val rows = Seq(
+      (1L, 1L, "purchase", 190.0, "2024-01-01 10:00:01"),
+      (2L, 1L, "view", 190.0, "2024-01-01 10:00:02"),
+      (3L, 1L, "view", 10.0, "2024-01-01 10:00:03"),
+      (4L, 1L, "purchase", 10.0, "2024-01-01 10:00:04"))
+    val df = eventsDF(rows)
+    val out = Streams.runToBatch(spark,
+        Streams.eceStream(
+          streamDir(stageBatches("ece", Seq(
+            df, eventsDF(Seq((99L, 1L, "view", 50.0,
+              "2024-01-01 11:00:00"))))), df.schema),
+          least(greatest(col("value") / 200.0, lit(0.0)), lit(1.0)),
+          (col("event_type") === "purchase").cast("long")),
+        "spec_ece")
+      .orderBy("w_start").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "2024-01-01 10:00:00")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((4L, 0L, 4500L, 4500L, 0L)),
+      out.head.toString)
+  }
+
   test("benfordStream: all-digit-1 window pins d1_bp and the deviation sum") {
     val exp = graft.ops.Validate.benfordExpBp
     val rows = (1 to 20).map(i => (i.toLong, 1L, "view",
