@@ -115,6 +115,19 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"), col("series"))
     }),
 
+    // exact-at-close CUSUM (NEW r14, verdict item 5): q246's vertex
+    // with the buffer folded ONCE at window close (event-time timer)
+    // instead of every touched batch — true append semantics, one row
+    // per closed series; only watermark-closed windows emit, which the
+    // oracle replays with the strict (start + win + delay <
+    // maxTs − delay) timer decidability filter
+    "q246c_stream_cusum_close" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.cusumStreamAtClose(Streams.eventsStream(s, d)),
+          "q246c_cusumc")
+        .orderBy(col("w_start"), col("series"))
+    }),
+
     // streaming SRM monitor (NEW r13): the q257 assignment audit per
     // closed window — a broken splitter alarms in its FIRST window;
     // |arms|+1 longs of in-row state, q257's integer/rounded-double
@@ -821,6 +834,40 @@ object StreamingQueries extends QueryGroup {
          |    CAST(COUNT(*) OVER wp AS BIGINT) AS n,
          |    SUM(cents) OVER wp AS total
          |  FROM v
+         |  WINDOW wo AS (PARTITION BY ws, series ORDER BY tus, event_id),
+         |    wp AS (PARTITION BY ws, series)),
+         |d AS (SELECT ws, series, n, k, tus,
+         |    CAST(n * prefix - k * total AS BIGINT) AS dev FROM r)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, series,
+         |  n AS n_points, k AS change_pos, tus AS change_at_us,
+         |  dev AS dev_n
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws, series
+         |    ORDER BY ABS(dev) DESC, k) AS rk FROM d)
+         |WHERE rk = 1 ORDER BY w_start, series""".stripMargin,
+
+    "q246c_stream_cusum_close" ->
+      // q246's exact per-series fold, restricted to TIMER-CLOSED
+      // windows: a series emits iff start + 3600s + 600s delay <
+      // final watermark (max event-time ms − 600s), the strict-less
+      // comparison Spark's event-time timers use
+      s"""WITH $ctes,
+         |v AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 3600)
+         |      * 3600 * 1000000) AS ws,
+         |    event_type AS series, EPOCH_US(ts) AS tus, event_id,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM e WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND event_id IS NOT NULL),
+         |wm AS (SELECT MAX(tus) // 1000 - 600000 AS wm_ms FROM v),
+         |vc AS (SELECT v.* FROM v, wm
+         |  WHERE EPOCH_US(ws) // 1000 + 3600000 + 600000 < wm.wm_ms),
+         |r AS (SELECT *,
+         |    CAST(ROW_NUMBER() OVER wo AS BIGINT) AS k,
+         |    SUM(cents) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS prefix,
+         |    CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+         |    SUM(cents) OVER wp AS total
+         |  FROM vc
          |  WINDOW wo AS (PARTITION BY ws, series ORDER BY tus, event_id),
          |    wp AS (PARTITION BY ws, series)),
          |d AS (SELECT ws, series, n, k, tus,

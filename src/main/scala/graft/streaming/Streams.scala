@@ -1217,6 +1217,104 @@ object Streams {
         "change_at_us", "dev_n")
   }
 
+  /** Exact-AT-CLOSE tier of [[cusumStream]] (r13 verdict item 5): the
+    * same whole-series CUSUM vertex, but the buffered state is folded
+    * exactly ONCE — when the event-time timer fires after the
+    * watermark passes (window end + delay) — instead of re-sorted and
+    * re-folded on every micro-batch a series is touched in. Data
+    * batches only APPEND to the buffer and re-arm the (fixed) timer;
+    * the close-time work is one sort + one linear scan per (window,
+    * series) LIFETIME, and emission is true append semantics: exactly
+    * one final row per closed series, no max-n_points consumer fold.
+    *
+    * Cap math (the r13 tier-selection contract): state is three longs
+    * = 24 bytes/event, so the default cap of 4M events bounds a
+    * (window, series) buffer at ~96 MB — a deliberate ceiling for an
+    * executor-resident state row; the fail-fast names the series.
+    * Past the cap, the right move is not a bigger buffer but the
+    * O(buckets) [[cusumBucketStream]] tier below (vertex at bucket
+    * resolution, no growth with event count). [[cusumStream]] remains
+    * the live-progress variant: same exactness, provisional vertex
+    * every batch, at O(n log n) re-fold per touched batch.
+    *
+    * Emission decidability (what the oracle replays): a series emits
+    * iff windowStart + windowSecs + delay < finalWatermark, where
+    * finalWatermark = max event-time (ms) − delay; Spark fires
+    * event-time timers on the strict-less comparison in the batch
+    * after the watermark advances (AvailableNow runs that final
+    * sweep).
+    *
+    * @return (w_start, series, n_points, change_pos, change_at_us,
+    *         dev_n) — one row per CLOSED (window, series), append mode
+    */
+  def cusumStreamAtClose(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value", windowSecs: Int = 3600,
+      delay: String = "10 minutes",
+      maxBufferedEvents: Int = 4000000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sized = s"$windowSecs seconds"
+    events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col("event_id").isNotNull)
+      .withWatermark("ts", delay)
+      .select(
+        concat(
+          date_format(window(col("ts"), sized).getField("start"),
+            "yyyy-MM-dd HH:mm:ss"),
+          col(keyCol)).as("wk"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_id").cast("long").as("eid"),
+        round(col(valueCol) * 100).cast("long").as("cents"),
+        col("ts"))
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (wk: String, rows: Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
+         st: GroupState[Seq[(Long, Long, Long)]]) =>
+          if (st.hasTimedOut) {
+            // THE fold: once per series lifetime, at close
+            val sorted = st.get.sorted
+            st.remove()
+            val (w, key) = wk.splitAt(19)
+            val n = sorted.size.toLong
+            val total = sorted.iterator.map(_._3).sum
+            var prefix = 0L; var k = 0L
+            var bestAbs = -1L; var bestK = 0L; var bestDev = 0L
+            var bestT = 0L
+            sorted.foreach { case (tus, _, cents) =>
+              k += 1; prefix += cents
+              val dev = n * prefix - k * total
+              val a = math.abs(dev)
+              if (a > bestAbs) {
+                bestAbs = a; bestK = k; bestDev = dev; bestT = tus
+              }
+            }
+            Iterator.single((w, key, n, bestK, bestT, bestDev))
+          } else {
+            val buf = st.getOption.getOrElse(Seq.empty) ++
+              rows.map(r => (r._2, r._3, r._4))
+            if (buf.size > maxBufferedEvents)
+              throw new IllegalStateException(
+                s"cusumStreamAtClose: series $wk has ${buf.size} events " +
+                  s"in one window (~${buf.size * 24L / (1 << 20)} MB of " +
+                  s"state) — past maxBufferedEvents ($maxBufferedEvents) " +
+                  "use cusumBucketStream (O(buckets) state) or a finer " +
+                  "series key")
+            st.update(buf)
+            val (w, _) = wk.splitAt(19)
+            st.setTimeoutTimestamp(math.max(
+              windowStartMs(w) + windowSecs * 1000L + durationMs(delay),
+              st.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .toDF("w_start", "series", "n_points", "change_pos",
+        "change_at_us", "dev_n")
+  }
+
   /** The SCALE tier of [[cusumStream]] — CUSUM at BUCKET granularity
     * with O(2·nBuckets) in-row state per open (window, series), the
     * [[quantileStream]] posture applied to change-point detection.

@@ -732,6 +732,32 @@ class StreamingSpec extends SparkSpec {
       s"expected provider-lookup failure, got: ${e.getMessage.take(200)}")
   }
 
+  test("cusumStreamAtClose: one append row per closed series, equal to the batch fold; open windows stay silent") {
+    // window 10:00–11:00 has a mean shift after the 3rd event; the
+    // 12:30 event pushes the watermark (12:20) past 11:00 + 10 min so
+    // the timer fires exactly once — the 12:00 window never closes
+    val rows = Seq(
+      (1L, 1L, "view", 1.0, "2024-01-01 10:00:01"),
+      (2L, 1L, "view", 1.0, "2024-01-01 10:10:00"),
+      (3L, 1L, "view", 1.0, "2024-01-01 10:20:00"),
+      (4L, 1L, "view", 9.0, "2024-01-01 10:30:00"))
+    val df = eventsDF(rows)
+    val out = Streams.runToBatch(spark,
+        Streams.cusumStreamAtClose(streamDir(stageBatches("cusumclose", Seq(
+          df, eventsDF(Seq((99L, 1L, "view", 5.0,
+            "2024-01-01 12:30:00"))))), df.schema)),
+        "spec_cusum_close")
+      .orderBy("w_start").collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    // n=4, total=1200 cents: dev_k = 4*prefix - 1200k -> max |dev| at
+    // k=3 (dev -2400), vertex at the 3rd event's timestamp
+    assert(r.getString(0) == "2024-01-01 10:00:00")
+    assert(r.getString(1) == "view")
+    assert((r.getLong(2), r.getLong(3), r.getLong(5)) == ((4L, 3L, -2400L)),
+      r.toString)
+  }
+
   test("eceStream: hand-built window pins integer ECE and the worst-bin tie-break") {
     import org.apache.spark.sql.functions._
     // bin 9: scores 0.95/0.95, one positive -> pred 9500 bp, obs 5000,
