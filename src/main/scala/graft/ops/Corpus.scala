@@ -181,6 +181,63 @@ object Corpus {
         col("start_off"), col("window_id"), col("spans_boundary"))
   }
 
+  /** Curriculum interleave — the deterministic ORDERING side of
+    * mixture weighting (mixtureResample decides how much of each
+    * source survives; this decides WHEN each document is seen): every
+    * document gets a virtual timestamp vt = rank_in_source · 1e6 div
+    * weight, so a source with weight w appears w× as densely along the
+    * vt axis, and sorting by (vt_micro, source, rn) is the weighted
+    * round-robin training order — no RNG, reproducible across engines
+    * and cluster sizes.
+    *
+    * Per-source ranks follow the [[packSequences]] two-phase
+    * discipline instead of one Window per source (which would funnel a
+    * 100 TB source through one task): documents chunk by the TOP BITS
+    * of their id hash (chunk index is monotone in the hash, so
+    * chunk-then-hash order equals global hash order), per-(source,
+    * chunk) counts prefix-sum in a sources×2^chunkBits-row broadcast
+    * table, and the only row-level windows are within-chunk
+    * (~N/2^chunkBits rows — size chunkBits to the corpus). The
+    * within-source order is (hash, id): pseudorandom but fully
+    * deterministic, so the interleave is unbiased by ingest order.
+    *
+    * Sources absent from `weights` are DROPPED (inner join) — a
+    * mixture spec defines the corpus; an unlisted source is not an
+    * implicit weight-1 member.
+    *
+    * @param weights (source, weight) frame, weight a positive integer
+    * @return (id, source, rn, vt_micro); train order =
+    *         ORDER BY (vt_micro, source, rn)
+    */
+  def curriculumInterleave(df: DataFrame, id: String, source: String,
+      weights: DataFrame, chunkBits: Int = 8): DataFrame = {
+    require(chunkBits >= 1 && chunkBits <= 16,
+      s"chunkBits must be in [1, 16], got $chunkBits")
+    val width = 4294967296L >> chunkBits
+    val base = df.select(col(id).as("__id"), col(source).as("__src"))
+      .withColumn("__hb", hashBucket(col("__id")))
+      .withColumn("__chunk", (col("__hb") / width).cast("long"))
+    val chunkSums = base.groupBy(col("__src"), col("__chunk"))
+      .agg(count(lit(1)).as("__n"))
+    val wC = Window.partitionBy(col("__src")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = chunkSums
+      .withColumn("__off", coalesce(sum(col("__n")).over(wC), lit(0L)))
+      .select(col("__src"), col("__chunk"), col("__off"))
+    val wIn = Window.partitionBy(col("__src"), col("__chunk"))
+      .orderBy(col("__hb"), col("__id"))
+    base.join(broadcast(offs), Seq("__src", "__chunk"))
+      .withColumn("rn", col("__off") + row_number().over(wIn))
+      .join(broadcast(weights.select(col(source).as("__src"),
+        when(col("weight").cast("long") < 1,
+          raise_error(concat(lit("curriculumInterleave: weight must be "),
+            lit(">= 1 for source "), col(source))))
+          .otherwise(col("weight").cast("long")).as("__w"))), Seq("__src"))
+      .withColumn("vt_micro", expr("(rn * 1000000) div __w"))
+      .select(col("__id").as(id), col("__src").as(source),
+        col("rn"), col("vt_micro"))
+  }
+
   /** Knuth multiplicative-hash bucket of a row id, uniform in
     * [0, 2^32). Shared by every deterministic sampling/sharding op here
     * (sampleByHash, mixtureResample, prepareCorpus, shardManifest,

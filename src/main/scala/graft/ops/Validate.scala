@@ -413,6 +413,53 @@ object Validate {
         col("l_min"))
   }
 
+  /** Generalization ladder — the FIX for a failing [[kAnonymity]] gate
+    * (Samarati-style generalization with one numeric quasi-identifier
+    * coarsened through a bucket-size ladder): for each candidate
+    * bucket size, quantize the numeric column to integer cents and
+    * floor-divide into buckets (pure integer arithmetic — the repo's
+    * cents discipline, so bucket identity is bit-exact in any engine),
+    * re-run the k-anonymity census over (categorical quasi columns +
+    * bucket), and report the per-level risk; `chosen` marks the FIRST
+    * (finest) level with zero rows at risk — the minimal information
+    * loss that satisfies k. If no level satisfies k, nothing is chosen
+    * and callers escalate to suppression.
+    *
+    * 100 TB posture: one groupBy + bounded rollup per ladder level
+    * (the ladder is a handful of sizes), all shuffle-side; the output
+    * is `ladder.size` rows.
+    *
+    * @param ladder bucket sizes in the numeric column's UNITS (not
+    *               cents), strictly ascending (finest first)
+    * @return per level: (bucket_sz, n_rows, n_classes, min_class_size,
+    *         n_violating_classes, rows_at_risk, risk_bp, chosen)
+    */
+  def generalizeToK(df: DataFrame, quasiCats: Seq[String], numCol: String,
+      ladder: Seq[Long], k: Long): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ >= 1),
+      s"ladder must be non-empty positive bucket sizes, got $ladder")
+    require(ladder == ladder.sorted && ladder.distinct == ladder,
+      s"ladder must be strictly ascending (finest first), got $ladder")
+    val cents = round(col(numCol) * 100).cast("long")
+    val perLevel = ladder.map { b =>
+      val bc = b * 100L
+      // integer FLOOR division (not trunc — negative balances must
+      // land in their lower bucket in both engines)
+      val bucket = ((cents - pmod(cents, lit(bc))) / bc).cast("long")
+      kAnonymity(df.withColumn("__qb", bucket), quasiCats :+ "__qb", k)
+        .select(lit(b).as("bucket_sz"), col("n_rows"), col("n_classes"),
+          col("min_class_size"), col("n_violating_classes"),
+          col("rows_at_risk"), col("risk_bp"))
+    }
+    val all = perLevel.reduce(_ unionByName _)
+    val firstOk = all.filter(col("rows_at_risk") === 0)
+      .agg(min(col("bucket_sz")).as("__first_ok"))
+    all.crossJoin(broadcast(firstOk))
+      .withColumn("chosen",
+        col("__first_ok").isNotNull && col("bucket_sz") === col("__first_ok"))
+      .drop("__first_ok")
+  }
+
   /** Floor-nano PSI term on Laplace-floored integer counts:
     * (p − q)·ln(p/q) with p = n_cur/t_cur, q = n_ref/t_ref.
     */

@@ -339,6 +339,22 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("lang"))
     }),
 
+    // curriculum interleave (NEW r14): the deterministic ORDERING side
+    // of mixture weighting — virtual timestamp rank·1e6 div weight per
+    // source, so weight-w sources appear w× as densely in the train
+    // order; two-phase per-source ranks (hash-top-bits chunking, no
+    // unbounded window), (hash, id) within-source order. Gate = the
+    // first 200 positions of the order (TakeOrdered, a total order)
+    "q276_curriculum_interleave" -> ((s, d) => {
+      val weights = s.range(20).select(
+        concat(lit("src"), col("id")).as("source"),
+        (col("id") % 4 + 1).as("weight"))
+      Corpus.curriculumInterleave(Tables.documents(s, d), "doc_id",
+          "source", weights)
+        .orderBy(col("vt_micro"), col("source"), col("rn"))
+        .limit(200)
+    }),
+
     // deterministic weighted sample without replacement (NEW r11):
     // Efraimidis–Spirakis with hash-derived uniforms — priority =
     // floor(1e9·ln(P/(h+1))/w), keep the k smallest. A pure function
@@ -998,6 +1014,25 @@ object CorpusQueries extends QueryGroup {
          |    AS vocab_jaccard_bp,
          |  (10000 * gained_mass) // mass_new AS gained_mass_bp
          |FROM a""".stripMargin,
+
+    // per-source rank over (knuth-hash, id) — the oracle's one window
+    // per source replays the op's two-phase chunked rank exactly
+    // because chunk index is monotone in the hash
+    "q276_curriculum_interleave" ->
+      """WITH w AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+        |    CAST(1 + i % 4 AS BIGINT) AS wt FROM range(0, 20) t(i)),
+        |b AS (SELECT doc_id, source,
+        |    (doc_id % 4294967296) * 2654435761 % 4294967296 AS hb
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hb, doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM b),
+        |v AS (SELECT r.doc_id, r.source, r.rn,
+        |    (r.rn * 1000000) // w.wt AS vt_micro
+        |  FROM r JOIN w USING (source))
+        |SELECT doc_id, source, rn, vt_micro FROM v
+        |ORDER BY vt_micro, source, rn LIMIT 200""".stripMargin,
 
     "q187_split_safe" -> {
       val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -317,6 +317,18 @@ object SourceQueries extends QueryGroup {
         sensitive = Some("bal_sign"))
     }),
 
+    // generalization ladder (NEW r14): the FIX for a failing q190 gate
+    // — coarsen the balance quasi-identifier through a bucket ladder
+    // (integer-cents floor-div, bit-exact in both engines) until the
+    // k-anonymity census passes; `chosen` marks the finest passing
+    // level (minimal information loss). One bounded census per level.
+    "q190b_generalize_to_k" -> ((s, d) => {
+      graft.ops.Validate.generalizeToK(
+          Tables.customer(s, d), Seq("c_mktsegment"), "c_acctbal",
+          ladder = Seq(100L, 1000L, 5000L, 20000L), k = 5)
+        .orderBy(col("bucket_sz"))
+    }),
+
     // key-skew profile (NEW r11): the "should I salt this join"
     // report over the events user_id key — per-key counts folded into
     // exact power-of-two buckets via bin()-length (engine-identical
@@ -1015,6 +1027,33 @@ object SourceQueries extends QueryGroup {
         |    // CAST(SUM(sz) AS BIGINT) AS risk_bp,
         |  CAST(MIN(l) AS BIGINT) AS l_min
         |FROM cls""".stripMargin,
+
+    // per-level census over cents floor-div buckets (positive-mod
+    // construction so negative balances land in their LOWER bucket in
+    // both engines), chosen = the finest zero-risk level
+    "q190b_generalize_to_k" ->
+      """WITH base AS (SELECT c_mktsegment,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |lv AS (SELECT * FROM (VALUES (100), (1000), (5000), (20000)) t(b)),
+        |cls AS (SELECT b, c_mktsegment,
+        |    (cents - (((cents % (b * 100)) + (b * 100)) % (b * 100)))
+        |      // (b * 100) AS qb,
+        |    COUNT(*) AS sz
+        |  FROM base, lv GROUP BY 1, 2, 3),
+        |per AS (SELECT CAST(b AS BIGINT) AS bucket_sz,
+        |    CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |    COUNT(*) AS n_classes,
+        |    CAST(MIN(sz) AS BIGINT) AS min_class_size,
+        |    CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating_classes,
+        |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk,
+        |    (10000 * CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT))
+        |      // CAST(SUM(sz) AS BIGINT) AS risk_bp
+        |  FROM cls GROUP BY b),
+        |ok AS (SELECT MIN(bucket_sz) AS f FROM per WHERE rows_at_risk = 0)
+        |SELECT per.*, ok.f IS NOT NULL AND bucket_sz = ok.f AS chosen
+        |FROM per, ok ORDER BY bucket_sz""".stripMargin,
 
     "q216_quantile_map" ->
       """WITH c0 AS (SELECT event_id, CAST(value AS DOUBLE) AS v

@@ -54,6 +54,44 @@ class CorpusSpec extends SparkSpec {
     assert(a.forall(r => r.getAs[Long]("window_id") == r.getAs[Long]("start_off") / 512))
   }
 
+  test("curriculumInterleave: weighted density, chunking-invariant ranks, unknown source dropped") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b")) // 20 a-docs, 40 b-docs
+    val df = rows.toDF("doc_id", "source")
+    val weights = Seq(("a", 1L), ("b", 2L), ("ghost", 3L))
+      .toDF("source", "weight")
+    val out = Corpus.curriculumInterleave(df, "doc_id", "source", weights)
+      .orderBy(col("vt_micro"), col("source"), col("rn")).collect()
+    assert(out.length == 60)
+    // weight 2 means b's k-th doc has vt = k*5e5 while a's has k*1e6 —
+    // in any prefix ending at a's k-th doc, b contributes ~2k docs
+    val firstA10 = out.indexWhere(r =>
+      r.getString(1) == "a" && r.getLong(2) == 10L)
+    val bBefore = out.take(firstA10).count(_.getString(1) == "b")
+    assert(bBefore >= 19 && bBefore <= 21, s"b density off: $bBefore")
+    // two-phase rank == the naive per-source (hash, id) window rank
+    val naive = df
+      .withColumn("hb", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
+      .withColumn("rn0", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("hb"), col("doc_id"))))
+      .select(col("doc_id"), col("rn0").cast("long").as("rn0"))
+    val joined = Corpus.curriculumInterleave(df, "doc_id", "source", weights)
+      .join(naive, "doc_id")
+    assert(joined.filter(col("rn") =!= col("rn0")).count() == 0)
+    // chunkBits is an implementation detail
+    val alt = Corpus.curriculumInterleave(df, "doc_id", "source", weights,
+      chunkBits = 3).orderBy("doc_id").collect()
+    assert(alt.toSeq ==
+      Corpus.curriculumInterleave(df, "doc_id", "source", weights)
+        .orderBy("doc_id").collect().toSeq)
+    // a source missing from the weights frame is dropped, not defaulted
+    val partial = Seq(("a", 1L)).toDF("source", "weight")
+    assert(Corpus.curriculumInterleave(df, "doc_id", "source", partial)
+      .select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("sampleByHash is deterministic and rate-ordered by stratum") {
     val rates = Map("es" -> 0.5, "zh" -> 0.05)
     val s1 = Corpus.sampleByHash(docs, "doc_id", "lang", rates, 0.2)

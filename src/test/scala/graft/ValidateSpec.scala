@@ -183,6 +183,32 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("generalizeToK: finest passing level chosen, floor (not trunc) bucketing, no-pass ladder") {
+    val rows = Seq(("A", 0.5), ("A", 1.5), ("A", -0.5), ("A", -1.5))
+      .toDF("seg", "bal")
+    val r = Validate.generalizeToK(rows, Seq("seg"), "bal",
+        ladder = Seq(1L, 10L), k = 2)
+      .orderBy("bucket_sz").collect()
+    assert(r.length == 2)
+    // level 1: four singleton (seg, bucket) classes -> all at risk
+    assert(r(0).getLong(0) == 1L && r(0).getLong(5) == 4L &&
+      !r(0).getBoolean(7), r(0).toString)
+    // level 10: FLOOR division pairs (0.5, 1.5) -> bucket 0 and
+    // (-0.5, -1.5) -> bucket -1 (trunc would merge all four into one
+    // class); two classes of 2, zero risk, chosen
+    assert(r(1).getLong(0) == 10L && r(1).getLong(2) == 2L &&
+      r(1).getLong(5) == 0L && r(1).getBoolean(7), r(1).toString)
+    // a ladder that never satisfies k: nothing chosen
+    val lone = Seq(("A", 1.0), ("B", 2.0)).toDF("seg", "bal")
+    val r2 = Validate.generalizeToK(lone, Seq("seg"), "bal",
+      ladder = Seq(1L, 100L), k = 2).collect()
+    assert(r2.forall(!_.getBoolean(7)))
+    // ladder must be strictly ascending
+    assertThrows[IllegalArgumentException] {
+      Validate.generalizeToK(rows, Seq("seg"), "bal", Seq(10L, 1L), k = 2)
+    }
+  }
+
   test("ksDrift: identical slices score 0; a location shift maxes the CDF gap") {
     val ref = Seq.tabulate(100)(i => (i % 10).toDouble).toDF("v")
     val same = Validate.ksDrift(ref, ref, "v", Seq(3.0, 6.0)).head
