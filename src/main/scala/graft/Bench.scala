@@ -191,10 +191,13 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
     val prev = if (fullProtocol) loadBench("BENCH_PREV.json") else Map.empty[String, Double]
-    // floor of 0.25 s on the prev side: sub-quarter-second queries flip
-    // >1.4x on pure scheduling jitter and re-measuring them proves nothing
+    // two materiality gates: the ratio (>1.4x prev, prev >= 0.25 s
+    // floor) AND an absolute delta (> 0.3 s) — the first full-protocol
+    // run showed sub-half-second queries flagging on ~0.15 s of
+    // scheduling jitter against a min-of-two-runs prev
     val flagged: Seq[(String, Double)] = results.collect {
-      case (n, sec) if prev.get(n).exists(p => p >= 0.25 && sec > 1.4 * p) =>
+      case (n, sec) if prev.get(n).exists(p =>
+          p >= 0.25 && sec > 1.4 * p && sec - p > 0.3) =>
         n -> sec / prev(n)
     }.sortBy(-_._2)
     val remeasureCap = sys.env.getOrElse("GRAFT_BENCH_REMEASURE", "6").toInt
@@ -217,7 +220,11 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("GRAFT_BENCH_CHILD", "1")
       pb.environment().put("GRAFT_ONLY", name)
-      pb.environment().put("GRAFT_BENCH_PASSES", "1")
+      // TWO passes, per-query min: the child's first execution carries
+      // ~1 s of Catalyst/codegen JIT the parent sweep amortized across
+      // the catalog (measured: sweep 0.43 s vs cold-child 1.36 s on the
+      // same query); the second pass is the comparable number
+      pb.environment().put("GRAFT_BENCH_PASSES", "2")
       pb.environment().put("GRAFT_BENCH_OUTFILE", outFile.toString)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
