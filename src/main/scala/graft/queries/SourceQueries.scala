@@ -329,6 +329,32 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("bucket_sz"))
     }),
 
+    // Categorify (NEW r14): the NVTabular embedding-table encoder —
+    // frequency-ordered contiguous ids (hot categories get small ids),
+    // rare/unseen/null to the reserved OOV id 0; vocabulary is one
+    // bounded groupBy, encode is a broadcast join. minCount 80 drops
+    // the tail languages at both gate SFs so the OOV path is exercised
+    "q277_categorify" -> ((s, d) => {
+      graft.ops.Features.categorify(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", minCount = 80L)
+        .select(col("doc_id"), col("lang"), col("lang_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // leakage-safe target encoding (NEW r14): K-fold out-of-fold
+    // smoothed target mean per category — hash-derived folds, integer
+    // micro-cents arithmetic end-to-end (div, never double division),
+    // |categories|*k-cell partials + one broadcast join back
+    "q278_target_encode" -> ((s, d) => {
+      graft.ops.Features.targetEncode(Tables.orders(s, d),
+          "o_orderkey", "o_orderpriority", "o_totalprice",
+          k = 4, alpha = 10L)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("fold"),
+          col("o_orderpriority_te_micro"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // key-skew profile (NEW r11): the "should I salt this join"
     // report over the events user_id key — per-key counts folded into
     // exact power-of-two buckets via bin()-length (engine-identical
@@ -1054,6 +1080,41 @@ object SourceQueries extends QueryGroup {
         |ok AS (SELECT MIN(bucket_sz) AS f FROM per WHERE rows_at_risk = 0)
         |SELECT per.*, ok.f IS NOT NULL AND bucket_sz = ok.f AS chosen
         |FROM per, ok ORDER BY bucket_sz""".stripMargin,
+
+    "q277_categorify" ->
+      """WITH v AS (SELECT lang AS vv, COUNT(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 80),
+        |r AS (SELECT vv,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, vv ASC) AS BIGINT)
+        |      AS lang_id
+        |  FROM v)
+        |SELECT d.doc_id, d.lang, COALESCE(r.lang_id, 0) AS lang_id
+        |FROM documents d LEFT JOIN r ON d.lang = r.vv
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // out-of-fold replay: per-(category, fold) partials, complement =
+    // category total minus the row's own fold, prior = global floor
+    // micro-cents mean; // == Spark's div on the all-positive operands
+    "q278_target_encode" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority AS c,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    ((o_orderkey % 4294967296) * 2654435761 % 4294967296) % 4
+        |      AS fold
+        |  FROM orders),
+        |cells AS (SELECT c, fold, SUM(cents) AS s, COUNT(*) AS n
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT c, SUM(s) AS st, SUM(n) AS nt FROM cells GROUP BY 1),
+        |pr AS (SELECT CAST((SUM(cents) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS pm FROM b),
+        |enc AS (SELECT c, fold,
+        |    CAST(((st - s) * 1000000 + 10 * pm) // (nt - n + 10) AS BIGINT)
+        |      AS te
+        |  FROM cells JOIN tot USING (c), pr)
+        |SELECT b.o_orderkey, b.c AS o_orderpriority,
+        |  CAST(b.fold AS BIGINT) AS fold,
+        |  COALESCE(e.te, pr.pm) AS o_orderpriority_te_micro
+        |FROM b LEFT JOIN enc e ON b.c = e.c AND b.fold = e.fold, pr
+        |ORDER BY b.o_orderkey""".stripMargin,
 
     "q216_quantile_map" ->
       """WITH c0 AS (SELECT event_id, CAST(value AS DOUBLE) AS v
