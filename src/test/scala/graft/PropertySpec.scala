@@ -390,6 +390,31 @@ class PropertySpec extends SparkSpec {
     check("kmv-merge-ref", prop, minTests = 5)
   }
 
+  test("HeaderDecoder.parseHeader is total on arbitrary bytes (fuzz)") {
+    // a byte parser facing crawled blobs must never throw and must keep
+    // its offset inside the buffer — fuzz with raw noise AND with
+    // corrupted real headers (valid magic, garbage after)
+    val genRaw = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+    val magics = Seq(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8).map(_.toByte),
+      "GIF89a".getBytes("US-ASCII"))
+    val genCorrupt = for {
+      m <- Gen.oneOf(magics)
+      n <- Gen.choose(0, 48)
+      tail <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+    } yield m ++ tail.toArray
+    val prop = Prop.forAll(Gen.oneOf(genRaw, genCorrupt)) { bytes =>
+      val (fmt, w, h, off) =
+        graft.ops.Multimodal.HeaderDecoder.parseHeader(bytes)
+      Set("png", "jpeg", "gif", "unknown").contains(fmt) &&
+        off >= 0 && off <= bytes.length &&
+        (w >= -1) && (h >= -1)
+    }
+    check("header-decoder-total", prop, minTests = 300)
+  }
+
   test("labelPropagate matches the sequential LPA fold on random digraphs") {
     val genSeeds = Gen.nonEmptyMap(for {
       n <- Gen.choose(0L, 9L); l <- Gen.oneOf("A", "B", "C")
