@@ -339,6 +339,19 @@ package object syntax {
     def kAnonymity(quasiCols: Seq[String], k: Long,
         sensitive: Option[String] = None): DataFrame =
       Validate.kAnonymity(df, quasiCols, k, sensitive)
+    def generalizeToK(quasiCats: Seq[String], numCol: String,
+        ladder: Seq[Long], k: Long): DataFrame =
+      Validate.generalizeToK(df, quasiCats, numCol, ladder, k)
+    def curriculumInterleave(id: String, source: String,
+        weights: DataFrame, chunkBits: Int = 8): DataFrame =
+      Corpus.curriculumInterleave(df, id, source, weights, chunkBits)
+    def categorify(c: String, minCount: Long = 1L): DataFrame =
+      graft.ops.Features.categorify(df, c, minCount)
+    def targetEncode(id: String, cat: String, target: String,
+        k: Int = 4, alpha: Long = 10L): DataFrame =
+      graft.ops.Features.targetEncode(df, id, cat, target, k, alpha)
+    def piiScanExtended(id: String, text: String): DataFrame =
+      TextAnalysis.piiScanExtended(df, id, text)
     def tCloseness(quasiCols: Seq[String], sensitive: String): DataFrame =
       Validate.tCloseness(df, quasiCols, sensitive)
     /** `df` holds the tombstoned root keys. */

@@ -227,6 +227,19 @@ class SyntaxSpec extends SparkSpec {
     val vals = Seq(1.0, 2.0, 9.0).toDF("v")
     assert(vals.kAnonymity(Seq("v"), k = 2).count() == 1)
     assert(vals.psiDrift(vals, "v", Seq(5.0)).count() == 2)
+    // r14 additions resolve and run through the fluent surface
+    val fe = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "cat", "y")
+    assert(fe.generalizeToK(Seq("cat"), "y", Seq(1L, 10L), k = 2)
+      .count() == 2)
+    assert(fe.categorify("cat").filter($"cat_id" > 0).count() == 3)
+    assert(fe.targetEncode("id", "cat", "y", k = 2, alpha = 1L)
+      .columns.contains("cat_te_micro"))
+    val cw = Seq(("a", 1L), ("b", 2L)).toDF("source", "weight")
+    assert(fe.withColumnRenamed("cat", "source")
+      .curriculumInterleave("id", "source", cw).count() == 3)
+    assert(Seq((1L, "ssn 219-09-9999")).toDF("doc_id", "text")
+      .piiScanExtended("doc_id", "text").head.getLong(3) == 1L)
     val urls = Seq((1L, "https://www.x.com/a?utm_source=1"),
       (2L, "https://x.com/a")).toDF("uid", "url")
     assert(urls.canonicalUrlGroups("uid", "url").count() == 1)
