@@ -112,5 +112,23 @@ timed("HeaderDecoder 2M blobs") {
     .filter(col("width") > 0).count()
 }
 
+// ---- 5. Features at 20M rows ----------------------------------------
+// categorify over a 10k-cardinality column (vocabulary-bounded agg +
+// broadcast encode); targetEncode over 1k categories x 4 folds (4k-cell
+// partials + one broadcast join) -- both must be scan-dominated.
+val feat = spark.range(20000000L).select(col("id"),
+  concat(lit("c"), pmod(col("id") * 7919L, lit(10000L))).as("cat"),
+  (pmod(col("id") * 2654435761L, lit(100000L)) / 100.0).as("y"))
+timed("categorify 20M x 10k-card") {
+  graft.ops.Features.categorify(feat, "cat", minCount = 100L)
+    .filter(col("cat_id") >= 0).count()
+}
+val feat2 = feat.withColumn("cat",
+  concat(lit("c"), pmod(col("id") * 7919L, lit(1000L))))
+timed("targetEncode 20M x 1k x 4") {
+  graft.ops.Features.targetEncode(feat2, "id", "cat", "y", k = 4)
+    .filter(col("cat_te_micro") >= 0).count()
+}
+
 println("[stress] done")
 sys.exit(0)
