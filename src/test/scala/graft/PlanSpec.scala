@@ -79,6 +79,7 @@ class PlanSpec extends SparkSpec {
       "q262_calibration", // ECE fold over the <= nBins-row bin frame
       "q25d_value_counts_norm", // distinct values of a low-card column
       "q33b_factorize", "q33c_ngroup", // code dimension (distinct keys)
+      "q277_categorify", // vocab rank window, bounded by category cardinality (categorical by contract; scaladoc names the hash-bucket swap for id-like columns)
       "q57_dt_resample", // calendar grid
       "q92f_lsh_plan", // band-count factorization grid
       // documented full-column tiers with a named scale swap:
