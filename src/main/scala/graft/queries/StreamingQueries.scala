@@ -67,6 +67,20 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming OOV-rate monitor (NEW r14): q277 Categorify's live
+    // companion — per closed window, known/OOV/null splits against a
+    // frozen 3-type reference vocabulary (purchase/error land OOV);
+    // 4 longs of state, vocabulary broadcast, never shuffles by
+    // category
+    "q279_stream_oov_rate" -> ((s, d) => {
+      import s.implicits._
+      val ref = Seq("view", "click", "signup").toDF("v")
+      Streams.runToBatch(s,
+          Streams.oovRateStream(Streams.eventsStream(s, d), "event_type", ref),
+          "q279_oov")
+        .orderBy(col("w_start"))
+    }),
+
     // streaming calibration monitor (NEW r14, verdict item 6): per
     // closed window, the count-weighted ECE over 10 fixed score
     // buckets + the worst bucket — q262's reliability readout as a
@@ -732,6 +746,26 @@ object StreamingQueries extends QueryGroup {
          |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND)
          |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, n_rows,
          |  n_null_fk, n_orphans, (10000 * n_orphans) // n_rows AS orphan_bp
+         |FROM dec ORDER BY w_start""".stripMargin,
+
+    "q279_stream_oov_rate" ->
+      s"""WITH $ctes,
+         |v AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws, ts, event_type AS c
+         |  FROM e),
+         |c AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(*) FILTER (WHERE c IN ('view', 'click', 'signup'))
+         |      AS BIGINT) AS n_known,
+         |    CAST(COUNT(*) FILTER (WHERE c IS NOT NULL
+         |      AND c NOT IN ('view', 'click', 'signup')) AS BIGINT) AS n_oov,
+         |    CAST(COUNT(*) FILTER (WHERE c IS NULL) AS BIGINT) AS n_null
+         |  FROM v GROUP BY ws),
+         |mx2 AS (SELECT MAX(ts) AS m FROM v),
+         |dec AS (SELECT c.* FROM c, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  n, n_known, n_oov, n_null, (10000 * n_oov) // n AS oov_bp
          |FROM dec ORDER BY w_start""".stripMargin,
 
     "q262b_stream_ece" -> {

@@ -1051,6 +1051,40 @@ object Streams {
       obsBp(1).as("d1_bp"), dev.as("dev_bp"))
   }
 
+  /** Streaming OOV-rate monitor — the live companion of
+    * [[graft.ops.Features.categorify]]: a feature pipeline whose
+    * embedding tables were built against a frozen vocabulary needs the
+    * out-of-vocabulary rate WATCHED — new categories (schema drift, a
+    * new client version, an upstream rename) silently funnel into the
+    * OOV bucket and degrade the model. Per closed tumbling window:
+    * row/known/OOV/null counts against a broadcast reference
+    * vocabulary and the OOV share in basis points. State is 4 longs
+    * per open window (the conditional-sum posture); the vocabulary
+    * rides a broadcast join, so the stream never shuffles by category.
+    *
+    * @param refVocab one-column frame of known category values
+    * @return (w_start, n, n_known, n_oov, n_null, oov_bp) per closed
+    *         window, append mode
+    */
+  def oovRateStream(events: DataFrame, catCol: String, refVocab: DataFrame,
+      size: String = "5 minutes", delay: String = "10 minutes"): DataFrame = {
+    val vocab = refVocab.toDF("__v").filter(col("__v").isNotNull).distinct()
+    events
+      .select(col("ts"), col(catCol).as("__c"))
+      .join(broadcast(vocab), col("__c") === col("__v"), "left")
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(when(col("__c").isNotNull && col("__v").isNull, 1L)
+          .otherwise(0L)).as("n_oov"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_null"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n"), col("n_known"), col("n_oov"), col("n_null"),
+        expr("(10000 * n_oov) div n").as("oov_bp"))
+  }
+
   /** Streaming calibration (ECE) monitor — the live twin of
     * [[graft.ops.Validate.calibrationBins]] at tumbling-window
     * granularity (r13 verdict item 6): a production quality classifier

@@ -732,6 +732,33 @@ class StreamingSpec extends SparkSpec {
       s"expected provider-lookup failure, got: ${e.getMessage.take(200)}")
   }
 
+  test("oovRateStream: known/OOV/null splits against a broadcast vocabulary") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, "view", 0.0, "2024-01-01 10:00:01"),
+      (2L, 1L, "click", 0.0, "2024-01-01 10:00:02"),
+      (3L, 1L, "newtype", 0.0, "2024-01-01 10:00:03"),
+      (4L, 1L, "newtype", 0.0, "2024-01-01 10:00:04"))
+    val df = eventsDF(rows)
+    val withNull = df.union(Seq((5L, 1L, 0.0))
+      .toDF("event_id", "user_id", "value")
+      .withColumn("event_type", lit(null).cast("string"))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:05")))
+      .select(df.columns.map(col): _*))
+    val ref = Seq("view", "click", "signup").toDF("v")
+    val out = Streams.runToBatch(spark,
+        Streams.oovRateStream(streamDir(stageBatches("oov", Seq(
+          withNull, eventsDF(Seq((99L, 1L, "view", 0.0,
+            "2024-01-01 11:00:00"))))), withNull.schema), "event_type", ref),
+        "spec_oov")
+      .orderBy("w_start").collect()
+    assert(out.length == 1)
+    val r = out.head
+    // 5 rows: 2 known, 2 OOV, 1 null -> oov_bp = 20000 div 5 = 4000
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((5L, 2L, 2L, 1L, 4000L)), r.toString)
+  }
+
   test("cusumStreamAtClose: one append row per closed series, equal to the batch fold; open windows stay silent") {
     // window 10:00–11:00 has a mean shift after the 3rd event; the
     // 12:30 event pushes the watermark (12:20) past 11:00 + 10 min so
