@@ -708,6 +708,72 @@ object Corpus {
           / (col("n_a") * col("n_b"))), 4).as("pmi"))
   }
 
+  /** Shared PMI spelling for [[cooccurrencePmi]] — ONE expression tree
+    * evaluated verbatim by both engines (the psiTermExprOf pattern):
+    * pmi = ln( (c_ab/n_pair) / ((c_a/n_tok)·(c_b/n_tok)) ), spelled so
+    * every intermediate stays an exact double (counts < 2^53; the
+    * naive c_ab·n_tok² numerator leaves exact-double range first).
+    * The ROUND(…, 4) rounded-double contract is the q153 precedent.
+    */
+  def cooccPmiExpr(cab: String, ca: String, cb: String, nTok: String,
+      nPair: String): String =
+    s"ROUND(LN((CAST($cab AS DOUBLE) * CAST($nTok AS DOUBLE))" +
+      s" / (CAST($ca AS DOUBLE) * CAST($cb AS DOUBLE))" +
+      s" * (CAST($nTok AS DOUBLE) / CAST($nPair AS DOUBLE))), 4)"
+
+  /** Windowed skip-gram co-occurrence PMI — the word2vec-era
+    * distributional-association table ([[pmiPairs]] counts documents;
+    * this counts POSITION WINDOWS, the statistic SGNS factorizes —
+    * Levy & Goldberg 2014). For every token position i, each token at
+    * distance 1..`window` to its right forms one unordered
+    * co-occurrence (canonicalized least/greatest, self-pairs dropped);
+    * pmi = ln(P(a,b)/(P(a)P(b))) with P(a,b) = c_ab/n_pair over ALL
+    * windows and P(a) = c_a/n_tok over ALL tokens (normalizers are
+    * computed before any frequency cut, so thresholds change which
+    * rows ship, never their values).
+    *
+    * 100 TB posture: pair generation is a MAP-SIDE array expression
+    * inside each document (flatten/transform over the token array —
+    * no self-join, no shuffle; fan-out exactly `window` pairs per
+    * position). One partially-aggregated shuffle counts pairs (key
+    * space capped by the observed vocab², with map-side combine),
+    * one counts unigrams; the min-count joins run on the AGGREGATED
+    * tables, never the corpus. `minCount`/`minPair` bound the output
+    * the way every published co-occurrence pipeline does (rare-rare
+    * PMI is noise with sign).
+    *
+    * @return term_a, term_b, c_ab, c_a, c_b, pmi (rounded 4dp)
+    */
+  def cooccurrencePmi(df: DataFrame, text: String, window: Int,
+      minCount: Long, minPair: Long): DataFrame = {
+    require(window >= 1 && window <= 64, s"window in [1,64], got $window")
+    val base = df.select(toks(col(text)).as("__toks"))
+    val pairs = base.select(explode(expr(
+        s"""flatten(transform(__toks, (x, i) ->
+           |  transform(slice(__toks, i + 2, $window), u ->
+           |    named_struct('a', least(x, u), 'b', greatest(x, u)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0
+        && col("a") =!= col("b"))
+    val pairCounts = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nPair = pairCounts.agg(sum(col("c_ab")).as("n_pair"))
+    val uni = base.select(explode(col("__toks")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val vocab = uni.filter(col("c") >= minCount)
+    pairCounts.filter(col("c_ab") >= minPair)
+      .join(vocab.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(vocab.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .select(col("a").as("term_a"), col("b").as("term_b"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        expr(cooccPmiExpr("c_ab", "c_a", "c_b", "n_tok", "n_pair"))
+          .as("pmi"))
+  }
+
   /** Exact duplicate-substring spans (the Lee et al. 2022 "Deduplicating
     * Training Data" signal at fixed granularity): every sliding `l`-token
     * window shared VERBATIM with another document is a duplicated

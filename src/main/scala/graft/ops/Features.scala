@@ -48,6 +48,114 @@ object Features {
       .withColumn(s"${c}_id", coalesce(col(s"${c}_id"), lit(0L)))
   }
 
+  /** Leakage-safe standard scaler — NVTabular's `Normalize` with the
+    * fit/transform split made explicit (reference anchor
+    * `[NVTabular/nvtabular/ops/normalize.py :: class Normalize]`):
+    * mean/std are FIT on the hash-derived train folds only (fold 0 is
+    * the held-out serve slice, folds 1..k-1 train — same Knuth
+    * multiplicative fold hash as [[targetEncode]], no RNG) and applied
+    * to every row, so the serve slice is scored with statistics it
+    * never contributed to — the posture a real feature store needs
+    * (serve-time rows arrive AFTER the stats were frozen).
+    *
+    * Arithmetic is engine-exact end-to-end:
+    *   - values quantize to cents (long);
+    *   - train sums go through DECIMAL(38,0) (at 100 TB the plain
+    *     int64 sum of squares overflows around 1e12 rows);
+    *   - mean = floor(s1 / n) in cents via the positive-mod spelling
+    *     (s1 − pmod(s1, n)) / n — `div`-truncation vs floor diverges
+    *     on negative sums, pmod does not (the q190b construction);
+    *   - variance is computed AROUND THE FLOORED MEAN:
+    *     var* = (Σx² − 2·m·Σx + n·m²) div n — all operands exact in
+    *     decimal, numerator a non-negative sum of squares so
+    *     truncation == floor; within 1 cent² of the true population
+    *     variance (documented bias of the integer contract);
+    *   - std = floor(sqrt(var*)) — ONE IEEE-exact sqrt of an exact
+    *     integer (the q208 precedent; exact while var* < 2^53, i.e.
+    *     std < ~9.4e7 cents — rescale units beyond that);
+    *   - z_bp = floor(dev·10⁴ / std) via the same positive-mod
+    *     spelling (dev is signed). Constant train column (std = 0)
+    *     emits NULL z — a scaler with no scale has no answer.
+    *
+    * 100 TB posture: one bounded aggregation over the train folds
+    * (3 numbers) broadcast back over the corpus — the corpus is
+    * scanned once and never shuffles.
+    *
+    * @return id, fold, dev_c (signed cents from train mean), z_bp
+    */
+  def standardScale(df: DataFrame, id: String, value: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    val base = df.select(
+      col(id),
+      round(col(value) * 100).cast("long").as("__cents"),
+      pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
+        lit(k.toLong)).as("fold"))
+    val fit = base.filter(col("fold") =!= 0)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__cents").cast("decimal(38,0)")).as("s1"),
+        sum(col("__cents").cast("decimal(19,0)")
+          * col("__cents").cast("decimal(19,0)")).as("s2"))
+      .select(col("n"), col("s1"), col("s2"),
+        expr("CAST((s1 - pmod(s1, n)) div n AS BIGINT)").as("m"))
+      .select(col("m"),
+        floor(sqrt(expr(
+          """CAST((s2 - 2 * CAST(m AS DECIMAL(19,0)) * s1
+            |     + CAST(n AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)) * m)
+            |  div n AS BIGINT)""".stripMargin)
+          .cast("double"))).cast("long").as("std_c"))
+    base.crossJoin(broadcast(fit))
+      .withColumn("dev_c", col("__cents") - col("m"))
+      .withColumn("z_bp",
+        expr("""CASE WHEN std_c = 0 THEN NULL ELSE
+                |  (dev_c * 10000 - pmod(dev_c * 10000, std_c)) div std_c
+                |END""".stripMargin))
+      .select(col(id), col("fold"), col("dev_c"), col("z_bp"))
+  }
+
+  /** Hash bucketing for high-cardinality categoricals — NVTabular's
+    * `HashBucket` (reference anchor `[NVTabular/nvtabular/ops/
+    * hash_bucket.py :: class HashBucket]`), the embedding-table trick
+    * for columns whose cardinality rivals the row count (where
+    * [[categorify]]'s vocabulary is the wrong op). Bucket = the KMV
+    * scrambled poly hash mod nBuckets — the one hash spelling the
+    * whole repo replays in DuckDB ([[graft.ops.Sketches.polyHashSql]]
+    * / kmvScrambleSql), RNG-free, engine- and partitioning-invariant.
+    * NULL categories stay NULL (the embedding layer's own null path).
+    * Zero shuffles — a pure map-stage projection.
+    *
+    * @return the input plus `<col>_bucket` (long in [0, nBuckets))
+    */
+  def hashBucketize(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val p = graft.expressions.HashSpec.P
+    val scrambled = (graft.expressions.TextHashes.poly_hash(col(c))
+      * lit(graft.ops.Sketches.kmvMixA)
+      + lit(graft.ops.Sketches.kmvMixB)) % lit(p)
+    df.withColumn(s"${c}_bucket", pmod(scrambled, lit(nBuckets.toLong)))
+  }
+
+  /** The health check [[hashBucketize]] ships with: per-bucket load
+    * and collision census. A bucket whose `n_cats` > 1 aliases
+    * categories into one embedding row (the accepted trade); a bucket
+    * whose `max_cat_rows`/`n_rows` is lopsided says one hot category
+    * dominates its bucket and the aliasing is nearly free. Two bounded
+    * aggregations: (bucket, category) partials — capped by the
+    * column's observed cardinality — then an nBuckets-row rollup.
+    *
+    * @return bucket, n_rows, n_cats, max_cat_rows (sorted by bucket)
+    */
+  def hashBucketCensus(df: DataFrame, c: String, nBuckets: Int): DataFrame =
+    hashBucketize(df, c, nBuckets)
+      .filter(col(c).isNotNull)
+      .groupBy(col(s"${c}_bucket").as("bucket"), col(c))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        max(col("__n")).as("max_cat_rows"))
+
   /** Leakage-safe target encoding: replace a categorical column with
     * the smoothed mean of the target over OTHER folds (the K-fold
     * out-of-fold scheme every gradient-boosting pipeline uses —

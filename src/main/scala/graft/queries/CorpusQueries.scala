@@ -320,6 +320,16 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("term_a"), col("term_b"))
     }),
 
+    // windowed skip-gram co-occurrence PMI (NEW r14): the statistic
+    // SGNS factorizes — position-window pair counts (q153 counts
+    // documents), pair generation a map-side array expression (no
+    // self-join), normalizers computed before the frequency cuts
+    "q282_coocc_pmi" -> ((s, d) => {
+      Corpus.cooccurrencePmi(Tables.documents(s, d), "text",
+          window = 3, minCount = 20L, minPair = 5L)
+        .orderBy(col("term_a"), col("term_b"))
+    }),
+
     // hashed-feature linear quality classifier: zero-shuffle map-stage
     // inference; the logit is exact-IEEE on both engines (no sigmoid)
     "q155_quality_classifier" -> ((s, d) => {
@@ -907,6 +917,32 @@ object CorpusQueries extends QueryGroup {
          |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2)
          |SELECT term_a, term_b, n_ab, ROUND(LN(n_ab * 1.0 * nd.n_docs / (n_a * n_b)), 4) AS pmi
          |FROM pr, nd WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
+
+    // pair multiset == Spark's map-side generation: the self-join on
+    // (doc, 0 < y.p - x.p <= w) enumerates exactly the ordered (i, j)
+    // pairs the flatten/transform expression emits, then canonicalizes
+    // least/greatest; normalizers (n_tok, n_pair) precede the cuts;
+    // PMI via the shared cooccPmiExpr spelling
+    "q282_coocc_pmi" ->
+      s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS p FROM t),
+         |tp AS (SELECT doc_id, tok, p FROM tokpos WHERE len(tok) > 0),
+         |pr AS (SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b,
+         |    COUNT(*) AS c_ab
+         |  FROM tp x JOIN tp y ON x.doc_id = y.doc_id
+         |    AND y.p > x.p AND y.p <= x.p + 3 AND x.tok <> y.tok
+         |  GROUP BY 1, 2),
+         |np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pair FROM pr),
+         |uni AS (SELECT tok, COUNT(*) AS c FROM tp GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+         |v AS (SELECT tok, c FROM uni WHERE c >= 20)
+         |SELECT pr.a AS term_a, pr.b AS term_b, pr.c_ab,
+         |  va.c AS c_a, vb.c AS c_b,
+         |  ${graft.ops.Corpus.cooccPmiExpr("pr.c_ab", "va.c", "vb.c",
+              "nt.n_tok", "np.n_pair")} AS pmi
+         |FROM pr JOIN v va ON pr.a = va.tok JOIN v vb ON pr.b = vb.tok,
+         |  nt, np
+         |WHERE pr.c_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
 
     "q169_source_report" ->
       s"""WITH base AS (SELECT source, md5($sqlNorm) AS fp,

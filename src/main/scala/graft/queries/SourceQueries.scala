@@ -355,6 +355,27 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("o_orderkey"))
     }),
 
+    // leakage-safe standard scaler (NEW r14): NVTabular Normalize with
+    // the fit/transform split explicit — mean/std fit on the train
+    // folds only (fold 0 held out), every row scored; decimal sums,
+    // positive-mod floor divisions, one IEEE-exact sqrt — the z-score
+    // in floor basis points hash-gates
+    "q280_standard_scale" -> ((s, d) => {
+      graft.ops.Features.standardScale(Tables.orders(s, d),
+          "o_orderkey", "o_totalprice", k = 4)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // hash-bucket census (NEW r14): NVTabular HashBucket over the part
+    // type vocabulary into 32 buckets — the KMV scrambled poly hash
+    // (the repo's one replayable hash spelling), plus the per-bucket
+    // load/collision census the embedding table is sized from
+    "q281_hash_bucket" -> ((s, d) => {
+      graft.ops.Features.hashBucketCensus(Tables.part(s, d),
+          "p_type", nBuckets = 32)
+        .orderBy(col("bucket"))
+    }),
+
     // key-skew profile (NEW r11): the "should I salt this join"
     // report over the events user_id key — per-key counts folded into
     // exact power-of-two buckets via bin()-length (engine-identical
@@ -1115,6 +1136,46 @@ object SourceQueries extends QueryGroup {
         |  COALESCE(e.te, pr.pm) AS o_orderpriority_te_micro
         |FROM b LEFT JOIN enc e ON b.c = e.c AND b.fold = e.fold, pr
         |ORDER BY b.o_orderkey""".stripMargin,
+
+    // fit on folds 1..3 only, score everyone: floored mean via
+    // positive-mod, variance around the floored mean (non-negative
+    // numerator, so // == div), floor(sqrt) on the same exact integer,
+    // z in floor bp via positive-mod — HUGEINT mirrors Spark's
+    // DECIMAL(38,0) sums
+    "q280_standard_scale" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    ((o_orderkey % 4294967296) * 2654435761 % 4294967296) % 4
+        |      AS fold
+        |  FROM orders),
+        |tr AS (SELECT COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS s1,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS s2
+        |  FROM b WHERE fold <> 0),
+        |ms AS (SELECT n, s1, s2,
+        |    CAST((s1 - ((s1 % n + n) % n)) // n AS BIGINT) AS m FROM tr),
+        |sd AS (SELECT m,
+        |    CAST(FLOOR(SQRT(CAST(CAST((s2 - 2 * CAST(m AS HUGEINT) * s1
+        |        + CAST(n AS HUGEINT) * m * m) // n AS BIGINT)
+        |      AS DOUBLE))) AS BIGINT) AS std_c
+        |  FROM ms)
+        |SELECT b.o_orderkey, CAST(b.fold AS BIGINT) AS fold,
+        |  b.cents - sd.m AS dev_c,
+        |  CASE WHEN sd.std_c = 0 THEN NULL ELSE
+        |    CAST(((b.cents - sd.m) * 10000
+        |      - (((((b.cents - sd.m) * 10000) % sd.std_c) + sd.std_c)
+        |         % sd.std_c)) // sd.std_c AS BIGINT)
+        |  END AS z_bp
+        |FROM b, sd ORDER BY b.o_orderkey""".stripMargin,
+
+    "q281_hash_bucket" ->
+      s"""WITH h AS (SELECT p_type,
+         |    ${graft.ops.Sketches.kmvScrambleSql(
+               graft.ops.Sketches.polyHashSql("p_type"))} % 32 AS bucket
+         |  FROM part WHERE p_type IS NOT NULL),
+         |pc AS (SELECT bucket, p_type, COUNT(*) AS n FROM h GROUP BY 1, 2)
+         |SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS n_cats, CAST(MAX(n) AS BIGINT) AS max_cat_rows
+         |FROM pc GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q216_quantile_map" ->
       """WITH c0 AS (SELECT event_id, CAST(value AS DOUBLE) AS v

@@ -350,6 +350,15 @@ package object syntax {
     def targetEncode(id: String, cat: String, target: String,
         k: Int = 4, alpha: Long = 10L): DataFrame =
       graft.ops.Features.targetEncode(df, id, cat, target, k, alpha)
+    def standardScale(id: String, value: String, k: Int = 4): DataFrame =
+      graft.ops.Features.standardScale(df, id, value, k)
+    def hashBucketize(c: String, nBuckets: Int): DataFrame =
+      graft.ops.Features.hashBucketize(df, c, nBuckets)
+    def hashBucketCensus(c: String, nBuckets: Int): DataFrame =
+      graft.ops.Features.hashBucketCensus(df, c, nBuckets)
+    def cooccurrencePmi(text: String, window: Int, minCount: Long,
+        minPair: Long): DataFrame =
+      Corpus.cooccurrencePmi(df, text, window, minCount, minPair)
     def piiScanExtended(id: String, text: String): DataFrame =
       TextAnalysis.piiScanExtended(df, id, text)
     def tCloseness(quasiCols: Seq[String], sensitive: String): DataFrame =

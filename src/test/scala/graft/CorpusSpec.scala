@@ -784,4 +784,37 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(a == got.view.mapValues(_._3).toMap)
   }
+
+  test("cooccurrencePmi: hand-counted windows, self-pairs dropped, cut-invariant normalizers") {
+    // doc1 [a b a c] w=2: (a,b) (b,a->a,b) (b,c) (a,c); (a,a) dropped
+    // doc2 [b a b]  w=2: (b,a->a,b) (a,b); (b,b) dropped
+    // pairs: (a,b)x4 (a,c)x1 (b,c)x1 -> n_pair 6; unigrams a3 b3 c1 -> 7
+    val df = Seq((1L, "a b a c"), (2L, "b a b")).toDF("doc_id", "text")
+    val out = Corpus.cooccurrencePmi(df, "text", window = 2,
+        minCount = 1L, minPair = 1L)
+      .orderBy("term_a", "term_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // ROUND half-up at 4dp, the Spark round() contract
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      BigDecimal(math.log(cab.toDouble * 7 / (ca.toDouble * cb) * (7.0 / 6)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      ("a", "b", 4L, 3L, 3L, pmi(4, 3, 3)),
+      ("a", "c", 1L, 3L, 1L, pmi(1, 3, 1)),
+      ("b", "c", 1L, 3L, 1L, pmi(1, 3, 1))), out.mkString(","))
+    // frequency cuts drop rows but never move surviving values: the
+    // normalizers are computed before the cut
+    val cut = Corpus.cooccurrencePmi(df, "text", window = 2,
+        minCount = 2L, minPair = 2L).collect()
+    assert(cut.length == 1 && cut.head.getString(0) == "a"
+      && cut.head.getString(1) == "b"
+      && cut.head.getDouble(5) == pmi(4, 3, 3))
+    // window=1 sees only adjacent tokens: (a,b)x4 (a,c)x1
+    val w1 = Corpus.cooccurrencePmi(df, "text", window = 1,
+        minCount = 1L, minPair = 1L)
+      .orderBy("term_a", "term_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(w1.toSeq == Seq(("a", "b", 4L), ("a", "c", 1L)))
+  }
 }

@@ -62,4 +62,58 @@ class FeaturesSpec extends SparkSpec {
     // complement empty: (0 + 2*prior) div (0 + 2) = prior
     assert(lr.getAs[Long]("cat_te_micro") == lonePrior)
   }
+
+  test("standardScale: hand-checked floored-mean z, serve fold held out of the fit") {
+    // folds of ids 0..4 under the Knuth hash: 0->0, 1->1, 2->2, 3->3,
+    // 4->0 — so ids 1,2,3 train (cents 100/200/300) and 0,4 serve.
+    // m = 200; var* = (140000 - 240000 + 120000) div 3 = 6666;
+    // std = floor(sqrt(6666)) = 81
+    val df = Seq((0L, 10.00), (1L, 1.00), (2L, 2.00), (3L, 3.00),
+      (4L, 0.50)).toDF("id", "v")
+    val out = Features.standardScale(df, "id", "v", k = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 800L, 98765L),    // floor(8000000/81)
+      (1L, 1L, -100L, -12346L),  // floor(-1000000/81) — pmod, not trunc
+      (2L, 2L, 0L, 0L),
+      (3L, 3L, 100L, 12345L),
+      (4L, 0L, -150L, -18519L)), out.mkString(","))
+    // leakage-safety proof: perturbing a SERVE row's value moves its
+    // own z but not the fit — train rows' z are bit-identical
+    val df2 = Seq((0L, 99.00), (1L, 1.00), (2L, 2.00), (3L, 3.00),
+      (4L, 0.50)).toDF("id", "v")
+    val z2 = Features.standardScale(df2, "id", "v", k = 4)
+      .filter(col("fold") =!= 0).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(z2.toSeq == Seq((1L, -12346L), (2L, 0L), (3L, 12345L)))
+    // constant train column: a scaler with no scale answers NULL
+    val flat = Seq((1L, 5.00), (2L, 5.00), (3L, 5.00), (0L, 7.00))
+      .toDF("id", "v")
+    val fz = Features.standardScale(flat, "id", "v", k = 4)
+      .select("z_bp").collect()
+    assert(fz.forall(_.isNullAt(0)))
+  }
+
+  test("hashBucketCensus: mass conservation, stable assignment, nulls excluded") {
+    val df = Seq("x", "x", "y", "z", "w", null.asInstanceOf[String])
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val census = Features.hashBucketCensus(df, "v", nBuckets = 4)
+      .collect()
+    assert(census.map(_.getAs[Long]("n_rows")).sum == 5) // null excluded
+    assert(census.map(_.getAs[Long]("n_cats")).sum == 4) // x y z w
+    census.foreach(r => assert(
+      r.getAs[Long]("max_cat_rows") <= r.getAs[Long]("n_rows")))
+    // a category lands in exactly one bucket, and the census agrees
+    // with the row-level bucketize op
+    val rows = Features.hashBucketize(df, "v", nBuckets = 4)
+      .filter(col("v").isNotNull)
+      .select("v", "v_bucket").distinct().collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    // null category: bucket stays NULL (the embedding null path)
+    val nb = Features.hashBucketize(df, "v", nBuckets = 4)
+      .filter(col("v").isNull).select("v_bucket").head
+    assert(nb.isNullAt(0))
+  }
 }
