@@ -114,6 +114,87 @@ object Features {
       .select(col(id), col("fold"), col("dev_c"), col("z_bp"))
   }
 
+  /** Leakage-safe ROBUST scaler — sklearn's `RobustScaler` with the
+    * same fit/transform split as [[standardScale]] (reference anchor
+    * `[scikit-learn/sklearn/preprocessing/_data.py :: class
+    * RobustScaler]`): center = train median, scale = train IQR, both
+    * EXACT type-1 order statistics (values at global sort ranks
+    * floor(q·(n−1)/4) — real data values, no interpolation), so a
+    * heavy-tailed or spike-polluted column gets a scale outliers
+    * cannot move (the q259 trimmed-mean rationale, applied to
+    * scaling). Ranks are computed by [[Validate.quantileLadder]]'s
+    * distributed prefix-scan — range partition + per-partition
+    * row_number + broadcast offsets, never a single-partition global
+    * window. z_bp = floor(dev·10⁴ / iqr) via the positive-mod
+    * spelling; zero IQR (≥50% of train mass on one value) emits NULL.
+    *
+    * @return id, fold, dev_c (signed cents from train median), z_bp
+    */
+  def robustScale(df: DataFrame, id: String, value: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    val base = df.select(
+      col(id),
+      round(col(value) * 100).cast("long").as("__cents"),
+      pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
+        lit(k.toLong)).as("fold"))
+    val ladder = Validate.quantileLadder(
+      base.filter(col("fold") =!= 0), "__cents", 4)
+    val med = ladder(2).toLong
+    val iqr = ladder(3).toLong - ladder(1).toLong
+    base
+      .withColumn("dev_c", col("__cents") - lit(med))
+      .withColumn("z_bp",
+        if (iqr == 0) lit(null).cast("long")
+        else expr(s"(dev_c * 10000 - pmod(dev_c * 10000, ${iqr}L))" +
+          s" div ${iqr}L"))
+      .select(col(id), col("fold"), col("dev_c"), col("z_bp"))
+  }
+
+  /** Leakage-safe empirical-CDF transform — sklearn's
+    * `QuantileTransformer` at FULL resolution (reference anchor
+    * `[scikit-learn/sklearn/preprocessing/_data.py :: class
+    * QuantileTransformer]`; [[Validate.quantileMap]] / q216 is the
+    * discrete nQ-bucket histogram-matching tier of the same idea):
+    * every row's value becomes its rank in the TRAIN distribution,
+    * cdf_bp = floor(10⁴ · |{train ≤ x}| / n_train) — the rank-uniform
+    * feature a gradient-boosted or neural tabular model wants when
+    * the raw scale is meaningless. Fit/transform split as in
+    * [[standardScale]]: ranks come from the train folds only.
+    *
+    * 100 TB posture: |{train ≤ x}| for every row via
+    * [[FrameOps.searchSortedLarge]]'s distributed prefix-scan (probe
+    * x+1 converts its strictly-less count to ≤ on integer cents) —
+    * ONE range-partitioned union scan, no broadcast of the train
+    * distribution (which is as big as the train split; the q216
+    * ladder broadcast is the bounded-resolution alternative), no
+    * correlated subquery, no global window.
+    *
+    * @return id, fold, cdf_bp (0 for values below all of train)
+    */
+  def cdfTransform(df: DataFrame, id: String, value: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    val base = df.select(
+      col(id),
+      round(col(value) * 100).cast("long").as("__cents"),
+      pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
+        lit(k.toLong)).as("fold"))
+    val train = base.filter(col("fold") =!= 0)
+    val nTrain = train.agg(count(lit(1)).as("__nt"))
+    val counted = FrameOps.searchSortedLarge(
+      train.select(col("__cents").as("__tv")), "__tv",
+      base.withColumn("__probe", col("__cents") + 1), "__probe",
+      id, "n_le")
+    counted
+      .withColumn("fold",
+        pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
+          lit(k.toLong)))
+      .crossJoin(broadcast(nTrain))
+      .select(col(id), col("fold"),
+        expr("(n_le * 10000) div __nt").as("cdf_bp"))
+  }
+
   /** Hash bucketing for high-cardinality categoricals — NVTabular's
     * `HashBucket` (reference anchor `[NVTabular/nvtabular/ops/
     * hash_bucket.py :: class HashBucket]`), the embedding-table trick

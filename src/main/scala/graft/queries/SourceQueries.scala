@@ -376,6 +376,26 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("bucket"))
     }),
 
+    // leakage-safe ROBUST scaler (NEW r14): sklearn RobustScaler —
+    // center/scale = train median/IQR as EXACT type-1 order statistics
+    // via the distributed prefix-scan ladder; acctbal's negatives
+    // exercise the signed positive-mod floor
+    "q283_robust_scale" -> ((s, d) => {
+      graft.ops.Features.robustScale(Tables.customer(s, d),
+          "c_custkey", "c_acctbal", k = 4)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // leakage-safe empirical-CDF transform (NEW r14): sklearn
+    // QuantileTransformer at full resolution — every row ranked
+    // against the train distribution through ONE searchSortedLarge
+    // prefix-scan (no broadcast of the train split, no global window)
+    "q284_cdf_transform" -> ((s, d) => {
+      graft.ops.Features.cdfTransform(Tables.orders(s, d),
+          "o_orderkey", "o_totalprice", k = 4)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // key-skew profile (NEW r11): the "should I salt this join"
     // report over the events user_id key — per-key counts folded into
     // exact power-of-two buckets via bin()-length (engine-identical
@@ -1166,6 +1186,53 @@ object SourceQueries extends QueryGroup {
         |         % sd.std_c)) // sd.std_c AS BIGINT)
         |  END AS z_bp
         |FROM b, sd ORDER BY b.o_orderkey""".stripMargin,
+
+    // type-1 order statistics at ranks floor(q·(n−1)/4): the value AT
+    // a rank is duplicate-stable, so ROW_NUMBER's tie order is
+    // irrelevant; signed z via the positive-mod floor spelling
+    "q283_robust_scale" ->
+      """WITH b AS (SELECT c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+        |    ((c_custkey % 4294967296) * 2654435761 % 4294967296) % 4
+        |      AS fold
+        |  FROM customer),
+        |tr AS (SELECT cents FROM b WHERE fold <> 0),
+        |n AS (SELECT COUNT(*) AS n FROM tr),
+        |rk AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) - 1 AS r
+        |  FROM tr),
+        |q AS (SELECT
+        |    (SELECT cents FROM rk, n WHERE r = (1 * (n.n - 1)) // 4) AS p25,
+        |    (SELECT cents FROM rk, n WHERE r = (2 * (n.n - 1)) // 4) AS med,
+        |    (SELECT cents FROM rk, n WHERE r = (3 * (n.n - 1)) // 4) AS p75)
+        |SELECT b.c_custkey, CAST(b.fold AS BIGINT) AS fold,
+        |  b.cents - q.med AS dev_c,
+        |  CASE WHEN q.p75 - q.p25 = 0 THEN NULL ELSE
+        |    CAST(((b.cents - q.med) * 10000
+        |      - (((((b.cents - q.med) * 10000) % (q.p75 - q.p25))
+        |          + (q.p75 - q.p25)) % (q.p75 - q.p25)))
+        |      // (q.p75 - q.p25) AS BIGINT)
+        |  END AS z_bp
+        |FROM b, q ORDER BY b.c_custkey""".stripMargin,
+
+    // |{train <= x}| = the max train rank at each distinct value,
+    // fetched per row by DuckDB's native ASOF (largest cents <= x) —
+    // the same count searchSortedLarge's x+1 probe produces
+    "q284_cdf_transform" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    ((o_orderkey % 4294967296) * 2654435761 % 4294967296) % 4
+        |      AS fold
+        |  FROM orders),
+        |tr AS (SELECT cents FROM b WHERE fold <> 0),
+        |n AS (SELECT COUNT(*) AS nt FROM tr),
+        |rk AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rle
+        |  FROM tr),
+        |cd AS (SELECT cents, MAX(rle) AS n_le FROM rk GROUP BY cents),
+        |m AS (SELECT b.o_orderkey, b.fold, COALESCE(cd.n_le, 0) AS n_le
+        |  FROM b ASOF LEFT JOIN cd ON b.cents >= cd.cents)
+        |SELECT m.o_orderkey, CAST(m.fold AS BIGINT) AS fold,
+        |  CAST((m.n_le * 10000) // n.nt AS BIGINT) AS cdf_bp
+        |FROM m, n ORDER BY m.o_orderkey""".stripMargin,
 
     "q281_hash_bucket" ->
       s"""WITH h AS (SELECT p_type,

@@ -352,6 +352,10 @@ package object syntax {
       graft.ops.Features.targetEncode(df, id, cat, target, k, alpha)
     def standardScale(id: String, value: String, k: Int = 4): DataFrame =
       graft.ops.Features.standardScale(df, id, value, k)
+    def robustScale(id: String, value: String, k: Int = 4): DataFrame =
+      graft.ops.Features.robustScale(df, id, value, k)
+    def cdfTransform(id: String, value: String, k: Int = 4): DataFrame =
+      graft.ops.Features.cdfTransform(df, id, value, k)
     def hashBucketize(c: String, nBuckets: Int): DataFrame =
       graft.ops.Features.hashBucketize(df, c, nBuckets)
     def hashBucketCensus(c: String, nBuckets: Int): DataFrame =

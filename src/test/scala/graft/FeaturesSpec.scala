@@ -96,6 +96,48 @@ class FeaturesSpec extends SparkSpec {
     assert(fz.forall(_.isNullAt(0)))
   }
 
+  test("robustScale: exact type-1 median/IQR fit on train, signed floor z, zero-IQR NULL") {
+    // folds: ids 1,2,3,5,6,7 train; 0,4,8 serve (Knuth hash mod 4).
+    // train cents sorted [100,200,300,500,600,700], n=6: type-1 ranks
+    // floor(q*5/4) -> p25=rank1=200, med=rank2=300, p75=rank3=500,
+    // iqr=300
+    val df = Seq((0L, 10.00), (1L, 1.00), (2L, 2.00), (3L, 3.00),
+      (4L, 0.50), (5L, 5.00), (6L, 6.00), (7L, 7.00)).toDF("id", "v")
+    val out = Features.robustScale(df, "id", "v", k = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 700L, 23333L), (1L, -200L, -6667L), (2L, -100L, -3334L),
+      (3L, 0L, 0L), (4L, -250L, -8334L), (5L, 200L, 6666L),
+      (6L, 300L, 10000L), (7L, 400L, 13333L)), out.mkString(","))
+    // degenerate IQR (>=50% of train mass on one value): NULL z
+    val flat = Seq((0L, 9.00), (1L, 5.00), (2L, 5.00), (3L, 5.00),
+      (5L, 5.00), (6L, 5.00), (7L, 5.00)).toDF("id", "v")
+    val fz = Features.robustScale(flat, "id", "v", k = 4)
+      .select("z_bp").collect()
+    assert(fz.forall(_.isNullAt(0)))
+  }
+
+  test("cdfTransform: train-only CDF ranks, below-min floors to 0, serve rows scored") {
+    val df = Seq((0L, 10.00), (1L, 1.00), (2L, 2.00), (3L, 3.00),
+      (4L, 0.50), (5L, 5.00), (6L, 6.00), (7L, 7.00)).toDF("id", "v")
+    val out = Features.cdfTransform(df, "id", "v", k = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // n_train=6; cdf_bp = floor(1e4 * |{train <= x}| / 6)
+    assert(out.toSeq == Seq(
+      (0L, 0L, 10000L), (1L, 1L, 1666L), (2L, 2L, 3333L),
+      (3L, 3L, 5000L), (4L, 0L, 0L), (5L, 1L, 6666L),
+      (6L, 2L, 8333L), (7L, 3L, 10000L)), out.mkString(","))
+    // duplicates: every duplicate of a train value gets the SAME rank
+    // (count of <=, not a tie-broken row rank)
+    val dup = Seq((1L, 2.00), (2L, 2.00), (3L, 2.00), (0L, 2.00))
+      .toDF("id", "v")
+    val dr = Features.cdfTransform(dup, "id", "v", k = 4)
+      .select("cdf_bp").collect().map(_.getLong(0))
+    assert(dr.forall(_ == 10000L))
+  }
+
   test("hashBucketCensus: mass conservation, stable assignment, nulls excluded") {
     val df = Seq("x", "x", "y", "z", "w", null.asInstanceOf[String])
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")

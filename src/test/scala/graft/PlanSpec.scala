@@ -84,6 +84,7 @@ class PlanSpec extends SparkSpec {
       "q92f_lsh_plan", // band-count factorization grid
       // documented full-column tiers with a named scale swap:
       "q31b_searchsorted", "q31c_searchsorted_large", // prefix step (scaladoc'd)
+      "q284_cdf_transform", // searchSortedLarge offsets window over the numParts-row count frame (bounded by construction)
       "q151b_perplexity_filter" // exact global deciles (gate tier; production assigns by histogram thresholds)
     )
     import org.apache.spark.sql.execution.window.WindowExec
