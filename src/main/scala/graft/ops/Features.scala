@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** Knuth multiplicative fold hash — TOP bits, not low. The naive
+    * `(id·A mod 2³²) mod k` is WRONG for this constant: A ≡ 1 (mod 4),
+    * so its low two bits pass the id's own low bits straight through —
+    * fold was literally `id mod 4`, and any id-periodic structure
+    * (striped spikes, sharded id ranges) lands whole in one fold (the
+    * r14b stress receipt caught exactly this: every id ≡ 0 (mod 10⁵)
+    * spike fell in the serve fold). Knuth's construction takes the HIGH
+    * bits: fold = (h·k) div 2³², the multiply-shift range mapping —
+    * h·k < 2³⁶ stays exact in int64 and the result is genuinely mixed.
+    * Exact while id < ~3.4e9 (id·A inside int64 — beyond that,
+    * pre-fold the id space).
+    */
+  private def foldCol(id: String, k: Int): Column =
+    expr(s"(pmod(CAST($id AS BIGINT) * 2654435761L, 4294967296L) * $k)" +
+      " div 4294967296L")
+
+  /** DuckDB replay of [[foldCol]] — one spelling, both engines. */
+  def foldSql(id: String, k: Int): String =
+    s"((($id % 4294967296) * 2654435761 % 4294967296) * $k) // 4294967296"
+
   /** Categorify: map a categorical column to contiguous integer ids.
     * Vocabulary = values seen at least `minCount` times, id = dense
     * 1-based rank by (frequency DESC, value ASC) — the
@@ -89,8 +109,7 @@ object Features {
     val base = df.select(
       col(id),
       round(col(value) * 100).cast("long").as("__cents"),
-      pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
-        lit(k.toLong)).as("fold"))
+      foldCol(id, k).as("fold"))
     val fit = base.filter(col("fold") =!= 0)
       .agg(
         count(lit(1)).as("n"),
@@ -136,8 +155,7 @@ object Features {
     val base = df.select(
       col(id),
       round(col(value) * 100).cast("long").as("__cents"),
-      pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
-        lit(k.toLong)).as("fold"))
+      foldCol(id, k).as("fold"))
     val ladder = Validate.quantileLadder(
       base.filter(col("fold") =!= 0), "__cents", 4)
     val med = ladder(2).toLong
@@ -178,8 +196,7 @@ object Features {
     val base = df.select(
       col(id),
       round(col(value) * 100).cast("long").as("__cents"),
-      pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
-        lit(k.toLong)).as("fold"))
+      foldCol(id, k).as("fold"))
     val train = base.filter(col("fold") =!= 0)
     val nTrain = train.agg(count(lit(1)).as("__nt"))
     val counted = FrameOps.searchSortedLarge(
@@ -187,9 +204,7 @@ object Features {
       base.withColumn("__probe", col("__cents") + 1), "__probe",
       id, "n_le")
     counted
-      .withColumn("fold",
-        pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
-          lit(k.toLong)))
+      .withColumn("fold", foldCol(id, k))
       .crossJoin(broadcast(nTrain))
       .select(col(id), col("fold"),
         expr("(n_le * 10000) div __nt").as("cdf_bp"))
@@ -264,9 +279,7 @@ object Features {
     require(k >= 2, s"need at least 2 folds, got $k")
     require(alpha >= 1, s"alpha must be >= 1, got $alpha")
     val cents = round(col(target) * 100).cast("long")
-    val base = df.withColumn("fold",
-      pmod(pmod(col(id).cast("long") * 2654435761L, lit(4294967296L)),
-        lit(k.toLong)))
+    val base = df.withColumn("fold", foldCol(id, k))
     val cells = base
       .groupBy(col(cat).as("__c"), col("fold").as("__f"))
       .agg(sum(cents).as("__s"), count(lit(1)).as("__n"))

@@ -1139,7 +1139,7 @@ object SourceQueries extends QueryGroup {
     "q278_target_encode" ->
       """WITH b AS (SELECT o_orderkey, o_orderpriority AS c,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-        |    ((o_orderkey % 4294967296) * 2654435761 % 4294967296) % 4
+        |    (((o_orderkey % 4294967296) * 2654435761 % 4294967296) * 4) // 4294967296
         |      AS fold
         |  FROM orders),
         |cells AS (SELECT c, fold, SUM(cents) AS s, COUNT(*) AS n
@@ -1165,7 +1165,7 @@ object SourceQueries extends QueryGroup {
     "q280_standard_scale" ->
       """WITH b AS (SELECT o_orderkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-        |    ((o_orderkey % 4294967296) * 2654435761 % 4294967296) % 4
+        |    (((o_orderkey % 4294967296) * 2654435761 % 4294967296) * 4) // 4294967296
         |      AS fold
         |  FROM orders),
         |tr AS (SELECT COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS s1,
@@ -1193,7 +1193,7 @@ object SourceQueries extends QueryGroup {
     "q283_robust_scale" ->
       """WITH b AS (SELECT c_custkey,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
-        |    ((c_custkey % 4294967296) * 2654435761 % 4294967296) % 4
+        |    (((c_custkey % 4294967296) * 2654435761 % 4294967296) * 4) // 4294967296
         |      AS fold
         |  FROM customer),
         |tr AS (SELECT cents FROM b WHERE fold <> 0),
@@ -1220,7 +1220,7 @@ object SourceQueries extends QueryGroup {
     "q284_cdf_transform" ->
       """WITH b AS (SELECT o_orderkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-        |    ((o_orderkey % 4294967296) * 2654435761 % 4294967296) % 4
+        |    (((o_orderkey % 4294967296) * 2654435761 % 4294967296) * 4) // 4294967296
         |      AS fold
         |  FROM orders),
         |tr AS (SELECT cents FROM b WHERE fold <> 0),

@@ -81,6 +81,20 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming z-score anomaly monitor (NEW r14): q280's serve-time
+    // path live — frozen fit stats (mean 5000c, std 4800c — the
+    // feature-store posture: stats frozen at fit time) score each
+    // event's integer z; per closed window the 3-sigma breach count,
+    // share and worst |z|; 4 longs of state
+    "q285_stream_zscore_anomaly" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.zscoreAnomalyStream(Streams.eventsStream(s, d),
+            col("value"), meanC = 5000L, stdC = 4800L,
+            threshBp = 30000L),
+          "q285_zscore")
+        .orderBy(col("w_start"))
+    }),
+
     // streaming calibration monitor (NEW r14, verdict item 6): per
     // closed window, the count-weighted ECE over 10 fixed score
     // buckets + the worst bucket — q262's reliability readout as a
@@ -766,6 +780,34 @@ object StreamingQueries extends QueryGroup {
          |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND)
          |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
          |  n, n_known, n_oov, n_null, (10000 * n_oov) // n AS oov_bp
+         |FROM dec ORDER BY w_start""".stripMargin,
+
+    // same integer z spelling (positive-mod floor at 1e4) on the
+    // frozen literals; anomaly share over the scored (non-null) rows
+    "q285_stream_zscore_anomaly" ->
+      s"""WITH $ctes,
+         |v AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300) * 300 * 1000000)
+         |      AS ws, ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+         |  FROM e),
+         |z AS (SELECT ws, ts, CASE WHEN c IS NULL THEN NULL ELSE
+         |    ((c - 5000) * 10000
+         |      - ((((c - 5000) * 10000) % 4800 + 4800) % 4800)) // 4800
+         |  END AS z FROM v),
+         |c2 AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(*) FILTER (WHERE z IS NULL) AS BIGINT) AS n_null,
+         |    CAST(COUNT(*) FILTER (WHERE ABS(z) >= 30000) AS BIGINT)
+         |      AS n_anom,
+         |    MAX(ABS(z)) AS max_abs_z
+         |  FROM z GROUP BY ws),
+         |mx2 AS (SELECT MAX(ts) AS m FROM v),
+         |dec AS (SELECT c2.* FROM c2, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  n, n_null, n_anom,
+         |  CASE WHEN n - n_null = 0 THEN 0
+         |    ELSE (10000 * n_anom) // (n - n_null) END AS anom_bp,
+         |  max_abs_z
          |FROM dec ORDER BY w_start""".stripMargin,
 
     "q262b_stream_ece" -> {

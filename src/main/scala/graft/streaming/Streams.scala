@@ -1085,6 +1085,59 @@ object Streams {
         expr("(10000 * n_oov) div n").as("oov_bp"))
   }
 
+  /** Streaming z-score anomaly monitor — the live SERVE-TIME path of
+    * [[graft.ops.Features.standardScale]] (q280's fit/transform split,
+    * applied to a stream): scoring stats (mean, std in cents) are
+    * FROZEN at fit time and passed in as literals — exactly how a
+    * feature store serves a scaler — and each closed window reports
+    * how much of the live traffic the frozen scaler now calls
+    * anomalous. A drifting feed shows up as a rising `anom_bp` /
+    * `max_abs_z` long before any model metric moves (and when the rate
+    * jumps, q280 re-fit is the action). Same integer z spelling as the
+    * batch op (positive-mod floor at 10⁴), so closed rows replay
+    * bit-for-bit in any arrival order; NULL values are COUNTED
+    * (`n_null`), never scored — a monitor survives bad rows.
+    *
+    * State per open window: 4 longs (n, n_null, n_anom, max|z|) — the
+    * q246b O(1) posture, no event buffering, never shuffles by value.
+    *
+    * @param meanC  frozen center in cents (from the fit)
+    * @param stdC   frozen scale in cents (> 0 — a scaler with no scale
+    *               has no anomaly definition; fail at build time)
+    * @param threshBp |z| threshold in basis points (3σ = 30000)
+    * @return (w_start, n, n_null, n_anom, anom_bp, max_abs_z) per
+    *         closed window, append mode
+    */
+  def zscoreAnomalyStream(events: DataFrame,
+      value: org.apache.spark.sql.Column, meanC: Long, stdC: Long,
+      threshBp: Long = 30000L, size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    require(stdC > 0, s"zscoreAnomalyStream: stdC must be > 0, got $stdC")
+    require(threshBp > 0,
+      s"zscoreAnomalyStream: threshBp must be > 0, got $threshBp")
+    val e = events.select(col("ts"),
+      round(value * 100).cast("long").as("__c"))
+    val z = expr(
+      s"""CASE WHEN __c IS NULL THEN NULL ELSE
+         |  ((__c - ${meanC}L) * 10000
+         |    - pmod((__c - ${meanC}L) * 10000, ${stdC}L)) div ${stdC}L
+         |END""".stripMargin)
+    e.select(col("ts"), z.as("__z"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__z").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(abs(col("__z")) >= threshBp, 1L).otherwise(0L))
+          .as("n_anom"),
+        max(abs(col("__z"))).as("max_abs_z"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n"), col("n_null"), col("n_anom"),
+        expr("CASE WHEN n - n_null = 0 THEN 0L " +
+          "ELSE (10000 * n_anom) div (n - n_null) END").as("anom_bp"),
+        col("max_abs_z"))
+  }
+
   /** Streaming calibration (ECE) monitor — the live twin of
     * [[graft.ops.Validate.calibrationBins]] at tumbling-window
     * granularity (r13 verdict item 6): a production quality classifier

@@ -42,7 +42,9 @@ class FeaturesSpec extends SparkSpec {
       // reference out-of-fold arithmetic
       val rows = Seq((0L, "A", 100L), (1L, "A", 300L), (2L, "B", 500L),
         (3L, "B", 700L)).map { case (i, c, cents) =>
-        (c, Math.floorMod(Math.floorMod(i * 2654435761L, 4294967296L), 4L), cents)
+        // top-bits multiply-shift fold (foldCol's contract)
+        (c, Math.floorMod(i * 2654435761L, 4294967296L) * 4L / 4294967296L,
+          cents)
       }
       val own = rows.filter(t => t._1 == cat && t._2 == fold)
       val all = rows.filter(_._1 == cat)
@@ -64,10 +66,10 @@ class FeaturesSpec extends SparkSpec {
   }
 
   test("standardScale: hand-checked floored-mean z, serve fold held out of the fit") {
-    // folds of ids 0..4 under the Knuth hash: 0->0, 1->1, 2->2, 3->3,
-    // 4->0 — so ids 1,2,3 train (cents 100/200/300) and 0,4 serve.
-    // m = 200; var* = (140000 - 240000 + 120000) div 3 = 6666;
-    // std = floor(sqrt(6666)) = 81
+    // top-bits folds of ids 0..4: 0->0, 1->2, 2->0, 3->3, 4->1 — so
+    // ids 1,3,4 train (cents 100/300/50) and 0,2 serve.
+    // m = floor(450/3) = 150; var* = (102500 - 135000 + 67500) div 3
+    // = 11666; std = floor(sqrt(11666)) = 108
     val df = Seq((0L, 10.00), (1L, 1.00), (2L, 2.00), (3L, 3.00),
       (4L, 0.50)).toDF("id", "v")
     val out = Features.standardScale(df, "id", "v", k = 4)
@@ -75,11 +77,11 @@ class FeaturesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) null else r.getLong(3)))
     assert(out.toSeq == Seq(
-      (0L, 0L, 800L, 98765L),    // floor(8000000/81)
-      (1L, 1L, -100L, -12346L),  // floor(-1000000/81) — pmod, not trunc
-      (2L, 2L, 0L, 0L),
-      (3L, 3L, 100L, 12345L),
-      (4L, 0L, -150L, -18519L)), out.mkString(","))
+      (0L, 0L, 850L, 78703L),    // floor(8500000/108)
+      (1L, 2L, -50L, -4630L),    // floor(-500000/108) — pmod, not trunc
+      (2L, 0L, 50L, 4629L),
+      (3L, 3L, 150L, 13888L),
+      (4L, 1L, -100L, -9260L)), out.mkString(","))
     // leakage-safety proof: perturbing a SERVE row's value moves its
     // own z but not the fit — train rows' z are bit-identical
     val df2 = Seq((0L, 99.00), (1L, 1.00), (2L, 2.00), (3L, 3.00),
@@ -87,7 +89,7 @@ class FeaturesSpec extends SparkSpec {
     val z2 = Features.standardScale(df2, "id", "v", k = 4)
       .filter(col("fold") =!= 0).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(3)))
-    assert(z2.toSeq == Seq((1L, -12346L), (2L, 0L), (3L, 12345L)))
+    assert(z2.toSeq == Seq((1L, -4630L), (3L, 13888L), (4L, -9260L)))
     // constant train column: a scaler with no scale answers NULL
     val flat = Seq((1L, 5.00), (2L, 5.00), (3L, 5.00), (0L, 7.00))
       .toDF("id", "v")
@@ -97,19 +99,19 @@ class FeaturesSpec extends SparkSpec {
   }
 
   test("robustScale: exact type-1 median/IQR fit on train, signed floor z, zero-IQR NULL") {
-    // folds: ids 1,2,3,5,6,7 train; 0,4,8 serve (Knuth hash mod 4).
-    // train cents sorted [100,200,300,500,600,700], n=6: type-1 ranks
-    // floor(q*5/4) -> p25=rank1=200, med=rank2=300, p75=rank3=500,
-    // iqr=300
+    // top-bits folds: ids 1,3,4,6,7 train; 0,2,5 serve.
+    // train cents sorted [50,100,300,600,700], n=5: type-1 ranks
+    // floor(q*4/4) -> p25=rank1=100, med=rank2=300, p75=rank3=600,
+    // iqr=500
     val df = Seq((0L, 10.00), (1L, 1.00), (2L, 2.00), (3L, 3.00),
       (4L, 0.50), (5L, 5.00), (6L, 6.00), (7L, 7.00)).toDF("id", "v")
     val out = Features.robustScale(df, "id", "v", k = 4)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(
-      (0L, 700L, 23333L), (1L, -200L, -6667L), (2L, -100L, -3334L),
-      (3L, 0L, 0L), (4L, -250L, -8334L), (5L, 200L, 6666L),
-      (6L, 300L, 10000L), (7L, 400L, 13333L)), out.mkString(","))
+      (0L, 700L, 14000L), (1L, -200L, -4000L), (2L, -100L, -2000L),
+      (3L, 0L, 0L), (4L, -250L, -5000L), (5L, 200L, 4000L),
+      (6L, 300L, 6000L), (7L, 400L, 8000L)), out.mkString(","))
     // degenerate IQR (>=50% of train mass on one value): NULL z
     val flat = Seq((0L, 9.00), (1L, 5.00), (2L, 5.00), (3L, 5.00),
       (5L, 5.00), (6L, 5.00), (7L, 5.00)).toDF("id", "v")
@@ -124,11 +126,12 @@ class FeaturesSpec extends SparkSpec {
     val out = Features.cdfTransform(df, "id", "v", k = 4)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // n_train=6; cdf_bp = floor(1e4 * |{train <= x}| / 6)
+    // train = ids 1,3,4,6,7 (cents 100,300,50,600,700), n_train=5;
+    // cdf_bp = floor(1e4 * |{train <= x}| / 5)
     assert(out.toSeq == Seq(
-      (0L, 0L, 10000L), (1L, 1L, 1666L), (2L, 2L, 3333L),
-      (3L, 3L, 5000L), (4L, 0L, 0L), (5L, 1L, 6666L),
-      (6L, 2L, 8333L), (7L, 3L, 10000L)), out.mkString(","))
+      (0L, 0L, 10000L), (1L, 2L, 4000L), (2L, 0L, 4000L),
+      (3L, 3L, 6000L), (4L, 1L, 2000L), (5L, 0L, 6000L),
+      (6L, 2L, 8000L), (7L, 1L, 10000L)), out.mkString(","))
     // duplicates: every duplicate of a train value gets the SAME rank
     // (count of <=, not a tie-broken row rank)
     val dup = Seq((1L, 2.00), (2L, 2.00), (3L, 2.00), (0L, 2.00))

@@ -759,6 +759,36 @@ class StreamingSpec extends SparkSpec {
       r.getLong(5)) == ((5L, 2L, 2L, 1L, 4000L)), r.toString)
   }
 
+  test("zscoreAnomalyStream: frozen-stats integer z, breach count/share, nulls counted not scored") {
+    import spark.implicits._
+    // frozen mean 100c, std 300c, thresh 2e4 bp (2 sigma = dev 600c):
+    // values 1.00 (z 0), 10.00 (dev 900c -> z 30000, breach),
+    // -8.00 (dev -900c -> z floor(-9000000/300... ) breach), null
+    val rows = Seq(
+      (1L, 1L, "view", 1.00, "2024-01-01 10:00:01"),
+      (2L, 1L, "view", 10.00, "2024-01-01 10:00:02"),
+      (3L, 1L, "view", -8.00, "2024-01-01 10:00:03"))
+    val df = eventsDF(rows)
+    val withNull = df.union(Seq((4L, 1L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:04")))
+      .select(df.columns.map(col): _*))
+    val out = Streams.runToBatch(spark,
+        Streams.zscoreAnomalyStream(streamDir(stageBatches("zanom", Seq(
+          withNull, eventsDF(Seq((99L, 1L, "view", 1.0,
+            "2024-01-01 11:00:00"))))), withNull.schema),
+          col("value"), meanC = 100L, stdC = 300L, threshBp = 20000L),
+        "spec_zanom")
+      .orderBy("w_start").collect()
+    assert(out.length == 1)
+    val r = out.head
+    // z: 0, +30000, floor(-9000000/300) = -30000; 2 breaches of 3
+    // scored -> anom_bp = 20000 div 3 = 6666; max|z| = 30000
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((4L, 1L, 2L, 6666L, 30000L)), r.toString)
+  }
+
   test("cusumStreamAtClose: one append row per closed series, equal to the batch fold; open windows stay silent") {
     // window 10:00–11:00 has a mean shift after the 3rd event; the
     // 12:30 event pushes the watermark (12:20) past 11:00 + 10 min so
