@@ -1413,6 +1413,67 @@ object Validate {
         col("gap_ppm"), col("ece_ppm"))
   }
 
+  /** Classifier threshold report — the operating-point ladder that
+    * turns a scored corpus into a DECISION (reference shape:
+    * scikit-learn's precision_recall_curve, quantized to a fixed
+    * threshold grid): per threshold, the full confusion census
+    * (tp/fp/fn/tn) plus precision/recall/F1/accuracy in floor basis
+    * points. [[calibrationReport]] (q262) answers "are the scores
+    * honest probabilities"; this answers "WHERE do I cut" — the step
+    * every quality-classifier gate (CCNet-style perplexity tiers,
+    * learned filters) performs before its threshold means anything.
+    *
+    * Arithmetic contract: scores quantize to floor ppm BEFORE the
+    * comparison (one IEEE floor on the same double both engines
+    * compute), predictions are `v_ppm >= thr_ppm`, and every ratio is
+    * an integer div on non-negative operands. F1 uses the single-
+    * division identity f1 = 2·tp / (2·tp + fp + fn) — no nested
+    * rounded ratios, so the floor is exact.
+    *
+    * 100 TB posture: ONE full-column scan aggregated into 4·|ladder|
+    * conditional sums (map-side combined), then a bounded |ladder|-row
+    * stack — the corpus is never crossed with the grid and never
+    * shuffles by score.
+    *
+    * @return (thr_ppm, tp, fp, fn, tn, precision_bp, recall_bp,
+    *         f1_bp, acc_bp), one row per threshold
+    */
+  def thresholdReport(df: DataFrame, scoreCol: String, labelCol: String,
+      thrPpm: Seq[Long]): DataFrame = {
+    require(thrPpm.nonEmpty && thrPpm.size <= 64,
+      s"ladder must have 1..64 thresholds, got ${thrPpm.size}")
+    require(thrPpm == thrPpm.sorted && thrPpm.distinct == thrPpm,
+      "ladder must be strictly increasing")
+    val base = df.select(
+        floor(col(scoreCol).cast("double") * 1e6).cast("long").as("vp"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("vp").isNotNull && col("y").isNotNull)
+    val aggs = thrPpm.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("vp") >= t && col("y") === 1, 1L).otherwise(0L))
+        .as(s"tp$i"),
+      sum(when(col("vp") >= t && col("y") === 0, 1L).otherwise(0L))
+        .as(s"fp$i"),
+      sum(when(col("vp") < t && col("y") === 1, 1L).otherwise(0L))
+        .as(s"fn$i"),
+      sum(when(col("vp") < t && col("y") === 0, 1L).otherwise(0L))
+        .as(s"tn$i")) }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thrPpm.indices
+      .map(i => s"${thrPpm(i)}L, tp$i, fp$i, fn$i, tn$i").mkString(", ")
+    one.selectExpr(s"stack(${thrPpm.size}, $stackArgs)" +
+        " AS (thr_ppm, tp, fp, fn, tn)")
+      .select(col("thr_ppm"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L" +
+          " ELSE (tp * 10000) div (tp + fp) END").as("precision_bp"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L" +
+          " ELSE (tp * 10000) div (tp + fn) END").as("recall_bp"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0L" +
+          " ELSE (2 * tp * 10000) div (2 * tp + fp + fn) END").as("f1_bp"),
+        expr("CASE WHEN tp + fp + fn + tn = 0 THEN 0L" +
+          " ELSE ((tp + tn) * 10000) div (tp + fp + fn + tn) END")
+          .as("acc_bp"))
+  }
+
   /** ISOTONIC calibration fit — the CORRECTION step after
     * [[calibrationReport]] measures the miscalibration: fit the
     * monotone step function minimizing squared error over the score

@@ -524,6 +524,22 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("bin"))
     }),
 
+    // classifier threshold report (NEW r14): the operating-point
+    // ladder after q262 says the scores are honest and q271 fixes
+    // them — per threshold the confusion census + precision/recall/
+    // F1/accuracy in floor bp; ONE scan into 4*|ladder| conditional
+    // sums, corpus never crossed with the grid
+    "q286_threshold_report" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(least(greatest(col("value") / 200.0, lit(0.0)),
+            lit(1.0)).as("score"),
+          (col("event_type") === "purchase").cast("long").as("label"))
+      graft.ops.Validate.thresholdReport(ev, "score", "label",
+          thrPpm = Seq(50000L, 100000L, 200000L, 300000L, 500000L,
+            700000L, 900000L))
+        .orderBy(col("thr_ppm"))
+    }),
+
     // mutual information feature screen (NEW r12): MI(order priority,
     // order status) in exact floor-nano nats — model-free relevance/
     // redundancy check over categorical columns; one cell-count
@@ -864,6 +880,37 @@ object SourceQueries extends QueryGroup {
          |  (o.n_pos * 1000000) // o.n AS raw_ppm, f.fitted_ppm
          |FROM o JOIN f USING (j) ORDER BY o.bin""".stripMargin
     },
+
+    // same ppm quantization (one IEEE floor on the identical double),
+    // prediction = vp >= thr, single-division F1 identity
+    "q286_threshold_report" ->
+      """WITH sc AS (SELECT
+        |    CAST(FLOOR(LEAST(GREATEST(value / 200.0, 0.0), 1.0)
+        |      * 1000000) AS BIGINT) AS vp,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT unnest([50000, 100000, 200000, 300000, 500000,
+        |    700000, 900000]) AS thr_ppm),
+        |c AS (SELECT thr_ppm,
+        |    CAST(COUNT(*) FILTER (WHERE vp >= thr_ppm AND y = 1)
+        |      AS BIGINT) AS tp,
+        |    CAST(COUNT(*) FILTER (WHERE vp >= thr_ppm AND y = 0)
+        |      AS BIGINT) AS fp,
+        |    CAST(COUNT(*) FILTER (WHERE vp < thr_ppm AND y = 1)
+        |      AS BIGINT) AS fn,
+        |    CAST(COUNT(*) FILTER (WHERE vp < thr_ppm AND y = 0)
+        |      AS BIGINT) AS tn
+        |  FROM g, sc GROUP BY thr_ppm)
+        |SELECT CAST(thr_ppm AS BIGINT) AS thr_ppm, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN 0
+        |    ELSE (tp * 10000) // (tp + fp) END AS precision_bp,
+        |  CASE WHEN tp + fn = 0 THEN 0
+        |    ELSE (tp * 10000) // (tp + fn) END AS recall_bp,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        |    ELSE (2 * tp * 10000) // (2 * tp + fp + fn) END AS f1_bp,
+        |  CASE WHEN tp + fp + fn + tn = 0 THEN 0
+        |    ELSE ((tp + tn) * 10000) // (tp + fp + fn + tn) END AS acc_bp
+        |FROM c ORDER BY thr_ppm""".stripMargin,
 
     "q262_calibration" -> {
       val bucket = graft.ops.Sketches.histBucketExpr(0.0, 1.0, 10)

@@ -363,6 +363,9 @@ package object syntax {
     def cooccurrencePmi(text: String, window: Int, minCount: Long,
         minPair: Long): DataFrame =
       Corpus.cooccurrencePmi(df, text, window, minCount, minPair)
+    def thresholdReport(scoreCol: String, labelCol: String,
+        thrPpm: Seq[Long]): DataFrame =
+      Validate.thresholdReport(df, scoreCol, labelCol, thrPpm)
     def piiScanExtended(id: String, text: String): DataFrame =
       TextAnalysis.piiScanExtended(df, id, text)
     def tCloseness(quasiCols: Seq[String], sensitive: String): DataFrame =

@@ -427,4 +427,33 @@ class PropertySpec extends SparkSpec {
     }
     check("lpa-vs-ref", prop, minTests = 5)
   }
+
+  test("cooccurrencePmi pair counts match the brute-force window recount") {
+    // random corpora over a 4-token alphabet; the map-side
+    // flatten/transform pair generation must equal the O(n^2)
+    // per-document window enumeration for every (window, corpus)
+    val genDocs: Gen[List[(Long, String)]] = Gen.listOfN(4,
+      Gen.choose(0, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))))
+      .map(_.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) })
+    def brute(docs: List[(Long, String)], w: Int): Map[(String, String), Long] =
+      docs.flatMap { case (_, text) =>
+        val ts = text.split(" ").filter(_.nonEmpty)
+        for {
+          i <- ts.indices
+          j <- (i + 1) until math.min(i + w + 1, ts.length)
+          if ts(i) != ts(j)
+        } yield (if (ts(i) < ts(j)) (ts(i), ts(j)) else (ts(j), ts(i)))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prop = Prop.forAll(genDocs, Gen.choose(1, 4)) { (docs, w) =>
+      val got = graft.ops.Corpus.cooccurrencePmi(
+          docs.toDF("doc_id", "text"), "text", window = w,
+          minCount = 1L, minPair = 1L)
+        .select($"term_a", $"term_b", $"c_ab")
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      got == brute(docs, w)
+    }
+    check("coocc-vs-ref", prop, minTests = 5)
+  }
 }

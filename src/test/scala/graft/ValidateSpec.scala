@@ -569,4 +569,28 @@ class ValidateSpec extends SparkSpec {
     assert(r("all")._4 > 0 && r("all")._5 == 1.0)
     assert(r("none")._4 == 0.0 && r("none")._5 < 1)
   }
+
+  test("thresholdReport: hand-counted confusion ladder, single-division F1, empty-prediction row") {
+    import spark.implicits._
+    val df = Seq((0.10, 0L), (0.20, 1L), (0.40, 0L), (0.60, 1L),
+      (0.90, 1L)).toDF("score", "label")
+    val out = Validate.thresholdReport(df, "score", "label",
+        thrPpm = Seq(300000L, 500000L, 950000L))
+      .orderBy("thr_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(out.toSeq == Seq(
+      // thr 0.3: preds {0.4, 0.6, 0.9} -> tp 2 fp 1 fn 1 tn 1;
+      // f1 = 40000 div (4+1+1) = 6666
+      (300000L, 2L, 1L, 1L, 1L, 6666L, 6666L, 6666L, 6000L),
+      // thr 0.5: preds {0.6, 0.9} -> perfect precision
+      (500000L, 2L, 0L, 1L, 2L, 10000L, 6666L, 8000L, 8000L),
+      // thr 0.95: nothing predicted positive -> ratios 0, not errors
+      (950000L, 0L, 0L, 3L, 2L, 0L, 0L, 0L, 4000L)),
+      out.mkString(","))
+    // monotonicity the ladder must obey: recall non-increasing in thr
+    val rec = out.map(_._7)
+    assert(rec.sameElements(rec.sorted.reverse))
+  }
 }
