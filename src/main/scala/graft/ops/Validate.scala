@@ -1474,6 +1474,59 @@ object Validate {
           .as("acc_bp"))
   }
 
+  /** Per-slice [[thresholdReport]] — the PARITY view: the same
+    * operating-point ladder computed independently per group (language,
+    * source, demographic slice), so a threshold that looks fine on the
+    * pooled corpus but guts recall on one slice is visible BEFORE the
+    * cut ships (the disaggregated-evaluation discipline every
+    * production quality gate owes its minority slices). Identical
+    * arithmetic contract to [[thresholdReport]]; plan shape is the
+    * same single scan with the conditional sums keyed by the group —
+    * one map-side-combined shuffle on |groups| keys, then the bounded
+    * per-group stack.
+    *
+    * @return (grp, thr_ppm, tp, fp, fn, tn, precision_bp, recall_bp,
+    *         f1_bp, acc_bp), |groups|·|ladder| rows
+    */
+  def thresholdReportBy(df: DataFrame, group: String, scoreCol: String,
+      labelCol: String, thrPpm: Seq[Long]): DataFrame = {
+    require(thrPpm.nonEmpty && thrPpm.size <= 64,
+      s"ladder must have 1..64 thresholds, got ${thrPpm.size}")
+    require(thrPpm == thrPpm.sorted && thrPpm.distinct == thrPpm,
+      "ladder must be strictly increasing")
+    val base = df.select(col(group).as("grp"),
+        floor(col(scoreCol).cast("double") * 1e6).cast("long").as("vp"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("vp").isNotNull && col("y").isNotNull
+        && col("grp").isNotNull)
+    val aggs = thrPpm.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("vp") >= t && col("y") === 1, 1L).otherwise(0L))
+        .as(s"tp$i"),
+      sum(when(col("vp") >= t && col("y") === 0, 1L).otherwise(0L))
+        .as(s"fp$i"),
+      sum(when(col("vp") < t && col("y") === 1, 1L).otherwise(0L))
+        .as(s"fn$i"),
+      sum(when(col("vp") < t && col("y") === 0, 1L).otherwise(0L))
+        .as(s"tn$i")) }
+    val perGroup = base.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thrPpm.indices
+      .map(i => s"${thrPpm(i)}L, tp$i, fp$i, fn$i, tn$i").mkString(", ")
+    perGroup.selectExpr("grp",
+        s"stack(${thrPpm.size}, $stackArgs)" +
+          " AS (thr_ppm, tp, fp, fn, tn)")
+      .select(col("grp"), col("thr_ppm"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L" +
+          " ELSE (tp * 10000) div (tp + fp) END").as("precision_bp"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L" +
+          " ELSE (tp * 10000) div (tp + fn) END").as("recall_bp"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0L" +
+          " ELSE (2 * tp * 10000) div (2 * tp + fp + fn) END").as("f1_bp"),
+        expr("CASE WHEN tp + fp + fn + tn = 0 THEN 0L" +
+          " ELSE ((tp + tn) * 10000) div (tp + fp + fn + tn) END")
+          .as("acc_bp"))
+  }
+
   /** ISOTONIC calibration fit — the CORRECTION step after
     * [[calibrationReport]] measures the miscalibration: fit the
     * monotone step function minimizing squared error over the score

@@ -540,6 +540,22 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("thr_ppm"))
     }),
 
+    // per-slice threshold report (NEW r14): q286 disaggregated over
+    // user cohorts — the parity view that catches a pooled threshold
+    // gutting one slice's recall; same scan keyed by the group
+    "q287_threshold_report_by" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(concat(lit("cohort"), pmod(col("user_id"), lit(3)))
+            .as("cohort"),
+          least(greatest(col("value") / 200.0, lit(0.0)),
+            lit(1.0)).as("score"),
+          (col("event_type") === "purchase").cast("long").as("label"))
+      graft.ops.Validate.thresholdReportBy(ev, "cohort",
+          "score", "label",
+          thrPpm = Seq(100000L, 300000L, 500000L, 700000L))
+        .orderBy(col("grp"), col("thr_ppm"))
+    }),
+
     // mutual information feature screen (NEW r12): MI(order priority,
     // order status) in exact floor-nano nats — model-free relevance/
     // redundancy check over categorical columns; one cell-count
@@ -880,6 +896,37 @@ object SourceQueries extends QueryGroup {
          |  (o.n_pos * 1000000) // o.n AS raw_ppm, f.fitted_ppm
          |FROM o JOIN f USING (j) ORDER BY o.bin""".stripMargin
     },
+
+    // the q286 replay keyed by cohort; pmod == % on the non-negative
+    // user_id
+    "q287_threshold_report_by" ->
+      """WITH sc AS (SELECT
+        |    'cohort' || CAST(user_id % 3 AS VARCHAR) AS grp,
+        |    CAST(FLOOR(LEAST(GREATEST(value / 200.0, 0.0), 1.0)
+        |      * 1000000) AS BIGINT) AS vp,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT unnest([100000, 300000, 500000, 700000]) AS thr_ppm),
+        |c AS (SELECT grp, thr_ppm,
+        |    CAST(COUNT(*) FILTER (WHERE vp >= thr_ppm AND y = 1)
+        |      AS BIGINT) AS tp,
+        |    CAST(COUNT(*) FILTER (WHERE vp >= thr_ppm AND y = 0)
+        |      AS BIGINT) AS fp,
+        |    CAST(COUNT(*) FILTER (WHERE vp < thr_ppm AND y = 1)
+        |      AS BIGINT) AS fn,
+        |    CAST(COUNT(*) FILTER (WHERE vp < thr_ppm AND y = 0)
+        |      AS BIGINT) AS tn
+        |  FROM g, sc GROUP BY grp, thr_ppm)
+        |SELECT grp, CAST(thr_ppm AS BIGINT) AS thr_ppm, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN 0
+        |    ELSE (tp * 10000) // (tp + fp) END AS precision_bp,
+        |  CASE WHEN tp + fn = 0 THEN 0
+        |    ELSE (tp * 10000) // (tp + fn) END AS recall_bp,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        |    ELSE (2 * tp * 10000) // (2 * tp + fp + fn) END AS f1_bp,
+        |  CASE WHEN tp + fp + fn + tn = 0 THEN 0
+        |    ELSE ((tp + tn) * 10000) // (tp + fp + fn + tn) END AS acc_bp
+        |FROM c ORDER BY grp, thr_ppm""".stripMargin,
 
     // same ppm quantization (one IEEE floor on the identical double),
     // prediction = vp >= thr, single-division F1 identity

@@ -366,6 +366,9 @@ package object syntax {
     def thresholdReport(scoreCol: String, labelCol: String,
         thrPpm: Seq[Long]): DataFrame =
       Validate.thresholdReport(df, scoreCol, labelCol, thrPpm)
+    def thresholdReportBy(group: String, scoreCol: String,
+        labelCol: String, thrPpm: Seq[Long]): DataFrame =
+      Validate.thresholdReportBy(df, group, scoreCol, labelCol, thrPpm)
     def piiScanExtended(id: String, text: String): DataFrame =
       TextAnalysis.piiScanExtended(df, id, text)
     def tCloseness(quasiCols: Seq[String], sensitive: String): DataFrame =

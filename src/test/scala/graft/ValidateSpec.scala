@@ -593,4 +593,25 @@ class ValidateSpec extends SparkSpec {
     val rec = out.map(_._7)
     assert(rec.sameElements(rec.sorted.reverse))
   }
+
+  test("thresholdReportBy: each slice equals its own solo report; null groups dropped") {
+    import spark.implicits._
+    val df = Seq(("a", 0.10, 0L), ("a", 0.60, 1L), ("a", 0.90, 0L),
+      ("b", 0.20, 1L), ("b", 0.70, 1L),
+      (null.asInstanceOf[String], 0.99, 1L)).toDF("g", "score", "label")
+    val ladder = Seq(300000L, 800000L)
+    val by = Validate.thresholdReportBy(df, "g", "score", "label", ladder)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+    assert(by.keySet.map(_._1) == Set("a", "b")) // null group dropped
+    for (g <- Seq("a", "b")) {
+      val solo = Validate.thresholdReport(df.filter(col("g") === g),
+          "score", "label", ladder)
+        .collect().map(r => (g, r.getLong(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+      solo.foreach { case (k, v) => assert(by(k) == v, s"$k: ${by(k)} != $v") }
+    }
+  }
 }
