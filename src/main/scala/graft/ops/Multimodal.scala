@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * processing), typed output schema — and since round 14 the header
   * decode is REAL too: [[HeaderDecoder]] parses PNG (IHDR width/height),
   * JPEG (marker scan to SOFn), and GIF (logical screen descriptor)
-  * container headers from raw bytes — pure byte arithmetic, no codec.
+  * container headers from raw bytes, and [[WavDecoder]] parses WAV
+  * (RIFF chunk scan: fmt_ fields + data payload) — pure byte
+  * arithmetic, no codec.
   * Only pixel-level decode (which needs a codec this container doesn't
   * ship) remains out of scope; swapping in a full decoder (JavaCV,
   * TwelveMonkeys, ffmpeg subprocess) changes only the per-row function.
@@ -133,6 +135,143 @@ object Multimodal {
       MediaFeatures(docId, n, fmt, w, h,
         if (payloadLen <= 0) 0.0 else s.toDouble / payloadLen / 255.0)
     }
+  }
+
+  /** Typed features extracted per audio blob. */
+  case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      format: String,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      amplitude: Double)
+
+  /** Real WAV (RIFF) container parser — the audio counterpart of
+    * [[HeaderDecoder]] (same honesty contract: header structure is
+    * parsed from real bytes; sample decoding would need a codec the
+    * container does not ship, so the amplitude is a byte-mean proxy
+    * over the data payload). RIFF layout: "RIFF" + u32le riffSize +
+    * "WAVE", then a CHUNK SCAN (id(4) + u32le size + data, padded to
+    * even) — fmt_ carries audioFormat/channels/sampleRate/bits at
+    * fixed offsets inside the chunk, data's body is the sample
+    * payload. A fixed-offset reader would mis-parse any file with a
+    * LIST/INFO chunk before fmt_; the scan is what production WAV
+    * readers do.
+    *
+    * Malformed input degrades, never throws: RIFF magic without a
+    * parseable fmt_ yields ("wav", -1, ...); unrecognized magic yields
+    * ("unknown", ...) with an empty payload.
+    */
+  object WavDecoder {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def id4(b: Array[Byte], i: Int): String =
+      new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+    /** (format, channels, sampleRate, bits, dataOff, dataLen);
+      * -1 / 0-len = unparseable.
+      */
+    def parseWavHeader(b: Array[Byte]): (String, Int, Int, Int, Int, Int) = {
+      val n = b.length
+      if (n < 12 || id4(b, 0) != "RIFF" || id4(b, 8) != "WAVE")
+        return ("unknown", -1, -1, -1, n, 0)
+      var i = 12
+      var ch = -1; var rate = -1; var bits = -1
+      var dOff = n; var dLen = 0
+      while (i + 8 <= n) {
+        val cid = id4(b, i)
+        val size = le32(b, i + 4)
+        if (cid == "fmt " && size >= 16 && i + 8 + 16 <= n) {
+          ch = le16(b, i + 10)
+          // clamp, don't wrap: a u32 rate above Int.MaxValue is garbage
+          // but must stay a parse result, not an overflow artifact
+          rate = math.min(le32(b, i + 12), Int.MaxValue.toLong).toInt
+          bits = le16(b, i + 22)
+        } else if (cid == "data") {
+          dOff = i + 8
+          dLen = math.min(size, (n - dOff).toLong).toInt
+        }
+        val advance = 8L + size + (size & 1L) // chunks pad to even
+        if (advance <= 8L || i + advance > Int.MaxValue) i = n
+        else i += advance.toInt
+      }
+      ("wav", ch, rate, bits, dOff, dLen)
+    }
+
+    /** Parse the header, then reduce the data payload to frame count,
+      * duration (integer ms — (frames·1000) div rate) and a byte-mean
+      * amplitude proxy.
+      */
+    def decode(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+      val (fmt, ch, rate, bits, off, len) = parseWavHeader(bytes)
+      val blockAlign = if (ch > 0 && bits > 0) ch * bits / 8 else 0
+      val nFrames = if (blockAlign > 0) len.toLong / blockAlign else 0L
+      val durMs = if (rate > 0) nFrames * 1000L / rate else 0L
+      var s = 0L; var i = off
+      val end = off + len
+      while (i < end) { s += (bytes(i) & 0xff); i += 1 }
+      AudioFeatures(docId, bytes.length, fmt, ch, rate, bits, nFrames,
+        durMs, if (len <= 0) 0.0 else s.toDouble / len / 255.0)
+    }
+  }
+
+  /** Synthesize a byte-valid PCM WAV around the payload with
+    * id-derived parameters: channels 1 + id%2, sample rate
+    * 8000 + 100·(id·17 mod 361), bits 8/16/24 on id%3. Every fifth id
+    * carries a LIST chunk BEFORE fmt_ so the parser's chunk SCAN (not
+    * a fixed 44-byte offset) is what finds the format fields — the
+    * APP0-before-SOF0 trick of [[synthesizeBlob]], in RIFF form.
+    */
+  def synthesizeWavBlob(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val ch = (1 + java.lang.Math.floorMod(docId, 2L)).toInt
+    val rate = (8000 + 100 * java.lang.Math.floorMod(docId * 17, 361L)).toInt
+    val bits = (8 + 8 * java.lang.Math.floorMod(docId, 3L)).toInt
+    val blockAlign = ch * bits / 8
+    val list: Array[Byte] =
+      if (java.lang.Math.floorMod(docId, 5L) == 0L)
+        "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")
+      else Array.emptyByteArray
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(ch) ++ le32(rate) ++ le32(rate.toLong * blockAlign) ++
+      le16(blockAlign) ++ le16(bits)
+    val data = "data".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+    val body = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  private val synthesizeWavUdf =
+    udf((docId: Long, text: String) =>
+      synthesizeWavBlob(docId,
+        (if (text == null) "" else text).getBytes("UTF-8")))
+
+  /** Attach an opaque binary WAV column (see [[synthesizeWavBlob]]) —
+    * the fixtures ship no real audio; a production source reads bytes
+    * from the lake and skips the synthesis.
+    */
+  def withAudioColumn(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("media", synthesizeWavUdf(col(id).cast("long"), col(text)))
+
+  /** Partition-parallel audio feature extraction — the
+    * [[extractFeatures]] shape over [[WavDecoder]]: one decoder per
+    * partition, streaming iterator, constant memory per task.
+    */
+  def extractAudioFeatures(spark: SparkSession, df: DataFrame,
+      id: String): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, bytes) =>
+        WavDecoder.decode(docId, bytes) })
   }
 
   /** Synthesize a byte-valid container header for deterministic

@@ -1180,6 +1180,23 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL WAV header decode (NEW r14, the audio counterpart of the
+    // q105 image de-stub): blobs carry byte-valid RIFF/WAVE structure
+    // and channels/rate/bits/frames below are PARSED via a chunk SCAN
+    // (every 5th blob has a LIST chunk before fmt_, so a fixed-offset
+    // reader would mis-parse); oracle replays the synthesis arithmetic
+    "q288_audio_header" -> ((s, d) => {
+      val withAudio = Multimodal.withAudioColumn(
+        Tables.documents(s, d), "doc_id", "text")
+      Multimodal.extractAudioFeatures(s, withAudio, "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          col("channels"), col("sample_rate"), col("bits"),
+          col("n_frames"), col("duration_ms"),
+          round(col("amplitude"), 6).as("amplitude"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- embedding linalg (PCA-whitening prep) -----------------------
     // distributed Gramian X^T X of the embedding table in integer
     // micro-units: one scan, per-partition local d(d+1)/2 accumulation,
@@ -2719,6 +2736,29 @@ object LlmQueries extends QueryGroup {
           |  CAST(CEIL(n_samples * 16000.0 / in_rate) AS BIGINT) AS out_samples,
           |  CAST(CEIL(CEIL(n_samples * 16000.0 / in_rate) / 4000.0) AS BIGINT) AS n_windows
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      // replay of synthesizeWavBlob's id-derived parameters: header =
+      // 44 + 12 (every 5th id's LIST chunk) bytes, blockAlign =
+      // ch*bits/8 (always integral for bits in {8,16,24}), frames/
+      // duration as the same integer floor divisions
+      "q288_audio_header" ->
+        s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n,
+           |  list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))) AS bsum,
+           |  CASE WHEN doc_id % 5 = 0 THEN 12 ELSE 0 END AS lst,
+           |  1 + doc_id % 2 AS ch,
+           |  8000 + 100 * ((doc_id * 17) % 361) AS rate,
+           |  8 + 8 * (doc_id % 3) AS bits
+           |FROM documents),
+           |u AS (SELECT doc_id, n, bsum, lst, ch, rate, bits,
+           |  (ch * bits) // 8 AS ba FROM t)
+           |SELECT doc_id, CAST(44 + lst + n AS INTEGER) AS n_bytes,
+           |  'wav' AS format, CAST(ch AS INTEGER) AS channels,
+           |  CAST(rate AS INTEGER) AS sample_rate, CAST(bits AS INTEGER) AS bits,
+           |  CAST(n // ba AS BIGINT) AS n_frames,
+           |  CAST(((n // ba) * 1000) // rate AS BIGINT) AS duration_ms,
+           |  CASE WHEN n = 0 THEN 0.0
+           |       ELSE ROUND(CAST(bsum AS DOUBLE) / n / 255.0, 6) END AS amplitude
+           |FROM u ORDER BY doc_id""".stripMargin,
 
       "q105c_multimodal_frames" ->
         s"""WITH t AS (SELECT doc_id, text,

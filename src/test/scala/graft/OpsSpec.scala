@@ -541,6 +541,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("WavDecoder parses RIFF chunk structure and degrades on malformed bytes") {
+    import graft.ops.Multimodal.WavDecoder.parseWavHeader
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // golden fixture handcrafted (NOT via synthesizeWavBlob): stereo
+    // 44100 Hz 16-bit, 8 payload bytes, with a JUNK chunk before fmt_
+    // AND an odd-sized chunk (pad byte) so the scan's even-padding and
+    // skip logic are both exercised
+    val junk = "JUNK".getBytes("US-ASCII") ++ le32(3) ++
+      Array[Byte](1, 2, 3, 0) // size 3 + pad to even
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(2) ++ le32(44100) ++ le32(44100L * 4) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(8) ++
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val body = "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    val (f, ch, rate, bits, off, len) = parseWavHeader(wav)
+    assert((f, ch, rate, bits, len) == (("wav", 2, 44100, 16, 8)))
+    assert(off == wav.length - 8)
+    // data size field larger than the real tail: length clamps
+    val lying = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(9999) ++ Array[Byte](1, 2, 3)
+    assert(parseWavHeader(lying)._6 == 3)
+    // malformed: RIFF without WAVE, bare magic, empty, text
+    assert(parseWavHeader("RIFFxxxxAVI ".getBytes("US-ASCII"))._1 == "unknown")
+    assert(parseWavHeader("RIFF".getBytes("US-ASCII"))._1 == "unknown")
+    assert(parseWavHeader(Array.empty[Byte]) ==
+      (("unknown", -1, -1, -1, 0, 0)))
+    val noFmt = "RIFF".getBytes("US-ASCII") ++ le32(4) ++
+      "WAVE".getBytes("US-ASCII")
+    assert(parseWavHeader(noFmt) == (("wav", -1, -1, -1, noFmt.length, 0)))
+    // synthesizeWavBlob round-trip at adversarial ids (incl. the
+    // LIST-chunk path at id % 5 == 0 — a fixed-offset reader fails it)
+    for (id <- Seq(0L, 1L, 2L, 5L, 7L, 12345678901L)) {
+      val blob = graft.ops.Multimodal.synthesizeWavBlob(id,
+        "payloadXY".getBytes("UTF-8"))
+      val (f2, c2, r2, b2, _, l2) = parseWavHeader(blob)
+      assert(f2 == "wav" && l2 == 9)
+      assert(c2 == 1 + Math.floorMod(id, 2L).toInt)
+      assert(r2 == 8000 + 100 * Math.floorMod(id * 17, 361L).toInt)
+      assert(b2 == 8 + 8 * Math.floorMod(id, 3L).toInt)
+    }
+  }
+
   test("linkageScores: blocked pairs, weight sums, null-safe agreement") {
     import spark.implicits._
     val a = Seq((1L, "z1", "AUTO", Some(5L)), (2L, "z2", "BLDG", None))

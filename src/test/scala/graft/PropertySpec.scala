@@ -413,6 +413,21 @@ class PropertySpec extends SparkSpec {
         (w >= -1) && (h >= -1)
     }
     check("header-decoder-total", prop, minTests = 300)
+    // WAV chunk scan: total on arbitrary and RIFF-prefixed garbage —
+    // lying chunk sizes must clamp, never throw or loop
+    val genRiff = for {
+      n <- Gen.choose(0, 64)
+      tail <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+    } yield "RIFF".getBytes("US-ASCII") ++ tail.toArray
+    val wavProp = Prop.forAll(Gen.oneOf(genRaw, genRiff)) { bytes =>
+      val (fmt, ch, rate, bits, off, len) =
+        graft.ops.Multimodal.WavDecoder.parseWavHeader(bytes)
+      Set("wav", "unknown").contains(fmt) &&
+        off >= 0 && off <= bytes.length &&
+        len >= 0 && off + len <= bytes.length &&
+        ch >= -1 && rate >= -1 && bits >= -1
+    }
+    check("wav-decoder-total", wavProp, minTests = 300)
   }
 
   test("labelPropagate matches the sequential LPA fold on random digraphs") {
