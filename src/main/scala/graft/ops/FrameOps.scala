@@ -1247,6 +1247,54 @@ object FrameOps {
     * @return (keys…, n, n_trimmed_lo, n_trimmed_hi, lo, hi,
     *         trimmed_mean)
     */
+  /** Per-group ROBUST z-score — the median/MAD outlier screen
+    * ([[trimmedMeanBy]] makes a group KPI spike-proof; this scores
+    * every ROW against its group, the per-segment data-cleaning pass
+    * that a global scaler (q283) can't do when segments live on
+    * different scales). center = the group's lower median, scale = the
+    * group's MAD (median of |x − med|), both EXACT type-1 order
+    * statistics at rank floor((n−1)/2) — rank selection is
+    * duplicate-stable, no interpolation, so the integer z replays
+    * bit-for-bit. z_bp = floor(dev·10⁴ / mad) via the signed
+    * positive-mod spelling; MAD = 0 (≥ half the group on one value)
+    * emits NULL — flag such groups, don't fake a scale. The classic
+    * 1.4826 normal-consistency factor is deliberately NOT applied
+    * (it's irrational — consumers comparing to sigma thresholds
+    * multiply their threshold instead; documented contract).
+    *
+    * Plan: two group-partitioned rank windows (bounded per group —
+    * groups are categorical segments by contract) + two keyed joins of
+    * |groups|-row frames; rows shuffle by the group key only.
+    *
+    * @return grp, id, dev_c (signed cents from the group median), z_bp
+    */
+  def robustZscoreBy(df: DataFrame, group: String, id: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(group).as("grp"), col(id),
+        round(col(valueCol) * 100).cast("long").as("__c"))
+      .filter(col("grp").isNotNull && col("__c").isNotNull)
+    val wv = Window.partitionBy(col("grp")).orderBy(col("__c"))
+    val med = base
+      .withColumn("__r", row_number().over(wv).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("__r") === expr("(__n - 1) div 2"))
+      .select(col("grp"), col("__c").as("__med"))
+    val dev = base.join(med, "grp")
+      .withColumn("dev_c", col("__c") - col("__med"))
+    val wa = Window.partitionBy(col("grp")).orderBy(abs(col("dev_c")))
+    val mad = dev
+      .withColumn("__r", row_number().over(wa).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("__r") === expr("(__n - 1) div 2"))
+      .select(col("grp"), abs(col("dev_c")).as("__mad"))
+    dev.join(mad, "grp")
+      .withColumn("z_bp",
+        expr("""CASE WHEN __mad = 0 THEN NULL ELSE
+                |  (dev_c * 10000 - pmod(dev_c * 10000, __mad)) div __mad
+                |END""".stripMargin))
+      .select(col("grp"), col(id), col("dev_c"), col("z_bp"))
+  }
+
   def trimmedMeanBy(df: DataFrame, keys: Seq[String], valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")

@@ -556,6 +556,16 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("grp"), col("thr_ppm"))
     }),
 
+    // per-group robust z (NEW r14): median/MAD outlier screen over
+    // account balances per market segment — exact type-1 rank
+    // selection per group (no interpolation), signed positive-mod
+    // floor z, the per-segment pass a global scaler can't do
+    "q289_robust_z_by" -> ((s, d) => {
+      graft.ops.FrameOps.robustZscoreBy(Tables.customer(s, d),
+          "c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy(col("grp"), col("c_custkey"))
+    }),
+
     // mutual information feature screen (NEW r12): MI(order priority,
     // order status) in exact floor-nano nats — model-free relevance/
     // redundancy check over categorical columns; one cell-count
@@ -896,6 +906,33 @@ object SourceQueries extends QueryGroup {
          |  (o.n_pos * 1000000) // o.n AS raw_ppm, f.fitted_ppm
          |FROM o JOIN f USING (j) ORDER BY o.bin""".stripMargin
     },
+
+    // the same rank-at-floor((n-1)/2) selections; ROW_NUMBER tie order
+    // is irrelevant because the value AT a rank is duplicate-stable
+    "q289_robust_z_by" ->
+      """WITH b AS (SELECT c_mktsegment AS grp, c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+        |  FROM customer WHERE c_mktsegment IS NOT NULL),
+        |m AS (SELECT grp, c AS med FROM (
+        |    SELECT grp, c,
+        |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c) - 1 AS r,
+        |      COUNT(*) OVER (PARTITION BY grp) AS n
+        |    FROM b) WHERE r = (n - 1) // 2),
+        |d AS (SELECT b.grp, b.c_custkey, b.c - m.med AS dev_c
+        |  FROM b JOIN m USING (grp)),
+        |a AS (SELECT grp, ad AS mad FROM (
+        |    SELECT grp, ABS(dev_c) AS ad,
+        |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ABS(dev_c)) - 1
+        |        AS r,
+        |      COUNT(*) OVER (PARTITION BY grp) AS n
+        |    FROM d) WHERE r = (n - 1) // 2)
+        |SELECT d.grp, d.c_custkey, d.dev_c,
+        |  CASE WHEN a.mad = 0 THEN NULL ELSE
+        |    CAST((d.dev_c * 10000
+        |      - ((((d.dev_c * 10000) % a.mad) + a.mad) % a.mad))
+        |      // a.mad AS BIGINT)
+        |  END AS z_bp
+        |FROM d JOIN a USING (grp) ORDER BY d.grp, d.c_custkey""".stripMargin,
 
     // the q286 replay keyed by cohort; pmod == % on the non-negative
     // user_id

@@ -369,6 +369,9 @@ package object syntax {
     def thresholdReportBy(group: String, scoreCol: String,
         labelCol: String, thrPpm: Seq[Long]): DataFrame =
       Validate.thresholdReportBy(df, group, scoreCol, labelCol, thrPpm)
+    def robustZscoreBy(group: String, id: String,
+        valueCol: String): DataFrame =
+      FrameOps.robustZscoreBy(df, group, id, valueCol)
     def piiScanExtended(id: String, text: String): DataFrame =
       TextAnalysis.piiScanExtended(df, id, text)
     def tCloseness(quasiCols: Seq[String], sensitive: String): DataFrame =

@@ -881,4 +881,25 @@ class FrameOpsSpec extends SparkSpec {
     assert(r.getLong(5) == (1000L * 450L) / 2L, r.toString)  // mae_milli
     assert(r.getLong(6) == (1000000L * 450L) / 2450L, r.toString) // wape
   }
+
+  test("robustZscoreBy: per-group median/MAD, spike scored not absorbed, zero-MAD NULL") {
+    import spark.implicits._
+    // group A: cents [100,200,300,400,10000] -> med 300 (rank 2),
+    // |dev| sorted [0,100,100,200,9700] -> MAD 100 (rank 2): the spike
+    // moves NEITHER (that's the point) and scores z = 970000
+    val df = Seq(("A", 1L, 1.00), ("A", 2L, 2.00), ("A", 3L, 3.00),
+      ("A", 4L, 4.00), ("A", 5L, 100.00),
+      ("B", 6L, 5.00), ("B", 7L, 5.00), ("B", 8L, 5.00))
+      .toDF("seg", "id", "v")
+    val out = graft.ops.FrameOps.robustZscoreBy(df, "seg", "id", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, -200L, -20000L), (2L, -100L, -10000L), (3L, 0L, 0L),
+      (4L, 100L, 10000L), (5L, 9700L, 970000L),
+      // constant group: MAD 0 -> NULL z, never a fake scale
+      (6L, 0L, null), (7L, 0L, null), (8L, 0L, null)),
+      out.mkString(","))
+  }
 }
