@@ -1247,6 +1247,59 @@ object FrameOps {
     * @return (keys…, n, n_trimmed_lo, n_trimmed_hi, lo, hi,
     *         trimmed_mean)
     */
+  /** Build a MERGEABLE aggregate snapshot: per key, the closed-form
+    * state (n, sum in cents through DECIMAL(38,0), min, max) from
+    * which count/sum/mean/min/max — and, merged with any other
+    * snapshot of disjoint rows, the exact same statistics — are
+    * derivable without rescanning the rows. The state discipline every
+    * incremental rollup / materialized view lives on: history is
+    * aggregated ONCE, each new partition folds in via
+    * [[mergeAggSnapshot]].
+    */
+  def aggSnapshot(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val cents = round(col(valueCol) * 100).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(cents.cast("decimal(38,0)")).as("sum_c"),
+        min(cents).as("min_c"),
+        max(cents).as("max_c"))
+  }
+
+  /** Merge two [[aggSnapshot]] states over DISJOINT row sets — the
+    * incremental-ETL fold (reference shape: every mergeable-aggregate
+    * system from Spark's own partial aggregation to Druid/Cube
+    * rollups): count/sum add, min/max fold, keys present on one side
+    * only pass through. merge(snapshot(A), snapshot(B)) ==
+    * snapshot(A ∪ B) EXACTLY (decimal sums — no fp re-association
+    * drift), which is what the q290 gate proves: the Spark side
+    * merges yesterday's state with today's delta, the oracle rescans
+    * everything.
+    *
+    * 100 TB posture: the merge touches only the two STATE frames
+    * (|keys| rows each) — one keyed shuffle over state, history rows
+    * are never read again. `mean_c` is derived at read time
+    * (sum div n, floor — derive, never store, or merged means drift).
+    */
+  def mergeAggSnapshot(snap: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val want = keys ++ Seq("n", "sum_c", "min_c", "max_c")
+    require(want.forall(snap.columns.contains) &&
+      want.forall(delta.columns.contains),
+      s"both sides must carry aggSnapshot state ${want.mkString(", ")}")
+    snap.select(want.map(col): _*)
+      .unionByName(delta.select(want.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_c")).as("sum_c"),
+        min(col("min_c")).as("min_c"),
+        max(col("max_c")).as("max_c"))
+      .withColumn("mean_c", expr("CAST(sum_c div n AS BIGINT)"))
+  }
+
   /** Per-group ROBUST z-score — the median/MAD outlier screen
     * ([[trimmedMeanBy]] makes a group KPI spike-proof; this scores
     * every ROW against its group, the per-segment data-cleaning pass

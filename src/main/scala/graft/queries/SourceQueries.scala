@@ -566,6 +566,27 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("grp"), col("c_custkey"))
     }),
 
+    // incremental aggregate-snapshot merge (NEW r14): yesterday's
+    // state + today's delta folded WITHOUT rescanning history — the
+    // gate is self-proving: Spark merges two disjoint snapshots, the
+    // oracle rescans all rows; equal hashes == merge(A)+(B) ≡ A∪B
+    "q290_agg_snapshot_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+      val snap = graft.ops.FrameOps.aggSnapshot(
+        o.filter(col("o_orderdate") < cutoff),
+        Seq("o_orderstatus"), "o_totalprice")
+      val delta = graft.ops.FrameOps.aggSnapshot(
+        o.filter(col("o_orderdate") >= cutoff),
+        Seq("o_orderstatus"), "o_totalprice")
+      graft.ops.FrameOps.mergeAggSnapshot(snap, delta,
+          Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_c").cast("long").as("sum_c"),
+          col("min_c"), col("max_c"), col("mean_c"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // mutual information feature screen (NEW r12): MI(order priority,
     // order status) in exact floor-nano nats — model-free relevance/
     // redundancy check over categorical columns; one cell-count
@@ -906,6 +927,19 @@ object SourceQueries extends QueryGroup {
          |  (o.n_pos * 1000000) // o.n AS raw_ppm, f.fitted_ppm
          |FROM o JOIN f USING (j) ORDER BY o.bin""".stripMargin
     },
+
+    // the FULL RESCAN — deliberately not a merge: matching the Spark
+    // side's two-snapshot fold proves merge == recompute
+    "q290_agg_snapshot_merge" ->
+      """WITH b AS (SELECT o_orderstatus,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_c,
+        |  MIN(cents) AS min_c, MAX(cents) AS max_c,
+        |  CAST(SUM(CAST(cents AS HUGEINT)) // COUNT(*) AS BIGINT)
+        |    AS mean_c
+        |FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the same rank-at-floor((n-1)/2) selections; ROW_NUMBER tie order
     // is irrelevant because the value AT a rank is duplicate-stable

@@ -372,6 +372,11 @@ package object syntax {
     def robustZscoreBy(group: String, id: String,
         valueCol: String): DataFrame =
       FrameOps.robustZscoreBy(df, group, id, valueCol)
+    def aggSnapshot(keys: Seq[String], valueCol: String): DataFrame =
+      FrameOps.aggSnapshot(df, keys, valueCol)
+    /** `df` is the existing snapshot state. */
+    def mergeAggSnapshot(delta: DataFrame, keys: Seq[String]): DataFrame =
+      FrameOps.mergeAggSnapshot(df, delta, keys)
     def piiScanExtended(id: String, text: String): DataFrame =
       TextAnalysis.piiScanExtended(df, id, text)
     def tCloseness(quasiCols: Seq[String], sensitive: String): DataFrame =

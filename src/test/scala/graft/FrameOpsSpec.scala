@@ -882,6 +882,39 @@ class FrameOpsSpec extends SparkSpec {
     assert(r.getLong(6) == (1000000L * 450L) / 2450L, r.toString) // wape
   }
 
+  test("mergeAggSnapshot: merge of disjoint snapshots equals the full-rescan snapshot") {
+    import spark.implicits._
+    val a = Seq(("x", 1.00), ("x", 3.00), ("y", 10.00))
+      .toDF("k", "v")
+    val b = Seq(("x", 2.00), ("z", -5.00)).toDF("k", "v")
+    val keys = Seq("k")
+    val merged = graft.ops.FrameOps.mergeAggSnapshot(
+        graft.ops.FrameOps.aggSnapshot(a, keys, "v"),
+        graft.ops.FrameOps.aggSnapshot(b, keys, "v"), keys)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact, r.getLong(3), r.getLong(4)))
+    val direct = graft.ops.FrameOps.aggSnapshot(a.union(b), keys, "v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact, r.getLong(3), r.getLong(4)))
+    // one-side-only keys (y, z) pass through; overlapping key x folds
+    assert(merged.toSeq == direct.toSeq, merged.mkString(","))
+    // empty delta: merge is an identity on the state
+    val empty = graft.ops.FrameOps.aggSnapshot(
+      a.filter(col("v") > 1e9), keys, "v")
+    val idm = graft.ops.FrameOps.mergeAggSnapshot(
+        graft.ops.FrameOps.aggSnapshot(a, keys, "v"), empty, keys)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact, r.getLong(3), r.getLong(4)))
+    val aOnly = graft.ops.FrameOps.aggSnapshot(a, keys, "v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact, r.getLong(3), r.getLong(4)))
+    assert(idm.toSeq == aOnly.toSeq)
+  }
+
   test("robustZscoreBy: per-group median/MAD, spike scored not absorbed, zero-MAD NULL") {
     import spark.implicits._
     // group A: cents [100,200,300,400,10000] -> med 300 (rank 2),
