@@ -443,6 +443,74 @@ class PropertySpec extends SparkSpec {
     check("lpa-vs-ref", prop, minTests = 5)
   }
 
+  test("feature transforms match brute-force references on random frames") {
+    // ids fixed 0..n-1 (distinct by construction), values in cents;
+    // the brute references replay foldCol's top-bits multiply-shift
+    // and every positive-mod floor division in plain Long arithmetic
+    def fold(i: Long): Long =
+      Math.floorMod(i * 2654435761L, 4294967296L) * 4L / 4294967296L
+    val genVals: Gen[List[Long]] =
+      Gen.choose(5, 14).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-50000L, 50000L)))
+    def df(cents: List[Long]) = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c / 100.0) }.toDF("id", "v")
+
+    val stdProp = Prop.forAll(genVals) { cents =>
+      val train = cents.zipWithIndex.filter(t => fold(t._2.toLong) != 0L)
+        .map(_._1)
+      val n = train.size.toLong
+      val got = graft.ops.Features.standardScale(df(cents), "id", "v")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      if (n == 0) true // degenerate: no train rows (not reachable for n>=5 ids)
+      else {
+        val s1 = train.sum
+        val m = Math.floorDiv(s1, n)
+        val s2 = train.map(c => c * c).sum
+        val varC = (s2 - 2 * m * s1 + n * m * m) / n // non-negative
+        val std = math.sqrt(varC.toDouble).toLong
+        got.zipWithIndex.forall { case ((dev, z), i) =>
+          dev == cents(i) - m &&
+            (if (std == 0) z.isEmpty
+             else z.contains(Math.floorDiv(dev * 10000L, std)))
+        }
+      }
+    }
+    check("standardScale-vs-ref", stdProp, minTests = 5)
+
+    val cdfProp = Prop.forAll(genVals) { cents =>
+      val train = cents.zipWithIndex.filter(t => fold(t._2.toLong) != 0L)
+        .map(_._1)
+      val n = train.size.toLong
+      val got = graft.ops.Features.cdfTransform(df(cents), "id", "v")
+        .orderBy("id").collect().map(_.getLong(2))
+      got.zipWithIndex.forall { case (bp, i) =>
+        bp == Math.floorDiv(train.count(_ <= cents(i)) * 10000L, n)
+      }
+    }
+    check("cdfTransform-vs-ref", cdfProp, minTests = 5)
+
+    val robustProp = Prop.forAll(genVals) { cents =>
+      // single group "g": lower median and MAD as type-1 ranks
+      val sorted = cents.sorted
+      val med = sorted((cents.size - 1) / 2)
+      val mad = cents.map(c => math.abs(c - med)).sorted
+        .apply((cents.size - 1) / 2)
+      val rows = cents.zipWithIndex
+        .map { case (c, i) => ("g", i.toLong, c / 100.0) }
+        .toDF("grp0", "id", "v")
+      val got = graft.ops.FrameOps.robustZscoreBy(rows, "grp0", "id", "v")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      got.zipWithIndex.forall { case ((dev, z), i) =>
+        dev == cents(i) - med &&
+          (if (mad == 0) z.isEmpty
+           else z.contains(Math.floorDiv(dev * 10000L, mad)))
+      }
+    }
+    check("robustZscoreBy-vs-ref", robustProp, minTests = 5)
+  }
+
   test("cooccurrencePmi pair counts match the brute-force window recount") {
     // random corpora over a 4-token alphabet; the map-side
     // flatten/transform pair generation must equal the O(n^2)
