@@ -1300,6 +1300,68 @@ object FrameOps {
       .withColumn("mean_c", expr("CAST(sum_c div n AS BIGINT)"))
   }
 
+  /** 100 TB tier of [[robustZscoreBy]] — median/MAD at BUCKET
+    * resolution (the q216b/q246b histogram-tier discipline): center =
+    * the lower edge of the group's median bucket, scale = the lower
+    * edge of the |dev| median bucket, both from O(groups·nBins)
+    * aggregation state — NO per-group sort window, so group size never
+    * concentrates in one task. All-integer ladder: bucket width =
+    * (hi−lo) div nBins in cents (required to divide exactly so edges
+    * are integers both engines agree on); values outside [lo, hi)
+    * clamp into the edge buckets. A scale below one bucket width reads
+    * as 0 and emits NULL z (below-resolution — the exact tier is the
+    * answer there, not a fabricated scale). Two corpus scans (value
+    * histogram, then |dev| histogram against the broadcast centers) +
+    * two bounded cumulative walks over the groups·nBins frame.
+    *
+    * @return grp, id, dev_c (cents from the bucket-resolution center),
+    *         z_bp
+    */
+  def robustZscoreByHist(df: DataFrame, group: String, id: String,
+      valueCol: String, loCents: Long, hiCents: Long,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 4096, s"nBins in [2,4096], got $nBins")
+    require(hiCents > loCents && (hiCents - loCents) % nBins == 0,
+      s"(hi - lo) must divide by nBins exactly for integer edges, " +
+        s"got ${hiCents - loCents} / $nBins")
+    val w = (hiCents - loCents) / nBins
+    val base = df.select(col(group).as("grp"), col(id),
+        round(col(valueCol) * 100).cast("long").as("__c"))
+      .filter(col("grp").isNotNull && col("__c").isNotNull)
+    // integral div (Spark's `/` on longs is double division); trunc-vs-
+    // floor divergence on negative operands is absorbed by the 0-clamp
+    val bucketExpr =
+      s"LEAST(GREATEST(__s div ${w}L, 0L), ${nBins - 1L}L)"
+    def medianEdge(h: DataFrame, lo: Long, out: String): DataFrame = {
+      val wCum = Window.partitionBy(col("grp")).orderBy(col("__b"))
+      h.withColumn("__cume", sum(col("__cnt")).over(wCum))
+        .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col("grp"))))
+        .filter(col("__cume") >= expr("(__n + 1) div 2"))
+        .groupBy(col("grp"))
+        .agg(min(col("__b")).as("__mb"))
+        .select(col("grp"), (lit(lo) + col("__mb") * lit(w)).as(out))
+    }
+    val center = medianEdge(
+      base.withColumn("__s", col("__c") - lit(loCents))
+        .groupBy(col("grp"), expr(bucketExpr).as("__b"))
+        .agg(count(lit(1)).as("__cnt")),
+      loCents, "__center")
+    val dev = base.join(broadcast(center), "grp")
+      .withColumn("dev_c", col("__c") - col("__center"))
+    val scale = medianEdge(
+      dev.withColumn("__s", abs(col("dev_c")))
+        .groupBy(col("grp"), expr(bucketExpr).as("__b"))
+        .agg(count(lit(1)).as("__cnt")),
+      0L, "__scale")
+    dev.join(broadcast(scale), "grp")
+      .withColumn("z_bp",
+        expr("""CASE WHEN __scale <= 0 THEN NULL ELSE
+                |  (dev_c * 10000 - pmod(dev_c * 10000, __scale))
+                |    div __scale
+                |END""".stripMargin))
+      .select(col("grp"), col(id), col("dev_c"), col("z_bp"))
+  }
+
   /** Per-group ROBUST z-score — the median/MAD outlier screen
     * ([[trimmedMeanBy]] makes a group KPI spike-proof; this scores
     * every ROW against its group, the per-segment data-cleaning pass

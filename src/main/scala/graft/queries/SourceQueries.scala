@@ -587,6 +587,16 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // bucketed robust z (NEW r14): q289's 100 TB tier — median/MAD at
+    // $200-bucket resolution from O(groups*bins) aggregation state,
+    // NO per-group sort window; the q216b/q246b tier discipline
+    "q289b_robust_z_by_hist" -> ((s, d) => {
+      graft.ops.FrameOps.robustZscoreByHist(Tables.customer(s, d),
+          "c_mktsegment", "c_custkey", "c_acctbal",
+          loCents = -100000L, hiCents = 1000000L, nBins = 55)
+        .orderBy(col("grp"), col("c_custkey"))
+    }),
+
     // mutual information feature screen (NEW r12): MI(order priority,
     // order status) in exact floor-nano nats — model-free relevance/
     // redundancy check over categorical columns; one cell-count
@@ -940,6 +950,40 @@ object SourceQueries extends QueryGroup {
         |  CAST(SUM(CAST(cents AS HUGEINT)) // COUNT(*) AS BIGINT)
         |    AS mean_c
         |FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // bucket arithmetic replay: // floors where Spark's div truncs,
+    // but only on negative shifted values, which the 0-clamp absorbs
+    // identically; cumulative walks over the bounded (grp, bucket)
+    // frame pick the first bucket whose cume reaches (n+1)//2
+    "q289b_robust_z_by_hist" ->
+      """WITH b AS (SELECT c_mktsegment AS grp, c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+        |  FROM customer WHERE c_mktsegment IS NOT NULL),
+        |h AS (SELECT grp,
+        |    LEAST(GREATEST((c - (-100000)) // 20000, 0), 54) AS b2,
+        |    COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |cm AS (SELECT grp, -100000 + MIN(b2) * 20000 AS center FROM (
+        |    SELECT grp, b2, cnt,
+        |      SUM(cnt) OVER (PARTITION BY grp ORDER BY b2) AS cume,
+        |      SUM(cnt) OVER (PARTITION BY grp) AS n
+        |    FROM h) WHERE cume >= (n + 1) // 2 GROUP BY grp),
+        |d AS (SELECT b.grp, b.c_custkey, b.c - cm.center AS dev_c
+        |  FROM b JOIN cm USING (grp)),
+        |h2 AS (SELECT grp,
+        |    LEAST(GREATEST(ABS(dev_c) // 20000, 0), 54) AS b2,
+        |    COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |sm AS (SELECT grp, MIN(b2) * 20000 AS scale FROM (
+        |    SELECT grp, b2, cnt,
+        |      SUM(cnt) OVER (PARTITION BY grp ORDER BY b2) AS cume,
+        |      SUM(cnt) OVER (PARTITION BY grp) AS n
+        |    FROM h2) WHERE cume >= (n + 1) // 2 GROUP BY grp)
+        |SELECT d.grp, d.c_custkey, d.dev_c,
+        |  CASE WHEN sm.scale <= 0 THEN NULL ELSE
+        |    CAST((d.dev_c * 10000
+        |      - ((((d.dev_c * 10000) % sm.scale) + sm.scale) % sm.scale))
+        |      // sm.scale AS BIGINT)
+        |  END AS z_bp
+        |FROM d JOIN sm USING (grp) ORDER BY d.grp, d.c_custkey""".stripMargin,
 
     // the same rank-at-floor((n-1)/2) selections; ROW_NUMBER tie order
     // is irrelevant because the value AT a rank is duplicate-stable

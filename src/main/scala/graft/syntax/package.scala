@@ -372,6 +372,10 @@ package object syntax {
     def robustZscoreBy(group: String, id: String,
         valueCol: String): DataFrame =
       FrameOps.robustZscoreBy(df, group, id, valueCol)
+    def robustZscoreByHist(group: String, id: String, valueCol: String,
+        loCents: Long, hiCents: Long, nBins: Int): DataFrame =
+      FrameOps.robustZscoreByHist(df, group, id, valueCol,
+        loCents, hiCents, nBins)
     def aggSnapshot(keys: Seq[String], valueCol: String): DataFrame =
       FrameOps.aggSnapshot(df, keys, valueCol)
     /** `df` is the existing snapshot state. */

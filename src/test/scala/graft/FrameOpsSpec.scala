@@ -915,6 +915,31 @@ class FrameOpsSpec extends SparkSpec {
     assert(idm.toSeq == aOnly.toSeq)
   }
 
+  test("robustZscoreByHist: bucket-edge center/scale, below-resolution NULL") {
+    import spark.implicits._
+    // $100 buckets over [0, 1000): A cents [5000,25000,45000,85000] ->
+    // buckets 0,2,4,8; (n+1)//2 = 2 -> center bucket 2 -> 20000c.
+    // |dev| [15000,5000,25000,65000] -> buckets 1,0,2,6 -> cume hits 2
+    // at bucket 1 -> scale 10000 -> z == dev (scale equals the 1e4 bp
+    // multiplier, so the floor is the identity)
+    val df = Seq(("A", 1L, 50.00), ("A", 2L, 250.00), ("A", 3L, 450.00),
+      ("A", 4L, 850.00),
+      ("B", 5L, 150.00), ("B", 6L, 150.00), ("B", 7L, 150.00))
+      .toDF("seg", "id", "v")
+    val out = graft.ops.FrameOps.robustZscoreByHist(df, "seg", "id", "v",
+        loCents = 0L, hiCents = 100000L, nBins = 10)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, -15000L, -15000L), (2L, 5000L, 5000L), (3L, 25000L, 25000L),
+      (4L, 65000L, 65000L),
+      // B: constant column -> |dev| all inside bucket 0 -> scale 0 ->
+      // below-resolution NULL (the exact tier is the answer there)
+      (5L, 5000L, null), (6L, 5000L, null), (7L, 5000L, null)),
+      out.mkString(","))
+  }
+
   test("robustZscoreBy: per-group median/MAD, spike scored not absorbed, zero-MAD NULL") {
     import spark.implicits._
     // group A: cents [100,200,300,400,10000] -> med 300 (rank 2),
