@@ -210,6 +210,59 @@ object Features {
         expr("(n_le * 10000) div __nt").as("cdf_bp"))
   }
 
+  /** Per-group [[cdfTransform]] — percentile rank against the row's
+    * OWN segment's train distribution (a global CDF is meaningless
+    * when segments live on different scales — the q289 rationale
+    * applied to ranking). Same leakage-safe fit/transform split;
+    * |{train in grp ≤ x}| for every row via a GROUP-AWARE prefix scan:
+    * range-partition the elem/probe union on (grp, value), per-
+    * partition cumulative counts per group, plus exclusive per-(grp,
+    * partition) offsets from a bounded parts·groups frame — the
+    * [[FrameOps.searchSortedLarge]] discipline with the group woven
+    * into the partitioning key, so a group spanning partitions still
+    * ranks exactly and NO group ever funnels through one task.
+    *
+    * @return grp, id, fold, cdf_bp (0 for values below all of the
+    *         group's train; groups with an empty train slice are
+    *         dropped — there is no distribution to rank against)
+    */
+  def cdfTransformBy(df: DataFrame, group: String, id: String,
+      value: String, k: Int = 4): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    val base = df.select(col(group).as("grp"), col(id),
+        round(col(value) * 100).cast("long").as("__c"),
+        foldCol(id, k).as("fold"))
+      .filter(col("grp").isNotNull && col("__c").isNotNull)
+    val idType = base.schema(id).dataType
+    val e = base.filter(col("fold") =!= 0)
+      .select(col("grp"), (col("__c") * 2).as("__v"), lit(1).as("__is_elem"),
+        lit(null).cast(idType).as(id), lit(0L).as("fold"))
+    // probe key 2c+1 sits strictly after every elem key 2c of the same
+    // cent value — the x+1 trick without colliding with elem keys
+    val p = base.select(col("grp"), (col("__c") * 2 + 1).as("__v"),
+      lit(0).as("__is_elem"), col(id), col("fold"))
+    val parted = e.unionByName(p)
+      .repartitionByRange(col("grp"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val localScan = Window.partitionBy(col("__pid"), col("grp"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offsets = parted.groupBy(col("__pid"), col("grp"))
+      .agg(sum(col("__is_elem")).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(col("grp")).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("grp"), col("__offset"))
+    val nTrain = e.groupBy(col("grp")).agg(count(lit(1)).as("__nt"))
+    parted
+      .withColumn("__local", sum(col("__is_elem")).over(localScan))
+      .join(broadcast(offsets), Seq("__pid", "grp"))
+      .filter(col("__is_elem") === 0)
+      .join(broadcast(nTrain), "grp")
+      .select(col("grp"), col(id), col("fold"),
+        expr("((__local + __offset) * 10000) div __nt").as("cdf_bp"))
+  }
+
   /** Hash bucketing for high-cardinality categoricals — NVTabular's
     * `HashBucket` (reference anchor `[NVTabular/nvtabular/ops/
     * hash_bucket.py :: class HashBucket]`), the embedding-table trick

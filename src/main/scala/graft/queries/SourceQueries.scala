@@ -597,6 +597,16 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("grp"), col("c_custkey"))
     }),
 
+    // per-group CDF transform (NEW r14): q284 ranked within the row's
+    // own segment — group-aware prefix scan (group woven into the
+    // range-partition key + per-(group, partition) offsets), so no
+    // group funnels through one task and no train slice broadcasts
+    "q284b_cdf_transform_by" -> ((s, d) => {
+      graft.ops.Features.cdfTransformBy(Tables.orders(s, d),
+          "o_orderpriority", "o_orderkey", "o_totalprice", k = 4)
+        .orderBy(col("grp"), col("o_orderkey"))
+    }),
+
     // mutual information feature screen (NEW r12): MI(order priority,
     // order status) in exact floor-nano nats — model-free relevance/
     // redundancy check over categorical columns; one cell-count
@@ -950,6 +960,30 @@ object SourceQueries extends QueryGroup {
         |  CAST(SUM(CAST(cents AS HUGEINT)) // COUNT(*) AS BIGINT)
         |    AS mean_c
         |FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // q284's ASOF replay with the group in the join key; groups whose
+    // train slice is empty drop (no distribution to rank against)
+    "q284b_cdf_transform_by" ->
+      """WITH b AS (SELECT o_orderpriority AS grp, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (((o_orderkey % 4294967296) * 2654435761 % 4294967296) * 4)
+        |      // 4294967296 AS fold
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |tr AS (SELECT grp, cents FROM b WHERE fold <> 0),
+        |n AS (SELECT grp, COUNT(*) AS nt FROM tr GROUP BY grp),
+        |rk AS (SELECT grp, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rle
+        |  FROM tr),
+        |cd AS (SELECT grp, cents, MAX(rle) AS n_le FROM rk GROUP BY 1, 2),
+        |m AS (SELECT b.grp, b.o_orderkey, b.fold,
+        |    COALESCE(cd.n_le, 0) AS n_le
+        |  FROM b ASOF LEFT JOIN cd
+        |    ON b.grp = cd.grp AND b.cents >= cd.cents)
+        |SELECT m.grp, m.o_orderkey, CAST(m.fold AS BIGINT) AS fold,
+        |  CAST((m.n_le * 10000) // n.nt AS BIGINT) AS cdf_bp
+        |FROM m JOIN n ON m.grp = n.grp
+        |ORDER BY m.grp, m.o_orderkey""".stripMargin,
 
     // bucket arithmetic replay: // floors where Spark's div truncs,
     // but only on negative shifted values, which the 0-clamp absorbs

@@ -356,6 +356,9 @@ package object syntax {
       graft.ops.Features.robustScale(df, id, value, k)
     def cdfTransform(id: String, value: String, k: Int = 4): DataFrame =
       graft.ops.Features.cdfTransform(df, id, value, k)
+    def cdfTransformBy(group: String, id: String, value: String,
+        k: Int = 4): DataFrame =
+      graft.ops.Features.cdfTransformBy(df, group, id, value, k)
     def hashBucketize(c: String, nBuckets: Int): DataFrame =
       graft.ops.Features.hashBucketize(df, c, nBuckets)
     def hashBucketCensus(c: String, nBuckets: Int): DataFrame =

@@ -141,6 +141,31 @@ class FeaturesSpec extends SparkSpec {
     assert(dr.forall(_ == 10000L))
   }
 
+  test("cdfTransformBy: ranks against the row's own segment, cross-partition exactness") {
+    // folds of ids 0..7: 0,2,0,3,1,0,2,1 -> trainA = {1,3} (cents
+    // 100,300), trainB = {4,6,7} (cents 1000,3000,4000): two segments
+    // on different scales rank independently
+    val df = Seq(("A", 0L, 5.00), ("A", 1L, 1.00), ("A", 2L, 2.00),
+      ("A", 3L, 3.00), ("B", 4L, 10.00), ("B", 5L, 20.00),
+      ("B", 6L, 30.00), ("B", 7L, 40.00)).toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Features.cdfTransformBy(d, "g", "id", "v", k = 4)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(1), r.getLong(3)))
+    val out = run(df)
+    assert(out.toSeq == Seq(
+      (0L, 10000L), (1L, 5000L), (2L, 5000L), (3L, 10000L),
+      (4L, 3333L), (5L, 3333L), (6L, 6666L), (7L, 10000L)),
+      out.mkString(","))
+    // partitioning invariance: the per-(group, partition) offsets make
+    // a group spanning many partitions rank identically
+    assert(run(df.repartition(7)).toSeq == out.toSeq)
+    // a group whose train slice is empty drops (ids 10,13 both fold 0)
+    val lone = df.union(Seq(("C", 10L, 1.0), ("C", 13L, 2.0))
+      .toDF("g", "id", "v"))
+    assert(run(lone).length == 8)
+  }
+
   test("hashBucketCensus: mass conservation, stable assignment, nulls excluded") {
     val df = Seq("x", "x", "y", "z", "w", null.asInstanceOf[String])
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
