@@ -63,6 +63,32 @@ val p2 = graft.ops.FrameOps.robustZscoreBy(scored.repartition(224),
   .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
 println(s"[stress] robustZscoreBy partition-invariant: ${p1 == p2}")
 
+// the 100 TB tier: same screen from O(groups*bins) state, no sort
+// window -- the wall gap vs the exact tier above IS the tier's reason
+timed("robustZscoreByHist 20M x5seg") {
+  graft.ops.FrameOps.robustZscoreByHist(scored, "seg", "id", "v",
+    loCents = 0L, hiCents = 1000000L, nBins = 100).count()
+}
+// tier agreement: bucket-resolution centers sit within one bucket
+// width of the exact medians
+val exC = graft.ops.FrameOps.robustZscoreBy(scored, "seg", "id", "v")
+  .filter(col("id") < 5).orderBy("id").collect().map(_.getLong(2))
+val bkC = graft.ops.FrameOps.robustZscoreByHist(scored, "seg", "id", "v",
+    0L, 1000000L, 100)
+  .filter(col("id") < 5).orderBy("id").collect().map(_.getLong(2))
+val maxGap = exC.zip(bkC).map(t => math.abs(t._1 - t._2)).max
+println(s"[stress] hist-tier center gap <= bucket width: ${maxGap <= 10000} (max $maxGap c)")
+
+timed("cdfTransformBy 20M x5seg") {
+  graft.ops.Features.cdfTransformBy(scored, "seg", "id", "v").count()
+}
+val cb1 = graft.ops.Features.cdfTransformBy(scored, "seg", "id", "v")
+  .filter(col("id") < 10).orderBy("id").collect().map(_.getLong(3)).toSeq
+val cb2 = graft.ops.Features.cdfTransformBy(scored.repartition(224),
+    "seg", "id", "v")
+  .filter(col("id") < 10).orderBy("id").collect().map(_.getLong(3)).toSeq
+println(s"[stress] cdfTransformBy partition-invariant: ${cb1 == cb2}")
+
 // incremental fold: history state built once, delta folds in; merge
 // wall is independent of the 20M underlying rows
 val hist = graft.ops.FrameOps.aggSnapshot(

@@ -241,9 +241,13 @@ object Features {
     // cent value — the x+1 trick without colliding with elem keys
     val p = base.select(col("grp"), (col("__c") * 2 + 1).as("__v"),
       lit(0).as("__is_elem"), col(id), col("fold"))
+    // localCheckpoint pins __pid across the local-scan and offsets
+    // branches (the searchSortedLarge two-branch hazard — see the
+    // comment there; this op's own r14c receipt caught it live)
     val parted = e.unionByName(p)
       .repartitionByRange(col("grp"), col("__v"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val localScan = Window.partitionBy(col("__pid"), col("grp"))
       .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)

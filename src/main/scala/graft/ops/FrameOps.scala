@@ -183,10 +183,19 @@ object FrameOps {
     val p = probes.select(col(probeCol).cast("double").as("__v"),
       lit(0).as("__is_elem"), col(idCol))
     val u = e.unionByName(p)
+    // localCheckpoint PINS the partition assignment: __pid feeds TWO
+    // plan branches (the local scan and the offsets frame), and
+    // without materialization each branch can instantiate its own
+    // range exchange whose sampled bounds / AQE coalescing differ —
+    // the branches then disagree on pids and the offsets misalign
+    // (caught by the r14c partition-invariance receipt at 20M rows;
+    // invisible at gate scale). One materialization of a frame the op
+    // scans twice anyway.
     val parted = (if (numParts > 0)
         u.repartitionByRange(numParts, col("__v"), col("__is_elem"))
       else u.repartitionByRange(col("__v"), col("__is_elem")))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val localScan = Window.partitionBy(col("__pid"))
       .orderBy(col("__v"), col("__is_elem"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -47,10 +47,15 @@ object Overlap {
     require(before >= 0 && after >= 0, s"negative halo: $before/$after")
     val spark = df.sparkSession
     val dataCols = df.columns.toSeq
+    // localCheckpoint pins __pid across the own/haloNext/haloPrev
+    // branches (the searchSortedLarge two-branch hazard — see the
+    // comment there): disagreeing pids would route halos to the wrong
+    // destination partition
     val base = (if (numParts > 0) df.repartitionByRange(numParts, col(orderCol))
                 else df.repartitionByRange(col(orderCol)))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__ord", col(orderCol).cast("double"))
+      .localCheckpoint()
     // per-partition windows (parallel): the last `before` rows of each
     // partition also serve as the NEXT partition's leading halo, the
     // first `after` rows as the PREVIOUS partition's trailing halo

@@ -546,8 +546,12 @@ object Validate {
     val n = v.count()
     require(n > 0, s"quantileLadder: no non-null values in $valueCol")
     val targets = (0 to nQ).map(q => q.toLong * (n - 1) / nQ).distinct
+    // localCheckpoint pins __pid across the offsets and rank-pick
+    // branches (the searchSortedLarge two-branch hazard — see the
+    // comment there; r14c receipt)
     val parted = v.repartitionByRange(col("v"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val localW = Window.partitionBy(col("__pid")).orderBy(col("v"))
     val offsets = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
