@@ -1664,9 +1664,19 @@ object Corpus {
         .withColumn("b", pmod(poly_hash(col("term")), lit(buckets.toLong)))
         .drop("term")
     // ---- train: all aggregates are bucket/class-bounded ----
+    // classTok is referenced three times below (grid's seen-bucket set,
+    // grid's per-class totals, and the model join) — without pinning,
+    // Catalyst re-evaluates the whole scan+tokenize subtree of the
+    // TRAINING slice once per reference (measured: q174 0.74 s → 1.0 s,
+    // the r14 bench's one "regression" verdict). localCheckpoint
+    // materializes the ≤ B·C-row frame once; everything downstream is
+    // grid-sized arithmetic. classTot is derived from it (sum of
+    // per-bucket counts ≡ the class token total) instead of a second
+    // tokenize pass.
     val tok = feats(seeds, Seq(id, label))
     val classTok = tok.groupBy(col(label), col("b")).agg(count(lit(1)).as("cnt"))
-    val classTot = tok.groupBy(col(label)).agg(count(lit(1)).as("tot"))
+      .localCheckpoint()
+    val classTot = classTok.groupBy(col(label)).agg(sum(col("cnt")).as("tot"))
     // full (seen-bucket × class) grid so absent pairs get the smoothed
     // floor value instead of silently vanishing from one class
     val grid = classTok.select(col("b")).distinct().crossJoin(classTot)
@@ -1676,8 +1686,12 @@ object Corpus {
         floor(log((col("cnt") + lit(0.5)) / (col("tot") + lit(0.5 * buckets)))
           * 1e6).cast("long"))
       .select(col("b"), col(label), col("ll_micro"))
+    // one seeds scan for the priors: nTot derives from nDocs (sum of
+    // per-class doc counts ≡ total docs), and nDocs is pinned because
+    // the crossJoin references it alongside the derived total
     val nDocs = seeds.groupBy(col(label)).agg(count(lit(1)).as("ndocs"))
-    val nTot = seeds.agg(count(lit(1)).as("nd_tot"))
+      .localCheckpoint()
+    val nTot = nDocs.agg(sum(col("ndocs")).as("nd_tot"))
     val priors = nDocs.crossJoin(broadcast(nTot))
       .withColumn("prior_micro",
         floor(log(col("ndocs").cast("double") / col("nd_tot")) * 1e6).cast("long"))
