@@ -23,18 +23,32 @@ object Features {
     * (striped spikes, sharded id ranges) lands whole in one fold (the
     * r14b stress receipt caught exactly this: every id ≡ 0 (mod 10⁵)
     * spike fell in the serve fold). Knuth's construction takes the HIGH
-    * bits: fold = (h·k) div 2³², the multiply-shift range mapping —
-    * h·k < 2³⁶ stays exact in int64 and the result is genuinely mixed.
-    * Exact while id < ~3.4e9 (id·A inside int64 — beyond that,
-    * pre-fold the id space).
+    * bits: fold = (h·k) div 2³², the multiply-shift range mapping.
+    *
+    * h·A is computed in SPLIT 16-bit halves — h·A mod 2³² =
+    * ((h₁·A mod 2¹⁶)·2¹⁶ + h₀·A) mod 2³² where h = h₁·2¹⁶ + h₀ — so
+    * every intermediate stays below 2⁴⁸: exact over the WHOLE BIGINT
+    * id domain, safe under spark.sql.ansi.enabled, and the identical
+    * arithmetic fits DuckDB's int64 (the r14 ADVICE noted the old
+    * one-multiply spellings diverged per-engine above id ≈ 3.47e9).
     */
-  private def foldCol(id: String, k: Int): Column =
-    expr(s"(pmod(CAST($id AS BIGINT) * 2654435761L, 4294967296L) * $k)" +
+  private def foldCol(id: String, k: Int): Column = {
+    val h = s"pmod(CAST($id AS BIGINT), 4294967296L)"
+    expr(s"(pmod(pmod(($h div 65536L) * 2654435761L, 65536L) * 65536L" +
+      s" + pmod($h, 65536L) * 2654435761L, 4294967296L) * $k)" +
       " div 4294967296L")
+  }
 
-  /** DuckDB replay of [[foldCol]] — one spelling, both engines. */
-  def foldSql(id: String, k: Int): String =
-    s"((($id % 4294967296) * 2654435761 % 4294967296) * $k) // 4294967296"
+  /** DuckDB replay of [[foldCol]] — one spelling, both engines, the
+    * same split-multiply construction (every intermediate < 2⁴⁸), with
+    * the positive-mod idiom standing in for Spark's pmod. Interpolated
+    * into the q278/q280/q283/q284/q284b oracle SQL so the two engines
+    * cannot drift. */
+  def foldSql(id: String, k: Int): String = {
+    val h = s"((($id) % 4294967296 + 4294967296) % 4294967296)"
+    s"(((((($h // 65536) * 2654435761) % 65536) * 65536" +
+      s" + ($h % 65536) * 2654435761) % 4294967296) * $k) // 4294967296"
+  }
 
   /** Categorify: map a categorical column to contiguous integer ids.
     * Vocabulary = values seen at least `minCount` times, id = dense
@@ -90,9 +104,12 @@ object Features {
     *     decimal, numerator a non-negative sum of squares so
     *     truncation == floor; within 1 cent² of the true population
     *     variance (documented bias of the integer contract);
-    *   - std = floor(sqrt(var*)) — ONE IEEE-exact sqrt of an exact
-    *     integer (the q208 precedent; exact while var* < 2^53, i.e.
-    *     std < ~9.4e7 cents — rescale units beyond that);
+    *   - std = isqrt(var*): floor of the IEEE sqrt with a one-step
+    *     downward correction (if std² > var* then std −= 1) — above
+    *     ~2^52 the correctly-rounded double sqrt of k²−1 can round UP
+    *     to k, so the raw floor alone is off by one there; with the
+    *     correction the integer sqrt is exact for every BIGINT var*
+    *     (both engines run the identical correction);
     *   - z_bp = floor(dev·10⁴ / std) via the same positive-mod
     *     spelling (dev is signed). Constant train column (std = 0)
     *     emits NULL z — a scaler with no scale has no answer.
@@ -119,11 +136,17 @@ object Features {
       .select(col("n"), col("s1"), col("s2"),
         expr("CAST((s1 - pmod(s1, n)) div n AS BIGINT)").as("m"))
       .select(col("m"),
-        floor(sqrt(expr(
-          """CAST((s2 - 2 * CAST(m AS DECIMAL(19,0)) * s1
-            |     + CAST(n AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)) * m)
-            |  div n AS BIGINT)""".stripMargin)
-          .cast("double"))).cast("long").as("std_c"))
+        expr("""CAST((s2 - 2 * CAST(m AS DECIMAL(19,0)) * s1
+              |     + CAST(n AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)) * m)
+              |  div n AS BIGINT)""".stripMargin).as("__vr"))
+      .select(col("m"), col("__vr"),
+        floor(sqrt(col("__vr").cast("double"))).cast("long").as("__s0"))
+      // exact integer sqrt: the IEEE sqrt of k²−1 can round up to k
+      // above ~2^52, so correct one step down (decimal square — s0²
+      // brushes the int64 edge when var* does)
+      .select(col("m"),
+        expr("""CASE WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > __vr
+              |  THEN __s0 - 1 ELSE __s0 END""".stripMargin).as("std_c"))
     base.crossJoin(broadcast(fit))
       .withColumn("dev_c", col("__cents") - col("m"))
       .withColumn("z_bp",

@@ -1240,22 +1240,6 @@ object FrameOps {
         dimAttrs.map(c => col(s"__d.$c")): _*)
   }
 
-  /** TRIMMED MEAN per group — the drift-resistant KPI (a mean a single
-    * corrupt feed can't drag): exact per-group quantile bounds at
-    * [pLo, pHi] (QUANTILE_CONT semantics, the [[outlierFlagsMad]]
-    * percentile contract), then the plain mean of the values INSIDE
-    * the closed bounds, rounded to 6dp. Reports how many rows were
-    * trimmed on each side — a trim count spike is itself the alert.
-    *
-    * Two grouped percentile passes + one filtered re-aggregation, all
-    * on the same group key (one Exchange reused); deterministic:
-    * bounds are exact order statistics, membership is a closed-
-    * interval comparison, and the final mean is one division rounded
-    * once.
-    *
-    * @return (keys…, n, n_trimmed_lo, n_trimmed_hi, lo, hi,
-    *         trimmed_mean)
-    */
   /** Build a MERGEABLE aggregate snapshot: per key, the closed-form
     * state (n, sum in cents through DECIMAL(38,0), min, max) from
     * which count/sum/mean/min/max — and, merged with any other
@@ -1419,6 +1403,22 @@ object FrameOps {
       .select(col("grp"), col(id), col("dev_c"), col("z_bp"))
   }
 
+  /** TRIMMED MEAN per group — the drift-resistant KPI (a mean a single
+    * corrupt feed can't drag): exact per-group quantile bounds at
+    * [pLo, pHi] (QUANTILE_CONT semantics, the [[outlierFlagsMad]]
+    * percentile contract), then the plain mean of the values INSIDE
+    * the closed bounds, rounded to 6dp. Reports how many rows were
+    * trimmed on each side — a trim count spike is itself the alert.
+    *
+    * Two grouped percentile passes + one filtered re-aggregation, all
+    * on the same group key (one Exchange reused); deterministic:
+    * bounds are exact order statistics, membership is a closed-
+    * interval comparison, and the final mean is one division rounded
+    * once.
+    *
+    * @return (keys…, n, n_trimmed_lo, n_trimmed_hi, lo, hi,
+    *         trimmed_mean)
+    */
   def trimmedMeanBy(df: DataFrame, keys: Seq[String], valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")

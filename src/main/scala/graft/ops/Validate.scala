@@ -1452,15 +1452,18 @@ object Validate {
         floor(col(scoreCol).cast("double") * 1e6).cast("long").as("vp"),
         col(labelCol).cast("long").as("y"))
       .filter(col("vp").isNotNull && col("y").isNotNull)
+    // coalesce: SUM over ZERO rows is NULL, and an empty (or fully
+    // null-filtered) scan must still yield the all-zero confusion
+    // ladder the census contract promises (r14 ADVICE item)
     val aggs = thrPpm.zipWithIndex.flatMap { case (t, i) => Seq(
-      sum(when(col("vp") >= t && col("y") === 1, 1L).otherwise(0L))
-        .as(s"tp$i"),
-      sum(when(col("vp") >= t && col("y") === 0, 1L).otherwise(0L))
-        .as(s"fp$i"),
-      sum(when(col("vp") < t && col("y") === 1, 1L).otherwise(0L))
-        .as(s"fn$i"),
-      sum(when(col("vp") < t && col("y") === 0, 1L).otherwise(0L))
-        .as(s"tn$i")) }
+      coalesce(sum(when(col("vp") >= t && col("y") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as(s"tp$i"),
+      coalesce(sum(when(col("vp") >= t && col("y") === 0, 1L)
+        .otherwise(0L)), lit(0L)).as(s"fp$i"),
+      coalesce(sum(when(col("vp") < t && col("y") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as(s"fn$i"),
+      coalesce(sum(when(col("vp") < t && col("y") === 0, 1L)
+        .otherwise(0L)), lit(0L)).as(s"tn$i")) }
     val one = base.agg(aggs.head, aggs.tail: _*)
     val stackArgs = thrPpm.indices
       .map(i => s"${thrPpm(i)}L, tp$i, fp$i, fn$i, tn$i").mkString(", ")
@@ -1503,15 +1506,18 @@ object Validate {
         col(labelCol).cast("long").as("y"))
       .filter(col("vp").isNotNull && col("y").isNotNull
         && col("grp").isNotNull)
+    // coalesce: SUM over ZERO rows is NULL, and an empty (or fully
+    // null-filtered) scan must still yield the all-zero confusion
+    // ladder the census contract promises (r14 ADVICE item)
     val aggs = thrPpm.zipWithIndex.flatMap { case (t, i) => Seq(
-      sum(when(col("vp") >= t && col("y") === 1, 1L).otherwise(0L))
-        .as(s"tp$i"),
-      sum(when(col("vp") >= t && col("y") === 0, 1L).otherwise(0L))
-        .as(s"fp$i"),
-      sum(when(col("vp") < t && col("y") === 1, 1L).otherwise(0L))
-        .as(s"fn$i"),
-      sum(when(col("vp") < t && col("y") === 0, 1L).otherwise(0L))
-        .as(s"tn$i")) }
+      coalesce(sum(when(col("vp") >= t && col("y") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as(s"tp$i"),
+      coalesce(sum(when(col("vp") >= t && col("y") === 0, 1L)
+        .otherwise(0L)), lit(0L)).as(s"fp$i"),
+      coalesce(sum(when(col("vp") < t && col("y") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as(s"fn$i"),
+      coalesce(sum(when(col("vp") < t && col("y") === 0, 1L)
+        .otherwise(0L)), lit(0L)).as(s"tn$i")) }
     val perGroup = base.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
     val stackArgs = thrPpm.indices
       .map(i => s"${thrPpm(i)}L, tp$i, fp$i, fn$i, tn$i").mkString(", ")

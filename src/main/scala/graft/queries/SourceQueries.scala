@@ -964,10 +964,9 @@ object SourceQueries extends QueryGroup {
     // q284's ASOF replay with the group in the join key; groups whose
     // train slice is empty drop (no distribution to rank against)
     "q284b_cdf_transform_by" ->
-      """WITH b AS (SELECT o_orderpriority AS grp, o_orderkey,
+      s"""WITH b AS (SELECT o_orderpriority AS grp, o_orderkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-        |    (((o_orderkey % 4294967296) * 2654435761 % 4294967296) * 4)
-        |      // 4294967296 AS fold
+        |    ${graft.ops.Features.foldSql("o_orderkey", 4)} AS fold
         |  FROM orders WHERE o_orderpriority IS NOT NULL
         |    AND o_totalprice IS NOT NULL),
         |tr AS (SELECT grp, cents FROM b WHERE fold <> 0),
@@ -1380,10 +1379,9 @@ object SourceQueries extends QueryGroup {
     // category total minus the row's own fold, prior = global floor
     // micro-cents mean; // == Spark's div on the all-positive operands
     "q278_target_encode" ->
-      """WITH b AS (SELECT o_orderkey, o_orderpriority AS c,
+      s"""WITH b AS (SELECT o_orderkey, o_orderpriority AS c,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-        |    (((o_orderkey % 4294967296) * 2654435761 % 4294967296) * 4) // 4294967296
-        |      AS fold
+        |    ${graft.ops.Features.foldSql("o_orderkey", 4)} AS fold
         |  FROM orders),
         |cells AS (SELECT c, fold, SUM(cents) AS s, COUNT(*) AS n
         |  FROM b GROUP BY 1, 2),
@@ -1406,21 +1404,25 @@ object SourceQueries extends QueryGroup {
     // z in floor bp via positive-mod — HUGEINT mirrors Spark's
     // DECIMAL(38,0) sums
     "q280_standard_scale" ->
-      """WITH b AS (SELECT o_orderkey,
+      s"""WITH b AS (SELECT o_orderkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-        |    (((o_orderkey % 4294967296) * 2654435761 % 4294967296) * 4) // 4294967296
-        |      AS fold
+        |    ${graft.ops.Features.foldSql("o_orderkey", 4)} AS fold
         |  FROM orders),
         |tr AS (SELECT COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS s1,
         |    SUM(CAST(cents AS HUGEINT) * cents) AS s2
         |  FROM b WHERE fold <> 0),
         |ms AS (SELECT n, s1, s2,
         |    CAST((s1 - ((s1 % n + n) % n)) // n AS BIGINT) AS m FROM tr),
+        |vr AS (SELECT m,
+        |    CAST((s2 - 2 * CAST(m AS HUGEINT) * s1
+        |        + CAST(n AS HUGEINT) * m * m) // n AS BIGINT) AS vv
+        |  FROM ms),
+        |s0 AS (SELECT m, vv,
+        |    CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS BIGINT) AS r0 FROM vr),
         |sd AS (SELECT m,
-        |    CAST(FLOOR(SQRT(CAST(CAST((s2 - 2 * CAST(m AS HUGEINT) * s1
-        |        + CAST(n AS HUGEINT) * m * m) // n AS BIGINT)
-        |      AS DOUBLE))) AS BIGINT) AS std_c
-        |  FROM ms)
+        |    CASE WHEN CAST(r0 AS HUGEINT) * r0 > vv THEN r0 - 1 ELSE r0 END
+        |      AS std_c
+        |  FROM s0)
         |SELECT b.o_orderkey, CAST(b.fold AS BIGINT) AS fold,
         |  b.cents - sd.m AS dev_c,
         |  CASE WHEN sd.std_c = 0 THEN NULL ELSE
@@ -1434,10 +1436,9 @@ object SourceQueries extends QueryGroup {
     // a rank is duplicate-stable, so ROW_NUMBER's tie order is
     // irrelevant; signed z via the positive-mod floor spelling
     "q283_robust_scale" ->
-      """WITH b AS (SELECT c_custkey,
+      s"""WITH b AS (SELECT c_custkey,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
-        |    (((c_custkey % 4294967296) * 2654435761 % 4294967296) * 4) // 4294967296
-        |      AS fold
+        |    ${graft.ops.Features.foldSql("c_custkey", 4)} AS fold
         |  FROM customer),
         |tr AS (SELECT cents FROM b WHERE fold <> 0),
         |n AS (SELECT COUNT(*) AS n FROM tr),
@@ -1461,10 +1462,9 @@ object SourceQueries extends QueryGroup {
     // fetched per row by DuckDB's native ASOF (largest cents <= x) —
     // the same count searchSortedLarge's x+1 probe produces
     "q284_cdf_transform" ->
-      """WITH b AS (SELECT o_orderkey,
+      s"""WITH b AS (SELECT o_orderkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-        |    (((o_orderkey % 4294967296) * 2654435761 % 4294967296) * 4) // 4294967296
-        |      AS fold
+        |    ${graft.ops.Features.foldSql("o_orderkey", 4)} AS fold
         |  FROM orders),
         |tr AS (SELECT cents FROM b WHERE fold <> 0),
         |n AS (SELECT COUNT(*) AS nt FROM tr),
