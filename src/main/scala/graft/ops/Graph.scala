@@ -1473,4 +1473,157 @@ object Graph {
     bi.unpersist(blocking = false)
     out
   }
+
+  /** Knuth multiplicative mix of a BIGINT id to a 32-bit value, as a
+    * Spark SQL expression string — the deterministic pivot-/sample-
+    * selection hash. Computed in SPLIT 16-bit halves so every
+    * intermediate stays below 2⁴⁸ (exact for the whole BIGINT domain,
+    * ANSI-safe, and the identical arithmetic fits DuckDB's int64 —
+    * the [[graft.ops.Features]] fold-hash construction without the
+    * final range-map step).
+    */
+  private[graft] def knuthMixExpr(c: String): String = {
+    val h = s"pmod(CAST($c AS BIGINT), 4294967296L)"
+    s"pmod(pmod(($h div 65536L) * 2654435761L, 65536L) * 65536L" +
+      s" + pmod($h, 65536L) * 2654435761L, 4294967296L)"
+  }
+
+  /** DuckDB replay of [[knuthMixExpr]] — one construction, both
+    * engines, positive-mod spelling for negative-id safety. */
+  def knuthMixSql(c: String): String = {
+    val h = s"((($c) % 4294967296 + 4294967296) % 4294967296)"
+    s"((((($h // 65536) * 2654435761) % 65536) * 65536" +
+      s" + ($h % 65536) * 2654435761) % 4294967296)"
+  }
+
+  /** Sampled betweenness centrality — Brandes (2001) dependency
+    * accumulation from K deterministic pivot sources, truncated at
+    * `maxDepth` hops (bounded-distance / κ-betweenness, the standard
+    * practical cut for the same reason [[harmonicCentralityMicro]]
+    * truncates: the near field carries the mass). Betweenness is THE
+    * brokerage centrality — a node can have low degree and low
+    * PageRank yet sit on every shortest path between two communities;
+    * for corpus curation that is the "bridge host" a crawler must not
+    * drop. Sampling pivots is the published scale recipe
+    * (Brandes–Pich 2007): exact per-pivot dependencies, summed over a
+    * hash-picked pivot set instead of all sources.
+    *
+    * Determinism contract, end to end:
+    *   - pivots = the K smallest (knuthMix(node), node) pairs — no
+    *     RNG, replayable in SQL ([[knuthMixSql]]);
+    *   - forward pass: simultaneous BFS from all pivots with exact
+    *     integer path counts σ (per round: one frontier×edges
+    *     equi-join, one anti-join against the visited set, one
+    *     (pivot, node)-keyed partial-aggregated sum);
+    *   - backward pass: δ_micro(p,v) = Σ over shortest-path-DAG edges
+    *     (v,w) of floor(σ_v · (10⁶ + δ_micro(p,w)) / σ_w) — each term
+    *     floors INDEPENDENTLY (the product through DECIMAL(38,0), so
+    *     σ near the int64 edge cannot wrap) and the terms sum as
+    *     BIGINT: association-order-free, bit-identical across
+    *     engines and partitionings. DAG edges are recovered
+    *     level-to-level (dist(w) = dist(v)+1 in an unweighted graph),
+    *     so no parent pointers are ever materialized.
+    *   - bc_micro(v) = Σ_pivots δ_micro(p, v); running with
+    *     pivots = ALL nodes on an undirected graph yields exactly
+    *     2 × 10⁶ × the textbook betweenness (each unordered pair seen
+    *     from both endpoints).
+    *
+    * 100 TB posture: per round (forward and backward) the edge list
+    * is touched by ONE equi-join keyed on the node, frontier rows
+    * carry three longs, and every round is pinned with an eager
+    * localCheckpoint (the kCorePeel lineage-blowup lesson). State is
+    * O(K · |ball|) rows — K bounds the multiplier, exactly the knob
+    * the Brandes–Pich estimator exposes. Nothing is collected to the
+    * driver but per-round counts.
+    *
+    * @return (node, bc_micro, n_piv) — n_piv = pivots whose truncated
+    *         BFS assigned the node a dependency row (0 ≤ n_piv ≤ K);
+    *         every graph node appears, untouched nodes with bc 0
+    */
+  def betweennessSampled(edges: DataFrame, src: String, dst: String,
+      k: Int = 16, maxDepth: Int = 4, directed: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    require(maxDepth >= 2 && maxDepth <= 10,
+      s"maxDepth must be in [2, 10], got $maxDepth")
+    val e0 = edges.select(col(src).cast("long").as("esrc"),
+        col(dst).cast("long").as("edst"))
+      .filter(col("esrc") =!= col("edst"))
+    val e = (if (directed) e0
+             else e0.union(e0.select(col("edst").as("esrc"),
+               col("esrc").as("edst"))))
+      .distinct().persist()
+    val nodes = e.select(col("esrc").as("node"))
+      .union(e.select(col("edst").as("node"))).distinct().persist()
+    val piv = nodes.withColumn("hk", expr(knuthMixExpr("node")))
+      .orderBy(col("hk"), col("node")).limit(k)
+      .select(col("node").as("p"))
+      .localCheckpoint(true)
+    // ---- forward: levels(d) = (p, v, sigma) at exact distance d ----
+    val levels = scala.collection.mutable.ArrayBuffer(
+      piv.select(col("p"), col("p").as("v"), lit(1L).as("sigma"))
+        .localCheckpoint(true))
+    var visited = levels.head.select(col("p"), col("v"))
+    var d = 1
+    var emptied = false
+    while (d <= maxDepth && !emptied) {
+      val last = levels.last
+      val next = last.join(e, last("v") === e("esrc"))
+        .select(col("p"), col("edst").as("v"), col("sigma"))
+        .join(visited, Seq("p", "v"), "left_anti")
+        .groupBy(col("p"), col("v")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      if (next.isEmpty) emptied = true
+      else {
+        levels += next
+        visited = visited.union(next.select(col("p"), col("v")))
+        d += 1
+      }
+    }
+    // ---- backward: deepest level's delta is 0 (truncation bound) ----
+    // (depthTop == 0 — pivots with no out-edges — falls through: the
+    // parts list then holds only level-0 pivot self-rows, which the
+    // i >= 1 guard below would normally exclude; map them to the same
+    // all-zero contract instead)
+    val depthTop = levels.size - 1
+    var below = levels(depthTop)
+      .select(col("p"), col("v"), lit(0L).as("delta"))
+    val deltaParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (depthTop >= 1) deltaParts += below
+    var i = depthTop - 1
+    while (i >= 1) {
+      val lvl = levels(i)
+      val terms = lvl.join(e, lvl("v") === e("esrc"))
+        .select(col("p"), col("v"), col("sigma"), col("edst").as("w"))
+        .join(below.select(col("p"), col("v").as("w"),
+            col("delta").as("dw")).join(
+            levels(i + 1).select(col("p"), col("v").as("w"),
+              col("sigma").as("sw")), Seq("p", "w")),
+          Seq("p", "w"))
+        .select(col("p"), col("v"),
+          expr("""CAST((CAST(sigma AS DECIMAL(38,0)) * (1000000 + dw))
+                |  div sw AS BIGINT)""".stripMargin).as("term"))
+      val deltaI = lvl.select(col("p"), col("v"))
+        .join(terms.groupBy(col("p"), col("v"))
+          .agg(sum(col("term")).as("delta")), Seq("p", "v"), "left")
+        .na.fill(0L, Seq("delta"))
+        .localCheckpoint(true)
+      deltaParts += deltaI
+      below = deltaI
+      i -= 1
+    }
+    val out = (if (deltaParts.isEmpty)
+        nodes.select(col("node"), lit(0L).as("bc_micro"),
+          lit(0L).as("n_piv"))
+      else {
+        val touched = deltaParts.reduce(_ unionByName _)
+          .groupBy(col("v").as("node"))
+          .agg(sum(col("delta")).as("bc_micro"),
+            count(lit(1)).as("n_piv"))
+        nodes.join(touched, Seq("node"), "left")
+          .na.fill(0L, Seq("bc_micro", "n_piv"))
+      }).localCheckpoint(true)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
 }

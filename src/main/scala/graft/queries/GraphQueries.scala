@@ -353,6 +353,25 @@ object GraphQueries extends QueryGroup {
         .limit(100)
     }),
 
+    // sampled Brandes betweenness (NEW r15): the BROKERAGE centrality
+    // — which parts sit on the shortest paths BETWEEN co-occurrence
+    // communities (a bridge host a crawler must not drop scores high
+    // here while degree/PageRank miss it). 16 hash-picked pivots
+    // (Brandes–Pich sampling), depth-3 truncation (the q209 cut),
+    // integer micro-unit dependency accumulation with per-term floors
+    // — bit-exact vs the oracle's unrolled forward/backward replay
+    "q291_betweenness" -> ((s, d) => {
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = hi.as("x").join(hi.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      Graph.betweennessSampled(edges, "src", "dst", k = 16, maxDepth = 3)
+        .orderBy(col("bc_micro").desc, col("node"))
+        .limit(100)
+    }),
+
     // HyperBall harmonic centrality (NEW r10): the WEB-SCALE tier of
     // q209 — fixed-size HLL register arrays per node instead of the
     // exact (v, u) pair set (the Boldi–Vigna algorithm Common Crawl
@@ -1003,6 +1022,76 @@ object GraphQueries extends QueryGroup {
          |  COALESCE(a.n_reached, 0) AS n_reached
          |FROM nodes n LEFT JOIN agg a ON n.node = a.v
          |ORDER BY harmonic_micro DESC, n.node LIMIT 100""".stripMargin,
+
+    "q291_betweenness" ->
+      // unrolled sampled Brandes: forward 3 rounds of simultaneous
+      // BFS from the 16 smallest (knuth-mix, node) pivots with exact
+      // path counts, then backward dependency accumulation — each
+      // term floor(sigma_v * (1e6 + delta_w) / sigma_w) floors
+      // independently (HUGEINT product mirrors Spark's DECIMAL(38,0))
+      // and sums as BIGINT. Every round CTE MATERIALIZED (the q180b
+      // planner-blowup lesson).
+      s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+         |  FROM lineitem WHERE l_quantity >= 45),
+         |raw AS (SELECT x.sk AS a, y.sk AS b FROM hi x JOIN hi y
+         |  ON x.ok = y.ok AND x.sk < y.sk),
+         |e AS MATERIALIZED (SELECT esrc, edst FROM (
+         |  SELECT a AS esrc, b AS edst FROM raw WHERE a != b
+         |  UNION SELECT b, a FROM raw WHERE a != b)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT esrc AS node FROM e),
+         |piv AS MATERIALIZED (SELECT node AS p FROM (
+         |  SELECT node, ${graft.ops.Graph.knuthMixSql("node")} AS hk
+         |  FROM nodes) ORDER BY hk, node LIMIT 16),
+         |l0 AS MATERIALIZED (SELECT p, p AS v,
+         |  CAST(1 AS BIGINT) AS sigma FROM piv),
+         |l1 AS MATERIALIZED (SELECT l.p, e.edst AS v,
+         |    CAST(SUM(l.sigma) AS BIGINT) AS sigma
+         |  FROM l0 l JOIN e ON l.v = e.esrc
+         |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+         |    WHERE x.p = l.p AND x.v = e.edst)
+         |  GROUP BY l.p, e.edst),
+         |vis1 AS MATERIALIZED (SELECT p, v FROM l0
+         |  UNION SELECT p, v FROM l1),
+         |l2 AS MATERIALIZED (SELECT l.p, e.edst AS v,
+         |    CAST(SUM(l.sigma) AS BIGINT) AS sigma
+         |  FROM l1 l JOIN e ON l.v = e.esrc
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis1 x
+         |    WHERE x.p = l.p AND x.v = e.edst)
+         |  GROUP BY l.p, e.edst),
+         |vis2 AS MATERIALIZED (SELECT p, v FROM vis1
+         |  UNION SELECT p, v FROM l2),
+         |l3 AS MATERIALIZED (SELECT l.p, e.edst AS v,
+         |    CAST(SUM(l.sigma) AS BIGINT) AS sigma
+         |  FROM l2 l JOIN e ON l.v = e.esrc
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis2 x
+         |    WHERE x.p = l.p AND x.v = e.edst)
+         |  GROUP BY l.p, e.edst),
+         |d2 AS MATERIALIZED (SELECT l.p, l.v,
+         |    CAST(COALESCE(t.s, 0) AS BIGINT) AS delta
+         |  FROM l2 l LEFT JOIN (
+         |    SELECT i.p, i.v, SUM(CAST((CAST(i.sigma AS HUGEINT)
+         |        * 1000000) // w.sigma AS BIGINT)) AS s
+         |    FROM l2 i JOIN e ON i.v = e.esrc
+         |    JOIN l3 w ON w.p = i.p AND w.v = e.edst
+         |    GROUP BY i.p, i.v) t ON t.p = l.p AND t.v = l.v),
+         |d1 AS MATERIALIZED (SELECT l.p, l.v,
+         |    CAST(COALESCE(t.s, 0) AS BIGINT) AS delta
+         |  FROM l1 l LEFT JOIN (
+         |    SELECT i.p, i.v, SUM(CAST((CAST(i.sigma AS HUGEINT)
+         |        * (1000000 + d.delta)) // w.sigma AS BIGINT)) AS s
+         |    FROM l1 i JOIN e ON i.v = e.esrc
+         |    JOIN l2 w ON w.p = i.p AND w.v = e.edst
+         |    JOIN d2 d ON d.p = i.p AND d.v = e.edst
+         |    GROUP BY i.p, i.v) t ON t.p = l.p AND t.v = l.v),
+         |allr AS (SELECT p, v, delta FROM d1
+         |  UNION ALL SELECT p, v, delta FROM d2
+         |  UNION ALL SELECT p, v, CAST(0 AS BIGINT) AS delta FROM l3),
+         |agg AS (SELECT v, CAST(SUM(delta) AS BIGINT) AS bc_micro,
+         |    COUNT(*) AS n_piv FROM allr GROUP BY v)
+         |SELECT n.node, COALESCE(a.bc_micro, 0) AS bc_micro,
+         |  COALESCE(a.n_piv, 0) AS n_piv
+         |FROM nodes n LEFT JOIN agg a ON n.node = a.v
+         |ORDER BY bc_micro DESC, n.node LIMIT 100""".stripMargin,
 
     "q209b_harmonic_hyperball" ->
       // same unrolled exact BFS as q209 over ALL nodes, plus the

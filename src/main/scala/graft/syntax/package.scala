@@ -444,6 +444,9 @@ package object syntax {
     def harmonicCentralityMicro(src: String, dst: String,
         maxDepth: Int = 3, directed: Boolean = false): DataFrame =
       ops.Graph.harmonicCentralityMicro(df, src, dst, maxDepth, directed)
+    def betweennessSampled(src: String, dst: String, k: Int = 16,
+        maxDepth: Int = 4, directed: Boolean = false): DataFrame =
+      ops.Graph.betweennessSampled(df, src, dst, k, maxDepth, directed)
     def pointInTimeJoin(dim: DataFrame, key: String, ts: String,
         validFrom: String = "valid_from",
         validTo: String = "valid_to"): DataFrame =

@@ -858,4 +858,73 @@ class GraphLinalgSpec extends SparkSpec {
     // minSupport prunes the support-1 pair (1,3)
     assert(!r.contains((1L, 3L)))
   }
+
+  // --- betweennessSampled ---------------------------------------------
+
+  test("betweennessSampled: bridge node beats higher-degree clique hubs") {
+    // two triangles {1,2,3} and {5,6,7} joined by bridge 4:
+    //   deg(3) = deg(5) = 3, deg(4) = 2 — yet every one of the 9
+    //   cross-clique pairs runs through 4, so betweenness and degree
+    //   DISAGREE: bc(4) > bc(3) = bc(5). All sigma are 1 (unique
+    //   shortest paths), so the micro floors are exact and full-pivot
+    //   bc_micro = 2e6 x textbook betweenness.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (5L, 7L), (6L, 7L)).toDF("src", "dst")
+    val bc = Graph.betweennessSampled(edges, "src", "dst", k = 7,
+        maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // textbook: bc(4) = 9 (3x3 cross pairs), bc(3) = bc(5) = 8
+    // ({1,2} x {4,5,6,7}), clique leaves 0
+    assert(bc == Map(1L -> 0L, 2L -> 0L, 3L -> 16000000L,
+      4L -> 18000000L, 5L -> 16000000L, 6L -> 0L, 7L -> 0L), bc)
+  }
+
+  test("betweennessSampled: path graph dependencies and n_piv; partition invariance") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.betweennessSampled(edges, "src", "dst", k = 5,
+        maxDepth = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // textbook path bc: ends 0, next-in 3, middle 4; every node is
+    // reached by the 4 OTHER pivots within depth 4
+    val expect = Map(1L -> ((0L, 4L)), 2L -> ((6000000L, 4L)),
+      3L -> ((8000000L, 4L)), 4L -> ((6000000L, 4L)), 5L -> ((0L, 4L)))
+    assert(out == expect, out)
+    // partition invariance: 7-way repartition of the edge list yields
+    // the identical frame (the localCheckpoint pinning discipline)
+    val out7 = Graph.betweennessSampled(edges.repartition(7), "src",
+        "dst", k = 5, maxDepth = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out7 == expect, out7)
+  }
+
+  test("betweennessSampled: sigma multiplicity floors per-term (4-cycle)") {
+    // square 1-2-4-3-1: from pivot 1 there are TWO shortest paths to 4
+    // (sigma = 2); dependency of 2 (and 3) on behalf of 1 is
+    // floor(1 * 1e6 * 1 / 2) = 500000 — the floor-per-term contract
+    val edges = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val bc = Graph.betweennessSampled(edges, "src", "dst", k = 4,
+        maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each corner node carries half a pair from each of its two
+    // adjacent pivots: 2 x 500000 = 1000000
+    assert(bc == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L,
+      4L -> 1000000L), bc)
+  }
+
+  test("betweennessSampled: k pivots are the smallest knuth-mix ranks") {
+    // k = 1 on the path: only ONE pivot contributes, so total bc mass
+    // shrinks accordingly and results stay deterministic run-to-run
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val a = Graph.betweennessSampled(edges, "src", "dst", k = 1,
+        maxDepth = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.betweennessSampled(edges, "src", "dst", k = 1,
+        maxDepth = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // with a single pivot the dependency chain is a straight line:
+    // one endpoint-path worth of mass, strictly less than the k=5 run
+    assert(a.map(_._2).sum < 28000000L)
+  }
 }
