@@ -125,4 +125,111 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).as("n_subwords"))
   }
+
+  /** Unigram-LM tokenizer TRAINING — the SentencePiece vocabulary
+    * ESTIMATOR (Kudo 2018) that [[TextAnalysis.viterbiSegment]]'s
+    * inference was missing: q170 segments with a GIVEN vocabulary;
+    * this learns one. Deterministic hard-EM (Viterbi-EM) variant, the
+    * published alternative to soft EM that keeps every quantity an
+    * integer or one floor-quantized log:
+    *
+    *   - SEED: all single chars, the top `nBigrams`/`nTrigrams`
+    *     frequency-weighted substrings, and the top `nWords` whole
+    *     words (SentencePiece seeds from frequent substrings the same
+    *     way; the bounded argsort caps the oracle's path enumeration).
+    *     A string reachable several ways keeps its MAX count.
+    *   - E-step (hard): every DISTINCT word (one corpus scan builds
+    *     the (word, freq) dictionary — the [[wordDict]] discipline) is
+    *     segmented by the exact Viterbi DP with the total-order
+    *     tie-break (cost, n_pieces, path) —
+    *     [[TextAnalysis.viterbiWordPath]] — so the argmin path is
+    *     UNIQUE and a SQL replay that enumerates all paths and sorts
+    *     picks the identical one.
+    *   - M-step: piece count = Σ word-freq × occurrences in the best
+    *     path; cost = floor(−1000·ln(cnt/total)) — ONE IEEE log per
+    *     piece on exact integers (the naiveBayesPredict micro-unit
+    *     contract).
+    *   - PRUNE: chars are always kept with counts floored at 1 (every
+    *     word stays segmentable — SentencePiece's required-char rule);
+    *     longer pieces rank by (cnt DESC, piece ASC) and the top
+    *     `keepTop` survive.
+    *
+    * 100 TB posture: the corpus is scanned ONCE into the distinct-word
+    * dictionary; every EM iteration runs over that dictionary alone
+    * with the ≤ |chars|+keepTop-piece vocabulary broadcast — per
+    * iteration one bounded groupBy, nothing row-count-proportional is
+    * collected (the vocab collect is vocabulary-sized by contract).
+    * Words longer than `maxWordLen` are excluded from TRAINING (the
+    * SentencePiece max-piece-length discipline; they still segment at
+    * inference).
+    *
+    * @return the learned vocabulary (piece, cnt, cost), one row per
+    *         surviving piece
+    */
+  def unigramTrainEm(df: DataFrame, textCol: String,
+      nBigrams: Int = 40, nTrigrams: Int = 20, nWords: Int = 10,
+      keepTop: Int = 24, iterations: Int = 2,
+      maxWordLen: Int = 16): DataFrame = {
+    require(iterations >= 1 && iterations <= 4,
+      s"iterations must be in [1, 4], got $iterations")
+    require(keepTop >= 1 && keepTop <= 4096,
+      s"keepTop must be in [1, 4096], got $keepTop")
+    require(maxWordLen >= 3 && maxWordLen <= 64,
+      s"maxWordLen must be in [3, 64], got $maxWordLen")
+    val spark = df.sparkSession
+    val wf = df
+      .select(explode(split(Dedup.normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    def subCounts(len: Int): DataFrame = wf
+      .filter(length(col("w")) >= len)
+      .select(col("f"), explode(expr(
+        s"transform(sequence(1, length(w) - ${len - 1})," +
+          s" i -> substring(w, i, $len))")).as("piece"))
+      .groupBy("piece").agg(sum(col("f")).as("cnt"))
+    val seed = subCounts(1)
+      .unionByName(subCounts(2)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(nBigrams))
+      .unionByName(subCounts(3)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(nTrigrams))
+      .unionByName(wf.orderBy(col("f").desc, col("w").asc).limit(nWords)
+        .select(col("w").as("piece"), col("f").as("cnt")))
+      .groupBy("piece").agg(max(col("cnt")).as("cnt"))
+    def withCosts(v: DataFrame): DataFrame = {
+      val tot = v.agg(sum(col("cnt")).as("tot"))
+      v.crossJoin(broadcast(tot))
+        .withColumn("cost",
+          floor(lit(-1000.0) *
+            log(col("cnt").cast("double") / col("tot"))).cast("long"))
+        .select(col("piece"), col("cnt"), col("cost"))
+    }
+    var cur = withCosts(seed).localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      val vm = cur.select(col("piece"), col("cost")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ml = if (vm.isEmpty) 1 else vm.keys.map(_.length).max
+      val bc = spark.sparkContext.broadcast((vm, ml))
+      // unk cost is unreachable during training (every char of every
+      // training word is a seeded char piece, and chars never prune)
+      val pathUdf = udf { (w: String) =>
+        val (vmap, m) = bc.value
+        TextAnalysis.viterbiWordPath(w, vmap, m, 1000000L)
+      }
+      val counts = wf
+        .select(col("f"), explode(pathUdf(col("w"))).as("piece"))
+        .groupBy("piece").agg(sum(col("f")).as("cnt"))
+      val charCnt = cur.filter(length(col("piece")) === 1)
+        .select(col("piece"))
+        .join(counts, Seq("piece"), "left")
+        .select(col("piece"),
+          greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+      val nonChar = counts.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(keepTop)
+      cur = withCosts(charCnt.unionByName(nonChar)).localCheckpoint(true)
+      it += 1
+    }
+    cur
+  }
 }

@@ -495,6 +495,49 @@ object TextAnalysis {
     (dpC(n), dpP(n))
   }
 
+  /** [[viterbiWord]] with the ARGMIN PATH — the E-step kernel of
+    * [[Bpe.unigramTrainEm]]'s hard-EM training loop. Ties resolve by
+    * the full lexicographic triple (cost, n_pieces, path-string with
+    * U+001F separators): at a fixed DP position and piece count every
+    * candidate path string has the SAME length (position chars +
+    * np−1 separators), so prefix-min composes to global path-min and
+    * one stored candidate per position suffices — the same total
+    * order a SQL replay gets from ORDER BY cost, np, path. Returns
+    * the pieces of the unique optimal segmentation (empty for the
+    * empty/unsegmentable word).
+    */
+  private[graft] def viterbiWordPath(w: String, vm: Map[String, Long],
+      ml: Int, unkCost: Long): Seq[String] = {
+    val n = w.length
+    val dpC = Array.fill(n + 1)(Long.MaxValue)
+    val dpP = Array.fill(n + 1)(Long.MaxValue)
+    val dpS = Array.fill[String](n + 1)(null)
+    dpC(0) = 0L; dpP(0) = 0L; dpS(0) = ""
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - ml)
+      while (j < i) {
+        if (dpC(j) != Long.MaxValue) {
+          val piece = w.substring(j, i)
+          val c = vm.getOrElse(piece, if (i - j == 1) unkCost else -1L)
+          if (c >= 0L) {
+            val nc = dpC(j) + c; val np = dpP(j) + 1
+            val ns = if (dpS(j).isEmpty) piece
+                     else dpS(j) + "\u001f" + piece
+            if (nc < dpC(i) || (nc == dpC(i) && (np < dpP(i) ||
+                (np == dpP(i) && ns.compareTo(dpS(i)) < 0)))) {
+              dpC(i) = nc; dpP(i) = np; dpS(i) = ns
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (dpS(n) == null) Seq.empty
+    else dpS(n).split("\u001f").toSeq
+  }
+
   def viterbiSegment(df: DataFrame, id: String, text: String,
       vocab: DataFrame, unkCost: Long = 10000L): DataFrame = {
     val vm = vocab.select(col("piece"), col("cost").cast("long")).collect()

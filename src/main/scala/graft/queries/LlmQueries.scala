@@ -29,6 +29,76 @@ object LlmQueries extends QueryGroup {
   /** DuckDB: normalized text (Dedup.normText). */
   private val sqlNorm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
 
+  /** DuckDB CTE chain replaying [[graft.ops.Bpe.unigramTrainEm]] with
+    * the default knobs (40/20/10 seed, keepTop 24, 2 iterations,
+    * maxWordLen 16): bounded seed counts, then per EM iteration a
+    * recursive-CTE enumeration of EVERY segmentation path of each
+    * distinct training word (path strings with chr(31) separators) and
+    * the ROW_NUMBER argmin over the same (cost, np, path) total order
+    * the Spark DP stores — so the M-step counts the identical pieces.
+    * Ends at `v2`, the learned (piece, cnt, cost) vocabulary.
+    */
+  private def unigramEmIterCtes(i: Int, vin: String): String =
+    s"""seg$i AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+       |    CAST(0 AS BIGINT) AS np, '' AS path FROM dw
+       |  UNION ALL
+       |  SELECT s.w, s.pos + LENGTH(p.piece), s.cost + p.cost, s.np + 1,
+       |    CASE WHEN s.path = '' THEN p.piece
+       |         ELSE s.path || chr(31) || p.piece END
+       |  FROM seg$i s JOIN $vin p
+       |    ON s.pos + LENGTH(p.piece) <= LENGTH(s.w)
+       |   AND substr(s.w, s.pos + 1, LENGTH(p.piece)) = p.piece),
+       |best$i AS MATERIALIZED (SELECT w, path FROM (
+       |  SELECT w, path, ROW_NUMBER() OVER (PARTITION BY w
+       |      ORDER BY cost ASC, np ASC, path ASC) AS rn
+       |  FROM seg$i WHERE pos = LENGTH(w)) WHERE rn = 1),
+       |pc$i AS MATERIALIZED (SELECT piece, SUM(f) AS cnt FROM (
+       |  SELECT wf.f, unnest(string_split(b.path, chr(31))) AS piece
+       |  FROM wf JOIN best$i b ON wf.w = b.w) GROUP BY piece),
+       |ch$i AS (SELECT v.piece, GREATEST(COALESCE(p.cnt, 0), 1) AS cnt
+       |  FROM (SELECT piece FROM $vin WHERE LENGTH(piece) = 1) v
+       |  LEFT JOIN pc$i p ON v.piece = p.piece),
+       |nc$i AS (SELECT piece, cnt FROM pc$i WHERE LENGTH(piece) >= 2
+       |  ORDER BY cnt DESC, piece ASC LIMIT 24),
+       |al$i AS (SELECT piece, cnt FROM ch$i
+       |  UNION ALL SELECT piece, cnt FROM nc$i),
+       |tt$i AS (SELECT SUM(cnt) AS tot FROM al$i),
+       |v$i AS MATERIALIZED (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(FLOOR(-1000 * LN(CAST(cnt AS DOUBLE) / tot)) AS BIGINT)
+       |    AS cost
+       |  FROM al$i, tt$i)""".stripMargin
+
+  private def unigramTrainCtes: String =
+    s"""t AS (SELECT doc_id, $sqlNorm AS s FROM documents),
+       |w0 AS (SELECT unnest(string_split(s, ' ')) AS w FROM t),
+       |wf AS MATERIALIZED (SELECT w, COUNT(*) AS f FROM w0
+       |  WHERE LENGTH(w) BETWEEN 1 AND 16 GROUP BY w),
+       |dw AS MATERIALIZED (SELECT w FROM wf),
+       |sub1 AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS piece,
+       |    SUM(f) AS cnt
+       |  FROM wf, range(1, 65) r(i) WHERE i <= LENGTH(w) GROUP BY 1),
+       |sub2 AS (SELECT piece, cnt FROM (
+       |  SELECT substr(w, CAST(i AS INTEGER), 2) AS piece, SUM(f) AS cnt
+       |  FROM wf, range(1, 64) r(i) WHERE i <= LENGTH(w) - 1 GROUP BY 1)
+       |  ORDER BY cnt DESC, piece ASC LIMIT 40),
+       |sub3 AS (SELECT piece, cnt FROM (
+       |  SELECT substr(w, CAST(i AS INTEGER), 3) AS piece, SUM(f) AS cnt
+       |  FROM wf, range(1, 63) r(i) WHERE i <= LENGTH(w) - 2 GROUP BY 1)
+       |  ORDER BY cnt DESC, piece ASC LIMIT 20),
+       |subw AS (SELECT w AS piece, f AS cnt FROM wf
+       |  ORDER BY f DESC, w ASC LIMIT 10),
+       |seedv AS (SELECT piece, MAX(cnt) AS cnt FROM (
+       |  SELECT piece, cnt FROM sub1 UNION ALL SELECT piece, cnt FROM sub2
+       |  UNION ALL SELECT piece, cnt FROM sub3
+       |  UNION ALL SELECT piece, cnt FROM subw) GROUP BY piece),
+       |tt0 AS (SELECT SUM(cnt) AS tot FROM seedv),
+       |v0 AS MATERIALIZED (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(FLOOR(-1000 * LN(CAST(cnt AS DOUBLE) / tot)) AS BIGINT)
+       |    AS cost
+       |  FROM seedv, tt0),
+       |${unigramEmIterCtes(1, "v0")},
+       |${unigramEmIterCtes(2, "v1")}""".stripMargin
+
   /** DuckDB CTE chain replaying [[graft.ops.TextAnalysis.wordpieceTokenize]]:
     * greedy longest-match-first per DISTINCT word as a recursive CTE —
     * each step takes the longest vocab piece matching at the cursor
@@ -1123,6 +1193,30 @@ object LlmQueries extends QueryGroup {
         .select(col("ch").as("piece"), lit(300L).as("cost"))
       val vocab = topWords.unionByName(bigrams).unionByName(chars)
         .groupBy(col("piece")).agg(min(col("cost")).as("cost"))
+      TextAnalysis.viterbiSegment(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    }),
+
+    // unigram-LM vocabulary TRAINING (NEW r15): the SentencePiece
+    // ESTIMATOR q170 was missing — deterministic hard-EM (Viterbi-EM):
+    // bounded seed (chars + top-40 bigrams + top-20 trigrams + top-10
+    // words), 2 EM iterations of exact argmin-path segmentation with
+    // the (cost, np, path) total-order tie-break, floor-micro log
+    // costs, chars-always-kept prune to top-24 longer pieces. The
+    // oracle unrolls BOTH EM iterations as recursive-CTE path
+    // enumerations and takes the identical argmin — the learned
+    // vocabulary table hash-gates bit-for-bit.
+    "q292_unigram_train" -> ((s, d) => {
+      graft.ops.Bpe.unigramTrainEm(Tables.documents(s, d), "text")
+        .orderBy(col("piece"))
+    }),
+
+    // q170 re-gated over the LEARNED vocabulary (NEW r15): inference
+    // with the vocabulary q292 just estimated — the full train→apply
+    // loop a tokenizer pipeline runs, end-to-end in one plan
+    "q292b_viterbi_learned" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d), "doc_id")
+      val vocab = graft.ops.Bpe.unigramTrainEm(docs, "text")
       TextAnalysis.viterbiSegment(docs, "doc_id", "text", vocab)
         .orderBy(col("doc_id"))
     }),
@@ -2677,6 +2771,50 @@ object LlmQueries extends QueryGroup {
            |  CAST(SUM(b.np) AS BIGINT) AS total_pieces
            |FROM words wo JOIN best b USING (w)
            |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin,
+
+      // the learned vocabulary table itself: both EM iterations
+      // unrolled (path-enumeration argmin == the Spark DP's stored
+      // candidate by the equal-length path-string argument), floor
+      // micro-log costs, chars-kept prune — bit-for-bit
+      "q292_unigram_train" ->
+        s"""WITH RECURSIVE $unigramTrainCtes
+           |SELECT piece, cnt, cost FROM v2 ORDER BY piece""".stripMargin,
+
+      // inference over the LEARNED vocab: same training chain, then
+      // q170's enumeration machinery with v2 pieces + the unk-char
+      // fallback arm (cost 10000 for single chars absent from v2 —
+      // viterbiSegment's unkCost), argmin on (cost, np)
+      "q292b_viterbi_learned" ->
+        s"""WITH RECURSIVE $unigramTrainCtes,
+           |wa AS MATERIALIZED (SELECT doc_id, w FROM (
+           |  SELECT doc_id, unnest(string_split(s, ' ')) AS w FROM t)
+           |  WHERE LENGTH(w) > 0),
+           |dwa AS MATERIALIZED (SELECT DISTINCT w FROM wa),
+           |pf AS MATERIALIZED (SELECT piece, cost FROM v2
+           |  UNION ALL
+           |  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS piece,
+           |    CAST(10000 AS BIGINT) AS cost
+           |  FROM dwa, range(1, 65) r(i)
+           |  WHERE i <= LENGTH(w)
+           |    AND substr(w, CAST(i AS INTEGER), 1) NOT IN
+           |      (SELECT piece FROM v2)),
+           |segf AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+           |    CAST(0 AS BIGINT) AS np FROM dwa
+           |  UNION ALL
+           |  SELECT s.w, s.pos + LENGTH(p.piece), s.cost + p.cost,
+           |    s.np + 1
+           |  FROM segf s JOIN pf p
+           |    ON s.pos + LENGTH(p.piece) <= LENGTH(s.w)
+           |   AND substr(s.w, s.pos + 1, LENGTH(p.piece)) = p.piece),
+           |bestf AS MATERIALIZED (SELECT w, cost, np FROM (
+           |  SELECT w, cost, np, ROW_NUMBER() OVER (PARTITION BY w
+           |      ORDER BY cost ASC, np ASC) AS rn
+           |  FROM segf WHERE pos = LENGTH(w)) WHERE rn = 1)
+           |SELECT wa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(b.cost) AS BIGINT) AS total_cost,
+           |  CAST(SUM(b.np) AS BIGINT) AS total_pieces
+           |FROM wa JOIN bestf b USING (w)
+           |GROUP BY wa.doc_id ORDER BY wa.doc_id""".stripMargin,
 
       // the Spark side PARSES width/height/format out of synthesized
       // header BYTES (PNG IHDR / JPEG SOF0 scan / GIF LSD); the oracle

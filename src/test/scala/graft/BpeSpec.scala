@@ -89,4 +89,74 @@ class BpeSpec extends SparkSpec {
     assert(many < few)
     assert(many >= nWords)
   }
+
+  // --- unigramTrainEm (r15) -------------------------------------------
+
+  test("viterbiWordPath: optimal path, unique tie-break, unk fallback") {
+    import graft.ops.TextAnalysis.viterbiWordPath
+    // "abab": vocab ab=100, a=300, b=300 -> [ab, ab] (cost 200) beats
+    // any char path (>= 4*300)
+    val vm = Map("ab" -> 100L, "a" -> 300L, "b" -> 300L)
+    assert(viterbiWordPath("abab", vm, 2, 9999L) === Seq("ab", "ab"))
+    // tie on (cost, np): "aa" with a=100, aa=200 -> [aa] (1 piece,
+    // cost 200) beats [a,a] (2 pieces, cost 200) on np
+    val vm2 = Map("a" -> 100L, "aa" -> 200L)
+    assert(viterbiWordPath("aa", vm2, 2, 9999L) === Seq("aa"))
+    // full tie (cost AND np): "ab|c" vs "a|bc" both 2 pieces cost 300
+    // -> path-string tie-break picks the lexicographically smaller
+    val vm3 = Map("ab" -> 100L, "c" -> 200L, "a" -> 100L, "bc" -> 200L)
+    assert(viterbiWordPath("abc", vm3, 2, 9999L) === Seq("a", "bc"))
+    // unknown single char pays unkCost; multi-char unknowns never match
+    val vm4 = Map("a" -> 100L)
+    assert(viterbiWordPath("ax", vm4, 2, 7777L) === Seq("a", "x"))
+  }
+
+  test("viterbiWordPath agrees with brute-force enumeration") {
+    import graft.ops.TextAnalysis.viterbiWordPath
+    val vocab = Map("a" -> 300L, "b" -> 250L, "c" -> 350L, "ab" -> 400L,
+      "bc" -> 380L, "ca" -> 420L, "abc" -> 500L, "cab" -> 510L)
+    def enumerate(w: String): Seq[(Long, Long, String)] =
+      if (w.isEmpty) Seq((0L, 0L, ""))
+      else (1 to math.min(3, w.length)).flatMap { len =>
+        val piece = w.take(len)
+        val c = vocab.getOrElse(piece, if (len == 1) 10000L else -1L)
+        if (c < 0) Seq.empty
+        else enumerate(w.drop(len)).map { case (rc, rp, rs) =>
+          (c + rc, 1 + rp,
+            if (rs.isEmpty) piece else piece + "\u001f" + rs)
+        }
+      }
+    // pseudo-random-ish but fixed word set over {a,b,c,x}
+    val words = Seq("abcabc", "cabcab", "aabbcc", "abxca", "ccc",
+      "bacab", "xxabc", "abcabcab")
+    words.foreach { w =>
+      val best = enumerate(w).min
+      val got = viterbiWordPath(w, vocab, 3, 10000L)
+      assert(got.mkString("\u001f") === best._3, s"word $w")
+    }
+  }
+
+  test("unigramTrainEm: chars always survive, costs ordered by count, deterministic") {
+    val df = Seq.tabulate(40)(i => (i.toLong,
+      "the quick brown fox jumps over the lazy dog the end"))
+      .toDF("doc_id", "text")
+    val v = Bpe.unigramTrainEm(df, "text", nBigrams = 8, nTrigrams = 4,
+      nWords = 4, keepTop = 6, iterations = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pieces = v.map(_._1).toSet
+    // every char of the corpus is present
+    "thequickbrownfoxjumpsoverlazydgen".foreach { ch =>
+      assert(pieces.contains(ch.toString), s"char $ch missing")
+    }
+    // at most keepTop non-char pieces survive the prune
+    assert(v.count(_._1.length >= 2) <= 6)
+    // higher count -> lower (or equal) cost: -log is monotone
+    val byCnt = v.sortBy(-_._2)
+    assert(byCnt.zip(byCnt.tail).forall { case (hi, lo) => hi._3 <= lo._3 })
+    // partition invariance
+    val v7 = Bpe.unigramTrainEm(df.repartition(7), "text", nBigrams = 8,
+      nTrigrams = 4, nWords = 4, keepTop = 6, iterations = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.sortBy(_._1).toSeq === v7.sortBy(_._1).toSeq)
+  }
 }
