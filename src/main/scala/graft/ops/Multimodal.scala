@@ -407,4 +407,233 @@ object Multimodal {
         col("__txt"))
       .select(col(id), col("frame_idx"),
         expr(s"substring(__txt, frame_idx * $frameChars + 1, $frameChars)").as("frame"))
+
+  // --- MP4 container (r15: the video leg of the de-stub arc) ----------
+
+  /** Typed features extracted per video blob. fps_milli is fps × 1000
+    * (integer), parsed from the media timebase (mdhd timescale ÷ stts
+    * sample delta) — never a float.
+    */
+  case class VideoFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      format: String,
+      movie_timescale: Long,
+      duration_ms: Long,
+      width: Int,
+      height: Int,
+      fps_milli: Long,
+      n_frames: Long)
+
+  /** Real MP4 (ISO BMFF) container parser — the video counterpart of
+    * [[HeaderDecoder]]/[[WavDecoder]], same honesty contract: box
+    * STRUCTURE is parsed from real bytes (sample decoding would need a
+    * codec the container does not ship). ISO layout: a flat sequence
+    * of boxes (u32be size including the 8-byte header + 4cc id;
+    * size 1 → u64be largesize follows; size 0 → box runs to EOF), with
+    * container boxes nesting the same grammar. The chain walked here
+    * is the real anatomy every MP4 reader walks:
+    *
+    *   moov → mvhd        movie timescale (u32be at +20 in a v0 box)
+    *                      and duration (+24)
+    *   moov → trak → tkhd track width/height (16.16 fixed point at
+    *                      +84/+88 in the 92-byte v0 box)
+    *   … trak → mdia → mdhd   media timescale (+20)
+    *   … mdia → minf → stbl → stts  first (sample_count, sample_delta)
+    *                      entry — frame count and frame period
+    *
+    * fps = media_timescale / sample_delta, emitted as integer
+    * fps_milli = (timescale·1000) div delta; duration_ms =
+    * (movie_duration·1000) div movie_timescale — both replayable
+    * floor divisions.
+    *
+    * Malformed input degrades, never throws: lying box sizes CLAMP to
+    * the buffer (advance ≥ 8 or the scan stops), missing boxes leave
+    * -1 sentinels, and a blob whose first box is not ftyp parses as
+    * ("unknown", -1 …).
+    */
+  object Mp4Decoder {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def id4(b: Array[Byte], i: Int): String =
+      new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+    /** Scan the box sequence in [from, to) for the first box with the
+      * given 4cc; returns (bodyStart, bodyEnd) clamped to the range.
+      */
+    private[graft] def findBox(b: Array[Byte], from: Int, to: Int,
+        fourcc: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = be32(b, i)
+        val (hdr, size) =
+          if (size0 == 1L && i + 16 <= to) (16L, be64(b, i + 8))
+          else if (size0 == 0L) (8L, (to - i).toLong)
+          else (8L, size0)
+        val end = math.min(to.toLong, i + math.max(size, hdr)).toInt
+        if (id4(b, i + 4) == fourcc)
+          return Some((math.min(i + hdr, end.toLong).toInt, end))
+        // lying / tiny sizes clamp: always advance past the header
+        val advance = math.max(size, hdr)
+        if (i + advance > to.toLong) i = to else i += advance.toInt
+      }
+      None
+    }
+
+    def parseMp4Header(b: Array[Byte]): VideoFeatures = {
+      val n = b.length
+      def none(fmt: String) =
+        VideoFeatures(0L, n, fmt, -1L, -1L, -1, -1, -1L, -1L)
+      if (n < 8 || id4(b, 4) != "ftyp") return none("unknown")
+      findBox(b, 0, n, "moov") match {
+        case None => none("mp4")
+        case Some((ms, me)) =>
+          var movieTs = -1L; var movieDur = -1L
+          findBox(b, ms, me, "mvhd").foreach { case (s, e) =>
+            if (e - s >= 20) { movieTs = be32(b, s + 12); movieDur = be32(b, s + 16) }
+          }
+          var w = -1; var h = -1
+          var mediaTs = -1L; var cnt = -1L; var delta = -1L
+          findBox(b, ms, me, "trak").foreach { case (ts, te) =>
+            findBox(b, ts, te, "tkhd").foreach { case (s, e) =>
+              if (e - s >= 84) {
+                w = (be32(b, s + 76) >>> 16).toInt
+                h = (be32(b, s + 80) >>> 16).toInt
+              }
+            }
+            findBox(b, ts, te, "mdia").foreach { case (ds, de) =>
+              findBox(b, ds, de, "mdhd").foreach { case (s, e) =>
+                if (e - s >= 16) mediaTs = be32(b, s + 12)
+              }
+              findBox(b, ds, de, "minf").foreach { case (fs, fe) =>
+                findBox(b, fs, fe, "stbl").foreach { case (bs, be) =>
+                  findBox(b, bs, be, "stts").foreach { case (s, e) =>
+                    if (e - s >= 16 && be32(b, s + 4) >= 1L) {
+                      cnt = be32(b, s + 8); delta = be32(b, s + 12)
+                    }
+                  }
+                }
+              }
+            }
+          }
+          val durMs = if (movieTs > 0 && movieDur >= 0)
+            movieDur * 1000L / movieTs else -1L
+          val fpsMilli = if (mediaTs > 0 && delta > 0)
+            mediaTs * 1000L / delta else -1L
+          VideoFeatures(0L, n, "mp4", movieTs, durMs, w, h, fpsMilli, cnt)
+      }
+    }
+
+    def decode(docId: Long, bytes: Array[Byte]): VideoFeatures =
+      parseMp4Header(bytes).copy(doc_id = docId)
+  }
+
+  /** Synthesize a byte-valid MP4 around the payload with id-derived
+    * parameters: fps = 12 + id mod 19, n_frames = 24 + 7·id mod 721,
+    * width = 128 + 11·id mod 1793, height = 72 + 5·id mod 1009. The
+    * box tree is structurally REAL — ftyp, moov[mvhd(108 B v0, unity
+    * matrix), trak[tkhd(92 B v0, 16.16 dims), mdia[mdhd(32 B),
+    * minf[stbl[stts(24 B, one (count, delta=100) entry)]]]]],
+    * mdat(payload) — with movie timescale 1000 (ms timebase, duration
+    * = (frames·1000) div fps) and media timescale fps·100 (so
+    * fps_milli parses back exactly). Every fifth id carries a `free`
+    * box before moov AND a `udta` box inside moov before mvhd, so a
+    * fixed-offset reader mis-parses and the box SCAN is load-bearing
+    * (the LIST-before-fmt_ / APP0-before-SOF0 trick).
+    */
+  def synthesizeMp4Blob(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(id: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ id.getBytes("US-ASCII") ++ body
+    val fps = (12 + java.lang.Math.floorMod(docId, 19L)).toInt
+    val nFrames = (24 + java.lang.Math.floorMod(docId * 7, 721L)).toInt
+    val w = (128 + java.lang.Math.floorMod(docId * 11, 1793L)).toInt
+    val h = (72 + java.lang.Math.floorMod(docId * 5, 1009L)).toInt
+    val unityMatrix = be32(0x10000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x10000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val durMs = nFrames.toLong * 1000L / fps
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000L) ++ be32(durMs) ++ be32(0x10000L) ++
+      Array[Byte](0x01, 0x00) ++ Array.fill[Byte](10)(0) ++ unityMatrix ++
+      Array.fill[Byte](24)(0) ++ be32(2L))
+    val tkhd = box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1L) ++
+      be32(0) ++ be32(durMs) ++ Array.fill[Byte](8)(0) ++
+      be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ unityMatrix ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(fps.toLong * 100L) ++ be32(nFrames.toLong * 100L) ++
+      be16(0x55c4) ++ be16(0))
+    val stts = box("stts", be32(0) ++ be32(1L) ++
+      be32(nFrames.toLong) ++ be32(100L))
+    val minf = box("minf", box("stbl", stts))
+    val mdia = box("mdia", mdhd ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val udta: Array[Byte] =
+      if (java.lang.Math.floorMod(docId, 5L) == 0L)
+        box("udta", be32(0)) else Array.emptyByteArray
+    val moov = box("moov", udta ++ mvhd ++ trak)
+    val free: Array[Byte] =
+      if (java.lang.Math.floorMod(docId, 5L) == 0L)
+        box("free", Array.fill[Byte](8)(0)) else Array.emptyByteArray
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512L))
+    ftyp ++ free ++ moov ++ box("mdat", payload)
+  }
+
+  private val synthesizeMp4Udf =
+    udf((docId: Long, text: String) =>
+      synthesizeMp4Blob(docId,
+        (if (text == null) "" else text).getBytes("UTF-8")))
+
+  /** Attach an opaque binary MP4 column (see [[synthesizeMp4Blob]]) —
+    * the fixtures ship no real video; a production source reads bytes
+    * from the lake and skips the synthesis.
+    */
+  def withVideoColumn(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("media", synthesizeMp4Udf(col(id).cast("long"), col(text)))
+
+  /** Partition-parallel video feature extraction — the
+    * [[extractFeatures]] shape over [[Mp4Decoder]]: one decoder per
+    * partition, streaming iterator, constant memory per task.
+    */
+  def extractVideoFeatures(spark: SparkSession, df: DataFrame,
+      id: String): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, bytes) =>
+        Mp4Decoder.decode(docId, bytes) })
+  }
+
+  /** Frame-sampling plan driven by PARSED container metadata — the
+    * q105c arc completed: frame count and period come out of the
+    * stts/mdhd boxes [[Mp4Decoder]] just read, not a synthesized
+    * formula. Keeps every `step`-th frame index with its integer
+    * presentation timestamp ts_ms = (idx·10⁶) div fps_milli (≡
+    * idx·delta·1000 div media_timescale). Explodes the INDEX sequence
+    * only (the PLANS.md Generate trap: never explode an array of
+    * payloads).
+    */
+  def sampleVideoFrames(spark: SparkSession, df: DataFrame, id: String,
+      text: String, step: Int = 4): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val feats = extractVideoFeatures(spark,
+      withVideoColumn(df, id, text), id).toDF()
+    feats.filter(col("n_frames") > 0 && col("fps_milli") > 0)
+      .select(col("doc_id"), col("n_frames"), col("fps_milli"),
+        col("duration_ms"), col("width"), col("height"),
+        explode(sequence(lit(0L), col("n_frames") - 1L,
+          lit(step.toLong))).as("frame_idx"))
+      .withColumn("ts_ms",
+        expr("(frame_idx * 1000000) div fps_milli"))
+      .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+        col("n_frames"), col("fps_milli"), col("duration_ms"),
+        col("width"), col("height"))
+  }
 }

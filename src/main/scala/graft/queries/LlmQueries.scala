@@ -1291,6 +1291,35 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL MP4 box-tree decode (NEW r15, the video leg of the de-stub
+    // arc): blobs carry byte-valid ISO BMFF structure and every field
+    // below is PARSED by the recursive box scan — moov→mvhd
+    // (timescale/duration), trak→tkhd (16.16 dims), mdia→mdhd +
+    // stbl→stts (fps and frame count). Every 5th blob has free/udta
+    // boxes shifting offsets, so a fixed-offset reader mis-parses;
+    // the oracle replays the synthesis arithmetic
+    "q293_video_header" -> ((s, d) => {
+      val withVideo = Multimodal.withVideoColumn(
+        Tables.documents(s, d), "doc_id", "text")
+      Multimodal.extractVideoFeatures(s, withVideo, "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          col("movie_timescale"), col("duration_ms"), col("width"),
+          col("height"), col("fps_milli"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // frame sampling driven by the PARSED stts/mdhd metadata (NEW
+    // r15): q105c's plan with frame count and period read out of the
+    // container instead of synthesized — every 4th frame index with
+    // its integer presentation timestamp
+    "q293b_video_frames" -> ((s, d) => {
+      Multimodal.sampleVideoFrames(s,
+          Tables.documents(s, d).filter(col("doc_id") % 7 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // ---- embedding linalg (PCA-whitening prep) -----------------------
     // distributed Gramian X^T X of the embedding table in integer
     // micro-units: one scan, per-partition local d(d+1)/2 accumulation,
@@ -2897,6 +2926,43 @@ object LlmQueries extends QueryGroup {
            |  CASE WHEN n = 0 THEN 0.0
            |       ELSE ROUND(CAST(bsum AS DOUBLE) / n / 255.0, 6) END AS amplitude
            |FROM u ORDER BY doc_id""".stripMargin,
+
+      // the Spark side PARSES every field from synthesized ISO BMFF
+      // bytes (recursive box scan); the oracle replays the synthesis
+      // arithmetic — wrong offsets/endianness/16.16 handling would
+      // hash-mismatch. Fixed box sizes: ftyp 16, mvhd 108, tkhd 92,
+      // mdhd 32, stts 24 → moov 296 (+12 udta every 5th, +16 free)
+      "q293_video_header" ->
+        s"""SELECT doc_id,
+           |  CAST(CASE WHEN doc_id % 5 = 0 THEN 348 ELSE 320 END
+           |    + octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           |  'mp4' AS format,
+           |  CAST(1000 AS BIGINT) AS movie_timescale,
+           |  CAST(((24 + (doc_id * 7) % 721) * 1000)
+           |    // (12 + doc_id % 19) AS BIGINT) AS duration_ms,
+           |  CAST(128 + (doc_id * 11) % 1793 AS INTEGER) AS width,
+           |  CAST(72 + (doc_id * 5) % 1009 AS INTEGER) AS height,
+           |  CAST((12 + doc_id % 19) * 1000 AS BIGINT) AS fps_milli,
+           |  CAST(24 + (doc_id * 7) % 721 AS BIGINT) AS n_frames
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q293b_video_frames" ->
+        s"""WITH f AS (SELECT doc_id,
+           |    24 + (doc_id * 7) % 721 AS nf,
+           |    (12 + doc_id % 19) * 1000 AS fpsm,
+           |    ((24 + (doc_id * 7) % 721) * 1000)
+           |      // (12 + doc_id % 19) AS dms,
+           |    128 + (doc_id * 11) % 1793 AS w,
+           |    72 + (doc_id * 5) % 1009 AS h
+           |  FROM documents WHERE doc_id % 7 = 0)
+           |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           |  CAST((i * 1000000) // fpsm AS BIGINT) AS ts_ms,
+           |  CAST(nf AS BIGINT) AS n_frames,
+           |  CAST(fpsm AS BIGINT) AS fps_milli,
+           |  CAST(dms AS BIGINT) AS duration_ms,
+           |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+           |FROM f, UNNEST(range(0, nf, 4)) AS u(i)
+           |ORDER BY doc_id, frame_idx""".stripMargin,
 
       "q105c_multimodal_frames" ->
         s"""WITH t AS (SELECT doc_id, text,

@@ -587,6 +587,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Mp4Decoder walks the real box tree and degrades on malformed bytes") {
+    import graft.ops.Multimodal.{Mp4Decoder, synthesizeMp4Blob}
+    // round-trip at adversarial ids, including the free/udta offset
+    // shift at id % 5 == 0 (a fixed-offset reader fails it) and a
+    // large id exercising floorMod
+    for (id <- Seq(0L, 1L, 2L, 5L, 7L, 19L, 12345678901L)) {
+      val blob = synthesizeMp4Blob(id, "framePayload".getBytes("UTF-8"))
+      val f = Mp4Decoder.decode(id, blob)
+      val fps = 12 + Math.floorMod(id, 19L)
+      val nf = 24 + Math.floorMod(id * 7, 721L)
+      assert(f.format == "mp4", s"id $id")
+      assert(f.movie_timescale == 1000L)
+      assert(f.duration_ms == nf * 1000L / fps)
+      assert(f.width == 128 + Math.floorMod(id * 11, 1793L).toInt)
+      assert(f.height == 72 + Math.floorMod(id * 5, 1009L).toInt)
+      assert(f.fps_milli == fps * 1000L)
+      assert(f.n_frames == nf)
+      assert(f.n_bytes == blob.length)
+    }
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // ftyp without moov: recognized container, all sentinels
+    val bare = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0)
+    val fb = Mp4Decoder.parseMp4Header(bare)
+    assert(fb.format == "mp4" && fb.width == -1 && fb.n_frames == -1L)
+    // lying child size: moov present, mvhd size field says 9999 —
+    // the scan clamps to the buffer and the short body leaves -1s
+    val lyingMvhd = be32(9999) ++ "mvhd".getBytes("US-ASCII") ++ be32(0)
+    val lying = bare ++ be32(8L + lyingMvhd.length) ++
+      "moov".getBytes("US-ASCII") ++ lyingMvhd
+    val fl = Mp4Decoder.parseMp4Header(lying)
+    assert(fl.format == "mp4" && fl.movie_timescale == -1L)
+    // not an mp4 at all
+    assert(Mp4Decoder.parseMp4Header("plain text here".getBytes).format
+      == "unknown")
+    assert(Mp4Decoder.parseMp4Header(Array.empty[Byte]).format == "unknown")
+  }
+
   test("linkageScores: blocked pairs, weight sums, null-safe agreement") {
     import spark.implicits._
     val a = Seq((1L, "z1", "AUTO", Some(5L)), (2L, "z2", "BLDG", None))

@@ -428,6 +428,35 @@ class PropertySpec extends SparkSpec {
         ch >= -1 && rate >= -1 && bits >= -1
     }
     check("wav-decoder-total", wavProp, minTests = 300)
+    // MP4 box scan: total on arbitrary bytes, ftyp-prefixed garbage,
+    // and CORRUPTED real containers (random byte flips inside a valid
+    // synthesized blob) — lying box sizes must clamp, never throw or
+    // loop, and the payload window must stay inside the buffer
+    val genFtyp = for {
+      n <- Gen.choose(0, 64)
+      tail <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+    } yield Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII") ++
+      tail.toArray
+    val genFlipped = for {
+      id <- Gen.choose(0L, 50L)
+      k <- Gen.choose(1, 6)
+      flips <- Gen.listOfN(k, Gen.zip(Gen.choose(0, 300), Gen.choose(-128, 127)))
+    } yield {
+      val blob = graft.ops.Multimodal.synthesizeMp4Blob(id,
+        "payload bytes".getBytes("UTF-8"))
+      flips.foreach { case (p, v) =>
+        if (p < blob.length) blob(p) = v.toByte }
+      blob
+    }
+    val mp4Prop = Prop.forAll(Gen.oneOf(genRaw, genFtyp, genFlipped)) { bytes =>
+      val f = graft.ops.Multimodal.Mp4Decoder.parseMp4Header(bytes)
+      Set("mp4", "unknown").contains(f.format) &&
+        f.n_bytes == bytes.length &&
+        f.width >= -1 && f.height >= -1 &&
+        f.movie_timescale >= -1L && f.duration_ms >= -1L &&
+        f.fps_milli >= -1L && f.n_frames >= -1L
+    }
+    check("mp4-decoder-total", mp4Prop, minTests = 300)
   }
 
   test("labelPropagate matches the sequential LPA fold on random digraphs") {
