@@ -136,6 +136,18 @@ object Sketches {
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Densified [[histBuild]] collected to the driver — the FROZEN
+    * reference ladder for streaming drift correction
+    * ([[graft.streaming.Streams.quantileMapStream]]): nBuckets longs,
+    * absent buckets 0, vocabulary-sized by contract (≤ 64 entries).
+    */
+  def histReferenceCounts(ref: DataFrame, valueCol: String, lo: Double,
+      hi: Double, nBuckets: Int): Seq[Long] = {
+    val m = histBuild(ref, valueCol, lo, hi, nBuckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until nBuckets).map(b => m.getOrElse(b.toLong, 0L))
+  }
+
   /** Merge shard histograms: integer addition per bucket. */
   def histMerge(shards: Seq[DataFrame]): DataFrame = {
     require(shards.nonEmpty, "need at least one shard histogram")

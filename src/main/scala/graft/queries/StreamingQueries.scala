@@ -231,6 +231,25 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming quantile-map drift CORRECTION (NEW r15): the live
+    // detect→correct composition — q214's frozen-reference posture
+    // applied to q216b's histogram matching. Reference ladder = batch
+    // click distribution, frozen into plan literals; per closed
+    // window every populated purchase bucket maps onto it via the
+    // integer cross-multiplied CDF inversion, emitted with the
+    // corrected midpoint. State per open window: 16 longs.
+    "q294_stream_quantile_map" -> ((s, d) => {
+      val refCounts = graft.ops.Sketches.histReferenceCounts(
+        graft.Tables.events(s, d).filter(col("event_type") === "click"),
+        "value", 0.0, 200.0, 16)
+      val stream = Streams.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+      Streams.runToBatch(s,
+          Streams.quantileMapStream(stream, refCounts, 0.0, 200.0, 16),
+          "q294_qmap")
+        .orderBy(col("w_start"), col("bucket"))
+    }),
+
     "q214_stream_psi_drift" -> ((s, d) => {
       val bounds = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
       val refCounts = graft.ops.Validate.psiReferenceCounts(
@@ -1113,6 +1132,48 @@ object StreamingQueries extends QueryGroup {
          |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
          |  n AS n_events, $ests
          |FROM t ORDER BY w_start""".stripMargin
+    },
+
+    "q294_stream_quantile_map" -> {
+      val nB = 16
+      val bExpr = graft.ops.Sketches.histBucketExpr(0.0, 200.0, nB)
+      // the Spark side inverts the frozen ladder as a literal CASE
+      // chain; the oracle inverts RELATIONALLY (min reference bucket
+      // meeting the cross-multiplied target over PRESENT buckets) —
+      // identical integers by the constant-cume-across-empty-runs
+      // argument in quantileMapHist's scaladoc
+      s"""WITH $ctes,
+         |rv AS (SELECT CAST(value AS DOUBLE) AS v FROM e
+         |  WHERE event_type = 'click' AND value IS NOT NULL),
+         |rh AS (SELECT $bExpr AS b, COUNT(*) AS cnt FROM rv GROUP BY 1),
+         |rc AS (SELECT a.b, SUM(x.cnt) AS cume FROM rh a
+         |  JOIN rh x ON x.b <= a.b GROUP BY a.b),
+         |nr AS (SELECT MAX(cume) AS n_ref FROM rc),
+         |vv AS (SELECT ts, CAST(value AS DOUBLE) AS v FROM e
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |vb AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300)
+         |      * 300 * 1000000) AS ws,
+         |    $bExpr AS b
+         |  FROM vv),
+         |c AS (SELECT ws, b, COUNT(*) AS n_b FROM vb GROUP BY ws, b),
+         |t AS (SELECT ws, b, n_b,
+         |    SUM(n_b) OVER (PARTITION BY ws ORDER BY b) AS cume,
+         |    SUM(n_b) OVER (PARTITION BY ws) AS n FROM c),
+         |mx2 AS (SELECT MAX(ts) AS m FROM vv),
+         |dec AS (SELECT t.* FROM t, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND),
+         |mp AS (SELECT d.ws, d.b, d.n_b, d.cume, d.n,
+         |    MIN(rc.b) AS mapped_bucket
+         |  FROM dec d CROSS JOIN nr
+         |  JOIN rc ON rc.cume * d.n >= d.cume * nr.n_ref
+         |  GROUP BY d.ws, d.b, d.n_b, d.cume, d.n)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  CAST(n AS BIGINT) AS n_events, CAST(b AS INTEGER) AS bucket,
+         |  CAST(n_b AS BIGINT) AS n_b, CAST(cume AS BIGINT) AS cume,
+         |  CAST(mapped_bucket AS INTEGER) AS mapped_bucket,
+         |  ${graft.ops.Validate.histMidExpr(0.0, 200.0, nB)} AS mapped
+         |FROM mp ORDER BY w_start, bucket""".stripMargin
     },
 
     "q214_stream_psi_drift" -> {

@@ -1520,6 +1520,96 @@ object Streams {
         +: col("n").as("n_events") +: ests: _*)
   }
 
+  /** Streaming QUANTILE-MAP drift CORRECTION — the live composition
+    * of detect ([[psiDriftStream]], q214) and correct
+    * ([[graft.ops.Validate.quantileMapHist]], q216b): per closed
+    * tumbling window, every populated histogram bucket of the window
+    * is mapped onto a FROZEN reference ladder by the same integer
+    * cross-multiplied CDF inversion the batch op runs —
+    *
+    *   mapped_bucket(b) = min { rb : cumRef(rb)·nWin ≥ cumWin(b)·nRef }
+    *
+    * — no float ratios, no state beyond the window's B in-row bucket
+    * counts ([[quantileStream]]'s ladder state), and the inversion is
+    * a STATELESS projection over the closed row: the ≤ B-entry frozen
+    * cumulative ladder is baked into the plan as literals (the q214 /
+    * q224 frozen-reference pattern — compute the reference batch-side
+    * once, freeze, stream against it). A drifted window is thereby
+    * both detected (bucket ≠ mapped_bucket) and corrected (the mapped
+    * midpoint restores the reference distribution) in the same row.
+    *
+    * Integer bound, stated honestly: the cross-products cumRef·nWin
+    * and cumWin·nRef must fit int64 — fine to ~3e9 rows on EACH side;
+    * beyond that, pre-scale the reference counts (the mapping is
+    * ratio-invariant under common scaling of the reference ladder).
+    *
+    * Append mode: one row per (window, populated bucket) at
+    * watermark close.
+    *
+    * @param refCounts frozen per-bucket reference counts
+    *                  ([[graft.ops.Sketches.histReferenceCounts]])
+    * @return (w_start, n_events, bucket, n_b, cume, mapped_bucket,
+    *         mapped)
+    */
+  def quantileMapStream(events: DataFrame, refCounts: Seq[Long],
+      lo: Double, hi: Double, nBuckets: Int,
+      valueCol: String = "value", size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 64,
+      s"nBuckets must be in [2, 64], got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    require(refCounts.size == nBuckets,
+      s"refCounts must have $nBuckets entries, got ${refCounts.size}")
+    require(refCounts.forall(_ >= 0) && refCounts.sum > 0,
+      "reference ladder must be non-negative with positive mass")
+    val cumRef = refCounts.scanLeft(0L)(_ + _).tail
+    val e = events
+      .select(col("ts"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__b",
+        expr(graft.ops.Sketches.histBucketExpr(lo, hi, nBuckets)))
+    val aggCols = (0 until nBuckets).map(i =>
+      sum(when(col("__b") === i, 1L).otherwise(0L)).as(s"n$i"))
+    val counts = e.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n",
+        (0 until nBuckets).map(i => col(s"n$i")).reduce(_ + _))
+    val rows = (0 until nBuckets).map { b =>
+      val cw = (0 to b).map(i => col(s"n$i")).reduce(_ + _)
+      struct(lit(b).as("bucket"), col(s"n$b").as("n_b"), cw.as("cume"))
+    }
+    counts.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w_start"),
+        col("n").as("n_events"), explode(array(rows: _*)).as("r"))
+      .select(col("w_start"), col("n_events"),
+        col("r.bucket").as("bucket"), col("r.n_b").as("n_b"),
+        col("r.cume").as("cume"))
+      .filter(col("n_b") > 0)
+      .withColumn("mapped_bucket",
+        expr(cdfInvertExpr(cumRef, "cume", "n_events")))
+      .withColumn("mapped",
+        expr(graft.ops.Validate.histMidExpr(lo, hi, nBuckets)))
+  }
+
+  /** The frozen-ladder CDF inversion as ONE expression string: the
+    * smallest reference bucket whose cumulative count, cross-
+    * multiplied against the window total, reaches the window's
+    * cumulative count times the reference total. The ELSE arm is
+    * unreachable (cumRef.last = nRef and cume ≤ n make the final WHEN
+    * always true) but keeps the CASE total. Plain integer literals —
+    * parseable by Spark and any SQL engine alike.
+    */
+  private[graft] def cdfInvertExpr(cumRef: Seq[Long], cume: String,
+      n: String): String = {
+    val nRef = cumRef.last
+    "CAST(CASE " + cumRef.init.zipWithIndex.map { case (cr, rb) =>
+      s"WHEN $cr * $n >= $cume * $nRef THEN $rb "
+    }.mkString +
+      s"ELSE ${cumRef.size - 1} END AS INTEGER)"
+  }
+
   /** Streaming SRM monitor — [[graft.ops.Validate.srmCheck]]'s live
     * twin: per closed tumbling window, each expected arm's observed
     * count vs its weight share (signed deviation in floor ppm, the

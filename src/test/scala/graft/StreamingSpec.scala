@@ -843,6 +843,54 @@ class StreamingSpec extends SparkSpec {
       out.head.toString)
   }
 
+  test("quantileMapStream: identity on reference-shaped windows, shift corrected") {
+    import org.apache.spark.sql.functions._
+    // ladder [0, 100), 4 buckets of width 25; reference mass
+    // (2, 2, 2, 2) -> cumRef (2, 4, 6, 8). Window values 60/60/85/85
+    // (buckets 2, 2, 3, 3): cume(2)=2, cume(3)=4, n=4.
+    //   bucket 2: min rb with cumRef(rb)*4 >= 2*8=16 -> rb=1 (cum 4)
+    //   bucket 3: min rb with cumRef(rb)*4 >= 4*8=32 -> rb=3 (cum 8)
+    // i.e. the upshifted low mass maps DOWN a bucket, the tail stays.
+    val rows = Seq(
+      (1L, 1L, "purchase", 60.0, "2024-01-01 10:00:01"),
+      (2L, 1L, "purchase", 60.0, "2024-01-01 10:00:02"),
+      (3L, 1L, "purchase", 85.0, "2024-01-01 10:00:03"),
+      (4L, 1L, "purchase", 85.0, "2024-01-01 10:00:04"))
+    val df = eventsDF(rows)
+    val out = Streams.runToBatch(spark,
+        Streams.quantileMapStream(
+          streamDir(stageBatches("qmap", Seq(
+            df, eventsDF(Seq((99L, 1L, "view", 50.0,
+              "2024-01-01 11:00:00"))))), df.schema),
+          refCounts = Seq(2L, 2L, 2L, 2L), lo = 0.0, hi = 100.0,
+          nBuckets = 4),
+        "spec_qmap")
+      .orderBy("w_start", "bucket").collect()
+    assert(out.length == 2, out.mkString("; "))
+    val byBucket = out.map(r => r.getInt(2) ->
+      ((r.getLong(3), r.getLong(4), r.getInt(5), r.getDouble(6)))).toMap
+    assert(byBucket(2) == ((2L, 2L, 1, 37.5)), byBucket)
+    assert(byBucket(3) == ((2L, 4L, 3, 87.5)), byBucket)
+    // identity check: a window drawn in reference proportions maps
+    // every bucket to itself
+    val even = eventsDF(Seq(
+      (11L, 1L, "purchase", 10.0, "2024-01-02 10:00:01"),
+      (12L, 1L, "purchase", 30.0, "2024-01-02 10:00:02"),
+      (13L, 1L, "purchase", 60.0, "2024-01-02 10:00:03"),
+      (14L, 1L, "purchase", 85.0, "2024-01-02 10:00:04")))
+    val out2 = Streams.runToBatch(spark,
+        Streams.quantileMapStream(
+          streamDir(stageBatches("qmap2", Seq(
+            even, eventsDF(Seq((99L, 1L, "view", 50.0,
+              "2024-01-02 11:00:00"))))), even.schema),
+          refCounts = Seq(2L, 2L, 2L, 2L), lo = 0.0, hi = 100.0,
+          nBuckets = 4),
+        "spec_qmap2")
+      .collect()
+    assert(out2.length == 4)
+    assert(out2.forall(r => r.getInt(2) == r.getInt(5)), out2.mkString("; "))
+  }
+
   test("benfordStream: all-digit-1 window pins d1_bp and the deviation sum") {
     val exp = graft.ops.Validate.benfordExpBp
     val rows = (1 to 20).map(i => (i.toLong, 1L, "view",
