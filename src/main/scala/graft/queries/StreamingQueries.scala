@@ -270,6 +270,26 @@ object StreamingQueries extends QueryGroup {
     // streaming estimate is deterministic and the oracle replays it
     // in full — no tolerance. Update-mode emissions folded to the
     // final row per window by max(n_events), the q114 pattern
+    // SLIDING-window streaming distinct (NEW r15): q236's rolling
+    // active-user series live — 10-min windows advancing every 5, the
+    // window generator fanning each event into both open windows (the
+    // pair-explode kernel, streamed); O(k) sorted-hash state per open
+    // window, byte-identical to the batch KMV sketch, update-mode
+    // rows folded to the final per window
+    "q295_stream_sliding_distinct" -> ((s, d) => {
+      val res = Streams.runToBatch(s,
+        Streams.kmvDistinctSlidingStream(Streams.eventsStream(s, d),
+          k = 64),
+        "q295_slide", outputMode = "update")
+      res.groupBy(col("w_start"))
+        .agg(max(struct(col("n_events"), col("n_sketch"),
+          col("est_distinct"))).as("f"))
+        .select(col("w_start"), col("f.n_events").as("n_events"),
+          col("f.n_sketch").as("n_sketch"),
+          col("f.est_distinct").as("est_distinct"))
+        .orderBy(col("w_start"))
+    }),
+
     "q220_stream_kmv_distinct" -> ((s, d) => {
       val res = Streams.runToBatch(s,
         Streams.kmvDistinctStream(Streams.eventsStream(s, d), k = 64),
@@ -638,6 +658,35 @@ object StreamingQueries extends QueryGroup {
          |FROM c JOIN a ON c.ws = a.ws
          |WHERE c.cnt * 20 > a.n_total
          |ORDER BY w_start, c.user_id""".stripMargin,
+
+    "q295_stream_sliding_distinct" -> {
+      // q220's full KMV replay with the sliding fan-out: an event at t
+      // feeds BOTH aligned 10-min windows covering it (starts
+      // floor(t/300)·300 and that minus 300) — the pair-explode kernel
+      val h = graft.ops.Sketches.kmvScrambleSql(
+        graft.ops.Sketches.polyHashSql("CAST(user_id AS VARCHAR)"))
+      val p = graft.expressions.HashSpec.P
+      s"""WITH $ctes,
+         |w AS (SELECT make_timestamp(((EPOCH_US(ts) // 1000000 // 300)
+         |      * 300 - g.i * 300) * 1000000) AS ws, user_id
+         |  FROM e CROSS JOIN (SELECT unnest(range(2)) AS i) g),
+         |hs AS (SELECT ws, $h AS h, COUNT(*) AS cnt
+         |  FROM w GROUP BY ws, h),
+         |ranked AS (SELECT ws, h, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY h) AS rk
+         |  FROM hs),
+         |agg AS (SELECT ws,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_events,
+         |    CAST(SUM(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sketch,
+         |    MAX(CASE WHEN rk = 64 THEN h END) AS h64
+         |  FROM ranked GROUP BY ws)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, n_events,
+         |  n_sketch,
+         |  CASE WHEN n_sketch < 64 THEN n_sketch
+         |    ELSE (63 * CAST($p AS BIGINT)) // h64 END AS est_distinct
+         |FROM agg ORDER BY w_start""".stripMargin
+    },
 
     "q220_stream_kmv_distinct" -> {
       // full KMV replay per window: scrambled poly hash of the user id

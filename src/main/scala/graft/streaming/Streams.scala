@@ -418,7 +418,38 @@ object Streams {
     */
   def kmvDistinctStream(events: DataFrame, k: Int,
       keyCol: String = "user_id", size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    kmvDistinctCore(events, k, keyCol, size, None, delay)
+
+  /** SLIDING-window streaming distinct — [[kmvDistinctStream]] over
+    * overlapping windows (`size` long, advancing every `slide`): the
+    * rolling active-key series q236 computes batch-side, live. The
+    * window generator fans each event into size/slide open windows —
+    * the STREAMING spelling of q236's pair-explode kernel (the blowup
+    * factor is the overlap count, never data volume) — and each open
+    * window holds the same O(k) sorted-hash state, evicted by event-
+    * time timeout once the watermark passes its end: total state is
+    * O(k · open windows) where open windows ≈ (size/slide + delay/
+    * slide), a constant. The per-window estimate is byte-identical to
+    * the batch [[graft.ops.Sketches.kmvSketch]] over the same rows,
+    * so the oracle replays every window with NO tolerance.
+    *
+    * Emits running rows in update mode; consumers keep the
+    * max-n_events row per window (the q114/q220 pattern).
+    */
+  def kmvDistinctSlidingStream(events: DataFrame, k: Int,
+      keyCol: String = "user_id", size: String = "10 minutes",
+      slide: String = "5 minutes",
       delay: String = "10 minutes"): DataFrame = {
+    require(durationMs(size) % durationMs(slide) == 0,
+      s"size ($size) must be a multiple of slide ($slide) — Spark " +
+        "window alignment semantics")
+    kmvDistinctCore(events, k, keyCol, size, Some(slide), delay)
+  }
+
+  private def kmvDistinctCore(events: DataFrame, k: Int,
+      keyCol: String, size: String, slide: Option[String],
+      delay: String): DataFrame = {
     require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
     val spark = events.sparkSession
     import spark.implicits._
@@ -426,10 +457,12 @@ object Streams {
     val p = graft.expressions.HashSpec.P
     val mixA = graft.ops.Sketches.kmvMixA
     val mixB = graft.ops.Sketches.kmvMixB
+    val win = slide.map(s => window(col("ts"), size, s))
+      .getOrElse(window(col("ts"), size))
     events
       .withWatermark("ts", delay)
       .select(
-        date_format(window(col("ts"), size).getField("start"),
+        date_format(win.getField("start"),
           "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col(keyCol).cast("string").as("key"),
         // the WATERMARKED event-time attribute must stay in scope for
