@@ -209,4 +209,137 @@ object Linalg {
     }
     df.withColumn(outCol, terms.reduce(_ + _))
   }
+
+  /** Top-r eigenpairs of the micro-unit Gramian by SUBSPACE iteration
+    * (block power method with per-round Gram–Schmidt
+    * re-orthogonalization — more robust than sequential deflation when
+    * eigenvalues cluster). Driver-side doubles over the d×d collect —
+    * the same bounded-work class as [[topEigen]]; eigenvalues come out
+    * in the ORIGINAL value scale (the Gramian's micro units ÷ 1e6).
+    *
+    * Deterministic for a given JVM (fixed coordinate-basis start,
+    * fixed iteration count) but double-valued — so it ships with
+    * [[pcaWhitenCheck]]'s SELF-PROVING gate rather than a bit-exact
+    * oracle (the q209b HyperBall discipline: exact integers cross
+    * engines, the float tier is verified by within-bound flags the
+    * oracle restates as literal 1s).
+    */
+  def topEigenK(gram: DataFrame, dim: Int, r: Int,
+      iterations: Int = 200): (Seq[Array[Double]], Array[Double]) = {
+    require(r >= 1 && r <= dim, s"need 1 <= r <= dim, got $r (dim $dim)")
+    val g = Array.ofDim[Double](dim, dim)
+    gram.select("i", "j", "g_micro").collect().foreach { row =>
+      val (i, j) = (row.getInt(0), row.getInt(1))
+      val v = row.getLong(2) / 1e6
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    def matVec(x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += g(i)(j) * x(j); j += 1 }
+        s
+      }
+    // fixed deterministic start: the first r coordinate basis vectors
+    var basis = Array.tabulate(r)(k =>
+      Array.tabulate(dim)(i => if (i == k) 1.0 else 0.0))
+    var it = 0
+    while (it < iterations) {
+      val w = basis.map(matVec)
+      // modified Gram–Schmidt
+      var k = 0
+      while (k < r) {
+        var p = 0
+        while (p < k) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += w(p)(i) * w(k)(i); i += 1 }
+          i = 0
+          while (i < dim) { w(k)(i) -= dot * w(p)(i); i += 1 }
+          p += 1
+        }
+        val n = math.sqrt(w(k).map(x => x * x).sum)
+        // a collapsed direction restarts on a fresh coordinate axis
+        if (n < 1e-12) {
+          var i = 0
+          while (i < dim) { w(k)(i) = if (i == (k + it) % dim) 1.0 else 0.0; i += 1 }
+        } else {
+          var i = 0
+          while (i < dim) { w(k)(i) /= n; i += 1 }
+        }
+        k += 1
+      }
+      basis = w
+      it += 1
+    }
+    val lambda = basis.map { v =>
+      val gv = matVec(v)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i) * gv(i); i += 1 }
+      s
+    }
+    (basis.toSeq, lambda)
+  }
+
+  /** PCA WHITENING with a self-proving gate — the op [[gramianMicro]]'s
+    * scaladoc promises ("PCA-whitening prep", completed): project every
+    * vector onto the top-r eigenbasis scaled by √n/√λ_k (the √n keeps
+    * whitened coordinates O(1), so the micro-floor truncation in the
+    * verification Gramian stays at 1e-6 RELATIVE noise instead of
+    * drowning the ~1/n raw products), so the whitened table's Gramian
+    * is n·I on the retained block — then
+    * VERIFY exactly that, in Spark, with the exact integer
+    * [[gramianMicro]] over the whitened vectors. Emitted rows are the
+    * r(r+1)/2 upper-triangle flags
+    *
+    *   ok = |G_white(i, j) / n − δ_ij| ≤ tol
+    *
+    * plus each component's spectrum-order flag (λ_k ≥ λ_{k+1}) — the
+    * oracle restates them as literal 1s, so ONE broken eigenvector,
+    * wrong λ scale, or non-orthogonal pair reddens the gate (the q209b
+    * within-bound-flag discipline; the double-valued basis itself
+    * never crosses engines).
+    *
+    * Components with λ ≤ λ_1·1e-9 (numerical rank deficiency) are
+    * excluded from whitening — whitening a null direction divides by
+    * ~0; the retained block shrinks accordingly.
+    *
+    * 100 TB posture: two scans (Gramian, whitened Gramian) + one
+    * map-only projection; everything else is driver-side d×d.
+    *
+    * @return (i, j, g_white_ppm — the whitened Gramian entry ÷ n in
+    *         ppm as a diagnostic, ok_identity, ok_order)
+    */
+  def pcaWhitenCheck(df: DataFrame, vecCol: String, dim: Int, r: Int,
+      iterations: Int = 200, tol: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    val gram = gramianMicro(df, vecCol, dim)
+    val (basis, lambda) = topEigenK(gram, dim, r, iterations)
+    val n = df.filter(col(vecCol).isNotNull).count()
+    require(n > 0, "empty vector table")
+    val keep = lambda.zipWithIndex.filter { case (l, _) =>
+      l > math.max(lambda.head, 0.0) * 1e-9 && l > 0.0
+    }.map(_._2)
+    val white = keep.map(k =>
+      basis(k).map(_ * math.sqrt(n.toDouble) / math.sqrt(lambda(k))))
+    val rw = white.length
+    val projected = projectTo(df.filter(col(vecCol).isNotNull), vecCol,
+      white.toSeq, "w")
+      .select(col("w").cast("array<float>").as("w"))
+    val gw = gramianMicro(projected, "w", rw)
+      .withColumn("g_white_ppm",
+        expr(s"(g_micro div ${n}L)"))
+      .withColumn("ok_identity",
+        (abs(col("g_micro").cast("double") / 1e6 / n.toDouble -
+          when(col("i") === col("j"), 1.0).otherwise(0.0)) <= tol)
+          .cast("int"))
+    val orderOk = keep.indices.map { k =>
+      if (k + 1 >= rw) 1 else if (lambda(keep(k)) >= lambda(keep(k + 1))) 1 else 0
+    }
+    import spark.implicits._
+    val orderDf = keep.indices.map(k => (k, orderOk(k)))
+      .toDF("i", "ok_order")
+    gw.join(orderDf, Seq("i"))
+      .select(col("i"), col("j"), col("g_white_ppm"),
+        col("ok_identity"), col("ok_order"))
+  }
 }

@@ -1350,6 +1350,20 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     }),
 
+    // PCA WHITENING, self-proving gate (NEW r15): the full whitening
+    // loop gramianMicro's scaladoc promised — top-8 eigenbasis by
+    // subspace iteration over the exact integer Gramian, vectors
+    // projected through √n/√λ-scaled components, then the IDENTITY
+    // CLAIM (whitened Gramian = n·I) re-verified IN SPARK with the
+    // exact integer Gramian of the whitened table. Flags gate (the
+    // q209b discipline); one broken eigenvector/λ/orthogonality → 0
+    "q296_pca_whiten" -> ((s, d) => {
+      Linalg.pcaWhitenCheck(Tables.embeddings(s, d), "embedding",
+          dim = 64, r = 8)
+        .select(col("i"), col("j"), col("ok_identity"), col("ok_order"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // ---- multi-keyword tagging (Aho–Corasick, one text pass) ---------
     // literal patterns incl. a cross-word phrase and a mid-word
     // substring; non-overlapping replace-count semantics so REPLACE
@@ -2999,6 +3013,16 @@ object LlmQueries extends QueryGroup {
       // integer power iteration unrolled: w = G·v exact BIGINT, rescale
       // v ← trunc(w·1000/max|w|) with the sign split because // floors
       // while the Spark side truncates toward zero
+      // the whitened basis itself is double-valued and never crosses
+      // engines; the oracle restates the self-proving flags as literal
+      // 1s over the same (i ≤ j < 8) grid — any flag the Spark side
+      // fails to earn reddens the gate (q209b pattern)
+      "q296_pca_whiten" ->
+        """SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+          |  1 AS ok_identity, 1 AS ok_order
+          |FROM range(8) a(i), range(8) b(j) WHERE a.i <= b.j
+          |ORDER BY i, j""".stripMargin,
+
       "q222_pca_projection" -> {
         val iters = (1 to 6).map { k =>
           s"""w$k AS MATERIALIZED (SELECT g2.i,

@@ -927,4 +927,39 @@ class GraphLinalgSpec extends SparkSpec {
     // one endpoint-path worth of mass, strictly less than the k=5 run
     assert(a.map(_._2).sum < 28000000L)
   }
+
+  // --- topEigenK / pcaWhitenCheck (r15) -------------------------------
+
+  test("topEigenK + pcaWhitenCheck: exact diagonal spectrum earns every flag") {
+    // 4-dim vectors c_k = scale_k * (-1)^(bit k of id) over a full
+    // 16-cycle id range: the sign products cancel EXACTLY, so the
+    // Gramian is diagonal n * scale_k^2 with spectrum 16n > 9n > 4n > n
+    val scales = Seq(4.0, 3.0, 2.0, 1.0)
+    val vec = array(scales.zipWithIndex.map { case (s, k) =>
+      when(pmod(floor(col("id") / (1 << k)), lit(2)) === 0, lit(s))
+        .otherwise(lit(-s)).cast("float")
+    }: _*)
+    val df = spark.range(1600).select(col("id"), vec.as("embedding"))
+    val (basis, lambda) = Linalg.topEigenK(
+      Linalg.gramianMicro(df, "embedding", 4), dim = 4, r = 4)
+    // eigenvalues: n * scale^2 within the micro-floor noise
+    lambda.zip(scales).foreach { case (l, s) =>
+      assert(math.abs(l - 1600.0 * s * s) < 1600.0 * 0.01, s"lambda $l for scale $s")
+    }
+    // each recovered vector is a coordinate axis (up to sign)
+    basis.zipWithIndex.foreach { case (v, k) =>
+      assert(math.abs(math.abs(v(k)) - 1.0) < 1e-6, s"component $k: ${v.mkString(",")}")
+    }
+    val flags = Linalg.pcaWhitenCheck(df, "embedding", dim = 4, r = 4)
+      .collect()
+    assert(flags.length == 10)
+    assert(flags.forall(r => r.getInt(3) == 1 && r.getInt(4) == 1),
+      flags.mkString("; "))
+    // diagnostic column: diagonal ~ 1e6 ppm, off-diagonal ~ 0
+    flags.foreach { r =>
+      val (i, j, ppm) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      if (i == j) assert(math.abs(ppm - 1000000L) < 50000L, r.toString)
+      else assert(math.abs(ppm) < 50000L, r.toString)
+    }
+  }
 }
