@@ -176,6 +176,136 @@ object TextAnalysis {
           col("ok_alpha") && col("ok_stop") && col("ok_bullet") && col("ok_ellipsis"))
   }
 
+  /** Gopher/MassiveText REPETITION rules (Rae et al. 2021 §A1.1, the
+    * half of the published filter table [[gopherRules]] does not
+    * cover): repetitive documents — boilerplate, templated spam, SEO
+    * keyword stuffing — are the dominant failure mode the
+    * MassiveText pipeline removes by measuring self-repetition at
+    * three granularities:
+    *
+    *   - duplicate LINES: share of lines (and of line characters)
+    *     belonging to a line that occurs more than once in the doc;
+    *   - TOP word n-gram (n = 2, 3, 4): share of word characters
+    *     covered by the single most frequent n-gram
+    *     (occurrences × n-gram chars ÷ total word chars); ties break
+    *     (count DESC, gram ASC) so the winner is unique;
+    *   - DUPLICATED word n-grams (n = 5…10): share of word characters
+    *     covered by all n-grams occurring at least twice
+    *     (Σ count·chars ÷ total chars — the standard overlap-counting
+    *     reimplementation of the paper's definition, deterministic;
+    *     heavily stuffed docs can exceed 10000 bp because overlapping
+    *     occurrences each count — the share stays monotone in
+    *     repetition, which is all the threshold uses).
+    *
+    * All shares are floor BASIS POINTS of exact integer counts — no
+    * doubles anywhere — and the pass thresholds are the paper's
+    * published table (0.30/0.20 lines, 0.20/0.18/0.16 top-grams,
+    * 0.15…0.10 dup-grams). rep_pass = every rule passes.
+    *
+    * 100 TB posture: ONE explode of (doc, n, gram) rows — fan-out is
+    * Σ_{n=2..10}(words−n+1) ≈ 9× the token count, bounded per doc —
+    * into a (doc, n, gram)-keyed partial-aggregated count; the
+    * per-(doc, n) argmax rides a window PARTITIONED by doc (never
+    * global); lines are a second bounded explode. Nothing collects.
+    *
+    * @return (id, n_words, dup_line_bp, dup_line_char_bp, top2_bp,
+    *         top3_bp, top4_bp, dup5_bp…dup10_bp, rep_pass)
+    */
+  def gopherRepetition(df: DataFrame, id: String, text: String): DataFrame = {
+    val base = graft.Tables.spread(df.select(col(id), col(text)), id)
+      .select(col(id),
+        expr(s"filter(split(${normSql(text)}, ' '), w -> length(w) > 0)")
+          .as("ws"),
+        split(col(text), "\n").as("lines"))
+      .withColumn("total_chars",
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_words", size(col("ws")))
+    // ---- word n-grams: ONE posexplode + ONE doc-partitioned window
+    // of lead()s + stack — no HOF-built array ever feeds explode (the
+    // PLANS.md lambda-re-evaluation trap) and no word array rides the
+    // Generate output
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+    val leads = (1 to 9).map(k => lead(col("w"), k).over(wd).as(s"w$k"))
+    val gramCandidates = base
+      .select(col(id), col("total_chars"),
+        posexplode(col("ws")).as(Seq("pos", "w")))
+      .select(Seq(col(id), col("total_chars"), col("w")) ++ leads: _*)
+      .select(col(id), col("total_chars"), expr(
+        "stack(9, " + (2 to 10).map { n =>
+          val parts = ("w" +: (1 until n).map(k => s"w$k")).mkString(", ")
+          s"$n, CASE WHEN w${n - 1} IS NOT NULL" +
+            s" THEN concat_ws(' ', $parts) END"
+        }.mkString(", ") + ") AS (n, g)"))
+    val grams = gramCandidates.filter(col("g").isNotNull)
+    val gcnt = grams.groupBy(col(id), col("total_chars"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("gchars", length(regexp_replace(col("g"), " ", "")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id), col("n"))
+      .orderBy(col("cnt").desc, col("g").asc)
+    val perN = gcnt
+      .withColumn("rk", row_number().over(wTop))
+      .groupBy(col(id), col("n"))
+      .agg(
+        max(when(col("rk") === 1,
+          expr("(cnt * gchars * 10000) div greatest(total_chars, 1)")))
+          .as("top_bp"),
+        coalesce(sum(when(col("cnt") >= 2, col("cnt") * col("gchars"))),
+          lit(0L)).as("dup_chars"),
+        max(col("total_chars")).as("tc"))
+      .withColumn("dup_bp",
+        expr("(dup_chars * 10000) div greatest(tc, 1)"))
+    val gramCols = perN.groupBy(col(id)).agg(
+      max(when(col("n") === 2, col("top_bp"))).as("top2_bp"),
+      max(when(col("n") === 3, col("top_bp"))).as("top3_bp"),
+      max(when(col("n") === 4, col("top_bp"))).as("top4_bp"),
+      max(when(col("n") === 5, col("dup_bp"))).as("dup5_bp"),
+      max(when(col("n") === 6, col("dup_bp"))).as("dup6_bp"),
+      max(when(col("n") === 7, col("dup_bp"))).as("dup7_bp"),
+      max(when(col("n") === 8, col("dup_bp"))).as("dup8_bp"),
+      max(when(col("n") === 9, col("dup_bp"))).as("dup9_bp"),
+      max(when(col("n") === 10, col("dup_bp"))).as("dup10_bp"))
+    // ---- duplicate lines --------------------------------------------
+    val lcnt = base
+      .select(col(id), explode(col("lines")).as("l"))
+      .filter(length(col("l")) > 0)
+      .groupBy(col(id), col("l")).agg(count(lit(1)).as("cnt"))
+      .withColumn("lchars", length(col("l")))
+    val lineCols = lcnt.groupBy(col(id)).agg(
+      sum(col("cnt")).as("n_lines"),
+      sum(col("cnt") * col("lchars")).as("line_chars"),
+      coalesce(sum(when(col("cnt") >= 2, col("cnt"))), lit(0L))
+        .as("dup_lines"),
+      coalesce(sum(when(col("cnt") >= 2, col("cnt") * col("lchars"))),
+        lit(0L)).as("dup_line_chars"))
+      .select(col(id),
+        expr("(dup_lines * 10000) div greatest(n_lines, 1)")
+          .as("dup_line_bp"),
+        expr("(dup_line_chars * 10000) div greatest(line_chars, 1)")
+          .as("dup_line_char_bp"))
+    base.select(col(id), col("n_words"))
+      .join(lineCols, Seq(id), "left")
+      .join(gramCols, Seq(id), "left")
+      .na.fill(0L, Seq("dup_line_bp", "dup_line_char_bp") ++
+        Seq(2, 3, 4).map(n => s"top${n}_bp") ++
+        (5 to 10).map(n => s"dup${n}_bp"))
+      .withColumn("rep_pass",
+        col("dup_line_bp") <= 3000 && col("dup_line_char_bp") <= 2000 &&
+          col("top2_bp") <= 2000 && col("top3_bp") <= 1800 &&
+          col("top4_bp") <= 1600 && col("dup5_bp") <= 1500 &&
+          col("dup6_bp") <= 1400 && col("dup7_bp") <= 1300 &&
+          col("dup8_bp") <= 1200 && col("dup9_bp") <= 1100 &&
+          col("dup10_bp") <= 1000)
+  }
+
+  /** [[Dedup.normText]] as a SQL fragment over a named column — the
+    * one-spelling-both-engines normalizer used by
+    * [[gopherRepetition]]'s expression pipeline.
+    */
+  private def normSql(c: String): String =
+    s"lower(trim(regexp_replace($c, '\\\\s+', ' ')))"
+
   /** Document fingerprint: polynomial rolling hash of normalized text
     * (PolyHash expression — SURVEY §2.7 fingerprinting row).
     */

@@ -399,4 +399,43 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     cands.foreach(c => assert(got(c) == refLuhn(c), c))
   }
+
+  test("gopherRepetition: hand-checked shares on a stuffed vs clean doc") {
+    import graft.ops.TextAnalysis
+    // doc 0: "spam ham " x 5 -> 10 words, 35 chars (sans spaces);
+    //   2-grams: "spam ham" x5, "ham spam" x4 -> top = "spam ham"
+    //   cnt 5, chars 7 -> top2_bp = 5*7*10000 // 35 = 10000
+    //   5-grams: "s h s h s" at pos 1,3,5 (18 chars) and "h s h s h"
+    //   at pos 2,4,6 (17 chars) -> dup5 = (3*18 + 3*17)*10000 // 35
+    //   = 30000 — overlap counting pushes a fully-stuffed doc PAST
+    //   10000 bp (documented; monotone in repetition, which is all
+    //   the threshold needs)
+    // doc 1: ten distinct words -> every 5-gram unique -> dup 0
+    val df = Seq(
+      (0L, ("spam ham " * 5).trim),
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "a\nb\na\nc")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("top2_bp") == 10000L, d0.toString)
+    assert(d0.getAs[Long]("dup5_bp") == 30000L, d0.toString)
+    assert(d0.getAs[Long]("dup9_bp") == 0L, d0.toString)
+    assert(!d0.getAs[Boolean]("rep_pass"), d0.toString)
+    val d1 = out(1L)
+    // every 2-gram unique: top cnt 1; words 3+3+5+4+4+3+5+5+4+3=39
+    // chars; the tie-break picks "eight nine" (9 chars) ->
+    // 1*9*10000//39 = 2307 -> fails the 2000 threshold by stuffing
+    // arithmetic even on a clean doc THIS short (documented: the
+    // Gopher thresholds assume >=50-word docs; the rule table is
+    // faithful, the pass flag composes with ok_words)
+    assert(d1.getAs[Long]("dup5_bp") == 0L, d1.toString)
+    assert(d1.getAs[Long]("dup10_bp") == 0L, d1.toString)
+    // doc 2: lines a,b,a,c -> dup_line_bp = 2*10000//4 = 5000,
+    // chars: dup 2 of 4 -> 5000
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("dup_line_bp") == 5000L, d2.toString)
+    assert(d2.getAs[Long]("dup_line_char_bp") == 5000L, d2.toString)
+  }
 }
