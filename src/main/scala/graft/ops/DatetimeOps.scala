@@ -75,4 +75,71 @@ object DatetimeOps {
   def decayTermExpr(cents: String, ageUs: String, halflifeUs: Long): String =
     s"CAST(FLOOR(CAST($cents AS DOUBLE) * ROUND(EXP(-(LN(2.0)" +
       s" / $halflifeUs.0) * CAST($ageUs AS DOUBLE)), 6)) AS BIGINT)"
+
+  /** Classical additive SEASONAL-TREND decomposition by moving
+    * averages — the textbook `decompose()` every drift dashboard
+    * plots, and the one time-series kernel the family (TWAP q199, EWM
+    * q74, CUSUM q246, OLS trend q206, cadence q208) was missing.
+    * Entirely integer:
+    *
+    *   1. bucket events to `bucketSeconds`-wide slots; slot value =
+    *      floor-mean cents (positive-mod spelling, so negative sums
+    *      floor identically in both engines);
+    *   2. TREND = centered moving average over `period` + 1 slots
+    *      (floor division; NULL until the window is FULL — partial
+    *      edge windows are bias, not data);
+    *   3. SEASONAL = per-phase (slot index mod `period`) floor-mean of
+    *      the detrended values across the whole series;
+    *   4. RESIDUAL = value − trend − seasonal (NULL where trend is).
+    *
+    * Slots with no events stay absent (their phase means skip them) —
+    * the observed-slots contract of [[FrameOps.trailingDistinct]].
+    *
+    * 100 TB posture: ONE shuffle to the slot aggregation; everything
+    * after runs on the SLOT series (time-range-bounded, independent of
+    * event count) — the trend window is ordered by slot over one
+    * series, the classic "aggregate first, decompose the aggregate"
+    * discipline. For per-key dashboards partition the windows by the
+    * key; the global form keeps the gate simple.
+    *
+    * @return (slot_ts, n_events, v_c, trend_c, seasonal_c, resid_c)
+    */
+  def seasonalDecompose(df: DataFrame, ts: String, valueCol: String,
+      bucketSeconds: Long = 3600L, period: Int = 24): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0")
+    require(period >= 2 && period % 2 == 0,
+      s"period must be even and >= 2, got $period")
+    val half = period / 2
+    val slots = df
+      .filter(col(ts).isNotNull && col(valueCol).isNotNull)
+      .select(
+        // Column `/` is DOUBLE division — `div` keeps the slot integral
+        expr(s"unix_micros($ts) div 1000000 div $bucketSeconds")
+          .as("slot"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+      .groupBy(col("slot"))
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("s"))
+      .withColumn("v_c", expr("(s - pmod(s, n_events)) div n_events"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("slot"))
+      .rowsBetween(-half, half)
+    val trended = slots
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__ws", sum(col("v_c")).over(w))
+      .withColumn("trend_c",
+        when(col("__wn") === period + 1,
+          expr(s"(__ws - pmod(__ws, ${period + 1})) div ${period + 1}")))
+      .withColumn("detr", col("v_c") - col("trend_c"))
+    val phase = trended.withColumn("ph", pmod(col("slot"), lit(period.toLong)))
+    val seasonal = phase.filter(col("detr").isNotNull)
+      .groupBy(col("ph"))
+      .agg(sum(col("detr")).as("ds"), count(lit(1)).as("dn"))
+      .withColumn("seasonal_c", expr("(ds - pmod(ds, dn)) div dn"))
+      .select(col("ph"), col("seasonal_c"))
+    phase.join(broadcast(seasonal), Seq("ph"), "left")
+      .select(
+        timestamp_seconds(col("slot") * bucketSeconds).as("slot_ts"),
+        col("n_events"), col("v_c"), col("trend_c"),
+        when(col("trend_c").isNotNull, col("seasonal_c")).as("seasonal_c"),
+        (col("detr") - col("seasonal_c")).as("resid_c"))
+  }
 }

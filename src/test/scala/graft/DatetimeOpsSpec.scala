@@ -60,4 +60,37 @@ class DatetimeOpsSpec extends SparkSpec {
       assert(got(s) == want, s"isocalendar($s)")
     }
   }
+
+  test("seasonalDecompose: alternating period-2 series decomposes to zero residual") {
+    import org.apache.spark.sql.functions._
+    // one event per hourly slot, values 10/20 alternating: trend =
+    // floor 3-slot MA (1333/1666 cents, NULL at edges), seasonal =
+    // per-phase floor-mean of detrended (667 / -666), residual 0
+    val rows = (0 until 6).map { h =>
+      (h.toLong, f"2024-01-01 $h%02d:00:00", if (h % 2 == 0) 10.0 else 20.0)
+    }
+    val df = rows.toDF("event_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = graft.ops.DatetimeOps.seasonalDecompose(df, "ts", "value",
+        bucketSeconds = 3600L, period = 2)
+      .orderBy("slot_ts").collect()
+    assert(out.length == 6)
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    // columns: slot_ts, n_events, v_c, trend_c, seasonal_c, resid_c
+    val trend = out.map(opt(_, 3))
+    assert(trend.toSeq == Seq(None, Some(1333L), Some(1666L),
+      Some(1333L), Some(1666L), None), trend.mkString(","))
+    val seasonal = out.map(opt(_, 4))
+    assert(seasonal.toSeq == Seq(None, Some(667L), Some(-666L),
+      Some(667L), Some(-666L), None), seasonal.mkString(","))
+    val resid = out.map(opt(_, 5))
+    assert(resid.toSeq == Seq(None, Some(0L), Some(0L), Some(0L),
+      Some(0L), None), resid.mkString(","))
+    // partition invariance
+    val out7 = graft.ops.DatetimeOps.seasonalDecompose(df.repartition(7),
+        "ts", "value", 3600L, 2)
+      .orderBy("slot_ts").collect().map(_.toString)
+    assert(out7.toSeq == out.map(_.toString).toSeq)
+  }
 }

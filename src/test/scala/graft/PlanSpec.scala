@@ -85,7 +85,8 @@ class PlanSpec extends SparkSpec {
       // documented full-column tiers with a named scale swap:
       "q31b_searchsorted", "q31c_searchsorted_large", // prefix step (scaladoc'd)
       "q284_cdf_transform", // searchSortedLarge offsets window over the numParts-row count frame (bounded by construction)
-      "q151b_perplexity_filter" // exact global deciles (gate tier; production assigns by histogram thresholds)
+      "q151b_perplexity_filter", // exact global deciles (gate tier; production assigns by histogram thresholds)
+      "q298_seasonal_decompose" // trend MA over the SLOT series (time-range-bounded: one row per bucketSeconds; scaladoc'd aggregate-first discipline)
     )
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
