@@ -306,6 +306,54 @@ object TextAnalysis {
   private def normSql(c: String): String =
     s"lower(trim(regexp_replace($c, '\\\\s+', ' ')))"
 
+  /** Distinct-n diversity ratios (dist-1/2/3, Li et al. 2016 — the
+    * standard LEXICAL DIVERSITY report for generated or crawled text;
+    * low dist-n = repetitive/templated output, the generation-side
+    * mirror of [[gopherRepetition]]'s filter-side shares). Per doc and
+    * n ∈ {1, 2, 3}: distinct word n-grams ÷ total n-grams in floor
+    * basis points — exact integer counts, no doubles.
+    *
+    * Same single-pass kernel as [[gopherRepetition]]: one posexplode +
+    * one doc-partitioned window of lead()s + stack — no HOF-built
+    * array ever feeds explode.
+    *
+    * @return (id, n_words, dist1_bp, dist2_bp, dist3_bp — NULL when a
+    *         doc has no n-gram of that order)
+    */
+  def distinctNgramRatios(df: DataFrame, id: String,
+      text: String): DataFrame = {
+    val base = graft.Tables.spread(df.select(col(id), col(text)), id)
+      .select(col(id),
+        expr(s"filter(split(${normSql(text)}, ' '), w -> length(w) > 0)")
+          .as("ws"))
+      .withColumn("n_words", size(col("ws")))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+    val grams = base
+      .select(col(id), posexplode(col("ws")).as(Seq("pos", "w")))
+      .select(col(id), col("w"),
+        lead(col("w"), 1).over(wd).as("w1"),
+        lead(col("w"), 2).over(wd).as("w2"))
+      .select(col(id), expr(
+        """stack(3,
+          |  1, w,
+          |  2, CASE WHEN w1 IS NOT NULL THEN concat_ws(' ', w, w1) END,
+          |  3, CASE WHEN w2 IS NOT NULL THEN concat_ws(' ', w, w1, w2)
+          |     END) AS (n, g)""".stripMargin))
+      .filter(col("g").isNotNull)
+    val perN = grams.groupBy(col(id), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id), col("n"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("uniq"))
+      .withColumn("bp", expr("(uniq * 10000) div total"))
+    base.select(col(id), col("n_words"))
+      .join(perN.groupBy(col(id)).agg(
+        max(when(col("n") === 1, col("bp"))).as("dist1_bp"),
+        max(when(col("n") === 2, col("bp"))).as("dist2_bp"),
+        max(when(col("n") === 3, col("bp"))).as("dist3_bp")),
+        Seq(id), "left")
+  }
+
   /** Document fingerprint: polynomial rolling hash of normalized text
     * (PolyHash expression — SURVEY §2.7 fingerprinting row).
     */

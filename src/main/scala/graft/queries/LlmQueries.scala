@@ -1005,6 +1005,16 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // distinct-n lexical diversity (NEW r15): dist-1/2/3 ratios — the
+    // generation-side mirror of q297's filter shares; floor bp of
+    // exact distinct/total n-gram counts, same lead/stack kernel
+    "q299_distinct_ngrams" -> ((s, d) => {
+      TextAnalysis.distinctNgramRatios(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q102_text_tokens" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"),
@@ -2531,6 +2541,36 @@ object LlmQueries extends QueryGroup {
 
       // Gopher ruleset: every comparison divides two exact integers at
       // most once — bit-stable booleans, no rounded thresholds
+      "q299_distinct_ngrams" ->
+        s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents
+           |  WHERE doc_id % 5 = 0),
+           |l AS (SELECT doc_id,
+           |    list_filter(string_split(s, ' '), w -> length(w) > 0) AS ws
+           |  FROM t),
+           |b AS (SELECT doc_id, ws, LEN(ws) AS nw FROM l),
+           |g AS (SELECT doc_id, n.n,
+           |    array_to_string(ws[CAST(i.i AS INTEGER):
+           |      CAST(i.i + n.n - 1 AS INTEGER)], ' ') AS gram
+           |  FROM b
+           |  CROSS JOIN (SELECT unnest(range(1, 4)) AS n) n
+           |  CROSS JOIN (SELECT unnest(range(1, 2001)) AS i) i
+           |  WHERE i.i <= nw - n.n + 1),
+           |pn AS (SELECT doc_id, n, COUNT(*) AS total,
+           |    COUNT(DISTINCT gram) AS uniq FROM g GROUP BY doc_id, n),
+           |pc AS (SELECT doc_id, n,
+           |    (uniq * 10000) // total AS bp FROM pn),
+           |cols AS (SELECT doc_id,
+           |    MAX(CASE WHEN n = 1 THEN bp END) AS dist1_bp,
+           |    MAX(CASE WHEN n = 2 THEN bp END) AS dist2_bp,
+           |    MAX(CASE WHEN n = 3 THEN bp END) AS dist3_bp
+           |  FROM pc GROUP BY doc_id)
+           |SELECT b.doc_id, CAST(b.nw AS INTEGER) AS n_words,
+           |  CAST(cols.dist1_bp AS BIGINT) AS dist1_bp,
+           |  CAST(cols.dist2_bp AS BIGINT) AS dist2_bp,
+           |  CAST(cols.dist3_bp AS BIGINT) AS dist3_bp
+           |FROM b LEFT JOIN cols ON b.doc_id = cols.doc_id
+           |ORDER BY b.doc_id""".stripMargin,
+
       // full integer replay of the repetition table: list-sliced word
       // n-grams (n = 2..10) with a bounded position range, per-(doc,
       // n) ROW_NUMBER argmax with the (cnt DESC, gram ASC) tie-break,

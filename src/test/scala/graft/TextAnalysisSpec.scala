@@ -438,4 +438,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getAs[Long]("dup_line_bp") == 5000L, d2.toString)
     assert(d2.getAs[Long]("dup_line_char_bp") == 5000L, d2.toString)
   }
+
+  test("distinctNgramRatios: hand-checked dist-n on repeated vs unique docs") {
+    import graft.ops.TextAnalysis
+    // doc 0: "a b a b" -> 1-grams 4 total 2 uniq = 5000; 2-grams
+    // [a b, b a, a b] 3 total 2 uniq = 6666; 3-grams [a b a, b a b]
+    // 2 total 2 uniq = 10000
+    // doc 1: all distinct words -> all 10000
+    // doc 2: one word -> dist1 10000, dist2/3 NULL
+    val df = Seq((0L, "a b a b"), (1L, "p q r s"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.distinctNgramRatios(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    assert((opt(out(0L), 2), opt(out(0L), 3), opt(out(0L), 4)) ==
+      ((Some(5000L), Some(6666L), Some(10000L))), out(0L).toString)
+    assert((opt(out(1L), 2), opt(out(1L), 3), opt(out(1L), 4)) ==
+      ((Some(10000L), Some(10000L), Some(10000L))), out(1L).toString)
+    assert((opt(out(2L), 2), opt(out(2L), 3), opt(out(2L), 4)) ==
+      ((Some(10000L), None, None)), out(2L).toString)
+  }
 }
