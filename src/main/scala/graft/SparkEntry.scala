@@ -24,7 +24,8 @@ object SparkEntry {
     StreamingQueries,
     SourceQueries,
     AsofQueries,
-    GraphQueries
+    GraphQueries,
+    TpchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
