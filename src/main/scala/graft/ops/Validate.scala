@@ -1495,6 +1495,57 @@ object Validate {
     * @return (grp, thr_ppm, tp, fp, fn, tn, precision_bp, recall_bp,
     *         f1_bp, acc_bp), |groups|·|ladder| rows
     */
+  /** EXACT ROC-AUC per group — the rank-sum (Mann–Whitney U) identity
+    * with midrank tie handling, computed entirely in 64-bit integers:
+    * scores quantize to floor ppm (the [[thresholdReport]] contract —
+    * the ladder answers "where do I cut", this answers "how separable
+    * are the classes at all"), ties collapse into per-(group, score)
+    * (n_pos, n_neg) cells, and with cumBelow = negatives strictly
+    * below the cell,
+    *
+    *   2·U = Σ_cells n_pos · (2·cumBelow_neg + n_neg_cell)
+    *   auc_micro = floor(10⁶ · 2U / (2 · n_pos · n_neg))
+    *
+    * (each tied pair contributes exactly ½ — the midrank convention —
+    * and the single floor at the end is the only rounding anywhere).
+    * Degenerate groups (no positives or no negatives) emit NULL — an
+    * AUC without both classes has no meaning.
+    *
+    * 100 TB posture: one shuffle to the (group, score_ppm) cells
+    * (≤ 10⁶+1 cells per group by the ppm quantization — bounded by
+    * VALUE DOMAIN, not rows), then a group-PARTITIONED cumulative
+    * window over the cell frame. Nothing global, nothing collected.
+    *
+    * @return (grp, n_pos, n_neg, auc_micro)
+    */
+  def aucBy(df: DataFrame, group: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df.select(col(group).as("grp"),
+        floor(col(scoreCol).cast("double") * 1e6).cast("long").as("vp"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("grp").isNotNull && col("vp").isNotNull &&
+        col("y").isNotNull)
+      .groupBy(col("grp"), col("vp"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("nn"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("vp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cum_neg_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_neg_below") + col("nn")))
+          .as("u2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        // the 10⁶ scale-up rides DECIMAL(38,0): u2 ≤ 2·n_pos·n_neg
+        // stays in int64 to ~4e9 rows/group, but u2·10⁶ would wrap
+        // past ~4M rows — the quotient itself is ≤ 10⁶ and exact
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+              |  ELSE CAST((CAST(u2 AS DECIMAL(38,0)) * 1000000)
+              |    div (2 * n_pos * n_neg) AS BIGINT)
+              |END""".stripMargin).as("auc_micro"))
+  }
+
   def thresholdReportBy(df: DataFrame, group: String, scoreCol: String,
       labelCol: String, thrPpm: Seq[Long]): DataFrame = {
     require(thrPpm.nonEmpty && thrPpm.size <= 64,

@@ -556,6 +556,21 @@ object SourceQueries extends QueryGroup {
         .orderBy(col("grp"), col("thr_ppm"))
     }),
 
+    // EXACT per-cohort ROC-AUC (NEW r15): the separability number the
+    // q286 ladder presumes — rank-sum/Mann–Whitney with midrank ties,
+    // all integer, one shuffle to (group, score_ppm) cells + a
+    // group-partitioned cumulative window over the cell frame
+    "q314_auc_exact" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(pmod(col("user_id"), lit(5L)).as("cohort"),
+          (col("value") / 200.0).as("score"),
+          (col("event_type") === "purchase").cast("long").as("label"))
+      graft.ops.Validate.aucBy(ev, "cohort", "score", "label")
+        .orderBy(col("grp"))
+    }),
+
     // per-group robust z (NEW r14): median/MAD outlier screen over
     // account balances per market segment — exact type-1 rank
     // selection per group (no interpolation), signed positive-mod
@@ -1078,6 +1093,31 @@ object SourceQueries extends QueryGroup {
 
     // same ppm quantization (one IEEE floor on the identical double),
     // prediction = vp >= thr, single-division F1 identity
+    "q314_auc_exact" ->
+      """WITH e AS (SELECT user_id % 5 AS grp,
+        |    CAST(FLOOR((value / 200.0) * 1000000) AS BIGINT) AS vp,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |c AS (SELECT grp, vp,
+        |    SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+        |  FROM e GROUP BY grp, vp),
+        |k AS (SELECT grp, vp, np, nn,
+        |    COALESCE(SUM(nn) OVER (PARTITION BY grp ORDER BY vp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb
+        |  FROM c),
+        |a AS (SELECT grp, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |    CAST(SUM(np * (2 * cb + nn)) AS BIGINT) AS u2
+        |  FROM k GROUP BY grp)
+        |SELECT grp, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST((CAST(u2 AS HUGEINT) * 1000000)
+        |      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_micro
+        |FROM a ORDER BY grp""".stripMargin,
+
     "q286_threshold_report" ->
       """WITH sc AS (SELECT
         |    CAST(FLOOR(LEAST(GREATEST(value / 200.0, 0.0), 1.0)

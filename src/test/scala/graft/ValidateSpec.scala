@@ -614,4 +614,40 @@ class ValidateSpec extends SparkSpec {
       solo.foreach { case (k, v) => assert(by(k) == v, s"$k: ${by(k)} != $v") }
     }
   }
+
+  test("aucBy: perfect / tied / inverted separations + brute-force pair agreement") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // A: perfect separation -> 1.0
+      ("A", 0.9, 1L), ("A", 0.8, 1L), ("A", 0.2, 0L), ("A", 0.1, 0L),
+      // B: all tied -> 0.5 by midrank
+      ("B", 0.5, 1L), ("B", 0.5, 0L), ("B", 0.5, 1L), ("B", 0.5, 0L),
+      // C: inverted -> 0.0
+      ("C", 0.1, 1L), ("C", 0.9, 0L),
+      // D: one class only -> NULL
+      ("D", 0.7, 1L), ("D", 0.3, 1L))
+    val df = rows.toDF("g", "score", "y")
+    val out = graft.ops.Validate.aucBy(df, "g", "score", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out("A") == Some(1000000L), out)
+    assert(out("B") == Some(500000L), out)
+    assert(out("C") == Some(0L), out)
+    assert(out("D") == None, out)
+    // brute-force reference on a mixed fixture (incl. ties): AUC =
+    // (#(pos>neg) + 0.5 #(pos==neg)) / (nPos*nNeg) over ppm-floored
+    // scores, single final floor to micro
+    val mixed = Seq(0.91, 0.85, 0.85, 0.52, 0.40, 0.33).map(s => ("M", s, 1L)) ++
+      Seq(0.85, 0.52, 0.52, 0.30, 0.12).map(s => ("M", s, 0L))
+    def ppm(x: Double) = math.floor(x * 1e6).toLong
+    val pos = mixed.filter(_._3 == 1L).map(r => ppm(r._2))
+    val neg = mixed.filter(_._3 == 0L).map(r => ppm(r._2))
+    val twice = (for (p <- pos; n <- neg) yield
+      (if (p > n) 2L else if (p == n) 1L else 0L)).sum
+    val want = twice * 1000000L / (2L * pos.size * neg.size)
+    val got = graft.ops.Validate.aucBy(mixed.toDF("g", "score", "y"),
+        "g", "score", "y")
+      .collect().head.getLong(3)
+    assert(got == want, s"$got != $want")
+  }
 }
