@@ -231,6 +231,19 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming per-window AUC monitor (NEW r15): live model
+    // separability at bucket granularity — 2x16 in-row label-bucket
+    // counts per window, midrank rank-sum over the cells as a
+    // stateless closed-row projection; the q314 arithmetic, streamed
+    "q315_stream_auc" -> ((s, d) => {
+      Streams.runToBatch(s,
+          Streams.aucStream(Streams.eventsStream(s, d),
+            least(greatest(col("value") / 200.0, lit(0.0)), lit(1.0)),
+            (col("event_type") === "purchase").cast("long")),
+          "q315_auc")
+        .orderBy(col("w_start"))
+    }),
+
     // streaming quantile-map drift CORRECTION (NEW r15): the live
     // detect→correct composition — q214's frozen-reference posture
     // applied to q216b's histogram matching. Reference ladder = batch
@@ -1181,6 +1194,42 @@ object StreamingQueries extends QueryGroup {
          |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
          |  n AS n_events, $ests
          |FROM t ORDER BY w_start""".stripMargin
+    },
+
+    "q315_stream_auc" -> {
+      val bExpr = graft.ops.Sketches.histBucketExpr(0.0, 1.0, 16)
+      s"""WITH $ctes,
+         |vv AS (SELECT ts,
+         |    LEAST(GREATEST(value / 200.0, 0.0), 1.0) AS v,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM e WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |vb AS (SELECT
+         |    make_timestamp((EPOCH_US(ts) // 1000000 // 300)
+         |      * 300 * 1000000) AS ws,
+         |    $bExpr AS b, y
+         |  FROM vv),
+         |c AS (SELECT ws, b,
+         |    SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         |    SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+         |  FROM vb GROUP BY ws, b),
+         |k AS (SELECT ws, b, np, nn,
+         |    COALESCE(SUM(nn) OVER (PARTITION BY ws ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cb
+         |  FROM c),
+         |a AS (SELECT ws, CAST(SUM(np) AS BIGINT) AS n_pos,
+         |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |    CAST(SUM(np * (2 * cb + nn)) AS BIGINT) AS u2
+         |  FROM k GROUP BY ws),
+         |mx2 AS (SELECT MAX(ts) AS m FROM vv),
+         |dec AS (SELECT a.* FROM a, mx2
+         |  WHERE ws + INTERVAL 300 SECOND <= m - INTERVAL 600 SECOND)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start, n_pos,
+         |  n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE CAST((CAST(u2 AS HUGEINT) * 1000000)
+         |      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_micro
+         |FROM dec ORDER BY w_start""".stripMargin
     },
 
     "q294_stream_quantile_map" -> {

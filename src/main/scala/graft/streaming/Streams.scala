@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming surface — SURVEY.md §2.11 / §7.2 M5.
@@ -1624,6 +1624,64 @@ object Streams {
         expr(cdfInvertExpr(cumRef, "cume", "n_events")))
       .withColumn("mapped",
         expr(graft.ops.Validate.histMidExpr(lo, hi, nBuckets)))
+  }
+
+  /** Streaming per-window ROC-AUC monitor — [[graft.ops.Validate
+    * .aucBy]]'s live twin at BUCKET granularity: scores land in
+    * `nBuckets` equi-width in-row cells per label (2·B longs of state
+    * per open window — the [[quantileStream]] ladder posture), and the
+    * closed-row projection computes the same midrank rank-sum
+    * arithmetic over the bucket cells:
+    *
+    *   2U = Σ_b pos_b · (2·cumNegBelow_b + neg_b)
+    *   auc_micro = floor(10⁶·2U / (2·P·N)),  NULL if P = 0 or N = 0
+    *
+    * — the EXACT AUC of the bucket-quantized scores (the documented
+    * granularity trade of the histogram family: within-bucket order
+    * is invisible, every tied-bucket pair counts ½). A model whose
+    * separability collapses mid-deploy shows up in the first closed
+    * window, not the nightly eval.
+    *
+    * Append mode: one row per window at watermark close.
+    *
+    * @param score column expression in [0, 1] (clip upstream)
+    * @param label 0/1 column expression
+    * @return (w_start, n_pos, n_neg, auc_micro)
+    */
+  def aucStream(events: DataFrame, score: Column, label: Column,
+      nBuckets: Int = 16, size: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 64,
+      s"nBuckets must be in [2, 64], got $nBuckets")
+    val e = events
+      .select(col("ts"), score.cast("double").as("v"),
+        label.cast("long").as("y"))
+      .filter(col("v").isNotNull && col("y").isNotNull)
+      .withColumn("__b",
+        expr(graft.ops.Sketches.histBucketExpr(0.0, 1.0, nBuckets)))
+    val aggCols = (0 until nBuckets).flatMap(i => Seq(
+      sum(when(col("__b") === i && col("y") === 1, 1L).otherwise(0L))
+        .as(s"p$i"),
+      sum(when(col("__b") === i && col("y") === 0, 1L).otherwise(0L))
+        .as(s"n$i")))
+    val counts = e.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(aggCols.head, aggCols.tail: _*)
+    def cumNeg(b: Int) =
+      if (b == 0) "0L"
+      else (0 until b).map(i => s"n$i").mkString("(", " + ", ")")
+    val u2 = (0 until nBuckets)
+      .map(b => s"p$b * (2 * ${cumNeg(b)} + n$b)").mkString(" + ")
+    val pTot = (0 until nBuckets).map(i => s"p$i").mkString(" + ")
+    val nTot = (0 until nBuckets).map(i => s"n$i").mkString(" + ")
+    counts.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("w_start"),
+      expr(pTot).as("n_pos"), expr(nTot).as("n_neg"),
+      expr(s"""CASE WHEN ($pTot) = 0 OR ($nTot) = 0 THEN NULL
+              |  ELSE CAST((CAST(($u2) AS DECIMAL(38,0)) * 1000000)
+              |    div (2 * ($pTot) * ($nTot)) AS BIGINT)
+              |END""".stripMargin).as("auc_micro"))
   }
 
   /** The frozen-ladder CDF inversion as ONE expression string: the
