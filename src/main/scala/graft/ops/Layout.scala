@@ -77,4 +77,43 @@ object Layout {
       .sortWithinPartitions(col("__h"))
       .drop("__h")
   }
+
+  /** CLUSTERING DEPTH of a written layout — the layout-quality number
+    * data-layout maintenance decides on (the lakehouse "clustering
+    * depth" / min-max overlap metric): per file the [min, max]
+    * interval of the clustering key, then the maximum number of file
+    * intervals covering any single point. A key-range-partitioned
+    * layout has depth ≤ 2 (only boundary values shared); a round-robin
+    * layout has depth = nFiles (every file spans the whole range and
+    * every point probe reads everything). Depth is exactly the number
+    * of files a point-lookup's min-max pruning CANNOT skip — when it
+    * drifts up after appends, it is time to re-cluster ([[zOrderBy]] /
+    * [[hilbertOrderBy]]).
+    *
+    * Computed by the classic sweep: +1 at each interval open, −1 after
+    * each close, sorted by (x, open-before-close) so CLOSED intervals
+    * sharing a boundary count as overlapping; the running-sum max is
+    * the depth. The sweep frame is 2 rows per FILE — bounded by file
+    * count, not data — so the single-partition window is bounded by
+    * construction (spec-gated: file splits are engine-private, no
+    * cross-engine oracle can exist).
+    *
+    * @return one row: (n_files, max_depth)
+    */
+  def clusteringDepth(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String): DataFrame = {
+    val files = spark.read.parquet(path)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+    val bounds = files.select(explode(array(
+        struct(col("lo").as("x"), lit(1).as("d")),
+        struct(col("hi").as("x"), lit(-1).as("d")))).as("e"))
+      .select(col("e.x").as("x"), col("e.d").as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").asc, col("d").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bounds.withColumn("depth", sum(col("d")).over(w))
+      .agg((count(lit(1)) / 2).cast("long").as("n_files"),
+        max(col("depth")).as("max_depth"))
+  }
 }

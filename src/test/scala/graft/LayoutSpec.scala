@@ -97,4 +97,28 @@ class LayoutSpec extends SparkSpec {
     assert(zf < pf, s"z files=$zf plain files=$pf")
     assert(zf <= 4, s"z files=$zf")
   }
+
+  test("clusteringDepth: range-clustered layout ~1-2, round-robin layout = nFiles") {
+    import graft.ops.Layout
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val sortedDir = java.nio.file.Files
+      .createTempDirectory("graft_depth_sorted").toString
+    val rrDir = java.nio.file.Files
+      .createTempDirectory("graft_depth_rr").toString
+    li.repartitionByRange(4, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(sortedDir)
+    li.repartition(4).write.mode("overwrite").parquet(rrDir)
+    val s = Layout.clusteringDepth(spark, sortedDir, "l_orderkey")
+      .collect().head
+    val r = Layout.clusteringDepth(spark, rrDir, "l_orderkey")
+      .collect().head
+    assert(s.getLong(0) == 4 && r.getLong(0) == 4,
+      s"files: sorted=${s.getLong(0)} rr=${r.getLong(0)}")
+    // range clustering: intervals disjoint except possibly shared
+    // boundary keys -> depth <= 2; round-robin: every file spans the
+    // whole key range -> depth = nFiles (nothing prunes)
+    assert(s.getLong(1) <= 2, s"sorted depth=${s.getLong(1)}")
+    assert(r.getLong(1) == 4, s"rr depth=${r.getLong(1)}")
+  }
 }
