@@ -22,7 +22,10 @@ import graft.Tables
   *  - Q16 counts DISTINCT suppliers via lineitem instead of partsupp
   *    (marked Q16');
   *  - Q17/Q19 drop the container predicate; Q21 uses the Q4 late-line
-  *    stand-in; Q22's country code is c_nationkey mod 10 (no phone).
+  *    stand-in; Q22's country code is c_nationkey mod 10 (no phone) and
+  *    its anti-join is date-bounded ('no orders since 1999' — at tiny
+  *    SF every customer has SOME order, and Q7's nation pair is 3/8,
+  *    nations that hold suppliers at every SF).
   *
   * Everything else is per-spec shape: EXISTS / NOT EXISTS correlated
   * semi/anti joins, scalar subqueries, the Q19 OR-of-ANDs pushdown
@@ -87,10 +90,10 @@ object TpchQueries extends QueryGroup {
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("sk"))
         .join(broadcast(n2), col("c_nationkey") === col("ck"))
-        .filter((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" &&
+            col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(rev), 2).as("revenue"))
@@ -262,7 +265,9 @@ object TpchQueries extends QueryGroup {
       cust(s, d)
         .crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("ab"))
-        .join(ord(s, d).select(col("o_custkey")),
+        .join(ord(s, d)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "leftanti")
         .groupBy(pmod(col("c_nationkey"), lit(10)).as("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
@@ -303,8 +308,8 @@ object TpchQueries extends QueryGroup {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
@@ -423,7 +428,9 @@ object TpchQueries extends QueryGroup {
         |FROM customer
         |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
         |    WHERE c_acctbal > 0.0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1 ORDER BY cntrycode""".stripMargin
   )
 }
