@@ -568,4 +568,43 @@ class PropertySpec extends SparkSpec {
     }
     check("coocc-vs-ref", prop, minTests = 5)
   }
+
+  test("betweennessSampled (all pivots) matches brute-force path counting on random trees") {
+    // random labeled trees: every shortest path is UNIQUE (sigma = 1
+    // everywhere), so the micro floors are exact and full-pivot
+    // bc_micro must equal 1e6 x the brute-force count of ordered
+    // (source, target) pairs whose unique path passes through v
+    val genTree = for {
+      n <- Gen.choose(4, 9)
+      parents <- Gen.sequence[List[Int], Int](
+        (1 until n).map(i => Gen.choose(0, i - 1)))
+    } yield parents.zipWithIndex.map { case (p, i) =>
+      (p.toLong, (i + 1).toLong) }
+    val prop = Prop.forAll(genTree) { es =>
+      val n = es.map(e => math.max(e._1, e._2)).max.toInt + 1
+      val adj = Array.fill(n)(List.empty[Int])
+      es.foreach { case (a, b) =>
+        adj(a.toInt) ::= b.toInt; adj(b.toInt) ::= a.toInt }
+      // brute force: BFS parent pointers from every source, walk back
+      def pathFrom(s: Int, t: Int): List[Int] = {
+        val par = Array.fill(n)(-1); par(s) = s
+        var frontier = List(s)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(u => adj(u).filter(par(_) == -1)
+            .map { v => par(v) = u; v })
+        }
+        var cur = t; var acc = List(t)
+        while (cur != s) { cur = par(cur); acc ::= cur }
+        acc
+      }
+      val want = Array.fill(n)(0L)
+      for (s <- 0 until n; tt <- 0 until n if s != tt)
+        pathFrom(s, tt).drop(1).dropRight(1).foreach(want(_) += 1L)
+      val got = graft.ops.Graph.betweennessSampled(
+          es.toDF("src", "dst"), "src", "dst", k = n, maxDepth = 9)
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      (0 until n).forall(v => got(v) == want(v) * 1000000L)
+    }
+    check("betweenness-vs-bruteforce-trees", prop, minTests = 8)
+  }
 }
