@@ -105,41 +105,78 @@ object DatetimeOps {
     * @return (slot_ts, n_events, v_c, trend_c, seasonal_c, resid_c)
     */
   def seasonalDecompose(df: DataFrame, ts: String, valueCol: String,
-      bucketSeconds: Long = 3600L, period: Int = 24): DataFrame = {
+      bucketSeconds: Long = 3600L, period: Int = 24): DataFrame =
+    seasonalDecomposeCore(df, None, ts, valueCol, bucketSeconds, period)
+
+  /** Per-SERIES [[seasonalDecompose]] — the scalable form its
+    * scaladoc names: every window PARTITIONS by the series key, so a
+    * million dashboards decompose in one pass with no single-partition
+    * stage anywhere. Identical integer arithmetic per series.
+    *
+    * @return (series, slot_ts, n_events, v_c, trend_c, seasonal_c,
+    *         resid_c)
+    */
+  def seasonalDecomposeBy(df: DataFrame, series: String, ts: String,
+      valueCol: String, bucketSeconds: Long = 3600L,
+      period: Int = 24): DataFrame =
+    seasonalDecomposeCore(df, Some(series), ts, valueCol, bucketSeconds,
+      period)
+
+  private def seasonalDecomposeCore(df: DataFrame, series: Option[String],
+      ts: String, valueCol: String,
+      bucketSeconds: Long, period: Int): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be > 0")
     require(period >= 2 && period % 2 == 0,
       s"period must be even and >= 2, got $period")
     val half = period / 2
+    val keyCols = series.toSeq
+    val baseSel = keyCols.map(k => col(k).as("__srs")) ++ Seq(
+      expr(s"unix_micros($ts) div 1000000 div $bucketSeconds")
+        .as("slot"),
+      round(col(valueCol) * 100).cast("long").as("c"))
+    val grpSlot = (if (series.isDefined) Seq(col("__srs")) else Nil) :+
+      col("slot")
     val slots = df
-      .filter(col(ts).isNotNull && col(valueCol).isNotNull)
-      .select(
-        // Column `/` is DOUBLE division — `div` keeps the slot integral
-        expr(s"unix_micros($ts) div 1000000 div $bucketSeconds")
-          .as("slot"),
-        round(col(valueCol) * 100).cast("long").as("c"))
-      .groupBy(col("slot"))
+      .filter(col(ts).isNotNull && col(valueCol).isNotNull &&
+        series.map(k => col(k).isNotNull).getOrElse(lit(true)))
+      // Column `/` is DOUBLE division — `div` keeps the slot integral
+      .select(baseSel: _*)
+      .groupBy(grpSlot: _*)
       .agg(count(lit(1)).as("n_events"), sum(col("c")).as("s"))
       .withColumn("v_c", expr("(s - pmod(s, n_events)) div n_events"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("slot"))
-      .rowsBetween(-half, half)
+    val w0 = series
+      .map(_ => org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__srs")))
+      .getOrElse(org.apache.spark.sql.expressions.Window
+        .partitionBy())
+      .orderBy(col("slot")).rowsBetween(-half, half)
     val trended = slots
-      .withColumn("__wn", count(lit(1)).over(w))
-      .withColumn("__ws", sum(col("v_c")).over(w))
+      .withColumn("__wn", count(lit(1)).over(w0))
+      .withColumn("__ws", sum(col("v_c")).over(w0))
       .withColumn("trend_c",
         when(col("__wn") === period + 1,
           expr(s"(__ws - pmod(__ws, ${period + 1})) div ${period + 1}")))
       .withColumn("detr", col("v_c") - col("trend_c"))
     val phase = trended.withColumn("ph", pmod(col("slot"), lit(period.toLong)))
+    val phKey = (if (series.isDefined) Seq(col("__srs")) else Nil) :+
+      col("ph")
     val seasonal = phase.filter(col("detr").isNotNull)
-      .groupBy(col("ph"))
+      .groupBy(phKey: _*)
       .agg(sum(col("detr")).as("ds"), count(lit(1)).as("dn"))
       .withColumn("seasonal_c", expr("(ds - pmod(ds, dn)) div dn"))
-      .select(col("ph"), col("seasonal_c"))
-    phase.join(broadcast(seasonal), Seq("ph"), "left")
-      .select(
+      .select(phKey :+ col("seasonal_c"): _*)
+    val joinKeys = (if (series.isDefined) Seq("__srs") else Nil) :+ "ph"
+    val outCols =
+      series.map(k => col("__srs").as(k)).toSeq ++ Seq(
         timestamp_seconds(col("slot") * bucketSeconds).as("slot_ts"),
         col("n_events"), col("v_c"), col("trend_c"),
         when(col("trend_c").isNotNull, col("seasonal_c")).as("seasonal_c"),
         (col("detr") - col("seasonal_c")).as("resid_c"))
+    // global tier: the period-row frame broadcasts; per-series: the
+    // |series|·period frame may outgrow a broadcast — let AQE pick
+    // (the (series, ph) equi-join co-partitions either way)
+    val seasonalSide = if (series.isDefined) seasonal else broadcast(seasonal)
+    phase.join(seasonalSide, joinKeys, "left")
+      .select(outCols: _*)
   }
 }

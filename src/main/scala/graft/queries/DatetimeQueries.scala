@@ -506,6 +506,21 @@ object DatetimeQueries extends QueryGroup {
         .orderBy(col("slot_ts"))
     }),
 
+    // per-series seasonal decomposition (NEW r15): q298 keyed by
+    // event_type — every window PARTITIONS by the series, the
+    // shape a million-dashboard deployment needs (no single-partition
+    // stage anywhere)
+    "q316_seasonal_by" -> ((s, d) => {
+      graft.ops.DatetimeOps.seasonalDecomposeBy(Tables.events(s, d),
+          "event_type", "ts", "value")
+        .select(col("event_type"),
+          date_format(col("slot_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("slot_ts"),
+          col("n_events"), col("v_c"), col("trend_c"),
+          col("seasonal_c"), col("resid_c"))
+        .orderBy(col("event_type"), col("slot_ts"))
+    }),
+
     // per-user OLS trend (NEW r8): slope/intercept/R² of value cents
     // against event position — exact integer sufficient statistics,
     // final ratios the only doubles (shared expression strings)
@@ -918,6 +933,46 @@ object DatetimeQueries extends QueryGroup {
         |SELECT STRFTIME(c.wday, '%Y-%m-%d') AS day, COUNT(*) AS u7
         |FROM contrib c JOIN obs ON c.wday = obs.day
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q316_seasonal_by" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |sl AS (SELECT event_type, EPOCH_US(ts) // 1000000 // 3600 AS slot,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2),
+        |v AS (SELECT event_type, slot, n_events,
+        |    CAST((s - ((s % n_events + n_events) % n_events)) // n_events
+        |      AS BIGINT) AS v_c FROM sl),
+        |tw AS (SELECT event_type, slot, n_events, v_c,
+        |    COUNT(*) OVER wn AS wn,
+        |    CAST(SUM(v_c) OVER wn AS BIGINT) AS ws
+        |  FROM v WINDOW wn AS (PARTITION BY event_type ORDER BY slot
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (SELECT event_type, slot, n_events, v_c,
+        |    CASE WHEN wn = 25 THEN
+        |      CAST((ws - ((ws % 25 + 25) % 25)) // 25 AS BIGINT)
+        |    END AS trend_c
+        |  FROM tw),
+        |dt AS (SELECT event_type, slot, n_events, v_c, trend_c,
+        |    v_c - trend_c AS detr, slot % 24 AS ph FROM tr),
+        |se AS (SELECT event_type, ph,
+        |    CAST((CAST(SUM(detr) AS BIGINT)
+        |      - ((CAST(SUM(detr) AS BIGINT) % COUNT(detr) + COUNT(detr))
+        |        % COUNT(detr))) // COUNT(detr) AS BIGINT) AS seasonal_c
+        |  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT dt.event_type,
+        |  STRFTIME(make_timestamp(dt.slot * 3600 * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS slot_ts,
+        |  dt.n_events, dt.v_c, dt.trend_c,
+        |  CASE WHEN dt.trend_c IS NOT NULL THEN se.seasonal_c END
+        |    AS seasonal_c,
+        |  dt.detr - se.seasonal_c AS resid_c
+        |FROM dt LEFT JOIN se
+        |  ON dt.event_type = se.event_type AND dt.ph = se.ph
+        |ORDER BY dt.event_type, slot_ts""".stripMargin,
 
     "q298_seasonal_decompose" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events

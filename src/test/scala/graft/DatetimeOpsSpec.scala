@@ -93,4 +93,34 @@ class DatetimeOpsSpec extends SparkSpec {
       .orderBy("slot_ts").collect().map(_.toString)
     assert(out7.toSeq == out.map(_.toString).toSeq)
   }
+
+  test("seasonalDecomposeBy: one series equals the global op; series isolate") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 6).flatMap { h =>
+      Seq((h.toLong, "a", f"2024-01-01 $h%02d:00:00",
+             if (h % 2 == 0) 10.0 else 20.0),
+          (h.toLong + 100, "b", f"2024-01-01 $h%02d:00:00", 50.0))
+    }
+    val df = rows.toDF("event_id", "series", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val by = graft.ops.DatetimeOps.seasonalDecomposeBy(df, "series",
+        "ts", "value", 3600L, 2)
+      .orderBy("series", "slot_ts").collect()
+    val global = graft.ops.DatetimeOps.seasonalDecompose(
+        df.filter(col("series") === "a"), "ts", "value", 3600L, 2)
+      .orderBy("slot_ts").collect()
+    val aRows = by.filter(_.getString(0) == "a")
+      .map(r => (1 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toSeq)
+    val gRows = global.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.get(i)).toSeq)
+    assert(aRows.toSeq == gRows.toSeq, s"a-series != global")
+    // constant series b: zero seasonal and residual everywhere the
+    // trend is defined
+    val bRows = by.filter(_.getString(0) == "b")
+    assert(bRows.length == 6)
+    bRows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getLong(5) == 0L && r.getLong(6) == 0L, r.toString)
+    }
+  }
 }
