@@ -122,6 +122,36 @@ object DatetimeOps {
     seasonalDecomposeCore(df, Some(series), ts, valueCol, bucketSeconds,
       period)
 
+  /** FROZEN per-phase baseline for [[graft.streaming.Streams
+    * .seasonalBaselineStream]]: floor-mean slot value (cents) per
+    * phase (slot mod period) over a reference slice — the
+    * seasonal-naive profile. `period` longs, collected by contract
+    * (the q214/q294 frozen-reference pattern). Phases absent from the
+    * reference fall back to the GLOBAL floor-mean slot value.
+    */
+  def seasonalProfile(df: DataFrame, ts: String, valueCol: String,
+      bucketSeconds: Long = 3600L, period: Int = 24): Seq[Long] = {
+    require(period >= 1 && period <= 10000, s"bad period $period")
+    val slots = df
+      .filter(col(ts).isNotNull && col(valueCol).isNotNull)
+      .select(
+        expr(s"unix_micros($ts) div 1000000 div $bucketSeconds")
+          .as("slot"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+      .groupBy(col("slot"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("v_c", expr("(s - pmod(s, n)) div n"))
+      .withColumn("ph", pmod(col("slot"), lit(period.toLong)))
+    val perPhase = slots.groupBy(col("ph"))
+      .agg(sum(col("v_c")).as("vs"), count(lit(1)).as("vn"))
+      .withColumn("base", expr("(vs - pmod(vs, vn)) div vn"))
+      .select(col("ph"), col("base"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val global = slots.agg(sum(col("v_c")).as("vs"), count(lit(1)).as("vn"))
+      .selectExpr("(vs - pmod(vs, vn)) div vn").collect().head.getLong(0)
+    (0 until period).map(p => perPhase.getOrElse(p, global))
+  }
+
   private def seasonalDecomposeCore(df: DataFrame, series: Option[String],
       ts: String, valueCol: String,
       bucketSeconds: Long, period: Int): DataFrame = {

@@ -231,6 +231,23 @@ object StreamingQueries extends QueryGroup {
         .orderBy(col("w_start"))
     }),
 
+    // streaming seasonal-baseline anomaly monitor (NEW r15): the
+    // detect twin of q294 — frozen per-hour-of-day click baseline
+    // (seasonal-naive profile as plan literals), purchase windows
+    // alarmed on |residual| > 8 dollars; 2 longs of state per window
+    "q317_stream_seasonal" -> ((s, d) => {
+      val profile = graft.ops.DatetimeOps.seasonalProfile(
+        graft.Tables.events(s, d).filter(col("event_type") === "click"),
+        "ts", "value")
+      Streams.runToBatch(s,
+          Streams.seasonalBaselineStream(
+            Streams.eventsStream(s, d)
+              .filter(col("event_type") === "purchase"),
+            profile, thresholdCents = 800L),
+          "q317_seasonal")
+        .orderBy(col("w_start"))
+    }),
+
     // streaming per-window AUC monitor (NEW r15): live model
     // separability at bucket granularity — 2x16 in-row label-bucket
     // counts per window, midrank rank-sum over the cells as a
@@ -1194,6 +1211,51 @@ object StreamingQueries extends QueryGroup {
          |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
          |  n AS n_events, $ests
          |FROM t ORDER BY w_start""".stripMargin
+    },
+
+    "q317_stream_seasonal" -> {
+      // the frozen profile recomputed relationally: per-phase
+      // floor-mean of hourly click slot means, global floor-mean
+      // fallback for absent phases (matches seasonalProfile), then
+      // the 1h-window purchase replay with the positive-mod floor
+      s"""WITH $ctes,
+         |cv AS (SELECT ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+         |  FROM e WHERE event_type = 'click' AND value IS NOT NULL),
+         |cs AS (SELECT EPOCH_US(ts) // 1000000 // 3600 AS slot,
+         |    COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s
+         |  FROM cv GROUP BY 1),
+         |cvc AS (SELECT slot,
+         |    CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS v_c,
+         |    slot % 24 AS ph FROM cs),
+         |prof AS (SELECT ph,
+         |    CAST((CAST(SUM(v_c) AS BIGINT)
+         |      - ((CAST(SUM(v_c) AS BIGINT) % COUNT(*) + COUNT(*))
+         |        % COUNT(*))) // COUNT(*) AS BIGINT) AS base
+         |  FROM cvc GROUP BY ph),
+         |gb AS (SELECT CAST((CAST(SUM(v_c) AS BIGINT)
+         |      - ((CAST(SUM(v_c) AS BIGINT) % COUNT(*) + COUNT(*))
+         |        % COUNT(*))) // COUNT(*) AS BIGINT) AS gbase
+         |  FROM cvc),
+         |pv AS (SELECT ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+         |  FROM e WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |pw AS (SELECT make_timestamp((EPOCH_US(ts) // 1000000 // 3600)
+         |      * 3600 * 1000000) AS ws,
+         |    COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s
+         |  FROM pv GROUP BY 1),
+         |pr AS (SELECT ws, n,
+         |    CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS v_c,
+         |    (EPOCH_US(ws) // 1000000 // 3600) % 24 AS ph FROM pw),
+         |mx2 AS (SELECT MAX(ts) AS m FROM pv),
+         |dec AS (SELECT pr.* FROM pr, mx2
+         |  WHERE ws + INTERVAL 3600 SECOND <= m - INTERVAL 600 SECOND),
+         |j AS (SELECT d.ws, d.n, d.v_c,
+         |    COALESCE(prof.base, gb.gbase) AS base_c
+         |  FROM dec d CROSS JOIN gb LEFT JOIN prof ON d.ph = prof.ph)
+         |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  CAST(n AS BIGINT) AS n_events, v_c, base_c,
+         |  v_c - base_c AS resid_c,
+         |  (ABS(v_c - base_c) > 800) AS anomaly
+         |FROM j ORDER BY w_start""".stripMargin
     },
 
     "q315_stream_auc" -> {

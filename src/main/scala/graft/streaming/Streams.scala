@@ -1684,6 +1684,61 @@ object Streams {
               |END""".stripMargin).as("auc_micro"))
   }
 
+  /** Streaming SEASONAL-BASELINE anomaly monitor — the detect-side
+    * twin of [[quantileMapStream]]'s correction: per closed tumbling
+    * window, the window's floor-mean cents are compared against the
+    * FROZEN per-phase seasonal-naive baseline
+    * ([[graft.ops.DatetimeOps.seasonalProfile]] — computed batch-side
+    * once, baked into the plan as `period` literals, the q214/q294
+    * frozen-reference pattern), emitting the signed residual and an
+    * |resid| > threshold flag. A metric that drifts from its OWN
+    * hour-of-day shape alerts in the first closed window — the
+    * seasonally-adjusted alarm a plain threshold can't express
+    * (3 AM traffic is not 3 PM traffic).
+    *
+    * State per open window: 2 longs (count + cent sum); the baseline
+    * lookup and the floor-mean are stateless projections over the
+    * closed row. All arithmetic integer (positive-mod floor-mean, the
+    * q298 spelling).
+    *
+    * Append mode: one row per window at watermark close.
+    *
+    * @param profile per-phase baseline cents (length = period)
+    * @return (w_start, n_events, v_c, base_c, resid_c, anomaly)
+    */
+  def seasonalBaselineStream(events: DataFrame, profile: Seq[Long],
+      thresholdCents: Long, valueCol: String = "value",
+      bucketSeconds: Long = 3600L,
+      delay: String = "10 minutes"): DataFrame = {
+    require(profile.nonEmpty && profile.size <= 10000,
+      s"profile must have 1..10000 phases, got ${profile.size}")
+    require(thresholdCents > 0, "thresholdCents must be > 0")
+    val period = profile.size
+    val size = s"$bucketSeconds seconds"
+    val baseExpr = "CAST(CASE " + profile.zipWithIndex.map { case (b, p) =>
+      s"WHEN ph = $p THEN $b "
+    }.mkString + "END AS BIGINT)"
+    val e = events
+      .select(col("ts"),
+        round(col(valueCol).cast("double") * 100).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+    e.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("v_c", expr("(s - pmod(s, n)) div n"))
+      .withColumn("ph", expr(
+        s"pmod(unix_micros(window.start) div 1000000 div $bucketSeconds," +
+          s" $period)"))
+      .withColumn("base_c", expr(baseExpr))
+      .withColumn("resid_c", col("v_c") - col("base_c"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w_start"),
+        col("n").as("n_events"), col("v_c"), col("base_c"),
+        col("resid_c"),
+        (abs(col("resid_c")) > thresholdCents).as("anomaly"))
+  }
+
   /** The frozen-ladder CDF inversion as ONE expression string: the
     * smallest reference bucket whose cumulative count, cross-
     * multiplied against the window total, reaches the window's

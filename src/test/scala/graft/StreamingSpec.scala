@@ -957,4 +957,31 @@ class StreamingSpec extends SparkSpec {
     }
     assert(msgs(e2).exists(_.contains("maxBufferedEvents")), e2.getMessage)
   }
+
+  test("seasonalBaselineStream: hand profile pins residual and anomaly flag") {
+    import org.apache.spark.sql.functions._
+    // profile: phase p baseline = 1000 + p cents; with hourly
+    // buckets the phase slot % 24 IS the UTC hour -> 10, base 1010.
+    // Window mean = (20 + 30)/2 dollars = 2500 cents -> resid 1490
+    // > 800 -> anomaly.
+    val rows = Seq(
+      (1L, 1L, "purchase", 20.0, "2024-01-01 10:10:00"),
+      (2L, 1L, "purchase", 30.0, "2024-01-01 10:20:00"))
+    val df = eventsDF(rows)
+    val profile = (0 until 24).map(p => 1000L + p)
+    val out = Streams.runToBatch(spark,
+        Streams.seasonalBaselineStream(
+          streamDir(stageBatches("seas", Seq(
+            df, eventsDF(Seq((99L, 1L, "view", 5.0,
+              "2024-01-01 13:00:00"))))), df.schema),
+          profile, thresholdCents = 800L),
+        "spec_seas")
+      .collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getString(0) == "2024-01-01 10:00:00")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2500L, r.toString)
+    assert(r.getLong(3) == 1010L && r.getLong(4) == 1490L, r.toString)
+    assert(r.getBoolean(5), r.toString)
+  }
 }
