@@ -37,12 +37,62 @@ import org.apache.spark.sql.SparkSession
   *      that vanish in a fresh process). Each re-measure records
   *      sweep/isolated/prev and a noise-vs-regression verdict
   *      (isolated ≤ 1.2× prev → noise).
+  *
+  * ROUND-16 CANARY-BRACKETED RE-MEASURES (r15 verdict item 1). The r14
+  * and r15 post-close driver artifacts both emitted "regression"
+  * verdicts for untouched queries measured inside windows their own
+  * canaries labeled 1.4–1.8× hot (r15: six queries, e.g. q289 isolated
+  * 12.1 s vs prev 0.73 s while the pre-canary read 76 s vs its 41 s
+  * floor). The verdict is now gated on a bracket: every child re-measure
+  * is sandwiched between two fast 3-query canary legs run in the WARM
+  * parent (so leg times are directly comparable to this run's own sweep
+  * mins for those same queries). If either bracketing leg sits outside
+  * the envelope max(1.5× sweep-min-sum, sweep-min-sum + 1.0 s), the
+  * window is hot and a non-noise child reading becomes "heat-invalid" —
+  * never "regression". The decision itself is the pure
+  * [[Bench.remeasureVerdict]], unit-tested in BenchVerdictSpec; a
+  * committed self-test artifact (scripts/heatinvalid_demo, produced with
+  * the clearly-labeled GRAFT_BENCH_HEAT_SIM knob) demonstrates the gate
+  * end-to-end without needing a genuinely hot host.
+  *
   * All of it lands in BENCH_FULL.json (no size budget); the driver tail
   * line gains only compact "cpre"/"cpost" fields. The headline "value"
   * stays the sweep total — canary/re-measure time is excluded so the
   * number is comparable across rounds.
   */
 object Bench {
+  /** Verdict for one isolated child re-measure (pure, spec-tested).
+    *
+    * @param iso       child-JVM min-of-2 time, None if the child failed
+    * @param prev      this query's BENCH_PREV time (per-query min of last
+    *                  round's close + driver runs)
+    * @param hotWindow true when either bracketing canary leg around the
+    *                  child sat outside the A/A envelope of this run's
+    *                  own sweep mins — the measurement window cannot
+    *                  support a "regression" claim (r15 verdict item 1)
+    *
+    * "noise" keeps priority over the heat gate: a child that comes back
+    * INSIDE the noise envelope is exculpatory regardless of window heat
+    * (heat only inflates times, so a clean reading under heat is still
+    * clean). Only a would-be "regression" is downgraded to
+    * "heat-invalid".
+    */
+  def remeasureVerdict(iso: Option[Double], prev: Double,
+      hotWindow: Boolean): String = iso match {
+    case Some(s) if s <= math.max(1.2 * prev, prev + 0.5) => "noise"
+    case Some(_) if hotWindow => "heat-invalid"
+    case Some(_) => "regression"
+    case None => "remeasure_failed"
+  }
+
+  /** A/A envelope for a bracketing canary leg: the leg re-runs queries
+    * this same run already swept, in the same warm JVM, so anything past
+    * 1.5× the sweep-min sum (with a +1 s absolute floor for scheduling
+    * jitter on sub-second sums) means the machine is hotter NOW than it
+    * was during the sweep. */
+  def legEnvelope(sweepMinSum: Double): Double =
+    math.max(1.5 * sweepMinSum, sweepMinSum + 1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -190,7 +240,11 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty }
-    val prev = if (fullProtocol) loadBench("BENCH_PREV.json") else Map.empty[String, Double]
+    // GRAFT_BENCH_PREV overrides the prev-artifact path — used by the
+    // protocol self-test (scripts/heatinvalid_demo) to force flags from
+    // a doctored prev without touching the real BENCH_PREV.json
+    val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV", "BENCH_PREV.json")
+    val prev = if (fullProtocol) loadBench(prevPath) else Map.empty[String, Double]
     // two materiality gates: the ratio (>1.4x prev, prev >= 0.25 s
     // floor) AND an absolute delta (> 0.3 s) — the first full-protocol
     // run showed sub-half-second queries flagging on ~0.15 s of
@@ -238,10 +292,40 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] remeasure $name failed: ${e.getMessage}"); None
     }
-    val remeasured: Seq[(String, Double, Option[Double])] =
-      flagged.take(remeasureCap).map { case (n, _) =>
-        println(s"[bench] isolated re-measure of $n (>1.4x prev)")
-        (n, results.toMap.apply(n), isolatedRemeasure(n))
+    // ---- canary-bracketed child re-measures (r16, verdict item 1) ----
+    // A fast 3-query leg (drawn from the frozen canary set; ~2-3 s at
+    // sf0.1) runs in the warm parent immediately before and after each
+    // child JVM. Leg times are comparable to this run's OWN sweep mins
+    // of the same queries; a leg outside Bench.legEnvelope marks the
+    // child's window hot. The post-leg of child N doubles as the
+    // pre-leg of child N+1, so K children cost K+1 legs.
+    val bracketPrefixes = Set("q218", "q216b", "q35")
+    val bracketQueries = ordered0.filter { case (name, _) =>
+      bracketPrefixes.contains(name.takeWhile(_ != '_')) }
+    val resultMapAll = results.toMap
+    val bracketRef = bracketQueries.flatMap { case (n, _) => resultMapAll.get(n) }.sum
+    val envelope = legEnvelope(bracketRef)
+    // PROTOCOL SELF-TEST ONLY: GRAFT_BENCH_HEAT_SIM=1 inflates each leg
+    // past the envelope so the heat-invalid path can be demonstrated on
+    // a cool host. The artifact records "heat_sim":true so a doctored
+    // run can never masquerade as a real close bench.
+    val heatSim = sys.env.get("GRAFT_BENCH_HEAT_SIM").contains("1")
+    def bracketLeg(): Double = {
+      val t = runPass(bracketQueries, "brkt").map(_._2).sum
+      if (heatSim) t + 2.0 * math.max(bracketRef, 1.0) else t
+    }
+    val remeasured: Seq[(String, Double, Option[Double], Double, Double)] =
+      if (flagged.isEmpty) Seq.empty
+      else {
+        var legPre = bracketLeg()
+        flagged.take(remeasureCap).map { case (n, _) =>
+          println(s"[bench] isolated re-measure of $n (>1.4x prev)")
+          val iso = isolatedRemeasure(n)
+          val legPost = bracketLeg()
+          val rec = (n, resultMapAll(n), iso, legPre, legPost)
+          legPre = legPost
+          rec
+        }
       }
     def j(d: Double): String = f"$d%.3f"
     val canaryJson = if (!fullProtocol) "" else {
@@ -266,22 +350,23 @@ object Bench {
     }
     val flagJson = if (!fullProtocol) "" else {
       val fl = flagged.map { case (n, r) => "\"" + n + "\":" + j(r) }.mkString("{", ",", "}")
-      val rm = remeasured.map { case (n, sweep, iso) =>
+      val rm = remeasured.map { case (n, sweep, iso, legPre, legPost) =>
         val p = prev(n)
-        // +0.5 s absolute allowance: the child JVM's single pass carries
+        // noise allowance (+0.5 s absolute): the child JVM's pass carries
         // cold-start fixed costs (plan compile, classload) the sweep's
         // min-of-passes does not — without it sub-second queries would
-        // read "regression" from JVM warmth alone
-        val verdict = iso match {
-          case Some(s) if s <= math.max(1.2 * p, p + 0.5) => "noise"
-          case Some(_) => "regression"
-          case None => "remeasure_failed"
-        }
+        // read "regression" from JVM warmth alone. Heat gate: a leg
+        // outside the envelope voids any "regression" reading
+        // (remeasureVerdict scaladoc).
+        val hotWindow = legPre > envelope || legPost > envelope
+        val verdict = remeasureVerdict(iso, p, hotWindow)
         "\"" + n + "\":{\"sweep\":" + j(sweep) + ",\"isolated\":" +
           iso.map(j).getOrElse("null") + ",\"prev\":" + j(p) +
+          ",\"leg_pre\":" + j(legPre) + ",\"leg_post\":" + j(legPost) +
           ",\"verdict\":\"" + verdict + "\"}"
       }.mkString("{", ",", "}")
-      s""","flagged":$fl,"remeasured":$rm"""
+      val sim = if (heatSim) ""","heat_sim":true""" else ""
+      s""","flagged":$fl,"remeasured":$rm,"bracket_ref":${j(bracketRef)},"bracket_envelope":${j(envelope)}$sim"""
     }
     def line(rs: Seq[(String, Double)], short: Boolean, dec: Int,
         extra: String): String = {
