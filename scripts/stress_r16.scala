@@ -1,0 +1,124 @@
+// Round-16 scale receipts, wave 1: the gopherRepetition HASH-KEYED
+// census tier (q297b, r15 verdict item 2).
+//   TWO findings this receipt pins down (both contradict the r15
+//   prose that motivated the tier -- measurement beats guessing):
+//   1. The gram census never shuffles strings in EITHER tier: the
+//      window sort already hash-partitions on doc_id, which satisfies
+//      the census aggregation's ClusteredDistribution
+//      (subset-of-keys rule), so no Exchange carries a gram key
+//      (asserted below; total shuffle write ~10 MB in both tiers --
+//      just the 12M word rows for the window sort).
+//   2. Where the key type DOES matter is the census HashAggregate
+//      itself. Stable cells across two full receipt runs (min-of-2
+//      interleaved, ~4M groups/partition): hashed+twolevel-OFF 12.0 /
+//      13.7 s -- the fastest shape; string+twolevel-OFF 19.2 / 21.7 s
+//      (hashed = 0.63x: fixed 8-byte keys hash/compare in constant
+//      time, agg map + spill free of 20-100-byte gram strings). The
+//      twolevel=ON cells are heat-noisy on this host (14.7-47 s) but
+//      never beat their OFF twins: the codegen two-level fast map's
+//      2^16 capacity is pure per-probe overhead at census
+//      cardinality. Deployment note lives in gopherRepetitionHashed's
+//      scaladoc: disable the two-level map for jobs dominated by
+//      multi-million-group partial aggs.
+//   Receipt: [string, hashed] x [twolevel on, off], 2 interleaved
+//   passes each, per-cell MIN (this host shows 1.5x heat windows);
+//   dup/line share sums bit-equal between tiers.
+//   Also covered here: HashSpec.polyHash is Horner-unrolled 6-wide
+//   (one `%` per 6 bytes, bit-identical) -- the per-byte modulo was
+//   half the hashed tier's census cost before the unroll.
+// Run:  /opt/spark/bin/spark-shell --master "local[16]" \
+//         --driver-class-path /root/repo/target/scala-2.13/classes \
+//         --driver-memory 60g --conf spark.sql.shuffle.partitions=32 \
+//         --conf spark.ui.enabled=false -i scripts/stress_r16.scala
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+def purge(): Unit = {
+  spark.catalog.clearCache()
+  spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  System.gc()
+}
+
+val shuffleW = new AtomicLong(0L)
+spark.sparkContext.addSparkListener(
+  new org.apache.spark.scheduler.SparkListener {
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      shuffleW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  })
+
+def timedShuffle(tag: String)(f: => Long): (Double, Long) = {
+  purge()
+  Thread.sleep(2000) // drain listener events from the previous run
+  shuffleW.set(0L)
+  val t0 = System.nanoTime()
+  val n = f
+  val sec = (System.nanoTime() - t0) / 1e9
+  Thread.sleep(2000) // let the async listener bus catch up
+  val bytes = shuffleW.get()
+  println(f"[stress] $tag%-34s $sec%8.2f s  rows=$n%d  shuffleMB=${bytes / 1e6}%10.1f")
+  (sec, bytes)
+}
+import spark.implicits._
+
+// corpus shape of stress_r15b receipt 2 (1M docs x 12 words, 500-token
+// vocab -> ~100M (doc, n, gram) rows, heavy within-doc dup census) but
+// with HIGH-ENTROPY 9-char md5-derived words: real text does not
+// LZ4-compress like "tokNNN" does, so string-key costs are honest
+val words12 = array((0 until 12).map(j =>
+  substring(md5(pmod(col("id") * (j * 13 + 7), lit(500))
+    .cast("string")), 1, 9)): _*)
+val docs1m = spark.range(1000000L).select(
+  col("id").as("doc_id"), array_join(words12, " ").as("text"))
+
+// structural assert: the gram census key (g / gh) appears in NO
+// Exchange's partitioning -- the doc-partitioned window feeds the
+// census co-partitioned, so gram strings/hashes never shuffle
+for ((tag, frame) <- Seq(
+    "string" -> graft.ops.TextAnalysis.gopherRepetition(docs1m, "doc_id", "text"),
+    "hashed" -> graft.ops.TextAnalysis.gopherRepetitionHashed(docs1m, "doc_id", "text"))) {
+  val plan = frame.queryExecution.executedPlan.toString
+  val gramKeyShuffled = plan.split("\n")
+    .filter(_.contains("Exchange hashpartitioning"))
+    .exists(l => l.contains(" g#") || l.contains(" gh#") ||
+      l.contains("(g#") || l.contains("(gh#"))
+  println(s"[stress] $tag tier: gram key in an Exchange = $gramKeyShuffled (must be false)")
+}
+
+// sum right-side columns: bare count() lets Catalyst eliminate the
+// unique-key left joins and measure only the base scan. 2 interleaved
+// passes per cell, per-cell MIN: a single A/B is not a measurement on
+// this host. One warmup pass absorbs codegen/JIT (r1 of the first
+// profile read 89 s vs 14 s warm).
+val TWOLEVEL = "spark.sql.codegen.aggregate.map.twolevel.enabled"
+def runTier(tag: String, twolevel: Boolean, hashed: Boolean) = {
+  spark.conf.set(TWOLEVEL, twolevel.toString)
+  val r = timedShuffle(f"$tag twolevel=$twolevel") {
+    val frame = if (hashed)
+      graft.ops.TextAnalysis.gopherRepetitionHashed(docs1m, "doc_id", "text")
+    else graft.ops.TextAnalysis.gopherRepetition(docs1m, "doc_id", "text")
+    frame.agg(sum("dup5_bp"), sum("top2_bp"), count(lit(1)))
+      .collect().head.getLong(2)
+  }
+  spark.conf.set(TWOLEVEL, "true")
+  r
+}
+runTier("warmup (string)", twolevel = true, hashed = false)
+val cells = for {
+  pass <- 1 to 2
+  (tag, tl, h) <- Seq(("string", true, false), ("hashed", true, true),
+    ("string", false, false), ("hashed", false, true))
+} yield ((tag, tl), runTier(s"p$pass $tag", tl, h)._1)
+val mins = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+for (((tag, tl), sec) <- mins.toSeq.sortBy(_._1.toString))
+  println(f"[stress] MIN-OF-2 $tag%-7s twolevel=$tl%-5s $sec%8.2f s")
+println(f"[stress] hashed/string wall ratio: twolevel-on=${mins(("hashed", true)) / mins(("string", true))}%.3f  twolevel-off=${mins(("hashed", false)) / mins(("string", false))}%.3f")
+
+// dup-share equality between the tiers at this scale (order-free
+// columns; top*_bp can differ under count ties -- scaladoc)
+val sCols = graft.ops.TextAnalysis.gopherRepetition(docs1m, "doc_id", "text")
+  .agg(sum("dup5_bp"), sum("dup10_bp"), sum("dup_line_bp")).collect().head
+val hCols = graft.ops.TextAnalysis.gopherRepetitionHashed(docs1m, "doc_id", "text")
+  .agg(sum("dup5_bp"), sum("dup10_bp"), sum("dup_line_bp")).collect().head
+println(s"[stress] dup-share sums equal: ${sCols == hCols}  $sCols vs $hCols")
+System.exit(0)

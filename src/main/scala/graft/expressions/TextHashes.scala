@@ -30,10 +30,27 @@ object HashSpec {
     * (a*31+x) % P). ASCII-safe; multi-byte text hashes byte-wise.
     */
   def polyHash(s: UTF8String): Long = {
+    // Horner unrolled 6 wide: acc*31^6 + Σ b_k*31^(5-k), ONE `%` per 6
+    // bytes instead of per byte (the modulo is ~20-40 cycles; measured
+    // 2x on the gopherRepetition census, scripts/stress_r16.scala).
+    // Bit-identical to the per-byte spec: ((a*31+b1)*31+b2)... mod P
+    // telescopes. No overflow: acc < P ~ 2^30, P*31^6 ~ 8.9e17 < 2^63;
+    // byte terms add < 7.6e9.
     val bytes = s.getBytes
     var acc = 7L
     var i = 0
-    while (i < bytes.length) {
+    val n = bytes.length
+    while (i + 6 <= n) {
+      acc = (acc * 887503681L                    // 31^6
+        + (bytes(i) & 0xff) * 28629151L          // 31^5
+        + (bytes(i + 1) & 0xff) * 923521L        // 31^4
+        + (bytes(i + 2) & 0xff) * 29791L         // 31^3
+        + (bytes(i + 3) & 0xff) * 961L           // 31^2
+        + (bytes(i + 4) & 0xff) * 31L
+        + (bytes(i + 5) & 0xff)) % P
+      i += 6
+    }
+    while (i < n) {
       acc = (acc * 31 + (bytes(i) & 0xff)) % P
       i += 1
     }

@@ -77,17 +77,25 @@ object DatetimeOps {
       s" / $halflifeUs.0) * CAST($ageUs AS DOUBLE)), 6)) AS BIGINT)"
 
   /** Classical additive SEASONAL-TREND decomposition by moving
-    * averages — the textbook `decompose()` every drift dashboard
-    * plots, and the one time-series kernel the family (TWAP q199, EWM
-    * q74, CUSUM q246, OLS trend q206, cadence q208) was missing.
-    * Entirely integer:
+    * averages — the drift-dashboard `decompose()` kernel the family
+    * (TWAP q199, EWM q74, CUSUM q246, OLS trend q206, cadence q208)
+    * was missing. Entirely integer:
     *
     *   1. bucket events to `bucketSeconds`-wide slots; slot value =
     *      floor-mean cents (positive-mod spelling, so negative sums
     *      floor identically in both engines);
-    *   2. TREND = centered moving average over `period` + 1 slots
-    *      (floor division; NULL until the window is FULL — partial
-    *      edge windows are bias, not data);
+    *   2. TREND = centered EQUAL-WEIGHT moving average over
+    *      `period` + 1 slots (floor division; NULL until the window
+    *      holds period+1 PRESENT slots — partial edge windows are
+    *      bias, not data). Two documented deviations from statsmodels'
+    *      textbook decompose() (r15 ADVICE item 4): (a) the window is
+    *      ROWS-based over PRESENT slots, so on gappy series a "full"
+    *      window can span non-contiguous, phase-imbalanced slots —
+    *      the observed-slots contract below extends to the trend; on
+    *      gap-free series (the gate fixtures) the two agree; (b) the
+    *      endpoints carry full weight rather than the half-weight
+    *      2×m convention for even periods — a constant-offset
+    *      difference only when the series drifts within one period;
     *   3. SEASONAL = per-phase (slot index mod `period`) floor-mean of
     *      the detrended values across the whole series;
     *   4. RESIDUAL = value − trend − seasonal (NULL where trend is).

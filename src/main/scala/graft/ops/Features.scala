@@ -32,7 +32,7 @@ object Features {
     * arithmetic fits DuckDB's int64 (the r14 ADVICE noted the old
     * one-multiply spellings diverged per-engine above id ≈ 3.47e9).
     */
-  private def foldCol(id: String, k: Int): Column = {
+  def foldCol(id: String, k: Int): Column = {
     val h = s"pmod(CAST($id AS BIGINT), 4294967296L)"
     expr(s"(pmod(pmod(($h div 65536L) * 2654435761L, 65536L) * 65536L" +
       s" + pmod($h, 65536L) * 2654435761L, 4294967296L) * $k)" +
@@ -105,11 +105,13 @@ object Features {
     *     truncation == floor; within 1 cent² of the true population
     *     variance (documented bias of the integer contract);
     *   - std = isqrt(var*): floor of the IEEE sqrt with a one-step
-    *     downward correction (if std² > var* then std −= 1) — above
-    *     ~2^52 the correctly-rounded double sqrt of k²−1 can round UP
-    *     to k, so the raw floor alone is off by one there; with the
-    *     correction the integer sqrt is exact for every BIGINT var*
-    *     (both engines run the identical correction);
+    *     correction in BOTH directions (std² > var* → std −= 1;
+    *     (std+1)² ≤ var* → std += 1) — above ~2^52 the double path can
+    *     err either way (sqrt(k²−1) rounds up to k; the BIGINT→DOUBLE
+    *     cast of var* can round below k² so the raw floor lands at
+    *     k−1), and ±1 covers the whole error range, so the integer
+    *     sqrt is exact for every BIGINT var* (both engines run the
+    *     identical corrections);
     *   - z_bp = floor(dev·10⁴ / std) via the same positive-mod
     *     spelling (dev is signed). Constant train column (std = 0)
     *     emits NULL z — a scaler with no scale has no answer.
@@ -141,12 +143,22 @@ object Features {
               |  div n AS BIGINT)""".stripMargin).as("__vr"))
       .select(col("m"), col("__vr"),
         floor(sqrt(col("__vr").cast("double"))).cast("long").as("__s0"))
-      // exact integer sqrt: the IEEE sqrt of k²−1 can round up to k
-      // above ~2^52, so correct one step down (decimal square — s0²
-      // brushes the int64 edge when var* does)
+      // exact integer sqrt: sqrt(k²−1) can round up to k above ~2^52,
+      // so correct one step down. The symmetric UPWARD step (r15
+      // ADVICE item 2) is a platform guard: under correctly-rounded
+      // IEEE sqrt the downward miss is impossible for exact squares
+      // (cast error ≤ half-ulp(k²) = k²·2⁻⁵³ pulls sqrt down by at
+      // most k·2⁻⁵⁴ < half-ulp(k), so RN(sqrt(RN(k²))) = k), but a
+      // non-correctly-rounded libm breaks that argument and ±1 covers
+      // the whole ≤1-ulp error range either way. Decimal squares —
+      // s0² brushes the int64 edge when var* does
       .select(col("m"),
-        expr("""CASE WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > __vr
-              |  THEN __s0 - 1 ELSE __s0 END""".stripMargin).as("std_c"))
+        expr("""CASE
+              |  WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > __vr
+              |    THEN __s0 - 1
+              |  WHEN CAST(__s0 + 1 AS DECIMAL(38,0)) * (__s0 + 1) <= __vr
+              |    THEN __s0 + 1
+              |  ELSE __s0 END""".stripMargin).as("std_c"))
     base.crossJoin(broadcast(fit))
       .withColumn("dev_c", col("__cents") - col("m"))
       .withColumn("z_bp",

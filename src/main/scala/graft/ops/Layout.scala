@@ -98,14 +98,26 @@ object Layout {
     * construction (spec-gated: file splits are engine-private, no
     * cross-engine oracle can exist).
     *
-    * @return one row: (n_files, max_depth)
+    * NULL keys (r15 ADVICE item 3): min/max ignore NULLs, so a file's
+    * interval covers its NON-NULL values — files with partial NULLs
+    * participate with that interval (correct: min-max pruning for a
+    * point lookup consults exactly those stats), while all-NULL files
+    * have no interval at all, are EXCLUDED from the sweep, and are
+    * reported separately as `n_null_files` (a point probe on the key
+    * skips them via null-count stats; counting them in n_files would
+    * understate depth/n_files density).
+    *
+    * @return one row: (n_files, n_null_files, max_depth)
     */
   def clusteringDepth(spark: org.apache.spark.sql.SparkSession,
       path: String, keyCol: String): DataFrame = {
     val files = spark.read.parquet(path)
       .groupBy(input_file_name().as("__f"))
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
-    val bounds = files.select(explode(array(
+    val nullFiles = files.filter(col("lo").isNull)
+      .agg(count(lit(1)).as("n_null_files"))
+    val bounds = files.filter(col("lo").isNotNull)
+      .select(explode(array(
         struct(col("lo").as("x"), lit(1).as("d")),
         struct(col("hi").as("x"), lit(-1).as("d")))).as("e"))
       .select(col("e.x").as("x"), col("e.d").as("d"))
@@ -114,6 +126,8 @@ object Layout {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     bounds.withColumn("depth", sum(col("d")).over(w))
       .agg((count(lit(1)) / 2).cast("long").as("n_files"),
-        max(col("depth")).as("max_depth"))
+        coalesce(max(col("depth")), lit(0)).as("max_depth"))
+      .crossJoin(nullFiles)
+      .select(col("n_files"), col("n_null_files"), col("max_depth"))
   }
 }

@@ -208,17 +208,62 @@ object TextAnalysis {
     * per-(doc, n) argmax rides a window PARTITIONED by doc (never
     * global); lines are a second bounded explode. Nothing collects.
     * Receipt: 1M docs ≈ 108M gram rows in 51 s on one 16-core box
-    * (stress_r15b) — shuffle-bound and embarrassingly horizontal.
-    * Named scale swap: group on the shared polynomial HASH of the
-    * gram instead of the string (8 bytes shuffled instead of ~20, the
-    * string never leaves the map side; tie-break moves to (cnt, hash);
-    * a collision merges the same pair of grams in any engine using the
-    * same hash, so a hash-replaying oracle still gates bit-for-bit).
+    * (stress_r15b) — census-bound and embarrassingly horizontal.
+    * The 100 TB tier is [[gopherRepetitionHashed]]: group on the
+    * shared polynomial HASH of the gram instead of the string
+    * (tie-break moves to (cnt, hash); a collision merges the same
+    * pair of grams in any engine using the same hash, so the
+    * hash-replaying oracle still gates bit-for-bit; 2.4× wall at 1M
+    * docs — see its scaladoc for where the cost actually sits).
     *
     * @return (id, n_words, dup_line_bp, dup_line_char_bp, top2_bp,
     *         top3_bp, top4_bp, dup5_bp…dup10_bp, rep_pass)
     */
-  def gopherRepetition(df: DataFrame, id: String, text: String): DataFrame = {
+  def gopherRepetition(df: DataFrame, id: String, text: String): DataFrame =
+    gopherRepetitionImpl(df, id, text, hashed = false)
+
+  /** The hash-keyed census tier of [[gopherRepetition]] (r15 verdict
+    * item 2 — the gram census is the operator's whole cost at scale).
+    * The (doc, n, gram-STRING) group key becomes (doc, n,
+    * polyHash(gram)) with the hash and the gram's char count projected
+    * before the aggregation. Where the cost actually sits (measured,
+    * scripts/stress_r16.scala — two findings that CORRECT the r15
+    * prose): (1) the census is CO-PARTITIONED by doc — the window sort
+    * already hash-partitioned on doc_id, which satisfies the census's
+    * ClusteredDistribution, so gram strings never enter an exchange in
+    * EITHER tier (receipt asserts no Exchange carries a gram key; the
+    * win is NOT shuffle bytes). (2) The swap shrinks the census
+    * HashAggregate: fixed 8-byte keys hash/compare in constant time
+    * and the agg map (and any spill) drops the 20–100-byte gram
+    * strings — stable 0.63× wall vs the string tier at 1M docs/~63M
+    * gram rows (12–14 s vs ~20 s min-of-2 interleaved) once the
+    * codegen TWO-LEVEL FAST MAP is disabled. Deployment note: at
+    * census cardinalities (millions of groups per partition) the
+    * 2^16-entry fast map is pure per-probe overhead for both tiers —
+    * set spark.sql.codegen.aggregate.map.twolevel.enabled=false for
+    * jobs dominated by high-cardinality partial aggs. The
+    * duplicate-line census gets the same hash
+    * treatment ((doc, polyHash(line)) + max(len)). The
+    * top-gram tie-break moves from (cnt DESC, gram ASC) to (cnt DESC,
+    * hash ASC); a hash collision merges the same pair of grams in any
+    * engine computing the same hash, so the DuckDB oracle (which
+    * replays polyHash in SQL) still gates bit-for-bit.
+    *
+    * Equivalence to [[gopherRepetition]]: all dup-share and line-share
+    * columns are value-identical absent collisions (they sum over the
+    * census, order-free). The top*_bp columns are identical whenever
+    * the per-(doc, n) most-frequent gram is UNIQUE by count; under a
+    * count tie the two tie-breaks may crown different winners whose
+    * char lengths differ (Rae et al. define only "the most frequent
+    * n-gram" — any tie winner is faithful). TextAnalysisSpec pins both
+    * facts on the fixtures.
+    */
+  def gopherRepetitionHashed(df: DataFrame, id: String,
+      text: String): DataFrame =
+    gopherRepetitionImpl(df, id, text, hashed = true)
+
+  private def gopherRepetitionImpl(df: DataFrame, id: String, text: String,
+      hashed: Boolean): DataFrame = {
     val base = graft.Tables.spread(df.select(col(id), col(text)), id)
       .select(col(id),
         expr(s"filter(split(${normSql(text)}, ' '), w -> length(w) > 0)")
@@ -245,12 +290,30 @@ object TextAnalysis {
             s" THEN concat_ws(' ', $parts) END"
         }.mkString(", ") + ") AS (n, g)"))
     val grams = gramCandidates.filter(col("g").isNotNull)
-    val gcnt = grams.groupBy(col(id), col("total_chars"), col("n"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("gchars", length(regexp_replace(col("g"), " ", "")))
+    // string tier: the gram IS the shuffle key (gchars derived after the
+    // agg — the string rides the exchange anyway). hashed tier: hash +
+    // char count projected map-side, string dropped before the exchange.
+    // gram word chars = length - (n-1): grams are single-space
+    // concat_ws joins of space-free words, so the n-1 separators are
+    // the only spaces — same value as stripping them, no regex on the
+    // ~9x-token-count census rows
+    val (gcnt, topTieBreak) = if (!hashed) {
+      (grams.groupBy(col(id), col("total_chars"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("gchars", length(col("g")) - (col("n") - 1)),
+        col("g").asc)
+    } else {
+      (grams
+        .select(col(id), col("total_chars"), col("n"),
+          poly_hash(col("g")).as("gh"),
+          (length(col("g")) - (col("n") - 1)).as("gc0"))
+        .groupBy(col(id), col("total_chars"), col("n"), col("gh"))
+        .agg(count(lit(1)).as("cnt"), max(col("gc0")).as("gchars")),
+        col("gh").asc)
+    }
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id), col("n"))
-      .orderBy(col("cnt").desc, col("g").asc)
+      .orderBy(col("cnt").desc, topTieBreak)
     val perN = gcnt
       .withColumn("rk", row_number().over(wTop))
       .groupBy(col(id), col("n"))
@@ -274,11 +337,18 @@ object TextAnalysis {
       max(when(col("n") === 9, col("dup_bp"))).as("dup9_bp"),
       max(when(col("n") === 10, col("dup_bp"))).as("dup10_bp"))
     // ---- duplicate lines --------------------------------------------
-    val lcnt = base
+    val lrows = base
       .select(col(id), explode(col("lines")).as("l"))
       .filter(length(col("l")) > 0)
-      .groupBy(col(id), col("l")).agg(count(lit(1)).as("cnt"))
-      .withColumn("lchars", length(col("l")))
+    val lcnt = if (!hashed) {
+      lrows.groupBy(col(id), col("l")).agg(count(lit(1)).as("cnt"))
+        .withColumn("lchars", length(col("l")))
+    } else {
+      lrows.select(col(id), poly_hash(col("l")).as("lh"),
+          length(col("l")).as("lc0"))
+        .groupBy(col(id), col("lh"))
+        .agg(count(lit(1)).as("cnt"), max(col("lc0")).as("lchars"))
+    }
     val lineCols = lcnt.groupBy(col(id)).agg(
       sum(col("cnt")).as("n_lines"),
       sum(col("cnt") * col("lchars")).as("line_chars"),

@@ -29,6 +29,118 @@ object LlmQueries extends QueryGroup {
   /** DuckDB: normalized text (Dedup.normText). */
   private val sqlNorm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
 
+  /** One oracle body for both q297 (string-keyed census) and q297b
+    * (hash-keyed census, the 100 TB tier): the only divergences are the
+    * gram/line GROUP BY key (gram vs polyHash(gram)) and the top-gram
+    * tie-break (gram ASC vs hash ASC) — exactly the divergences of
+    * [[graft.ops.TextAnalysis.gopherRepetitionHashed]]. The n-gram
+    * start-position range derives from MAX word count (not a literal
+    * cap), so the gate cannot silently diverge if fixtures grow
+    * (r15 ADVICE item 1).
+    */
+  private def gopherRepetitionOracleSql(hashed: Boolean): String = {
+    val gramCensus =
+      if (!hashed)
+        s"""gc AS (SELECT doc_id, tc, n, gram, COUNT(*) AS cnt
+           |  FROM g GROUP BY doc_id, tc, n, gram),
+           |gr AS (SELECT doc_id, tc, n, cnt,
+           |    LENGTH(REPLACE(gram, ' ', '')) AS gchars,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id, n
+           |      ORDER BY cnt DESC, gram ASC) AS rk
+           |  FROM gc),""".stripMargin
+      else
+        s"""gh0 AS (SELECT doc_id, tc, n, ${sqlPoly("gram")} AS gh,
+           |    LENGTH(REPLACE(gram, ' ', '')) AS gc0 FROM g),
+           |gc AS (SELECT doc_id, tc, n, gh, COUNT(*) AS cnt,
+           |    MAX(gc0) AS gchars FROM gh0 GROUP BY doc_id, tc, n, gh),
+           |gr AS (SELECT doc_id, tc, n, cnt, gchars,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id, n
+           |      ORDER BY cnt DESC, gh ASC) AS rk
+           |  FROM gc),""".stripMargin
+    val lineCensus =
+      if (!hashed)
+        s"""lc AS (SELECT doc_id, l, COUNT(*) AS cnt,
+           |    LENGTH(l) AS lchars FROM ln0 GROUP BY doc_id, l),""".stripMargin
+      else
+        s"""lc AS (SELECT doc_id, ${sqlPoly("l")} AS lh, COUNT(*) AS cnt,
+           |    MAX(LENGTH(l)) AS lchars FROM ln0
+           |  GROUP BY doc_id, ${sqlPoly("l")}),""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text, $sqlNorm AS s FROM documents
+       |  WHERE doc_id % 3 = 0),
+       |l AS (SELECT doc_id, text,
+       |    list_filter(string_split(s, ' '), w -> length(w) > 0) AS ws
+       |  FROM t),
+       |b AS (SELECT doc_id, text, ws, LEN(ws) AS nw,
+       |    COALESCE(list_sum(list_transform(ws,
+       |      w -> CAST(LENGTH(w) AS BIGINT))), 0) AS tc
+       |  FROM l),
+       |g AS (SELECT doc_id, tc, n.n,
+       |    array_to_string(ws[CAST(i.i AS INTEGER):
+       |      CAST(i.i + n.n - 1 AS INTEGER)], ' ') AS gram
+       |  FROM b
+       |  CROSS JOIN (SELECT unnest(range(2, 11)) AS n) n
+       |  CROSS JOIN (SELECT unnest(range(1,
+       |    CAST(COALESCE((SELECT MAX(nw) FROM b), 0) AS BIGINT) + 1))
+       |    AS i) i
+       |  WHERE i.i <= nw - n.n + 1),
+       |$gramCensus
+       |pn AS (SELECT doc_id, n,
+       |    MAX(CASE WHEN rk = 1 THEN
+       |      (cnt * gchars * 10000) // GREATEST(tc, 1) END) AS top_bp,
+       |    (COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * gchars END), 0)
+       |      * 10000) // GREATEST(MAX(tc), 1) AS dup_bp
+       |  FROM gr GROUP BY doc_id, n),
+       |gcols AS (SELECT doc_id,
+       |    MAX(CASE WHEN n = 2 THEN top_bp END) AS top2_bp,
+       |    MAX(CASE WHEN n = 3 THEN top_bp END) AS top3_bp,
+       |    MAX(CASE WHEN n = 4 THEN top_bp END) AS top4_bp,
+       |    MAX(CASE WHEN n = 5 THEN dup_bp END) AS dup5_bp,
+       |    MAX(CASE WHEN n = 6 THEN dup_bp END) AS dup6_bp,
+       |    MAX(CASE WHEN n = 7 THEN dup_bp END) AS dup7_bp,
+       |    MAX(CASE WHEN n = 8 THEN dup_bp END) AS dup8_bp,
+       |    MAX(CASE WHEN n = 9 THEN dup_bp END) AS dup9_bp,
+       |    MAX(CASE WHEN n = 10 THEN dup_bp END) AS dup10_bp
+       |  FROM pn GROUP BY doc_id),
+       |ln0 AS (SELECT doc_id, ul.l FROM b,
+       |    UNNEST(string_split(text, chr(10))) AS ul(l)
+       |  WHERE LENGTH(ul.l) > 0),
+       |$lineCensus
+       |lcols AS (SELECT doc_id,
+       |    (COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) * 10000)
+       |      // GREATEST(SUM(cnt), 1) AS dup_line_bp,
+       |    (COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * lchars END), 0)
+       |      * 10000) // GREATEST(SUM(cnt * lchars), 1)
+       |      AS dup_line_char_bp
+       |  FROM lc GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.nw AS INTEGER) AS n_words,
+       |  CAST(COALESCE(lcols.dup_line_bp, 0) AS BIGINT) AS dup_line_bp,
+       |  CAST(COALESCE(lcols.dup_line_char_bp, 0) AS BIGINT)
+       |    AS dup_line_char_bp,
+       |  CAST(COALESCE(gcols.top2_bp, 0) AS BIGINT) AS top2_bp,
+       |  CAST(COALESCE(gcols.top3_bp, 0) AS BIGINT) AS top3_bp,
+       |  CAST(COALESCE(gcols.top4_bp, 0) AS BIGINT) AS top4_bp,
+       |  CAST(COALESCE(gcols.dup5_bp, 0) AS BIGINT) AS dup5_bp,
+       |  CAST(COALESCE(gcols.dup6_bp, 0) AS BIGINT) AS dup6_bp,
+       |  CAST(COALESCE(gcols.dup7_bp, 0) AS BIGINT) AS dup7_bp,
+       |  CAST(COALESCE(gcols.dup8_bp, 0) AS BIGINT) AS dup8_bp,
+       |  CAST(COALESCE(gcols.dup9_bp, 0) AS BIGINT) AS dup9_bp,
+       |  CAST(COALESCE(gcols.dup10_bp, 0) AS BIGINT) AS dup10_bp,
+       |  (COALESCE(lcols.dup_line_bp, 0) <= 3000
+       |    AND COALESCE(lcols.dup_line_char_bp, 0) <= 2000
+       |    AND COALESCE(gcols.top2_bp, 0) <= 2000
+       |    AND COALESCE(gcols.top3_bp, 0) <= 1800
+       |    AND COALESCE(gcols.top4_bp, 0) <= 1600
+       |    AND COALESCE(gcols.dup5_bp, 0) <= 1500
+       |    AND COALESCE(gcols.dup6_bp, 0) <= 1400
+       |    AND COALESCE(gcols.dup7_bp, 0) <= 1300
+       |    AND COALESCE(gcols.dup8_bp, 0) <= 1200
+       |    AND COALESCE(gcols.dup9_bp, 0) <= 1100
+       |    AND COALESCE(gcols.dup10_bp, 0) <= 1000) AS rep_pass
+       |FROM b LEFT JOIN gcols ON b.doc_id = gcols.doc_id
+       |LEFT JOIN lcols ON b.doc_id = lcols.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying [[graft.ops.Bpe.unigramTrainEm]] with
     * the default knobs (40/20/10 seed, keepTop 24, 2 iterations,
     * maxWordLen 16): bounded seed counts, then per EM iteration a
@@ -1000,6 +1112,19 @@ object LlmQueries extends QueryGroup {
     // rides a doc-partitioned window
     "q297_gopher_repetition" -> ((s, d) => {
       TextAnalysis.gopherRepetition(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // hash-keyed census tier of q297 (r15 verdict item 2): the gram
+    // string never enters the exchange — polyHash + char count project
+    // map-side, 8-byte keys shuffle, tie-break (cnt DESC, hash ASC).
+    // Same doc slice as q297: absent hash collisions the outputs are
+    // identical (TextAnalysisSpec asserts it); the oracle replays the
+    // hash so the gate holds bit-for-bit even with collisions.
+    "q297b_gopher_repetition_hashed" -> ((s, d) => {
+      TextAnalysis.gopherRepetitionHashed(
           Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
           "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -2553,7 +2678,9 @@ object LlmQueries extends QueryGroup {
            |      CAST(i.i + n.n - 1 AS INTEGER)], ' ') AS gram
            |  FROM b
            |  CROSS JOIN (SELECT unnest(range(1, 4)) AS n) n
-           |  CROSS JOIN (SELECT unnest(range(1, 2001)) AS i) i
+           |  CROSS JOIN (SELECT unnest(range(1,
+           |    CAST(COALESCE((SELECT MAX(nw) FROM b), 0) AS BIGINT) + 1))
+           |    AS i) i
            |  WHERE i.i <= nw - n.n + 1),
            |pn AS (SELECT doc_id, n, COUNT(*) AS total,
            |    COUNT(DISTINCT gram) AS uniq FROM g GROUP BY doc_id, n),
@@ -2572,89 +2699,15 @@ object LlmQueries extends QueryGroup {
            |ORDER BY b.doc_id""".stripMargin,
 
       // full integer replay of the repetition table: list-sliced word
-      // n-grams (n = 2..10) with a bounded position range, per-(doc,
-      // n) ROW_NUMBER argmax with the (cnt DESC, gram ASC) tie-break,
-      // dup shares as Σ cnt·chars, line shares over chr(10) splits
-      "q297_gopher_repetition" ->
-        s"""WITH t AS (SELECT doc_id, text, $sqlNorm AS s FROM documents
-           |  WHERE doc_id % 3 = 0),
-           |l AS (SELECT doc_id, text,
-           |    list_filter(string_split(s, ' '), w -> length(w) > 0) AS ws
-           |  FROM t),
-           |b AS (SELECT doc_id, text, ws, LEN(ws) AS nw,
-           |    COALESCE(list_sum(list_transform(ws,
-           |      w -> CAST(LENGTH(w) AS BIGINT))), 0) AS tc
-           |  FROM l),
-           |g AS (SELECT doc_id, tc, n.n,
-           |    array_to_string(ws[CAST(i.i AS INTEGER):
-           |      CAST(i.i + n.n - 1 AS INTEGER)], ' ') AS gram
-           |  FROM b
-           |  CROSS JOIN (SELECT unnest(range(2, 11)) AS n) n
-           |  CROSS JOIN (SELECT unnest(range(1, 2001)) AS i) i
-           |  WHERE i.i <= nw - n.n + 1),
-           |gc AS (SELECT doc_id, tc, n, gram, COUNT(*) AS cnt
-           |  FROM g GROUP BY doc_id, tc, n, gram),
-           |gr AS (SELECT doc_id, tc, n, gram, cnt,
-           |    LENGTH(REPLACE(gram, ' ', '')) AS gchars,
-           |    ROW_NUMBER() OVER (PARTITION BY doc_id, n
-           |      ORDER BY cnt DESC, gram ASC) AS rk
-           |  FROM gc),
-           |pn AS (SELECT doc_id, n,
-           |    MAX(CASE WHEN rk = 1 THEN
-           |      (cnt * gchars * 10000) // GREATEST(tc, 1) END) AS top_bp,
-           |    (COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * gchars END), 0)
-           |      * 10000) // GREATEST(MAX(tc), 1) AS dup_bp
-           |  FROM gr GROUP BY doc_id, n),
-           |gcols AS (SELECT doc_id,
-           |    MAX(CASE WHEN n = 2 THEN top_bp END) AS top2_bp,
-           |    MAX(CASE WHEN n = 3 THEN top_bp END) AS top3_bp,
-           |    MAX(CASE WHEN n = 4 THEN top_bp END) AS top4_bp,
-           |    MAX(CASE WHEN n = 5 THEN dup_bp END) AS dup5_bp,
-           |    MAX(CASE WHEN n = 6 THEN dup_bp END) AS dup6_bp,
-           |    MAX(CASE WHEN n = 7 THEN dup_bp END) AS dup7_bp,
-           |    MAX(CASE WHEN n = 8 THEN dup_bp END) AS dup8_bp,
-           |    MAX(CASE WHEN n = 9 THEN dup_bp END) AS dup9_bp,
-           |    MAX(CASE WHEN n = 10 THEN dup_bp END) AS dup10_bp
-           |  FROM pn GROUP BY doc_id),
-           |ln0 AS (SELECT doc_id, ul.l FROM b,
-           |    UNNEST(string_split(text, chr(10))) AS ul(l)
-           |  WHERE LENGTH(ul.l) > 0),
-           |lc AS (SELECT doc_id, l, COUNT(*) AS cnt,
-           |    LENGTH(l) AS lchars FROM ln0 GROUP BY doc_id, l),
-           |lcols AS (SELECT doc_id,
-           |    (COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) * 10000)
-           |      // GREATEST(SUM(cnt), 1) AS dup_line_bp,
-           |    (COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * lchars END), 0)
-           |      * 10000) // GREATEST(SUM(cnt * lchars), 1)
-           |      AS dup_line_char_bp
-           |  FROM lc GROUP BY doc_id)
-           |SELECT b.doc_id, CAST(b.nw AS INTEGER) AS n_words,
-           |  CAST(COALESCE(lcols.dup_line_bp, 0) AS BIGINT) AS dup_line_bp,
-           |  CAST(COALESCE(lcols.dup_line_char_bp, 0) AS BIGINT)
-           |    AS dup_line_char_bp,
-           |  CAST(COALESCE(gcols.top2_bp, 0) AS BIGINT) AS top2_bp,
-           |  CAST(COALESCE(gcols.top3_bp, 0) AS BIGINT) AS top3_bp,
-           |  CAST(COALESCE(gcols.top4_bp, 0) AS BIGINT) AS top4_bp,
-           |  CAST(COALESCE(gcols.dup5_bp, 0) AS BIGINT) AS dup5_bp,
-           |  CAST(COALESCE(gcols.dup6_bp, 0) AS BIGINT) AS dup6_bp,
-           |  CAST(COALESCE(gcols.dup7_bp, 0) AS BIGINT) AS dup7_bp,
-           |  CAST(COALESCE(gcols.dup8_bp, 0) AS BIGINT) AS dup8_bp,
-           |  CAST(COALESCE(gcols.dup9_bp, 0) AS BIGINT) AS dup9_bp,
-           |  CAST(COALESCE(gcols.dup10_bp, 0) AS BIGINT) AS dup10_bp,
-           |  (COALESCE(lcols.dup_line_bp, 0) <= 3000
-           |    AND COALESCE(lcols.dup_line_char_bp, 0) <= 2000
-           |    AND COALESCE(gcols.top2_bp, 0) <= 2000
-           |    AND COALESCE(gcols.top3_bp, 0) <= 1800
-           |    AND COALESCE(gcols.top4_bp, 0) <= 1600
-           |    AND COALESCE(gcols.dup5_bp, 0) <= 1500
-           |    AND COALESCE(gcols.dup6_bp, 0) <= 1400
-           |    AND COALESCE(gcols.dup7_bp, 0) <= 1300
-           |    AND COALESCE(gcols.dup8_bp, 0) <= 1200
-           |    AND COALESCE(gcols.dup9_bp, 0) <= 1100
-           |    AND COALESCE(gcols.dup10_bp, 0) <= 1000) AS rep_pass
-           |FROM b LEFT JOIN gcols ON b.doc_id = gcols.doc_id
-           |LEFT JOIN lcols ON b.doc_id = lcols.doc_id
-           |ORDER BY b.doc_id""".stripMargin,
+      // n-grams (n = 2..10, positions derived from MAX word count),
+      // per-(doc, n) ROW_NUMBER argmax with the (cnt DESC, gram ASC)
+      // tie-break, dup shares as Σ cnt·chars, line shares over chr(10)
+      // splits; q297b replays the SAME body with polyHash group keys
+      // and the (cnt DESC, hash ASC) tie-break
+      // (gopherRepetitionOracleSql)
+      "q297_gopher_repetition" -> gopherRepetitionOracleSql(hashed = false),
+      "q297b_gopher_repetition_hashed" ->
+        gopherRepetitionOracleSql(hashed = true),
 
       "q101b_gopher_rules" ->
         s"""WITH t AS (SELECT doc_id, text, $sqlNorm AS s FROM documents),

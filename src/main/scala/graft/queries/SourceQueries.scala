@@ -1460,7 +1460,9 @@ object SourceQueries extends QueryGroup {
         |s0 AS (SELECT m, vv,
         |    CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS BIGINT) AS r0 FROM vr),
         |sd AS (SELECT m,
-        |    CASE WHEN CAST(r0 AS HUGEINT) * r0 > vv THEN r0 - 1 ELSE r0 END
+        |    CASE WHEN CAST(r0 AS HUGEINT) * r0 > vv THEN r0 - 1
+        |         WHEN CAST(r0 + 1 AS HUGEINT) * (r0 + 1) <= vv THEN r0 + 1
+        |         ELSE r0 END
         |      AS std_c
         |  FROM s0)
         |SELECT b.o_orderkey, CAST(b.fold AS BIGINT) AS fold,

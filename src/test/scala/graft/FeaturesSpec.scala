@@ -98,6 +98,34 @@ class FeaturesSpec extends SparkSpec {
     assert(fz.forall(_.isNullAt(0)))
   }
 
+  test("isqrt correction is exact on adversarial int64 values") {
+    import org.apache.spark.sql.functions._
+    // the standardScale isqrt spelling (floor(sqrt(double)) + one-step
+    // correction BOTH ways — r15 ADVICE item 2) replayed on values
+    // where the double path is most stressed: k²−1 / k² / k²+1 for k
+    // brushing the int64 sqrt ceiling, where sqrt(k²−1) rounds UP to k
+    // and cast rounding is half-ulp ≈ 1024
+    val ks = Seq(3037000499L, 3037000498L, 2147483648L, 4503599627L,
+      94906265L /* ~2^26.5, below the exact-double range edge */)
+    val vals = ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1))
+      .filter(v => v >= 0)
+    def isqrtRef(v: Long): Long = {
+      var x = BigInt(v).bigInteger.sqrt().longValueExact()
+      x
+    }
+    val df = vals.toDF("vv")
+      .withColumn("s0", floor(sqrt(col("vv").cast("double"))).cast("long"))
+      .withColumn("std_c", expr(
+        """CASE
+          |  WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > vv THEN s0 - 1
+          |  WHEN CAST(s0 + 1 AS DECIMAL(38,0)) * (s0 + 1) <= vv THEN s0 + 1
+          |  ELSE s0 END""".stripMargin))
+    val got = df.collect().map(r => r.getLong(0) -> r.getAs[Long]("std_c")).toMap
+    vals.foreach { v =>
+      assert(got(v) == isqrtRef(v), s"isqrt($v): got ${got(v)}, want ${isqrtRef(v)}")
+    }
+  }
+
   test("robustScale: exact type-1 median/IQR fit on train, signed floor z, zero-IQR NULL") {
     // top-bits folds: ids 1,3,4,6,7 train; 0,2,5 serve.
     // train cents sorted [50,100,300,600,700], n=5: type-1 ranks

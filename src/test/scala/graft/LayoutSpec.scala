@@ -118,7 +118,27 @@ class LayoutSpec extends SparkSpec {
     // range clustering: intervals disjoint except possibly shared
     // boundary keys -> depth <= 2; round-robin: every file spans the
     // whole key range -> depth = nFiles (nothing prunes)
-    assert(s.getLong(1) <= 2, s"sorted depth=${s.getLong(1)}")
-    assert(r.getLong(1) == 4, s"rr depth=${r.getLong(1)}")
+    assert(s.getLong(2) <= 2, s"sorted depth=${s.getLong(2)}")
+    assert(r.getLong(2) == 4, s"rr depth=${r.getLong(2)}")
+    assert(s.getLong(1) == 0 && r.getLong(1) == 0)
+  }
+
+  test("clusteringDepth: all-NULL-key files excluded from the sweep, reported") {
+    import graft.ops.Layout
+    // 2 all-null files + 2 disjoint-range files: depth must come from
+    // the 2 real intervals (1), n_files = 2, n_null_files = 2 — before
+    // the r15 ADVICE fix the null bounds sorted to one end and the
+    // all-null files inflated n_files (r15 ADVICE item 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_depth_null").toString
+    val df = Seq[(Integer, Int)]((1, 0), (2, 0), (10, 1), (11, 1),
+      (null.asInstanceOf[Integer], 2), (null.asInstanceOf[Integer], 2),
+      (null.asInstanceOf[Integer], 3))
+      .toDF("k", "p")
+    df.coalesce(1).write.mode("overwrite").partitionBy("p").parquet(dir)
+    val out = Layout.clusteringDepth(spark, dir, "k").collect().head
+    assert(out.getLong(0) == 2, s"n_files: $out")          // p=0, p=1
+    assert(out.getLong(1) == 2, s"n_null_files: $out")     // p=2, p=3
+    assert(out.getLong(2) == 1, s"depth of disjoint [1,2],[10,11]: $out")
   }
 }

@@ -439,6 +439,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getAs[Long]("dup_line_char_bp") == 5000L, d2.toString)
   }
 
+  test("gopherRepetitionHashed: dup/line shares identical; top shares " +
+      "identical off count-ties") {
+    import graft.ops.TextAnalysis
+    // the hash-keyed 100 TB tier: dup*/line* columns sum over the
+    // census (order-free) so they are value-identical absent polyHash
+    // collisions (~0 over a few thousand grams at P = 1e9+7); top*_bp
+    // matches whenever the per-(doc, n) argmax is UNIQUE by count —
+    // under a tie the two tie-breaks (gram ASC vs hash ASC) may crown
+    // winners of different char length (scaladoc; the oracle replays
+    // the hash tie-break so q297b still gates bit-for-bit)
+    val hand = Seq(
+      (0L, ("spam ham " * 5).trim),   // unique argmax at every n
+      (2L, "a\nb\na\nc")
+    ).toDF("doc_id", "text")
+    val fixture = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sumCols = Seq("doc_id", "n_words", "dup_line_bp",
+      "dup_line_char_bp") ++ (5 to 10).map(n => s"dup${n}_bp")
+    for (df <- Seq(hand, fixture)) {
+      val s = TextAnalysis.gopherRepetition(df, "doc_id", "text")
+      val h = TextAnalysis.gopherRepetitionHashed(df, "doc_id", "text")
+      assert(s.schema == h.schema)
+      val sd = s.select(sumCols.map(col): _*)
+      val hd = h.select(sumCols.map(col): _*)
+      assert(hd.exceptAll(sd).isEmpty && sd.exceptAll(hd).isEmpty)
+    }
+    // hand doc 0 has a unique-by-count top gram at every n -> FULL row
+    // equality including top*_bp and rep_pass
+    val s0 = TextAnalysis.gopherRepetition(hand, "doc_id", "text")
+      .filter(col("doc_id") === 0)
+    val h0 = TextAnalysis.gopherRepetitionHashed(hand, "doc_id", "text")
+      .filter(col("doc_id") === 0)
+    assert(h0.exceptAll(s0).isEmpty && s0.exceptAll(h0).isEmpty)
+  }
+
   test("distinctNgramRatios: hand-checked dist-n on repeated vs unique docs") {
     import graft.ops.TextAnalysis
     // doc 0: "a b a b" -> 1-grams 4 total 2 uniq = 5000; 2-grams
