@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 case class BpeMerge(iter: Int, l_tok: String, r_tok: String, pair_cnt: Long)
 
+/** Per-word E-step result of [[Bpe.unigramTrainEm]]: the unique argmin
+  * segmentation plus, for each DISTINCT multi-char piece in it, the
+  * integer cost increase if that piece were removed from the
+  * vocabulary (the likelihood-drop prune's per-word contribution).
+  * Top-level, not nested in the object — Spark's encoder resolves
+  * members of object-nested case classes as zero-arg outer methods and
+  * falls back to interpreted serialization (the WpDoc lesson).
+  */
+case class UnigramSeg(path: Seq[String], losses: Seq[UnigramLoss])
+
+/** One (piece, Δcost) loss probe of [[UnigramSeg]]. */
+case class UnigramLoss(piece: String, dcost: Long)
+
 /** Distributed BPE (byte-pair-encoding) tokenizer TRAINING — the
   * vocabulary-learning counterpart to [[TextAnalysis.wordpieceTokenize]]
   * (which applies a given vocab). Covers the reference's subword
@@ -149,10 +162,21 @@ object Bpe {
     *     path; cost = floor(−1000·ln(cnt/total)) — ONE IEEE log per
     *     piece on exact integers (the naiveBayesPredict micro-unit
     *     contract).
-    *   - PRUNE: chars are always kept with counts floored at 1 (every
-    *     word stays segmentable — SentencePiece's required-char rule);
-    *     longer pieces rank by (cnt DESC, piece ASC) and the top
-    *     `keepTop` survive.
+    *   - PRUNE (likelihood-drop, Kudo 2018 §3 — r15 verdict item 5):
+    *     chars are always kept with counts floored at 1 (every word
+    *     stays segmentable — SentencePiece's required-char rule);
+    *     each longer piece is priced by its LOSS-IF-REMOVED,
+    *     loss(p) = Σ_w freq(w)·(bestCost_without_p(w) − bestCost(w))
+    *     in the same 1000·ln micro-units (integer Δ of integer path
+    *     costs — one banned-piece DP per distinct path piece), and
+    *     the top `keepTop` by (loss DESC, cnt DESC, piece ASC)
+    *     survive. A high-count piece whose words re-segment for free
+    *     (e.g. fully covered by two surviving halves) prices at ~0
+    *     and prunes where count-rank would keep it (BpeSpec pins the
+    *     case). SentencePiece prunes a fixed fraction per round
+    *     against a soft-EM likelihood; the hard-EM integer Δ is this
+    *     engine's deterministic, oracle-replayable variant of the
+    *     same ranking.
     *
     * 100 TB posture: the corpus is scanned ONCE into the distinct-word
     * dictionary; every EM iteration runs over that dictionary alone
@@ -212,21 +236,47 @@ object Bpe {
       val ml = if (vm.isEmpty) 1 else vm.keys.map(_.length).max
       val bc = spark.sparkContext.broadcast((vm, ml))
       // unk cost is unreachable during training (every char of every
-      // training word is a seeded char piece, and chars never prune)
-      val pathUdf = udf { (w: String) =>
+      // training word is a seeded char piece, and chars never prune).
+      // One DP finds the argmin path; one extra banned-piece DP per
+      // DISTINCT multi-char piece of that path (≤ |w|/2 probes of an
+      // O(|w|·ml) DP on a ≤ maxWordLen word) prices its removal —
+      // the SentencePiece loss-if-removed prune (r15 verdict item 5)
+      // in the 1000·ln micro-unit integer contract
+      val segUdf = udf { (w: String) =>
         val (vmap, m) = bc.value
-        TextAnalysis.viterbiWordPath(w, vmap, m, 1000000L)
+        val path = TextAnalysis.viterbiWordPath(w, vmap, m, 1000000L)
+        val best = path.map(p => vmap.getOrElse(p, 1000000L)).sum
+        val losses = path.filter(_.length >= 2).distinct.map { p =>
+          UnigramLoss(p,
+            TextAnalysis.viterbiWordCostBanned(w, vmap, m, 1000000L, p)
+              - best)
+        }
+        UnigramSeg(path, losses)
       }
-      val counts = wf
-        .select(col("f"), explode(pathUdf(col("w"))).as("piece"))
+      val seg = wf.select(col("f"), segUdf(col("w")).as("r"))
+        .localCheckpoint(true)
+      val counts = seg
+        .select(col("f"), explode(col("r.path")).as("piece"))
         .groupBy("piece").agg(sum(col("f")).as("cnt"))
+      // loss(p) = Σ_w f(w)·Δcost(w, p): how much worse the corpus
+      // segments without p. Rank (loss DESC, cnt DESC, piece ASC) —
+      // a high-count piece whose words re-segment for free (fully
+      // covered by other surviving pieces) prices at 0 and prunes
+      val losses = seg
+        .select(col("f"), explode(col("r.losses")).as("pl"))
+        .groupBy(col("pl.piece").as("piece"))
+        .agg(sum(col("f") * col("pl.dcost")).as("loss"))
       val charCnt = cur.filter(length(col("piece")) === 1)
         .select(col("piece"))
         .join(counts, Seq("piece"), "left")
         .select(col("piece"),
           greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
       val nonChar = counts.filter(length(col("piece")) >= 2)
-        .orderBy(col("cnt").desc, col("piece").asc).limit(keepTop)
+        .join(losses, Seq("piece"), "left")
+        .withColumn("loss", coalesce(col("loss"), lit(0L)))
+        .orderBy(col("loss").desc, col("cnt").desc, col("piece").asc)
+        .limit(keepTop)
+        .select(col("piece"), col("cnt"))
       cur = withCosts(charCnt.unionByName(nonChar)).localCheckpoint(true)
       it += 1
     }

@@ -750,6 +750,37 @@ object TextAnalysis {
     (dpC(n), dpP(n))
   }
 
+  /** Best segmentation COST of `w` with one piece BANNED from the
+    * vocabulary — the loss-if-removed probe of
+    * [[Bpe.unigramTrainEm]]'s likelihood-drop prune (r15 verdict item
+    * 5): loss(p) = Σ_w freq(w) · (cost_without_p(w) − cost(w)). Cost
+    * only (the alternative path itself is irrelevant to the Δ); the
+    * all-chars fallback always exists because chars never prune, so
+    * the result is finite for every non-char ban.
+    */
+  private[graft] def viterbiWordCostBanned(w: String, vm: Map[String, Long],
+      ml: Int, unkCost: Long, banned: String): Long = {
+    val n = w.length
+    val dp = Array.fill(n + 1)(Long.MaxValue)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - ml)
+      while (j < i) {
+        if (dp(j) != Long.MaxValue) {
+          val piece = w.substring(j, i)
+          if (piece != banned) {
+            val c = vm.getOrElse(piece, if (i - j == 1) unkCost else -1L)
+            if (c >= 0L && dp(j) + c < dp(i)) dp(i) = dp(j) + c
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    dp(n)
+  }
+
   /** [[viterbiWord]] with the ARGMIN PATH — the E-step kernel of
     * [[Bpe.unigramTrainEm]]'s hard-EM training loop. Ties resolve by
     * the full lexicographic triple (cost, n_pieces, path-string with

@@ -148,7 +148,11 @@ object LlmQueries extends QueryGroup {
     * distinct training word (path strings with chr(31) separators) and
     * the ROW_NUMBER argmin over the same (cost, np, path) total order
     * the Spark DP stores — so the M-step counts the identical pieces.
-    * Ends at `v2`, the learned (piece, cnt, cost) vocabulary.
+    * The likelihood-drop prune (r15 verdict item 5) replays as a
+    * correlated MIN over the SAME enumerated path set restricted to
+    * paths not containing the probed piece — the SQL mirror of the
+    * banned-piece DP. Ends at `v2`, the learned (piece, cnt, cost)
+    * vocabulary.
     */
   private def unigramEmIterCtes(i: Int, vin: String): String =
     s"""seg$i AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
@@ -160,18 +164,38 @@ object LlmQueries extends QueryGroup {
        |  FROM seg$i s JOIN $vin p
        |    ON s.pos + LENGTH(p.piece) <= LENGTH(s.w)
        |   AND substr(s.w, s.pos + 1, LENGTH(p.piece)) = p.piece),
-       |best$i AS MATERIALIZED (SELECT w, path FROM (
-       |  SELECT w, path, ROW_NUMBER() OVER (PARTITION BY w
+       |paths$i AS MATERIALIZED (SELECT w, cost, np, path FROM seg$i
+       |  WHERE pos = LENGTH(w)),
+       |best$i AS MATERIALIZED (SELECT w, cost, path FROM (
+       |  SELECT w, cost, path, ROW_NUMBER() OVER (PARTITION BY w
        |      ORDER BY cost ASC, np ASC, path ASC) AS rn
-       |  FROM seg$i WHERE pos = LENGTH(w)) WHERE rn = 1),
+       |  FROM paths$i) WHERE rn = 1),
        |pc$i AS MATERIALIZED (SELECT piece, SUM(f) AS cnt FROM (
        |  SELECT wf.f, unnest(string_split(b.path, chr(31))) AS piece
        |  FROM wf JOIN best$i b ON wf.w = b.w) GROUP BY piece),
+       |-- likelihood-drop prune: price each distinct multi-char piece
+       |-- of each best path by min-cost-over-paths-not-using-it minus
+       |-- best cost (the all-chars path guarantees the min exists)
+       |wp$i AS (SELECT DISTINCT w, piece FROM (
+       |  SELECT b.w, unnest(string_split(b.path, chr(31))) AS piece
+       |  FROM best$i b) WHERE LENGTH(piece) >= 2),
+       |ls$i AS MATERIALIZED (SELECT wp.piece,
+       |    SUM(wf.f * ((SELECT MIN(s.cost) FROM paths$i s
+       |      WHERE s.w = wp.w AND NOT list_contains(
+       |        string_split(s.path, chr(31)), wp.piece)) - b.cost))
+       |      AS loss
+       |  FROM wp$i wp
+       |  JOIN best$i b ON wp.w = b.w
+       |  JOIN wf ON wf.w = wp.w
+       |  GROUP BY wp.piece),
        |ch$i AS (SELECT v.piece, GREATEST(COALESCE(p.cnt, 0), 1) AS cnt
        |  FROM (SELECT piece FROM $vin WHERE LENGTH(piece) = 1) v
        |  LEFT JOIN pc$i p ON v.piece = p.piece),
-       |nc$i AS (SELECT piece, cnt FROM pc$i WHERE LENGTH(piece) >= 2
-       |  ORDER BY cnt DESC, piece ASC LIMIT 24),
+       |nc$i AS (SELECT p.piece, p.cnt FROM pc$i p
+       |  LEFT JOIN ls$i l ON p.piece = l.piece
+       |  WHERE LENGTH(p.piece) >= 2
+       |  ORDER BY COALESCE(l.loss, 0) DESC, p.cnt DESC, p.piece ASC
+       |  LIMIT 24),
        |al$i AS (SELECT piece, cnt FROM ch$i
        |  UNION ALL SELECT piece, cnt FROM nc$i),
        |tt$i AS (SELECT SUM(cnt) AS tot FROM al$i),

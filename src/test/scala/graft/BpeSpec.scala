@@ -159,4 +159,22 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(v.sortBy(_._1).toSeq === v7.sortBy(_._1).toSeq)
   }
+
+  test("unigramTrainEm: loss-prune drops a high-count piece count-rank keeps") {
+    // the r15 verdict-5 discriminating corpus: 'abc' (f=100) is the
+    // SECOND-most-counted non-char piece in the best paths, but its
+    // words re-segment cheaply as [ab, c] because 'ab' (f=1000) is
+    // cheap — loss(abc) = 100·cost(ab) ≈ 146k. 'qz' (f=50) has only
+    // the expensive all-chars fallback — loss(qz) = 50·cost(qz) ≈
+    // 228k. With keepTop = 2 count-rank keeps {ab, abc}; the
+    // likelihood-drop prune must keep {ab, qz}.
+    val text = (Seq.fill(1000)("ab") ++ Seq.fill(100)("abc") ++
+      Seq.fill(50)("qz")).mkString(" ")
+    val df = Seq((0L, text)).toDF("doc_id", "text")
+    val v = Bpe.unigramTrainEm(df, "text", keepTop = 2, iterations = 1)
+      .collect().map(r => r.getString(0)).toSet
+    val nonChar = v.filter(_.length >= 2)
+    assert(nonChar == Set("ab", "qz"),
+      s"loss-prune should keep {ab, qz}, got $nonChar")
+  }
 }
