@@ -114,6 +114,42 @@ for (((tag, tl), sec) <- mins.toSeq.sortBy(_._1.toString))
   println(f"[stress] MIN-OF-2 $tag%-7s twolevel=$tl%-5s $sec%8.2f s")
 println(f"[stress] hashed/string wall ratio: twolevel-on=${mins(("hashed", true)) / mins(("string", true))}%.3f  twolevel-off=${mins(("hashed", false)) / mins(("string", false))}%.3f")
 
+// ---- 2. suffixRankSpans: the exact suffix-ranking substring-dedup
+// tier (q321, r15 verdict item 4) at 100k docs / ~18M char positions.
+// 10% of docs carry a planted 62-char boilerplate; the receipt checks
+// wall time (vs the token-window dupSpans approximation on the same
+// corpus for context), that every planted doc is covered by a span at
+// least as long as the plant, and bit-identical spans under a 97-way
+// input repartition (partition invariance of the distributed dense
+// rank + its localCheckpoint pid pinning).
+val plant = "all work and no play makes jack a dull boy every single day.."
+val w6 = (0 until 24).map(j =>
+  substring(md5(pmod(col("id") * (j * 17 + 11), lit(40000))
+    .cast("string")), 1, 5))
+val docs100k = spark.range(100000L).select(col("id").as("doc_id"),
+  when(pmod(col("id"), lit(10L)) === 0,
+      concat_ws(" ", (w6.take(8) :+ lit(plant)) ++ w6.drop(8): _*))
+    .otherwise(concat_ws(" ", w6: _*)).as("text"))
+val (secSuf, _) = timedShuffle("suffixRankSpans 100k docs L=30") {
+  graft.ops.Corpus.suffixRankSpans(docs100k, "doc_id", "text", 30)
+    .agg(sum("span_len"), count(lit(1))).collect().head.getLong(1)
+}
+val (secDup, _) = timedShuffle("dupSpans (token windows) 100k docs") {
+  graft.ops.Corpus.dupSpans(docs100k, "doc_id", "text", 5)
+    .agg(sum("n_dup"), count(lit(1))).collect().head.getLong(1)
+}
+println(f"[stress] suffix exact tier = ${secSuf}%.1f s vs token-window approx = ${secDup}%.1f s at 100k docs")
+val spans = graft.ops.Corpus.suffixRankSpans(docs100k, "doc_id", "text", 30)
+val planted = spans.filter(pmod(col("doc_id"), lit(10L)) === 0 &&
+  col("span_len") >= plant.length)
+  .select(countDistinct(col("doc_id"))).collect().head.getLong(0)
+println(s"[stress] planted docs covered by a >=62-char span: $planted / 10000 (must be 10000)")
+val a = spans.orderBy("doc_id", "span_start").collect().mkString("|").hashCode
+val b = graft.ops.Corpus.suffixRankSpans(docs100k.repartition(97),
+    "doc_id", "text", 30)
+  .orderBy("doc_id", "span_start").collect().mkString("|").hashCode
+println(s"[stress] suffix spans partition-invariant: ${a == b}")
+
 // dup-share equality between the tiers at this scale (order-free
 // columns; top*_bp can differ under count ties -- scaladoc)
 val sCols = graft.ops.TextAnalysis.gopherRepetition(docs1m, "doc_id", "text")

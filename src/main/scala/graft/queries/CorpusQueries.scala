@@ -487,6 +487,18 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT char-level duplicated spans by distributed suffix ranking
+    // (NEW r16, the exact Lee-et-al tier q154 approximates at token
+    // granularity): prefix-doubling rank classes at exactly 30 chars,
+    // no hashes, no window strings; spans merge per doc. doc_id % 4
+    // slice keeps the oracle's substring census cheap
+    "q321_suffix_spans" -> ((s, d) => {
+      Corpus.suffixRankSpans(
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", minLen = 30)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // per-source operational report (NEW r8): doc counts, exact-dup
     // rate, token mass, mean length — the pre-mixing dashboard
     "q169_source_report" -> ((s, d) => {
@@ -1326,6 +1338,31 @@ object CorpusQueries extends QueryGroup {
          |  CAST(n_toks - COALESCE(n_kept, 0) AS INTEGER) AS n_removed,
          |  COALESCE(text_dedup, '') AS text_dedup
          |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
+
+    // the oracle sorts/censuses the fixture's substrings DIRECTLY
+    // (bounded corpus): every 30-char window with corpus-wide count
+    // >= 2, merged by gaps-and-islands — the Spark side must produce
+    // the identical spans from rank classes alone
+    "q321_suffix_spans" ->
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents
+         |  WHERE doc_id % 4 = 0),
+         |pos AS (SELECT doc_id, i, substr(s, CAST(i AS INTEGER), 30) AS w
+         |  FROM t CROSS JOIN (SELECT unnest(range(1,
+         |    CAST(COALESCE((SELECT MAX(LENGTH(s)) FROM t), 0) AS BIGINT)
+         |    + 1)) AS i) r
+         |  WHERE i + 30 - 1 <= LENGTH(s)),
+         |dupw AS (SELECT w FROM pos GROUP BY w HAVING COUNT(*) >= 2),
+         |dup AS (SELECT doc_id, i FROM pos
+         |  WHERE w IN (SELECT w FROM dupw)),
+         |isl AS (SELECT doc_id, i,
+         |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM dup)
+         |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+         |  CAST(MAX(i) + 29 AS BIGINT) AS span_end,
+         |  CAST(MAX(i) - MIN(i) + 30 AS BIGINT) AS span_len,
+         |  COUNT(*) AS n_windows
+         |FROM isl GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "q140c_containment" ->
       s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),

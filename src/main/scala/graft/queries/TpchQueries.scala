@@ -121,11 +121,14 @@ object TpchQueries extends QueryGroup {
             .select(col("p_partkey"))),
           col("ps_partkey") === col("p_partkey"))
         .join(suppGeo, col("ps_suppkey") === col("s_suppkey"))
-      val minCost = cand.groupBy(col("ps_partkey").as("mk"))
-        .agg(min(col("ps_supplycost")).as("min_cost"))
+      // per-part min via a part-partitioned window, not a self-join:
+      // one pass over ONE candidate subtree (a grouped-min + join-back
+      // would re-derive the surrogate and scan lineitem twice)
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ps_partkey"))
       cand
-        .join(minCost, col("ps_partkey") === col("mk") &&
-          col("ps_supplycost") === col("min_cost"))
+        .withColumn("min_cost", min(col("ps_supplycost")).over(wMin))
+        .filter(col("ps_supplycost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("ps_supplycost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
@@ -149,8 +152,12 @@ object TpchQueries extends QueryGroup {
           col("ps_supplycost_cents") * col("ps_availqty"))
       val byPart = v.groupBy(col("ps_partkey"))
         .agg(sum(col("pv_cents")).as("value_cents"))
-      val total = v.agg(sum(col("pv_cents")).as("total_cents"))
-      byPart.crossJoin(broadcast(total))
+      // global total as a window over the PER-PART aggregate (bounded
+      // by |part| — the whitelisted bounded-global-window class), not
+      // a second aggregation of v: one scan of lineitem total
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      byPart
+        .withColumn("total_cents", sum(col("value_cents")).over(wAll))
         .filter(col("value_cents") * 10000 > col("total_cents") * 5)
         .select(col("ps_partkey"),
           round(col("value_cents") / 100.0, 2).as("value"))

@@ -299,6 +299,53 @@ class CorpusSpec extends SparkSpec {
     assert(r(3).getAs[Int]("n_dup") == 0)
   }
 
+  test("suffixRankSpans: planted duplicates, exact boundaries, brute-force agreement") {
+    import spark.implicits._
+    val planted = "the quick brown fox jumps over the lazy dog today"  // 49 chars
+    val df = Seq(
+      (1L, s"alpha one $planted beta two"),
+      (2L, s"gamma three four $planted delta"),
+      (3L, s"unique text with no repeats at all whatsoever here"),
+      // within-doc repeat: dupSpans' cross-doc countDistinct misses
+      // this class; the suffix tier's corpus-wide count >= 2 catches it
+      (4L, "zzqjxkvw0123456789abcdefghij!!! and zzqjxkvw0123456789abcdefghij??")
+    ).toDF("doc_id", "text")
+    val L = 20
+    val got = Corpus.suffixRankSpans(df, "doc_id", "text", minLen = L)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // brute force on the normalized texts: every L-window with global
+    // count >= 2, islands merged
+    val norm = df.select($"doc_id",
+        graft.ops.Dedup.normText($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val wins = norm.flatMap { case (d, s) =>
+      (1 to s.length - L + 1).map(i => (d, i, s.substring(i - 1, i - 1 + L))) }
+    val dupW = wins.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val want = norm.flatMap { case (d, s) =>
+      val ps = (1 to math.max(s.length - L + 1, 0))
+        .filter(i => dupW.contains(s.substring(i - 1, i - 1 + L)))
+      // islands
+      val runs = ps.foldLeft(List.empty[List[Int]]) {
+        case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+          (p :: acc.head) :: acc.tail
+        case (acc, p) => List(p) :: acc
+      }.map(_.reverse).reverse
+      runs.map(r => (d, r.head.toLong, (r.last + L - 1).toLong,
+        (r.last + L - 1 - r.head + 1).toLong, r.size.toLong))
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq,
+      s"got ${got.mkString(";")} want ${want.mkString(";")}")
+    // the planted 49-char string shares its flanking spaces in both
+    // docs, so the maximal duplicated span is exactly 51 chars — the
+    // suffix tier finds the true maximal extent, not just the plant
+    assert(got.exists(t => t._1 == 1L && t._4 == 51L))
+    assert(got.exists(t => t._1 == 4L))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("bottomKPerStratum: exact n per stratum, membership is stable") {
     val s1 = Corpus.bottomKPerStratum(docs, "lang", "doc_id", n = 4)
     val counts = s1.groupBy("lang").count().collect()
