@@ -9,17 +9,16 @@
 //      (asserted below; total shuffle write ~10 MB in both tiers --
 //      just the 12M word rows for the window sort).
 //   2. Where the key type DOES matter is the census HashAggregate
-//      itself. Stable cells across two full receipt runs (min-of-2
-//      interleaved, ~4M groups/partition): hashed+twolevel-OFF 12.0 /
-//      13.7 s -- the fastest shape; string+twolevel-OFF 19.2 / 21.7 s
-//      (hashed = 0.63x: fixed 8-byte keys hash/compare in constant
-//      time, agg map + spill free of 20-100-byte gram strings). The
-//      twolevel=ON cells are heat-noisy on this host (14.7-47 s) but
-//      never beat their OFF twins: the codegen two-level fast map's
-//      2^16 capacity is pure per-probe overhead at census
-//      cardinality. Deployment note lives in gopherRepetitionHashed's
-//      scaladoc: disable the two-level map for jobs dominated by
-//      multi-million-group partial aggs.
+//      itself. Across THREE receipt runs (min-of-2 interleaved, ~4M
+//      groups/partition) the hashed tier is stably 0.59-0.63x the
+//      string tier (final build: hashed 12.1/12.8 s vs string
+//      20.4/21.6 s, BOTH fast-map configs -- fixed 8-byte keys
+//      hash/compare in constant time, agg map + spill free of
+//      20-100-byte gram strings). Secondary: the codegen two-level
+//      fast map (2^16 entries) never beat OFF in any run and degraded
+//      cells up to 2x inside the two heat-affected runs (string+ON
+//      47 s vs OFF 19-22 s) -- prefer twolevel OFF at census
+//      cardinality (gopherRepetitionHashed scaladoc).
 //   Receipt: [string, hashed] x [twolevel on, off], 2 interleaved
 //   passes each, per-cell MIN (this host shows 1.5x heat windows);
 //   dup/line share sums bit-equal between tiers.

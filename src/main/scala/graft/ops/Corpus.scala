@@ -862,6 +862,79 @@ object Corpus {
     */
   def suffixRankSpans(df: DataFrame, id: String, text: String,
       minLen: Int): DataFrame = {
+    val full = suffixRankPositions(df, id, text, minLen)
+    val dupClasses = full.groupBy(col("r"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select(col("r"))
+    val dup = full.join(dupClasses, Seq("r"), "left_semi")
+    val wRun = Window.partitionBy(col(id)).orderBy(col("p"))
+    dup.withColumn("__isl", col("p") - row_number().over(wRun))
+      .groupBy(col(id), col("__isl"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + minLen - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(id), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+  }
+
+  /** The exact substring-dedup TRANSFORM at char granularity — the
+    * [[dedupSpansRewrite]] counterpart of [[suffixRankSpans]] (same
+    * Lee et al. 2022 rewrite semantics, exact rank classes instead of
+    * window strings): every `minLen`-char window class with ≥ 2
+    * members keeps only its globally-first occurrence (min (id, p));
+    * every character covered by a non-first duplicated window is
+    * excised and the doc rebuilt from the survivors in order —
+    * (id, n_chars, n_removed, text_dedup), n_removed = 0 rows pass
+    * through verbatim (over the NORMALIZED text, like the spans op).
+    *
+    * Scale shape: [[suffixRankPositions]]'s ⌈log₂ L⌉ rank rounds, then
+    * ONE bounded class aggregate (cnt + min position), co-partitioned
+    * (id, p) joins for cover/excise, and a per-doc rebuild — the same
+    * final joins as [[dedupSpansRewrite]] minus its ~L× window-string
+    * byte amplification.
+    */
+  def suffixRankRewrite(df: DataFrame, id: String, text: String,
+      minLen: Int): DataFrame = {
+    val norm = Dedup.normText(col(text))
+    val full = suffixRankPositions(df, id, text, minLen)
+    val stat = full.groupBy(col("r"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(id), col("p"))).as("__f"))
+    val marked = full.join(stat, Seq("r"))
+      .filter(col("__cnt") > 1 &&
+        !(col("__f")(id) === col(id) && col("__f")("p") === col("p")))
+      .select(col(id), col("p"))
+    val cover = marked
+      .select(col(id),
+        explode(sequence(col("p"), col("p") + minLen - 1)).as("cp"))
+      .distinct()
+    val chars = df.select(col(id),
+        posexplode(split(norm, "")).as(Seq("cp0", "ch")))
+      .filter(length(col("ch")) > 0)
+      .select(col(id), (col("cp0") + 1).cast("long").as("cp"), col("ch"))
+    val rebuilt = chars
+      .join(cover, Seq(id, "cp"), "left_anti")
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("cp"), col("ch")))).as("a"))
+      .select(col(id), size(col("a")).cast("long").as("__kept"),
+        array_join(transform(col("a"), s => s("ch")), "").as("text_dedup"))
+    df.select(col(id), length(norm).cast("long").as("n_chars"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_chars"),
+        (col("n_chars") - coalesce(col("__kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Shared kernel of [[suffixRankSpans]] / [[suffixRankRewrite]]:
+    * exact rank classes of every full `minLen`-char window, by
+    * prefix-doubling — returns (id, p, r) for positions with a full
+    * window (see suffixRankSpans' scaladoc for the algorithm and the
+    * distributed dense-rank construction).
+    */
+  private def suffixRankPositions(df: DataFrame, id: String,
+      text: String, minLen: Int): DataFrame = {
     require(minLen >= 2 && minLen <= 4096,
       s"minLen must be in [2, 4096], got $minLen")
     val norm = Dedup.normText(col(text))
@@ -906,22 +979,9 @@ object Corpus {
       k += shift
     }
     val lens = df.select(col(id), length(norm).cast("long").as("__len"))
-    val full = ranks.join(lens, Seq(id))
+    ranks.join(lens, Seq(id))
       .filter(col("p") + minLen - 1 <= col("__len"))
       .select(col(id), col("p"), col("r"))
-    val dupClasses = full.groupBy(col("r"))
-      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
-      .select(col("r"))
-    val dup = full.join(dupClasses, Seq("r"), "left_semi")
-    val wRun = Window.partitionBy(col(id)).orderBy(col("p"))
-    dup.withColumn("__isl", col("p") - row_number().over(wRun))
-      .groupBy(col(id), col("__isl"))
-      .agg(min(col("p")).as("span_start"),
-        (max(col("p")) + minLen - 1).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select(col(id), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_len"),
-        col("n_windows"))
   }
 
   /** Exact substring dedup with REWRITE (Lee et al. 2022, "Deduplicating

@@ -235,13 +235,15 @@ object TextAnalysis {
     * win is NOT shuffle bytes). (2) The swap shrinks the census
     * HashAggregate: fixed 8-byte keys hash/compare in constant time
     * and the agg map (and any spill) drops the 20–100-byte gram
-    * strings — stable 0.63× wall vs the string tier at 1M docs/~63M
-    * gram rows (12–14 s vs ~20 s min-of-2 interleaved) once the
-    * codegen TWO-LEVEL FAST MAP is disabled. Deployment note: at
-    * census cardinalities (millions of groups per partition) the
-    * 2^16-entry fast map is pure per-probe overhead for both tiers —
-    * set spark.sql.codegen.aggregate.map.twolevel.enabled=false for
-    * jobs dominated by high-cardinality partial aggs. The
+    * strings — 0.59–0.63× wall vs the string tier at 1M docs/~63M
+    * gram rows (hashed 12–14 s vs string 20–22 s, min-of-2
+    * interleaved, STABLE across three receipt runs and both fast-map
+    * configs). Secondary finding on the codegen TWO-LEVEL FAST MAP
+    * (2^16 entries): at census cardinality (millions of groups per
+    * partition) twolevel=ON never beat OFF in any receipt run and
+    * degraded up to 2× inside the two heat-affected runs — prefer
+    * spark.sql.codegen.aggregate.map.twolevel.enabled=false for jobs
+    * dominated by multi-million-group partial aggs. The
     * duplicate-line census gets the same hash
     * treatment ((doc, polyHash(line)) + max(len)). The
     * top-gram tie-break moves from (cnt DESC, gram ASC) to (cnt DESC,

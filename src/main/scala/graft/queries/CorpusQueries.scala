@@ -499,6 +499,17 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // the exact tier's TRANSFORM (NEW r16): excise every char covered
+    // by a non-first duplicated 30-char window class and rebuild —
+    // q154b's rewrite semantics with rank classes instead of window
+    // strings
+    "q321b_suffix_rewrite" -> ((s, d) => {
+      Corpus.suffixRankRewrite(
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", minLen = 30)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source operational report (NEW r8): doc counts, exact-dup
     // rate, token mass, mean length — the pre-mixing dashboard
     "q169_source_report" -> ((s, d) => {
@@ -1363,6 +1374,39 @@ object CorpusQueries extends QueryGroup {
          |  COUNT(*) AS n_windows
          |FROM isl GROUP BY doc_id, g
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // first-occurrence rule replayed as ROW_NUMBER over (doc_id, i)
+    // per window value — identical to Spark's min(struct(id, p))
+    "q321b_suffix_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents
+         |  WHERE doc_id % 4 = 0),
+         |r AS (SELECT unnest(range(1,
+         |    CAST(COALESCE((SELECT MAX(LENGTH(s)) FROM t), 0) AS BIGINT)
+         |    + 1)) AS i),
+         |pos AS (SELECT doc_id, i, substr(s, CAST(i AS INTEGER), 30) AS w
+         |  FROM t CROSS JOIN r WHERE i + 29 <= LENGTH(s)),
+         |w2 AS (SELECT doc_id, i,
+         |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn,
+         |    COUNT(*) OVER (PARTITION BY w) AS cnt FROM pos),
+         |marked AS (SELECT doc_id, i FROM w2 WHERE cnt > 1 AND rn > 1),
+         |cover AS (SELECT DISTINCT doc_id,
+         |    unnest([i + k for k in range(0, 30)]) AS cp FROM marked),
+         |chars AS (SELECT doc_id, i AS cp,
+         |    substr(s, CAST(i AS INTEGER), 1) AS ch
+         |  FROM t CROSS JOIN r WHERE i <= LENGTH(s)),
+         |kept AS (SELECT c.doc_id, c.cp, c.ch FROM chars c
+         |  LEFT JOIN cover v ON c.doc_id = v.doc_id AND c.cp = v.cp
+         |  WHERE v.doc_id IS NULL),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  string_agg(ch, '' ORDER BY cp) AS text_dedup
+         |  FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(LENGTH(s) AS BIGINT) AS n_chars
+         |  FROM t)
+         |SELECT tot.doc_id, n_chars,
+         |  CAST(n_chars - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(text_dedup, '') AS text_dedup
+         |FROM tot LEFT JOIN reb USING (doc_id)
+         |ORDER BY tot.doc_id""".stripMargin,
 
     "q140c_containment" ->
       s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),

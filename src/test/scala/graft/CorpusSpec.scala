@@ -346,6 +346,37 @@ class CorpusSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("suffixRankRewrite: first occurrence kept, covered chars excised") {
+    import spark.implicits._
+    val plant = "abcdefghijklmnopqrstuvwxyz0123456789"  // 36 chars
+    val df = Seq(
+      (1L, s"first $plant tail one"),
+      (2L, s"second copy here $plant tail two"),
+      (3L, "no duplicates in this row at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.suffixRankRewrite(df, "doc_id", "text", minLen = 20)
+      .orderBy("doc_id").collect()
+    // doc 1 holds the globally-first occurrence (min (id, p)) -> intact
+    assert(out(0).getAs[Long]("n_removed") == 0L, out(0).toString)
+    assert(out(0).getAs[String]("text_dedup") == s"first $plant tail one")
+    // doc 2 loses the duplicated span; the plant may NOT survive there.
+    // Exact extent: duplicated windows cover " plant tail" chars shared
+    // with doc 1 (flanking space + " tail" shared too) — assert the
+    // plant is gone and the prefix survives
+    val d2 = out(1).getAs[String]("text_dedup")
+    assert(out(1).getAs[Long]("n_removed") > 0L)
+    assert(!d2.contains(plant) && d2.startsWith("second copy here"))
+    // untouched doc passes through verbatim
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+    assert(out(2).getAs[String]("text_dedup") ==
+      "no duplicates in this row at all")
+    // mass conservation: n_chars - n_removed = length of rebuilt text
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_chars") - r.getAs[Long]("n_removed") ==
+        r.getAs[String]("text_dedup").length, r.toString)
+    }
+  }
+
   test("bottomKPerStratum: exact n per stratum, membership is stable") {
     val s1 = Corpus.bottomKPerStratum(docs, "lang", "doc_id", n = 4)
     val counts = s1.groupBy("lang").count().collect()
