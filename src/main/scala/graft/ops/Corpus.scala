@@ -927,6 +927,38 @@ object Corpus {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Duplication-ATTRIBUTION edges over the exact rank classes — the
+    * contamination-forensics twin of [[suffixRankSpans]]: for every
+    * duplicated `minLen`-char window class, the globally-first
+    * occurrence (min (id, p)) is the SOURCE and every other member an
+    * instance of copying from it; edges aggregate to (src_id, dst_id,
+    * n_windows) — "how much verbatim text did dst share with the
+    * first place it appeared". Within-doc self-repeats (src = dst)
+    * are reported too (boilerplate inside one doc). Top `topK` edges
+    * by (n_windows DESC, src_id, dst_id).
+    *
+    * Same scale shape as the spans op: the ⌈log₂ L⌉ rank rounds, one
+    * bounded per-class aggregate, one co-partitioned join back —
+    * edges are ≤ positions, and topK bounds the result.
+    */
+  def dupAttribution(df: DataFrame, id: String, text: String,
+      minLen: Int, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK in [1, 1e5], got $topK")
+    val full = suffixRankPositions(df, id, text, minLen)
+    val stat = full.groupBy(col("r"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(id), col("p"))).as("__f"))
+      .filter(col("__cnt") > 1)
+      .select(col("r"), col("__f")(id).as("src_id"),
+        col("__f")("p").as("__fp"))
+    full.join(stat, Seq("r"))
+      .filter(!(col(id) === col("src_id") && col("p") === col("__fp")))
+      .groupBy(col("src_id"), col(id).as("dst_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("n_windows").desc, col("src_id"), col("dst_id"))
+      .limit(topK)
+  }
+
   /** Shared kernel of [[suffixRankSpans]] / [[suffixRankRewrite]]:
     * exact rank classes of every full `minLen`-char window, by
     * prefix-doubling — returns (id, p, r) for positions with a full

@@ -510,6 +510,16 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // duplication-attribution edges (NEW r16): for each duplicated
+    // 30-char window class the globally-first occurrence is the
+    // source; edges (src, dst, n_windows) = contamination forensics
+    "q322_dup_attribution" -> ((s, d) => {
+      Corpus.dupAttribution(
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", minLen = 30, topK = 100)
+        .orderBy(col("n_windows").desc, col("src_id"), col("dst_id"))
+    }),
+
     // per-source operational report (NEW r8): doc counts, exact-dup
     // rate, token mass, mean length — the pre-mixing dashboard
     "q169_source_report" -> ((s, d) => {
@@ -1407,6 +1417,28 @@ object CorpusQueries extends QueryGroup {
          |  COALESCE(text_dedup, '') AS text_dedup
          |FROM tot LEFT JOIN reb USING (doc_id)
          |ORDER BY tot.doc_id""".stripMargin,
+
+    // first occurrence per window value = FIRST_VALUE over the same
+    // (doc_id, i) total order Spark's min(struct(id, p)) encodes
+    "q322_dup_attribution" ->
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents
+         |  WHERE doc_id % 4 = 0),
+         |r AS (SELECT unnest(range(1,
+         |    CAST(COALESCE((SELECT MAX(LENGTH(s)) FROM t), 0) AS BIGINT)
+         |    + 1)) AS i),
+         |pos AS (SELECT doc_id, i, substr(s, CAST(i AS INTEGER), 30) AS w
+         |  FROM t CROSS JOIN r WHERE i + 29 <= LENGTH(s)),
+         |w2 AS (SELECT doc_id, i, w,
+         |    FIRST_VALUE(doc_id) OVER
+         |      (PARTITION BY w ORDER BY doc_id, i) AS src_id,
+         |    ROW_NUMBER() OVER
+         |      (PARTITION BY w ORDER BY doc_id, i) AS rn,
+         |    COUNT(*) OVER (PARTITION BY w) AS cnt FROM pos)
+         |SELECT src_id, doc_id AS dst_id, COUNT(*) AS n_windows
+         |FROM w2 WHERE cnt > 1 AND rn > 1
+         |GROUP BY 1, 2
+         |ORDER BY n_windows DESC, src_id, dst_id
+         |LIMIT 100""".stripMargin,
 
     "q140c_containment" ->
       s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),

@@ -377,6 +377,27 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("dupAttribution: edges point at the globally-first occurrence") {
+    import spark.implicits._
+    val plant = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val df = Seq(
+      (5L, s"late copy $plant end"),       // lowest id but NOT first by (id,p)? id 5 < 7 < 9 -> IS first
+      (7L, s"another copy $plant here"),
+      (9L, s"x $plant y $plant z"),        // two copies within one doc
+      (11L, "nothing shared in this one")
+    ).toDF("doc_id", "text")
+    val edges = Corpus.dupAttribution(df, "doc_id", "text",
+        minLen = 20, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // min (id, p) = doc 5 -> every edge sources at 5; dsts are 7 and 9
+    // (twice the mass for 9's two copies), never 11, and 5 itself only
+    // if it repeated the window internally (it doesn't)
+    assert(edges.nonEmpty && edges.forall(_._1 == 5L), edges.mkString(";"))
+    assert(edges.map(_._2).toSet == Set(7L, 9L), edges.mkString(";"))
+    val m = edges.map(e => e._2 -> e._3).toMap
+    assert(m(9L) > m(7L), s"doc 9 carries two copies: $m")
+  }
+
   test("bottomKPerStratum: exact n per stratum, membership is stable") {
     val s1 = Corpus.bottomKPerStratum(docs, "lang", "doc_id", n = 4)
     val counts = s1.groupBy("lang").count().collect()
