@@ -12,7 +12,9 @@ import graft.Tables
   * l_commitdate/l_receiptdate/l_shipmode/l_shipinstruct, o_comment,
   * c_phone and p_container, so:
   *
-  *  - Q2/Q11/Q20 (partsupp-bound) are out of scope;
+  *  - Q2/Q11/Q20 (partsupp-bound) run against the DERIVED partsupp
+  *    surrogate (q318–q320, r16 — see [[partsupp]]; marked Q2'/Q11'/
+  *    Q20');
   *  - Q4's commit<receipt late-line predicate becomes
   *    l_shipdate > o_orderdate (same EXISTS-semi-join shape);
   *  - Q12's ship-mode split is unexpressible (no stand-in column
@@ -186,7 +188,9 @@ object TpchQueries extends QueryGroup {
         .select(col("ps_suppkey"))
       Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
-            .filter(col("n_name") === "NATION_5")),
+            // NATION_3: holds eligible suppliers at every fixture SF
+            // (the q303 discipline; NATION_5 is empty at sf0.001)
+            .filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
         .join(eligible, col("s_suppkey") === col("ps_suppkey"), "leftsemi")
         .select(col("s_name"), col("s_acctbal"))
@@ -469,7 +473,7 @@ object TpchQueries extends QueryGroup {
          |SELECT s_name, s_acctbal
          |FROM supplier
          |JOIN nation ON s_nationkey = n_nationkey
-         |WHERE n_name = 'NATION_5'
+         |WHERE n_name = 'NATION_3'
          |  AND s_suppkey IN (
          |    SELECT ps_suppkey FROM ps
          |    WHERE ps_partkey IN
