@@ -354,10 +354,31 @@ object Streams {
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     base.resolve("graft-stream-ckpt")
   }
+  /** Best-effort recursive delete (see the cleanup note in
+    * [[runToBatch]] for why IO errors are swallowed). */
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+  }
+
   def runToBatch(spark: SparkSession, stream: DataFrame, name: String,
                  outputMode: String = "append"): DataFrame = {
     val sinkName = s"${name}_${runCounter.incrementAndGet()}"
     val ckpt = ckptRoot.resolve(sinkName)
+    // PRE-clean: a DESIGNED-ABORT replay (the state-cap fail-fast
+    // gates) can lose the post-run cleanup race to in-flight
+    // state-store maintenance and leave a poisoned checkpoint in
+    // tmpfs; a later JVM with the same call order regenerates the
+    // same name and AvailableNow refuses to "recover" a memory-sink
+    // checkpoint (caught as a deterministic suite-order failure, r16)
+    deleteTree(ckpt)
     // State-store task count is frozen from shuffle.partitions at query
     // start; micro-batch overhead scales with it, so size it to the
     // replayed fixture rather than the batch-engine setting (a real
@@ -390,14 +411,9 @@ object Streams {
       // maintenance tasks can still be writing under `ckpt`, and a
       // DirectoryNotEmptyException thrown from this finally block would
       // REPLACE the real streaming failure from awaitTermination — so
-      // any IO error here is swallowed (leaking at most one tmpfs dir).
-      import scala.jdk.CollectionConverters._
-      try {
-        val walk = java.nio.file.Files.walk(ckpt)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+      // deleteTree swallows IO errors (leaking at most one tmpfs dir,
+      // which the pre-clean above reaps on the next same-name run).
+      deleteTree(ckpt)
     }
     spark.table(sinkName)
   }
