@@ -607,4 +607,47 @@ class PropertySpec extends SparkSpec {
     }
     check("betweenness-vs-bruteforce-trees", prop, minTests = 8)
   }
+
+  // ---- suffix-rank spans vs brute-force substring census -------------
+
+  test("suffixRankSpans matches brute force on random tiny-alphabet corpora") {
+    // 2-letter alphabet + spaces maximizes the adversarial cases:
+    // runs like "aaaa" (overlapping within-doc duplicate windows),
+    // shared prefixes across docs, spans flush against doc boundaries.
+    // normText collapses whitespace, so the generator avoids doubles.
+    val genDoc: Gen[String] = Gen.listOfN(14,
+      Gen.frequency(5 -> Gen.const('a'), 4 -> Gen.const('b'),
+        2 -> Gen.const(' '))).map(_.mkString
+      .replaceAll(" +", " ").trim)
+    val genCorpus: Gen[List[String]] =
+      Gen.listOfN(4, genDoc).map(_.filter(_.length >= 2))
+    val prop = Prop.forAll(genCorpus, Gen.choose(2, 5)) { (docs, l) =>
+      docs.isEmpty || {
+        val df = docs.zipWithIndex
+          .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+        val got = graft.ops.Corpus
+          .suffixRankSpans(df, "doc_id", "text", minLen = l)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        // brute force: global census of l-char windows, islands merge
+        val norm = docs.map(_.toLowerCase.trim.replaceAll("\\s+", " "))
+        val wins = norm.zipWithIndex.flatMap { case (s, d) =>
+          (1 to s.length - l + 1).map(i =>
+            (d.toLong, i, s.substring(i - 1, i - 1 + l))) }
+        val dupW = wins.groupBy(_._3).filter(_._2.size >= 2).keySet
+        val want = norm.zipWithIndex.flatMap { case (s, d) =>
+          val ps = (1 to math.max(s.length - l + 1, 0))
+            .filter(i => dupW.contains(s.substring(i - 1, i - 1 + l)))
+          ps.foldLeft(List.empty[List[Int]]) {
+            case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+              (p :: acc.head) :: acc.tail
+            case (acc, p) => List(p) :: acc
+          }.map(r => (d.toLong, r.last.toLong, (r.head + l - 1).toLong))
+        }.toSet
+        got == want
+      }
+    }
+    check("suffix-spans-vs-bruteforce", prop, minTests = 12)
+  }
 }
