@@ -255,6 +255,10 @@ object Bench {
         n -> sec / prev(n)
     }.sortBy(-_._2)
     val remeasureCap = sys.env.getOrElse("GRAFT_BENCH_REMEASURE", "6").toInt
+    // r16 ADVICE 4: cap=0 (or no flags) must run ZERO bracket legs —
+    // the old else-branch burned one ~2-3 s leg whose result was
+    // discarded and polluted the brkt log of a run re-measuring nothing
+    val willRemeasure = flagged.take(remeasureCap).nonEmpty
     // A fresh child JVM re-runs one flagged query through this same main
     // (GRAFT_BENCH_CHILD=1 → no canary phases, no recursion) and writes
     // its JSON to a temp file. Classpath/JVM flags are inherited from
@@ -303,7 +307,23 @@ object Bench {
     val bracketQueries = ordered0.filter { case (name, _) =>
       bracketPrefixes.contains(name.takeWhile(_ != '_')) }
     val resultMapAll = results.toMap
-    val bracketRef = bracketQueries.flatMap { case (n, _) => resultMapAll.get(n) }.sum
+    def rawLeg(): Double = runPass(bracketQueries, "brkt").map(_._2).sum
+    // r16 ADVICE 1: a GRAFT_BENCH_FULLPROTO run whose GRAFT_ONLY filter
+    // excludes any bracket query has no sweep min for it — the old
+    // sum-of-available collapsed the envelope toward its 1.0 s floor,
+    // every leg then read "hot" (q35 isn't even in the canary set, so
+    // its first leg run is cold), and a genuine regression silently
+    // downgraded to heat-invalid. When the sweep didn't cover the FULL
+    // bracket, warm the bracket once (discard — first run carries plan
+    // compile + classload) and take a second timed leg as the
+    // reference; the artifact records which source the envelope used.
+    val bracketComplete = bracketQueries.nonEmpty &&
+      bracketQueries.forall { case (n, _) => resultMapAll.contains(n) }
+    val (bracketRef, bracketRefSource) =
+      if (bracketComplete)
+        (bracketQueries.map { case (n, _) => resultMapAll(n) }.sum, "sweep")
+      else if (willRemeasure) { rawLeg(); (rawLeg(), "warmed_leg") }
+      else (0.0, "unused")
     val envelope = legEnvelope(bracketRef)
     // PROTOCOL SELF-TEST ONLY: GRAFT_BENCH_HEAT_SIM=1 inflates each leg
     // past the envelope so the heat-invalid path can be demonstrated on
@@ -311,11 +331,11 @@ object Bench {
     // run can never masquerade as a real close bench.
     val heatSim = sys.env.get("GRAFT_BENCH_HEAT_SIM").contains("1")
     def bracketLeg(): Double = {
-      val t = runPass(bracketQueries, "brkt").map(_._2).sum
+      val t = rawLeg()
       if (heatSim) t + 2.0 * math.max(bracketRef, 1.0) else t
     }
     val remeasured: Seq[(String, Double, Option[Double], Double, Double)] =
-      if (flagged.isEmpty) Seq.empty
+      if (!willRemeasure) Seq.empty
       else {
         var legPre = bracketLeg()
         flagged.take(remeasureCap).map { case (n, _) =>
@@ -366,7 +386,12 @@ object Bench {
           ",\"verdict\":\"" + verdict + "\"}"
       }.mkString("{", ",", "}")
       val sim = if (heatSim) ""","heat_sim":true""" else ""
-      s""","flagged":$fl,"remeasured":$rm,"bracket_ref":${j(bracketRef)},"bracket_envelope":${j(envelope)}$sim"""
+      // r16 ADVICE 2: a GRAFT_BENCH_PREV override must leave a trace in
+      // the artifact (like heat_sim does) — a run gated against a
+      // doctored prev is otherwise indistinguishable from a real close
+      val prevOv = if (prevPath == "BENCH_PREV.json") ""
+        else s""","prev_override":"$prevPath""""
+      s""","flagged":$fl,"remeasured":$rm,"bracket_ref":${j(bracketRef)},"bracket_ref_source":"$bracketRefSource","bracket_envelope":${j(envelope)}$sim$prevOv"""
     }
     def line(rs: Seq[(String, Double)], short: Boolean, dec: Int,
         extra: String): String = {

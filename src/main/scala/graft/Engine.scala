@@ -55,6 +55,19 @@ object Engine {
       // with parallelism, so the hash path only gets safer.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // DEPLOYMENT-PROFILE NOTE (r16 receipt, scripts/stress_r16.scala
+      // + PLANS.md r16 census A/B): the codegen TWO-LEVEL fast hash map
+      // (spark.sql.codegen.aggregate.map.twolevel.enabled, default on)
+      // never beat OFF in any census-scale measurement here and
+      // degraded heat-affected cells up to 2× at multi-million-group
+      // partial aggregations (its 2^16-entry first level only pays off
+      // when most keys FIT there; at census cardinality every probe
+      // misses level 1 and the extra probe is pure overhead). We keep
+      // Spark's default because the catalog is dominated by
+      // low-cardinality aggs where the first level hits; a deployment
+      // whose workload is census-shaped (distinct n-grams, URL tallies,
+      // >100k groups/partition) should set it FALSE — measured 0.59-
+      // 0.63× wall on the gopher census either way keyed, both configs.
       // keep catalog state (bucketed saveAsTable) + derby metastore out
       // of the source tree when running from the repo root
       .config("spark.sql.warehouse.dir",

@@ -959,13 +959,27 @@ object Corpus {
       .limit(topK)
   }
 
-  /** Shared kernel of [[suffixRankSpans]] / [[suffixRankRewrite]]:
-    * exact rank classes of every full `minLen`-char window, by
-    * prefix-doubling — returns (id, p, r) for positions with a full
-    * window (see suffixRankSpans' scaladoc for the algorithm and the
-    * distributed dense-rank construction).
+  /** Shared kernel of [[suffixRankSpans]] / [[suffixRankRewrite]] /
+    * [[dupAttribution]]: exact rank classes of every full
+    * `minLen`-char window, by prefix-doubling — returns (id, p, r)
+    * for positions with a full window (see suffixRankSpans' scaladoc
+    * for the algorithm and the distributed dense-rank construction).
+    *
+    * MEMOIZED via [[SuffixRankMemo]] (r16 verdict item 1): the three
+    * public consumers run over the same (input, minLen) back-to-back
+    * in any bench/verify pass, and the ⌈log₂ minLen⌉ shuffle rounds
+    * dominate their cost — the memo keys on the ANALYZED plan of the
+    * projected (id, text) input (`sameResult`, so fresh reads of the
+    * same parquet path hit and a different path/filter/minLen misses)
+    * and holds the final checkpointed frame. See the memo's scaladoc
+    * for the purge contract.
     */
   private def suffixRankPositions(df: DataFrame, id: String,
+      text: String, minLen: Int): DataFrame =
+    SuffixRankMemo.getOrCompute(df, id, text, minLen)(
+      suffixRankPositionsCompute(df, id, text, minLen))
+
+  private def suffixRankPositionsCompute(df: DataFrame, id: String,
       text: String, minLen: Int): DataFrame = {
     require(minLen >= 2 && minLen <= 4096,
       s"minLen must be in [2, 4096], got $minLen")
@@ -1005,15 +1019,22 @@ object Corpus {
         .withColumn("__lr", row_number().over(localW).cast("long"))
         .join(broadcast(offsets), "__pid")
         .select(col("r1"), col("r2"), (col("__lr") + col("__off")).as("r"))
-      ranks = paired.join(ranked, Seq("r1", "r2"))
+      val next = paired.join(ranked, Seq("r1", "r2"))
         .select(col(id), col("p"), col("r"))
-        .localCheckpoint(true)
       k += shift
+      // the LAST round's frame feeds exactly one consumer (the lens
+      // join below, itself eagerly pinned) — checkpointing it too
+      // would materialize the same row count twice (r16 verdict #1)
+      ranks = if (k < minLen) next.localCheckpoint(true) else next
     }
     val lens = df.select(col(id), length(norm).cast("long").as("__len"))
+    // eager pin of the RETURNED frame: every consumer reads it at
+    // least twice (class census + join-back), and the memo hands the
+    // same frame to all three public ops — one materialization total
     ranks.join(lens, Seq(id))
       .filter(col("p") + minLen - 1 <= col("__len"))
       .select(col(id), col("p"), col("r"))
+      .localCheckpoint(true)
   }
 
   /** Exact substring dedup with REWRITE (Lee et al. 2022, "Deduplicating
@@ -2103,5 +2124,67 @@ object Corpus {
       .withColumn("gini_bp", expr(
         "(10000 * (2 * w_ranked - (n_terms + 1) * mass))" +
           " div nullif(n_terms * mass, 0L)"))
+  }
+}
+
+/** Single-entry memo for [[Corpus.suffixRankPositions]] — the exact
+  * suffix-rank kernel shared by [[Corpus.suffixRankSpans]] /
+  * [[Corpus.suffixRankRewrite]] / [[Corpus.dupAttribution]] (r16
+  * verdict item 1: the three bench queries rebuilt IDENTICAL rank
+  * classes three times, ~25 s of the 431 s close).
+  *
+  * Key = (session, analyzed plan of the (id, text) projection of the
+  * input, id, text, minLen), matched by Catalyst `sameResult` — so a
+  * FRESH `spark.read.parquet` of the same path with the same filter
+  * HITS (exprIds are canonicalized away; probed on Spark 4.1.2), while
+  * a different path, filter, column pair, session, or minLen MISSES.
+  * A `repartition(n)` of the same data also misses, which keeps the
+  * partition-count-invariance property tests honest.
+  *
+  * Purge contract (capacity ONE, by design): the memo exists for the
+  * bench/verify pattern of the three consumers running back-to-back
+  * over one input. Any miss EVICTS the previous entry before
+  * computing, so at most one kernel result — (id, p, r), two longs +
+  * an id per duplicated-window position — stays pinned in block
+  * storage; its localCheckpoint blocks are reaped by the
+  * ContextCleaner once the frame is unreferenced. [[clear]] drops the
+  * entry explicitly (call it after a suffix pass when the pinned
+  * blocks matter, e.g. a long-lived session moving on to other work).
+  * Thread-safe; compute runs outside the lock is NOT needed here
+  * (consumers are sequential in every driver contract).
+  */
+private[graft] object SuffixRankMemo {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private final case class Entry(session: SparkSession, plan: LogicalPlan,
+      id: String, text: String, minLen: Int, frame: DataFrame)
+
+  private var entry: Option[Entry] = None
+  private var computes = 0L
+
+  /** Number of kernel computations since JVM start (test hook: a HIT
+    * leaves it unchanged, a MISS increments). */
+  private[graft] def computeCount: Long = synchronized(computes)
+
+  /** Drop the pinned entry (its checkpoint blocks become GC-reapable
+    * once callers release their frames). */
+  private[graft] def clear(): Unit = synchronized { entry = None }
+
+  private[ops] def getOrCompute(df: DataFrame, id: String, text: String,
+      minLen: Int)(compute: => DataFrame): DataFrame = synchronized {
+    val key = df.select(col(id), col(text)).queryExecution.analyzed
+    val hit = entry.filter(e => (e.session eq df.sparkSession) &&
+      e.id == id && e.text == text && e.minLen == minLen &&
+      e.plan.sameResult(key))
+    hit match {
+      case Some(e) => e.frame
+      case None =>
+        entry = None // evict BEFORE compute: at most one pinned result
+        computes += 1
+        val frame = compute
+        entry = Some(Entry(df.sparkSession, key, id, text, minLen, frame))
+        frame
+    }
   }
 }

@@ -154,12 +154,13 @@ object TpchQueries extends QueryGroup {
           col("ps_supplycost_cents") * col("ps_availqty"))
       val byPart = v.groupBy(col("ps_partkey"))
         .agg(sum(col("pv_cents")).as("value_cents"))
-      // global total as a window over the PER-PART aggregate (bounded
-      // by |part| — the whitelisted bounded-global-window class), not
-      // a second aggregation of v: one scan of lineitem total
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      // global total as a 1-row scalar aggregate crossJoin(broadcast)
+      // — the Q22 avg-balance discipline: no global window funnels
+      // the |part|-row aggregate to one partition; the identical
+      // byPart subtrees share their Exchange under AQE ReuseExchange
+      val total = byPart.agg(sum(col("value_cents")).as("total_cents"))
       byPart
-        .withColumn("total_cents", sum(col("value_cents")).over(wAll))
+        .crossJoin(broadcast(total))
         .filter(col("value_cents") * 10000 > col("total_cents") * 5)
         .select(col("ps_partkey"),
           round(col("value_cents") / 100.0, 2).as("value"))

@@ -352,7 +352,14 @@ object Streams {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base = if (java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    base.resolve("graft-stream-ckpt")
+    // per-JVM discriminator (r16 ADVICE 3): sinkName is only unique
+    // per-process (runCounter), so without the pid two CONCURRENT
+    // suite JVMs with the same call order would generate the same
+    // path and the unconditional pre-clean could delete the other
+    // JVM's LIVE checkpoint at query start. Stale pid-dirs from
+    // crashed JVMs accumulate in tmpfs at ~KBs each — acceptable; a
+    // reboot clears /dev/shm.
+    base.resolve(s"graft-stream-ckpt-${ProcessHandle.current().pid()}")
   }
   /** Best-effort recursive delete (see the cleanup note in
     * [[runToBatch]] for why IO errors are swallowed). */

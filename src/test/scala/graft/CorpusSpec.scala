@@ -398,6 +398,44 @@ class CorpusSpec extends SparkSpec {
     assert(m(9L) > m(7L), s"doc 9 carries two copies: $m")
   }
 
+  test("SuffixRankMemo: one kernel for all three consumers; misses on any key change; purge works") {
+    import graft.ops.SuffixRankMemo
+    SuffixRankMemo.clear()
+    // fresh read PER CALL — the bench/verify pattern the memo exists
+    // for: sameResult must hit across separate reads of the same path
+    def slice = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 16 === 0)
+    val c0 = SuffixRankMemo.computeCount
+    val base = Corpus.suffixRankSpans(slice, "doc_id", "text", minLen = 20)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(SuffixRankMemo.computeCount == c0 + 1)
+    // both remaining consumers HIT the same kernel
+    Corpus.suffixRankRewrite(slice, "doc_id", "text", minLen = 20).count()
+    Corpus.dupAttribution(slice, "doc_id", "text", minLen = 20,
+      topK = 10).count()
+    assert(SuffixRankMemo.computeCount == c0 + 1,
+      "rewrite/attribution must reuse the spans kernel")
+    // a different minLen MISSES…
+    Corpus.suffixRankSpans(slice, "doc_id", "text", minLen = 21).count()
+    assert(SuffixRankMemo.computeCount == c0 + 2)
+    // …and EVICTED the minLen=20 entry (capacity one, purge-on-miss):
+    // the hit result must still be bit-identical to the fresh compute
+    val re = Corpus.suffixRankSpans(slice, "doc_id", "text", minLen = 20)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(SuffixRankMemo.computeCount == c0 + 3)
+    assert(re == base, "recompute after eviction must match the memo era")
+    // a different input plan (tighter filter) MISSES
+    Corpus.suffixRankSpans(
+      Tables.documents(spark, sfTiny).filter(col("doc_id") % 32 === 0),
+      "doc_id", "text", minLen = 20).count()
+    assert(SuffixRankMemo.computeCount == c0 + 4)
+    // explicit purge: next identical call recomputes
+    SuffixRankMemo.clear()
+    Corpus.suffixRankSpans(slice, "doc_id", "text", minLen = 20).count()
+    assert(SuffixRankMemo.computeCount == c0 + 5)
+    SuffixRankMemo.clear()
+  }
+
   test("bottomKPerStratum: exact n per stratum, membership is stable") {
     val s1 = Corpus.bottomKPerStratum(docs, "lang", "doc_id", n = 4)
     val counts = s1.groupBy("lang").count().collect()

@@ -87,7 +87,6 @@ class PlanSpec extends SparkSpec {
       "q284_cdf_transform", // searchSortedLarge offsets window over the numParts-row count frame (bounded by construction)
       "q151b_perplexity_filter", // exact global deciles (gate tier; production assigns by histogram thresholds)
       "q298_seasonal_decompose", // trend MA over the SLOT series (time-range-bounded: one row per bucketSeconds; scaladoc'd aggregate-first discipline)
-      "q319_tpch11", // share-of-global-total over the per-PART aggregate (bounded by |part|)
       // suffix-rank family: the only global window is the partition-
       // OFFSET cumsum over the #partitions-row count frame (the
       // searchSortedLarge pattern) + the bounded char-vocab rank

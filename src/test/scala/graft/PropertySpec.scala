@@ -650,4 +650,88 @@ class PropertySpec extends SparkSpec {
     }
     check("suffix-spans-vs-bruteforce", prop, minTests = 12)
   }
+
+  // ---- suffix-rank rewrite + attribution vs brute force (r16 verdict
+  // item 4: their tie/ordering rules — globally-first = min (id, p),
+  // edge aggregation, cover excision — only had example coverage) -----
+
+  private val genSuffixCorpus: Gen[List[String]] = {
+    val genDoc: Gen[String] = Gen.listOfN(14,
+      Gen.frequency(5 -> Gen.const('a'), 4 -> Gen.const('b'),
+        2 -> Gen.const(' '))).map(_.mkString
+      .replaceAll(" +", " ").trim)
+    Gen.listOfN(4, genDoc).map(_.filter(_.length >= 2))
+  }
+
+  /** Brute global census of l-char windows over the normalized texts:
+    * window class -> occurrences as (id, p), 1-based positions. */
+  private def bruteWindowCensus(docs: List[String], l: Int)
+      : Map[String, List[(Long, Long)]] = {
+    val norm = docs.map(_.toLowerCase.trim.replaceAll("\\s+", " "))
+    norm.zipWithIndex.flatMap { case (s, d) =>
+      (1 to s.length - l + 1).map(i =>
+        s.substring(i - 1, i - 1 + l) -> (d.toLong, i.toLong))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  test("suffixRankRewrite matches brute force on random corpora across partition counts") {
+    val prop = Prop.forAll(genSuffixCorpus, Gen.choose(2, 5),
+        Gen.oneOf(1, 3, 7)) { (docs, l, np) =>
+      docs.isEmpty || {
+        val df = docs.zipWithIndex
+          .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+          .repartition(np)
+        val got = graft.ops.Corpus
+          .suffixRankRewrite(df, "doc_id", "text", minLen = l)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toList
+        // brute: every dup-class member except the min-(id,p) first
+        // occurrence marks its l chars covered; survivors rebuild
+        val norm = docs.map(_.toLowerCase.trim.replaceAll("\\s+", " "))
+        val marked = bruteWindowCensus(docs, l).values
+          .filter(_.size >= 2)
+          .flatMap(occ => occ.filterNot(_ == occ.min)).toSet
+        val covered: Set[(Long, Long)] = marked.flatMap { case (d, p) =>
+          (p until p + l).map(d -> _) }
+        val want = norm.zipWithIndex.map { case (s, d) =>
+          val kept = (1 to s.length)
+            .filterNot(i => covered((d.toLong, i.toLong)))
+            .map(i => s.charAt(i - 1)).mkString
+          (d.toLong, s.length.toLong, (s.length - kept.length).toLong,
+            kept)
+        }
+        got == want
+      }
+    }
+    check("suffix-rewrite-vs-bruteforce", prop, minTests = 8)
+  }
+
+  test("dupAttribution matches brute force on random corpora across partition counts") {
+    val prop = Prop.forAll(genSuffixCorpus, Gen.choose(2, 5),
+        Gen.oneOf(1, 3, 7)) { (docs, l, np) =>
+      docs.isEmpty || {
+        val df = docs.zipWithIndex
+          .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+          .repartition(np)
+        // topK far above any possible edge count -> the FULL edge set,
+        // so the comparison also pins the aggregation, not the cut
+        val got = graft.ops.Corpus
+          .dupAttribution(df, "doc_id", "text", minLen = l, topK = 1000)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        // brute: each non-first member contributes one window to the
+        // (src=min-(id,p) doc, dst=member doc) edge — self-edges
+        // (within-doc repeats) included
+        val want = bruteWindowCensus(docs, l).values
+          .filter(_.size >= 2)
+          .flatMap { occ =>
+            val src = occ.min._1
+            occ.filterNot(_ == occ.min).map(m => (src, m._1))
+          }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        got == want
+      }
+    }
+    check("dup-attribution-vs-bruteforce", prop, minTests = 8)
+  }
 }
