@@ -2152,38 +2152,80 @@ object Corpus {
   * blocks matter, e.g. a long-lived session moving on to other work).
   * Thread-safe; compute runs outside the lock is NOT needed here
   * (consumers are sequential in every driver contract).
+  *
+  * SELF-HEALING against external unpersists: a localCheckpointed
+  * frame is NOT fault-tolerant — `unpersist()` on its RDD (a cache
+  * purge, the ContextCleaner, `spark.catalog.clearCache` variants)
+  * drops the blocks and any later read throws
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (probed on 4.1.2; Bench.purge's
+  * unpersist-everything did exactly this on first contact). A hit
+  * therefore also checks the stored RDD's storage level — unpersist
+  * sets it to NONE — and a dropped entry reads as a MISS, never a
+  * poisoned frame. Harness code that purges blocks between queries
+  * but WANTS cross-query sharing must skip [[pinnedRddIds]].
   */
 private[graft] object SuffixRankMemo {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.LogicalRDD
+  import org.apache.spark.storage.StorageLevel
 
   private final case class Entry(session: SparkSession, plan: LogicalPlan,
-      id: String, text: String, minLen: Int, frame: DataFrame)
+      id: String, text: String, minLen: Int, frame: DataFrame,
+      rdd: Option[org.apache.spark.rdd.RDD[_]])
 
   private var entry: Option[Entry] = None
   private var computes = 0L
+  private var computeSecs = 0.0
 
   /** Number of kernel computations since JVM start (test hook: a HIT
     * leaves it unchanged, a MISS increments). */
   private[graft] def computeCount: Long = synchronized(computes)
 
+  /** Cumulative wall seconds spent COMPUTING kernels (misses only) —
+    * benches embed this so the shared cost a per-query min cannot
+    * attribute stays visible in the artifact. */
+  private[graft] def computeSeconds: Double = synchronized(computeSecs)
+
+  /** RDD ids of the live entry's checkpoint blocks — an
+    * unpersist-everything purge must skip these or the memo recomputes
+    * on next use (self-heal) and the sharing it exists for is lost. */
+  private[graft] def pinnedRddIds: Set[Int] =
+    synchronized(entry.flatMap(_.rdd).map(_.id).toSet)
+
   /** Drop the pinned entry (its checkpoint blocks become GC-reapable
     * once callers release their frames). */
   private[graft] def clear(): Unit = synchronized { entry = None }
+
+  /** The entry's blocks are live iff its checkpointed RDD still has a
+    * storage level (unpersist resets it to NONE). Un-extractable RDD
+    * (unexpected plan shape) → conservatively invalid. */
+  private def live(e: Entry): Boolean =
+    e.rdd.exists(_.getStorageLevel != StorageLevel.NONE)
+
+  private def checkpointRdd(frame: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    frame.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 
   private[ops] def getOrCompute(df: DataFrame, id: String, text: String,
       minLen: Int)(compute: => DataFrame): DataFrame = synchronized {
     val key = df.select(col(id), col(text)).queryExecution.analyzed
     val hit = entry.filter(e => (e.session eq df.sparkSession) &&
       e.id == id && e.text == text && e.minLen == minLen &&
-      e.plan.sameResult(key))
+      e.plan.sameResult(key) && live(e))
     hit match {
       case Some(e) => e.frame
       case None =>
         entry = None // evict BEFORE compute: at most one pinned result
         computes += 1
+        val t0 = System.nanoTime()
         val frame = compute
-        entry = Some(Entry(df.sparkSession, key, id, text, minLen, frame))
+        computeSecs += (System.nanoTime() - t0) / 1e9
+        entry = Some(Entry(df.sparkSession, key, id, text, minLen, frame,
+          checkpointRdd(frame)))
         frame
     }
   }

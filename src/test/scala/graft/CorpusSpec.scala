@@ -433,6 +433,20 @@ class CorpusSpec extends SparkSpec {
     SuffixRankMemo.clear()
     Corpus.suffixRankSpans(slice, "doc_id", "text", minLen = 20).count()
     assert(SuffixRankMemo.computeCount == c0 + 5)
+    // SELF-HEAL: an external unpersist-everything (a harness cache
+    // purge) drops the checkpoint blocks out from under the live
+    // entry — a localCheckpointed frame is not fault-tolerant, so a
+    // stale hit would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The
+    // memo must read the dead entry as a MISS and recompute.
+    assert(SuffixRankMemo.pinnedRddIds.nonEmpty,
+      "live entry must expose its pinned checkpoint RDD")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val healed = Corpus.suffixRankSpans(slice, "doc_id", "text", minLen = 20)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(SuffixRankMemo.computeCount == c0 + 6,
+      "a purged entry must recompute, not serve a poisoned frame")
+    assert(healed == base)
     SuffixRankMemo.clear()
   }
 
