@@ -400,6 +400,13 @@ class CorpusSpec extends SparkSpec {
 
   test("SuffixRankMemo: one kernel for all three consumers; misses on any key change; purge works") {
     import graft.ops.SuffixRankMemo
+    // hold the memo's monitor for the whole test: suites run in
+    // PARALLEL threads in the forked test JVM, and other suites
+    // (PropertySpec, PlanSpec, QueriesSmokeSpec) also drive the memo —
+    // without the lock the computeCount deltas below are racy. The
+    // object's own methods synchronize on this same monitor, so
+    // concurrent suffix calls just wait (~seconds), never deadlock.
+    SuffixRankMemo.synchronized {
     SuffixRankMemo.clear()
     // fresh read PER CALL — the bench/verify pattern the memo exists
     // for: sameResult must hit across separate reads of the same path
@@ -433,21 +440,28 @@ class CorpusSpec extends SparkSpec {
     SuffixRankMemo.clear()
     Corpus.suffixRankSpans(slice, "doc_id", "text", minLen = 20).count()
     assert(SuffixRankMemo.computeCount == c0 + 5)
-    // SELF-HEAL: an external unpersist-everything (a harness cache
-    // purge) drops the checkpoint blocks out from under the live
-    // entry — a localCheckpointed frame is not fault-tolerant, so a
-    // stale hit would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The
-    // memo must read the dead entry as a MISS and recompute.
-    assert(SuffixRankMemo.pinnedRddIds.nonEmpty,
+    // SELF-HEAL: an external unpersist (a harness cache purge) drops
+    // the checkpoint blocks out from under the live entry — a
+    // localCheckpointed frame is not fault-tolerant, so a stale hit
+    // would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The memo must
+    // read the dead entry as a MISS and recompute. Unpersist is
+    // TARGETED at the memo's own pinned ids: a global
+    // unpersist-everything here would poison OTHER parallel suites'
+    // live localCheckpoint frames (it did — two suites failed in the
+    // first full run with the global version).
+    val pinned = SuffixRankMemo.pinnedRddIds
+    assert(pinned.nonEmpty,
       "live entry must expose its pinned checkpoint RDD")
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (rid, rdd) =>
+        if (pinned.contains(rid)) rdd.unpersist(blocking = true) }
     val healed = Corpus.suffixRankSpans(slice, "doc_id", "text", minLen = 20)
       .orderBy("doc_id", "span_start").collect().toSeq
     assert(SuffixRankMemo.computeCount == c0 + 6,
       "a purged entry must recompute, not serve a poisoned frame")
     assert(healed == base)
     SuffixRankMemo.clear()
+    }
   }
 
   test("bottomKPerStratum: exact n per stratum, membership is stable") {
