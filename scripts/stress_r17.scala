@@ -2,7 +2,7 @@
 // ~18M-position suffix fixture (same corpus construction as
 // stress_r16 part 2, plant + 24 md5 words). What this pins down:
 //
-//   1. The memo HITS across FRESH plan constructions at scale — the
+//   1. The memo HITS across FRESH plan constructions at scale -- the
 //      bench/verify pattern (each query rebuilds its input DataFrame)
 //      shares ONE kernel build: consumers pay only their own joins.
 //   2. Marginal consumer cost at 100k docs: rewrite (char posexplode +
@@ -28,7 +28,7 @@ def timed[T](tag: String)(body: => T): (Double, T) = {
 }
 
 val plant = "all work and no play makes jack a dull boy every single day.."
-// fresh plan PER CALL, like the bench/verify pattern — the memo must
+// fresh plan PER CALL, like the bench/verify pattern -- the memo must
 // hit on sameResult, not on object identity
 def docs100k = {
   val w6 = (0 until 24).map(j =>
@@ -40,14 +40,14 @@ def docs100k = {
       .otherwise(concat_ws(" ", w6: _*)).as("text"))
 }
 
-graft.ops.SuffixRankMemo.clear()
-val c0 = graft.ops.SuffixRankMemo.computeCount
+graft.ops.Corpus.suffixMemoClear()
+val c0 = graft.ops.Corpus.suffixMemoStats._1
 
 val (secSpans, nSpans) = timed("spans COLD (kernel build, L=30)") {
   graft.ops.Corpus.suffixRankSpans(docs100k, "doc_id", "text", 30)
     .agg(sum("span_len"), count(lit(1))).collect().head.getLong(1)
 }
-val builds1 = graft.ops.SuffixRankMemo.computeCount - c0
+val builds1 = graft.ops.Corpus.suffixMemoStats._1 - c0
 val (secRw, nRw) = timed("rewrite WARM (memo hit, fresh plan)") {
   graft.ops.Corpus.suffixRankRewrite(docs100k, "doc_id", "text", 30)
     .agg(sum("n_removed"), count(lit(1))).collect().head.getLong(0)
@@ -56,7 +56,7 @@ val (secAttr, nAttr) = timed("attribution WARM (memo hit, fresh plan)") {
   graft.ops.Corpus.dupAttribution(docs100k, "doc_id", "text", 30, 1000)
     .agg(sum("n_windows")).collect().head.getLong(0)
 }
-val builds3 = graft.ops.SuffixRankMemo.computeCount - c0
+val builds3 = graft.ops.Corpus.suffixMemoStats._1 - c0
 println(s"[stress] kernel builds across the 3 ops: $builds3 (must be 1; " +
   s"cold build was $builds1)")
 println(f"[stress] family total = ${secSpans + secRw + secAttr}%.1f s " +
@@ -75,8 +75,8 @@ val (secHeal, healed) = timed("attribution after purge (self-heal rebuild)") {
   } catch { case e: Throwable => println("[stress] SELF-HEAL FAILED: " +
     e.getClass.getName + ": " + e.getMessage.take(150)); -1L }
 }
-val healBuilds = graft.ops.SuffixRankMemo.computeCount - c0
+val healBuilds = graft.ops.Corpus.suffixMemoStats._1 - c0
 println(s"[stress] self-heal: result=${healed == nAttr} (must match), " +
-  s"builds now $healBuilds (must be 2 — the purged entry recomputed)")
-graft.ops.SuffixRankMemo.clear()
+  s"builds now $healBuilds (must be 2 -- the purged entry recomputed)")
+graft.ops.Corpus.suffixMemoClear()
 System.exit(0)

@@ -979,6 +979,17 @@ object Corpus {
     SuffixRankMemo.getOrCompute(df, id, text, minLen)(
       suffixRankPositionsCompute(df, id, text, minLen))
 
+  /** Public face of [[SuffixRankMemo]]'s purge contract: drop the
+    * pinned kernel result after a suffix pass when its blocks matter
+    * (a long-lived session moving on to other work). */
+  def suffixMemoClear(): Unit = SuffixRankMemo.clear()
+
+  /** (kernel builds, cumulative kernel wall-seconds) since JVM start —
+    * the shared cost a per-query timing cannot attribute; benches and
+    * receipts embed it so family numbers stay honest. */
+  def suffixMemoStats: (Long, Double) =
+    (SuffixRankMemo.computeCount, SuffixRankMemo.computeSeconds)
+
   private def suffixRankPositionsCompute(df: DataFrame, id: String,
       text: String, minLen: Int): DataFrame = {
     require(minLen >= 2 && minLen <= 4096,
