@@ -91,5 +91,13 @@ class BenchVerdictSpec extends AnyFunSuite {
     // stamps heat_sim, the prev-path override stamps prev_override
     assert(!root.has("heat_sim") || root.get("heat_sim").asBoolean(),
       "heat_sim key, when present, must be literal true")
+    // the shared-kernel honesty field (r17): when the suffix memo
+    // built at least one kernel this run, the artifact must say how
+    // many and how long — per-query mins are marginal costs otherwise
+    if (root.has("shared_kernel")) {
+      val sk = root.get("shared_kernel")
+      assert(sk.has("suffix_builds") && sk.get("suffix_builds").asLong() >= 1)
+      assert(sk.has("suffix_sec") && sk.get("suffix_sec").asDouble() >= 0.0)
+    }
   }
 }
