@@ -2136,6 +2136,258 @@ object Corpus {
         "(10000 * (2 * w_ranked - (n_terms + 1) * mass))" +
           " div nullif(n_terms * mass, 0L)"))
   }
+
+  /** Non-empty whitespace tokens of normalized `text` as an ARRAY —
+    * the gram-slicing twin of [[toks]] (which keeps empty splits).
+    * DuckDB replay: list_filter(string_split(s, ' '), w -> length(w) > 0).
+    */
+  private def toksNE(c: Column): Column =
+    filter(toks(c), w => length(w) > 0)
+
+  /** The 1/2/3-gram ladder of normalized `text` in ONE pass: one row
+    * per token position with (w1, w2, w3) = the token and its two
+    * successors (NULL past the document tail), via a single posexplode
+    * of the filtered token array + one doc-partitioned window of
+    * lead()s — the TextAnalysis gram discipline: no HOF-built array
+    * ever feeds Generate (the PLANS.md lambda-re-evaluation trap) and
+    * every gram order falls out of the same exchange. Unigrams = all
+    * rows, bigrams = w2 IS NOT NULL, trigrams = w3 IS NOT NULL.
+    */
+  private def gramLadder(df: DataFrame, id: String, text: String)
+      : DataFrame = {
+    val wd = Window.partitionBy(col("did")).orderBy(col("pos"))
+    df.select(col(id).as("did"), toksNE(col(text)).as("ws"))
+      .select(col("did"), posexplode(col("ws")).as(Seq("pos", "w1")))
+      .select(col("did"), col("w1"),
+        lead(col("w1"), 1).over(wd).as("w2"),
+        lead(col("w1"), 2).over(wd).as("w3"))
+  }
+
+  /** Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4): the non-normalized
+    * backoff score with α = 0.4,
+    *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)        if the trigram was seen
+    *                 = α · c(w2w3)/c(w2)         else if the bigram was
+    *                 = α² · c(w3)/N              else (0.5 floor for OOV),
+    * trained on `train`, scoring every `corpus` document with ≥ 3
+    * tokens. This is the smoothing Google designed FOR MapReduce-scale
+    * corpora: no discounts, no continuation counts — every model table
+    * is a plain gram count, so the whole train phase is three
+    * map-side-combined aggregations (vs [[knBigramLmScore]]'s KN, which
+    * needs distinct-continuation passes; at web scale "stupid" wins on
+    * both cost and, past ~10⁹ tokens, BLEU — the paper's point).
+    *
+    * Each trigram position contributes floor-nano nats through ONE
+    * expression string parsed by Spark and DuckDB alike
+    * ([[sbTermExpr]], the knLpExpr contract), so the per-doc sum is
+    * integer addition — association-order-free and hash-gated.
+    *
+    * Scale shape: train tables are gram-vocabulary-sized after map-side
+    * combine; scoring is three LEFT equi-joins of the corpus trigram
+    * stream against (tri, bi, uni) tables — each co-partitioned on its
+    * gram key, nothing pairwise, no windows. Held-out grams simply miss
+    * a join and take the backoff branch, which IS the semantics.
+    * Docs with < 3 tokens carry no trigram evidence and are absent.
+    *
+    * @return (id, n_tri, sb_nano) — trigram positions scored and the
+    *         summed floor-nano log-score (higher = more train-like).
+    */
+  def stupidBackoffScore(corpus: DataFrame, train: DataFrame, id: String,
+      text: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, "need 0 < alpha < 1")
+    // ONE pass over the train token stream: group the ladder by
+    // (w1, w2, w3) — null-tail rows included — then derive every
+    // lower-order count by re-aggregating the VOCABULARY-sized frame
+    // (sums of exact integer counts, so this is the same number as
+    // counting the stream directly)
+    val g123 = gramLadder(train, id, text)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+    val c1 = g123.groupBy(col("w1")).agg(sum(col("c")).as("c1u"))
+    val c2 = g123.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+    val c3 = g123.filter(col("w3").isNotNull)
+      .select(col("w1"), col("w2"), col("w3"), col("c").as("c123"))
+    val nTot = g123.agg(sum(col("c")).as("n_train"))
+    // pre-merged lookup tables: a seen trigram always carries its
+    // context-bigram count (c123 > 0 ⇒ c12 > 0), a seen bigram its
+    // first-word count — the scoring pass stays at three joins
+    val triTab = c3.join(c2, Seq("w1", "w2"))
+    val biTab = c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("c23"))
+      .join(c1.select(col("w1").as("w2"), col("c1u").as("c2u")), Seq("w2"))
+    val uniTab = c1.select(col("w1").as("w3"), col("c1u").as("c3u"))
+    gramLadder(corpus, id, text).filter(col("w3").isNotNull)
+      .join(triTab, Seq("w1", "w2", "w3"), "left")
+      .join(biTab, Seq("w2", "w3"), "left")
+      .join(uniTab, Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .selectExpr("did", sbTermExpr(alpha) + " AS term")
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("term")).as("sb_nano"))
+      .select(col("did").as(id), col("n_tri"), col("sb_nano"))
+  }
+
+  /** The Stupid Backoff per-trigram term — ONE string, parsed by Spark
+    * and DuckDB alike so the double arithmetic replays operation-for-
+    * operation: floor-nano nats of the backoff CASE ladder. The count
+    * ratios are exact-integer divisions; α interpolates via shortest-
+    * roundtrip repr (the knLpExpr contract).
+    */
+  def sbTermExpr(alpha: Double): String =
+    "CAST(FLOOR(1000000000.0 * (CASE" +
+      " WHEN c123 IS NOT NULL THEN LN(CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE))" +
+      s" WHEN c23 IS NOT NULL THEN LN($alpha * (CAST(c23 AS DOUBLE) / CAST(c2u AS DOUBLE)))" +
+      s" ELSE LN($alpha * $alpha * (COALESCE(CAST(c3u AS DOUBLE), 0.5) / CAST(n_train AS DOUBLE)))" +
+      " END)) AS BIGINT)"
+
+  /** The 100 TB tier of [[stupidBackoffScore]]: every gram key rides as
+    * a poly-hash BIGINT instead of up-to-three strings, so the three
+    * scoring shuffles exchange 8-byte keys — the q297b hash-census
+    * discipline. Lookup keys are composite ((h2a,h3) for trigrams,
+    * (hw2,h23) for bigrams) so the pre-merged tables need no
+    * order-sensitive aggregation; a hash collision merges counts
+    * IDENTICALLY in the engine and the oracle (which replays the same
+    * polynomial), so the gate cannot split on one.
+    */
+  def stupidBackoffScoreHashed(corpus: DataFrame, train: DataFrame,
+      id: String, text: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, "need 0 < alpha < 1")
+    def hashed(df: DataFrame): DataFrame =
+      gramLadder(df, id, text).filter(col("w3").isNotNull).select(col("did"),
+        poly_hash(concat_ws(" ", col("w1"), col("w2"), col("w3"))).as("h3"),
+        poly_hash(concat_ws(" ", col("w1"), col("w2"))).as("h2a"),
+        poly_hash(concat_ws(" ", col("w2"), col("w3"))).as("h23"),
+        poly_hash(col("w2")).as("hw2"),
+        poly_hash(col("w3")).as("hw3"))
+    // same one-pass train census as the string tier; hashes are
+    // computed on the VOCABULARY-sized frame (a hash is a function of
+    // the gram, so hash-then-sum equals hashing the raw stream)
+    val g123 = gramLadder(train, id, text)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+    val c1 = g123.select(poly_hash(col("w1")).as("h1"), col("c"))
+      .groupBy(col("h1")).agg(sum(col("c")).as("c1u"))
+    val big = g123.filter(col("w2").isNotNull).select(
+      poly_hash(concat_ws(" ", col("w1"), col("w2"))).as("h2"),
+      poly_hash(col("w1")).as("hw1"), col("c"))
+    // context counts keyed by the bigram hash ALONE (unique key — a
+    // colliding pair merges, mirrored by the oracle's GROUP BY h2);
+    // the backoff table keeps (first-word, bigram) so its c2u join key
+    // stays functional
+    val c2solo = big.groupBy(col("h2")).agg(sum(col("c")).as("c12"))
+    val c2pair = big.groupBy(col("hw1"), col("h2")).agg(sum(col("c")).as("c23"))
+    val c3 = g123.filter(col("w3").isNotNull)
+      .select(poly_hash(concat_ws(" ", col("w1"), col("w2"), col("w3"))).as("h3"),
+        poly_hash(concat_ws(" ", col("w1"), col("w2"))).as("h2a"), col("c"))
+      .groupBy(col("h2a"), col("h3")).agg(sum(col("c")).as("c123"))
+    val nTot = g123.agg(sum(col("c")).as("n_train"))
+    val triTab = c3.join(
+      c2solo.select(col("h2").as("h2a"), col("c12")), Seq("h2a"))
+    val biTab = c2pair.select(col("hw1").as("hw2"), col("h2").as("h23"),
+        col("c23"))
+      .join(c1.select(col("h1").as("hw2"), col("c1u").as("c2u")), Seq("hw2"))
+    val uniTab = c1.select(col("h1").as("hw3"), col("c1u").as("c3u"))
+    hashed(corpus)
+      .join(triTab, Seq("h2a", "h3"), "left")
+      .join(biTab, Seq("hw2", "h23"), "left")
+      .join(uniTab, Seq("hw3"), "left")
+      .crossJoin(broadcast(nTot))
+      .selectExpr("did", sbTermExpr(alpha) + " AS term")
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("term")).as("sb_nano"))
+      .select(col("did").as(id), col("n_tri"), col("sb_nano"))
+  }
+
+  /** Best-fit no-split sequence packing (Ding et al. 2024, "Fewer
+    * Truncations Improve Language Modeling": their Best-Fit-Decreasing
+    * bin packing replaces [[packSequences]]' concat-and-chunk, which
+    * truncates every document straddling a window boundary). Documents
+    * longer than `budget` are first cut into ⌈n/budget⌉ pieces (only
+    * these suffer any truncation — the paper's sole split rule), then
+    * every piece goes to the TIGHTEST feasible bin of its shard —
+    * min remaining ≥ len, ties to the lowest bin id — in
+    * (len DESC, id ASC, piece ASC) order, opening a new bin when none
+    * fits. Deterministic: no RNG, total processing order, total
+    * tie-breaks — the oracle replays the fold step-for-step as a
+    * recursive CTE.
+    *
+    * Scale shape: packing is sequential PER SHARD and shards are
+    * independent — parallelism = `shards`, per-shard state is one
+    * TreeMap of (remaining → bin ids) with O(log bins) per piece, and
+    * per-shard memory is its piece list (size shards so a shard's
+    * pieces fit one executor: at 100 TB, shards ≈ corpus tokens /
+    * desired shard token mass). The shard key is the Knuth
+    * multiplicative hash of the id — engine-replayable, unlike a
+    * partitioner-dependent key.
+    *
+    * @return (id, piece, len, shard, bin) — bin ids are 1-based and
+    *         per-shard.
+    */
+  def packBestFit(df: DataFrame, id: String, text: String,
+      budget: Int, shards: Int): DataFrame = {
+    require(budget > 0, "need budget > 0")
+    require(shards > 0, "need shards > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pieces = df
+      .select(col(id).cast("long").as("did"),
+        size(toksNE(col(text))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("n_pieces", expr(s"(n + ${budget - 1}) div $budget"))
+      .select(col("did"),
+        explode(sequence(lit(0L), col("n_pieces") - 1)).as("piece"), col("n"))
+      .withColumn("len",
+        least(lit(budget.toLong), col("n") - col("piece") * budget))
+      .withColumn("shard",
+        expr(s"(did * 2654435761) % 4294967296 % $shards"))
+      .select(col("shard"), col("did"), col("piece"), col("len"))
+    val packed = pieces.as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+        val ps = it.toArray.sortBy { case (_, d, p, l) => (-l, d, p) }
+        // remaining capacity -> bin ids at that remaining (1-based)
+        val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+        var nBins = 0L
+        def place(rem: Long, bin: Long): Unit = {
+          val s = byRem.get(rem)
+          if (s == null) {
+            val ns = new java.util.TreeSet[Long](); ns.add(bin)
+            byRem.put(rem, ns)
+          } else s.add(bin)
+        }
+        ps.iterator.map { case (_, d, p, l) =>
+          val e = byRem.ceilingEntry(l)
+          if (e == null) {
+            nBins += 1
+            place(budget.toLong - l, nBins)
+            (d, p, l, shard, nBins)
+          } else {
+            val bin = e.getValue.first()
+            e.getValue.remove(bin)
+            if (e.getValue.isEmpty) byRem.remove(e.getKey)
+            place(e.getKey - l, bin)
+            (d, p, l, shard, bin)
+          }
+        }
+      }
+    packed.toDF(id, "piece", "len", "shard", "bin")
+  }
+
+  /** Shard-level fill report over a [[packBestFit]] layout: pieces,
+    * bins opened, token mass, the ⌈mass/budget⌉ lower bound (how many
+    * bins a perfect packer would need), and the fill rate in floor
+    * basis points — the number the paper optimizes (their Figure 1:
+    * best-fit reaches ~99% fill with near-zero truncation). One
+    * bounded aggregation over the packing output.
+    */
+  def packBestFitStats(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, "need budget > 0")
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("bin")).as("n_bins"),
+        sum(col("len")).as("tokens"))
+      .withColumn("lb_bins", expr(s"(tokens + ${budget - 1}) div $budget"))
+      .withColumn("fill_bp", expr(s"(10000 * tokens) div (n_bins * $budget)"))
+  }
 }
 
 /** Single-entry memo for [[Corpus.suffixRankPositions]] — the exact

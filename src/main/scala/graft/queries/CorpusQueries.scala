@@ -25,6 +25,111 @@ object CorpusQueries extends QueryGroup {
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, x) -> (a * 31 + x) % 1000000007)"
 
+  /** DuckDB replay of [[Corpus.stupidBackoffScore]] (hashed = false)
+    * and [[Corpus.stupidBackoffScoreHashed]] (hashed = true): train on
+    * the even-id half, score every doc with ≥ 3 tokens. ONE oracle
+    * body for both tiers — the only divergences are the gram join keys
+    * (strings vs sqlPoly BIGINTs), exactly the divergences of the two
+    * Spark ops. The per-trigram term is the literal
+    * [[Corpus.sbTermExpr]] string, so the double arithmetic replays
+    * operation-for-operation (floor-nano → BIGINT sum, order-immune).
+    */
+  private def sbOracleSql(hashed: Boolean): String = {
+    val keyed =
+      if (!hashed)
+        s"""tri AS (SELECT doc_id, w1, w2, w3 FROM tri0),
+           |c1 AS (SELECT w1, COUNT(*) AS c1u FROM uni WHERE doc_id % 2 = 0 GROUP BY 1),
+           |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big0 WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri0 WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+           |tritab AS (SELECT c3.w1, c3.w2, c3.w3, c123, c12 FROM c3 JOIN c2 USING (w1, w2)),
+           |bitab AS (SELECT c2.w1 AS w2, c2.w2 AS w3, c2.c12 AS c23, c1.c1u AS c2u
+           |  FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+           |unitab AS (SELECT w1 AS w3, c1u AS c3u FROM c1),
+           |sc AS (SELECT tri.doc_id, ${graft.ops.Corpus.sbTermExpr(0.4)} AS term
+           |  FROM tri LEFT JOIN tritab USING (w1, w2, w3)
+           |           LEFT JOIN bitab USING (w2, w3)
+           |           LEFT JOIN unitab USING (w3)
+           |           CROSS JOIN ntot)""".stripMargin
+      else
+        s"""tri AS (SELECT doc_id,
+           |    ${sqlPoly("w1 || ' ' || w2 || ' ' || w3")} AS h3,
+           |    ${sqlPoly("w1 || ' ' || w2")} AS h2a,
+           |    ${sqlPoly("w2 || ' ' || w3")} AS h23,
+           |    ${sqlPoly("w2")} AS hw2, ${sqlPoly("w3")} AS hw3 FROM tri0),
+           |big AS (SELECT doc_id, ${sqlPoly("w1 || ' ' || w2")} AS h2,
+           |    ${sqlPoly("w1")} AS hw1 FROM big0),
+           |uh AS (SELECT doc_id, ${sqlPoly("w1")} AS h1 FROM uni),
+           |c1 AS (SELECT h1, COUNT(*) AS c1u FROM uh WHERE doc_id % 2 = 0 GROUP BY 1),
+           |c2solo AS (SELECT h2, COUNT(*) AS c12 FROM big WHERE doc_id % 2 = 0 GROUP BY 1),
+           |c2pair AS (SELECT hw1, h2, COUNT(*) AS c23 FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |c3 AS (SELECT h2a, h3, COUNT(*) AS c123 FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |tritab AS (SELECT c3.h2a, c3.h3, c123, c12
+           |  FROM c3 JOIN (SELECT h2 AS h2a, c12 FROM c2solo) s USING (h2a)),
+           |bitab AS (SELECT c2pair.hw1 AS hw2, c2pair.h2 AS h23, c23, c1.c1u AS c2u
+           |  FROM c2pair JOIN c1 ON c2pair.hw1 = c1.h1),
+           |unitab AS (SELECT h1 AS hw3, c1u AS c3u FROM c1),
+           |sc AS (SELECT tri.doc_id, ${graft.ops.Corpus.sbTermExpr(0.4)} AS term
+           |  FROM tri LEFT JOIN tritab USING (h2a, h3)
+           |           LEFT JOIN bitab USING (hw2, h23)
+           |           LEFT JOIN unitab USING (hw3)
+           |           CROSS JOIN ntot)""".stripMargin
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split($sqlNorm, ' '), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |tri0 AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+       |    ws[CAST(i + 1 AS INTEGER)] AS w2, ws[CAST(i + 2 AS INTEGER)] AS w3
+       |  FROM d, UNNEST(range(1, len(ws) - 1)) AS r(i)),
+       |big0 AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+       |    ws[CAST(i + 1 AS INTEGER)] AS w2
+       |  FROM d, UNNEST(range(1, len(ws))) AS r(i)),
+       |uni AS (SELECT doc_id, unnest(ws) AS w1 FROM d),
+       |ntot AS (SELECT COUNT(*) AS n_train FROM uni WHERE doc_id % 2 = 0),
+       |$keyed
+       |SELECT doc_id, COUNT(*) AS n_tri, CAST(SUM(term) AS BIGINT) AS sb_nano
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[Corpus.packBestFit]] (budget 64, 16 shards):
+    * the best-fit-decreasing fold runs as a recursive CTE — one row
+    * per shard per step, bins as a BIGINT list, tightest-feasible =
+    * list_position of the min feasible remaining (first occurrence =
+    * lowest bin id, Spark's TreeSet.first tie-break). Ends with CTE
+    * `st`; assignments are the step ≥ 1 rows.
+    */
+  private val sqlBestFitCtes: String =
+    s"""d AS (SELECT doc_id,
+       |    len(list_filter(string_split($sqlNorm, ' '), w -> length(w) > 0)) AS n
+       |  FROM documents),
+       |pieces0 AS (SELECT doc_id, n, UNNEST(range(0, (n + 63) // 64)) AS piece
+       |  FROM d WHERE n > 0),
+       |pieces AS (SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard,
+       |    doc_id, piece, LEAST(64, n - piece * 64) AS len FROM pieces0),
+       |rk AS (SELECT shard, doc_id, piece, len,
+       |    ROW_NUMBER() OVER (PARTITION BY shard
+       |      ORDER BY len DESC, doc_id, piece) AS rk
+       |  FROM pieces),
+       |st AS (
+       |  SELECT shard, 0 AS step, CAST([] AS BIGINT[]) AS bins,
+       |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS piece,
+       |    CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin
+       |  FROM (SELECT DISTINCT shard FROM rk)
+       |  UNION ALL
+       |  SELECT s.shard, s.step + 1,
+       |    CASE WHEN list_position(s.bins,
+       |        list_min(list_filter(s.bins, x -> x >= p.len))) IS NULL
+       |      THEN list_append(s.bins, 64 - p.len)
+       |      ELSE list_transform(s.bins, (x, i) ->
+       |        CASE WHEN i = list_position(s.bins,
+       |            list_min(list_filter(s.bins, x2 -> x2 >= p.len)))
+       |          THEN x - p.len ELSE x END)
+       |    END,
+       |    p.doc_id, p.piece, p.len,
+       |    COALESCE(list_position(s.bins,
+       |        list_min(list_filter(s.bins, x -> x >= p.len))),
+       |      len(s.bins) + 1)
+       |  FROM st s JOIN rk p ON p.shard = s.shard AND p.rk = s.step + 1
+       |)""".stripMargin
+
   /** DuckDB replay of [[Corpus.naiveBayesPredict]] trained on the
     * doc_id %3 != 0 slice (lang = class, 256 hash buckets), predicting
     * the held-out third: per-(bucket, class) counts → floor-micro
@@ -518,6 +623,45 @@ object CorpusQueries extends QueryGroup {
           Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
           "doc_id", "text", minLen = 30, topK = 100)
         .orderBy(col("n_windows").desc, col("src_id"), col("dst_id"))
+    }),
+
+    // Stupid Backoff trigram LM scoring (NEW r17, Brants et al. 2007):
+    // train on the even-id half, score every doc — held-out trigrams
+    // exercise the backoff ladder; floor-nano terms sum as BIGINT
+    "q323_stupid_backoff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.stupidBackoffScore(docs,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the 100 TB tier (NEW r17): gram keys ride as poly-hash BIGINTs
+    // (8-byte shuffle keys, the q297b discipline); oracle replays the
+    // same polynomial so a collision cannot split the gate
+    "q323b_stupid_backoff_hashed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.stupidBackoffScoreHashed(docs,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // best-fit no-split packing (NEW r17, Ding et al. 2024 "Fewer
+    // Truncations"): tightest-feasible-bin, (len DESC, id, piece)
+    // order, per Knuth-hash shard; oracle replays the fold as a
+    // recursive CTE step-for-step
+    "q324_bestfit_pack" -> ((s, d) => {
+      Corpus.packBestFit(Tables.documents(s, d), "doc_id", "text",
+          budget = 64, shards = 16)
+        .orderBy(col("doc_id"), col("piece"))
+    }),
+
+    // shard-level fill report over the same layout: bins opened vs the
+    // ceil(mass/budget) lower bound, fill rate in floor basis points
+    "q324b_bestfit_stats" -> ((s, d) => {
+      Corpus.packBestFitStats(
+          Corpus.packBestFit(Tables.documents(s, d), "doc_id", "text",
+            budget = 64, shards = 16), budget = 64)
+        .orderBy(col("shard"))
     }),
 
     // per-source operational report (NEW r8): doc counts, exact-dup
@@ -1439,6 +1583,24 @@ object CorpusQueries extends QueryGroup {
          |GROUP BY 1, 2
          |ORDER BY n_windows DESC, src_id, dst_id
          |LIMIT 100""".stripMargin,
+
+    "q323_stupid_backoff" -> sbOracleSql(hashed = false),
+
+    "q323b_stupid_backoff_hashed" -> sbOracleSql(hashed = true),
+
+    "q324_bestfit_pack" ->
+      s"""WITH RECURSIVE $sqlBestFitCtes
+         |SELECT doc_id, piece, len, shard, bin FROM st WHERE step >= 1
+         |ORDER BY doc_id, piece""".stripMargin,
+
+    "q324b_bestfit_stats" ->
+      s"""WITH RECURSIVE $sqlBestFitCtes,
+         |asg AS (SELECT doc_id, piece, len, shard, bin FROM st WHERE step >= 1)
+         |SELECT shard, COUNT(*) AS n_pieces, COUNT(DISTINCT bin) AS n_bins,
+         |  CAST(SUM(len) AS BIGINT) AS tokens,
+         |  CAST((SUM(len) + 63) // 64 AS BIGINT) AS lb_bins,
+         |  CAST((10000 * SUM(len)) // (COUNT(DISTINCT bin) * 64) AS BIGINT) AS fill_bp
+         |FROM asg GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q140c_containment" ->
       s"""WITH t AS (SELECT doc_id, $sqlNorm AS s FROM documents),

@@ -982,4 +982,123 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(w1.toSeq == Seq(("a", "b", 4L), ("a", "c", 1L)))
   }
+
+  test("stupidBackoffScore matches brute force on all four ladder branches;" +
+      " hashed tier agrees; partition-invariant") {
+    import spark.implicits._
+    // doc 1 hits branch 1 (seen trigram), doc 3 hits branch 2 (unseen
+    // trigram, seen backoff bigram via train's "c a"), branch 3 with a
+    // seen unigram ("d") and the 0.5 OOV floor (doc 5) all occur
+    val rows = Seq(
+      (0L, "a b c a b c d"),
+      (1L, "a b c x y z a b"),
+      (2L, "p q r s a b"),
+      (3L, "a b d c a b"),
+      (4L, "q r s p q r"),
+      (5L, "zz yy xx"),
+      (6L, "only two"))
+    val df = rows.toDF("doc_id", "text")
+    val train = df.filter(col("doc_id") % 2 === 0)
+    def fetch(res: org.apache.spark.sql.DataFrame) = res.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = fetch(Corpus.stupidBackoffScore(df, train, "doc_id", "text"))
+
+    def toks(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+      .split(" ").filter(_.nonEmpty).toSeq
+    def grams(ts: Seq[String], n: Int) =
+      if (ts.size < n) Seq.empty else ts.sliding(n).map(_.toList).toSeq
+    val tr = rows.filter(_._1 % 2 == 0).map(t => toks(t._2))
+    val c3 = tr.flatMap(grams(_, 3)).groupBy(identity).view.mapValues(_.size).toMap
+    val c2 = tr.flatMap(grams(_, 2)).groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = tr.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val nTrain = tr.map(_.size).sum
+    val exp = rows.flatMap { case (id, s) =>
+      val tris = grams(toks(s), 3)
+      if (tris.isEmpty) None
+      else {
+        val terms = tris.map { case List(w1, w2, w3) =>
+          val v =
+            if (c3.contains(List(w1, w2, w3)))
+              math.log(c3(List(w1, w2, w3)).toDouble / c2(List(w1, w2)))
+            else if (c2.contains(List(w2, w3)))
+              math.log(0.4 * (c2(List(w2, w3)).toDouble / c1(w2)))
+            else
+              math.log(0.4 * 0.4 *
+                (c1.get(w3).map(_.toDouble).getOrElse(0.5) / nTrain))
+          math.floor(1e9 * v).toLong
+        }
+        Some((id, tris.size.toLong, terms.sum))
+      }
+    }.sortBy(_._1)
+    assert(got == exp)
+    // docs 0-5 score; doc 6 (< 3 tokens) carries no trigram evidence
+    assert(got.size == 6 && !got.exists(_._1 == 6L))
+    // hashed tier: bit-identical at a collision-free toy vocabulary
+    val hashed = fetch(Corpus.stupidBackoffScoreHashed(df, train, "doc_id", "text"))
+    assert(hashed == got)
+    // floor-nano terms sum as integers: partitioning cannot move them
+    val p7 = fetch(Corpus.stupidBackoffScore(df.repartition(7),
+      train.repartition(3), "doc_id", "text"))
+    assert(p7 == got)
+  }
+
+  test("packBestFit matches an in-memory BFD reference, respects capacity," +
+      " and is partition-invariant") {
+    import spark.implicits._
+    val B = 10
+    val S = 3
+    val rows = (0L until 80L).map { i =>
+      val n = ((i * 37 + 11) % 23 + 1).toInt // 1..23 tokens, splits occur
+      (i, Seq.fill(n)("w").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    def fetch(res: org.apache.spark.sql.DataFrame) = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    val got = fetch(Corpus.packBestFit(df, "doc_id", "text", B, S))
+
+    final case class P(shard: Long, did: Long, piece: Long, len: Long)
+    val pieces = rows.flatMap { case (id, s) =>
+      val n = s.split(" ").count(_.nonEmpty)
+      val shard = id * 2654435761L % 4294967296L % S
+      (0 until (n + B - 1) / B).map(p =>
+        P(shard, id, p.toLong, math.min(B.toLong, n - p.toLong * B)))
+    }
+    val exp = pieces.groupBy(_.shard).toSeq.flatMap { case (shard, ps0) =>
+      val ps = ps0.sortBy(p => (-p.len, p.did, p.piece))
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ps.map { p =>
+        val feas = rem.zipWithIndex.filter(_._1 >= p.len)
+        if (feas.isEmpty) {
+          rem += (B - p.len)
+          (p.did, p.piece, p.len, shard, rem.length.toLong)
+        } else {
+          val i = rem.indexOf(feas.map(_._1).min) // first = lowest bin id
+          rem(i) -= p.len
+          (p.did, p.piece, p.len, shard, (i + 1).toLong)
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == exp)
+    // no bin overfills and every doc's pieces sum to its token count
+    val fills = got.groupBy(t => (t._4, t._5)).values.map(_.map(_._3).sum)
+    assert(fills.forall(_ <= B))
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    rows.foreach { case (id, s) =>
+      assert(perDoc(id) == s.split(" ").count(_.nonEmpty).toLong)
+    }
+    // shard fold is independent of the input partitioning
+    val p7 = fetch(Corpus.packBestFit(df.repartition(7), "doc_id", "text", B, S))
+    assert(p7 == got)
+    // the fill report aggregates the same layout
+    val st = Corpus.packBestFitStats(
+      Corpus.packBestFit(df, "doc_id", "text", B, S), B).orderBy("shard").collect()
+    st.foreach { r =>
+      val mine = got.filter(_._4 == r.getLong(0))
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getLong(2) == mine.map(_._5).distinct.length.toLong)
+      assert(r.getLong(3) == mine.map(_._3).sum)
+      assert(r.getLong(4) == (mine.map(_._3).sum + B - 1) / B)
+    }
+  }
 }
