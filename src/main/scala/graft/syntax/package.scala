@@ -159,6 +159,18 @@ package object syntax {
     def packSequences(id: String, nTokens: Column, budget: Long,
         chunkSize: Long = 64): DataFrame =
       Corpus.packSequences(df, id, nTokens, budget, chunkSize)
+    def packBestFit(id: String, text: String, budget: Int,
+        shards: Int): DataFrame =
+      Corpus.packBestFit(df, id, text, budget, shards)
+    /** `df` is a [[packBestFit]] layout. */
+    def packBestFitStats(budget: Int): DataFrame =
+      Corpus.packBestFitStats(df, budget)
+    def stupidBackoffScore(train: DataFrame, id: String, text: String,
+        alpha: Double = 0.4): DataFrame =
+      Corpus.stupidBackoffScore(df, train, id, text, alpha)
+    def stupidBackoffScoreHashed(train: DataFrame, id: String,
+        text: String, alpha: Double = 0.4): DataFrame =
+      Corpus.stupidBackoffScoreHashed(df, train, id, text, alpha)
     def sampleByHash(id: String, strata: String, rates: Map[String, Double],
         defaultRate: Double): DataFrame =
       Corpus.sampleByHash(df, id, strata, rates, defaultRate)

@@ -120,6 +120,14 @@ class SyntaxSpec extends SparkSpec {
       .count() == 1)
     assert(docs.redactPii("text").columns.contains("redacted"))
     assert(docs.packSequences("doc_id", lit(5L), budget = 8).count() == 3)
+    assert(docs.packBestFit("doc_id", "text", budget = 8, shards = 2)
+      .count() == 3)
+    assert(docs.packBestFit("doc_id", "text", budget = 8, shards = 2)
+      .packBestFitStats(budget = 8).count() == 2)
+    assert(docs.stupidBackoffScore(docs.filter($"doc_id" < 3), "doc_id", "text")
+      .count() == 3)
+    assert(docs.stupidBackoffScoreHashed(docs.filter($"doc_id" < 3),
+      "doc_id", "text").count() == 3)
     assert(docs.sampleByHash("doc_id", "lang", Map("en" -> 1.0), 1.0).count() == 3)
     assert(docs.tfidfTopK("doc_id", "text", 1).count() == 3)
     assert(docs.heavyHitters("doc_id", "text", k = 2, capacity = 64).count() == 2)
