@@ -1269,6 +1269,23 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility per language (NEW r17): subwords-per-word
+    // under the just-learned BPE — THE multilingual tokenizer-eval
+    // number (vocab-size / language-coverage decisions read it before
+    // any model trains); pure composition of the gated encode with a
+    // per-lang rollup, floor basis points
+    "q162c_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Bpe.encode(docs, "doc_id", "text", nMerges = 10)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .withColumn("fertility_bp", expr("(10000 * n_subwords) div n_words"))
+        .orderBy(col("lang"))
+    }),
+
     // nvtext replace_tokens parity: literal-map lookup in one
     // transform — codegen'd, scale-free
     "q163_replace_tokens" -> ((s, d) => {
@@ -2932,6 +2949,23 @@ object LlmQueries extends QueryGroup {
            |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords
            |FROM dw JOIN dict USING (w) WHERE len(w) > 0
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      // the per-doc encode rolled up per lang — same CTEs, one more join
+      "q162c_tokenizer_fertility" -> {
+        val n = 10
+        s"""${bpeCtes(n)},
+           |dict AS (SELECT w, len(string_split(toks, ' ')) AS n_sub FROM t$n),
+           |dw AS (SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS w FROM documents),
+           |enc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |    CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+           |  FROM dw JOIN dict USING (w) WHERE len(w) > 0 GROUP BY doc_id)
+           |SELECT d.lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+           |  CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+           |  CAST((10000 * SUM(e.n_subwords)) // SUM(e.n_words) AS BIGINT) AS fertility_bp
+           |FROM enc e JOIN documents d USING (doc_id)
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin
       },
 
       "q163_replace_tokens" ->
