@@ -734,4 +734,87 @@ class PropertySpec extends SparkSpec {
     }
     check("dup-attribution-vs-bruteforce", prop, minTests = 8)
   }
+
+  // ---- best-fit packing vs the sequential BFD fold -----------------
+
+  // doc 0 is forced over-budget so splitting always occurs
+  private val genPackDocs: Gen[List[(Long, Int)]] =
+    Gen.listOfN(24, Gen.choose(0, 23)).map(ns =>
+      (0L, 25) :: ns.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n) })
+
+  test("packBestFit matches the sequential BFD reference on random corpora") {
+    val prop = Prop.forAll(genPackDocs, Gen.oneOf(1, 3, 7),
+        Gen.oneOf(8, 10)) { (docs, nPart, budget) =>
+      val shards = 3
+      val df = docs.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text").repartition(nPart)
+      val got = graft.ops.Corpus.packBestFit(df, "doc_id", "text", budget, shards)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val pieces = docs.filter(_._2 > 0).flatMap { case (id, n) =>
+        val shard = id * 2654435761L % 4294967296L % shards
+        (0 until (n + budget - 1) / budget).map(p =>
+          (shard, id, p.toLong, math.min(budget.toLong, n - p.toLong * budget)))
+      }
+      val want = pieces.groupBy(_._1).toSeq.flatMap { case (shard, ps0) =>
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ps0.sortBy(p => (-p._4, p._2, p._3)).map { case (_, d, p, l) =>
+          val feas = rem.zipWithIndex.filter(_._1 >= l)
+          val bin = if (feas.isEmpty) { rem += (budget - l); rem.length.toLong }
+          else {
+            val i = rem.indexOf(feas.map(_._1).min)
+            rem(i) -= l; (i + 1).toLong
+          }
+          (d, p) -> ((l, shard, bin))
+        }
+      }.toMap
+      got == want
+    }
+    check("packBestFit-vs-bruteforce", prop, minTests = 12)
+  }
+
+  // ---- stupid backoff vs brute force -------------------------------
+
+  // doc 0 (even: lands in train) is forced to >= 3 tokens so n_train
+  // is never zero; other docs range 0..6 tokens over a 4-word alphabet
+  // so seen/backoff/OOV branches all occur across samples
+  private val genSbDocs: Gen[List[(Long, String)]] =
+    Gen.listOfN(7, Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))).map(ds =>
+      (0L, "aa bb cc aa bb") :: ds.zipWithIndex.map {
+        case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) })
+
+  test("stupidBackoffScore matches brute force on random tiny corpora") {
+    val prop = Prop.forAll(genSbDocs, Gen.oneOf(1, 5)) { (docs, nPart) =>
+      val df = docs.toDF("doc_id", "text").repartition(nPart)
+      val train = df.filter(col("doc_id") % 2 === 0)
+      val got = graft.ops.Corpus.stupidBackoffScore(df, train, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+      def grams(ts: Seq[String], n: Int) =
+        if (ts.size < n) Seq.empty else ts.sliding(n).map(_.toList).toSeq
+      val tr = docs.filter(_._1 % 2 == 0).map(t => toks(t._2))
+      val c3 = tr.flatMap(grams(_, 3)).groupBy(identity).view.mapValues(_.size).toMap
+      val c2 = tr.flatMap(grams(_, 2)).groupBy(identity).view.mapValues(_.size).toMap
+      val c1 = tr.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val nTrain = tr.map(_.size).sum
+      val want = docs.flatMap { case (id, s) =>
+        val tris = grams(toks(s), 3)
+        if (tris.isEmpty) None
+        else Some((id, tris.size.toLong, tris.map { case List(w1, w2, w3) =>
+          val v =
+            if (c3.contains(List(w1, w2, w3)))
+              math.log(c3(List(w1, w2, w3)).toDouble / c2(List(w1, w2)))
+            else if (c2.contains(List(w2, w3)))
+              math.log(0.4 * (c2(List(w2, w3)).toDouble / c1(w2)))
+            else math.log(0.4 * 0.4 *
+              (c1.get(w3).map(_.toDouble).getOrElse(0.5) / nTrain))
+          math.floor(1e9 * v).toLong
+        }.sum))
+      }.sortBy(_._1)
+      got == want
+    }
+    check("stupidBackoff-vs-bruteforce", prop, minTests = 12)
+  }
 }
