@@ -280,6 +280,18 @@ object Dedup {
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
       .persist()
+    // r17 OPTIMIZATION (opt guide §2.4, §3.1): the label frame is
+    // checkpointed per round (no stats), so the propagation join
+    // defaulted to sort-merge — the symmetric edge list reshuffled and
+    // re-sorted every round. labels is exactly one row per node; the
+    // count below (which also materializes the persist the loop needs
+    // anyway) picks the join strategy deliberately: broadcast while
+    // |V| fits the session threshold, the unchanged shuffled join past
+    // it. Identical labels either way.
+    val sparkS = pairs.sparkSession
+    val nV = labels.count()
+    val bcastOk = nV * 64L < sparkS.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -287,7 +299,8 @@ object Dedup {
       // neighbor rows), so convergence falls out of the same aggregation
       // — no second labels join per round. Every dst is also a src
       // (edges are symmetric), so max(old) is never null after grouping.
-      val viaNeighbor = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      val lbl = labels.withColumnRenamed("id", "src")
+      val viaNeighbor = edges.join(if (bcastOk) broadcast(lbl) else lbl, "src")
         .select(col("dst").as("id"), col("lbl"),
           when(lit(false), col("lbl")).as("old"))
       val next = labels

@@ -69,6 +69,25 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
+    // r17 OPTIMIZATION (opt guide §2.4, §3.1; A/B
+    // scripts/ab_pagerank_r17.scala, bit-identical, min-of-5
+    // interleaved 3.95 s → 3.60 s at sf0.1): the rank-side join
+    // strategy is picked DELIBERATELY from a measured |V| — a
+    // checkpointed rank frame carries no stats, so the planner
+    // defaulted every round to a sort-merge join that reshuffled and
+    // re-sorted the |E| frame; while the rank vector fits the session
+    // broadcast threshold (64 B/row conservative) it broadcasts and
+    // |E| stays put, past that the shuffled join is kept. The
+    // per-round nodes LEFT join is replaced by unioning a zero
+    // contribution row per node into the SAME aggregation — one
+    // exchange per round instead of two. (This is NOT the r8
+    // "broadcast-ranks + dst-partitioned-edges" variant that measured
+    // 2.6x slower: edges keep their persisted layout and the shuffled
+    // path is untouched when |V| is large.)
+    val spark = edges.sparkSession
+    val nV = nodes.count()
+    val bcastOk = nV * 64L < spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     val basePpb = (100L - dampingPct) * 1000000000L / 100L
     var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_ppb"))
     var i = 0
@@ -76,13 +95,14 @@ object Graph {
       // contribution of u to each successor: floor(r(u) / outdeg(u)) —
       // exact in any 64-bit engine; the remainder mass evaporates
       // identically everywhere.
-      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+      val ranked = ranks.withColumnRenamed("node", "src")
+      ranks = ed.join(if (bcastOk) broadcast(ranked) else ranked, "src")
         .select(col("dst").as("node"),
           expr("rank_ppb div odeg").as("c"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(basePpb) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+          (lit(basePpb) + expr(s"($dampingPct * s) div 100"))
             .as("rank_ppb"))
         .localCheckpoint(true)
       i += 1
@@ -135,17 +155,25 @@ object Graph {
     val ed = e.join(wsum, "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    // r17 OPTIMIZATION: same restructure as [[pageRankPpb]] (which
+    // see) — measured-|V| guarded broadcast of the rank side + zero-row
+    // union instead of the per-round nodes LEFT join. Bit-identical.
+    val spark = edges.sparkSession
+    val nV = nodes.count()
+    val bcastOk = nV * 64L < spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     val basePpb = (100L - dampingPct) * 1000000000L / 100L
     var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_ppb"))
     var i = 0
     while (i < iterations) {
-      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+      val ranked = ranks.withColumnRenamed("node", "src")
+      ranks = ed.join(if (bcastOk) broadcast(ranked) else ranked, "src")
         .select(col("dst").as("node"),
           expr("(rank_ppb * w) div wsum").as("c"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(basePpb) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+          (lit(basePpb) + expr(s"($dampingPct * s) div 100"))
             .as("rank_ppb"))
         .localCheckpoint(true)
       i += 1
@@ -185,26 +213,35 @@ object Graph {
       s"iterations must be in [1, 4], got $iterations (unnormalized " +
         "integer HITS grows by ~d_in*d_out per round; keep the product " +
         "under 2^63)")
+    // r17 OPTIMIZATION: same restructure as [[hitsMilliLoop]] (which
+    // see) — measured-|V| broadcast-or-shuffle rank join + zero-row
+    // union instead of the per-half-step nodes LEFT join; one exchange
+    // per half-step instead of two, |E| frame never reshuffled while
+    // the rank vector fits the broadcast threshold. Bit-identical
+    // integer sums.
+    val spark = edges.sparkSession
     val e = edges.select(col(src).cast("long").as("src"),
       col(dst).cast("long").as("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nV = nodes.count()
+    val bcastOk = nV * 64L < spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
+    def halfStep(prev: DataFrame, prevC: String, joinKey: String,
+        outKey: String, outC: String): DataFrame = {
+      val ranked = prev.withColumnRenamed("node", joinKey)
+      e.join(if (bcastOk) broadcast(ranked) else ranked, joinKey)
+        .select(col(outKey).as("node"), col(prevC).as("x"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("x")))
+        .groupBy(col("node")).agg(sum(col("x")).as(outC))
+        .localCheckpoint(true)
+    }
     var hub = nodes.select(col("node"), lit(1L).as("h"))
     var auth = nodes.select(col("node"), lit(0L).as("a"))
     var i = 0
     while (i < iterations) {
-      auth = nodes.join(
-          e.join(hub.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
-        .localCheckpoint(true)
-      hub = nodes.join(
-          e.join(auth.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
-        .localCheckpoint(true)
+      auth = halfStep(hub, "h", "src", "dst", "a")
+      hub = halfStep(auth, "a", "dst", "src", "h")
       i += 1
     }
     val out = auth.join(hub, Seq("node"))
@@ -261,35 +298,60 @@ object Graph {
       col(weight).cast("long").as("w"))
       .filter(col("w") > 0), iterations)
 
+  /** r17 OPTIMIZATION (opt guide §2.4, §3.1). The pre-r17 half-step was
+    * [e ⋈(SMJ) rank → agg → LEFT join nodes → rescale(crossJoin
+    * broadcast max) → localCheckpoint]: a checkpointed rank frame
+    * carries no stats, so the planner defaulted the rank join to a
+    * sort-merge that RESHUFFLED AND RE-SORTED the |E| frame on every
+    * one of the 2·iterations half-steps, the nodes LEFT join added a
+    * second per-half-step exchange, and the rescale's max() subtree
+    * re-ran the un-materialized aggregation. Restructured:
+    *   - rank-side join strategy picked DELIBERATELY from a measured
+    *     |V| (one bounded count over the persisted nodes frame,
+    *     amortized over every half-step): while the rank vector fits
+    *     the session broadcast threshold (64 B/row conservative) it is
+    *     broadcast and the |E| frame is never reshuffled; past that —
+    *     cluster-scale graphs — the shuffled join is kept unchanged.
+    *   - the nodes LEFT join is replaced by unioning a zero row per
+    *     node into the SAME aggregation ([[hyperBallLoop]]'s trick):
+    *     sum picks up the 0 for no-contribution nodes — one exchange
+    *     per half-step instead of two.
+    *   - the pre-rescale sums are the frame that gets checkpointed, so
+    *     the max() and the rescale projection both read materialized
+    *     rows instead of re-running the aggregation subtree.
+    * Results are bit-identical (same integer sums and floor rescale;
+    * A/B-verified row-for-row at sf0.1, scripts/ab_hitsmilli_r17.scala:
+    * min-of-5 interleaved 16.6 s → 8.6 s).
+    */
   private def hitsMilliLoop(edgesW: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 30,
       s"iterations must be in [1, 30], got $iterations")
+    val spark = edgesW.sparkSession
     val e = edgesW.persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    def rescale(df: DataFrame, c: String): DataFrame =
-      df.crossJoin(broadcast(df.agg(max(col(c)).as("m"))))
+    val nV = nodes.count()
+    val bcastOk = nV * 64L < spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
+    def halfStep(prev: DataFrame, prevC: String, joinKey: String,
+        outKey: String, outC: String): DataFrame = {
+      val ranked = prev.withColumnRenamed("node", joinKey)
+      val summed = e.join(if (bcastOk) broadcast(ranked) else ranked, joinKey)
+        .select(col(outKey).as("node"), (col(prevC) * col("w")).as("x"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("x")))
+        .groupBy(col("node")).agg(sum(col("x")).as("x"))
+        .localCheckpoint(true)
+      summed.crossJoin(broadcast(summed.agg(max(col("x")).as("m"))))
         .select(col("node"),
           when(col("m") === 0, lit(0L))
-            .otherwise(expr(s"($c * 1000) div m")).as(c))
-    var hub = nodes.select(col("node"), lit(1000L).as("h"))
+            .otherwise(expr("(x * 1000) div m")).as(outC))
+    }
+    var hub: DataFrame = nodes.select(col("node"), lit(1000L).as("h"))
     var auth: DataFrame = null
     var i = 0
     while (i < iterations) {
-      auth = rescale(nodes.join(
-          e.join(hub.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node"))
-            .agg(sum(col("h") * col("w")).as("a")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
-        .localCheckpoint(true)
-      hub = rescale(nodes.join(
-          e.join(auth.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(col("src").as("node"))
-            .agg(sum(col("a") * col("w")).as("h")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
-        .localCheckpoint(true)
+      auth = halfStep(hub, "h", "src", "dst", "a")
+      hub = halfStep(auth, "a", "dst", "src", "h")
       i += 1
     }
     val out = auth.join(hub, Seq("node"))
@@ -348,20 +410,36 @@ object Graph {
     require(basePpbBig.isValidLong,
       s"per-seed teleport mass overflows Long: nv=$nv ns=$ns")
     val basePpb = basePpbBig.toLong
-    val base = nodes.join(s0, Seq("node"), "left_semi")
-      .select(col("node"), lit(basePpb).as("b"))
-    var ranks = nodes.join(base, Seq("node"), "left")
-      .select(col("node"), coalesce(col("b"), lit(0L)).as("rank_ppb"))
+    // r17 OPTIMIZATION: same restructure as [[pageRankPpb]] (which
+    // see), adapted to the seed-concentrated teleport. baseFull
+    // (node, b) — b = basePpb on seeds, 0 elsewhere — is built ONCE
+    // and persisted (the old loop re-ran the nodes⋈base LEFT join
+    // every round); each round unions (node, c=0, b) rows into the
+    // contribution aggregation so sum(c) recovers the contribution
+    // mass and sum(b) the teleport term (exactly one baseFull row per
+    // node) — one exchange per round instead of three. The rank side
+    // broadcasts only while the measured |V| fits the session
+    // threshold. Bit-identical integer arithmetic.
+    val sparkS = edges.sparkSession
+    val bcastOk = nv * 64L < sparkS.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
+    val baseFull = nodes.join(
+        nodes.join(s0, Seq("node"), "left_semi")
+          .select(col("node"), lit(basePpb).as("b")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("b"), lit(0L)).as("b"))
+      .persist()
+    var ranks = baseFull.select(col("node"), col("b").as("rank_ppb"))
     var i = 0
     while (i < iterations) {
-      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank_ppb div odeg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(base, Seq("node"), "left")
-        .join(contrib, Seq("node"), "left")
+      val ranked = ranks.withColumnRenamed("node", "src")
+      ranks = ed.join(if (bcastOk) broadcast(ranked) else ranked, "src")
+        .select(col("dst").as("node"), expr("rank_ppb div odeg").as("c"),
+          lit(0L).as("b"))
+        .unionByName(baseFull.select(col("node"), lit(0L).as("c"), col("b")))
+        .groupBy("node").agg(sum(col("c")).as("s"), sum(col("b")).as("b"))
         .select(col("node"),
-          (coalesce(col("b"), lit(0L)) +
-            expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank_ppb"))
+          (col("b") + expr(s"($dampingPct * s) div 100")).as("rank_ppb"))
         .localCheckpoint(true)
       i += 1
     }
@@ -371,6 +449,7 @@ object Graph {
     ed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     seeded.unpersist(blocking = false)
+    baseFull.unpersist(blocking = false)
     out
   }
 
@@ -510,18 +589,32 @@ object Graph {
       col(dst).cast("long").as("dst")).persist()
     val s0 = seeds.select(col(node).cast("long").as("node"),
       col(label).cast("string").as("label")).distinct().persist()
+    // r17 OPTIMIZATION (opt guide §2.4, §3.1): the assignment frame is
+    // loop-built (no stats), so the per-round votes join defaulted to
+    // sort-merge — the |E| frame reshuffled and re-sorted every round.
+    // |assigned| is bounded by |seeds| + |distinct dst| (labels only
+    // ever attach to vote targets); measure that bound once and
+    // broadcast the assignment while it fits the session threshold.
+    // The window argmax is replaced by min(struct(-n_votes, label)) —
+    // same winner (count desc, then lexicographically smallest label)
+    // through the aggregation itself, dropping the window's extra
+    // exchange + sort per round. Identical assignments either way.
+    val sparkS = edges.sparkSession
+    val nUb = s0.count() + e.select(col("dst")).distinct().count()
+    val bcastOk = nUb * 64L < sparkS.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     var assigned = s0.withColumn("seeded", lit(true))
     var i = 0
     while (i < iterations) {
-      val votes = e.join(assigned.withColumnRenamed("node", "src"), "src")
+      val voters = assigned.withColumnRenamed("node", "src")
+      val votes = e.join(if (bcastOk) broadcast(voters) else voters, "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("n_votes"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node"))
-        .orderBy(col("n_votes").desc, col("label"))
-      val winners = votes.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("node"), col("label"), lit(false).as("seeded"))
+      val winners = votes
+        .groupBy(col("node"))
+        .agg(min(struct((-col("n_votes")).as("neg"), col("label"))).as("w"))
+        .select(col("node"), col("w.label").as("label"),
+          lit(false).as("seeded"))
       // seeds clamp: an inferred label never overrides a seed
       assigned = s0.withColumn("seeded", lit(true))
         .unionByName(winners.join(s0.select("node"), Seq("node"), "left_anti"))
@@ -583,6 +676,20 @@ object Graph {
     var e = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct().persist()
     var prevCount = if (fixpoint) e.count() else -1L
+    // r17 OPTIMIZATION (opt guide §2.4, §3.1): the keep set is derived
+    // from an aggregation over a checkpointed edge list, so it carries
+    // no stats and the planner defaulted both per-round semi-joins to
+    // sort-merge — TWO full |E|-row exchanges plus four sorts per
+    // round. The surviving-node set is at most |V| rows of one long;
+    // while a measured |V| (one bounded distinct-count, amortized over
+    // every round — the node set only shrinks) fits the session
+    // broadcast threshold, broadcast both semi-joins and the edge list
+    // is never reshuffled. Past the threshold the shuffled plan is
+    // kept unchanged. Identical surviving set either way.
+    val sparkS = edges.sparkSession
+    val nV = e.select(col("src")).distinct().count()
+    val bcastOk = nV * 64L < sparkS.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     var i = 0
     var stable = false
     while (if (fixpoint) !stable else i < rounds) {
@@ -596,12 +703,18 @@ object Graph {
             "if the graph genuinely needs more peels")
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("node"))
+      def keepSide(as: String) = {
+        val r = keep.withColumnRenamed("node", as)
+        if (bcastOk) broadcast(r) else r
+      }
       val peeled = e
-        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .join(keepSide("src"), Seq("src"), "left_semi")
+        .join(keepSide("dst"), Seq("dst"), "left_semi")
       val next = peeled.localCheckpoint(true)
-      val n = next.count() // materialize before releasing the previous round
-      if (fixpoint) { stable = n == prevCount; prevCount = n }
+      // r17: the redundant per-round count() is gone for fixed-depth
+      // mode — localCheckpoint(true) is already the materialization
+      // barrier; fixpoint mode still counts (it IS the convergence test)
+      if (fixpoint) { val n = next.count(); stable = n == prevCount; prevCount = n }
       e.unpersist(blocking = false)
       e = next
       i += 1
