@@ -1059,11 +1059,24 @@ object Graph {
     var frontier = nodes.select(col("node").as("v"), col("node").as("u"))
       .localCheckpoint(true)
     var reached = frontier
+    // r17 OPTIMIZATION (opt guide §3.1): the frontier is checkpointed
+    // (no stats), so the per-round expansion join defaulted to a
+    // sort-merge that reshuffled and re-sorted BOTH the pair frontier
+    // and the edge list every round. The edge list is the bounded side
+    // here (the pair set is Σ|ball| ≥ |E| on dense fixtures); measure
+    // |E| once (the frame is persisted, the count is amortized over
+    // maxDepth rounds) and broadcast it while it fits the session
+    // threshold — the frontier then never reshuffles for the
+    // expansion. Past the threshold the shuffled plan is unchanged.
+    val sparkS = edges.sparkSession
+    val bcastE = e.count() * 64L < sparkS.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     var acc = nodes.select(col("node").as("v"), lit(0L).as("h"), lit(0L).as("n"))
     var d = 1
     var emptied = false
     while (d <= maxDepth && !emptied) {
-      val expanded = frontier.join(e, frontier("u") === e("edst"))
+      val expanded = frontier.join(if (bcastE) broadcast(e) else e,
+          frontier("u") === e("edst"))
         .select(col("v"), col("esrc").as("u")).distinct()
       val next = expanded.join(reached, Seq("v", "u"), "left_anti")
         .localCheckpoint(true)
@@ -1355,6 +1368,17 @@ object Graph {
       .select(col("node"), initUdf(col("node")).as("regs"),
         lit(1L).as("est"), lit(0L).as("h_micro"))
       .localCheckpoint(true)
+    // r17 OPTIMIZATION (opt guide §3.1): state rows carry 2^p-byte
+    // register arrays, so reshuffling + sorting the state frame for a
+    // sort-merge contribution join every round is the worst possible
+    // plan — and that is what the planner picked (checkpointed state
+    // has no stats). The EDGE list is the narrow side (two longs/row);
+    // measure it once and broadcast it while it fits the threshold:
+    // the register frame then stays put and only the post-partial-agg
+    // registers cross the wire. Past the threshold the shuffled join
+    // is kept.
+    val bcastE = e.count() * 64L < edges.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     val sums = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     def sumEst(d: Int): Unit = if (collectSums)
       sums += ((d, state.agg(coalesce(sum(col("est")), lit(0L)))
@@ -1368,7 +1392,7 @@ object Graph {
       // the registers (est >= 1 and h_micro >= 0 always, so max picks
       // the own-row value) — no second per-round join against state.
       val contrib = state.select(col("node"), col("regs"))
-        .join(e, col("node") === col("esrc"))
+        .join(if (bcastE) broadcast(e) else e, col("node") === col("esrc"))
         .select(col("edst").as("node"), col("regs"),
           lit(0L).as("est"), lit(0L).as("h_micro"))
       val w = 1000000L / d
@@ -1671,6 +1695,14 @@ object Graph {
       .orderBy(col("hk"), col("node")).limit(k)
       .select(col("node").as("p"))
       .localCheckpoint(true)
+    // r17 OPTIMIZATION (opt guide §3.1): same measured-|E| guarded
+    // broadcast as harmonicCentralityMicro (which see) -- the frontier
+    // and dependency frames are checkpointed (no stats) and defaulted
+    // every forward/backward edge join to sort-merge reshuffles of
+    // both sides; broadcast the narrow edge list while it fits.
+    val bcastE = e.count() * 64L < edges.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
+    val eJ = if (bcastE) broadcast(e) else e
     // ---- forward: levels(d) = (p, v, sigma) at exact distance d ----
     val levels = scala.collection.mutable.ArrayBuffer(
       piv.select(col("p"), col("p").as("v"), lit(1L).as("sigma"))
@@ -1680,7 +1712,7 @@ object Graph {
     var emptied = false
     while (d <= maxDepth && !emptied) {
       val last = levels.last
-      val next = last.join(e, last("v") === e("esrc"))
+      val next = last.join(eJ, last("v") === e("esrc"))
         .select(col("p"), col("edst").as("v"), col("sigma"))
         .join(visited, Seq("p", "v"), "left_anti")
         .groupBy(col("p"), col("v")).agg(sum(col("sigma")).as("sigma"))
@@ -1705,7 +1737,7 @@ object Graph {
     var i = depthTop - 1
     while (i >= 1) {
       val lvl = levels(i)
-      val terms = lvl.join(e, lvl("v") === e("esrc"))
+      val terms = lvl.join(eJ, lvl("v") === e("esrc"))
         .select(col("p"), col("v"), col("sigma"), col("edst").as("w"))
         .join(below.select(col("p"), col("v").as("w"),
             col("delta").as("dw")).join(
