@@ -25,13 +25,43 @@ spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "655
 val sel = graft.SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
   only.isEmpty || only.exists(n.startsWith)
 }
+
+// Iterative ops materialize per-round frames INSIDE query construction
+// (localCheckpoint / count); their final explain only shows the last
+// join over checkpoint RDDs. Capture every executed plan through a
+// QueryExecutionListener so the dumped artifact includes the per-round
+// physical plans the optimization claims are about.
+val captured = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+    captured.add((funcName, qe.executedPlan.toString))
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+}
+spark.listenerManager.register(ql)
+
 sel.foreach { case (name, fn) =>
   try {
+    captured.clear()
     val df = fn(spark, sfDir)
     val txt = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), txt)
-    println(s"[plans] wrote $name ($suffix): ${txt.linesIterator.size} lines")
+    Thread.sleep(400)
+    val sb = new StringBuilder(txt)
+    val inner = {
+      import scala.jdk.CollectionConverters._
+      captured.asScala.toSeq
+    }
+    if (inner.nonEmpty) {
+      sb.append("\n\n== Per-round executed plans (loop-internal actions," +
+        " captured in construction order) ==\n")
+      inner.zipWithIndex.foreach { case ((fname, plan), i) =>
+        sb.append(s"\n---- action $i ($fname) ----\n").append(plan)
+      }
+    }
+    Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), sb.toString)
+    println(s"[plans] wrote $name ($suffix): ${inner.size} inner actions")
   } catch { case e: Throwable =>
     println(s"[plans] FAILED $name: ${e.getMessage}")
   }

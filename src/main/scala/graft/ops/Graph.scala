@@ -553,16 +553,28 @@ object Graph {
       .select(col("n"),
         coalesce(col("lbl"), col("n").cast("string")).as("lbl"))
       .persist()
+    // r17 OPTIMIZATION (opt guide §3.1): labeled is |V| rows of
+    // (long, short string) joined three times on three different keys
+    // (n, a, b) -- each join re-exchanged it and the planner had no
+    // stats to pick broadcast. Measure |V| once (the count also
+    // materializes the persist every consumer needs) and broadcast
+    // while it fits the session threshold; past it the shuffled joins
+    // are unchanged. Identical sums either way.
+    val sparkS = edgesW.sparkSession
+    val nL = labeled.count()
+    val bcastL = nL * 96L < sparkS.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
+    def lSide(df: DataFrame): DataFrame = if (bcastL) broadcast(df) else df
     val m = e0.agg(sum(col("w")).as("m"))
     val deg = e0.select(col("a").as("n"), col("w"))
       .union(e0.select(col("b").as("n"), col("w")))
       .groupBy(col("n")).agg(sum(col("w")).as("deg"))
-    val dSum = deg.join(labeled, Seq("n"))
+    val dSum = deg.join(lSide(labeled), Seq("n"))
       .groupBy(col("lbl"))
       .agg(sum(col("deg")).as("d_sum"), count(lit(1)).as("n_nodes"))
     val eWithin = e0
-      .join(labeled.select(col("n").as("a"), col("lbl").as("la")), Seq("a"))
-      .join(labeled.select(col("n").as("b"), col("lbl").as("lb")), Seq("b"))
+      .join(lSide(labeled.select(col("n").as("a"), col("lbl").as("la"))), Seq("a"))
+      .join(lSide(labeled.select(col("n").as("b"), col("lbl").as("lb"))), Seq("b"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("lbl")).agg(sum(col("w")).as("e_within"))
     val out = dSum.join(eWithin, Seq("lbl"), "left")
@@ -1532,6 +1544,16 @@ object Graph {
         greatest(col("x"), col("y")).as("b"))
       .distinct().persist()
     var prevCount = if (fixpoint) e.count() else -1L
+    // r17 OPTIMIZATION (opt guide §3.1): the keep set (edges at
+    // support >= k-2) is derived per round from the triangle census --
+    // no stats, so the semi-join that applies it planned as a
+    // sort-merge reshuffle of both edge frames. keep is bounded by the
+    // CURRENT edge count, which only shrinks; measure |E| once up
+    // front and broadcast the two-long keep set while that bound fits
+    // the session threshold. Identical surviving set either way.
+    val nE0 = if (fixpoint) prevCount else e.count()
+    val bcastK = nE0 * 64L < edges.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     var i = 0
     var stable = false
     while (if (fixpoint) !stable else i < rounds) {
@@ -1546,7 +1568,8 @@ object Graph {
       }
       val keep = edgeSupport(e).filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
-      val next = e.join(keep, Seq("a", "b"), "left_semi")
+      val next = e.join(if (bcastK) broadcast(keep) else keep,
+          Seq("a", "b"), "left_semi")
         .localCheckpoint(true)
       if (fixpoint) {
         val n = next.count()
