@@ -361,6 +361,18 @@ object Dedup {
     // node set comes from the checkpointed edge list so the (possibly
     // expensive) upstream runs exactly once; self-pairs are ignored
     val nodes = sym(edges).select(col("u").as("id")).distinct()
+    // r17 OPTIMIZATION (opt guide §3.1): the per-round min maps
+    // (lsMin/ssMin, ≤ |V| rows of two longs) are aggregation outputs
+    // over checkpointed edges — no stats, so both rewrite joins planned
+    // as sort-merge reshuffles of the (much wider) edge frames every
+    // round. 2·|E₀| (one cheap count over the already-checkpointed
+    // canonical edge list — no distinct pass) upper-bounds |V| for the
+    // whole loop (the graph only contracts); broadcast while that
+    // bound fits the session threshold, unchanged shuffled plan past
+    // it.
+    val sparkS = pairs.sparkSession
+    val bcastM = 2L * edges.count() * 64L < sparkS.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
     var iter = 0
     var changed = 1L
     var prevCnt = -1L
@@ -368,7 +380,8 @@ object Dedup {
       // large-star over the symmetric view: m = min(neighbors ∪ self)
       val lsMin = sym(edges).groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = canon(sym(edges).join(lsMin, "u")
+      val large = canon(sym(edges)
+        .join(if (bcastM) broadcast(lsMin) else lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
       // small-star on canonical (u > v) edges: m = min of the smaller
@@ -377,13 +390,21 @@ object Dedup {
       // eager checkpoint doubles as the round's materialization barrier;
       // the previous round's blocks are freed by the ContextCleaner
       val next = canon(
-        large.join(ssMin, "u").select(col("v").as("u"), col("m").as("v"))
+        large.join(if (bcastM) broadcast(ssMin) else ssMin, "u")
+          .select(col("v").as("u"), col("m").as("v"))
           .union(ssMin.select(col("u"), col("m").as("v")))).localCheckpoint(true)
       // convergence = edge-set fixpoint: no new edges (anti-join empty)
-      // AND same cardinality (a strict subset is still a change)
+      // AND same cardinality (a strict subset is still a change).
+      // r17 OPTIMIZATION: the anti-join only DECIDES anything when the
+      // cardinalities already match — when they differ, changed > 0
+      // either way — so run the exact anti-join ONLY on
+      // candidate-final rounds (counts equal). Same decision every
+      // round, one edge-list join instead of two on every non-final
+      // round.
       val newCnt = next.count()
-      val antiCnt = next.join(edges, Seq("u", "v"), "left_anti").count()
-      changed = antiCnt + math.abs(newCnt - prevCnt)
+      changed =
+        if (newCnt != prevCnt) 1L
+        else next.join(edges, Seq("u", "v"), "left_anti").count()
       prevCnt = newCnt
       edges = next
       iter += 1
