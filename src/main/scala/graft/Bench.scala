@@ -424,21 +424,47 @@ object Bench {
     // artifact therefore carries the builds count and the wall seconds
     // the kernel actually cost this run, so "value" plus this field is
     // the true spend and close-to-close family deltas are explainable
+    // FAMILY-LEVEL suffix line (r17 verdict item 4): per-query numbers
+    // in the suffix family are MARGINAL costs after the shared kernel
+    // (the purge deliberately skips the memo's pinned RDDs and
+    // min-of-passes always picks a warm reading), so round-over-round
+    // per-query deltas silently credit/debit the memo. "sfx" carries
+    // the comparable number: marginal sweep-min sum over the family +
+    // the kernel's wall seconds this run. Additions-only: timing,
+    // "value" and the queries map are untouched.
+    val suffixFamily = Set("q154b", "q321", "q321b", "q322")
+    val suffixMarg = results.collect {
+      case (n, s) if suffixFamily.contains(n.takeWhile(_ != '_')) => s }.sum
     val memoJson = {
       val n = graft.ops.SuffixRankMemo.computeCount
       if (n == 0) ""
       else s""","shared_kernel":{"suffix_builds":$n,"suffix_sec":${j(
+        graft.ops.SuffixRankMemo.computeSeconds)}}""" +
+        s""","sfx":{"marg":${j(suffixMarg)},"kern":${j(
         graft.ops.SuffixRankMemo.computeSeconds)}}"""
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
       line(results, short = false, dec = 3,
         canaryJson + flagJson + memoJson) + "\n")
+    // per-run artifact copy (r17 verdict item 3/4: the 8-core control
+    // run CLOBBERED the 32-core close's BENCH_FULL.json; keep one file
+    // per core count so no run erases another's canary/flag detail —
+    // BENCH_FULL.json stays the canonical "latest" for round_open.sh)
+    if (fullProtocol && outPath == "BENCH_FULL.json")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(outPath),
+        java.nio.file.Paths.get(s"BENCH_FULL_c$cpus.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val shortOk = { val ks = results.map(_._1.takeWhile(_ != '_')); ks.distinct.size == ks.size }
     // compact canary sums ride the driver tail line (~40 chars); the
     // full detail lives only in BENCH_FULL.json
-    val tailExtra = if (!fullProtocol) "" else
-      s""","cpre":${j(canaryPre.values.sum)},"cpost":${j(canaryPost.values.sum)},"nflag":${flagged.size}"""
+    val tailExtra = if (!fullProtocol) "" else {
+      val sfx = if (graft.ops.SuffixRankMemo.computeCount == 0) ""
+        else s""","sfx":{"marg":${j(suffixMarg)},"kern":${j(
+          graft.ops.SuffixRankMemo.computeSeconds)}}"""
+      s""","cpre":${j(canaryPre.values.sum)},"cpost":${j(canaryPost.values.sum)},"nflag":${flagged.size}$sfx"""
+    }
     // degrade gracefully toward the 1900-char budget: 3 → 2 decimals,
     // then keep only the slowest queries that fit — the total always
     // stays; a too-long line is parsed as NOTHING by the driver

@@ -2199,9 +2199,16 @@ object Corpus {
     // (w1, w2, w3) — null-tail rows included — then derive every
     // lower-order count by re-aggregating the VOCABULARY-sized frame
     // (sums of exact integer counts, so this is the same number as
-    // counting the stream directly)
+    // counting the stream directly).
+    // r18 OPTIMIZATION (opt guide §3.3): materialize the census ONCE.
+    // Five derived tables (c1 twice, c2 twice, c3, nTot) consume g123
+    // and Catalyst does not dedupe the shared subtree — the r18 before-
+    // plan shows SIX window+double-exchange passes over the train
+    // ladder. The checkpoint is vocabulary-sized; every consumer now
+    // reads materialized rows.
     val g123 = gramLadder(train, id, text)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val c1 = g123.groupBy(col("w1")).agg(sum(col("c")).as("c1u"))
     val c2 = g123.filter(col("w2").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
@@ -2261,9 +2268,12 @@ object Corpus {
         poly_hash(col("w3")).as("hw3"))
     // same one-pass train census as the string tier; hashes are
     // computed on the VOCABULARY-sized frame (a hash is a function of
-    // the gram, so hash-then-sum equals hashing the raw stream)
+    // the gram, so hash-then-sum equals hashing the raw stream).
+    // r18: checkpointed once for the same shared-subtree reason as the
+    // string tier (five consumers, no Catalyst dedup).
     val g123 = gramLadder(train, id, text)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val c1 = g123.select(poly_hash(col("w1")).as("h1"), col("c"))
       .groupBy(col("h1")).agg(sum(col("c")).as("c1u"))
     val big = g123.filter(col("w2").isNotNull).select(

@@ -290,8 +290,7 @@ object Dedup {
     // it. Identical labels either way.
     val sparkS = pairs.sparkSession
     val nV = labels.count()
-    val bcastOk = nV * 64L < sparkS.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
+    val bcastOk = BroadcastGuard.fits(sparkS, nV, BroadcastGuard.RowBytesNarrow)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -371,8 +370,8 @@ object Dedup {
     // bound fits the session threshold, unchanged shuffled plan past
     // it.
     val sparkS = pairs.sparkSession
-    val bcastM = 2L * edges.count() * 64L < sparkS.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString).toLong
+    val bcastM = BroadcastGuard.fits(sparkS, 2L * edges.count(),
+      BroadcastGuard.RowBytesNarrow)
     var iter = 0
     var changed = 1L
     var prevCnt = -1L
